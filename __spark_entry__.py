@@ -1,38 +1,49 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship pipeline on sf0.001 (smoke).
+queries()       — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()    — DuckDB twins for the SQL-expressible queries.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: points → broadcast PIP join → slippy z7 tile → counts."""
+    from pyspark.sql import functions as F
+
+    from osmgraft.functions import tiles
+    from osmgraft.operators.pip import pip_join
+    from osmgraft.synth import ADMIN_BOUNDARIES, points_from_orders
+
+    pts = points_from_orders(spark, "/root/testdata/sf0.001")
+    joined = pip_join(pts, ADMIN_BOUNDARIES, how="inner")
+    return (
+        joined.select(
+            "boundary_id",
+            tiles.tile_x(F.col("lon7"), 7).alias("tx"),
+            tiles.tile_y(F.col("lat7"), 7).alias("ty"),
+        )
+        .groupBy("boundary_id", "tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from osmgraft.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from osmgraft.queries import all_oracles
+
+    return all_oracles()

@@ -1,0 +1,113 @@
+"""Image codec kernels (pure numpy — pillow is not available in this env).
+
+Formats:
+  * ``raw``  — C-order RGB uint8 bytes, shape implied by (w, h) columns.
+  * ``ppm``  — binary P6 with maxval 255 (spec: netpbm P6).
+  * ``png``  — STUBBED: zlib container plumbing exists but full filter
+               reconstruction is out of scope without an image lib; decode
+               raises NotImplementedError (clearly marked; Spark-side schema /
+               batching around it is real and tested with raw/ppm).
+
+Both are lossless so the input_hint per-row invariant (decoded-pixel allclose,
+PSNR≥40dB for lossy) degenerates to exact equality; PSNR is still implemented
+for the lossy path.
+
+pHash: 64-bit DCT perceptual hash — grayscale → 32×32 resize (area mean) →
+2D DCT-II (numpy matmul form) → top-left 8×8 block (skipping DC) vs median →
+bit per coefficient. Deterministic, vectorizable per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --- encode / decode ---------------------------------------------------------
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    """pixels: (h, w, 3) uint8."""
+    h, w = pixels.shape[:2]
+    if fmt == "raw":
+        return pixels.tobytes()
+    if fmt == "ppm":
+        return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+    if fmt == "png":
+        raise NotImplementedError("png encode stubbed: no image lib in env")
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    if fmt == "raw":
+        return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "ppm":
+        # header: "P6\n<w> <h>\n<maxval>\n"
+        if not data.startswith(b"P6"):
+            raise ValueError("not a P6 ppm")
+        idx, fields = 2, []
+        while len(fields) < 3:
+            while idx < len(data) and data[idx : idx + 1].isspace():
+                idx += 1
+            start = idx
+            while idx < len(data) and not data[idx : idx + 1].isspace():
+                idx += 1
+            fields.append(int(data[start:idx]))
+        idx += 1  # single whitespace after maxval
+        pw, ph, _maxval = fields
+        return np.frombuffer(data, dtype=np.uint8, offset=idx).reshape(ph, pw, 3)
+    if fmt == "png":
+        raise NotImplementedError("png decode stubbed: no image lib in env")
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+# --- resize / grayscale (for pHash + the multimodal feature ops) --------------
+
+
+def to_gray(pixels: np.ndarray) -> np.ndarray:
+    """ITU-R BT.601 luma, float64 (h, w)."""
+    p = pixels.astype(np.float64)
+    return 0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
+
+
+def resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Box/area resampling via index binning (deterministic, no interp libs)."""
+    h, w = img.shape
+    ys = (np.arange(h) * out_h) // h
+    xs = (np.arange(w) * out_w) // w
+    out = np.zeros((out_h, out_w), dtype=np.float64)
+    cnt = np.zeros((out_h, out_w), dtype=np.int64)
+    np.add.at(out, (ys[:, None], xs[None, :]), img)
+    np.add.at(cnt, (ys[:, None], xs[None, :]), 1)
+    return out / np.maximum(cnt, 1)
+
+
+_DCT_N = 32
+_DCT_M = np.cos(
+    np.pi / _DCT_N * (np.arange(_DCT_N)[:, None] + 0.5) * np.arange(_DCT_N)[None, :]
+)  # (n, k) DCT-II basis
+
+
+def phash64(pixels: np.ndarray) -> np.int64:
+    """64-bit perceptual hash; bit 63-i set iff coeff_i > median of the 8×8
+    low-frequency DCT block (DC excluded from median)."""
+    g = resize_area(to_gray(pixels), _DCT_N, _DCT_N)
+    d = _DCT_M.T @ g @ _DCT_M  # 2D DCT-II (unnormalized — ordering invariant)
+    block = d[:8, :8].copy()
+    flat = block.flatten()
+    med = np.median(flat[1:])  # skip DC
+    bits = (flat > med).astype(np.uint64)
+    val = np.uint64(0)
+    for i in range(64):
+        val = (val << np.uint64(1)) | bits[i]
+    return np.int64(val.astype(np.int64))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (inf for identical)."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)

@@ -1,0 +1,74 @@
+"""Slippy-tile (z/x/y, Web-Mercator) assignment — north-rule raster↔vector op.
+
+Closed-form math (OSM wiki "Slippy map tilenames"):
+    x = floor((lon + 180) / 360 * 2^z)
+    y = floor((1 - asinh(tan(lat_rad)) / pi) / 2 * 2^z)
+
+For cross-engine bitwise parity (Spark JVM vs DuckDB vs numpy) we spell asinh
+as ``ln(t + sqrt(t*t + 1))`` in ALL three implementations — every op in that
+expression is an IEEE-754 correctly-rounded primitive except ln/tan (≤1 ulp),
+so engines agree except with ~2^-40 probability per row at tile borders.
+
+Inputs are the canonical fixed-point ``lat7/lon7`` ints; conversion to degrees
+happens inside (osmio precision model, lib.rs:66-71). Valid latitude domain is
+|lat| ≤ 85.0511287° (callers filter; see schema.WEB_MERCATOR_LAT_MAX7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+# --- Spark Column form -------------------------------------------------------
+def tile_x(lon7: Column, z: int) -> Column:
+    lon = lon7.cast("double") / F.lit(1e7)
+    n = F.lit(float(2**z))
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n).cast("long")
+    return F.least(F.greatest(x, F.lit(0)), F.lit(2**z - 1))
+
+
+def tile_y(lat7: Column, z: int) -> Column:
+    lat = lat7.cast("double") / F.lit(1e7)
+    n = F.lit(float(2**z))
+    t = F.tan(F.radians(lat))
+    asinh_t = F.log(t + F.sqrt(t * t + F.lit(1.0)))
+    y = F.floor((F.lit(1.0) - asinh_t / F.lit(float(np.pi))) / F.lit(2.0) * n).cast("long")
+    return F.least(F.greatest(y, F.lit(0)), F.lit(2**z - 1))
+
+
+def tile_id(lon7: Column, lat7: Column, z: int) -> Column:
+    """Single sortable long: z in high bits, then interleave-free x,y block id."""
+    return (F.lit(z).cast("long") * F.lit(2 ** (2 * z)) + tile_x(lon7, z) * F.lit(2**z)
+            + tile_y(lat7, z))
+
+
+# --- numpy kernel form -------------------------------------------------------
+def np_tile_xy(lon7: np.ndarray, lat7: np.ndarray, z: int) -> tuple[np.ndarray, np.ndarray]:
+    lon = lon7.astype(np.float64) / 1e7
+    lat = lat7.astype(np.float64) / 1e7
+    n = float(2**z)
+    x = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+    t = np.tan(np.radians(lat))
+    y = np.floor((1.0 - np.log(t + np.sqrt(t * t + 1.0)) / np.pi) / 2.0 * n).astype(np.int64)
+    np.clip(x, 0, 2**z - 1, out=x)
+    np.clip(y, 0, 2**z - 1, out=y)
+    return x, y
+
+
+# --- SQL-text form (DuckDB oracle) --------------------------------------------
+def sql_tile_x(lon7_expr: str, z: int) -> str:
+    return (
+        f"least(greatest(CAST(floor((CAST(({lon7_expr}) AS DOUBLE)/10000000.0 + 180.0)"
+        f"/360.0 * {float(2**z)!r}) AS BIGINT), 0), {2**z - 1})"
+    )
+
+
+def sql_tile_y(lat7_expr: str, z: int) -> str:
+    t = f"tan(radians(CAST(({lat7_expr}) AS DOUBLE)/10000000.0))"
+    asinh_t = f"ln({t} + sqrt({t}*{t} + 1.0))"
+    return (
+        f"least(greatest(CAST(floor((1.0 - {asinh_t}/pi())/2.0 * {float(2**z)!r}) AS BIGINT)"
+        f", 0), {2**z - 1})"
+    )

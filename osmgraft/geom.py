@@ -1,0 +1,182 @@
+"""Geometry kernels: vectorized ray-casting point-in-polygon, STR-tree bbox
+index, haversine, and the exact fixed-point planar metric used for kNN.
+
+All coordinates are fixed-point int (lat7/lon7 = degrees × 1e7 — osmio
+lib.rs:66-71). PIP arithmetic runs in float64 on the raw fixed-point values
+(ints < 2^31 are exact in float64); every operation is an IEEE-754 primitive,
+so the numpy kernel, the Spark expression form, and the DuckDB oracle SQL
+produce bit-identical booleans (same expression shape everywhere):
+
+    crosses = ((y1 > y) != (y2 > y)) AND (x < (x2-x1)*(y-y1)/(y2-y1) + x1)
+    inside  = parity(sum crosses) == odd        # even-odd rule; holes free
+
+(the classic PNPOLY formulation, W. R. Franklin, public algorithm.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# --- point-in-polygon ----------------------------------------------------------
+def ring_edges(ring: list[tuple[int, int]]) -> np.ndarray:
+    """ring: closed list of (lat7, lon7). Returns (E, 4) float64 [y1,x1,y2,x2]."""
+    r = np.asarray(ring, dtype=np.float64)
+    return np.stack([r[:-1, 0], r[:-1, 1], r[1:, 0], r[1:, 1]], axis=1)
+
+
+def polygon_edges(poly: dict) -> np.ndarray:
+    """Outer ring + holes concatenated — even-odd parity handles holes."""
+    parts = [ring_edges(poly["ring"])] + [ring_edges(h) for h in poly.get("holes", [])]
+    return np.concatenate(parts, axis=0)
+
+
+def pnpoly(lat7: np.ndarray, lon7: np.ndarray, edges: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd test: points (N,), edges (E,4) → bool (N,)."""
+    y = lat7.astype(np.float64)[:, None]  # (N,1)
+    x = lon7.astype(np.float64)[:, None]
+    y1, x1, y2, x2 = edges[:, 0][None, :], edges[:, 1][None, :], edges[:, 2][None, :], edges[:, 3][None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        straddles = (y1 > y) != (y2 > y)
+        xcross = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+        crosses = straddles & (x < xcross)
+    return (crosses.sum(axis=1) % 2).astype(bool)
+
+
+def sql_pip_predicate(polys: list[dict]) -> str:
+    """DuckDB SQL computing (point_id, boundary_id) pairs for points CTE ``pts``
+    (point_id, lat7, lon7) — same arithmetic as :func:`pnpoly`."""
+    rows = []
+    for p in polys:
+        for edges in [p["ring"], *p.get("holes", [])]:
+            for (y1, x1), (y2, x2) in zip(edges[:-1], edges[1:]):
+                rows.append(f"({p['boundary_id']},{float(y1)!r},{float(x1)!r},{float(y2)!r},{float(x2)!r})")
+    values = ",\n    ".join(rows)
+    return f"""
+edges(boundary_id, y1, x1, y2, x2) AS (VALUES
+    {values}),
+crossings AS (
+  SELECT p.point_id, e.boundary_id,
+    CASE WHEN ((e.y1 > CAST(p.lat7 AS DOUBLE)) <> (e.y2 > CAST(p.lat7 AS DOUBLE)))
+      AND (CAST(p.lon7 AS DOUBLE) <
+           (e.x2 - e.x1) * (CAST(p.lat7 AS DOUBLE) - e.y1) / (e.y2 - e.y1) + e.x1)
+    THEN 1 ELSE 0 END AS c
+  FROM pts p CROSS JOIN edges e),
+pip AS (
+  SELECT point_id, boundary_id FROM crossings
+  GROUP BY point_id, boundary_id HAVING sum(c) % 2 = 1)
+""".strip()
+
+
+# --- STR-tree (sorted-tile-recursive bbox packing; Leutenegger et al. 1997) ----
+class STRTree:
+    """Static bbox index over polygons, built once on the driver and shipped to
+    executors inside the broadcast PIP kernel (SURVEY.md §4 item 2).
+
+    Packing: sort by x-center into vertical slices of ~sqrt(n/cap) tiles, sort
+    each slice by y-center, chunk into leaves of ``cap``; build upper levels the
+    same way until one root. Query is an iterative stack walk over numpy arrays
+    (no Python objects per node beyond level slices).
+    """
+
+    def __init__(self, bboxes: np.ndarray, cap: int = 16):
+        # bboxes: (n, 4) [ymin, xmin, ymax, xmax] float64
+        self.bboxes = np.asarray(bboxes, dtype=np.float64)
+        n = len(self.bboxes)
+        self.levels: list[tuple[np.ndarray, np.ndarray]] = []  # (boxes, child_index_lists)
+        idx = np.arange(n)
+        boxes = self.bboxes
+        while len(idx) > cap:
+            order = self._str_order(boxes)
+            idx, boxes = idx[order], boxes[order]
+            groups = [np.arange(i, min(i + cap, len(idx))) for i in range(0, len(idx), cap)]
+            gboxes = np.array(
+                [
+                    [boxes[g, 0].min(), boxes[g, 1].min(), boxes[g, 2].max(), boxes[g, 3].max()]
+                    for g in groups
+                ]
+            )
+            self.levels.append((boxes.copy(), [idx[g] for g in groups]))
+            idx = np.arange(len(groups))
+            boxes = gboxes
+            # children of level k node i = self.levels[k][1][i] (original ids at k=0)
+        self.root_boxes = boxes
+        self.root_ids = idx
+
+    @staticmethod
+    def _str_order(boxes: np.ndarray) -> np.ndarray:
+        cx = (boxes[:, 1] + boxes[:, 3]) / 2
+        cy = (boxes[:, 0] + boxes[:, 2]) / 2
+        s = max(1, int(np.ceil(np.sqrt(len(boxes) / 16))))
+        xr = np.argsort(cx, kind="stable")
+        slice_of = np.empty(len(boxes), dtype=np.int64)
+        slice_of[xr] = np.arange(len(boxes)) // max(1, len(boxes) // s + 1)
+        return np.lexsort((cy, slice_of))
+
+    def query_point_batch(self, lat7: np.ndarray, lon7: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Return (point_row_idx, polygon_idx) candidate pairs by bbox contain."""
+        y = lat7.astype(np.float64)
+        x = lon7.astype(np.float64)
+        if not self.levels:
+            # brute bbox test against all polys (root-only tree)
+            hit = (
+                (y[:, None] >= self.bboxes[None, :, 0])
+                & (x[:, None] >= self.bboxes[None, :, 1])
+                & (y[:, None] <= self.bboxes[None, :, 2])
+                & (x[:, None] <= self.bboxes[None, :, 3])
+            )
+            pi, gi = np.nonzero(hit)
+            return pi, gi
+        # walk levels top-down keeping (point, node) frontier
+        pi = np.repeat(np.arange(len(y)), len(self.root_ids))
+        ni = np.tile(self.root_ids, len(y))
+        boxes = self.root_boxes
+        for level in range(len(self.levels) - 1, -1, -1):
+            keep = (
+                (y[pi] >= boxes[ni, 0]) & (x[pi] >= boxes[ni, 1])
+                & (y[pi] <= boxes[ni, 2]) & (x[pi] <= boxes[ni, 3])
+            )
+            pi, ni = pi[keep], ni[keep]
+            lboxes, children = self.levels[level]
+            new_pi, new_ni = [], []
+            for p, nid in zip(pi, ni):
+                ch = children[nid]
+                new_pi.append(np.full(len(ch), p))
+                new_ni.append(ch)
+            if not new_pi:
+                return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+            pi = np.concatenate(new_pi)
+            ni = np.concatenate(new_ni)
+            boxes = lboxes if level > 0 else self.bboxes
+        keep = (
+            (y[pi] >= self.bboxes[ni, 0]) & (x[pi] >= self.bboxes[ni, 1])
+            & (y[pi] <= self.bboxes[ni, 2]) & (x[pi] <= self.bboxes[ni, 3])
+        )
+        return pi[keep], ni[keep]
+
+
+def polygon_bbox(poly: dict) -> tuple[float, float, float, float]:
+    r = np.asarray(poly["ring"], dtype=np.float64)
+    return (r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max())
+
+
+# --- distances -------------------------------------------------------------------
+EARTH_RADIUS_M = 6_371_008.8
+
+
+def np_haversine_m(lat7a, lon7a, lat7b, lon7b) -> np.ndarray:
+    la, lb = np.radians(lat7a / 1e7), np.radians(lat7b / 1e7)
+    dla = lb - la
+    dlo = np.radians((lon7b - lon7a) / 1e7)
+    h = np.sin(dla / 2) ** 2 + np.cos(la) * np.cos(lb) * np.sin(dlo / 2) ** 2
+    return 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(h))
+
+
+def sql_dist2(a_lat: str, a_lon: str, b_lat: str, b_lon: str) -> str:
+    """Exact int64 planar metric used for cross-engine-deterministic kNN."""
+    return (
+        f"(CAST(({a_lat}) AS BIGINT) - CAST(({b_lat}) AS BIGINT)) * "
+        f"(CAST(({a_lat}) AS BIGINT) - CAST(({b_lat}) AS BIGINT)) + "
+        f"(CAST(({a_lon}) AS BIGINT) - CAST(({b_lon}) AS BIGINT)) * "
+        f"(CAST(({a_lon}) AS BIGINT) - CAST(({b_lon}) AS BIGINT))"
+    )

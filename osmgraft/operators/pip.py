@@ -1,0 +1,94 @@
+"""Broadcast point-in-polygon join (the flagship spatial join).
+
+Design for 100 TB / 1000 executors: the polygon side (admin boundaries,
+~1e5 rings worldwide ≈ tens of MB) is broadcast ONCE — an STR-tree over
+polygon bboxes plus packed edge arrays — and each input partition streams
+through a ``mapInPandas`` Arrow kernel: bbox candidates from the tree, then
+vectorized even-odd ray casting per polygon over its candidate points. No
+shuffle of the (huge) point side at all; output is pipelined. This mirrors the
+reference's "resolve against a side lookup structure" pattern
+(osmio nodestore.rs:55-64) lifted to a broadcast hash/rtree join.
+
+Semi/anti variants implement "images inside/outside any boundary"
+(SURVEY.md §2.3 J-suite).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StructField, StructType
+
+from osmgraft.geom import STRTree, pnpoly, polygon_bbox, polygon_edges
+
+
+def _prepare(polys: list[dict]):
+    bboxes = np.array([polygon_bbox(p) for p in polys])
+    tree = STRTree(bboxes)
+    edges = [polygon_edges(p) for p in polys]
+    ids = np.array([p["boundary_id"] for p in polys], dtype=np.int64)
+    return tree, edges, ids
+
+
+def pip_join(
+    points: DataFrame,
+    polys: list[dict],
+    how: str = "inner",
+    lat_col: str = "lat7",
+    lon_col: str = "lon7",
+) -> DataFrame:
+    """Join points to containing polygons.
+
+    how='inner'      → point columns + boundary_id (one row per containment)
+    how='left_semi'  → points inside ≥1 polygon
+    how='left_anti'  → points inside none
+    """
+    if how not in ("inner", "left_semi", "left_anti"):
+        raise ValueError(how)
+    spark = points.sparkSession
+    bc = spark.sparkContext.broadcast(_prepare(polys))
+
+    in_schema = points.schema
+    if how == "inner":
+        out_schema = StructType(in_schema.fields + [StructField("boundary_id", LongType(), False)])
+    else:
+        out_schema = in_schema
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tree, edges, ids = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lat = pdf[lat_col].to_numpy()
+            lon = pdf[lon_col].to_numpy()
+            pi, gi = tree.query_point_batch(lat, lon)
+            hit_pi: list[np.ndarray] = []
+            hit_gi: list[np.ndarray] = []
+            # vectorize the exact test per candidate polygon
+            for g in np.unique(gi):
+                sel = gi == g
+                pts = pi[sel]
+                inside = pnpoly(lat[pts], lon[pts], edges[g])
+                hit_pi.append(pts[inside])
+                hit_gi.append(np.full(int(inside.sum()), g, dtype=np.int64))
+            if hit_pi:
+                all_pi = np.concatenate(hit_pi)
+                all_gi = np.concatenate(hit_gi)
+            else:
+                all_pi = np.array([], dtype=np.int64)
+                all_gi = np.array([], dtype=np.int64)
+            if how == "inner":
+                out = pdf.iloc[all_pi].reset_index(drop=True)
+                out["boundary_id"] = ids[all_gi]
+                yield out
+            elif how == "left_semi":
+                yield pdf.iloc[np.unique(all_pi)].reset_index(drop=True)
+            else:  # left_anti
+                mask = np.ones(len(pdf), dtype=bool)
+                mask[np.unique(all_pi)] = False
+                yield pdf.iloc[mask].reset_index(drop=True)
+
+    return points.mapInPandas(kernel, schema=out_schema)

@@ -1,0 +1,187 @@
+"""Query registry backing ``__spark_entry__.py``.
+
+Each entry: name → (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+Oracle SQL runs in DuckDB over the same parquet views; Spark results must
+match on row count + schema + order-insensitive value hash, so every computed
+column is aliased identically on both sides and float-valued outputs are
+avoided or made exactly reproducible (integer math / identical IEEE expression
+shapes — see osmgraft.functions.tiles, osmgraft.geom).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmgraft.functions import coords, tiles
+from osmgraft.geom import sql_pip_predicate
+from osmgraft.operators.pip import pip_join
+from osmgraft.synth import ADMIN_BOUNDARIES, points_from_orders, sql_points_cte
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+_PTS = sql_points_cte()
+
+
+# --- tiles ---------------------------------------------------------------------
+@register(
+    "tile_counts_z13",
+    f"""WITH pts AS ({_PTS})
+SELECT {tiles.sql_tile_x('lon7', 13)} AS tx, {tiles.sql_tile_y('lat7', 13)} AS ty,
+       count(*) AS cnt
+FROM pts GROUP BY tx, ty""",
+)
+def tile_counts_z13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = points_from_orders(spark, sf_dir)
+    return (
+        pts.select(
+            tiles.tile_x(F.col("lon7"), 13).alias("tx"),
+            tiles.tile_y(F.col("lat7"), 13).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "tile_assign_z7",
+    f"""WITH pts AS ({_PTS})
+SELECT point_id, {tiles.sql_tile_x('lon7', 7)} AS tx, {tiles.sql_tile_y('lat7', 7)} AS ty
+FROM pts""",
+)
+def tile_assign_z7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return points_from_orders(spark, sf_dir).select(
+        "point_id",
+        tiles.tile_x(F.col("lon7"), 7).alias("tx"),
+        tiles.tile_y(F.col("lat7"), 7).alias("ty"),
+    )
+
+
+# --- fixed-point codec (osmio lib.rs:82-84,159-164 roundtrip) --------------------
+@register(
+    "fixed_point_roundtrip",
+    f"""WITH pts AS ({_PTS})
+SELECT point_id, lat7, lon7,
+  {coords.sql_deg_to_fixed(coords.sql_fixed_to_deg('lat7'))} AS lat7_rt,
+  {coords.sql_deg_to_fixed(coords.sql_fixed_to_deg('lon7'))} AS lon7_rt
+FROM pts""",
+)
+def fixed_point_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = points_from_orders(spark, sf_dir)
+    return pts.select(
+        "point_id",
+        "lat7",
+        "lon7",
+        coords.deg_to_fixed(coords.fixed_to_deg(F.col("lat7"))).cast("int").alias("lat7_rt"),
+        coords.deg_to_fixed(coords.fixed_to_deg(F.col("lon7"))).cast("int").alias("lon7_rt"),
+    )
+
+
+# --- point-in-polygon (flagship join) --------------------------------------------
+_PIP_SQL = f"""WITH pts AS ({_PTS}),
+{sql_pip_predicate(ADMIN_BOUNDARIES)}
+SELECT point_id, boundary_id FROM pip"""
+
+
+@register("pip_inner", _PIP_SQL)
+def pip_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = points_from_orders(spark, sf_dir)
+    return pip_join(pts, ADMIN_BOUNDARIES, how="inner").select("point_id", "boundary_id")
+
+
+@register(
+    "pip_anti",
+    f"""WITH pts AS ({_PTS}),
+{sql_pip_predicate(ADMIN_BOUNDARIES)}
+SELECT p.point_id FROM pts p ANTI JOIN pip USING (point_id)""",
+)
+def pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = points_from_orders(spark, sf_dir)
+    return pip_join(pts, ADMIN_BOUNDARIES, how="left_anti").select("point_id")
+
+
+# --- reference-shaped analytics (aggregation suite, SURVEY §2.4) -------------------
+@register(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+  sum(CAST(round(l_quantity, 0) AS BIGINT)) AS sum_qty,
+  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sum_base_price_cents,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact aggregates (cents) so the cross-engine value hash is
+    float-summation-order independent."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+                "sum_base_price_cents"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_event_types",
+    """WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type),
+t AS (SELECT sum(cnt) AS total FROM c)
+SELECT event_type, cnt FROM c, t WHERE cnt * 1000 >= total
+ORDER BY cnt DESC, event_type LIMIT 100""",
+)
+def top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 semantics: top-k + '>= 0.1%% of total' threshold
+    (osmio bin/osmio-changeset-tags-to-sqlite.rs:128-144)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    total = c.agg(F.sum("cnt").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 1000 >= F.col("total"))
+        .select("event_type", "cnt")
+        .orderBy(F.desc("cnt"), "event_type")
+        .limit(100)
+    )
+
+
+@register(
+    "timestamps_iso",
+    """SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso,
+  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+FROM events""",
+)
+def timestamps_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4: epoch ↔ RFC3339 'Z' formatting (osmio utils.rs:4-15,
+    xml/mod.rs:594 golden '1970-01-01T00:11:40Z')."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+    )
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {k: v[0] for k, v in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {k: v[1] for k, v in REGISTRY.items() if v[1] is not None}

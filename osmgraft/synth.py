@@ -1,0 +1,248 @@
+"""Deterministic synthetic inputs (FIXTURES.md). No wall-clock, no external
+data, no RNG state shared across rows — every value is a pure function of a
+row key, so results are identical at any parallelism / partitioning.
+
+Two families:
+
+1. ``points_from_orders`` — geo points derived from the driver's ``orders``
+   parquet via PURE INTEGER arithmetic. The same derivation is emitted as SQL
+   text (``sql_points_cte``) so the DuckDB oracle sees bit-identical inputs.
+   Distribution: 80% spread over lat∈[-60,60], lon∈[-179,179]; 20% packed
+   into 3 tiny "urban" hot boxes (NYC/London/Tokyo-ish) to exercise the skew
+   split (SURVEY.md §4 item 1).
+
+2. ``synth_images`` — seeded-numpy image+caption rows matching the
+   BASELINE.json input_hint schema; pixels are a pure function of the row
+   index (Philox keyed by index), captions embed the geo-tag so parsing them
+   back reproduces lat7/lon7 exactly.
+
+Plus the osmio-model fixture tables with the reference's golden literals
+(opl/test.rs:22-38, test.rs:9, xml/mod.rs:594).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmgraft.schema import ADMIN_BOUNDARY_SCHEMA, IMAGE_SCHEMA
+
+# --- 1. integer-arithmetic geo points (Spark + SQL twins) -------------------
+
+_A_LON, _B_LON = 2654435761, 3_580_000_000  # lon7 ∈ [-1.79e9, 1.79e9)
+_A_LAT, _C_LAT, _B_LAT = 1103515245, 12345, 1_200_000_000  # lat7 ∈ [-6e8, 6e8)
+_HOT_SPOTS = [  # (lat7, lon7) centers: NYC, London, Tokyo
+    (407_000_000, -740_000_000),
+    (515_000_000, -1_000_000),
+    (356_000_000, 1_397_000_000),
+]
+_JIT = 400_000  # ±0.02° jitter inside a hot box
+
+
+def points_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(point_id:long, lat7:int, lon7:int) — deterministic from o_orderkey."""
+    k = F.col("o_orderkey")
+    base_lon = (k * F.lit(_A_LON)) % F.lit(_B_LON) - F.lit(_B_LON // 2)
+    base_lat = (k * F.lit(_A_LAT) + F.lit(_C_LAT)) % F.lit(_B_LAT) - F.lit(_B_LAT // 2)
+    d1 = (k * F.lit(48271)) % F.lit(_JIT) - F.lit(_JIT // 2)
+    d2 = (k * F.lit(69621)) % F.lit(_JIT) - F.lit(_JIT // 2)
+    spot = k % F.lit(3)
+    hot_lat = (
+        F.when(spot == 0, F.lit(_HOT_SPOTS[0][0]))
+        .when(spot == 1, F.lit(_HOT_SPOTS[1][0]))
+        .otherwise(F.lit(_HOT_SPOTS[2][0]))
+        + d1
+    )
+    hot_lon = (
+        F.when(spot == 0, F.lit(_HOT_SPOTS[0][1]))
+        .when(spot == 1, F.lit(_HOT_SPOTS[1][1]))
+        .otherwise(F.lit(_HOT_SPOTS[2][1]))
+        + d2
+    )
+    is_hot = (k % F.lit(5)) == 0
+    return (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            k.alias("point_id"),
+            F.when(is_hot, hot_lat).otherwise(base_lat).cast("int").alias("lat7"),
+            F.when(is_hot, hot_lon).otherwise(base_lon).cast("int").alias("lon7"),
+        )
+    )
+
+
+def sql_points_cte() -> str:
+    """DuckDB CTE body producing bit-identical rows to points_from_orders."""
+    spots = _HOT_SPOTS
+    return f"""
+SELECT
+  o_orderkey AS point_id,
+  CAST(CASE WHEN o_orderkey % 5 = 0 THEN
+    (CASE o_orderkey % 3 WHEN 0 THEN {spots[0][0]} WHEN 1 THEN {spots[1][0]}
+     ELSE {spots[2][0]} END) + ((o_orderkey * 48271) % {_JIT} - {_JIT // 2})
+  ELSE (o_orderkey * {_A_LAT} + {_C_LAT}) % {_B_LAT} - {_B_LAT // 2} END AS INTEGER) AS lat7,
+  CAST(CASE WHEN o_orderkey % 5 = 0 THEN
+    (CASE o_orderkey % 3 WHEN 0 THEN {spots[0][1]} WHEN 1 THEN {spots[1][1]}
+     ELSE {spots[2][1]} END) + ((o_orderkey * 69621) % {_JIT} - {_JIT // 2})
+  ELSE (o_orderkey * {_A_LON}) % {_B_LON} - {_B_LON // 2} END AS INTEGER) AS lon7
+FROM orders
+""".strip()
+
+
+# --- 2. admin boundary polygons (constants; FIXTURES.md §2) -----------------
+# rings are CLOSED (first == last vertex — osmio is_closed, lib.rs:456-461).
+def _box(lat0, lon0, lat1, lon1):
+    return [(lat0, lon0), (lat0, lon1), (lat1, lon1), (lat1, lon0), (lat0, lon0)]
+
+
+ADMIN_BOUNDARIES: list[dict] = [
+    # 3 boxes over the hot spots (dense-join / skew case)
+    {"boundary_id": 1, "name": "hot-nyc",
+     "ring": _box(405_000_000, -742_000_000, 409_000_000, -738_000_000), "holes": [],
+     "tags": {"boundary": "administrative"}},
+    {"boundary_id": 2, "name": "hot-london",
+     "ring": _box(513_000_000, -3_000_000, 517_000_000, 1_000_000), "holes": [],
+     "tags": {"boundary": "administrative"}},
+    {"boundary_id": 3, "name": "hot-tokyo",
+     "ring": _box(354_000_000, 1_395_000_000, 358_000_000, 1_399_000_000), "holes": [],
+     "tags": {"boundary": "administrative"}},
+    # large boxes elsewhere
+    {"boundary_id": 4, "name": "big-atlantic",
+     "ring": _box(-300_000_000, -600_000_000, 100_000_000, -200_000_000), "holes": [],
+     "tags": {}},
+    {"boundary_id": 5, "name": "big-asia",
+     "ring": _box(100_000_000, 600_000_000, 550_000_000, 1_200_000_000), "holes": [],
+     "tags": {}},
+    # non-convex L-shape
+    {"boundary_id": 6, "name": "l-shape",
+     "ring": [(-500_000_000, 200_000_000), (-500_000_000, 500_000_000),
+              (-400_000_000, 500_000_000), (-400_000_000, 350_000_000),
+              (-200_000_000, 350_000_000), (-200_000_000, 200_000_000),
+              (-500_000_000, 200_000_000)], "holes": [],
+     "tags": {"shape": "L"}},
+    # ring with a hole
+    {"boundary_id": 7, "name": "donut",
+     "ring": _box(200_000_000, 200_000_000, 500_000_000, 500_000_000),
+     "holes": [_box(300_000_000, 300_000_000, 400_000_000, 400_000_000)],
+     "tags": {"shape": "donut"}},
+    # crosses lon=0
+    {"boundary_id": 8, "name": "meridian",
+     "ring": _box(-100_000_000, -150_000_000, 50_000_000, 150_000_000), "holes": [],
+     "tags": {}},
+    # triangle (non-axis-aligned edges)
+    {"boundary_id": 9, "name": "triangle",
+     "ring": [(-550_000_000, -1_500_000_000), (-350_000_000, -1_200_000_000),
+              (-550_000_000, -900_000_000), (-550_000_000, -1_500_000_000)], "holes": [],
+     "tags": {}},
+    # area-semantics fixtures (osmio is_area, lib.rs:465-472)
+    {"boundary_id": 10, "name": "area-no",
+     "ring": _box(560_000_000, 300_000_000, 580_000_000, 330_000_000), "holes": [],
+     "tags": {"area": "no"}},
+    {"boundary_id": 11, "name": "area-yes",
+     "ring": _box(560_000_000, 340_000_000, 580_000_000, 370_000_000), "holes": [],
+     "tags": {"area": "yes"}},
+    # second non-convex: arrow/chevron
+    {"boundary_id": 12, "name": "chevron",
+     "ring": [(0, 1_600_000_000), (100_000_000, 1_700_000_000), (0, 1_680_000_000),
+              (-100_000_000, 1_700_000_000), (0, 1_600_000_000)], "holes": [],
+     "tags": {}},
+]
+
+
+def admin_boundaries_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        (
+            b["boundary_id"],
+            b["name"],
+            [{"lat7": p[0], "lon7": p[1]} for p in b["ring"]],
+            [[{"lat7": p[0], "lon7": p[1]} for p in h] for h in b["holes"]],
+            b["tags"],
+        )
+        for b in ADMIN_BOUNDARIES
+    ]
+    return spark.createDataFrame(rows, ADMIN_BOUNDARY_SCHEMA)
+
+
+def usable_areas() -> list[dict]:
+    """Polygons that osmio is_area semantics admit (closed & tags[area]!='no',
+    lib.rs:465-472)."""
+    return [b for b in ADMIN_BOUNDARIES if b["tags"].get("area") != "no"]
+
+
+# --- 3. image table (input_hint schema) --------------------------------------
+def _pixels_for(idx: int, w: int, h: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.Philox(key=idx))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def synth_images(spark: SparkSession, n: int, with_pixels: bool = True) -> DataFrame:
+    """Deterministic image table. Geo distribution mirrors points_from_orders
+    (hot cells at idx%5==0). Pixels per-row Philox(key=idx) — partitioning
+    independent."""
+    from osmgraft.functions.codec import encode_image, phash64
+
+    sizes = [16, 32, 64]
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            out = []
+            for idx in pdf["idx"].to_numpy():
+                idx = int(idx)
+                w = sizes[idx % 3]
+                h = sizes[(idx // 3) % 3]
+                fmt = "raw" if idx % 2 == 0 else "ppm"
+                if idx % 5 == 0:
+                    clat, clon = _HOT_SPOTS[idx % 3]
+                    lat7 = clat + (idx * 48271) % _JIT - _JIT // 2
+                    lon7 = clon + (idx * 69621) % _JIT - _JIT // 2
+                else:
+                    lat7 = (idx * _A_LAT + _C_LAT) % _B_LAT - _B_LAT // 2
+                    lon7 = (idx * _A_LON) % _B_LON - _B_LON // 2
+                if with_pixels:
+                    px = _pixels_for(idx, w, h)
+                    data = encode_image(px, fmt)
+                    ph = int(phash64(px))
+                else:
+                    data, ph = None, 0
+                cap = f"photo at {lat7 / 1e7:.7f},{lon7 / 1e7:.7f} of object {idx % 97}"
+                out.append((f"img{idx:012d}", data, w, h, fmt, cap, ph, lat7, lon7))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in IMAGE_SCHEMA.fields]
+            )
+
+    idx_df = spark.range(n).select(F.col("id").alias("idx"))
+    return idx_df.mapInPandas(gen, schema=IMAGE_SCHEMA)
+
+
+# --- 4. osmio-model fixtures (golden literals) --------------------------------
+def osm_nodes_df(spark: SparkSession) -> DataFrame:
+    """Includes the reference's golden node 197801 (opl/test.rs:22-38, test.rs:9)."""
+    import datetime as dt
+
+    from osmgraft.schema import OSM_NODE_SCHEMA
+
+    rows = [
+        (197801, 6, False, 10009832, dt.datetime(2011, 12, 1, 17, 3, 42), 20673,
+         "mikefalzon", {"created_by": "JOSM"}, 360_292_900, 142_741_628),
+        (1, 1, False, 1, dt.datetime(1970, 1, 1, 0, 11, 40), 1, "&foo",
+         {}, 12_300_000, -45_600_000),
+        (2, None, True, None, None, None, None, None, None, None),
+    ]
+    return spark.createDataFrame(rows, OSM_NODE_SCHEMA)
+
+
+def osm_ways_df(spark: SparkSession) -> DataFrame:
+    """The 4 golden area-semantics ways (tests.rs:90-165)."""
+    import datetime as dt
+
+    from osmgraft.schema import OSM_WAY_SCHEMA
+
+    ts = dt.datetime(2011, 12, 1, 17, 3, 42)
+    rows = [
+        (100, 1, False, 1, ts, 1, "u", {}, [1, 2, 3]),                     # open
+        (101, 1, False, 1, ts, 1, "u", {}, [1, 2, 3, 1]),                  # ring
+        (102, 1, False, 1, ts, 1, "u", {"area": "no"}, [1, 2, 3, 1]),      # ring, area=no
+        (103, 1, False, 1, ts, 1, "u", {"area": "yes"}, [1, 2, 3, 1]),     # ring, area=yes
+    ]
+    return spark.createDataFrame(rows, OSM_WAY_SCHEMA)

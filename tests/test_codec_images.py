@@ -1,0 +1,85 @@
+"""Image codec roundtrip (raw/ppm lossless ⇒ exact), pHash determinism, PSNR,
+and the synthesized image table (input_hint schema + caption geo-tag parse-back)."""
+
+import numpy as np
+import pytest
+
+from osmgraft.functions.codec import (
+    decode_image,
+    encode_image,
+    hamming64,
+    phash64,
+    psnr,
+    to_gray,
+)
+
+
+def _img(seed, h=16, w=24):
+    return np.random.Generator(np.random.Philox(key=seed)).integers(
+        0, 256, (h, w, 3), dtype=np.uint8
+    )
+
+
+def test_raw_roundtrip():
+    px = _img(1)
+    assert (decode_image(encode_image(px, "raw"), 24, 16, "raw") == px).all()
+
+
+def test_ppm_roundtrip():
+    px = _img(2)
+    data = encode_image(px, "ppm")
+    assert data.startswith(b"P6\n24 16\n255\n")
+    assert (decode_image(data, 24, 16, "ppm") == px).all()
+
+
+def test_png_stubbed():
+    with pytest.raises(NotImplementedError):
+        encode_image(_img(3), "png")
+
+
+def test_psnr():
+    px = _img(4)
+    assert psnr(px, px) == float("inf")
+    noisy = px.astype(np.int64).copy()
+    noisy[0, 0, 0] = (noisy[0, 0, 0] + 4) % 256
+    assert psnr(px, noisy.astype(np.uint8)) > 40.0
+
+
+def test_phash_properties():
+    px = _img(5, 64, 64)
+    h1 = phash64(px)
+    assert h1 == phash64(px.copy())  # deterministic
+    # small perturbation → small hamming distance
+    noisy = np.clip(px.astype(np.int16) + 2, 0, 255).astype(np.uint8)
+    assert hamming64(h1, phash64(noisy)) <= 8
+    # different image → large distance
+    other = _img(999, 64, 64)
+    assert hamming64(h1, phash64(other)) >= 16
+    assert to_gray(px).shape == (64, 64)
+
+
+def test_synth_images_table(spark):
+    from osmgraft.synth import synth_images
+
+    df = synth_images(spark, 30).cache()
+    rows = df.collect()
+    assert len(rows) == 30
+    for r in rows:
+        px = decode_image(bytes(r.bytes), r.w, r.h, r.fmt)
+        assert px.shape == (r.h, r.w, 3)
+        # per-row invariant (input_hint): caption geo-tag parses back exactly
+        latlon = r.caption.split(" at ")[1].split(" of ")[0]
+        lat_s, lon_s = latlon.split(",")
+        assert round(float(lat_s) * 1e7) == r.lat7
+        assert round(float(lon_s) * 1e7) == r.lon7
+        assert r.phash == int(phash64(px))
+    df.unpersist()
+
+
+def test_synth_images_partitioning_independent(spark):
+    """Same rows regardless of parallelism (pure function of row index)."""
+    from osmgraft.synth import synth_images
+
+    a = {(r.image_id, r.phash) for r in synth_images(spark, 20).coalesce(1).collect()}
+    b = {(r.image_id, r.phash) for r in synth_images(spark, 20).repartition(8).collect()}
+    assert a == b

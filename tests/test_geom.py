@@ -1,0 +1,91 @@
+"""PIP truth table (FIXTURES.md golden_pip cases), STR-tree candidate
+correctness, and the PIP join operator incl. semi/anti."""
+
+import numpy as np
+
+from osmgraft.geom import STRTree, pnpoly, polygon_bbox, polygon_edges
+from osmgraft.operators.pip import pip_join
+from osmgraft.synth import ADMIN_BOUNDARIES, admin_boundaries_df
+
+SQUARE = {"ring": [(0, 0), (0, 100), (100, 100), (100, 0), (0, 0)], "holes": []}
+DONUT = {
+    "ring": [(0, 0), (0, 100), (100, 100), (100, 0), (0, 0)],
+    "holes": [[(25, 25), (25, 75), (75, 75), (75, 25), (25, 25)]],
+}
+LSHAPE = {
+    "ring": [(0, 0), (0, 100), (40, 100), (40, 40), (100, 40), (100, 0), (0, 0)],
+    "holes": [],
+}
+
+
+def _inside(poly, pts):
+    e = polygon_edges(poly)
+    lat = np.array([p[0] for p in pts], dtype=np.int64)
+    lon = np.array([p[1] for p in pts], dtype=np.int64)
+    return pnpoly(lat, lon, e).tolist()
+
+
+def test_square_truth_table():
+    #              inside     outside   far-outside  on-left-edge on-corner
+    pts = [(50, 50), (150, 50), (-1, -1), (50, 0), (0, 0)]
+    got = _inside(SQUARE, pts)
+    assert got[0] is True and got[1] is False and got[2] is False
+    # edge/vertex behavior: deterministic (value pinned, either side acceptable)
+    assert got == [True, False, False, True, True]
+
+
+def test_donut_hole():
+    pts = [(50, 50), (10, 10), (26, 26), (75, 76)]
+    assert _inside(DONUT, pts) == [False, True, False, True]
+
+
+def test_lshape_nonconvex():
+    # (70,70) is outside the L (bbox-inside, hull-inside)
+    pts = [(20, 20), (70, 20), (20, 70), (70, 70)]
+    assert _inside(LSHAPE, pts) == [True, True, True, False]
+
+
+def test_strtree_candidates_superset():
+    polys = ADMIN_BOUNDARIES
+    bboxes = np.array([polygon_bbox(p) for p in polys])
+    tree = STRTree(bboxes, cap=4)  # force multi-level
+    rng = np.random.default_rng(3)
+    lat = rng.integers(-900_000_000, 900_000_000, 2000)
+    lon = rng.integers(-1_800_000_000, 1_800_000_000, 2000)
+    pi, gi = tree.query_point_batch(lat, lon)
+    got = set(zip(pi.tolist(), gi.tolist()))
+    # brute force bbox truth
+    want = set()
+    for g, bb in enumerate(bboxes):
+        hit = (lat >= bb[0]) & (lon >= bb[1]) & (lat <= bb[2]) & (lon <= bb[3])
+        want |= {(int(i), g) for i in np.nonzero(hit)[0]}
+    assert got == want
+
+
+def test_pip_join_variants(spark):
+    pts = spark.createDataFrame(
+        [(1, 407_000_000, -740_000_000), (2, 0, 0), (3, 350_000_000, 350_000_000)],
+        "point_id long, lat7 int, lon7 int",
+    )
+    inner = pip_join(pts, ADMIN_BOUNDARIES, how="inner").collect()
+    pairs = {(r.point_id, r.boundary_id) for r in inner}
+    assert (1, 1) in pairs          # hot-nyc box
+    assert (2, 8) in pairs          # meridian box contains origin
+    assert (3, 7) not in pairs      # donut hole
+    semi = {r.point_id for r in pip_join(pts, ADMIN_BOUNDARIES, how="left_semi").collect()}
+    anti = {r.point_id for r in pip_join(pts, ADMIN_BOUNDARIES, how="left_anti").collect()}
+    assert semi | anti == {1, 2, 3} and semi & anti == set()
+    assert 3 in anti  # in-hole point is "outside any boundary"
+
+
+def test_boundaries_df_builds(spark):
+    df = admin_boundaries_df(spark)
+    assert df.count() == len(ADMIN_BOUNDARIES)
+    # closed-ring invariant (osmio is_closed, lib.rs:456-461)
+    import pyspark.sql.functions as F
+
+    bad = df.filter(
+        (F.element_at("ring", 1)["lat7"] != F.element_at("ring", -1)["lat7"])
+        | (F.element_at("ring", 1)["lon7"] != F.element_at("ring", -1)["lon7"])
+    ).count()
+    assert bad == 0

@@ -1,0 +1,45 @@
+"""Slippy-tile golden vectors (closed-form formula, OSM wiki) + Spark/numpy parity."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from osmgraft.functions import tiles
+
+
+def test_golden_vectors():
+    # (lat, lon, z) -> (x, y): hand-checked classics
+    cases = [
+        (0.0, 0.0, 1, 1, 1),          # origin falls in the +x,+y quadrant tile
+        (0.0, 0.0, 13, 4096, 4096),
+        (51.5, -0.1, 13, 4093, 2724),  # London (cross-checked vs math.asinh form)
+        (85.0511287, -179.9999999, 2, 0, 0),   # top-left corner
+        (-85.0511287, 179.9999999, 2, 3, 3),   # bottom-right corner
+    ]
+    for lat, lon, z, ex, ey in cases:
+        x, y = tiles.np_tile_xy(
+            np.array([lon * 1e7], dtype=np.int64), np.array([lat * 1e7], dtype=np.int64), z
+        )
+        assert (x[0], y[0]) == (ex, ey), (lat, lon, z, x[0], y[0])
+
+
+def test_zoom_hierarchy():
+    # tile at z is the parent of tile at z+1 (x//2, y//2)
+    rng = np.random.default_rng(7)
+    lon7 = rng.integers(-1_790_000_000, 1_790_000_000, 500)
+    lat7 = rng.integers(-850_000_000, 850_000_000, 500)
+    x13, y13 = tiles.np_tile_xy(lon7, lat7, 13)
+    x12, y12 = tiles.np_tile_xy(lon7, lat7, 12)
+    assert (x13 // 2 == x12).all() and (y13 // 2 == y12).all()
+
+
+def test_spark_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    lon7 = rng.integers(-1_790_000_000, 1_790_000_000, 300).tolist()
+    lat7 = rng.integers(-850_000_000, 850_000_000, 300).tolist()
+    df = spark.createDataFrame(list(zip(lat7, lon7)), "lat7 long, lon7 long")
+    got = df.select(
+        tiles.tile_x(F.col("lon7"), 13).alias("x"), tiles.tile_y(F.col("lat7"), 13).alias("y")
+    ).collect()
+    ex, ey = tiles.np_tile_xy(np.array(lon7), np.array(lat7), 13)
+    assert [r.x for r in got] == ex.tolist()
+    assert [r.y for r in got] == ey.tolist()
