@@ -48,6 +48,9 @@ def pip_join(
     """
     if how not in ("inner", "left_semi", "left_anti"):
         raise ValueError(how)
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    points = ensure_min_parallelism(points)
     spark = points.sparkSession
     bc = spark.sparkContext.broadcast(_prepare(polys))
 

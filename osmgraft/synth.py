@@ -62,13 +62,14 @@ def points_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         + d2
     )
     is_hot = (k % F.lit(5)) == 0
-    return (
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    return ensure_min_parallelism(
         spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .select(
-            k.alias("point_id"),
-            F.when(is_hot, hot_lat).otherwise(base_lat).cast("int").alias("lat7"),
-            F.when(is_hot, hot_lon).otherwise(base_lon).cast("int").alias("lon7"),
-        )
+    ).select(
+        k.alias("point_id"),
+        F.when(is_hot, hot_lat).otherwise(base_lat).cast("int").alias("lat7"),
+        F.when(is_hot, hot_lon).otherwise(base_lon).cast("int").alias("lon7"),
     )
 
 
