@@ -112,6 +112,45 @@ def pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pip_join(pts, ADMIN_BOUNDARIES, how="left_anti").select("point_id")
 
 
+# --- kNN via cell-ring expansion (north rule; exact planar fixed-point metric) -----
+_QLAT = "(CAST(n_nationkey AS BIGINT) * 97234555 + 11) % 1200000000 - 600000000"
+_QLON = "(CAST(n_nationkey AS BIGINT) * 211234479 + 7) % 3580000000 - 1790000000"
+# wrap-aware exact metric (see osmgraft.operators.knn.py_dist2)
+_DLAT = "(CAST(q.qlat7 AS BIGINT) - CAST(p.lat7 AS BIGINT))"
+_DLONA = "abs(CAST(q.qlon7 AS BIGINT) - CAST(p.lon7 AS BIGINT))"
+_DLON = f"least({_DLONA}, 3600000000 - {_DLONA})"
+_D2 = f"({_DLAT} * {_DLAT} + {_DLON} * {_DLON})"
+
+
+def _knn_queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = F.col("n_nationkey").cast("long")
+    return n.select(
+        k.alias("query_id"),
+        ((k * 97234555 + 11) % 1200000000 - 600000000).cast("int").alias("lat7"),
+        ((k * 211234479 + 7) % 3580000000 - 1790000000).cast("int").alias("lon7"),
+    )
+
+
+@register(
+    "knn_k5",
+    f"""WITH pts AS ({_PTS}),
+q AS (SELECT CAST(n_nationkey AS BIGINT) AS query_id,
+             CAST({_QLAT} AS INTEGER) AS qlat7, CAST({_QLON} AS INTEGER) AS qlon7
+      FROM nation)
+SELECT query_id, neighbor_id, dist2, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q.query_id, p.point_id AS neighbor_id, {_D2} AS dist2,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY {_D2}, p.point_id) AS rank
+  FROM q CROSS JOIN pts p) t
+WHERE rank <= 5""",
+)
+def knn_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmgraft.operators.knn import knn_join
+
+    pts = points_from_orders(spark, sf_dir)
+    return knn_join(pts, _knn_queries_df(spark, sf_dir), k=5)
+
+
 # --- reference-shaped analytics (aggregation suite, SURVEY §2.4) -------------------
 @register(
     "q1_pricing_summary",

@@ -1,0 +1,86 @@
+"""kNN ring-expansion exactness vs brute force, determinism, edge cases."""
+
+import numpy as np
+import pytest
+
+from osmgraft.operators.knn import knn_join
+
+
+@pytest.fixture(scope="module")
+def small_world(spark):
+    rng = np.random.default_rng(42)
+    n = 3000
+    pts = spark.createDataFrame(
+        list(
+            zip(
+                range(n),
+                rng.integers(-600_000_000, 600_000_000, n).tolist(),
+                rng.integers(-1_790_000_000, 1_790_000_000, n).tolist(),
+            )
+        ),
+        "point_id long, lat7 int, lon7 int",
+    )
+    qs = spark.createDataFrame(
+        list(
+            zip(
+                range(7),
+                rng.integers(-600_000_000, 600_000_000, 7).tolist(),
+                rng.integers(-1_790_000_000, 1_790_000_000, 7).tolist(),
+            )
+        ),
+        "query_id long, lat7 int, lon7 int",
+    )
+    return pts, qs
+
+
+def _brute(pts_rows, q_rows, k):
+    from osmgraft.operators.knn import py_dist2
+
+    out = {}
+    for q in q_rows:
+        d = sorted(
+            ((py_dist2(q.lat7, q.lon7, p.lat7, p.lon7), p.point_id) for p in pts_rows)
+        )[:k]
+        out[q.query_id] = [(pid, dist) for dist, pid in d]
+    return out
+
+def test_knn_exact_vs_brute(spark, small_world):
+    pts, qs = small_world
+    got = knn_join(pts, qs, k=5).collect()
+    want = _brute(pts.collect(), qs.collect(), 5)
+    for r in got:
+        pid, dist = want[r.query_id][r.rank - 1]
+        assert (r.neighbor_id, r.dist2) == (pid, dist), r
+
+
+def test_knn_small_cell_forces_expansion(spark, small_world):
+    pts, qs = small_world
+    got = knn_join(pts, qs, k=3, cell_size=1_000_000)  # tiny cells → many rings + fallback
+    want = _brute(pts.collect(), qs.collect(), 3)
+    for r in got.collect():
+        pid, dist = want[r.query_id][r.rank - 1]
+        assert (r.neighbor_id, r.dist2) == (pid, dist)
+
+
+def test_knn_antimeridian_wrap(spark):
+    """Nearest neighbor across the ±180° line must be found via wrapped cells."""
+    pts = spark.createDataFrame(
+        [(1, 0, -1_789_000_000), (2, 0, 1_000_000_000)],
+        "point_id long, lat7 int, lon7 int",
+    )
+    qs = spark.createDataFrame(
+        [(9, 0, 1_789_000_000)], "query_id long, lat7 int, lon7 int"
+    )
+    got = knn_join(pts, qs, k=1).collect()
+    assert len(got) == 1 and got[0].neighbor_id == 1
+    assert got[0].dist2 == 22_000_000**2  # wrapped, not (3.578e9)^2
+
+
+def test_knn_k_exceeds_points(spark):
+    pts = spark.createDataFrame(
+        [(1, 0, 0), (2, 10, 10)], "point_id long, lat7 int, lon7 int"
+    )
+    qs = spark.createDataFrame([(9, 5, 5)], "query_id long, lat7 int, lon7 int")
+    got = knn_join(pts, qs, k=5).collect()
+    assert len(got) == 2
+    assert [r.rank for r in sorted(got, key=lambda r: r.rank)] == [1, 2]
