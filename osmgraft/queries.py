@@ -112,6 +112,64 @@ def pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pip_join(pts, ADMIN_BOUNDARIES, how="left_anti").select("point_id")
 
 
+# --- salted cell equi-join + refine (north-rule shuffle path) ----------------------
+@register("pip_celljoin", _PIP_SQL)
+def pip_celljoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Must produce EXACTLY the same rows as pip_inner (same oracle) — the
+    salting/skew split is a physical rewrite, not a semantic one."""
+    from osmgraft.operators.celljoin import cell_pip_join
+
+    pts = points_from_orders(spark, sf_dir)
+    return cell_pip_join(pts, ADMIN_BOUNDARIES, skew_threshold=500, salt_target=250).select(
+        "point_id", "boundary_id"
+    )
+
+
+# --- cell indexing (S2 / H3-style / integer grid) ----------------------------------
+from osmgraft.functions.cells import sql_grid_cell  # noqa: E402
+
+
+@register(
+    "cell_counts_grid",
+    f"""WITH pts AS ({_PTS})
+SELECT {sql_grid_cell('lat7', 'lon7', 50_000_000)} AS cell, count(*) AS cnt
+FROM pts GROUP BY cell""",
+)
+def cell_counts_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmgraft.functions.cells import grid_cell
+
+    pts = points_from_orders(spark, sf_dir)
+    return (
+        pts.select(grid_cell(F.col("lat7"), F.col("lon7"), 50_000_000).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register("cell_counts_s2_l13", None)  # not SQL-expressible → rows-only check
+def cell_counts_s2_l13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmgraft.functions.cells import s2_cell_udf
+
+    pts = points_from_orders(spark, sf_dir)
+    return (
+        pts.select(s2_cell_udf(13)(F.col("lat7"), F.col("lon7")).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register("cell_counts_h3_r7", None)  # not SQL-expressible → rows-only check
+def cell_counts_h3_r7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmgraft.functions.cells import h3_cell_udf
+
+    pts = points_from_orders(spark, sf_dir)
+    return (
+        pts.select(h3_cell_udf(7)(F.col("lat7"), F.col("lon7")).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 # --- kNN via cell-ring expansion (north rule; exact planar fixed-point metric) -----
 _QLAT = "(CAST(n_nationkey AS BIGINT) * 97234555 + 11) % 1200000000 - 600000000"
 _QLON = "(CAST(n_nationkey AS BIGINT) * 211234479 + 7) % 3580000000 - 1790000000"

@@ -1,0 +1,112 @@
+"""S2 + H3-style kernel invariants (no reference lib in env — structural
+invariants + published S2 constants pin correctness; ids are regression-pinned)."""
+
+import numpy as np
+import pytest
+
+from osmgraft.functions import h3ish as H
+from osmgraft.functions import s2 as S
+
+
+@pytest.fixture(scope="module")
+def pts():
+    rng = np.random.default_rng(99)
+    return (
+        rng.integers(-890_000_000, 890_000_000, 20000),
+        rng.integers(-1_800_000_000, 1_800_000_000, 20000),
+    )
+
+
+# --- S2 -------------------------------------------------------------------------
+def test_s2_published_face_constant():
+    # S2CellId::FromFace(0).id() == 0x1000000000000000 (published constant)
+    assert int(S.s2_cell_id(np.array([0]), np.array([0]), 0)[0]) == 0x1000000000000000
+
+
+def test_s2_level_extraction(pts):
+    for lvl in (0, 7, 13, 30):
+        ids = S.s2_cell_id(*pts, lvl)
+        assert (S.s2_level(ids) == lvl).all()
+
+
+def test_s2_hierarchy_prefix(pts):
+    """A level-13 cell id shares the Hilbert-position prefix of its level-30 leaf."""
+    l13 = S.s2_cell_id(*pts, 13).view(np.uint64)
+    l30 = S.s2_cell_id(*pts, 30).view(np.uint64)
+    shift = np.uint64(2 * (30 - 13))
+    assert ((l13 >> (shift + np.uint64(1))) == (l30 >> (shift + np.uint64(1)))).all()
+
+
+def test_s2_center_roundtrip(pts):
+    ids = S.s2_cell_id(*pts, 13)
+    clat, clon = S.s2_cell_center_latlon(ids)
+    rt = S.s2_cell_id((clat * 1e7).astype(np.int64), (clon * 1e7).astype(np.int64), 13)
+    assert (rt == ids).all()
+
+
+def test_s2_locality(pts):
+    """Points within ~100m nearly always share the level-13 cell (≈1km cells)."""
+    lat, lon = pts
+    近 = S.s2_cell_id(lat + 50, lon + 50, 13)  # 50 units = 5e-6 deg ≈ 0.5 m
+    base = S.s2_cell_id(lat, lon, 13)
+    assert (近 == base).mean() > 0.99
+
+
+def test_s2_face_distribution(pts):
+    ids = S.s2_cell_id(*pts, 13).view(np.uint64) >> np.uint64(61)
+    assert set(np.unique(ids)) == set(range(6))
+
+
+# --- H3-style --------------------------------------------------------------------
+def test_h3_res_and_base(pts):
+    c = H.h3_cell(*pts, 7)
+    assert (H.h3_res(c) == 7).all()
+    assert set(np.unique(H.h3_base(c))) <= set(range(20))
+    assert np.unique(H.h3_base(c)).size == 20  # all faces hit
+
+
+def test_h3_algebraic_hierarchy(pts):
+    """to_parent is exact digit truncation; parent of the res-9 encode agrees
+    with the res-7 encode for the vast majority of points (boundary points
+    may differ — the same approximate-containment property real H3 has)."""
+    c7 = H.h3_cell(*pts, 7)
+    c9 = H.h3_cell(*pts, 9)
+    agree = (H.h3_to_parent(c9, 7) == c7).mean()
+    assert agree > 0.88, agree
+
+
+def test_h3_axial_roundtrip(pts):
+    c = H.h3_cell(*pts, 7)
+    face, i, j = H.h3_cell_to_axial(c)
+    assert (H._axial_to_cell(face, i, j, 7) == c).all()
+
+
+def test_h3_grid_disk():
+    c = int(H.h3_cell(np.array([407_000_000]), np.array([-740_000_000]), 7)[0])
+    for k in (1, 2, 3):
+        disk = H.h3_grid_disk(c, k)
+        assert len(disk) == 1 + 3 * k * (k + 1)
+        assert len(set(disk.tolist())) == len(disk)
+        assert c in set(disk.tolist())
+    # disk(k) ⊂ disk(k+1)
+    assert set(H.h3_grid_disk(c, 1).tolist()) <= set(H.h3_grid_disk(c, 2).tolist())
+
+
+def test_h3_disk_cells_are_neighbors_spatially():
+    """Ring-1 cells' centers must be close: encode center-ish points around
+    the seed and confirm they land inside disk(2)."""
+    lat0, lon0 = 407_000_000, -740_000_000
+    seed = int(H.h3_cell(np.array([lat0]), np.array([lon0]), 7)[0])
+    disk2 = set(H.h3_grid_disk(seed, 2).tolist())
+    # ~res7 hex edge ≈ a few km → offsets of ~0.02° stay within 2 rings
+    offs = np.array([-200_000, 0, 200_000])
+    for dla in offs:
+        for dlo in offs:
+            c = int(H.h3_cell(np.array([lat0 + dla]), np.array([lon0 + dlo]), 7)[0])
+            assert c in disk2
+
+
+def test_h3_determinism_and_vectorization(pts):
+    a = H.h3_cell(*pts, 9)
+    b = H.h3_cell(pts[0].copy(), pts[1].copy(), 9)
+    assert (a == b).all()
