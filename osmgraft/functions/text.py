@@ -1,0 +1,136 @@
+"""Text-analysis kernels for the training-data pipeline (brief: language-ID,
+quality scoring, token counting, document fingerprinting).
+
+Everything here is JVM-side Column expressions (split/filter/transform
+lambdas) — whole-stage-codegen friendly, no Python workers. Each function has
+a DuckDB SQL twin for the oracle gate. Integer-valued outputs only (counts,
+hashes, buckets) so cross-engine value hashes are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny fixed stopword lists (deterministic; good enough for a heuristic lang-id)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "que", "por", "para"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie-break priority
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text (empty text → empty array)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def sql_tokens(expr: str) -> str:
+    return f"list_filter(regexp_split_to_array(trim({expr}), '\\s+'), t -> t <> '')"
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def sql_token_count(expr: str) -> str:
+    return f"len({sql_tokens(expr)})"
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+
+
+def sql_punct_count(expr: str) -> str:
+    return f"length(regexp_replace({expr}, '[^.!?,;:]', '', 'g'))"
+
+
+def stopword_count(text: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(F.lower(text)), lambda t: t.isin(*words)))
+
+
+def sql_stopword_count(expr: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({sql_tokens(f'lower({expr})')}, t -> t IN ({words})))"
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language id: argmax stopword hits; CASE evaluated in
+    LANG_ORDER so ties go to the earlier language; 'und' when zero hits."""
+    scores = {lang: stopword_count(text, lang) for lang in LANG_ORDER}
+    best = None
+    for lang in LANG_ORDER:
+        cond = scores[lang] > 0
+        for other in LANG_ORDER:
+            if other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    return best.otherwise(F.lit("und"))
+
+
+def sql_lang_id(expr: str) -> str:
+    s = {lang: sql_stopword_count(expr, lang) for lang in LANG_ORDER}
+    clauses = []
+    for lang in LANG_ORDER:
+        conds = [f"{s[lang]} > 0"] + [
+            f"{s[lang]} >= {s[o]}" for o in LANG_ORDER if o != lang
+        ]
+        clauses.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " ELSE 'und' END"
+
+
+def md5_long(col: Column) -> Column:
+    """Deterministic 60-bit integer hash: first 15 hex chars of md5.
+    Identical in DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def sql_md5_long(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def normalize_text(text: Column) -> Column:
+    """lower + collapse whitespace — canonical form for fingerprints."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def sql_normalize_text(expr: str) -> str:
+    return f"regexp_replace(lower(trim({expr})), '\\s+', ' ', 'g')"
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: 60-bit hash of normalized text."""
+    return md5_long(normalize_text(text))
+
+
+def sql_fingerprint(expr: str) -> str:
+    return sql_md5_long(sql_normalize_text(expr))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of the normalized text (n-gram units for
+    Jaccard/minhash)."""
+    toks = tokens(normalize_text(text))
+    # guard: Spark sequence(1, 0) would generate a DESCENDING sequence
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
+    )
+    return F.array_distinct(sh)
+
+
+def sql_shingles(expr: str, n: int = 3) -> str:
+    """Shingles as a single inline expression (token list spelled out; use a
+    CTE aliasing the token list to keep the final SQL readable)."""
+    w = sql_tokens(sql_normalize_text(expr))
+    parts = " || ' ' || ".join(f"({w})[i+{k}]" for k in range(n))
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({w}) - {n - 2}, 1)), "
+        f"i -> {parts}))"
+    )

@@ -276,6 +276,116 @@ def timestamps_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- training-data ops: text analysis (SURVEY engine-added; brief §text) -----------
+from osmgraft.functions import text as T  # noqa: E402
+
+
+@register(
+    "text_stats",
+    f"""SELECT doc_id,
+  {T.sql_token_count('text')} AS n_tokens,
+  length(text) AS n_chars_raw,
+  {T.sql_punct_count('text')} AS n_punct,
+  {T.sql_stopword_count('text', 'en')} AS n_stop_en
+FROM documents""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_raw"),
+        T.punct_count(F.col("text")).alias("n_punct"),
+        T.stopword_count(F.col("text"), "en").alias("n_stop_en"),
+    )
+
+
+@register(
+    "lang_id_pred",
+    f"SELECT doc_id, {T.sql_lang_id('text')} AS lang_pred FROM documents",
+)
+def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "doc_fingerprint",
+    f"SELECT doc_id, {T.sql_fingerprint('text')} AS fp FROM documents",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+# --- training-data ops: dedup (brief §dedup) ----------------------------------------
+from osmgraft.operators import dedup as D  # noqa: E402
+
+
+@register("dedup_exact", D.sql_dedup_exact_groups())
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.dedup_exact_groups(docs)
+
+
+@register("dedup_minhash_lsh", D.sql_minhash_lsh_pairs())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.minhash_lsh_pairs(docs)
+
+
+@register("simhash", f"SELECT doc_id, {D.sql_simhash('text')} AS simhash FROM documents")
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.simhash_table(docs)
+
+
+# --- training-data ops: similarity search (brief §similarity) -----------------------
+@register("embedding_topk", None)  # registered with oracle below (import order)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmgraft.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+from osmgraft.operators.similarity import sql_cosine_topk  # noqa: E402
+
+REGISTRY["embedding_topk"] = (REGISTRY["embedding_topk"][0], sql_cosine_topk(k=10))
+
+
+@register("embedding_lsh_ann", None)  # approximate → rows-only check
+def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmgraft.operators.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, dim=64, n_planes=5, n_tables=6
+    )
+
+
+# --- multimodal image ops (bytes synthesized Spark-side → rows-only checks) --------
+def _n_images(sf_dir: str) -> int:
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return {"0.001": 300, "0.01": 1000, "0.1": 2000}.get(sf, 1000)
+
+
+@register("image_stats", None)
+def image_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmgraft.operators.multimodal import image_stats
+    from osmgraft.synth import synth_images
+
+    return image_stats(synth_images(spark, _n_images(sf_dir)))
+
+
+@register("image_phash_neardup", None)
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmgraft.operators.multimodal import phash_near_dup_pairs
+    from osmgraft.synth import synth_images
+
+    return phash_near_dup_pairs(synth_images(spark, _n_images(sf_dir)), max_hamming=8)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return {k: v[0] for k, v in REGISTRY.items()}
 

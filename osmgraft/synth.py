@@ -190,8 +190,11 @@ def synth_images(spark: SparkSession, n: int, with_pixels: bool = True) -> DataF
             out = []
             for idx in pdf["idx"].to_numpy():
                 idx = int(idx)
-                w = sizes[idx % 3]
-                h = sizes[(idx // 3) % 3]
+                # every 50th image is a near-duplicate of its predecessor
+                # (one pixel perturbed) — exercises pHash near-dup detection
+                src = idx - 1 if (idx % 50 == 49 and idx > 0) else idx
+                w = sizes[src % 3]
+                h = sizes[(src // 3) % 3]
                 fmt = "raw" if idx % 2 == 0 else "ppm"
                 if idx % 5 == 0:
                     clat, clon = _HOT_SPOTS[idx % 3]
@@ -201,7 +204,10 @@ def synth_images(spark: SparkSession, n: int, with_pixels: bool = True) -> DataF
                     lat7 = (idx * _A_LAT + _C_LAT) % _B_LAT - _B_LAT // 2
                     lon7 = (idx * _A_LON) % _B_LON - _B_LON // 2
                 if with_pixels:
-                    px = _pixels_for(idx, w, h)
+                    px = _pixels_for(src, w, h)
+                    if src != idx:
+                        px = px.copy()
+                        px[0, 0, 0] ^= 1
                     data = encode_image(px, fmt)
                     ph = int(phash64(px))
                 else:

@@ -1,0 +1,135 @@
+"""Training-data pipeline ops: dedup positives/negatives, similarity recall,
+text kernels, multimodal plumbing + stubs."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osmgraft.operators.dedup import (
+    dedup_exact_groups,
+    minhash_lsh_pairs,
+    simhash_table,
+)
+from osmgraft.operators.multimodal import (
+    image_stats,
+    phash_near_dup_pairs,
+    video_frame_sample,
+)
+from osmgraft.operators.similarity import cosine_topk, lsh_ann_topk
+
+
+@pytest.fixture(scope="module")
+def crafted_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again in the park"
+    near = base.replace("park", "garden")  # high jaccard
+    far = "completely different words describing unrelated machine learning things"
+    rows = [
+        (1, base), (2, base), (3, "  " + base.upper() + "  "),  # exact (normalized) dups
+        (4, near), (5, far), (6, ""), (7, "one two"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_normalized(spark, crafted_docs):
+    groups = dedup_exact_groups(crafted_docs).collect()
+    assert len(groups) == 1
+    assert groups[0].n_dups == 3 and groups[0].canonical_id == 1  # case+ws normalized
+
+
+def test_minhash_lsh_finds_near_dups(spark, crafted_docs):
+    pairs = {
+        (r.doc_a, r.doc_b): (r.inter_cnt, r.union_cnt)
+        for r in minhash_lsh_pairs(crafted_docs, jaccard_threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs  # exact dups
+    assert (1, 4) in pairs or (2, 4) in pairs  # near dup caught
+    assert all(5 not in p and 6 not in p and 7 not in p for p in pairs)
+
+
+def test_simhash_properties(spark, crafted_docs):
+    rows = {r.doc_id: r.simhash for r in simhash_table(crafted_docs).collect()}
+    assert rows[1] == rows[2] == rows[3]  # identical token sets
+    assert rows[6] == 0  # empty doc
+    ham_near = bin(rows[1] ^ rows[4]).count("1")
+    ham_far = bin(rows[1] ^ rows[5]).count("1")
+    assert ham_near < ham_far
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(21)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    vecs[1] = vecs[0] + 0.01 * rng.standard_normal(16).astype(np.float32)  # near-dup pair
+    return spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+
+
+def test_cosine_topk_exact(spark, emb):
+    got = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
+    by_rank = {r.rank: r.neighbor_id for r in got}
+    assert by_rank[1] == 0  # self
+    assert by_rank[2] == 1  # planted near-dup
+    # verify rank 3 against numpy brute force
+    rows = emb.orderBy("vec_id").collect()
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    sims = (m @ m[0]) / (np.linalg.norm(m, axis=1) * np.linalg.norm(m[0]))
+    assert by_rank[3] == int(np.argsort(-sims)[2])
+
+
+def test_lsh_ann_recall(spark, emb):
+    exact = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    approx = lsh_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, dim=16, n_planes=4, n_tables=6
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall  # multi-table ANN: imperfect but useful
+    # self must always be found (same bucket by construction)
+    assert all((q, q) in a for q in range(10))
+
+
+def test_image_stats_exact(spark):
+    from osmgraft.synth import synth_images, _pixels_for
+
+    df = image_stats(synth_images(spark, 20))
+    rows = {r.image_id: r for r in df.collect()}
+    assert len(rows) == 20
+    px5 = _pixels_for(5, 64, 32)  # idx 5: w=sizes[2]=64, h=sizes[1]=32
+    got = rows["img000000000005"]
+    s = px5.reshape(-1, 3).sum(axis=0)
+    assert (got.sum_r, got.sum_g, got.sum_b) == (int(s[0]), int(s[1]), int(s[2]))
+
+
+def test_phash_neardup_pairs(spark):
+    from osmgraft.synth import synth_images
+
+    pairs = phash_near_dup_pairs(synth_images(spark, 200), max_hamming=8).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # planted near-dups at (48,49), (98,99), (148,149), (198,199)
+    for a in (48, 98, 148):
+        pa, pb = f"img{a:012d}", f"img{a + 1:012d}"
+        assert (pa, pb) in found, (pa, pb, sorted(found)[:5])
+
+
+def test_video_stub_raises(spark):
+    media = spark.createDataFrame([("m1", b"\x00" * 16)], "media_id string, bytes binary")
+    with pytest.raises(Exception, match="video decode stubbed"):
+        video_frame_sample(media, decoder="stub").collect()
+
+
+def test_video_fake_plumbing(spark):
+    media = spark.createDataFrame(
+        [("m1", b"\x01" * 16), ("m2", b"\x02" * 16)], "media_id string, bytes binary"
+    )
+    rows = video_frame_sample(media, frames_per_clip=3, decoder="fake").collect()
+    assert len(rows) == 6
+    assert {(r.media_id, r.frame_idx) for r in rows} == {
+        (m, i) for m in ("m1", "m2") for i in range(3)
+    }
+    # deterministic: same payload → same phash
+    again = video_frame_sample(media, frames_per_clip=3, decoder="fake").collect()
+    assert {(r.media_id, r.frame_idx, r.frame_phash) for r in rows} == {
+        (r.media_id, r.frame_idx, r.frame_phash) for r in again
+    }
