@@ -1,0 +1,105 @@
+"""osmio object-model operators (SURVEY.md §2.2): tag predicates/mutation,
+metadata stripping, geometry predicates, object-type filters — as composable
+Column expressions over the OSM_* schemas.
+
+Reference semantics pinned file:line in each function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- P4: tag lookup / predicates (string_types.rs:332-338; lib.rs:334-359) ----
+def tag(tags: Column, key: str) -> Column:
+    """tag(key) -> Option<&str> — map lookup, null when absent."""
+    return tags[key]
+
+
+def has_tag(tags: Column, key: str) -> Column:
+    return tags[key].isNotNull()
+
+
+def num_tags(tags: Column) -> Column:
+    """A1 (lib.rs:337-339)."""
+    return F.size(F.coalesce(F.map_keys(tags), F.array()))
+
+
+def tagged(tags: Column) -> Column:
+    """lib.rs:353-359: object has ≥1 tag."""
+    return num_tags(tags) > 0
+
+
+# --- P5: tag mutation (string_types.rs:340-366) --------------------------------
+def set_tag(tags: Column, key: str, value) -> Column:
+    """Upsert (map_concat right-biased via filtering the old key first)."""
+    cleaned = F.map_filter(F.coalesce(tags, F.map_from_arrays(F.array(), F.array())),
+                           lambda k, v: k != key)
+    return F.map_concat(cleaned, F.create_map(F.lit(key), F.lit(value)))
+
+
+def unset_tag(tags: Column, key: str) -> Column:
+    return F.map_filter(F.coalesce(tags, F.map_from_arrays(F.array(), F.array())),
+                        lambda k, v: k != key)
+
+
+# --- P6: strip_metadata (lib.rs:364-368) ----------------------------------------
+def strip_metadata(df: DataFrame) -> DataFrame:
+    out = df
+    for c in ("uid", "user", "changeset_id"):
+        if c in df.columns:
+            out = out.withColumn(c, F.lit(None).cast(dict(df.dtypes)[c]))
+    return out
+
+
+# --- P7: geometry predicates (lib.rs:456-472; tests.rs:90-165) -------------------
+def is_closed(nodes: Column) -> Column:
+    """first node id == last node id (lib.rs:456-461)."""
+    return (F.size(nodes) > 0) & (
+        F.element_at(nodes, 1) == F.element_at(nodes, -1)
+    )
+
+
+def is_area(nodes: Column, tags: Column) -> Column:
+    """closed AND tag('area') != 'no' (lib.rs:465-472; golden table
+    tests.rs:90-165: open→F; ring→T; ring+area=no→F; ring+area=yes→T)."""
+    return is_closed(nodes) & (F.coalesce(tags["area"], F.lit("yes")) != "no")
+
+
+# --- F6: tags → JSON (lib.rs:341-350) --------------------------------------------
+def tags_json(tags: Column) -> Column:
+    return F.to_json(tags)
+
+
+# --- F9: object type ↔ char/name (lib.rs:494-547) --------------------------------
+_TYPE_CHAR = {"node": "n", "way": "w", "relation": "r"}
+
+
+def obj_type_char(name: Column) -> Column:
+    out = None
+    for full, ch in _TYPE_CHAR.items():
+        cond = (name == full) | (name == ch) | (name == full[:3])
+        out = F.when(cond, F.lit(ch)) if out is None else out.when(cond, F.lit(ch))
+    return out  # null for unknown (reference errors; null is our sentinel)
+
+
+def obj_type_name(ch: Column) -> Column:
+    out = None
+    for full, c in _TYPE_CHAR.items():
+        out = F.when(ch == c, F.lit(full)) if out is None else out.when(ch == c, F.lit(full))
+    return out
+
+
+# --- P1/P2: typed accessors over the union stream (lib.rs:614-642) ----------------
+def nodes_only(objs: DataFrame) -> DataFrame:
+    """reader.nodes() — with the lake partitioned by obj_type this prunes
+    whole files, mirroring the reference's skip-decode (stringpbf :375-439)."""
+    return objs.filter(F.col("obj_type") == "n")
+
+
+def ways_only(objs: DataFrame) -> DataFrame:
+    return objs.filter(F.col("obj_type") == "w")
+
+
+def relations_only(objs: DataFrame) -> DataFrame:
+    return objs.filter(F.col("obj_type") == "r")

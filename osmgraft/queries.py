@@ -18,7 +18,16 @@ from pyspark.sql import functions as F
 from osmgraft.functions import coords, tiles
 from osmgraft.geom import sql_pip_predicate
 from osmgraft.operators.pip import pip_join
-from osmgraft.synth import ADMIN_BOUNDARIES, points_from_orders, sql_points_cte
+from osmgraft.synth import (
+    _A_LAT,
+    _A_LON,
+    _B_LAT,
+    _B_LON,
+    _C_LAT,
+    ADMIN_BOUNDARIES,
+    points_from_orders,
+    sql_points_cte,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
@@ -361,6 +370,127 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_ann_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, dim=64, n_planes=5, n_tables=6
+    )
+
+
+# --- osmio format surface: XML escape, OPL encode, tag ops, area semantics ---------
+from osmgraft.sources.opl import sql_opl_escape  # noqa: E402
+from osmgraft.sources.osm_xml import sql_xml_escape, xml_escape  # noqa: E402
+
+
+@register(
+    "xml_escape_docs",
+    f"SELECT doc_id, {sql_xml_escape('text')} AS escaped FROM documents",
+)
+def xml_escape_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16 (osmio xml/mod.rs:59-71) over the documents table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", xml_escape(F.col("text")).alias("escaped"))
+
+
+def _customer_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OSM-node-shaped rows derived deterministically from customer."""
+    import datetime as dt
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    return c.select(
+        k.alias("id"),
+        F.lit(1).alias("version"),
+        (k % 7 == 0).alias("deleted"),
+        F.col("c_nationkey").cast("int").alias("changeset_id"),
+        F.timestamp_seconds(F.lit(1_300_000_000) + k * 61).alias("timestamp"),
+        (k % 1000).cast("int").alias("uid"),
+        F.col("c_name").alias("user"),
+        F.create_map(F.lit("segment"), F.col("c_mktsegment")).alias("tags"),
+        ((k * _A_LAT + _C_LAT) % F.lit(_B_LAT) - F.lit(_B_LAT // 2)).cast("int").alias("lat7"),
+        ((k * _A_LON) % F.lit(_B_LON) - F.lit(_B_LON // 2)).cast("int").alias("lon7"),
+    )
+
+
+_CUSTOMER_NODES_SQL = f"""
+SELECT c_custkey AS id, 1 AS version, (c_custkey % 7 = 0) AS deleted,
+  c_nationkey AS changeset_id,
+  to_timestamp(1300000000 + c_custkey * 61) AS timestamp,
+  CAST(c_custkey % 1000 AS INTEGER) AS uid, c_name AS "user",
+  c_mktsegment AS segment,
+  CAST((c_custkey * {_A_LAT} + {_C_LAT}) % {_B_LAT} - {_B_LAT // 2} AS INTEGER) AS lat7,
+  CAST((c_custkey * {_A_LON}) % {_B_LON} - {_B_LON // 2} AS INTEGER) AS lon7
+FROM customer
+""".strip()
+
+
+def _sql_fixed7(expr: str) -> str:
+    return (
+        f"(CASE WHEN {expr} < 0 THEN '-' ELSE '' END || "
+        f"CAST(abs(CAST({expr} AS BIGINT)) // 10000000 AS VARCHAR) || '.' || "
+        f"lpad(CAST(abs(CAST({expr} AS BIGINT)) % 10000000 AS VARCHAR), 7, '0'))"
+    )
+
+
+@register(
+    "opl_encode",
+    f"""WITH n AS ({_CUSTOMER_NODES_SQL})
+SELECT id,
+  'n' || CAST(id AS VARCHAR)
+  || ' v' || CAST(version AS VARCHAR)
+  || ' d' || CASE WHEN deleted THEN 'D' ELSE 'V' END
+  || ' c' || CAST(changeset_id AS VARCHAR)
+  || ' t' || strftime(timestamp, '%Y-%m-%dT%H:%M:%SZ')
+  || ' i' || CAST(uid AS VARCHAR)
+  || ' u' || {sql_opl_escape('"user"')}
+  || ' Tsegment=' || segment
+  || ' x' || {_sql_fixed7('lon7')}
+  || ' y' || {_sql_fixed7('lat7')} AS line
+FROM n""",
+)
+def opl_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18/S19 (osmio opl/mod.rs) — OPL line serialization, oracle-checked."""
+    from osmgraft.sources.opl import node_to_opl
+
+    return node_to_opl(_customer_nodes(spark, sf_dir))
+
+
+@register(
+    "tag_ops_events",
+    """SELECT event_id,
+  CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_val,
+  1 AS n_before, 2 AS n_after,
+  (json_extract(props, '$.k') IS NOT NULL) AS has_k
+FROM events""",
+)
+def tag_ops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P5/A1 tag ops (osmio string_types.rs:332-366) over JSON props."""
+    from osmgraft.operators.osm import has_tag, num_tags, set_tag
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tags = F.from_json(F.col("props"), "map<string,string>")
+    return ev.select(
+        "event_id",
+        tags["k"].alias("k_val"),
+        num_tags(tags).alias("n_before"),
+        num_tags(set_tag(tags, "source", "events")).alias("n_after"),
+        has_tag(tags, "k").alias("has_k"),
+    )
+
+
+@register(
+    "area_semantics",
+    """SELECT * FROM (VALUES
+  (100, false, false), (101, true, true), (102, true, false), (103, true, true)
+) AS t(id, closed, area)""",
+)
+def area_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 golden table (osmio tests.rs:90-165) — engine predicates over the
+    4 reference ways; the oracle IS the reference's expected truth table."""
+    from osmgraft.operators.osm import is_area, is_closed
+    from osmgraft.synth import osm_ways_df
+
+    ways = osm_ways_df(spark)
+    return ways.select(
+        F.col("id").cast("int").alias("id"),
+        is_closed(F.col("nodes")).alias("closed"),
+        is_area(F.col("nodes"), F.col("tags")).alias("area"),
     )
 
 

@@ -1,0 +1,113 @@
+"""OPL (object-per-line) codec (osmio opl/mod.rs — dead in the reference
+crate, lib.rs:51, but part of its format surface; we implement it live).
+
+Line form for nodes (opl/mod.rs:196-260):
+    n<id> v<version> d<V|D> c<changeset> t<iso> i<uid> u<user> T<k=v,...> x<lon> y<lat>
+Escaping: characters outside [0-9a-zA-Z.;,:_#-] become %XXXX% (lowercase hex
+codepoint, opl/mod.rs:87-122). Tags join as k=v pairs with ','.
+
+Encode is pure Column expressions; decode is regexp/split projections — both
+stay JVM-side. The DuckDB twin of the encoder makes opl_encode an
+oracle-checked query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SAFE = "0-9a-zA-Z.:_#-"  # safe-set for %-escaping (',' '=' ' ' etc. escape)
+
+
+def opl_escape(col: Column) -> Column:
+    """%XXXX%-escape every char outside the safe set. Implemented as a
+    per-character transform (JVM lambda over split string)."""
+    chars = F.split(col, "")
+    esc = F.transform(
+        chars,
+        lambda ch: F.when(ch.rlike(f"^[{_SAFE}]$"), ch).otherwise(
+            F.concat(F.lit("%"), F.lpad(F.lower(F.hex(F.ascii(ch))), 4, "0"), F.lit("%"))
+        ),
+    )
+    return F.array_join(esc, "")
+
+
+def sql_opl_escape(expr: str) -> str:
+    """DuckDB twin (ascii() = codepoint in duckdb too)."""
+    return (
+        f"list_aggregate(list_transform(string_split_regex({expr}, ''), "
+        f"ch -> CASE WHEN regexp_matches(ch, '^[{_SAFE}]$') THEN ch "
+        f"ELSE '%' || lpad(lower(hex(ascii(ch))), 4, '0') || '%' END), 'string_agg', '')"
+    )
+
+
+def _fixed7_str(col: Column) -> Column:
+    from osmgraft.sources.osm_xml import _fixed7
+
+    return _fixed7(col)
+
+
+def node_to_opl(nodes: DataFrame) -> DataFrame:
+    """OSM_NODE_SCHEMA → (id, line)."""
+    tags_part = F.array_join(
+        F.transform(
+            F.map_entries(F.coalesce(F.col("tags"), F.map_from_arrays(F.array(), F.array()))),
+            lambda e: F.concat(opl_escape(e["key"]), F.lit("="), opl_escape(e["value"])),
+        ),
+        ",",
+    )
+    line = F.concat(
+        F.lit("n"), F.col("id").cast("string"),
+        F.lit(" v"), F.coalesce(F.col("version").cast("string"), F.lit("")),
+        F.lit(" d"), F.when(F.coalesce(F.col("deleted"), F.lit(False)), F.lit("D")).otherwise(F.lit("V")),
+        F.lit(" c"), F.coalesce(F.col("changeset_id").cast("string"), F.lit("")),
+        F.lit(" t"), F.coalesce(F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss'Z'"), F.lit("")),
+        F.lit(" i"), F.coalesce(F.col("uid").cast("string"), F.lit("")),
+        F.lit(" u"), F.coalesce(opl_escape(F.col("user")), F.lit("")),
+        F.lit(" T"), tags_part,
+        F.lit(" x"), F.when(F.col("lon7").isNotNull(), _fixed7_str(F.col("lon7"))).otherwise(F.lit("")),
+        F.lit(" y"), F.when(F.col("lat7").isNotNull(), _fixed7_str(F.col("lat7"))).otherwise(F.lit("")),
+    )
+    return nodes.select(F.col("id"), line.alias("line"))
+
+
+def parse_node_opl(lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """Inverse: split on single spaces, 1-char key prefix (opl/mod.rs:176-193)."""
+    c = F.col(line_col)
+
+    def field(prefix):
+        return F.nullif(F.regexp_extract(c, f" {prefix}([^ ]*)", 1), F.lit(""))
+
+    def unescape(col):
+        # %XXXX% → chr(0xXXXX): split into tokens, map hex runs back
+        parts = F.split(col, "%")
+        # odd indices are hex codepoints (when the string starts unescaped)
+        return F.array_join(
+            F.transform(
+                parts,
+                lambda p, i: F.when(i % 2 == 1, F.char(F.conv(p, 16, 10).cast("int"))).otherwise(p),
+            ),
+            "",
+        )
+
+    from osmgraft.functions.coords import deg_to_fixed
+
+    tags_kv = F.when(
+        field("T").isNotNull(),
+        F.map_from_arrays(
+            F.transform(F.split(field("T"), ","), lambda kv: unescape(F.split(kv, "=")[0])),
+            F.transform(F.split(field("T"), ","), lambda kv: unescape(F.split(kv, "=")[1])),
+        ),
+    ).otherwise(F.map_from_arrays(F.array(), F.array()))
+    return lines.select(
+        F.regexp_extract(c, r"^n(\d+)", 1).cast("long").alias("id"),
+        field("v").cast("int").alias("version"),
+        (field("d") == "D").alias("deleted"),
+        field("c").cast("int").alias("changeset_id"),
+        F.to_timestamp(field("t"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timestamp"),
+        field("i").cast("int").alias("uid"),
+        unescape(field("u")).alias("user"),
+        tags_kv.alias("tags"),
+        F.when(field("y").isNotNull(), deg_to_fixed(field("y").cast("double")).cast("int")).alias("lat7"),
+        F.when(field("x").isNotNull(), deg_to_fixed(field("x").cast("double")).cast("int")).alias("lon7"),
+    )
