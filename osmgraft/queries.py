@@ -516,6 +516,56 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(synth_images(spark, _n_images(sf_dir)), max_hamming=8)
 
 
+# --- checkpoint/resume (north-rule lineage path) -----------------------------------
+@register(
+    "checkpointed_pip_tiles",
+    f"""WITH pts AS ({_PTS}),
+{sql_pip_predicate(ADMIN_BOUNDARIES)}
+SELECT boundary_id, {tiles.sql_tile_x('lon7', 7)} AS tx, {tiles.sql_tile_y('lat7', 7)} AS ty,
+       count(*) AS cnt
+FROM pts JOIN pip USING (point_id)
+GROUP BY boundary_id, tx, ty""",
+)
+def checkpointed_pip_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline executed through the Checkpointer in multiple
+    file-batches (crash-resumable, lineage-manifested) — must hash-match the
+    same oracle as the direct single-shot plan, proving batching + resume is
+    a physical rewrite only. Integer counts re-aggregate exactly."""
+    import tempfile
+
+    from osmgraft.checkpoint import Checkpointer
+    from osmgraft.synth import points_projection
+
+    in_dir = tempfile.mkdtemp(prefix="osmgraft_ckpt_in_")
+    out_dir = tempfile.mkdtemp(prefix="osmgraft_ckpt_out_")
+    (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .repartition(6, "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(in_dir)
+    )
+
+    def transform(orders: DataFrame) -> DataFrame:
+        joined = pip_join(points_projection(orders), ADMIN_BOUNDARIES, how="inner")
+        return (
+            joined.select(
+                "boundary_id",
+                tiles.tile_x(F.col("lon7"), 7).alias("tx"),
+                tiles.tile_y(F.col("lat7"), 7).alias("ty"),
+            )
+            .groupBy("boundary_id", "tx", "ty")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    ck = Checkpointer(out_dir, files_per_batch=2)
+    ck.run(spark, in_dir, transform)
+    return (
+        ck.output(spark)
+        .groupBy("boundary_id", "tx", "ty")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return {k: v[0] for k, v in REGISTRY.items()}
 

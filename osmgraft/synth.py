@@ -43,6 +43,16 @@ _JIT = 400_000  # ±0.02° jitter inside a hot box
 
 def points_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(point_id:long, lat7:int, lon7:int) — deterministic from o_orderkey."""
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    return points_projection(
+        ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    )
+
+
+def points_projection(orders: DataFrame) -> DataFrame:
+    """The same deterministic (point_id, lat7, lon7) projection over an
+    already-loaded orders DataFrame (checkpoint/batch path)."""
     k = F.col("o_orderkey")
     base_lon = (k * F.lit(_A_LON)) % F.lit(_B_LON) - F.lit(_B_LON // 2)
     base_lat = (k * F.lit(_A_LAT) + F.lit(_C_LAT)) % F.lit(_B_LAT) - F.lit(_B_LAT // 2)
@@ -62,11 +72,7 @@ def points_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         + d2
     )
     is_hot = (k % F.lit(5)) == 0
-    from osmgraft.operators.util import ensure_min_parallelism
-
-    return ensure_min_parallelism(
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-    ).select(
+    return orders.select(
         k.alias("point_id"),
         F.when(is_hot, hot_lat).otherwise(base_lat).cast("int").alias("lat7"),
         F.when(is_hot, hot_lon).otherwise(base_lon).cast("int").alias("lon7"),
