@@ -112,16 +112,20 @@ def sql_fingerprint(expr: str) -> str:
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-word shingles of the normalized text (n-gram units for
-    Jaccard/minhash)."""
+    Jaccard/minhash).
+
+    Built from ``slice`` + ``zip_with`` over shifted token arrays rather than
+    ``transform(sequence, i -> element_at(toks, i+k))``: higher-order-function
+    lambdas are interpreted per element and re-evaluate any captured subtree,
+    so referencing the tokenize pipeline (regex normalize + split) inside the
+    lambda re-ran it O(tokens x n) times per row (~150x). Here the lambdas
+    only touch their own arguments, so tokenization is evaluated O(n) times
+    per row."""
     toks = tokens(normalize_text(text))
-    # guard: Spark sequence(1, 0) would generate a DESCENDING sequence
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
-    )
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    sh = F.slice(toks, 1, cnt)
+    for k in range(1, n):
+        sh = F.zip_with(sh, F.slice(toks, k + 1, cnt), lambda a, b: F.concat_ws(" ", a, b))
     return F.array_distinct(sh)
 
 

@@ -49,17 +49,31 @@ GROUP BY content_hash HAVING count(*) > 1
 
 
 # --- MinHash + LSH -------------------------------------------------------------
-def minhash_col(sh, seed: int):
-    """min over shingles of md5_long(seed || '|' || shingle); LONG_MAX for
-    empty shingle sets (so empty docs never collide into one band)."""
-    hashed = F.transform(sh, lambda s: md5_long(F.concat(F.lit(f"{seed}|"), s)))
-    return F.coalesce(F.array_min(hashed), F.lit(2**62))
+# Each shingle is hashed ONCE (md5_long); the n permutations are derived by
+# modular affine mixing g_k(h) = ((h % P) * A_k + B_k) % P with P = 2^31 - 1.
+# All intermediates stay < 2^62, so the arithmetic is overflow-safe (and thus
+# bit-identical) in both Spark and DuckDB — 8x fewer md5 calls than hashing
+# per (seed, shingle).
+_MH_P = 2_147_483_647  # 2^31 - 1 (prime)
+_MH_SENTINEL = 4_611_686_018_427_387_904  # 2^62: empty docs never share a band
 
 
-def sql_minhash(sh_expr: str, seed: int) -> str:
+def _mh_coef(k: int) -> tuple[int, int]:
+    return (48271 + 12345 * k) % _MH_P, (11213 * k + 1) % _MH_P
+
+
+def minhash_col(hs, seed: int):
+    """min over pre-hashed shingles of the seed's affine permutation."""
+    a, b = _mh_coef(seed)
+    mixed = F.transform(hs, lambda h: ((h % _MH_P) * a + b) % _MH_P)
+    return F.coalesce(F.array_min(mixed), F.lit(_MH_SENTINEL))
+
+
+def sql_minhash(hs_expr: str, seed: int) -> str:
+    a, b = _mh_coef(seed)
     return (
-        f"coalesce(list_min(list_transform({sh_expr}, "
-        f"s -> ('0x' || substr(md5('{seed}|' || s), 1, 15))::BIGINT)), 4611686018427387904)"
+        f"coalesce(list_min(list_transform({hs_expr}, "
+        f"h -> ((h % {_MH_P}) * {a} + {b}) % {_MH_P})), {_MH_SENTINEL})"
     )
 
 
@@ -75,32 +89,49 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs by banded minhash, verified with exact Jaccard
     over distinct shingle sets. Returns (doc_a, doc_b, inter_cnt, union_cnt)
     with doc_a < doc_b and inter/union ≥ threshold (integer columns so the
-    oracle hash is float-free)."""
+    oracle hash is float-free).
+
+    Physical plan (100 TB shape): shingle+hash once → persist the narrow
+    (doc_id, band_id, band_hash) table → ONE self-equi-join on
+    (band_id, band_hash) produces candidates (keys are uniform hashes, so no
+    salting needed) → candidate id-pairs (small) broadcast-join back to the
+    shingle table for exact Jaccard verification. Shingle arrays are never
+    shuffled through the candidate join."""
     rows_per_band = n_hashes // bands
     sh = shingles(F.col(text_col), ngram).alias("sh")
     base = docs.select(F.col(id_col).alias("doc_id"), sh).filter(F.size("sh") > 0)
-    mh = base.select(
+    base = base.persist()  # reused: minhash pass + two verification sides
+    hs = base.select("doc_id", F.transform(F.col("sh"), md5_long).alias("hs"))
+    mh = hs.select(
         "doc_id",
-        "sh",
-        *[minhash_col(F.col("sh"), s).alias(f"mh{s}") for s in range(n_hashes)],
+        *[minhash_col(F.col("hs"), s).alias(f"mh{s}") for s in range(n_hashes)],
     )
-    band_cols = []
+    band_structs = []
     for b in range(bands):
         parts = [F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
-        band_cols.append(F.md5(F.concat_ws(",", *parts)).alias(f"band{b}"))
-    mh = mh.select("doc_id", "sh", *band_cols)
-
-    pairs = None
-    for b in range(bands):
-        a = mh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col(f"band{b}").alias("bv"))
-        c = mh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col(f"band{b}").alias("bv"))
-        p = a.join(c, "bv").filter(F.col("doc_a") < F.col("doc_b")).drop("bv")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    cand = pairs.dropDuplicates(["doc_a", "doc_b"])
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws(",", *parts)).alias("bv"))
+        )
+    banded = (
+        mh.select("doc_id", F.explode(F.array(*band_structs)).alias("bd"))
+        .select("doc_id", F.col("bd.band_id").alias("band_id"), F.col("bd.bv").alias("bv"))
+        .persist()
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band_id", "bv")
+    c = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "bv")
+    cand = (
+        a.join(c, ["band_id", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sha = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    ver = cand.join(sha, "doc_a").join(shb, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.select(
+        ver.select(
             "doc_a",
             "doc_b",
             inter.alias("inter_cnt"),
@@ -122,32 +153,33 @@ def sql_minhash_lsh_pairs(
 ) -> str:
     rows_per_band = n_hashes // bands
     sh = sql_shingles("text", ngram)
-    mh_cols = ",\n    ".join(f"{sql_minhash('sh', s)} AS mh{s}" for s in range(n_hashes))
-    band_cols = ",\n    ".join(
-        "md5("
+    hs = "list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)"
+    mh_cols = ",\n    ".join(f"{sql_minhash('hs', s)} AS mh{s}" for s in range(n_hashes))
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_id, md5("
         + " || ',' || ".join(
             f"CAST(mh{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
         )
-        + f") AS band{b}"
-        for b in range(bands)
-    )
-    band_union = "\nUNION ALL\n".join(
-        f"SELECT a.doc_id AS doc_a, a.sh AS sh_a, b.doc_id AS doc_b, b.sh AS sh_b "
-        f"FROM banded a JOIN banded b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        + ") AS bv FROM mh_t"
         for b in range(bands)
     )
     thr = int(jaccard_threshold * 1000)
     return f"""
 WITH sh_t AS (SELECT doc_id, {sh} AS sh FROM {table}),
 base AS (SELECT doc_id, sh FROM sh_t WHERE len(sh) > 0),
-mh_t AS (SELECT doc_id, sh, {mh_cols} FROM base),
-banded AS (SELECT doc_id, sh, {band_cols} FROM mh_t),
-cand AS (SELECT DISTINCT doc_a, doc_b, sh_a, sh_b FROM ({band_union}) u)
+hs_t AS (SELECT doc_id, {hs} AS hs FROM base),
+mh_t AS (SELECT doc_id, {mh_cols} FROM hs_t),
+banded AS ({band_rows}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM banded a JOIN banded b
+           ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b,
-  len(list_intersect(sh_a, sh_b)) AS inter_cnt,
-  len(list_distinct(list_concat(sh_a, sh_b))) AS union_cnt
+  len(list_intersect(sa.sh, sb.sh)) AS inter_cnt,
+  len(list_distinct(list_concat(sa.sh, sb.sh))) AS union_cnt
 FROM cand
-WHERE len(list_intersect(sh_a, sh_b)) * 1000 >= {thr} * len(list_distinct(list_concat(sh_a, sh_b)))
+JOIN base sa ON sa.doc_id = doc_a
+JOIN base sb ON sb.doc_id = doc_b
+WHERE len(list_intersect(sa.sh, sb.sh)) * 1000 >= {thr} * len(list_distinct(list_concat(sa.sh, sb.sh)))
 """.strip()
 
 
@@ -197,12 +229,34 @@ def sql_simhash(expr: str, bits: int = SIMHASH_BITS) -> str:
 
 
 def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Two-step plan: materialize the token-hash array once, then the 60
-    majority terms reference that column (avoids 60× re-tokenization)."""
+    """Explode + bit-count aggregation: higher-order-function lambdas are
+    interpreted per element (120 passes/row for 60 bits), so instead the token
+    hashes are exploded and each bit counted with a codegen'd ``sum`` —
+    everything stays in whole-stage codegen. Tokens of one doc are co-located
+    after explode, so map-side partial aggregation collapses the groupBy to
+    ~one row per doc before any shuffle (scale-safe). ``explode_outer`` keeps
+    token-less docs: all counts 0 → strict majority fails → simhash 0."""
     from osmgraft.functions.text import tokens
 
     toks = F.array_distinct(tokens(normalize_text(F.col(text_col))))
     staged = docs.select(
         F.col(id_col).alias("doc_id"), F.transform(toks, lambda t: md5_long(t)).alias("_hs")
     )
-    return staged.select("doc_id", _simhash_from_hashes(F.col("_hs"), SIMHASH_BITS).alias("simhash"))
+    ex = staged.select("doc_id", F.explode_outer("_hs").alias("h"))
+    cnt = ex.groupBy("doc_id").agg(
+        F.count("h").alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"c{j}")
+            for j in range(SIMHASH_BITS)
+        ],
+    )
+    bit_terms = [
+        F.when(F.col(f"c{j}") * 2 > F.col("n"), F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for j in range(SIMHASH_BITS)
+    ]
+    sim = bit_terms[0]
+    for t in bit_terms[1:]:
+        sim = sim + t
+    return cnt.select("doc_id", sim.alias("simhash"))

@@ -289,6 +289,15 @@ def timestamps_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
 from osmgraft.functions import text as T  # noqa: E402
 
 
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan with the single-split parallelism guard (local test files
+    are one parquet split; expression-heavy text kernels need all cores)."""
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    return ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 @register(
     "text_stats",
     f"""SELECT doc_id,
@@ -299,7 +308,7 @@ from osmgraft.functions import text as T  # noqa: E402
 FROM documents""",
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         T.token_count(F.col("text")).alias("n_tokens"),
@@ -314,7 +323,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"SELECT doc_id, {T.sql_lang_id('text')} AS lang_pred FROM documents",
 )
 def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -323,7 +332,7 @@ def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"SELECT doc_id, {T.sql_fingerprint('text')} AS fp FROM documents",
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
@@ -333,19 +342,19 @@ from osmgraft.operators import dedup as D  # noqa: E402
 
 @register("dedup_exact", D.sql_dedup_exact_groups())
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return D.dedup_exact_groups(docs)
 
 
 @register("dedup_minhash_lsh", D.sql_minhash_lsh_pairs())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return D.minhash_lsh_pairs(docs)
 
 
 @register("simhash", f"SELECT doc_id, {D.sql_simhash('text')} AS simhash FROM documents")
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return D.simhash_table(docs)
 
 
@@ -384,7 +393,7 @@ from osmgraft.sources.osm_xml import sql_xml_escape, xml_escape  # noqa: E402
 )
 def xml_escape_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S16 (osmio xml/mod.rs:59-71) over the documents table."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", xml_escape(F.col("text")).alias("escaped"))
 
 
