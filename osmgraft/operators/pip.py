@@ -3,7 +3,7 @@
 Design for 100 TB / 1000 executors: the polygon side (admin boundaries,
 ~1e5 rings worldwide ≈ tens of MB) is broadcast ONCE — an STR-tree over
 polygon bboxes plus packed edge arrays — and each input partition streams
-through a ``mapInPandas`` Arrow kernel: bbox candidates from the tree, then
+through a ``mapInArrow`` numpy kernel: bbox candidates from the tree, then
 vectorized even-odd ray casting per polygon over its candidate points. No
 shuffle of the (huge) point side at all; output is pipelined. This mirrors the
 reference's "resolve against a side lookup structure" pattern
@@ -18,7 +18,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -60,13 +60,19 @@ def pip_join(
     else:
         out_schema = in_schema
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    lat_idx = [f.name for f in in_schema.fields].index(lat_col)
+    lon_idx = [f.name for f in in_schema.fields].index(lon_col)
+
+    # mapInArrow (not mapInPandas): the kernel is pure numpy over the Arrow
+    # buffers — skipping the per-batch Arrow→pandas→Arrow conversion roughly
+    # halves python-worker CPU on this hot path.
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         tree, edges, ids = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            lat = pdf[lat_col].to_numpy()
-            lon = pdf[lon_col].to_numpy()
+            lat = rb.column(lat_idx).to_numpy(zero_copy_only=False)
+            lon = rb.column(lon_idx).to_numpy(zero_copy_only=False)
             pi, gi = tree.query_point_batch(lat, lon)
             hit_pi: list[np.ndarray] = []
             hit_gi: list[np.ndarray] = []
@@ -84,14 +90,18 @@ def pip_join(
                 all_pi = np.array([], dtype=np.int64)
                 all_gi = np.array([], dtype=np.int64)
             if how == "inner":
-                out = pdf.iloc[all_pi].reset_index(drop=True)
-                out["boundary_id"] = ids[all_gi]
-                yield out
+                taken = rb.take(pa.array(all_pi, type=pa.int64()))
+                yield pa.RecordBatch.from_arrays(
+                    list(taken.columns) + [pa.array(ids[all_gi], type=pa.int64())],
+                    schema=pa.schema(
+                        list(taken.schema) + [pa.field("boundary_id", pa.int64(), False)]
+                    ),
+                )
             elif how == "left_semi":
-                yield pdf.iloc[np.unique(all_pi)].reset_index(drop=True)
+                yield rb.take(pa.array(np.unique(all_pi), type=pa.int64()))
             else:  # left_anti
-                mask = np.ones(len(pdf), dtype=bool)
+                mask = np.ones(rb.num_rows, dtype=bool)
                 mask[np.unique(all_pi)] = False
-                yield pdf.iloc[mask].reset_index(drop=True)
+                yield rb.take(pa.array(np.flatnonzero(mask), type=pa.int64()))
 
-    return points.mapInPandas(kernel, schema=out_schema)
+    return points.mapInArrow(kernel, schema=out_schema)

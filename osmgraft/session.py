@@ -30,6 +30,12 @@ def get_spark(app: str = "osmgraft", cpus: int | None = None, **extra: str) -> S
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Spark 4.1 defaults maxBytesPerBatch to 64MB, which makes the JVM call
+        # ArrowWriter.sizeInBytes() per appended row inside the Arrow feed loop
+        # (BatchedPythonArrowInput.underBatchSizeLimit) — profiled at >50% of
+        # executor CPU on Arrow-kernel stages. Int.MaxValue short-circuits the
+        # check; batch memory stays bounded by maxRecordsPerBatch (65536 rows).
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "2147483647")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
