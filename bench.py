@@ -71,6 +71,37 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # Scaled throughput: the sf tables are small enough that the flagship wall
+    # above is dominated by fixed job overhead; this measures the same pipeline
+    # over a deterministic 64M-row input (same generator as the oracle-gated
+    # queries) so the rows/sec figure reflects operator throughput — the
+    # BASELINE.json metric — not Spark job-submit latency.
+    from pyspark.sql import functions as F
+
+    from osmgraft.functions import tiles
+    from osmgraft.operators.pip import pip_join
+    from osmgraft.synth import ADMIN_BOUNDARIES, points_projection
+
+    scaled_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "64000000"))
+
+    def scaled_flagship():
+        orders = spark.range(1, scaled_rows + 1, 1, cpus).select(
+            F.col("id").alias("o_orderkey")
+        )
+        joined = pip_join(points_projection(orders), ADMIN_BOUNDARIES, how="inner")
+        return (
+            joined.select(
+                "boundary_id",
+                tiles.tile_x(F.col("lon7"), 13).alias("tx"),
+                tiles.tile_y(F.col("lat7"), 13).alias("ty"),
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("tx") + F.col("ty") + F.col("boundary_id")).alias("chk"),
+            )
+        )
+
+    timed("flagship_scaled_64m", lambda: scaled_flagship().collect())
+
     # flagship first (the BASELINE.json metric)
     timed("flagship_pip_tile", lambda: _flagship(spark, sf_dir).count())
 
@@ -90,6 +121,7 @@ def main() -> None:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())
 
+
     flag = timings["flagship_pip_tile"]
     out = {
         "metric": "spatial-join+tile-assign wall-clock (flagship), sf rows via orders",
@@ -99,6 +131,8 @@ def main() -> None:
         "sf": sf,
         "rows_per_sec": round(n_points / flag, 1) if flag > 0 else None,
         "input_rows": n_points,
+        "scaled_input_rows": scaled_rows,
+        "scaled_rows_per_sec": round(scaled_rows / timings["flagship_scaled_64m"], 1),
         "cpus": cpus,
     }
     print(json.dumps(out))
