@@ -575,6 +575,80 @@ def checkpointed_pip_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- J1: way→node location resolution (osmio nodestore.rs:27-64) ----------------
+@register(
+    "way_nodes_resolution",
+    f"""WITH pts AS ({_PTS})
+SELECT o.o_custkey AS way_id, count(*) AS n_nodes,
+       min(p.lat7) AS lat_min, max(p.lat7) AS lat_max,
+       min(p.lon7) AS lon_min, max(p.lon7) AS lon_max
+FROM orders o JOIN pts p ON p.point_id = o.o_orderkey
+GROUP BY way_id""",
+)
+def way_nodes_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's vestigial NodeStore (osmio nodestore.rs:27-64) is a
+    random-access node_id→(lat,lon) lookup used to resolve way geometry; the
+    Spark-native form is build-way-arrays → explode → distributed equi-join
+    on node id → re-aggregate per way (bbox here). The oracle is the
+    join-only equivalent, so the collect_list→explode path must be lossless.
+
+    Scale: explode(ways.nodes) has one row per way-node reference (for OSM,
+    ~8x ways); the join shuffles both sides on node id — at 100 TB this is
+    the classic sort-merge case, and Parquet min/max on the id-sorted node
+    table prunes row groups for selective way subsets."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pts = points_from_orders(spark, sf_dir)
+    ways = orders.groupBy(F.col("o_custkey").alias("way_id")).agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("nodes")
+    )
+    refs = ways.select("way_id", F.explode("nodes").alias("node_id"))
+    resolved = refs.join(pts, refs.node_id == pts.point_id)
+    return resolved.groupBy("way_id").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("lat7").alias("lat_min"),
+        F.max("lat7").alias("lat_max"),
+        F.min("lon7").alias("lon_min"),
+        F.max("lon7").alias("lon_max"),
+    )
+
+
+# --- §2.10: streaming/batch parity (availableNow drain of the same tiles) -------
+@register(
+    "stream_tile_counts_z9",
+    f"""WITH pts AS ({_PTS})
+SELECT {tiles.sql_tile_x('lon7', 9)} AS tx, {tiles.sql_tile_y('lat7', 9)} AS ty,
+       count(*) AS cnt
+FROM pts GROUP BY tx, ty""",
+)
+def stream_tile_counts_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming path of tile_counts: the points are drained from a
+    file source with the availableNow trigger (the 'process this snapshot
+    increment' mode, osmio's OSC-apply analogue) and must hash-match the same
+    batch-SQL oracle — stream/batch parity as a correctness gate."""
+    import tempfile
+
+    from osmgraft.streaming import read_stream, stream_tile_counts
+
+    src = tempfile.mkdtemp(prefix="og_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="og_stream_ck_")
+    points_from_orders(spark, sf_dir).write.mode("overwrite").parquet(src)
+    stream = read_stream(spark, src, "point_id long, lat7 int, lon7 int")
+    name = "og_stream_tiles_q"
+    q = (
+        stream_tile_counts(stream, z=9)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "tx", "ty", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return {k: v[0] for k, v in REGISTRY.items()}
 
