@@ -25,7 +25,7 @@ import math
 from typing import Iterator
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
@@ -107,18 +107,22 @@ def cell_pip_join(
     )
     cand = cand.select(*[f.name for f in points.schema.fields], "boundary_id")
 
-    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    names = [f.name for f in out_schema.fields]
+    lat_i, lon_i, bid_i = names.index(lat_col), names.index(lon_col), names.index("boundary_id")
+
+    # mapInArrow: numpy over the Arrow buffers, no pandas round-trip
+    def refine(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         edges = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            lat = pdf[lat_col].to_numpy()
-            lon = pdf[lon_col].to_numpy()
-            bid = pdf["boundary_id"].to_numpy()
+            keep = np.zeros(rb.num_rows, dtype=bool)
+            lat = rb.column(lat_i).to_numpy(zero_copy_only=False)
+            lon = rb.column(lon_i).to_numpy(zero_copy_only=False)
+            bid = rb.column(bid_i).to_numpy(zero_copy_only=False)
             for b in np.unique(bid):
                 sel = np.nonzero(bid == b)[0]
                 keep[sel] = pnpoly(lat[sel], lon[sel], edges[b])
-            yield pdf.iloc[keep].reset_index(drop=True)
+            yield rb.take(pa.array(np.flatnonzero(keep), type=pa.int64()))
 
-    return cand.mapInPandas(refine, schema=out_schema)
+    return cand.mapInArrow(refine, schema=out_schema)

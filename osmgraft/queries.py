@@ -612,6 +612,55 @@ def way_nodes_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- §2.10: OSC change-set apply (osmio osc/mod.rs create/modify/delete) --------
+@register(
+    "osc_apply_events",
+    """WITH chg AS (
+  SELECT event_id AS id,
+         CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'modify' END AS op,
+         2 AS version, event_type, value + 1 AS value
+  FROM events WHERE event_id % 5 = 0
+  UNION ALL
+  SELECT event_id + 100000000 AS id, 'create' AS op, 1 AS version,
+         event_type, value
+  FROM events WHERE event_id % 11 = 0
+)
+SELECT b.id, b.event_type, count(*) AS cnt FROM (
+  SELECT e.event_id AS id, e.event_type, e.value
+  FROM events e LEFT JOIN chg c ON c.id = e.event_id WHERE c.id IS NULL
+  UNION ALL
+  SELECT id, event_type, value FROM chg WHERE op <> 'delete'
+) b GROUP BY b.id, b.event_type""",
+)
+def osc_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OSC apply as a distributed upsert (operators.osm.osc_apply): a derived
+    change set (modify every 5th event, delete every 35th, create new ids)
+    applied to the events base; grouped projection so the oracle hash is
+    float-free."""
+    from osmgraft.operators.osm import osc_apply
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(F.col("event_id").alias("id"), "event_type", "value")
+    mods = ev.filter(F.col("event_id") % 5 == 0).select(
+        F.col("event_id").alias("id"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("delete"))
+        .otherwise(F.lit("modify"))
+        .alias("op"),
+        F.lit(2).alias("version"),
+        "event_type",
+        (F.col("value") + 1).alias("value"),
+    )
+    creates = ev.filter(F.col("event_id") % 11 == 0).select(
+        (F.col("event_id") + 100_000_000).alias("id"),
+        F.lit("create").alias("op"),
+        F.lit(1).alias("version"),
+        "event_type",
+        "value",
+    )
+    applied = osc_apply(base, mods.unionByName(creates), key_cols=["id"])
+    return applied.groupBy("id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 # --- §2.10: streaming/batch parity (availableNow drain of the same tiles) -------
 @register(
     "stream_tile_counts_z9",
