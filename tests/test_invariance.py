@@ -1,0 +1,72 @@
+"""Parallelism-invariance (north rule: join output rows and tile assignments
+must match bitwise across cluster sizes).
+
+The same flagship pipeline runs in two subprocesses at local[2] and local[8]
+(a session's master can't change in-process); each prints an order-insensitive
+content hash of the full output. Equality means partitioning, salting, Arrow
+batch boundaries, and AQE decisions leave no imprint on the result — the
+fixed-point integer kernels (functions/coords.py, tiles.py, geom.pnpoly) are
+what make this bitwise rather than approximately true."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = """
+import hashlib, json, os, sys
+sys.path.insert(0, {repo!r})
+cpus = int(sys.argv[1])
+from pyspark.sql import functions as F
+from osmgraft.session import get_spark
+from osmgraft.functions import tiles
+from osmgraft.operators.celljoin import cell_pip_join
+from osmgraft.operators.pip import pip_join
+from osmgraft.synth import ADMIN_BOUNDARIES, points_projection
+
+spark = get_spark("invariance-%d" % cpus, cpus=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+orders = spark.range(1, 120_001, 1, max(cpus, 2)).select(F.col("id").alias("o_orderkey"))
+pts = points_projection(orders)
+
+def content_hash(df):
+    rows = sorted(map(tuple, df.collect()))
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(repr(r).encode())
+    return h.hexdigest()
+
+out = {{}}
+joined = pip_join(pts, ADMIN_BOUNDARIES, how="inner").select(
+    "point_id", "boundary_id",
+    tiles.tile_x(F.col("lon7"), 13).alias("tx"),
+    tiles.tile_y(F.col("lat7"), 13).alias("ty"),
+)
+out["pip_tiles"] = content_hash(joined)
+salted = cell_pip_join(pts, ADMIN_BOUNDARIES, skew_threshold=2000, salt_target=1000)
+out["salted_cell_join"] = content_hash(salted.select("point_id", "boundary_id"))
+print(json.dumps(out))
+"""
+
+
+def _run(cpus: int) -> dict:
+    code = _CHILD.format(repo=REPO)
+    proc = subprocess.run(
+        [sys.executable, "-c", code, str(cpus)],
+        capture_output=True,
+        text=True,
+        timeout=500,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def test_flagship_bitwise_invariant_across_parallelism():
+    a = _run(2)
+    b = _run(8)
+    assert a == b
+    assert set(a) == {"pip_tiles", "salted_cell_join"}
