@@ -612,6 +612,78 @@ def way_nodes_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- north star: image table → caption geo-parse → PIP → tiles ------------------
+from osmgraft.synth import _HOT_SPOTS as _HS
+from osmgraft.synth import _JIT as _JIT_
+
+
+@register(
+    "image_geo_tiles",
+    f"""WITH idxs AS (SELECT row_number() OVER () - 1 AS idx FROM orders),
+pts AS (
+  SELECT idx AS point_id,
+    CAST(CASE WHEN idx % 5 = 0 THEN
+      (CASE idx % 3 WHEN 0 THEN {_HS[0][0]} WHEN 1 THEN {_HS[1][0]}
+       ELSE {_HS[2][0]} END) + (idx * 48271) % {_JIT_} - {_JIT_ // 2}
+    ELSE (idx * {_A_LAT} + {_C_LAT}) % {_B_LAT} - {_B_LAT // 2} END AS INTEGER) AS lat7,
+    CAST(CASE WHEN idx % 5 = 0 THEN
+      (CASE idx % 3 WHEN 0 THEN {_HS[0][1]} WHEN 1 THEN {_HS[1][1]}
+       ELSE {_HS[2][1]} END) + (idx * 69621) % {_JIT_} - {_JIT_ // 2}
+    ELSE (idx * {_A_LON}) % {_B_LON} - {_B_LON // 2} END AS INTEGER) AS lon7
+  FROM idxs
+),
+{{pip}}
+SELECT boundary_id, {tiles.sql_tile_x('lon7', 13)} AS tx, {tiles.sql_tile_y('lat7', 13)} AS ty,
+       count(*) AS cnt
+FROM pts JOIN pip USING (point_id)
+GROUP BY boundary_id, tx, ty""".replace(
+        "{pip}", sql_pip_predicate(ADMIN_BOUNDARIES)
+    ),
+)
+def image_geo_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star pipeline on the input_hint image table: synthesize
+    image+caption rows, recover (lat7, lon7) by PARSING the geo-tagged caption
+    (regexp → double → the exact half-away-from-zero fixed-point kernel,
+    osmio lib.rs:159-164), require bitwise equality with the stored
+    coordinates (any parse/rounding error drops rows and fails the oracle
+    hash), then broadcast-PIP join and z13 tile assignment.
+
+    The oracle recomputes the coordinates arithmetically — the caption
+    round-trip exists only on the Spark side, so parse fidelity is part of
+    the gate. Scale: caption parse + codec are JVM expressions; the image
+    generator is the only Python stage and is replaced by the real Iceberg
+    scan in production."""
+    from osmgraft.synth import synth_images
+
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    imgs = synth_images(spark, n, with_pixels=False)
+    pat = r"photo at (-?\d+\.\d{7}),(-?\d+\.\d{7}) "
+    parsed = imgs.select(
+        F.substring("image_id", 4, 12).cast("long").alias("point_id"),
+        coords.deg_to_fixed(F.regexp_extract("caption", pat, 1).cast("double"))
+        .cast("int")
+        .alias("plat7"),
+        coords.deg_to_fixed(F.regexp_extract("caption", pat, 2).cast("double"))
+        .cast("int")
+        .alias("plon7"),
+        "lat7",
+        "lon7",
+    )
+    pts = parsed.filter(
+        (F.col("plat7") == F.col("lat7")) & (F.col("plon7") == F.col("lon7"))
+    ).select("point_id", "lat7", "lon7")
+    joined = pip_join(pts, ADMIN_BOUNDARIES, how="inner")
+    return (
+        joined.select(
+            "boundary_id",
+            tiles.tile_x(F.col("lon7"), 13).alias("tx"),
+            tiles.tile_y(F.col("lat7"), 13).alias("ty"),
+        )
+        .groupBy("boundary_id", "tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 # --- §2.10: OSC change-set apply (osmio osc/mod.rs create/modify/delete) --------
 @register(
     "osc_apply_events",
