@@ -72,3 +72,42 @@ def sql_tile_y(lat7_expr: str, z: int) -> str:
         f"least(greatest(CAST(floor((1.0 - {asinh_t}/pi())/2.0 * {float(2**z)!r}) AS BIGINT)"
         f", 0), {2**z - 1})"
     )
+
+
+# --- raster -> vector (inverse slippy: tile id -> geometry) ---------------------
+LON7_SPAN = 3_600_000_000
+LON7_HALF = 1_800_000_000
+
+
+def tile_lon7_west(x: Column, z: int) -> Column:
+    """Exact fixed-point west edge of tile column x: x·span/2^z − half.
+    Integer arithmetic — bitwise identical on every engine."""
+    return (x.cast("long") * F.lit(LON7_SPAN) / F.lit(2**z)).cast("long") - F.lit(LON7_HALF)
+
+
+def sql_tile_lon7_west(x_expr: str, z: int) -> str:
+    return (
+        f"(CAST(CAST(({x_expr}) AS BIGINT) * {LON7_SPAN} / {2**z} AS BIGINT)"
+        f" - {LON7_HALF})"
+    )
+
+
+def np_tile_lat_bounds(y: np.ndarray, z: int) -> tuple[np.ndarray, np.ndarray]:
+    """(south, north) latitude degrees of tile row y — inverse gudermannian
+    lat = atan(sinh(pi·(1 − 2y/2^z))). Float (libm); pinned by the roundtrip
+    property tile_y(north−ε)==y, tile_y(south+ε)==y in tests, not by oracle
+    hashing."""
+    n = float(2**z)
+    north = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * y / n))))
+    south = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * (y + 1) / n))))
+    return south, north
+
+
+def np_tile_polygon(x: int, y: int, z: int) -> list[tuple[int, int]]:
+    """Tile cell as a closed fixed-point ring (lat7, lon7) — the raster→vector
+    bridge: a z/x/y cell becomes a polygon consumable by pip_join/cell join."""
+    w = int(x * LON7_SPAN // 2**z - LON7_HALF)
+    e = int((x + 1) * LON7_SPAN // 2**z - LON7_HALF)
+    s, n = np_tile_lat_bounds(np.array([y]), z)
+    s7, n7 = int(round(s[0] * 1e7)), int(round(n[0] * 1e7))
+    return [(s7, w), (s7, e), (n7, e), (n7, w), (s7, w)]

@@ -1,0 +1,50 @@
+"""Raster↔vector bridge operators (north rule: "raster↔vector").
+
+vector→raster: `boundary_tile_cover` rasterizes polygon bboxes onto the
+slippy z/x/y grid — per boundary, the tile rectangle [tx(lon_min)..tx(lon_max)]
+× [ty(lat_max)..ty(lat_min)] is exploded JVM-side with `sequence()`. This is
+the coarse (bbox) cover used to route work; exact cell membership is the PIP
+refine's job (operators/celljoin.py), mirroring the filter→refine split of
+every spatial engine.
+
+raster→vector: `functions/tiles.np_tile_polygon` turns a z/x/y cell id back
+into a fixed-point ring consumable by pip_join — tiles are polygons too.
+
+Scale: the cover explode produces O(#boundaries × tiles-per-bbox) rows with
+no shuffle (generator-style explode inside the scan stage); at z≤12 with
+country-size boundaries this stays broadcastable and feeds the salted cell
+join's polygon side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmgraft.functions import tiles
+from osmgraft.geom import polygon_bbox
+
+
+def boundary_tile_cover(spark: SparkSession, polys: list[dict], z: int) -> DataFrame:
+    """(boundary_id, tx, ty) for every z-tile intersecting each polygon's bbox."""
+    rows = [(p["boundary_id"], *map(int, polygon_bbox(p))) for p in polys]
+    bbox = spark.createDataFrame(
+        rows, "boundary_id long, lat_min long, lon_min long, lat_max long, lon_max long"
+    )
+    tx0 = tiles.tile_x(F.col("lon_min"), z)
+    tx1 = tiles.tile_x(F.col("lon_max"), z)
+    ty0 = tiles.tile_y(F.col("lat_max"), z)  # north edge = smaller y
+    ty1 = tiles.tile_y(F.col("lat_min"), z)
+    return (
+        bbox.select(
+            "boundary_id",
+            F.explode(F.sequence(tx0, tx1)).alias("tx"),
+            ty0.alias("_ty0"),
+            ty1.alias("_ty1"),
+        )
+        .select(
+            "boundary_id",
+            "tx",
+            F.explode(F.sequence(F.col("_ty0"), F.col("_ty1"))).alias("ty"),
+        )
+    )

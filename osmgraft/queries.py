@@ -684,6 +684,37 @@ def image_geo_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- raster↔vector: polygon -> tile-grid rasterization --------------------------
+def _bbox_values() -> str:
+    from osmgraft.geom import polygon_bbox
+
+    rows = []
+    for p in ADMIN_BOUNDARIES:
+        la0, lo0, la1, lo1 = map(int, polygon_bbox(p))
+        rows.append(f"({p['boundary_id']},{la0},{lo0},{la1},{lo1})")
+    return ",".join(rows)
+
+
+@register(
+    "boundary_tile_cover_z10",
+    f"""WITH bbox(boundary_id, lat_min, lon_min, lat_max, lon_max) AS (VALUES {_bbox_values()}),
+t AS (SELECT boundary_id,
+  {tiles.sql_tile_x('lon_min', 10)} AS tx0, {tiles.sql_tile_x('lon_max', 10)} AS tx1,
+  {tiles.sql_tile_y('lat_max', 10)} AS ty0, {tiles.sql_tile_y('lat_min', 10)} AS ty1
+  FROM bbox),
+nums AS (SELECT i FROM range(0, 1024) r(i))
+SELECT boundary_id, t.tx0 + nx.i AS tx, t.ty0 + ny.i AS ty
+FROM t JOIN nums nx ON nx.i <= t.tx1 - t.tx0
+       JOIN nums ny ON ny.i <= t.ty1 - t.ty0""",
+)
+def boundary_tile_cover_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vector→raster: admin boundaries rasterized onto the z10 tile grid
+    (operators/raster.py) — JVM sequence-explode, no Python."""
+    from osmgraft.operators.raster import boundary_tile_cover
+
+    return boundary_tile_cover(spark, ADMIN_BOUNDARIES, 10)
+
+
 # --- §2.10: OSC change-set apply (osmio osc/mod.rs create/modify/delete) --------
 @register(
     "osc_apply_events",

@@ -43,3 +43,41 @@ def test_spark_matches_numpy(spark):
     ex, ey = tiles.np_tile_xy(np.array(lon7), np.array(lat7), 13)
     assert [r.x for r in got] == ex.tolist()
     assert [r.y for r in got] == ey.tolist()
+
+
+def test_tile_polygon_contains_its_points(spark):
+    """raster→vector roundtrip: every point's z8 tile, converted back to a
+    fixed-point ring, must ray-cast-contain the point (and the adjacent tile
+    must not)."""
+    import numpy as np
+
+    from osmgraft.functions.tiles import np_tile_polygon, np_tile_xy
+    from osmgraft.geom import pnpoly, polygon_edges
+
+    rng = np.random.default_rng(7)
+    lat7 = rng.integers(-800_000_000, 800_000_000, 200)
+    lon7 = rng.integers(-1_799_999_999, 1_799_999_999, 200)
+    x, y = np_tile_xy(lon7, lat7, 8)
+    for i in range(len(lat7)):
+        ring = np_tile_polygon(int(x[i]), int(y[i]), 8)
+        edges = polygon_edges({"ring": ring, "holes": []})
+        assert pnpoly(np.array([lat7[i]]), np.array([lon7[i]]), edges)[0]
+        far = np_tile_polygon(int((x[i] + 5) % 256), int(y[i]), 8)
+        far_edges = polygon_edges({"ring": far, "holes": []})
+        assert not pnpoly(np.array([lat7[i]]), np.array([lon7[i]]), far_edges)[0]
+
+
+def test_tile_lat_bounds_roundtrip():
+    import numpy as np
+
+    from osmgraft.functions.tiles import np_tile_lat_bounds, np_tile_xy
+
+    z = 10
+    ys = np.arange(1, 2**z - 1)
+    south, north = np_tile_lat_bounds(ys, z)
+    # a hair inside each edge must map back to the same row
+    eps = 1e-6
+    _, y_n = np_tile_xy(np.zeros_like(ys), ((north - eps) * 1e7).astype(np.int64), z)
+    _, y_s = np_tile_xy(np.zeros_like(ys), ((south + eps) * 1e7).astype(np.int64), z)
+    assert (y_n == ys).all()
+    assert (y_s == ys).all()
