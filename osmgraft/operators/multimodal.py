@@ -156,3 +156,56 @@ def video_frame_sample(
     return media.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
         kernel, schema=FRAME_SCHEMA
     )
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("window_idx", IntegerType(), False),
+        StructField("energy", LongType(), True),  # integer RMS proxy — hashable
+    ]
+)
+
+
+def _fake_audio_pcm(data: bytes, n_samples: int) -> np.ndarray:
+    """Deterministic fake decoder (no audio codec libs in this container):
+    int16 PCM Philox-seeded from the payload's first 8 bytes."""
+    key = int.from_bytes(data[:8].ljust(8, b"\0"), "little")
+    rng = np.random.Generator(np.random.Philox(key=key))
+    return rng.integers(-(2**15), 2**15, n_samples, dtype=np.int64)
+
+
+def audio_window_energy(
+    media: DataFrame,
+    window: int = 256,
+    n_windows: int = 4,
+    decoder: str = "stub",
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Feature extraction over opaque audio bytes: per-window sum of squares
+    (an integer RMS proxy so results hash exactly). decoder='stub' raises
+    NotImplementedError at execution — the real codec is not in this
+    environment; decoder='fake' exercises the full distributed plumbing with
+    the deterministic PCM generator. Same batching/partitioning contract as
+    the image kernels."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                data = bytes(getattr(r, bytes_col))
+                if decoder == "stub":
+                    raise NotImplementedError(
+                        "audio decode stubbed: no codec library in this environment; "
+                        "use decoder='fake' for plumbing tests"
+                    )
+                pcm = _fake_audio_pcm(data, window * n_windows)
+                for i in range(n_windows):
+                    seg = pcm[i * window : (i + 1) * window]
+                    out.append((getattr(r, id_col), i, int((seg * seg).sum())))
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    return media.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        kernel, schema=AUDIO_SCHEMA
+    )

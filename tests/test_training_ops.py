@@ -133,3 +133,38 @@ def test_video_fake_plumbing(spark):
     assert {(r.media_id, r.frame_idx, r.frame_phash) for r in rows} == {
         (r.media_id, r.frame_idx, r.frame_phash) for r in again
     }
+
+
+def test_audio_window_energy_fake_decoder(spark):
+    """Audio plumbing: deterministic fake PCM, partition-count independent."""
+    from pyspark.sql import functions as F
+
+    from osmgraft.operators.multimodal import audio_window_energy
+
+    media = spark.range(20).select(
+        F.concat(F.lit("clip"), F.col("id")).alias("media_id"),
+        F.encode(F.concat(F.lit("payload-"), F.col("id")), "utf-8").alias("bytes"),
+    )
+    a = sorted(map(tuple, audio_window_energy(media, decoder="fake").collect()))
+    b = sorted(
+        map(
+            tuple,
+            audio_window_energy(media.repartition(7), decoder="fake").collect(),
+        )
+    )
+    assert a == b
+    assert len(a) == 20 * 4
+    assert all(e >= 0 for *_, e in a)
+
+
+def test_audio_stub_raises(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from osmgraft.operators.multimodal import audio_window_energy
+
+    media = spark.range(1).select(
+        F.lit("c").alias("media_id"), F.encode(F.lit("x"), "utf-8").alias("bytes")
+    )
+    with pytest.raises(Exception):
+        audio_window_energy(media, decoder="stub").collect()
