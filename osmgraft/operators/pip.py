@@ -105,3 +105,60 @@ def pip_join(
                 yield rb.take(pa.array(np.flatnonzero(mask), type=pa.int64()))
 
     return points.mapInArrow(kernel, schema=out_schema)
+
+
+def pip_join_expr(
+    points: DataFrame,
+    polys: list[dict],
+    how: str = "inner",
+    lat_col: str = "lat7",
+    lon_col: str = "lon7",
+) -> DataFrame:
+    """Whole-stage-codegen PIP: the even-odd ray cast compiled into ONE JVM
+    projection — no Python workers, no shuffle, no broadcast variable.
+
+    For each polygon the edge loop is unrolled into a crossing-count
+    expression (identical IEEE shape to geom.pnpoly and the DuckDB oracle:
+    ``(y1>y)!=(y2>y) AND x < (x2-x1)*(y-y1)/(y2-y1)+x1``), matched boundary
+    ids collected with array/filter/explode.
+
+    MEASURED RESULT (this sandbox, 64M rows, 32 cores): 2.4M rows/s vs the
+    Arrow kernel's 27.4M rows/s — 12x SLOWER despite staying JVM-side. The
+    higher-order filter() re-evaluates the captured array subtree (no CSE
+    across the lambda boundary) and the unrolled when-chains don't vectorize;
+    the batched numpy ray cast amortizes per-row cost far better. Kept as a
+    correctness cross-reference (bitwise-identical output to pip_join for all
+    three modes, pinned in tests) and as the planner-note example: "JVM-side"
+    is not automatically the fast path — measure.
+    """
+    if how not in ("inner", "left_semi", "left_anti"):
+        raise ValueError(how)
+    from pyspark.sql import functions as F
+
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    points = ensure_min_parallelism(points)
+    y = F.col(lat_col).cast("double")
+    x = F.col(lon_col).cast("double")
+    branches = []
+    for p in polys:
+        edges = polygon_edges(p)
+        cnt = None
+        for y1, x1, y2, x2 in edges:
+            cross = ((F.lit(float(y1)) > y) != (F.lit(float(y2)) > y)) & (
+                x
+                < (F.lit(float(x2)) - F.lit(float(x1)))
+                * (y - F.lit(float(y1)))
+                / (F.lit(float(y2)) - F.lit(float(y1)))
+                + F.lit(float(x1))
+            )
+            term = F.when(cross, F.lit(1)).otherwise(F.lit(0))
+            cnt = term if cnt is None else cnt + term
+        inside = cnt % F.lit(2) == F.lit(1)
+        branches.append(F.when(inside, F.lit(int(p["boundary_id"])).cast("long")))
+    matched = F.filter(F.array(*branches), lambda v: v.isNotNull())
+    if how == "inner":
+        return points.withColumn("boundary_id", F.explode(matched))
+    if how == "left_semi":
+        return points.filter(F.size(matched) > 0)
+    return points.filter(F.size(matched) == 0)

@@ -89,3 +89,19 @@ def test_boundaries_df_builds(spark):
         | (F.element_at("ring", 1)["lon7"] != F.element_at("ring", -1)["lon7"])
     ).count()
     assert bad == 0
+
+
+def test_pip_expr_matches_kernel(spark):
+    """pip_join_expr (codegen reference) must be bitwise-identical to the
+    Arrow-kernel pip_join for all three join modes."""
+    from pyspark.sql import functions as F
+
+    from osmgraft.operators.pip import pip_join, pip_join_expr
+    from osmgraft.synth import ADMIN_BOUNDARIES, points_projection
+
+    orders = spark.range(1, 30_001, 1, 4).select(F.col("id").alias("o_orderkey"))
+    pts = points_projection(orders)
+    for how in ("inner", "left_semi", "left_anti"):
+        a = sorted(map(tuple, pip_join(pts, ADMIN_BOUNDARIES, how=how).collect()))
+        b = sorted(map(tuple, pip_join_expr(pts, ADMIN_BOUNDARIES, how=how).collect()))
+        assert a == b, how
