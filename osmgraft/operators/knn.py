@@ -171,3 +171,86 @@ def knn_join(
         )
     finally:
         pts.unpersist()
+
+
+def knn_within_radius(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    radius_cells: int = 2,
+    cell_size: int = DEFAULT_CELL,
+) -> DataFrame:
+    """Fully-distributed kNN for a bounded search radius — the cluster-scale
+    path when the query side is itself a big DataFrame (no driver collect,
+    no iteration).
+
+    Each query row is exploded into its (2r+1)² wrapped grid-cell disk
+    JVM-side (sequence × sequence), shuffled-joined against the cell-indexed
+    point table, and ranked per query by the exact wrap-aware metric
+    (dist2, neighbor_id). Results are exact for neighbors within
+    ``radius_cells·cell_size`` along both axes; queries whose k-th neighbor
+    lies farther return fewer/farther rows — callers choose the radius from
+    data density (same contract as every bounded-radius spatial index scan).
+
+    Scale: one explode (fan-out (2r+1)², JVM), one shuffle on (clat, clon) —
+    salt-compatible with operators/celljoin if cells are hot — and one
+    window top-k shuffled on query_id.
+    """
+    spark = points.sparkSession
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    if LON_SPAN % cell_size != 0:
+        raise ValueError(f"cell_size must divide {LON_SPAN} for wrapped lon cells")
+    ncl = LON_SPAN // cell_size
+
+    def floordiv(col, g):
+        return ((col.cast("long") - F.pmod(col.cast("long"), F.lit(g))) / F.lit(g)).cast("long")
+
+    pts = ensure_min_parallelism(points).select(
+        F.col("point_id"),
+        F.col("lat7"),
+        F.col("lon7"),
+        floordiv(F.col("lat7"), cell_size).alias("clat"),
+        F.pmod(floordiv(F.col("lon7"), cell_size), F.lit(ncl)).alias("clon"),
+    )
+    r = radius_cells
+    q = queries.select(
+        "query_id",
+        F.col("lat7").alias("qlat7"),
+        F.col("lon7").alias("qlon7"),
+        floordiv(F.col("lat7"), cell_size).alias("qclat"),
+        F.pmod(floordiv(F.col("lon7"), cell_size), F.lit(ncl)).alias("qclon"),
+    )
+    disk = (
+        q.select(
+            "query_id",
+            "qlat7",
+            "qlon7",
+            F.explode(F.sequence(F.col("qclat") - r, F.col("qclat") + r)).alias("clat"),
+            "qclon",
+        )
+        .select(
+            "query_id",
+            "qlat7",
+            "qlon7",
+            "clat",
+            F.explode(
+                F.sequence(F.col("qclon") - r, F.col("qclon") + r)
+            ).alias("_clon_raw"),
+        )
+        .select(
+            "query_id",
+            "qlat7",
+            "qlon7",
+            "clat",
+            F.pmod(F.col("_clon_raw"), F.lit(ncl)).alias("clon"),
+        )
+        .dropDuplicates(["query_id", "clat", "clon"])  # lon wrap can alias cells
+    )
+    cand = disk.join(pts, ["clat", "clon"]).select(
+        "query_id",
+        F.col("point_id").alias("neighbor_id"),
+        _dist2(F.col("qlat7"), F.col("qlon7"), F.col("lat7"), F.col("lon7")).alias("dist2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

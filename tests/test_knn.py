@@ -84,3 +84,40 @@ def test_knn_k_exceeds_points(spark):
     got = knn_join(pts, qs, k=5).collect()
     assert len(got) == 2
     assert [r.rank for r in sorted(got, key=lambda r: r.rank)] == [1, 2]
+
+
+def test_knn_within_radius_matches_iterative(spark):
+    """The distributed bounded-radius plan must agree with the exact iterative
+    kNN for every query whose kth neighbor is inside the radius bound."""
+    from pyspark.sql import functions as F
+
+    from osmgraft.operators.knn import DEFAULT_CELL, knn_join, knn_within_radius
+    from osmgraft.synth import points_projection
+
+    orders = spark.range(1, 20_001, 1, 4).select(F.col("id").alias("o_orderkey"))
+    pts = points_projection(orders).withColumnRenamed("point_id", "point_id")
+    queries = (
+        points_projection(
+            spark.range(1, 8, 1, 2).select((F.col("id") * 977).alias("o_orderkey"))
+        )
+        .withColumnRenamed("point_id", "query_id")
+    )
+    k = 5
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.dist2)
+        for r in knn_join(pts, queries, k).collect()
+    }
+    radius = 2
+    bound = (radius * DEFAULT_CELL) ** 2
+    fast = knn_within_radius(pts, queries, k, radius_cells=radius).collect()
+    by_q = {}
+    for r in fast:
+        by_q.setdefault(r.query_id, []).append(r)
+    checked = 0
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        if len(rows) == k and rows[-1].dist2 <= bound:
+            for r in rows:
+                assert exact[(qid, r.rank)] == (r.neighbor_id, r.dist2)
+            checked += 1
+    assert checked >= 1  # at least one query fully resolved within the radius
