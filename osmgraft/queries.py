@@ -179,6 +179,20 @@ def cell_counts_h3_r7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("cell_counts_h3_r9", None)  # not SQL-expressible → rows-only check
+def cell_counts_h3_r9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star second H3 resolution (res 9); parent/child consistency with
+    res 7 is pinned in tests/test_cells.py."""
+    from osmgraft.functions.cells import h3_cell_udf
+
+    pts = points_from_orders(spark, sf_dir)
+    return (
+        pts.select(h3_cell_udf(9)(F.col("lat7"), F.col("lon7")).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 # --- kNN via cell-ring expansion (north rule; exact planar fixed-point metric) -----
 _QLAT = "(CAST(n_nationkey AS BIGINT) * 97234555 + 11) % 1200000000 - 600000000"
 _QLON = "(CAST(n_nationkey AS BIGINT) * 211234479 + 7) % 3580000000 - 1790000000"
