@@ -1,0 +1,84 @@
+"""Property-based tests (hypothesis) for the numeric kernels — driver-side,
+no SparkSession. These are the invariants the distributed plans rely on for
+bitwise parallelism-independence."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osmgraft.functions.coords import np_deg_to_fixed, np_fixed_to_deg
+from osmgraft.functions.h3ish import h3_cell, h3_to_parent
+from osmgraft.functions.tiles import LON7_HALF, np_tile_polygon, np_tile_xy
+from osmgraft.geom import pnpoly, polygon_edges
+from osmgraft.operators.knn import LON_SPAN, py_dist2
+
+LAT7 = st.integers(-900_000_000, 900_000_000)
+LON7 = st.integers(-1_800_000_000, 1_800_000_000)
+MERC_LAT7 = st.integers(-850_000_000, 850_000_000)
+
+
+@given(LAT7)
+@settings(max_examples=300, deadline=None)
+def test_fixed_point_roundtrip_exact(v):
+    """osmio lib.rs:82-84/159-164: fixed→deg→fixed is the identity (the
+    nearest double to v/1e7 rounds back to v with half-away-from-zero)."""
+    deg = np_fixed_to_deg(np.array([v], dtype=np.int64))
+    back = np_deg_to_fixed(deg)
+    assert int(back[0]) == v
+
+
+@given(LAT7)
+@settings(max_examples=200, deadline=None)
+def test_fixed_point_decimal_string_roundtrip(v):
+    """The caption format: 7-decimal string of the degree value re-parses to
+    the same fixed-point int (image_geo_tiles relies on this per row)."""
+    s = f"{v / 1e7:.7f}"
+    assert int(np_deg_to_fixed(np.array([float(s)]))[0]) == v
+
+
+@given(MERC_LAT7, LON7, st.integers(1, 15))
+@settings(max_examples=200, deadline=None)
+def test_tile_polygon_contains_point(lat7, lon7, z):
+    x, y = np_tile_xy(np.array([lon7]), np.array([lat7]), z)
+    ring = np_tile_polygon(int(x[0]), int(y[0]), z)
+    edges = polygon_edges({"ring": ring, "holes": []})
+    # the cell ring is float-rounded at the lat edges; nudge strictly interior
+    # points only — points within 1 unit of a cell edge may legitimately sit on
+    # the boundary, where even-odd containment is side-dependent
+    lat_interior = min(max(lat7, ring[0][0] + 2), ring[2][0] - 2)
+    lon_interior = min(max(lon7, ring[0][1] + 2), ring[1][1] - 2)
+    assert pnpoly(np.array([lat_interior]), np.array([lon_interior]), edges)[0]
+
+
+@given(LON7, st.integers(0, 15))
+@settings(max_examples=200, deadline=None)
+def test_tile_x_within_range_and_monotone(lon7, z):
+    x, _ = np_tile_xy(np.array([lon7, min(lon7 + 10_000_000, LON7_HALF)]),
+                      np.array([0, 0]), z)
+    assert 0 <= x[0] <= 2**z - 1
+    assert x[0] <= x[1]
+
+
+@given(LAT7, LON7, LAT7, LON7)
+@settings(max_examples=300, deadline=None)
+def test_dist2_symmetric_wrap_bounded(a1, o1, a2, o2):
+    d = py_dist2(a1, o1, a2, o2)
+    assert d == py_dist2(a2, o2, a1, o1)
+    # antimeridian: -180° and +180° are the same meridian (domain-valid wrap)
+    assert py_dist2(a1, -LON_SPAN // 2, a2, o2) == py_dist2(a1, LON_SPAN // 2, a2, o2)
+    # Δlon is bounded by half the span after wrapping
+    assert d <= (a1 - a2) ** 2 + (LON_SPAN // 2) ** 2
+
+
+@given(MERC_LAT7, LON7)
+@settings(max_examples=100, deadline=None)
+def test_h3_parent_truncation_transitive(lat7, lon7):
+    """to_parent is digit truncation, so it must be transitive exactly:
+    parent(parent(c9, 8), 7) == parent(c9, 7). (Direct coarse re-encode can
+    legitimately differ near cell boundaries — aperture-7 hexagons only
+    approximately nest, same as real H3; that agreement RATE is pinned in
+    test_cells.test_h3_algebraic_hierarchy.)"""
+    c9 = h3_cell(np.array([lat7]), np.array([lon7]), 9)
+    assert int(h3_to_parent(h3_to_parent(c9, 8), 7)[0]) == int(h3_to_parent(c9, 7)[0])
