@@ -22,7 +22,7 @@ join → slippy z13 tile assignment → checksum reduce (count + sum of
 boundary/tile ids: forces every join row and tile id to be computed while
 keeping the reduce shuffle O(tasks), the shape a parquet sink would have).
 
-Usage: python tools/bench_scaling.py [--rows 128000000] [--n 4] [--reps 5]
+Usage: python tools/bench_scaling.py [--rows 128000000] [--n 4] [--reps 9]
 Writes BENCH/BASELINE.md and prints one JSON line.
 """
 
@@ -155,7 +155,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=128_000_000)
     ap.add_argument("--n", type=int, default=4, help="small level; big level is 4n")
-    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--reps", type=int, default=9)
     args = ap.parse_args()
     n, n4 = args.n, 4 * args.n
     total = os.cpu_count() or 32
