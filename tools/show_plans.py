@@ -1,0 +1,75 @@
+"""Dump .explain("formatted") for the headline queries → BENCH/PLANS.md.
+
+The plan-review loop the engine was tuned with: verify scans are pruned
+(ReadSchema minimal, PushedFilters present), joins broadcast when a side is
+small, aggregations partial+final, and Arrow kernel stages sit in a single
+pipelined stage with no extra shuffle.
+
+Usage: python tools/show_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "tile_counts_z13",
+    "pip_inner",
+    "way_nodes_resolution",
+    "q1_pricing_summary",
+    "image_geo_tiles",
+    "osc_apply_events",
+    "boundary_tile_cover_z10",
+]
+
+KEEP = (
+    "Scan parquet",
+    "ReadSchema",
+    "PushedFilters",
+    "Join",
+    "Exchange",
+    "WholeStageCodegen",
+    "ArrowEvalPython",
+    "MapInArrow",
+    "PythonMapInArrow",
+    "HashAggregate",
+    "Window",
+    "Generate",
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from osmgraft.queries import REGISTRY
+    from osmgraft.session import get_spark
+
+    spark = get_spark("plans", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+
+    out = ["# BENCH/PLANS.md — physical plans of the headline queries\n"]
+    out.append(
+        "Condensed `.explain('formatted')` (scans/joins/exchanges/codegen/Arrow "
+        f"stages) at {sf_dir}. Full plans: re-run `python tools/show_plans.py`.\n"
+    )
+    for name in HEADLINE:
+        if name not in REGISTRY:
+            continue
+        df = REGISTRY[name][0](spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(mode)
+        lines = [
+            ln for ln in plan.splitlines() if any(k in ln for k in KEEP)
+        ]
+        out.append(f"## {name}\n\n```\n" + "\n".join(lines) + "\n```\n")
+    path = os.path.join(REPO, "BENCH", "PLANS.md")
+    with open(path, "w") as fh:
+        fh.write("\n".join(out))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
