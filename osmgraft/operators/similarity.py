@@ -144,3 +144,78 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# --- vectorized brute force (the fast exact path) -------------------------------
+def cosine_topk_np(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k with a batched numpy matmul kernel (mapInArrow):
+    per input partition the kernel emits each query's k best candidates
+    (partial top-k, a map-side combine), then one tiny Window pass merges
+    partials — shuffle volume is O(partitions × queries × k), independent of
+    table size. This is the throughput path; `cosine_topk` (sequential-fold
+    HOF) is the cross-engine-bitwise reference. Rankings agree except on
+    sub-ulp cosine ties (numpy's pairwise summation vs left-to-right fold).
+    """
+    import pyarrow as pa
+
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    items = ensure_min_parallelism(items)
+    spark = items.sparkSession
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qm))
+
+    names = items.schema.names
+    id_i, vec_i = names.index(id_col), names.index(vec_col)
+    out_schema = "query_id long, neighbor_id long, sim double"
+
+    def kernel(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        qids_, qm_ = bc.value
+        nq = len(qids_)
+        best_sim = np.full((nq, k), -np.inf)
+        best_id = np.zeros((nq, k), dtype=np.int64)
+        dim = qm_.shape[1]
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(id_i).to_numpy(zero_copy_only=False)
+            col = rb.column(vec_i)
+            flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            m = flat.reshape(len(ids), dim)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = qm_ @ m.T  # (nq, batch)
+            cat_sim = np.concatenate([best_sim, sims], axis=1)
+            cat_id = np.concatenate(
+                [best_id, np.broadcast_to(ids, (nq, len(ids)))], axis=1
+            )
+            # top-k per query with (sim DESC, id ASC) tie order
+            order = np.lexsort((cat_id, -cat_sim), axis=1)[:, :k]
+            best_sim = np.take_along_axis(cat_sim, order, axis=1)
+            best_id = np.take_along_axis(cat_id, order, axis=1)
+        mask = best_sim > -np.inf
+        qcol = np.repeat(qids_, mask.sum(axis=1))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(qcol, type=pa.int64()),
+                pa.array(best_id[mask], type=pa.int64()),
+                pa.array(best_sim[mask], type=pa.float64()),
+            ],
+            names=["query_id", "neighbor_id", "sim"],
+        )
+
+    partials = items.select(id_col, vec_col).mapInArrow(kernel, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

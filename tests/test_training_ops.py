@@ -168,3 +168,15 @@ def test_audio_stub_raises(spark):
     )
     with pytest.raises(Exception):
         audio_window_energy(media, decoder="stub").collect()
+
+
+def test_cosine_topk_np_matches_hof(spark):
+    from pyspark.sql import functions as F
+
+    from osmgraft.operators.similarity import cosine_topk, cosine_topk_np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, cosine_topk(emb, q, 10).collect()))
+    b = sorted(map(tuple, cosine_topk_np(emb, q, 10).collect()))
+    assert a == b
