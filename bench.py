@@ -110,6 +110,10 @@ def main() -> None:
         "pip_inner",
         "q1_pricing_summary",
         "top_event_types",
+        "image_geo_tiles",
+        "way_nodes_resolution",
+        "embedding_topk_fast",
+        "osc_apply_events",
     ]
     for name in bench_queries:
         if name in REGISTRY:
