@@ -3,14 +3,16 @@
 Formats:
   * ``raw``  — C-order RGB uint8 bytes, shape implied by (w, h) columns.
   * ``ppm``  — binary P6 with maxval 255 (spec: netpbm P6).
+  * ``qdct`` — lossy: quantized 8×8 block DCT (see encode_qdct).
   * ``png``  — STUBBED: zlib container plumbing exists but full filter
                reconstruction is out of scope without an image lib; decode
                raises NotImplementedError (clearly marked; Spark-side schema /
                batching around it is real and tested with raw/ppm).
 
-Both are lossless so the input_hint per-row invariant (decoded-pixel allclose,
-PSNR≥40dB for lossy) degenerates to exact equality; PSNR is still implemented
-for the lossy path.
+``raw``/``ppm`` are lossless (exact roundtrip); ``qdct`` (below) is a REAL
+lossy format — 8×8 blockwise orthonormal DCT with uniform quantization, a
+JPEG without the entropy coder — so the input_hint per-row invariant
+(decoded-pixel PSNR≥40dB for lossy fmt) is exercised non-degenerately.
 
 pHash: 64-bit DCT perceptual hash — grayscale → 32×32 resize (area mean) →
 2D DCT-II (numpy matmul form) → top-left 8×8 block (skipping DC) vs median →
@@ -31,6 +33,8 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         return pixels.tobytes()
     if fmt == "ppm":
         return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+    if fmt == "qdct":
+        return encode_qdct(pixels)
     if fmt == "png":
         raise NotImplementedError("png encode stubbed: no image lib in env")
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -54,6 +58,8 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         idx += 1  # single whitespace after maxval
         pw, ph, _maxval = fields
         return np.frombuffer(data, dtype=np.uint8, offset=idx).reshape(ph, pw, 3)
+    if fmt == "qdct":
+        return decode_qdct(data)
     if fmt == "png":
         raise NotImplementedError("png decode stubbed: no image lib in env")
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -111,3 +117,48 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return 10.0 * np.log10(255.0**2 / mse)
+
+
+# --- qdct: a real lossy format (JPEG-shaped, no entropy coding) --------------
+_C8 = None
+
+
+def _dct8_matrix() -> np.ndarray:
+    global _C8
+    if _C8 is None:
+        n = 8
+        c = np.sqrt(2.0 / n) * np.cos(
+            np.pi / n * (np.arange(n)[None, :] + 0.5) * np.arange(n)[:, None]
+        )
+        c[0] /= np.sqrt(2.0)
+        _C8 = c  # orthonormal: C @ C.T == I
+    return _C8
+
+
+def encode_qdct(pixels: np.ndarray, q: int = 4) -> bytes:
+    """Lossy encode: per channel, 8x8 blockwise orthonormal DCT-II, uniform
+    quantization step ``q``, int16 coefficients. Uniform quantization error
+    q^2/12 => PSNR ~ 10*log10(255^2*12/q^2) = 46.9 dB at q=4 — comfortably
+    above the input_hint's 40 dB lossy bar while being genuinely lossy."""
+    h, w = pixels.shape[:2]
+    ph, pw = -h % 8, -w % 8
+    p = np.pad(pixels, ((0, ph), (0, pw), (0, 0)), mode="edge").astype(np.float64) - 128.0
+    H, W = p.shape[:2]
+    c = _dct8_matrix()
+    blocks = p.reshape(H // 8, 8, W // 8, 8, 3)
+    coef = np.einsum("ki,aibjc,lj->akblc", c, blocks, c)
+    qc = np.round(coef / q).astype(np.int16)
+    head = b"QDCT" + np.array([w, h, q], dtype="<u2").tobytes()
+    return head + qc.tobytes()
+
+
+def decode_qdct(data: bytes) -> np.ndarray:
+    if data[:4] != b"QDCT":
+        raise ValueError("not a qdct payload")
+    w, h, q = np.frombuffer(data[4:10], dtype="<u2")
+    H, W = h + (-int(h) % 8), w + (-int(w) % 8)
+    qc = np.frombuffer(data[10:], dtype=np.int16).reshape(H // 8, 8, W // 8, 8, 3)
+    c = _dct8_matrix()
+    blocks = np.einsum("ki,akblc,lj->aibjc", c, qc.astype(np.float64) * q, c)
+    p = blocks.reshape(H, W, 3) + 128.0
+    return np.clip(np.round(p), 0, 255).astype(np.uint8)[:h, :w]

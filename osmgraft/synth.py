@@ -187,7 +187,7 @@ def synth_images(spark: SparkSession, n: int, with_pixels: bool = True) -> DataF
     """Deterministic image table. Geo distribution mirrors points_from_orders
     (hot cells at idx%5==0). Pixels per-row Philox(key=idx) — partitioning
     independent."""
-    from osmgraft.functions.codec import encode_image, phash64
+    from osmgraft.functions.codec import decode_image, encode_image, phash64
 
     sizes = [16, 32, 64]
 
@@ -201,7 +201,7 @@ def synth_images(spark: SparkSession, n: int, with_pixels: bool = True) -> DataF
                 src = idx - 1 if (idx % 50 == 49 and idx > 0) else idx
                 w = sizes[src % 3]
                 h = sizes[(src // 3) % 3]
-                fmt = "raw" if idx % 2 == 0 else "ppm"
+                fmt = ("raw", "ppm", "qdct")[idx % 3]  # qdct = real lossy path
                 if idx % 5 == 0:
                     clat, clon = _HOT_SPOTS[idx % 3]
                     lat7 = clat + (idx * 48271) % _JIT - _JIT // 2
@@ -215,7 +215,11 @@ def synth_images(spark: SparkSession, n: int, with_pixels: bool = True) -> DataF
                         px = px.copy()
                         px[0, 0, 0] ^= 1
                     data = encode_image(px, fmt)
-                    ph = int(phash64(px))
+                    # store the hash of what a consumer DECODES: exact pixels
+                    # for lossless fmts, the deterministic lossy reconstruction
+                    # for qdct (input_hint: PSNR>=40 decoded-pixel invariant)
+                    ph_px = decode_image(data, w, h, fmt) if fmt == "qdct" else px
+                    ph = int(phash64(ph_px))
                 else:
                     data, ph = None, 0
                 cap = f"photo at {lat7 / 1e7:.7f},{lon7 / 1e7:.7f} of object {idx % 97}"

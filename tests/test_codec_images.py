@@ -64,7 +64,11 @@ def test_synth_images_table(spark):
     df = synth_images(spark, 30).cache()
     rows = df.collect()
     assert len(rows) == 30
-    for r in rows:
+    from osmgraft.functions.codec import psnr
+    from osmgraft.synth import _pixels_for
+
+    lossy_seen = 0
+    for i, r in enumerate(rows):
         px = decode_image(bytes(r.bytes), r.w, r.h, r.fmt)
         assert px.shape == (r.h, r.w, 3)
         # per-row invariant (input_hint): caption geo-tag parses back exactly
@@ -73,6 +77,15 @@ def test_synth_images_table(spark):
         assert round(float(lat_s) * 1e7) == r.lat7
         assert round(float(lon_s) * 1e7) == r.lon7
         assert r.phash == int(phash64(px))
+        if r.fmt == "qdct":  # lossy: decoded pixels within PSNR>=40 of source
+            lossy_seen += 1
+            src_px = _pixels_for(i, r.w, r.h)
+            assert psnr(src_px, px) >= 40.0
+        else:  # lossless: exact
+            import numpy as np
+
+            assert np.array_equal(px, _pixels_for(i, r.w, r.h))
+    assert lossy_seen > 0
     df.unpersist()
 
 
@@ -83,3 +96,34 @@ def test_synth_images_partitioning_independent(spark):
     a = {(r.image_id, r.phash) for r in synth_images(spark, 20).coalesce(1).collect()}
     b = {(r.image_id, r.phash) for r in synth_images(spark, 20).repartition(8).collect()}
     assert a == b
+
+
+def test_qdct_lossy_psnr_over_40():
+    """input_hint: decoded-pixel PSNR >= 40 dB for lossy fmt — qdct is a real
+    lossy transform (quantized blockwise DCT), not a lossless degenerate."""
+    import numpy as np
+
+    from osmgraft.functions.codec import decode_image, encode_image, psnr
+
+    rng = np.random.default_rng(11)
+    for h, w in [(16, 16), (33, 47), (64, 64)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        data = encode_image(px, "qdct")
+        back = decode_image(data, w, h, "qdct")
+        assert back.shape == px.shape
+        p = psnr(px, back)
+        assert 40.0 <= p < float("inf"), p  # lossy but above the bar
+        assert not np.array_equal(px, back)  # genuinely lossy on noise
+
+
+def test_qdct_phash_stable():
+    """Perceptual hash survives qdct quantization (near-dup detection works
+    across the lossy roundtrip)."""
+    import numpy as np
+
+    from osmgraft.functions.codec import decode_image, encode_image, hamming64, phash64
+
+    rng = np.random.default_rng(12)
+    px = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    back = decode_image(encode_image(px, "qdct"), 32, 32, "qdct")
+    assert hamming64(int(phash64(px)), int(phash64(back))) <= 6

@@ -96,9 +96,10 @@ def test_image_stats_exact(spark):
     df = image_stats(synth_images(spark, 20))
     rows = {r.image_id: r for r in df.collect()}
     assert len(rows) == 20
-    px5 = _pixels_for(5, 64, 32)  # idx 5: w=sizes[2]=64, h=sizes[1]=32
-    got = rows["img000000000005"]
-    s = px5.reshape(-1, 3).sum(axis=0)
+    # idx 6: fmt raw (lossless; idx%3==0), w=sizes[0]=16, h=sizes[2]=64
+    px6 = _pixels_for(6, 16, 64)
+    got = rows["img000000000006"]
+    s = px6.reshape(-1, 3).sum(axis=0)
     assert (got.sum_r, got.sum_g, got.sum_b) == (int(s[0]), int(s[1]), int(s[2]))
 
 
