@@ -53,6 +53,7 @@ SELECT {tiles.sql_tile_x('lon7', 13)} AS tx, {tiles.sql_tile_y('lat7', 13)} AS t
 FROM pts GROUP BY tx, ty""",
 )
 def tile_counts_z13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slippy z13 tile assignment + per-tile counts (engine raster op, SQL twin)."""
     pts = points_from_orders(spark, sf_dir)
     return (
         pts.select(
@@ -71,6 +72,7 @@ SELECT point_id, {tiles.sql_tile_x('lon7', 7)} AS tx, {tiles.sql_tile_y('lat7', 
 FROM pts""",
 )
 def tile_assign_z7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point z7 tile assignment — the column-pruned fast-scan shape (osmio node_id_pos.rs)."""
     return points_from_orders(spark, sf_dir).select(
         "point_id",
         tiles.tile_x(F.col("lon7"), 7).alias("tx"),
@@ -88,6 +90,7 @@ SELECT point_id, lat7, lon7,
 FROM pts""",
 )
 def fixed_point_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point codec identity deg->fixed->deg (osmio lib.rs:82-84,159-164)."""
     pts = points_from_orders(spark, sf_dir)
     return pts.select(
         "point_id",
@@ -106,6 +109,7 @@ SELECT point_id, boundary_id FROM pip"""
 
 @register("pip_inner", _PIP_SQL)
 def pip_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast STR-tree ray-cast point-in-polygon inner join (flagship)."""
     pts = points_from_orders(spark, sf_dir)
     return pip_join(pts, ADMIN_BOUNDARIES, how="inner").select("point_id", "boundary_id")
 
@@ -117,6 +121,7 @@ def pip_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT p.point_id FROM pts p ANTI JOIN pip USING (point_id)""",
 )
 def pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP anti-join: points inside no boundary (left_anti semantics)."""
     pts = points_from_orders(spark, sf_dir)
     return pip_join(pts, ADMIN_BOUNDARIES, how="left_anti").select("point_id")
 
@@ -145,6 +150,7 @@ SELECT {sql_grid_cell('lat7', 'lon7', 50_000_000)} AS cell, count(*) AS cnt
 FROM pts GROUP BY cell""",
 )
 def cell_counts_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrapped integer grid cell counts (JVM-only cell index, SQL twin)."""
     from osmgraft.functions.cells import grid_cell
 
     pts = points_from_orders(spark, sf_dir)
@@ -157,6 +163,7 @@ def cell_counts_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("cell_counts_s2_l13", None)  # not SQL-expressible → rows-only check
 def cell_counts_s2_l13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 level-13 cell counts (Hilbert bit-interleave kernel; ids not SQL-expressible)."""
     from osmgraft.functions.cells import s2_cell_udf
 
     pts = points_from_orders(spark, sf_dir)
@@ -169,6 +176,7 @@ def cell_counts_s2_l13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("cell_counts_h3_r7", None)  # not SQL-expressible → rows-only check
 def cell_counts_h3_r7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aperture-7 hex res-7 cell counts (h3ish kernel; ids not SQL-expressible)."""
     from osmgraft.functions.cells import h3_cell_udf
 
     pts = points_from_orders(spark, sf_dir)
@@ -226,6 +234,7 @@ SELECT query_id, neighbor_id, dist2, CAST(rank AS INTEGER) AS rank FROM (
 WHERE rank <= 5""",
 )
 def knn_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN (k=5) via cell-ring expansion, wrap-aware fixed-point metric."""
     from osmgraft.operators.knn import knn_join
 
     pts = points_from_orders(spark, sf_dir)
@@ -322,6 +331,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 FROM documents""",
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality metrics: length/punct/stopword/token counts (JVM expressions)."""
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
@@ -337,6 +347,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"SELECT doc_id, {T.sql_lang_id('text')} AS lang_pred FROM documents",
 )
 def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID over documents."""
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
 
@@ -346,6 +357,7 @@ def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"SELECT doc_id, {T.sql_fingerprint('text')} AS fp FROM documents",
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (dedup primitive)."""
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
@@ -356,18 +368,21 @@ from osmgraft.operators import dedup as D  # noqa: E402
 
 @register("dedup_exact", D.sql_dedup_exact_groups())
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by content hash (hash-groupBy)."""
     docs = _docs(spark, sf_dir)
     return D.dedup_exact_groups(docs)
 
 
 @register("dedup_minhash_lsh", D.sql_minhash_lsh_pairs())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banded near-duplicate pairs with exact Jaccard verify."""
     docs = _docs(spark, sf_dir)
     return D.minhash_lsh_pairs(docs)
 
 
 @register("simhash", f"SELECT doc_id, {D.sql_simhash('text')} AS simhash FROM documents")
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (near-dup primitive)."""
     docs = _docs(spark, sf_dir)
     return D.simhash_table(docs)
 
@@ -375,6 +390,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- training-data ops: similarity search (brief §similarity) -----------------------
 @register("embedding_topk", None)  # registered with oracle below (import order)
 def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k, sequential-fold dot product (bitwise == DuckDB)."""
     from osmgraft.operators.similarity import cosine_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -405,6 +421,7 @@ REGISTRY["embedding_topk_fast"] = (
 
 @register("embedding_lsh_ann", None)  # approximate → rows-only check
 def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate NN (recall vs brute force pinned in tests)."""
     from osmgraft.operators.similarity import lsh_ann_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -542,6 +559,7 @@ def _n_images(sf_dir: str) -> int:
 
 @register("image_stats", None)
 def image_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode -> exact channel sums + pHash (Arrow kernel over binary column)."""
     from osmgraft.operators.multimodal import image_stats
     from osmgraft.synth import synth_images
 
@@ -550,6 +568,7 @@ def image_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("image_phash_neardup", None)
 def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash banded near-duplicate image pairs (JVM-only banding join)."""
     from osmgraft.operators.multimodal import phash_near_dup_pairs
     from osmgraft.synth import synth_images
 
