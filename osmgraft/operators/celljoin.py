@@ -96,8 +96,15 @@ def cell_pip_join(
     else:
         pts = pts.withColumn("_salt", F.lit(0))
 
-    # 4. shuffle equi-join on (cell, salt)
-    cand = pts.join(poly_cells, ["_cell", "_salt"]).drop("_cell", "_salt")
+    # 4. shuffle equi-join on (cell, salt). SHUFFLE_HASH hint: without it
+    #    Catalyst picks SortMergeJoin, which SORTS the huge point side per
+    #    partition — measured 2x slower than hash-building the (tiny)
+    #    polygon-cell side at 48M rows with a 75%-hot cell. The point side
+    #    still shuffles (that is the operator's contract vs pip_join), but
+    #    is never sorted.
+    cand = pts.join(poly_cells.hint("shuffle_hash"), ["_cell", "_salt"]).drop(
+        "_cell", "_salt"
+    )
 
     # 5. exact refine (vectorized, edges broadcast)
     edges_by_id = {p["boundary_id"]: polygon_edges(p) for p in polys}
