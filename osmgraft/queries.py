@@ -662,6 +662,46 @@ def way_nodes_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_G = 50_000_000
+_NCL = 3_600_000_000 // _G
+
+
+def _sql_floordiv(expr: str, g: int) -> str:
+    return f"CAST((CAST({expr} AS BIGINT) - ((CAST({expr} AS BIGINT) % {g} + {g}) % {g})) / {g} AS BIGINT)"
+
+
+@register(
+    "knn_radius2_k5",
+    f"""WITH pts AS ({_PTS}),
+q AS (SELECT CAST(n_nationkey AS BIGINT) AS query_id,
+             CAST({_QLAT} AS INTEGER) AS qlat7, CAST({_QLON} AS INTEGER) AS qlon7
+      FROM nation),
+pc AS (SELECT point_id, lat7, lon7, {_sql_floordiv('lat7', _G)} AS clat,
+              ({_sql_floordiv('lon7', _G)} % {_NCL} + {_NCL}) % {_NCL} AS clon FROM pts),
+qc AS (SELECT query_id, qlat7, qlon7, {_sql_floordiv('qlat7', _G)} AS clat,
+              ({_sql_floordiv('qlon7', _G)} % {_NCL} + {_NCL}) % {_NCL} AS clon FROM q)
+SELECT query_id, neighbor_id, dist2, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT qc.query_id, p.point_id AS neighbor_id, {_D2} AS dist2,
+         row_number() OVER (PARTITION BY qc.query_id ORDER BY {_D2}, p.point_id) AS rank
+  FROM qc JOIN pc p
+    ON abs(qc.clat - p.clat) <= 2
+   AND least(abs(qc.clon - p.clon), {_NCL} - abs(qc.clon - p.clon)) <= 2
+  ) t
+WHERE rank <= 5""".replace("q.qlat7", "qc.qlat7").replace("q.qlon7", "qc.qlon7"),
+)
+def knn_radius2_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-distributed bounded-radius kNN (operators/knn.knn_within_radius):
+    query side stays a DataFrame, wrapped cell-disk explode + shuffle hash
+    join + exact windowed top-k — no driver loop. Oracle: the same radius-2
+    Chebyshev cell predicate in SQL."""
+    from osmgraft.operators.knn import knn_within_radius
+
+    pts = points_from_orders(spark, sf_dir)
+    return knn_within_radius(pts, _knn_queries_df(spark, sf_dir), k=5, radius_cells=2).select(
+        "query_id", "neighbor_id", "dist2", F.col("rank").cast("int").alias("rank")
+    )
+
+
 # --- north star: image table → caption geo-parse → PIP → tiles ------------------
 from osmgraft.synth import _HOT_SPOTS as _HS
 from osmgraft.synth import _JIT as _JIT_
