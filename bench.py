@@ -29,7 +29,7 @@ def _flagship(spark, sf_dir):
     from osmgraft.synth import ADMIN_BOUNDARIES, points_from_orders
 
     pts = points_from_orders(spark, sf_dir)
-    joined = pip_join(pts, ADMIN_BOUNDARIES, how="inner")
+    joined = pip_join(pts, ADMIN_BOUNDARIES, how="inner", ensure_parallelism=True)
     return (
         joined.select(
             "boundary_id",
@@ -88,7 +88,9 @@ def main() -> None:
         orders = spark.range(1, scaled_rows + 1, 1, cpus).select(
             F.col("id").alias("o_orderkey")
         )
-        joined = pip_join(points_projection(orders), ADMIN_BOUNDARIES, how="inner")
+        joined = pip_join(
+            points_projection(orders), ADMIN_BOUNDARIES, how="inner", ensure_parallelism=True
+        )
         return (
             joined.select(
                 "boundary_id",

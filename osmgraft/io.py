@@ -27,12 +27,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def has_iceberg(spark: SparkSession, catalog: str | None = None) -> bool:
-    """True when an Iceberg catalog is usable in this session."""
+    """True when an Iceberg catalog is usable in this session.
+
+    Probes the RUNTIME conf (``SET``), not just the SparkContext conf — a
+    catalog registered after session start via ``spark.conf.set(...)`` must
+    be visible too (ADVICE r1)."""
+    keys: set[str] = set()
     try:
-        confs = spark.sparkContext.getConf().getAll()
+        keys.update(k for k, _ in spark.sparkContext.getConf().getAll())
     except Exception:
-        return False
-    cats = [k for k, _ in confs if k.startswith("spark.sql.catalog.")]
+        pass
+    try:
+        keys.update(r["key"] for r in spark.sql("SET").collect())
+    except Exception:
+        pass
+    cats = [k for k in keys if k.startswith("spark.sql.catalog.")]
     if catalog is not None:
         cats = [k for k in cats if k == f"spark.sql.catalog.{catalog}"]
     if not cats:
@@ -114,7 +123,8 @@ class TableIO:
 
         rows = []
         for p in sorted(_glob.glob(_os.path.join(ident, "_lineage", "*.json"))):
-            m = _json.load(open(p))
+            with open(p) as fh:
+                m = _json.load(fh)
             rows.append(
                 (
                     m["batch_id"],

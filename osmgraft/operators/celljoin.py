@@ -54,13 +54,15 @@ def cell_pip_join(
     max_salts: int = 64,
     lat_col: str = "lat7",
     lon_col: str = "lon7",
+    ensure_parallelism: bool = False,
 ) -> DataFrame:
     """Returns point columns + boundary_id (inner semantics, same contract as
-    osmgraft.operators.pip.pip_join(how='inner'))."""
+    osmgraft.operators.pip.pip_join(how='inner')). ensure_parallelism: opt-in
+    repartition for small single-file local inputs only."""
     spark = points.sparkSession
-    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.operators.util import maybe_parallelize
 
-    points = ensure_min_parallelism(points)
+    points = maybe_parallelize(points, ensure_parallelism)
     pts = points.withColumn("_cell", grid_cell(F.col(lat_col), F.col(lon_col), cell_size))
 
     # 1. explicit skew detection (one cheap pre-pass aggregation)

@@ -221,10 +221,12 @@ def simhash_col(text, bits: int = SIMHASH_BITS):
 def sql_simhash(expr: str, bits: int = SIMHASH_BITS) -> str:
     toks = f"list_distinct({sql_tokens(sql_normalize_text(expr))})"
     hs = f"list_transform({toks}, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)"
+    # CAST: DuckDB's list_sum returns HUGEINT, which value-hashes differently
+    # than Spark's BIGINT in the cross-engine gate (VERDICT r1 #2).
     return (
-        f"list_sum(list_transform(range(0, {bits}), j -> "
+        f"CAST(list_sum(list_transform(range(0, {bits}), j -> "
         f"CASE WHEN len(list_filter({hs}, h -> (h >> j) & 1 = 1)) * 2 > len({hs}) "
-        f"THEN (1::BIGINT << j) ELSE 0::BIGINT END))"
+        f"THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT)"
     )
 
 

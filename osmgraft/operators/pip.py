@@ -39,18 +39,23 @@ def pip_join(
     how: str = "inner",
     lat_col: str = "lat7",
     lon_col: str = "lon7",
+    ensure_parallelism: bool = False,
 ) -> DataFrame:
     """Join points to containing polygons.
 
     how='inner'      → point columns + boundary_id (one row per containment)
     how='left_semi'  → points inside ≥1 polygon
     how='left_anti'  → points inside none
+
+    ensure_parallelism: opt-in round-robin repartition for small local inputs
+    (single-file scans); leave False on a real cluster — the scan's splits
+    already parallelize and the extra Exchange is pure cost.
     """
     if how not in ("inner", "left_semi", "left_anti"):
         raise ValueError(how)
-    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.operators.util import maybe_parallelize
 
-    points = ensure_min_parallelism(points)
+    points = maybe_parallelize(points, ensure_parallelism)
     spark = points.sparkSession
     bc = spark.sparkContext.broadcast(_prepare(polys))
 
@@ -113,6 +118,7 @@ def pip_join_expr(
     how: str = "inner",
     lat_col: str = "lat7",
     lon_col: str = "lon7",
+    ensure_parallelism: bool = False,
 ) -> DataFrame:
     """Whole-stage-codegen PIP: the even-odd ray cast compiled into ONE JVM
     projection — no Python workers, no shuffle, no broadcast variable.
@@ -135,9 +141,9 @@ def pip_join_expr(
         raise ValueError(how)
     from pyspark.sql import functions as F
 
-    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.operators.util import maybe_parallelize
 
-    points = ensure_min_parallelism(points)
+    points = maybe_parallelize(points, ensure_parallelism)
     y = F.col(lat_col).cast("double")
     x = F.col(lon_col).cast("double")
     branches = []

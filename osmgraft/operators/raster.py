@@ -28,6 +28,16 @@ from osmgraft.geom import polygon_bbox
 def boundary_tile_cover(spark: SparkSession, polys: list[dict], z: int) -> DataFrame:
     """(boundary_id, tx, ty) for every z-tile intersecting each polygon's bbox."""
     rows = [(p["boundary_id"], *map(int, polygon_bbox(p))) for p in polys]
+    for bid, _lat0, lon0, _lat1, lon1 in rows:
+        if lon0 > lon1:
+            # An antimeridian-crossing bbox would make sequence() auto-step -1
+            # and emit the COMPLEMENT tile range (silently wrong, and divergent
+            # from the SQL oracle). Explicit non-goal until wrapped covers are
+            # split into [tx0, 2^z-1] + [0, tx1].
+            raise ValueError(
+                f"boundary {bid}: bbox crosses the antimeridian "
+                f"(lon_min {lon0} > lon_max {lon1}) — unsupported"
+            )
     bbox = spark.createDataFrame(
         rows, "boundary_id long, lat_min long, lon_min long, lat_max long, lon_max long"
     )

@@ -38,12 +38,13 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ensure_parallelism: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k: queries (small) broadcast-cross-joined to items.
     Returns (query_id, neighbor_id, rank) ordered by (cosine DESC, neighbor)."""
-    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.operators.util import maybe_parallelize
 
-    items = ensure_min_parallelism(items)
+    items = maybe_parallelize(items, ensure_parallelism)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -153,6 +154,7 @@ def cosine_topk_np(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ensure_parallelism: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k with a batched numpy matmul kernel (mapInArrow):
     per input partition the kernel emits each query's k best candidates
@@ -164,9 +166,9 @@ def cosine_topk_np(
     """
     import pyarrow as pa
 
-    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.operators.util import maybe_parallelize
 
-    items = ensure_min_parallelism(items)
+    items = maybe_parallelize(items, ensure_parallelism)
     spark = items.sparkSession
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
@@ -189,7 +191,13 @@ def cosine_topk_np(
                 continue
             ids = rb.column(id_i).to_numpy(zero_copy_only=False)
             col = rb.column(vec_i)
-            flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            # flatten() (not .values) honors a sliced ListArray's offset
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            if len(flat) != len(ids) * dim:
+                raise ValueError(
+                    f"ragged embedding column: {len(flat)} values for "
+                    f"{len(ids)} rows × dim {dim}"
+                )
             m = flat.reshape(len(ids), dim)
             m = m / np.linalg.norm(m, axis=1, keepdims=True)
             sims = qm_ @ m.T  # (nq, batch)

@@ -111,7 +111,9 @@ SELECT point_id, boundary_id FROM pip"""
 def pip_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast STR-tree ray-cast point-in-polygon inner join (flagship)."""
     pts = points_from_orders(spark, sf_dir)
-    return pip_join(pts, ADMIN_BOUNDARIES, how="inner").select("point_id", "boundary_id")
+    return pip_join(pts, ADMIN_BOUNDARIES, how="inner", ensure_parallelism=True).select(
+        "point_id", "boundary_id"
+    )
 
 
 @register(
@@ -123,7 +125,9 @@ SELECT p.point_id FROM pts p ANTI JOIN pip USING (point_id)""",
 def pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIP anti-join: points inside no boundary (left_anti semantics)."""
     pts = points_from_orders(spark, sf_dir)
-    return pip_join(pts, ADMIN_BOUNDARIES, how="left_anti").select("point_id")
+    return pip_join(pts, ADMIN_BOUNDARIES, how="left_anti", ensure_parallelism=True).select(
+        "point_id"
+    )
 
 
 # --- salted cell equi-join + refine (north-rule shuffle path) ----------------------
@@ -134,7 +138,9 @@ def pip_celljoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmgraft.operators.celljoin import cell_pip_join
 
     pts = points_from_orders(spark, sf_dir)
-    return cell_pip_join(pts, ADMIN_BOUNDARIES, skew_threshold=500, salt_target=250).select(
+    return cell_pip_join(
+        pts, ADMIN_BOUNDARIES, skew_threshold=500, salt_target=250, ensure_parallelism=True
+    ).select(
         "point_id", "boundary_id"
     )
 
@@ -238,15 +244,15 @@ def knn_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmgraft.operators.knn import knn_join
 
     pts = points_from_orders(spark, sf_dir)
-    return knn_join(pts, _knn_queries_df(spark, sf_dir), k=5)
+    return knn_join(pts, _knn_queries_df(spark, sf_dir), k=5, ensure_parallelism=True)
 
 
 # --- reference-shaped analytics (aggregation suite, SURVEY §2.4) -------------------
 @register(
     "q1_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
-  sum(CAST(round(l_quantity, 0) AS BIGINT)) AS sum_qty,
-  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sum_base_price_cents,
+  CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -394,7 +400,7 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmgraft.operators.similarity import cosine_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, ensure_parallelism=True)
 
 
 from osmgraft.operators.similarity import sql_cosine_topk  # noqa: E402
@@ -410,7 +416,7 @@ def embedding_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmgraft.operators.similarity import cosine_topk_np
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_topk_np(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return cosine_topk_np(emb, emb.filter(F.col("vec_id") < 5), k=10, ensure_parallelism=True)
 
 
 REGISTRY["embedding_topk_fast"] = (
@@ -605,7 +611,9 @@ def checkpointed_pip_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def transform(orders: DataFrame) -> DataFrame:
-        joined = pip_join(points_projection(orders), ADMIN_BOUNDARIES, how="inner")
+        joined = pip_join(
+            points_projection(orders), ADMIN_BOUNDARIES, how="inner", ensure_parallelism=True
+        )
         return (
             joined.select(
                 "boundary_id",
@@ -697,7 +705,9 @@ def knn_radius2_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmgraft.operators.knn import knn_within_radius
 
     pts = points_from_orders(spark, sf_dir)
-    return knn_within_radius(pts, _knn_queries_df(spark, sf_dir), k=5, radius_cells=2).select(
+    return knn_within_radius(
+        pts, _knn_queries_df(spark, sf_dir), k=5, radius_cells=2, ensure_parallelism=True
+    ).select(
         "query_id", "neighbor_id", "dist2", F.col("rank").cast("int").alias("rank")
     )
 
@@ -762,7 +772,7 @@ def image_geo_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = parsed.filter(
         (F.col("plat7") == F.col("lat7")) & (F.col("plon7") == F.col("lon7"))
     ).select("point_id", "lat7", "lon7")
-    joined = pip_join(pts, ADMIN_BOUNDARIES, how="inner")
+    joined = pip_join(pts, ADMIN_BOUNDARIES, how="inner", ensure_parallelism=True)
     return (
         joined.select(
             "boundary_id",

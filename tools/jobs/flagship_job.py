@@ -35,7 +35,9 @@ def main() -> None:
     spark = SparkSession.builder.appName("osmgraft-flagship").getOrCreate()
 
     def transform(orders):
-        joined = pip_join(points_projection(orders), ADMIN_BOUNDARIES, how="inner")
+        joined = pip_join(
+            points_projection(orders), ADMIN_BOUNDARIES, how="inner", ensure_parallelism=True
+        )
         return (
             joined.select(
                 "boundary_id",
