@@ -901,6 +901,199 @@ def stream_tile_counts_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S1-S5: real .osm.pbf scan (osmio stringpbf/mod.rs flagship path) -----------
+@register(
+    "pbf_roundtrip_nodes",
+    """SELECT o_orderkey AS id,
+  CAST(o_orderkey % 9 + 1 AS INTEGER) AS version,
+  (o_orderkey % 41 = 0) AS deleted,
+  CAST(o_orderkey % 10000 + 1 AS INTEGER) AS changeset_id,
+  CAST(o_orderkey % 1000 AS INTEGER) AS uid,
+  'mapper-' || CAST(o_orderkey % 97 AS VARCHAR) AS username,
+  strftime(epoch_ms((1500000000 + (o_orderkey * 37) % 100000000) * 1000),
+           '%Y-%m-%dT%H:%M:%SZ') AS iso,
+  CAST(o_orderkey AS VARCHAR) AS ref_tag,
+  CAST(CASE WHEN o_orderkey % 2 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_tags
+FROM orders""",
+)
+def pbf_roundtrip_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full node-metadata roundtrip through a REAL `.osm.pbf` file: the
+    derived node stream (synth.osm_objs_from_orders) is framed/zlib'd/
+    delta-coded into PBF once per sf_dir, then scanned back DISTRIBUTED by
+    sources.pbf.read_pbf (blob-index tasks + vectorized DenseNodes decode,
+    osmio stringpbf/mod.rs:61-211) and every Info/tag/coordinate field must
+    equal the oracle's direct recomputation from `orders`. lat7/lon7 equality
+    is pinned separately by test_pbf (the oracle twin of the coordinate
+    derivation already gates pip/tile queries)."""
+    from osmgraft.sources.pbf import read_pbf
+    from osmgraft.synth import pbf_fixture_path
+
+    df = read_pbf(spark, pbf_fixture_path(spark, sf_dir), object_filter=(True, False, False))
+    return df.filter(F.col("obj_type") == "n").select(
+        "id",
+        "version",
+        "deleted",
+        "changeset_id",
+        "uid",
+        F.col("user").alias("username"),
+        F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso"),
+        F.col("tags")["ref"].alias("ref_tag"),
+        F.size("tags").cast("int").alias("n_tags"),
+    )
+
+
+@register(
+    "pbf_scan_objs",
+    f"""WITH ways AS (SELECT o_custkey AS c, count(*) AS nrefs FROM orders GROUP BY o_custkey),
+rels AS (SELECT o_custkey % {97} AS b, count(DISTINCT o_custkey) AS nways
+         FROM orders GROUP BY o_custkey % {97})
+SELECT 'n' AS obj_type, count(*) AS cnt, CAST(sum(o_orderkey) AS BIGINT) AS sum_id,
+  CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 2 ELSE 1 END) AS BIGINT) AS sum_tags,
+  CAST(0 AS BIGINT) AS sum_children
+FROM orders
+UNION ALL
+SELECT 'w', count(*), CAST(sum(1000000000 + c) AS BIGINT),
+  CAST(sum(c % 2) AS BIGINT), CAST(sum(nrefs) AS BIGINT) FROM ways
+UNION ALL
+SELECT 'r', count(*), CAST(sum(2000000000 + b) AS BIGINT),
+  CAST(count(*) AS BIGINT), CAST(sum(nways + 1) AS BIGINT) FROM rels""",
+)
+def pbf_scan_objs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-type `.osm.pbf` scan (S3+S4+S5): nodes, ways (delta-coded refs)
+    and relations (member triples) decoded from the same fixture file, with
+    per-type structural aggregates the oracle recomputes relationally. Proves
+    the way/relation wire decode (stringpbf/mod.rs:213-360), not just nodes."""
+    from osmgraft.sources.pbf import read_pbf
+    from osmgraft.synth import pbf_fixture_path
+
+    df = read_pbf(spark, pbf_fixture_path(spark, sf_dir))
+    return df.groupBy("obj_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("id").cast("long").alias("sum_id"),
+        F.sum(F.size("tags")).cast("long").alias("sum_tags"),
+        F.sum(
+            F.coalesce(F.size("nodes"), F.lit(0)) + F.coalesce(F.size("members"), F.lit(0))
+        )
+        .cast("long")
+        .alias("sum_children"),
+    )
+
+
+# --- J2: relation member multi-join (osmio lib.rs:477-479, stringpbf:333-337) ---
+@register(
+    "relation_members_resolution",
+    f"""WITH pts AS ({_PTS}),
+o AS (SELECT o_orderkey, o_custkey, o_custkey % 97 AS b FROM orders),
+wb AS (SELECT o.o_custkey AS c, any_value(o.b) AS b,
+              min(p.lat7) AS la0, max(p.lat7) AS la1,
+              min(p.lon7) AS lo0, max(p.lon7) AS lo1
+       FROM o JOIN pts p ON p.point_id = o.o_orderkey GROUP BY o.o_custkey),
+nm AS (SELECT b, min(o_orderkey) AS nref FROM o GROUP BY b),
+nres AS (SELECT nm.b, p.lat7, p.lon7 FROM nm JOIN pts p ON p.point_id = nm.nref)
+SELECT CAST(2000000000 + wb.b AS BIGINT) AS rel_id,
+  CAST(count(*) + 1 AS INTEGER) AS n_members,
+  least(min(wb.la0), min(nres.lat7)) AS lat_min,
+  greatest(max(wb.la1), max(nres.lat7)) AS lat_max,
+  least(min(wb.lo0), min(nres.lon7)) AS lon_min,
+  greatest(max(wb.lo1), max(nres.lon7)) AS lon_max
+FROM wb JOIN nres ON nres.b = wb.b
+GROUP BY wb.b""",
+)
+def relation_members_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: explode(relation.members) → join each member on (type, ref) against
+    its object table → re-aggregate per relation (geometry bbox). The
+    reference resolves members through the same id lookup as way nodes
+    (lib.rs:477-479); Spark-native form is two shuffled equi-joins (node
+    members against the node table, way members against per-way bboxes) whose
+    union re-aggregates on relation id — at scale both joins shuffle on the
+    member ref key and the relation side is the small side of each.
+
+    Relations derive deterministically from orders (synth.rel_obj shape):
+    bucket b = o_custkey % 97, members = the bucket's ways + one
+    admin_centre node (the bucket's min order key)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", (F.col("o_custkey") % 97).alias("b")
+    )
+    pts = points_from_orders(spark, sf_dir)
+    ways = orders.groupBy("o_custkey", "b").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("nodes")
+    )
+    # build the members arrays with the engine's own schema (type/ref/role)
+    wmem = ways.select(
+        "b",
+        F.struct(
+            F.lit("w").alias("type"),
+            (F.lit(1_000_000_000) + F.col("o_custkey")).alias("ref"),
+            F.lit("outer").alias("role"),
+        ).alias("m"),
+    )
+    nmem = orders.groupBy("b").agg(F.min("o_orderkey").alias("nref")).select(
+        "b",
+        F.struct(
+            F.lit("n").alias("type"),
+            F.col("nref").alias("ref"),
+            F.lit("admin_centre").alias("role"),
+        ).alias("m"),
+    )
+    rels = (
+        wmem.unionByName(nmem)
+        .groupBy("b")
+        .agg(F.sort_array(F.collect_list("m")).alias("members"))
+        .select((F.lit(2_000_000_000) + F.col("b")).alias("rel_id"), "members")
+    )
+    m = rels.select("rel_id", F.explode("members").alias("m")).select(
+        "rel_id", F.col("m.type").alias("mtype"), F.col("m.ref").alias("ref")
+    )
+    # member-type dispatch: node members resolve against the node table…
+    nres = (
+        m.filter(F.col("mtype") == "n")
+        .join(pts, F.col("ref") == pts.point_id)
+        .select("rel_id", "lat7", "lon7")
+    )
+    # …way members against per-way geometry (itself a J1 resolution)
+    waybbox = (
+        ways.select(
+            (F.lit(1_000_000_000) + F.col("o_custkey")).alias("way_id"),
+            F.explode("nodes").alias("node_id"),
+        )
+        .join(pts, F.col("node_id") == pts.point_id)
+        .groupBy("way_id")
+        .agg(
+            F.min("lat7").alias("la0"),
+            F.max("lat7").alias("la1"),
+            F.min("lon7").alias("lo0"),
+            F.max("lon7").alias("lo1"),
+        )
+    )
+    wres = (
+        m.filter(F.col("mtype") == "w")
+        .join(waybbox, F.col("ref") == F.col("way_id"))
+        .select(
+            "rel_id",
+            F.explode(
+                F.array(
+                    F.struct(F.col("la0").alias("lat7"), F.col("lo0").alias("lon7")),
+                    F.struct(F.col("la1").alias("lat7"), F.col("lo1").alias("lon7")),
+                )
+            ).alias("c"),
+        )
+        .select("rel_id", F.col("c.lat7").alias("lat7"), F.col("c.lon7").alias("lon7"))
+    )
+    coords = nres.unionByName(wres)
+    sizes = rels.select("rel_id", F.size("members").cast("int").alias("n_members"))
+    return (
+        coords.groupBy("rel_id")
+        .agg(
+            F.min("lat7").alias("lat_min"),
+            F.max("lat7").alias("lat_max"),
+            F.min("lon7").alias("lon_min"),
+            F.max("lon7").alias("lon_max"),
+        )
+        .join(sizes, "rel_id")
+        .select("rel_id", "n_members", "lat_min", "lat_max", "lon_min", "lon_max")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return {k: v[0] for k, v in REGISTRY.items()}
 

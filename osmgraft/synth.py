@@ -263,3 +263,125 @@ def osm_ways_df(spark: SparkSession) -> DataFrame:
         (103, 1, False, 1, ts, 1, "u", {"area": "yes"}, [1, 2, 3, 1]),     # ring, area=yes
     ]
     return spark.createDataFrame(rows, OSM_WAY_SCHEMA)
+
+
+# --- 3. OSM object stream derived from the TPC-H tables ----------------------
+# Deterministic nodes/ways/relations used to generate REAL format fixtures
+# (.osm.pbf / .osm / .opl / changeset XML) whose content the DuckDB oracle can
+# recompute from the parquet tables directly. Every field is a pure function
+# of o_orderkey / o_custkey; the SQL twins live in the registered queries.
+WAY_ID_BASE = 1_000_000_000
+REL_ID_BASE = 2_000_000_000
+REL_BUCKETS = 97
+NODE_TS_BASE = 1_500_000_000  # 2017-07-14T02:40:00Z
+WAY_TS_BASE = 1_600_000_000
+REL_TS_BASE = 1_700_000_000
+
+
+def point_for_key(k: int) -> tuple[int, int]:
+    """Python twin of points_projection for one o_orderkey (used only by the
+    driver-side fixture writer; all query paths stay DataFrame/SQL)."""
+    if k % 5 == 0:
+        s = _HOT_SPOTS[k % 3]
+        lat = s[0] + (k * 48271) % _JIT - _JIT // 2
+        lon = s[1] + (k * 69621) % _JIT - _JIT // 2
+    else:
+        lat = (k * _A_LAT + _C_LAT) % _B_LAT - _B_LAT // 2
+        lon = (k * _A_LON) % _B_LON - _B_LON // 2
+    return int(lat), int(lon)
+
+
+def node_obj(k: int) -> dict:
+    lat7, lon7 = point_for_key(k)
+    tags = {"ref": str(k)}
+    if k % 2 == 0:
+        tags["name"] = f"n&<{k % 50}>"  # exercises XML/OPL escaping too
+    return {
+        "obj_type": "n",
+        "id": k,
+        "version": k % 9 + 1,
+        "deleted": k % 41 == 0,
+        "changeset_id": k % 10000 + 1,
+        "ts": NODE_TS_BASE + (k * 37) % 100_000_000,
+        "uid": k % 1000,
+        "user": f"mapper-{k % 97}",
+        "tags": tags,
+        "lat7": lat7,
+        "lon7": lon7,
+    }
+
+
+def way_obj(c: int, node_ids: list[int]) -> dict:
+    return {
+        "obj_type": "w",
+        "id": WAY_ID_BASE + c,
+        "version": 1,
+        "deleted": False,
+        "changeset_id": c % 1000 + 1,
+        "ts": WAY_TS_BASE + c,
+        "uid": c % 500,
+        "user": f"w-{c % 13}",
+        "tags": {"highway": "residential"} if c % 2 == 1 else {},
+        "nodes": sorted(node_ids),
+    }
+
+
+def rel_obj(b: int, way_custkeys: list[int], min_orderkey: int) -> dict:
+    members = [{"type": "n", "ref": int(min_orderkey), "role": "admin_centre"}]
+    members += [
+        {"type": "w", "ref": WAY_ID_BASE + c, "role": "outer"} for c in sorted(way_custkeys)
+    ]
+    return {
+        "obj_type": "r",
+        "id": REL_ID_BASE + b,
+        "version": 1,
+        "deleted": False,
+        "changeset_id": b + 1,
+        "ts": REL_TS_BASE + b,
+        "uid": 7,
+        "user": "rel",
+        "tags": {"type": "route"},
+        "members": members,
+    }
+
+
+def osm_objs_from_orders(spark: SparkSession, sf_dir: str) -> list[dict]:
+    """Driver-side materialization of the derived OSM object stream — the
+    FIXTURE WRITER only (bounded by the sandbox SFs; the distributed read
+    path is what the queries exercise)."""
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    )
+    nodes = [node_obj(int(r.o_orderkey)) for r in rows]
+    by_cust: dict[int, list[int]] = {}
+    for r in rows:
+        by_cust.setdefault(int(r.o_custkey), []).append(int(r.o_orderkey))
+    ways = [way_obj(c, ks) for c, ks in sorted(by_cust.items())]
+    by_bucket: dict[int, list[int]] = {}
+    for c in by_cust:
+        by_bucket.setdefault(c % REL_BUCKETS, []).append(c)
+    rels = [
+        rel_obj(b, cs, min(min(by_cust[c]) for c in cs))
+        for b, cs in sorted(by_bucket.items())
+    ]
+    nodes.sort(key=lambda o: o["id"])
+    return nodes + ways + rels
+
+
+def pbf_fixture_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once cached `.osm.pbf` fixture for ``sf_dir`` (atomic replace)."""
+    import os
+
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    d = "/tmp/osmgraft_fixtures"
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"pbf_{os.path.basename(sf_dir.rstrip('/'))}_{n}.osm.pbf")
+    if not os.path.exists(path):
+        from osmgraft.sources.pbf import write_pbf
+
+        tmp = f"{path}.tmp.{os.getpid()}"
+        write_pbf(osm_objs_from_orders(spark, sf_dir), tmp)
+        os.replace(tmp, path)
+    return path
