@@ -1094,6 +1094,159 @@ def relation_members_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S10/S15/S18/S19: full object-stream XML + OPL codecs -----------------------
+_OBJ_STREAM_SQL = """WITH pts AS ({pts}),
+w AS (SELECT o_custkey AS c, count(*) AS nrefs FROM orders GROUP BY o_custkey),
+r AS (SELECT o_custkey % 97 AS b, count(DISTINCT o_custkey) AS nways
+      FROM orders GROUP BY o_custkey % 97)
+SELECT 'n' AS obj_type, o.o_orderkey AS id,
+  CAST(o.o_orderkey % 9 + 1 AS INTEGER) AS version,
+  (o.o_orderkey % 41 = 0) AS deleted,
+  CAST(o.o_orderkey % 10000 + 1 AS INTEGER) AS changeset_id,
+  CAST(o.o_orderkey % 1000 AS INTEGER) AS uid,
+  'mapper-' || CAST(o.o_orderkey % 97 AS VARCHAR) AS username,
+  strftime(epoch_ms((1500000000 + (o.o_orderkey * 37) % 100000000) * 1000),
+           '%Y-%m-%dT%H:%M:%SZ') AS iso,
+  CAST(CASE WHEN o.o_orderkey % 2 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_tags,
+  CAST(0 AS INTEGER) AS n_children,
+  p.lat7 AS lat7, p.lon7 AS lon7
+FROM orders o JOIN pts p ON p.point_id = o.o_orderkey
+UNION ALL
+SELECT 'w', 1000000000 + c, 1, false, CAST(c % 1000 + 1 AS INTEGER),
+  CAST(c % 500 AS INTEGER), 'w-' || CAST(c % 13 AS VARCHAR),
+  strftime(epoch_ms((1600000000 + c) * 1000), '%Y-%m-%dT%H:%M:%SZ'),
+  CAST(c % 2 AS INTEGER), CAST(nrefs AS INTEGER),
+  CAST(NULL AS INTEGER), CAST(NULL AS INTEGER) FROM w
+UNION ALL
+SELECT 'r', 2000000000 + b, 1, false, CAST(b + 1 AS INTEGER),
+  7, 'rel', strftime(epoch_ms((1700000000 + b) * 1000), '%Y-%m-%dT%H:%M:%SZ'),
+  1, CAST(nways + 1 AS INTEGER),
+  CAST(NULL AS INTEGER), CAST(NULL AS INTEGER) FROM r""".format(pts=_PTS)
+
+
+def _obj_roundtrip_projection(parsed: DataFrame) -> DataFrame:
+    return parsed.select(
+        "obj_type",
+        "id",
+        "version",
+        "deleted",
+        "changeset_id",
+        "uid",
+        F.col("user").alias("username"),
+        F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso"),
+        F.size("tags").cast("int").alias("n_tags"),
+        (
+            F.coalesce(F.size("nodes"), F.lit(0))
+            + F.coalesce(F.size("members"), F.lit(0))
+        )
+        .cast("int")
+        .alias("n_children"),
+        "lat7",
+        "lon7",
+    )
+
+
+@register("xml_objs_roundtrip", _OBJ_STREAM_SQL)
+def xml_objs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10+S15 for ALL object types: the derived node/way/relation stream is
+    serialized to OSM-XML elements (obj_to_xml — nd children, member triples,
+    escaped tags; osmio xml/mod.rs:436-506) and parsed straight back
+    (parse_obj_xml, xml/mod.rs:279-357); every metadata field, child count
+    and fixed-point coordinate must equal the oracle's direct relational
+    derivation. Whole pipeline is JVM Column expressions (codegen)."""
+    from osmgraft.sources.osm_xml import obj_to_xml, parse_obj_xml
+    from osmgraft.synth import osm_objs_df
+
+    parsed = parse_obj_xml(obj_to_xml(osm_objs_df(spark, sf_dir)).select("line"))
+    return _obj_roundtrip_projection(parsed)
+
+
+@register("opl_objs_roundtrip", _OBJ_STREAM_SQL)
+def opl_objs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18+S19 for ALL object types: same stream through the OPL line codec
+    (obj_to_opl / parse_obj_opl — 'Nn1,n2' way refs, 'Mt<id>@<role>' members,
+    %XXXX% escaping; osmio opl/mod.rs:146-260)."""
+    from osmgraft.sources.opl import obj_to_opl, parse_obj_opl
+    from osmgraft.synth import osm_objs_df
+
+    parsed = parse_obj_opl(obj_to_opl(osm_objs_df(spark, sf_dir)).select("line"))
+    return _obj_roundtrip_projection(parsed)
+
+
+# --- S12: real .osc file parsed and applied -------------------------------------
+@register(
+    "osc_file_apply",
+    f"""WITH pts AS ({_PTS})
+SELECT o_orderkey AS id,
+  CAST(CASE WHEN o_orderkey % 5 = 0 THEN o_orderkey % 9 + 2
+       ELSE o_orderkey % 9 + 1 END AS INTEGER) AS version,
+  CAST(lat7 + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END AS INTEGER) AS lat7,
+  lon7
+FROM orders JOIN pts ON point_id = o_orderkey
+WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 7 = 0)
+UNION ALL
+SELECT o_orderkey + 500000000, CAST(o_orderkey % 9 + 1 AS INTEGER), lat7, lon7
+FROM orders JOIN pts ON point_id = o_orderkey
+WHERE o_orderkey % 11 = 0""",
+)
+def osc_file_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL `<osmChange>` document (create/modify/delete sections, one per
+    sf_dir, synth.osc_fixture_path) parsed by sources.xml_files.read_osc
+    (osmio osc/mod.rs:31-91) and applied to the node base with the
+    last-writer-wins upsert (operators.osm.osc_apply). Replaces round 1's
+    synthetic change derivation with actual OSC XML ingestion."""
+    from osmgraft.operators.osm import osc_apply
+    from osmgraft.sources.xml_files import read_osc
+    from osmgraft.synth import osc_fixture_path, osm_objs_df
+
+    base = (
+        osm_objs_df(spark, sf_dir)
+        .filter(F.col("obj_type") == "n")
+        .select("id", "version", "lat7", "lon7")
+    )
+    ch = read_osc(spark, osc_fixture_path(spark, sf_dir)).select(
+        "id", "version", "lat7", "lon7", "op"
+    )
+    return osc_apply(base, ch, key_cols=["id"])
+
+
+# --- S13/S14: changeset-dump XML scan + tag fast-scan analytics -----------------
+@register(
+    "changeset_top_tags",
+    """SELECT CAST(event_type AS VARCHAR) AS created_by, count(*) AS cnt,
+  CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS open_cnt,
+  CAST(sum(CAST(floor(value) AS BIGINT) % 1000) AS BIGINT) AS sum_changes,
+  CAST(sum(event_id % 7) AS BIGINT) AS sum_comments
+FROM events GROUP BY event_type""",
+)
+def changeset_top_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13+S14: a REAL changeset-dump XML (osmio changesets.rs:82-309; one
+    <changeset> per event, synth.changesets_fixture_path) scanned by
+    read_changesets, then the A2-style tag histogram over the created_by tag
+    with open/num_changes/comments rollups — the reference's
+    ChangesetTagReader fast path (changesets.rs:316-407) is the same
+    projection with everything but id+tags dropped before the shuffle."""
+    from osmgraft.sources.xml_files import read_changesets
+    from osmgraft.synth import changesets_fixture_path
+
+    cs = read_changesets(spark, changesets_fixture_path(spark, sf_dir))
+    return (
+        cs.select(
+            F.col("tags")["created_by"].alias("created_by"),
+            F.col("open").cast("int").alias("_open"),
+            "num_changes",
+            "comments_count",
+        )
+        .groupBy("created_by")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("_open").cast("long").alias("open_cnt"),
+            F.sum("num_changes").cast("long").alias("sum_changes"),
+            F.sum("comments_count").cast("long").alias("sum_comments"),
+        )
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return {k: v[0] for k, v in REGISTRY.items()}
 

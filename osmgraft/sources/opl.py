@@ -29,15 +29,18 @@ def opl_escape(col: Column) -> Column:
             F.concat(F.lit("%"), F.lpad(F.lower(F.hex(F.ascii(ch))), 4, "0"), F.lit("%"))
         ),
     )
-    return F.array_join(esc, "")
+    # split('', '') yields [''] — guard or the empty string escapes to %0000%
+    return F.when(col == "", F.lit("")).otherwise(F.array_join(esc, ""))
 
 
 def sql_opl_escape(expr: str) -> str:
-    """DuckDB twin (ascii() = codepoint in duckdb too)."""
+    """DuckDB twin (ascii() = codepoint in duckdb too); same empty-string
+    guard as the engine side."""
     return (
+        f"CASE WHEN {expr} = '' THEN '' ELSE "
         f"list_aggregate(list_transform(string_split_regex({expr}, ''), "
         f"ch -> CASE WHEN regexp_matches(ch, '^[{_SAFE}]$') THEN ch "
-        f"ELSE '%' || lpad(lower(hex(ascii(ch))), 4, '0') || '%' END), 'string_agg', '')"
+        f"ELSE '%' || lpad(lower(hex(ascii(ch))), 4, '0') || '%' END), 'string_agg', '') END"
     )
 
 
@@ -110,4 +113,136 @@ def parse_node_opl(lines: DataFrame, line_col: str = "line") -> DataFrame:
         tags_kv.alias("tags"),
         F.when(field("y").isNotNull(), deg_to_fixed(field("y").cast("double")).cast("int")).alias("lat7"),
         F.when(field("x").isNotNull(), deg_to_fixed(field("x").cast("double")).cast("int")).alias("lon7"),
+    )
+
+
+def obj_to_opl(objs: DataFrame) -> DataFrame:
+    """OSM_OBJ_SCHEMA → (obj_type, id, line): generalizes node_to_opl to ways
+    (``N`` field, each ref 'n'-prefixed, comma-joined — opl/mod.rs:154-157)
+    and relations (``M`` field, ``<t><id>@<role>`` — opl/mod.rs:172-174).
+    Node lines are byte-identical to node_to_opl. Pure Column expressions."""
+    t = F.col("obj_type")
+    tags_part = F.array_join(
+        F.transform(
+            F.map_entries(F.coalesce(F.col("tags"), F.map_from_arrays(F.array(), F.array()))),
+            lambda e: F.concat(opl_escape(e["key"]), F.lit("="), opl_escape(e["value"])),
+        ),
+        ",",
+    )
+    meta = F.concat(
+        t, F.col("id").cast("string"),
+        F.lit(" v"), F.coalesce(F.col("version").cast("string"), F.lit("")),
+        F.lit(" d"), F.when(F.coalesce(F.col("deleted"), F.lit(False)), F.lit("D")).otherwise(F.lit("V")),
+        F.lit(" c"), F.coalesce(F.col("changeset_id").cast("string"), F.lit("")),
+        F.lit(" t"), F.coalesce(F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss'Z'"), F.lit("")),
+        F.lit(" i"), F.coalesce(F.col("uid").cast("string"), F.lit("")),
+        F.lit(" u"), F.coalesce(opl_escape(F.col("user")), F.lit("")),
+        F.lit(" T"), tags_part,
+    )
+    node_tail = F.concat(
+        F.lit(" x"),
+        F.when(F.col("lon7").isNotNull(), _fixed7_str(F.col("lon7"))).otherwise(F.lit("")),
+        F.lit(" y"),
+        F.when(F.col("lat7").isNotNull(), _fixed7_str(F.col("lat7"))).otherwise(F.lit("")),
+    )
+    way_tail = F.concat(
+        F.lit(" N"),
+        F.array_join(
+            F.transform(
+                F.coalesce(F.col("nodes"), F.array().cast("array<long>")),
+                lambda r: F.concat(F.lit("n"), r.cast("string")),
+            ),
+            ",",
+        ),
+    )
+    rel_tail = F.concat(
+        F.lit(" M"),
+        F.array_join(
+            F.transform(
+                F.coalesce(
+                    F.col("members"),
+                    F.array().cast("array<struct<type:string,ref:long,role:string>>"),
+                ),
+                lambda m: F.concat(
+                    m["type"], m["ref"].cast("string"), F.lit("@"), opl_escape(m["role"])
+                ),
+            ),
+            ",",
+        ),
+    )
+    line = F.concat(
+        meta,
+        F.when(t == "n", node_tail).when(t == "w", way_tail).otherwise(rel_tail),
+    )
+    return objs.select("obj_type", F.col("id"), line.alias("line"))
+
+
+def parse_obj_opl(lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """Inverse of obj_to_opl for the full object stream (opl/mod.rs
+    decode_line:196-260): 1-char key prefixes, N/M/x/y tails by type."""
+    c = F.col(line_col)
+
+    def field(prefix):
+        return F.nullif(F.regexp_extract(c, f" {prefix}([^ ]*)", 1), F.lit(""))
+
+    def unescape(col):
+        parts = F.split(col, "%")
+        return F.array_join(
+            F.transform(
+                parts,
+                lambda p, i: F.when(i % 2 == 1, F.char(F.conv(p, 16, 10).cast("int"))).otherwise(p),
+            ),
+            "",
+        )
+
+    from osmgraft.functions.coords import deg_to_fixed
+
+    obj_type = F.substring(c, 1, 1)
+    tags_kv = F.when(
+        field("T").isNotNull(),
+        F.map_from_arrays(
+            F.transform(F.split(field("T"), ","), lambda kv: unescape(F.split(kv, "=")[0])),
+            F.transform(F.split(field("T"), ","), lambda kv: unescape(F.split(kv, "=")[1])),
+        ),
+    ).otherwise(F.map_from_arrays(F.array(), F.array()))
+    nds = F.when(
+        (obj_type == "w") & field("N").isNotNull(),
+        F.transform(
+            F.split(field("N"), ","),
+            lambda x: F.regexp_extract(x, r"n(\d+)", 1).cast("long"),
+        ),
+    ).otherwise(F.when(obj_type == "w", F.array().cast("array<long>")))
+    members = F.when(
+        (obj_type == "r") & field("M").isNotNull(),
+        F.transform(
+            F.split(field("M"), ","),
+            lambda x: F.struct(
+                F.substring(x, 1, 1).alias("type"),
+                F.regexp_extract(x, r"^.(\d+)@", 1).cast("long").alias("ref"),
+                unescape(F.regexp_extract(x, r"@(.*)$", 1)).alias("role"),
+            ),
+        ),
+    ).otherwise(
+        F.when(obj_type == "r", F.array().cast("array<struct<type:string,ref:long,role:string>>"))
+    )
+    return lines.select(
+        obj_type.alias("obj_type"),
+        F.regexp_extract(c, r"^[nwr](\d+)", 1).cast("long").alias("id"),
+        field("v").cast("int").alias("version"),
+        (field("d") == "D").alias("deleted"),
+        field("c").cast("int").alias("changeset_id"),
+        F.to_timestamp(field("t"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timestamp"),
+        field("i").cast("int").alias("uid"),
+        unescape(field("u")).alias("user"),
+        tags_kv.alias("tags"),
+        F.when(
+            (obj_type == "n") & field("y").isNotNull(),
+            deg_to_fixed(field("y").cast("double")).cast("int"),
+        ).alias("lat7"),
+        F.when(
+            (obj_type == "n") & field("x").isNotNull(),
+            deg_to_fixed(field("x").cast("double")).cast("int"),
+        ).alias("lon7"),
+        nds.alias("nodes"),
+        members.alias("members"),
     )

@@ -141,6 +141,169 @@ def parse_node_xml(lines: DataFrame, line_col: str = "line") -> DataFrame:
     )
 
 
+_TYPE_WORD = {"n": "node", "w": "way", "r": "relation"}
+
+
+def obj_to_xml(objs: DataFrame) -> DataFrame:
+    """OSM_OBJ_SCHEMA (nodes+ways+relations union) → (obj_type, id, line).
+
+    Generalizes node_to_xml to the full object stream (osmio xml/mod.rs
+    write_obj :436-506): same head-attribute order (id, visible, version,
+    user, uid, changeset, timestamp, then lat/lon for nodes), ``<nd
+    ref=""/>`` children for ways, ``<member type="" ref="" role=""/>`` with
+    full-word types for relations, ``<tag/>`` children last. Node output is
+    byte-identical to node_to_xml. All Column expressions — the whole
+    serialization stays in whole-stage codegen."""
+    t = F.col("obj_type")
+    elem = F.when(t == "n", F.lit("node")).when(t == "w", F.lit("way")).otherwise(
+        F.lit("relation")
+    )
+    tags_inner = F.aggregate(
+        F.map_entries(F.coalesce(F.col("tags"), F.map_from_arrays(F.array(), F.array()))),
+        F.lit(""),
+        lambda acc, e: F.concat(
+            acc,
+            F.lit('\t<tag k="'),
+            xml_escape(e["key"]),
+            F.lit('" v="'),
+            xml_escape(e["value"]),
+            F.lit('"/>\n'),
+        ),
+    )
+    nd_inner = F.aggregate(
+        F.coalesce(F.col("nodes"), F.array().cast("array<long>")),
+        F.lit(""),
+        lambda acc, r: F.concat(
+            acc, F.lit('\t<nd ref="'), r.cast("string"), F.lit('"/>\n')
+        ),
+    )
+    member_inner = F.aggregate(
+        F.coalesce(
+            F.col("members"),
+            F.array().cast("array<struct<type:string,ref:long,role:string>>"),
+        ),
+        F.lit(""),
+        lambda acc, m: F.concat(
+            acc,
+            F.lit('\t<member type="'),
+            F.when(m["type"] == "n", F.lit("node"))
+            .when(m["type"] == "w", F.lit("way"))
+            .otherwise(F.lit("relation")),
+            F.lit('" ref="'),
+            m["ref"].cast("string"),
+            F.lit('" role="'),
+            F.coalesce(xml_escape(m["role"]), F.lit("")),
+            F.lit('"/>\n'),
+        ),
+    )
+    head = F.concat(
+        F.lit("<"),
+        elem,
+        _attr("id", F.col("id").cast("string")),
+        _attr(
+            "visible",
+            F.when(F.col("deleted").isNotNull(), (~F.col("deleted")).cast("string")),
+        ),
+        _attr("version", F.col("version").cast("string")),
+        _attr("user", xml_escape(F.col("user"))),
+        _attr("uid", F.col("uid").cast("string")),
+        _attr("changeset", F.col("changeset_id").cast("string")),
+        _attr("timestamp", _iso(F.col("timestamp"))),
+        _attr("lat", F.when((t == "n") & F.col("lat7").isNotNull(), _fixed7(F.col("lat7")))),
+        _attr("lon", F.when((t == "n") & F.col("lon7").isNotNull(), _fixed7(F.col("lon7")))),
+    )
+    children = F.concat(nd_inner, member_inner, tags_inner)
+    line = F.when(
+        children == "", F.concat(head, F.lit(" />"))  # untagged childless self-close
+    ).otherwise(
+        F.concat(head, F.lit(">\n"), children, F.lit("</"), elem, F.lit(">"))
+    )
+    return objs.select("obj_type", F.col("id"), line.alias("line"))
+
+
+def parse_obj_xml(lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """Full-element strings (node/way/relation) → OSM_OBJ_SCHEMA projection.
+    Generalizes parse_node_xml: nd refs and member triples come back via
+    regexp_extract_all over the child lines (attribute order as written by
+    obj_to_xml / the reference writer). Accepts both full-word and char
+    member types (osmio OSMObjectType parses both)."""
+    c = F.col(line_col)
+
+    def attr(name):
+        return F.nullif(F.regexp_extract(c, f'{name}="([^"]*)"', 1), F.lit(""))
+
+    def unescape(col):
+        x = F.regexp_replace(col, "&quot;", '"')
+        x = F.regexp_replace(x, "&apos;", "'")
+        x = F.regexp_replace(x, "&lt;", "<")
+        x = F.regexp_replace(x, "&gt;", ">")
+        return F.regexp_replace(x, "&amp;", "&")
+
+    from osmgraft.functions.coords import deg_to_fixed
+
+    elem = F.regexp_extract(c, r"^<(node|way|relation)\b", 1)
+    obj_type = F.when(elem == "node", F.lit("n")).when(elem == "way", F.lit("w")).otherwise(
+        F.lit("r")
+    )
+    tag_keys = F.expr(
+        rf"""transform(regexp_extract_all({line_col}, '<tag k="([^"]*)" v="[^"]*"/>', 1), x -> x)"""
+    )
+    tag_vals = F.expr(
+        rf"""transform(regexp_extract_all({line_col}, '<tag k="[^"]*" v="([^"]*)"/>', 1), x -> x)"""
+    )
+    nds = F.expr(
+        rf"""transform(regexp_extract_all({line_col}, '<nd ref="([0-9]+)"/>', 1),
+             x -> CAST(x AS BIGINT))"""
+    )
+    mem_types = F.expr(
+        rf"""regexp_extract_all({line_col}, '<member type="([a-z]+)" ref="[0-9]+"', 1)"""
+    )
+    mem_refs = F.expr(
+        rf"""regexp_extract_all({line_col}, '<member type="[a-z]+" ref="([0-9]+)"', 1)"""
+    )
+    mem_roles = F.expr(
+        rf"""regexp_extract_all({line_col},
+             '<member type="[a-z]+" ref="[0-9]+" role="([^"]*)"', 1)"""
+    )
+    members = F.zip_with(
+        F.zip_with(
+            mem_types,
+            mem_refs,
+            lambda mt, mr: F.struct(
+                F.substring(mt, 1, 1).alias("type"), mr.cast("long").alias("ref")
+            ),
+        ),
+        mem_roles,
+        lambda tr, role: F.struct(
+            tr["type"].alias("type"), tr["ref"].alias("ref"), unescape(role).alias("role")
+        ),
+    )
+    is_node = obj_type == "n"
+    return lines.select(
+        obj_type.alias("obj_type"),
+        attr("id").cast("long").alias("id"),
+        attr("version").cast("int").alias("version"),
+        F.when(attr("visible").isNotNull(), attr("visible") == "false").alias("deleted"),
+        attr("changeset").cast("int").alias("changeset_id"),
+        F.to_timestamp(attr("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timestamp"),
+        attr("uid").cast("int").alias("uid"),
+        unescape(attr("user")).alias("user"),
+        F.map_from_arrays(
+            F.transform(tag_keys, unescape), F.transform(tag_vals, unescape)
+        ).alias("tags"),
+        F.when(
+            is_node & attr("lat").isNotNull(),
+            deg_to_fixed(attr("lat").cast("double")).cast("int"),
+        ).alias("lat7"),
+        F.when(
+            is_node & attr("lon").isNotNull(),
+            deg_to_fixed(attr("lon").cast("double")).cast("int"),
+        ).alias("lon7"),
+        F.when(obj_type == "w", nds).alias("nodes"),
+        F.when(obj_type == "r", members).alias("members"),
+    )
+
+
 def osc_wrap(lines: DataFrame, line_col: str = "line") -> DataFrame:
     """OSC sink framing: single <modify> block (osmio's documented
     simplification, osc/mod.rs:109)."""

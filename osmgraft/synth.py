@@ -385,3 +385,193 @@ def pbf_fixture_path(spark: SparkSession, sf_dir: str) -> str:
         write_pbf(osm_objs_from_orders(spark, sf_dir), tmp)
         os.replace(tmp, path)
     return path
+
+
+def osm_objs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED construction of the same derived object stream as
+    osm_objs_from_orders — the DataFrame the codec roundtrip queries feed
+    through XML/OPL serialization. Shapes must stay in lock-step with
+    node_obj/way_obj/rel_obj (the driver-side fixture twins)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    k = F.col("o_orderkey")
+    pts = points_projection(orders)
+    node_tags = F.map_filter(
+        F.map_from_arrays(
+            F.array(F.lit("ref"), F.lit("name")),
+            F.array(
+                k.cast("string"),
+                F.when(
+                    k % 2 == 0,
+                    F.concat(F.lit("n&<"), (k % 50).cast("string"), F.lit(">")),
+                ),
+            ),
+        ),
+        lambda _, v: v.isNotNull(),
+    )
+    nodes = (
+        orders.join(pts, orders.o_orderkey == pts.point_id)
+        .select(
+            F.lit("n").alias("obj_type"),
+            k.alias("id"),
+            (k % 9 + 1).cast("int").alias("version"),
+            (k % 41 == 0).alias("deleted"),
+            (k % 10000 + 1).cast("int").alias("changeset_id"),
+            F.timestamp_seconds(F.lit(NODE_TS_BASE) + (k * 37) % 100_000_000).alias(
+                "timestamp"
+            ),
+            (k % 1000).cast("int").alias("uid"),
+            F.concat(F.lit("mapper-"), (k % 97).cast("string")).alias("user"),
+            node_tags.alias("tags"),
+            F.col("lat7"),
+            F.col("lon7"),
+            F.lit(None).cast("array<long>").alias("nodes"),
+            F.lit(None)
+            .cast("array<struct<type:string,ref:long,role:string>>")
+            .alias("members"),
+        )
+    )
+    c = F.col("o_custkey")
+    ways = orders.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("_nodes")
+    ).select(
+        F.lit("w").alias("obj_type"),
+        (F.lit(WAY_ID_BASE) + c).alias("id"),
+        F.lit(1).cast("int").alias("version"),
+        F.lit(False).alias("deleted"),
+        (c % 1000 + 1).cast("int").alias("changeset_id"),
+        F.timestamp_seconds(F.lit(WAY_TS_BASE) + c).alias("timestamp"),
+        (c % 500).cast("int").alias("uid"),
+        F.concat(F.lit("w-"), (c % 13).cast("string")).alias("user"),
+        F.when(
+            c % 2 == 1, F.create_map(F.lit("highway"), F.lit("residential"))
+        ).otherwise(F.map_from_arrays(F.array(), F.array())).alias("tags"),
+        F.lit(None).cast("int").alias("lat7"),
+        F.lit(None).cast("int").alias("lon7"),
+        F.col("_nodes").alias("nodes"),
+        F.lit(None)
+        .cast("array<struct<type:string,ref:long,role:string>>")
+        .alias("members"),
+    )
+    b = (c % REL_BUCKETS).alias("b")
+    wmem = orders.select(b, "o_custkey").distinct().select(
+        "b",
+        F.struct(
+            F.lit("w").alias("type"),
+            (F.lit(WAY_ID_BASE) + F.col("o_custkey")).alias("ref"),
+            F.lit("outer").alias("role"),
+        ).alias("m"),
+    )
+    nmem = orders.groupBy(b).agg(F.min("o_orderkey").alias("_nref")).select(
+        "b",
+        F.struct(
+            F.lit("n").alias("type"),
+            F.col("_nref").alias("ref"),
+            F.lit("admin_centre").alias("role"),
+        ).alias("m"),
+    )
+    bb = F.col("b")
+    rels = (
+        wmem.unionByName(nmem)
+        .groupBy("b")
+        # node member ('n' < 'w') sorts first, then ways by ref — matches
+        # rel_obj's [admin_centre node, ways sorted by custkey]
+        .agg(F.sort_array(F.collect_list("m")).alias("_members"))
+        .select(
+            F.lit("r").alias("obj_type"),
+            (F.lit(REL_ID_BASE) + bb).alias("id"),
+            F.lit(1).cast("int").alias("version"),
+            F.lit(False).alias("deleted"),
+            (bb + 1).cast("int").alias("changeset_id"),
+            F.timestamp_seconds(F.lit(REL_TS_BASE) + bb).alias("timestamp"),
+            F.lit(7).cast("int").alias("uid"),
+            F.lit("rel").alias("user"),
+            F.create_map(F.lit("type"), F.lit("route")).alias("tags"),
+            F.lit(None).cast("int").alias("lat7"),
+            F.lit(None).cast("int").alias("lon7"),
+            F.lit(None).cast("array<long>").alias("nodes"),
+            F.col("_members").alias("members"),
+        )
+    )
+    return nodes.unionByName(ways).unionByName(rels)
+
+
+# --- OSC + changeset-dump fixtures (driver-side writers, cached per sf_dir) --
+
+
+def _fixture_file(spark: SparkSession, sf_dir: str, kind: str, ext: str, build) -> str:
+    import os
+
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    d = "/tmp/osmgraft_fixtures"
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(
+        d, f"{kind}_{os.path.basename(sf_dir.rstrip('/'))}_{n}.{ext}"
+    )
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        build(tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def osc_fixture_path(spark: SparkSession, sf_dir: str) -> str:
+    """OSC change document derived from orders: modify every 5th node
+    (version+1, lat7+100), delete every 35th, create k+500M for k%11==0."""
+
+    def build(tmp: str) -> None:
+        from osmgraft.sources.xml_files import write_osc_file
+
+        keys = [
+            int(r.o_orderkey)
+            for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_orderkey")
+            .collect()
+        ]
+        mods, dels, creates = [], [], []
+        for k in sorted(keys):
+            if k % 5 == 0:
+                o = node_obj(k)
+                o["version"] = o["version"] + 1
+                o["lat7"] = o["lat7"] + 100
+                (dels if k % 7 == 0 else mods).append(o)
+            if k % 11 == 0:
+                o = node_obj(k)
+                o["id"] = k + 500_000_000
+                creates.append(o)
+        write_osc_file({"create": creates, "modify": mods, "delete": dels}, tmp)
+
+    return _fixture_file(spark, sf_dir, "osc", "osc", build)
+
+
+def changesets_fixture_path(spark: SparkSession, sf_dir: str) -> str:
+    """Changeset-dump XML derived from events: one changeset per event_id,
+    tags from event_type, open iff event_id%3==0, num_changes=value%1000."""
+
+    def build(tmp: str) -> None:
+        from osmgraft.sources.xml_files import write_changesets_file
+
+        rows = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "event_type", "value"
+        ).collect()
+        out = []
+        for r in sorted(rows, key=lambda r: int(r.event_id)):
+            e = int(r.event_id)
+            is_open = e % 3 == 0
+            out.append(
+                {
+                    "id": e,
+                    "created": NODE_TS_BASE + e,
+                    "closed": None if is_open else NODE_TS_BASE + e + 3600,
+                    "open": is_open,
+                    "uid": e % 500,
+                    "user": f"cs-{e % 31}",
+                    "tags": {"comment": f"c{e % 13}", "created_by": str(r.event_type)},
+                    "num_changes": int(r.value) % 1000,
+                    "comments_count": e % 7,
+                }
+            )
+        write_changesets_file(out, tmp)
+
+    return _fixture_file(spark, sf_dir, "changesets", "osm", build)
