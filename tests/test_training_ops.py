@@ -103,6 +103,70 @@ def test_image_stats_exact(spark):
     assert (got.sum_r, got.sum_g, got.sum_b) == (int(s[0]), int(s[1]), int(s[2]))
 
 
+def test_image_stats_matches_scalar_decode(spark):
+    """The batched Arrow-buffer decode path row-for-row equals an independent
+    per-row scalar decode (decode_image + phash64) across all three formats
+    and all (w, h) combinations."""
+    import numpy as np
+
+    from osmgraft.functions.codec import decode_image, phash64
+    from osmgraft.synth import synth_images
+
+    imgs = synth_images(spark, 90)
+    got = {r.image_id: r for r in image_stats(imgs).collect()}
+    src = imgs.select("image_id", "bytes", "w", "h", "fmt").collect()
+    assert {r.fmt for r in src} == {"raw", "ppm", "qdct"}
+    for r in src:
+        px = decode_image(bytes(r.bytes), r.w, r.h, r.fmt)
+        s = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        g = got[r.image_id]
+        assert (g.sum_r, g.sum_g, g.sum_b, g.phash) == (
+            int(s[0]),
+            int(s[1]),
+            int(s[2]),
+            int(phash64(px)),
+        ), r.image_id
+
+
+def test_image_stats_pinned_checksum(spark):
+    """Whole-table pinned aggregate: a silently wrong channel sum or pHash
+    anywhere in the 500-image synthetic table fails loudly (VERDICT r1)."""
+    from pyspark.sql import functions as F
+    from osmgraft.synth import synth_images
+
+    row = (
+        image_stats(synth_images(spark, 500))
+        .agg(
+            F.sum("sum_r").alias("r"),
+            F.sum("sum_g").alias("g"),
+            F.sum("sum_b").alias("b"),
+            F.sum(F.col("phash") % 1000003).alias("ph"),
+            F.count("*").alias("n"),
+        )
+        .collect()[0]
+    )
+    assert (row.r, row.g, row.b, row.ph, row.n) == (
+        88320878,
+        88298383,
+        88331377,
+        -251360328,
+        500,
+    )
+
+
+def test_image_resize_gray32_pinned(spark):
+    """Pinned sha256 over the ordered 32×32 thumbnails (batched resize path)."""
+    import hashlib
+
+    from osmgraft.synth import synth_images
+    from osmgraft.operators.multimodal import image_resize_gray32
+
+    rows = image_resize_gray32(synth_images(spark, 64)).orderBy("image_id").collect()
+    assert len(rows) == 64
+    h = hashlib.sha256(b"".join(bytes(r.gray32) for r in rows)).hexdigest()
+    assert h == "59b88a955713e7f80e43ea0ca31d035030f1a51307c2be5542e8bec0f5d98ad4"
+
+
 def test_phash_neardup_pairs(spark):
     from osmgraft.synth import synth_images
 
@@ -112,6 +176,29 @@ def test_phash_neardup_pairs(spark):
     for a in (48, 98, 148):
         pa, pb = f"img{a:012d}", f"img{a + 1:012d}"
         assert (pa, pb) in found, (pa, pb, sorted(found)[:5])
+
+
+def test_phash_neardup_full_recall_vs_bruteforce(spark):
+    """The banding guarantee (n_bands = max_hamming + 1 ⇒ recall 1.0 at the
+    advertised radius) checked against exact all-pairs hamming."""
+    from osmgraft.functions.codec import hamming64
+    from osmgraft.synth import synth_images
+
+    imgs = synth_images(spark, 150)
+    hashes = {r.image_id: r.phash for r in imgs.select("image_id", "phash").collect()}
+    ids = sorted(hashes)
+    for radius in (0, 3, 8):
+        exact = {
+            (a, b): hamming64(hashes[a], hashes[b])
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if hamming64(hashes[a], hashes[b]) <= radius
+        }
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in phash_near_dup_pairs(imgs, max_hamming=radius).collect()
+        }
+        assert got == exact, (radius, set(exact) ^ set(got))
 
 
 def test_video_stub_raises(spark):
