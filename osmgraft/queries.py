@@ -314,6 +314,36 @@ def timestamps_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_cross_format_cmp",
+    """SELECT event_id,
+  CAST(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < shifted THEN -1
+            WHEN CAST(floor(epoch(ts)) AS BIGINT) > shifted THEN 1
+            ELSE 0 END AS INTEGER) AS cmp,
+  (CAST(floor(epoch(ts)) AS BIGINT) = shifted) AS eq
+FROM (SELECT event_id, ts,
+        CAST(floor(epoch(ts)) AS BIGINT) + event_id % 3 - 1 AS shifted
+      FROM events)""",
+)
+def ts_cross_format_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: cross-format timestamp comparison (osmio lib.rs:296-313). Each
+    event's ISO-string timestamp is compared against an epoch-number
+    timestamp shifted by -1/0/+1 s — mixed formats, so the reference's
+    to_epoch_number arm is the one exercised. Pure codegen expressions."""
+    from osmgraft.functions.timestamps import ts_compare, ts_equal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso"),
+        (F.unix_timestamp("ts") + F.col("event_id") % 3 - 1).alias("shifted"),
+    )
+    return ev.select(
+        "event_id",
+        ts_compare(F.col("iso"), "iso", F.col("shifted"), "epoch").alias("cmp"),
+        ts_equal(F.col("iso"), "iso", F.col("shifted"), "epoch").alias("eq"),
+    )
+
+
 # --- training-data ops: text analysis (SURVEY engine-added; brief §text) -----------
 from osmgraft.functions import text as T  # noqa: E402
 
