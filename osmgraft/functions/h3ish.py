@@ -6,15 +6,21 @@ has 7× the cells, rotated ~19.1°), 64-bit ids with H3's bit layout
 (mode·res·base-cell·3-bit digits), hierarchical parent/child by algebraic
 up/down matrices, and grid_disk ring expansion.
 
-DIVERGENCE FROM UBER H3 (documented, deliberate): Uber H3's exact cell ids
-depend on its specific Dymaxion-like icosahedron orientation constants and
-122-base-cell table; those constants are data, not algorithm, and are not
-reproducible from memory in this sandbox. This implementation uses the
-canonical vertex-up icosahedron and 20 base cells (one per face). Ids are
-therefore NOT bit-identical to Uber H3, but the index is self-consistent,
-hierarchical, deterministic, and supports the same operations (cell_to_parent,
-grid_disk, polyfill-by-bbox). Swapping in Uber's orientation table would make
-it id-compatible.
+NAMED NON-GOAL — Uber-H3 id compatibility. Uber H3's exact cell ids depend
+on its specific Dymaxion-like icosahedron orientation constants and
+122-base-cell table; those constants are data, not algorithm, and neither the
+library nor its data files exist in this sandbox to copy or cross-check
+(probed: python h3, duckdb h3 extension — absent). Embedding them from memory
+would risk silently-wrong ids that LOOK compatible — strictly worse than an
+honest divergent index. This implementation ("h3ish") therefore uses the
+canonical vertex-up icosahedron and 20 base cells (one per face). Ids are NOT
+bit-identical to Uber H3 — do not join them against real H3 data. What IS
+guaranteed (and pinned by tests/test_cell_goldens.py absolute regression
+vectors + tests/test_cells.py invariants): determinism across partitionings,
+H3's bit layout, exact algebraic parent/child aperture-7 hierarchy, grid_disk
+ring semantics, and spatial locality. Swapping in Uber's orientation +
+base-cell tables (public data in the H3 repo) is the one change needed for id
+compatibility.
 
 All kernels are numpy-vectorized over int64 arrays (input_hint: no per-row
 Python). Integer lattice math is EXACT (half-up rational rounding with

@@ -7,11 +7,18 @@ the face-specific ratios → (s,t) via the quadratic projection → 30-bit (i,j)
 ``face(3b) · position(2·level bits) · trailing 1``.
 
 The Hilbert lookup tables are generated programmatically from the published
-pos→ij base pattern and orientation-modifier tables. Correctness here is
-pinned by structural invariants (tests/test_cells.py): level extraction,
-parent containment, center roundtrip, neighbor locality — the library cannot
-be diffed against Google S2 in this sandbox (no s2 lib), so ids are
-"S2-layout, spec-faithful best effort".
+pos→ij base pattern and orientation-modifier tables. Correctness evidence
+(tests/test_cell_goldens.py + tests/test_cells.py), strongest first:
+published-constant pins (kPosToIJ / derived kIJtoPos / kPosToOrientation
+literals from s2coords.cc, quadratic ST↔UV golden values), spec-FORCED id
+vectors (FromFace ids (2f+1)<<60 at face centers; the Hilbert curve's
+first/last cells per face from the corner positions — all verified), absolute
+regression vectors at levels 13/30, and structural invariants (level
+extraction, parent containment, center roundtrip, neighbor locality). No
+independent S2 library or network exists in this sandbox to bit-diff against
+(probed: s2sphere, duckdb extensions — absent), so the residual risk is a
+systematic error that satisfies all published constants and forced vectors
+simultaneously.
 """
 
 from __future__ import annotations
