@@ -268,3 +268,39 @@ def decode_qdct(data: bytes) -> np.ndarray:
     blocks = np.einsum("ki,akblc,lj->aibjc", c, qc.astype(np.float64) * q, c)
     p = blocks.reshape(H, W, 3) + 128.0
     return np.clip(np.round(p), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def psnr_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-image PSNR in dB over (n, h, w, 3) uint8 batches — batched twin of
+    :func:`psnr` (inf where a row is bit-identical), one vectorized reduction."""
+    d = a.astype(np.float64) - b.astype(np.float64)
+    mse = (d * d).reshape(len(d), -1).mean(axis=1)
+    out = np.full(len(d), np.inf)
+    nz = mse > 0
+    out[nz] = 10.0 * np.log10(255.0**2 / mse[nz])
+    return out
+
+
+def encode_qdct_batch(pixels: np.ndarray, q: int = 4) -> tuple[np.ndarray, int]:
+    """Batched :func:`encode_qdct`: (n, h, w, 3) uint8 → (flat uint8 buffer,
+    per-image payload length). All rows share (h, w, q) so payloads are
+    uniform length; each row's bytes are bit-identical to the scalar encoder
+    (pinned in tests). One einsum over the whole batch — no per-image Python."""
+    n, h, w = pixels.shape[:3]
+    ph, pw = -h % 8, -w % 8
+    p = (
+        np.pad(pixels, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge").astype(
+            np.float64
+        )
+        - 128.0
+    )
+    H, W = p.shape[1:3]
+    c = _dct8_matrix()
+    blocks = p.reshape(n, H // 8, 8, W // 8, 8, 3)
+    coef = np.einsum("ki,naibjc,lj->nakblc", c, blocks, c)
+    qc = np.ascontiguousarray(np.round(coef / q).astype("<i2"))
+    head = np.frombuffer(b"QDCT" + np.array([w, h, q], dtype="<u2").tobytes(), np.uint8)
+    flat = np.concatenate(
+        [np.broadcast_to(head, (n, 10)), qc.reshape(n, -1).view(np.uint8)], axis=1
+    )
+    return np.ascontiguousarray(flat).reshape(-1), flat.shape[1]

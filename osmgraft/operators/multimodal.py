@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -71,8 +72,9 @@ def _binary_spans(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 def _iter_image_chunks(
     batches: Iterator[pa.RecordBatch],
-) -> Iterator[tuple[pa.Array, np.ndarray, int, int, str]]:
-    """Yield (ids, pixels (k,h,w,3), w, h, fmt) in memory-bounded chunks.
+) -> Iterator[tuple[pa.RecordBatch, pa.Array, np.ndarray, int, int, str]]:
+    """Yield (batch, row_sel, pixels (k,h,w,3), w, h, fmt) in memory-bounded
+    chunks; callers project extra columns with ``batch.column(x).take(row_sel)``.
 
     Rows are grouped by (fmt, w, h) with vectorized pyarrow/numpy ops (the
     only per-row Python is the tiny fmt dictionary), each group compacted
@@ -102,7 +104,7 @@ def _iter_image_chunks(
                     sub = sub.combine_chunks()
                 buf, starts, ends = _binary_spans(sub)
                 px = decode_batch(buf, starts, ends, w, h, fmt)
-                yield rb.column("image_id").take(sel), px, w, h, fmt
+                yield rb, sel, px, w, h, fmt
 
 
 def image_stats(images: DataFrame) -> DataFrame:
@@ -110,11 +112,11 @@ def image_stats(images: DataFrame) -> DataFrame:
     Fully batched: Arrow-buffer decode + one numpy reduction per chunk."""
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for ids, px, _w, _h, _fmt in _iter_image_chunks(batches):
+        for rb, sel, px, _w, _h, _fmt in _iter_image_chunks(batches):
             s = px.reshape(len(px), -1, 3).sum(axis=1, dtype=np.int64)
             yield pa.RecordBatch.from_arrays(
                 [
-                    ids,
+                    rb.column("image_id").take(sel),
                     pa.array(s[:, 0]),
                     pa.array(s[:, 1]),
                     pa.array(s[:, 2]),
@@ -200,7 +202,7 @@ def image_resize_gray32(images: DataFrame) -> DataFrame:
     from one contiguous (k, 1024) uint8 buffer with uniform offsets."""
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for ids, px, _w, _h, _fmt in _iter_image_chunks(batches):
+        for rb, sel, px, _w, _h, _fmt in _iter_image_chunks(batches):
             g = resize_area_batch(to_gray_batch(px), 32, 32)
             flat = np.clip(g, 0, 255).astype(np.uint8).reshape(len(px), -1)
             offs = np.arange(0, (len(px) + 1) * flat.shape[1], flat.shape[1], dtype=np.int32)
@@ -209,11 +211,201 @@ def image_resize_gray32(images: DataFrame) -> DataFrame:
                 len(px),
                 [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(flat.tobytes())],
             )
-            yield pa.RecordBatch.from_arrays([ids, gray], names=["image_id", "gray32"])
+            yield pa.RecordBatch.from_arrays(
+                [rb.column("image_id").take(sel), gray], names=["image_id", "gray32"]
+            )
 
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
         kernel, schema=RESIZE_SCHEMA
     )
+
+
+TRANSCODE_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("bytes", BinaryType(), True),
+        StructField("w", IntegerType(), True),
+        StructField("h", IntegerType(), True),
+        StructField("fmt", StringType(), True),
+        StructField("caption", StringType(), True),
+    ]
+)
+
+
+def transcode_qdct(images: DataFrame, q: int = 4) -> DataFrame:
+    """Re-encode every image to the lossy ``qdct`` format (quantization step
+    ``q``), preserving metadata + caption. Batched end to end: Arrow-buffer
+    decode (:func:`decode_batch`) → one-einsum batch encode
+    (:func:`encode_qdct_batch`) → binary column rebuilt from a single flat
+    buffer with uniform offsets. This is the engine's lossy leg for the
+    north-rule per-row invariant (decoded-pixel PSNR≥40dB for lossy fmt)."""
+    from osmgraft.functions.codec import encode_qdct_batch
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches):
+            flat, m = encode_qdct_batch(px, q=q)
+            offs = np.arange(0, (len(px) + 1) * m, m, dtype=np.int32)
+            out_bytes = pa.Array.from_buffers(
+                pa.binary(),
+                len(px),
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(flat.tobytes())],
+            )
+            k = len(px)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column("image_id").take(sel),
+                    out_bytes,
+                    pa.array(np.full(k, w, dtype=np.int32)),
+                    pa.array(np.full(k, h, dtype=np.int32)),
+                    pa.array(["qdct"] * k),
+                    rb.column("caption").take(sel),
+                ],
+                names=[f.name for f in TRANSCODE_SCHEMA.fields],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt", "caption").mapInArrow(
+        kernel, schema=TRANSCODE_SCHEMA
+    )
+
+
+FIDELITY_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("caption_ok", BooleanType(), True),
+        StructField("pixels_exact", BooleanType(), True),
+        StructField("psnr_cdb", LongType(), True),
+        StructField("psnr_ok", BooleanType(), True),
+    ]
+)
+
+# sentinel for identical pixels: PSNR is +inf; report 10000.00 dB
+_PSNR_INF_CDB = 1_000_000
+
+
+def roundtrip_fidelity(
+    a: DataFrame, b: DataFrame, threshold_db: float = 40.0
+) -> DataFrame:
+    """North-rule per-row invariant (BASELINE input_hint): join two image
+    tables on image_id and verify, PER ROW, decoded-pixel fidelity
+    (``pixels_exact`` when bit-identical, else PSNR in centi-dB with
+    ``psnr_ok = psnr >= threshold_db``) and ``caption_ok`` string equality —
+    the DataFrame-equality restatement of osmio's read→write→read roundtrip
+    discipline (xml/mod.rs:565-597 golden roundtrips), with the lossy-format
+    allowance the reference never needed (it only has lossless codecs).
+
+    Scale shape: caption equality is a JVM expression before the kernel; the
+    pixel compare is one mapInArrow over the joined batches, grouped by
+    (fmt_a, fmt_b, w, h) via lexsort and decoded with the same Arrow-buffer
+    batch decode as image_stats — no per-row Python. The equi-join on
+    image_id is the only shuffle; at 100 TB both sides come from the same
+    upstream partitioning so AQE plans it co-partitioned, and either side can
+    be bucketed by image_id to eliminate it entirely."""
+    left = a.select(
+        "image_id",
+        F.col("bytes").alias("bytes_a"),
+        "w",
+        "h",
+        F.col("fmt").alias("fmt_a"),
+        F.col("caption").alias("caption_a"),
+    )
+    right = b.select(
+        "image_id",
+        F.col("bytes").alias("bytes_b"),
+        F.col("w").alias("w_b"),
+        F.col("h").alias("h_b"),
+        F.col("fmt").alias("fmt_b"),
+        F.col("caption").alias("caption_b"),
+    )
+    joined = left.join(right, "image_id").select(
+        "image_id",
+        F.col("caption_a").eqNullSafe(F.col("caption_b")).alias("caption_ok"),
+        "bytes_a",
+        "bytes_b",
+        "w",
+        "h",
+        "w_b",
+        "h_b",
+        "fmt_a",
+        "fmt_b",
+    )
+    thr = float(threshold_db)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from osmgraft.functions.codec import psnr_batch
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            cols = {}
+            for name in ("fmt_a", "fmt_b"):
+                d = pa.compute.dictionary_encode(rb.column(name))
+                if isinstance(d, pa.ChunkedArray):
+                    d = d.combine_chunks()
+                cols[name] = (
+                    d.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+                    d.dictionary.to_pylist(),
+                )
+            dims = {
+                name: rb.column(name).to_numpy(zero_copy_only=False).astype(np.int64)
+                for name in ("w", "h", "w_b", "h_b")
+            }
+            keys = (
+                dims["h_b"],
+                dims["w_b"],
+                dims["h"],
+                dims["w"],
+                cols["fmt_b"][0],
+                cols["fmt_a"][0],
+            )
+            order = np.lexsort(keys)
+            stacked = np.stack([k[order] for k in keys])
+            bounds = np.flatnonzero(np.any(np.diff(stacked, axis=1) != 0, axis=0)) + 1
+            for rows in np.split(order, bounds):
+                r0 = rows[0]
+                w, h = int(dims["w"][r0]), int(dims["h"][r0])
+                fmt_a = cols["fmt_a"][1][int(cols["fmt_a"][0][r0])]
+                fmt_b = cols["fmt_b"][1][int(cols["fmt_b"][0][r0])]
+                dims_ok = w == int(dims["w_b"][r0]) and h == int(dims["h_b"][r0])
+                step = (
+                    max(1, _CHUNK_FLOAT_BYTES // (2 * 3 * w * h * 8))
+                    if dims_ok
+                    else len(rows)
+                )
+                for lo in range(0, len(rows), step):
+                    sel = pa.array(rows[lo : lo + step])
+                    k = len(sel)
+                    if not dims_ok:
+                        # dimension mismatch: fidelity fails without decoding
+                        exact = np.zeros(k, dtype=bool)
+                        cdb = np.zeros(k, dtype=np.int64)
+                        ok = np.zeros(k, dtype=bool)
+                    else:
+                        px = []
+                        for side, fmt in (("bytes_a", fmt_a), ("bytes_b", fmt_b)):
+                            sub = rb.column(side).take(sel)
+                            if isinstance(sub, pa.ChunkedArray):
+                                sub = sub.combine_chunks()
+                            buf, starts, ends = _binary_spans(sub)
+                            px.append(decode_batch(buf, starts, ends, w, h, fmt))
+                        p = psnr_batch(px[0], px[1])
+                        exact = np.isinf(p)
+                        cdb = np.where(
+                            exact, _PSNR_INF_CDB, np.floor(p * 100.0)
+                        ).astype(np.int64)
+                        ok = p >= thr
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            rb.column("image_id").take(sel),
+                            rb.column("caption_ok").take(sel),
+                            pa.array(exact),
+                            pa.array(cdb),
+                            pa.array(ok),
+                        ],
+                        names=[f.name for f in FIDELITY_SCHEMA.fields],
+                    )
+
+    return joined.mapInArrow(kernel, schema=FIDELITY_SCHEMA)
 
 
 # --- audio/video stubs (real plumbing, fake or NotImplemented decode) -----------

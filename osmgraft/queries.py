@@ -611,6 +611,63 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(synth_images(spark, _n_images(sf_dir)), max_hamming=8)
 
 
+@register(
+    "image_roundtrip_fidelity",
+    """WITH idxs AS (SELECT row_number() OVER () - 1 AS idx FROM orders),
+capped AS (SELECT idx FROM idxs WHERE idx < 2000),
+legs AS (
+  SELECT 'parquet' AS leg, idx FROM capped
+  UNION ALL
+  SELECT 'transcode' AS leg, idx FROM capped WHERE idx % 3 <> 2
+)
+SELECT leg,
+       concat('img', lpad(CAST(idx AS VARCHAR), 12, '0')) AS image_id,
+       TRUE AS caption_ok,
+       (leg = 'parquet') AS pixels_exact,
+       TRUE AS psnr_ok
+FROM legs""",
+)
+def image_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule per-row invariant, exercised end to end (input_hint:
+    "decoded-pixel allclose (PSNR≥40 for lossy) + caption equality"), the
+    DataFrame restatement of osmio's roundtrip discipline (E2,
+    xml/mod.rs:565-597):
+
+    - leg 'parquet': images → parquet write → read-back, per-row fidelity vs
+      the originals — lossless storage, so every row must be pixel-exact with
+      equal captions.
+    - leg 'transcode': lossless-format rows re-encoded to the real lossy
+      ``qdct`` codec (q=4 → ~46.9 dB quantization noise), per-row fidelity vs
+      the originals — NO row may be pixel-exact, every row must clear the
+      40 dB bar with equal captions.
+
+    The oracle is the *specification*: DuckDB cannot decode images, but every
+    output cell (which rows exist per leg, exactness per leg, the PSNR bar,
+    caption equality) is provable from the synth construction, so any decode,
+    transcode, join, or caption bug flips a boolean and fails the hash.
+    Pixel decode is the same Arrow-buffer batch kernel as image_stats; the
+    only Python is batched numpy."""
+    import tempfile
+
+    from osmgraft.operators.multimodal import roundtrip_fidelity, transcode_qdct
+    from osmgraft.synth import synth_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 2000)
+    imgs = synth_images(spark, n)
+    out = tempfile.mkdtemp(prefix="osmgraft_fid_")
+    imgs.write.mode("overwrite").parquet(out)
+    leg_a = roundtrip_fidelity(imgs, spark.read.parquet(out)).withColumn(
+        "leg", F.lit("parquet")
+    )
+    src = imgs.filter(F.col("fmt") != "qdct")
+    leg_b = roundtrip_fidelity(src, transcode_qdct(src, q=4)).withColumn(
+        "leg", F.lit("transcode")
+    )
+    return leg_a.unionByName(leg_b).select(
+        "leg", "image_id", "caption_ok", "pixels_exact", "psnr_ok"
+    )
+
+
 # --- checkpoint/resume (north-rule lineage path) -----------------------------------
 @register(
     "checkpointed_pip_tiles",

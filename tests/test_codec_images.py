@@ -127,3 +127,84 @@ def test_qdct_phash_stable():
     px = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
     back = decode_image(encode_image(px, "qdct"), 32, 32, "qdct")
     assert hamming64(int(phash64(px)), int(phash64(back))) <= 6
+
+
+def test_encode_qdct_batch_bit_identical_to_scalar():
+    from osmgraft.functions.codec import encode_qdct, encode_qdct_batch
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (7, 16, 24, 3), dtype=np.uint8)
+    flat, m = encode_qdct_batch(px, q=4)
+    for i in range(len(px)):
+        assert flat[i * m : (i + 1) * m].tobytes() == encode_qdct(px[i], q=4)
+
+
+def test_psnr_batch_matches_scalar():
+    from osmgraft.functions.codec import psnr, psnr_batch
+
+    rng = np.random.default_rng(12)
+    a = rng.integers(0, 256, (4, 8, 8, 3), dtype=np.uint8)
+    b = a.copy()
+    b[2] = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    b[3, 0, 0, 0] ^= 2
+    got = psnr_batch(a, b)
+    assert got[0] == np.inf and got[1] == np.inf
+    for i in (2, 3):
+        assert abs(got[i] - psnr(a[i], b[i])) < 1e-12
+
+
+def test_roundtrip_fidelity_operator(spark):
+    """North-rule per-row invariant: parquet leg exact, qdct transcode leg
+    lossy-but-over-40dB, caption equality — and a corrupted row FAILS."""
+    import pyspark.sql.functions as F
+
+    from osmgraft.operators.multimodal import roundtrip_fidelity, transcode_qdct
+    from osmgraft.synth import synth_images
+
+    imgs = synth_images(spark, 60).cache()
+    # identity: everything exact, psnr sentinel, captions equal
+    rows = roundtrip_fidelity(imgs, imgs).collect()
+    assert len(rows) == 60
+    assert all(r.pixels_exact and r.caption_ok and r.psnr_ok for r in rows)
+    assert all(r.psnr_cdb == 1_000_000 for r in rows)
+    # lossy transcode: nothing exact, everything >= 40 dB (4000 centi-dB)
+    src = imgs.filter(F.col("fmt") != "qdct")
+    rows = roundtrip_fidelity(src, transcode_qdct(src, q=4)).collect()
+    assert len(rows) == src.count() > 0
+    assert all(
+        (not r.pixels_exact) and r.caption_ok and r.psnr_ok and 4000 <= r.psnr_cdb < 1_000_000
+        for r in rows
+    )
+    # corruption is detected per row: flip one payload byte + alter a caption
+    pdf = imgs.limit(10).toPandas()
+    pdf.loc[3, "bytes"] = bytes(pdf.loc[3, "bytes"][:-1]) + bytes(
+        [pdf.loc[3, "bytes"][-1] ^ 0xFF]
+    )
+    pdf.loc[4, "caption"] = pdf.loc[4, "caption"] + "!"
+    corrupted = spark.createDataFrame(pdf[["image_id", "bytes", "w", "h", "fmt", "caption"]])
+    out = {
+        r.image_id: r
+        for r in roundtrip_fidelity(imgs.limit(10), corrupted).collect()
+    }
+    assert len(out) == 10
+    bad_px = out[pdf.loc[3, "image_id"]]
+    assert not bad_px.pixels_exact and bad_px.psnr_cdb < 1_000_000
+    bad_cap = out[pdf.loc[4, "image_id"]]
+    assert not bad_cap.caption_ok
+    # everything else still clean
+    clean = [r for k, r in out.items() if k not in (pdf.loc[3, "image_id"], pdf.loc[4, "image_id"])]
+    assert all(r.pixels_exact and r.caption_ok for r in clean)
+
+
+def test_roundtrip_fidelity_dim_mismatch(spark):
+    """Rows whose (w, h) metadata disagree across sides fail without decode."""
+    import pyspark.sql.functions as F
+
+    from osmgraft.operators.multimodal import roundtrip_fidelity
+    from osmgraft.synth import synth_images
+
+    imgs = synth_images(spark, 6).cache()
+    shrunk = imgs.withColumn("w", (F.col("w") / 2).cast("int"))
+    rows = roundtrip_fidelity(imgs, shrunk).collect()
+    assert len(rows) == 6
+    assert all((not r.pixels_exact) and (not r.psnr_ok) and r.caption_ok for r in rows)
