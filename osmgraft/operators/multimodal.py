@@ -53,10 +53,14 @@ STATS_SCHEMA = StructType(
 )
 
 # Python-side decoded-tensor budget per chunk (the JVM-side Arrow batch is
-# bounded separately by maxRecordsPerBatch — see session.py). 64 MB of
-# float64-equivalent keeps the qdct einsum temporaries well under task memory
-# even with 32 concurrent tasks.
-_CHUNK_FLOAT_BYTES = 64 << 20
+# bounded separately by maxRecordsPerBatch — see session.py). Keep chunks
+# small enough that the float64 intermediates stay cache/TLB-friendly: numpy
+# returns >4 MB buffers to the OS on free, so every oversized chunk re-faults
+# tens of thousands of pages per call — measured 15-40x intermittent stalls
+# at 64 MB on this host vs uniformly fast at 4 MB, with identical output
+# (BENCH/IMAGE.md). ~40 64x64 images per chunk still amortizes numpy dispatch
+# to noise, and per-core working sets stay L2-resident at any parallelism.
+_CHUNK_FLOAT_BYTES = 4 << 20
 
 
 def _binary_spans(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -145,11 +145,13 @@ def test_image_stats_pinned_checksum(spark):
         )
         .collect()[0]
     )
+    # re-pinned after the matmul block-DCT (BENCH/IMAGE.md): qdct decode
+    # rounding can shift single pixels by ±1 vs the einsum form
     assert (row.r, row.g, row.b, row.ph, row.n) == (
-        88320878,
-        88298383,
-        88331377,
-        -251360328,
+        88320609,
+        88298783,
+        88331408,
+        -251843426,
         500,
     )
 
@@ -164,7 +166,7 @@ def test_image_resize_gray32_pinned(spark):
     rows = image_resize_gray32(synth_images(spark, 64)).orderBy("image_id").collect()
     assert len(rows) == 64
     h = hashlib.sha256(b"".join(bytes(r.gray32) for r in rows)).hexdigest()
-    assert h == "59b88a955713e7f80e43ea0ca31d035030f1a51307c2be5542e8bec0f5d98ad4"
+    assert h == "89ebce98de1887d4dc23e460c8d0e9b39c29ce7239561a307baaf0d5de230252"
 
 
 def test_phash_neardup_pairs(spark):
