@@ -442,7 +442,11 @@ REGISTRY["embedding_topk"] = (REGISTRY["embedding_topk"][0], sql_cosine_topk(k=1
 def embedding_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized matmul brute-force cosine top-k (mapInArrow, per-partition
     partial top-k + tiny merge) — 55x faster than the HOF fold at 80k items
-    x 8 queries; exact, same oracle as embedding_topk."""
+    x 8 queries; exact, same oracle as embedding_topk. Known accepted risk
+    (ADVICE r1): rankings could in principle diverge from the fold-based
+    oracle on sub-ulp cosine TIES (pairwise vs sequential float summation);
+    the synthetic embeddings have no exact ties, and a tie would show as a
+    hash flake here, not a wrong top-k."""
     from osmgraft.operators.similarity import cosine_topk_np
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -29,7 +29,18 @@ def get_spark(app: str = "osmgraft", cpus: int | None = None, **extra: str) -> S
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # With maxBytesPerBatch short-circuited below, the rows-per-batch cap
+        # is the only JVM-side Arrow batch bound. 65536 is right for narrow
+        # rows (the PIP/cell kernels want big batches); for binary-heavy
+        # tables (image bytes, 12-50KB/row) 65536 rows is a 0.8-3GB batch per
+        # concurrent task, so image-heavy deployments should lower this knob
+        # (ADVICE r1). In practice parquet scan splits (~128MB) bound the
+        # partition — and therefore the batch — long before this cap; the
+        # blow-up case is wide in-memory DataFrames feeding mapInArrow.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_MAX_RECORDS", "65536"),
+        )
         # Spark 4.1 defaults maxBytesPerBatch to 64MB, which makes the JVM call
         # ArrowWriter.sizeInBytes() per appended row inside the Arrow feed loop
         # (BatchedPythonArrowInput.underBatchSizeLimit) — profiled at >50% of
