@@ -76,14 +76,25 @@ def _binary_spans(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 def _iter_image_chunks(
     batches: Iterator[pa.RecordBatch],
-) -> Iterator[tuple[pa.RecordBatch, pa.Array, np.ndarray, int, int, str]]:
+    on_error: str = "fail",
+) -> Iterator[tuple[pa.RecordBatch, pa.Array, np.ndarray | None, int, int, str]]:
     """Yield (batch, row_sel, pixels (k,h,w,3), w, h, fmt) in memory-bounded
     chunks; callers project extra columns with ``batch.column(x).take(row_sel)``.
 
     Rows are grouped by (fmt, w, h) with vectorized pyarrow/numpy ops (the
     only per-row Python is the tiny fmt dictionary), each group compacted
     with Arrow take() so decode_batch hits its contiguous reshape fast path.
+
+    on_error="fail" (default): a corrupt payload raises (strict — bugs can't
+    hide). on_error="null": rows failing the vectorized payload validation
+    (codec.validate_batch — truncation, bad magic, header/metadata mismatch,
+    null bytes) are yielded once per group with ``pixels=None`` so callers
+    emit null outputs — at 100 TB one bad row must not kill the job.
     """
+    if on_error not in ("fail", "null"):
+        raise ValueError(f"on_error must be 'fail' or 'null', got {on_error!r}")
+    from osmgraft.functions.codec import validate_batch
+
     for rb in batches:
         n = rb.num_rows
         if n == 0:
@@ -92,14 +103,43 @@ def _iter_image_chunks(
         if isinstance(fmt_idx_arr, pa.ChunkedArray):
             fmt_idx_arr = fmt_idx_arr.combine_chunks()
         fmts = fmt_idx_arr.dictionary.to_pylist()
-        fmt_idx = fmt_idx_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        ws = rb.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
-        hs = rb.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(invalid="ignore"):  # null metadata → NaN → garbage
+            fmt_idx = fmt_idx_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            ws = rb.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+            hs = rb.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        live = np.arange(n)
+        if on_error == "null":
+            # rows with null bytes/metadata can't even be grouped: null group
+            bad_meta = pa.compute.is_null(rb.column("bytes"))
+            for name in ("fmt", "w", "h"):
+                bad_meta = pa.compute.or_kleene(
+                    bad_meta, pa.compute.is_null(rb.column(name))
+                )
+            bad_meta = bad_meta.to_numpy(zero_copy_only=False).astype(bool)
+            if bad_meta.any():
+                yield rb, pa.array(np.flatnonzero(bad_meta)), None, 0, 0, ""
+                live = np.flatnonzero(~bad_meta)
+                if not len(live):
+                    continue
+            col = rb.column("bytes")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            buf_all, starts_all, ends_all = _binary_spans(col)
         key = (fmt_idx << 44) | (ws << 22) | hs
-        order = np.argsort(key, kind="stable")
+        order = live[np.argsort(key[live], kind="stable")]
         bounds = np.flatnonzero(np.diff(key[order])) + 1
         for rows in np.split(order, bounds):
             w, h, fmt = int(ws[rows[0]]), int(hs[rows[0]]), fmts[int(fmt_idx[rows[0]])]
+            if on_error == "null":
+                mask = validate_batch(
+                    buf_all, starts_all[rows], ends_all[rows], w, h, fmt
+                )
+                bad = rows[~mask]
+                if len(bad):
+                    yield rb, pa.array(bad), None, w, h, fmt
+                rows = rows[mask]
+                if not len(rows):
+                    continue
             step = max(1, _CHUNK_FLOAT_BYTES // (3 * w * h * 8))
             for lo in range(0, len(rows), step):
                 sel = pa.array(rows[lo : lo + step])
@@ -111,16 +151,26 @@ def _iter_image_chunks(
                 yield rb, sel, px, w, h, fmt
 
 
-def image_stats(images: DataFrame) -> DataFrame:
+def image_stats(images: DataFrame, on_error: str = "fail") -> DataFrame:
     """Decode → exact per-channel pixel sums + pHash (integer outputs only).
-    Fully batched: Arrow-buffer decode + one numpy reduction per chunk."""
+    Fully batched: Arrow-buffer decode + one numpy reduction per chunk.
+    on_error="null" emits null stats for corrupt/null payloads instead of
+    failing the job (strict by default so bugs can't hide)."""
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for rb, sel, px, _w, _h, _fmt in _iter_image_chunks(batches):
+        for rb, sel, px, _w, _h, _fmt in _iter_image_chunks(batches, on_error):
+            ids = rb.column("image_id").take(sel)
+            if px is None:
+                nul = pa.nulls(len(sel), pa.int64())
+                yield pa.RecordBatch.from_arrays(
+                    [ids, nul, nul, nul, nul],
+                    names=[f.name for f in STATS_SCHEMA.fields],
+                )
+                continue
             s = px.reshape(len(px), -1, 3).sum(axis=1, dtype=np.int64)
             yield pa.RecordBatch.from_arrays(
                 [
-                    rb.column("image_id").take(sel),
+                    ids,
                     pa.array(s[:, 0]),
                     pa.array(s[:, 1]),
                     pa.array(s[:, 2]),
@@ -200,13 +250,19 @@ RESIZE_SCHEMA = StructType(
 )
 
 
-def image_resize_gray32(images: DataFrame) -> DataFrame:
+def image_resize_gray32(images: DataFrame, on_error: str = "fail") -> DataFrame:
     """Feature-extraction step: 32×32 grayscale thumbnail as binary. Batched
     decode + batched luma/area-resample; the output binary column is built
     from one contiguous (k, 1024) uint8 buffer with uniform offsets."""
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for rb, sel, px, _w, _h, _fmt in _iter_image_chunks(batches):
+        for rb, sel, px, _w, _h, _fmt in _iter_image_chunks(batches, on_error):
+            if px is None:
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column("image_id").take(sel), pa.nulls(len(sel), pa.binary())],
+                    names=["image_id", "gray32"],
+                )
+                continue
             g = resize_area_batch(to_gray_batch(px), 32, 32)
             flat = np.clip(g, 0, 255).astype(np.uint8).reshape(len(px), -1)
             offs = np.arange(0, (len(px) + 1) * flat.shape[1], flat.shape[1], dtype=np.int32)
@@ -236,7 +292,7 @@ TRANSCODE_SCHEMA = StructType(
 )
 
 
-def transcode_qdct(images: DataFrame, q: int = 4) -> DataFrame:
+def transcode_qdct(images: DataFrame, q: int = 4, on_error: str = "fail") -> DataFrame:
     """Re-encode every image to the lossy ``qdct`` format (quantization step
     ``q``), preserving metadata + caption. Batched end to end: Arrow-buffer
     decode (:func:`decode_batch`) → one-einsum batch encode
@@ -246,7 +302,21 @@ def transcode_qdct(images: DataFrame, q: int = 4) -> DataFrame:
     from osmgraft.functions.codec import encode_qdct_batch
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches):
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            if px is None:  # corrupt source payload → null output payload
+                k = len(sel)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        rb.column("image_id").take(sel),
+                        pa.nulls(k, pa.binary()),
+                        rb.column("w").take(sel),
+                        rb.column("h").take(sel),
+                        pa.nulls(k, pa.string()),
+                        rb.column("caption").take(sel),
+                    ],
+                    names=[f.name for f in TRANSCODE_SCHEMA.fields],
+                )
+                continue
             flat, m = encode_qdct_batch(px, q=q)
             offs = np.arange(0, (len(px) + 1) * m, m, dtype=np.int32)
             out_bytes = pa.Array.from_buffers(
@@ -335,25 +405,63 @@ def roundtrip_fidelity(
     thr = float(threshold_db)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from osmgraft.functions.codec import psnr_batch
+        from osmgraft.functions.codec import psnr_batch, validate_batch
+
+        def fail_rows(rb, rows):
+            """Fidelity-failure output (no decode): exact=F, cdb=0, ok=F."""
+            sel = pa.array(rows)
+            z = np.zeros(len(rows), dtype=bool)
+            return pa.RecordBatch.from_arrays(
+                [
+                    rb.column("image_id").take(sel),
+                    rb.column("caption_ok").take(sel),
+                    pa.array(z),
+                    pa.array(np.zeros(len(rows), dtype=np.int64)),
+                    pa.array(z),
+                ],
+                names=[f.name for f in FIDELITY_SCHEMA.fields],
+            )
 
         for rb in batches:
             n = rb.num_rows
             if n == 0:
                 continue
+            # rows with null payload/metadata on either side fail fidelity
+            # without decoding (a verification operator must never crash on
+            # the very rows it exists to flag)
+            bad_meta = pa.compute.is_null(rb.column("bytes_a"))
+            for name in ("bytes_b", "fmt_a", "fmt_b", "w", "h", "w_b", "h_b"):
+                bad_meta = pa.compute.or_kleene(
+                    bad_meta, pa.compute.is_null(rb.column(name))
+                )
+            bad_meta = bad_meta.to_numpy(zero_copy_only=False).astype(bool)
+            live = np.arange(n)
+            if bad_meta.any():
+                yield fail_rows(rb, np.flatnonzero(bad_meta))
+                live = np.flatnonzero(~bad_meta)
+                if not len(live):
+                    continue
             cols = {}
             for name in ("fmt_a", "fmt_b"):
                 d = pa.compute.dictionary_encode(rb.column(name))
                 if isinstance(d, pa.ChunkedArray):
                     d = d.combine_chunks()
-                cols[name] = (
-                    d.indices.to_numpy(zero_copy_only=False).astype(np.int64),
-                    d.dictionary.to_pylist(),
-                )
-            dims = {
-                name: rb.column(name).to_numpy(zero_copy_only=False).astype(np.int64)
-                for name in ("w", "h", "w_b", "h_b")
-            }
+                with np.errstate(invalid="ignore"):
+                    cols[name] = (
+                        d.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+                        d.dictionary.to_pylist(),
+                    )
+            with np.errstate(invalid="ignore"):
+                dims = {
+                    name: rb.column(name).to_numpy(zero_copy_only=False).astype(np.int64)
+                    for name in ("w", "h", "w_b", "h_b")
+                }
+            spans = {}
+            for side in ("bytes_a", "bytes_b"):
+                col = rb.column(side)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                spans[side] = _binary_spans(col)
             keys = (
                 dims["h_b"],
                 dims["w_b"],
@@ -362,7 +470,7 @@ def roundtrip_fidelity(
                 cols["fmt_b"][0],
                 cols["fmt_a"][0],
             )
-            order = np.lexsort(keys)
+            order = live[np.lexsort(tuple(k[live] for k in keys))]
             stacked = np.stack([k[order] for k in keys])
             bounds = np.flatnonzero(np.any(np.diff(stacked, axis=1) != 0, axis=0)) + 1
             for rows in np.split(order, bounds):
@@ -371,6 +479,20 @@ def roundtrip_fidelity(
                 fmt_a = cols["fmt_a"][1][int(cols["fmt_a"][0][r0])]
                 fmt_b = cols["fmt_b"][1][int(cols["fmt_b"][0][r0])]
                 dims_ok = w == int(dims["w_b"][r0]) and h == int(dims["h_b"][r0])
+                if dims_ok:
+                    # structurally corrupt payloads on either side fail
+                    # per row, without decode
+                    valid = np.ones(len(rows), dtype=bool)
+                    for side, fmt in (("bytes_a", fmt_a), ("bytes_b", fmt_b)):
+                        buf_all, st_all, en_all = spans[side]
+                        valid &= validate_batch(
+                            buf_all, st_all[rows], en_all[rows], w, h, fmt
+                        )
+                    if not valid.all():
+                        yield fail_rows(rb, rows[~valid])
+                        rows = rows[valid]
+                        if not len(rows):
+                            continue
                 step = (
                     max(1, _CHUNK_FLOAT_BYTES // (2 * 3 * w * h * 8))
                     if dims_ok

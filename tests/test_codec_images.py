@@ -208,3 +208,67 @@ def test_roundtrip_fidelity_dim_mismatch(spark):
     rows = roundtrip_fidelity(imgs, shrunk).collect()
     assert len(rows) == 6
     assert all((not r.pixels_exact) and (not r.psnr_ok) and r.caption_ok for r in rows)
+
+
+def test_image_ops_on_error_null(spark):
+    """Corrupt / truncated / null payloads: on_error='null' emits null outputs
+    per row instead of failing the job; default stays strict."""
+    import pandas as pd
+    import pytest
+
+    from osmgraft.operators.multimodal import image_stats, transcode_qdct
+    from osmgraft.synth import synth_images
+
+    pdf = synth_images(spark, 9).toPandas()[["image_id", "bytes", "w", "h", "fmt", "caption"]]
+    pdf.loc[2, "bytes"] = pdf.loc[2, "bytes"][:-5]          # truncated
+    pdf.loc[4, "bytes"] = None                              # null payload
+    head = bytearray(pdf.loc[5, "bytes"]); head[0] ^= 0xFF  # broken magic/body
+    pdf.loc[5, "bytes"] = bytes(head)
+    df = spark.createDataFrame(pdf)
+
+    out = {r.image_id: r for r in image_stats(df, on_error="null").collect()}
+    assert len(out) == 9
+    bad = {pdf.loc[i, "image_id"] for i in (2, 4)}
+    if pdf.loc[5, "fmt"] != "raw":  # raw has no magic; a flipped byte still decodes
+        bad.add(pdf.loc[5, "image_id"])
+    for iid, r in out.items():
+        if iid in bad:
+            assert r.sum_r is None and r.phash is None, iid
+        else:
+            assert r.sum_r is not None and r.phash is not None, iid
+
+    # strict default raises somewhere in the job
+    with pytest.raises(Exception):
+        image_stats(df).collect()
+
+    # transcode routes corrupt rows to null payloads, preserving ids/captions
+    t = {r.image_id: r for r in transcode_qdct(df, on_error="null").collect()}
+    assert len(t) == 9
+    for iid, r in t.items():
+        if iid in bad:
+            assert r.bytes is None and r.fmt is None, iid
+        else:
+            assert r.fmt == "qdct" and r.bytes is not None, iid
+    assert all(t[i].caption == pdf.loc[j, "caption"] for j, i in enumerate(pdf.image_id))
+
+
+def test_roundtrip_fidelity_corrupt_payload(spark):
+    """Structurally corrupt or null payloads FAIL fidelity per row — the
+    verification operator never crashes on the rows it exists to flag."""
+    import pandas as pd
+
+    from osmgraft.operators.multimodal import roundtrip_fidelity
+    from osmgraft.synth import synth_images
+
+    imgs = synth_images(spark, 8).cache()
+    pdf = imgs.toPandas()[["image_id", "bytes", "w", "h", "fmt", "caption"]]
+    pdf.loc[1, "bytes"] = pdf.loc[1, "bytes"][:-7]   # truncated right side
+    pdf.loc[3, "bytes"] = None                       # null right side
+    right = spark.createDataFrame(pdf)
+    out = {r.image_id: r for r in roundtrip_fidelity(imgs, right).collect()}
+    assert len(out) == 8
+    for j in (1, 3):
+        r = out[pdf.loc[j, "image_id"]]
+        assert not r.pixels_exact and not r.psnr_ok
+    clean = [out[i] for j, i in enumerate(pdf.image_id) if j not in (1, 3)]
+    assert all(r.pixels_exact and r.psnr_ok and r.caption_ok for r in clean)
