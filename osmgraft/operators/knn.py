@@ -101,13 +101,17 @@ def knn_join(
         .persist()
     )
     qclat, qclon = _cells(queries, cell_size, ncl)
+    # no eager checkpoint here: in the common single-round case the query
+    # projection is read exactly twice (count + round-1 join) and a blocking
+    # checkpoint job would cost more than it saves; rounds ≥2 checkpoint
+    # their shrunken `active` below, which is where the plan growth lives
     active = queries.select(
         "query_id",
         F.col("lat7").alias("qlat7"),
         F.col("lon7").alias("qlon7"),
         qclat.alias("qclat"),
         qclon.alias("qclon"),
-    ).localCheckpoint(eager=True)
+    )
 
     out_schema = "query_id long, neighbor_id long, dist2 long, rank int"
     best: DataFrame | None = None  # carried top-k rows of still-active queries
@@ -135,16 +139,29 @@ def knn_join(
         # disk is expected to hold ≥4k candidates per query (occupied-cell
         # density — robust to clustered data). Wrong guesses only cost an
         # extra escalation round (exactness never depends on the estimate);
-        # a right guess makes the common case a SINGLE round.
-        stats = pts.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct(F.col("clat") * ncl + F.col("clon")).alias("cells"),
-        ).collect()[0]
+        # a right guess makes the common case a SINGLE round. The stats job
+        # and the query count are independent — run them concurrently (each
+        # blocking job costs ~0.3s of submit overhead in local mode, and this
+        # operator's wall is job-count-bound, not data-bound, at small SF).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as ex:
+            stats_f = ex.submit(
+                lambda: pts.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    # the estimate only seeds r0 (exactness never depends on
+                    # it) — HLL sketch beats an exact distinct's shuffle
+                    F.approx_count_distinct(
+                        F.col("clat") * ncl + F.col("clon"), rsd=0.1
+                    ).alias("cells"),
+                ).collect()[0]
+            )
+            n_active_f = ex.submit(active.count)
+            stats, n_active = stats_f.result(), n_active_f.result()
         if stats.n == 0:
             return spark.createDataFrame([], out_schema)
         density = stats.n / max(stats.cells, 1)
         r0 = int(((4.0 * k / density) ** 0.5 - 1) // 2 + 1)
-        n_active = active.count()
 
         r_prev, r = -1, max(1, min(r0, max_radius_cells))
         while r <= max_radius_cells and n_active > 0:
@@ -168,12 +185,14 @@ def knn_join(
             # clamp: (r·G)² can exceed int64 for large radii, but every real
             # dist2 ≤ 2·(1.8e9)² < 2^63, so the clamp is semantically exact
             bound = min((r * cell_size) ** 2, (1 << 63) - 1)
+            # no checkpoint on `retired`: it is a small aggregation over the
+            # just-checkpointed topk (LogicalRDD), so re-deriving it inside
+            # the later semi/anti joins is cheaper than an extra eager job
             retired = (
                 topk.groupBy("query_id")
                 .agg(F.count(F.lit(1)).alias("_cnt"), F.max("dist2").alias("_worst"))
                 .filter((F.col("_cnt") >= k) & (F.col("_worst") <= bound))
                 .select("query_id")
-                .localCheckpoint(eager=True)
             )
             done.append(topk.join(F.broadcast(retired), "query_id", "left_semi"))
             n_active -= retired.count()
@@ -184,7 +203,8 @@ def knn_join(
                 ).localCheckpoint(eager=True)
             r_prev, r = r, min(r * 4, max_radius_cells) if r < max_radius_cells else r + 1
 
-        if n_active > 0:  # brute-force stragglers (k ~ |points| or empty regions)
+        brute_forced = n_active > 0
+        if brute_forced:  # stragglers (k ~ |points| or empty regions)
             cand = pts.crossJoin(
                 F.broadcast(active.select("query_id", "qlat7", "qlon7"))
             ).select(
@@ -201,12 +221,16 @@ def knn_join(
         out = done[0]
         for d in done[1:]:
             out = out.union(d)
-        # materialize DISTRIBUTED (lineage truncation, result stays on the
-        # executors) before unpersisting the cached rounds it depends on —
-        # never a driver collect.
-        return out.select("query_id", "neighbor_id", "dist2", "rank").localCheckpoint(
-            eager=True
-        )
+        out = out.select("query_id", "neighbor_id", "dist2", "rank")
+        if not brute_forced:
+            # every `done` frame derives only from localCheckpoint'd topk
+            # frames (LogicalRDDs) — safe to return lazily after pts
+            # unpersists, and it saves one more blocking job
+            return out
+        # the brute-force branch references the cached pts: materialize
+        # DISTRIBUTED (lineage truncation, result stays on the executors)
+        # before the finally-block unpersists it — never a driver collect.
+        return out.localCheckpoint(eager=True)
     finally:
         for df in retained:
             df.unpersist()
