@@ -459,6 +459,29 @@ REGISTRY["embedding_topk_fast"] = (
 )
 
 
+@register("embedding_topk_blocked", None)  # oracle attached below
+def embedding_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k via block-broadcast nested loop: the 40-query set is
+    split into 16-row hash blocks, each block broadcast + matmul-scanned, and
+    the per-block results union into one lazy plan. Closes the r1 caveat that
+    the fast path collect()s the whole query side — driver memory here is one
+    block, never the query set, never candidates. Same oracle as
+    embedding_topk (exact; block boundaries cannot change an exact ranking)."""
+    from osmgraft.operators.similarity import cosine_topk_blocked
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 40).cache()
+    return cosine_topk_blocked(
+        emb, q, k=10, block_rows=16, ensure_parallelism=True
+    )
+
+
+REGISTRY["embedding_topk_blocked"] = (
+    REGISTRY["embedding_topk_blocked"][0],
+    sql_cosine_topk(k=10, query_pred="vec_id < 40"),
+)
+
+
 @register("embedding_lsh_ann", None)  # approximate → rows-only check
 def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate NN (recall vs brute force pinned in tests)."""

@@ -270,3 +270,20 @@ def test_cosine_topk_np_matches_hof(spark):
     a = sorted(map(tuple, cosine_topk(emb, q, 10).collect()))
     b = sorted(map(tuple, cosine_topk_np(emb, q, 10).collect()))
     assert a == b
+
+
+def test_cosine_topk_blocked_matches_unblocked(spark):
+    """Block-broadcast nested loop is a physical rewrite only: identical
+    (query_id, neighbor_id, rank) sets to the single-broadcast fast path,
+    regardless of block boundaries."""
+    from osmgraft.operators.similarity import cosine_topk_blocked, cosine_topk_np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 30).cache()
+    base = {(r.query_id, r.neighbor_id, r.rank) for r in cosine_topk_np(emb, q, k=7).collect()}
+    for block_rows in (7, 16, 1000):  # 5 blocks, 2 blocks, single-block fast path
+        got = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in cosine_topk_blocked(emb, q, k=7, block_rows=block_rows).collect()
+        }
+        assert got == base, block_rows
