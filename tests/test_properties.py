@@ -82,3 +82,43 @@ def test_h3_parent_truncation_transitive(lat7, lon7):
     test_cells.test_h3_algebraic_hierarchy.)"""
     c9 = h3_cell(np.array([lat7]), np.array([lon7]), 9)
     assert int(h3_to_parent(h3_to_parent(c9, 8), 7)[0]) == int(h3_to_parent(c9, 7)[0])
+
+
+@given(
+    st.integers(0, 2**32 - 1),
+    st.sampled_from(["raw", "ppm", "qdct"]),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 200), st.integers(0, 255)),
+        max_size=4,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_validate_batch_masks_all_decode_failures(seed, fmt, corruptions):
+    """Property (corrupt-payload tolerance contract): for ANY per-row byte
+    corruption — truncation, extension, byte flips at any offset — rows that
+    pass codec.validate_batch NEVER make decode_batch raise, and genuinely
+    altered valid rows still decode to the right shape."""
+    import numpy as np
+
+    from osmgraft.functions.codec import decode_batch, encode_image, validate_batch
+
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    w, h = 16, 8
+    px = rng.integers(0, 256, (4, h, w, 3), dtype=np.uint8)
+    payload = [bytearray(encode_image(p, fmt)) for p in px]
+    for row, pos, val in corruptions:
+        mode = val % 3
+        if mode == 0 and len(payload[row]) > 1:  # truncate
+            del payload[row][-(1 + pos % (len(payload[row]) - 1)) :]
+        elif mode == 1:  # flip a byte in place
+            payload[row][pos % len(payload[row])] ^= max(1, val)
+        else:  # extend with junk
+            payload[row] += bytes([val]) * (1 + pos % 7)
+    lens = np.array([len(p) for p in payload], dtype=np.int64)
+    buf = np.frombuffer(b"".join(bytes(p) for p in payload), dtype=np.uint8)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    mask = validate_batch(buf, starts, ends, w, h, fmt)
+    good = np.flatnonzero(mask)
+    out = decode_batch(buf, starts[good], ends[good], w, h, fmt)  # must not raise
+    assert out.shape == (len(good), h, w, 3)
