@@ -135,3 +135,27 @@ def test_sessionize_emits_on_timeout(spark, tmp_path, events_dir):
         assert s["session_start"] == r["lo"]
         assert s["session_end"] == r["hi"]
         assert s["n_events"] == r["n"]
+
+
+def test_stream_image_stats_matches_batch(spark, tmp_path):
+    """The graft payload under Structured Streaming: image_stats (mapInArrow
+    batched decode) over a file stream, availableNow drain, row-for-row equal
+    to the batch plan — the operator is execution-mode-agnostic."""
+    from osmgraft.operators.multimodal import image_stats
+    from osmgraft.streaming.incremental import read_stream, run_available_now
+    from osmgraft.synth import synth_images
+
+    src = str(tmp_path / "imgs")
+    imgs = synth_images(spark, 120)
+    imgs.write.mode("overwrite").parquet(src)
+    static = spark.read.parquet(src)
+    batch = {
+        (r.image_id, r.sum_r, r.sum_g, r.sum_b, r.phash)
+        for r in image_stats(static).collect()
+    }
+    stream = read_stream(spark, src, static.schema)
+    rows = run_available_now(
+        image_stats(stream), str(tmp_path / "ckpt"), output_mode="append"
+    )
+    got = {(r.image_id, r.sum_r, r.sum_g, r.sum_b, r.phash) for r in rows}
+    assert got == batch and len(got) == 120
