@@ -24,6 +24,10 @@ HEADLINE = [
     "image_geo_tiles",
     "osc_apply_events",
     "boundary_tile_cover_z10",
+    "image_stats",
+    "image_phash_neardup",
+    "image_roundtrip_fidelity",
+    "embedding_topk_blocked",
 ]
 
 KEEP = (
