@@ -194,7 +194,17 @@ def phash_near_dup_pairs(images: DataFrame, max_hamming: int = 8) -> DataFrame:
     Scale shape: posexplode to (band_idx, band_val) rows and ONE self
     equi-join on the composite key — a single shuffle regardless of band
     count (vs one join per band), then exact popcount verification on the
-    candidate set. JVM-only (no Python)."""
+    candidate set. JVM-only (no Python).
+
+    Radius/cost trade (measured, BENCH/IMAGE.md): band width is
+    64/(max_hamming+1) bits, so the bucket space shrinks exponentially with
+    the radius — radius 3 ⇒ 4×16-bit bands (65,536 buckets), radius 8 ⇒
+    9×~7-bit bands (≈128 buckets). On adversarially-uniform hashes the
+    candidate set grows ~n²/buckets (radius 8 at 20k random images ≈ 28M
+    candidate pairs), which no exact-recall hamming join can avoid
+    (pigeonhole is tight); on real corpora near-dup hashes cluster and the
+    candidate set tracks the true pair count. Pick the smallest radius the
+    dedup policy allows."""
     n_bands = max_hamming + 1
     if not 1 <= n_bands <= 64:
         raise ValueError("max_hamming must be in [0, 63]")
