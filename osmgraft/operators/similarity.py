@@ -270,3 +270,87 @@ def cosine_topk_blocked(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def cosine_neardup_pairs(
+    items: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 4096,
+    ensure_parallelism: bool = False,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate PAIRS: every unordered pair with
+    cosine ≥ threshold, emitted once as (id_a < id_b) — the task brief's
+    "embedding-cosine near-dup" as a first-class dedup operator (exact twin
+    of the sub-linear :func:`lsh_ann_topk` path).
+
+    Scale shape: block-broadcast self nested loop — items are hash-split into
+    ceil(n/B) blocks; per block the (ids, matrix) broadcast rides a matmul
+    mapInArrow over the full item table and pairs stream out WITHOUT a
+    shuffle (no join, no window: the id_a < id_b condition makes each pair
+    unique at the source). Driver holds one block, never pairs. Work is
+    inherently n²/2 for exact output; LSH is the sub-linear alternative.
+    Output is id-pairs only — no float column, so cross-engine hashes can't
+    flake on summation order (thresholds must not sit within float-error of
+    a real cosine; callers pick policy thresholds, not data values)."""
+    import pyarrow as pa
+
+    from osmgraft.operators.util import maybe_parallelize
+
+    items = maybe_parallelize(items, ensure_parallelism)
+    spark = items.sparkSession
+    n = items.count()
+    if n == 0:
+        return spark.createDataFrame([], "id_a long, id_b long")
+    n_blocks = max(1, -(-n // block_rows))
+    qb = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+    names = items.schema.names
+    id_i, vec_i = names.index(id_col), names.index(vec_col)
+    thr = float(threshold)
+
+    def make_kernel(bc):
+        def kernel(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+            qids_, qm_ = bc.value
+            dim = qm_.shape[1]
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                ids = rb.column(id_i).to_numpy(zero_copy_only=False)
+                flat = (
+                    rb.column(vec_i)
+                    .flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.float64)
+                )
+                if len(flat) != len(ids) * dim:
+                    raise ValueError("ragged embedding column")
+                m = flat.reshape(len(ids), dim)
+                m = m / np.linalg.norm(m, axis=1, keepdims=True)
+                sims = qm_ @ m.T  # (block, batch)
+                # pair uniqueness at the source: block id strictly below item id
+                hit = (sims >= thr) & (qids_[:, None] < ids[None, :])
+                bi, ii = np.nonzero(hit)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(qids_[bi], type=pa.int64()),
+                        pa.array(ids[ii], type=pa.int64()),
+                    ],
+                    names=["id_a", "id_b"],
+                )
+
+        return kernel
+
+    out = None
+    src = items.select(id_col, vec_col)
+    for b in range(n_blocks):
+        qrows = items.filter(qb == b).select(id_col, vec_col).collect()
+        if not qrows:
+            continue
+        qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+        qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+        bc = spark.sparkContext.broadcast((qids, qm))
+        part = src.mapInArrow(make_kernel(bc), schema="id_a long, id_b long")
+        out = part if out is None else out.unionByName(part)
+    return out if out is not None else spark.createDataFrame([], "id_a long, id_b long")

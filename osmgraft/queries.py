@@ -482,6 +482,31 @@ REGISTRY["embedding_topk_blocked"] = (
 )
 
 
+@register(
+    "embedding_cosine_neardup",
+    """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM s a JOIN s b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= 0.42""",
+)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (cosine >= 0.42, every unordered
+    pair once) via the block-broadcast self nested loop — shuffle-free pair
+    emission, driver bounded by one block. Output is id-pairs only so the
+    cross-engine hash cannot flake on float summation order (the threshold
+    sits >= 7e-4 away from every real cosine in the table at both oracle
+    SFs). The LSH path (embedding_lsh_ann) is the sub-linear approximate
+    twin; this is the exact contract it is measured against."""
+    from osmgraft.operators.similarity import cosine_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    return cosine_neardup_pairs(
+        emb, threshold=0.42, block_rows=200, ensure_parallelism=True
+    )
+
+
 @register("embedding_lsh_ann", None)  # approximate → rows-only check
 def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate NN (recall vs brute force pinned in tests)."""

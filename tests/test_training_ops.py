@@ -287,3 +287,29 @@ def test_cosine_topk_blocked_matches_unblocked(spark):
             for r in cosine_topk_blocked(emb, q, k=7, block_rows=block_rows).collect()
         }
         assert got == base, block_rows
+
+
+def test_cosine_neardup_pairs_exact(spark, emb):
+    """Block-broadcast near-dup pairs equal numpy all-pairs truth at any block
+    size, each unordered pair exactly once, planted near-dup found."""
+    from osmgraft.operators.similarity import cosine_neardup_pairs
+
+    rows = emb.orderBy("vec_id").collect()
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    thr = 0.5
+    truth = {
+        (i, j)
+        for i in range(len(m))
+        for j in range(i + 1, len(m))
+        if sims[i, j] >= thr
+    }
+    assert (0, 1) in truth  # planted near-dup pair
+    for block_rows in (23, 1000):
+        got = [
+            (r.id_a, r.id_b)
+            for r in cosine_neardup_pairs(emb, thr, block_rows=block_rows).collect()
+        ]
+        assert len(got) == len(set(got))  # once per pair
+        assert set(got) == truth, block_rows
