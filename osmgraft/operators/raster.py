@@ -58,3 +58,42 @@ def boundary_tile_cover(spark: SparkSession, polys: list[dict], z: int) -> DataF
             F.explode(F.sequence(F.col("_ty0"), F.col("_ty1"))).alias("ty"),
         )
     )
+
+
+def tile_pyramid(points: DataFrame, z_max: int, z_min: int) -> DataFrame:
+    """Tile-pyramid rollup: per-tile point counts at every zoom in
+    [z_min, z_max], computed by aggregating the RAW points exactly once (at
+    z_max) and then re-aggregating the per-tile AGGREGATES level by level
+    (child tile (x, y) at z → parent (x >> 1, y >> 1) at z-1, since slippy
+    tiles quadtree-nest exactly).
+
+    Scale shape: one full-table hash aggregation at the finest zoom (map-side
+    partial combine does most of the work), then log-depth rollups whose
+    inputs are already tiny (≤ 4^z rows) — vs grouping-sets over the raw
+    table, which re-shuffles the full input once per level. Returns
+    (z, tx, ty, cnt)."""
+    if not 0 <= z_min <= z_max:
+        raise ValueError("need 0 <= z_min <= z_max")
+    level = (
+        points.select(
+            tiles.tile_x(F.col("lon7"), z_max).alias("tx"),
+            tiles.tile_y(F.col("lat7"), z_max).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("z", F.lit(z_max))
+    )
+    out = level
+    for z in range(z_max - 1, z_min - 1, -1):
+        level = (
+            level.select(
+                F.shiftright(F.col("tx"), 1).alias("tx"),
+                F.shiftright(F.col("ty"), 1).alias("ty"),
+                "cnt",
+            )
+            .groupBy("tx", "ty")
+            .agg(F.sum("cnt").alias("cnt"))
+            .withColumn("z", F.lit(z))
+        )
+        out = out.unionByName(level)
+    return out.select("z", "tx", "ty", "cnt")

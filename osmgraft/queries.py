@@ -934,6 +934,29 @@ def _bbox_values() -> str:
     return ",".join(rows)
 
 
+_PYRAMID_LEVELS = "\nUNION ALL\n".join(
+    f"""SELECT {z} AS z, {tiles.sql_tile_x('lon7', z)} AS tx,
+       {tiles.sql_tile_y('lat7', z)} AS ty, count(*) AS cnt
+FROM pts GROUP BY 2, 3"""
+    for z in range(13, 7, -1)
+)
+
+
+@register("tile_pyramid_z13_8", f"WITH pts AS ({_PTS})\n{_PYRAMID_LEVELS}")
+def tile_pyramid_z13_8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-pyramid rollup z13→z8: ONE raw-table aggregation at z13, then
+    log-depth re-aggregation of the per-tile aggregates (child (x,y) →
+    parent (x>>1, y>>1); slippy tiles quadtree-nest exactly, so floor
+    nesting makes aggregate-reuse lossless). The oracle recomputes every
+    level independently from the raw points — any drift in the rollup
+    identity fails the hash. Scale: grouping-sets over raw re-shuffles the
+    full table once per level; this shuffles it once total."""
+    from osmgraft.operators.raster import tile_pyramid
+    from osmgraft.synth import points_from_orders
+
+    return tile_pyramid(points_from_orders(spark, sf_dir), z_max=13, z_min=8)
+
+
 @register(
     "boundary_tile_cover_z10",
     f"""WITH bbox(boundary_id, lat_min, lon_min, lat_max, lon_max) AS (VALUES {_bbox_values()}),

@@ -81,3 +81,32 @@ def test_tile_lat_bounds_roundtrip():
     _, y_s = np_tile_xy(np.zeros_like(ys), ((south + eps) * 1e7).astype(np.int64), z)
     assert (y_n == ys).all()
     assert (y_s == ys).all()
+
+
+def test_tile_pyramid_rollup_identity(spark):
+    """Aggregate-reuse rollup equals per-level recomputation from raw points
+    (quadtree floor-nesting), and each level's total preserves the row count."""
+    from osmgraft.functions import tiles as T
+    from osmgraft.operators.raster import tile_pyramid
+    from osmgraft.synth import points_from_orders
+    from pyspark.sql import functions as F
+
+    pts = points_from_orders(spark, "/root/testdata/sf0.001").cache()
+    n = pts.count()
+    got = tile_pyramid(pts, z_max=10, z_min=6).collect()
+    by_level = {}
+    for r in got:
+        by_level.setdefault(r.z, {})[(r.tx, r.ty)] = r.cnt
+    for z in range(6, 11):
+        direct = {
+            (r.tx, r.ty): r.cnt
+            for r in pts.select(
+                T.tile_x(F.col("lon7"), z).alias("tx"),
+                T.tile_y(F.col("lat7"), z).alias("ty"),
+            )
+            .groupBy("tx", "ty")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert by_level[z] == direct, z
+        assert sum(by_level[z].values()) == n
