@@ -19,18 +19,53 @@ from pyspark.sql import functions as F
 _SAFE = "0-9a-zA-Z.:_#-"  # safe-set for %-escaping (',' '=' ' ' etc. escape)
 
 
+def _cp_hex(ch: Column) -> Column:
+    """Lowercase hex of a char's full Unicode codepoint, min-width 4.
+    lpad alone would TRUNCATE 5-digit astral codepoints (e.g. U+1F600)."""
+    h = F.lower(F.hex(F.ascii(ch)))
+    return F.when(F.length(h) < 4, F.lpad(h, 4, "0")).otherwise(h)
+
+
 def opl_escape(col: Column) -> Column:
-    """%XXXX%-escape every char outside the safe set. Implemented as a
-    per-character transform (JVM lambda over split string)."""
+    """%XXXX%-escape every char outside the safe set (hex of the full
+    codepoint, variable width ≥4 — matches the reference's variable-length
+    codepoint escape, opl/mod.rs:87-122). Per-character JVM lambda."""
     chars = F.split(col, "")
     esc = F.transform(
         chars,
         lambda ch: F.when(ch.rlike(f"^[{_SAFE}]$"), ch).otherwise(
-            F.concat(F.lit("%"), F.lpad(F.lower(F.hex(F.ascii(ch))), 4, "0"), F.lit("%"))
+            F.concat(F.lit("%"), _cp_hex(ch), F.lit("%"))
         ),
     )
     # split('', '') yields [''] — guard or the empty string escapes to %0000%
     return F.when(col == "", F.lit("")).otherwise(F.array_join(esc, ""))
+
+
+def opl_unescape(col: Column) -> Column:
+    """Inverse of :func:`opl_escape`: %HEX% runs → characters. Spark's
+    char()/chr() reduce modulo 256, so codepoints are rebuilt as UTF-16BE
+    bytes instead — BMP directly, astral via an arithmetic surrogate pair
+    (both JVM expressions, no Python)."""
+    parts = F.split(col, "%")
+
+    def cp_to_str(p: Column) -> Column:
+        cp = F.conv(p, 16, 10).cast("long")
+        bmp = F.decode(F.unhex(F.lpad(F.hex(cp), 4, "0")), "UTF-16BE")
+        hi = F.shiftright(cp - F.lit(0x10000), 10) + F.lit(0xD800)
+        lo = (cp - F.lit(0x10000)).bitwiseAND(F.lit(0x3FF)) + F.lit(0xDC00)
+        pair = F.decode(
+            F.unhex(F.concat(F.lpad(F.hex(hi), 4, "0"), F.lpad(F.hex(lo), 4, "0"))),
+            "UTF-16BE",
+        )
+        return F.when(cp < 0x10000, bmp).otherwise(pair)
+
+    return F.array_join(
+        F.transform(
+            parts,
+            lambda p, i: F.when(i % 2 == 1, cp_to_str(p)).otherwise(p),
+        ),
+        "",
+    )
 
 
 def sql_opl_escape(expr: str) -> str:
@@ -81,17 +116,7 @@ def parse_node_opl(lines: DataFrame, line_col: str = "line") -> DataFrame:
     def field(prefix):
         return F.nullif(F.regexp_extract(c, f" {prefix}([^ ]*)", 1), F.lit(""))
 
-    def unescape(col):
-        # %XXXX% → chr(0xXXXX): split into tokens, map hex runs back
-        parts = F.split(col, "%")
-        # odd indices are hex codepoints (when the string starts unescaped)
-        return F.array_join(
-            F.transform(
-                parts,
-                lambda p, i: F.when(i % 2 == 1, F.char(F.conv(p, 16, 10).cast("int"))).otherwise(p),
-            ),
-            "",
-        )
+    unescape = opl_unescape
 
     from osmgraft.functions.coords import deg_to_fixed
 
@@ -185,15 +210,7 @@ def parse_obj_opl(lines: DataFrame, line_col: str = "line") -> DataFrame:
     def field(prefix):
         return F.nullif(F.regexp_extract(c, f" {prefix}([^ ]*)", 1), F.lit(""))
 
-    def unescape(col):
-        parts = F.split(col, "%")
-        return F.array_join(
-            F.transform(
-                parts,
-                lambda p, i: F.when(i % 2 == 1, F.char(F.conv(p, 16, 10).cast("int"))).otherwise(p),
-            ),
-            "",
-        )
+    unescape = opl_unescape
 
     from osmgraft.functions.coords import deg_to_fixed
 

@@ -200,3 +200,45 @@ def test_read_changesets(spark, tmp_path):
     assert g["open"] is False
     g2 = got[2]
     assert g2["open"] is True and g2["closed"] is None and g2["uid"] is None
+
+
+def test_unicode_roundtrip_all_formats(spark, tmp_path):
+    """Non-ASCII users/tags/roles (the OSM norm, not the exception) survive
+    XML, OPL, and PBF roundtrips byte-exactly: UTF-8 string tables, XML
+    entity escaping, and OPL %HEX% escaping all compose with multibyte
+    codepoints."""
+    import datetime as dt
+
+    from osmgraft.schema import OSM_OBJ_SCHEMA
+    from osmgraft.sources import pbf
+    from osmgraft.sources.opl import obj_to_opl, parse_obj_opl
+    from osmgraft.sources.osm_xml import obj_to_xml, parse_obj_xml
+
+    ts = dt.datetime(2020, 5, 4, 3, 2, 1)
+    user = "café 日本 עברית & <quoted> \"rôle\""
+    rows = [
+        ("n", 1, 1, False, 5, ts, 7, user,
+         {"name:ja": "東京", "addr": "øster allé 12, münchen"},
+         515_000_000, 100_000_000, None, None),
+        ("w", 2, 1, False, 5, ts, 7, "naïve user",
+         {"note": "comma,separated %20 already"}, None, None, [1, 1], None),
+        ("r", 3, 1, False, 5, ts, 7, user, {"type": "multipolygon"},
+         None, None, None, [{"type": "n", "ref": 1, "role": "centré @role"}]),
+    ]
+    df = spark.createDataFrame(rows, OSM_OBJ_SCHEMA)
+    want = sorted(_key(r) for r in df.collect())
+
+    got_xml = sorted(_key(r) for r in parse_obj_xml(obj_to_xml(df).select("line")).collect())
+    assert got_xml == want
+    got_opl = sorted(_key(r) for r in parse_obj_opl(obj_to_opl(df).select("line")).collect())
+    assert got_opl == want
+
+    p = str(tmp_path / "uni.osm.pbf")
+    dicts = []
+    for r in df.collect():
+        d = r.asDict(recursive=True)
+        d["ts"] = int(d.pop("timestamp").replace(tzinfo=dt.timezone.utc).timestamp())
+        dicts.append(d)
+    pbf.write_pbf(dicts, p)
+    got_pbf = sorted(_key(r) for r in pbf.read_pbf(spark, p).collect())
+    assert got_pbf == want
