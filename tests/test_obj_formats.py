@@ -218,7 +218,7 @@ def test_unicode_roundtrip_all_formats(spark, tmp_path):
     user = "café 日本 עברית & <quoted> \"rôle\""
     rows = [
         ("n", 1, 1, False, 5, ts, 7, user,
-         {"name:ja": "東京", "addr": "øster allé 12, münchen"},
+         {"name:ja": "東京", "addr": "øster allé 12, münchen", "emoji": "ok 😀🗾"},
          515_000_000, 100_000_000, None, None),
         ("w", 2, 1, False, 5, ts, 7, "naïve user",
          {"note": "comma,separated %20 already"}, None, None, [1, 1], None),
