@@ -71,11 +71,17 @@ def opl_unescape(col: Column) -> Column:
 def sql_opl_escape(expr: str) -> str:
     """DuckDB twin (ascii() = codepoint in duckdb too); same empty-string
     guard as the engine side."""
+    # min-width-4 pad WITHOUT truncating 5-digit astral codepoints (matches
+    # the engine-side _cp_hex)
+    pad = (
+        "CASE WHEN length(lower(hex(ascii(ch)))) < 4 "
+        "THEN lpad(lower(hex(ascii(ch))), 4, '0') ELSE lower(hex(ascii(ch))) END"
+    )
     return (
         f"CASE WHEN {expr} = '' THEN '' ELSE "
         f"list_aggregate(list_transform(string_split_regex({expr}, ''), "
         f"ch -> CASE WHEN regexp_matches(ch, '^[{_SAFE}]$') THEN ch "
-        f"ELSE '%' || lpad(lower(hex(ascii(ch))), 4, '0') || '%' END), 'string_agg', '') END"
+        f"ELSE '%' || {pad} || '%' END), 'string_agg', '') END"
     )
 
 
