@@ -324,31 +324,52 @@ def validate_batch(
     """Vectorized per-row payload validity mask for :func:`decode_batch`'s
     contract (span length + magic + header dims) — lets operators route
     corrupt/truncated payloads to null outputs instead of one bad row killing
-    a 100 TB job. A row passing this mask cannot make decode_batch raise."""
+    a 100 TB job. A row passing this mask cannot make decode_batch raise.
+
+    ppm is validated against THIS ENGINE's canonical header
+    ("P6\\n{w} {h}\\n255\\n"): that is what makes truncation detectable (the
+    body is span-relative, so a truncated payload would otherwise silently
+    mis-decode). Spec-valid ppm with exotic whitespace/comments from external
+    writers fails this mask — use on_error='fail' (which routes through the
+    real header parser) for foreign ppm corpora."""
     n = len(starts)
     body = 3 * w * h
     spans = ends - starts
     ok = np.ones(n, dtype=bool)
+    if w <= 0 or h <= 0:
+        # degenerate metadata: nothing decodable (also guards the chunk-size
+        # divisions downstream)
+        return np.zeros(n, dtype=bool)
+
+    def has_prefix(rows_ok: np.ndarray, prefix: np.ndarray) -> np.ndarray:
+        """rows_ok AND payload starts with prefix — gathers ONLY on rows whose
+        span already covers the prefix, so the index math can't run past a
+        short flat buffer (an all-corrupt batch's buffer may be tiny)."""
+        out = rows_ok.copy()
+        cand = np.flatnonzero(rows_ok)
+        if len(cand):
+            idx = starts[cand, None] + np.arange(len(prefix))[None, :]
+            out[cand] = np.all(buf[idx] == prefix, axis=1)
+        return out
+
     if fmt == "raw":
         return spans == body
     if fmt == "ppm":
-        # the canonical "P6\n{w} {h}\n255\n" header is deterministic given
-        # (w, h): check exact span + exact header bytes (a truncated ppm would
-        # otherwise silently mis-decode, since the body is span-relative)
         head = np.frombuffer(b"P6\n%d %d\n255\n" % (w, h), dtype=np.uint8)
         ok &= spans == len(head) + body
-        safe = np.where(ok, starts, 0)
-        ok &= np.all(buf[safe[:, None] + np.arange(len(head))[None, :]] == head, axis=1)
-        return ok
+        return has_prefix(ok, head)
     if fmt == "qdct":
         H, W = h + (-h % 8), w + (-w % 8)
         ok &= spans == 10 + 2 * (H * W * 3)
-        safe = np.where(ok, starts, 0)
-        magic = np.frombuffer(b"QDCT", dtype=np.uint8)
-        ok &= np.all(buf[safe[:, None] + np.arange(4)[None, :]] == magic, axis=1)
-        meta = (
-            buf[safe[:, None] + np.arange(4, 10)[None, :]].copy().view("<u2").reshape(n, 3)
-        )
-        ok &= (meta[:, 0] == w) & (meta[:, 1] == h)
+        ok = has_prefix(ok, np.frombuffer(b"QDCT", dtype=np.uint8))
+        cand = np.flatnonzero(ok)
+        if len(cand):
+            meta = (
+                buf[starts[cand, None] + np.arange(4, 10)[None, :]]
+                .copy()
+                .view("<u2")
+                .reshape(len(cand), 3)
+            )
+            ok[cand] = (meta[:, 0] == w) & (meta[:, 1] == h)
         return ok
     return np.zeros(n, dtype=bool)

@@ -86,6 +86,12 @@ def knn_join(
     distributed, adaptive radius — see module docstring. NOTE: this operator
     materializes per-round (iterative); for a one-pass plan with a known
     density bound use :func:`knn_within_radius`.
+
+    ``queries`` must have DETERMINISTIC lineage (no un-seeded sample()/rand()/
+    unordered limit()): the operator evaluates it more than once (count +
+    round joins) without an upfront snapshot — the standard Spark caveat for
+    reusing a non-deterministic DataFrame. Callers with such inputs should
+    ``localCheckpoint(eager=True)`` the query frame first.
     """
     spark = points.sparkSession
     from osmgraft.operators.util import maybe_parallelize

@@ -140,7 +140,9 @@ def _iter_image_chunks(
                 rows = rows[mask]
                 if not len(rows):
                     continue
-            step = max(1, _CHUNK_FLOAT_BYTES // (3 * w * h * 8))
+            # max(1, w*h) also guards degenerate w==0/h==0 metadata, which in
+            # on_error='fail' mode reaches here before decode_batch rejects it
+            step = max(1, _CHUNK_FLOAT_BYTES // (3 * max(1, w * h) * 8))
             for lo in range(0, len(rows), step):
                 sel = pa.array(rows[lo : lo + step])
                 sub = rb.column("bytes").take(sel)
@@ -504,7 +506,7 @@ def roundtrip_fidelity(
                         if not len(rows):
                             continue
                 step = (
-                    max(1, _CHUNK_FLOAT_BYTES // (2 * 3 * w * h * 8))
+                    max(1, _CHUNK_FLOAT_BYTES // (2 * 3 * max(1, w * h) * 8))
                     if dims_ok
                     else len(rows)
                 )

@@ -148,6 +148,21 @@ def lsh_ann_topk(
 
 
 # --- vectorized brute force (the fast exact path) -------------------------------
+def _batch_ids_matrix(rb, dim: int):
+    """(ids, row-normalized float64 matrix) from a 2-column (id, vec) Arrow
+    batch. flatten() (not .values) honors a sliced ListArray's offset; the
+    length check rejects ragged/null vector rows loudly."""
+    ids = rb.column(0).to_numpy(zero_copy_only=False)
+    flat = rb.column(1).flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if len(flat) != len(ids) * dim:
+        raise ValueError(
+            f"ragged embedding column: {len(flat)} values for "
+            f"{len(ids)} rows × dim {dim}"
+        )
+    m = flat.reshape(len(ids), dim)
+    return ids, m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
 def cosine_topk_np(
     items: DataFrame,
     queries: DataFrame,
@@ -170,15 +185,15 @@ def cosine_topk_np(
 
     items = maybe_parallelize(items, ensure_parallelism)
     spark = items.sparkSession
+    out_schema = "query_id long, neighbor_id long, sim double"
     qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        # empty query set (e.g. an empty hash block from cosine_topk_blocked)
+        return spark.createDataFrame([], "query_id long, neighbor_id long, rank int")
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((qids, qm))
-
-    names = items.schema.names
-    id_i, vec_i = names.index(id_col), names.index(vec_col)
-    out_schema = "query_id long, neighbor_id long, sim double"
 
     def kernel(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         qids_, qm_ = bc.value
@@ -189,17 +204,9 @@ def cosine_topk_np(
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            ids = rb.column(id_i).to_numpy(zero_copy_only=False)
-            col = rb.column(vec_i)
-            # flatten() (not .values) honors a sliced ListArray's offset
-            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-            if len(flat) != len(ids) * dim:
-                raise ValueError(
-                    f"ragged embedding column: {len(flat)} values for "
-                    f"{len(ids)} rows × dim {dim}"
-                )
-            m = flat.reshape(len(ids), dim)
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            # the kernel always sees the 2-column (id, vec) projection below,
+            # never the caller's full schema
+            ids, m = _batch_ids_matrix(rb, dim)
             sims = qm_ @ m.T  # (nq, batch)
             cat_sim = np.concatenate([best_sim, sims], axis=1)
             cat_id = np.concatenate(
@@ -305,8 +312,6 @@ def cosine_neardup_pairs(
         return spark.createDataFrame([], "id_a long, id_b long")
     n_blocks = max(1, -(-n // block_rows))
     qb = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
-    names = items.schema.names
-    id_i, vec_i = names.index(id_col), names.index(vec_col)
     thr = float(threshold)
 
     def make_kernel(bc):
@@ -316,17 +321,7 @@ def cosine_neardup_pairs(
             for rb in batches:
                 if rb.num_rows == 0:
                     continue
-                ids = rb.column(id_i).to_numpy(zero_copy_only=False)
-                flat = (
-                    rb.column(vec_i)
-                    .flatten()
-                    .to_numpy(zero_copy_only=False)
-                    .astype(np.float64)
-                )
-                if len(flat) != len(ids) * dim:
-                    raise ValueError("ragged embedding column")
-                m = flat.reshape(len(ids), dim)
-                m = m / np.linalg.norm(m, axis=1, keepdims=True)
+                ids, m = _batch_ids_matrix(rb, dim)
                 sims = qm_ @ m.T  # (block, batch)
                 # pair uniqueness at the source: block id strictly below item id
                 hit = (sims >= thr) & (qids_[:, None] < ids[None, :])

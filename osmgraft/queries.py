@@ -10,6 +10,7 @@ shapes — see osmgraft.functions.tiles, osmgraft.geom).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -706,7 +707,9 @@ def image_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 2000)
     imgs = synth_images(spark, n)
-    out = tempfile.mkdtemp(prefix="osmgraft_fid_")
+    # deterministic path + overwrite: repeated gate/plan runs reuse one dir
+    # instead of leaking a fresh mkdtemp per call
+    out = os.path.join(tempfile.gettempdir(), f"osmgraft_fid_{n}")
     imgs.write.mode("overwrite").parquet(out)
     leg_a = roundtrip_fidelity(imgs, spark.read.parquet(out)).withColumn(
         "leg", F.lit("parquet")

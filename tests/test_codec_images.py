@@ -272,3 +272,34 @@ def test_roundtrip_fidelity_corrupt_payload(spark):
         assert not r.pixels_exact and not r.psnr_ok
     clean = [out[i] for j, i in enumerate(pdf.image_id) if j not in (1, 3)]
     assert all(r.pixels_exact and r.psnr_ok and r.caption_ok for r in clean)
+
+
+def test_validate_batch_tiny_buffer_and_zero_dims():
+    """Review findings: an all-corrupt batch whose flat buffer is shorter than
+    a header must mask cleanly (no IndexError), and degenerate w/h metadata is
+    invalid (guards downstream chunk-size division)."""
+    import numpy as np
+
+    from osmgraft.functions.codec import validate_batch
+
+    buf = np.frombuffer(b"xx", dtype=np.uint8)
+    for fmt in ("raw", "ppm", "qdct"):
+        m = validate_batch(buf, np.array([0, 2]), np.array([2, 2]), 16, 16, fmt)
+        assert not m.any(), fmt
+    # zero-dim metadata never validates, even with a matching empty payload
+    m = validate_batch(buf, np.array([0]), np.array([0]), 0, 0, "raw")
+    assert not m.any()
+
+
+def test_image_stats_on_error_null_zero_dims(spark):
+    """w=0/h=0 metadata rows null out instead of dividing the chunk step by
+    zero (on_error='null')."""
+    from osmgraft.operators.multimodal import image_stats
+
+    df = spark.createDataFrame(
+        [("a", b"", 0, 0, "raw"), ("b", b"\x01\x02\x03", 1, 1, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    out = {r.image_id: r for r in image_stats(df, on_error="null").collect()}
+    assert out["a"].sum_r is None
+    assert (out["b"].sum_r, out["b"].sum_g, out["b"].sum_b) == (1, 2, 3)

@@ -313,3 +313,32 @@ def test_cosine_neardup_pairs_exact(spark, emb):
         ]
         assert len(got) == len(set(got))  # once per pair
         assert set(got) == truth, block_rows
+
+
+def test_cosine_topk_blocked_empty_block(spark, emb):
+    """block_rows=1 makes empty hash blocks near-certain; they must be
+    skipped, not crash query normalization (review finding)."""
+    from osmgraft.operators.similarity import cosine_topk_blocked, cosine_topk_np
+
+    q = emb.filter(F.col("vec_id") < 4).cache()
+    base = {(r.query_id, r.neighbor_id, r.rank) for r in cosine_topk_np(emb, q, k=3).collect()}
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in cosine_topk_blocked(emb, q, k=3, block_rows=1).collect()
+    }
+    assert got == base
+
+
+def test_similarity_column_order_independent(spark, emb):
+    """Kernels read the (id, vec) projection, not positional columns of the
+    caller's schema (review finding: swapped/extra columns gave garbage)."""
+    from osmgraft.operators.similarity import cosine_neardup_pairs, cosine_topk_np
+
+    reordered = emb.select(F.lit("x").alias("junk"), "embedding", "vec_id")
+    q = emb.filter(F.col("vec_id") < 3)
+    want = {(r.query_id, r.neighbor_id, r.rank) for r in cosine_topk_np(emb, q, k=3).collect()}
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in cosine_topk_np(reordered, q, k=3).collect()}
+    assert got == want
+    wantp = {(r.id_a, r.id_b) for r in cosine_neardup_pairs(emb, 0.5).collect()}
+    gotp = {(r.id_a, r.id_b) for r in cosine_neardup_pairs(reordered, 0.5).collect()}
+    assert gotp == wantp and (0, 1) in gotp
