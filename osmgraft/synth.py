@@ -193,6 +193,45 @@ def synth_images(spark: SparkSession, n: int, with_pixels: bool = True) -> DataF
 
     def gen(pdf_iter):
         for pdf in pdf_iter:
+            if not with_pixels:
+                # metadata-only path, fully vectorized (row-identical to the
+                # loop below; the pinned caption-parse oracle guards it) —
+                # this is the hot branch for image_geo_tiles at bench SF
+                idxs = pdf["idx"].to_numpy().astype(np.int64)
+                src = np.where((idxs % 50 == 49) & (idxs > 0), idxs - 1, idxs)
+                wv = np.array(sizes, dtype=np.int64)[src % 3]
+                hv = np.array(sizes, dtype=np.int64)[(src // 3) % 3]
+                fmts = np.array(["raw", "ppm", "qdct"])[idxs % 3]
+                hot = idxs % 5 == 0
+                hs = np.array(_HOT_SPOTS, dtype=np.int64)[idxs % 3]
+                lat7 = np.where(
+                    hot,
+                    hs[:, 0] + (idxs * 48271) % _JIT - _JIT // 2,
+                    (idxs * _A_LAT + _C_LAT) % _B_LAT - _B_LAT // 2,
+                )
+                lon7 = np.where(
+                    hot,
+                    hs[:, 1] + (idxs * 69621) % _JIT - _JIT // 2,
+                    (idxs * _A_LON) % _B_LON - _B_LON // 2,
+                )
+                caps = [
+                    f"photo at {la / 1e7:.7f},{lo / 1e7:.7f} of object {i % 97}"
+                    for la, lo, i in zip(lat7.tolist(), lon7.tolist(), idxs.tolist())
+                ]
+                yield pd.DataFrame(
+                    {
+                        "image_id": [f"img{i:012d}" for i in idxs.tolist()],
+                        "bytes": pd.Series([None] * len(idxs), dtype=object),
+                        "w": wv,
+                        "h": hv,
+                        "fmt": fmts,
+                        "caption": caps,
+                        "phash": np.zeros(len(idxs), dtype=np.int64),
+                        "lat7": lat7,
+                        "lon7": lon7,
+                    }
+                )
+                continue
             out = []
             for idx in pdf["idx"].to_numpy():
                 idx = int(idx)
