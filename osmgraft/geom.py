@@ -160,6 +160,28 @@ def polygon_bbox(poly: dict) -> tuple[float, float, float, float]:
     return (r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max())
 
 
+LON7_SPAN = 3_600_000_000
+LON7_HALF = 1_800_000_000
+
+
+def polygon_bbox_wrapped(poly: dict) -> tuple[int, int, int, int, bool]:
+    """(lat_min, lon_west, lat_max, lon_east, wrapped) with antimeridian
+    awareness: a ring hop of |Δlon| > 180° between consecutive vertices means
+    the polygon crosses ±180° (Fiji/Chukotka case). For wrapped rings the
+    west/east edges are computed in shifted [0,360) space then mapped back,
+    so lon_west > lon_east signals the wrap to callers."""
+    r = np.asarray(poly["ring"], dtype=np.int64)
+    lat_min, lat_max = int(r[:, 0].min()), int(r[:, 0].max())
+    lon = r[:, 1]
+    wrapped = bool((np.abs(np.diff(lon)) > LON7_HALF).any())
+    if not wrapped:
+        return lat_min, int(lon.min()), lat_max, int(lon.max()), False
+    shifted = np.where(lon < 0, lon + LON7_SPAN, lon)
+    west_s, east_s = int(shifted.min()), int(shifted.max())
+    to_signed = lambda v: v - LON7_SPAN if v >= LON7_HALF else v
+    return lat_min, to_signed(west_s), lat_max, to_signed(east_s), True
+
+
 # --- distances -------------------------------------------------------------------
 EARTH_RADIUS_M = 6_371_008.8
 

@@ -127,7 +127,11 @@ def minhash_lsh_pairs(
     )
     sha = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    ver = cand.join(sha, "doc_a").join(shb, "doc_b")
+    # Pin the promised plan: the (small, banding-pruned) candidate side is
+    # broadcast into BOTH verify joins so the shingle table never shuffles —
+    # without the hint Catalyst may stats-estimate its way into shuffling sha.
+    ver = F.broadcast(cand).join(sha, "doc_a")
+    ver = F.broadcast(ver.select("doc_a", "doc_b", "sh_a")).join(shb, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (

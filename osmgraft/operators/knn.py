@@ -19,8 +19,9 @@ neighbors are found, and every square fits int64 for all valid coordinates
 (≤ 2·(1.8e9)² = 6.5e18 < 2^63). Exactness: a point outside the wrapped
 disk(r) is separated by > r·G along some axis, so once the kth-best dist2 ≤
 (r·G)², no farther cell can improve the answer — that query retires
-(anti-join, still distributed). Radius doubles each round (≤ log₂(max)
-rounds); queries that out-run ``max_radius_cells`` fall back to one
+(anti-join, still distributed). Radius quadruples each round — r_next =
+min(4·r, max) — so ≤ log₄(max_radius_cells) rounds; queries that out-run
+``max_radius_cells`` fall back to one
 brute-force broadcast pass (only relevant when k approaches the table size).
 
 The driver sees ONLY a scalar active-query count per round (loop control,

@@ -22,22 +22,45 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from osmgraft.functions import tiles
-from osmgraft.geom import polygon_bbox
+from osmgraft.geom import polygon_bbox_wrapped
+
+LON7_WEST_EDGE = -1_800_000_000  # tx == 0 at every zoom
+LON7_EAST_EDGE = 1_799_999_999  # tx == 2^z - 1 at every zoom
+
+
+def _scalar_tile_x(lon7: int, z: int) -> int:
+    import math
+
+    x = math.floor((lon7 / 1e7 + 180.0) / 360.0 * float(2**z))
+    return min(max(int(x), 0), 2**z - 1)
+
+
+def cover_bboxes(polys: list[dict], z: int) -> list[tuple[int, int, int, int, int]]:
+    """(boundary_id, lat_min, lon_min, lat_max, lon_max) rows with every
+    antimeridian-wrapped polygon SPLIT into two lon ranges — [west, +180°) and
+    [-180°, east] — so downstream tx sequences never run backwards. If the
+    wrap gap closes at this zoom (tx(west) <= tx(east), i.e. one tile column
+    spans the seam), one full-span row is emitted instead of two overlapping
+    ones. Shared by the Spark operator and the DuckDB oracle's VALUES list,
+    so both engines rasterize the identical bbox set."""
+    rows: list[tuple[int, int, int, int, int]] = []
+    for p in polys:
+        lat0, lon_w, lat1, lon_e, wrapped = polygon_bbox_wrapped(p)
+        bid = int(p["boundary_id"])
+        if not wrapped:
+            rows.append((bid, lat0, lon_w, lat1, lon_e))
+        elif _scalar_tile_x(lon_w, z) <= _scalar_tile_x(lon_e, z):
+            rows.append((bid, lat0, LON7_WEST_EDGE, lat1, LON7_EAST_EDGE))
+        else:
+            rows.append((bid, lat0, lon_w, lat1, LON7_EAST_EDGE))
+            rows.append((bid, lat0, LON7_WEST_EDGE, lat1, lon_e))
+    return rows
 
 
 def boundary_tile_cover(spark: SparkSession, polys: list[dict], z: int) -> DataFrame:
-    """(boundary_id, tx, ty) for every z-tile intersecting each polygon's bbox."""
-    rows = [(p["boundary_id"], *map(int, polygon_bbox(p))) for p in polys]
-    for bid, _lat0, lon0, _lat1, lon1 in rows:
-        if lon0 > lon1:
-            # An antimeridian-crossing bbox would make sequence() auto-step -1
-            # and emit the COMPLEMENT tile range (silently wrong, and divergent
-            # from the SQL oracle). Explicit non-goal until wrapped covers are
-            # split into [tx0, 2^z-1] + [0, tx1].
-            raise ValueError(
-                f"boundary {bid}: bbox crosses the antimeridian "
-                f"(lon_min {lon0} > lon_max {lon1}) — unsupported"
-            )
+    """(boundary_id, tx, ty) for every z-tile intersecting each polygon's bbox
+    (antimeridian-wrapped bboxes covered via the two-range split above)."""
+    rows = cover_bboxes(polys, z)
     bbox = spark.createDataFrame(
         rows, "boundary_id long, lat_min long, lon_min long, lat_max long, lon_max long"
     )

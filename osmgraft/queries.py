@@ -928,13 +928,15 @@ def image_geo_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- raster↔vector: polygon -> tile-grid rasterization --------------------------
 def _bbox_values() -> str:
-    from osmgraft.geom import polygon_bbox
+    """Pre-split bbox rows (antimeridian wrap handled by cover_bboxes, shared
+    with the Spark operator) — the SQL twin only rasterizes ranges."""
+    from osmgraft.operators.raster import cover_bboxes
+    from osmgraft.synth import COVER_BOUNDARIES
 
-    rows = []
-    for p in ADMIN_BOUNDARIES:
-        la0, lo0, la1, lo1 = map(int, polygon_bbox(p))
-        rows.append(f"({p['boundary_id']},{la0},{lo0},{la1},{lo1})")
-    return ",".join(rows)
+    return ",".join(
+        f"({bid},{la0},{lo0},{la1},{lo1})"
+        for bid, la0, lo0, la1, lo1 in cover_bboxes(COVER_BOUNDARIES, 10)
+    )
 
 
 _PYRAMID_LEVELS = "\nUNION ALL\n".join(
@@ -973,11 +975,13 @@ FROM t JOIN nums nx ON nx.i <= t.tx1 - t.tx0
        JOIN nums ny ON ny.i <= t.ty1 - t.ty0""",
 )
 def boundary_tile_cover_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """vector→raster: admin boundaries rasterized onto the z10 tile grid
+    """vector→raster: admin boundaries (incl. the antimeridian-wrapped
+    fiji-wrap fixture) rasterized onto the z10 tile grid
     (operators/raster.py) — JVM sequence-explode, no Python."""
     from osmgraft.operators.raster import boundary_tile_cover
+    from osmgraft.synth import COVER_BOUNDARIES
 
-    return boundary_tile_cover(spark, ADMIN_BOUNDARIES, 10)
+    return boundary_tile_cover(spark, COVER_BOUNDARIES, 10)
 
 
 # --- §2.10: OSC change-set apply (osmio osc/mod.rs create/modify/delete) --------
@@ -1380,7 +1384,7 @@ def osc_file_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "changeset_top_tags",
     """SELECT CAST(event_type AS VARCHAR) AS created_by, count(*) AS cnt,
   CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS open_cnt,
-  CAST(sum(CAST(floor(value) AS BIGINT) % 1000) AS BIGINT) AS sum_changes,
+  CAST(sum(((CAST(floor(value) AS BIGINT) % 1000) + 1000) % 1000) AS BIGINT) AS sum_changes,
   CAST(sum(event_id % 7) AS BIGINT) AS sum_comments
 FROM events GROUP BY event_type""",
 )

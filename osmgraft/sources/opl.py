@@ -28,8 +28,13 @@ def _cp_hex(ch: Column) -> Column:
 
 def opl_escape(col: Column) -> Column:
     """%XXXX%-escape every char outside the safe set (hex of the full
-    codepoint, variable width ≥4 — matches the reference's variable-length
-    codepoint escape, opl/mod.rs:87-122). Per-character JVM lambda."""
+    codepoint, lowercase, zero-padded to width ≥4). DECODE-compatible with
+    the reference (both parsers accept any %hex% run) but NOT byte-identical
+    to its writer: the reference escapes only {space, newline, ',', '=', '@'}
+    as uppercase unpadded %XX% (opl/mod.rs:87-122), while this writer escapes
+    every char outside [0-9a-zA-Z.:_#-]. Byte-level golden comparison against
+    reference OPL output would fail; roundtrip through either parser agrees.
+    Per-character JVM lambda."""
     chars = F.split(col, "")
     esc = F.transform(
         chars,

@@ -228,9 +228,15 @@ def _tags_from_kv(keys_idx: np.ndarray, vals_idx: np.ndarray, offsets: np.ndarra
     return pa.MapArray.from_arrays(pa.array(offsets, type=pa.int32()), keys, vals)
 
 
-def _info_arrays(infos: list, st, n: int):
+def _info_arrays(infos: list, st, n: int, date_gran: int = 1000):
     """Per-object (non-dense) Info fields → columns. Info is tiny (6 scalar
-    fields); parsed per object but each parse is a few varints."""
+    fields); parsed per object but each parse is a few varints.
+
+    Timestamps are scaled by date_granularity//1000 to epoch seconds, same as
+    the dense path. NOTE: the reference leaves its own way/relation scaling
+    commented out (stringpbf/mod.rs:256-260) and emits raw units when
+    date_granularity != 1000; we scale — deliberate divergence, correct by
+    the PBF spec, no-op for the ubiquitous date_granularity=1000."""
     import pyarrow as pa
 
     version = np.full(n, -1, dtype=np.int32)
@@ -256,7 +262,7 @@ def _info_arrays(infos: list, st, n: int):
         if 6 in f:
             visible[i] = bool(f[6][0])
     user = st.take(pa.array(user_sid, type=pa.int64()))
-    return version, ts, changeset, uid, user, ~visible
+    return version, ts * (date_gran // 1000), changeset, uid, user, ~visible
 
 
 def _decode_dense(group, st, granularity, lat_off, lon_off, date_gran):
@@ -319,7 +325,7 @@ def _decode_dense(group, st, granularity, lat_off, lon_off, date_gran):
     }
 
 
-def _decode_ways(group, st):
+def _decode_ways(group, st, date_gran):
     """Way messages (stringpbf/mod.rs:213-280): refs delta-decoded per way."""
     import pyarrow as pa
 
@@ -345,7 +351,7 @@ def _decode_ways(group, st):
         np.concatenate(([0], np.cumsum(pair_counts))).astype(np.int32),
         st,
     )
-    version, ts, changeset, uid, user, deleted = _info_arrays(infos, st, n)
+    version, ts, changeset, uid, user, deleted = _info_arrays(infos, st, n, date_gran)
     nodes = pa.ListArray.from_arrays(
         pa.array(np.concatenate(([0], np.cumsum(ref_counts))), type=pa.int32()),
         pa.array(np.concatenate(all_refs) if all_refs else np.empty(0, np.int64), type=pa.int64()),
@@ -370,7 +376,7 @@ def _decode_ways(group, st):
 _MEMBER_TYPE = np.array(["n", "w", "r"], dtype=object)  # NODE/WAY/RELATION (lib.rs:495-501)
 
 
-def _decode_relations(group, st):
+def _decode_relations(group, st, date_gran):
     """Relation messages (stringpbf/mod.rs:282-360)."""
     import pyarrow as pa
 
@@ -401,7 +407,7 @@ def _decode_relations(group, st):
         np.concatenate(([0], np.cumsum(pair_counts))).astype(np.int32),
         st,
     )
-    version, ts, changeset, uid, user, deleted = _info_arrays(infos, st, n)
+    version, ts, changeset, uid, user, deleted = _info_arrays(infos, st, n, date_gran)
     flat_refs = np.concatenate(mem_refs) if mem_refs else np.empty(0, np.int64)
     flat_types = np.concatenate(mem_types) if mem_types else np.empty(0, np.int64)
     flat_roles = np.concatenate(mem_roles) if mem_roles else np.empty(0, np.int64)
@@ -485,9 +491,9 @@ def decode_block(data: bytes, object_filter=(True, True, True)):
         if 2 in group and object_filter[0]:  # dense nodes
             out.append(_decode_dense(group, st, granularity, lat_off, lon_off, date_gran))
         if 3 in group and object_filter[1]:  # ways
-            out.append(_decode_ways(group, st))
+            out.append(_decode_ways(group, st, date_gran))
         if 4 in group and object_filter[2]:  # relations
-            out.append(_decode_relations(group, st))
+            out.append(_decode_relations(group, st, date_gran))
         # plain (non-dense) Node groups: not produced by any mainstream
         # writer; the reference's own decode_nodes is unimplemented!()
         # (stringpbf/mod.rs:90-100) — we match that non-support.

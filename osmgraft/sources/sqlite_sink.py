@@ -42,6 +42,13 @@ _SQLITE_TYPES = {
 }
 
 
+def _q(ident: str) -> str:
+    """Double-quote an SQL identifier (escape embedded quotes) — Spark schemas
+    legally contain spaces/keywords/hyphens, and caller-supplied table names
+    must not be injectable."""
+    return '"' + ident.replace('"', '""') + '"'
+
+
 def _ddl(df: DataFrame, table: str, primary_key: str | None) -> str:
     cols = []
     for f in df.schema.fields:
@@ -52,8 +59,8 @@ def _ddl(df: DataFrame, table: str, primary_key: str | None) -> str:
                 "mapping — serialize it first (e.g. tags → JSON text)"
             )
         pk = " PRIMARY KEY" if f.name == primary_key else ""
-        cols.append(f"{f.name} {t}{pk}")
-    return f"CREATE TABLE {table} ({', '.join(cols)})"
+        cols.append(f"{_q(f.name)} {t}{pk}")
+    return f"CREATE TABLE {_q(table)} ({', '.join(cols)})"
 
 
 def _normalize(v):
@@ -83,7 +90,7 @@ def write_sqlite(
     n = 0
     try:
         conn.execute(_ddl(df, table, primary_key))
-        ins = f"INSERT INTO {table} VALUES ({','.join('?' * len(df.columns))})"
+        ins = f"INSERT INTO {_q(table)} VALUES ({','.join('?' * len(df.columns))})"
         batch: list[tuple] = []
         with conn:  # one transaction, like the reference
             for row in df.toLocalIterator(prefetchPartitions=True):
@@ -109,6 +116,7 @@ def write_sqlite_sharded(
     single-writer bottleneck; shard count = partition count."""
     os.makedirs(directory, exist_ok=True)
     ddl = _ddl(df, table, primary_key)
+    table_q = _q(table)
     ncols = len(df.columns)
 
     def sink(pdf_iter):
@@ -123,7 +131,7 @@ def write_sqlite_sharded(
         n = 0
         try:
             conn.execute(ddl)
-            ins = f"INSERT INTO {table} VALUES ({','.join('?' * ncols)})"
+            ins = f"INSERT INTO {table_q} VALUES ({','.join('?' * ncols)})"
             with conn:
                 for pdf in pdf_iter:
                     rows = [
@@ -156,7 +164,7 @@ def read_sqlite(spark: SparkSession, path: str, table: str = "rows") -> DataFram
     """Read a (small) sqlite table back — interop/testing helper, driver-side."""
     conn = sqlite3.connect(path)
     try:
-        cur = conn.execute(f"SELECT * FROM {table}")
+        cur = conn.execute(f"SELECT * FROM {_q(table)}")
         cols = [d[0] for d in cur.description]
         data = cur.fetchall()
     finally:

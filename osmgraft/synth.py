@@ -22,6 +22,8 @@ Plus the osmio-model fixture tables with the reference's golden literals
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -154,6 +156,16 @@ ADMIN_BOUNDARIES: list[dict] = [
      "ring": [(0, 1_600_000_000), (100_000_000, 1_700_000_000), (0, 1_680_000_000),
               (-100_000_000, 1_700_000_000), (0, 1_600_000_000)], "holes": [],
      "tags": {}},
+]
+
+
+# Antimeridian-crossing boundary (Fiji-like) — exercised by the raster tile
+# cover ONLY. Kept out of ADMIN_BOUNDARIES: the ray-casting PIP operators and
+# their oracles treat rings in raw lon space (wrap-free by fixture contract).
+COVER_BOUNDARIES: list[dict] = ADMIN_BOUNDARIES + [
+    {"boundary_id": 13, "name": "fiji-wrap",
+     "ring": _box(-210_000_000, 1_770_000_000, -150_000_000, -1_780_000_000),
+     "holes": [], "tags": {"wrap": "antimeridian"}},
 ]
 
 
@@ -607,7 +619,11 @@ def changesets_fixture_path(spark: SparkSession, sf_dir: str) -> str:
                     "uid": e % 500,
                     "user": f"cs-{e % 31}",
                     "tags": {"comment": f"c{e % 13}", "created_by": str(r.event_type)},
-                    "num_changes": int(r.value) % 1000,
+                    # floor-then-floor-mod: one rounding/modulo convention
+                    # shared with the DuckDB oracle twin (which wraps its
+                    # sign-of-dividend % back to [0,1000)) — int() would
+                    # truncate toward zero and flake on negative values.
+                    "num_changes": math.floor(r.value) % 1000,
                     "comments_count": e % 7,
                 }
             )

@@ -55,7 +55,7 @@ def test_changeset_tags_to_sqlite_matches_reference_contract(spark, tmp_path):
     schema = conn.execute(
         "SELECT sql FROM sqlite_master WHERE name='changeset_tags'"
     ).fetchone()[0]
-    assert "id INTEGER PRIMARY KEY" in schema and "other_tags TEXT" in schema
+    assert '"id" INTEGER PRIMARY KEY' in schema and '"other_tags" TEXT' in schema
     got = {i: json.loads(t) for i, t in conn.execute("SELECT * FROM changeset_tags")}
     conn.close()
     assert got == expected
@@ -140,3 +140,18 @@ def test_ts_compare_is_codegen(spark):
         ts_compare(F.col("iso"), "iso", F.col("ep"), "epoch").alias("c")
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_identifier_quoting(spark, tmp_path):
+    """Spark-legal but SQL-hostile names (spaces, keywords, quotes) survive."""
+    import sqlite3
+
+    from osmgraft.sources.sqlite_sink import write_sqlite
+
+    df = spark.createDataFrame([(1, "x")], ["order", 'has "quote" col'])
+    p = str(tmp_path / "q.sqlite")
+    assert write_sqlite(df, p, table='odd "table"') == 1
+    conn = sqlite3.connect(p)
+    rows = conn.execute('SELECT "order", "has ""quote"" col" FROM "odd ""table"""').fetchall()
+    conn.close()
+    assert rows == [(1, "x")]

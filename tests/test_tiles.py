@@ -110,3 +110,41 @@ def test_tile_pyramid_rollup_identity(spark):
         }
         assert by_level[z] == direct, z
         assert sum(by_level[z].values()) == n
+
+
+def test_boundary_tile_cover_antimeridian(spark):
+    """A Fiji-like wrapped bbox covers tx near both edges and NOTHING in the
+    gap between lon_east and lon_west (the old sequence() failure mode was
+    emitting the complement range)."""
+    from osmgraft.operators.raster import boundary_tile_cover, cover_bboxes
+
+    z = 10
+    poly = {
+        "boundary_id": 99,
+        "ring": [(-210_000_000, 1_770_000_000), (-210_000_000, -1_780_000_000),
+                 (-150_000_000, -1_780_000_000), (-150_000_000, 1_770_000_000),
+                 (-210_000_000, 1_770_000_000)],
+        "holes": [],
+    }
+    rows = boundary_tile_cover(spark, [poly], z).collect()
+    txs = sorted({r.tx for r in rows})
+    n = 2**z
+    # west part: tx(177.0°)=1015..1023; east part: tx(-178.0°)=0..5
+    assert txs[0] == 0 and txs[-1] == n - 1
+    assert all(tx <= 5 or tx >= 1015 for tx in txs), txs
+    # no duplicate (boundary, tx, ty) rows from the two-range split
+    assert len(rows) == len({(r.boundary_id, r.tx, r.ty) for r in rows})
+    # the split is tile-aware: if the gap closes at z=0 a single full row
+    assert cover_bboxes([poly], 0)[0][2] == -1_800_000_000
+
+
+def test_cover_bboxes_unwrapped_passthrough():
+    from osmgraft.geom import polygon_bbox
+    from osmgraft.operators.raster import cover_bboxes
+    from osmgraft.synth import ADMIN_BOUNDARIES
+
+    rows = cover_bboxes(ADMIN_BOUNDARIES, 10)
+    assert len(rows) == len(ADMIN_BOUNDARIES)
+    for p, row in zip(ADMIN_BOUNDARIES, rows):
+        la0, lo0, la1, lo1 = map(int, polygon_bbox(p))
+        assert row == (p["boundary_id"], la0, lo0, la1, lo1)
