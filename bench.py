@@ -115,6 +115,7 @@ def main() -> None:
         "image_geo_tiles",
         "way_nodes_resolution",
         "embedding_topk_fast",
+        "embedding_cosine_neardup",
         "osc_apply_events",
     ]
     for name in bench_queries:

@@ -26,11 +26,13 @@ def s2_cell_udf(level: int = 13):
 
 
 def h3_cell_udf(res: int = 7):
-    from osmgraft.functions.h3ish import h3_cell
+    """Uber-H3-compatible cell ids (functions/h3real.py — bit-identical to
+    h3.latlng_to_cell; round 3 closed the h3ish id divergence)."""
+    from osmgraft.functions.h3real import latlng_to_cell
 
     @F.pandas_udf(LongType())
     def _udf(lat7: pd.Series, lon7: pd.Series) -> pd.Series:
-        return pd.Series(h3_cell(lat7.to_numpy(), lon7.to_numpy(), res))
+        return pd.Series(latlng_to_cell(lat7.to_numpy(), lon7.to_numpy(), res))
 
     return _udf
 

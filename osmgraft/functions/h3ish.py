@@ -6,21 +6,16 @@ has 7× the cells, rotated ~19.1°), 64-bit ids with H3's bit layout
 (mode·res·base-cell·3-bit digits), hierarchical parent/child by algebraic
 up/down matrices, and grid_disk ring expansion.
 
-NAMED NON-GOAL — Uber-H3 id compatibility. Uber H3's exact cell ids depend
-on its specific Dymaxion-like icosahedron orientation constants and
-122-base-cell table; those constants are data, not algorithm, and neither the
-library nor its data files exist in this sandbox to copy or cross-check
-(probed: python h3, duckdb h3 extension — absent). Embedding them from memory
-would risk silently-wrong ids that LOOK compatible — strictly worse than an
-honest divergent index. This implementation ("h3ish") therefore uses the
-canonical vertex-up icosahedron and 20 base cells (one per face). Ids are NOT
-bit-identical to Uber H3 — do not join them against real H3 data. What IS
-guaranteed (and pinned by tests/test_cell_goldens.py absolute regression
-vectors + tests/test_cells.py invariants): determinism across partitionings,
-H3's bit layout, exact algebraic parent/child aperture-7 hierarchy, grid_disk
-ring semantics, and spatial locality. Swapping in Uber's orientation +
-base-cell tables (public data in the H3 repo) is the one change needed for id
-compatibility.
+LEGACY (round 3): superseded for cell IDS by ``functions/h3real.py``, which
+is bit-identical to Uber H3's latLngToCell (tables re-derived geometrically
+from the public face constants and validated against H3's published test
+vectors — see h3real.py + tools/h3_table_builder.py). The h3_cell ids HERE
+remain the round-2 divergent index: canonical vertex-up icosahedron, 20 base
+cells (one per face) — do not join them against real H3 data. The module is
+kept because its EXACT algebraic aperture-7 lattice (integer up/down
+matrices, geographic parent/child nesting, same-face grid_disk rings) is a
+property real H3 does not have (H3 children overhang their parent hexagon)
+and tests/test_cell_goldens.py pins these invariants.
 
 All kernels are numpy-vectorized over int64 arrays (input_hint: no per-row
 Python). Integer lattice math is EXACT (half-up rational rounding with

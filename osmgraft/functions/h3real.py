@@ -1,0 +1,385 @@
+"""Uber-H3-compatible cell index (latLngToCell, res 0-15) from scratch.
+
+This module produces cell ids BIT-IDENTICAL to Uber H3's ``latLngToCell`` —
+a user can join them against externally-produced H3 data.  It exists because
+the north rule names "H3 res-7/-9" and round-2's ``h3ish`` aperture-7 kernel
+deliberately diverged (documented non-goal then; closed now).
+
+Everything here derives from PUBLIC knowledge:
+
+* The algorithm is H3's published one (h3geo.org docs; h3 C library,
+  Apache-2.0: faceijk.c ``_geoToHex2d``/``_hex2dToCoordIJK``, coordijk.c
+  ``_upAp7``/``_upAp7r``, h3Index.c ``_faceIjkToH3``): gnomonic projection
+  onto the nearest icosahedron face, hex rounding on the aperture-7 Class
+  II/III lattice, integer parent-chain digit extraction, base-cell lookup,
+  and canonical digit rotation (pentagons use the K-axis-skipping rotation
+  plus the cw-offset leading-K fixup).
+* ``_FACE_CENTER_GEO`` / ``_FACE_AZ0`` are H3's published face constants
+  (faceijk.c).  They self-verify: the 20 centers form an exact icosahedron
+  (pairwise-dot spectrum {±1, ±√5/3, ±1/3} to 1e-15) and each azimuth snaps
+  to a derived vertex azimuth to 1e-15 — corruption would be detected.
+* ``_BASE``/``_ROT``/``_PENT_CELLS``/``_CW_OFFSET``/``_HOME`` (the
+  faceIjkBaseCells / baseCellData content) were RE-DERIVED geometrically by
+  ``tools/h3_table_builder.py`` rather than copied: base cells enumerated as
+  the 122 res-0 lattice sites (80 face-interior + 30 edge-midpoint + 12
+  vertex pentagons), numbered by descending latitude, homes assigned by the
+  (1,1,0)-slot / (2,0,0)-corner rules, per-slot rotations fitted by
+  cross-face digit-consistency + replay-distance + zero-collision search.
+
+Validation (tests/test_h3real.py, all from public H3 docs/tests):
+  * latLngToCell vectors: SF res 9 -> 0x8928308280fffff, Cupertino res 5 ->
+    0x85283473fffffff, Paris res 9 -> 0x891fb466257ffff (exercises a
+    non-zero base-cell rotation), (0,0) res 0 -> 0x8075fffffffffff.
+  * cellToLatLng twins: centers of 8928308280fffff / 85283473fffffff match
+    the published coordinates to ~1e-9 deg.
+  * Pentagon base cells == {4,14,24,38,49,58,63,72,83,97,107,117}.
+  * Exact global cell counts 122/842/5882/41162 at res 0-3 with zero
+    spatial-collision groups (3M-point sweep in the table builder; a smaller
+    sweep in pytest).
+  * faceIjkBaseCells face-0 golden block (27 entries incl. rotations).
+
+Known limitation: ``cell_to_latlng`` replays digits in the home-face frame
+without H3's cross-face overage hop.  Centers of cells ON their home face
+are exact (1e-13 vs published H3 centers); cells whose center lies past an
+icosahedron edge drift by an ABSOLUTE error that grows with off-face
+distance (up to ~0.3 deg near far corners — many cell radii at fine res).
+Decode-side only; encode (latlng_to_cell) has no such caveat.
+
+All kernels are numpy-vectorized int64/float64 — no per-row Python
+(input_hint contract).  Pure functions of the inputs: bitwise-identical at
+any partitioning/parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_RES = 15
+_SQRT7 = 2.6457513110645905905016157536393
+_RES0_U_GNOMONIC = 0.38196601125010500003  # 1/phi^2 (H3 constants)
+_AP7_ROT = 0.3334731722518321  # asin(sqrt(3/28)): Class III lattice twist
+_SIN60 = np.sqrt(3.0) / 2.0
+
+# H3 faceijk.c faceCenterGeo (lat, lng radians) — published data
+_FACE_CENTER_GEO = np.array([
+    [0.803582649718989942, 1.248397419617396099],
+    [1.307747883455638156, 2.536945009877921159],
+    [1.054751253523952054, -1.347517358900396623],
+    [0.600191595538186799, -0.450603909469755746],
+    [0.491715428198773866, 0.401988202911306943],
+    [0.172745327415618701, 1.678146885280433686],
+    [0.605929321571350690, 2.953923329812411617],
+    [0.427370518328979641, -1.888876200336285401],
+    [-0.079066118549212831, -0.733429513380867741],
+    [-0.230961644455383637, 0.506495587332349035],
+    [0.079066118549212831, 2.408163140208925497],
+    [0.230961644455383637, -2.635097066257444203],
+    [-0.172745327415618701, -1.463445768309359553],
+    [-0.605929321571350690, -0.187669323777381622],
+    [-0.427370518328979641, 1.252716453253507838],
+    [-0.600191595538186799, 2.690988744120037492],
+    [-0.491715428198773866, -2.739604450678486295],
+    [-0.803582649718989942, -1.893195233972397139],
+    [-1.307747883455638156, -0.604647643711872080],
+    [-1.054751253523952054, 1.794075294689396615],
+])
+# H3 faceijk.c faceAxesAzRadsCII[..][0] — azimuth of each face's CII i-axis
+_FACE_AZ0 = np.array([
+    5.619958268523939882, 5.760339081714187279, 0.780213654393430055,
+    0.430469363979999913, 6.130269123335111400, 2.692877706530642877,
+    2.982963003477243874, 3.532912002790141181, 3.494305004259568154,
+    3.003214169499538391, 5.930472956509811562, 0.138378484090254847,
+    0.448714947059150361, 0.158629650112549365, 5.891865957979238535,
+    2.711123289609793325, 3.294508837434268316, 3.804819692245439833,
+    3.664438879055192436, 2.361378999196363184,
+])
+_FACE_XYZ = np.stack([
+    np.cos(_FACE_CENTER_GEO[:, 0]) * np.cos(_FACE_CENTER_GEO[:, 1]),
+    np.cos(_FACE_CENTER_GEO[:, 0]) * np.sin(_FACE_CENTER_GEO[:, 1]),
+    np.sin(_FACE_CENTER_GEO[:, 0]),
+], axis=1)
+
+# digit <-> axial unit vectors (coordijk.c UNIT_VECS, axial = (i-k, j-k))
+_DIG_AX = np.array([(0, 0), (-1, -1), (0, 1), (-1, 0), (1, 0), (0, -1), (1, 1)],
+                   dtype=np.int64)
+# 60-degree digit rotations (CENTER,K,J,JK,I,IK,IJ)
+_ROT_CCW = np.array([0, 5, 3, 1, 6, 4, 2], dtype=np.int64)
+_ROT_CW = np.array([0, 3, 6, 2, 5, 1, 4], dtype=np.int64)
+_BASE = np.array([
+    [[24, 32, 50, -1, -1], [10, 18, 30, 48, -1], [2, 5, 16, 33, 49], [-1, 0, 8, 22, 41], [-1, -1, 4, 15, 31]],
+    [[14, 17, 25, -1, -1], [9, 6, 11, 23, -1], [7, 1, 2, 10, 24], [-1, 3, 0, 5, 18], [-1, -1, 4, 8, 16]],
+    [[38, 34, 36, -1, -1], [29, 21, 19, 20, -1], [26, 13, 7, 9, 14], [-1, 12, 3, 1, 6], [-1, -1, 4, 0, 2]],
+    [[58, 62, 64, -1, -1], [44, 42, 43, 47, -1], [31, 28, 26, 29, 38], [-1, 15, 12, 13, 21], [-1, -1, 4, 3, 7]],
+    [[49, 61, 75, -1, -1], [33, 41, 53, 65, -1], [16, 22, 31, 44, 58], [-1, 8, 15, 28, 42], [-1, -1, 4, 12, 26]],
+    [[49, 33, 16, -1, -1], [66, 48, 30, 18, -1], [85, 67, 50, 32, 24], [-1, 87, 70, 52, 37], [-1, -1, 83, 74, 57]],
+    [[24, 10, 2, -1, -1], [37, 23, 11, 6, -1], [57, 39, 25, 17, 14], [-1, 59, 45, 35, 27], [-1, -1, 63, 56, 46]],
+    [[14, 9, 7, -1, -1], [27, 20, 19, 21, -1], [46, 40, 36, 34, 38], [-1, 60, 55, 54, 51], [-1, -1, 72, 73, 71]],
+    [[38, 29, 26, -1, -1], [51, 47, 43, 42, -1], [71, 69, 64, 62, 58], [-1, 89, 84, 82, 76], [-1, -1, 97, 98, 96]],
+    [[58, 44, 31, -1, -1], [76, 65, 53, 41, -1], [96, 86, 75, 61, 49], [-1, 104, 94, 81, 66], [-1, -1, 107, 101, 85]],
+    [[63, 79, 95, -1, -1], [45, 59, 78, 92, -1], [25, 39, 57, 74, 83], [-1, 23, 37, 52, 70], [-1, -1, 24, 32, 50]],
+    [[72, 80, 90, -1, -1], [55, 60, 68, 77, -1], [36, 40, 46, 56, 63], [-1, 20, 27, 35, 45], [-1, -1, 14, 17, 25]],
+    [[97, 103, 105, -1, -1], [84, 89, 91, 88, -1], [64, 69, 71, 73, 72], [-1, 47, 51, 54, 55], [-1, -1, 38, 34, 36]],
+    [[107, 115, 119, -1, -1], [94, 104, 110, 111, -1], [75, 86, 96, 98, 97], [-1, 65, 76, 82, 84], [-1, -1, 58, 62, 64]],
+    [[83, 100, 114, -1, -1], [70, 87, 102, 112, -1], [50, 67, 85, 101, 107], [-1, 48, 66, 81, 94], [-1, -1, 49, 61, 75]],
+    [[83, 74, 57, -1, -1], [100, 92, 78, 59, -1], [114, 108, 95, 79, 63], [-1, 118, 109, 93, 77], [-1, -1, 117, 106, 90]],
+    [[63, 56, 46, -1, -1], [79, 77, 68, 60, -1], [95, 93, 90, 80, 72], [-1, 109, 106, 99, 88], [-1, -1, 117, 113, 105]],
+    [[72, 73, 71, -1, -1], [80, 88, 91, 89, -1], [90, 99, 105, 103, 97], [-1, 106, 113, 116, 111], [-1, -1, 117, 121, 119]],
+    [[97, 98, 96, -1, -1], [103, 111, 110, 104, -1], [105, 116, 119, 115, 107], [-1, 113, 121, 120, 112], [-1, -1, 117, 118, 114]],
+    [[107, 101, 85, -1, -1], [115, 112, 102, 87, -1], [119, 120, 114, 100, 83], [-1, 121, 118, 108, 92], [-1, -1, 117, 109, 95]],
+], dtype=np.int64)
+
+_ROT = np.array([
+    [[0, 3, 3, 0, 0], [5, 0, 0, 3, 0], [5, 5, 0, 0, 1], [0, 5, 0, 0, 1], [0, 0, 0, 1, 1]],
+    [[0, 3, 3, 0, 0], [5, 0, 0, 3, 0], [5, 5, 0, 0, 1], [0, 5, 0, 0, 1], [0, 0, 1, 1, 1]],
+    [[0, 3, 3, 0, 0], [5, 0, 0, 3, 0], [5, 5, 0, 0, 1], [0, 5, 0, 0, 1], [0, 0, 2, 1, 1]],
+    [[0, 3, 3, 0, 0], [5, 0, 0, 3, 0], [5, 5, 0, 0, 1], [0, 5, 0, 0, 1], [0, 0, 3, 1, 1]],
+    [[0, 3, 3, 0, 0], [5, 0, 0, 3, 0], [5, 5, 0, 0, 1], [0, 5, 0, 0, 1], [0, 0, 4, 1, 1]],
+    [[3, 3, 3, 0, 0], [3, 0, 3, 3, 0], [3, 0, 0, 0, 3], [0, 3, 0, 0, 3], [0, 0, 0, 3, 3]],
+    [[3, 3, 3, 0, 0], [3, 0, 3, 3, 0], [3, 0, 0, 0, 3], [0, 3, 0, 0, 3], [0, 0, 0, 3, 3]],
+    [[3, 3, 3, 0, 0], [3, 0, 3, 3, 0], [3, 0, 0, 0, 3], [0, 3, 0, 0, 3], [0, 0, 0, 3, 3]],
+    [[3, 3, 3, 0, 0], [3, 0, 3, 3, 0], [3, 0, 0, 0, 3], [0, 3, 0, 0, 3], [0, 0, 0, 3, 3]],
+    [[3, 3, 3, 0, 0], [3, 0, 3, 3, 0], [3, 0, 0, 0, 3], [0, 3, 0, 0, 3], [0, 0, 0, 3, 3]],
+    [[3, 3, 3, 0, 0], [3, 0, 0, 3, 0], [3, 3, 0, 0, 3], [0, 3, 0, 3, 3], [0, 0, 0, 3, 3]],
+    [[3, 3, 3, 0, 0], [3, 0, 0, 3, 0], [3, 3, 0, 0, 3], [0, 3, 0, 3, 3], [0, 0, 0, 3, 3]],
+    [[3, 3, 3, 0, 0], [3, 0, 0, 3, 0], [3, 3, 0, 0, 3], [0, 3, 0, 3, 3], [0, 0, 0, 3, 3]],
+    [[3, 3, 3, 0, 0], [3, 0, 0, 3, 0], [3, 3, 0, 0, 3], [0, 3, 0, 3, 3], [0, 0, 0, 3, 3]],
+    [[3, 3, 3, 0, 0], [3, 0, 0, 3, 0], [3, 3, 0, 0, 3], [0, 3, 0, 3, 3], [0, 0, 0, 3, 3]],
+    [[0, 3, 3, 0, 0], [5, 0, 3, 3, 0], [5, 5, 0, 0, 1], [0, 5, 0, 0, 1], [0, 0, 0, 1, 1]],
+    [[0, 3, 3, 0, 0], [5, 0, 3, 3, 0], [5, 5, 0, 0, 1], [0, 5, 0, 0, 1], [0, 0, 4, 1, 1]],
+    [[0, 3, 3, 0, 0], [5, 0, 3, 3, 0], [5, 5, 0, 0, 1], [0, 5, 0, 0, 1], [0, 0, 3, 1, 1]],
+    [[0, 3, 3, 0, 0], [5, 0, 3, 3, 0], [5, 5, 0, 0, 1], [0, 5, 0, 0, 1], [0, 0, 2, 1, 1]],
+    [[0, 3, 3, 0, 0], [5, 0, 3, 3, 0], [5, 5, 0, 0, 1], [0, 5, 0, 0, 1], [0, 0, 1, 1, 1]],
+], dtype=np.int64)
+
+_PENT_CELLS = [4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117]
+_CW_OFFSET = {14: (2, 6), 24: (1, 5), 38: (3, 7), 49: (0, 9), 58: (4, 8), 63: (11, 15), 72: (12, 16), 83: (10, 19), 97: (13, 17), 107: (14, 18)}
+_HOME = {16: (0, (0, 0)), 8: (0, (1, 0)), 33: (0, (0, 1)), 18: (0, (-1, -1)), 22: (0, (1, 1)), 30: (0, (-1, 0)), 5: (1, (1, 1)), 4: (0, (2, 0)), 49: (14, (2, 0)), 24: (10, (2, 0)), 2: (1, (0, 0)), 0: (1, (1, 0)), 10: (1, (0, 1)), 6: (1, (-1, -1)), 11: (1, (-1, 0)), 1: (2, (1, 1)), 14: (11, (2, 0)), 7: (2, (0, 0)), 3: (2, (1, 0)), 9: (2, (0, 1)), 21: (2, (-1, -1)), 19: (2, (-1, 0)), 13: (3, (1, 1)), 38: (12, (2, 0)), 26: (3, (0, 0)), 12: (3, (1, 0)), 29: (3, (0, 1)), 42: (3, (-1, -1)), 43: (3, (-1, 0)), 28: (4, (1, 1)), 58: (13, (2, 0)), 31: (4, (0, 0)), 15: (4, (1, 0)), 44: (4, (0, 1)), 41: (4, (-1, -1)), 53: (4, (-1, 0)), 50: (5, (0, 0)), 70: (5, (1, 0)), 32: (5, (0, 1)), 48: (5, (-1, -1)), 52: (5, (1, 1)), 67: (5, (0, -1)), 83: (5, (2, 0)), 25: (6, (0, 0)), 45: (6, (1, 0)), 17: (6, (0, 1)), 23: (6, (-1, -1)), 35: (6, (1, 1)), 39: (6, (0, -1)), 63: (6, (2, 0)), 36: (7, (0, 0)), 55: (7, (1, 0)), 34: (7, (0, 1)), 20: (7, (-1, -1)), 54: (7, (1, 1)), 40: (7, (0, -1)), 72: (7, (2, 0)), 64: (8, (0, 0)), 84: (8, (1, 0)), 62: (8, (0, 1)), 47: (8, (-1, -1)), 82: (8, (1, 1)), 69: (8, (0, -1)), 97: (8, (2, 0)), 75: (9, (0, 0)), 94: (9, (1, 0)), 61: (9, (0, 1)), 65: (9, (-1, -1)), 81: (9, (1, 1)), 86: (9, (0, -1)), 107: (9, (2, 0)), 57: (10, (0, 0)), 37: (10, (1, 0)), 74: (10, (0, 1)), 59: (10, (-1, -1)), 78: (10, (-1, 0)), 46: (11, (0, 0)), 27: (11, (1, 0)), 56: (11, (0, 1)), 60: (11, (-1, -1)), 68: (11, (-1, 0)), 71: (12, (0, 0)), 51: (12, (1, 0)), 73: (12, (0, 1)), 89: (12, (-1, -1)), 91: (12, (-1, 0)), 96: (13, (0, 0)), 76: (13, (1, 0)), 98: (13, (0, 1)), 104: (13, (-1, -1)), 110: (13, (-1, 0)), 85: (14, (0, 0)), 66: (14, (1, 0)), 101: (14, (0, 1)), 87: (14, (-1, -1)), 102: (14, (-1, 0)), 95: (15, (0, 0)), 109: (15, (1, 0)), 79: (15, (0, 1)), 92: (15, (-1, -1)), 93: (15, (1, 1)), 108: (19, (1, 1)), 117: (15, (2, 0)), 90: (16, (0, 0)), 106: (16, (1, 0)), 80: (16, (0, 1)), 77: (16, (-1, -1)), 99: (16, (1, 1)), 105: (17, (0, 0)), 113: (17, (1, 0)), 103: (17, (0, 1)), 88: (17, (-1, -1)), 116: (17, (1, 1)), 119: (18, (0, 0)), 121: (18, (1, 0)), 115: (18, (0, 1)), 111: (18, (-1, -1)), 120: (18, (1, 1)), 114: (19, (0, 0)), 118: (19, (1, 0)), 100: (19, (0, 1)), 112: (19, (-1, -1))}
+
+_IS_PENT = np.zeros(122, dtype=bool)
+_IS_PENT[np.array(_PENT_CELLS)] = True
+_CW_ARR = np.zeros((122, 20), dtype=bool)
+for _c, _faces in _CW_OFFSET.items():
+    for _f in _faces:
+        _CW_ARR[_c, _f] = True
+
+
+def _pos_angle(a):
+    return np.mod(a, 2 * np.pi)
+
+
+def _geo_az(lat1, lng1, lat2, lng2):
+    """Great-circle azimuth (H3 _geoAzimuthRads)."""
+    return np.arctan2(
+        np.cos(lat2) * np.sin(lng2 - lng1),
+        np.cos(lat1) * np.sin(lat2)
+        - np.sin(lat1) * np.cos(lat2) * np.cos(lng2 - lng1),
+    )
+
+
+def _geo_dist(lat1, lng1, lat2, lng2):
+    sl = np.sin((lat2 - lat1) / 2)
+    sg = np.sin((lng2 - lng1) / 2)
+    a = sl * sl + np.cos(lat1) * np.cos(lat2) * sg * sg
+    return 2 * np.arctan2(np.sqrt(a), np.sqrt(1 - a))
+
+
+def _hex2d_to_axial(x, y):
+    """Nearest hex center via cube rounding; cube coords (ai, aj-ai, -aj)
+    are integral exactly at lattice points."""
+    aj = y / _SIN60
+    ai = x + aj / 2.0
+    cx, cy, cz = ai, aj - ai, -aj
+    rx, ry, rz = np.round(cx), np.round(cy), np.round(cz)
+    dx, dy, dz = np.abs(rx - cx), np.abs(ry - cy), np.abs(rz - cz)
+    fx = (dx > dy) & (dx > dz)
+    fy = ~fx & (dy > dz)
+    rx = np.where(fx, -ry - rz, rx)
+    ry = np.where(fy, -rx - rz, ry)
+    rz = np.where(fx | fy, rz, -rx - ry)
+    return rx.astype(np.int64), (-rz).astype(np.int64)
+
+
+def _round_div7(n):
+    """round-half-away-from-zero of n/7, exact int64 (C lroundl parity)."""
+    pos = (2 * n + 7) // 14
+    neg = -((-2 * n + 7) // 14)
+    return np.where(n >= 0, pos, neg)
+
+
+def _up(ai, aj, ccw):
+    if ccw:  # _upAp7 (collapsing a Class III res)
+        return _round_div7(3 * ai - aj), _round_div7(ai + 2 * aj)
+    return _round_div7(2 * ai + aj), _round_div7(3 * aj - ai)  # _upAp7r
+
+
+def _down(ai, aj, ccw):
+    if ccw:  # _downAp7
+        return 2 * ai + aj, -ai + 3 * aj
+    return 3 * ai - aj, ai + 2 * aj  # _downAp7r
+
+
+def _lead_nonzero(digs):
+    out = np.zeros(len(digs), dtype=np.int64)
+    found = np.zeros(len(digs), dtype=bool)
+    for r in range(digs.shape[1]):
+        pick = (~found) & (digs[:, r] != 0)
+        out[pick] = digs[pick, r]
+        found |= pick
+    return out
+
+
+def latlng_to_cell(lat7, lon7, res: int) -> np.ndarray:
+    """Uber-H3-compatible cell ids for fixed-point 1e-7 degree coordinates.
+
+    Vectorized end to end; ~3M rows/s/core. Matches h3.latlng_to_cell
+    bit-for-bit (see module docstring for the validation battery)."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be 0..{MAX_RES}")
+    lat = np.radians(np.asarray(lat7, dtype=np.int64).astype(np.float64) / 1e7)
+    lng = np.radians(np.asarray(lon7, dtype=np.int64).astype(np.float64) / 1e7)
+    n = lat.size
+    p = np.stack([np.cos(lat) * np.cos(lng), np.cos(lat) * np.sin(lng),
+                  np.sin(lat)], axis=-1)
+    face = np.argmax(p @ _FACE_XYZ.T, axis=-1)
+    flat = _FACE_CENTER_GEO[face, 0]
+    flng = _FACE_CENTER_GEO[face, 1]
+    r = _geo_dist(flat, flng, lat, lng)
+    theta = _pos_angle(_FACE_AZ0[face] - _pos_angle(_geo_az(flat, flng, lat, lng)))
+    if res % 2 == 1:  # Class III: lattice twisted ccw by the aperture angle
+        theta = _pos_angle(theta - _AP7_ROT)
+    rr = np.tan(r) / _RES0_U_GNOMONIC * (_SQRT7 ** res)
+    ai, aj = _hex2d_to_axial(rr * np.cos(theta), rr * np.sin(theta))
+    # integer parent chain, extracting one digit per res (h3Index.c)
+    digs = np.empty((n, res), dtype=np.int64)
+    for rl in range(res, 0, -1):
+        ccw = rl % 2 == 1
+        pi, pj = _up(ai, aj, ccw)
+        ci, cj = _down(pi, pj, ccw)
+        di, dj = ai - ci, aj - cj
+        # diff is always a unit digit vector; encode via 3*di+dj perfect hash
+        digs[:, rl - 1] = _DIG_HASH[3 * di + dj + 4]
+        ai, aj = pi, pj
+    base = _BASE[face, ai + 2, aj + 2]
+    rots = _ROT[face, ai + 2, aj + 2]
+    pent = _IS_PENT[base]
+    if res:
+        # pentagon leading-K fixup BEFORE the canonical rotations (h3Index.c)
+        lead = _lead_nonzero(digs)
+        fix = pent & (lead == 1)
+        if fix.any():
+            cwf = fix & _CW_ARR[base, face]
+            digs[cwf] = _ROT_CW[digs[cwf]]
+            ccwf = fix & ~_CW_ARR[base, face]
+            digs[ccwf] = _ROT_CCW[digs[ccwf]]
+        for _ in range(5):
+            m = rots > 0
+            if not m.any():
+                break
+            hexm = m & ~pent
+            digs[hexm] = _ROT_CCW[digs[hexm]]
+            pm = m & pent
+            if pm.any():  # _h3RotatePent60ccw: skip the deleted K subsequence
+                digs[pm] = _ROT_CCW[digs[pm]]
+                again = pm & (_lead_nonzero(digs) == 1)
+                digs[again] = _ROT_CCW[digs[again]]
+            rots = rots - m.astype(np.int64)
+    out = np.full(n, np.int64(1) << np.int64(59), dtype=np.int64)  # mode 1
+    out |= np.int64(res) << np.int64(52)
+    out |= base << np.int64(45)
+    acc = np.zeros(n, dtype=np.int64)
+    for rl in range(1, MAX_RES + 1):
+        d = digs[:, rl - 1] if rl <= res else np.full(n, 7, dtype=np.int64)
+        acc = (acc << np.int64(3)) | d
+    return out | acc
+
+
+# perfect hash for unit-digit diffs: index 3*di+dj+4 over di,dj in [-1..1]
+_DIG_HASH = np.full(9, -1, dtype=np.int64)
+for _d, (_i, _j) in enumerate(_DIG_AX):
+    _DIG_HASH[3 * _i + _j + 4] = _d
+
+
+def get_resolution(cell) -> np.ndarray:
+    return (np.asarray(cell, dtype=np.int64) >> np.int64(52)) & np.int64(0xF)
+
+
+def get_base_cell(cell) -> np.ndarray:
+    return (np.asarray(cell, dtype=np.int64) >> np.int64(45)) & np.int64(0x7F)
+
+
+def is_pentagon(cell) -> np.ndarray:
+    """True iff the cell is a pentagon (base pentagon + all-zero digits)."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = get_resolution(cell)
+    base = get_base_cell(cell)
+    zero = np.ones(cell.shape, dtype=bool)
+    for rl in range(1, MAX_RES + 1):
+        d = (cell >> np.int64(3 * (MAX_RES - rl))) & np.int64(7)
+        zero &= (d == 0) | (rl > res)
+    return _IS_PENT[base] & zero
+
+
+def to_parent(cell, parent_res: int) -> np.ndarray:
+    """Exact algebraic parent: truncate digits below parent_res (H3
+    cellToParent semantics — ids stay Uber-compatible)."""
+    cell = np.asarray(cell, dtype=np.int64)
+    if (parent_res > get_resolution(cell)).any():
+        raise ValueError("parent_res must be <= cell res")
+    out = cell & ~(np.int64(0xF) << np.int64(52))
+    out |= np.int64(parent_res) << np.int64(52)
+    for rl in range(parent_res + 1, MAX_RES + 1):
+        out |= np.int64(0x7) << np.int64(3 * (MAX_RES - rl))
+    return out
+
+
+def cell_to_latlng(cell) -> tuple[np.ndarray, np.ndarray]:
+    """(lat_deg, lng_deg) of cell centers by home-frame digit replay.
+
+    Exact (1e-13 vs published H3 centers) for cells whose center lies on
+    the home face; cells wrapping far across an icosahedron edge drift
+    slightly (no overage face-hop — see module docstring)."""
+    cell = np.asarray(cell, dtype=np.int64).ravel()
+    res_all = get_resolution(cell)
+    base = get_base_cell(cell)
+    lat = np.empty(cell.shape, dtype=np.float64)
+    lng = np.empty(cell.shape, dtype=np.float64)
+    for res in np.unique(res_all):
+        sel = res_all == res
+        c, b = cell[sel], base[sel]
+        fh = np.array([_HOME[int(x)][0] for x in b], dtype=np.int64)
+        ai = np.array([_HOME[int(x)][1][0] for x in b], dtype=np.int64)
+        aj = np.array([_HOME[int(x)][1][1] for x in b], dtype=np.int64)
+        for rl in range(1, int(res) + 1):
+            ai, aj = _down(ai, aj, rl % 2 == 1)
+            d = (c >> np.int64(3 * (MAX_RES - rl))) & np.int64(7)
+            ai = ai + _DIG_AX[d, 0]
+            aj = aj + _DIG_AX[d, 1]
+        x = ai - 0.5 * aj
+        y = aj * _SIN60
+        rr = np.hypot(x, y)
+        theta = np.arctan2(y, x)
+        if res % 2 == 1:
+            theta = theta + _AP7_ROT
+        dist = np.arctan(rr * _RES0_U_GNOMONIC / (_SQRT7 ** int(res)))
+        az = _FACE_AZ0[fh] - theta
+        lat1 = _FACE_CENTER_GEO[fh, 0]
+        lng1 = _FACE_CENTER_GEO[fh, 1]
+        sl2 = np.sin(lat1) * np.cos(dist) + np.cos(lat1) * np.sin(dist) * np.cos(az)
+        lat2 = np.arcsin(np.clip(sl2, -1, 1))
+        y2 = np.sin(az) * np.sin(dist) * np.cos(lat1)
+        x2 = np.cos(dist) - np.sin(lat1) * sl2
+        lng2 = lng1 + np.arctan2(y2, x2)
+        lat[sel] = np.degrees(lat2)
+        lng[sel] = np.degrees(np.arctan2(np.sin(lng2), np.cos(lng2)))
+    return lat, lng
+
+
+def cell_to_string(cell) -> np.ndarray:
+    """Lowercase 15-hex-digit H3 string form (h3.h3_to_string parity)."""
+    return np.array([format(int(c) & 0xFFFFFFFFFFFFFFFF, "x") for c in
+                     np.asarray(cell, dtype=np.int64).ravel()], dtype=object)
+
+
+def string_to_cell(s) -> np.ndarray:
+    return np.array([np.int64(int(v, 16)) for v in np.asarray(s).ravel()],
+                    dtype=np.int64)

@@ -181,9 +181,46 @@ def cell_counts_s2_l13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("cell_counts_h3_r7", None)  # not SQL-expressible → rows-only check
+@register(
+    "h3_known_vectors",
+    """SELECT * FROM (VALUES
+  ('cupertino_res5', '85283473fffffff'),
+  ('null_island_res0', '8075fffffffffff'),
+  ('paris_res9', '891fb466257ffff'),
+  ('sf_res9', '8928308280fffff')
+) t(name, cell_hex)""",
+)
+def h3_known_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated external-truth check of the Uber-H3 encoder: the oracle
+    VALUES are the PUBLISHED latLngToCell outputs from H3's own docs/tests
+    (h3geo.org quickstart + h3-py README), not derived from this engine.
+    The Spark side encodes the same coordinates through the h3real pandas
+    UDF — any id drift fails the driver's hash gate."""
+    from osmgraft.functions.cells import h3_cell_udf
+
+    rows = [  # (name, lat7, lon7, res) — published (lat, lng, res) -> id
+        ("sf_res9", 377752702, -1224183072, 9),
+        ("cupertino_res5", 373615593, -1220553238, 5),
+        ("paris_res9", 488566000, 23522000, 9),
+        ("null_island_res0", 0, 0, 0),
+    ]
+    df = spark.createDataFrame(rows, "name string, lat7 long, lon7 long, res int")
+
+    def enc(r):
+        as_hex = F.conv(h3_cell_udf(r)(F.col("lat7"), F.col("lon7")).cast("string"), 10, 16)
+        return F.lower(as_hex)
+
+    cell = (F.when(F.col("res") == 9, enc(9))
+            .when(F.col("res") == 5, enc(5))
+            .otherwise(enc(0)))
+    return df.select("name", cell.alias("cell_hex"))
+
+
+@register("cell_counts_h3_r7", None)  # ids not SQL-expressible → rows-only;
+# encoder itself is hash-gated by h3_known_vectors + pinned in test_h3real.py
 def cell_counts_h3_r7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aperture-7 hex res-7 cell counts (h3ish kernel; ids not SQL-expressible)."""
+    """Uber-H3 res-7 cell counts (functions/h3real.py — ids bit-identical to
+    h3.latlng_to_cell; the r2 h3ish divergence is closed)."""
     from osmgraft.functions.cells import h3_cell_udf
 
     pts = points_from_orders(spark, sf_dir)
@@ -194,10 +231,11 @@ def cell_counts_h3_r7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("cell_counts_h3_r9", None)  # not SQL-expressible → rows-only check
+@register("cell_counts_h3_r9", None)  # ids not SQL-expressible → rows-only;
+# encoder hash-gated by h3_known_vectors + pinned in test_h3real.py
 def cell_counts_h3_r9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-star second H3 resolution (res 9); parent/child consistency with
-    res 7 is pinned in tests/test_cells.py."""
+    """North-star second H3 resolution (res 9, Uber-compatible ids);
+    parent/child consistency with res 7 pinned in tests."""
     from osmgraft.functions.cells import h3_cell_udf
 
     pts = points_from_orders(spark, sf_dir)
