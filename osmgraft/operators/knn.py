@@ -133,13 +133,19 @@ def knn_join(
             .withColumn("_dj", F.explode(F.sequence(F.lit(-r), F.lit(r))))
             .filter(F.greatest(F.abs(F.col("_di")), F.abs(F.col("_dj"))) > r_prev)
         )
-        return ring.select(
+        out = ring.select(
             "query_id",
             "qlat7",
             "qlon7",
             (F.col("qclat") + F.col("_di")).alias("clat"),
             F.pmod(F.col("qclon") + F.col("_dj"), F.lit(ncl)).alias("clon"),
-        ).dropDuplicates(["query_id", "clat", "clon"])  # lon wrap can alias cells
+        )
+        if 2 * r + 1 > ncl:
+            # lon wrap can alias cells only when the ring spans every lon
+            # cell; skipping the dedup otherwise saves a whole shuffle in
+            # the common (large-ncl) case
+            out = out.dropDuplicates(["query_id", "clat", "clon"])
+        return out
 
     try:
         # density-derived starting radius: one stats job picks r0 so the first
@@ -181,19 +187,21 @@ def knn_join(
             )
             merged = best.select("query_id", "neighbor_id", "dist2").union(cand) if best is not None else cand
             # wrap aliasing across rounds can rescan a physical cell → dedup.
-            # localCheckpoint (NOT persist): an iterative DataFrame doubles its
-            # logical plan every round; persist only caches partitions, so by
-            # round ~8 Catalyst analysis time explodes. Checkpointing truncates
-            # the plan to a LogicalRDD while the data stays on the executors.
+            # LAZY localCheckpoint (r3: was eager): the retirement count
+            # below is the round's ONE blocking action and it materializes
+            # the checkpoint as a side effect — eager would add a whole
+            # extra job per round that scans the same data (the plan is
+            # still truncated to a LogicalRDD either way, so round-over-
+            # round plan doubling stays impossible).
             topk = _topk(merged.dropDuplicates(["query_id", "neighbor_id"]), k).localCheckpoint(
-                eager=True
+                eager=False
             )
 
             # clamp: (r·G)² can exceed int64 for large radii, but every real
             # dist2 ≤ 2·(1.8e9)² < 2^63, so the clamp is semantically exact
             bound = min((r * cell_size) ** 2, (1 << 63) - 1)
             # no checkpoint on `retired`: it is a small aggregation over the
-            # just-checkpointed topk (LogicalRDD), so re-deriving it inside
+            # checkpointed topk (LogicalRDD), so re-deriving it inside
             # the later semi/anti joins is cheaper than an extra eager job
             retired = (
                 topk.groupBy("query_id")
@@ -201,13 +209,22 @@ def knn_join(
                 .filter((F.col("_cnt") >= k) & (F.col("_worst") <= bound))
                 .select("query_id")
             )
-            done.append(topk.join(F.broadcast(retired), "query_id", "left_semi"))
-            n_active -= retired.count()
+            n_retired = retired.count()  # the round's single blocking job
+            if n_retired >= n_active:
+                # everything still active just retired: the semi-join below
+                # would be an identity — skip it so the caller's action reads
+                # the checkpointed topk with no extra joins
+                done.append(topk)
+            else:
+                done.append(topk.join(F.broadcast(retired), "query_id", "left_semi"))
+            n_active -= n_retired
             if n_active > 0:  # skip dead anti-joins on the all-retired fast path
                 best = topk.join(F.broadcast(retired), "query_id", "left_anti")
+                # lazy for the same reason: the next round's retirement
+                # count materializes it
                 active = active.join(
                     F.broadcast(retired), "query_id", "left_anti"
-                ).localCheckpoint(eager=True)
+                ).localCheckpoint(eager=False)
             r_prev, r = r, min(r * 4, max_radius_cells) if r < max_radius_cells else r + 1
 
         brute_forced = n_active > 0

@@ -612,20 +612,130 @@ def _fake_audio_pcm(data: bytes, n_samples: int) -> np.ndarray:
     return rng.integers(-(2**15), 2**15, n_samples, dtype=np.int64)
 
 
+_WAV_HEADER_LEN = 44  # canonical RIFF/WAVE with one fmt + one data chunk
+
+
+def encode_wav_pcm16(pcm: np.ndarray, rate: int = 16_000) -> bytes:
+    """Canonical 44-byte-header mono 16-bit PCM WAV (RIFF spec, stdlib
+    struct — no codec library needed for PCM)."""
+    import struct
+
+    pcm = np.ascontiguousarray(pcm, dtype="<i2")
+    body = pcm.tobytes()
+    return b"".join([
+        b"RIFF", struct.pack("<I", 36 + len(body)), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16),
+        b"data", struct.pack("<I", len(body)), body,
+    ])
+
+
+def wav_pcm16(data: bytes) -> np.ndarray:
+    """Parse a PCM16 WAV (chunk walk, any channel count — interleaved
+    samples returned flat). numpy frombuffer, no per-sample Python."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt_ok = False
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + ln]
+        if cid == b"fmt ":
+            audio_fmt, _ch, _rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={audio_fmt} bits={bits}); PCM16 only")
+            fmt_ok = True
+        elif cid == b"data":
+            if not fmt_ok:
+                raise ValueError("WAV data chunk before fmt")
+            if len(body) != ln:
+                raise ValueError("truncated WAV data chunk")
+            return np.frombuffer(body, dtype="<i2")
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    raise ValueError("WAV missing data chunk")
+
+
 def audio_window_energy(
     media: DataFrame,
     window: int = 256,
     n_windows: int = 4,
-    decoder: str = "stub",
+    decoder: str = "wav",
     id_col: str = "media_id",
     bytes_col: str = "bytes",
 ) -> DataFrame:
-    """Feature extraction over opaque audio bytes: per-window sum of squares
-    (an integer RMS proxy so results hash exactly). decoder='stub' raises
-    NotImplementedError at execution — the real codec is not in this
-    environment; decoder='fake' exercises the full distributed plumbing with
-    the deterministic PCM generator. Same batching/partitioning contract as
-    the image kernels."""
+    """Feature extraction over audio bytes: per-window sum of squares (an
+    integer RMS proxy so results hash exactly across engines).
+
+    decoder='wav' (default, round 3 — closes the r2 "audio decode" stub):
+    REAL RIFF/PCM16 parsing, fully vectorized — an Arrow flat-buffer kernel
+    (mapInArrow) views the PCM spans as one int16 matrix when payloads are
+    uniform (the common fixed-clip-length corpus shape) and window energies
+    reduce as a single (rows, windows, window) int64 sum; the non-uniform
+    fallback decodes per row with numpy frombuffer (C-level, no per-sample
+    Python). Emits every COMPLETE window per clip.
+
+    decoder='fake' keeps the deterministic Philox plumbing generator;
+    decoder='stub' raises (parity with video, where no real codec exists)."""
+    if decoder == "wav":
+        import pyarrow as pa
+
+        def akernel(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                ids = rb.column(0).to_pylist()
+                buf, starts, ends = _binary_spans(rb.column(1))
+                n = len(starts)
+                spans = ends - starts
+                hdr = np.frombuffer(b"RIFF", dtype=np.uint8)
+                okhead = buf[np.minimum(starts[:, None] + np.arange(4)[None, :],
+                                        len(buf) - 1)]
+                if not ((spans > _WAV_HEADER_LEN).all()
+                        and (okhead == hdr).all()):
+                    raise ValueError("non-RIFF or truncated WAV payload")
+                uniform = n > 0 and np.all(spans == spans[0]) and np.array_equal(
+                    starts[1:], ends[:-1])
+                out_id, out_k, out_e = [], [], []
+                if uniform:
+                    # canonical-header fast path: one reshape, zero per-row work
+                    heads = buf[starts[0]:starts[0] + _WAV_HEADER_LEN]
+                    canonical = bytes(heads[12:16]) == b"fmt " and bytes(
+                        buf[starts[0] + 36:starts[0] + 40]) == b"data"
+                else:
+                    canonical = False
+                if canonical:
+                    body = (spans[0] - _WAV_HEADER_LEN) // 2
+                    k = int(body // window)
+                    raw = buf[starts[0]:ends[-1]].reshape(n, spans[0])
+                    pcm = (np.ascontiguousarray(raw[:, _WAV_HEADER_LEN:])
+                           .view("<i2").astype(np.int64))
+                    e = (pcm[:, :k * window].reshape(n, k, window) ** 2).sum(axis=2)
+                    out_id = np.repeat(np.arange(n), k)
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array([ids[i] for i in out_id], type=pa.string()),
+                         pa.array(np.tile(np.arange(k, dtype=np.int32), n)),
+                         pa.array(e.ravel(), type=pa.int64())],
+                        names=["media_id", "window_idx", "energy"])
+                    continue
+                bb = buf.tobytes()
+                for i in range(n):
+                    pcm = wav_pcm16(bb[starts[i]:ends[i]]).astype(np.int64)
+                    k = len(pcm) // window
+                    e = (pcm[:k * window].reshape(k, window) ** 2).sum(axis=1)
+                    out_id += [ids[i]] * k
+                    out_k += list(range(k))
+                    out_e += e.tolist()
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out_id, type=pa.string()),
+                     pa.array(out_k, type=pa.int32()),
+                     pa.array(out_e, type=pa.int64())],
+                    names=["media_id", "window_idx", "energy"])
+
+        return media.select(
+            F.col(id_col).cast("string"), F.col(bytes_col)
+        ).mapInArrow(akernel, schema=AUDIO_SCHEMA)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -634,8 +744,8 @@ def audio_window_energy(
                 data = bytes(getattr(r, bytes_col))
                 if decoder == "stub":
                     raise NotImplementedError(
-                        "audio decode stubbed: no codec library in this environment; "
-                        "use decoder='fake' for plumbing tests"
+                        "audio decode stubbed for non-PCM codecs; use "
+                        "decoder='wav' for PCM16 or decoder='fake' for plumbing tests"
                     )
                 pcm = _fake_audio_pcm(data, window * n_windows)
                 for i in range(n_windows):

@@ -189,6 +189,31 @@ def usable_areas() -> list[dict]:
     return [b for b in ADMIN_BOUNDARIES if b["tags"].get("area") != "no"]
 
 
+# --- 2b. audio fixture: PCM16 WAV clips with SQL-derivable samples -----------
+def synth_audio(spark: SparkSession, n: int, n_samples: int = 1024,
+                rate: int = 16_000) -> DataFrame:
+    """Deterministic audio table: sample(i, t) = ((i*1103515245 + t*12345
+    + 42) % 65536) - 32768 — pure integer arithmetic, so the DuckDB oracle
+    regenerates the PCM exactly and any WAV-decode bug breaks the energy
+    hash. Payloads are REAL RIFF/PCM16 containers (encode_wav_pcm16)."""
+    from osmgraft.operators.multimodal import encode_wav_pcm16
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            out = []
+            for i in pdf["idx"].tolist():
+                t = np.arange(n_samples, dtype=np.int64)
+                pcm = ((i * 1103515245 + t * 12345 + 42) % 65536 - 32768).astype(
+                    np.int16
+                )
+                out.append((f"aud{i:09d}", bytearray(encode_wav_pcm16(pcm, rate))))
+            yield pd.DataFrame(out, columns=["media_id", "bytes"])
+
+    return spark.range(n).select(F.col("id").alias("idx")).mapInPandas(
+        gen, schema="media_id string, bytes binary"
+    )
+
+
 # --- 3. image table (input_hint schema) --------------------------------------
 def _pixels_for(idx: int, w: int, h: int) -> np.ndarray:
     rng = np.random.Generator(np.random.Philox(key=idx))
@@ -213,7 +238,7 @@ def synth_images(spark: SparkSession, n: int, with_pixels: bool = True) -> DataF
                 src = np.where((idxs % 50 == 49) & (idxs > 0), idxs - 1, idxs)
                 wv = np.array(sizes, dtype=np.int64)[src % 3]
                 hv = np.array(sizes, dtype=np.int64)[(src // 3) % 3]
-                fmts = np.array(["raw", "ppm", "qdct"])[idxs % 3]
+                fmts = np.array(["raw", "ppm", "qdct", "png"])[idxs % 4]
                 hot = idxs % 5 == 0
                 hs = np.array(_HOT_SPOTS, dtype=np.int64)[idxs % 3]
                 lat7 = np.where(
@@ -252,7 +277,7 @@ def synth_images(spark: SparkSession, n: int, with_pixels: bool = True) -> DataF
                 src = idx - 1 if (idx % 50 == 49 and idx > 0) else idx
                 w = sizes[src % 3]
                 h = sizes[(src // 3) % 3]
-                fmt = ("raw", "ppm", "qdct")[idx % 3]  # qdct = real lossy path
+                fmt = ("raw", "ppm", "qdct", "png")[idx % 4]  # qdct = real lossy path
                 if idx % 5 == 0:
                     clat, clon = _HOT_SPOTS[idx % 3]
                     lat7 = clat + (idx * 48271) % _JIT - _JIT // 2

@@ -32,9 +32,20 @@ def test_ppm_roundtrip():
     assert (decode_image(data, 24, 16, "ppm") == px).all()
 
 
-def test_png_stubbed():
-    with pytest.raises(NotImplementedError):
-        encode_image(_img(3), "png")
+def test_png_unsupported_variants_raise():
+    """The reader is scoped to 8-bit truecolor: other color types /
+    depths raise loudly instead of mis-decoding."""
+    import struct
+    import zlib
+
+    from osmgraft.functions.codec import _PNG_SIG, _png_chunk, png_decode
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 6, 0, 0, 0)  # RGBA
+    data = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (4 * (1 + 16))))
+            + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="8-bit truecolor"):
+        png_decode(data)
 
 
 def test_psnr():
@@ -176,9 +187,11 @@ def test_roundtrip_fidelity_operator(spark):
         for r in rows
     )
     # corruption is detected per row: flip one payload byte + alter a caption
+    # (row 2 is qdct under the 4-fmt rotation: the flipped tail byte is a real
+    # DCT coefficient; a png row's tail byte is only the IEND CRC)
     pdf = imgs.limit(10).toPandas()
-    pdf.loc[3, "bytes"] = bytes(pdf.loc[3, "bytes"][:-1]) + bytes(
-        [pdf.loc[3, "bytes"][-1] ^ 0xFF]
+    pdf.loc[2, "bytes"] = bytes(pdf.loc[2, "bytes"][:-1]) + bytes(
+        [pdf.loc[2, "bytes"][-1] ^ 0xFF]
     )
     pdf.loc[4, "caption"] = pdf.loc[4, "caption"] + "!"
     corrupted = spark.createDataFrame(pdf[["image_id", "bytes", "w", "h", "fmt", "caption"]])
@@ -187,12 +200,12 @@ def test_roundtrip_fidelity_operator(spark):
         for r in roundtrip_fidelity(imgs.limit(10), corrupted).collect()
     }
     assert len(out) == 10
-    bad_px = out[pdf.loc[3, "image_id"]]
+    bad_px = out[pdf.loc[2, "image_id"]]
     assert not bad_px.pixels_exact and bad_px.psnr_cdb < 1_000_000
     bad_cap = out[pdf.loc[4, "image_id"]]
     assert not bad_cap.caption_ok
     # everything else still clean
-    clean = [r for k, r in out.items() if k not in (pdf.loc[3, "image_id"], pdf.loc[4, "image_id"])]
+    clean = [r for k, r in out.items() if k not in (pdf.loc[2, "image_id"], pdf.loc[4, "image_id"])]
     assert all(r.pixels_exact and r.caption_ok for r in clean)
 
 
@@ -303,3 +316,106 @@ def test_image_stats_on_error_null_zero_dims(spark):
     out = {r.image_id: r for r in image_stats(df, on_error="null").collect()}
     assert out["a"].sum_r is None
     assert (out["b"].sum_r, out["b"].sum_g, out["b"].sum_b) == (1, 2, 3)
+
+
+# --- png (round 3: real pure-python codec, RFC 2083) ---------------------------
+def test_png_roundtrip_exact():
+    import numpy as np
+
+    from osmgraft.functions.codec import decode_image, encode_image
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    data = encode_image(px, "png")
+    assert data.startswith(b"\x89PNG\r\n\x1a\n")
+    assert (decode_image(data, 64, 48, "png") == px).all()
+
+
+def test_png_decodes_all_five_filters():
+    """Reader must reconstruct spec filters 0-4, not just the writer's 0 —
+    verified against a naive per-pixel reference filterer."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from osmgraft.functions.codec import _PNG_SIG, _png_chunk, png_decode
+
+    rng = np.random.default_rng(11)
+    h, w = 13, 17
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    raw = bytearray()
+    prev = np.zeros((w, 3), dtype=np.int32)
+    for y in range(h):
+        f = y % 5
+        raw.append(f)
+        cur = px[y].astype(np.int32)
+        line = np.zeros((w, 3), dtype=np.int32)
+        for x in range(w):
+            left = cur[x - 1] if x else np.zeros(3, np.int32)
+            up = prev[x]
+            ul = prev[x - 1] if x else np.zeros(3, np.int32)
+            if f == 0:
+                pred = np.zeros(3, np.int32)
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) // 2
+            else:
+                pred = np.array([paeth(int(left[c]), int(up[c]), int(ul[c]))
+                                 for c in range(3)])
+            line[x] = (cur[x] - pred) & 0xFF
+        raw.extend(line.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+    assert (png_decode(data) == px).all()
+
+
+def test_png_batch_and_corruption_routing(spark):
+    """decode_batch png path + on_error='null': signature-valid but
+    zlib-truncated payloads route to null instead of killing the job."""
+    import numpy as np
+
+    from osmgraft.functions.codec import encode_image
+    from osmgraft.operators.multimodal import image_stats
+
+    rng = np.random.default_rng(5)
+    rows = []
+    pix = {}
+    for i in range(6):
+        px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        data = encode_image(px, "png")
+        if i == 3:
+            data = data[: len(data) // 2]  # truncated mid-IDAT
+        if i == 5:
+            data = b"\x89PNG\r\n\x1a\n" + b"garbage"
+        rows.append((f"p{i}", bytearray(data), 16, 16, "png", "c", 0, 0, 0))
+        pix[f"p{i}"] = px
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long, lat7 int, lon7 int",
+    )
+    out = {r.image_id: r for r in image_stats(df, on_error="null").collect()}
+    assert out["p3"].sum_r is None and out["p5"].sum_r is None
+    for i in (0, 1, 2, 4):
+        r = out[f"p{i}"]
+        px = pix[f"p{i}"]
+        assert r.sum_r == int(px[:, :, 0].sum())
+    import pytest
+
+    with pytest.raises(Exception):
+        image_stats(df, on_error="fail").collect()

@@ -145,13 +145,13 @@ def test_image_stats_pinned_checksum(spark):
         )
         .collect()[0]
     )
-    # re-pinned after the matmul block-DCT (BENCH/IMAGE.md): qdct decode
-    # rounding can shift single pixels by ±1 vs the einsum form
+    # re-pinned round 3: png joined the fmt rotation (raw/ppm/qdct/png),
+    # shifting which rows take the lossy qdct path
     assert (row.r, row.g, row.b, row.ph, row.n) == (
-        88320609,
-        88298783,
-        88331408,
-        -251843426,
+        88321072,
+        88298760,
+        88331625,
+        -250802424,
         500,
     )
 
@@ -166,7 +166,8 @@ def test_image_resize_gray32_pinned(spark):
     rows = image_resize_gray32(synth_images(spark, 64)).orderBy("image_id").collect()
     assert len(rows) == 64
     h = hashlib.sha256(b"".join(bytes(r.gray32) for r in rows)).hexdigest()
-    assert h == "89ebce98de1887d4dc23e460c8d0e9b39c29ce7239561a307baaf0d5de230252"
+    # re-pinned round 3 (png in the fmt rotation)
+    assert h == "0d7a9d95e3e09346b4fa222822096178efae06fe2e721b60c94e6b253126bf8b"
 
 
 def test_phash_neardup_pairs(spark):
@@ -342,3 +343,77 @@ def test_similarity_column_order_independent(spark, emb):
     wantp = {(r.id_a, r.id_b) for r in cosine_neardup_pairs(emb, 0.5).collect()}
     gotp = {(r.id_a, r.id_b) for r in cosine_neardup_pairs(reordered, 0.5).collect()}
     assert gotp == wantp and (0, 1) in gotp
+
+
+def test_wav_pcm16_roundtrip_and_energy(spark):
+    """Real RIFF/PCM16 decode (round 3): container roundtrip is exact and
+    window energies match a straight numpy computation."""
+    import numpy as np
+
+    from osmgraft.operators.multimodal import (
+        audio_window_energy,
+        encode_wav_pcm16,
+        wav_pcm16,
+    )
+
+    rng = np.random.default_rng(9)
+    clips = [rng.integers(-(2**15), 2**15, 1024).astype(np.int16) for _ in range(5)]
+    assert all((wav_pcm16(encode_wav_pcm16(c)) == c).all() for c in clips)
+    media = spark.createDataFrame(
+        [(f"m{i}", bytearray(encode_wav_pcm16(c))) for i, c in enumerate(clips)],
+        "media_id string, bytes binary",
+    )
+    got = {
+        (r.media_id, r.window_idx): r.energy
+        for r in audio_window_energy(media, window=256, decoder="wav").collect()
+    }
+    assert len(got) == 5 * 4
+    for i, c in enumerate(clips):
+        for k in range(4):
+            seg = c[k * 256:(k + 1) * 256].astype(np.int64)
+            assert got[(f"m{i}", k)] == int((seg * seg).sum())
+    # partitioning invariance (flat-buffer fast path vs per-row fallback mix)
+    again = {
+        (r.media_id, r.window_idx): r.energy
+        for r in audio_window_energy(
+            media.repartition(4), window=256, decoder="wav"
+        ).collect()
+    }
+    assert again == got
+
+
+def test_wav_non_canonical_header_and_errors(spark):
+    """Foreign WAVs (extra chunk before data) take the per-row parser;
+    non-PCM and truncated payloads raise loudly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from osmgraft.operators.multimodal import (
+        audio_window_energy,
+        encode_wav_pcm16,
+        wav_pcm16,
+    )
+
+    pcm = np.arange(512, dtype=np.int16)
+    canonical = encode_wav_pcm16(pcm)
+    # splice a LIST chunk between fmt and data -> non-44-byte header
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    foreign = canonical[:36] + extra + canonical[36:]
+    foreign = b"RIFF" + struct.pack("<I", len(foreign) - 8) + foreign[8:]
+    assert (wav_pcm16(foreign) == pcm).all()
+    media = spark.createDataFrame(
+        [("a", bytearray(canonical)), ("b", bytearray(foreign))],
+        "media_id string, bytes binary",
+    )
+    rows = audio_window_energy(media, window=256, decoder="wav").collect()
+    assert len(rows) == 4  # two full windows per clip
+    by = {(r.media_id, r.window_idx): r.energy for r in rows}
+    assert by[("a", 0)] == by[("b", 0)]
+    with pytest.raises(ValueError, match="PCM16 only"):
+        ieee = bytearray(canonical)
+        struct.pack_into("<H", ieee, 20, 3)  # IEEE float format tag
+        wav_pcm16(bytes(ieee))
+    with pytest.raises(ValueError):
+        wav_pcm16(canonical[:40])
