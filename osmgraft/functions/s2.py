@@ -192,3 +192,76 @@ def s2_level(cell_id: np.ndarray) -> np.ndarray:
     cid = np.asarray(cell_id, dtype=np.int64).view(np.uint64)
     lsb = cid & (~cid + np.uint64(1))
     return MAX_LEVEL - (np.round(np.log2(lsb.astype(np.float64))).astype(np.int64) // 2)
+
+
+def sql_s2_cell_l13(pts_cte: str) -> str:
+    """DuckDB twin of ``s2_cell_id(level=13)`` over a points CTE — converts
+    the S2 query from rows-only to hash-gated. The float legs (trig, sqrt,
+    divisions) are spelled identically to the numpy kernel; the Hilbert step
+    runs as eight chained joins against a 1024-row lookup VALUES table.
+
+    Oracle independence caveat (documented): the lookup VALUES are the same
+    _LOOKUP_POS data the engine uses (itself generated from the published
+    kPosToIJ/kPosToOrientation base constants and pinned against published
+    literals in tests/test_cell_goldens.py). The twin therefore
+    independently re-exercises the face selection, quadratic ST, ij
+    discretization and bit assembly — the float-heavy legs where engines
+    could diverge — but shares the (golden-pinned) curve tables."""
+    lk_rows = ",".join(f"({k},{int(v)})" for k, v in enumerate(_LOOKUP_POS))
+    # chained 4-bit Hilbert steps, high nibble first (k = 7..0)
+    steps = []
+    prev = "st0"
+    for step, k in enumerate(range(7, -1, -1)):
+        nxt = f"st{step + 1}"
+        steps.append(
+            f"{nxt} AS (SELECT point_id, i, j, face,"
+            f" pos + ((lk.v >> 2)::HUGEINT << {2 * _LOOKUP_BITS * k}) AS pos,"
+            f" lk.v & 3 AS carry"
+            f" FROM {prev} JOIN lk ON lk.k ="
+            f" carry + (((i >> {_LOOKUP_BITS * k}) & 15) << {_LOOKUP_BITS + 2})"
+            f" + (((j >> {_LOOKUP_BITS * k}) & 15) << 2))"
+        )
+        prev = nxt
+    steps_sql = ",\n".join(steps)
+    return f"""WITH pts AS ({pts_cte}),
+lk(k, v) AS (VALUES {lk_rows}),
+geo AS (SELECT point_id,
+  cos(radians(lat7/10000000.0))*cos(radians(lon7/10000000.0)) AS x,
+  cos(radians(lat7/10000000.0))*sin(radians(lon7/10000000.0)) AS y,
+  sin(radians(lat7/10000000.0)) AS z FROM pts),
+f0 AS (SELECT *, CASE WHEN abs(x) >= abs(y) THEN
+         CASE WHEN abs(x) >= abs(z) THEN 0 ELSE 2 END
+       ELSE CASE WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END END AS axis FROM geo),
+fuv AS (SELECT point_id,
+  axis + CASE WHEN (CASE axis WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0
+              THEN 3 ELSE 0 END AS face,
+  x, y, z FROM f0),
+uv AS (SELECT point_id, face,
+  CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+            WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+  CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+            WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+  FROM fuv),
+stv AS (SELECT point_id, face,
+  CASE WHEN u >= 0 THEN 0.5*sqrt(1.0 + 3.0*u) ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*u) END AS s,
+  CASE WHEN v >= 0 THEN 0.5*sqrt(1.0 + 3.0*v) ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*v) END AS t
+  FROM uv),
+st0 AS (SELECT point_id, face,
+  least(greatest(CAST(floor(s * 1073741824.0) AS BIGINT), 0), 1073741823) AS i,
+  least(greatest(CAST(floor(t * 1073741824.0) AS BIGINT), 0), 1073741823) AS j,
+  0::HUGEINT AS pos, face & 1 AS carry FROM stv),
+{steps_sql},
+ids AS (SELECT point_id,
+  -- leaf = (face<<61)|(pos<<1)|1 truncated to level 13: clear low 34 bits,
+  -- set the level-13 lsb (1<<34); then map the uint64 bit pattern to the
+  -- signed view Spark's LongType carries
+  -- the level-13 lsb is OR'd in (bit 34 of the truncated leaf may already
+  -- be set, so adding would carry into the curve position)
+  (face::HUGEINT * 2305843009213693952::HUGEINT)
+   + (((pos >> 33) | 1::HUGEINT) * 17179869184::HUGEINT) AS id_u
+  FROM st{8 if True else 0}),
+signed AS (SELECT point_id,
+  CAST(CASE WHEN id_u >= 9223372036854775808::HUGEINT
+            THEN id_u - 18446744073709551616::HUGEINT ELSE id_u END AS BIGINT) AS cell
+  FROM ids)
+SELECT cell, count(*) AS cnt FROM signed GROUP BY cell"""

@@ -186,7 +186,9 @@ def image_stats(images: DataFrame, on_error: str = "fail") -> DataFrame:
     )
 
 
-def phash_near_dup_pairs(images: DataFrame, max_hamming: int = 8) -> DataFrame:
+def phash_near_dup_pairs(
+    images: DataFrame, max_hamming: int = 8, probe_flips: int = 0
+) -> DataFrame:
     """Near-duplicate image pairs by pHash banding with a REAL recall
     guarantee: the 64-bit hash is split into ``max_hamming + 1`` disjoint bit
     bands, so by pigeonhole any pair within hamming ≤ max_hamming has at least
@@ -206,8 +208,21 @@ def phash_near_dup_pairs(images: DataFrame, max_hamming: int = 8) -> DataFrame:
     candidate pairs), which no exact-recall hamming join can avoid
     (pigeonhole is tight); on real corpora near-dup hashes cluster and the
     candidate set tracks the true pair count. Pick the smallest radius the
-    dedup policy allows."""
-    n_bands = max_hamming + 1
+    dedup policy allows — or raise ``probe_flips`` (below).
+
+    MULTI-PROBE (round 3, r2 verdict ask #10): with ``probe_flips = q > 0``
+    the hash splits into only ``ceil((max_hamming+1)/(q+1))`` WIDER bands and
+    one join side explodes every ≤q-bit-flip variant of each band value
+    (a literal XOR-mask array — still JVM-only). Pigeonhole again gives
+    exact recall: r flips across B bands leave some band with ≤ floor(r/B)
+    ≤ q flips, which the probes cover. The bucket space grows from
+    2^(64/(r+1)) to 2^(64/B): radius 8 with q=2 uses 3 ×~21-bit bands
+    (~2M buckets, ~700 probe rows/image) instead of 9 ×7-bit bands
+    (128 buckets) — on 20k uniform hashes that is ~66k candidate pairs
+    instead of ~28M (measured: BENCH/IMAGE.md §radius-8)."""
+    if probe_flips < 0:
+        raise ValueError("probe_flips must be >= 0")
+    n_bands = -(-(max_hamming + 1) // (probe_flips + 1))
     if not 1 <= n_bands <= 64:
         raise ValueError("max_hamming must be in [0, 63]")
     # band b covers `width` bits starting at `start`; first (64 % n_bands)
@@ -243,6 +258,25 @@ def phash_near_dup_pairs(images: DataFrame, max_hamming: int = 8) -> DataFrame:
         "band_idx",
         "band_val",
     )
+    if probe_flips > 0:
+        from itertools import combinations
+
+        def masks_for(width: int) -> list[int]:
+            out = [0]
+            for nf in range(1, probe_flips + 1):
+                out += [sum(1 << i for i in c) for c in combinations(range(width), nf)]
+            return out
+
+        # per-band XOR-mask arrays as one literal map: band_idx -> masks
+        mask_arrays = F.array(*[
+            F.array(*[F.lit(m) for m in masks_for(widths[b])])
+            for b in range(n_bands)
+        ])
+        b_ = (
+            b_.withColumn("_mask", F.explode(F.element_at(mask_arrays, F.col("band_idx") + 1)))
+            .withColumn("band_val", F.col("band_val").bitwiseXOR(F.col("_mask")))
+            .drop("_mask")
+        )
     cand = (
         a.join(b_, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -168,9 +168,19 @@ def cell_counts_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("cell_counts_s2_l13", None)  # not SQL-expressible → rows-only check
+def _s2_oracle() -> str:
+    from osmgraft.functions.s2 import sql_s2_cell_l13
+
+    return sql_s2_cell_l13(_PTS)
+
+
+@register("cell_counts_s2_l13", _s2_oracle())  # hash-gated since round 3
 def cell_counts_s2_l13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 level-13 cell counts (Hilbert bit-interleave kernel; ids not SQL-expressible)."""
+    """S2 level-13 cell counts. The DuckDB twin (functions/s2.sql_s2_cell_l13)
+    re-implements face selection, quadratic ST, ij discretization, the
+    Hilbert walk (eight chained joins over a 1024-row lookup VALUES table)
+    and the uint64→int64 bit assembly in SQL — converting this query from
+    rows-only to hash-gated (r2 verdict ask #9)."""
     from osmgraft.functions.cells import s2_cell_udf
 
     pts = points_from_orders(spark, sf_dir)

@@ -417,3 +417,31 @@ def test_wav_non_canonical_header_and_errors(spark):
         wav_pcm16(bytes(ieee))
     with pytest.raises(ValueError):
         wav_pcm16(canonical[:40])
+
+
+def test_phash_multiprobe_equals_baseline(spark):
+    """probe_flips>0 must return EXACTLY the q=0 pair set (recall 1.0 by
+    pigeonhole, precision 1.0 by the exact popcount verify) at radius 8."""
+    from pyspark.sql import functions as F
+
+    from osmgraft.operators.multimodal import phash_near_dup_pairs
+
+    base = spark.range(800).select(
+        F.col("id").cast("string").alias("image_id"),
+        F.xxhash64(F.col("id")).alias("phash"),
+    )
+    # planted pairs at hamming 1, 7, 8 (in-radius) and 9 (out)
+    plant = spark.createDataFrame(
+        [("p1a", 100), ("p1b", 100 ^ (1 << 3)),
+         ("p7a", 999), ("p7b", 999 ^ 0x7F),
+         ("p8a", -5000), ("p8b", -5000 ^ 0xFF),
+         ("p9a", 777), ("p9b", 777 ^ 0x1FF)],
+        "image_id string, phash long",
+    )
+    df = base.unionByName(plant)
+    a = sorted(map(tuple, phash_near_dup_pairs(df, max_hamming=8, probe_flips=0).collect()))
+    b = sorted(map(tuple, phash_near_dup_pairs(df, max_hamming=8, probe_flips=2).collect()))
+    assert a == b
+    got = {(x, y) for x, y, _ in a}
+    assert {("p1a", "p1b"), ("p7a", "p7b"), ("p8a", "p8b")} <= got
+    assert ("p9a", "p9b") not in got
