@@ -96,16 +96,20 @@ def test_image_stats_exact(spark):
     df = image_stats(synth_images(spark, 20))
     rows = {r.image_id: r for r in df.collect()}
     assert len(rows) == 20
-    # idx 6: fmt raw (lossless; idx%3==0), w=sizes[0]=16, h=sizes[2]=64
-    px6 = _pixels_for(6, 16, 64)
-    got = rows["img000000000006"]
-    s = px6.reshape(-1, 3).sum(axis=0)
-    assert (got.sum_r, got.sum_g, got.sum_b) == (int(s[0]), int(s[1]), int(s[2]))
+    # lossless rows decode to the exact generator pixels:
+    # idx 4 -> fmt raw (4%4==0), w=sizes[4%3]=32, h=sizes[(4//3)%3]=32
+    # idx 7 -> fmt png (7%4==3), w=sizes[7%3]=32, h=sizes[(7//3)%3]=64
+    for idx, w, h in ((4, 32, 32), (7, 32, 64)):
+        px = _pixels_for(idx, w, h)
+        got = rows[f"img{idx:012d}"]
+        s = px.reshape(-1, 3).sum(axis=0)
+        assert (got.sum_r, got.sum_g, got.sum_b) == (
+            int(s[0]), int(s[1]), int(s[2])), idx
 
 
 def test_image_stats_matches_scalar_decode(spark):
     """The batched Arrow-buffer decode path row-for-row equals an independent
-    per-row scalar decode (decode_image + phash64) across all three formats
+    per-row scalar decode (decode_image + phash64) across all four formats
     and all (w, h) combinations."""
     import numpy as np
 
@@ -115,7 +119,7 @@ def test_image_stats_matches_scalar_decode(spark):
     imgs = synth_images(spark, 90)
     got = {r.image_id: r for r in image_stats(imgs).collect()}
     src = imgs.select("image_id", "bytes", "w", "h", "fmt").collect()
-    assert {r.fmt for r in src} == {"raw", "ppm", "qdct"}
+    assert {r.fmt for r in src} == {"raw", "ppm", "qdct", "png"}
     for r in src:
         px = decode_image(bytes(r.bytes), r.w, r.h, r.fmt)
         s = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
