@@ -265,6 +265,43 @@ def cell_counts_h3_r9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# cellToParent as pure int64 bit math (H3 spec: truncate digits below the
+# parent res; res field bits 52-55, digit rl occupies bits 3*(15-rl)).
+# res 9 -> 7: clear the res nibble and digits 8-9, set res=7 and both
+# digit fields to 7. Same literals on the Spark and DuckDB sides.
+_H3_P_CLEAR = ~((0xF << 52) | (0x3F << 18))
+_H3_P_SET = (7 << 52) | (0x3F << 18)
+
+
+@register(
+    "h3_rollup_r9_to_r7",
+    f"""SELECT (cell & {_H3_P_CLEAR}) | {_H3_P_SET} AS parent,
+       sum(cnt)::BIGINT AS cnt
+FROM ({_h3_oracle(9)}) t GROUP BY parent""",
+)
+def h3_rollup_r9_to_r7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy rollup: res-9 cells truncated to their res-7 parents with
+    PURE JVM Column bit math (no UDF after the encode — the scale path for
+    pyramid aggregations over H3 ids). cellToParent(encode(p,9), 7) is NOT
+    always encode(p,7) — hexagons don't nest exactly, so a point near a
+    res-7 boundary can roll up into the neighbouring parent — hence the
+    oracle applies the same truncation to the res-9 SQL twin rather than
+    reusing the res-7 oracle. Parity of this bit expression with
+    h3real.to_parent is pinned in test_h3real.py."""
+    from osmgraft.functions.cells import h3_cell_udf
+
+    pts = points_from_orders(spark, sf_dir)
+    cells = pts.select(h3_cell_udf(9)(F.col("lat7"), F.col("lon7")).alias("cell"))
+    parent = (
+        F.col("cell").bitwiseAND(F.lit(_H3_P_CLEAR)).bitwiseOR(F.lit(_H3_P_SET))
+    )
+    return (
+        cells.select(parent.alias("parent"))
+        .groupBy("parent")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 # --- kNN via cell-ring expansion (north rule; exact planar fixed-point metric) -----
 _QLAT = "(CAST(n_nationkey AS BIGINT) * 97234555 + 11) % 1200000000 - 600000000"
 _QLON = "(CAST(n_nationkey AS BIGINT) * 211234479 + 7) % 3580000000 - 1790000000"
