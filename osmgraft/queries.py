@@ -775,6 +775,36 @@ def audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return awe(synth_audio(spark, n), window=256, decoder="wav")
 
 
+@register(
+    "video_frame_luma",
+    """WITH idxs AS (SELECT row_number() OVER () - 1 AS i FROM orders),
+clips AS (SELECT i, 4 + i % 3 AS nf FROM idxs WHERE i < 300),
+sel AS (SELECT i, (k.range * (nf - 1)) // 2 AS frame_idx
+        FROM clips, range(0, 3) k),
+px AS (SELECT i, frame_idx,
+              (i * 31 + frame_idx * 17 + y.range * 5 + x.range * 3) % 256 AS v
+       FROM sel, range(0, 16) y, range(0, 16) x)
+SELECT concat('vid', lpad(CAST(i AS VARCHAR), 12, '0')) AS media_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(sum(v) AS BIGINT) AS luma_sum
+FROM px GROUP BY 1, 2""",
+)
+def video_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL YUV4MPEG2 video decode (round 3 — the r2 video stub is gone) +
+    evenly-spread frame sampling + per-frame integer luma sums, hash-gated:
+    the fixture's luma planes are pure integer arithmetic the DuckDB oracle
+    regenerates pixel-by-pixel, so a wrong header scan, frame stride,
+    FRAME-marker offset or sampling index breaks the hash. Clip lengths
+    vary (4-6 frames) so the decode exercises the per-row path; the
+    uniform one-reshape fast path is pinned equal in pytest."""
+    from osmgraft.operators.multimodal import video_frame_sample
+    from osmgraft.synth import synth_videos
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 300)
+    frames = video_frame_sample(synth_videos(spark, n), frames_per_clip=3)
+    return frames.select("media_id", "frame_idx", "luma_sum")
+
+
 @register("image_phash_neardup", None)
 def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pHash banded near-duplicate image pairs (JVM-only banding join)."""

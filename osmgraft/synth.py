@@ -214,6 +214,33 @@ def synth_audio(spark: SparkSession, n: int, n_samples: int = 1024,
     )
 
 
+def synth_videos(spark: SparkSession, n: int, w: int = 16, h: int = 16,
+                 uniform: bool = False) -> DataFrame:
+    """Deterministic video table: REAL YUV4MPEG2 (Cmono) payloads whose luma
+    is pure integer arithmetic — luma(idx, f, y, x) = (idx*31 + f*17 + y*5
+    + x*3) % 256 — so the DuckDB oracle regenerates per-frame luma sums
+    exactly and any Y4M-decode bug breaks the hash. Clip length varies
+    (n_frames = 4 + idx % 3) to exercise the non-uniform decode path;
+    ``uniform=True`` pins 6 frames for the one-reshape fast path."""
+    from osmgraft.operators.multimodal import encode_y4m
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            out = []
+            for i in pdf["idx"].tolist():
+                nf = 6 if uniform else 4 + i % 3
+                f = np.arange(nf, dtype=np.int64)[:, None, None]
+                y = np.arange(h, dtype=np.int64)[None, :, None]
+                x = np.arange(w, dtype=np.int64)[None, None, :]
+                luma = ((i * 31 + f * 17 + y * 5 + x * 3) % 256).astype(np.uint8)
+                out.append((f"vid{i:012d}", bytearray(encode_y4m(luma, "mono"))))
+            yield pd.DataFrame(out, columns=["media_id", "bytes"])
+
+    return spark.range(n).select(F.col("id").alias("idx")).mapInPandas(
+        gen, schema="media_id string, bytes binary"
+    )
+
+
 # --- 3. image table (input_hint schema) --------------------------------------
 def _pixels_for(idx: int, w: int, h: int) -> np.ndarray:
     rng = np.random.Generator(np.random.Philox(key=idx))

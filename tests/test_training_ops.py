@@ -230,6 +230,52 @@ def test_video_fake_plumbing(spark):
     }
 
 
+def test_y4m_roundtrip_and_errors():
+    """encode_y4m/y4m_parse roundtrip (mono + 444) and corrupt payloads."""
+    import numpy as np
+
+    from osmgraft.operators.multimodal import encode_y4m, y4m_parse
+
+    rng = np.random.default_rng(5)
+    luma = rng.integers(0, 256, (4, 12, 20), dtype=np.uint8)
+    w, h, cs, back = y4m_parse(encode_y4m(luma, "mono"))
+    assert (w, h, cs) == (20, 12, "mono") and np.array_equal(back, luma)
+    yuv = rng.integers(0, 256, (3, 3, 8, 10), dtype=np.uint8)
+    w, h, cs, back = y4m_parse(encode_y4m(yuv, "444"))
+    assert (w, h, cs) == (10, 8, "444") and np.array_equal(back, yuv[:, 0])
+    data = encode_y4m(luma, "mono")
+    for bad in (b"JUNK" + data[4:],        # bad magic
+                data[:-5],                 # truncated frame
+                data.replace(b"FRAME\n", b"FRAMX\n", 1)):  # bad marker
+        with pytest.raises(ValueError):
+            y4m_parse(bad)
+    with pytest.raises(ValueError):  # unsupported colorspace
+        y4m_parse(b"YUV4MPEG2 W2 H2 F25:1 C420jpeg\n" + b"FRAME\n" + b"\0" * 6)
+
+
+def test_video_y4m_fast_path_equals_fallback(spark):
+    """The uniform one-reshape fast path emits row-identical results to the
+    per-row parse path, and luma sums match the generator arithmetic."""
+    from osmgraft.operators.multimodal import video_frame_sample
+    from osmgraft.synth import synth_videos
+
+    uni = video_frame_sample(synth_videos(spark, 24, uniform=True)).collect()
+    # force the fallback: one clip per partition breaks batch contiguity
+    fb = video_frame_sample(
+        synth_videos(spark, 24, uniform=True).repartition(24)).collect()
+    assert sorted(map(tuple, uni)) == sorted(map(tuple, fb))
+    # varying-length clips (the oracle-gated query shape)
+    rows = video_frame_sample(synth_videos(spark, 9)).collect()
+    assert len(rows) == 27
+    for r in rows:
+        i = int(r.media_id[3:])
+        f, y, x = r.frame_idx, *np.meshgrid(np.arange(16), np.arange(16))
+        want = int(((i * 31 + f * 17 + y * 5 + x * 3) % 256).sum())
+        assert r.luma_sum == want, (r.media_id, r.frame_idx)
+        nf = 4 + i % 3
+        assert r.frame_idx in {(k * (nf - 1)) // 2 for k in range(3)}
+
+
 def test_audio_window_energy_fake_decoder(spark):
     """Audio plumbing: deterministic fake PCM, partition-count independent."""
     from pyspark.sql import functions as F
