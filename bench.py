@@ -123,7 +123,9 @@ def main() -> None:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())
     # optional heavier ops registered later rounds
-    for name in ["knn_k5", "cell_counts_h3_r7", "cell_counts_s2_l13", "dedup_minhash_lsh"]:
+    for name in ["knn_k5", "cell_counts_h3_r7", "cell_counts_s2_l13", "dedup_minhash_lsh",
+                 "audio_window_energy", "video_frame_luma", "h3_rollup_r9_to_r7",
+                 "h3_compact_roundtrip"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())

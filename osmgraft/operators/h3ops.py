@@ -1,0 +1,127 @@
+"""H3 hierarchy operators: compact / uncompact over Uber-compatible ids.
+
+``compact_cells`` implements H3's public compactCells semantics (h3geo.org
+API: replace every complete set of children with their parent, recursively)
+and ``uncompact_cells`` its inverse (expand every cell to its descendants at
+a target resolution). Pentagons have SIX children (the K-axis digit 1 is
+deleted), hexagons seven — both the promotion threshold and the expansion
+honor that, so pentagon regions compact/uncompact exactly.
+
+Scale shape: one groupBy-count shuffle per resolution level for compact
+(log-depth, level count <= 15, each level strictly smaller than the last);
+uncompact is a generate-only explode (no shuffle). All cell math is pure
+JVM Column bit arithmetic — no UDFs, whole-stage codegen end to end.
+
+Id layout (h3real.py): mode bits 59+, res nibble bits 52-55, base cell bits
+45-51, digit rl at bits 3*(15-rl); unused digits are 7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osmgraft.functions.h3real import _PENT_CELLS
+
+_RES_CLEAR = ~(0xF << 52)
+
+
+def _res_of(cell):
+    return F.shiftright(cell, 52).bitwiseAND(F.lit(0xF))
+
+
+def _digit_shift(res: int) -> int:
+    return 3 * (15 - res)
+
+
+def _parent_expr(cell, res: int):
+    """cellToParent(cell, res-1) for a cell of known resolution ``res``."""
+    sh = _digit_shift(res)
+    clear = _RES_CLEAR & ~(0x7 << sh)
+    setb = ((res - 1) << 52) | (0x7 << sh)
+    return cell.bitwiseAND(F.lit(clear)).bitwiseOR(F.lit(setb))
+
+
+def _is_pentagon_expr(cell, res: int):
+    """True iff a cell of known resolution ``res`` is a pentagon: pentagon
+    base cell and all digits 1..res == 0 (digit mask below the res nibble)."""
+    base = F.shiftright(cell, 45).bitwiseAND(F.lit(0x7F))
+    mask = ((1 << (3 * res)) - 1) << _digit_shift(res) if res else 0
+    zero = cell.bitwiseAND(F.lit(mask)) == F.lit(0)
+    return base.isin([int(b) for b in _PENT_CELLS]) & zero
+
+
+def compact_cells(
+    df: DataFrame, res: int, min_res: int = 0, cell_col: str = "cell"
+) -> DataFrame:
+    """Compact a set of res-``res`` cells to mixed resolutions >= ``min_res``
+    (H3 compactCells): every parent whose children are ALL present (7, or 6
+    for pentagons) is promoted, cascading upward level by level.
+
+    Input rows are deduplicated. Output schema: (cell long, res int) with
+    mixed resolutions covering exactly the same area as the input."""
+    if not 0 <= min_res <= res <= 15:
+        raise ValueError("need 0 <= min_res <= res <= 15")
+    cur = df.select(F.col(cell_col).alias("cell")).distinct()
+    kept: list[DataFrame] = []
+    for r in range(res, min_res, -1):
+        with_par = cur.select("cell", _parent_expr(F.col("cell"), r).alias("par"))
+        expected = F.when(
+            _is_pentagon_expr(F.col("par"), r - 1), F.lit(6)
+        ).otherwise(F.lit(7))
+        full = (
+            with_par.groupBy("par")
+            .agg(F.count(F.lit(1)).alias("n_children"))
+            .where(F.col("n_children") == expected)
+            .select("par")
+        )
+        kept.append(
+            with_par.join(full, "par", "left_anti")
+            .select("cell", F.lit(r).alias("res"))
+        )
+        cur = full.select(F.col("par").alias("cell"))
+        # each level's survivors shrink by >=7x; Catalyst reuses the shuffle
+        # output of with_par for both branches (same child plan)
+    kept.append(cur.select("cell", F.lit(min_res).alias("res")))
+    out = kept[0]
+    for k in kept[1:]:
+        out = out.unionByName(k)
+    return out
+
+
+def uncompact_cells(
+    df: DataFrame, target_res: int, cell_col: str = "cell", min_res: int = 0
+) -> DataFrame:
+    """Expand every (possibly mixed-resolution) cell to ALL its descendants
+    at ``target_res`` (H3 uncompactCells). Pentagon cells skip the deleted
+    K-axis digit 1 at every level, so pentagon subtrees have 6-way fanout.
+
+    Pure generate (explode of a 7-digit literal array + filter) per level —
+    no shuffle; rows already at target_res pass through unchanged.
+    ``min_res`` is a plan-size hint: levels below it are skipped (pass the
+    coarsest resolution present in ``df`` when known)."""
+    if not 0 <= min_res <= target_res <= 15:
+        raise ValueError("need 0 <= min_res <= target_res <= 15")
+    cur = df.select(F.col(cell_col).alias("cell"))
+    for r in range(min_res, target_res):
+        at_r = cur.where(_res_of(F.col("cell")) == r)
+        rest = cur.where(_res_of(F.col("cell")) != r)
+        sh = _digit_shift(r + 1)
+        clear = _RES_CLEAR & ~(0x7 << sh)
+        setb = (r + 1) << 52
+        child = (
+            F.col("cell")
+            .bitwiseAND(F.lit(clear))
+            .bitwiseOR(F.lit(setb))
+            .bitwiseOR(F.shiftleft(F.col("d"), sh))
+        )
+        kids = (
+            at_r.select(
+                "cell",
+                F.explode(F.array([F.lit(d) for d in range(7)])).alias("d"),
+            )
+            .where(~(_is_pentagon_expr(F.col("cell"), r) & (F.col("d") == 1)))
+            .select(child.alias("cell"))
+        )
+        cur = rest.unionByName(kids)
+    return cur

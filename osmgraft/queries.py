@@ -302,6 +302,30 @@ def h3_rollup_r9_to_r7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "h3_compact_roundtrip",
+    f"""SELECT cell, 5 AS res FROM ({_h3_oracle(5)}) t""",
+)
+def h3_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 compact/uncompact (operators/h3ops.py — H3's public compactCells
+    semantics, pentagon-aware 6/7 child thresholds, pure JVM bit math):
+    the distinct res-5 cells of the point set are uncompacted to their 49
+    res-7 descendants each (6-way fanout in pentagon subtrees) and
+    compacted back. The promotion cascade must
+    reconstruct EXACTLY the direct res-5 encoding the DuckDB twin computes
+    — any wrong child threshold, digit shift, pentagon skip or level
+    bookkeeping breaks the hash."""
+    from osmgraft.functions.cells import h3_cell_udf
+    from osmgraft.operators.h3ops import compact_cells, uncompact_cells
+
+    pts = points_from_orders(spark, sf_dir)
+    cells5 = pts.select(
+        h3_cell_udf(5)(F.col("lat7"), F.col("lon7")).alias("cell")
+    ).distinct()
+    expanded = uncompact_cells(cells5, target_res=7, min_res=5)
+    return compact_cells(expanded, res=7, min_res=5)
+
+
 # --- kNN via cell-ring expansion (north rule; exact planar fixed-point metric) -----
 _QLAT = "(CAST(n_nationkey AS BIGINT) * 97234555 + 11) % 1200000000 - 600000000"
 _QLON = "(CAST(n_nationkey AS BIGINT) * 211234479 + 7) % 3580000000 - 1790000000"

@@ -1,0 +1,101 @@
+"""H3 compact/uncompact operator semantics (H3 public compactCells /
+uncompactCells behavior — pentagon-aware), against independent numpy-set
+references constructed from the id bit layout."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from osmgraft.functions import h3real as h
+from osmgraft.operators.h3ops import compact_cells, uncompact_cells
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _np_children(cell: int, child_res: int) -> list[int]:
+    """Independent reference: all children of `cell` at child_res (one level
+    down), pentagon K-digit skipped."""
+    sh = 3 * (15 - child_res)
+    stem = (cell & ~(0xF << 52) & ~(0x7 << sh)) | (child_res << 52)
+    base = (cell >> 45) & 0x7F
+    res = (cell >> 52) & 0xF
+    digs_above = all(
+        ((cell >> (3 * (15 - rl))) & 7) == 0 for rl in range(1, res + 1)
+    )
+    is_pent = base in h._PENT_CELLS and digs_above
+    digits = (0, 2, 3, 4, 5, 6) if is_pent else (0, 1, 2, 3, 4, 5, 6)
+    return [stem | (d << sh) for d in digits]
+
+
+def _mk_df(spark, cells):
+    return spark.createDataFrame([(int(c),) for c in cells], "cell long")
+
+
+def test_compact_promotes_full_hex_parent(spark):
+    lat = np.array([377752702]), np.array([-1224183072])
+    parent = int(h.latlng_to_cell(*lat, 7)[0])
+    kids = _np_children(parent, 8)
+    assert len(kids) == 7
+    got = compact_cells(_mk_df(spark, kids), res=8, min_res=7).collect()
+    assert {(r.cell, r.res) for r in got} == {(parent, 7)}
+
+
+def test_compact_partial_set_is_untouched(spark):
+    parent = int(h.latlng_to_cell(np.array([488566000]), np.array([23522000]), 7)[0])
+    kids = _np_children(parent, 8)[:-1]  # one child missing
+    got = compact_cells(_mk_df(spark, kids), res=8, min_res=7).collect()
+    assert {(r.cell, r.res) for r in got} == {(c, 8) for c in kids}
+
+
+def test_compact_pentagon_six_children(spark):
+    pent7 = (1 << 59) | (7 << 52) | (4 << 45) | int("7" * 8, 8)  # base 4, digits 0
+    kids = _np_children(pent7, 8)
+    assert len(kids) == 6
+    got = compact_cells(_mk_df(spark, kids), res=8, min_res=7).collect()
+    assert {(r.cell, r.res) for r in got} == {(pent7, 7)}
+    # seven arbitrary hex children must NOT promote to a pentagon threshold:
+    # six children of a HEX parent stay put
+    hexp = int(h.latlng_to_cell(np.array([0]), np.array([0]), 7)[0])
+    hkids = _np_children(hexp, 8)[:6]
+    got2 = compact_cells(_mk_df(spark, hkids), res=8, min_res=7).collect()
+    assert all(r.res == 8 for r in got2) and len(got2) == 6
+
+
+def test_compact_cascades_two_levels(spark):
+    parent = int(h.latlng_to_cell(np.array([-300000000]), np.array([900000000]), 5)[0])
+    grandkids = [g for k in _np_children(parent, 6) for g in _np_children(k, 7)]
+    got = compact_cells(_mk_df(spark, grandkids), res=7, min_res=5).collect()
+    assert {(r.cell, r.res) for r in got} == {(parent, 5)}
+
+
+def test_uncompact_matches_reference_and_roundtrips(spark):
+    rng = np.random.default_rng(9)
+    lat7 = rng.integers(-800_000_000, 800_000_001, 40, dtype=np.int64)
+    lon7 = rng.integers(-1_800_000_000, 1_800_000_000, 40, dtype=np.int64)
+    c5 = sorted({int(c) for c in h.latlng_to_cell(lat7, lon7, 5)})
+    # include a pentagon subtree
+    pent5 = (1 << 59) | (5 << 52) | (38 << 45) | int("7" * 10, 8)
+    cells = c5 + [pent5]
+    want = set(cells)
+    for _ in range(2):  # expand 5 -> 7 with the reference
+        want = {g for c in want for g in _np_children(c, ((c >> 52) & 0xF) + 1)}
+    got = uncompact_cells(_mk_df(spark, cells), target_res=7).collect()
+    got_set = {r.cell for r in got}
+    assert got_set == want and len(got) == len(got_set)  # no dupes
+    # roundtrip: compact(uncompact(S)) == S
+    back = compact_cells(
+        uncompact_cells(_mk_df(spark, cells), target_res=7), res=7, min_res=5
+    ).collect()
+    assert {r.cell for r in back} == set(cells)
+    assert all(r.res == 5 for r in back)
+
+
+def test_uncompact_mixed_resolution_input(spark):
+    a7 = int(h.latlng_to_cell(np.array([100000000]), np.array([100000000]), 7)[0])
+    b6 = int(h.latlng_to_cell(np.array([-100000000]), np.array([-100000000]), 6)[0])
+    want = {a7}
+    for c in _np_children(b6, 7):
+        want.add(c)
+    got = uncompact_cells(_mk_df(spark, [a7, b6]), target_res=7).collect()
+    assert {r.cell for r in got} == want
