@@ -187,6 +187,81 @@ WHERE len(list_intersect(sa.sh, sb.sh)) * 1000 >= {thr} * len(list_distinct(list
 """.strip()
 
 
+# --- exact n-gram Jaccard (inverted shingle index — no LSH approximation) --------
+def jaccard_ngram_pairs(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via an inverted shingle index —
+    the non-probabilistic sibling of minhash_lsh_pairs (same output shape:
+    doc_a < doc_b, integer inter/union counts, threshold by integer
+    cross-multiply). Exact recall at ANY threshold: every pair sharing at
+    least one shingle is scored.
+
+    Physical plan (100 TB shape): explode to a narrow (shingle, doc_id)
+    posting table → self-equi-join on the shingle → pair counts are the
+    intersections (one shuffle on uniformly-hashed shingle strings, one on
+    id pairs) → per-doc sizes broadcast back (doc-count-sized). Cost is
+    sum(df^2) over shingle document frequencies — inherently skew-exposed
+    on stop-shingles, unlike LSH. ``max_df`` caps posting lengths (standard
+    df-pruning): pairs whose overlap lives only in ultra-common shingles
+    are then missed, a documented exactness trade; default None = exact."""
+    sh = shingles(F.col(text_col), ngram).alias("sh")
+    base = docs.select(F.col(id_col).alias("doc_id"), sh).filter(F.size("sh") > 0)
+    sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
+    post = base.select("doc_id", F.explode("sh").alias("s"))
+    if max_df is not None:
+        keep = post.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(
+            F.col("df") <= max_df
+        )
+        post = post.join(keep.select("s"), "s")
+    a = post.select(F.col("doc_id").alias("doc_a"), "s")
+    b = post.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    thr = int(jaccard_threshold * 1000)
+    return (
+        inter.join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"),
+                                            F.col("n_sh").alias("na"))), "doc_a")
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"),
+                                       F.col("n_sh").alias("nb"))), "doc_b")
+        .select(
+            "doc_a", "doc_b", "inter_cnt",
+            (F.col("na") + F.col("nb") - F.col("inter_cnt")).alias("union_cnt"),
+        )
+        .filter(F.col("inter_cnt") * F.lit(1000) >= F.lit(thr) * F.col("union_cnt"))
+    )
+
+
+def sql_jaccard_ngram_pairs(
+    jaccard_threshold: float = 0.5, table: str = "documents", ngram: int = 3
+) -> str:
+    sh = sql_shingles("text", ngram)
+    thr = int(jaccard_threshold * 1000)
+    return f"""
+WITH base AS (SELECT doc_id, {sh} AS sh FROM {table}),
+ne AS (SELECT doc_id, sh, len(sh) AS n_sh FROM base WHERE len(sh) > 0),
+post AS (SELECT doc_id, unnest(sh) AS s FROM ne),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_cnt
+          FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter_cnt,
+       (sa.n_sh + sb.n_sh - inter_cnt) AS union_cnt
+FROM inter
+JOIN ne sa ON sa.doc_id = doc_a
+JOIN ne sb ON sb.doc_id = doc_b
+WHERE inter_cnt * 1000 >= {thr} * (sa.n_sh + sb.n_sh - inter_cnt)
+""".strip()
+
+
 # --- SimHash --------------------------------------------------------------------
 SIMHASH_BITS = 60  # md5_long is 60 bits
 

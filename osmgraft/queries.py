@@ -535,6 +535,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs)
 
 
+@register("dedup_jaccard_ngram", D.sql_jaccard_ngram_pairs())
+def dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (inverted shingle-index join —
+    the non-probabilistic sibling of dedup_minhash_lsh; exact recall at any
+    threshold, df-skew trade documented in operators/dedup.py)."""
+    docs = _docs(spark, sf_dir)
+    return D.jaccard_ngram_pairs(docs)
+
+
 @register("simhash", f"SELECT doc_id, {D.sql_simhash('text')} AS simhash FROM documents")
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (near-dup primitive)."""

@@ -46,6 +46,32 @@ def test_minhash_lsh_finds_near_dups(spark, crafted_docs):
     assert all(5 not in p and 6 not in p and 7 not in p for p in pairs)
 
 
+def test_jaccard_ngram_exact_superset_of_lsh(spark, crafted_docs):
+    """Exact inverted-index Jaccard finds every pair the probabilistic LSH
+    path finds (recall property), with identical counts on shared pairs;
+    max_df pruning drops pairs whose overlap is only common shingles."""
+    from osmgraft.operators.dedup import jaccard_ngram_pairs
+
+    exact = {
+        (r.doc_a, r.doc_b): (r.inter_cnt, r.union_cnt)
+        for r in jaccard_ngram_pairs(crafted_docs, jaccard_threshold=0.5).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): (r.inter_cnt, r.union_cnt)
+        for r in minhash_lsh_pairs(crafted_docs, jaccard_threshold=0.5).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert all(exact[k] == lsh[k] for k in lsh)
+    assert (1, 2) in exact and (1, 3) in exact and (2, 3) in exact
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_ngram_pairs(
+            crafted_docs, jaccard_threshold=0.5, max_df=1
+        ).collect()
+    }
+    assert capped == set()  # df cap 1 kills every shared shingle
+
+
 def test_simhash_properties(spark, crafted_docs):
     rows = {r.doc_id: r.simhash for r in simhash_table(crafted_docs).collect()}
     assert rows[1] == rows[2] == rows[3]  # identical token sets
