@@ -136,6 +136,10 @@ def png_decode(data: bytes) -> np.ndarray:
         raise ValueError("png pixel stream length mismatch")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
     ftypes = rows[:, 0]
+    if not ftypes.any():  # all filter-0 (what png_encode emits): one slice
+        return np.ascontiguousarray(rows[:, 1:]).reshape(h, w, 3)
+    if (ftypes > 4).any():
+        raise ValueError(f"png filter type {int(ftypes.max())} invalid")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
