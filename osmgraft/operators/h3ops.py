@@ -65,7 +65,13 @@ def compact_cells(
     cur = df.select(F.col(cell_col).alias("cell")).distinct()
     kept: list[DataFrame] = []
     for r in range(res, min_res, -1):
-        with_par = cur.select("cell", _parent_expr(F.col("cell"), r).alias("par"))
+        # each level feeds TWO consumers (the full-parent aggregate and the
+        # anti-join) and the next level builds on it — persist so the
+        # upstream lineage (often an expensive encode/explode) runs once
+        # per level instead of once per downstream branch
+        with_par = cur.select(
+            "cell", _parent_expr(F.col("cell"), r).alias("par")
+        ).persist()
         expected = F.when(
             _is_pentagon_expr(F.col("par"), r - 1), F.lit(6)
         ).otherwise(F.lit(7))
