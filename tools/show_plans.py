@@ -28,6 +28,9 @@ HEADLINE = [
     "image_phash_neardup",
     "image_roundtrip_fidelity",
     "embedding_topk_blocked",
+    "dedup_jaccard_ngram",
+    "h3_compact_roundtrip",
+    "video_frame_luma",
 ]
 
 KEEP = (
