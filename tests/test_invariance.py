@@ -49,6 +49,23 @@ joined = pip_join(pts, ADMIN_BOUNDARIES, how="inner").select(
 out["pip_tiles"] = content_hash(joined)
 salted = cell_pip_join(pts, ADMIN_BOUNDARIES, skew_threshold=2000, salt_target=1000)
 out["salted_cell_join"] = content_hash(salted.select("point_id", "boundary_id"))
+
+# round-3 operators: H3 hierarchy cascade, inverted-index Jaccard, Y4M video
+from osmgraft.functions.cells import h3_cell_udf
+from osmgraft.operators.h3ops import compact_cells, uncompact_cells
+from osmgraft.operators.dedup import jaccard_ngram_pairs
+from osmgraft.operators.multimodal import video_frame_sample
+from osmgraft.synth import synth_videos
+
+cells5 = pts.limit(20_000).select(
+    h3_cell_udf(5)(F.col("lat7"), F.col("lon7")).alias("cell")).distinct()
+out["h3_compact"] = content_hash(
+    compact_cells(uncompact_cells(cells5, 7, min_res=5), res=7, min_res=5))
+docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+out["jaccard"] = content_hash(
+    jaccard_ngram_pairs(docs.repartition(max(cpus, 2))))
+out["video"] = content_hash(
+    video_frame_sample(synth_videos(spark, 120).repartition(max(cpus, 2))))
 print(json.dumps(out))
 """
 
@@ -69,4 +86,5 @@ def test_flagship_bitwise_invariant_across_parallelism():
     a = _run(2)
     b = _run(8)
     assert a == b
-    assert set(a) == {"pip_tiles", "salted_cell_join"}
+    assert set(a) == {"pip_tiles", "salted_cell_join", "h3_compact",
+                      "jaccard", "video"}
