@@ -1605,3 +1605,19 @@ def all_queries() -> dict[str, QueryFn]:
 
 def all_oracles() -> dict[str, str]:
     return {k: v[1] for k, v in REGISTRY.items() if v[1] is not None}
+
+
+@register("sessionize_batch_30m", __import__(
+    "osmgraft.streaming.incremental", fromlist=["sql_sessionize_batch"]
+).sql_sessionize_batch(30))
+def sessionize_batch_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch event-time sessionization over the events table (gaps-and-
+    islands: lag-diff -> new-session flag -> running sum -> group; pure JVM
+    window functions, one shuffle on user_id). The deterministic batch
+    analogue of the streaming applyInPandasWithState sessionizer
+    (streaming/incremental.sessionize), hash-gated against the identical
+    DuckDB window-SQL twin with integer-microsecond outputs."""
+    from osmgraft.streaming.incremental import sessionize_batch
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_batch(events, gap_minutes=30)

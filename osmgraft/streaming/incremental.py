@@ -157,6 +157,64 @@ def sessionize(
     )
 
 
+def sessionize_batch(
+    events: DataFrame, gap_minutes: float = 30
+) -> DataFrame:
+    """Batch event-time sessionization (gaps-and-islands): sessions close
+    after ``gap_minutes`` of event-time inactivity — the deterministic batch
+    analogue of :func:`sessionize` (which keys sessions on processing-time
+    timeouts and therefore has no batch twin). Pure JVM window functions:
+    lag-diff → new-session flag → running sum → group. One shuffle on
+    user_id; integer-microsecond outputs so cross-engine hashes are exact."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e = events.select(
+        "user_id",
+        "event_id",
+        # fixture ts is TIMESTAMP_NTZ; the session timezone is pinned UTC
+        # (session.py) so the cast is wall-clock-exact and unix_micros
+        # equals DuckDB's epoch_us(ts) bit-for-bit
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    prev = F.lag("us").over(w)
+    flag = F.when(prev.isNull() | (F.col("us") - prev > gap_us), 1).otherwise(0)
+    flagged = e.select("user_id", "event_id", "us", flag.alias("nf"))
+    sid = F.sum("nf").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        flagged.select("user_id", "us", sid.alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("us").alias("session_start_us"),
+            F.max("us").alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+    )
+
+
+def sql_sessionize_batch(gap_minutes: float = 30, table: str = "events") -> str:
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    return f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM {table}),
+f AS (SELECT user_id, event_id, us,
+  CASE WHEN lag(us) OVER w IS NULL
+         OR us - lag(us) OVER w > {gap_us} THEN 1 ELSE 0 END AS nf
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+s AS (SELECT user_id, us,
+  sum(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM f)
+SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
+       count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, sid
+""".strip()
+
+
 def run_available_now(
     result: DataFrame,
     checkpoint_dir: str,

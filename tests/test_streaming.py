@@ -159,3 +159,38 @@ def test_stream_image_stats_matches_batch(spark, tmp_path):
     )
     got = {(r.image_id, r.sum_r, r.sum_g, r.sum_b, r.phash) for r in rows}
     assert got == batch and len(got) == 120
+
+
+def test_sessionize_batch_gaps_and_islands(spark):
+    """Crafted sessions: user 1 has two sessions split by a 31-min gap
+    (inclusive-boundary check: exactly 30 min does NOT split); user 2 one
+    single-event session."""
+    from datetime import datetime, timedelta
+
+    from osmgraft.streaming.incremental import sessionize_batch
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 1, t0),
+        (2, 1, t0 + timedelta(minutes=30)),      # exactly gap: same session
+        (3, 1, t0 + timedelta(minutes=61)),      # 31 min after prev: new
+        (4, 1, t0 + timedelta(minutes=62)),
+        (5, 2, t0 + timedelta(minutes=5)),
+    ]
+    df = spark.createDataFrame(
+        [(eid, uid, ts) for eid, uid, ts in rows],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in sessionize_batch(df, gap_minutes=30).collect()
+    }
+    import calendar
+
+    us = lambda dt: calendar.timegm(dt.timetuple()) * 1_000_000  # noqa: E731
+    want = {
+        (1, us(t0), us(t0 + timedelta(minutes=30)), 2),
+        (1, us(t0 + timedelta(minutes=61)), us(t0 + timedelta(minutes=62)), 2),
+        (2, us(t0 + timedelta(minutes=5)), us(t0 + timedelta(minutes=5)), 1),
+    }
+    assert got == want
