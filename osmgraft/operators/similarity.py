@@ -414,3 +414,235 @@ def cosine_neardup_pairs(
         .groupBy("g")
         .applyInPandas(block_pair_hits, schema="id_a long, id_b long")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the brief's named scale path for similarity
+# search alongside LSH.  An IVF index coarse-quantizes every item vector to
+# its nearest "anchor" (cluster centroid); a query probes only the nprobe
+# nearest anchor buckets and reranks exactly inside them.  Scan cost drops
+# from O(n) to O(nprobe * n / n_anchors) per query.
+#
+# Scale shape (10^12 rows): assignment is one map-only pass (pandas UDF,
+# numpy matmul against the broadcast anchor matrix — no shuffle); the probe
+# table (queries x nprobe) is tiny and broadcast, so candidate selection is
+# a BroadcastHashJoin with zero item-side shuffle; only the candidate set
+# (nprobe/n_anchors of the table per query) flows into the final window.
+# n_anchors should grow ~sqrt(n) with table size; bucket skew from a bad
+# quantizer is bounded by training (train_anchors) and can reuse the salted
+# cell-join machinery if a hot bucket emerges.
+# ---------------------------------------------------------------------------
+
+
+def ivf_anchors(dim: int, n_anchors: int, seed: int = 20240 ) -> np.ndarray:
+    """Deterministic unit-norm anchor matrix (n_anchors, dim), Philox-keyed.
+
+    A fixed coarse quantizer: reproducible across engines/partitionings, so
+    the DuckDB oracle can embed the exact same literals (sql_ivf_topk).
+    Production would refine these with train_anchors; the oracle-gated query
+    pins the quantizer instead so the gate is engine-independent."""
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    a = rng.standard_normal((n_anchors, dim))
+    return a / np.linalg.norm(a, axis=1, keepdims=True)
+
+
+def _anchor_sims(vecs: pd.Series, anchors: np.ndarray) -> np.ndarray:
+    """(rows, n_anchors) cosine matrix for a pandas Series of list vectors."""
+    m = np.stack(vecs.to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    return m @ anchors.T
+
+
+def ivf_assign(
+    df: DataFrame,
+    anchors: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "aid",
+) -> DataFrame:
+    """Adds the nearest-anchor bucket id (ties -> lowest aid, matching the
+    SQL twin's (sim DESC, aid ASC) row_number order).  Map-only: one
+    vectorized pandas UDF against the broadcast anchor matrix."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        # np.argmax takes the FIRST max -> lowest aid on exact ties
+        return pd.Series(np.argmax(_anchor_sims(vecs, anchors), axis=1).astype(np.int32))
+
+    return df.withColumn(out_col, _assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    n_anchors: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchors: np.ndarray | None = None,
+    ensure_parallelism: bool = False,
+) -> DataFrame:
+    """IVF approximate cosine top-k: (query_id, neighbor_id, rank), one job.
+
+    Plan: assign items to buckets (map-only pandas UDF) -> broadcast the
+    (query_id, aid) probe table and BroadcastHashJoin it onto the assigned
+    items (no item shuffle) -> attach query vectors (broadcast) -> exact
+    rerank with the sequential-fold JVM cosine (bitwise == DuckDB
+    list_dot_product) -> per-query window top-k over candidates only.
+
+    Integer-only output; rank order is (cosine DESC, neighbor_id ASC).  The
+    assignment argmax runs in numpy (pairwise summation) while the oracle
+    uses DuckDB's sequential fold — rankings agree unless an item sits
+    sub-ulp from an anchor decision boundary (tests pin the observed margin,
+    >1e-6 at every tested SF; a flipped bucket would surface as a hash
+    mismatch, never silently)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from osmgraft.operators.util import maybe_parallelize
+
+    if anchors is None:
+        dim = len(items.select(vec_col).first()[0])
+        anchors = ivf_anchors(dim, n_anchors)
+    n_anchors = anchors.shape[0]
+    nprobe = min(nprobe, n_anchors)
+
+    items = maybe_parallelize(items, ensure_parallelism)
+    assigned = ivf_assign(items, anchors, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"), "aid"
+    )
+
+    @pandas_udf("array<int>")
+    def _probe(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        sims = _anchor_sims(vecs, anchors)
+        # (sim DESC, aid ASC): stable lexsort on (-sim, aid)
+        order = np.lexsort((np.broadcast_to(np.arange(sims.shape[1]), sims.shape), -sims), axis=1)
+        return pd.Series(list(order[:, :nprobe].astype(np.int32)))
+
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(_probe(F.col(vec_col))).alias("aid"),
+        )
+    )
+    cand = assigned.join(F.broadcast(probes), "aid").select(
+        "query_id",
+        "neighbor_id",
+        (
+            _dot(F.col("qvec"), F.col("nvec"))
+            / (
+                F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+                * F.sqrt(_dot(F.col("nvec"), F.col("nvec")))
+            )
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def train_anchors(
+    df: DataFrame,
+    n_anchors: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    seed: int = 20240,
+) -> np.ndarray:
+    """Distributed Lloyd refinement of the seeded anchors (spherical
+    k-means): assign (map-only pandas UDF) -> per-bucket per-dimension mean
+    via posexplode + groupBy (map-side partial aggregation; the collected
+    result is n_anchors x dim scalars, never data rows) -> renormalize.
+    Empty clusters keep their previous anchor.  Deterministic given the
+    seed and data, independent of partitioning (FP addend order inside
+    avg() aside — which is why the oracle-gated query pins the UNtrained
+    quantizer; training quality is pytest-gated instead)."""
+    dim = len(df.select(vec_col).first()[0])
+    anchors = ivf_anchors(dim, n_anchors, seed=seed)
+    for _ in range(iters):
+        sums = (
+            ivf_assign(df, anchors, vec_col=vec_col)
+            .select("aid", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("aid", "pos")
+            .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count("*").alias("c"))
+            .collect()
+        )
+        nxt = anchors.copy()
+        acc = np.zeros((n_anchors, dim))
+        cnt = np.zeros(n_anchors)
+        for r in sums:
+            acc[r["aid"], r["pos"]] += r["s"]
+            cnt[r["aid"]] = r["c"]
+        live = cnt > 0
+        nxt[live] = acc[live] / cnt[live, None]
+        nxt /= np.linalg.norm(nxt, axis=1, keepdims=True)
+        anchors = nxt
+    return anchors
+
+
+def quantization_error(df: DataFrame, anchors: np.ndarray, vec_col: str = "embedding") -> float:
+    """Mean (1 - cosine-to-assigned-anchor): the k-means objective on the
+    unit sphere.  One map-only pass + scalar agg."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _best(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="float64")
+        return pd.Series(_anchor_sims(vecs, anchors).max(axis=1))
+
+    return float(df.select((1.0 - F.avg(_best(F.col(vec_col)))).alias("e")).first()[0])
+
+
+def _sql_anchor_values(anchors: np.ndarray) -> str:
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(x)) for x in row))
+        for i, row in enumerate(anchors)
+    )
+    return f"anchors(aid, avec) AS (VALUES {rows})"
+
+
+def sql_ivf_topk(
+    anchors: np.ndarray,
+    nprobe: int = 4,
+    k: int = 10,
+    query_pred: str = "vec_id < 8",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of ivf_topk with the anchor matrix inlined as literals
+    (repr() round-trips IEEE doubles exactly, so both engines quantize
+    against bit-identical anchors)."""
+    return f"""WITH {_sql_anchor_values(anchors)},
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+sims AS (
+  SELECT e.vec_id, e.v, a.aid,
+         list_dot_product(e.v, a.avec)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(a.avec, a.avec))) AS s
+  FROM emb e CROSS JOIN anchors a),
+assign AS (
+  SELECT vec_id AS neighbor_id, v AS nvec, aid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, aid) AS rn FROM sims)
+  WHERE rn = 1),
+probe AS (
+  SELECT vec_id AS query_id, v AS qv, aid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, aid) AS rn
+    FROM sims WHERE {query_pred})
+  WHERE rn <= {nprobe}),
+cand AS (
+  SELECT p.query_id, s.neighbor_id,
+         list_dot_product(p.qv, s.nvec)
+           / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(s.nvec, s.nvec))) AS sim
+  FROM probe p JOIN assign s USING (aid))
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM cand)
+WHERE rank <= {k}
+ORDER BY query_id, rank"""
