@@ -265,3 +265,47 @@ signed AS (SELECT point_id,
             THEN id_u - 18446744073709551616::HUGEINT ELSE id_u END AS BIGINT) AS cell
   FROM ids)
 SELECT cell, count(*) AS cnt FROM signed GROUP BY cell"""
+
+
+# --- hierarchy ops (pure bit math — no re-encoding, no UDF) -----------------
+#
+# An S2 cell id is face(3b) · Hilbert-position(2·level bits) · trailing-1
+# marker.  Truncating the Hilbert position IS the parent operation (the
+# curve is prefix-hierarchical), so a res rollup needs only:
+#   parent = (id & ~(2·lsb' - 1)) | lsb'   with   lsb' = 1 << 2·(30 - level)
+# This works identically on the signed-int64 view (the mask keeps the sign
+# bit) and is expressible as a single JVM/SQL expression — at 10^12 rows a
+# level rollup is a re-aggregation, never a re-encode of lat/lon.
+
+
+def s2_parent(cell_id: np.ndarray, level: int) -> np.ndarray:
+    """Vectorized cellToParent: truncate the Hilbert position to `level`."""
+    lsb = np.int64(1) << np.int64(2 * (MAX_LEVEL - level))
+    return (np.asarray(cell_id, dtype=np.int64) & ~(2 * lsb - 1)) | lsb
+
+
+def s2_parent_col(cell, level: int):
+    """Spark Column twin of s2_parent — whole-stage-codegen bit math."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Column
+
+    lsb = 1 << (2 * (MAX_LEVEL - level))
+    col = cell if isinstance(cell, Column) else F.col(cell)
+    return col.bitwiseAND(F.lit(-(2 * lsb))).bitwiseOR(F.lit(lsb))
+
+
+def sql_s2_parent(expr: str, level: int) -> str:
+    """DuckDB twin of s2_parent_col (same two's-complement mask)."""
+    lsb = 1 << (2 * (MAX_LEVEL - level))
+    return f"(({expr}) & ({-(2 * lsb)})) | {lsb}"
+
+
+def s2_children(cell_id: np.ndarray) -> np.ndarray:
+    """(n, 4) direct children: quarter the lsb, place the 4 curve quadrants."""
+    cell = np.asarray(cell_id, dtype=np.int64)
+    lsb = cell & -cell
+    if np.any(lsb == 1):
+        raise ValueError("leaf cells (level 30) have no children")
+    nlsb = lsb >> 2
+    base = (cell - lsb)[:, None] + nlsb[:, None] * np.array([1, 3, 5, 7], dtype=np.int64)
+    return base

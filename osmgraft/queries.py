@@ -191,6 +191,40 @@ def cell_counts_s2_l13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s2_rollup_oracle() -> str:
+    from osmgraft.functions.s2 import sql_s2_cell_l13, sql_s2_parent
+
+    return (
+        f"SELECT {sql_s2_parent('cell', 10)} AS parent_cell, sum(cnt)::BIGINT AS cnt\n"
+        f"FROM ({sql_s2_cell_l13(_PTS)}) l13 GROUP BY parent_cell"
+    )
+
+
+@register("s2_rollup_l13_to_l10", _s2_rollup_oracle())
+def s2_rollup_l13_to_l10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 hierarchy rollup: level-13 counts re-aggregated to level 10 with
+    pure JVM bit math (functions/s2.s2_parent_col — the Hilbert curve is
+    prefix-hierarchical, so parent = position truncation).  The scale story
+    is the point: a level rollup at 10^12 rows is a map-side-combined
+    re-aggregation of the fine-grained counts, never a re-encode of lat/lon;
+    mirrors the slippy tile_pyramid rollup.  Hash-gated by wrapping the
+    existing Hilbert-walk DuckDB twin with the same two's-complement mask.
+    Structural pytest twin: parent(encode(level 13)) == encode(level 10)
+    over a 4001-point global sweep (tests/test_cells.py)."""
+    from osmgraft.functions.cells import s2_cell_udf
+    from osmgraft.functions.s2 import s2_parent_col
+
+    pts = points_from_orders(spark, sf_dir)
+    l13 = pts.select(
+        s2_cell_udf(13)(F.col("lat7"), F.col("lon7")).alias("cell")
+    ).groupBy("cell").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        l13.select(s2_parent_col("cell", 10).alias("parent_cell"), "cnt")
+        .groupBy("parent_cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 @register(
     "h3_known_vectors",
     """SELECT * FROM (VALUES
@@ -644,6 +678,36 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, dim=64, n_planes=5, n_tables=6
     )
+
+
+@register("embedding_ivf_ann", None)  # oracle attached below (needs anchor literals)
+def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the brief's named scale path): seeded coarse quantizer,
+    map-only bucket assignment, broadcast probe join (nprobe=4 of 16
+    buckets), exact sequential-fold rerank in bucket — HASH-GATED against a
+    full DuckDB twin that inlines the identical anchor literals
+    (sql_ivf_topk).  Unlike the LSH path this one is exactly reproducible
+    cross-engine, so IVF is gated strictly while LSH stays recall-pinned."""
+    from osmgraft.operators.similarity import ivf_anchors, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        anchors=ivf_anchors(64, 16),
+        nprobe=4,
+        k=10,
+        ensure_parallelism=True,
+    )
+
+
+from osmgraft.operators.similarity import ivf_anchors as _ivf_anchors  # noqa: E402
+from osmgraft.operators.similarity import sql_ivf_topk  # noqa: E402
+
+REGISTRY["embedding_ivf_ann"] = (
+    REGISTRY["embedding_ivf_ann"][0],
+    sql_ivf_topk(_ivf_anchors(64, 16), nprobe=4, k=10, query_pred="vec_id < 8"),
+)
 
 
 # --- osmio format surface: XML escape, OPL encode, tag ops, area semantics ---------

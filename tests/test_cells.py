@@ -110,3 +110,33 @@ def test_h3_determinism_and_vectorization(pts):
     a = H.h3_cell(*pts, 9)
     b = H.h3_cell(pts[0].copy(), pts[1].copy(), 9)
     assert (a == b).all()
+
+
+def test_s2_hierarchy_truncation_property():
+    """parent(encode(l13), 10) == encode(l10) globally, and children invert."""
+    import numpy as np
+
+    from osmgraft.functions import s2
+
+    lat = (np.linspace(-88, 88, 4001) * 1e7).astype(np.int64)
+    lon = (np.linspace(-179, 179, 4001) * 1e7).astype(np.int64)
+    l13 = s2.s2_cell_id(lat, lon, 13)
+    l10 = s2.s2_cell_id(lat, lon, 10)
+    assert np.array_equal(s2.s2_parent(l13, 10), l10)
+    ch = s2.s2_children(l10[:256])
+    assert np.all(s2.s2_parent(ch.ravel(), 10) == np.repeat(l10[:256], 4))
+    assert np.all(s2.s2_level(ch.ravel()) == 11)
+
+
+def test_s2_parent_col_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osmgraft.functions import s2
+
+    lat = (np.linspace(-60, 60, 500) * 1e7).astype(np.int64)
+    lon = (np.linspace(-170, 170, 500) * 1e7).astype(np.int64)
+    ids = s2.s2_cell_id(lat, lon, 13)
+    df = spark.createDataFrame([(int(c),) for c in ids], "cell long")
+    got = [r[0] for r in df.select(s2.s2_parent_col("cell", 10).alias("p")).collect()]
+    assert got == [int(x) for x in s2.s2_parent(ids, 10)]
