@@ -184,38 +184,69 @@ def png_decode(data: bytes) -> np.ndarray:
 # --- resize / grayscale (for pHash + the multimodal feature ops) --------------
 
 
+# --- integer luma / resize / DCT ---------------------------------------------
+#
+# Every kernel below is FIXED-POINT INTEGER end-to-end.  Round 3 found the
+# float versions (BLAS matmuls of irrational cosine matrices, float bin-mean
+# accumulation) produce sums that differ in the last ulp across hosts/BLAS
+# builds/thread counts — which flipped quantized-DCT coefficients and pHash
+# bits between driver rounds and broke pinned checksums.  Integer addition is
+# associative, so int64 matmuls and bin sums are bit-identical on EVERY
+# host, numpy build, and summation order — the property the north rule's
+# cross-cluster bitwise-match demands.  Precision budgets are documented per
+# kernel; all are orders of magnitude below one quantization step.
+
+
+def _sdiv_round(v: np.ndarray, d: int) -> np.ndarray:
+    """Vectorized round-half-away-from-zero integer division (d > 0)."""
+    v = np.asarray(v)
+    return np.sign(v) * ((np.abs(v) + d // 2) // d)
+
+
 def to_gray(pixels: np.ndarray) -> np.ndarray:
-    """ITU-R BT.601 luma, float64 (h, w)."""
-    p = pixels.astype(np.float64)
-    return 0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
+    """ITU-R BT.601 luma in MILLI-gray units: int64 (h, w) = 299R+587G+114B.
+    Exact integer arithmetic (the float path's 0.299R+… is this / 1000)."""
+    p = pixels.astype(np.int64)
+    return 299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]
 
 
 def resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Box/area resampling via index binning (deterministic, no interp libs)."""
+    """Box/area resampling via index binning: int64 in → int64 out (same
+    units, per-bin mean with half-up rounding). Exact bin sums + one integer
+    division — deterministic regardless of accumulation order."""
     h, w = img.shape
     ys = (np.arange(h) * out_h) // h
     xs = (np.arange(w) * out_w) // w
-    out = np.zeros((out_h, out_w), dtype=np.float64)
+    out = np.zeros((out_h, out_w), dtype=np.int64)
     cnt = np.zeros((out_h, out_w), dtype=np.int64)
-    np.add.at(out, (ys[:, None], xs[None, :]), img)
+    np.add.at(out, (ys[:, None], xs[None, :]), img.astype(np.int64))
     np.add.at(cnt, (ys[:, None], xs[None, :]), 1)
-    return out / np.maximum(cnt, 1)
+    cnt = np.maximum(cnt, 1)
+    return (2 * out + cnt) // (2 * cnt)  # half-up (luma is non-negative)
 
 
 _DCT_N = 32
-_DCT_M = np.cos(
-    np.pi / _DCT_N * (np.arange(_DCT_N)[:, None] + 0.5) * np.arange(_DCT_N)[None, :]
-)  # (n, k) DCT-II basis
+_DCT_FX = 16  # 2^16 fixed-point scale for the 32-point DCT basis
+_DCT_M_FX = np.round(
+    np.cos(np.pi / _DCT_N * (np.arange(_DCT_N)[:, None] + 0.5) * np.arange(_DCT_N)[None, :])
+    * (1 << _DCT_FX)
+).astype(np.int64)  # (n, k) DCT-II basis, int64
+# overflow budget: |g_fx| < 2^18 (milli-gray), 32-term dots: stage 1 < 2^39,
+# stage 2 < 2^60 — inside int64.
 
 
 def phash64(pixels: np.ndarray) -> np.int64:
     """64-bit perceptual hash; bit 63-i set iff coeff_i > median of the 8×8
-    low-frequency DCT block (DC excluded from median)."""
+    low-frequency DCT block (DC excluded from median).  Integer DCT over
+    integer milli-luma: the hash is a pure function of the pixels, identical
+    on every host (basis quantization 2^-16 only perturbs a bit when a
+    coefficient sits within ~1e-4 relative of the median — and then the SAME
+    way everywhere)."""
     g = resize_area(to_gray(pixels), _DCT_N, _DCT_N)
-    d = _DCT_M.T @ g @ _DCT_M  # 2D DCT-II (unnormalized — ordering invariant)
+    d = _DCT_M_FX.T @ g @ _DCT_M_FX  # 2D DCT-II (unnormalized — ordering invariant)
     block = d[:8, :8].copy()
     flat = block.flatten()
-    med = np.median(flat[1:])  # skip DC
+    med = np.median(flat[1:])  # skip DC; 63 ints -> exact middle element
     bits = (flat > med).astype(np.uint64)
     val = np.uint64(0)
     for i in range(64):
@@ -224,29 +255,30 @@ def phash64(pixels: np.ndarray) -> np.int64:
 
 
 def to_gray_batch(pixels: np.ndarray) -> np.ndarray:
-    """Batched BT.601 luma: (n, h, w, 3) uint8 → (n, h, w) float64."""
-    p = pixels.astype(np.float64)
-    return 0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
+    """Batched BT.601 milli-luma: (n, h, w, 3) uint8 → (n, h, w) int64."""
+    p = pixels.astype(np.int64)
+    return 299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]
 
 
 def resize_area_batch(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Batched box/area resampling: (n, h, w) → (n, out_h, out_w). Identical
-    per-image results to :func:`resize_area` (same index binning)."""
+    """Batched integer box/area resampling: (n, h, w) int64 → (n, out_h,
+    out_w) int64. Identical per-image results to :func:`resize_area`."""
     n, h, w = img.shape
     ys = (np.arange(h) * out_h) // h
     xs = (np.arange(w) * out_w) // w
-    out = np.zeros((n, out_h, out_w), dtype=np.float64)
+    out = np.zeros((n, out_h, out_w), dtype=np.int64)
     cnt = np.zeros((out_h, out_w), dtype=np.int64)
-    np.add.at(out, (slice(None), ys[:, None], xs[None, :]), img)
+    np.add.at(out, (slice(None), ys[:, None], xs[None, :]), img.astype(np.int64))
     np.add.at(cnt, (ys[:, None], xs[None, :]), 1)
-    return out / np.maximum(cnt, 1)[None, :, :]
+    cnt = np.maximum(cnt, 1)[None, :, :]
+    return (2 * out + cnt) // (2 * cnt)
 
 
 def phash64_batch(pixels: np.ndarray) -> np.ndarray:
     """Batched :func:`phash64`: (n, h, w, 3) uint8 → (n,) int64, bit-identical
     to the scalar function per row (pinned in tests)."""
     g = resize_area_batch(to_gray_batch(pixels), _DCT_N, _DCT_N)
-    d = _DCT_M.T @ g @ _DCT_M  # broadcasted 2D DCT-II over the batch
+    d = _DCT_M_FX.T @ g @ _DCT_M_FX  # broadcasted 2D integer DCT-II
     flat = d[:, :8, :8].reshape(len(pixels), 64)
     med = np.median(flat[:, 1:], axis=1)  # skip DC, like the scalar path
     bits = (flat > med[:, None]).astype(np.uint8)
@@ -311,19 +343,26 @@ def decode_batch(
         )
         if not (np.all(meta[:, 0] == w) and np.all(meta[:, 1] == h)):
             raise ValueError("qdct header (w, h) mismatch vs metadata columns")
-        q = meta[:, 2].astype(np.float64)
+        q = meta[:, 2].astype(np.int64)
         if packed is not None:
             raw16 = np.ascontiguousarray(packed[:, 10 : 10 + 2 * coefs])
         else:
             idx = starts[:, None] + np.arange(10, 10 + 2 * coefs)[None, :]
             raw16 = buf[idx].copy()
         qc = raw16.view("<i2").reshape(n, H // 8, 8, W // 8, 8, 3)
-        deq = qc.astype(np.float64) * q[:, None, None, None, None, None]
-        # (n,a,k,b,l,c) -> (n,a,b,c,k,l) blocks, batched 8x8 matmul iDCT,
+        # clip like decode_qdct: bounds the int64 iDCT against corrupt qc*q
+        deq = np.clip(
+            qc.astype(np.int64) * q[:, None, None, None, None, None], -2048, 2048
+        )
+        # (n,a,k,b,l,c) -> (n,a,b,c,k,l) blocks, batched 8x8 integer iDCT,
         # back to (n,a,i,b,j,c) pixel layout
         blocks = _dct8_blocks(deq.transpose(0, 1, 3, 5, 2, 4), inverse=True)
-        p = blocks.transpose(0, 1, 4, 2, 5, 3).reshape(n, H, W, 3) + 128.0
-        return np.clip(np.round(p), 0, 255).astype(np.uint8)[:, :h, :w]
+        p = (
+            _sdiv_round(blocks.transpose(0, 1, 4, 2, 5, 3), 1 << (2 * _QDCT_FX))
+            .reshape(n, H, W, 3)
+            + 128
+        )
+        return np.clip(p, 0, 255).astype(np.uint8)[:, :h, :w]
     if fmt == "png":
         # Variable-length compressed payloads: inflate is inherently
         # per-buffer, so this is a per-ROW loop — but each iteration is one
@@ -353,27 +392,34 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 # --- qdct: a real lossy format (JPEG-shaped, no entropy coding) --------------
-_C8 = None
+_QDCT_FX = 18  # 2^18 fixed-point scale for the orthonormal 8-point basis
+_C8_FX = None
 
 
-def _dct8_matrix() -> np.ndarray:
-    global _C8
-    if _C8 is None:
+def _dct8_matrix_fx() -> np.ndarray:
+    global _C8_FX
+    if _C8_FX is None:
         n = 8
         c = np.sqrt(2.0 / n) * np.cos(
             np.pi / n * (np.arange(n)[None, :] + 0.5) * np.arange(n)[:, None]
         )
-        c[0] /= np.sqrt(2.0)
-        _C8 = c  # orthonormal: C @ C.T == I
-    return _C8
+        c[0] /= np.sqrt(2.0)  # orthonormal: C @ C.T == I
+        _C8_FX = np.round(c * (1 << _QDCT_FX)).astype(np.int64)
+    return _C8_FX
 
 
 def _dct8_blocks(x: np.ndarray, inverse: bool) -> np.ndarray:
-    """Orthonormal 8x8 block DCT over stacked blocks (..., 8, 8) via two
-    broadcast matmuls — ~17x faster than the equivalent un-optimized einsum
-    contraction (BENCH/IMAGE.md) and bit-identical between the scalar and
-    batch codec paths because both funnel through this one helper."""
-    c = _dct8_matrix()
+    """Orthonormal 8x8 block DCT over stacked int64 blocks (..., 8, 8) via
+    two broadcast INTEGER matmuls; output carries a 2^(2*_QDCT_FX) scale.
+    Fixed-point (round-3 change): float BLAS matmuls rounded differently
+    across hosts and flipped quantized coefficients; integer matmuls are
+    bit-identical everywhere, and both the scalar and batch codec paths
+    funnel through this one helper.  Basis quantization error (2^-19
+    relative) perturbs coefficients by <0.05 of a pixel unit — two orders
+    below the q=4 quantization step.  Overflow budget: |x| <= 2^11
+    (centered pixels or clipped dequantized coefficients), stage 1 < 2^31,
+    stage 2 < 2^52 — inside int64."""
+    c = _dct8_matrix_fx()
     return (c.T @ x @ c) if inverse else (c @ x @ c.T)
 
 
@@ -384,14 +430,16 @@ def encode_qdct(pixels: np.ndarray, q: int = 4) -> bytes:
     above the input_hint's 40 dB lossy bar while being genuinely lossy."""
     h, w = pixels.shape[:2]
     ph, pw = -h % 8, -w % 8
-    p = np.pad(pixels, ((0, ph), (0, pw), (0, 0)), mode="edge").astype(np.float64) - 128.0
+    p = np.pad(pixels, ((0, ph), (0, pw), (0, 0)), mode="edge").astype(np.int64) - 128
     H, W = p.shape[:2]
     blocks = p.reshape(H // 8, 8, W // 8, 8, 3)
-    # (a,i,b,j,c) -> (a,b,c,i,j) blocks, batched matmul DCT, back to (a,k,b,l,c)
+    # (a,i,b,j,c) -> (a,b,c,i,j) blocks, batched integer DCT, back to (a,k,b,l,c)
     coef = _dct8_blocks(blocks.transpose(0, 2, 4, 1, 3), inverse=False).transpose(
         0, 3, 1, 4, 2
     )
-    qc = np.ascontiguousarray(np.round(coef / q).astype(np.int16))
+    qc = np.ascontiguousarray(
+        _sdiv_round(coef, q << (2 * _QDCT_FX)).astype(np.int16)
+    )
     head = b"QDCT" + np.array([w, h, q], dtype="<u2").tobytes()
     return head + qc.tobytes()
 
@@ -402,10 +450,15 @@ def decode_qdct(data: bytes) -> np.ndarray:
     w, h, q = np.frombuffer(data[4:10], dtype="<u2")
     H, W = h + (-int(h) % 8), w + (-int(w) % 8)
     qc = np.frombuffer(data[10:], dtype=np.int16).reshape(H // 8, 8, W // 8, 8, 3)
-    deq = qc.astype(np.float64) * q
+    # clip dequantized coefficients to the encoder's reachable range (|coef|
+    # <= 8*128 for centered pixels, 2x margin): corrupt/foreign payloads with
+    # huge qc*q would otherwise overflow the int64 iDCT budget
+    deq = np.clip(qc.astype(np.int64) * int(q), -2048, 2048)
     blocks = _dct8_blocks(deq.transpose(0, 2, 4, 1, 3), inverse=True)
-    p = blocks.transpose(0, 3, 1, 4, 2).reshape(H, W, 3) + 128.0
-    return np.clip(np.round(p), 0, 255).astype(np.uint8)[:h, :w]
+    p = _sdiv_round(blocks.transpose(0, 3, 1, 4, 2), 1 << (2 * _QDCT_FX)).reshape(
+        H, W, 3
+    ) + 128
+    return np.clip(p, 0, 255).astype(np.uint8)[:h, :w]
 
 
 def psnr_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -428,16 +481,16 @@ def encode_qdct_batch(pixels: np.ndarray, q: int = 4) -> tuple[np.ndarray, int]:
     ph, pw = -h % 8, -w % 8
     p = (
         np.pad(pixels, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge").astype(
-            np.float64
+            np.int64
         )
-        - 128.0
+        - 128
     )
     H, W = p.shape[1:3]
     blocks = p.reshape(n, H // 8, 8, W // 8, 8, 3)
     coef = _dct8_blocks(
         blocks.transpose(0, 1, 3, 5, 2, 4), inverse=False
     ).transpose(0, 1, 4, 2, 5, 3)
-    qc = np.ascontiguousarray(np.round(coef / q).astype("<i2"))
+    qc = np.ascontiguousarray(_sdiv_round(coef, q << (2 * _QDCT_FX)).astype("<i2"))
     head = np.frombuffer(b"QDCT" + np.array([w, h, q], dtype="<u2").tobytes(), np.uint8)
     flat = np.concatenate(
         [np.broadcast_to(head, (n, 10)), qc.reshape(n, -1).view(np.uint8)], axis=1

@@ -311,8 +311,12 @@ def image_resize_gray32(images: DataFrame, on_error: str = "fail") -> DataFrame:
                     names=["image_id", "gray32"],
                 )
                 continue
+            # integer milli-luma -> uint8 (half-up); see codec.py round-3
+            # fixed-point note
             g = resize_area_batch(to_gray_batch(px), 32, 32)
-            flat = np.clip(g, 0, 255).astype(np.uint8).reshape(len(px), -1)
+            flat = (
+                np.clip((2 * g + 1000) // 2000, 0, 255).astype(np.uint8).reshape(len(px), -1)
+            )
             offs = np.arange(0, (len(px) + 1) * flat.shape[1], flat.shape[1], dtype=np.int32)
             gray = pa.Array.from_buffers(
                 pa.binary(),
