@@ -37,6 +37,28 @@ def h3_cell_udf(res: int = 7):
     return _udf
 
 
+def h3_center_reencode_udf(child_res: int):
+    """cell -> latlng_to_cell(cell_to_latlng(cell), child_res): the decode ->
+    re-encode roundtrip as one vectorized UDF.  Exercises the full decode
+    path (digit replay + cross-face overage hop + inverse gnomonic): any
+    center drift beyond the child cell's inradius yields a non-center-child
+    id and flips the oracle hash (queries.h3_center_child_r7_r9)."""
+    from osmgraft.functions.h3real import cell_to_latlng, latlng_to_cell
+
+    @F.pandas_udf(LongType())
+    def _udf(cell: pd.Series) -> pd.Series:
+        import numpy as np
+
+        la, lo = cell_to_latlng(cell.to_numpy())
+        return pd.Series(latlng_to_cell(
+            np.round(la * 1e7).astype(np.int64),
+            np.round(lo * 1e7).astype(np.int64),
+            child_res,
+        ))
+
+    return _udf
+
+
 # --- wrapped integer grid (pure Column expressions, JVM-side) -----------------
 def grid_cell(lat7: Column, lon7: Column, cell_size: int) -> Column:
     """Single long cell id: clat * ncl + clon, lon wrapped (exact int math,

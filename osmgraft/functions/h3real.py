@@ -258,6 +258,19 @@ def latlng_to_cell(lat7, lon7, res: int) -> np.ndarray:
         theta = _pos_angle(theta - _AP7_ROT)
     rr = np.tan(r) / _RES0_U_GNOMONIC * (_SQRT7 ** res)
     ai, aj = _hex2d_to_axial(rr * np.cos(theta), rr * np.sin(theta))
+    return _axial_to_cell(face, ai, aj, res)
+
+
+def _axial_to_cell(face, ai, aj, res: int) -> np.ndarray:
+    """(face chart, axial lattice address at res) -> H3 id: the encoder tail
+    (integer parent-chain digit extraction, base-cell lookup, pentagon
+    leading-K fixup, canonical rotations).  Exact for any address the 5x5
+    base table can absorb — the face triangle plus its one-cell overhang,
+    which covers encode rounding AND unit-step neighbor walks (grid_disk)."""
+    face = np.asarray(face, dtype=np.int64)
+    ai = np.asarray(ai, dtype=np.int64).copy()
+    aj = np.asarray(aj, dtype=np.int64).copy()
+    n = ai.size
     # integer parent chain, extracting one digit per res (h3Index.c)
     digs = np.empty((n, res), dtype=np.int64)
     for rl in range(res, 0, -1):
@@ -698,3 +711,114 @@ ids AS (SELECT point_id,
         {header} + base*{1 << 45} + {packed} + {tail7} AS cell
         FROM {prev_r})
 SELECT cell, count(*) AS cnt FROM ids GROUP BY cell"""
+
+
+# --- neighbor traversal (gridDisk) on real H3 ids ----------------------------
+
+def grid_disk(cell, k: int = 1) -> list[np.ndarray]:
+    """H3 gridDisk: per input cell, the distinct cells within chart-lattice
+    distance k (the cell itself included).  Geometric formulation: each
+    cell's exact chart address (face, ai, aj) steps to every axial offset
+    with hex distance <= k, and each stepped address converts back to an id
+    through the encoder tail (_axial_to_cell) — whose pentagon fixups make
+    positions in a pentagon fold resolve to the real covering cell, so
+    pentagons naturally yield 5 neighbors (the duplicate collapses in the
+    dedup).  Returns a list of int64 arrays (per-cell disks vary in size
+    near pentagons).  Vectorized: one _to_face_axial + one _axial_to_cell
+    over (n_cells x n_offsets)."""
+    cell = np.asarray(cell, dtype=np.int64).ravel()
+    if cell.size == 0:
+        return []
+    face, ai, aj, res = _to_face_axial(cell)
+    offs = [
+        (di, dj)
+        for di in range(-k, k + 1)
+        for dj in range(-k, k + 1)
+        if (abs(di) + abs(dj) + abs(di - dj)) // 2 <= k
+    ]
+    offs = np.array(offs, dtype=np.int64)  # (m, 2)
+    m = len(offs)
+    f = np.repeat(face, m)
+    a = (ai[:, None] + offs[:, 0]).ravel()
+    b = (aj[:, None] + offs[:, 1]).ravel()
+    ids = _axial_to_cell(f, a, b, res).reshape(cell.size, m)
+    return [np.unique(row) for row in ids]
+
+
+def grid_ring_table(cells: np.ndarray, k: int = 1):
+    """(cell, neighbor) int64 pair arrays for a batch — the flattened edge
+    list grid_disk induces (self-pairs excluded).  Feed for DataFrame
+    explode-style neighbor joins."""
+    disks = grid_disk(cells, k)
+    cells = np.asarray(cells, dtype=np.int64).ravel()
+    src = np.concatenate(
+        [np.full(len(d), c, dtype=np.int64) for c, d in zip(cells, disks)]
+    ) if len(cells) else np.empty(0, dtype=np.int64)
+    dst = np.concatenate(disks) if len(cells) else np.empty(0, dtype=np.int64)
+    keep = src != dst
+    return src[keep], dst[keep]
+
+
+# --- polygonToCells (H3 polyfill: cells whose CENTER is in the polygon) ------
+
+def polygon_to_cells(ring, holes, res: int) -> np.ndarray:
+    """H3 polygonToCells for one polygon (fixed-point 1e-7 deg ring/holes,
+    last vertex != first): all cells at ``res`` whose center lies inside.
+
+    Method: a covering point grid over the (margin-padded, wrap-split) bbox
+    at <= half the minimum angular cell inradius guarantees every candidate
+    cell receives a sample; encode + unique gives the candidate set; the
+    EXACT decoded centers (cell_to_latlng, overage-correct) are then
+    ray-cast against the polygon — so membership is H3's own
+    center-containment semantics, not a sampling approximation.
+    Completeness and membership are property-tested via grid_disk closure
+    (tests/test_h3real.py).  Polar-cap polygons (ring enclosing a pole) are
+    out of scope for the bbox sweep and raise."""
+    from osmgraft.geom import pnpoly, polygon_edges
+
+    ring = np.asarray(ring, dtype=np.int64)
+    lat_lo, lat_hi = ring[:, 0].min() / 1e7, ring[:, 0].max() / 1e7
+    lons = ring[:, 1] / 1e7
+    wrap = lons.max() - lons.min() > 180.0  # fixture contract: wrapped ring
+    if wrap:
+        # unwrapped frame: negative lons shifted +360 so the ring (and the
+        # center ray-cast below) is contiguous across the antimeridian
+        ring = ring.copy()
+        ring[:, 1] = np.where(ring[:, 1] < 0, ring[:, 1] + 3_600_000_000, ring[:, 1])
+        holes = [
+            [(p[0], p[1] + 3_600_000_000 if p[1] < 0 else p[1]) for p in hh]
+            for hh in holes
+        ]
+    edges = polygon_edges({"ring": [tuple(p) for p in ring],
+                           "holes": [[tuple(p) for p in h] for h in holes]})
+    if lat_hi > 89.0 or lat_lo < -89.0:
+        raise ValueError("polar-cap polygons unsupported by the bbox sweep")
+    # min angular pitch: tan-space lattice pitch compressed by the worst
+    # gnomonic distortion cos^2(face circumradius ~37.4deg) ~ 0.63
+    pitch = np.degrees(_RES0_U_GNOMONIC / _SQRT7 ** res)
+    s = pitch * 0.63 / 2 * 0.9
+    margin = 4 * s
+    glat = np.arange(lat_lo - margin, lat_hi + margin + s, s)
+    glat = glat[(glat > -89.9) & (glat < 89.9)]
+    slon = s / max(np.cos(np.radians(max(abs(lat_lo), abs(lat_hi)))), 0.05)
+    if wrap:
+        east = lons[lons > 0].min()
+        west = lons[lons < 0].max()
+        glon = np.concatenate([
+            np.arange(east - margin, 180.0, slon),
+            np.arange(-180.0, west + margin + slon, slon),
+        ])
+    else:
+        glon = np.arange(lons.min() - margin, lons.max() + margin + slon, slon)
+    la = np.repeat(glat, len(glon))
+    lo = np.tile(glon, len(glat))
+    lo = np.mod(lo + 180.0, 360.0) - 180.0
+    cand = np.unique(latlng_to_cell(
+        np.round(la * 1e7).astype(np.int64),
+        np.round(lo * 1e7).astype(np.int64), res))
+    cla, clo = cell_to_latlng(cand)
+    clo7 = np.round(clo * 1e7).astype(np.int64)
+    if wrap:
+        clo7 = np.where(clo7 < 0, clo7 + 3_600_000_000, clo7)
+    inside = pnpoly(np.round(cla * 1e7).astype(np.int64), clo7, edges)
+    return cand[inside]

@@ -131,3 +131,41 @@ def uncompact_cells(
         )
         cur = rest.unionByName(kids)
     return cur
+
+
+def h3_polyfill(boundaries: DataFrame, res: int) -> DataFrame:
+    """polygonToCells over a boundary table: (boundary_id, cell) rows — every
+    H3 cell at ``res`` whose center lies inside the boundary polygon
+    (functions/h3real.polygon_to_cells, exact center-containment semantics).
+
+    Scale shape: one applyInPandas group per polygon — fills are independent
+    and embarrassingly parallel across boundaries; no shuffle beyond the
+    boundary-id grouping of the (tiny) polygon table.  A continent-sized
+    polygon at fine res is bounded by its own fill size, not by other
+    polygons; split such a polygon's bbox into sub-rectangles upstream if a
+    single fill exceeds task memory (the cells of a bbox-split union exactly
+    to the full fill because membership is per-cell-center)."""
+    import pandas as pd
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from osmgraft.functions.h3real import polygon_to_cells
+
+        out_b, out_c = [], []
+        for _, row in pdf.iterrows():  # one row per boundary (tiny table)
+            ring = [(p["lat7"], p["lon7"]) for p in row["ring"]]
+            holes = [[(p["lat7"], p["lon7"]) for p in hh] for hh in row["holes"]]
+            cells = polygon_to_cells(ring, holes, res)
+            out_b.append(np.full(len(cells), row["boundary_id"], dtype=np.int64))
+            out_c.append(cells)
+        if not out_b:
+            return pd.DataFrame({"boundary_id": [], "cell": []}).astype("int64")
+        return pd.DataFrame({
+            "boundary_id": np.concatenate(out_b),
+            "cell": np.concatenate(out_c),
+        })
+
+    return boundaries.groupBy("boundary_id").applyInPandas(
+        fill, schema="boundary_id long, cell long"
+    )

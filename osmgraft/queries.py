@@ -191,6 +191,68 @@ def cell_counts_s2_l13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _h3_center_child_oracle() -> str:
+    from osmgraft.functions.h3real import sql_h3_cell
+
+    # center-child bit math: res nibble := 9, digits 8 and 9 := 0
+    centered = "((cell & ~((15::BIGINT << 52) | (7::BIGINT << 21) | (7::BIGINT << 18))) | (9::BIGINT << 52))"
+    return (
+        f"SELECT cell AS cell_r7, {centered} AS center_r9, cnt\n"
+        f"FROM ({sql_h3_cell(_PTS, 7)}) h"
+    )
+
+
+@register("h3_center_child_r7_r9", _h3_center_child_oracle())
+def h3_center_child_r7_r9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end gate on the H3 DECODE path.  Spark runs the full
+    decode -> re-encode roundtrip per res-7 cell (cell_to_latlng with the
+    r3 cross-face overage hop, then latlng_to_cell at res 9); the oracle
+    computes the expected answer INDEPENDENTLY from H3's center-child
+    property (the 0-digit child shares its parent's center — pure bit math
+    on the encoder twin's ids).  Any residual decode drift beyond the res-9
+    inradius (~175 m; the pre-r3 off-face drift was up to ~30 km) produces
+    a non-center-child id and flips the hash."""
+    from osmgraft.functions.cells import h3_cell_udf, h3_center_reencode_udf
+
+    pts = points_from_orders(spark, sf_dir)
+    r7 = (
+        pts.select(h3_cell_udf(7)(F.col("lat7"), F.col("lon7")).alias("cell_r7"))
+        .groupBy("cell_r7")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return r7.select(
+        "cell_r7",
+        h3_center_reencode_udf(9)(F.col("cell_r7")).alias("center_r9"),
+        "cnt",
+    )
+
+
+@register("h3_polyfill_r4", None)  # no SQL twin: needs cell-center decode
+def h3_polyfill_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 polygonToCells (center-containment polyfill) of every fixture
+    boundary — including the donut hole and the antimeridian-wrapped
+    fiji box — at res 4, one applyInPandas group per polygon.  Rows-only
+    in the driver gate (an SQL twin needs cellToLatLng in DuckDB);
+    membership + grid_disk-closure (no cell whose center is inside is
+    missing, none outside is present) are property-gated in
+    tests/test_h3real.py, on exact decoded centers."""
+    from osmgraft.operators.h3ops import h3_polyfill
+    from osmgraft.schema import ADMIN_BOUNDARY_SCHEMA
+    from osmgraft.synth import COVER_BOUNDARIES
+
+    rows = [
+        (
+            b["boundary_id"],
+            b["name"],
+            [{"lat7": p[0], "lon7": p[1]} for p in b["ring"]],
+            [[{"lat7": p[0], "lon7": p[1]} for p in h] for h in b["holes"]],
+            b["tags"],
+        )
+        for b in COVER_BOUNDARIES
+    ]
+    return h3_polyfill(spark.createDataFrame(rows, ADMIN_BOUNDARY_SCHEMA), 4)
+
+
 def _s2_rollup_oracle() -> str:
     from osmgraft.functions.s2 import sql_s2_cell_l13, sql_s2_parent
 

@@ -99,3 +99,29 @@ def test_uncompact_mixed_resolution_input(spark):
         want.add(c)
     got = uncompact_cells(_mk_df(spark, [a7, b6]), target_res=7).collect()
     assert {r.cell for r in got} == want
+
+
+def test_h3_polyfill_operator_matches_kernel(spark):
+    """The applyInPandas operator emits exactly the per-polygon kernel fill."""
+    import numpy as np
+
+    from osmgraft.functions.h3real import polygon_to_cells
+    from osmgraft.operators.h3ops import h3_polyfill
+    from osmgraft.schema import ADMIN_BOUNDARY_SCHEMA
+    from osmgraft.synth import COVER_BOUNDARIES
+
+    rows = [
+        (b["boundary_id"], b["name"],
+         [{"lat7": p[0], "lon7": p[1]} for p in b["ring"]],
+         [[{"lat7": p[0], "lon7": p[1]} for p in hh] for hh in b["holes"]],
+         b["tags"])
+        for b in COVER_BOUNDARIES
+    ]
+    got = {}
+    for r in h3_polyfill(
+        spark.createDataFrame(rows, ADMIN_BOUNDARY_SCHEMA), 4
+    ).collect():
+        got.setdefault(r.boundary_id, set()).add(r.cell)
+    for b in COVER_BOUNDARIES:
+        want = set(map(int, polygon_to_cells(b["ring"], b["holes"], 4)))
+        assert got.get(b["boundary_id"], set()) == want, b["name"]
