@@ -253,6 +253,27 @@ def h3_polyfill_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h3_polyfill(spark.createDataFrame(rows, ADMIN_BOUNDARY_SCHEMA), 4)
 
 
+from osmgraft.operators.multipolygon import sql_mp_expected  # noqa: E402
+
+
+@register("multipolygon_assembly", sql_mp_expected())
+def multipolygon_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OSM multipolygon assembly (operators/multipolygon.py): unordered,
+    partially-REVERSED, split member ways stitch into closed rings per
+    relation; outer/inner inferred by containment parity (roles untrusted);
+    exact integer twice-shoelace areas.  Spec-as-oracle gate: the fixture
+    is a pure integer function of the orders bucket set (rects + L-split
+    holes + an extra single-way outer every 11th bucket), so DuckDB states
+    the assembled result in closed form while Spark must actually run the
+    ring walk on hash-shuffled input."""
+    from osmgraft.operators.multipolygon import (
+        assemble_multipolygons,
+        mp_fixture_df,
+    )
+
+    return assemble_multipolygons(mp_fixture_df(spark, sf_dir))
+
+
 def _s2_rollup_oracle() -> str:
     from osmgraft.functions.s2 import sql_s2_cell_l13, sql_s2_parent
 

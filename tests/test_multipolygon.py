@@ -1,0 +1,105 @@
+"""Multipolygon assembly (operators/multipolygon.py): ring stitching with
+reversal/splits, containment-parity nesting (island-in-lake), exact integer
+areas, shuffle invariance, and the dangling-endpoint error path."""
+
+import numpy as np
+import pytest
+
+from osmgraft.operators.multipolygon import (
+    _point_in_ring,
+    _shoelace2,
+    assemble_multipolygons,
+    assemble_rings,
+    mp_fixture_ways,
+)
+
+
+def _rect(la0, lo0, la1, lo1):
+    return [(la0, lo0), (la0, lo1), (la1, lo1), (la1, lo0)]
+
+
+def test_shoelace_and_containment():
+    r = _rect(0, 0, 1000, 2000)
+    assert abs(_shoelace2(r)) == 2 * 1000 * 2000
+    assert _point_in_ring(500, 1000, r)
+    assert not _point_in_ring(1500, 1000, r)
+    # ring-local origin keeps huge coordinates exact
+    big = _rect(890_000_000, 1_790_000_000, 890_001_000, 1_790_002_000)
+    assert abs(_shoelace2(big)) == 2 * 1000 * 2000
+
+
+def test_assemble_reversed_and_split_ways():
+    # square split into 3 ways, middle one reversed
+    w1 = [(0, 0), (0, 10)]
+    w2 = [(10, 10), (0, 10)]  # reversed orientation
+    w3 = [(10, 10), (10, 0), (0, 0)]
+    rings = assemble_rings([(3, w3), (1, w1), (2, w2)])
+    assert len(rings) == 1 and len(rings[0]) == 4
+    assert abs(_shoelace2(rings[0])) == 2 * 10 * 10
+
+
+def test_assemble_multiple_rings_and_closed_way():
+    closed = [(100, 100), (100, 120), (110, 120), (110, 100), (100, 100)]
+    w1 = [(0, 0), (0, 10)]
+    w2 = [(0, 10), (10, 10), (10, 0), (0, 0)]
+    rings = assemble_rings([(5, closed), (1, w1), (2, w2)])
+    assert sorted(len(r) for r in rings) == [4, 4]
+
+
+def test_dangling_raises():
+    with pytest.raises(ValueError, match="unclosable"):
+        assemble_rings([(1, [(0, 0), (0, 10)]), (2, [(0, 10), (5, 5)])])
+
+
+def test_island_in_lake_parity(spark):
+    """Depth-2 nesting: outer land, lake hole, island in the lake — the
+    island counts as OUTER again (containment parity), so net area =
+    land - lake + island."""
+    land = _rect(0, 0, 1000, 1000)
+    lake = _rect(100, 100, 900, 900)
+    island = _rect(400, 400, 600, 600)
+    rows = [
+        (1, 10, [{"lat7": a, "lon7": b} for a, b in land + [land[0]]]),
+        (1, 11, [{"lat7": a, "lon7": b} for a, b in lake + [lake[0]]]),
+        (1, 12, [{"lat7": a, "lon7": b} for a, b in island + [island[0]]]),
+    ]
+    df = spark.createDataFrame(
+        rows, "rel_id long, way_id long, nodes array<struct<lat7: long, lon7: long>>"
+    )
+    out = assemble_multipolygons(df).collect()[0]
+    assert (out.n_rings, out.n_outer, out.n_inner) == (3, 2, 1)
+    a_land = 2 * 1000 * 1000
+    a_lake = 2 * 800 * 800
+    a_isl = 2 * 200 * 200
+    assert out.area2_outer == a_land + a_isl
+    assert out.area2_inner == a_lake
+    assert out.area2_net == a_land + a_isl - a_lake
+
+
+def test_fixture_matches_closed_form():
+    """mp_fixture_ways assembles (locally) to exactly the closed-form values
+    the DuckDB oracle states, for every bucket shape class."""
+    for b in (0, 1, 2, 3, 5, 6, 7, 11, 22, 33, 45, 96):
+        rid, ways = mp_fixture_ways(b)
+        rings = assemble_rings(ways)
+        w = (b % 7 + 2) * 1_000_000
+        h = (b % 5 + 2) * 1_000_000
+        want_rings = 2 + (1 if b % 11 == 0 else 0)
+        assert len(rings) == want_rings, b
+        areas = sorted(abs(_shoelace2(r)) for r in rings)
+        want = sorted(
+            [2 * w * h, 2 * (w // 2) * (h // 2)]
+            + ([2 * w * (h // 2)] if b % 11 == 0 else [])
+        )
+        assert areas == want, b
+
+
+def test_assembly_partitioning_invariance(spark):
+    from osmgraft.operators.multipolygon import mp_fixture_df
+
+    df = mp_fixture_df(spark, "/root/testdata/sf0.001")
+
+    def run(d):
+        return sorted(map(tuple, assemble_multipolygons(d).collect()))
+
+    assert run(df.repartition(1)) == run(df.repartition(17, "rel_id"))
