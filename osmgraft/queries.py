@@ -1314,6 +1314,84 @@ def boundary_tile_cover_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boundary_tile_cover(spark, COVER_BOUNDARIES, 10)
 
 
+@register(
+    "stream_dedup_events",
+    "SELECT event_id, user_id, event_type, value FROM events",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup parity gate: the source parquet is written with EVERY
+    event duplicated (two full copies); the stream dedups by event_id via
+    dropDuplicatesWithinWatermark (bounded state — entries age out past the
+    watermark, unlike plain dropDuplicates) and must hash-match the
+    batch oracle that reads the original table once."""
+    import tempfile
+
+    from osmgraft.streaming import read_stream, stream_dedup
+
+    src = tempfile.mkdtemp(prefix="og_dedup_src_")
+    ckpt = tempfile.mkdtemp(prefix="og_dedup_ck_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.unionByName(ev).write.mode("overwrite").parquet(src)
+    stream = read_stream(
+        spark, src,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    name = "og_stream_dedup_q"
+    q = (
+        stream_dedup(stream, ["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register(
+    "stream_interval_join_events",
+    """SELECT a.user_id AS k, a.event_id AS a_id, b.event_id AS b_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.ts > b.ts AND a.ts <= b.ts + INTERVAL 60 SECONDS""",
+)
+def stream_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound (state
+    ages out via the two-sided watermark — the join Structured Streaming
+    refuses to run unbounded).  Two independent stream readers over the
+    same snapshot; the DuckDB twin is the identical interval join in batch
+    SQL — stream/batch parity as the correctness gate."""
+    import tempfile
+
+    from osmgraft.streaming import read_stream, stream_interval_join
+
+    src = tempfile.mkdtemp(prefix="og_ssj_src_")
+    ckpt = tempfile.mkdtemp(prefix="og_ssj_ck_")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.mode("overwrite").parquet(src)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    a = read_stream(spark, src, schema)
+    b = read_stream(spark, src, schema)
+    name = "og_stream_ssj_q"
+    q = (
+        stream_interval_join(a, b, key="user_id", interval_seconds=60)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 # --- §2.10: OSC change-set apply (osmio osc/mod.rs create/modify/delete) --------
 @register(
     "osc_apply_events",

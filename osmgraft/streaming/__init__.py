@@ -14,6 +14,8 @@ from osmgraft.streaming.incremental import (
     read_stream,
     run_available_now,
     sessionize,
+    stream_dedup,
+    stream_interval_join,
     stream_tile_counts,
     windowed_event_counts,
 )
@@ -23,6 +25,8 @@ __all__ = [
     "read_stream",
     "run_available_now",
     "sessionize",
+    "stream_dedup",
+    "stream_interval_join",
     "stream_tile_counts",
     "windowed_event_counts",
 ]

@@ -237,3 +237,42 @@ def run_available_now(
     spark = result.sparkSession
     rows = spark.sql(f"SELECT * FROM {name}").collect()
     return rows
+
+
+def stream_dedup(events_stream: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Streaming deduplication: dropDuplicatesWithinWatermark — state holds
+    one entry per key only until the watermark passes it, so state size is
+    bounded by the watermark horizon x key arrival rate (the unbounded-state
+    trap of plain dropDuplicates on streams is the reason this variant
+    exists).  At 10^12-event scale the state store shards by key hash across
+    executors like any streaming agg."""
+    return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_interval_join(
+    a: DataFrame,
+    b: DataFrame,
+    key: str = "user_id",
+    interval_seconds: int = 60,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner equi-join with an event-time interval predicate:
+    a.ts in (b.ts, b.ts + interval].  Both sides carry watermarks so Spark
+    can age out join state (docs: stream-stream joins REQUIRE the time bound
+    to bound state; without it the join buffers forever).  Returns
+    (key, a_event_id, b_event_id) pairs."""
+    from pyspark.sql import functions as F
+
+    aw = a.withWatermark("ts", watermark).select(
+        F.col(key).alias("k"), F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts")
+    )
+    bw = b.withWatermark("ts", watermark).select(
+        F.col(key).alias("bk"), F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts")
+    )
+    return aw.join(
+        bw,
+        (F.col("k") == F.col("bk"))
+        & (F.col("a_ts") > F.col("b_ts"))
+        & (F.col("a_ts") <= F.col("b_ts") + F.expr(f"INTERVAL {interval_seconds} SECONDS")),
+        "inner",
+    ).select("k", "a_id", "b_id")

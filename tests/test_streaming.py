@@ -194,3 +194,74 @@ def test_sessionize_batch_gaps_and_islands(spark):
         (2, us(t0 + timedelta(minutes=5)), us(t0 + timedelta(minutes=5)), 1),
     }
     assert got == want
+
+
+def test_stream_dedup_bounded_state_semantics(spark, tmp_path):
+    """Duplicates collapse to exactly one row per key across micro-batch
+    boundaries (bounded-state dropDuplicatesWithinWatermark)."""
+    from osmgraft.streaming import read_stream, stream_dedup
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    rows = [
+        (1, "2024-01-01 00:00:00", "a"),
+        (2, "2024-01-01 00:00:01", "b"),
+        (1, "2024-01-01 00:00:02", "dup"),
+        (3, "2024-01-01 00:00:03", "c"),
+        (2, "2024-01-01 00:00:04", "dup"),
+        (1, "2024-01-01 00:00:05", "dup"),
+    ]
+
+    def df(batch):
+        return spark.createDataFrame(
+            batch, "event_id long, ts_s string, tag string"
+        ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "tag")
+
+    df(rows[:3]).write.mode("overwrite").parquet(src)
+    df(rows[3:]).write.mode("append").parquet(src)
+    stream = read_stream(spark, src, "event_id long, ts timestamp, tag string")
+    out = (
+        stream_dedup(stream, ["event_id"])
+        .writeStream.format("memory")
+        .queryName("t_sdd")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(120)
+    rows_out = spark.sql("SELECT * FROM t_sdd").collect()
+    # exactly one survivor per key; WHICH copy survives inside a single
+    # micro-batch is unspecified (no intra-batch ordering guarantee), so
+    # assert the dedup contract, not an arrival order
+    assert sorted(r.event_id for r in rows_out) == [1, 2, 3]
+
+
+def test_stream_interval_join_matches_batch(spark):
+    """Stream-stream interval join == the same join run in batch."""
+    from pyspark.sql import functions as F
+
+    from osmgraft.streaming import stream_interval_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch = (
+        ev.alias("a")
+        .join(
+            ev.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.ts") > F.col("b.ts"))
+            & (F.col("a.ts") <= F.col("b.ts") + F.expr("INTERVAL 60 SECONDS")),
+        )
+        .select(
+            F.col("a.user_id").alias("k"),
+            F.col("a.event_id").alias("a_id"),
+            F.col("b.event_id").alias("b_id"),
+        )
+    )
+    import __spark_entry__ as e
+
+    stream_rows = sorted(
+        map(tuple, e.queries()["stream_interval_join_events"](
+            spark, "/root/testdata/sf0.001").collect())
+    )
+    assert stream_rows == sorted(map(tuple, batch.collect()))
