@@ -138,3 +138,55 @@ def sql_shingles(expr: str, n: int = 3) -> str:
         f"list_distinct(list_transform(range(1, greatest(len({w}) - {n - 2}, 1)), "
         f"i -> {parts}))"
     )
+
+
+# Frequent English character bigrams (standard public frequency data —
+# Norvig's Google-corpus tables / classical cryptanalysis lists).  Used as a
+# fixed feature set, not a trained model: the score is integer per-mille of
+# bigrams that are common-English, a cheap fluency/quality signal
+# (gibberish, base64 blobs, and non-Latin text score near 0).
+COMMON_BIGRAMS = [
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+    "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
+    "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le",
+    "ve", "co", "me", "de", "hi", "ri", "ro", "ic", "ne", "ea",
+    "ra", "ce", "li", "ch", "ll", "be", "ma", "si", "om", "ur",
+]
+
+
+def bigram_quality(text: Column) -> Column:
+    """Integer per-mille of character bigrams (of lowercased text) that are
+    common English — pure JVM expression (sequence + transform + filter),
+    exact integer output, 0 for texts shorter than 2 chars."""
+    t = F.lower(text)
+    grams = F.when(
+        F.length(t) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - 1, F.lit(1))),
+            lambda i: F.substring(t, i, 2),
+        )
+    )
+    lits = F.array(*[F.lit(b) for b in COMMON_BIGRAMS])
+    hits = F.size(F.filter(grams, lambda g: F.array_contains(lits, g)))
+    tot = F.greatest(F.length(t) - 1, F.lit(1))
+    # floor(p/q) == integer div for these magnitudes (p < 2^30: the double
+    # quotient cannot sit within an ulp of a wrong integer)
+    return F.when(F.length(t) < 2, F.lit(0)).otherwise(
+        F.floor(hits * 1000 / tot)
+    ).cast("long")
+
+
+def sql_bigram_quality(expr: str) -> str:
+    """DuckDB twin: identical bigram set, identical integer floor-division."""
+    inset = ", ".join(f"'{b}'" for b in COMMON_BIGRAMS)
+    grams = (
+        f"CASE WHEN len(lower({expr})) < 2 THEN [] ELSE "
+        f"list_transform(generate_series(1, len(lower({expr})) - 1),"
+        f" i -> substr(lower({expr}), i, 2)) END"
+    )
+    return (
+        f"CASE WHEN len(lower({expr})) < 2 THEN 0 ELSE "
+        f"(1000 * len(list_filter({grams}, g -> g IN ({inset}))))"
+        f" // greatest(len(lower({expr})) - 1, 1) END"
+    )

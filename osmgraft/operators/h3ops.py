@@ -18,6 +18,7 @@ Id layout (h3real.py): mode bits 59+, res nibble bits 52-55, base cell bits
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -169,3 +170,40 @@ def h3_polyfill(boundaries: DataFrame, res: int) -> DataFrame:
     return boundaries.groupBy("boundary_id").applyInPandas(
         fill, schema="boundary_id long, cell long"
     )
+
+
+def h3_disk_smooth(cell_counts: DataFrame, k: int = 1) -> DataFrame:
+    """Neighborhood aggregation over the H3 grid: for each occupied cell,
+    the sum of counts over its gridDisk(k) (self included).  The spatial
+    smoothing primitive (density surfaces, hot-spot detection) on real H3
+    ids.
+
+    Scale shape: the neighbor expansion runs on the DISTINCT cell table
+    (orders of magnitude below row count), one vectorized pandas UDF emits
+    each cell's disk as an array, explode + equi-join on cell id brings the
+    counts, one groupBy re-aggregates.  No driver collect, no cartesian —
+    shuffle volume is O(occupied_cells x disk_size)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from osmgraft.functions.h3real import grid_disk
+
+    @pandas_udf("array<long>")
+    def _nbrs(cells: pd.Series) -> pd.Series:
+        if len(cells) == 0:
+            return pd.Series([], dtype="object")
+        return pd.Series([
+            [int(x) for x in d] for d in grid_disk(cells.to_numpy(), k)
+        ])
+
+    edges = cell_counts.select(
+        "cell", F.explode(_nbrs(F.col("cell"))).alias("nb")
+    )
+    summed = (
+        edges.join(
+            cell_counts.select(F.col("cell").alias("nb"), F.col("cnt").alias("nb_cnt")),
+            "nb",
+        )
+        .groupBy("cell")
+        .agg(F.sum("nb_cnt").alias("disk_cnt"))
+    )
+    return cell_counts.join(summed, "cell")

@@ -615,6 +615,22 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_quality",
+    f"SELECT doc_id, {T.sql_bigram_quality('text')} AS bq FROM documents",
+)
+def text_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram fluency score (integer per-mille of common-English
+    bigrams — public frequency-table feature set): a cheap training-data
+    quality signal that zeroes out gibberish/base64/non-Latin rows.  Pure
+    JVM sequence/transform/filter expression; exact integer output makes
+    the DuckDB twin bit-identical."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", T.bigram_quality(F.col("text")).alias("bq")
+    )
+
+
+@register(
     "lang_id_pred",
     f"SELECT doc_id, {T.sql_lang_id('text')} AS lang_pred FROM documents",
 )

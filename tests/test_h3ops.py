@@ -125,3 +125,28 @@ def test_h3_polyfill_operator_matches_kernel(spark):
     for b in COVER_BOUNDARIES:
         want = set(map(int, polygon_to_cells(b["ring"], b["holes"], 4)))
         assert got.get(b["boundary_id"], set()) == want, b["name"]
+
+
+def test_h3_disk_smooth_matches_bruteforce(spark):
+    """Distributed disk smoothing == a local dict-based twin over the same
+    occupied-cell set."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osmgraft.functions.h3real import grid_disk, latlng_to_cell
+    from osmgraft.operators.h3ops import h3_disk_smooth
+
+    rng = np.random.default_rng(9)
+    lat7 = (np.degrees(np.arcsin(rng.uniform(-1, 1, 4000))) * 1e7).astype(np.int64)
+    lon7 = rng.integers(-1_800_000_000, 1_800_000_000, 4000)
+    cells, cnts = np.unique(latlng_to_cell(lat7, lon7, 5), return_counts=True)
+    df = spark.createDataFrame(
+        [(int(c), int(n)) for c, n in zip(cells, cnts)], "cell long, cnt long"
+    )
+    got = {r.cell: r.disk_cnt for r in h3_disk_smooth(df, k=1).collect()}
+    counts = dict(zip(map(int, cells), map(int, cnts)))
+    want = {
+        int(c): sum(counts.get(int(nb), 0) for nb in d)
+        for c, d in zip(cells, grid_disk(cells, 1))
+    }
+    assert got == want
