@@ -341,3 +341,79 @@ def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     for t in bit_terms[1:]:
         sim = sim + t
     return cnt.select("doc_id", sim.alias("simhash"))
+
+
+# --- dedup group assembly: connected components over near-dup pairs ----------
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(id, comp) for every id appearing in the pair table, comp = the
+    minimum id reachable through the near-dup graph — the group-assembly
+    step every dedup pipeline runs after pair detection (keep one canonical
+    doc per component).
+
+    Distributed iterative min-label propagation: each round joins the
+    current labels across the symmetrized edge list and takes the per-node
+    min; terminates when a round changes nothing (checked with one count
+    job) or at max_iters.  localCheckpoint per round cuts the lineage so
+    plans don't double (same discipline as operators/knn.py).
+
+    Scale shape: rounds = graph diameter; near-dup components are tiny
+    (dozens of docs), so a handful of shuffles on the edge list.  For
+    adversarial long-chain graphs the O(log n) large-star/small-star
+    variant would replace the inner step; the join/agg skeleton is the
+    same."""
+    sym = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        prop = (
+            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), "comp")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def sql_connected_components(
+    jaccard_threshold: float = 0.5, table: str = "documents", ngram: int = 3
+) -> str:
+    """Recursive-CTE twin: transitive closure over the exact-Jaccard pair
+    set, then per-node min reachable id."""
+    pairs = sql_jaccard_ngram_pairs(jaccard_threshold, table, ngram)
+    return f"""WITH RECURSIVE pairs AS ({pairs}),
+sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN sym e ON e.src = r.dst
+)
+SELECT src AS id, least(src, min(dst)) AS comp FROM reach GROUP BY src"""

@@ -677,6 +677,21 @@ def dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_ngram_pairs(docs)
 
 
+@register("dedup_components", D.sql_connected_components())
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup GROUP ASSEMBLY: connected components over the exact-Jaccard
+    near-dup pair graph (comp = min reachable doc_id) — the step a real
+    pipeline runs after pair detection to keep one canonical doc per
+    duplicate cluster.  Spark runs iterative distributed min-label
+    propagation (localCheckpoint per round, converges at graph diameter);
+    the DuckDB twin computes the transitive closure with a recursive CTE —
+    two genuinely different algorithms, one hash."""
+    from osmgraft.operators.dedup import connected_components, jaccard_ngram_pairs
+
+    docs = _docs(spark, sf_dir)
+    return connected_components(jaccard_ngram_pairs(docs))
+
+
 @register("simhash", f"SELECT doc_id, {D.sql_simhash('text')} AS simhash FROM documents")
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (near-dup primitive)."""

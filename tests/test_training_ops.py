@@ -524,3 +524,15 @@ def test_phash_multiprobe_equals_baseline(spark):
     got = {(x, y) for x, y, _ in a}
     assert {("p1a", "p1b"), ("p7a", "p7b"), ("p8a", "p8b")} <= got
     assert ("p9a", "p9b") not in got
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Min-label propagation over a 5-node chain (needs multiple rounds),
+    a triangle, and an isolated pair — vs a local union-find twin."""
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    from osmgraft.operators.dedup import connected_components
+
+    got = {r.id: r.comp for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
