@@ -202,3 +202,34 @@ def sql_dist2(a_lat: str, a_lon: str, b_lat: str, b_lon: str) -> str:
         f"(CAST(({a_lon}) AS BIGINT) - CAST(({b_lon}) AS BIGINT)) * "
         f"(CAST(({a_lon}) AS BIGINT) - CAST(({b_lon}) AS BIGINT))"
     )
+
+
+def haversine_m_col(a_lat, a_lon, b_lat, b_lon):
+    """Great-circle distance in INTEGER METERS as a JVM Column expression —
+    identical expression shape to :func:`sql_haversine_m_int`, so
+    per-segment values are cross-engine stable (meter rounding sits ~6
+    orders above last-ulp trig divergence between JVM Math and libm at
+    1000-km scales — micrometer rounding measurably flaked), and integer
+    per-segment rounding makes downstream SUMS associative (order-free: the
+    bitwise parallelism-invariance property float sums can't give)."""
+    from pyspark.sql import functions as F
+
+    la = F.radians(a_lat.cast("double") / 1e7)
+    lb = F.radians(b_lat.cast("double") / 1e7)
+    dla = lb - la
+    dlo = F.radians((b_lon.cast("double") - a_lon.cast("double")) / 1e7)
+    h = F.pow(F.sin(dla / 2), 2) + F.cos(la) * F.cos(lb) * F.pow(F.sin(dlo / 2), 2)
+    m = 2.0 * EARTH_RADIUS_M * F.asin(F.sqrt(h))
+    return F.floor(m + 0.5).cast("long")
+
+
+def sql_haversine_m_int(a_lat: str, a_lon: str, b_lat: str, b_lon: str) -> str:
+    """DuckDB twin of :func:`haversine_m_col` (same op order)."""
+    la = f"radians(CAST(({a_lat}) AS DOUBLE) / 1e7)"
+    lb = f"radians(CAST(({b_lat}) AS DOUBLE) / 1e7)"
+    dlo = f"radians((CAST(({b_lon}) AS DOUBLE) - CAST(({a_lon}) AS DOUBLE)) / 1e7)"
+    h = (
+        f"pow(sin(({lb} - {la}) / 2), 2) + "
+        f"cos({la}) * cos({lb}) * pow(sin({dlo} / 2), 2)"
+    )
+    return f"CAST(floor(2.0 * {EARTH_RADIUS_M} * asin(sqrt({h})) + 0.5) AS BIGINT)"

@@ -794,6 +794,24 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_quantize_int8", None)  # oracle attached below
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (embedding compression, 4x):
+    pure JVM expressions, integer-only output, bit-identical DuckDB twin
+    (floor(x+0.5) + exactly-specified IEEE division on both engines)."""
+    from osmgraft.operators.similarity import quantize_int8
+
+    return quantize_int8(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+from osmgraft.operators.similarity import sql_quantize_int8  # noqa: E402
+
+REGISTRY["embedding_quantize_int8"] = (
+    REGISTRY["embedding_quantize_int8"][0],
+    sql_quantize_int8(),
+)
+
+
 @register("embedding_ivf_ann", None)  # oracle attached below (needs anchor literals)
 def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (the brief's named scale path): seeded coarse quantizer,
@@ -1343,6 +1361,71 @@ def boundary_tile_cover_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmgraft.synth import COVER_BOUNDARIES
 
     return boundary_tile_cover(spark, COVER_BOUNDARIES, 10)
+
+
+def _way_lengths_oracle() -> str:
+    from osmgraft.geom import sql_haversine_m_int
+
+    seg = sql_haversine_m_int("pa.lat7", "pa.lon7", "pb.lat7", "pb.lon7")
+    return f"""WITH pts AS ({_PTS}),
+o AS (SELECT o_orderkey, o_custkey FROM orders),
+seq AS (SELECT o_custkey, o_orderkey AS node,
+        lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nxt
+        FROM o),
+segs AS (SELECT s.o_custkey, {seg} AS seg_m
+         FROM seq s
+         JOIN pts pa ON pa.point_id = s.node
+         JOIN pts pb ON pb.point_id = s.nxt
+         WHERE s.nxt IS NOT NULL)
+SELECT o_custkey AS way_id, count(*) AS n_segs, sum(seg_m)::BIGINT AS length_m
+FROM segs GROUP BY o_custkey"""
+
+
+@register("way_lengths_geodesic", _way_lengths_oracle())
+def way_lengths_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic way length (haversine over consecutive resolved nodes) —
+    the geometry-construction step past the reference's id-level way→node
+    resolution.  Per-segment distances round to INTEGER meters with an
+    expression-shape-identical twin in both engines (meter granularity sits
+    far above cross-library trig ulp noise; micrometers measurably flaked),
+    so the per-way SUM is an associative integer sum: order-free, bitwise
+    parallelism-invariant, hash-gated (float sums would depend on partition
+    order).  Plan: one
+    window (lead) per way partition + two position joins + a map-side
+    combined integer aggregation."""
+    from pyspark.sql import Window as W
+
+    from osmgraft.geom import haversine_m_col
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    pts = points_from_orders(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("node"),
+        F.lead("o_orderkey").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    pa = pts.select(
+        F.col("point_id").alias("node"),
+        F.col("lat7").alias("a_lat"),
+        F.col("lon7").alias("a_lon"),
+    )
+    pb = pts.select(
+        F.col("point_id").alias("nxt"),
+        F.col("lat7").alias("b_lat"),
+        F.col("lon7").alias("b_lon"),
+    )
+    segs = seq.join(pa, "node").join(pb, "nxt").select(
+        "o_custkey",
+        haversine_m_col(
+            F.col("a_lat"), F.col("a_lon"), F.col("b_lat"), F.col("b_lon")
+        ).alias("seg_m"),
+    )
+    return segs.groupBy(F.col("o_custkey").alias("way_id")).agg(
+        F.count(F.lit(1)).alias("n_segs"), F.sum("seg_m").alias("length_m")
+    )
 
 
 @register(

@@ -105,3 +105,32 @@ def test_pip_expr_matches_kernel(spark):
         a = sorted(map(tuple, pip_join(pts, ADMIN_BOUNDARIES, how=how).collect()))
         b = sorted(map(tuple, pip_join_expr(pts, ADMIN_BOUNDARIES, how=how).collect()))
         assert a == b, how
+
+
+def test_haversine_m_col_matches_numpy(spark):
+    """JVM integer-meter haversine == numpy reference rounded the same way."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osmgraft.geom import haversine_m_col, np_haversine_m
+
+    rng = np.random.default_rng(4)
+    n = 2000
+    a_lat = rng.integers(-890_000_000, 890_000_001, n)
+    a_lon = rng.integers(-1_800_000_000, 1_800_000_000, n)
+    b_lat = rng.integers(-890_000_000, 890_000_001, n)
+    b_lon = rng.integers(-1_800_000_000, 1_800_000_000, n)
+    df = spark.createDataFrame(
+        [(int(w), int(x), int(y), int(z)) for w, x, y, z in zip(a_lat, a_lon, b_lat, b_lon)],
+        "a_lat long, a_lon long, b_lat long, b_lon long",
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            haversine_m_col(F.col("a_lat"), F.col("a_lon"), F.col("b_lat"), F.col("b_lon"))
+        ).collect()
+    ]
+    want = np.floor(np_haversine_m(a_lat, a_lon, b_lat, b_lon) + 0.5).astype(np.int64)
+    diff = np.abs(np.array(got) - want)
+    assert diff.max() <= 1  # ulp-boundary rounding may differ by 1 m, never more
+    assert (diff == 0).mean() > 0.999
