@@ -120,3 +120,70 @@ def tile_pyramid(points: DataFrame, z_max: int, z_min: int) -> DataFrame:
         )
         out = out.unionByName(level)
     return out.select("z", "tx", "ty", "cnt")
+
+
+def render_tile_pngs(
+    tile_counts: DataFrame,
+    z: int,
+    parent_z: int,
+    size: int = 64,
+) -> DataFrame:
+    """Materialize a raster TILE SERVER layer: per parent tile at
+    ``parent_z``, rasterize its ``z``-level descendant counts into a
+    grayscale heat image and encode a real PNG (functions/codec.png_encode)
+    — the map-rendering step that joins this engine's two halves (spatial
+    aggregation -> image codec) into one distributed pipeline.
+
+    Raster semantics are INTEGER-exact and host-invariant: the parent's
+    2^(z-parent_z) grid holds raw counts; intensity = (cnt * 255) //
+    max_cnt_in_tile (pure integer scaling, 255 = hottest cell of THAT tile);
+    nearest-neighbor upscale to (size, size).  Pins therefore hash the
+    decoded raster, not the PNG container (zlib version may legally change
+    the compressed bytes).
+
+    Scale shape: one shuffle groups z-level counts by parent tile (bounded
+    groups: 4^(z-parent_z) cells max), then each tile renders + deflates
+    independently in an applyInPandas task.  Output: (z, tx, ty, png,
+    n_points)."""
+    import numpy as np
+    import pandas as pd
+
+    from osmgraft.functions.codec import png_encode
+
+    shift = z - parent_z
+    if shift <= 0:
+        raise ValueError("parent_z must be coarser than z")
+    grid = 1 << shift
+    if size % grid != 0:
+        raise ValueError(f"size must be a multiple of {grid}")
+
+    counts = tile_counts.select(
+        F.shiftright(F.col("tx"), shift).alias("ptx"),
+        F.shiftright(F.col("ty"), shift).alias("pty"),
+        (F.col("tx") - F.shiftleft(F.shiftright(F.col("tx"), shift), shift)).alias("sx"),
+        (F.col("ty") - F.shiftleft(F.shiftright(F.col("ty"), shift), shift)).alias("sy"),
+        "cnt",
+    )
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        ptx = int(pdf["ptx"].iloc[0])
+        pty = int(pdf["pty"].iloc[0])
+        ras = np.zeros((grid, grid), dtype=np.int64)
+        ras[pdf["sy"].to_numpy(), pdf["sx"].to_numpy()] = pdf["cnt"].to_numpy()
+        mx = int(ras.max())
+        img8 = ((ras * 255) // max(mx, 1)).astype(np.uint8)
+        up = np.repeat(np.repeat(img8, size // grid, axis=0), size // grid, axis=1)
+        rgb = np.stack([up, up, up], axis=-1)
+        return pd.DataFrame(
+            {
+                "z": [parent_z],
+                "tx": [ptx],
+                "ty": [pty],
+                "png": [png_encode(rgb)],
+                "n_points": [int(ras.sum())],
+            }
+        )
+
+    return counts.groupBy("ptx", "pty").applyInPandas(
+        render, schema="z int, tx long, ty long, png binary, n_points long"
+    )

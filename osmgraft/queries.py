@@ -1363,6 +1363,31 @@ def boundary_tile_cover_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boundary_tile_cover(spark, COVER_BOUNDARIES, 10)
 
 
+@register("tile_render_png_z10", None)  # binary PNG output: no SQL twin
+def tile_render_png_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster tile-server materialization: z13 counts rasterized per z10
+    parent into integer-exact heat rasters and encoded as real PNGs — the
+    op that joins the engine's spatial-aggregation and image-codec halves.
+    Rows-only here (an SQL twin cannot deflate PNGs); pytest pins a sha256
+    over the DECODED rasters and verifies every PNG decodes to the local
+    reconstruction (tests/test_tiles.py)."""
+    from osmgraft.operators.raster import render_tile_pngs
+
+    pts = points_from_orders(spark, sf_dir)
+    counts = (
+        pts.select(
+            tiles.tile_x(F.col("lon7"), 13).alias("tx"),
+            tiles.tile_y(F.col("lat7"), 13).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # PNG bytes vary legally with zlib version: expose the stable columns
+    return render_tile_pngs(counts, z=13, parent_z=10, size=64).select(
+        "z", "tx", "ty", F.length("png").alias("png_bytes"), "n_points"
+    )
+
+
 def _way_lengths_oracle() -> str:
     from osmgraft.geom import sql_haversine_m_int
 

@@ -148,3 +148,56 @@ def test_cover_bboxes_unwrapped_passthrough():
     for p, row in zip(ADMIN_BOUNDARIES, rows):
         la0, lo0, la1, lo1 = map(int, polygon_bbox(p))
         assert row == (p["boundary_id"], la0, lo0, la1, lo1)
+
+
+def test_render_tile_pngs_roundtrip_and_pin(spark):
+    """Tile-server rendering: every emitted PNG decodes back to the exact
+    integer raster a local reconstruction produces, and a sha256 over the
+    sorted DECODED rasters is pinned (container bytes excluded: zlib may
+    legally change compression)."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osmgraft.functions import tiles as T
+    from osmgraft.functions.codec import png_decode
+    from osmgraft.operators.raster import render_tile_pngs
+    from osmgraft.synth import points_from_orders
+
+    pts = points_from_orders(spark, "/root/testdata/sf0.001")
+    counts = (
+        pts.select(
+            T.tile_x(F.col("lon7"), 13).alias("tx"),
+            T.tile_y(F.col("lat7"), 13).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = render_tile_pngs(counts, z=13, parent_z=10, size=64).collect()
+    assert len(out) > 0
+    # local reconstruction from the same counts
+    local = {}
+    for r in counts.collect():
+        p = (r.tx >> 3, r.ty >> 3)
+        local.setdefault(p, {})[(r.tx & 7, r.ty & 7)] = r.cnt
+    h = hashlib.sha256()
+    total_pts = 0
+    for r in sorted(out, key=lambda r: (r.tx, r.ty)):
+        px = png_decode(bytes(r.png))
+        assert px.shape == (64, 64, 3)
+        cells = local[(r.tx, r.ty)]
+        ras = np.zeros((8, 8), dtype=np.int64)
+        for (sx, sy), c in cells.items():
+            ras[sy, sx] = c
+        want = ((ras * 255) // max(int(ras.max()), 1)).astype(np.uint8)
+        want_up = np.repeat(np.repeat(want, 8, axis=0), 8, axis=1)
+        assert np.array_equal(px[:, :, 0], want_up), (r.tx, r.ty)
+        assert np.array_equal(px[:, :, 0], px[:, :, 1])
+        total_pts += r.n_points
+        h.update(px.tobytes())
+    assert total_pts == pts.count()
+    assert h.hexdigest() == PIN_RENDER_SHA  # set below on first run
+
+
+PIN_RENDER_SHA = "8c3b65a5e55a9e9ffc2f9441a481429d32791406228196cbf5547296c7de55d3"
