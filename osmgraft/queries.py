@@ -1363,6 +1363,22 @@ def boundary_tile_cover_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boundary_tile_cover(spark, COVER_BOUNDARIES, 10)
 
 
+from osmgraft.operators.simplify import DP_EPS, sql_dp_expected  # noqa: E402
+
+
+@register("way_simplify_dp", sql_dp_expected())
+def way_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker way simplification (operators/simplify.py) with
+    EXACT integer perpendicular-distance tests (arbitrary-precision cross
+    products — no float can flip a vertex).  Spec-as-oracle gate: the
+    fixture staircase paths carry exactly-collinear subdivisions plus
+    known 0.9-mdeg bumps, so DuckDB states the kept set (corners + bumps)
+    in closed form while Spark runs the real recursion on shuffled ways."""
+    from osmgraft.operators.simplify import dp_fixture_df, simplify_ways
+
+    return simplify_ways(dp_fixture_df(spark, sf_dir), eps7=DP_EPS)
+
+
 @register("tile_render_png_z10", None)  # binary PNG output: no SQL twin
 def tile_render_png_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster tile-server materialization: z13 counts rasterized per z10
