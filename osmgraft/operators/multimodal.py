@@ -948,3 +948,48 @@ def audio_window_energy(
     return media.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
         kernel, schema=AUDIO_SCHEMA
     )
+
+
+def audio_dft_bins(
+    media: DataFrame,
+    bins: tuple[int, ...] = (3, 5, 9),
+    n_samples: int = 1024,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Spectral feature extraction: quantized DFT bins over PCM16 WAV clips.
+
+    The basis is INTEGER-quantized (round(cos/sin * 2^15)) so the per-bin
+    accumulations are pure int64 sums — associative, order-free, and
+    cross-engine exact (the only float step, cos/sin of 2*pi*k*t/N, is
+    rounded at 2^-15 granularity: ~11 orders above libm ulp divergence, and
+    never lands on a representable .5).  re/im land in [-2^41, 2^41]: safely
+    inside int64 for any clip length the fixture ships.
+
+    Scale: map-only (mapInPandas, one numpy matmul per batch across all
+    requested bins); output (media_id, bin, re_q, im_q)."""
+    karr = np.array(bins, dtype=np.int64)
+    t = np.arange(n_samples, dtype=np.float64)
+    ang = 2.0 * np.pi * karr[:, None] * t[None, :] / float(n_samples)
+    cq = np.rint(np.cos(ang) * 32768.0).astype(np.int64)  # (bins, n)
+    sq = np.rint(np.sin(ang) * 32768.0).astype(np.int64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_b, out_re, out_im = [], [], [], []
+            for r in pdf.itertuples(index=False):
+                pcm = wav_pcm16(bytes(getattr(r, bytes_col))).astype(np.int64)
+                x = pcm[:n_samples]
+                re = cq[:, : len(x)] @ x
+                im = sq[:, : len(x)] @ x
+                out_id += [getattr(r, id_col)] * len(karr)
+                out_b += [int(k) for k in karr]
+                out_re += [int(v) for v in re]
+                out_im += [int(v) for v in im]
+            yield pd.DataFrame(
+                {"media_id": out_id, "bin": out_b, "re_q": out_re, "im_q": out_im}
+            )
+
+    return media.select(F.col(id_col).cast("string"), F.col(bytes_col)).mapInPandas(
+        kernel, schema="media_id string, bin int, re_q long, im_q long"
+    )

@@ -1005,6 +1005,37 @@ def audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_dft_bins",
+    """WITH idxs AS (SELECT row_number() OVER () - 1 AS i FROM orders),
+capped AS (SELECT i FROM idxs WHERE i < 300),
+s AS (SELECT i, t.range AS t,
+             ((i * 1103515245 + t.range * 12345 + 42) % 65536) - 32768 AS v
+      FROM capped, range(0, 1024) t),
+k(b) AS (VALUES (3), (5), (9)),
+q AS (SELECT i, b, v,
+  CAST(round(cos(2.0 * pi() * b * t / 1024.0) * 32768.0) AS BIGINT) AS cq,
+  CAST(round(sin(2.0 * pi() * b * t / 1024.0) * 32768.0) AS BIGINT) AS sq
+  FROM s, k)
+SELECT concat('aud', lpad(CAST(i AS VARCHAR), 9, '0')) AS media_id,
+       CAST(b AS INTEGER) AS bin,
+       CAST(sum(v * cq) AS BIGINT) AS re_q,
+       CAST(sum(v * sq) AS BIGINT) AS im_q
+FROM q GROUP BY 1, 2""",
+)
+def audio_dft_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral features over REAL WAV decode: integer-quantized DFT bins
+    (basis rounded at 2^-15 — 11 orders above libm ulp divergence, so the
+    per-bin int64 sums are associative and cross-engine exact).  The DuckDB
+    twin regenerates the PCM samples arithmetically and quantizes the same
+    basis; Spark parses genuine RIFF containers."""
+    from osmgraft.operators.multimodal import audio_dft_bins as adb
+    from osmgraft.synth import synth_audio
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 300)
+    return adb(synth_audio(spark, n), bins=(3, 5, 9), n_samples=1024)
+
+
+@register(
     "video_frame_luma",
     """WITH idxs AS (SELECT row_number() OVER () - 1 AS i FROM orders),
 clips AS (SELECT i, 4 + i % 3 AS nf FROM idxs WHERE i < 300),
