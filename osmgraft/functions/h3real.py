@@ -281,7 +281,15 @@ def _axial_to_cell(face, ai, aj, res: int) -> np.ndarray:
         # diff is always a unit digit vector; encode via 3*di+dj perfect hash
         digs[:, rl - 1] = _DIG_HASH[3 * di + dj + 4]
         ai, aj = pi, pj
+    if ((np.abs(ai) > 2) | (np.abs(aj) > 2)).any():
+        raise ValueError(
+            "axial address outside the base table after parent collapse — "
+            "the position is beyond the face's one-cell overhang; hop it to "
+            "its containing chart first (_adjust_overage / grid_disk does)"
+        )
     base = _BASE[face, ai + 2, aj + 2]
+    if (base < 0).any():
+        raise ValueError("axial address hits an empty base-table slot")
     rots = _ROT[face, ai + 2, aj + 2]
     pent = _IS_PENT[base]
     if res:
@@ -741,8 +749,44 @@ def grid_disk(cell, k: int = 1) -> list[np.ndarray]:
     f = np.repeat(face, m)
     a = (ai[:, None] + offs[:, 0]).ravel()
     b = (aj[:, None] + offs[:, 1]).ravel()
+    # Addresses whose parent collapse exceeds the base table's one-cell
+    # overhang (k >= 2 at coarse res) must hop to their containing chart
+    # first; addresses already in range are left untouched so the validated
+    # k=1 behavior (incl. pentagon folds) is bit-identical.
+    bad = ~_collapses_in_table(f, a, b, res)
+    if bad.any():
+        fb, ab, bb = f[bad], a[bad], b[bad]
+        res_cii, oa, ob = res, ab, bb
+        if res % 2 == 1:
+            ab, bb = _down(ab, bb, False)
+            res_cii = res + 1
+        adj = np.zeros(ab.shape, bool)
+        for _ in range(4):
+            fb, ab, bb, over = _adjust_overage(
+                fb, ab, bb, res_cii, np.zeros(ab.shape, bool)
+            )
+            adj |= over
+            if not over.any():
+                break
+        if res % 2 == 1:
+            ua, ub = _up(ab, bb, False)
+            ab = np.where(adj, ua, oa)
+            bb = np.where(adj, ub, ob)
+        f[bad], a[bad], b[bad] = fb, ab, bb
     ids = _axial_to_cell(f, a, b, res).reshape(cell.size, m)
     return [np.unique(row) for row in ids]
+
+
+def _collapses_in_table(face, ai, aj, res: int) -> np.ndarray:
+    """True where the address's parent collapse lands inside the 5x5 base
+    table (the range _axial_to_cell can absorb)."""
+    a, b = np.asarray(ai, dtype=np.int64), np.asarray(aj, dtype=np.int64)
+    for rl in range(res, 0, -1):
+        a, b = _up(a, b, rl % 2 == 1)
+    ok = (np.abs(a) <= 2) & (np.abs(b) <= 2)
+    safe_a = np.where(ok, a, 0)
+    safe_b = np.where(ok, b, 0)
+    return ok & (_BASE[np.asarray(face), safe_a + 2, safe_b + 2] >= 0)
 
 
 def grid_ring_table(cells: np.ndarray, k: int = 1):
@@ -763,7 +807,9 @@ def grid_ring_table(cells: np.ndarray, k: int = 1):
 
 def polygon_to_cells(ring, holes, res: int) -> np.ndarray:
     """H3 polygonToCells for one polygon (fixed-point 1e-7 deg ring/holes,
-    last vertex != first): all cells at ``res`` whose center lies inside.
+    CLOSED rings — first vertex == last, the ADMIN_BOUNDARY_SCHEMA
+    contract geom.polygon_edges expects): all cells at ``res`` whose
+    center lies inside.
 
     Method: a covering point grid over the (margin-padded, wrap-split) bbox
     at <= half the minimum angular cell inradius guarantees every candidate
@@ -777,6 +823,8 @@ def polygon_to_cells(ring, holes, res: int) -> np.ndarray:
     from osmgraft.geom import pnpoly, polygon_edges
 
     ring = np.asarray(ring, dtype=np.int64)
+    if not np.array_equal(ring[0], ring[-1]):
+        raise ValueError("ring must be closed (first vertex == last)")
     lat_lo, lat_hi = ring[:, 0].min() / 1e7, ring[:, 0].max() / 1e7
     lons = ring[:, 1] / 1e7
     wrap = lons.max() - lons.min() > 180.0  # fixture contract: wrapped ring
@@ -800,7 +848,11 @@ def polygon_to_cells(ring, holes, res: int) -> np.ndarray:
     margin = 4 * s
     glat = np.arange(lat_lo - margin, lat_hi + margin + s, s)
     glat = glat[(glat > -89.9) & (glat < 89.9)]
-    slon = s / max(np.cos(np.radians(max(abs(lat_lo), abs(lat_hi)))), 0.05)
+    # physical lon spacing is slon*cos(lat), LARGEST at the smallest |lat|
+    # in the box — that latitude is the binding covering constraint (using
+    # max|lat| here under-sampled the low-latitude band; caught in review)
+    lat_minabs = 0.0 if lat_lo <= 0.0 <= lat_hi else min(abs(lat_lo), abs(lat_hi))
+    slon = s / max(np.cos(np.radians(lat_minabs)), 0.05)
     if wrap:
         east = lons[lons > 0].min()
         west = lons[lons < 0].max()

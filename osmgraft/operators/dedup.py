@@ -399,6 +399,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — the graph diameter exceeds "
+            "max_iters; raise it (or switch to a large-star/small-star step). "
+            "Returning partial labels silently would split components."
+        )
     return labels
 
 

@@ -53,11 +53,15 @@ def _point_in_ring(lat: int, lon: int, ring: list[tuple[int, int]]) -> bool:
     for i in range(n):
         (y1, x1), (y2, x2) = ring[i], ring[(i + 1) % n]
         if (y1 > lat) != (y2 > lat):
-            # x1 + (lat-y1)*(x2-x1)/(y2-y1) > lon, cross-multiplied exactly
+            # crossing iff lon < x-intersection, cross-multiplied exactly:
+            # C = (lat-y1)*dx - (lon-x1)*dy; dy>0 -> C>0, dy<0 -> C<0.
+            # Both directions STRICT so an on-edge point classifies the
+            # same way regardless of edge orientation (review fix: the old
+            # `(lhs > rhs) == (dy > 0)` made the descending branch
+            # inclusive, flipping containment parity with way direction)
             dx, dy = x2 - x1, y2 - y1
-            lhs = (lat - y1) * dx
-            rhs = (lon - x1) * dy
-            if (lhs > rhs) == (dy > 0):
+            c = (lat - y1) * dx - (lon - x1) * dy
+            if (c > 0) if dy > 0 else (c < 0):
                 inside = not inside
     return inside
 

@@ -447,9 +447,12 @@ def ivf_anchors(dim: int, n_anchors: int, seed: int = 20240 ) -> np.ndarray:
 
 
 def _anchor_sims(vecs: pd.Series, anchors: np.ndarray) -> np.ndarray:
-    """(rows, n_anchors) cosine matrix for a pandas Series of list vectors."""
+    """(rows, n_anchors) cosine matrix for a pandas Series of list vectors.
+    Zero vectors normalize against 1 (cosine 0 to every anchor) instead of
+    producing NaN rows."""
     m = np.stack(vecs.to_numpy()).astype(np.float64)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    m /= np.where(nrm == 0.0, 1.0, nrm)
     return m @ anchors.T
 
 
@@ -661,8 +664,12 @@ def quantize_int8(
     so the DuckDB twin is bit-identical (floor(x+0.5) rounds the same way
     in both engines; IEEE division is exactly specified)."""
     amax = F.array_max(F.transform(vec_col, lambda y: F.abs(y.cast("double"))))
+    # zero-vector guard: divide by 1 instead of 0 (q8 = zeros, scale 0) —
+    # unguarded, Spark yields NaN/Infinity (or an ANSI cast error) while
+    # DuckDB division by zero yields NULL, breaking the bit-identical claim
+    den = F.when(amax == 0.0, F.lit(1.0)).otherwise(amax)
     q8 = F.transform(
-        vec_col, lambda x: F.floor(x.cast("double") * 127.0 / amax + 0.5).cast("int")
+        vec_col, lambda x: F.floor(x.cast("double") * 127.0 / den + 0.5).cast("int")
     )
     return df.select(
         F.col(id_col),
@@ -673,7 +680,8 @@ def quantize_int8(
 
 def sql_quantize_int8(table: str = "embeddings") -> str:
     amax = "list_max(list_transform(embedding::DOUBLE[], y -> abs(y)))"
+    den = f"(CASE WHEN {amax} = 0.0 THEN 1.0 ELSE {amax} END)"
     return f"""SELECT vec_id,
-  list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 127.0 / {amax} + 0.5) AS INT)) AS q8,
+  list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 127.0 / {den} + 0.5) AS INT)) AS q8,
   CAST(floor({amax} * 1000000.0 + 0.5) AS BIGINT) AS scale_micro
 FROM {table}"""

@@ -112,3 +112,26 @@ def test_ivf_partitioning_invariance(emb):
         )
 
     assert run(emb.repartition(1)) == run(emb.repartition(13))
+
+
+def test_quantize_int8_zero_vector_guard(spark):
+    """A zero embedding quantizes to zeros/scale 0 identically in Spark and
+    DuckDB (unguarded: NaN/Inf vs NULL divergence — review fix)."""
+    import duckdb
+
+    from osmgraft.operators.similarity import quantize_int8, sql_quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: (r.q8, r.scale_micro) for r in quantize_int8(df).collect()}
+    assert got[1] == ([0, 0, 0], 0)
+    assert got[2][0] == [64, -127, 32]  # floor(x*127/2 + 0.5)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT 1::BIGINT vec_id, [0.0,0.0,0.0]::FLOAT[] embedding "
+        "UNION ALL SELECT 2, [1.0,-2.0,0.5]::FLOAT[]"
+    )
+    want = {r[0]: (r[1], r[2]) for r in con.execute(sql_quantize_int8()).fetchall()}
+    assert got == want

@@ -103,3 +103,16 @@ def test_assembly_partitioning_invariance(spark):
         return sorted(map(tuple, assemble_multipolygons(d).collect()))
 
     assert run(df.repartition(1)) == run(df.repartition(17, "rel_id"))
+
+
+def test_point_on_edge_orientation_independent():
+    """Review fix: an on-edge point must classify identically whether the
+    crossing edge ascends or descends (strict test both directions)."""
+    square_ccw = [(0, 0), (0, 10), (10, 10), (10, 0)]
+    square_cw = square_ccw[::-1]
+    for pt in [(5, 0), (5, 10), (0, 5), (10, 5)]:  # on each edge
+        a = _point_in_ring(pt[0], pt[1], square_ccw)
+        b = _point_in_ring(pt[0], pt[1], square_cw)
+        assert a == b, pt
+    assert _point_in_ring(5, 5, square_ccw) and _point_in_ring(5, 5, square_cw)
+    assert not _point_in_ring(5, 11, square_ccw)
