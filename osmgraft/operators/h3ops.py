@@ -111,26 +111,34 @@ def uncompact_cells(
         raise ValueError("need 0 <= min_res <= target_res <= 15")
     cur = df.select(F.col(cell_col).alias("cell"))
     for r in range(min_res, target_res):
-        at_r = cur.where(_res_of(F.col("cell")) == r)
-        rest = cur.where(_res_of(F.col("cell")) != r)
+        # BRANCH-FREE level step (round-3 perf fix): rows at res r explode
+        # into their 7 (6 for pentagons) children, every other row emits a
+        # single pass-through marker — one conditional explode instead of
+        # an at_r/rest filter pair whose union re-evaluated the (often
+        # UDF-expensive) upstream lineage once PER BRANCH PER LEVEL.
         sh = _digit_shift(r + 1)
         clear = _RES_CLEAR & ~(0x7 << sh)
         setb = (r + 1) << 52
+        at_r = _res_of(F.col("cell")) == r
+        digs = F.when(at_r, F.array([F.lit(d) for d in range(7)])).otherwise(
+            F.array(F.lit(-1))
+        )
         child = (
             F.col("cell")
             .bitwiseAND(F.lit(clear))
             .bitwiseOR(F.lit(setb))
             .bitwiseOR(F.shiftleft(F.col("d"), sh))
         )
-        kids = (
-            at_r.select(
-                "cell",
-                F.explode(F.array([F.lit(d) for d in range(7)])).alias("d"),
+        cur = (
+            cur.select("cell", F.explode(digs).alias("d"))
+            .where(
+                (F.col("d") < 0)
+                | ~(_is_pentagon_expr(F.col("cell"), r) & (F.col("d") == 1))
             )
-            .where(~(_is_pentagon_expr(F.col("cell"), r) & (F.col("d") == 1)))
-            .select(child.alias("cell"))
+            .select(
+                F.when(F.col("d") < 0, F.col("cell")).otherwise(child).alias("cell")
+            )
         )
-        cur = rest.unionByName(kids)
     return cur
 
 
