@@ -66,6 +66,24 @@ out["jaccard"] = content_hash(
     jaccard_ngram_pairs(docs.repartition(max(cpus, 2))))
 out["video"] = content_hash(
     video_frame_sample(synth_videos(spark, 120).repartition(max(cpus, 2))))
+
+# round-3 session-2 operators: multipolygon assembly, Douglas-Peucker,
+# IVF ANN, geodesic way lengths (integer-segment sums)
+from osmgraft.operators.multipolygon import assemble_multipolygons, mp_fixture_df
+from osmgraft.operators.simplify import DP_EPS, dp_fixture_df, simplify_ways
+from osmgraft.operators.similarity import ivf_anchors, ivf_topk
+from osmgraft.queries import REGISTRY
+
+out["multipolygon"] = content_hash(assemble_multipolygons(
+    mp_fixture_df(spark, "/root/testdata/sf0.001")))
+out["dp_simplify"] = content_hash(simplify_ways(
+    dp_fixture_df(spark, "/root/testdata/sf0.001"), eps7=DP_EPS))
+emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+out["ivf"] = content_hash(ivf_topk(
+    emb.repartition(max(cpus, 2)), emb.where(F.col("vec_id") < 8),
+    anchors=ivf_anchors(64, 16), nprobe=4, k=10))
+out["way_lengths"] = content_hash(
+    REGISTRY["way_lengths_geodesic"][0](spark, "/root/testdata/sf0.001"))
 print(json.dumps(out))
 """
 
@@ -87,4 +105,5 @@ def test_flagship_bitwise_invariant_across_parallelism():
     b = _run(8)
     assert a == b
     assert set(a) == {"pip_tiles", "salted_cell_join", "h3_compact",
-                      "jaccard", "video"}
+                      "jaccard", "video", "multipolygon", "dp_simplify",
+                      "ivf", "way_lengths"}
