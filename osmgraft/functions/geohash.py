@@ -1,0 +1,174 @@
+"""Geohash encoding (public algorithm: Niemeyer's base-32 Z-order code).
+
+A geohash interleaves quantized lon/lat bits (lon first) and renders 5-bit
+groups in the geohash alphabet.  Everything here is EXACT integer
+arithmetic — quantization is a single integer floor division and the
+Morton interleave is mask/shift bit spreading — with the SAME expression
+shapes as JVM Columns and as the DuckDB twin, so geohash queries hash-gate
+bit-identically across engines.
+
+Precision 8 (the default here) = 40 bits = 20 lon + 20 lat, cell size
+~38 m x 19 m at the equator.
+
+Validation: published vectors (geohash.org examples) in tests/test_cells.py
+plus prefix-nesting and neighbor-locality properties.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+_LON_SPAN = 3_600_000_000  # 1e-7 deg units
+_LAT_SPAN = 1_800_000_000
+
+
+def _quant(v7: np.ndarray, span: int, bits: int) -> np.ndarray:
+    """floor((v + span/2) * 2^bits / span), clamped to [0, 2^bits - 1]."""
+    q = ((v7.astype(np.int64) + span // 2) << bits) // span
+    return np.clip(q, 0, (1 << bits) - 1)
+
+
+def _spread(x: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of x to even positions (2D Morton half)."""
+    x = x.astype(np.int64) & 0xFFFFFFFF
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFF
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0F
+    x = (x | (x << 2)) & 0x3333333333333333
+    x = (x | (x << 1)) & 0x5555555555555555
+    return x
+
+
+def geohash_int(lat7: np.ndarray, lon7: np.ndarray, precision: int = 8) -> np.ndarray:
+    """The geohash's 5*precision interleaved bits as an int64 (lon bits at
+    even positions counting from the TOP, per the geohash spec)."""
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be 1..12")
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    ix = _quant(np.asarray(lon7), _LON_SPAN, lon_bits)
+    iy = _quant(np.asarray(lat7), _LAT_SPAN, lat_bits)
+    # lon MSB must land at bit nbits-1: even nbits -> lon on odd LSB
+    # positions (shift lon), odd nbits -> lon on even positions (shift lat)
+    if nbits % 2 == 0:
+        return (_spread(ix) << 1) | _spread(iy)
+    return _spread(ix) | (_spread(iy) << 1)
+
+
+def geohash_str(lat7: np.ndarray, lon7: np.ndarray, precision: int = 8) -> np.ndarray:
+    """Base-32 geohash strings (vectorized)."""
+    g = geohash_int(lat7, lon7, precision)
+    out = np.empty(g.shape, dtype=object)
+    chars = np.array(list(ALPHABET))
+    cols = []
+    for i in range(precision):
+        shift = 5 * (precision - 1 - i)
+        cols.append(chars[(g >> shift) & 31])
+    out[:] = [''.join(row) for row in zip(*cols)]
+    return out
+
+
+# --- JVM Column twin ---------------------------------------------------------
+
+def _spread_col(x: Column) -> Column:
+    x = x.bitwiseAND(F.lit(0xFFFFFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 16))).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x3333333333333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x5555555555555555))
+    return x
+
+
+def _clamp(c: Column, hi: int) -> Column:
+    return F.least(F.greatest(c, F.lit(0)), F.lit(hi))
+
+
+def geohash_int_col(lat7: Column, lon7: Column, precision: int = 8) -> Column:
+    if not 1 <= precision <= 8:
+        # the exact-floor argument below needs the shifted numerator inside
+        # double's 2^53 exact range: lon_bits <= 20 -> precision <= 8.  The
+        # numpy kernel (pure int64) supports up to 12.
+        raise ValueError("Column/SQL geohash twins support precision 1..8")
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    # floor(p / span) over double is exact here: p <= 3.8e15 is inside the
+    # 2^53 exact-integer range and a non-multiple quotient sits >= 1/span
+    # (2.8e-10) from the next integer, above the half-ulp (1.2e-10) of the
+    # correctly-rounded division — same argument applies to the DuckDB twin
+    ix = _clamp(
+        F.floor(
+            F.shiftleft(lon7.cast("long") + _LON_SPAN // 2, lon_bits) / _LON_SPAN
+        ).cast("long"),
+        (1 << lon_bits) - 1,
+    )
+    iy = _clamp(
+        F.floor(
+            F.shiftleft(lat7.cast("long") + _LAT_SPAN // 2, lat_bits) / _LAT_SPAN
+        ).cast("long"),
+        (1 << lat_bits) - 1,
+    )
+    if nbits % 2 == 0:
+        return F.shiftleft(_spread_col(ix), 1).bitwiseOR(_spread_col(iy))
+    return _spread_col(ix).bitwiseOR(F.shiftleft(_spread_col(iy), 1))
+
+
+def geohash_str_col(lat7: Column, lon7: Column, precision: int = 8) -> Column:
+    g = geohash_int_col(lat7, lon7, precision)
+    parts = [
+        F.substring(
+            F.lit(ALPHABET),
+            (F.shiftright(g, 5 * (precision - 1 - i)).bitwiseAND(F.lit(31)) + 1).cast(
+                "int"
+            ),
+            1,
+        )
+        for i in range(precision)
+    ]
+    return F.concat(*parts)
+
+
+# --- DuckDB SQL twin ---------------------------------------------------------
+
+def _sql_spread(x: str) -> str:
+    s = f"(({x}) & {0xFFFFFFFF})"
+    s = f"(({s} | ({s} << 16)) & {0x0000FFFF0000FFFF})"
+    s = f"(({s} | ({s} << 8)) & {0x00FF00FF00FF00FF})"
+    s = f"(({s} | ({s} << 4)) & {0x0F0F0F0F0F0F0F0F})"
+    s = f"(({s} | ({s} << 2)) & {0x3333333333333333})"
+    s = f"(({s} | ({s} << 1)) & {0x5555555555555555})"
+    return s
+
+
+def sql_geohash_int(lat7: str, lon7: str, precision: int = 8) -> str:
+    if not 1 <= precision <= 8:
+        raise ValueError("Column/SQL geohash twins support precision 1..8")
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    ix = (
+        f"least(greatest(CAST(floor(((CAST(({lon7}) AS BIGINT) + {_LON_SPAN // 2})"
+        f" * {1 << lon_bits}) / {_LON_SPAN}) AS BIGINT), 0), {(1 << lon_bits) - 1})"
+    )
+    iy = (
+        f"least(greatest(CAST(floor(((CAST(({lat7}) AS BIGINT) + {_LAT_SPAN // 2})"
+        f" * {1 << lat_bits}) / {_LAT_SPAN}) AS BIGINT), 0), {(1 << lat_bits) - 1})"
+    )
+    if nbits % 2 == 0:
+        return f"(({_sql_spread(ix)} << 1) | {_sql_spread(iy)})"
+    return f"({_sql_spread(ix)} | ({_sql_spread(iy)} << 1))"
+
+
+def sql_geohash_str(lat7: str, lon7: str, precision: int = 8) -> str:
+    g = sql_geohash_int(lat7, lon7, precision)
+    parts = " || ".join(
+        f"substr('{ALPHABET}', CAST((({g}) >> {5 * (precision - 1 - i)}) & 31 AS INTEGER) + 1, 1)"
+        for i in range(precision)
+    )
+    return f"({parts})"

@@ -274,6 +274,34 @@ def multipolygon_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_multipolygons(mp_fixture_df(spark, sf_dir))
 
 
+def _geohash_oracle() -> str:
+    from osmgraft.functions.geohash import sql_geohash_str
+
+    return (
+        f"WITH pts AS ({_PTS})\n"
+        f"SELECT {sql_geohash_str('lat7', 'lon7', 6)} AS gh, count(*) AS cnt\n"
+        f"FROM pts GROUP BY gh"
+    )
+
+
+@register("geohash6_counts", _geohash_oracle())
+def geohash6_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash (Niemeyer base-32 Z-order) cell counts at precision 6 —
+    completes the cell-index family (slippy, S2, H3, integer grid,
+    geohash).  Pure JVM bit math: integer quantization + Morton spread +
+    base-32 render, whole-stage codegen; the DuckDB twin is the identical
+    expression chain, and published vectors (u4pruydq / ezs42 / gbsuv /
+    u4pruydqqvj8) pin external truth in tests/test_cells.py."""
+    from osmgraft.functions.geohash import geohash_str_col
+
+    pts = points_from_orders(spark, sf_dir)
+    return (
+        pts.select(geohash_str_col(F.col("lat7"), F.col("lon7"), 6).alias("gh"))
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def _s2_rollup_oracle() -> str:
     from osmgraft.functions.s2 import sql_s2_cell_l13, sql_s2_parent
 

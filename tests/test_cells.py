@@ -140,3 +140,71 @@ def test_s2_parent_col_matches_numpy(spark):
     df = spark.createDataFrame([(int(c),) for c in ids], "cell long")
     got = [r[0] for r in df.select(s2.s2_parent_col("cell", 10).alias("p")).collect()]
     assert got == [int(x) for x in s2.s2_parent(ids, 10)]
+
+
+def test_geohash_published_vectors_and_properties():
+    """External truth: geohash.org / Wikipedia vectors; plus prefix nesting
+    and quantization edge clamping."""
+    import numpy as np
+
+    from osmgraft.functions import geohash as gh
+
+    vecs = [
+        (57.64911, 10.40744, "u4pruydq"),
+        (42.605, -5.603, "ezs42"),
+        (48.669, -4.329, "gbsuv"),
+        (57.64911, 10.40744, "u4pruydqqvj8"),  # full 12-char (numpy path)
+    ]
+    for lat, lon, want in vecs:
+        got = gh.geohash_str(
+            np.array([int(lat * 1e7)]), np.array([int(lon * 1e7)]),
+            precision=len(want),
+        )[0]
+        assert got == want, (got, want)
+    # prefix nesting: precision-k hash is a prefix of precision-(k+1)
+    rng = np.random.default_rng(6)
+    lat7 = rng.integers(-900_000_000, 900_000_001, 3000)
+    lon7 = rng.integers(-1_800_000_000, 1_800_000_000, 3000)
+    g5 = gh.geohash_str(lat7, lon7, 5)
+    g8 = gh.geohash_str(lat7, lon7, 8)
+    assert all(b.startswith(a) for a, b in zip(g5, g8))
+    # poles/antimeridian clamp into range (no index overflow)
+    edge = gh.geohash_str(
+        np.array([900_000_000, -900_000_000]),
+        np.array([1_800_000_000 - 1, -1_800_000_000]), 8)
+    assert len(edge) == 2 and all(len(e) == 8 for e in edge)
+
+
+def test_geohash_three_way_parity(spark):
+    """numpy == JVM Column == DuckDB SQL at precisions 5 and 8."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from osmgraft.functions import geohash as gh
+
+    rng = np.random.default_rng(3)
+    lat7 = rng.integers(-900_000_000, 900_000_001, 5000)
+    lon7 = rng.integers(-1_800_000_000, 1_800_000_000, 5000)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(lat7, lon7)], "lat7 long, lon7 long"
+    )
+    con = duckdb.connect()
+    con.register("p", pd.DataFrame({"lat7": lat7, "lon7": lon7}))
+    for prec in (5, 8):
+        want = list(gh.geohash_str(lat7, lon7, prec))
+        got = [
+            r[0]
+            for r in df.select(
+                gh.geohash_str_col(F.col("lat7"), F.col("lon7"), prec)
+            ).collect()
+        ]
+        assert got == want, prec
+        duck = [
+            r[0]
+            for r in con.execute(
+                "SELECT " + gh.sql_geohash_str("lat7", "lon7", prec) + " FROM p"
+            ).fetchall()
+        ]
+        assert duck == want, prec
