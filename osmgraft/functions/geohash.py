@@ -172,3 +172,80 @@ def sql_geohash_str(lat7: str, lon7: str, precision: int = 8) -> str:
         for i in range(precision)
     )
     return f"({parts})"
+
+
+# --- decode + neighbors ------------------------------------------------------
+
+def _compact(x: np.ndarray) -> np.ndarray:
+    """Inverse of _spread: gather even-position bits into the low half."""
+    x = x.astype(np.int64) & 0x5555555555555555
+    x = (x | (x >> 1)) & 0x3333333333333333
+    x = (x | (x >> 2)) & 0x0F0F0F0F0F0F0F0F
+    x = (x | (x >> 4)) & 0x00FF00FF00FF00FF
+    x = (x | (x >> 8)) & 0x0000FFFF0000FFFF
+    x = (x | (x >> 16)) & 0xFFFFFFFF
+    return x
+
+
+def geohash_decode(hashes) -> tuple[np.ndarray, np.ndarray]:
+    """Geohash strings -> (lat7, lon7) CELL-CENTER fixed-point coords.
+    Centers are the midpoint of the cell's half-open interval; roundtrip
+    encode(decode(h)) == h for every valid hash (property-tested)."""
+    hs = np.asarray(hashes)
+    lat = np.empty(hs.shape, dtype=np.int64)
+    lon = np.empty(hs.shape, dtype=np.int64)
+    lens = np.array([len(h) for h in hs.ravel()])
+    for n in np.unique(lens):
+        sel = lens == n
+        vals = np.array(
+            [
+                sum(ALPHABET.index(c) << (5 * (len(h) - 1 - i)) for i, c in enumerate(h))
+                for h in hs.ravel()[sel]
+            ],
+            dtype=np.int64,
+        )
+        nbits = 5 * int(n)
+        lon_bits = (nbits + 1) // 2
+        lat_bits = nbits // 2
+        if nbits % 2 == 0:
+            ix = _compact(vals >> 1)
+            iy = _compact(vals)
+        else:
+            ix = _compact(vals)
+            iy = _compact(vals >> 1)
+        # center = (i + 0.5) * span / 2^bits - span/2, exact in integers
+        lon.ravel()[sel] = ((2 * ix + 1) * _LON_SPAN) // (2 << lon_bits) - _LON_SPAN // 2
+        lat.ravel()[sel] = ((2 * iy + 1) * _LAT_SPAN) // (2 << lat_bits) - _LAT_SPAN // 2
+    return lat, lon
+
+
+def geohash_neighbors(hashes, precision: int | None = None) -> list[np.ndarray]:
+    """Per hash: the up-to-8 surrounding geohash cells (lon wraps, lat
+    clamps at the poles).  Implemented geometrically: decode the center,
+    step one cell pitch in each compass direction, re-encode — no
+    per-character border lookup tables."""
+    hs = np.asarray(hashes)
+    out = []
+    lat, lon = geohash_decode(hs)
+    for h, la, lo in zip(hs.ravel(), lat.ravel(), lon.ravel()):
+        n = len(h)
+        nbits = 5 * n
+        lon_bits = (nbits + 1) // 2
+        lat_bits = nbits // 2
+        dlo = _LON_SPAN >> lon_bits
+        dla = _LAT_SPAN >> lat_bits
+        cells = set()
+        for sy in (-1, 0, 1):
+            for sx in (-1, 0, 1):
+                if sx == 0 and sy == 0:
+                    continue
+                nla = la + sy * dla
+                if not -_LAT_SPAN // 2 <= nla < _LAT_SPAN // 2:
+                    continue  # pole: no neighbor beyond
+                nlo = (lo + sx * dlo + _LON_SPAN // 2) % _LON_SPAN - _LON_SPAN // 2
+                cells.add(
+                    str(geohash_str(np.array([nla]), np.array([nlo]), n)[0])
+                )
+        cells.discard(str(h))
+        out.append(np.array(sorted(cells), dtype=object))
+    return out

@@ -208,3 +208,35 @@ def test_geohash_three_way_parity(spark):
             ).fetchall()
         ]
         assert duck == want, prec
+
+
+def test_geohash_decode_roundtrip_and_neighbors():
+    import numpy as np
+
+    from osmgraft.functions import geohash as gh
+
+    rng = np.random.default_rng(12)
+    lat7 = rng.integers(-900_000_000, 900_000_001, 20000)
+    lon7 = rng.integers(-1_800_000_000, 1_800_000_000, 20000)
+    for prec in (4, 5, 8, 11):
+        g = gh.geohash_str(lat7, lon7, prec)
+        la, lo = gh.geohash_decode(g)
+        assert (gh.geohash_str(la, lo, prec) == g).all(), prec
+    # dense cluster so neighbors exist in-set: symmetry + adjacency
+    clat = rng.integers(400_000_000, 420_000_000, 4000)
+    clon = rng.integers(100_000_000, 120_000_000, 4000)
+    cells = np.unique(gh.geohash_str(clat, clon, 4))
+    nbmap = {h: set(v) for h, v in zip(cells, gh.geohash_neighbors(cells))}
+    pairs = 0
+    for h, vs in nbmap.items():
+        for v in vs:
+            if v in nbmap:
+                assert h in nbmap[v], (h, v)
+                pairs += 1
+    assert pairs > 100, pairs
+    assert all(len(v) in (5, 8) for v in nbmap.values())
+    # antimeridian wrap: a cell at lon ~180 lists neighbors across the seam
+    g = str(gh.geohash_str(np.array([0]), np.array([1_799_999_999]), 4)[0])
+    wrapped = gh.geohash_neighbors(np.array([g], dtype=object))[0]
+    wl = [gh.geohash_decode(np.array([w], dtype=object))[1][0] for w in wrapped]
+    assert any(x < 0 for x in wl), wl  # something on the west side of the seam
