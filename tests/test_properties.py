@@ -122,3 +122,84 @@ def test_validate_batch_masks_all_decode_failures(seed, fmt, corruptions):
     good = np.flatnonzero(mask)
     out = decode_batch(buf, starts[good], ends[good], w, h, fmt)  # must not raise
     assert out.shape == (len(good), h, w, 3)
+
+
+# --- round-3 session-2 kernels ------------------------------------------------
+
+@given(LAT7, LON7, st.integers(1, 11))
+@settings(max_examples=200, deadline=None)
+def test_geohash_roundtrip_and_containment(lat7, lon7, prec):
+    """encode→decode→encode is the identity, and the decoded center stays
+    within half a cell pitch of the input (quantization bound)."""
+    from osmgraft.functions import geohash as gh
+
+    g = gh.geohash_str(np.array([lat7]), np.array([lon7]), prec)
+    la, lo = gh.geohash_decode(g)
+    assert gh.geohash_str(la, lo, prec)[0] == g[0]
+    nbits = 5 * prec
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    assert abs(int(la[0]) - lat7) <= (1_800_000_000 >> lat_bits) + 1
+    dlon = abs(int(lo[0]) - lon7)
+    assert min(dlon, 3_600_000_000 - dlon) <= (3_600_000_000 >> lon_bits) + 1
+
+
+@given(
+    st.lists(
+        st.tuples(st.floats(-8, 8, allow_nan=False, allow_infinity=False),
+                  st.floats(-8, 8, allow_nan=False, allow_infinity=False),
+                  st.floats(-8, 8, allow_nan=False, allow_infinity=False)),
+        min_size=1, max_size=16,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_quantize_int8_dequant_error_bound(vecs):
+    """Symmetric int8 quantization: |x - q*amax/127| <= amax/254 * (1+eps)
+    per element (the half-step bound), q in [-127, 127]."""
+    m = np.array(vecs, dtype=np.float64)
+    for row in m:
+        amax = np.abs(row).max()
+        if amax == 0.0:
+            continue
+        q = np.floor(row * 127.0 / amax + 0.5)
+        assert np.abs(q).max() <= 127
+        deq = q * amax / 127.0
+        assert np.abs(row - deq).max() <= amax / 254.0 * (1 + 1e-9)
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_multipolygon_fuzz_disjoint_rects(data):
+    """Random DISJOINT rectangles (each split into randomly-rotated/
+    reversed edge ways) assemble to exactly n outer rings with exact
+    areas."""
+    from osmgraft.operators.multipolygon import _shoelace2, assemble_rings
+
+    n = data.draw(st.integers(1, 4))
+    ways = []
+    want_areas = []
+    wid = 0
+    for i in range(n):
+        # lay rects out on a coarse non-overlapping grid
+        gx = (i % 2) * 10_000
+        gy = (i // 2) * 10_000
+        w = data.draw(st.integers(2, 9)) * 100
+        h = data.draw(st.integers(2, 9)) * 100
+        la0, lo0 = gy + 100, gx + 100
+        la1, lo1 = la0 + h, lo0 + w
+        corners = [(la0, lo0), (la0, lo1), (la1, lo1), (la1, lo0), (la0, lo0)]
+        # split at a random corner rotation into 2 ways, maybe reversed
+        rot = data.draw(st.integers(0, 3))
+        ring = corners[rot:-1] + corners[:rot] + [corners[rot]]
+        cut = data.draw(st.integers(1, 3))
+        w1, w2 = ring[: cut + 1], ring[cut:]
+        if data.draw(st.booleans()):
+            w1 = w1[::-1]
+        if data.draw(st.booleans()):
+            w2 = w2[::-1]
+        ways += [(wid, w1), (wid + 1, w2)]
+        wid += 2
+        want_areas.append(2 * w * h)
+    rings = assemble_rings(ways)
+    assert len(rings) == n
+    assert sorted(abs(_shoelace2(r)) for r in rings) == sorted(want_areas)
