@@ -705,6 +705,61 @@ def dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_ngram_pairs(docs)
 
 
+@register(
+    "doc_split_assign",
+    f"""SELECT doc_id,
+  CASE WHEN ({T.sql_md5_long('CAST(doc_id AS VARCHAR)')}) % 100 < 98 THEN 'train'
+       WHEN ({T.sql_md5_long('CAST(doc_id AS VARCHAR)')}) % 100 < 99 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents""",
+)
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (98/1/1) by content-free id
+    hash — the split must be a pure function of the doc id so it is stable
+    across reshuffles, re-ingests, and engines (Spark's internal hash is
+    not portable; md5 is).  Hash-gated: DuckDB computes the identical
+    md5-prefix integer."""
+    docs = _docs(spark, sf_dir)
+    bucket = T.md5_long(F.col("doc_id").cast("string")) % 100
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 98, "train").when(bucket < 99, "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "lang_quality_quota",
+    f"""WITH scored AS (
+  SELECT doc_id, {T.sql_lang_id('text')} AS lang,
+         {T.sql_bigram_quality('text')} AS bq
+  FROM documents)
+SELECT doc_id, lang, bq, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT doc_id, lang, bq,
+         row_number() OVER (PARTITION BY lang ORDER BY bq DESC, doc_id) AS rk
+  FROM scored)
+WHERE rk <= 50""",
+)
+def lang_quality_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing primitive: top-50 documents PER LANGUAGE by fluency
+    score (deterministic tiebreak on doc_id) — the per-group quota pattern
+    a curriculum/mixture builder runs to balance sources.  One window over
+    integer scores; hash-gated end to end."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("lang"),
+        T.bigram_quality(F.col("text")).alias("bq"),
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("bq"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+        .select("doc_id", "lang", "bq", "rk")
+    )
+
+
 @register("dedup_components", D.sql_connected_components())
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup GROUP ASSEMBLY: connected components over the exact-Jaccard

@@ -1,0 +1,85 @@
+"""Physical-plan assertions: the scale-critical plan shapes BENCH/PLANS.md
+documents are pinned here so a refactor can't silently trade a broadcast
+for a shuffle or widen a pruned scan.  String-matching `explain` output is
+deliberate — it is the same evidence a human reads."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ivf_probe_join_is_broadcast(spark):
+    from osmgraft.operators.similarity import ivf_anchors, ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(ivf_topk(emb, emb.filter(F.col("vec_id") < 8),
+                            anchors=ivf_anchors(64, 16), nprobe=4, k=10))
+    assert "BroadcastHashJoin" in plan
+    # the item side must not sort-merge join
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_verify_joins_broadcast(spark):
+    from osmgraft.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(minhash_lsh_pairs(docs))
+    # candidate side broadcast into BOTH verify joins (r2 verdict ask #8)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_pip_join_scan_is_pruned_and_shuffle_free(spark):
+    from osmgraft.operators.pip import pip_join
+    from osmgraft.synth import ADMIN_BOUNDARIES, points_from_orders
+
+    pts = points_from_orders(spark, SF)
+    plan = plan_of(pip_join(pts, ADMIN_BOUNDARIES, how="inner"))
+    # point side: no join exchange at all (broadcast STR-tree inside the UDF)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    # parquet scan reads only the projection the points need
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m and "o_orderkey" in m.group(1)
+    assert "o_comment" not in m.group(1)
+
+
+def test_tile_counts_partial_aggregation(spark):
+    from osmgraft.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["tile_counts_z13"][0](spark, SF))
+    # map-side combine: two HashAggregates around one Exchange
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_s2_rollup_reaggregates_counts_not_rows(spark):
+    from osmgraft.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["s2_rollup_l13_to_l10"][0](spark, SF))
+    # the parent rollup is bit math over the counts: exactly two
+    # aggregation exchanges (cell, then parent_cell), no extra UDF pass
+    assert plan.count("ArrowEvalPython") == 1 or plan.count("BatchEvalPython") == 0
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_way_lengths_single_window_and_integer_sum(spark):
+    from osmgraft.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["way_lengths_geodesic"][0](spark, SF))
+    assert plan.count("Window") == 1
+    assert "sum(seg_m" in plan  # integer segment sum, not a float length
+
+
+@pytest.mark.parametrize("name", ["embedding_topk_fast", "embedding_topk_blocked"])
+def test_topk_paths_have_no_cartesian(spark, name):
+    from osmgraft.queries import REGISTRY
+
+    plan = plan_of(REGISTRY[name][0](spark, SF))
+    assert "CartesianProduct" not in plan
