@@ -33,6 +33,8 @@ lineage stays O(1) per round.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -334,4 +336,81 @@ def knn_within_radius(
         F.col("point_id").alias("neighbor_id"),
         _dist2(F.col("qlat7"), F.col("qlon7"), F.col("lat7"), F.col("lon7")).alias("dist2"),
     )
+    return _topk(cand, k)
+
+
+# --- kNN over REAL H3 cells (north star: "kNN via cell-neighbor ring
+# expansion" — this variant runs the ring expansion on Uber-compatible H3
+# gridDisk neighborhoods instead of the wrapped integer grid) -----------------
+
+# Conservative LOWER bound on the angular center-to-center pitch of adjacent
+# H3 cells, in 1e-7-degree units per res.  Derivation: chart pitch
+# u0/sqrt(7)^res radians, worst gnomonic compression cos^2(face
+# circumradius 37.4deg) ~ 0.629, and an extra 0.9 safety factor; pinned
+# against an empirical global minimum over sampled adjacent center pairs in
+# tests/test_knn.py (the bound must sit BELOW the true minimum — it sizes
+# the covering disk, so smaller = safer = more cells).
+_H3_PITCH_MIN_7 = {
+    res: int(0.9 * 0.629 * np.degrees(0.38196601125010500003 / 7 ** (res / 2)) * 1e7)
+    for res in range(0, 11)
+}
+
+
+def knn_h3_ball(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    radius7: int,
+    res: int = 6,
+    ensure_parallelism: bool = False,
+) -> DataFrame:
+    """Exact k nearest neighbors WITHIN the metric ball dist2 <= radius7^2,
+    candidate-pruned by real H3 gridDisk neighborhoods: each query explodes
+    into the disk(R) of its H3 cell where R is sized so the disk provably
+    covers the ball (R >= 1.5*sqrt(2)*radius7/pitch_min + 3 — hex-metric
+    vs euclid factor 2/sqrt(3), degree-space vs great-circle sqrt(2), plus
+    cross-face margin), candidates equi-join on cell id, the exact
+    wrap-aware integer metric filters to the ball, and a window ranks
+    (dist2, neighbor_id).  Ball semantics make the DuckDB twin plain SQL
+    (rank among points with dist2 <= radius7^2) even though adjacency
+    itself is not SQL-expressible.
+
+    Scale: one pandas-UDF cell assignment per side, one disk explode over
+    the (small) query side, one equi-join shuffle on cell id, one window —
+    no driver loop; hot cells salt like any cell join."""
+    from pyspark.sql.functions import pandas_udf
+
+    from osmgraft.functions.cells import h3_cell_udf
+    from osmgraft.functions.h3real import grid_disk
+    from osmgraft.operators.util import maybe_parallelize
+
+    R = int(np.ceil(1.5 * 1.41422 * radius7 / _H3_PITCH_MIN_7[res])) + 3
+
+    pts = maybe_parallelize(points, ensure_parallelism).select(
+        "point_id", "lat7", "lon7",
+        h3_cell_udf(res)(F.col("lat7"), F.col("lon7")).alias("cell"),
+    )
+
+    @pandas_udf("array<long>")
+    def _disk(cells: pd.Series) -> pd.Series:
+        if len(cells) == 0:
+            return pd.Series([], dtype="object")
+        return pd.Series([
+            [int(x) for x in d] for d in grid_disk(cells.to_numpy(), R)
+        ])
+
+    q = queries.select(
+        "query_id",
+        F.col("lat7").alias("qlat7"),
+        F.col("lon7").alias("qlon7"),
+        h3_cell_udf(res)(F.col("lat7"), F.col("lon7")).alias("qcell"),
+    )
+    probe = q.select(
+        "query_id", "qlat7", "qlon7", F.explode(_disk(F.col("qcell"))).alias("cell")
+    )
+    cand = pts.join(F.broadcast(probe), "cell").select(
+        "query_id",
+        F.col("point_id").alias("neighbor_id"),
+        _dist2(F.col("qlat7"), F.col("qlon7"), F.col("lat7"), F.col("lon7")).alias("dist2"),
+    ).where(F.col("dist2") <= F.lit(int(radius7) * int(radius7)))
     return _topk(cand, k)

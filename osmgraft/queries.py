@@ -1314,6 +1314,37 @@ def _sql_floordiv(expr: str, g: int) -> str:
 
 
 @register(
+    "knn_h3_rings_k5",
+    f"""WITH pts AS ({_PTS}),
+q AS (SELECT CAST(n_nationkey AS BIGINT) AS query_id,
+             CAST({_QLAT} AS INTEGER) AS qlat7, CAST({_QLON} AS INTEGER) AS qlon7
+      FROM nation)
+SELECT query_id, neighbor_id, dist2, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q.query_id, p.point_id AS neighbor_id, {_D2} AS dist2,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY {_D2}, p.point_id) AS rank
+  FROM q CROSS JOIN pts p
+  WHERE {_D2} <= CAST(25000000 AS BIGINT) * 25000000) t
+WHERE rank <= 5""",
+)
+def knn_h3_rings_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN via REAL H3 cell-neighbor ring expansion (the north star's literal
+    wording, on Uber-compatible ids): each query explodes into the gridDisk
+    sized to provably cover the 2.5-degree metric ball, candidates
+    equi-join on cell id, the exact wrap-aware integer metric filters to
+    the ball, a window ranks.  Ball semantics keep the DuckDB twin plain
+    SQL (rank among points with dist2 <= r^2) even though H3 adjacency is
+    not SQL-expressible — the disk is a proven superset, so both sides see
+    identical candidate sets after the metric filter."""
+    from osmgraft.operators.knn import knn_h3_ball
+
+    pts = points_from_orders(spark, sf_dir)
+    return knn_h3_ball(
+        pts, _knn_queries_df(spark, sf_dir), k=5, radius7=25_000_000, res=4,
+        ensure_parallelism=True,
+    ).select("query_id", "neighbor_id", "dist2", "rank")
+
+
+@register(
     "knn_radius2_k5",
     f"""WITH pts AS ({_PTS}),
 q AS (SELECT CAST(n_nationkey AS BIGINT) AS query_id,

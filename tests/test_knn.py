@@ -121,3 +121,58 @@ def test_knn_within_radius_matches_iterative(spark):
                 assert exact[(qid, r.rank)] == (r.neighbor_id, r.dist2)
             checked += 1
     assert checked >= 1  # at least one query fully resolved within the radius
+
+
+def test_h3_pitch_lower_bound_holds():
+    """The disk-sizing constant must sit BELOW the true minimum adjacent
+    center pitch globally (it sizes the covering disk: smaller = safer)."""
+    import numpy as np
+
+    from osmgraft.functions import h3real as h3
+    from osmgraft.operators.knn import _H3_PITCH_MIN_7
+
+    rng = np.random.default_rng(17)
+    for res in (4, 6):
+        lat7 = rng.integers(-890_000_000, 890_000_001, 4000)
+        lon7 = rng.integers(-1_800_000_000, 1_800_000_000, 4000)
+        cells = np.unique(h3.latlng_to_cell(lat7, lon7, res))
+        la, lo = h3.cell_to_latlng(cells)
+        idx = {int(c): i for i, c in enumerate(cells)}
+        worst = np.inf
+        for c, disk in zip(cells, h3.grid_disk(cells, 1)):
+            i = idx[int(c)]
+            for nb in disk:
+                j = idx.get(int(nb))
+                if j is None or j == i:
+                    continue
+                dla = (la[i] - la[j]) * 1e7
+                dlo = abs(lo[i] - lo[j]) * 1e7
+                dlo = min(dlo, 3.6e9 - dlo) * np.cos(np.radians((la[i] + la[j]) / 2))
+                worst = min(worst, np.hypot(dla, dlo))
+        assert worst > _H3_PITCH_MIN_7[res], (res, worst, _H3_PITCH_MIN_7[res])
+
+
+def test_knn_h3_ball_matches_bruteforce(spark):
+    """H3-disk candidate pruning is exact: results equal brute-force ranked
+    ball membership over all points (sf0.001)."""
+    from pyspark.sql import functions as F
+
+    from osmgraft.operators.knn import _dist2, _topk, knn_h3_ball
+    from osmgraft.queries import _knn_queries_df
+    from osmgraft.synth import points_from_orders
+
+    pts = points_from_orders(spark, "/root/testdata/sf0.001")
+    q = _knn_queries_df(spark, "/root/testdata/sf0.001")
+    r7 = 25_000_000
+    got = sorted(map(tuple, knn_h3_ball(pts, q, k=5, radius7=r7, res=4)
+                     .select("query_id", "neighbor_id", "dist2", "rank").collect()))
+    brute_cand = (
+        pts.crossJoin(q.select("query_id", F.col("lat7").alias("qlat7"),
+                               F.col("lon7").alias("qlon7")))
+        .select("query_id", F.col("point_id").alias("neighbor_id"),
+                _dist2(F.col("qlat7"), F.col("qlon7"), F.col("lat7"), F.col("lon7")).alias("dist2"))
+        .where(F.col("dist2") <= r7 * r7)
+    )
+    want = sorted(map(tuple, _topk(brute_cand, 5)
+                      .select("query_id", "neighbor_id", "dist2", "rank").collect()))
+    assert got == want and len(got) > 0
