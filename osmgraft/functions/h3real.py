@@ -874,3 +874,146 @@ def polygon_to_cells(ring, holes, res: int) -> np.ndarray:
         clo7 = np.where(clo7 < 0, clo7 + 3_600_000_000, clo7)
     inside = pnpoly(np.round(cla * 1e7).astype(np.int64), clo7, edges)
     return cand[inside]
+
+
+# --- cellToBoundary (hexagons; substrate-grid vertices per faceijk.c) --------
+#
+# H3 defines cell vertices on a "substrate" grid: the center moves through
+# aperture-3 + aperture-3r (and, for Class III, one aperture-7r) downscales,
+# after which the six vertex offsets are fixed lattice vectors; each vertex
+# is then INDEPENDENTLY overage-adjusted into its true face chart
+# (substrate variant: maxDim and unitScale scale by 3) and inverse-gnomonic
+# projected with the substrate magnitude corrections (/3, and /sqrt7 for
+# Class III).  Class III cell edges can cross an icosahedron edge: H3 adds
+# the 2D intersection point with the face triangle as an extra boundary
+# vertex — reproduced here.  Pentagons use a different algorithm (their 5
+# vertices all distort) and raise for now; hexagon parity is what the
+# raster/vector bridge needs.
+
+# axial forms of coordijk.c downAp3 / downAp3r (aperture-3 lattice maps)
+_AP3 = np.array([[1, 1], [-1, 2]], dtype=np.int64)     # (a,b) -> (a+b, 2b-a)
+_AP3R = np.array([[2, -1], [1, 1]], dtype=np.int64)    # (a,b) -> (2a-b, a+b)
+# vertex offsets (axial) of an origin cell on the substrate grid
+_VERTS_CII = np.array([(2, 1), (1, 2), (-1, 1), (-2, -1), (-1, -2), (1, -1)],
+                      dtype=np.int64)
+_VERTS_CIII = np.array([(5, 4), (1, 5), (-4, 1), (-5, -4), (-1, -5), (4, -1)],
+                       dtype=np.int64)
+# direction (IJ=1/KI=2/JK=3) of each adjacent face, inverted from _FACE_NEIGH
+_ADJ_DIR = {}
+for (_f, _q), (_g, _r, _ti, _tj) in _FACE_NEIGH.items():
+    _ADJ_DIR[(_f, _g)] = _q
+
+
+def _axial_to_xy(a, b):
+    return a - 0.5 * b, b * _SIN60
+
+
+def _chart_to_latlng(x, y, face, res, substrate_cii):
+    """Inverse gnomonic of chart coords on `face`; magnitudes carry the
+    substrate (/3) and Class-III (/sqrt7 — adjRes is res+1) corrections."""
+    rr = np.hypot(x, y)
+    theta = np.arctan2(y, x)
+    # substrate grids are Class II at adjRes: no extra lattice twist term
+    dist = np.arctan(rr * _RES0_U_GNOMONIC / (3.0 * _SQRT7 ** substrate_cii))
+    az = _FACE_AZ0[face] - theta
+    lat1 = _FACE_CENTER_GEO[face, 0]
+    lng1 = _FACE_CENTER_GEO[face, 1]
+    sl2 = np.sin(lat1) * np.cos(dist) + np.cos(lat1) * np.sin(dist) * np.cos(az)
+    lat2 = np.arcsin(np.clip(sl2, -1, 1))
+    y2 = np.sin(az) * np.sin(dist) * np.cos(lat1)
+    x2 = np.cos(dist) - np.sin(lat1) * sl2
+    lng2 = lng1 + np.arctan2(y2, x2)
+    return (np.degrees(lat2),
+            np.degrees(np.arctan2(np.sin(lng2), np.cos(lng2))))
+
+
+def _adjust_overage_scalar(face, a, b, res_cii, substrate):
+    """Single-address _adjustOverageClassII; returns (face, a, b, overage)
+    with overage in {0: none, 1: new face, 2: on edge}."""
+    maxdim = 2 * 7 ** (res_cii // 2)
+    us = 7 ** (res_cii // 2)
+    if substrate:
+        maxdim *= 3
+        us *= 3
+    m = min(a, b, 0)
+    i, j, k = a - m, b - m, -m
+    s = i + j + k
+    if substrate and s == maxdim:
+        return face, a, b, 2
+    if s <= maxdim:
+        return face, a, b, 0
+    if k > 0:
+        q = 3 if j > 0 else 2
+    else:
+        q = 1
+    g, rot, ti, tj = _FACE_NEIGH[(face, q)]
+    for _ in range(rot):
+        a, b = a - b, a
+    a, b = a + ti * us, b + tj * us
+    if substrate:
+        m = min(a, b, 0)
+        if (a - m) + (b - m) + (-m) == maxdim:
+            return g, a, b, 2
+    return g, a, b, 1
+
+
+def cell_to_boundary(cell: int) -> np.ndarray:
+    """(n_verts, 2) [lat_deg, lng_deg] boundary of a HEXAGON cell, ccw from
+    the i-axis vertex — H3 _faceIjkToCellBoundary parity incl. Class III
+    icosahedron-edge distortion vertices.  Pentagons raise (their separate
+    all-edges-distort algorithm is not implemented)."""
+    cell = int(cell)
+    if bool(is_pentagon(np.array([cell]))[0]):
+        raise NotImplementedError("pentagon boundaries not implemented")
+    farr, aarr, barr, res = _to_face_axial(np.array([cell], dtype=np.int64))
+    face, a, b = int(farr[0]), int(aarr[0]), int(barr[0])
+    class3 = res % 2 == 1
+    # center into the substrate grid: downAp3 then downAp3r (then 7r for CIII)
+    a, b = int(_AP3[0, 0] * a + _AP3[0, 1] * b), int(_AP3[1, 0] * a + _AP3[1, 1] * b)
+    a, b = int(_AP3R[0, 0] * a + _AP3R[0, 1] * b), int(_AP3R[1, 0] * a + _AP3R[1, 1] * b)
+    adj = res
+    if class3:
+        a, b = 3 * a - b, a + 2 * b  # _downAp7r (axial form)
+        adj = res + 1
+    verts = _VERTS_CIII if class3 else _VERTS_CII
+    vaddr = [(a + int(va), b + int(vb)) for va, vb in verts]
+    out = []
+    last_face, last_overage = -1, 0
+    for vert in range(7):  # extra iteration to test the closing edge
+        v = vert % 6
+        va, vb = vaddr[v]
+        f2, a2, b2, overage = _adjust_overage_scalar(face, va, vb, adj, True)
+        if class3 and vert > 0 and f2 != last_face and last_overage != 2:
+            # the edge crossed an icosahedron edge: add the 2D intersection
+            # with the face triangle (in the CENTER face's chart)
+            lastv = (v + 5) % 6
+            x0, y0 = _axial_to_xy(*vaddr[lastv])
+            x1, y1 = _axial_to_xy(*vaddr[v])
+            maxdim = 3 * 2 * 7 ** (adj // 2)
+            corners = {  # axial forms of {3maxDim,0,0},{0,3maxDim,0},{0,0,3maxDim}
+                0: (maxdim, 0),
+                1: (0, maxdim),
+                2: (-maxdim, -maxdim),
+            }
+            face2 = f2 if last_face == face else last_face
+            d = _ADJ_DIR[(face, face2)]
+            e0, e1 = {1: (0, 1), 3: (1, 2), 2: (2, 0)}[d]
+            ex0, ey0 = _axial_to_xy(*corners[e0])
+            ex1, ey1 = _axial_to_xy(*corners[e1])
+            # 2D segment intersection (H3 _v2dIntersect: infinite-line form)
+            s1x, s1y = x1 - x0, y1 - y0
+            s2x, s2y = ex1 - ex0, ey1 - ey0
+            den = -s2x * s1y + s1x * s2y
+            if den != 0:
+                t = (s2x * (y0 - ey0) - s2y * (x0 - ex0)) / den
+                ix, iy = x0 + t * s1x, y0 + t * s1y
+                if not ((abs(ix - x0) < 1e-9 and abs(iy - y0) < 1e-9)
+                        or (abs(ix - x1) < 1e-9 and abs(iy - y1) < 1e-9)):
+                    out.append(_chart_to_latlng(
+                        np.array([ix]), np.array([iy]), face, res, adj))
+        if vert < 6:
+            x, y = _axial_to_xy(a2, b2)
+            out.append(_chart_to_latlng(
+                np.array([x]), np.array([y]), f2, res, adj))
+        last_face, last_overage = f2, overage
+    return np.array([(la[0], lo[0]) for la, lo in out])

@@ -215,3 +215,29 @@ def h3_disk_smooth(cell_counts: DataFrame, k: int = 1) -> DataFrame:
         .agg(F.sum("nb_cnt").alias("disk_cnt"))
     )
     return cell_counts.join(summed, "cell")
+
+
+def h3_boundaries(cells: DataFrame, cell_col: str = "cell") -> DataFrame:
+    """Adds each HEXAGON cell's boundary as array<struct<lat7,lon7>>
+    (fixed-point, 6 vertices + Class III icosahedron-edge distortion
+    points) — the H3 raster↔vector bridge (cell sets become polygons that
+    the tile-cover / PIP machinery consumes).  Pentagon rows raise, as
+    functions/h3real.cell_to_boundary documents.  Scale: one vectorized-
+    per-row pandas UDF over the distinct cell table (boundaries are cell
+    metadata, not row data — compute once per cell, join back)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from osmgraft.functions.h3real import cell_to_boundary
+
+    @pandas_udf("array<struct<lat7: long, lon7: long>>")
+    def _bnd(cs: pd.Series) -> pd.Series:
+        out = []
+        for c in cs:
+            b = cell_to_boundary(int(c))
+            out.append([
+                {"lat7": int(round(la * 1e7)), "lon7": int(round(lo * 1e7))}
+                for la, lo in b
+            ])
+        return pd.Series(out)
+
+    return cells.withColumn("boundary", _bnd(F.col(cell_col)))

@@ -150,3 +150,23 @@ def test_h3_disk_smooth_matches_bruteforce(spark):
         for c, d in zip(cells, grid_disk(cells, 1))
     }
     assert got == want
+
+
+def test_h3_boundaries_operator(spark):
+    import numpy as np
+
+    from osmgraft.functions.h3real import cell_to_boundary, latlng_to_cell
+    from osmgraft.operators.h3ops import h3_boundaries
+
+    rng = np.random.default_rng(31)
+    lat7 = rng.integers(-800_000_000, 800_000_001, 200)
+    lon7 = rng.integers(-1_800_000_000, 1_800_000_000, 200)
+    cells = np.unique(latlng_to_cell(lat7, lon7, 7))[:50]
+    df = spark.createDataFrame([(int(c),) for c in cells], "cell long")
+    got = {r.cell: r.boundary for r in h3_boundaries(df).collect()}
+    for c in cells:
+        want = cell_to_boundary(int(c))
+        assert len(got[int(c)]) == len(want)
+        for p, (la, lo) in zip(got[int(c)], want):
+            assert p["lat7"] == int(round(la * 1e7))
+            assert p["lon7"] == int(round(lo * 1e7))
