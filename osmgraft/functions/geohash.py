@@ -219,33 +219,149 @@ def geohash_decode(hashes) -> tuple[np.ndarray, np.ndarray]:
     return lat, lon
 
 
-def geohash_neighbors(hashes, precision: int | None = None) -> list[np.ndarray]:
+def _indices_to_str(ix: int, iy: int, precision: int) -> str:
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    sx = _spread(np.array([ix]))[0]
+    sy = _spread(np.array([iy]))[0]
+    val = int((sx << 1) | sy) if nbits % 2 == 0 else int(sx | (sy << 1))
+    return "".join(
+        ALPHABET[(val >> (5 * (precision - 1 - i))) & 31] for i in range(precision)
+    )
+
+
+def geohash_neighbors(hashes) -> list[np.ndarray]:
     """Per hash: the up-to-8 surrounding geohash cells (lon wraps, lat
-    clamps at the poles).  Implemented geometrically: decode the center,
-    step one cell pitch in each compass direction, re-encode — no
-    per-character border lookup tables."""
+    clamps at the poles).  Steps in INDEX space (ix/iy +-1 with lon
+    wraparound) — stepping decoded coordinates by the cell pitch truncated
+    to zero at fine precisions and dropped neighbors (review fix)."""
     hs = np.asarray(hashes)
     out = []
-    lat, lon = geohash_decode(hs)
-    for h, la, lo in zip(hs.ravel(), lat.ravel(), lon.ravel()):
+    for h in hs.ravel():
         n = len(h)
         nbits = 5 * n
         lon_bits = (nbits + 1) // 2
         lat_bits = nbits // 2
-        dlo = _LON_SPAN >> lon_bits
-        dla = _LAT_SPAN >> lat_bits
+        val = sum(ALPHABET.index(c) << (5 * (n - 1 - i)) for i, c in enumerate(h))
+        v = np.array([val], dtype=np.int64)
+        if nbits % 2 == 0:
+            ix, iy = int(_compact(v >> 1)[0]), int(_compact(v)[0])
+        else:
+            ix, iy = int(_compact(v)[0]), int(_compact(v >> 1)[0])
         cells = set()
         for sy in (-1, 0, 1):
+            niy = iy + sy
+            if not 0 <= niy < (1 << lat_bits):
+                continue  # pole: no neighbor beyond
             for sx in (-1, 0, 1):
                 if sx == 0 and sy == 0:
                     continue
-                nla = la + sy * dla
-                if not -_LAT_SPAN // 2 <= nla < _LAT_SPAN // 2:
-                    continue  # pole: no neighbor beyond
-                nlo = (lo + sx * dlo + _LON_SPAN // 2) % _LON_SPAN - _LON_SPAN // 2
-                cells.add(
-                    str(geohash_str(np.array([nla]), np.array([nlo]), n)[0])
-                )
+                nix = (ix + sx) % (1 << lon_bits)
+                cells.add(_indices_to_str(nix, niy, n))
         cells.discard(str(h))
         out.append(np.array(sorted(cells), dtype=object))
     return out
+
+
+# --- factored (CTE / stepwise-column) forms ----------------------------------
+#
+# The single-expression twins above duplicate the sub-expression at every
+# spread step (2 references per step -> 64 copies of the quantization leg),
+# fine for tests but a ~60 KB SQL string as a registered oracle.  The forms
+# below bind each step once — same arithmetic, linear size (the pattern
+# sql_s2_cell_l13 uses).
+
+_SPREAD_STEPS = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def sql_geohash_counts(pts_cte: str, precision: int = 6) -> str:
+    """DuckDB twin of a geohash-counts query with every spread step bound
+    once in a CTE chain (linear-size SQL)."""
+    if not 1 <= precision <= 8:
+        raise ValueError("precision 1..8")
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    steps = []
+    prev = "q"
+    q = (
+        f"q AS (SELECT point_id,\n"
+        f"  least(greatest(CAST(floor(((CAST(lon7 AS BIGINT) + {_LON_SPAN // 2})"
+        f" * {1 << lon_bits}) / {_LON_SPAN}) AS BIGINT), 0), {(1 << lon_bits) - 1})"
+        f" & {0xFFFFFFFF} AS sx,\n"
+        f"  least(greatest(CAST(floor(((CAST(lat7 AS BIGINT) + {_LAT_SPAN // 2})"
+        f" * {1 << lat_bits}) / {_LAT_SPAN}) AS BIGINT), 0), {(1 << lat_bits) - 1})"
+        f" & {0xFFFFFFFF} AS sy\n"
+        f"  FROM pts)"
+    )
+    for i, (sh, mask) in enumerate(_SPREAD_STEPS):
+        nxt = f"s{i}"
+        steps.append(
+            f"{nxt} AS (SELECT point_id,"
+            f" (sx | (sx << {sh})) & {mask} AS sx,"
+            f" (sy | (sy << {sh})) & {mask} AS sy FROM {prev})"
+        )
+        prev = nxt
+    inter = "((sx << 1) | sy)" if nbits % 2 == 0 else "(sx | (sy << 1))"
+    chars = " || ".join(
+        f"substr('{ALPHABET}', CAST((g >> {5 * (precision - 1 - i)}) & 31 AS INTEGER) + 1, 1)"
+        for i in range(precision)
+    )
+    return (
+        f"WITH pts AS ({pts_cte}),\n{q},\n" + ",\n".join(steps) + ",\n"
+        f"gi AS (SELECT point_id, {inter} AS g FROM {prev})\n"
+        f"SELECT {chars} AS gh, count(*) AS cnt FROM gi GROUP BY gh"
+    )
+
+
+def with_geohash(df, lat_col: str, lon_col: str, precision: int = 8, out: str = "gh"):
+    """Adds a geohash string column via a stepwise column chain (each
+    spread step references the previous COLUMN, so the Catalyst tree stays
+    linear instead of duplicating the quantization leg 64x)."""
+    if not 1 <= precision <= 8:
+        raise ValueError("precision 1..8")
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    sx = _clamp(
+        F.floor(
+            F.shiftleft(F.col(lon_col).cast("long") + _LON_SPAN // 2, lon_bits)
+            / _LON_SPAN
+        ).cast("long"),
+        (1 << lon_bits) - 1,
+    ).bitwiseAND(F.lit(0xFFFFFFFF))
+    sy = _clamp(
+        F.floor(
+            F.shiftleft(F.col(lat_col).cast("long") + _LAT_SPAN // 2, lat_bits)
+            / _LAT_SPAN
+        ).cast("long"),
+        (1 << lat_bits) - 1,
+    ).bitwiseAND(F.lit(0xFFFFFFFF))
+    df = df.withColumn("_gx", sx).withColumn("_gy", sy)
+    for sh, mask in _SPREAD_STEPS:
+        df = df.withColumn(
+            "_gx", (F.col("_gx").bitwiseOR(F.shiftleft(F.col("_gx"), sh))).bitwiseAND(F.lit(mask))
+        ).withColumn(
+            "_gy", (F.col("_gy").bitwiseOR(F.shiftleft(F.col("_gy"), sh))).bitwiseAND(F.lit(mask))
+        )
+    inter = (
+        F.shiftleft(F.col("_gx"), 1).bitwiseOR(F.col("_gy"))
+        if nbits % 2 == 0
+        else F.col("_gx").bitwiseOR(F.shiftleft(F.col("_gy"), 1))
+    )
+    df = df.withColumn("_gi", inter)
+    parts = [
+        F.substring(
+            F.lit(ALPHABET),
+            (F.shiftright(F.col("_gi"), 5 * (precision - 1 - i)).bitwiseAND(F.lit(31)) + 1).cast("int"),
+            1,
+        )
+        for i in range(precision)
+    ]
+    return df.withColumn(out, F.concat(*parts)).drop("_gx", "_gy", "_gi")

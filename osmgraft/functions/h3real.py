@@ -908,9 +908,10 @@ def _axial_to_xy(a, b):
     return a - 0.5 * b, b * _SIN60
 
 
-def _chart_to_latlng(x, y, face, res, substrate_cii):
+def _chart_to_latlng(x, y, face, substrate_cii):
     """Inverse gnomonic of chart coords on `face`; magnitudes carry the
-    substrate (/3) and Class-III (/sqrt7 — adjRes is res+1) corrections."""
+    substrate (/3) and Class-III (/sqrt7 — substrate_cii is res+1)
+    corrections."""
     rr = np.hypot(x, y)
     theta = np.arctan2(y, x)
     # substrate grids are Class II at adjRes: no extra lattice twist term
@@ -1010,10 +1011,10 @@ def cell_to_boundary(cell: int) -> np.ndarray:
                 if not ((abs(ix - x0) < 1e-9 and abs(iy - y0) < 1e-9)
                         or (abs(ix - x1) < 1e-9 and abs(iy - y1) < 1e-9)):
                     out.append(_chart_to_latlng(
-                        np.array([ix]), np.array([iy]), face, res, adj))
+                        np.array([ix]), np.array([iy]), face, adj))
         if vert < 6:
             x, y = _axial_to_xy(a2, b2)
             out.append(_chart_to_latlng(
-                np.array([x]), np.array([y]), f2, res, adj))
+                np.array([x]), np.array([y]), f2, adj))
         last_face, last_overage = f2, overage
     return np.array([(la[0], lo[0]) for la, lo in out])

@@ -127,7 +127,10 @@ def uncompact_cells(
             F.col("cell")
             .bitwiseAND(F.lit(clear))
             .bitwiseOR(F.lit(setb))
-            .bitwiseOR(F.shiftleft(F.col("d"), sh))
+            # cast BEFORE the shift: Java int shifts wrap mod 32, so an
+            # IntegerType digit at sh >= 32 (child res <= 4) would land at
+            # bit sh%32 and corrupt the id (review fix, repro in tests)
+            .bitwiseOR(F.shiftleft(F.col("d").cast("long"), sh))
         )
         cur = (
             cur.select("cell", F.explode(digs).alias("d"))

@@ -384,6 +384,10 @@ def knn_h3_ball(
     from osmgraft.functions.h3real import grid_disk
     from osmgraft.operators.util import maybe_parallelize
 
+    if res not in _H3_PITCH_MIN_7:
+        raise ValueError(
+            f"res must be in {sorted(_H3_PITCH_MIN_7)} (pitch bound table)"
+        )
     R = int(np.ceil(1.5 * 1.41422 * radius7 / _H3_PITCH_MIN_7[res])) + 3
 
     pts = maybe_parallelize(points, ensure_parallelism).select(

@@ -275,13 +275,9 @@ def multipolygon_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _geohash_oracle() -> str:
-    from osmgraft.functions.geohash import sql_geohash_str
+    from osmgraft.functions.geohash import sql_geohash_counts
 
-    return (
-        f"WITH pts AS ({_PTS})\n"
-        f"SELECT {sql_geohash_str('lat7', 'lon7', 6)} AS gh, count(*) AS cnt\n"
-        f"FROM pts GROUP BY gh"
-    )
+    return sql_geohash_counts(_PTS, 6)
 
 
 @register("geohash6_counts", _geohash_oracle())
@@ -292,11 +288,11 @@ def geohash6_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     base-32 render, whole-stage codegen; the DuckDB twin is the identical
     expression chain, and published vectors (u4pruydq / ezs42 / gbsuv /
     u4pruydqqvj8) pin external truth in tests/test_cells.py."""
-    from osmgraft.functions.geohash import geohash_str_col
+    from osmgraft.functions.geohash import with_geohash
 
     pts = points_from_orders(spark, sf_dir)
     return (
-        pts.select(geohash_str_col(F.col("lat7"), F.col("lon7"), 6).alias("gh"))
+        with_geohash(pts, "lat7", "lon7", 6, out="gh")
         .groupBy("gh")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

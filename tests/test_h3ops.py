@@ -170,3 +170,24 @@ def test_h3_boundaries_operator(spark):
         for p, (la, lo) in zip(got[int(c)], want):
             assert p["lat7"] == int(round(la * 1e7))
             assert p["lon7"] == int(round(lo * 1e7))
+
+
+def test_uncompact_coarse_levels_distinct_children(spark):
+    """Review regression: Java int shifts wrap mod 32, so an un-cast digit
+    column corrupted child ids whenever child res <= 4 (7 duplicate rows
+    instead of 7 distinct children)."""
+    import numpy as np
+
+    from osmgraft.functions.h3real import get_resolution, latlng_to_cell, to_parent
+    from osmgraft.operators.h3ops import compact_cells, uncompact_cells
+
+    base = int(latlng_to_cell(np.array([100000000]), np.array([200000000]), 0)[0])
+    df = spark.createDataFrame([(base,)], "cell long")
+    kids = [r.cell for r in uncompact_cells(df, target_res=1).collect()]
+    assert len(kids) == len(set(kids)) == 7
+    assert all(int(get_resolution(np.array([k]))[0]) == 1 for k in kids)
+    assert all(int(to_parent(np.array([k]), 0)[0]) == base for k in kids)
+    # full coarse cascade roundtrip: res 0 -> 3 -> compact back to one cell
+    expanded = uncompact_cells(df, target_res=3)
+    back = compact_cells(expanded, res=3, min_res=0).collect()
+    assert len(back) == 1 and back[0].cell == base and back[0].res == 0

@@ -65,7 +65,7 @@ def test_s2_rollup_reaggregates_counts_not_rows(spark):
     plan = plan_of(REGISTRY["s2_rollup_l13_to_l10"][0](spark, SF))
     # the parent rollup is bit math over the counts: exactly two
     # aggregation exchanges (cell, then parent_cell), no extra UDF pass
-    assert plan.count("ArrowEvalPython") == 1 or plan.count("BatchEvalPython") == 0
+    assert plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") == 1
     assert plan.count("Exchange hashpartitioning") == 2
 
 
