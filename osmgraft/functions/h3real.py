@@ -961,11 +961,13 @@ def _adjust_overage_scalar(face, a, b, res_cii, substrate):
 def cell_to_boundary(cell: int) -> np.ndarray:
     """(n_verts, 2) [lat_deg, lng_deg] boundary of a HEXAGON cell, ccw from
     the i-axis vertex — H3 _faceIjkToCellBoundary parity incl. Class III
-    icosahedron-edge distortion vertices.  Pentagons raise (their separate
-    all-edges-distort algorithm is not implemented)."""
+    icosahedron-edge distortion vertices.  Pentagons route to the
+    _faceIjkPentToCellBoundary twin (5 base vertices, every vertex
+    overage-hopped off the home face, Class III distortion points on every
+    edge)."""
     cell = int(cell)
     if bool(is_pentagon(np.array([cell]))[0]):
-        raise NotImplementedError("pentagon boundaries not implemented")
+        return _pent_boundary(cell)
     farr, aarr, barr, res = _to_face_axial(np.array([cell], dtype=np.int64))
     face, a, b = int(farr[0]), int(aarr[0]), int(barr[0])
     class3 = res % 2 == 1
@@ -1017,4 +1019,75 @@ def cell_to_boundary(cell: int) -> np.ndarray:
             out.append(_chart_to_latlng(
                 np.array([x]), np.array([y]), f2, adj))
         last_face, last_overage = f2, overage
+    return np.array([(la[0], lo[0]) for la, lo in out])
+
+
+# --- pentagon boundaries (faceijk.c _faceIjkPentToCellBoundary parity) -------
+
+_PENT_VERTS_CII = _VERTS_CII[:5]
+_PENT_VERTS_CIII = _VERTS_CIII[:5]
+
+
+def _rot_translate_into(face_from, a, b, target_dir_face, adj):
+    """Apply faceNeighbors[face_from][dir(face_from->target)] to (a, b) on
+    the substrate grid (unitScale x3) — the frame hop H3 uses to express a
+    vertex in an adjacent face's chart."""
+    d = _ADJ_DIR[(face_from, target_dir_face)]
+    g, rot, ti, tj = _FACE_NEIGH[(face_from, d)]
+    for _ in range(rot):
+        a, b = a - b, a
+    us = 7 ** (adj // 2) * 3
+    return g, a + ti * us, b + tj * us
+
+
+def _pent_boundary(cell: int) -> np.ndarray:
+    farr, aarr, barr, res = _to_face_axial(np.array([cell], dtype=np.int64))
+    face, a, b = int(farr[0]), int(aarr[0]), int(barr[0])
+    class3 = res % 2 == 1
+    a, b = 3 * a, 3 * b  # downAp3 . downAp3r == scale by 3 (axial)
+    adj = res
+    if class3:
+        a, b = 3 * a - b, a + 2 * b  # downAp7r
+        adj = res + 1
+    verts = _PENT_VERTS_CIII if class3 else _PENT_VERTS_CII
+    # every pentagon vertex overages (possibly repeatedly) off the home face
+    vlist = []
+    for va, vb in verts:
+        f2, a2, b2 = face, a + int(va), b + int(vb)
+        for _ in range(4):
+            f2, a2, b2, ov = _adjust_overage_scalar(f2, a2, b2, adj, True)
+            if ov != 1:
+                break
+        vlist.append((f2, a2, b2))
+    out = []
+    last = None
+    for vert in range(6):  # extra iteration closes the ring
+        f2, a2, b2 = vlist[vert % 5]
+        if class3 and vert > 0:
+            lf, la_, lb_ = last
+            # previous vertex in ITS OWN face frame
+            x0, y0 = _axial_to_xy(la_, lb_)
+            # current vertex re-expressed in the LAST face's frame
+            gf, ga, gb = _rot_translate_into(f2, a2, b2, lf, adj)
+            x1, y1 = _axial_to_xy(ga, gb)
+            maxdim = 3 * 2 * 7 ** (adj // 2)
+            corners = {0: (maxdim, 0), 1: (0, maxdim), 2: (-maxdim, -maxdim)}
+            d = _ADJ_DIR[(lf, f2)]
+            e0, e1 = {1: (0, 1), 3: (1, 2), 2: (2, 0)}[d]
+            ex0, ey0 = _axial_to_xy(*corners[e0])
+            ex1, ey1 = _axial_to_xy(*corners[e1])
+            s1x, s1y = x1 - x0, y1 - y0
+            s2x, s2y = ex1 - ex0, ey1 - ey0
+            den = -s2x * s1y + s1x * s2y
+            if den != 0:
+                t = (s2x * (y0 - ey0) - s2y * (x0 - ex0)) / den
+                ix, iy = x0 + t * s1x, y0 + t * s1y
+                if not ((abs(ix - x0) < 1e-9 and abs(iy - y0) < 1e-9)
+                        or (abs(ix - x1) < 1e-9 and abs(iy - y1) < 1e-9)):
+                    out.append(_chart_to_latlng(
+                        np.array([ix]), np.array([iy]), lf, adj))
+        if vert < 5:
+            x, y = _axial_to_xy(a2, b2)
+            out.append(_chart_to_latlng(np.array([x]), np.array([y]), f2, adj))
+        last = (f2, a2, b2)
     return np.array([(la[0], lo[0]) for la, lo in out])
