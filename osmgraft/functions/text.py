@@ -140,6 +140,52 @@ def sql_shingles(expr: str, n: int = 3) -> str:
     )
 
 
+# --- repetition signals (Gopher-style quality rules: Rae et al. 2021, public) --
+
+
+def top_token_count(toks: Column) -> Column:
+    """Count of the most frequent token (0 for an empty array).
+
+    Nested higher-order functions, O(distinct × n) per row — fine for
+    document-sized token arrays, and the lambdas only touch their own
+    arguments plus a *column reference* to the token array (callers must
+    materialize the array with withColumn first; see shingles() for why
+    capturing the tokenize pipeline inside a lambda is a 150× trap)."""
+    return F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda d: F.size(F.filter(toks, lambda t: t == d)),
+            )
+        ),
+        F.lit(0),
+    )
+
+
+def sql_top_token_count(toks: str) -> str:
+    return (
+        f"coalesce(list_max(list_transform(list_distinct({toks}), "
+        f"d -> len(list_filter({toks}, t -> t = d)))), 0)"
+    )
+
+
+def word_bigrams(toks: Column) -> Column:
+    """Adjacent word pairs (non-distinct), shifted-slice zip — no lambda
+    captures anything but its own arguments."""
+    cnt = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, cnt), F.slice(toks, 2, cnt), lambda a, b: F.concat_ws(" ", a, b)
+    )
+
+
+def sql_word_bigrams(toks: str) -> str:
+    # range(1, len) is exclusive → i = 1..len-1, pairing 1-based [i], [i+1]
+    return (
+        f"list_transform(range(1, greatest(len({toks}), 1)), "
+        f"i -> ({toks})[i] || ' ' || ({toks})[i+1])"
+    )
+
+
 # Frequent English character bigrams (standard public frequency data —
 # Norvig's Google-corpus tables / classical cryptanalysis lists).  Used as a
 # fixed feature set, not a trained model: the score is integer per-mille of

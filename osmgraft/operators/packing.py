@@ -1,0 +1,115 @@
+"""Sequence packing for LLM training: concat-and-chunk document→token-window
+assignment (the "pack documents into fixed-length training sequences" step a
+pretraining pipeline runs after curation).
+
+Semantics: documents are laid out in ONE deterministic global order (portable
+md5 of doc_id, tie-broken by doc_id — the same engine-independent ordering
+discipline as doc_split_assign), token counts cumulate, and the concatenated
+token stream is cut every ``seq_len`` tokens.  Each document reports the first
+and last training sequence it lands in plus its offset inside the first
+(documents straddle cut points — chunking semantics, the standard layout for
+causal-LM pretraining).  Zero-token documents occupy no stream space and are
+dropped (mirrored in the oracle).
+
+Scale shape — the global exclusive prefix sum is the textbook TWO-PASS
+distributed scan, not a single-partition window:
+
+  1. ``repartitionByRange`` on (order_key, doc_id) → rows land in ascending
+     key ranges; ``spark_partition_id()`` is materialized immediately and the
+     frame is localCheckpoint'ed so both downstream uses see one frozen
+     partitioning (RangePartitioner samples, so pids must not be recomputed).
+  2. A window cumsum PARTITIONED BY pid (never unpartitioned — no stage holds
+     more than rows/partitions).
+  3. Per-partition token totals — ONE row per partition, bounded metadata ≤
+     #partitions — collect to the driver, exclusive-cumsum there (range
+     partition i precedes i+1 by construction), and broadcast-join back as
+     per-partition base offsets.
+
+At 10^12 rows this is two scans + one range shuffle; the only driver-side
+data is the #partitions-row offset table (same bounded-aggregate license as
+celljoin's hot-cell sketch).  The result is a pure function of the global
+order, independent of the partition count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osmgraft.functions import text as T
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 128, num_parts: int | None = None) -> DataFrame:
+    """(doc_id, text) → (doc_id, n_tok, first_seq, last_seq, seq_offset).
+
+    first_seq/last_seq index the fixed-``seq_len`` training windows the
+    document's tokens fall into; seq_offset is the token offset inside
+    first_seq where the document starts.
+    """
+    from pyspark.sql import Window as W
+
+    spark = docs.sparkSession
+    if num_parts is None:
+        num_parts = spark.sparkContext.defaultParallelism
+
+    d = docs.select(
+        "doc_id",
+        T.md5_long(F.col("doc_id").cast("string")).alias("okey"),
+        T.token_count(F.col("text")).cast("long").alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+
+    # pass 1: range-partition on the global order; freeze pids (sampling-based
+    # partitioner — recomputation could re-draw boundaries)
+    d = (
+        d.repartitionByRange(num_parts, "okey", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+
+    # per-partition exclusive cumsum (partitioned window — no global sort node)
+    w = (
+        W.partitionBy("pid")
+        .orderBy("okey", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = d.withColumn("local_excl", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+
+    # pass 2: bounded per-partition totals → driver exclusive cumsum → broadcast
+    totals = {
+        r["pid"]: r["tot"]
+        for r in d.groupBy("pid").agg(F.sum("n_tok").alias("tot")).collect()
+    }
+    base, offsets = 0, []
+    for pid in sorted(totals):  # range partition i precedes i+1
+        offsets.append((pid, base))
+        base += totals[pid]
+    off_df = spark.createDataFrame(offsets, "pid int, base long")
+
+    out = local.join(F.broadcast(off_df), "pid").withColumn(
+        "cum", F.col("base") + F.col("local_excl")
+    )
+    return out.select(
+        "doc_id",
+        "n_tok",
+        F.expr(f"cum div {seq_len}").alias("first_seq"),
+        F.expr(f"(cum + n_tok - 1) div {seq_len}").alias("last_seq"),
+        (F.col("cum") % seq_len).alias("seq_offset"),
+    )
+
+
+def sql_pack_sequences(seq_len: int = 128) -> str:
+    """DuckDB twin: the same layout stated as ONE ordered window cumsum —
+    a genuinely different algorithm (global sort) than the engine's two-pass
+    distributed scan, hashing identically."""
+    okey = T.sql_md5_long("CAST(doc_id AS VARCHAR)")
+    return f"""WITH d AS (
+  SELECT doc_id, {okey} AS okey, {T.sql_token_count('text')} AS n_tok FROM documents),
+c AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY okey, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM d WHERE n_tok > 0)
+SELECT doc_id, n_tok, cum // {seq_len} AS first_seq,
+       (cum + n_tok - 1) // {seq_len} AS last_seq,
+       cum % {seq_len} AS seq_offset
+FROM c"""

@@ -655,6 +655,76 @@ def text_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_quality",
+    f"""WITH t AS (SELECT doc_id, {T.sql_tokens('text')} AS toks FROM documents),
+b AS (SELECT doc_id, toks, {T.sql_word_bigrams('toks')} AS bgs FROM t)
+SELECT doc_id, len(toks) AS n_tokens,
+  CASE WHEN len(toks) = 0 THEN 0
+       ELSE (1000 * (len(toks) - len(list_distinct(toks)))) // len(toks) END AS tok_repeat_ptm,
+  CASE WHEN len(toks) = 0 THEN 0
+       ELSE (1000 * {T.sql_top_token_count('toks')}) // len(toks) END AS top_tok_ptm,
+  CASE WHEN len(bgs) = 0 THEN 0
+       ELSE (1000 * (len(bgs) - len(list_distinct(bgs)))) // len(bgs) END AS dup_bigram_ptm
+FROM b""",
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1, public):
+    per-mille of repeated tokens, share of the single most frequent token, and
+    per-mille of duplicated word bigrams — the standard filters that drop
+    boilerplate/spam/keyword-stuffed documents before training.  Pure JVM
+    array expressions per row (no explode, no shuffle, no Python); the token
+    array is materialized with withColumn so no lambda recaptures the tokenize
+    pipeline (see text.shingles).  Integer per-mille floor-division makes the
+    DuckDB twin bit-identical."""
+    docs = _docs(spark, sf_dir)
+    t = docs.withColumn("toks", T.tokens(F.col("text")))
+    b = t.withColumn("bgs", T.word_bigrams(F.col("toks")))
+    n = F.size("toks")
+    nb = F.size("bgs")
+    return b.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.when(n == 0, F.lit(0))
+        .otherwise(F.expr("(1000 * (size(toks) - size(array_distinct(toks)))) div size(toks)"))
+        .cast("long")
+        .alias("tok_repeat_ptm"),
+        F.when(n == 0, F.lit(0))
+        .otherwise(F.expr(f"(1000 * {_TOP_TOK_SPARK}) div size(toks)"))
+        .cast("long")
+        .alias("top_tok_ptm"),
+        F.when(nb == 0, F.lit(0))
+        .otherwise(F.expr("(1000 * (size(bgs) - size(array_distinct(bgs)))) div size(bgs)"))
+        .cast("long")
+        .alias("dup_bigram_ptm"),
+    )
+
+
+# Spark-SQL spelling of text.top_token_count over the materialized `toks`
+# column (div needs F.expr anyway, so the whole numerator is stated in SQL)
+_TOP_TOK_SPARK = (
+    "coalesce(array_max(transform(array_distinct(toks), "
+    "d -> size(filter(toks, t -> t = d)))), 0)"
+)
+
+
+from osmgraft.operators.packing import sql_pack_sequences  # noqa: E402
+
+
+@register("doc_pack_sequences", sql_pack_sequences(128))
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents → fixed-128-token training
+    windows in a portable md5 global order.  The engine runs the two-pass
+    distributed prefix scan (range shuffle + partitioned window + bounded
+    per-partition offset table — operators/packing.py); the DuckDB twin states
+    the same layout as one global-sort window cumsum.  Two genuinely different
+    algorithms, one hash."""
+    from osmgraft.operators.packing import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    return pack_sequences(docs, seq_len=128)
+
+
+@register(
     "lang_id_pred",
     f"SELECT doc_id, {T.sql_lang_id('text')} AS lang_pred FROM documents",
 )

@@ -536,3 +536,52 @@ def test_connected_components_chain_and_clusters(spark):
     got = {r.id: r.comp for r in connected_components(df).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_repetition_kernels_hand_computed(spark):
+    """top_token_count / word_bigrams on crafted rows (Gopher-rule primitives)."""
+    from osmgraft.functions import text as T
+
+    rows = [(1, "a a a b"), (2, ""), (3, "x"), (4, "  spaced   out  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = df.withColumn("toks", T.tokens(F.col("text")))
+    got = {
+        r.doc_id: (r.top, list(r.bgs))
+        for r in t.select(
+            "doc_id",
+            T.top_token_count(F.col("toks")).alias("top"),
+            T.word_bigrams(F.col("toks")).alias("bgs"),
+        ).collect()
+    }
+    assert got[1] == (3, ["a a", "a a", "a b"])
+    assert got[2] == (0, [])
+    assert got[3] == (1, [])
+    assert got[4] == (1, ["spaced out"])
+
+
+def test_pack_sequences_matches_reference_and_partition_invariant(spark):
+    """Two-pass distributed prefix scan == local python reference; output is a
+    pure function of the global md5 order (invariant to num_parts)."""
+    import hashlib
+
+    from osmgraft.operators.packing import pack_sequences
+
+    rows = [(i, "tok " * (i % 37)) for i in range(1, 201)]  # includes 0-token docs
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    S = 16
+    got = {r.doc_id: (r.n_tok, r.first_seq, r.last_seq, r.seq_offset)
+           for r in pack_sequences(docs, seq_len=S, num_parts=5).collect()}
+
+    def okey(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    order = sorted(((okey(i), i) for i, txt in rows if i % 37 > 0))
+    cum, ref = 0, {}
+    for _, i in order:
+        n = i % 37
+        ref[i] = (n, cum // S, (cum + n - 1) // S, cum % S)
+        cum += n
+    assert got == ref
+    again = {r.doc_id: (r.n_tok, r.first_seq, r.last_seq, r.seq_offset)
+             for r in pack_sequences(docs, seq_len=S, num_parts=1).collect()}
+    assert again == got
