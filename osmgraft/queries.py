@@ -13,6 +13,8 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401  (resolves pandas_udf type hints under future-annotations)
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -251,6 +253,103 @@ def h3_polyfill_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in COVER_BOUNDARIES
     ]
     return h3_polyfill(spark.createDataFrame(rows, ADMIN_BOUNDARY_SCHEMA), 4)
+
+
+# Pinned by tools/h3_dissolve_fixture.py: (gid, center_cell, k) gridDisk
+# regions at EVEN (Class II) resolutions with no pentagon inside disk(k+1),
+# so public H3 geometry states the dissolved shape in closed form: one ring,
+# 6*(2k+1) vertices, ring area == sum of member cell areas (shared edges
+# cancel bitwise).
+_DISSOLVE_FIXTURE = [
+    (0, 598476651583504383, 1), (1, 598562482209947647, 2),
+    (2, 607416147255492607, 3), (3, 607545398122250239, 1),
+    (4, 598445152293355519, 3), (5, 607514455567237119, 2),
+    (6, 597660882675171327, 1), (7, 597690406280364031, 2),
+    (8, 606959571293962239, 3), (9, 606528018617204735, 1),
+    (10, 597476276390854655, 3), (11, 606743271506444287, 2),
+    (12, 596873640939618303, 1), (13, 597066545100750847, 2),
+    (14, 605753831434747903, 3), (15, 605788029574971391, 1),
+    (16, 596810625179451391, 3), (17, 606089174293938175, 2),
+    (18, 596096054290546687, 1), (19, 596388679002357759, 2),
+    (20, 605006671273525247, 3), (21, 605035235893051391, 1),
+    (22, 596177486870478847, 3), (23, 604794369832124415, 2),
+    (24, 595442875664171007, 1), (25, 595144461336444927, 2),
+    (26, 603953614817329151, 3), (27, 604020916015333375, 1),
+    (28, 595049353580642303, 3), (29, 604329810331697151, 2),
+    (30, 594689358011826175, 1), (31, 594749899870830591, 2),
+    (32, 603603414055649279, 3), (33, 603624780041551871, 1),
+    (34, 594671508127743999, 3), (35, 603859360686276607, 2),
+]
+
+
+def _h3_dissolve_oracle() -> str:
+    vals = ", ".join(f"({g}, {k}, {6 * (2 * k + 1)}, TRUE)" for g, _, k in _DISSOLVE_FIXTURE)
+    return (
+        f"SELECT * FROM (VALUES {vals}) AS t(gid, k, n_verts, area_ok)"
+    )
+
+
+@register("h3_dissolve_disks", _h3_dissolve_oracle())
+def h3_dissolve_disks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector DISSOLVE on real H3 ids (operators/h3ops.h3_dissolve):
+    36 pinned gridDisk regions explode to their member cells IN SPARK, the
+    dissolve operator cancels shared edges bitwise and stitches the exterior
+    into rings, and per-cell shoelace areas re-aggregate to check exact
+    additivity.  The oracle is public H3 geometry in closed form (Class II
+    disks: ONE ring, 6*(2k+1) vertices, area-additive) — any drift in
+    gridDisk, cellToBoundary vertex exactness, edge cancellation, ring
+    stitching, or the shoelace flips the hash.  Spec-as-oracle, same license
+    as multipolygon_assembly."""
+    from pyspark.sql.functions import pandas_udf
+
+    from osmgraft.operators.h3ops import h3_dissolve
+
+    @pandas_udf("array<long>")
+    def _disk(center: pd.Series, k: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from osmgraft.functions.h3real import grid_disk
+
+        out = []
+        for c, kk in zip(center, k):
+            out.append([int(x) for x in grid_disk(np.array([np.uint64(c)]), int(kk))[0]])
+        return pd.Series(out)
+
+    @pandas_udf("long")
+    def _cell_area2(cells: pd.Series) -> pd.Series:
+        from osmgraft.functions.h3real import cell_to_boundary
+        from osmgraft.operators.multipolygon import _shoelace2
+
+        out = []
+        for c in cells:
+            b = cell_to_boundary(int(c))
+            iv = [(int(round(la * 1e7)), int(round(lo * 1e7))) for la, lo in b]
+            out.append(abs(_shoelace2(iv)))
+        return pd.Series(out, dtype="int64")
+
+    fix = spark.createDataFrame(_DISSOLVE_FIXTURE, "gid long, center long, k int")
+    cells = fix.select("gid", "k", F.explode(_disk("center", "k")).alias("cell"))
+    diss = h3_dissolve(cells.select("gid", "cell"), group_col="gid", cell_col="cell")
+    sums = cells.withColumn("a2", _cell_area2("cell")).groupBy("gid", "k").agg(
+        F.sum("a2").alias("sum_a2"), F.count("*").alias("n_cells")
+    )
+    return (
+        diss.groupBy("gid")
+        .agg(
+            F.count("*").alias("n_rings"),
+            F.max("n_verts").alias("n_verts"),
+            F.max("area2_fp").alias("area2_fp"),
+        )
+        .join(sums, "gid")
+        .select(
+            "gid",
+            "k",
+            # a second ring would break max(n_verts)==formula only sometimes —
+            # fold ring count into the gated vertex column instead
+            F.when(F.col("n_rings") == 1, F.col("n_verts")).otherwise(F.lit(-1)).alias("n_verts"),
+            (F.col("area2_fp") == F.col("sum_a2")).alias("area_ok"),
+        )
+    )
 
 
 from osmgraft.operators.multipolygon import sql_mp_expected  # noqa: E402
