@@ -37,6 +37,10 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         return encode_qdct(pixels)
     if fmt == "png":
         return png_encode(pixels)
+    if fmt == "jpeg":
+        from osmgraft.functions.jpeg import jpeg_encode
+
+        return jpeg_encode(pixels)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -64,6 +68,13 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         px = png_decode(data)
         if px.shape != (h, w, 3):
             raise ValueError(f"png dims {px.shape[:2]} != metadata ({h}, {w})")
+        return px
+    if fmt == "jpeg":
+        from osmgraft.functions.jpeg import jpeg_decode
+
+        px = jpeg_decode(data)
+        if px.shape != (h, w, 3):
+            raise ValueError(f"jpeg dims {px.shape[:2]} != metadata ({h}, {w})")
         return px
     raise ValueError(f"unknown fmt {fmt!r}")
 
@@ -363,17 +374,21 @@ def decode_batch(
             + 128
         )
         return np.clip(p, 0, 255).astype(np.uint8)[:, :h, :w]
-    if fmt == "png":
-        # Variable-length compressed payloads: inflate is inherently
-        # per-buffer, so this is a per-ROW loop — but each iteration is one
-        # C-level zlib.decompress + vectorized unfilter, not per-pixel
-        # Python. The other fmts keep their flat-buffer vector path.
+    if fmt in ("png", "jpeg"):
+        # Variable-length compressed payloads: inflate / entropy decode is
+        # inherently per-buffer, so this is a per-ROW loop — but each
+        # iteration's heavy parts are C-level (zlib) or batched numpy
+        # (jpeg's whole-image integer IDCT), not per-pixel Python. The
+        # other fmts keep their flat-buffer vector path.
+        from osmgraft.functions.jpeg import jpeg_decode
+
+        dec = png_decode if fmt == "png" else jpeg_decode
         out = np.empty((n, h, w, 3), dtype=np.uint8)
         bb = buf.tobytes()
         for i in range(n):
-            px = png_decode(bb[starts[i]:ends[i]])
+            px = dec(bb[starts[i]:ends[i]])
             if px.shape != (h, w, 3):
-                raise ValueError(f"png dims {px.shape[:2]} != metadata ({h}, {w})")
+                raise ValueError(f"{fmt} dims {px.shape[:2]} != metadata ({h}, {w})")
             out[i] = px
         return out
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -564,6 +579,22 @@ def validate_batch(
         for i in np.flatnonzero(ok):
             try:
                 px = png_decode(bb[starts[i]:ends[i]])
+                ok[i] = px.shape == (h, w, 3)
+            except Exception:
+                ok[i] = False
+        return ok
+    if fmt == "jpeg":
+        # Same compressed-container reasoning as png: entropy-coded streams
+        # can only be proven decodable by decoding (SOI/JFIF prefix alone
+        # proves nothing about the Huffman segment).
+        from osmgraft.functions.jpeg import jpeg_decode
+
+        ok &= spans > 4
+        ok = has_prefix(ok, np.frombuffer(b"\xff\xd8\xff", dtype=np.uint8))
+        bb = buf.tobytes()
+        for i in np.flatnonzero(ok):
+            try:
+                px = jpeg_decode(bb[starts[i]:ends[i]])
                 ok[i] = px.shape == (h, w, 3)
             except Exception:
                 ok[i] = False

@@ -1,0 +1,666 @@
+"""Baseline JPEG codec — pure numpy + integer fixed point (no image lib).
+
+Public knowledge only: ITU-T T.81 (baseline sequential DCT, Huffman entropy
+coding), the JFIF 1.1 container, the Annex K.1 example quantization tables
+with the classic IJG quality scaling, and the Annex K.2 optimal code-length
+procedure (the same frequency-merge + 16-bit-adjust algorithm libjpeg's
+-optimize mode uses).  This replaces the last "lossy format" gap left after
+round-3's PNG work: ``qdct`` was a JPEG without the entropy coder; this is
+the real thing — entropy-coded, interchange-format streams any baseline
+decoder can parse (markers, JFIF APP0, DQT/SOF0/DHT/DRI/SOS framing, 0xFF00
+byte stuffing, RSTn restart markers).
+
+Host-invariance discipline (SURVEY round-3 #13): every kernel is integer
+fixed point —
+  * RGB↔YCbCr with round(c·2^16) coefficients and explicit half-up rounding;
+  * FDCT/IDCT through codec._dct8_blocks (int64 matmuls of the 2^18-scaled
+    orthonormal basis — the 2D orthonormal DCT *is* T.81's S(u,v) =
+    ¼C(u)C(v)ΣΣ, so quantized coefficients are spec-scaled);
+  * quantization by symmetric half-away-from-zero integer division.
+Encode is bit-deterministic for given (pixels, quality, subsample, restart);
+decode(encode(x)) is bit-identical on every host/BLAS/thread count.
+
+Huffman tables are computed PER IMAGE from the actual symbol frequencies
+(two-pass "optimized" encoding) and carried in DHT, so the decoder's generic
+DHT path — not a memorized constant table — is what correctness rests on.
+The all-ones codeword is reserved per T.81 §C.2 (freq[256] = 1 sentinel), so
+1-padding at flush can never form a valid code.
+
+Subsampling: "444" (one 8×8 block per component per MCU) and "420" (16×16
+MCUs, 4 luma blocks, 2×2 box-mean chroma with half-up rounding, replicated
+on decode).  Restart intervals are supported both ways (encoder emits RSTn,
+decoder resets bit alignment + DC predictors at each).
+
+Vectorization shape: FDCT/IDCT/color/quantization run as whole-image numpy
+batches; only the entropy coder is a per-symbol Python loop (Huffman is
+inherently bit-serial), driven by a 16-bit prefix LUT on decode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from osmgraft.functions.codec import _dct8_blocks, _QDCT_FX, _sdiv_round
+
+_FX2 = 1 << (2 * _QDCT_FX)  # 2^36: scale carried by a forward+inverse pass
+
+# --- zigzag (T.81 Figure 5) ---------------------------------------------------
+
+
+def _zigzag64() -> np.ndarray:
+    """Natural (row-major) index for each zigzag position."""
+    out = []
+    for s in range(15):
+        cells = [(i, s - i) for i in range(8) if 0 <= s - i < 8]
+        out.extend(cells if s % 2 == 1 else cells[::-1])
+    return np.array([i * 8 + j for i, j in out], dtype=np.int64)
+
+
+_ZZ = _zigzag64()          # zigzag pos -> natural idx
+_ZZ_INV = np.argsort(_ZZ)  # natural idx -> zigzag pos
+
+# --- quantization tables (T.81 Annex K.1; IJG quality scaling) -----------------
+
+_K1_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+_K1_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+
+def quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG scaling: 5000/q below 50, 200-2q above; clip to [1, 255]."""
+    quality = max(1, min(100, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for base in (_K1_LUMA, _K1_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).reshape(8, 8))
+    return out[0], out[1]
+
+
+# --- integer color transform (JFIF YCbCr, 2^16 fixed point) --------------------
+
+_Y_R, _Y_G, _Y_B = 19595, 38470, 7471          # round(0.299/0.587/0.114 · 2^16)
+_CB_R, _CB_G = 11059, 21709                    # round(0.168736/0.331264 · 2^16)
+_CR_G, _CR_B = 27439, 5329                     # round(0.418688/0.081312 · 2^16)
+_RV = 91881                                    # round(1.402 · 2^16)
+_GU, _GV = 22553, 46802                        # round(0.344136/0.714136 · 2^16)
+_BU = 116130                                   # round(1.772 · 2^16)
+
+
+def rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    """(…, 3) uint8 RGB → int64 YCbCr in [0, 255] (half-up rounding)."""
+    r = px[..., 0].astype(np.int64)
+    g = px[..., 1].astype(np.int64)
+    b = px[..., 2].astype(np.int64)
+    y = (_Y_R * r + _Y_G * g + _Y_B * b + 32768) >> 16
+    cb = ((-_CB_R * r - _CB_G * g + 32768 * b + 32768) >> 16) + 128
+    cr = ((32768 * r - _CR_G * g - _CR_B * b + 32768) >> 16) + 128
+    return np.clip(np.stack([y, cb, cr], axis=-1), 0, 255)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """int64 YCbCr → (…, 3) uint8 RGB (half-up rounding, clipped)."""
+    y = ycc[..., 0].astype(np.int64)
+    u = ycc[..., 1].astype(np.int64) - 128
+    v = ycc[..., 2].astype(np.int64) - 128
+    r = y + ((_RV * v + 32768) >> 16)
+    g = y - ((_GU * u + _GV * v + 32768) >> 16)
+    b = y + ((_BU * u + 32768) >> 16)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+# --- Huffman code generation (T.81 Annex K.2 / §C.2) ---------------------------
+
+
+def gen_huffman(freqs: np.ndarray) -> tuple[list[int], list[int]]:
+    """Symbol frequencies (len 256) → (BITS[1..16], HUFFVAL) per T.81 K.2:
+    iterative two-least-frequent merge with the reserved 257th symbol (so no
+    real code is all ones), then the Adjust_BITS fold to a 16-bit ceiling."""
+    freq = np.zeros(257, dtype=np.int64)
+    freq[:256] = freqs
+    freq[256] = 1  # reserved: claims the all-ones codeword
+    codesize = np.zeros(257, dtype=np.int64)
+    others = np.full(257, -1, dtype=np.int64)
+    while True:
+        nz = np.flatnonzero(freq > 0)
+        if len(nz) <= 1:
+            break
+        f = freq[nz]
+        m1 = f.min()
+        c1 = int(nz[f == m1].max())  # ties → larger symbol value
+        rest = nz[nz != c1]
+        f2 = freq[rest]
+        m2 = f2.min()
+        c2 = int(rest[f2 == m2].max())
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] != -1:
+            c1 = int(others[c1])
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] != -1:
+            c2 = int(others[c2])
+            codesize[c2] += 1
+    # Size BITS by the actual max depth: Fibonacci-skewed frequencies (legal
+    # on huge images) can exceed the 32 levels libjpeg hard-caps at; the
+    # Adjust_BITS fold below works from any starting depth.
+    maxlen = max(16, int(codesize.max()))
+    bits = [0] * (maxlen + 1)
+    for s in range(257):
+        if codesize[s]:
+            bits[int(codesize[s])] += 1
+    for ln in range(maxlen, 16, -1):  # Adjust_BITS (Figure K.3)
+        while bits[ln] > 0:
+            j = ln - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[ln] -= 2
+            bits[ln - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    ln = 16
+    while bits[ln] == 0:
+        ln -= 1
+    bits[ln] -= 1  # drop the reserved symbol's code
+    huffval = [s for _, s in sorted((int(codesize[s]), s) for s in range(256) if codesize[s])]
+    return bits[1:17], huffval
+
+
+def _canonical_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
+    """(BITS, HUFFVAL) → {symbol: (code, length)} (T.81 §C.2 canonical order)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[huffval[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_lut(bits: list[int], huffval: list[int]) -> np.ndarray:
+    """16-bit prefix LUT: lut[next16bits] = (symbol << 5) | code_length.
+    0 marks an invalid prefix (no zero-length codes exist)."""
+    lut = np.zeros(1 << 16, dtype=np.int32)
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            if k >= len(huffval):
+                raise ValueError("DHT: BITS exceed HUFFVAL count")
+            lo = code << (16 - ln)
+            hi = lo + (1 << (16 - ln))
+            if hi > (1 << 16):
+                raise ValueError("DHT: code overflows 16 bits")
+            lut[lo:hi] = (huffval[k] << 5) | ln
+            code += 1
+            k += 1
+        if code > (1 << ln):
+            raise ValueError("DHT: not a prefix code")
+        code <<= 1
+    return lut
+
+
+# --- bit I/O --------------------------------------------------------------------
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (val & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # 1-pad to byte boundary (spec §B.2.5)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self, k: int) -> None:
+        while self.n < k:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def peek16(self) -> int:
+        self._fill(16)
+        return (self.acc >> (self.n - 16)) & 0xFFFF
+
+    def skip(self, k: int) -> None:
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+
+    def get(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._fill(k)
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.skip(k)
+        return v
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """DC/AC magnitude coding: value → (category ssss, extra bits)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def _extend(bits: int, s: int) -> int:
+    """Inverse of _magnitude (T.81 EXTEND)."""
+    if s == 0:
+        return 0
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+# --- encoder --------------------------------------------------------------------
+
+
+def _fdct_quant(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """(H, W) int64 level-shifted samples → (H/8 · W/8, 64) int32 quantized
+    coefficients in ZIGZAG order — one batched integer matmul pass."""
+    H, W = plane.shape
+    blocks = plane.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+    coef = _dct8_blocks(blocks.astype(np.int64), inverse=False)
+    q = _sdiv_round(coef, qtab[None, None] * _FX2)
+    return q.reshape(-1, 64)[:, _ZZ].astype(np.int32)
+
+
+def _pad_edge(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, -h % mh), (0, -w % mw)), mode="edge")
+
+
+def _block_symbols(zz: np.ndarray, pred: int) -> tuple[list[tuple[int, int, int]], int]:
+    """One zigzag block → [(is_ac, symbol, (ssss, extra))…] flattened as
+    (symbol, ssss, extra) with DC first; returns (tokens, new predictor)."""
+    toks = []
+    s, extra = _magnitude(int(zz[0]) - pred)
+    toks.append((0, s, extra))  # DC: symbol IS ssss
+    nz = np.flatnonzero(zz[1:])
+    run_start = 0
+    for idx in nz:
+        run = int(idx) - run_start
+        while run > 15:
+            toks.append((1, 0xF0, 0))  # ZRL
+            run -= 16
+        s, extra = _magnitude(int(zz[1 + idx]))
+        toks.append((1, (run << 4) | s, extra))
+        run_start = int(idx) + 1
+    if run_start < 63:
+        toks.append((1, 0x00, 0))  # EOB
+    return toks, int(zz[0])
+
+
+def _component_planes(px: np.ndarray, subsample: str) -> list[np.ndarray]:
+    """RGB (h, w, 3) → level-shifted [Y, Cb, Cr] planes, padded + subsampled."""
+    ycc = rgb_to_ycbcr(px)
+    if subsample == "444":
+        planes = [ycc[..., c] for c in range(3)]
+        return [_pad_edge(p, 8, 8) - 128 for p in planes]
+    # 420: luma padded to 16, chroma = 2×2 box mean (half-up) of the padded luma grid
+    y = _pad_edge(ycc[..., 0], 16, 16)
+    out = [y - 128]
+    for c in (1, 2):
+        p = _pad_edge(ycc[..., c], 16, 16)
+        ds = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2] + 2) >> 2
+        out.append(ds - 128)
+    return out
+
+
+def jpeg_encode(
+    px: np.ndarray,
+    quality: int = 98,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes (two-pass optimized Huffman)."""
+    if px.ndim != 3 or px.shape[2] != 3 or px.dtype != np.uint8:
+        raise ValueError("jpeg_encode expects (h, w, 3) uint8")
+    if subsample not in ("444", "420"):
+        raise ValueError(f"unsupported subsample {subsample!r}")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError("jpeg dims out of range")
+    qt_l, qt_c = quant_tables(quality)
+    planes = _component_planes(px, subsample)
+    zz = [_fdct_quant(p, qt_l if i == 0 else qt_c) for i, p in enumerate(planes)]
+
+    # MCU walk order: per MCU, each component's blocks in raster order
+    if subsample == "444":
+        samp = [(1, 1), (1, 1), (1, 1)]
+    else:
+        samp = [(2, 2), (1, 1), (1, 1)]
+    mcu_w = 8 * max(sx for sx, _ in samp)
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_w - 1) // mcu_w
+    plane_bw = [pl.shape[1] // 8 for pl in planes]
+
+    def mcu_blocks(mx: int, my: int):
+        for ci, (sx, sy) in enumerate(samp):
+            for by in range(sy):
+                for bx in range(sx):
+                    bidx = (my * sy + by) * plane_bw[ci] + (mx * sx + bx)
+                    yield ci, zz[ci][bidx]
+
+    # pass 1: symbol frequencies (DC/AC × luma/chroma)
+    freqs = [np.zeros(256, dtype=np.int64) for _ in range(4)]
+    preds = [0, 0, 0]
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                preds = [0, 0, 0]
+            n_mcu += 1
+            for ci, blk in mcu_blocks(mx, my):
+                toks, preds[ci] = _block_symbols(blk, preds[ci])
+                t = 0 if ci == 0 else 1
+                for is_ac, sym, _extra in toks:
+                    freqs[t * 2 + is_ac][sym] += 1
+
+    tables = [gen_huffman(f) for f in freqs]  # [luma DC, luma AC, chroma DC, chroma AC]
+    codes = [_canonical_codes(b, v) for b, v in tables]
+
+    # pass 2: emit
+    wr = _BitWriter()
+    preds = [0, 0, 0]
+    n_mcu = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                wr.flush()
+                wr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                preds = [0, 0, 0]
+            n_mcu += 1
+            for ci, blk in mcu_blocks(mx, my):
+                toks, preds[ci] = _block_symbols(blk, preds[ci])
+                t = 0 if ci == 0 else 1
+                for is_ac, sym, extra in toks:
+                    code, ln = codes[t * 2 + is_ac][sym]
+                    wr.put(code, ln)
+                    ssss = sym if not is_ac else (sym & 0x0F)
+                    if ssss:
+                        wr.put(extra, ssss)
+    wr.flush()
+
+    # container
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, qt in ((0, qt_l), (1, qt_c)):
+        out += seg(0xDB, bytes([tq]) + bytes(qt.reshape(64)[_ZZ].astype(np.uint8)))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    for ci, (sx, sy) in enumerate(samp):
+        sof += bytes([ci + 1, (sx << 4) | sy, 0 if ci == 0 else 1])
+    out += seg(0xC0, bytes(sof))
+    for ti, (bits, vals) in enumerate(tables):
+        tc, th = ti % 2, ti // 2  # class (0 DC / 1 AC), table id (0 luma / 1 chroma)
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytearray([3])
+    for ci in range(3):
+        td_ta = 0x00 if ci == 0 else 0x11
+        sos += bytes([ci + 1, td_ta])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, bytes(sos))
+    out += wr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decoder --------------------------------------------------------------------
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Baseline JFIF/JPEG bytes → (h, w, 3) uint8 RGB.
+
+    Generic baseline-sequential decoder: markers parsed from the stream (no
+    reliance on this module's own emission order), DHT tables rebuilt into
+    16-bit prefix LUTs, entropy segments destuffed and split at RSTn, one
+    batched integer IDCT over every block at the end.  Raises ValueError on
+    any malformed input (decode_batch routes that to null per row)."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("not a jpeg (no SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], np.ndarray] = {}
+    restart = 0
+    frame = None  # (h, w, comps=[(cid, sx, sy, tq)])
+    scan = None   # (comps=[(cid, td, ta)], entropy_start)
+
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker sync lost at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue
+        if pos + 2 > len(data):
+            raise ValueError("truncated segment header")
+        ln = int.from_bytes(data[pos : pos + 2], "big")
+        body = data[pos + 2 : pos + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated segment body")
+        pos += ln
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("only 8-bit DQT supported (baseline)")
+                zz = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(np.int64)
+                if len(zz) != 64:
+                    raise ValueError("short DQT")
+                nat = np.empty(64, dtype=np.int64)
+                nat[_ZZ] = zz
+                qtabs[tq] = nat.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                if len(bits) != 16 or len(vals) != nv:
+                    raise ValueError("short DHT")
+                huff[(tc, th)] = _decode_lut(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline huffman)
+            if body[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported component count {nc}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline SOF not supported")
+        elif marker == 0xDD:  # DRI
+            restart = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scomps = []
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c : 3 + 2 * c]
+                scomps.append((cs, tdta >> 4, tdta & 0x0F))
+            scan = (scomps, pos)
+            break
+        # APPn / COM / others: skipped via their length
+
+    if frame is None or scan is None:
+        raise ValueError("missing SOF or SOS")
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise ValueError("zero-dim frame")
+    scomps, epos = scan
+    if [c[0] for c in scomps] != [c[0] for c in comps]:
+        raise ValueError("scan/frame component mismatch")
+
+    # entropy segments: destuff, split at RSTn, stop at any other marker
+    segs: list[bytes] = []
+    cur_start = epos
+    i = epos
+    n = len(data)
+    while True:
+        if i >= n - 1:
+            segs.append(data[cur_start:n])
+            break
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        nxt = data[i + 1]
+        if nxt == 0x00:
+            i += 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:
+            segs.append(data[cur_start:i])
+            i += 2
+            cur_start = i
+            continue
+        segs.append(data[cur_start:i])
+        break
+    segs = [s.replace(b"\xff\x00", b"\xff") for s in segs]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    n_mcus = mcus_x * mcus_y
+
+    # per-component quantized coefficient stores (natural order), batched IDCT later
+    stores = []
+    for cid, sx, sy, tq in comps:
+        if tq not in qtabs:
+            raise ValueError(f"missing DQT {tq}")
+        stores.append(np.zeros((mcus_y * sy, mcus_x * sx, 8, 8), dtype=np.int64))
+    luts = []
+    for (cid, td, ta), (c2) in zip(scomps, comps):
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("missing DHT for scan")
+        luts.append((huff[(0, td)], huff[(1, ta)]))
+
+    seg_idx = 0
+    rd = _BitReader(segs[0]) if segs else _BitReader(b"")
+    preds = [0] * len(comps)
+    for m in range(n_mcus):
+        if restart and m and m % restart == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("missing restart segment")
+            rd = _BitReader(segs[seg_idx])
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcus_x)
+        for ci, (cid, sx, sy, tq) in enumerate(comps):
+            dc_lut, ac_lut = luts[ci]
+            for by in range(sy):
+                for bx in range(sx):
+                    blk = np.zeros(64, dtype=np.int64)
+                    e = int(dc_lut[rd.peek16()])
+                    if e == 0:
+                        raise ValueError("invalid DC huffman prefix")
+                    rd.skip(e & 31)
+                    s = e >> 5
+                    preds[ci] += _extend(rd.get(s), s)
+                    blk[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        e = int(ac_lut[rd.peek16()])
+                        if e == 0:
+                            raise ValueError("invalid AC huffman prefix")
+                        rd.skip(e & 31)
+                        sym = e >> 5
+                        if sym == 0x00:  # EOB
+                            break
+                        run, s = sym >> 4, sym & 0x0F
+                        if s == 0:
+                            if run != 15:
+                                raise ValueError("bad AC symbol")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC coefficient index overflow")
+                        blk[_ZZ[k]] = _extend(rd.get(s), s)
+                        k += 1
+                    stores[ci][my * sy + by, mx * sx + bx] = blk.reshape(8, 8)
+
+    # batched dequantize + IDCT per component, then upsample to full grid
+    planes = []
+    for ci, (cid, sx, sy, tq) in enumerate(comps):
+        deq = np.clip(stores[ci] * qtabs[tq][None, None], -_DEQ_CLIP, _DEQ_CLIP)
+        pix = _sdiv_round(_dct8_blocks(deq, inverse=True), _FX2) + 128
+        bh, bw = stores[ci].shape[:2]
+        plane = np.clip(pix, 0, 255).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        ry, rx = vmax // sy, hmax // sx
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[: mcus_y * mcu_h, : mcus_x * mcu_w])
+
+    if len(comps) == 1:
+        y = planes[0][:h, :w]
+        return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
+    ycc = np.stack(planes, axis=-1)[:h, :w]
+    return ycbcr_to_rgb(ycc)
+
+
+# |dequantized coef| ≤ 1024·(max ssss magnitude)… bound corrupt streams the same
+# way decode_qdct does: the IDCT int64 budget holds for |coef| ≤ 2^11.
+_DEQ_CLIP = 2048

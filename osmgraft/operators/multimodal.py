@@ -394,6 +394,55 @@ def transcode_qdct(images: DataFrame, q: int = 4, on_error: str = "fail") -> Dat
     )
 
 
+def transcode_jpeg(
+    images: DataFrame, quality: int = 98, subsample: str = "444", on_error: str = "fail"
+) -> DataFrame:
+    """Re-encode every image to REAL baseline JPEG (functions/jpeg.py:
+    entropy-coded JFIF streams, per-image optimized Huffman tables),
+    preserving metadata + caption — the second lossy leg of the north-rule
+    per-row invariant, on the interchange format a production image lake
+    actually stores.  Decode side is the same Arrow-buffer batch kernel as
+    transcode_qdct; the encode's DCT/quant/color stages are whole-chunk
+    numpy and only the entropy coder loops per row (Huffman is bit-serial).
+    Payload lengths vary per image, so the binary column is built from
+    real per-row offsets rather than transcode_qdct's uniform stride."""
+    from osmgraft.functions.jpeg import jpeg_encode
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            if px is None:  # corrupt source payload → null output payload
+                k = len(sel)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        rb.column("image_id").take(sel),
+                        pa.nulls(k, pa.binary()),
+                        rb.column("w").take(sel),
+                        rb.column("h").take(sel),
+                        pa.nulls(k, pa.string()),
+                        rb.column("caption").take(sel),
+                    ],
+                    names=[f.name for f in TRANSCODE_SCHEMA.fields],
+                )
+                continue
+            k = len(px)
+            payloads = [jpeg_encode(px[i], quality=quality, subsample=subsample) for i in range(k)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column("image_id").take(sel),
+                    pa.array(payloads, pa.binary()),
+                    pa.array(np.full(k, w, dtype=np.int32)),
+                    pa.array(np.full(k, h, dtype=np.int32)),
+                    pa.array(["jpeg"] * k),
+                    rb.column("caption").take(sel),
+                ],
+                names=[f.name for f in TRANSCODE_SCHEMA.fields],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt", "caption").mapInArrow(
+        kernel, schema=TRANSCODE_SCHEMA
+    )
+
+
 FIDELITY_SCHEMA = StructType(
     [
         StructField("image_id", StringType(), False),

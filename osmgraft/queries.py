@@ -1329,7 +1329,9 @@ capped AS (SELECT idx FROM idxs WHERE idx < 2000),
 legs AS (
   SELECT 'parquet' AS leg, idx FROM capped
   UNION ALL
-  SELECT 'transcode' AS leg, idx FROM capped WHERE idx % 4 <> 2
+  SELECT 'transcode' AS leg, idx FROM capped WHERE idx % 5 NOT IN (2, 4)
+  UNION ALL
+  SELECT 'transcode_jpeg' AS leg, idx FROM capped WHERE idx % 5 NOT IN (2, 4)
 )
 SELECT leg,
        concat('img', lpad(CAST(idx AS VARCHAR), 12, '0')) AS image_id,
@@ -1351,6 +1353,10 @@ def image_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``qdct`` codec (q=4 → ~46.9 dB quantization noise), per-row fidelity vs
       the originals — NO row may be pixel-exact, every row must clear the
       40 dB bar with equal captions.
+    - leg 'transcode_jpeg': the same lossless rows through the REAL baseline
+      JPEG codec (functions/jpeg.py, q=98 → ~43 dB even on white noise, the
+      worst case for a DCT coder) — same per-row invariant on an actual
+      interchange format.
 
     The oracle is the *specification*: DuckDB cannot decode images, but every
     output cell (which rows exist per leg, exactness per leg, the PSNR bar,
@@ -1360,7 +1366,11 @@ def image_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     only Python is batched numpy."""
     import tempfile
 
-    from osmgraft.operators.multimodal import roundtrip_fidelity, transcode_qdct
+    from osmgraft.operators.multimodal import (
+        roundtrip_fidelity,
+        transcode_jpeg,
+        transcode_qdct,
+    )
     from osmgraft.synth import synth_images
 
     n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 2000)
@@ -1372,11 +1382,14 @@ def image_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     leg_a = roundtrip_fidelity(imgs, spark.read.parquet(out)).withColumn(
         "leg", F.lit("parquet")
     )
-    src = imgs.filter(F.col("fmt") != "qdct")
+    src = imgs.filter(~F.col("fmt").isin("qdct", "jpeg"))
     leg_b = roundtrip_fidelity(src, transcode_qdct(src, q=4)).withColumn(
         "leg", F.lit("transcode")
     )
-    return leg_a.unionByName(leg_b).select(
+    leg_c = roundtrip_fidelity(src, transcode_jpeg(src, quality=98)).withColumn(
+        "leg", F.lit("transcode_jpeg")
+    )
+    return leg_a.unionByName(leg_b).unionByName(leg_c).select(
         "leg", "image_id", "caption_ok", "pixels_exact", "psnr_ok"
     )
 

@@ -265,7 +265,7 @@ def synth_images(spark: SparkSession, n: int, with_pixels: bool = True) -> DataF
                 src = np.where((idxs % 50 == 49) & (idxs > 0), idxs - 1, idxs)
                 wv = np.array(sizes, dtype=np.int64)[src % 3]
                 hv = np.array(sizes, dtype=np.int64)[(src // 3) % 3]
-                fmts = np.array(["raw", "ppm", "qdct", "png"])[idxs % 4]
+                fmts = np.array(["raw", "ppm", "qdct", "png", "jpeg"])[idxs % 5]
                 hot = idxs % 5 == 0
                 hs = np.array(_HOT_SPOTS, dtype=np.int64)[idxs % 3]
                 lat7 = np.where(
@@ -304,7 +304,7 @@ def synth_images(spark: SparkSession, n: int, with_pixels: bool = True) -> DataF
                 src = idx - 1 if (idx % 50 == 49 and idx > 0) else idx
                 w = sizes[src % 3]
                 h = sizes[(src // 3) % 3]
-                fmt = ("raw", "ppm", "qdct", "png")[idx % 4]  # qdct = real lossy path
+                fmt = ("raw", "ppm", "qdct", "png", "jpeg")[idx % 5]  # qdct/jpeg = real lossy paths
                 if idx % 5 == 0:
                     clat, clon = _HOT_SPOTS[idx % 3]
                     lat7 = clat + (idx * 48271) % _JIT - _JIT // 2
@@ -320,8 +320,8 @@ def synth_images(spark: SparkSession, n: int, with_pixels: bool = True) -> DataF
                     data = encode_image(px, fmt)
                     # store the hash of what a consumer DECODES: exact pixels
                     # for lossless fmts, the deterministic lossy reconstruction
-                    # for qdct (input_hint: PSNR>=40 decoded-pixel invariant)
-                    ph_px = decode_image(data, w, h, fmt) if fmt == "qdct" else px
+                    # for qdct/jpeg (input_hint: PSNR>=40 decoded-pixel invariant)
+                    ph_px = decode_image(data, w, h, fmt) if fmt in ("qdct", "jpeg") else px
                     ph = int(phash64(ph_px))
                 else:
                     data, ph = None, 0

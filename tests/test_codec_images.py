@@ -88,7 +88,7 @@ def test_synth_images_table(spark):
         assert round(float(lat_s) * 1e7) == r.lat7
         assert round(float(lon_s) * 1e7) == r.lon7
         assert r.phash == int(phash64(px))
-        if r.fmt == "qdct":  # lossy: decoded pixels within PSNR>=40 of source
+        if r.fmt in ("qdct", "jpeg"):  # lossy: decoded within PSNR>=40 of source
             lossy_seen += 1
             src_px = _pixels_for(i, r.w, r.h)
             assert psnr(src_px, px) >= 40.0

@@ -123,9 +123,9 @@ def test_image_stats_exact(spark):
     rows = {r.image_id: r for r in df.collect()}
     assert len(rows) == 20
     # lossless rows decode to the exact generator pixels:
-    # idx 4 -> fmt raw (4%4==0), w=sizes[4%3]=32, h=sizes[(4//3)%3]=32
-    # idx 7 -> fmt png (7%4==3), w=sizes[7%3]=32, h=sizes[(7//3)%3]=64
-    for idx, w, h in ((4, 32, 32), (7, 32, 64)):
+    # idx 5 -> fmt raw (5%5==0), w=sizes[5%3]=64, h=sizes[(5//3)%3]=32
+    # idx 8 -> fmt png (8%5==3), w=sizes[8%3]=64, h=sizes[(8//3)%3]=64
+    for idx, w, h in ((5, 64, 32), (8, 64, 64)):
         px = _pixels_for(idx, w, h)
         got = rows[f"img{idx:012d}"]
         s = px.reshape(-1, 3).sum(axis=0)
@@ -135,7 +135,7 @@ def test_image_stats_exact(spark):
 
 def test_image_stats_matches_scalar_decode(spark):
     """The batched Arrow-buffer decode path row-for-row equals an independent
-    per-row scalar decode (decode_image + phash64) across all four formats
+    per-row scalar decode (decode_image + phash64) across all five formats
     and all (w, h) combinations."""
     import numpy as np
 
@@ -145,7 +145,7 @@ def test_image_stats_matches_scalar_decode(spark):
     imgs = synth_images(spark, 90)
     got = {r.image_id: r for r in image_stats(imgs).collect()}
     src = imgs.select("image_id", "bytes", "w", "h", "fmt").collect()
-    assert {r.fmt for r in src} == {"raw", "ppm", "qdct", "png"}
+    assert {r.fmt for r in src} == {"raw", "ppm", "qdct", "png", "jpeg"}
     for r in src:
         px = decode_image(bytes(r.bytes), r.w, r.h, r.fmt)
         s = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
@@ -175,15 +175,16 @@ def test_image_stats_pinned_checksum(spark):
         )
         .collect()[0]
     )
-    # re-pinned round 3 (twice): png joined the fmt rotation, then the
-    # DCT/luma kernels went fixed-point integer — the FLOAT pins drifted
+    # re-pinned round 3 (thrice): png then jpeg joined the fmt rotation, and
+    # the DCT/luma kernels went fixed-point integer — the FLOAT pins drifted
     # between driver rounds because BLAS builds round the cosine matmuls
     # differently per host; these integer pins are host-invariant
+    # (cross-checked row-for-row by test_image_stats_matches_scalar_decode)
     assert (row.r, row.g, row.b, row.ph, row.n) == (
-        88320704,
-        88298573,
-        88331405,
-        -251847531,
+        88319845,
+        88298915,
+        88330409,
+        -245882293,
         500,
     )
 
@@ -200,7 +201,7 @@ def test_image_resize_gray32_pinned(spark):
     h = hashlib.sha256(b"".join(bytes(r.gray32) for r in rows)).hexdigest()
     # re-pinned round 3 (png in the fmt rotation; then fixed-point integer
     # luma/resize — half-up milli-gray -> uint8 replaced float floor)
-    assert h == "e15fa55020a9f224504c8ea452058e012edbac0338aa109dde0b6bddfd391837"
+    assert h == "d4b7bf3a33f2060e8e6fdb38d1390493acdba429f484c0db257fa98b5c0c2beb"
 
 
 def test_phash_neardup_pairs(spark):
