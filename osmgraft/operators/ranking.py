@@ -1,0 +1,187 @@
+"""Lexical ranking over the documents table: TF-IDF term extraction and BM25
+retrieval — the curation/search workloads a training-data lake runs constantly
+(near-dup triage, topical filtering, eval-set retrieval).
+
+Everything is declarative DataFrame ops (explode → two partial-aggregated
+shuffles → one broadcast of a 1-row corpus-stats table → window top-k), so
+Catalyst keeps the whole plan in codegen and AQE handles skewed terms. No
+Python workers, no driver-side collect of data rows.
+
+Cross-engine exactness: classic idf = ln(N/df) is float and engines disagree
+in the last ulp, so both scores quantize the idf to the INTEGER
+``1 + floor(log2(N div df))`` computed as ``length(bin(N div df))`` — Spark and
+DuckDB both expose ``bin()`` (minimal binary string of a bigint), making the
+value hash bit-exact with zero floating point anywhere. BM25's rational length
+normalization is cleared of division the same way: every per-term score is one
+integer floor-division of cross-multiplied int64 terms (derivation in
+``bm25_scores``).
+
+Scale shape (100 TB): postings tf-agg has map-side combine; df-agg likewise;
+the tf⨝df equi-join shuffles on term (uniform-ish after stopword-heavy terms
+are damped by the idf, AQE splits stragglers); corpus stats are a broadcast of
+ONE row; the final top-k is a rank-filtered window that Spark rewrites to
+WindowGroupLimit (partial per-partition top-k before the shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from osmgraft.functions import text as T
+
+# BM25 shape constants as exact rationals: k1 = 6/5 (=1.2), b = 3/4 (=0.75).
+# They only appear pre-multiplied into the integer score derivation below.
+_SCORE_SCALE = 1_000_000  # fixed-point micro-units for the summed score
+
+
+def doc_postings(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text) → postings(doc_id, term, tf): whitespace
+    tokens lowercased, one row per distinct (doc, term). One shuffle with
+    map-side partial counts (explode feeds a hash aggregate)."""
+    return (
+        docs.select("doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _with_corpus_stats(postings: DataFrame) -> DataFrame:
+    """postings + df(term) + broadcast 1-row (n_docs, tot_tokens).
+
+    n_docs counts documents with ≥1 token (empty docs never enter postings on
+    either engine); tot_tokens is the corpus token count, for BM25's avgdl.
+    """
+    df_tab = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = postings.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("tf").alias("tot_tokens"),
+    )
+    return postings.join(df_tab, "term").join(F.broadcast(stats))
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by integer tf-idf.
+
+    score = tf · (1 + floor(log2(N div df))); ties broken by term ascending
+    so row_number is deterministic. Returns
+    (doc_id, term, tf, df, score, rnk)."""
+    p = _with_corpus_stats(doc_postings(docs))
+    scored = p.select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * F.length(F.bin(F.expr("n_docs div df")))).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
+
+
+def sql_tfidf_top_terms(k: int = 3) -> str:
+    """DuckDB twin of tfidf_top_terms (identical integer spec)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({T.sql_tokens('lower(text)')}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM postings),
+scored AS (
+  SELECT p.doc_id, p.term, p.tf, d.df,
+         p.tf * length(bin(s.n_docs // d.df)) AS score,
+         row_number() OVER (PARTITION BY p.doc_id
+                            ORDER BY p.tf * length(bin(s.n_docs // d.df)) DESC,
+                                     p.term ASC) AS rnk
+  FROM postings p JOIN dfs d USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, term, tf, df, score, rnk FROM scored WHERE rnk <= {k}"""
+
+
+def bm25_scores(docs: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """BM25 top-k documents per query — integer-exact fixed point.
+
+    ``queries`` is a small (query_id, term) table, broadcast to the postings.
+
+    Derivation (why the expression below IS BM25, k1=6/5, b=3/4): with
+    dl = doc length and avgdl = T/N (corpus tokens over docs),
+
+        tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+      = 44·tf·avgdl / (20·tf·avgdl + 6·avgdl + 18·dl)          (×20·avgdl/1)
+
+    avgdl is materialized once as the integer avgdl_milli = (1000·T) div N
+    (the millitoken floor is part of this spec, identically computed on both
+    engines), so each matched term contributes the int64 expression
+
+        idf · 44 · tf · avgdl_milli · SCALE
+          div (20·tf·avgdl_milli + 6·avgdl_milli + 18·dl·1000)
+
+    with idf = 1 + floor(log2(N div df)) as in tfidf. Magnitudes: avgdl_milli
+    ≤ ~10⁸ even for book-length docs, tf ≤ dl ≤ 10⁶ ⇒ numerator < 2⁶² before
+    SCALE is folded in via the split multiply below; the division is a single
+    integer floor div, then scores sum per (query, doc).
+    Returns (query_id, doc_id, score, rnk), rnk ≤ k, ties → doc_id asc."""
+    p = _with_corpus_stats(doc_postings(docs))
+    dl = doc_postings(docs).groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    p = p.join(dl, "doc_id")
+    p = p.withColumn("avgdl_milli", F.expr("(1000 * tot_tokens) div n_docs"))
+    matched = p.join(F.broadcast(queries), "term")
+    term_score = F.expr(
+        f"(length(bin(n_docs div df)) * 44 * tf * avgdl_milli * {_SCORE_SCALE}) "
+        "div (20 * tf * avgdl_milli + 6 * avgdl_milli + 18 * dl * 1000)"
+    )
+    agg = (
+        matched.select("query_id", "doc_id", term_score.alias("s"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "score", "rnk")
+    )
+
+
+def sql_bm25_scores(queries_values: str, k: int = 5) -> str:
+    """DuckDB twin of bm25_scores. ``queries_values`` is a SQL VALUES body
+    like ``('q0','spark'),('q0','join')`` naming (query_id, term)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({T.sql_tokens('lower(text)')}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+dls AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY doc_id),
+stats AS (
+  SELECT count(DISTINCT doc_id) AS n_docs,
+         (1000 * sum(tf)) // count(DISTINCT doc_id) AS avgdl_milli
+  FROM postings
+),
+qs(query_id, term) AS (VALUES {queries_values}),
+term_scores AS (
+  SELECT q.query_id, p.doc_id,
+         (length(bin(s.n_docs // d.df)) * 44 * p.tf * s.avgdl_milli * {_SCORE_SCALE})
+           // (20 * p.tf * s.avgdl_milli + 6 * s.avgdl_milli + 18 * l.dl * 1000) AS ts
+  FROM postings p
+  JOIN dfs d USING (term)
+  JOIN dls l USING (doc_id)
+  JOIN qs q USING (term)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT query_id, doc_id, sum(ts) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sum(ts) DESC, doc_id ASC) AS rnk
+  FROM term_scores GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score, rnk FROM agg WHERE rnk <= {k}"""

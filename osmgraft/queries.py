@@ -843,6 +843,41 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
+# --- training-data ops: lexical ranking (operators/ranking.py) ---------------------
+from osmgraft.operators import ranking as R  # noqa: E402
+
+# fixed retrieval workload over the synthetic vocab — literal on both sides
+_BM25_QUERIES = [
+    ("q0", "spark"), ("q0", "join"),
+    ("q1", "hash", ), ("q1", "table"),
+    ("q2", "slow"), ("q2", "fast"), ("q2", "filter"),
+    ("q3", "window"),
+]
+
+
+@register("tfidf_top_terms", R.sql_tfidf_top_terms(k=3))
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by integer-quantized tf-idf
+    (idf = 1+floor(log2(N div df)) via length(bin(…)) — exact on both engines;
+    see operators/ranking.py for the plan shape at scale)."""
+    return R.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+@register(
+    "bm25_search",
+    R.sql_bm25_scores(
+        ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES), k=5
+    ),
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 documents per query (k1=6/5, b=3/4), computed entirely in
+    cross-multiplied int64 fixed point so Spark and DuckDB hash identically —
+    the derivation that the integer expression IS BM25 is in
+    operators/ranking.py:bm25_scores. Query set is a broadcast literal."""
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
+    return R.bm25_scores(_docs(spark, sf_dir), qdf, k=5)
+
+
 # --- training-data ops: dedup (brief §dedup) ----------------------------------------
 from osmgraft.operators import dedup as D  # noqa: E402
 

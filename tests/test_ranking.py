@@ -1,0 +1,140 @@
+"""Lexical ranking (operators/ranking.py): tf-idf and BM25 semantics on
+crafted corpora (the integer fixed-point score must rank exactly like a
+straightforward float BM25 with the same quantized idf), plus the
+scale-critical plan shapes."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osmgraft.operators.ranking import (
+    bm25_scores,
+    doc_postings,
+    tfidf_top_terms,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana banana date"),
+        (3, "Apple  APPLE date  "),           # case/whitespace normalization
+        (4, "cherry"),
+        (5, ""),                               # empty doc: never in postings
+        (6, "elderberry fig grape apple banana cherry date elderberry"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_doc_postings(spark, corpus):
+    rows = {(r.doc_id, r.term): r.tf for r in doc_postings(corpus).collect()}
+    assert rows[(1, "apple")] == 2 and rows[(1, "banana")] == 1
+    assert rows[(3, "apple")] == 2  # lowercased
+    assert rows[(2, "banana")] == 3
+    assert not any(d == 5 for d, _ in rows)  # empty doc absent
+
+
+def test_tfidf_ranks_rare_terms_up(spark, corpus):
+    got = {
+        (r.doc_id, r.rnk): (r.term, r.tf, r.df, r.score)
+        for r in tfidf_top_terms(corpus, k=2).collect()
+    }
+    # N = 5 docs with tokens. doc 2: banana tf=3 df=3 idf=len(bin(5//3))=1
+    # -> 3; date tf=1 df=3 idf=1 -> 1. banana first.
+    assert got[(2, 1)][0] == "banana" and got[(2, 1)][3] == 3
+    assert got[(2, 2)] == ("date", 1, 3, 1)
+    # doc 6: elderberry tf=2 df=1 idf=len(bin(5))=3 -> 6 beats everything else
+    assert got[(6, 1)] == ("elderberry", 2, 1, 6)
+    # deterministic tie-break: doc 1 apple(2·idf1=2) > banana/cherry(1);
+    # banana before cherry alphabetically at equal score
+    assert got[(1, 1)][0] == "apple" and got[(1, 2)][0] == "banana"
+    assert (5, 1) not in got  # empty doc yields no rows
+
+
+def _bm25_float_reference(docs_tokens, queries, k1=1.2, b=0.75):
+    """Float BM25 with the SAME integer-quantized idf and millitoken avgdl
+    floor the engine specifies — validates the cross-multiplied int64 form."""
+    postings = {}
+    for d, toks in docs_tokens.items():
+        for t in toks:
+            postings.setdefault(d, {}).setdefault(t, 0)
+            postings[d][t] += 1
+    n_docs = len(postings)
+    tot = sum(sum(v.values()) for v in postings.values())
+    avgdl = ((1000 * tot) // n_docs) / 1000.0
+    df = {}
+    for v in postings.values():
+        for t in v:
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for q, terms in queries.items():
+        for d, tfs in postings.items():
+            s = 0.0
+            for t in terms:
+                if t not in tfs:
+                    continue
+                idf = len(bin(n_docs // df[t])) - 2  # == length(bin(x))
+                tf = tfs[t]
+                dl = sum(tfs.values())
+                s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+            if s > 0:
+                out.setdefault(q, []).append((d, s))
+        out.get(q, []).sort(key=lambda p: (-p[1], p[0]))
+    return out
+
+
+def test_bm25_matches_float_reference_ordering(spark):
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(30)]
+    docs_tokens = {
+        d: [vocab[i] for i in rng.integers(0, 30, rng.integers(3, 40))]
+        for d in range(1, 26)
+    }
+    docs = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in docs_tokens.items()],
+        "doc_id long, text string",
+    )
+    queries = {"qa": ["w0", "w1", "w2"], "qb": ["w5"], "qc": ["w7", "w29"]}
+    qdf = spark.createDataFrame(
+        [(q, t) for q, ts in queries.items() for t in ts],
+        "query_id string, term string",
+    )
+    got = {}
+    for r in bm25_scores(docs, qdf, k=8).collect():
+        got.setdefault(r.query_id, []).append((r.rnk, r.doc_id, r.score))
+    ref = _bm25_float_reference(docs_tokens, queries)
+    for q, ranked in ref.items():
+        eng = sorted(got[q])
+        assert len(eng) == min(8, len(ranked))
+        for (rnk, doc_id, score), (ref_doc, ref_s) in zip(eng, ranked):
+            assert doc_id == ref_doc, (q, rnk, doc_id, ref_doc)
+            # fixed-point micro-units track the float value to rounding
+            assert abs(score / 1e6 - ref_s) < 1e-3, (q, doc_id)
+
+
+def test_bm25_ignores_unmatched_queries(spark, corpus):
+    qdf = spark.createDataFrame(
+        [("hit", "apple"), ("miss", "zzz")], "query_id string, term string"
+    )
+    got = bm25_scores(corpus, qdf, k=5).collect()
+    assert {r.query_id for r in got} == {"hit"}
+    assert all(r.score > 0 for r in got)
+
+
+def test_ranking_plan_shapes(spark):
+    """Corpus stats broadcast (1 row), query table broadcast, top-k window
+    rewritten to WindowGroupLimit, map-side partial aggregation."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = tfidf_top_terms(docs, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for tf and df aggs
+
+    qdf = spark.createDataFrame([("q0", "spark")], "query_id string, term string")
+    plan2 = bm25_scores(docs, qdf, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan2  # query side never shuffles the postings
+    assert "WindowGroupLimit" in plan2
