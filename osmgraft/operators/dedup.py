@@ -424,3 +424,162 @@ reach(src, dst) AS (
   SELECT r.src, e.dst FROM reach r JOIN sym e ON e.src = r.dst
 )
 SELECT src AS id, least(src, min(dst)) AS comp FROM reach GROUP BY src"""
+
+
+# --- content-defined chunking (CDC) --------------------------------------------
+#
+# Partial-duplicate detection: split every document at content-defined
+# boundaries, hash the chunks, and find chunks shared across documents —
+# the storage-dedup technique (LBFS/Rabin, FastCDC) applied to corpus
+# curation, where it catches documents that share paragraphs without being
+# near-duplicates overall (boilerplate, quoted blocks, template text).
+#
+# Boundary rule: position i ends a chunk when the 60-bit hash of the
+# W-character window ENDING at i satisfies hash % MASK == 0 (expected chunk
+# ≈ MASK chars). Using a windowed hash (each position judged independently
+# from its own W chars) instead of a stateful Rabin scan keeps the whole
+# operator a per-row array expression — no sequential state, no Python, no
+# UDF — and boundaries still self-synchronize after edits exactly like
+# classic CDC: an insertion only disturbs the W-1 windows that overlap it.
+# No min/max chunk bounds for the same reason (they reintroduce the
+# sequential dependency); MASK controls the expected size instead.
+
+CDC_W = 16      # boundary-window chars
+CDC_MASK = 64   # expected chunk size (chars)
+
+
+def _cdc_cuts(text, w: int, mask: int):
+    """Array of cut positions [0, b1, b2, …, L] for ``text`` (JVM expr)."""
+    L = F.length(text)
+    pos = F.when(L >= w, F.sequence(F.lit(w), L)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bnds = F.filter(
+        F.transform(
+            pos,
+            lambda i: F.when(
+                md5_long(F.substring(text, i - (w - 1), w)) % mask == 0, i
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return F.concat(
+        F.array(F.lit(0)),
+        F.filter(bnds, lambda b: b < L),
+        F.array(L),
+    )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = CDC_W,
+    mask: int = CDC_MASK,
+) -> DataFrame:
+    """documents → one row per chunk: (doc_id, chunk_idx, chunk_hash,
+    chunk_len).
+
+    Pure JVM array expressions per row (substring windows + md5 in codegen),
+    then one explode — embarrassingly parallel, no shuffle at all until a
+    consumer aggregates. The cuts array is materialized with withColumn so
+    the chunk-extraction lambda references a bound attribute, not the
+    boundary pipeline (see text.shingles on HOF recapture cost)."""
+    t = F.col(text_col)
+    d = docs.withColumn("_cuts", _cdc_cuts(t, w, mask))
+    chunk = F.transform(
+        F.sequence(F.lit(0), F.size("_cuts") - 2),
+        lambda j: F.substring(
+            t,
+            F.element_at("_cuts", j + 1) + 1,
+            F.element_at("_cuts", j + 2) - F.element_at("_cuts", j + 1),
+        ),
+    )
+    return (
+        d.select(id_col, F.posexplode(chunk).alias("chunk_idx", "_chunk"))
+        .filter(F.length("_chunk") > 0)
+        .select(
+            id_col,
+            "chunk_idx",
+            md5_long(F.col("_chunk")).alias("chunk_hash"),
+            F.length("_chunk").alias("chunk_len"),
+        )
+    )
+
+
+def sql_cdc_chunks(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = CDC_W,
+    mask: int = CDC_MASK,
+) -> str:
+    """DuckDB twin of cdc_chunks (same windowed-hash boundary spec)."""
+    md5w = (
+        f"('0x' || substr(md5(substring({text_col}, i - {w - 1}, {w})), 1, 15))::BIGINT"
+    )
+    return f"""
+WITH cut AS (
+  SELECT {id_col}, {text_col},
+         [0] ||
+         list_filter(
+           list_filter(
+             list_transform(range({w}, length({text_col}) + 1),
+                            i -> CASE WHEN {md5w} % {mask} = 0 THEN i END),
+             x -> x IS NOT NULL),
+           b -> b < length({text_col})) ||
+         [length({text_col})] AS cuts
+  FROM {table}
+),
+ch AS (
+  SELECT {id_col},
+         unnest(list_transform(range(0, len(cuts) - 1),
+                j -> {{'chunk_idx': j,
+                       'chunk': substring({text_col}, cuts[j + 1] + 1,
+                                          cuts[j + 2] - cuts[j + 1])}})) AS c
+  FROM cut
+)
+SELECT {id_col}, c.chunk_idx AS chunk_idx,
+       ('0x' || substr(md5(c.chunk), 1, 15))::BIGINT AS chunk_hash,
+       length(c.chunk) AS chunk_len
+FROM ch WHERE length(c.chunk) > 0"""
+
+
+def cdc_shared_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = CDC_W,
+    mask: int = CDC_MASK,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Chunks appearing in ≥ min_docs distinct documents:
+    (chunk_hash, chunk_len, n_docs, n_occurrences) — the cross-document
+    boilerplate report. One hash aggregation with map-side combine over the
+    shuffle-free chunk stream; at 100 TB the groupBy key is a uniform 60-bit
+    hash, so no skew handling is needed."""
+    return (
+        cdc_chunks(docs, id_col, text_col, w, mask)
+        .groupBy("chunk_hash", "chunk_len")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def sql_cdc_shared_chunks(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = CDC_W,
+    mask: int = CDC_MASK,
+    min_docs: int = 2,
+) -> str:
+    return f"""
+WITH chunks AS ({sql_cdc_chunks(table, id_col, text_col, w, mask)})
+SELECT chunk_hash, chunk_len,
+       count(DISTINCT {id_col}) AS n_docs, count(*) AS n_occurrences
+FROM chunks GROUP BY chunk_hash, chunk_len
+HAVING count(DISTINCT {id_col}) >= {min_docs}"""

@@ -905,6 +905,21 @@ def dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_ngram_pairs(docs)
 
 
+@register("cdc_chunks", D.sql_cdc_chunks())
+def cdc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: every document split at windowed-hash
+    boundaries (FastCDC-style, stateless windows so the whole op is JVM
+    array expressions — operators/dedup.py §CDC); hash-gated per chunk."""
+    return D.cdc_chunks(_docs(spark, sf_dir))
+
+
+@register("cdc_shared_chunks", D.sql_cdc_shared_chunks())
+def cdc_shared_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate: CDC chunks shared by ≥2 documents
+    (partial-duplicate detection the near-dup ops can't see)."""
+    return D.cdc_shared_chunks(_docs(spark, sf_dir))
+
+
 @register(
     "doc_split_assign",
     f"""SELECT doc_id,

@@ -586,3 +586,93 @@ def test_pack_sequences_matches_reference_and_partition_invariant(spark):
     again = {r.doc_id: (r.n_tok, r.first_seq, r.last_seq, r.seq_offset)
              for r in pack_sequences(docs, seq_len=S, num_parts=1).collect()}
     assert again == got
+
+
+# --- content-defined chunking -------------------------------------------------
+
+
+def test_cdc_chunks_reassemble(spark):
+    """Chunks concatenated in chunk_idx order have the original length, and
+    every chunk hash matches an independent scalar recompute."""
+    import hashlib
+
+    from osmgraft.operators.dedup import CDC_MASK, CDC_W, cdc_chunks
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog " * 8,
+        2: "short",
+        3: "",
+        4: "x" * (CDC_W - 1),  # below window size: single chunk, no boundaries
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    rows = sorted(
+        cdc_chunks(docs).collect(), key=lambda r: (r.doc_id, r.chunk_idx)
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc  # empty doc: no chunks
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_len == 5
+    assert len(by_doc[4]) == 1 and by_doc[4][0].chunk_len == CDC_W - 1
+    for d, text in texts.items():
+        if not text:
+            continue
+        assert sum(r.chunk_len for r in by_doc[d]) == len(text)
+
+    # independent scalar recompute of doc 1's boundary spec
+    t = texts[1]
+
+    def md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    bounds = [
+        i
+        for i in range(CDC_W, len(t) + 1)
+        if md5_long(t[i - CDC_W : i]) % CDC_MASK == 0 and i < len(t)
+    ]
+    cuts = [0] + bounds + [len(t)]
+    expect = [t[a:b] for a, b in zip(cuts, cuts[1:]) if b > a]
+    got = by_doc[1]
+    assert len(got) == len(expect)
+    for r, chunk in zip(got, expect):
+        assert (r.chunk_len, r.chunk_hash) == (len(chunk), md5_long(chunk))
+
+
+def test_cdc_self_synchronizes_after_edit(spark):
+    """The CDC property that makes it dedup: an edit near the front only
+    disturbs chunks overlapping the edit window; later chunk hashes realign."""
+    from osmgraft.operators.dedup import cdc_chunks
+
+    # varied text (periodic text has too few distinct windows to cut)
+    rng = np.random.default_rng(4)
+    base = " ".join(f"w{v}" for v in rng.integers(0, 10_000, 300))
+    edited = "XY" + base  # 2-char insertion at the very front
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    rows = cdc_chunks(docs).collect()
+    h1 = {r.chunk_hash for r in rows if r.doc_id == 1}
+    h2 = {r.chunk_hash for r in rows if r.doc_id == 2}
+    assert len(h1) > 3  # enough chunks for the property to be meaningful
+    shared = len(h1 & h2)
+    assert shared >= len(h1) - 2  # all but the chunk(s) touching the edit
+
+
+def test_cdc_shared_chunks_report(spark):
+    from osmgraft.operators.dedup import cdc_shared_chunks
+
+    rng = np.random.default_rng(9)
+    para = " ".join(f"t{v}" for v in rng.integers(0, 10_000, 120))
+    docs = spark.createDataFrame(
+        [
+            (1, "intro one " + para),
+            (2, "different intro " + para + " and an outro"),
+            (3, para),
+            (4, "nothing in common with anything else here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = cdc_shared_chunks(docs).collect()
+    assert len(got) >= 1  # the paragraph's interior chunks are shared
+    assert all(r.n_docs >= 2 for r in got)
+    assert all(r.n_occurrences >= r.n_docs for r in got)
