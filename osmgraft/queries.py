@@ -843,6 +843,113 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
+_FUNNEL_SQL = f"""
+WITH sig AS (
+  SELECT doc_id,
+         {T.sql_lang_id('text')} AS lang,
+         {T.sql_bigram_quality('text')} AS bq,
+         {T.sql_token_count('text')} AS ntok,
+         {T.sql_tokens('text')} AS toks,
+         {T.sql_fingerprint('text')} AS fp
+  FROM documents
+),
+flags AS (
+  SELECT doc_id, fp,
+         (lang = 'en') AS f1,
+         (lang = 'en' AND bq >= 250) AS f2,
+         (lang = 'en' AND bq >= 250
+          AND (CASE WHEN len(toks) = 0 THEN 0
+               ELSE (1000 * {T.sql_top_token_count('toks')}) // len(toks) END) < 140) AS f3,
+         (lang = 'en' AND bq >= 250
+          AND (CASE WHEN len(toks) = 0 THEN 0
+               ELSE (1000 * {T.sql_top_token_count('toks')}) // len(toks) END) < 140
+          AND ntok BETWEEN 20 AND 120) AS f4
+  FROM sig
+),
+agg AS (
+  SELECT count(*) AS n0,
+         sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS n2,
+         sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS n3,
+         sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS n4,
+         count(DISTINCT CASE WHEN f4 THEN fp END) AS n5
+  FROM flags
+)
+SELECT * FROM (
+  SELECT 0 AS stage_idx, 'all' AS stage, n0 AS n_docs FROM agg
+  UNION ALL SELECT 1, 'lang_en', n1 FROM agg
+  UNION ALL SELECT 2, 'fluent_bq250', n2 FROM agg
+  UNION ALL SELECT 3, 'low_repetition', n3 FROM agg
+  UNION ALL SELECT 4, 'length_20_120', n4 FROM agg
+  UNION ALL SELECT 5, 'unique_fingerprint', n5 FROM agg
+)"""
+
+
+@register("curation_funnel", _FUNNEL_SQL)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel: how many documents survive each cumulative
+    stage of a standard pretraining-data filter chain (language ID → bigram
+    fluency → repetition cap → length band → exact-dedup canonicals). One
+    shuffle-free pass computes every signal per row; one aggregate folds the
+    stage counts; the 6-row reshape is driver-free (explode of a literal
+    array). At 100 TB this is a single scan + one 1-row exchange."""
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    sig = docs.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("lang"),
+        T.bigram_quality(F.col("text")).alias("bq"),
+        T.token_count(F.col("text")).alias("ntok"),
+        toks.alias("toks"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+    top_ptm = F.when(F.size("toks") == 0, F.lit(0)).otherwise(
+        F.expr(f"(1000 * {_TOP_TOK_SPARK}) div size(toks)")
+    )
+    flags = sig.withColumn("top_ptm", top_ptm).select(
+        "fp",
+        (F.col("lang") == "en").alias("f1"),
+        ((F.col("lang") == "en") & (F.col("bq") >= 250)).alias("f2"),
+        (
+            (F.col("lang") == "en") & (F.col("bq") >= 250) & (F.col("top_ptm") < 140)
+        ).alias("f3"),
+        (
+            (F.col("lang") == "en")
+            & (F.col("bq") >= 250)
+            & (F.col("top_ptm") < 140)
+            & F.col("ntok").between(20, 120)
+        ).alias("f4"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("f1").cast("long")).alias("n1"),
+        F.sum(F.col("f2").cast("long")).alias("n2"),
+        F.sum(F.col("f3").cast("long")).alias("n3"),
+        F.sum(F.col("f4").cast("long")).alias("n4"),
+        F.countDistinct(F.when(F.col("f4"), F.col("fp"))).alias("n5"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col(f"n{i}").cast("long").alias("n_docs"),
+            )
+            for i, name in enumerate(
+                [
+                    "all",
+                    "lang_en",
+                    "fluent_bq250",
+                    "low_repetition",
+                    "length_20_120",
+                    "unique_fingerprint",
+                ]
+            )
+        ]
+    )
+    return agg.select(F.explode(stages).alias("s")).select("s.*")
+
+
 # --- training-data ops: lexical ranking (operators/ranking.py) ---------------------
 from osmgraft.operators import ranking as R  # noqa: E402
 
