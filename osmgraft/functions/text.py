@@ -236,3 +236,44 @@ def sql_bigram_quality(expr: str) -> str:
         f"(1000 * len(list_filter({grams}, g -> g IN ({inset}))))"
         f" // greatest(len(lower({expr})) - 1, 1) END"
     )
+
+
+# --- PII scrubbing (curation redaction pass) ------------------------------------
+#
+# Conservative patterns chosen to mean the same thing in Java regex (Spark)
+# and RE2 (DuckDB): no backrefs, no lookaround, no unicode classes.
+
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "phone": r"\d{3}-\d{3}-\d{4}",
+}
+# replacement order matters: emails can contain digit runs, ipv4 must be
+# consumed before the bare phone pattern can nibble at dotted quads
+PII_ORDER = ["email", "ipv4", "phone"]
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """{kind: match count} per PII pattern (JVM regexp_count)."""
+    return {k: F.regexp_count(text, F.lit(PII_PATTERNS[k])) for k in PII_ORDER}
+
+
+def sql_pii_counts(expr: str) -> dict[str, str]:
+    return {
+        k: f"len(regexp_extract_all({expr}, '{PII_PATTERNS[k]}'))" for k in PII_ORDER
+    }
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact every PII match with <KIND> placeholders, email→ipv4→phone."""
+    out = text
+    for k in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[k], f"<{k.upper()}>")
+    return out
+
+
+def sql_pii_scrub(expr: str) -> str:
+    out = expr
+    for k in PII_ORDER:
+        out = f"regexp_replace({out}, '{PII_PATTERNS[k]}', '<{k.upper()}>', 'g')"
+    return out

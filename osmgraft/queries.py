@@ -843,6 +843,57 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
+# deterministic PII augmentation: the synthetic corpus is clean word salad, so
+# the scrub query plants PII inline — same concat spec on both engines — and
+# the gate checks detection counts AND the hash of the redacted text.
+def _pii_aug(cast: str, intdiv: str) -> str:
+    """Augmentation expression rendered for one dialect: ``cast`` is the
+    string type name (STRING / VARCHAR), ``intdiv`` the integer-div operator."""
+    return (
+        "text"
+        f" || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS {cast})"
+        "          || '@example.com for details' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' or call 415-555-'"
+        f"          || lpad(CAST(doc_id % 10000 AS {cast}), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN ' logged from 10.0.'"
+        f"          || CAST(doc_id % 256 AS {cast}) || '.'"
+        f"          || CAST((doc_id {intdiv} 7) % 256 AS {cast})"
+        "     ELSE '' END"
+    )
+
+
+_PII_AUG_SQL = _pii_aug("VARCHAR", "//")
+
+_PII_SQL = f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+SELECT doc_id,
+  {T.sql_pii_counts('t')['email']} AS n_email,
+  {T.sql_pii_counts('t')['ipv4']} AS n_ipv4,
+  {T.sql_pii_counts('t')['phone']} AS n_phone,
+  {T.sql_md5_long(T.sql_pii_scrub('t'))} AS scrub_hash
+FROM aug"""
+
+
+@register("pii_scrub", _PII_SQL)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: detect + replace emails / IPv4s / phone numbers
+    with typed placeholders (patterns chosen to parse identically under Java
+    regex and RE2 — functions/text.py PII_PATTERNS). The synthetic corpus is
+    clean, so the query plants deterministic PII inline first; the gate then
+    hashes the REDACTED text, so a missed or mangled redaction anywhere
+    fails. Pure JVM regexp codegen — no shuffle, no Python."""
+    docs = _docs(spark, sf_dir)
+    aug = docs.select("doc_id", F.expr(_pii_aug("STRING", "div")).alias("t"))
+    cnts = T.pii_counts(F.col("t"))
+    return aug.select(
+        "doc_id",
+        cnts["email"].cast("long").alias("n_email"),
+        cnts["ipv4"].cast("long").alias("n_ipv4"),
+        cnts["phone"].cast("long").alias("n_phone"),
+        T.md5_long(T.pii_scrub(F.col("t"))).alias("scrub_hash"),
+    )
+
+
 _FUNNEL_SQL = f"""
 WITH sig AS (
   SELECT doc_id,

@@ -676,3 +676,38 @@ def test_cdc_shared_chunks_report(spark):
     assert len(got) >= 1  # the paragraph's interior chunks are shared
     assert all(r.n_docs >= 2 for r in got)
     assert all(r.n_occurrences >= r.n_docs for r in got)
+
+
+# --- PII scrubbing --------------------------------------------------------------
+
+
+def test_pii_scrub_semantics(spark):
+    from osmgraft.functions.text import pii_counts, pii_scrub
+
+    rows = [
+        (1, "reach me at jane.doe+spam@mail.example.org or bob@x.io thanks"),
+        (2, "server 192.168.1.254 called 212-555-7788 twice"),
+        (3, "no pii here at all"),
+        (4, "edge: not-an-email@ and 999.999.999.999 and 12-345-6789"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    c = pii_counts(F.col("text"))
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            c["email"].alias("e"),
+            c["ipv4"].alias("i"),
+            c["phone"].alias("p"),
+            pii_scrub(F.col("text")).alias("s"),
+        ).collect()
+    }
+    assert (got[1].e, got[1].i, got[1].p) == (2, 0, 0)
+    assert got[1].s == "reach me at <EMAIL> or <EMAIL> thanks"
+    assert (got[2].e, got[2].i, got[2].p) == (0, 1, 1)
+    assert got[2].s == "server <IPV4> called <PHONE> twice"
+    assert (got[3].e, got[3].i, got[3].p) == (0, 0, 0)
+    assert got[3].s == rows[2][1]
+    # conservative patterns: the dotted quad matches (no 0-255 range check,
+    # documented), '@ ' and a 2-3-4 digit grouping do not
+    assert (got[4].e, got[4].i, got[4].p) == (0, 1, 0)
