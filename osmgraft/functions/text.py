@@ -277,3 +277,28 @@ def sql_pii_scrub(expr: str) -> str:
     for k in PII_ORDER:
         out = f"regexp_replace({out}, '{PII_PATTERNS[k]}', '<{k.upper()}>', 'g')"
     return out
+
+
+# --- BPE-style pre-tokenization --------------------------------------------------
+#
+# The GPT-2 pre-tokenizer split (Radford et al. 2019, public repo), minus its
+# trailing-whitespace lookahead `\s+(?!\S)` — RE2 has no lookaround, so the
+# portable variant folds all whitespace runs into one branch. Contractions,
+# optionally-space-prefixed letter runs, digit runs, punctuation runs,
+# whitespace runs: the split a byte-level BPE tokenizer applies before its
+# merge table, which makes count(pre_tokens) the standard fast proxy for
+# "token count" in curation budgets (merges only ever shrink counts within a
+# pre-token).
+
+BPE_SPLIT_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_pretokens(text: Column) -> Column:
+    """Array of BPE pre-tokens (leftmost-first alternation, same in RE2)."""
+    return F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), 0)
+
+
+def sql_bpe_pretokens(expr: str) -> str:
+    # RE2: single-quoted pattern; leftmost-first alternation like Java
+    pat = BPE_SPLIT_RE.replace("'", "''")
+    return f"regexp_extract_all({expr}, '{pat}')"

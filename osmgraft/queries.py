@@ -843,6 +843,30 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
+@register(
+    "token_count_bpe",
+    f"""SELECT doc_id,
+  {T.sql_token_count('text')} AS n_ws,
+  len({T.sql_bpe_pretokens('text')}) AS n_bpe,
+  {T.sql_md5_long(f"list_aggregate({T.sql_bpe_pretokens('text')}, 'string_agg', chr(31))")} AS stream_hash
+FROM documents""",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both flavors the brief names: whitespace tokens and
+    GPT-2-style BPE pre-tokens (functions/text.py BPE_SPLIT_RE — the public
+    pre-tokenizer split, lookahead-free so Java regex and RE2 agree). The
+    gate also hashes the concatenated pre-token stream, pinning the exact
+    split (alternation preference included), not just the count."""
+    docs = _docs(spark, sf_dir)
+    toks = T.bpe_pretokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_ws"),
+        F.size(toks).cast("long").alias("n_bpe"),
+        T.md5_long(F.array_join(toks, "\x1f")).alias("stream_hash"),
+    )
+
+
 # deterministic PII augmentation: the synthetic corpus is clean word salad, so
 # the scrub query plants PII inline — same concat spec on both engines — and
 # the gate checks detection counts AND the hash of the redacted text.

@@ -711,3 +711,61 @@ def test_pii_scrub_semantics(spark):
     # conservative patterns: the dotted quad matches (no 0-255 range check,
     # documented), '@ ' and a 2-3-4 digit grouping do not
     assert (got[4].e, got[4].i, got[4].p) == (0, 1, 0)
+
+
+# --- BPE pre-tokenization --------------------------------------------------------
+
+
+def test_bpe_pretokens_split(spark):
+    from osmgraft.functions.text import bpe_pretokens
+
+    rows = [
+        (1, "I'll we've don't it's"),
+        (2, "abc123 def,ghi!!  x"),
+        (3, "naïve café ßtraße"),      # unicode letters in \p{L}
+        (4, "price: $1,234.56"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.t
+        for r in df.select("doc_id", bpe_pretokens(F.col("text")).alias("t")).collect()
+    }
+    assert got[1] == ["I", "'ll", " we", "'ve", " don", "'t", " it", "'s"]
+    # no-lookahead variant: "\s+" eats the full run, so "x" has no space prefix
+    assert got[2] == ["abc", "123", " def", ",", "ghi", "!!", "  ", "x"]
+    assert got[3] == ["naïve", " café", " ßtraße"]
+    assert got[4] == ["price", ":", " $", "1", ",", "234", ".", "56"]
+    assert got[5] == []
+    # lossless split: concatenation reproduces the input
+    for i, text in rows:
+        assert "".join(got[i]) == text
+
+
+def test_bpe_pretokens_duckdb_agreement(spark):
+    """Java regex and RE2 produce the IDENTICAL split on branch-exercising
+    text (alternation preference, unicode classes, whitespace folding)."""
+    import duckdb
+
+    from osmgraft.functions.text import bpe_pretokens, sql_bpe_pretokens
+
+    texts = [
+        "I'll we've don't it's abc123 def,ghi!!  x",
+        "naïve café ßtraße — em–dash… 'quoted' \"double\"",
+        "tabs\tand\nnewlines  mixed   runs",
+        "ends with spaces   ",
+        "'s't're've'm'll'd",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r.i: r.t
+        for r in df.select("i", bpe_pretokens(F.col("text")).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        ref = con.execute(
+            f"SELECT {sql_bpe_pretokens('?')}", [t]
+        ).fetchone()[0]
+        assert got[i] == ref, (i, got[i], ref)
