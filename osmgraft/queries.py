@@ -867,6 +867,58 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE merge list learned by operators/bpe.train_merges on the sf0.01 corpus
+# (24 merges). Embedded as a literal so the ENCODE path is oracle-gateable at
+# every SF; tests/test_bpe.py re-trains and asserts this exact list, pinning
+# the distributed trainer's determinism end to end.
+_BPE_MERGES = [
+    (" ", "s"), ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("m", "er"),
+    ("a", "t"), ("l", "u"), (" ", "c"), ("a", "s"), (" ", "b"), (" ", "v"),
+    ("a", "r"), ("p", "ar"), (" ", "f"), (" ", "a"), (" ", "t"), ("j", "o"),
+    ("jo", "in"), ("as", "h"), ("h", "ash"), (" ", "join"), ("s", "t"),
+    ("r", "ow"),
+]
+
+
+def _sql_bpe_encode() -> str:
+    from osmgraft.operators.bpe import sql_apply_merges
+
+    # every symbol wrapped chr(31)+c+chr(30); pretokens joined by chr(29)
+    wrap = (
+        "list_aggregate(list_transform(string_split_regex(t, ''), "
+        "c -> chr(31) || c || chr(30)), 'string_agg', '')"
+    )
+    seq = (
+        f"coalesce(list_aggregate(list_transform(toks, t -> {wrap}), "
+        "'string_agg', chr(29)), '')"
+    )
+    merged = sql_apply_merges("seq", _BPE_MERGES)
+    return f"""
+WITH pt AS (SELECT doc_id, {T.sql_bpe_pretokens('text')} AS toks FROM documents),
+sq AS (SELECT doc_id, len(toks) AS n_pretokens, {seq} AS seq FROM pt),
+mg AS (SELECT doc_id, n_pretokens, {merged} AS m FROM sq)
+SELECT doc_id, n_pretokens,
+       len(list_filter(string_split(m, chr(31)), x -> x <> '')) AS n_bpe_tokens,
+       {T.sql_md5_long('m')} AS stream_hash
+FROM mg"""
+
+
+@register("bpe_encode", _sql_bpe_encode())
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization with a FIXED learned merge table: pre-tokenize
+    (GPT-2 split), apply the 24 merges in order, count merged symbols and
+    hash the full merged stream. Merging is a chain of non-overlapping
+    leftmost `replace` calls over a separator-delimited whole-doc sequence —
+    identical semantics in Spark and DuckDB, and a merge can never span the
+    double-separator pre-token boundary (operators/bpe.doc_seq_col), so the
+    per-row expression IS per-pretoken BPE with zero shuffles. The merge
+    list itself comes from the distributed trainer (operators/bpe.
+    train_merges); tests/test_bpe.py pins trainer output == this literal."""
+    from osmgraft.operators.bpe import encode_tokens
+
+    return encode_tokens(_docs(spark, sf_dir), _BPE_MERGES)
+
+
 # deterministic PII augmentation: the synthetic corpus is clean word salad, so
 # the scrub query plants PII inline — same concat spec on both engines — and
 # the gate checks detection counts AND the hash of the redacted text.
