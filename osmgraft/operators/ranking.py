@@ -61,13 +61,21 @@ def _with_corpus_stats(postings: DataFrame) -> DataFrame:
     return postings.join(df_tab, "term").join(F.broadcast(stats))
 
 
-def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, postings: DataFrame | None = None
+) -> DataFrame:
     """Top-k characteristic terms per document by integer tf-idf.
 
     score = tf · (1 + floor(log2(N div df))); ties broken by term ascending
     so row_number is deterministic. Returns
-    (doc_id, term, tf, df, score, rnk)."""
-    p = _with_corpus_stats(doc_postings(docs))
+    (doc_id, term, tf, df, score, rnk).
+
+    ``postings`` lets a caller pass a materialized (doc_id, term, tf) table
+    — the standard inverted-index asset a 100 TB corpus keeps persisted —
+    so the corpus is tokenized once for every ranking op that consumes it
+    (plan-level exchange reuse does not fire across the df/stats branches:
+    lambda-bound tokenize subtrees don't canonicalize equal)."""
+    p = _with_corpus_stats(postings if postings is not None else doc_postings(docs))
     scored = p.select(
         "doc_id",
         "term",
@@ -105,7 +113,12 @@ scored AS (
 SELECT doc_id, term, tf, df, score, rnk FROM scored WHERE rnk <= {k}"""
 
 
-def bm25_scores(docs: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    postings: DataFrame | None = None,
+) -> DataFrame:
     """BM25 top-k documents per query — integer-exact fixed point.
 
     ``queries`` is a small (query_id, term) table, broadcast to the postings.
@@ -127,9 +140,16 @@ def bm25_scores(docs: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     ≤ ~10⁸ even for book-length docs, tf ≤ dl ≤ 10⁶ ⇒ numerator < 2⁶² before
     SCALE is folded in via the split multiply below; the division is a single
     integer floor div, then scores sum per (query, doc).
-    Returns (query_id, doc_id, score, rnk), rnk ≤ k, ties → doc_id asc."""
-    p = _with_corpus_stats(doc_postings(docs))
-    dl = doc_postings(docs).groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    Returns (query_id, doc_id, score, rnk), rnk ≤ k, ties → doc_id asc.
+    ``postings`` as in tfidf_top_terms: pass the persisted inverted index at
+    scale so the corpus is tokenized once, not once per aggregate branch."""
+    if postings is None:
+        postings = doc_postings(docs)
+    p = _with_corpus_stats(postings)
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # the df/stats/dl aggregations all hang off the ONE postings subtree, so
+    # Spark's exchange reuse serves the postings shuffle to every consumer
+    # instead of re-scanning and re-exploding the corpus per aggregate
     p = p.join(dl, "doc_id")
     p = p.withColumn("avgdl_milli", F.expr("(1000 * tot_tokens) div n_docs"))
     matched = p.join(F.broadcast(queries), "term")

@@ -83,3 +83,44 @@ def test_topk_paths_have_no_cartesian(spark, name):
 
     plan = plan_of(REGISTRY[name][0](spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_cdc_chunks_no_exchange_before_explode(spark):
+    """CDC chunking is embarrassingly parallel: scan → project → explode,
+    with no Exchange anywhere (the only shuffle belongs to downstream aggs)."""
+    from osmgraft.operators.dedup import cdc_chunks
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(cdc_chunks(docs))
+    assert "Exchange" not in plan
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m and "text" in m.group(1) and "source" not in m.group(1)
+
+
+def test_bpe_encode_no_exchange(spark):
+    """Fixed-merge BPE application is a per-row replace chain: zero shuffles,
+    scan pruned to (doc_id, text)."""
+    from osmgraft.operators.bpe import encode_tokens
+    from osmgraft.queries import _BPE_MERGES
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(encode_tokens(docs, _BPE_MERGES))
+    assert "Exchange" not in plan
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m and "source" not in m.group(1) and "lang" not in m.group(1)
+
+
+def test_pii_and_funnel_single_pass(spark):
+    """pii_scrub: per-row only — no data-dependent (hash-keyed) exchange; the
+    one RoundRobin comes from the sandbox single-split parallelism guard.
+    curation_funnel: one scan folded by partial+final aggregates — no joins,
+    no windows, exchanges bounded by the countDistinct expand phase."""
+    from osmgraft.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["pii_scrub"][0](spark, SF))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan and "Window" not in plan
+    plan2 = plan_of(REGISTRY["curation_funnel"][0](spark, SF))
+    assert "Join" not in plan2 and "Window" not in plan2
+    assert plan2.count("HashAggregate") >= 2  # map-side partials present
+    assert plan2.count("Exchange") <= 3  # guard + countDistinct two-phase
