@@ -867,6 +867,49 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_asof_user_state() -> str:
+    from osmgraft.operators.asof import sql_asof_join
+
+    inner = sql_asof_join(
+        left_sql="SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'",
+        right_sql="SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'",
+        on=["user_id"],
+        ts="ts",
+        right_cols=["event_id", "value"],
+        out_cols="l.event_id, l.user_id",
+    )
+    return f"""
+SELECT event_id, user_id,
+       event_id_ref AS ref_event_id,
+       CAST(round(value_ref * 100) AS BIGINT) AS ref_cents
+FROM ({inner})"""
+
+
+@register("asof_user_state", _sql_asof_user_state())
+def asof_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — the temporal join Spark lacks: every click event picks up
+    the latest at-or-before 'view' event of the same user (its id + value).
+    Engine side is the union-window technique (ONE key exchange + sort, no
+    join node — operators/asof.py); the oracle is DuckDB's NATIVE ASOF LEFT
+    JOIN, an independent sort/binary-search implementation of the same
+    published semantics. Matched-row IDENTITY is part of the hash, not just
+    the carried value."""
+    from osmgraft.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(left, right, on=["user_id"], ts="ts", right_cols=["event_id", "value"])
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_ref").alias("ref_event_id"),
+        F.round(F.col("value_ref") * 100).cast("long").alias("ref_cents"),
+    )
+
+
 # BPE merge list learned by operators/bpe.train_merges on the sf0.01 corpus
 # (24 merges). Embedded as a literal so the ENCODE path is oracle-gateable at
 # every SF; tests/test_bpe.py re-trains and asserts this exact list, pinning

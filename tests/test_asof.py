@@ -1,0 +1,103 @@
+"""As-of join (operators/asof.py): crafted semantics — inclusive ties,
+unmatched nulls, same-row consistency of carried columns — and the
+single-exchange no-join plan shape."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from osmgraft.operators.asof import asof_join
+
+
+def _tables(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (2, "a", 5),   # before any ref for key a
+            (3, "a", 7),   # exactly at ref ts: inclusive
+            (4, "b", 100),
+            (5, "c", 50),  # key with no refs at all
+        ],
+        "event_id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", 7, 700, "r1"),
+            ("a", 9, 900, "r2"),
+            ("b", 1, 100, "r3"),
+            ("b", 99, 9900, "r4"),
+        ],
+        "k string, t long, v long, tag string",
+    )
+    return left, right
+
+
+def test_asof_semantics(spark):
+    left, right = _tables(spark)
+    got = {
+        r.event_id: (r.v_ref, r.tag_ref)
+        for r in asof_join(left, right, on=["k"], ts="t", right_cols=["v", "tag"]).collect()
+    }
+    assert len(got) == 5  # LEFT semantics: every probe row survives
+    assert got[1] == (900, "r2")   # latest ref <= 10 is t=9
+    assert got[2] == (None, None)  # t=5 precedes the first ref
+    assert got[3] == (700, "r1")   # inclusive: ref at exactly t=7 matches
+    assert got[4] == (9900, "r4")
+    assert got[5] == (None, None)  # key never seen on the right
+    # carried columns must come from the SAME matched row (v, tag pairs)
+    assert all(
+        (v is None) == (tag is None) and (v is None or f"r{v // 100 if v < 1000 else 4}")
+        for v, tag in got.values()
+    )
+
+
+def test_asof_matches_duckdb_native(spark):
+    """The union-window engine equals DuckDB's native ASOF LEFT JOIN on a
+    randomized fixture (200 probes, 60 refs, 5 keys)."""
+    import duckdb
+    import numpy as np
+
+    rng = np.random.default_rng(33)
+    lrows = [
+        (int(i), f"k{int(rng.integers(0, 5))}", int(rng.integers(0, 1000)))
+        for i in range(200)
+    ]
+    # unique (k, t) on the right, per the operator's contract
+    seen, rrows = set(), []
+    for j in range(200):
+        k, t = f"k{int(rng.integers(0, 5))}", int(rng.integers(0, 1000))
+        if (k, t) not in seen:
+            seen.add((k, t))
+            rrows.append((k, t, int(rng.integers(0, 10_000))))
+        if len(rrows) == 60:
+            break
+    left = spark.createDataFrame(lrows, "event_id long, k string, t long")
+    right = spark.createDataFrame(rrows, "k string, t long, v long")
+    got = {
+        r.event_id: r.v_ref
+        for r in asof_join(left, right, on=["k"], ts="t", right_cols=["v"]).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(event_id BIGINT, k VARCHAR, t BIGINT)")
+    con.execute("CREATE TABLE r(k VARCHAR, t BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?,?,?)", lrows)
+    con.executemany("INSERT INTO r VALUES (?,?,?)", rrows)
+    ref = dict(
+        con.execute(
+            "SELECT l.event_id, r.v FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.t >= r.t"
+        ).fetchall()
+    )
+    assert got == ref
+
+
+def test_asof_plan_single_exchange_no_join(spark):
+    left, right = _tables(spark)
+    plan = (
+        asof_join(left, right, on=["k"], ts="t", right_cols=["v"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan.replace("unionByName", "")  # no join node at all
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1  # one key shuffle
+    assert "Window" in plan
