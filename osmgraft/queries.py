@@ -867,6 +867,34 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_value_percentiles() -> str:
+    from osmgraft.operators.stats import sql_exact_percentiles_native
+
+    return sql_exact_percentiles_native(
+        "SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events",
+        keys=["event_type"],
+        col="cents",
+        quantiles_pm=[500, 900, 990],
+    )
+
+
+@register("value_percentiles_exact", _sql_value_percentiles())
+def value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed p50/p90/p99 of event value (cents) per event type —
+    sketches can't hash-gate, integer histograms can (operators/stats.py:
+    histogram + cumulative window over DISTINCT values, integer rational
+    ranks). Oracle is DuckDB's NATIVE quantile_disc — an independent
+    sort-based implementation of the same rank convention."""
+    from osmgraft.operators.stats import exact_percentiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return exact_percentiles(
+        ev, keys=["event_type"], col="cents", quantiles_pm=[500, 900, 990]
+    )
+
+
 def _sql_asof_user_state() -> str:
     from osmgraft.operators.asof import sql_asof_join
 

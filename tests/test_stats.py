@@ -1,0 +1,64 @@
+"""Exact distributed percentiles (operators/stats.py): rank convention vs a
+plain-python order statistic, duplicate-heavy domains, tiny groups, q=1.0."""
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from osmgraft.operators.stats import exact_percentiles
+
+
+def _ref(vals, q_pm):
+    s = sorted(vals)
+    k = max(1, math.ceil(q_pm * len(s) / 1000))
+    return s[k - 1]
+
+
+def test_exact_percentiles_reference(spark):
+    rng = np.random.default_rng(8)
+    rows = [
+        (f"g{int(i % 4)}", int(v))
+        for i, v in enumerate(rng.integers(0, 50, 5000))  # heavy duplicates
+    ]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {
+        (r.k, r.q_pm): r.val_q
+        for r in exact_percentiles(df, ["k"], "v", [1, 250, 500, 900, 990, 1000]).collect()
+    }
+    by_key = {}
+    for k, v in rows:
+        by_key.setdefault(k, []).append(v)
+    for k, vals in by_key.items():
+        for q in (1, 250, 500, 900, 990, 1000):
+            assert got[(k, q)] == _ref(vals, q), (k, q)
+
+
+def test_exact_percentiles_tiny_groups(spark):
+    df = spark.createDataFrame(
+        [("a", 7), ("b", 1), ("b", 2), ("c", 5), ("c", 5), ("c", 9)],
+        "k string, v long",
+    )
+    got = {
+        (r.k, r.q_pm): r.val_q
+        for r in exact_percentiles(df, ["k"], "v", [500, 1000]).collect()
+    }
+    assert got[("a", 500)] == 7 and got[("a", 1000)] == 7
+    assert got[("b", 500)] == 1 and got[("b", 1000)] == 2
+    assert got[("c", 500)] == 5 and got[("c", 1000)] == 9
+
+
+def test_exact_percentiles_plan(spark):
+    """Histogram agg has map-side partials; the window runs over distinct
+    values, and no raw-row global sort appears."""
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("v"), F.lit("k").alias("k")
+    )
+    plan = (
+        exact_percentiles(df, ["k"], "v", [500])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
