@@ -867,6 +867,97 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEQ_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+_SEQ_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+)
+SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1
+UNION ALL SELECT 2, 'click', count(*) FROM s2
+UNION ALL SELECT 3, 'purchase', count(*) FROM s3"""
+
+
+@register("funnel_sequence", _SEQ_FUNNEL_SQL)
+def funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-sequence funnel: users who did view, THEN click, THEN
+    purchase in strict timestamp order (not mere set membership). Each step
+    is one filtered aggregate joined to the previous step's first-completion
+    time — per-step equi-joins on user_id, no window over raw events, no
+    per-user state. The timestamp jitter in the fixture makes ties
+    impossible, so strict '>' is well-defined on both engines."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    prev = None
+    counts = []
+    for i, step in enumerate(_SEQ_FUNNEL_STEPS, start=1):
+        e = ev.filter(F.col("event_type") == step)
+        if prev is None:
+            cur = e.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            cur = (
+                e.join(prev.withColumnRenamed("t", "_pt"), "user_id")
+                .filter(F.col("ts") > F.col("_pt"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        counts.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i).alias("step"),
+                F.lit(step).alias("event_type"),
+                "n_users",
+            )
+        )
+        prev = cur
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+_RETENTION_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+),
+coh AS (SELECT user_id, min(d) AS cohort_d FROM act GROUP BY user_id)
+SELECT c.cohort_d, a.d - c.cohort_d AS day_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM act a JOIN coh c USING (user_id)
+WHERE a.d - c.cohort_d <= 30
+GROUP BY c.cohort_d, day_offset"""
+
+
+@register("retention_cohorts", _RETENTION_SQL)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, counted on
+    each later active day (offset ≤ 30) — the standard growth-analytics
+    rollup. Two aggregations + one equi-join on user_id, all map-side
+    combined; days are integer offsets from a fixed epoch so the hash gate
+    never touches date formatting."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    act = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("d"),
+    ).distinct()
+    coh = act.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        act.join(coh, "user_id")
+        .withColumn("day_offset", F.col("d") - F.col("cohort_d"))
+        .filter(F.col("day_offset") <= 30)
+        .groupBy("cohort_d", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 def _sql_value_percentiles() -> str:
     from osmgraft.operators.stats import sql_exact_percentiles_native
 

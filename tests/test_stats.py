@@ -62,3 +62,31 @@ def test_exact_percentiles_plan(spark):
     )
     assert plan.count("HashAggregate") >= 2
     assert "Window" in plan
+
+
+def test_funnel_sequence_ordering(spark, tmp_path):
+    """Order matters: a user who clicks BEFORE their first view does not
+    advance; re-views after the click don't resurrect the sequence."""
+    import datetime
+
+    rows = [
+        # u1: proper view -> click -> purchase
+        (1, datetime.datetime(2024, 1, 1, 0, 0, 1), 10, "view", 1.0, "{}"),
+        (2, datetime.datetime(2024, 1, 1, 0, 0, 2), 10, "click", 1.0, "{}"),
+        (3, datetime.datetime(2024, 1, 1, 0, 0, 3), 10, "purchase", 1.0, "{}"),
+        # u2: click precedes the only view -> stuck at step 1
+        (4, datetime.datetime(2024, 1, 1, 0, 0, 1), 20, "click", 1.0, "{}"),
+        (5, datetime.datetime(2024, 1, 1, 0, 0, 2), 20, "view", 1.0, "{}"),
+        # u3: view then purchase but never clicks -> stuck at step 1
+        (6, datetime.datetime(2024, 1, 1, 0, 0, 1), 30, "view", 1.0, "{}"),
+        (7, datetime.datetime(2024, 1, 1, 0, 0, 2), 30, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "seq")
+    df.write.parquet(f"{d}/events.parquet")
+    from osmgraft.queries import REGISTRY
+
+    got = {r.step: r.n_users for r in REGISTRY["funnel_sequence"][0](spark, d).collect()}
+    assert got == {1: 3, 2: 1, 3: 1}
