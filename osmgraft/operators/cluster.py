@@ -1,0 +1,83 @@
+"""Z-order clustered writes — spatial data layout for scan pruning.
+
+At 100 TB the scan is the query: parquet readers prune files and row groups
+by min/max column statistics, but a spatially RANDOM layout makes every
+file's (tx, ty) span the whole world, so a small-region query still touches
+every file. Writing in Morton (Z-order) gives each file a compact spatial
+footprint, so bounding-box predicates prune to O(region) files — the same
+layout Iceberg/Delta expose as ``zorder by``, built here from primitives:
+interleave the tile bits (the geohash module's mask/shift spreader),
+range-repartition on the key (Spark samples quantiles → balanced files),
+sort within partitions, drop the key before writing.
+
+The footprint claim is MEASURED, not asserted: tests read the written
+parquet footers (row-group min/max of tx/ty) and check that a tile-box
+predicate intersects a small fraction of row groups under Z-order vs ~all
+of them under a hash layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from osmgraft.functions.geohash import _spread_col
+
+
+def zorder_key(x: Column, y: Column) -> Column:
+    """Morton interleave of two non-negative int columns (x even bits)."""
+    return _spread_col(x).bitwiseOR(F.shiftleft(_spread_col(y), 1))
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 16,
+) -> None:
+    """Write ``df`` as parquet clustered in Z-order on (x_col, y_col).
+
+    repartitionByRange samples the key distribution, so files are balanced
+    even when the data is spatially skewed (a fixed grid split would put a
+    city in one file and an ocean in fifty)."""
+    keyed = df.withColumn("_z", zorder_key(F.col(x_col), F.col(y_col)))
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def rowgroup_spans(path: str, x_col: str, y_col: str) -> list[tuple]:
+    """(x_min, x_max, y_min, y_max) per row group from the parquet footers —
+    exactly the statistics a reader prunes with."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        xi, yi = names.index(x_col), names.index(y_col)
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            sx, sy = g.column(xi).statistics, g.column(yi).statistics
+            spans.append((sx.min, sx.max, sy.min, sy.max))
+    return spans
+
+
+def pruned_fraction(
+    spans: list[tuple], x_lo: int, x_hi: int, y_lo: int, y_hi: int
+) -> float:
+    """Fraction of row groups a (x, y) box predicate can SKIP by stats."""
+    touch = sum(
+        1
+        for (xmn, xmx, ymn, ymx) in spans
+        if not (xmx < x_lo or xmn > x_hi or ymx < y_lo or ymn > y_hi)
+    )
+    return 1.0 - touch / len(spans)
