@@ -1,0 +1,93 @@
+"""Iterative graph analytics: PageRank in integer fixed point.
+
+PageRank is the canonical "Spark can, SQL can't" iterative workload — but a
+FIXED iteration count unrolls into plain relational algebra, so the oracle
+gate still applies: the DuckDB twin is the same recurrence written as R
+chained CTEs. To make the two engines agree bit-for-bit the recurrence is
+integer arithmetic only:
+
+    r_0(v)     = SCALE
+    r_{t+1}(v) = (15·SCALE) div 100
+                 + (85 · Σ_{u→v} (r_t(u) div outdeg(u))) div 100
+
+(d = 85/100 damping as exact rationals; the per-edge floor division loses a
+deterministic dust of mass — identical on both engines, harmless to ranking,
+and the price of a float-free gate).
+
+Distribution shape: ranks live keyed by node; each iteration is one equi-join
+of edges⨝ranks on src (shuffle on src) + one dst aggregation (map-side
+combine). localCheckpoint every few rounds caps lineage like the other
+iterative operators (dedup.connected_components, bpe.train_merges). At
+100 TB the edge table is the big side and ranks the small-ish side — AQE can
+broadcast ranks when the node set fits, else it's the standard Pregel shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000
+_BASE = 15 * SCALE // 100  # (1-d)·SCALE with d = 85/100
+
+
+def pagerank(edges: DataFrame, iters: int = 4, checkpoint_every: int = 4) -> DataFrame:
+    """Integer fixed-point PageRank over a directed edge list (src, dst).
+
+    Nodes are everything appearing as src or dst. Returns (node_id, rank_fx)
+    after exactly ``iters`` iterations — fixed count, so the result is a
+    deterministic function of the edge list."""
+    nodes = (
+        edges.select(F.col("src").alias("node_id"))
+        .unionByName(edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("rank_fx", F.lit(SCALE).cast("long"))
+    for t in range(iters):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node_id)
+            .join(deg, "src")
+            .select("dst", F.expr("rank_fx div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = nodes.join(
+            contrib, nodes.node_id == contrib.dst, "left"
+        ).select(
+            "node_id",
+            (
+                F.lit(_BASE)
+                + F.expr("(85 * coalesce(in_sum, 0)) div 100")
+            ).cast("long").alias("rank_fx"),
+        )
+        if (t + 1) % checkpoint_every == 0 and t + 1 < iters:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def sql_pagerank(edges_sql: str, iters: int = 4) -> str:
+    """DuckDB twin: the same recurrence unrolled into ``iters`` chained CTEs."""
+    parts = [
+        f"edges AS ({edges_sql})",
+        "nodes AS (SELECT DISTINCT src AS node_id FROM edges"
+        " UNION SELECT DISTINCT dst FROM edges)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node_id, CAST({SCALE} AS BIGINT) AS rank_fx FROM nodes)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""c{t} AS (
+  SELECT e.dst, sum(r.rank_fx // d.outdeg) AS in_sum
+  FROM edges e JOIN r{t} r ON e.src = r.node_id JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r{t + 1} AS (
+  SELECT n.node_id,
+         {_BASE} + (85 * coalesce(c.in_sum, 0)) // 100 AS rank_fx
+  FROM nodes n LEFT JOIN c{t} c ON n.node_id = c.dst
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT node_id, rank_fx FROM r{iters}"
+    )

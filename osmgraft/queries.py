@@ -867,6 +867,52 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# road-graph edges: consecutive node refs of each synthetic way, both
+# directions (the undirected road network the PIP/kNN fixtures walk)
+_ROAD_EDGES_SQL = """
+SELECT n AS src, nn AS dst FROM (
+  SELECT o_orderkey AS n,
+         lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nn
+  FROM orders
+) WHERE nn IS NOT NULL
+UNION ALL
+SELECT nn, n FROM (
+  SELECT o_orderkey AS n,
+         lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nn
+  FROM orders
+) WHERE nn IS NOT NULL"""
+
+
+def _road_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    seg = orders.select(
+        F.col("o_orderkey").alias("src"),
+        F.lead("o_orderkey").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    return seg.unionByName(seg.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _sql_pagerank_roads() -> str:
+    from osmgraft.operators.graph import sql_pagerank
+
+    return sql_pagerank(_ROAD_EDGES_SQL, iters=4)
+
+
+@register("pagerank_roads", _sql_pagerank_roads())
+def pagerank_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the synthetic road network (ways → consecutive-node
+    edges, undirected) — the canonical iterative graph workload, in integer
+    fixed point so a FIXED 4-iteration run hash-gates against the same
+    recurrence unrolled into chained CTEs in DuckDB (operators/graph.py).
+    Per iteration: one src-keyed join + one dst aggregation, Pregel shape."""
+    from osmgraft.operators.graph import pagerank
+
+    return pagerank(_road_edges(spark, sf_dir), iters=4)
+
+
 _SEQ_FUNNEL_STEPS = ["view", "click", "purchase"]
 
 _SEQ_FUNNEL_SQL = """

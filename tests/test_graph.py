@@ -1,0 +1,48 @@
+"""PageRank (operators/graph.py): recurrence vs a plain-python reference on
+crafted graphs, sink/isolated behavior, rank ordering on a known topology."""
+
+from osmgraft.operators.graph import SCALE, pagerank
+
+
+def _ref_pagerank(edges, iters):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {n: SCALE for n in nodes}
+    base = 15 * SCALE // 100
+    for _ in range(iters):
+        in_sum = {n: 0 for n in nodes}
+        for s, d in edges:
+            in_sum[d] += r[s] // deg[s]
+        r = {n: base + (85 * in_sum[n]) // 100 for n in nodes}
+    return r
+
+
+def test_pagerank_matches_reference(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(14)
+    edges = list({(int(a), int(b)) for a, b in rng.integers(0, 40, (300, 2)) if a != b})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node_id: r.rank_fx for r in pagerank(df, iters=4).collect()}
+    assert got == _ref_pagerank(edges, 4)
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    # star graph: every leaf points at the hub (and back, so no dangling mass)
+    edges = [(i, 0) for i in range(1, 11)] + [(0, i) for i in range(1, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node_id: r.rank_fx for r in pagerank(df, iters=6).collect()}
+    # hub/leaf ratio is 4.82 after 6 iterations (converges toward ~8.7)
+    assert got[0] > max(got[i] for i in range(1, 11)) * 4
+    leaf_ranks = {got[i] for i in range(1, 11)}
+    assert len(leaf_ranks) == 1  # symmetry preserved exactly
+
+
+def test_pagerank_no_incoming_gets_base_only(spark):
+    edges = [(1, 2), (2, 3), (3, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node_id: r.rank_fx for r in pagerank(df, iters=3).collect()}
+    assert got[1] == 15 * SCALE // 100  # node 1: no in-edges after iter 1
+    assert got[2] > got[1] and got[3] > got[1]
