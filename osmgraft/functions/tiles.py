@@ -111,3 +111,40 @@ def np_tile_polygon(x: int, y: int, z: int) -> list[tuple[int, int]]:
     s, n = np_tile_lat_bounds(np.array([y]), z)
     s7, n7 = int(round(s[0] * 1e7)), int(round(n[0] * 1e7))
     return [(s7, w), (s7, e), (n7, e), (n7, w), (s7, w)]
+
+
+# --- quadkeys (Bing Maps tile addressing; public spec) ---------------------------
+#
+# quadkey(z) = z base-4 digits, MSB first, digit i = (y_bit << 1) | x_bit of
+# the slippy tile coordinate at zoom z. Equivalent to the base-4 rendering of
+# the Morton interleave (y bits odd), so the codegen'd geohash bit-spreader
+# does all the work. Published vector: (x=3, y=5, z=3) -> "213".
+
+
+def quadkey(lon7: Column, lat7: Column, z: int) -> Column:
+    """Slippy tile -> quadkey string at zoom z (JVM-only expression)."""
+    from osmgraft.functions.geohash import _spread_col
+
+    tx = tile_x(lon7, z)
+    ty = tile_y(lat7, z)
+    morton = _spread_col(tx).bitwiseOR(F.shiftleft(_spread_col(ty), 1))
+    return F.lpad(F.conv(morton, 10, 4), z, "0")
+
+
+def sql_quadkey(lon7_expr: str, lat7_expr: str, z: int) -> str:
+    from osmgraft.functions.geohash import _sql_spread
+
+    tx = sql_tile_x(lon7_expr, z)
+    ty = sql_tile_y(lat7_expr, z)
+    morton = f"({_sql_spread(f'({tx})')} | ({_sql_spread(f'({ty})')} << 1))"
+    return f"lpad(to_base({morton}, 4), {z}, '0')"
+
+
+def quadkey_to_tile(qk: str) -> tuple[int, int, int]:
+    """Inverse (python, for tests/tools): quadkey -> (z, tx, ty)."""
+    tx = ty = 0
+    for c in qk:
+        d = int(c)
+        tx = (tx << 1) | (d & 1)
+        ty = (ty << 1) | (d >> 1)
+    return len(qk), tx, ty

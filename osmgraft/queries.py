@@ -867,6 +867,25 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quadkey_counts_z9",
+    f"""WITH pts AS ({_PTS})
+SELECT {tiles.sql_quadkey('lon7', 'lat7', 9)} AS qk, count(*) AS cnt
+FROM pts GROUP BY qk""",
+)
+def quadkey_counts_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadkey (Bing tile addressing) counts at zoom 9 — the SIXTH cell-index
+    family member (slippy, S2, H3, grid, geohash, quadkey), rendered as the
+    base-4 Morton string via the shared codegen bit-spreader; published
+    vector (x=3,y=5,z=3)→'213' pinned in tests."""
+    pts = points_from_orders(spark, sf_dir)
+    return (
+        pts.select(tiles.quadkey(F.col("lon7"), F.col("lat7"), 9).alias("qk"))
+        .groupBy("qk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 # road-graph edges: consecutive node refs of each synthetic way, both
 # directions (the undirected road network the PIP/kNN fixtures walk)
 _ROAD_EDGES_SQL = """

@@ -201,3 +201,35 @@ def test_render_tile_pngs_roundtrip_and_pin(spark):
 
 
 PIN_RENDER_SHA = "8c3b65a5e55a9e9ffc2f9441a481429d32791406228196cbf5547296c7de55d3"
+
+
+def test_quadkey_published_vector_and_inverse(spark):
+    """Bing docs example: tile (x=3, y=5) at z=3 has quadkey '213'; the
+    engine column agrees, and the inverse recovers (z, tx, ty) for a sweep."""
+    from pyspark.sql import functions as F
+
+    from osmgraft.functions.tiles import quadkey, quadkey_to_tile, tile_x, tile_y
+
+    # find a lon/lat that lands on tile (3, 5) at z=3: tx=3 -> lon in
+    # [-45, 0); ty=5 -> southern band. Use integer tile math to verify.
+    lon7, lat7 = int(-22.5e7), int(-50.0e7)
+    df = spark.range(1).select(
+        quadkey(F.lit(lon7), F.lit(lat7), 3).alias("qk"),
+        tile_x(F.lit(lon7), 3).alias("tx"),
+        tile_y(F.lit(lat7), 3).alias("ty"),
+    )
+    r = df.collect()[0]
+    assert (r.tx, r.ty) == (3, 5)
+    assert r.qk == "213"
+    assert quadkey_to_tile("213") == (3, 3, 5)
+    # inverse roundtrip over a z=6 sweep of the forward definition
+    import itertools
+
+    for tx, ty in itertools.product(range(8), range(8)):
+        z = 6
+        digits = []
+        for i in range(z - 1, -1, -1):
+            d = (((ty >> i) & 1) << 1) | ((tx >> i) & 1)
+            digits.append(str(d))
+        qk = "".join(digits)
+        assert quadkey_to_tile(qk) == (z, tx, ty)
