@@ -1,0 +1,201 @@
+"""Mapbox Vector Tile (MVT 2.1) point-layer codec — pure python protobuf.
+
+Public knowledge only: the MVT 2.1 specification (Mapbox, CC-BY) and the
+protobuf wire format (the same varint/length-delimited framing this repo
+already hand-decodes for .osm.pbf — sources/pbf.py). Scope: POINT layers
+with integer attributes — the tile-server product of the aggregation
+pipeline (counts per cell become point features at cell centers). The
+decoder is generic over the wire format (parses any spec-conformant point
+layer, not just this encoder's output), so roundtrip tests exercise real
+parsing, not a memorized inverse.
+
+Wire shapes used (spec §4):
+  Tile: repeated Layer = field 3 (len-delimited)
+  Layer: name=1 (string), Feature=2, keys=3 (string), values=4 (Value),
+         extent=5 (varint), version=15 (varint, =2)
+  Feature: id=1 (varint), tags=2 (packed varint, alternating key/value
+           indexes), type=3 (varint, 1=POINT), geometry=4 (packed varint
+           commands: MoveTo=(count<<3)|1 then zigzag dx,dy pairs; the
+           cursor starts at (0,0) per feature)
+  Value: int_value=4 (varint int64)
+"""
+
+from __future__ import annotations
+
+
+def _varint(v: int) -> bytes:
+    if v < 0:
+        v &= (1 << 64) - 1  # protobuf negative varints are 10-byte two's complement
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(z: int) -> int:
+    return (z >> 1) ^ -(z & 1)
+
+
+def _field(num: int, wire: int) -> bytes:
+    return _varint((num << 3) | wire)
+
+
+def _len_delim(num: int, payload: bytes) -> bytes:
+    return _field(num, 2) + _varint(len(payload)) + payload
+
+
+def encode_point_layer(
+    name: str,
+    points: list[tuple[int, int, dict[str, int]]],
+    extent: int = 4096,
+) -> bytes:
+    """One MVT Tile containing one point layer.
+
+    points: (x, y, attrs) with 0 <= x, y < extent and int attr values.
+    Key/value tables are deduplicated in first-seen order (spec §4.4);
+    feature ids are the point's position (stable, deterministic)."""
+    keys: list[str] = []
+    vals: list[int] = []
+    kidx: dict[str, int] = {}
+    vidx: dict[int, int] = {}
+    feats = bytearray()
+    for fid, (x, y, attrs) in enumerate(points):
+        if not (0 <= x < extent and 0 <= y < extent):
+            raise ValueError(f"point ({x}, {y}) outside extent {extent}")
+        tags = bytearray()
+        for k, v in attrs.items():
+            if k not in kidx:
+                kidx[k] = len(keys)
+                keys.append(k)
+            if v not in vidx:
+                vidx[v] = len(vals)
+                vals.append(int(v))
+            tags += _varint(kidx[k]) + _varint(vidx[v])
+        geom = _varint((1 << 3) | 1) + _varint(_zigzag(x)) + _varint(_zigzag(y))
+        body = (
+            _field(1, 0) + _varint(fid)
+            + _len_delim(2, bytes(tags))
+            + _field(3, 0) + _varint(1)  # POINT
+            + _len_delim(4, geom)
+        )
+        feats += _len_delim(2, body)
+    layer = bytearray()
+    layer += _len_delim(1, name.encode("utf-8"))
+    layer += feats
+    for k in keys:
+        layer += _len_delim(3, k.encode("utf-8"))
+    for v in vals:
+        layer += _len_delim(4, _field(4, 0) + _varint(v))  # Value{int_value}
+    layer += _field(5, 0) + _varint(extent)
+    layer += _field(15, 0) + _varint(2)
+    return _len_delim(3, bytes(layer))
+
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    v = s = 0
+    while True:
+        b = buf[i]
+        i += 1
+        v |= (b & 0x7F) << s
+        if not b & 0x80:
+            return v, i
+        s += 7
+        if s > 70:
+            raise ValueError("varint overflow")
+
+
+def _fields(buf: bytes):
+    """Generic protobuf field iterator: yields (field_num, wire, value)."""
+    i = 0
+    while i < len(buf):
+        tag, i = _read_varint(buf, i)
+        num, wire = tag >> 3, tag & 7
+        if wire == 0:
+            v, i = _read_varint(buf, i)
+        elif wire == 2:
+            ln, i = _read_varint(buf, i)
+            v = buf[i : i + ln]
+            if len(v) != ln:
+                raise ValueError("truncated length-delimited field")
+            i += ln
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield num, wire, v
+
+
+def decode_point_layers(
+    data: bytes,
+) -> dict[str, tuple[int, list[tuple[int, int, dict[str, int]]]]]:
+    """Tile bytes → {layer name: (extent, [(x, y, attrs), …])}.
+
+    Generic parse: field order independent, multi-point features supported,
+    rejects non-POINT geometry and malformed command streams."""
+    out: dict[str, tuple[int, list]] = {}
+    for num, wire, layer_buf in _fields(data):
+        if num != 3:
+            continue
+        name, extent, version = "", 4096, None
+        keys: list[str] = []
+        vals: list[int] = []
+        raw_feats: list[bytes] = []
+        for fn, fw, fv in _fields(layer_buf):
+            if fn == 1:
+                name = fv.decode("utf-8")
+            elif fn == 2:
+                raw_feats.append(fv)
+            elif fn == 3:
+                keys.append(fv.decode("utf-8"))
+            elif fn == 4:
+                iv = None
+                for vn, vw, vv in _fields(fv):
+                    if vn == 4:
+                        iv = vv if vw == 0 else None
+                if iv is None:
+                    raise ValueError("only int_value Values supported")
+                vals.append(iv)
+            elif fn == 5:
+                extent = fv
+            elif fn == 15:
+                version = fv
+        if version != 2:
+            raise ValueError(f"unsupported MVT version {version}")
+        pts: list[tuple[int, int, dict[str, int]]] = []
+        for fbuf in raw_feats:
+            gtype, geom, tags = None, b"", b""
+            for fn, fw, fv in _fields(fbuf):
+                if fn == 3:
+                    gtype = fv
+                elif fn == 4:
+                    geom = fv
+                elif fn == 2:
+                    tags = fv
+            if gtype != 1:
+                raise ValueError(f"not a POINT feature: type {gtype}")
+            attrs: dict[str, int] = {}
+            i = 0
+            while i < len(tags):
+                ki, i = _read_varint(tags, i)
+                vi, i = _read_varint(tags, i)
+                attrs[keys[ki]] = int(vals[vi])
+            i, cx, cy = 0, 0, 0
+            while i < len(geom):
+                cmd, i = _read_varint(geom, i)
+                if cmd & 7 != 1:
+                    raise ValueError("point geometry must be MoveTo only")
+                for _ in range(cmd >> 3):
+                    zx, i = _read_varint(geom, i)
+                    zy, i = _read_varint(geom, i)
+                    cx += _unzigzag(zx)
+                    cy += _unzigzag(zy)
+                    pts.append((cx, cy, attrs))
+        out[name] = (extent, pts)
+    return out

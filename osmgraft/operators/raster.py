@@ -187,3 +187,62 @@ def render_tile_pngs(
     return counts.groupBy("ptx", "pty").applyInPandas(
         render, schema="z int, tx long, ty long, png binary, n_points long"
     )
+
+
+def render_tile_mvt(
+    tile_counts: DataFrame,
+    z: int,
+    parent_z: int,
+    layer: str = "counts",
+    extent: int = 4096,
+) -> DataFrame:
+    """Materialize the VECTOR tile-server layer: per parent tile at
+    ``parent_z``, its z-level descendant counts become POINT features (at
+    sub-cell centers in tile-local ``extent`` coords) with an integer
+    ``cnt`` attribute, encoded as a real Mapbox Vector Tile
+    (functions/mvt.py — hand-built protobuf, same wire format discipline as
+    the .osm.pbf source). The raster sibling is render_tile_pngs; together
+    they are the two products a tile server serves.
+
+    Deterministic: features ordered by (sy, sx), ids positional. Scale
+    shape identical to the PNG path — one bounded-group shuffle, then each
+    tile encodes independently in an applyInPandas task. Output:
+    (z, tx, ty, mvt, n_features)."""
+    import pandas as pd
+
+    from osmgraft.functions.mvt import encode_point_layer
+
+    shift = z - parent_z
+    if shift <= 0:
+        raise ValueError("parent_z must be coarser than z")
+    grid = 1 << shift
+    cell = extent // grid
+
+    counts = tile_counts.select(
+        F.shiftright(F.col("tx"), shift).alias("ptx"),
+        F.shiftright(F.col("ty"), shift).alias("pty"),
+        (F.col("tx") - F.shiftleft(F.shiftright(F.col("tx"), shift), shift)).alias("sx"),
+        (F.col("ty") - F.shiftleft(F.shiftright(F.col("ty"), shift), shift)).alias("sy"),
+        "cnt",
+    )
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["sy", "sx"])
+        pts = [
+            (int(sx) * cell + cell // 2, int(sy) * cell + cell // 2, {"cnt": int(c)})
+            for sx, sy, c in zip(pdf["sx"], pdf["sy"], pdf["cnt"])
+        ]
+        data = encode_point_layer(layer, pts, extent)
+        return pd.DataFrame(
+            {
+                "z": [parent_z],
+                "tx": [int(pdf["ptx"].iloc[0])],
+                "ty": [int(pdf["pty"].iloc[0])],
+                "mvt": [data],
+                "n_features": [len(pts)],
+            }
+        )
+
+    return counts.groupBy("ptx", "pty").applyInPandas(
+        render, schema="z int, tx long, ty long, mvt binary, n_features long"
+    )

@@ -2213,6 +2213,30 @@ def way_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simplify_ways(dp_fixture_df(spark, sf_dir), eps7=DP_EPS)
 
 
+@register("tile_render_mvt_z10", None)  # protobuf output: no SQL twin
+def tile_render_mvt_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VECTOR tile-server materialization: z13 counts per z10 parent encoded
+    as real Mapbox Vector Tiles (hand-built protobuf, functions/mvt.py) —
+    the vector sibling of tile_render_png_z10. Rows-only (SQL cannot emit
+    protobuf) but — unlike PNG — the bytes have NO compressor variance, so
+    pytest pins a sha256 over the exact tile bytes and a generic wire-format
+    decoder roundtrips every feature (tests/test_tiles.py)."""
+    from osmgraft.operators.raster import render_tile_mvt
+
+    pts = points_from_orders(spark, sf_dir)
+    counts = (
+        pts.select(
+            tiles.tile_x(F.col("lon7"), 13).alias("tx"),
+            tiles.tile_y(F.col("lat7"), 13).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return render_tile_mvt(counts, z=13, parent_z=10).select(
+        "z", "tx", "ty", F.length("mvt").alias("mvt_bytes"), "n_features"
+    )
+
+
 @register("tile_render_png_z10", None)  # binary PNG output: no SQL twin
 def tile_render_png_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster tile-server materialization: z13 counts rasterized per z10

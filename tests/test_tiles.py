@@ -233,3 +233,84 @@ def test_quadkey_published_vector_and_inverse(spark):
             digits.append(str(d))
         qk = "".join(digits)
         assert quadkey_to_tile(qk) == (z, tx, ty)
+
+
+def test_mvt_wire_format_literal():
+    """Hand-computed spec bytes for a minimal one-point tile: layer 'a',
+    extent 4096, one feature id=0 with {'cnt': 3} at (25, 17)."""
+    from osmgraft.functions.mvt import decode_point_layers, encode_point_layer
+
+    data = encode_point_layer("a", [(25, 17, {"cnt": 3})])
+    # Tile: field 3 len-delim -> layer
+    assert data[0] == 0x1A  # (3<<3)|2
+    # layer body: name field (1<<3)|2, len 1, 'a'
+    body = data[2:]
+    assert body[:3] == bytes([0x0A, 0x01, ord("a")])
+    # geometry: MoveTo count=1 -> (1<<3)|1 = 9; zigzag(25)=50, zigzag(17)=34
+    assert bytes([9, 50, 34]) in data
+    # version field: (15<<3)|0 = 0x78, value 2
+    assert data[-2:] == bytes([0x78, 0x02])
+    layers = decode_point_layers(data)
+    assert layers == {"a": (4096, [(25, 17, {"cnt": 3})])}
+
+
+def test_mvt_roundtrip_many():
+    from osmgraft.functions.mvt import decode_point_layers, encode_point_layer
+
+    pts = [(x * 37 % 4096, (x * 91 + 5) % 4096, {"cnt": x % 7, "k": 1}) for x in range(200)]
+    layers = decode_point_layers(encode_point_layer("grid", pts))
+    assert layers["grid"][0] == 4096
+    assert layers["grid"][1] == pts
+
+
+def test_mvt_rejects_bad_input():
+    import pytest as _pytest
+
+    from osmgraft.functions.mvt import decode_point_layers, encode_point_layer
+
+    with _pytest.raises(ValueError):
+        encode_point_layer("a", [(5000, 0, {})])  # outside extent
+    with _pytest.raises((ValueError, IndexError)):
+        decode_point_layers(encode_point_layer("a", [(1, 1, {})])[:-3])
+
+
+def test_tile_render_mvt_pinned(spark):
+    """Every z10 MVT decodes back to exactly its input counts, and a sha256
+    over the ordered tile bytes is pinned (no compressor variance in MVT)."""
+    import hashlib
+
+    from osmgraft.functions.mvt import decode_point_layers
+    from osmgraft.operators.raster import render_tile_mvt
+    from osmgraft.functions import tiles as T_
+    from osmgraft.synth import points_from_orders
+    from pyspark.sql import functions as F
+
+    pts = points_from_orders(spark, "/root/testdata/sf0.001")
+    counts = (
+        pts.select(
+            T_.tile_x(F.col("lon7"), 13).alias("tx"),
+            T_.tile_y(F.col("lat7"), 13).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cdict = {(r.tx, r.ty): r.cnt for r in counts.collect()}
+    rows = render_tile_mvt(counts, z=13, parent_z=10).orderBy("tx", "ty").collect()
+    h = hashlib.sha256()
+    n_feat = 0
+    for r in rows:
+        data = bytes(r.mvt)
+        h.update(data)
+        (extent, feats) = decode_point_layers(data)["counts"]
+        assert extent == 4096
+        cell = 4096 // 8  # z13 under z10: 8x8 subcells
+        for x, y, attrs in feats:
+            sx, sy = x // cell, y // cell
+            tx, ty = (r.tx << 3) | sx, (r.ty << 3) | sy
+            assert cdict[(tx, ty)] == attrs["cnt"], (tx, ty)
+            n_feat += 1
+    assert n_feat == len(cdict)  # every z13 cell appears exactly once
+    assert h.hexdigest() == PIN_MVT_SHA
+
+
+PIN_MVT_SHA = "3e8fd754706dd9c2d85d1bd49485517b31ef11c9b044720b837da88f7e414382"
