@@ -31,9 +31,13 @@ MCUs, 4 luma blocks, 2×2 box-mean chroma with half-up rounding, replicated
 on decode).  Restart intervals are supported both ways (encoder emits RSTn,
 decoder resets bit alignment + DC predictors at each).
 
-Vectorization shape: FDCT/IDCT/color/quantization run as whole-image numpy
-batches; only the entropy coder is a per-symbol Python loop (Huffman is
-inherently bit-serial), driven by a 16-bit prefix LUT on decode.
+Vectorization shape: EVERYTHING on encode is whole-image numpy — FDCT/
+color/quantization as batched matmuls, run-length tokenization as global
+nonzero/cumsum array surgery (_tokenize_vec), Huffman emission as a bit-
+matrix packbits (_emit_bits); the only python loops left are the per-level
+Huffman table build (257 merges) and the marker framing. Decode's entropy
+loop remains per-symbol python driven by a 16-bit prefix LUT (bit-serial by
+nature); the batched IDCT/color tail is numpy.
 """
 
 from __future__ import annotations
@@ -299,6 +303,153 @@ def _extend(bits: int, s: int) -> int:
 
 # --- encoder --------------------------------------------------------------------
 
+# bit_length LUT for magnitude categories (|DC delta| <= 2048, |AC| <= 1024
+# at the orthonormal scaling, so 2^13 covers everything legal)
+_BL_LUT = np.zeros(1 << 13, dtype=np.int64)
+for _v in range(1, 1 << 13):
+    _BL_LUT[_v] = _v.bit_length()
+del _v
+
+
+def _tokenize_vec(zz, samp, plane_bw, mcus_x, mcus_y, restart_interval):
+    """Whole-image symbol stream as arrays, in exact MCU walk order:
+    (t_sel, sym, extra, extra_len, mcu_sym_end). Replaces the per-block
+    python tokenizer — tested bit-equal to it (test_jpeg.py) — and runs
+    once for both the frequency and emission passes."""
+    n_mcus = mcus_x * mcus_y
+    slot_comp, slot_bidx = [], []
+    mcu = np.arange(n_mcus, dtype=np.int64)
+    my, mx = mcu // mcus_x, mcu % mcus_x
+    for ci, (sx, sy) in enumerate(samp):
+        for by in range(sy):
+            for bx in range(sx):
+                slot_comp.append(ci)
+                slot_bidx.append((my * sy + by) * plane_bw[ci] + (mx * sx + bx))
+    bpm = len(slot_comp)
+    n_slots = n_mcus * bpm
+    coefs = np.empty((n_mcus, bpm, 64), dtype=np.int64)
+    for j, (ci, bidx) in enumerate(zip(slot_comp, slot_bidx)):
+        coefs[:, j, :] = zz[ci][bidx]
+    coefs = coefs.reshape(n_slots, 64)
+    comp_of_slot = np.tile(np.array(slot_comp, dtype=np.int64), n_mcus)
+    mcu_of_slot = np.repeat(mcu, bpm)
+
+    # DC deltas: per-component predictor chains, reset at restart intervals
+    dc = coefs[:, 0]
+    delta = np.empty(n_slots, dtype=np.int64)
+    for ci in range(len(samp)):
+        m = comp_of_slot == ci
+        seq = dc[m]
+        prev = np.empty_like(seq)
+        prev[0] = 0
+        prev[1:] = seq[:-1]
+        if restart_interval:
+            iv = mcu_of_slot[m] // restart_interval
+            first = np.empty(len(seq), dtype=bool)
+            first[0] = True
+            first[1:] = iv[1:] != iv[:-1]
+            prev[first] = 0
+        delta[m] = seq - prev
+    d_ssss = _BL_LUT[np.abs(delta)]
+    d_extra = np.where(delta >= 0, delta, delta + (1 << d_ssss) - 1)
+
+    # AC run-length coding over the global nonzero list
+    ac = coefs[:, 1:]
+    rows, cols = np.nonzero(ac)
+    vals = ac[rows, cols]
+    nnz = len(rows)
+    first = np.empty(nnz, dtype=bool)
+    prev_col = np.empty(nnz, dtype=np.int64)
+    if nnz:
+        first[0] = True
+        first[1:] = rows[1:] != rows[:-1]
+        prev_col[0] = -1
+        prev_col[1:] = cols[:-1]
+        prev_col[first] = -1
+    run = cols - prev_col - 1
+    nzrl = run // 16            # ZRL symbols preceding each coefficient
+    run_rem = run % 16
+    a_ssss = _BL_LUT[np.abs(vals)]
+    a_extra = np.where(vals >= 0, vals, vals + (1 << a_ssss) - 1)
+    has_nz = np.zeros(n_slots, dtype=bool)
+    last_col = np.full(n_slots, -1, dtype=np.int64)
+    if nnz:
+        has_nz[rows] = True
+        last_col[rows] = cols   # rows ascending: the final write wins
+    eob = ~has_nz | (last_col < 62)
+
+    # assemble: [DC] + per-nz ([ZRL]*k + AC) + [EOB?] per slot, via offsets
+    per_nz = nzrl + 1
+    ac_count = np.zeros(n_slots, dtype=np.int64)
+    if nnz:
+        np.add.at(ac_count, rows, per_nz)
+    tot = 1 + ac_count + eob.astype(np.int64)
+    off = np.zeros(n_slots + 1, dtype=np.int64)
+    np.cumsum(tot, out=off[1:])
+    n_sym = int(off[-1])
+    sym = np.empty(n_sym, dtype=np.int64)
+    extra = np.zeros(n_sym, dtype=np.int64)
+    extra_len = np.zeros(n_sym, dtype=np.int64)
+    is_ac = np.ones(n_sym, dtype=bool)
+    sym[off[:-1]] = d_ssss
+    extra[off[:-1]] = d_extra
+    extra_len[off[:-1]] = d_ssss
+    is_ac[off[:-1]] = False
+    sym[off[1:][eob] - 1] = 0x00  # EOB
+    if nnz:
+        csum = np.cumsum(per_nz)
+        starts = np.flatnonzero(first)
+        seg_id = np.cumsum(first) - 1
+        row_base = np.concatenate([[0], csum[:-1]])[starts]
+        within = csum - row_base[seg_id]
+        final_pos = off[rows] + 1 + within - 1
+        sym[final_pos] = (run_rem << 4) | a_ssss
+        extra[final_pos] = a_extra
+        extra_len[final_pos] = a_ssss
+        zr_rows = np.repeat(np.arange(nnz), nzrl)
+        if len(zr_rows):
+            intra = np.arange(len(zr_rows)) - np.repeat(
+                np.concatenate([[0], np.cumsum(nzrl)[:-1]]), nzrl
+            )
+            sym[final_pos[zr_rows] - per_nz[zr_rows] + 1 + intra] = 0xF0
+    slot_of_sym = np.repeat(np.arange(n_slots), tot)
+    t_sel = (comp_of_slot[slot_of_sym] != 0).astype(np.int64) * 2 + is_ac
+    mcu_sym_end = np.cumsum(tot.reshape(n_mcus, bpm).sum(axis=1))
+    return t_sel, sym, extra, extra_len, mcu_sym_end
+
+
+def _emit_bits(vals: np.ndarray, lens: np.ndarray) -> bytes:
+    """MSB-first bit concatenation (len-0 entries emit nothing), 1-padded to
+    a byte (spec B.2.5), 0x00 stuffed after every 0xFF — vectorized twin of
+    _BitWriter (tested equal)."""
+    if len(vals) == 0:
+        return b""
+    maxlen = int(lens.max())
+    if maxlen == 0:
+        return b""
+    # chunked so the (rows × maxlen) temporaries stay cache-sized; values are
+    # ≤16 bits so int32 halves the memory traffic of the bit matrix
+    v32 = vals.astype(np.int32)
+    l32 = lens.astype(np.int32)
+    cols = np.arange(maxlen, dtype=np.int32)[None, :]
+    parts = []
+    step = 1 << 17
+    for i in range(0, len(v32), step):
+        v = v32[i : i + step, None]
+        ln = l32[i : i + step, None]
+        sh = np.maximum(ln - 1 - cols, 0)
+        bits = ((v >> sh) & 1).astype(np.uint8)
+        parts.append(bits[cols < ln])
+    stream = parts[0] if len(parts) == 1 else np.concatenate(parts)
+    pad = (-len(stream)) % 8
+    if pad:
+        stream = np.concatenate([stream, np.ones(pad, dtype=np.uint8)])
+    by = np.packbits(stream)
+    ff = np.flatnonzero(by == 0xFF)
+    if len(ff):
+        by = np.insert(by, ff + 1, 0)
+    return by.tobytes()
+
 
 def _fdct_quant(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     """(H, W) int64 level-shifted samples → (H/8 · W/8, 64) int32 quantized
@@ -380,54 +531,50 @@ def jpeg_encode(
     mcus_y = (h + mcu_w - 1) // mcu_w
     plane_bw = [pl.shape[1] // 8 for pl in planes]
 
-    def mcu_blocks(mx: int, my: int):
-        for ci, (sx, sy) in enumerate(samp):
-            for by in range(sy):
-                for bx in range(sx):
-                    bidx = (my * sy + by) * plane_bw[ci] + (mx * sx + bx)
-                    yield ci, zz[ci][bidx]
+    # ONE vectorized tokenize serves both the frequency pass and emission
+    # (the scalar per-block tokenizer it replaced is kept as _block_symbols;
+    # test_jpeg.py asserts the streams are identical)
+    t_sel, sym, extra, extra_len, mcu_sym_end = _tokenize_vec(
+        zz, samp, plane_bw, mcus_x, mcus_y, restart_interval
+    )
 
-    # pass 1: symbol frequencies (DC/AC × luma/chroma)
-    freqs = [np.zeros(256, dtype=np.int64) for _ in range(4)]
-    preds = [0, 0, 0]
-    n_mcu = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                preds = [0, 0, 0]
-            n_mcu += 1
-            for ci, blk in mcu_blocks(mx, my):
-                toks, preds[ci] = _block_symbols(blk, preds[ci])
-                t = 0 if ci == 0 else 1
-                for is_ac, sym, _extra in toks:
-                    freqs[t * 2 + is_ac][sym] += 1
+    # pass 1: symbol frequencies per table — one bincount
+    fl = np.bincount(t_sel * 256 + sym, minlength=1024)
+    tables = [
+        gen_huffman(fl[t * 256 : (t + 1) * 256]) for t in (0, 1, 2, 3)
+    ]  # [luma DC, luma AC, chroma DC, chroma AC]
+    code_val = np.zeros((4, 256), dtype=np.int64)
+    code_len = np.zeros((4, 256), dtype=np.int64)
+    for t, (b, v) in enumerate(tables):
+        for symbol, (c, ln) in _canonical_codes(b, v).items():
+            code_val[t, symbol] = c
+            code_len[t, symbol] = ln
 
-    tables = [gen_huffman(f) for f in freqs]  # [luma DC, luma AC, chroma DC, chroma AC]
-    codes = [_canonical_codes(b, v) for b, v in tables]
-
-    # pass 2: emit
-    wr = _BitWriter()
-    preds = [0, 0, 0]
-    n_mcu = 0
-    rst = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                wr.flush()
-                wr.out += bytes([0xFF, 0xD0 + rst])
+    # pass 2: interleave (huffman code, extra bits) and pack
+    n_sym = len(sym)
+    vals = np.empty(2 * n_sym, dtype=np.int64)
+    lens = np.empty(2 * n_sym, dtype=np.int64)
+    vals[0::2] = code_val[t_sel, sym]
+    lens[0::2] = code_len[t_sel, sym]
+    vals[1::2] = extra
+    lens[1::2] = extra_len
+    if restart_interval:
+        n_mcus = mcus_x * mcus_y
+        chunks = []
+        rst = 0
+        start_sym = 0
+        for iv_end in range(restart_interval, n_mcus + restart_interval, restart_interval):
+            last_mcu = min(iv_end, n_mcus) - 1
+            end_sym = int(mcu_sym_end[last_mcu])
+            chunks.append(_emit_bits(vals[2 * start_sym : 2 * end_sym],
+                                     lens[2 * start_sym : 2 * end_sym]))
+            if last_mcu + 1 < n_mcus:
+                chunks.append(bytes([0xFF, 0xD0 + rst]))
                 rst = (rst + 1) & 7
-                preds = [0, 0, 0]
-            n_mcu += 1
-            for ci, blk in mcu_blocks(mx, my):
-                toks, preds[ci] = _block_symbols(blk, preds[ci])
-                t = 0 if ci == 0 else 1
-                for is_ac, sym, extra in toks:
-                    code, ln = codes[t * 2 + is_ac][sym]
-                    wr.put(code, ln)
-                    ssss = sym if not is_ac else (sym & 0x0F)
-                    if ssss:
-                        wr.put(extra, ssss)
-    wr.flush()
+            start_sym = end_sym
+        entropy = b"".join(chunks)
+    else:
+        entropy = _emit_bits(vals, lens)
 
     # container
     def seg(marker: int, payload: bytes) -> bytes:
@@ -452,7 +599,7 @@ def jpeg_encode(
         sos += bytes([ci + 1, td_ta])
     sos += bytes([0, 63, 0])
     out += seg(0xDA, bytes(sos))
-    out += wr.out
+    out += entropy
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 

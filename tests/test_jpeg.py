@@ -262,3 +262,55 @@ def test_grayscale_single_component_decode():
     # all three channels near-equal after roundtrip (neutral chroma survives)
     spread = out.astype(np.int64).max(axis=2) - out.astype(np.int64).min(axis=2)
     assert int(spread.max()) <= 4
+
+
+def test_vectorized_tokenizer_equals_scalar():
+    """The array tokenizer (_tokenize_vec) must reproduce the scalar
+    per-block reference (_block_symbols) symbol-for-symbol across layouts,
+    restart intervals, and degenerate dims — the scalar path stays in the
+    module purely as this test's independent twin."""
+    from osmgraft.functions.jpeg import (
+        _block_symbols,
+        _component_planes,
+        _fdct_quant,
+        _tokenize_vec,
+        quant_tables,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = [(64, 64, "444", 0), (40, 56, "444", 3), (33, 17, "420", 0),
+             (48, 32, "420", 2), (8, 8, "444", 1), (1, 1, "444", 0)]
+    for h, w, sub, ri in cases:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        qt_l, qt_c = quant_tables(85)
+        planes = _component_planes(px, sub)
+        zz = [_fdct_quant(p, qt_l if i == 0 else qt_c) for i, p in enumerate(planes)]
+        samp = [(1, 1)] * 3 if sub == "444" else [(2, 2), (1, 1), (1, 1)]
+        mcu_w = 8 * max(sx for sx, _ in samp)
+        mcus_x = (w + mcu_w - 1) // mcu_w
+        mcus_y = (h + mcu_w - 1) // mcu_w
+        plane_bw = [pl.shape[1] // 8 for pl in planes]
+        t, s, e, el, ends = _tokenize_vec(zz, samp, plane_bw, mcus_x, mcus_y, ri)
+
+        ref = []
+        preds = [0, 0, 0]
+        n_mcu = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if ri and n_mcu and n_mcu % ri == 0:
+                    preds = [0, 0, 0]
+                n_mcu += 1
+                for ci, (sx, sy) in enumerate(samp):
+                    for by in range(sy):
+                        for bx in range(sx):
+                            bidx = (my * sy + by) * plane_bw[ci] + (mx * sx + bx)
+                            toks, preds[ci] = _block_symbols(zz[ci][bidx], preds[ci])
+                            for is_ac, sym, extra in toks:
+                                tt = (0 if ci == 0 else 2) + is_ac
+                                ssss = (sym & 0x0F) if is_ac else sym
+                                if sym in (0x00, 0xF0) and is_ac:
+                                    ssss = 0
+                                ref.append((tt, sym, extra if ssss else 0, ssss))
+        got = list(zip(t.tolist(), s.tolist(), e.tolist(), el.tolist()))
+        assert got == ref, (h, w, sub, ri)
+        assert int(ends[-1]) == len(got)
