@@ -128,7 +128,9 @@ def main() -> None:
                  "h3_compact_roundtrip", "embedding_ivf_ann", "s2_rollup_l13_to_l10",
                  "h3_center_child_r7_r9", "multipolygon_assembly", "h3_polyfill_r4",
                  "tfidf_top_terms", "bm25_search", "bpe_encode",
-                 "cdc_chunks", "token_count_bpe", "curation_funnel", "pii_scrub"]:
+                 "cdc_chunks", "token_count_bpe", "curation_funnel", "pii_scrub",
+                 "asof_user_state", "value_percentiles_exact", "pagerank_roads",
+                 "retention_cohorts", "funnel_sequence", "quadkey_counts_z9"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -43,8 +43,15 @@ def asof_join(
     ``right_cols`` column as ``<name><suffix>`` (null when no right row at or
     before the left timestamp)."""
     carried = [f"{c}{suffix}" for c in right_cols]
+    # ALL carried columns ride in one struct, so one last(ignorenulls) picks
+    # one whole row — per-column lasts would mix rows whenever a matched ref
+    # row holds a null in one carried column but not another
     ref = right.select(
-        *on, ts, *[F.col(c).alias(a) for c, a in zip(right_cols, carried)]
+        *on,
+        ts,
+        F.struct(*[F.col(c).alias(a) for c, a in zip(right_cols, carried)]).alias(
+            "_ref"
+        ),
     ).withColumn("_is_ref", F.lit(1))
     probe = left.withColumn("_is_ref", F.lit(0))
     u = probe.unionByName(ref, allowMissingColumns=True)
@@ -55,8 +62,12 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("_is_ref").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for a in carried:
-        u = u.withColumn(a, F.last(a, ignorenulls=True).over(w))
+    u = u.withColumn("_ref", F.last("_ref", ignorenulls=True).over(w))
+    u = u.select(
+        *[c for c in u.columns if c not in ("_ref", "_is_ref")],
+        *[F.col(f"_ref.{a}").alias(a) for a in carried],
+        F.col("_is_ref"),
+    )
     return u.filter(F.col("_is_ref") == 0).drop("_is_ref")
 
 

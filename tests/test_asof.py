@@ -101,3 +101,16 @@ def test_asof_plan_single_exchange_no_join(spark):
     assert "Join" not in plan.replace("unionByName", "")  # no join node at all
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1  # one key shuffle
     assert "Window" in plan
+
+
+def test_asof_null_in_carried_column_same_row(spark):
+    """A matched ref row with a NULL in one carried column must contribute
+    its null — not the previous ref's value for that column (the struct
+    carry guarantees whole-row semantics)."""
+    left = spark.createDataFrame([(1, "a", 10)], "event_id long, k string, t long")
+    right = spark.createDataFrame(
+        [("a", 1, 100, "early"), ("a", 9, None, "late")],
+        "k string, t long, v long, tag string",
+    )
+    r = asof_join(left, right, on=["k"], ts="t", right_cols=["v", "tag"]).collect()[0]
+    assert (r.v_ref, r.tag_ref) == (None, "late")  # both from the t=9 row
