@@ -1042,3 +1042,72 @@ def audio_dft_bins(
     return media.select(F.col(id_col).cast("string"), F.col(bytes_col)).mapInPandas(
         kernel, schema="media_id string, bin int, re_q long, im_q long"
     )
+
+
+_AUGMENT_OPS = ("hflip", "vflip", "rot90", "rot180", "rot270", "transpose")
+
+
+def image_augment(
+    images: DataFrame, op: str = "hflip", out_fmt: str = "raw", on_error: str = "fail"
+) -> DataFrame:
+    """Deterministic geometric augmentation (training-data variant
+    generation): hflip / vflip / rot90 (CCW, numpy convention) / rot180 /
+    rot270 / transpose, re-encoded losslessly as ``out_fmt``. Exact pixel
+    semantics (pure index permutations — no resampling, no floats), so
+    involutions hold bitwise: hflip∘hflip = id, rot90⁴ = id (test-pinned).
+    Same Arrow-buffer batch kernel family as transcode_qdct; rotations and
+    transpose swap (w, h) in the metadata."""
+    from osmgraft.functions.codec import encode_image
+
+    if op not in _AUGMENT_OPS:
+        raise ValueError(f"op must be one of {_AUGMENT_OPS}")
+    if out_fmt not in ("raw", "ppm", "png"):
+        raise ValueError("out_fmt must be lossless: raw, ppm or png")
+    swaps = op in ("rot90", "rot270", "transpose")
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            k = len(sel)
+            if px is None:  # corrupt source payload → null output payload
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        rb.column("image_id").take(sel),
+                        pa.nulls(k, pa.binary()),
+                        rb.column("w").take(sel),
+                        rb.column("h").take(sel),
+                        pa.nulls(k, pa.string()),
+                        rb.column("caption").take(sel),
+                    ],
+                    names=[f.name for f in TRANSCODE_SCHEMA.fields],
+                )
+                continue
+            if op == "hflip":
+                out = px[:, :, ::-1]
+            elif op == "vflip":
+                out = px[:, ::-1, :]
+            elif op == "rot90":
+                out = np.rot90(px, 1, axes=(1, 2))
+            elif op == "rot180":
+                out = px[:, ::-1, ::-1]
+            elif op == "rot270":
+                out = np.rot90(px, 3, axes=(1, 2))
+            else:  # transpose
+                out = np.transpose(px, (0, 2, 1, 3))
+            out = np.ascontiguousarray(out)
+            ow, oh = (h, w) if swaps else (w, h)
+            payloads = [encode_image(out[i], out_fmt) for i in range(k)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column("image_id").take(sel),
+                    pa.array(payloads, pa.binary()),
+                    pa.array(np.full(k, ow, dtype=np.int32)),
+                    pa.array(np.full(k, oh, dtype=np.int32)),
+                    pa.array([out_fmt] * k),
+                    rb.column("caption").take(sel),
+                ],
+                names=[f.name for f in TRANSCODE_SCHEMA.fields],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt", "caption").mapInArrow(
+        kernel, schema=TRANSCODE_SCHEMA
+    )

@@ -2213,6 +2213,39 @@ def way_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simplify_ways(dp_fixture_df(spark, sf_dir), eps7=DP_EPS)
 
 
+@register(
+    "image_augment_identity",
+    """WITH idxs AS (SELECT row_number() OVER () - 1 AS idx FROM orders),
+capped AS (SELECT idx FROM idxs WHERE idx < 800)
+SELECT concat('img', lpad(CAST(idx AS VARCHAR), 12, '0')) AS image_id,
+       TRUE AS caption_ok, TRUE AS pixels_exact, TRUE AS psnr_ok
+FROM capped WHERE idx % 5 IN (0, 1, 3)""",
+)
+def image_augment_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augmentation correctness as a closed-form hash gate: rot90 ∘ rot90 ∘
+    hflip ∘ vflip composes to the identity (pure index permutations), so
+    running the lossless-format rows through that chain and the per-row
+    fidelity operator must yield pixels_exact = TRUE for EVERY row — which
+    rows exist and every output cell are fully specified, so the DuckDB
+    twin is the specification itself. Any off-by-one in any flip/rotation
+    axis, any (w, h) swap bug, or any re-encode corruption flips a cell and
+    breaks the hash."""
+    from osmgraft.operators.multimodal import image_augment, roundtrip_fidelity
+    from osmgraft.synth import synth_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 800)
+    imgs = synth_images(spark, n).filter(F.col("fmt").isin("raw", "ppm", "png"))
+    chain = image_augment(
+        image_augment(
+            image_augment(image_augment(imgs, "rot90"), "rot90"), "hflip"
+        ),
+        "vflip",
+    )
+    return roundtrip_fidelity(imgs, chain).select(
+        "image_id", "caption_ok", "pixels_exact", "psnr_ok"
+    )
+
+
 @register("tile_render_mvt_z10", None)  # protobuf output: no SQL twin
 def tile_render_mvt_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VECTOR tile-server materialization: z13 counts per z10 parent encoded

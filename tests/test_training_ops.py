@@ -769,3 +769,53 @@ def test_bpe_pretokens_duckdb_agreement(spark):
             f"SELECT {sql_bpe_pretokens('?')}", [t]
         ).fetchone()[0]
         assert got[i] == ref, (i, got[i], ref)
+
+
+# --- image augmentation ----------------------------------------------------------
+
+
+def test_image_augment_semantics(spark):
+    """Each op is the exact numpy permutation; rotations swap (w, h)."""
+    from osmgraft.functions.codec import decode_image
+    from osmgraft.operators.multimodal import image_augment
+    from osmgraft.synth import synth_images, _pixels_for
+
+    imgs = synth_images(spark, 10).filter(F.col("fmt").isin("raw", "ppm", "png"))
+    src = {r.image_id: r for r in imgs.collect()}
+    for op, f in [
+        ("hflip", lambda p: p[:, ::-1]),
+        ("vflip", lambda p: p[::-1, :]),
+        ("rot90", lambda p: np.rot90(p, 1)),
+        ("rot270", lambda p: np.rot90(p, 3)),
+        ("transpose", lambda p: p.transpose(1, 0, 2)),
+    ]:
+        got = {r.image_id: r for r in image_augment(imgs, op).collect()}
+        for iid, s in src.items():
+            px = decode_image(bytes(s.bytes), s.w, s.h, s.fmt)
+            expect = f(px)
+            g = got[iid]
+            assert (g.w, g.h) == (expect.shape[1], expect.shape[0]), (op, iid)
+            out = decode_image(bytes(g.bytes), g.w, g.h, g.fmt)
+            assert np.array_equal(out, expect), (op, iid)
+            assert g.caption == s.caption
+
+
+def test_image_augment_involutions(spark):
+    """hflip^2 = vflip^2 = transpose^2 = rot90^4 = id, bitwise on pixels."""
+    from osmgraft.functions.codec import decode_image
+    from osmgraft.operators.multimodal import image_augment
+    from osmgraft.synth import synth_images
+
+    imgs = synth_images(spark, 10).filter(F.col("fmt").isin("raw", "ppm", "png"))
+    src = {
+        r.image_id: decode_image(bytes(r.bytes), r.w, r.h, r.fmt)
+        for r in imgs.collect()
+    }
+    for chain in (["hflip"] * 2, ["vflip"] * 2, ["transpose"] * 2, ["rot90"] * 4,
+                  ["rot180", "rot180"], ["rot90", "rot270"]):
+        df = imgs
+        for op in chain:
+            df = image_augment(df, op)
+        for r in df.collect():
+            out = decode_image(bytes(r.bytes), r.w, r.h, r.fmt)
+            assert np.array_equal(out, src[r.image_id]), chain
