@@ -130,7 +130,8 @@ def main() -> None:
                  "tfidf_top_terms", "bm25_search", "bpe_encode",
                  "cdc_chunks", "token_count_bpe", "curation_funnel", "pii_scrub",
                  "asof_user_state", "value_percentiles_exact", "pagerank_roads",
-                 "retention_cohorts", "funnel_sequence", "quadkey_counts_z9"]:
+                 "retention_cohorts", "funnel_sequence", "quadkey_counts_z9",
+                 "shortest_paths_roads", "image_augment_identity"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())

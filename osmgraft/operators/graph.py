@@ -91,3 +91,57 @@ r{t + 1} AS (
     return (
         "WITH " + ",\n".join(parts) + f"\nSELECT node_id, rank_fx FROM r{iters}"
     )
+
+
+def shortest_paths(
+    edges: DataFrame, sources: list[int], rounds: int = 6, checkpoint_every: int = 4
+) -> DataFrame:
+    """K-round Bellman-Ford from a source set over weighted edges
+    (src, dst, w_m) — min-plus relaxation, the second canonical iterative
+    graph workload. A FIXED round count makes the result a deterministic
+    function of the graph (= shortest distance among paths of ≤ K edges),
+    so the oracle twin is the same recurrence unrolled relationally.
+
+    Per round: one equi-join of the frontier on src + one min-aggregation —
+    integer weights, so min() is exact on both engines. Returns
+    (node_id, dist_m) for every node reached within ``rounds`` hops."""
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(s), 0) for s in sources], "node_id long, dist_m long"
+    )
+    for t in range(rounds):
+        cand = (
+            edges.join(dist, edges.src == dist.node_id)
+            .select(F.col("dst").alias("node_id"), (F.col("dist_m") + F.col("w_m")).alias("dist_m"))
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node_id")
+            .agg(F.min("dist_m").alias("dist_m"))
+        )
+        if (t + 1) % checkpoint_every == 0 and t + 1 < rounds:
+            dist = dist.localCheckpoint()
+    return dist
+
+
+def sql_shortest_paths(
+    edges_sql: str, sources: list[int], rounds: int = 6
+) -> str:
+    """DuckDB twin: the min-plus recurrence unrolled into ``rounds`` CTEs."""
+    src_vals = ", ".join(f"({int(s)})" for s in sources)
+    parts = [
+        f"edges AS ({edges_sql})",
+        f"d0 AS (SELECT node_id, CAST(0 AS BIGINT) AS dist_m FROM (VALUES {src_vals}) s(node_id))",
+    ]
+    for t in range(rounds):
+        parts.append(
+            f"""d{t + 1} AS (
+  SELECT node_id, min(dist_m) AS dist_m FROM (
+    SELECT node_id, dist_m FROM d{t}
+    UNION ALL
+    SELECT e.dst AS node_id, d.dist_m + e.w_m AS dist_m
+    FROM edges e JOIN d{t} d ON e.src = d.node_id
+  ) GROUP BY node_id
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node_id, dist_m FROM d{rounds}"

@@ -932,6 +932,83 @@ def pagerank_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_road_edges(spark, sf_dir), iters=4)
 
 
+def _weighted_road_edges_sql() -> str:
+    from osmgraft.geom import sql_haversine_m_int
+
+    seg = sql_haversine_m_int("pa.lat7", "pa.lon7", "pb.lat7", "pb.lon7")
+    return f"""
+WITH pts AS ({_PTS}),
+seq AS (SELECT o_orderkey AS n,
+        lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nn
+        FROM orders),
+segs AS (SELECT s.n, s.nn, {seg} AS w_m
+         FROM seq s
+         JOIN pts pa ON pa.point_id = s.n
+         JOIN pts pb ON pb.point_id = s.nn
+         WHERE s.nn IS NOT NULL)
+SELECT n AS src, nn AS dst, w_m FROM segs
+UNION ALL
+SELECT nn, n, w_m FROM segs"""
+
+
+def _weighted_road_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from osmgraft.geom import haversine_m_col
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pts = points_from_orders(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    seq = orders.select(
+        F.col("o_orderkey").alias("n"), F.lead("o_orderkey").over(w).alias("nn")
+    ).filter(F.col("nn").isNotNull())
+    pa = pts.select(
+        F.col("point_id").alias("n"),
+        F.col("lat7").alias("a_lat"),
+        F.col("lon7").alias("a_lon"),
+    )
+    pb = pts.select(
+        F.col("point_id").alias("nn"),
+        F.col("lat7").alias("b_lat"),
+        F.col("lon7").alias("b_lon"),
+    )
+    segs = seq.join(pa, "n").join(pb, "nn").select(
+        "n",
+        "nn",
+        haversine_m_col(
+            F.col("a_lat"), F.col("a_lon"), F.col("b_lat"), F.col("b_lon")
+        ).alias("w_m"),
+    )
+    fwd = segs.select(F.col("n").alias("src"), F.col("nn").alias("dst"), "w_m")
+    return fwd.unionByName(
+        segs.select(F.col("nn").alias("src"), F.col("n").alias("dst"), "w_m")
+    )
+
+
+_SP_SOURCES = [1, 7, 13]
+
+
+def _sql_shortest_paths_roads() -> str:
+    from osmgraft.operators.graph import sql_shortest_paths
+
+    return sql_shortest_paths(_weighted_road_edges_sql(), _SP_SOURCES, rounds=6)
+
+
+@register("shortest_paths_roads", _sql_shortest_paths_roads())
+def shortest_paths_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source weighted shortest paths on the road network (6-round
+    Bellman-Ford over integer-meter haversine edge weights — min-plus
+    relaxation, operators/graph.py). The fixed round count makes the result
+    '≤6-hop shortest distance', a deterministic function the DuckDB twin
+    states as six unrolled relational rounds; integer weights keep min()
+    bit-exact on both engines."""
+    from osmgraft.operators.graph import shortest_paths
+
+    return shortest_paths(
+        _weighted_road_edges(spark, sf_dir), _SP_SOURCES, rounds=6
+    )
+
+
 _SEQ_FUNNEL_STEPS = ["view", "click", "purchase"]
 
 _SEQ_FUNNEL_SQL = """

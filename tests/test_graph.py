@@ -46,3 +46,47 @@ def test_pagerank_no_incoming_gets_base_only(spark):
     got = {r.node_id: r.rank_fx for r in pagerank(df, iters=3).collect()}
     assert got[1] == 15 * SCALE // 100  # node 1: no in-edges after iter 1
     assert got[2] > got[1] and got[3] > got[1]
+
+
+def test_shortest_paths_matches_reference(spark):
+    """6-round Bellman-Ford equals a python reference (bounded-hop Dijkstra
+    twin) on a random weighted graph, including unreachable nodes absent."""
+    import numpy as np
+
+    from osmgraft.operators.graph import shortest_paths
+
+    rng = np.random.default_rng(11)
+    edges = [
+        (int(a), int(b), int(w))
+        for a, b, w in zip(
+            rng.integers(0, 30, 150), rng.integers(0, 30, 150), rng.integers(1, 100, 150)
+        )
+        if a != b
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, w_m long")
+    sources = [0, 5]
+    rounds = 6
+    got = {r.node_id: r.dist_m for r in shortest_paths(df, sources, rounds).collect()}
+
+    # reference: K relaxation rounds
+    dist = {s: 0 for s in sources}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for a, b, w in edges:
+            if a in dist and dist[a] + w < nxt.get(b, 1 << 60):
+                nxt[b] = dist[a] + w
+        dist = nxt
+    assert got == dist
+
+
+def test_shortest_paths_hop_bound(spark):
+    """A line graph 0-1-2-3-4 with unit weights: round k reaches node k."""
+    from osmgraft.operators.graph import shortest_paths
+
+    edges = [(i, i + 1, 10) for i in range(5)]
+    df = spark.createDataFrame(edges, "src long, dst long, w_m long")
+    for rounds in (1, 3, 5):
+        got = {
+            r.node_id: r.dist_m for r in shortest_paths(df, [0], rounds).collect()
+        }
+        assert got == {i: 10 * i for i in range(rounds + 1)}
