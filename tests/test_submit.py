@@ -56,3 +56,46 @@ def test_spark_submit_py_files_flagship(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "wrote" in proc.stdout
+
+
+def test_spark_submit_py_files_curation(tmp_path):
+    """The curation pipeline deploys the same way: zip-only imports, smoke
+    corpus, packed windows written, funnel counts printed as JSON."""
+    import json
+    import re
+
+    sys.path.insert(0, REPO)
+    from tools.make_dist import build
+
+    zip_path = build(str(tmp_path / "osmgraft.zip"))
+    out_dir = str(tmp_path / "out")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master",
+            "local[4]",
+            "--conf",
+            "spark.ui.enabled=false",
+            "--py-files",
+            zip_path,
+            os.path.join(REPO, "tools", "jobs", "curation_job.py"),
+            "--rows",
+            "4000",
+            "--output",
+            out_dir,
+        ],
+        cwd=str(tmp_path),
+        capture_output=True,
+        text=True,
+        timeout=280,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    m = re.search(r"osmgraft-curation: (\{.*\})", proc.stdout)
+    assert m, proc.stdout
+    counts = json.loads(m.group(1))
+    assert counts["all"] == 4000
+    assert 0 < counts["dedup_canonical"] <= counts["lang_en"] <= 4000
+    assert counts["packed_windows"] > 0
