@@ -85,6 +85,13 @@ def _spread_col(x: Column) -> Column:
     return x
 
 
+def morton_col(x: Column, y: Column) -> Column:
+    """Morton interleave of two non-negative ints (x even bits, y odd) —
+    the shared spreader behind quadkeys (tiles.quadkey) and Z-order writes
+    (cluster.zorder_key); geohash keeps its own parity-dependent variant."""
+    return _spread_col(x).bitwiseOR(F.shiftleft(_spread_col(y), 1))
+
+
 def _clamp(c: Column, hi: int) -> Column:
     return F.least(F.greatest(c, F.lit(0)), F.lit(hi))
 

@@ -253,13 +253,14 @@ class _BitWriter:
 
 
 class _BitReader:
-    __slots__ = ("data", "pos", "acc", "n")
+    __slots__ = ("data", "pos", "acc", "n", "limit")
 
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0
         self.acc = 0
         self.n = 0
+        self.limit = 8 * len(data)  # real bits; prefetch may pass, consume may not
 
     def _fill(self, k: int) -> None:
         while self.n < k:
@@ -269,11 +270,20 @@ class _BitReader:
             self.n += 8
 
     def peek16(self) -> int:
+        # prefetching zero bytes past the end is fine (the final code sits in
+        # the last data bits and a 16-bit window may overhang) — CONSUMING
+        # them is not; skip() enforces that
         self._fill(16)
         return (self.acc >> (self.n - 16)) & 0xFFFF
 
     def skip(self, k: int) -> None:
         self.n -= k
+        if self.pos * 8 - self.n > self.limit:
+            # a decode that needs bits beyond the segment is a truncated
+            # entropy stream — zero-padding would otherwise decode the
+            # all-zeros prefix as a valid code forever (docstring contract:
+            # malformed input raises)
+            raise ValueError("truncated entropy stream")
         self.acc &= (1 << self.n) - 1
 
     def get(self, k: int) -> int:

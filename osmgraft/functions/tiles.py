@@ -123,11 +123,9 @@ def np_tile_polygon(x: int, y: int, z: int) -> list[tuple[int, int]]:
 
 def quadkey(lon7: Column, lat7: Column, z: int) -> Column:
     """Slippy tile -> quadkey string at zoom z (JVM-only expression)."""
-    from osmgraft.functions.geohash import _spread_col
+    from osmgraft.functions.geohash import morton_col
 
-    tx = tile_x(lon7, z)
-    ty = tile_y(lat7, z)
-    morton = _spread_col(tx).bitwiseOR(F.shiftleft(_spread_col(ty), 1))
+    morton = morton_col(tile_x(lon7, z), tile_y(lat7, z))
     return F.lpad(F.conv(morton, 10, 4), z, "0")
 
 

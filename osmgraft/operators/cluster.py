@@ -21,12 +21,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from osmgraft.functions.geohash import _spread_col
+from osmgraft.functions.geohash import morton_col
 
 
 def zorder_key(x: Column, y: Column) -> Column:
-    """Morton interleave of two non-negative int columns (x even bits)."""
-    return _spread_col(x).bitwiseOR(F.shiftleft(_spread_col(y), 1))
+    """Morton interleave of two non-negative int columns (x even bits) —
+    one shared spreader (geohash.morton_col) serves geohash, quadkey, and
+    Z-order so a bit-width fix lands everywhere at once."""
+    return morton_col(x, y)
 
 
 def zorder_write(

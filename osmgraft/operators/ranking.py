@@ -136,10 +136,13 @@ def bm25_scores(
         idf · 44 · tf · avgdl_milli · SCALE
           div (20·tf·avgdl_milli + 6·avgdl_milli + 18·dl·1000)
 
-    with idf = 1 + floor(log2(N div df)) as in tfidf. Magnitudes: avgdl_milli
-    ≤ ~10⁸ even for book-length docs, tf ≤ dl ≤ 10⁶ ⇒ numerator < 2⁶² before
-    SCALE is folded in via the split multiply below; the division is a single
-    integer floor div, then scores sum per (query, doc).
+    with idf = 1 + floor(log2(N div df)) as in tfidf. Magnitudes: A =
+    idf·44·tf·avgdl_milli stays < 2⁶³ even at extreme bounds (avgdl_milli ≤
+    ~10⁸ for book-length corpora, tf ≤ dl ≤ 10⁶, idf ≤ ~40 ⇒ A ≤ ~2·10¹⁷),
+    but A·SCALE does NOT — so the fixed-point quotient is computed as
+    base-1000 long division (q0·10⁶ + q1·10³ + q2 with remainders carried),
+    which equals (A·SCALE) div B exactly while every intermediate stays
+    < 2.5·10¹⁸. Scores then sum per (query, doc).
     Returns (query_id, doc_id, score, rnk), rnk ≤ k, ties → doc_id asc.
     ``postings`` as in tfidf_top_terms: pass the persisted inverted index at
     scale so the corpus is tokenized once, not once per aggregate branch."""
@@ -153,12 +156,20 @@ def bm25_scores(
     p = p.join(dl, "doc_id")
     p = p.withColumn("avgdl_milli", F.expr("(1000 * tot_tokens) div n_docs"))
     matched = p.join(F.broadcast(queries), "term")
-    term_score = F.expr(
-        f"(length(bin(n_docs div df)) * 44 * tf * avgdl_milli * {_SCORE_SCALE}) "
-        "div (20 * tf * avgdl_milli + 6 * avgdl_milli + 18 * dl * 1000)"
+    # base-1000 long division: (A*1e6) div B without the A*1e6 overflow
+    num = "(length(bin(n_docs div df)) * 44 * tf * avgdl_milli)"
+    den = "(20 * tf * avgdl_milli + 6 * avgdl_milli + 18 * dl * 1000)"
+    scored = (
+        matched.withColumn("_a", F.expr(num))
+        .withColumn("_b", F.expr(den))
+        .withColumn("_q0", F.expr("_a div _b"))
+        .withColumn("_r0", F.expr("(_a - _q0 * _b) * 1000"))
+        .withColumn("_q1", F.expr("_r0 div _b"))
+        .withColumn("_r1", F.expr("(_r0 - _q1 * _b) * 1000"))
+        .withColumn("s", F.expr("_q0 * 1000000 + _q1 * 1000 + _r1 div _b"))
     )
     agg = (
-        matched.select("query_id", "doc_id", term_score.alias("s"))
+        scored.select("query_id", "doc_id", "s")
         .groupBy("query_id", "doc_id")
         .agg(F.sum("s").alias("score"))
     )
@@ -188,15 +199,23 @@ stats AS (
   FROM postings
 ),
 qs(query_id, term) AS (VALUES {queries_values}),
-term_scores AS (
+ab AS (
   SELECT q.query_id, p.doc_id,
-         (length(bin(s.n_docs // d.df)) * 44 * p.tf * s.avgdl_milli * {_SCORE_SCALE})
-           // (20 * p.tf * s.avgdl_milli + 6 * s.avgdl_milli + 18 * l.dl * 1000) AS ts
+         (length(bin(s.n_docs // d.df)) * 44 * p.tf * s.avgdl_milli) AS a,
+         (20 * p.tf * s.avgdl_milli + 6 * s.avgdl_milli + 18 * l.dl * 1000) AS b
   FROM postings p
   JOIN dfs d USING (term)
   JOIN dls l USING (doc_id)
   JOIN qs q USING (term)
   CROSS JOIN stats s
+),
+term_scores AS (
+  -- base-1000 long division == (a*1e6)//b with every intermediate in int64
+  SELECT query_id, doc_id,
+         (a // b) * 1000000
+         + (((a - (a // b) * b) * 1000) // b) * 1000
+         + ((((a - (a // b) * b) * 1000) - (((a - (a // b) * b) * 1000) // b) * b) * 1000) // b AS ts
+  FROM ab
 ),
 agg AS (
   SELECT query_id, doc_id, sum(ts) AS score,

@@ -35,8 +35,16 @@ def exact_percentiles(
 
     quantiles_pm: per-mille integers (500 = median, 990 = p99). Returns one
     row per (keys…, q_pm) with the exact k-th order statistic in ``val_q``.
+
+    NULL values of ``col`` are EXCLUDED (the convention quantile_disc and
+    every SQL ordered-set aggregate follow) — without the filter they would
+    land in their own histogram bucket, sort first, and shift every rank.
     """
-    hist = df.groupBy(*keys, col).agg(F.count(F.lit(1)).alias("_c"))
+    hist = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(*keys, col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
     w_cum = (
         Window.partitionBy(*keys)
         .orderBy(F.col(col).asc())

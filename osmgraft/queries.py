@@ -848,7 +848,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""SELECT doc_id,
   {T.sql_token_count('text')} AS n_ws,
   len({T.sql_bpe_pretokens('text')}) AS n_bpe,
-  {T.sql_md5_long(f"list_aggregate({T.sql_bpe_pretokens('text')}, 'string_agg', chr(31))")} AS stream_hash
+  {T.sql_md5_long(f"coalesce(list_aggregate({T.sql_bpe_pretokens('text')}, 'string_agg', chr(31)), '')")} AS stream_hash
 FROM documents""",
 )
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:

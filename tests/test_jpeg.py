@@ -314,3 +314,37 @@ def test_vectorized_tokenizer_equals_scalar():
         got = list(zip(t.tolist(), s.tolist(), e.tolist(), el.tolist()))
         assert got == ref, (h, w, sub, ri)
         assert int(ends[-1]) == len(got)
+
+
+def test_truncated_entropy_stream_raises():
+    """Cutting entropy bytes (markers intact up to the cut) must raise, not
+    silently decode zero-padding into garbage pixels — and validate_batch
+    must therefore reject the truncated payload."""
+    import numpy as np
+
+    from osmgraft.functions.codec import validate_batch
+
+    px = _img(21, 48, 48)
+    good = jpeg_encode(px, quality=90)
+    sos = good.index(b"\xff\xda")
+    ln = int.from_bytes(good[sos + 2 : sos + 4], "big")
+    entropy_start = sos + 2 + ln
+    n_entropy = len(good) - 2 - entropy_start
+    for keep in (0, n_entropy // 4, n_entropy // 2, n_entropy - 8):
+        bad = good[: entropy_start + keep]
+        with pytest.raises(ValueError):
+            jpeg_decode(bad)
+    # whole stream decodes fine (the bounded-consumption rule must not
+    # reject the legitimate final-byte padding overhang)
+    assert jpeg_decode(good).shape == (48, 48, 3)
+    # and the same with restart markers
+    rst = jpeg_encode(px, quality=90, restart_interval=2)
+    assert jpeg_decode(rst).shape == (48, 48, 3)
+    with pytest.raises(ValueError):
+        jpeg_decode(rst[: len(rst) - 20])
+    # Arrow-path rejection
+    buf = np.frombuffer(good[: entropy_start + n_entropy // 2], dtype=np.uint8)
+    starts = np.array([0], dtype=np.int64)
+    ends = np.array([len(buf)], dtype=np.int64)
+    ok = validate_batch(buf, starts, ends, 48, 48, "jpeg")
+    assert not ok[0]

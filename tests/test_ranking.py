@@ -138,3 +138,28 @@ def test_ranking_plan_shapes(spark):
     plan2 = bm25_scores(docs, qdf, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan2  # query side never shuffles the postings
     assert "WindowGroupLimit" in plan2
+
+
+def test_bm25_no_int64_overflow_on_long_docs(spark):
+    """A long-document corpus that overflows the naive A*SCALE product
+    (idf*44*tf*avgdl_milli*1e6 > 2^63): the long-division form must stay
+    finite, positive, and track the float reference."""
+    long_doc = " ".join(["common"] * 50_000 + ["needle"] * 3)
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, "needle in a short haystack " * 3)],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame(
+        [("q", "needle"), ("q", "common")], "query_id string, term string"
+    )
+    got = {r.doc_id: r.score for r in bm25_scores(docs, qdf, k=5).collect()}
+    assert len(got) == 2 and all(s > 0 for s in got.values())
+    # float reference with the same quantized idf / floored avgdl
+    docs_tokens = {
+        1: long_doc.split(),
+        2: ("needle in a short haystack " * 3).split(),
+    }
+    ref = _bm25_float_reference(docs_tokens, {"q": ["needle", "common"]})
+    by_doc = dict(ref["q"])
+    for d, s in got.items():
+        assert abs(s / 1e6 - by_doc[d]) < 1e-3, d

@@ -90,3 +90,22 @@ def test_funnel_sequence_ordering(spark, tmp_path):
 
     got = {r.step: r.n_users for r in REGISTRY["funnel_sequence"][0](spark, d).collect()}
     assert got == {1: 3, 2: 1, 3: 1}
+
+
+def test_exact_percentiles_ignore_nulls(spark):
+    """NULLs are excluded like quantile_disc — ranks computed over non-null
+    values only, and a group of only NULLs yields no rows."""
+    import duckdb
+
+    rows = [("a", 5), ("a", None), ("a", 1), ("a", None), ("a", 9), ("b", None)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {
+        (r.k, r.q_pm): r.val_q
+        for r in exact_percentiles(df, ["k"], "v", [500, 1000]).collect()
+    }
+    assert got == {("a", 500): 5, ("a", 1000): 9}
+    ref = duckdb.execute(
+        "SELECT quantile_disc(v, 0.5), quantile_disc(v, 1.0) FROM "
+        "(VALUES (5),(NULL),(1),(NULL),(9)) t(v)"
+    ).fetchone()
+    assert (got[("a", 500)], got[("a", 1000)]) == ref

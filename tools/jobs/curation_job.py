@@ -59,6 +59,18 @@ def curate(docs: DataFrame, seq_len: int) -> tuple[DataFrame, dict[str, int]]:
     counts["lang_en"] = kept.count()
     kept = kept.filter(F.col("bq") >= 250)
     counts["fluent"] = kept.count()
+    # repetition cap (Gopher-style top-token share, same spec as the gated
+    # curation_funnel query): toks materialized so the HOF lambda doesn't
+    # recapture the tokenize pipeline
+    kept = kept.withColumn("toks", T.tokens(F.col("text")))
+    top_ptm = F.when(F.size("toks") == 0, F.lit(0)).otherwise(
+        F.expr(
+            "(1000 * coalesce(array_max(transform(array_distinct(toks),"
+            " d -> size(filter(toks, t -> t = d)))), 0)) div size(toks)"
+        )
+    )
+    kept = kept.filter(top_ptm < 140).drop("toks")
+    counts["low_repetition"] = kept.count()
     kept = kept.filter(F.col("ntok").between(10, 10_000))
     counts["length_band"] = kept.count()
     w = Window.partitionBy("fp").orderBy("doc_id")
