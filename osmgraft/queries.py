@@ -1917,9 +1917,9 @@ capped AS (SELECT idx FROM idxs WHERE idx < 2000),
 legs AS (
   SELECT 'parquet' AS leg, idx FROM capped
   UNION ALL
-  SELECT 'transcode' AS leg, idx FROM capped WHERE idx % 5 NOT IN (2, 4)
+  SELECT 'transcode' AS leg, idx FROM capped WHERE (idx + idx // 25) % 5 NOT IN (2, 4)
   UNION ALL
-  SELECT 'transcode_jpeg' AS leg, idx FROM capped WHERE idx % 5 NOT IN (2, 4)
+  SELECT 'transcode_jpeg' AS leg, idx FROM capped WHERE (idx + idx // 25) % 5 NOT IN (2, 4)
 )
 SELECT leg,
        concat('img', lpad(CAST(idx AS VARCHAR), 12, '0')) AS image_id,
@@ -2296,7 +2296,7 @@ def way_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
 capped AS (SELECT idx FROM idxs WHERE idx < 800)
 SELECT concat('img', lpad(CAST(idx AS VARCHAR), 12, '0')) AS image_id,
        TRUE AS caption_ok, TRUE AS pixels_exact, TRUE AS psnr_ok
-FROM capped WHERE idx % 5 IN (0, 1, 3)""",
+FROM capped WHERE (idx + idx // 25) % 5 IN (0, 1, 3)""",
 )
 def image_augment_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Augmentation correctness as a closed-form hash gate: rot90 ∘ rot90 ∘

@@ -265,7 +265,14 @@ def synth_images(spark: SparkSession, n: int, with_pixels: bool = True) -> DataF
                 src = np.where((idxs % 50 == 49) & (idxs > 0), idxs - 1, idxs)
                 wv = np.array(sizes, dtype=np.int64)[src % 3]
                 hv = np.array(sizes, dtype=np.int64)[(src // 3) % 3]
-                fmts = np.array(["raw", "ppm", "qdct", "png", "jpeg"])[idxs % 5]
+                # fmt rotation phase-shifted every 25 rows: a plain idxs % 5 is
+                # SYNCHRONIZED with the hot-spot cycle (idx % 5 == 0 would
+                # always be raw) and the near-dup cycle (idx % 50 == 49 would
+                # always be jpeg with a png source), silently narrowing what
+                # the pinned gates exercise
+                fmts = np.array(["raw", "ppm", "qdct", "png", "jpeg"])[
+                    (idxs + idxs // 25) % 5
+                ]
                 hot = idxs % 5 == 0
                 hs = np.array(_HOT_SPOTS, dtype=np.int64)[idxs % 3]
                 lat7 = np.where(
@@ -304,7 +311,9 @@ def synth_images(spark: SparkSession, n: int, with_pixels: bool = True) -> DataF
                 src = idx - 1 if (idx % 50 == 49 and idx > 0) else idx
                 w = sizes[src % 3]
                 h = sizes[(src // 3) % 3]
-                fmt = ("raw", "ppm", "qdct", "png", "jpeg")[idx % 5]  # qdct/jpeg = real lossy paths
+                fmt = ("raw", "ppm", "qdct", "png", "jpeg")[
+                    (idx + idx // 25) % 5  # phase-shifted: see the note above
+                ]
                 if idx % 5 == 0:
                     clat, clon = _HOT_SPOTS[idx % 3]
                     lat7 = clat + (idx * 48271) % _JIT - _JIT // 2

@@ -419,3 +419,19 @@ def test_png_batch_and_corruption_routing(spark):
 
     with pytest.raises(Exception):
         image_stats(df, on_error="fail").collect()
+
+
+def test_fmt_rotation_decoupled_from_fixture_cycles(spark):
+    """The 25-row phase shift keeps the format rotation independent of the
+    hot-spot cycle (idx % 5 == 0) and the near-dup cycle (idx % 50 == 49):
+    both row classes must span every format (a plain idx % 5 rotation made
+    every hot row 'raw' and every near-dup pair jpeg-vs-png, so the pHash
+    near-dup path never saw a lossless duplicate pair)."""
+    from osmgraft.synth import synth_images
+
+    rows = synth_images(spark, 500, with_pixels=False).collect()
+    all_fmts = {"raw", "ppm", "qdct", "png", "jpeg"}
+    dup_fmts = {r.fmt for r in rows if int(r.image_id[3:]) % 50 == 49}
+    hot_fmts = {r.fmt for r in rows if int(r.image_id[3:]) % 5 == 0}
+    assert dup_fmts == all_fmts
+    assert hot_fmts == all_fmts

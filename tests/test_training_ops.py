@@ -175,16 +175,17 @@ def test_image_stats_pinned_checksum(spark):
         )
         .collect()[0]
     )
-    # re-pinned round 3 (thrice): png then jpeg joined the fmt rotation, and
-    # the DCT/luma kernels went fixed-point integer — the FLOAT pins drifted
-    # between driver rounds because BLAS builds round the cosine matmuls
-    # differently per host; these integer pins are host-invariant
+    # re-pinned round 3 (4x): png then jpeg joined the fmt rotation, the
+    # DCT/luma kernels went fixed-point integer (FLOAT pins drifted between
+    # driver rounds: BLAS builds round the cosine matmuls differently per
+    # host), and the rotation gained a 25-row phase shift so formats decouple
+    # from the hot-spot/near-dup cycles; these integer pins are host-invariant
     # (cross-checked row-for-row by test_image_stats_matches_scalar_decode)
     assert (row.r, row.g, row.b, row.ph, row.n) == (
-        88319845,
-        88298915,
-        88330409,
-        -245882293,
+        88319982,
+        88299059,
+        88330492,
+        -249965799,
         500,
     )
 
@@ -201,7 +202,7 @@ def test_image_resize_gray32_pinned(spark):
     h = hashlib.sha256(b"".join(bytes(r.gray32) for r in rows)).hexdigest()
     # re-pinned round 3 (png in the fmt rotation; then fixed-point integer
     # luma/resize — half-up milli-gray -> uint8 replaced float floor)
-    assert h == "d4b7bf3a33f2060e8e6fdb38d1390493acdba429f484c0db257fa98b5c0c2beb"
+    assert h == "2074d1143dc9de3e8d61b5017c1c29d3c7618ea8bfdaa1a5194e837a115dd6cc"
 
 
 def test_phash_neardup_pairs(spark):
