@@ -634,6 +634,105 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CENTS_REV = "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)"
+
+
+@register(
+    "q3_shipping_priority",
+    f"""SELECT l_orderkey,
+  sum({_CENTS_REV}) AS revenue_cents,
+  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS o_day
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY l_orderkey, o_day
+ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): customer⨝orders⨝lineitem 3-way
+    join with selective filters on both outer sides, revenue top-10.
+    Revenue is rounded to INTEGER CENTS per row before summation (identical
+    IEEE product shape on both engines), so the aggregate is an associative
+    integer sum and the top-10 is deterministic (ties → orderkey). Dates
+    leave as integer day offsets so the hash never touches date formatting.
+    Plan: both dimension filters push into the scans; customer broadcasts."""
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit("1997-06-01 00:00:00").cast("timestamp")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01 00:00:00").cast("timestamp")
+    )
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+        "long"
+    )
+    return (
+        cu.join(o, cu.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            ).alias("o_day"),
+        )
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue_cents", "o_day")
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    f"""SELECT n_name, sum({_CENTS_REV}) AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): the 6-way join with the
+    non-key c_nationkey = s_nationkey condition that makes Q5 the classic
+    join-order stress test. Integer-cents revenue as in Q3; nation/region
+    broadcast, the fact-side joins shuffle on their keys."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+        "long"
+    )
+    o = rd("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        rd("customer")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(rd("lineitem"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            rd("supplier"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(rd("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(rd("region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(cents).alias("revenue_cents"))
+    )
+
+
 @register(
     "top_event_types",
     """WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type),
