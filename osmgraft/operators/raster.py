@@ -246,3 +246,46 @@ def render_tile_mvt(
     return counts.groupBy("ptx", "pty").applyInPandas(
         render, schema="z int, tx long, ty long, mvt binary, n_features long"
     )
+
+
+def mvt_features(tiles_df: DataFrame, layer: str = "counts") -> DataFrame:
+    """The tile-server READ path: (z, tx, ty, mvt) rows → one row per point
+    feature (z, tx, ty, x, y, cnt) — the distributed inverse of
+    render_tile_mvt, completing read/write symmetry the same way the PBF
+    source pairs with the PBF writer. Decode runs per tile inside a
+    mapInArrow task (functions/mvt.decode_point_layers — a generic
+    wire-format parser, not this encoder's memorized inverse); a corrupt
+    tile raises, matching the PBF source's fail-loud default."""
+    import pyarrow as pa
+
+    from osmgraft.functions.mvt import decode_point_layers
+
+    out_schema = "z int, tx long, ty long, x int, y int, cnt long"
+
+    def kernel(batches):
+        for rb in batches:
+            zs, txs, tys = rb.column("z"), rb.column("tx"), rb.column("ty")
+            mv = rb.column("mvt")
+            oz, ox, oy, otx, oty, oc = [], [], [], [], [], []
+            for i in range(rb.num_rows):
+                extent, pts = decode_point_layers(mv[i].as_py())[layer]
+                for x, y, attrs in pts:
+                    oz.append(zs[i].as_py())
+                    otx.append(txs[i].as_py())
+                    oty.append(tys[i].as_py())
+                    ox.append(x)
+                    oy.append(y)
+                    oc.append(attrs.get("cnt", 0))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(oz, pa.int32()),
+                    pa.array(otx, pa.int64()),
+                    pa.array(oty, pa.int64()),
+                    pa.array(ox, pa.int32()),
+                    pa.array(oy, pa.int32()),
+                    pa.array(oc, pa.int64()),
+                ],
+                names=["z", "tx", "ty", "x", "y", "cnt"],
+            )
+
+    return tiles_df.select("z", "tx", "ty", "mvt").mapInArrow(kernel, out_schema)

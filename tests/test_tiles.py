@@ -314,3 +314,35 @@ def test_tile_render_mvt_pinned(spark):
 
 
 PIN_MVT_SHA = "3e8fd754706dd9c2d85d1bd49485517b31ef11c9b044720b837da88f7e414382"
+
+
+def test_mvt_features_roundtrip_distributed(spark):
+    """render_tile_mvt → mvt_features recovers every (tx, ty, cnt) of the
+    input z13 counts — both directions distributed, no driver decode."""
+    from pyspark.sql import functions as F
+
+    from osmgraft.functions import tiles as T_
+    from osmgraft.operators.raster import mvt_features, render_tile_mvt
+    from osmgraft.synth import points_from_orders
+
+    pts = points_from_orders(spark, "/root/testdata/sf0.001")
+    counts = (
+        pts.select(
+            T_.tile_x(F.col("lon7"), 13).alias("tx"),
+            T_.tile_y(F.col("lat7"), 13).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tiles_df = render_tile_mvt(counts, z=13, parent_z=10)
+    feats = mvt_features(tiles_df)
+    # feature (x, y) in extent coords → z13 subcell → original tile coords
+    cell = 4096 // 8
+    back = feats.select(
+        (F.shiftleft(F.col("tx"), 3) + (F.col("x") / cell).cast("int")).alias("tx13"),
+        (F.shiftleft(F.col("ty"), 3) + (F.col("y") / cell).cast("int")).alias("ty13"),
+        "cnt",
+    )
+    a = {(r.tx13, r.ty13): r.cnt for r in back.collect()}
+    b = {(r.tx, r.ty): r.cnt for r in counts.collect()}
+    assert a == b
