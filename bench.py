@@ -131,7 +131,7 @@ def main() -> None:
                  "cdc_chunks", "token_count_bpe", "curation_funnel", "pii_scrub",
                  "asof_user_state", "value_percentiles_exact", "pagerank_roads",
                  "retention_cohorts", "funnel_sequence", "quadkey_counts_z9",
-                 "shortest_paths_roads", "image_augment_identity",
+                 "shortest_paths_roads",
                  "q3_shipping_priority", "q5_local_supplier_volume"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
