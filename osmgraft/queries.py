@@ -2081,6 +2081,48 @@ def image_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "image_header_scan",
+    """WITH idxs AS (SELECT row_number() OVER () - 1 AS idx FROM orders),
+capped AS (SELECT idx FROM idxs WHERE idx < 2000),
+base AS (
+  SELECT idx,
+         CASE WHEN idx % 50 = 49 AND idx > 0 THEN idx - 1 ELSE idx END AS src,
+         (ARRAY['raw','ppm','qdct','png','jpeg'])[CAST((idx + idx // 25) % 5 AS INTEGER) + 1] AS fmt
+  FROM capped),
+dims AS (
+  SELECT idx, fmt,
+         (ARRAY[16,32,64])[CAST(src % 3 AS INTEGER) + 1] AS w,
+         (ARRAY[16,32,64])[CAST((src // 3) % 3 AS INTEGER) + 1] AS h
+  FROM base)
+SELECT concat('img', lpad(CAST(idx AS VARCHAR), 12, '0')) AS image_id,
+       fmt,
+       TRUE AS magic_ok,
+       TRUE AS len_ok,
+       CAST(CASE WHEN fmt = 'raw' THEN NULL ELSE w END AS BIGINT) AS hdr_w,
+       CAST(CASE WHEN fmt = 'raw' THEN NULL ELSE h END AS BIGINT) AS hdr_h,
+       TRUE AS dims_ok
+FROM dims""",
+)
+def image_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-header validation (operators/multimodal.header_scan): magic,
+    length contract and header-declared dims parsed from the binary column by
+    pure JVM hex/substring/conv expressions — the frame-before-payload
+    discipline of the reference's blob reader (S1, stringpbf/mod.rs:61-87) as
+    a codegen'd lake-ingestion scan.
+
+    Spec-as-oracle: DuckDB cannot parse blobs, but the synth construction
+    makes every output cell provable in closed form (which fmt each idx gets,
+    its w/h, that headers are well-formed). Any encoder or parser drift —
+    wrong PNG IHDR offsets, a bad little-endian swap, a broken ppm regex —
+    flips hdr_w/hdr_h/dims_ok and fails the hash."""
+    from osmgraft.operators.multimodal import header_scan
+    from osmgraft.synth import synth_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 2000)
+    return header_scan(synth_images(spark, n))
+
+
 # --- checkpoint/resume (north-rule lineage path) -----------------------------------
 @register(
     "checkpointed_pip_tiles",

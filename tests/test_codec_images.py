@@ -435,3 +435,47 @@ def test_fmt_rotation_decoupled_from_fixture_cycles(spark):
     hot_fmts = {r.fmt for r in rows if int(r.image_id[3:]) % 5 == 0}
     assert dup_fmts == all_fmts
     assert hot_fmts == all_fmts
+
+
+def test_header_scan_valid_and_corrupt(spark):
+    """header_scan: every well-formed fixture row validates; each corruption
+    class flips exactly the right flag (JVM-only parse, no decoder run)."""
+    import numpy as np
+
+    from osmgraft.functions.codec import encode_image
+    from osmgraft.operators.multimodal import header_scan
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (32, 16, 3), dtype=np.uint8)
+    rows = []
+    for fmt in ("raw", "ppm", "png", "qdct", "jpeg"):
+        rows.append((f"ok_{fmt}", bytearray(encode_image(px, fmt)), 16, 32, fmt))
+    # corruptions
+    bad_magic = bytearray(encode_image(px, "png"))
+    bad_magic[0] ^= 0xFF
+    rows.append(("bad_magic_png", bad_magic, 16, 32, "png"))
+    truncated = bytearray(encode_image(px, "raw"))[:-5]
+    rows.append(("short_raw", truncated, 16, 32, "raw"))
+    wrong_meta = bytearray(encode_image(px, "qdct"))
+    rows.append(("meta_qdct", wrong_meta, 8, 32, "qdct"))  # declared w lies
+    no_eoi = bytearray(encode_image(px, "jpeg"))[:-2]
+    rows.append(("no_eoi_jpeg", no_eoi, 16, 32, "jpeg"))
+    df = spark.createDataFrame(
+        [(i, bytes(b), w, h, f) for i, b, w, h, f in rows],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    got = {r["image_id"]: r for r in header_scan(df).collect()}
+    for fmt in ("raw", "ppm", "png", "qdct", "jpeg"):
+        r = got[f"ok_{fmt}"]
+        assert r["magic_ok"] and r["len_ok"] and r["dims_ok"], r
+        if fmt == "raw":
+            assert r["hdr_w"] is None and r["hdr_h"] is None
+        else:
+            assert (r["hdr_w"], r["hdr_h"]) == (16, 32), r
+    assert not got["bad_magic_png"]["magic_ok"]
+    assert got["bad_magic_png"]["dims_ok"]  # IHDR intact, dims still parse
+    assert not got["short_raw"]["len_ok"]
+    assert not got["meta_qdct"]["dims_ok"]  # header says 16, metadata says 8
+    assert not got["meta_qdct"]["len_ok"]
+    assert not got["no_eoi_jpeg"]["magic_ok"]
+    assert got["no_eoi_jpeg"]["dims_ok"]  # SOF still present
