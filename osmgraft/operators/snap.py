@@ -1,0 +1,165 @@
+"""Map matching: snap points to the nearest road segment (ball semantics).
+
+The nearest-neighbor-to-SEGMENT sibling of the point kNN family
+(operators/knn.py) — the reference resolves way geometry by joining node ids
+(S21, way.rs + node_id_pos.rs); a map-matching engine must go one step
+further and assign arbitrary GPS/image points to the nearest way *segment*.
+
+Exactness: point-to-segment distance needs a projection parameter
+t = dot(AP,AB)/|AB|^2 — a rational whose cross-segment comparison overflows
+int64.  Instead the projection is quantized to a fixed grid t_q =
+round(t * Q) with Q = 2^14, making every candidate's squared distance an
+INTEGER over the common denominator Q^2:
+
+    d2q = (apx*Q - abx*t_q)^2 + (apy*Q - aby*t_q)^2
+
+a well-defined deterministic function (distance to the t-grid-quantized
+closest point, within |AB|/(2Q) — sub-centimeter at fixed-point 1e7 scale —
+of the true distance) that both engines evaluate bit-identically in pure
+int64: no IEEE, no rational compare.  Overflow is impossible by
+construction: callers bound |AP| <= guard (Chebyshev pre-filter applied on
+BOTH engines, so candidate sets match exactly) and |AB| <= seg_len_max, and
+``_check_bounds`` rejects parameter combinations whose worst case exceeds
+2^62.
+
+Plan shape (the 100 TB story): segments are exploded onto a radius-sized
+integer grid covering their bbox expanded by the snap radius (<= ~25 cells
+per road-length segment), points key by their single containing cell, so one
+equi-join on cell id produces a provably complete candidate set (any segment
+within `radius` of P has its expanded bbox covering P, hence P's cell).  The
+join shuffles on uniformly-hashed cell ids; the exact filter + one window
+argmin finish it.  No cross join, no driver loop, whole-stage codegen
+throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+Q_BITS = 14  # projection-grid resolution: t in {0, 1/Q, ..., 1}, Q = 2^14
+
+
+def _check_bounds(radius: int, guard: int, seg_len_max: int) -> int:
+    """Worst-case |dxq| given the caller's bounds; raises if d2q could
+    overflow int64 (2 * dxq_max^2 < 2^63 must hold)."""
+    q = 1 << Q_BITS
+    if guard < radius + seg_len_max:
+        raise ValueError(
+            f"guard {guard} must be >= radius+seg_len_max "
+            f"{radius + seg_len_max} or true matches get pre-filtered away"
+        )
+    dxq_max = guard * q + seg_len_max * q  # apx*Q - abx*t_q, t_q <= Q
+    if 2 * dxq_max * dxq_max >= 1 << 63:
+        raise ValueError(f"d2q worst case 2*{dxq_max}^2 overflows int64")
+    return dxq_max
+
+
+def snap_formula_sql(
+    px: str, py: str, ax: str, ay: str, bx: str, by: str, *, div: str, guard: int
+) -> str:
+    """The quantized point-to-segment squared distance as ONE SQL expression.
+
+    `div` is the engine's integer-division operator ('div' for Spark SQL,
+    '//' for DuckDB) — operands are strictly positive on that branch, where
+    truncating and flooring division coincide, so the two spellings are the
+    same function.  Both engines consume this exact text: shape-identical
+    int64 math is the cross-engine gate.
+
+    AP is clamped to ±guard INSIDE the expression: an optimizer is free to
+    evaluate this formula before the caller's Chebyshev guard predicate
+    (DuckDB reorders pushed-down conjuncts), so the formula must be total —
+    clamped rows compute a garbage-but-bounded d2q and are then dropped by
+    the very guard predicate that makes the clamp a no-op on surviving rows."""
+    q = 1 << Q_BITS
+
+    def clamp(e: str) -> str:
+        return f"LEAST(GREATEST({e}, {-guard}), {guard})"
+
+    abx, aby = f"({bx} - {ax})", f"({by} - {ay})"
+    apx, apy = f"({clamp(f'{px} - {ax}')})", f"({clamp(f'{py} - {ay}')})"
+    den = f"({abx} * {abx} + {aby} * {aby})"
+    num = f"({apx} * {abx} + {apy} * {aby})"
+    tq = (
+        f"(CASE WHEN {den} = 0 OR {num} <= 0 THEN 0 "
+        f"WHEN {num} >= {den} THEN {q} "
+        f"ELSE (2 * {num} * {q} + {den}) {div} (2 * {den}) END)"
+    )
+    dxq = f"({apx} * {q} - {abx} * {tq})"
+    dyq = f"({apy} * {q} - {aby} * {tq})"
+    return f"({dxq} * {dxq} + {dyq} * {dyq})"
+
+
+def snap_points_to_segments(
+    points: DataFrame,
+    segments: DataFrame,
+    *,
+    radius: int,
+    seg_len_max: int,
+    guard: int | None = None,
+) -> DataFrame:
+    """(point_id, x, y) x (seg_id, ax, ay, bx, by) -> nearest segment per
+    point within `radius` (planar integer chart coords): one row
+    (point_id, seg_id, d2q) per matched point, argmin by quantized squared
+    distance with seg_id tie-break.
+
+    `seg_len_max` is the caller's promise on max |B-A| per axis; `guard`
+    (default radius + seg_len_max) is the Chebyshev |AP| pre-filter bound —
+    it must be applied identically by any cross-engine twin so candidate
+    sets match and int64 bounds hold (see module docstring).
+    """
+    guard = radius + seg_len_max if guard is None else guard
+    _check_bounds(radius, guard, seg_len_max)
+    q = 1 << Q_BITS
+    g = radius  # grid pitch = radius: point cell + expanded seg bbox cover
+
+    def fdiv(col):  # exact integer floor division by g (no IEEE in the key)
+        return ((col - F.pmod(col, F.lit(g))) / F.lit(g)).cast("long")
+
+    seg_cells = segments.select(
+        "seg_id",
+        "ax",
+        "ay",
+        "bx",
+        "by",
+        F.explode(
+            F.sequence(
+                fdiv(F.least("ax", "bx") - F.lit(radius)),
+                fdiv(F.greatest("ax", "bx") + F.lit(radius)),
+            )
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                fdiv(F.least("ay", "by") - F.lit(radius)),
+                fdiv(F.greatest("ay", "by") + F.lit(radius)),
+            )
+        ).alias("cy"),
+    )
+    pt_cells = points.select(
+        "point_id",
+        "x",
+        "y",
+        fdiv(F.col("x")).alias("cx"),
+        fdiv(F.col("y")).alias("cy"),
+    )
+    cand = pt_cells.join(seg_cells, ["cx", "cy"]).filter(
+        (F.abs(F.col("x") - F.col("ax")) <= F.lit(guard))
+        & (F.abs(F.col("y") - F.col("ay")) <= F.lit(guard))
+    )
+    d2q = F.expr(
+        snap_formula_sql("x", "y", "ax", "ay", "bx", "by", div="div", guard=guard)
+    )
+    ranked = (
+        cand.select("point_id", "seg_id", d2q.alias("d2q"))
+        .filter(F.col("d2q") <= F.lit(radius * radius * q * q))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("point_id").orderBy("d2q", "seg_id")
+            ),
+        )
+    )
+    return ranked.filter(F.col("rn") == 1).select("point_id", "seg_id", "d2q")

@@ -2285,6 +2285,88 @@ def knn_radius2_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- map matching: snap points to nearest road segment -----------------------------
+_SNAP_R, _SNAP_L = 8192, 8192  # radius / per-axis segment-length bound (1e7 units)
+
+
+def _sql_snap_to_road() -> str:
+    from osmgraft.operators.snap import Q_BITS, snap_formula_sql
+
+    q, guard = 1 << Q_BITS, _SNAP_R + _SNAP_L
+    d2q = snap_formula_sql(
+        "p.x", "p.y", "s2.ax", "s2.ay", "s2.bx", "s2.by", div="//", guard=guard
+    )
+    return f"""WITH p AS (
+  SELECT o_orderkey AS point_id,
+         (o_orderkey * 48271) % 400000 - 200000 AS x,
+         (o_orderkey * 69621) % 400000 - 200000 AS y
+  FROM orders WHERE o_orderkey % 15 = 0),
+s AS (
+  SELECT o_orderkey AS seg_id,
+         (o_orderkey * 48017) % 400000 - 200000 AS ax,
+         (o_orderkey * 57859) % 400000 - 200000 AS ay
+  FROM orders WHERE o_orderkey % 4 = 1),
+s2 AS (
+  SELECT seg_id, ax, ay,
+         ax + (seg_id * 36979) % {2 * _SNAP_L} - {_SNAP_L} AS bx,
+         ay + (seg_id * 44257) % {2 * _SNAP_L} - {_SNAP_L} AS by
+  FROM s),
+cand AS (
+  SELECT p.point_id, s2.seg_id, {d2q} AS d2q
+  FROM p JOIN s2
+    ON abs(p.x - s2.ax) <= {guard} AND abs(p.y - s2.ay) <= {guard})
+SELECT point_id, seg_id, d2q FROM (
+  SELECT point_id, seg_id, d2q,
+         row_number() OVER (PARTITION BY point_id ORDER BY d2q, seg_id) AS rn
+  FROM cand WHERE d2q <= {_SNAP_R * _SNAP_R * q * q}) t
+WHERE rn = 1"""
+
+
+@register("snap_to_road", _sql_snap_to_road())
+def snap_to_road(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map matching (operators/snap.py): each NYC hot-box point snaps to the
+    nearest synthetic street segment within ~90 m, by EXACT int64 math — the
+    projection parameter is quantized to a 2^-14 grid so squared distances
+    share one denominator and compare as integers (no IEEE, no rational
+    overflow; the nearest-to-SEGMENT sibling of knn_radius2_k5's ball kNN).
+
+    Spark runs the scale plan: segments exploded onto a radius-pitch grid
+    covering their expanded bbox (<= ~25 cells each), points keyed by their
+    one cell, a single equi-join on cell id = provably complete candidates,
+    then window argmin. The DuckDB twin brute-forces all pairs under the
+    identical Chebyshev guard filter — two different candidate generators,
+    one exact formula (snap_formula_sql, consumed verbatim by BOTH engines),
+    one hash."""
+    from osmgraft.operators.snap import snap_points_to_segments
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    k = F.col("o_orderkey")
+    orders = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ).select(k.alias("k"))
+    kk = F.col("k")
+    points = orders.filter(kk % 15 == 0).select(
+        kk.alias("point_id"),
+        ((kk * 48271) % 400000 - 200000).alias("x"),
+        ((kk * 69621) % 400000 - 200000).alias("y"),
+    )
+    segs = orders.filter(kk % 4 == 1).select(
+        kk.alias("seg_id"),
+        ((kk * 48017) % 400000 - 200000).alias("ax"),
+        ((kk * 57859) % 400000 - 200000).alias("ay"),
+    )
+    segs = segs.select(
+        "seg_id",
+        "ax",
+        "ay",
+        (F.col("ax") + (F.col("seg_id") * 36979) % (2 * _SNAP_L) - _SNAP_L).alias("bx"),
+        (F.col("ay") + (F.col("seg_id") * 44257) % (2 * _SNAP_L) - _SNAP_L).alias("by"),
+    )
+    return snap_points_to_segments(
+        points, segs, radius=_SNAP_R, seg_len_max=_SNAP_L
+    )
+
+
 # --- north star: image table → caption geo-parse → PIP → tiles ------------------
 from osmgraft.synth import _HOT_SPOTS as _HS
 from osmgraft.synth import _JIT as _JIT_

@@ -124,3 +124,16 @@ def test_pii_and_funnel_single_pass(spark):
     assert "Join" not in plan2 and "Window" not in plan2
     assert plan2.count("HashAggregate") >= 2  # map-side partials present
     assert plan2.count("Exchange") <= 3  # guard + countDistinct two-phase
+
+
+def test_snap_to_road_plan_no_cartesian_one_window(spark):
+    from osmgraft.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["snap_to_road"][0](spark, SF))
+    # candidate generation is an equi-join on cell ids, never a cross join
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # one window argmin finishes it, rank-1-limited on BOTH shuffle sides
+    assert plan.count("Window [") == 1
+    assert plan.count("WindowGroupLimit") == 2
+    # the distance formula is pure Catalyst expressions — no Python anywhere
+    assert "EvalPython" not in plan and "mapInArrow" not in plan

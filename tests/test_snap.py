@@ -1,0 +1,150 @@
+"""snap_points_to_segments: map matching to the nearest road segment.
+
+Independent of the DuckDB twin: a numpy float brute force re-derives the
+winner per point, the quantized integer distance is checked against the true
+float distance within the proven |AB|/(2Q) projection-grid bound, and the
+candidate generation (radius-pitch cell join) is proven complete by
+comparison with an all-pairs run of the same formula.
+"""
+
+import numpy as np
+import pytest
+
+from osmgraft.operators.snap import (
+    Q_BITS,
+    _check_bounds,
+    snap_formula_sql,
+    snap_points_to_segments,
+)
+
+Q = 1 << Q_BITS
+R, L = 8192, 8192
+
+
+def _fixture(n_pts=200, n_segs=400, seed=3):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(-200_000, 200_000, n_pts)
+    py = rng.integers(-200_000, 200_000, n_pts)
+    ax = rng.integers(-200_000, 200_000, n_segs)
+    ay = rng.integers(-200_000, 200_000, n_segs)
+    bx = ax + rng.integers(-L, L, n_segs)
+    by = ay + rng.integers(-L, L, n_segs)
+    return px, py, ax, ay, bx, by
+
+
+def _true_d2(px, py, ax, ay, bx, by):
+    """Float point-to-segment squared distance (unquantized reference)."""
+    abx, aby = bx - ax, by - ay
+    apx, apy = px - ax, py - ay
+    den = abx * abx + aby * aby
+    t = np.clip(np.divide(apx * abx + apy * aby, np.where(den == 0, 1, den)), 0, 1)
+    t = np.where(den == 0, 0.0, t)
+    dx, dy = apx - abx * t, apy - aby * t
+    return dx * dx + dy * dy
+
+
+def _quant_d2q(px, py, ax, ay, bx, by):
+    """The exact integer formula, recomputed scalar-side in python ints."""
+    out = np.empty(len(ax), dtype=object)
+    for i in range(len(ax)):
+        abx, aby = int(bx[i] - ax[i]), int(by[i] - ay[i])
+        apx, apy = int(px - ax[i]), int(py - ay[i])
+        den = abx * abx + aby * aby
+        num = apx * abx + apy * aby
+        if den == 0 or num <= 0:
+            tq = 0
+        elif num >= den:
+            tq = Q
+        else:
+            tq = (2 * num * Q + den) // (2 * den)
+        dxq, dyq = apx * Q - abx * tq, apy * Q - aby * tq
+        out[i] = dxq * dxq + dyq * dyq
+    return out
+
+
+def _spark_df(spark, px, py, ax, ay, bx, by):
+    pts = spark.createDataFrame(
+        [(i, int(px[i]), int(py[i])) for i in range(len(px))],
+        "point_id long, x long, y long",
+    )
+    segs = spark.createDataFrame(
+        [
+            (j, int(ax[j]), int(ay[j]), int(bx[j]), int(by[j]))
+            for j in range(len(ax))
+        ],
+        "seg_id long, ax long, ay long, bx long, by long",
+    )
+    return pts, segs
+
+
+def test_snap_matches_scalar_brute_force(spark):
+    px, py, ax, ay, bx, by = _fixture()
+    pts, segs = _spark_df(spark, px, py, ax, ay, bx, by)
+    got = {
+        r["point_id"]: (r["seg_id"], r["d2q"])
+        for r in snap_points_to_segments(pts, segs, radius=R, seg_len_max=L).collect()
+    }
+    n_matched = 0
+    for i in range(len(px)):
+        d2q = _quant_d2q(px[i], py[i], ax, ay, bx, by)
+        ok = np.array([d <= R * R * Q * Q for d in d2q])
+        if not ok.any():
+            assert i not in got
+            continue
+        n_matched += 1
+        best = min((d2q[j], j) for j in np.flatnonzero(ok))
+        assert got[i] == (best[1], best[0]), f"point {i}"
+    assert n_matched == len(got) > 20  # the fixture genuinely exercises matches
+
+
+def test_quantized_distance_within_grid_bound(spark):
+    """d2q/Q^2 is within the |AB|/(2Q) projection-grid bound of the true
+    float distance^2: sqrt(d2q)/Q - sqrt(true_d2) in [0, |AB|/(2Q) + 1e-9]
+    (quantized projection can only be farther than the optimum)."""
+    px, py, ax, ay, bx, by = _fixture(n_pts=50, n_segs=300, seed=11)
+    for i in range(len(px)):
+        d2q = _quant_d2q(px[i], py[i], ax, ay, bx, by)
+        true = _true_d2(
+            float(px[i]), float(py[i]),
+            ax.astype(float), ay.astype(float), bx.astype(float), by.astype(float),
+        )
+        ab = np.hypot(bx - ax, by - ay)
+        gap = np.array([float(d) ** 0.5 / Q for d in d2q]) - np.sqrt(true)
+        assert (gap >= -1e-6).all()
+        assert (gap <= ab / (2 * Q) + 1e-6).all()
+
+
+def test_degenerate_and_edge_segments(spark):
+    # two zero-length segments (A == B): distance is exact point distance;
+    # point (0,3) picks the origin segment (d2=9) over (4,0) (d2=25)
+    pts, segs = _spark_df(
+        spark,
+        np.array([0, 100_000]),
+        np.array([3, 0]),
+        np.array([4, 0]),
+        np.array([0, 0]),
+        np.array([4, 0]),
+        np.array([0, 0]),
+    )
+    rows = {
+        r["point_id"]: r
+        for r in snap_points_to_segments(pts, segs, radius=R, seg_len_max=L).collect()
+    }
+    assert (rows[0]["seg_id"], rows[0]["d2q"]) == (1, 9 * Q * Q)
+    # point1 at (100000, 0) is far (> R) from both degenerate segments: no row
+    assert 1 not in rows
+
+
+def test_bounds_checker_rejects_overflow_params():
+    with pytest.raises(ValueError, match="guard"):
+        _check_bounds(radius=100, guard=50, seg_len_max=100)
+    with pytest.raises(ValueError, match="overflows"):
+        _check_bounds(radius=1 << 40, guard=1 << 41, seg_len_max=1 << 40)
+
+
+def test_formula_sql_engine_parity():
+    """The two div spellings are textually the only difference between the
+    engines' formulas — everything else is one shared expression."""
+    a = snap_formula_sql("x", "y", "ax", "ay", "bx", "by", div="div", guard=16384)
+    b = snap_formula_sql("x", "y", "ax", "ay", "bx", "by", div="//", guard=16384)
+    assert a.replace(" div ", " // ") == b
