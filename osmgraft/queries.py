@@ -2367,6 +2367,53 @@ def snap_to_road(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- polygon x polygon overlap join (SAT) -------------------------------------------
+def _sql_poly_overlap() -> str:
+    from osmgraft.operators.overlap import sat_formula_sql
+
+    sat = sat_formula_sql("(b.cx - a.cx)", "(b.cy - a.cy)", "a.p", "a.q", "b.p", "b.q")
+    return f"""WITH r AS (
+  SELECT o_orderkey AS poly_id,
+         (o_orderkey * 50923) % 400000 - 200000 AS cx,
+         (o_orderkey * 62989) % 400000 - 200000 AS cy,
+         512 + (o_orderkey * 35617) % 4096 AS p,
+         512 + (o_orderkey * 41843) % 4096 AS q
+  FROM orders WHERE o_orderkey % 6 = 2)
+SELECT a.poly_id AS a_id, b.poly_id AS b_id
+FROM r a JOIN r b
+  ON a.poly_id < b.poly_id
+ AND abs(b.cx - a.cx) <= a.p + b.p AND abs(b.cy - a.cy) <= a.q + b.q
+WHERE {sat}"""
+
+
+@register("poly_overlap_pairs", _sql_poly_overlap())
+def poly_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convex polygon-overlap self-join (operators/overlap.py): which of the
+    synthetic rhombus footprints intersect — the polygon x polygon member of
+    the spatial-join family (PIP = point x polygon, snap = point x segment).
+    Exact 4-axis separating-axis test in pure int64; Spark generates
+    candidates by exploding each rhombus onto its <=4 bbox grid cells and
+    self-joining on cell id, the DuckDB twin brute-forces all pairs under a
+    bbox prefilter that overlap provably implies — different candidate
+    generators, the identical SAT text (sat_formula_sql), one hash."""
+    from osmgraft.operators.overlap import rhombus_overlap_pairs
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    k = F.col("o_orderkey")
+    polys = (
+        ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+        .filter(k % 6 == 2)
+        .select(
+            k.alias("poly_id"),
+            ((k * 50923) % 400000 - 200000).alias("cx"),
+            ((k * 62989) % 400000 - 200000).alias("cy"),
+            (F.lit(512) + (k * 35617) % 4096).alias("p"),
+            (F.lit(512) + (k * 41843) % 4096).alias("q"),
+        )
+    )
+    return rhombus_overlap_pairs(polys, rmax=4608)
+
+
 # --- north star: image table → caption geo-parse → PIP → tiles ------------------
 from osmgraft.synth import _HOT_SPOTS as _HS
 from osmgraft.synth import _JIT as _JIT_
