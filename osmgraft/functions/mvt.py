@@ -3,11 +3,12 @@
 Public knowledge only: the MVT 2.1 specification (Mapbox, CC-BY) and the
 protobuf wire format (the same varint/length-delimited framing this repo
 already hand-decodes for .osm.pbf — sources/pbf.py). Scope: POINT layers
-with integer attributes — the tile-server product of the aggregation
-pipeline (counts per cell become point features at cell centers). The
-decoder is generic over the wire format (parses any spec-conformant point
-layer, not just this encoder's output), so roundtrip tests exercise real
-parsing, not a memorized inverse.
+(counts per cell become point features at cell centers) and LINESTRING
+layers (clipped way segments from operators/clip.py), both with integer
+attributes — the two tile-server products of the pipeline. The decoders
+are generic over the wire format (parse any spec-conformant layer, not
+just this encoder's output), so roundtrip tests exercise real parsing,
+not a memorized inverse.
 
 Wire shapes used (spec §4):
   Tile: repeated Layer = field 3 (len-delimited)
@@ -98,6 +99,143 @@ def encode_point_layer(
     layer += _field(5, 0) + _varint(extent)
     layer += _field(15, 0) + _varint(2)
     return _len_delim(3, bytes(layer))
+
+
+def encode_line_layer(
+    name: str,
+    lines: list[tuple[list[tuple[int, int]], dict[str, int]]],
+    extent: int = 4096,
+) -> bytes:
+    """One MVT Tile containing one LINESTRING layer.
+
+    lines: (points, attrs) with >= 2 points each; consecutive duplicate
+    points are rejected (the spec forbids zero-length LineTo) — callers
+    drop degenerate clipped segments first. Coordinates may lie on or
+    beyond the extent boundary (spec-permitted buffer geometry); key/value
+    tables dedupe in first-seen order, feature ids are positional."""
+    keys: list[str] = []
+    vals: list[int] = []
+    kidx: dict[str, int] = {}
+    vidx: dict[int, int] = {}
+    feats = bytearray()
+    for fid, (pts, attrs) in enumerate(lines):
+        if len(pts) < 2:
+            raise ValueError(f"linestring {fid} has < 2 points")
+        tags = bytearray()
+        for k, v in attrs.items():
+            if k not in kidx:
+                kidx[k] = len(keys)
+                keys.append(k)
+            if v not in vidx:
+                vidx[v] = len(vals)
+                vals.append(int(v))
+            tags += _varint(kidx[k]) + _varint(vidx[v])
+        geom = bytearray()
+        geom += _varint((1 << 3) | 1)  # MoveTo x1
+        geom += _varint(_zigzag(pts[0][0])) + _varint(_zigzag(pts[0][1]))
+        geom += _varint(((len(pts) - 1) << 3) | 2)  # LineTo x(n-1)
+        cx, cy = pts[0]
+        for x, y in pts[1:]:
+            if x == cx and y == cy:
+                raise ValueError("zero-length LineTo (spec §4.3.3.3)")
+            geom += _varint(_zigzag(x - cx)) + _varint(_zigzag(y - cy))
+            cx, cy = x, y
+        body = (
+            _field(1, 0) + _varint(fid)
+            + _len_delim(2, bytes(tags))
+            + _field(3, 0) + _varint(2)  # LINESTRING
+            + _len_delim(4, bytes(geom))
+        )
+        feats += _len_delim(2, body)
+    layer = bytearray()
+    layer += _len_delim(1, name.encode("utf-8"))
+    layer += feats
+    for k in keys:
+        layer += _len_delim(3, k.encode("utf-8"))
+    for v in vals:
+        layer += _len_delim(4, _field(4, 0) + _varint(v))
+    layer += _field(5, 0) + _varint(extent)
+    layer += _field(15, 0) + _varint(2)
+    return _len_delim(3, bytes(layer))
+
+
+def decode_line_layers(
+    data: bytes,
+) -> dict[str, tuple[int, list[tuple[list[tuple[int, int]], dict[str, int]]]]]:
+    """Tile bytes → {layer name: (extent, [(points, attrs), …])}.
+
+    Generic parse of LINESTRING features (multi-linestrings yield one entry
+    per MoveTo/LineTo run, spec-conformant); rejects non-LINESTRING types
+    and malformed command streams."""
+    out: dict[str, tuple[int, list]] = {}
+    for num, wire, layer_buf in _fields(data):
+        if num != 3:
+            continue
+        name, extent, version = "", 4096, None
+        keys: list[str] = []
+        vals: list[int] = []
+        raw_feats: list[bytes] = []
+        for fn, fw, fv in _fields(layer_buf):
+            if fn == 1:
+                name = fv.decode("utf-8")
+            elif fn == 2:
+                raw_feats.append(fv)
+            elif fn == 3:
+                keys.append(fv.decode("utf-8"))
+            elif fn == 4:
+                iv = None
+                for vn, vw, vv in _fields(fv):
+                    if vn == 4:
+                        iv = vv if vw == 0 else None
+                if iv is None:
+                    raise ValueError("only int_value Values supported")
+                vals.append(iv)
+            elif fn == 5:
+                extent = fv
+            elif fn == 15:
+                version = fv
+        if version != 2:
+            raise ValueError(f"unsupported MVT version {version}")
+        feats: list[tuple[list[tuple[int, int]], dict[str, int]]] = []
+        for fbuf in raw_feats:
+            gtype, geom, tags = None, b"", b""
+            for fn, fw, fv in _fields(fbuf):
+                if fn == 3:
+                    gtype = fv
+                elif fn == 4:
+                    geom = fv
+                elif fn == 2:
+                    tags = fv
+            if gtype != 2:
+                raise ValueError(f"not a LINESTRING feature: type {gtype}")
+            attrs: dict[str, int] = {}
+            i = 0
+            while i < len(tags):
+                ki, i = _read_varint(tags, i)
+                vi, i = _read_varint(tags, i)
+                attrs[keys[ki]] = int(vals[vi])
+            i, cx, cy = 0, 0, 0
+            while i < len(geom):
+                cmd, i = _read_varint(geom, i)
+                if cmd & 7 != 1 or cmd >> 3 != 1:
+                    raise ValueError("linestring must start with MoveTo x1")
+                zx, i = _read_varint(geom, i)
+                zy, i = _read_varint(geom, i)
+                cx += _unzigzag(zx)
+                cy += _unzigzag(zy)
+                pts = [(cx, cy)]
+                cmd, i = _read_varint(geom, i)
+                if cmd & 7 != 2 or cmd >> 3 < 1:
+                    raise ValueError("MoveTo must be followed by LineTo x(n>=1)")
+                for _ in range(cmd >> 3):
+                    zx, i = _read_varint(geom, i)
+                    zy, i = _read_varint(geom, i)
+                    cx += _unzigzag(zx)
+                    cy += _unzigzag(zy)
+                    pts.append((cx, cy))
+                feats.append((pts, attrs))
+        out[name] = (extent, feats)
+    return out
 
 
 def _read_varint(buf: bytes, i: int) -> tuple[int, int]:

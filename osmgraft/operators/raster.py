@@ -289,3 +289,103 @@ def mvt_features(tiles_df: DataFrame, layer: str = "counts") -> DataFrame:
             )
 
     return tiles_df.select("z", "tx", "ty", "mvt").mapInArrow(kernel, out_schema)
+
+
+def render_tile_mvt_lines(
+    clipped: DataFrame, z: int, layer: str = "ways", extent: int = 4096
+) -> DataFrame:
+    """Materialize the LINE-layer tile-server product: clipped way segments
+    (operators/clip.py output: way_id, seg_idx, tx, ty, px0..py1 tile-local
+    pixels) become LINESTRING features per tile, encoded as real Mapbox
+    Vector Tiles (functions/mvt.encode_line_layer). Degenerate segments
+    (both clip points quantized to one pixel) are dropped — the spec forbids
+    zero-length LineTo — BEFORE grouping, so feature counts are plan-
+    independent.
+
+    Deterministic: features ordered by (way_id, seg_idx, px0, py0, px1,
+    py1), ids positional. Scale shape: one bounded-group shuffle on tile id,
+    then each tile encodes independently in an applyInPandas task. Output:
+    (z, tx, ty, mvt, n_features)."""
+    import pandas as pd
+
+    from osmgraft.functions.mvt import encode_line_layer
+
+    live = clipped.filter(
+        (F.col("px0") != F.col("px1")) | (F.col("py0") != F.col("py1"))
+    )
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["way_id", "seg_idx", "px0", "py0", "px1", "py1"])
+        lines = [
+            (
+                [(int(r.px0), int(r.py0)), (int(r.px1), int(r.py1))],
+                {"way_id": int(r.way_id), "seg_idx": int(r.seg_idx)},
+            )
+            for r in pdf.itertuples()
+        ]
+        data = encode_line_layer(layer, lines, extent)
+        return pd.DataFrame(
+            {
+                "z": [z],
+                "tx": [int(pdf["tx"].iloc[0])],
+                "ty": [int(pdf["ty"].iloc[0])],
+                "mvt": [data],
+                "n_features": [len(lines)],
+            }
+        )
+
+    return live.groupBy("tx", "ty").applyInPandas(
+        render, schema="z int, tx long, ty long, mvt binary, n_features long"
+    )
+
+
+def mvt_line_features(tiles_df: DataFrame, layer: str = "ways") -> DataFrame:
+    """LINE-layer tile READ path: (z, tx, ty, mvt) rows → one row per
+    2-point linestring feature (z, tx, ty, way_id, seg_idx, px0..py1) — the
+    distributed inverse of render_tile_mvt_lines via the generic wire parser
+    (functions/mvt.decode_line_layers). Corrupt tiles raise, matching the
+    PBF source's fail-loud default."""
+    import pyarrow as pa
+
+    from osmgraft.functions.mvt import decode_line_layers
+
+    out_schema = (
+        "z int, tx long, ty long, way_id long, seg_idx long,"
+        " px0 int, py0 int, px1 int, py1 int"
+    )
+
+    def kernel(batches):
+        for rb in batches:
+            zs, txs, tys = rb.column("z"), rb.column("tx"), rb.column("ty")
+            mv = rb.column("mvt")
+            cols = {n: [] for n in
+                    ("z", "tx", "ty", "way_id", "seg_idx", "px0", "py0", "px1", "py1")}
+            for i in range(rb.num_rows):
+                extent, feats = decode_line_layers(mv[i].as_py())[layer]
+                for pts, attrs in feats:
+                    for j in range(len(pts) - 1):
+                        cols["z"].append(zs[i].as_py())
+                        cols["tx"].append(txs[i].as_py())
+                        cols["ty"].append(tys[i].as_py())
+                        cols["way_id"].append(attrs.get("way_id", -1))
+                        cols["seg_idx"].append(attrs.get("seg_idx", -1))
+                        cols["px0"].append(pts[j][0])
+                        cols["py0"].append(pts[j][1])
+                        cols["px1"].append(pts[j + 1][0])
+                        cols["py1"].append(pts[j + 1][1])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols["z"], pa.int32()),
+                    pa.array(cols["tx"], pa.int64()),
+                    pa.array(cols["ty"], pa.int64()),
+                    pa.array(cols["way_id"], pa.int64()),
+                    pa.array(cols["seg_idx"], pa.int64()),
+                    pa.array(cols["px0"], pa.int32()),
+                    pa.array(cols["py0"], pa.int32()),
+                    pa.array(cols["px1"], pa.int32()),
+                    pa.array(cols["py1"], pa.int32()),
+                ],
+                names=list(cols),
+            )
+
+    return tiles_df.select("z", "tx", "ty", "mvt").mapInArrow(kernel, out_schema)

@@ -2414,6 +2414,88 @@ def poly_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rhombus_overlap_pairs(polys, rmax=4608)
 
 
+# --- segment → tile clipping (Liang–Barsky, vector-tile line layers) -----------
+_CLIP_SEG_CTE = """SELECT o_orderkey AS way_id, o_orderkey % 7 AS seg_idx,
+ (o_orderkey * 48611) % 262145 AS x0, (o_orderkey * 59999) % 262145 AS y0,
+ least(greatest((o_orderkey * 48611) % 262145 + ((o_orderkey * 36353) % 32769 - 16384), 0), 262144) AS x1,
+ least(greatest((o_orderkey * 59999) % 262145 + ((o_orderkey * 28307) % 32769 - 16384), 0), 262144) AS y1
+ FROM orders WHERE o_orderkey % 9 = 4"""
+
+
+def _sql_clip_segments() -> str:
+    from osmgraft.operators.clip import clip_oracle_ctes
+
+    return clip_oracle_ctes(_CLIP_SEG_CTE, z=6)
+
+
+@register("clip_segments_z6", _sql_clip_segments())
+def clip_segments_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment → tile clipping (operators/clip.py): every synthetic way
+    segment, in integer world pixels at z=6 (64×64 tiles × MVT EXTENT 4096),
+    clipped to each tile window it crosses — exact-integer Liang–Barsky with
+    sign-normalized rational parameters, closed windows (border segments land
+    in both tiles), direction preserved, clip points round-half-up quantized
+    to the pixel grid. The vector-tile LINE-layer feeder (points were already
+    covered by tile_render_mvt_z10). Spark explodes each segment onto its
+    bbox tile range (generate-only, map-side, no shuffle); the DuckDB twin
+    brute-forces the same ranges via generate_series — two candidate wirings,
+    byte-identical step formulas (clip_steps_sql), one hash."""
+    from osmgraft.operators.clip import clip_segments_to_tiles
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    k = F.col("o_orderkey")
+    x0 = (k * 48611) % 262145
+    y0 = (k * 59999) % 262145
+    segs = (
+        ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+        .filter(k % 9 == 4)
+        .select(
+            k.alias("way_id"),
+            (k % 7).alias("seg_idx"),
+            x0.alias("x0"),
+            y0.alias("y0"),
+            F.least(
+                F.greatest(x0 + ((k * 36353) % 32769 - 16384), F.lit(0)), F.lit(262144)
+            ).alias("x1"),
+            F.least(
+                F.greatest(y0 + ((k * 28307) % 32769 - 16384), F.lit(0)), F.lit(262144)
+            ).alias("y1"),
+        )
+    )
+    return clip_segments_to_tiles(segs, z=6)
+
+
+def _sql_mvt_lines_roundtrip() -> str:
+    from osmgraft.operators.clip import clip_oracle_ctes
+
+    inner = clip_oracle_ctes(_CLIP_SEG_CTE, z=6)
+    return (
+        f"SELECT * FROM ({inner}) c WHERE c.px0 != c.px1 OR c.py0 != c.py1"
+    )
+
+
+@register("mvt_lines_roundtrip_z6", _sql_mvt_lines_roundtrip())
+def mvt_lines_roundtrip_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-tile LINE-layer write/read symmetry, hash-gated end to end:
+    clipped segments (clip_segments_z6's plan) are encoded per tile as real
+    MVT LINESTRING protobuf (raster.render_tile_mvt_lines), then decoded by
+    the generic wire parser (raster.mvt_line_features) in a separate
+    distributed pass — the DuckDB twin is the CLIP oracle itself minus the
+    degenerate one-pixel segments the MVT spec forbids, so the hash passes
+    only if encode ∘ decode is exactly the identity on every feature."""
+    from osmgraft.operators.raster import mvt_line_features, render_tile_mvt_lines
+
+    clipped = clip_segments_z6(spark, sf_dir)
+    tiles_df = render_tile_mvt_lines(clipped, z=6)
+    return mvt_line_features(tiles_df).select(
+        "way_id", "seg_idx", "tx", "ty",
+        F.col("px0").cast("long").alias("px0"),
+        F.col("py0").cast("long").alias("py0"),
+        F.col("px1").cast("long").alias("px1"),
+        F.col("py1").cast("long").alias("py1"),
+    )
+
+
 # --- north star: image table → caption geo-parse → PIP → tiles ------------------
 from osmgraft.synth import _HOT_SPOTS as _HS
 from osmgraft.synth import _JIT as _JIT_
