@@ -159,6 +159,68 @@ def encode_line_layer(
     return _len_delim(3, bytes(layer))
 
 
+def encode_line_layer_fast(
+    name: str,
+    way_id,
+    seg_idx,
+    px0,
+    py0,
+    px1,
+    py1,
+    extent: int = 4096,
+) -> bytes:
+    """Specialized 2-point-linestring encoder over parallel int sequences —
+    BIT-IDENTICAL output to ``encode_line_layer`` with
+    lines=[([(px0,py0),(px1,py1)], {"way_id": w, "seg_idx": s}), …] (pinned
+    by test), but ~20× faster: no per-feature dict/struct objects, one local
+    bytearray, attribute keys fixed to the (way_id, seg_idx) schema. The
+    hot path of the tile-server LINE sink (operators/raster)."""
+    vals: list[int] = []
+    vidx: dict[int, int] = {}
+    feats = bytearray()
+    varint = _varint
+    for fid in range(len(way_id)):
+        w, s = int(way_id[fid]), int(seg_idx[fid])
+        x0, y0 = int(px0[fid]), int(py0[fid])
+        dx, dy = int(px1[fid]) - x0, int(py1[fid]) - y0
+        if dx == 0 and dy == 0:
+            raise ValueError("zero-length LineTo (spec §4.3.3.3)")
+        wv = vidx.get(w)
+        if wv is None:
+            wv = vidx[w] = len(vals)
+            vals.append(w)
+        sv = vidx.get(s)
+        if sv is None:
+            sv = vidx[s] = len(vals)
+            vals.append(s)
+        tags = b"\x00" + varint(wv) + b"\x01" + varint(sv)
+        geom = (
+            b"\x09"
+            + varint(_zigzag(x0))
+            + varint(_zigzag(y0))
+            + b"\x0a"
+            + varint(_zigzag(dx))
+            + varint(_zigzag(dy))
+        )
+        body = (
+            b"\x08" + varint(fid)
+            + b"\x12" + varint(len(tags)) + tags
+            + b"\x18\x02"
+            + b"\x22" + varint(len(geom)) + geom
+        )
+        feats += b"\x12" + varint(len(body)) + body
+    layer = bytearray()
+    layer += _len_delim(1, name.encode("utf-8"))
+    layer += feats
+    if len(way_id):  # the generic encoder emits key strings first-seen only
+        layer += _len_delim(3, b"way_id") + _len_delim(3, b"seg_idx")
+    for v in vals:
+        layer += _len_delim(4, b"\x20" + varint(v))
+    layer += b"\x28" + varint(extent)
+    layer += b"\x78\x02"
+    return _len_delim(3, bytes(layer))
+
+
 def decode_line_layers(
     data: bytes,
 ) -> dict[str, tuple[int, list[tuple[list[tuple[int, int]], dict[str, int]]]]]:

@@ -303,40 +303,72 @@ def render_tile_mvt_lines(
     independent.
 
     Deterministic: features ordered by (way_id, seg_idx, px0, py0, px1,
-    py1), ids positional. Scale shape: one bounded-group shuffle on tile id,
-    then each tile encodes independently in an applyInPandas task. Output:
-    (z, tx, ty, mvt, n_features)."""
-    import pandas as pd
+    py1), ids positional. Scale shape: ONE JVM-side partial+final aggregate
+    (groupBy tile → sort_array(collect_list(struct))) does the grouping and
+    the ordering — then a single mapInArrow pass encodes thousands of tiles
+    per Arrow batch. (A per-group applyInPandas paid ~3 ms of pandas group
+    machinery per tile — 12 s over 4k tiles at sf0.1; this shape is the
+    same shuffle with none of that overhead.) Output: (z, tx, ty, mvt,
+    n_features)."""
+    import numpy as np
+    import pyarrow as pa
 
-    from osmgraft.functions.mvt import encode_line_layer
+    from osmgraft.functions.mvt import encode_line_layer_fast
 
-    live = clipped.filter(
-        (F.col("px0") != F.col("px1")) | (F.col("py0") != F.col("py1"))
-    )
-
-    def render(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["way_id", "seg_idx", "px0", "py0", "px1", "py1"])
-        lines = [
-            (
-                [(int(r.px0), int(r.py0)), (int(r.px1), int(r.py1))],
-                {"way_id": int(r.way_id), "seg_idx": int(r.seg_idx)},
-            )
-            for r in pdf.itertuples()
-        ]
-        data = encode_line_layer(layer, lines, extent)
-        return pd.DataFrame(
-            {
-                "z": [z],
-                "tx": [int(pdf["tx"].iloc[0])],
-                "ty": [int(pdf["ty"].iloc[0])],
-                "mvt": [data],
-                "n_features": [len(lines)],
-            }
+    grouped = (
+        clipped.filter(
+            (F.col("px0") != F.col("px1")) | (F.col("py0") != F.col("py1"))
         )
-
-    return live.groupBy("tx", "ty").applyInPandas(
-        render, schema="z int, tx long, ty long, mvt binary, n_features long"
+        .groupBy("tx", "ty")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("way_id", "seg_idx", "px0", "py0", "px1", "py1")
+                )
+            ).alias("segs")
+        )
     )
+    out_schema = "z int, tx long, ty long, mvt binary, n_features long"
+
+    def kernel(batches):
+        for rb in batches:
+            txs, tys = rb.column("tx"), rb.column("ty")
+            lst = rb.column("segs")
+            # flattened columnar access: no per-feature python objects
+            flat = lst.flatten()
+            lens = lst.value_lengths().to_numpy(zero_copy_only=False)
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            fld = {
+                n: flat.field(n).to_numpy(zero_copy_only=False)
+                for n in ("way_id", "seg_idx", "px0", "py0", "px1", "py1")
+            }
+            mvts = []
+            for i in range(rb.num_rows):
+                a, b = offs[i], offs[i + 1]
+                mvts.append(
+                    encode_line_layer_fast(
+                        layer,
+                        fld["way_id"][a:b],
+                        fld["seg_idx"][a:b],
+                        fld["px0"][a:b],
+                        fld["py0"][a:b],
+                        fld["px1"][a:b],
+                        fld["py1"][a:b],
+                        extent,
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.full(rb.num_rows, z, dtype=np.int32)),
+                    txs.cast(pa.int64()),
+                    tys.cast(pa.int64()),
+                    pa.array(mvts, pa.binary()),
+                    pa.array(lens.astype(np.int64)),
+                ],
+                names=["z", "tx", "ty", "mvt", "n_features"],
+            )
+
+    return grouped.mapInArrow(kernel, out_schema)
 
 
 def mvt_line_features(tiles_df: DataFrame, layer: str = "ways") -> DataFrame:

@@ -232,3 +232,32 @@ def test_render_tile_mvt_lines_distributed(spark):
     b2 = {(r.tx, r.ty): r.mvt for r in
           render_tile_mvt_lines(clipped.repartition(7), z=Z).collect()}[(0, 0)]
     assert hashlib.sha256(b1).hexdigest() == hashlib.sha256(b2).hexdigest()
+
+
+def test_fast_encoder_bit_identical():
+    rng = np.random.default_rng(41)
+    n = 500
+    w = rng.integers(0, 10_000_000, n)
+    s = rng.integers(0, 7, n)
+    x0 = rng.integers(0, 4097, n)
+    y0 = rng.integers(0, 4097, n)
+    x1 = (x0 + rng.integers(1, 50, n)) % 4097  # never equal to (x0,y0)? fix below
+    y1 = y0
+    # guarantee no degenerate pair
+    x1 = np.where((x1 == x0) & (y1 == y0), (x0 + 1) % 4097, x1)
+
+    from osmgraft.functions.mvt import encode_line_layer, encode_line_layer_fast
+
+    lines = [
+        (
+            [(int(x0[i]), int(y0[i])), (int(x1[i]), int(y1[i]))],
+            {"way_id": int(w[i]), "seg_idx": int(s[i])},
+        )
+        for i in range(n)
+    ]
+    assert encode_line_layer_fast("ways", w, s, x0, y0, x1, y1) == encode_line_layer(
+        "ways", lines
+    )
+    assert encode_line_layer_fast(
+        "ways", w[:0], s[:0], x0[:0], y0[:0], x1[:0], y1[:0]
+    ) == encode_line_layer("ways", [])
