@@ -2496,6 +2496,40 @@ def mvt_lines_roundtrip_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- marching-squares contour extraction (raster → vector isolines) ------------
+def _sql_contours() -> str:
+    from osmgraft.operators.contour import contour_oracle_sql
+
+    inside = f"""SELECT tx AS cx, ty AS cy FROM (
+    SELECT {tiles.sql_tile_x('lon7', 8)} AS tx, {tiles.sql_tile_y('lat7', 8)} AS ty
+    FROM pts GROUP BY tx, ty HAVING count(*) >= 2)"""
+    return f"WITH pts AS ({_PTS}), outer_q AS (\n{contour_oracle_sql(inside)}\n) SELECT * FROM outer_q"
+
+
+@register("contour_segments_z8", _sql_contours())
+def contour_segments_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iso-contour extraction (operators/contour.py): the z8 tile-count
+    raster of the point table becomes DIRECTED marching-squares contour
+    segments at iso-level 2 — midpoint vertices in doubled integer grid
+    coordinates, inside-on-the-left orientation (closed CCW loops around
+    dense regions), center-outside saddle rule. Sparse throughout: one
+    generate-only 4-corner explode + one grouped bit-sum, case table in
+    codegen — cost O(inside tiles), never O(raster area). The DuckDB twin
+    consumes the identical case-table text (contour_case_sql)."""
+    from osmgraft.operators.contour import contour_segments
+
+    pts = points_from_orders(spark, sf_dir)
+    counts = (
+        pts.select(
+            tiles.tile_x(F.col("lon7"), 8).alias("cx"),
+            tiles.tile_y(F.col("lat7"), 8).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return contour_segments(counts, threshold=2)
+
+
 # --- north star: image table → caption geo-parse → PIP → tiles ------------------
 from osmgraft.synth import _HOT_SPOTS as _HS
 from osmgraft.synth import _JIT as _JIT_
