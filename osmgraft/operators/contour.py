@@ -32,6 +32,8 @@ discipline of overlap.py/clip.py.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -140,3 +142,86 @@ def contour_segments(
             squares.filter(F.expr(f"mask IN ({', '.join(masks)})")).selectExpr(*cols)
         )
     return slots[0].unionAll(slots[1])
+
+
+# --- ring assembly: directed segments → closed loops with exact areas ----------
+#
+# The loop-closure property (every head meets exactly one tail — tested in
+# test_contour.py) makes the segment set a FUNCTIONAL graph of disjoint
+# cycles: start vertices are unique, so "the segment starting where I end"
+# is a total successor function.  Cycle labeling therefore uses pointer
+# doubling — after r rounds each segment has seen the minimum start-vertex
+# key within 2^r successors, so ceil(log2(n)) rounds label every cycle —
+# O(log L) shuffles where min-label propagation (dedup.connected_components)
+# would take O(L) rounds on the long coastline-style rings real rasters
+# produce.  Lineage is cut with LAZY localCheckpoints (the knn.py
+# discipline), so the loop adds no blocking jobs.
+
+_VKEY = 4294967296  # 2^32: doubled grid coords are nonnegative and < 2^32
+
+
+def assemble_rings(segs: DataFrame, max_cycle: int | None = None) -> DataFrame:
+    """Directed contour segments (x0, y0, x1, y1) → one row per closed ring:
+    ring_id (minimum start-vertex key on the cycle, key = x*2^32 + y),
+    n_seg, and area2 = the exact integer shoelace sum Σ(x0·y1 − x1·y0) —
+    positive for the inside-on-the-left outer loops, negative for holes
+    (twice the enclosed area in doubled-grid units).
+
+    ``max_cycle`` bounds the longest cycle (defaults to count(segs), one
+    scalar job); rounds = ceil(log2(bound)).  Per-term cross products stay
+    within int64 for doubled coords < 2^31 (zoom ≤ 30); translate to a
+    local origin first if ring areas could exceed 2^63."""
+    s = segs.select(
+        (F.col("x0").cast("long") * _VKEY + F.col("y0")).alias("k"),
+        (F.col("x1").cast("long") * _VKEY + F.col("y1")).alias("nxt"),
+        (
+            F.col("x0").cast("long") * F.col("y1")
+            - F.col("x1").cast("long") * F.col("y0")
+        ).alias("cross"),
+    ).localCheckpoint(eager=True)
+    if max_cycle is None:
+        max_cycle = s.count()
+    if max_cycle == 0:
+        return s.groupBy(F.col("k").alias("ring_id")).agg(
+            F.count(F.lit(1)).alias("n_seg"), F.sum("cross").alias("area2")
+        )
+    state = s.select("k", "nxt", F.col("k").alias("lbl"))
+    for _ in range(max(1, math.ceil(math.log2(max(2, max_cycle))))):
+        hop = state.select(
+            F.col("k").alias("jk"),
+            F.col("nxt").alias("nxt2"),
+            F.col("lbl").alias("lbl2"),
+        )
+        state = (
+            state.join(hop, state["nxt"] == hop["jk"])
+            .select(
+                state["k"].alias("k"),
+                F.col("nxt2").alias("nxt"),
+                F.least(state["lbl"], F.col("lbl2")).alias("lbl"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        s.join(state.select("k", "lbl"), "k")
+        .groupBy(F.col("lbl").alias("ring_id"))
+        .agg(F.count(F.lit(1)).alias("n_seg"), F.sum("cross").alias("area2"))
+    )
+
+
+def rings_oracle_sql(inside_cte: str) -> str:
+    """DuckDB twin over the same inside-cells CTE: the contour oracle's
+    segments, successor closure as a recursive CTE (UNION dedup terminates
+    on cycles), min reachable key per start vertex, then the identical
+    shoelace aggregate."""
+    return f"""WITH RECURSIVE segs AS (
+  SELECT x0, y0, x1, y1,
+         x0 * {_VKEY} + y0 AS k, x1 * {_VKEY} + y1 AS nk,
+         x0 * y1 - x1 * y0 AS crs
+  FROM ({contour_oracle_sql(inside_cte)}) c),
+reach(k, cur) AS (
+  SELECT k, k FROM segs
+  UNION
+  SELECT r.k, s.nk FROM reach r JOIN segs s ON s.k = r.cur),
+labels AS (SELECT k, min(cur) AS ring_id FROM reach GROUP BY k)
+SELECT ring_id, count(*) AS n_seg, CAST(sum(crs) AS BIGINT) AS area2
+FROM segs JOIN labels USING (k) GROUP BY ring_id"""

@@ -2530,6 +2530,39 @@ def contour_segments_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contour_segments(counts, threshold=2)
 
 
+def _sql_contour_rings() -> str:
+    from osmgraft.operators.contour import rings_oracle_sql
+
+    inside = f"""SELECT tx AS cx, ty AS cy FROM (
+    SELECT {tiles.sql_tile_x('lon7', 8)} AS tx, {tiles.sql_tile_y('lat7', 8)} AS ty
+    FROM pts GROUP BY tx, ty HAVING count(*) >= 2)"""
+    return f"WITH pts AS ({_PTS}), outer_q AS (\n{rings_oracle_sql(inside)}\n) SELECT * FROM outer_q"
+
+
+@register("contour_rings_z8", _sql_contour_rings())
+def contour_rings_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contour RING assembly (operators/contour.py assemble_rings): the z8
+    iso-segments chain into closed loops — the loop-closure property makes
+    the segment set a functional graph of disjoint cycles, labeled by
+    pointer doubling (O(log L) shuffles, lazy checkpoints, no driver data).
+    Per ring: minimum-vertex-key id, segment count, and the exact integer
+    shoelace sum (positive outer loops, negative holes). The DuckDB twin
+    closes the same successor relation with a recursive CTE — two genuinely
+    different algorithms, one hash (the dedup_components discipline)."""
+    from osmgraft.operators.contour import assemble_rings, contour_segments
+
+    pts = points_from_orders(spark, sf_dir)
+    counts = (
+        pts.select(
+            tiles.tile_x(F.col("lon7"), 8).alias("cx"),
+            tiles.tile_y(F.col("lat7"), 8).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return assemble_rings(contour_segments(counts, threshold=2))
+
+
 # --- north star: image table → caption geo-parse → PIP → tiles ------------------
 from osmgraft.synth import _HOT_SPOTS as _HS
 from osmgraft.synth import _JIT as _JIT_

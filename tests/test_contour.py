@@ -131,3 +131,80 @@ def test_no_python_in_plan(spark):
     df = spark.createDataFrame([(0, 0, 1)], "cx long, cy long, cnt long")
     plan = contour_segments(df, 1)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+# --- ring assembly ---------------------------------------------------------------
+
+def _ref_rings(inside: set[tuple[int, int]]):
+    """First-principles reference: walk the successor function of the
+    reference segments with a plain dict, one cycle at a time."""
+    segs = _ref_segments(inside)
+    by_start = {(x0, y0): (x1, y1) for x0, y0, x1, y1 in segs}
+    assert len(by_start) == len(segs)  # unique starts (functional graph)
+    seen, rings = set(), []
+    for start in sorted(by_start):
+        if start in seen:
+            continue
+        loop, cur = [], start
+        while cur not in seen:
+            seen.add(cur)
+            loop.append(cur)
+            cur = by_start[cur]
+        assert cur == start  # pure cycle
+        area2 = sum(
+            a[0] * b[1] - b[0] * a[1]
+            for a, b in zip(loop, loop[1:] + loop[:1])
+        )
+        rid = min(x * 4294967296 + y for x, y in loop)
+        rings.append((rid, len(loop), area2))
+    return sorted(rings)
+
+
+def _run_rings(spark, inside):
+    from osmgraft.operators.contour import assemble_rings
+
+    cells = [(x, y, 1) for x, y in inside]
+    df = spark.createDataFrame(cells, "cx long, cy long, cnt long")
+    out = assemble_rings(contour_segments(df, 1)).collect()
+    return sorted((r.ring_id, r.n_seg, r.area2) for r in out)
+
+
+def test_single_cell_ring(spark):
+    got = _run_rings(spark, {(5, 7)})
+    # one diamond: 4 segments, shoelace sum 4 (2x the diamond area 2), CCW>0
+    assert len(got) == 1
+    rid, n_seg, area2 = got[0]
+    assert (n_seg, area2) == (4, 4)
+    assert rid == 9 * 4294967296 + 14  # min vertex (2*5-1, 2*7)
+
+
+def test_saddle_two_rings(spark):
+    got = _run_rings(spark, {(0, 0), (1, 1)})
+    assert got == _ref_rings({(0, 0), (1, 1)})
+    assert [g[1:] for g in got] == [(4, 4), (4, 4)]  # two disjoint diamonds
+
+
+def test_block_and_hole_orientation(spark):
+    # 3x3 block minus center: outer CCW ring (positive) + inner hole (negative)
+    inside = {(x, y) for x in range(3) for y in range(3)} - {(1, 1)}
+    got = _run_rings(spark, inside)
+    assert got == _ref_rings(inside)
+    areas = sorted(a for _, _, a in got)
+    assert areas[0] < 0 < areas[1]  # hole CW, outer CCW
+
+
+def test_random_rings_match_reference(spark):
+    rng = np.random.default_rng(29)
+    for trial in range(3):
+        pts = {
+            (int(x), int(y))
+            for x, y in zip(rng.integers(0, 12, 90), rng.integers(0, 12, 90))
+        }
+        assert _run_rings(spark, pts) == _ref_rings(pts)
+
+
+def test_rings_empty(spark):
+    df = spark.createDataFrame([(0, 0, 1)], "cx long, cy long, cnt long")
+    from osmgraft.operators.contour import assemble_rings
+
+    assert assemble_rings(contour_segments(df, 99)).count() == 0
