@@ -3,9 +3,10 @@
 Public knowledge only: the MVT 2.1 specification (Mapbox, CC-BY) and the
 protobuf wire format (the same varint/length-delimited framing this repo
 already hand-decodes for .osm.pbf — sources/pbf.py). Scope: POINT layers
-(counts per cell become point features at cell centers) and LINESTRING
-layers (clipped way segments from operators/clip.py), both with integer
-attributes — the two tile-server products of the pipeline. The decoders
+(counts per cell become point features at cell centers), LINESTRING
+layers (clipped way segments from operators/clip.py), and POLYGON layers
+(contour rings from operators/contour.py), all with integer
+attributes — the tile-server products of the pipeline. The decoders
 are generic over the wire format (parse any spec-conformant layer, not
 just this encoder's output), so roundtrip tests exercise real parsing,
 not a memorized inverse.
@@ -219,6 +220,167 @@ def encode_line_layer_fast(
     layer += b"\x28" + varint(extent)
     layer += b"\x78\x02"
     return _len_delim(3, bytes(layer))
+
+
+def encode_polygon_layer(
+    name: str,
+    polys: list[tuple[list[list[tuple[int, int]]], dict[str, int]]],
+    extent: int = 4096,
+) -> bytes:
+    """One MVT Tile containing one POLYGON layer.
+
+    polys: (rings, attrs) per feature; each ring is a vertex list WITHOUT
+    the closing point (ClosePath implies it, spec §4.3.3.3).  Ring order is
+    the caller's exterior-then-interiors sequence; the FIRST ring must have
+    a positive surveyor sum Σ(x_i·y_{i+1} − x_{i+1}·y_i) in tile coords
+    (y down) — the spec's exterior-ring condition — and that is validated
+    here so a wrong orientation fails at encode time, not in a renderer.
+    Rings need ≥ 3 distinct vertices; zero-length LineTo is rejected.
+    Coordinates may lie beyond the extent (spec-permitted buffer geometry).
+    Key/value tables dedupe in first-seen order, feature ids positional."""
+    keys: list[str] = []
+    vals: list[int] = []
+    kidx: dict[str, int] = {}
+    vidx: dict[int, int] = {}
+    feats = bytearray()
+    for fid, (rings, attrs) in enumerate(polys):
+        tags = bytearray()
+        for k, v in attrs.items():
+            if k not in kidx:
+                kidx[k] = len(keys)
+                keys.append(k)
+            if v not in vidx:
+                vidx[v] = len(vals)
+                vals.append(int(v))
+            tags += _varint(kidx[k]) + _varint(vidx[v])
+        geom = bytearray()
+        cx, cy = 0, 0  # the cursor persists ACROSS rings (spec §4.3.4.4)
+        for ri, pts in enumerate(rings):
+            if len(pts) < 3:
+                raise ValueError(f"polygon {fid} ring {ri} has < 3 points")
+            area2 = sum(
+                a[0] * b[1] - b[0] * a[1]
+                for a, b in zip(pts, pts[1:] + pts[:1])
+            )
+            if ri == 0 and area2 <= 0:
+                raise ValueError(
+                    f"polygon {fid}: first ring must be exterior "
+                    f"(positive surveyor sum, got {area2})"
+                )
+            geom += _varint((1 << 3) | 1)  # MoveTo x1
+            geom += _varint(_zigzag(pts[0][0] - cx)) + _varint(_zigzag(pts[0][1] - cy))
+            geom += _varint(((len(pts) - 1) << 3) | 2)  # LineTo x(n-1)
+            cx, cy = pts[0]
+            for x, y in pts[1:]:
+                if x == cx and y == cy:
+                    raise ValueError("zero-length LineTo (spec §4.3.3.3)")
+                geom += _varint(_zigzag(x - cx)) + _varint(_zigzag(y - cy))
+                cx, cy = x, y
+            geom += _varint((1 << 3) | 7)  # ClosePath x1
+        body = (
+            _field(1, 0) + _varint(fid)
+            + _len_delim(2, bytes(tags))
+            + _field(3, 0) + _varint(3)  # POLYGON
+            + _len_delim(4, bytes(geom))
+        )
+        feats += _len_delim(2, body)
+    layer = bytearray()
+    layer += _len_delim(1, name.encode("utf-8"))
+    layer += feats
+    for k in keys:
+        layer += _len_delim(3, k.encode("utf-8"))
+    for v in vals:
+        layer += _len_delim(4, _field(4, 0) + _varint(v))
+    layer += _field(5, 0) + _varint(extent)
+    layer += _field(15, 0) + _varint(2)
+    return _len_delim(3, bytes(layer))
+
+
+def decode_polygon_layers(
+    data: bytes,
+) -> dict[str, tuple[int, list[tuple[list[list[tuple[int, int]]], dict[str, int]]]]]:
+    """Tile bytes → {layer name: (extent, [(rings, attrs), …])}.
+
+    Generic parse of POLYGON features: each MoveTo/LineTo/ClosePath run is
+    one ring (closing vertex NOT materialized — the inverse of
+    encode_polygon_layer); rejects non-POLYGON types, missing ClosePath,
+    and malformed command streams."""
+    out: dict[str, tuple[int, list]] = {}
+    for num, wire, layer_buf in _fields(data):
+        if num != 3:
+            continue
+        name, extent, version = "", 4096, None
+        keys: list[str] = []
+        vals: list[int] = []
+        raw_feats: list[bytes] = []
+        for fn, fw, fv in _fields(layer_buf):
+            if fn == 1:
+                name = fv.decode("utf-8")
+            elif fn == 2:
+                raw_feats.append(fv)
+            elif fn == 3:
+                keys.append(fv.decode("utf-8"))
+            elif fn == 4:
+                iv = None
+                for vn, vw, vv in _fields(fv):
+                    if vn == 4:
+                        iv = vv if vw == 0 else None
+                if iv is None:
+                    raise ValueError("only int_value Values supported")
+                vals.append(iv)
+            elif fn == 5:
+                extent = fv
+            elif fn == 15:
+                version = fv
+        if version != 2:
+            raise ValueError(f"unsupported MVT version {version}")
+        feats: list[tuple[list[list[tuple[int, int]]], dict[str, int]]] = []
+        for fbuf in raw_feats:
+            gtype, geom, tags = None, b"", b""
+            for fn, fw, fv in _fields(fbuf):
+                if fn == 3:
+                    gtype = fv
+                elif fn == 4:
+                    geom = fv
+                elif fn == 2:
+                    tags = fv
+            if gtype != 3:
+                raise ValueError(f"not a POLYGON feature: type {gtype}")
+            attrs: dict[str, int] = {}
+            i = 0
+            while i < len(tags):
+                ki, i = _read_varint(tags, i)
+                vi, i = _read_varint(tags, i)
+                attrs[keys[ki]] = int(vals[vi])
+            i, cx, cy = 0, 0, 0
+            rings: list[list[tuple[int, int]]] = []
+            while i < len(geom):
+                cmd, i = _read_varint(geom, i)
+                if cmd & 7 != 1 or cmd >> 3 != 1:
+                    raise ValueError("polygon ring must start with MoveTo x1")
+                zx, i = _read_varint(geom, i)
+                zy, i = _read_varint(geom, i)
+                cx += _unzigzag(zx)
+                cy += _unzigzag(zy)
+                pts = [(cx, cy)]
+                cmd, i = _read_varint(geom, i)
+                if cmd & 7 != 2 or cmd >> 3 < 2:
+                    raise ValueError("MoveTo must be followed by LineTo x(n>=2)")
+                for _ in range(cmd >> 3):
+                    zx, i = _read_varint(geom, i)
+                    zy, i = _read_varint(geom, i)
+                    cx += _unzigzag(zx)
+                    cy += _unzigzag(zy)
+                    pts.append((cx, cy))
+                cmd, i = _read_varint(geom, i)
+                if cmd & 7 != 7 or cmd >> 3 != 1:
+                    raise ValueError("polygon ring must end with ClosePath x1")
+                rings.append(pts)
+            if not rings:
+                raise ValueError("POLYGON feature with no rings")
+            feats.append((rings, attrs))
+        out[name] = (extent, feats)
+    return out
 
 
 def decode_line_layers(

@@ -160,18 +160,19 @@ def contour_segments(
 _VKEY = 4294967296  # 2^32: doubled grid coords are nonnegative and < 2^32
 
 
-def assemble_rings(segs: DataFrame, max_cycle: int | None = None) -> DataFrame:
-    """Directed contour segments (x0, y0, x1, y1) → one row per closed ring:
-    ring_id (minimum start-vertex key on the cycle, key = x*2^32 + y),
-    n_seg, and area2 = the exact integer shoelace sum Σ(x0·y1 − x1·y0) —
-    positive for the inside-on-the-left outer loops, negative for holes
-    (twice the enclosed area in doubled-grid units).
+def ring_labels(segs: DataFrame, max_cycle: int | None = None) -> DataFrame:
+    """Per-segment cycle labels: (x0, y0, x1, y1, k, cross, ring_id) where
+    k = x0·2^32 + y0 (the unique start-vertex key), cross = the segment's
+    shoelace term x0·y1 − x1·y0, and ring_id = the minimum k on the
+    segment's cycle — pointer doubling, ceil(log2(bound)) rounds.
 
     ``max_cycle`` bounds the longest cycle (defaults to count(segs), one
-    scalar job); rounds = ceil(log2(bound)).  Per-term cross products stay
-    within int64 for doubled coords < 2^31 (zoom ≤ 30); translate to a
-    local origin first if ring areas could exceed 2^63."""
+    scalar job)."""
     s = segs.select(
+        F.col("x0").cast("long").alias("x0"),
+        F.col("y0").cast("long").alias("y0"),
+        F.col("x1").cast("long").alias("x1"),
+        F.col("y1").cast("long").alias("y1"),
         (F.col("x0").cast("long") * _VKEY + F.col("y0")).alias("k"),
         (F.col("x1").cast("long") * _VKEY + F.col("y1")).alias("nxt"),
         (
@@ -182,9 +183,8 @@ def assemble_rings(segs: DataFrame, max_cycle: int | None = None) -> DataFrame:
     if max_cycle is None:
         max_cycle = s.count()
     if max_cycle == 0:
-        return s.groupBy(F.col("k").alias("ring_id")).agg(
-            F.count(F.lit(1)).alias("n_seg"), F.sum("cross").alias("area2")
-        )
+        return s.select("x0", "y0", "x1", "y1", "k", "cross",
+                        F.col("k").alias("ring_id"))
     state = s.select("k", "nxt", F.col("k").alias("lbl"))
     for _ in range(max(1, math.ceil(math.log2(max(2, max_cycle))))):
         hop = state.select(
@@ -201,9 +201,25 @@ def assemble_rings(segs: DataFrame, max_cycle: int | None = None) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
+    return s.join(state.select("k", F.col("lbl").alias("ring_id")), "k").select(
+        "x0", "y0", "x1", "y1", "k", "cross", "ring_id"
+    )
+
+
+def assemble_rings(segs: DataFrame, max_cycle: int | None = None) -> DataFrame:
+    """Directed contour segments (x0, y0, x1, y1) → one row per closed ring:
+    ring_id (minimum start-vertex key on the cycle, key = x*2^32 + y),
+    n_seg, and area2 = the exact integer shoelace sum Σ(x0·y1 − x1·y0) —
+    positive for the inside-on-the-left outer loops, negative for holes
+    (twice the enclosed area in doubled-grid units).
+
+    ``max_cycle`` bounds the longest cycle (defaults to count(segs), one
+    scalar job); rounds = ceil(log2(bound)).  Per-term cross products stay
+    within int64 for doubled coords < 2^31 (zoom ≤ 30); translate to a
+    local origin first if ring areas could exceed 2^63."""
     return (
-        s.join(state.select("k", "lbl"), "k")
-        .groupBy(F.col("lbl").alias("ring_id"))
+        ring_labels(segs, max_cycle)
+        .groupBy("ring_id")
         .agg(F.count(F.lit(1)).alias("n_seg"), F.sum("cross").alias("area2"))
     )
 

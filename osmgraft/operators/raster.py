@@ -421,3 +421,160 @@ def mvt_line_features(tiles_df: DataFrame, layer: str = "ways") -> DataFrame:
             )
 
     return tiles_df.select("z", "tx", "ty", "mvt").mapInArrow(kernel, out_schema)
+
+
+def render_contour_mvt_polys(
+    segs: DataFrame,
+    grid_z: int,
+    tile_z: int,
+    layer: str = "contours",
+) -> DataFrame:
+    """POLYGON-layer tile sink: directed contour segments (operators/
+    contour.py output over the z=``grid_z`` cell grid, doubled coordinates)
+    become closed-ring POLYGON features in Mapbox Vector Tiles at
+    z=``tile_z``.
+
+    Each ring is assigned WHOLLY to the tile containing its minimum vertex
+    (no polygon clipping — the spec permits buffer geometry beyond the
+    extent, §4.3.4.4 allows coordinates outside [0, extent)); extent =
+    2^(grid_z - tile_z + 1) doubled-grid units so in-tile rings span
+    exactly [0, extent].  Outer rings (positive surveyor sum — the spec's
+    exterior condition, already our inside-left convention) encode as
+    walked; HOLE rings encode REVERSED (spec-valid standalone exteriors)
+    with attrs {"hole": 1} so the read path reconstructs the original
+    direction exactly — ring-soup encoding, the nesting-free form tile
+    pipelines use when features are independent rings.
+
+    Scale shape: ring labeling is pointer doubling (contour.ring_labels,
+    O(log L) shuffles); then ONE groupBy-tile aggregate + one mapInArrow
+    encode pass (the render_tile_mvt_lines architecture).  Output: (z, tx,
+    ty, mvt, n_features)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osmgraft.functions.mvt import encode_polygon_layer
+    from osmgraft.operators.contour import _VKEY, ring_labels
+
+    side = 1 << (grid_z - tile_z + 1)
+    lab = ring_labels(segs)
+    grouped = (
+        lab.selectExpr(
+            f"ring_id div {_VKEY} div {side} AS tx",  # integer div: exact at any grid_z
+            f"ring_id % {_VKEY} div {side} AS ty",
+            "ring_id", "k", "x0", "y0", "x1", "y1",
+        )
+        .groupBy("tx", "ty")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ring_id", "k", "x0", "y0", "x1", "y1"))
+            ).alias("segs")
+        )
+    )
+    out_schema = "z int, tx long, ty long, mvt binary, n_features long"
+
+    def kernel(batches):
+        for rb in batches:
+            txs = rb.column("tx").to_numpy(zero_copy_only=False)
+            tys = rb.column("ty").to_numpy(zero_copy_only=False)
+            lst = rb.column("segs")
+            flat = lst.flatten()
+            lens = lst.value_lengths().to_numpy(zero_copy_only=False)
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            fld = {
+                n: flat.field(n).to_numpy(zero_copy_only=False)
+                for n in ("ring_id", "x0", "y0", "x1", "y1")
+            }
+            mvts, nfeats = [], []
+            for i in range(rb.num_rows):
+                a, b = offs[i], offs[i + 1]
+                ox, oy = int(txs[i]) * side, int(tys[i]) * side
+                feats = []
+                j = a
+                while j < b:  # segs sorted by (ring_id, k): rings contiguous
+                    rid = fld["ring_id"][j]
+                    e = j
+                    by_start = {}
+                    while e < b and fld["ring_id"][e] == rid:
+                        by_start[(int(fld["x0"][e]), int(fld["y0"][e]))] = (
+                            int(fld["x1"][e]), int(fld["y1"][e])
+                        )
+                        e += 1
+                    start = (int(rid) // _VKEY, int(rid) % _VKEY)
+                    pts, cur = [], start
+                    for _ in range(e - j):
+                        pts.append(cur)
+                        cur = by_start[cur]
+                    if cur != start:
+                        raise ValueError(f"ring {rid} does not close")
+                    area2 = sum(
+                        p[0] * q[1] - q[0] * p[1]
+                        for p, q in zip(pts, pts[1:] + pts[:1])
+                    )
+                    hole = area2 < 0
+                    if hole:
+                        pts = [pts[0]] + pts[:0:-1]
+                    feats.append((
+                        [[(x - ox, y - oy) for x, y in pts]],
+                        {"hole": int(hole)},
+                    ))
+                    j = e
+                mvts.append(encode_polygon_layer(layer, feats, extent=side))
+                nfeats.append(len(feats))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.full(rb.num_rows, tile_z, dtype=np.int32)),
+                    pa.array(txs.astype(np.int64)),
+                    pa.array(tys.astype(np.int64)),
+                    pa.array(mvts, pa.binary()),
+                    pa.array(np.asarray(nfeats, dtype=np.int64)),
+                ],
+                names=["z", "tx", "ty", "mvt", "n_features"],
+            )
+
+    return grouped.mapInArrow(kernel, out_schema)
+
+
+def mvt_polygon_segments(
+    tiles_df: DataFrame, grid_z: int, layer: str = "contours"
+) -> DataFrame:
+    """POLYGON-layer tile READ path: (z, tx, ty, mvt) rows → the original
+    directed contour segments (x0, y0, x1, y1) in global doubled-grid
+    coordinates — the distributed inverse of render_contour_mvt_polys via
+    the generic wire parser (functions/mvt.decode_polygon_layers): re-adds
+    the tile origin, un-reverses hole rings from their attr, re-emits each
+    ring's vertex walk as segments including the ClosePath edge."""
+    import pyarrow as pa
+
+    from osmgraft.functions.mvt import decode_polygon_layers
+
+    out_schema = "x0 long, y0 long, x1 long, y1 long"
+
+    def kernel(batches):
+        for rb in batches:
+            zs = rb.column("z").to_numpy(zero_copy_only=False)
+            txs = rb.column("tx").to_numpy(zero_copy_only=False)
+            tys = rb.column("ty").to_numpy(zero_copy_only=False)
+            mv = rb.column("mvt")
+            cols = {n: [] for n in ("x0", "y0", "x1", "y1")}
+            for i in range(rb.num_rows):
+                extent, feats = decode_polygon_layers(mv[i].as_py())[layer]
+                side = 1 << (grid_z - int(zs[i]) + 1)
+                if extent != side:
+                    raise ValueError(f"extent {extent} != expected {side}")
+                ox, oy = int(txs[i]) * side, int(tys[i]) * side
+                for rings, attrs in feats:
+                    for pts in rings:
+                        if attrs.get("hole", 0):
+                            pts = [pts[0]] + pts[:0:-1]
+                        pts = [(x + ox, y + oy) for x, y in pts]
+                        for p, q in zip(pts, pts[1:] + pts[:1]):
+                            cols["x0"].append(p[0])
+                            cols["y0"].append(p[1])
+                            cols["x1"].append(q[0])
+                            cols["y1"].append(q[1])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[n], pa.int64()) for n in ("x0", "y0", "x1", "y1")],
+                names=["x0", "y0", "x1", "y1"],
+            )
+
+    return tiles_df.select("z", "tx", "ty", "mvt").mapInArrow(kernel, out_schema)

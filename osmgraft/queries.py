@@ -2539,6 +2539,38 @@ def _sql_contour_rings() -> str:
     return f"WITH pts AS ({_PTS}), outer_q AS (\n{rings_oracle_sql(inside)}\n) SELECT * FROM outer_q"
 
 
+@register("mvt_polygons_roundtrip_z8", _sql_contours())
+def mvt_polygons_roundtrip_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYGON vector-tile write/read symmetry, hash-gated: the z8 contour
+    rings encode as real MVT POLYGON features per z2 tile (ring-soup form:
+    holes reversed to spec-valid exteriors with a hole attr;
+    operators/raster.render_contour_mvt_polys) and a separate distributed
+    pass decodes them with the generic wire parser back to directed
+    segments (mvt_polygon_segments). The DuckDB twin is the contour-segment
+    oracle itself, so the hash passes only if encode ∘ decode is the
+    IDENTITY on every ring walk — any command-stream, zigzag-delta,
+    cursor-across-rings, hole-flag, or tile-origin bug breaks it.
+    Completes the MVT geometry trio (point, line, polygon layers)."""
+    from osmgraft.operators.contour import contour_segments
+    from osmgraft.operators.raster import (
+        mvt_polygon_segments,
+        render_contour_mvt_polys,
+    )
+
+    pts = points_from_orders(spark, sf_dir)
+    counts = (
+        pts.select(
+            tiles.tile_x(F.col("lon7"), 8).alias("cx"),
+            tiles.tile_y(F.col("lat7"), 8).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    segs = contour_segments(counts, threshold=2)
+    tiles_df = render_contour_mvt_polys(segs, grid_z=8, tile_z=2)
+    return mvt_polygon_segments(tiles_df, grid_z=8)
+
+
 @register("contour_rings_z8", _sql_contour_rings())
 def contour_rings_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contour RING assembly (operators/contour.py assemble_rings): the z8
