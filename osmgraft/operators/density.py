@@ -1,0 +1,110 @@
+"""Raster-field analytics over sparse cell grids: smoothing + autocorrelation.
+
+`density_smooth` — the KDE-style heat surface every tile map draws: per-cell
+counts convolved with a (2r+1)² box kernel. SEPARABLE: one x-pass then one
+y-pass, each an explode of 2r+1 offsets + a grouped sum — 2·(2r+1) work per
+cell instead of (2r+1)², two map-side-combined shuffles, sparse throughout
+(only cells within Chebyshev radius r of observed data appear; integer sums,
+exact cross-engine). The DuckDB twin runs the DIRECT 2-D convolution — two
+genuinely different algorithms, one hash.
+
+`morans_i_terms` — global Moran's I spatial autocorrelation over the observed
+cells with rook (edge-adjacent) weights, in EXACT integers: with n cells and
+total s, the n-scaled deviation d_i = n·x_i − s is integral, so the statistic
+I = (n/W)·Σ_ij w_ij d_i d_j / Σ d_i² is reported as its integer terms
+(n_cells, w_pairs, num, den) and never divides — any engine computes the
+float I from them, but the HASH is over exact integers. Bounds: |d_i| <
+n·max_cnt must stay < ~2^31 for the products to fit int64 (document per use;
+at tile-grid scales n ≤ 2^26 and counts ≤ 2^20 this holds with room).
+
+Scale shape: the stats row is ONE aggregate broadcast-joined back (no
+driver collect); adjacency is an equi-join on shifted keys (uniform hash
+keys, no skew beyond the data's own density).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def density_smooth(
+    cells: DataFrame, radius: int, cx: str = "cx", cy: str = "cy",
+    cnt: str = "cnt",
+) -> DataFrame:
+    """(cx, cy, cnt) sparse raster → (cx, cy, dens) where dens = the sum of
+    cnt over the (2·radius+1)² Chebyshev neighborhood — separable box blur,
+    two explode+sum passes."""
+    off = F.explode(F.sequence(F.lit(-radius), F.lit(radius)))
+    xs = (
+        cells.select(F.col(cx).alias("cx"), F.col(cy).alias("cy"),
+                     F.col(cnt).alias("v"), off.alias("dx"))
+        .select((F.col("cx") + F.col("dx")).alias("cx"), "cy", "v")
+        .groupBy("cx", "cy")
+        .agg(F.sum("v").alias("v"))
+    )
+    return (
+        xs.select("cx", "cy", "v", off.alias("dy"))
+        .select("cx", (F.col("cy") + F.col("dy")).alias("cy"), "v")
+        .groupBy("cx", "cy")
+        .agg(F.sum("v").alias("dens"))
+    )
+
+
+def sql_density_smooth(cells_cte: str, radius: int) -> str:
+    """DuckDB twin: DIRECT 2-D box convolution over the same cells CTE body
+    (selects cx, cy, cnt) — a different algorithm than the separable Spark
+    pass, same exact integer surface."""
+    return f"""WITH cells AS ({cells_cte})
+SELECT c.cx + dx.i AS cx, c.cy + dy.i AS cy, CAST(sum(c.cnt) AS BIGINT) AS dens
+FROM cells c
+CROSS JOIN range({-radius}, {radius + 1}) dx(i)
+CROSS JOIN range({-radius}, {radius + 1}) dy(i)
+GROUP BY 1, 2"""
+
+
+def morans_i_terms(
+    cells: DataFrame, cx: str = "cx", cy: str = "cy", cnt: str = "cnt"
+) -> DataFrame:
+    """One row (n_cells, w_pairs, num, den): the exact integer terms of
+    Moran's I over the observed cells with rook weights (w_ij = 1 for
+    edge-adjacent observed cells).  num = Σ over ORDERED adjacent pairs of
+    d_i·d_j (= 2× the unordered sum), den = Σ d_i², d_i = n·x_i − s."""
+    c = cells.select(F.col(cx).alias("cx"), F.col(cy).alias("cy"),
+                     F.col(cnt).cast("long").alias("v"))
+    stats = c.agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    d = (
+        c.crossJoin(F.broadcast(stats))
+        .select("cx", "cy", (F.col("n") * F.col("v") - F.col("s")).alias("d"))
+    )
+    right = d.select(F.col("cx").alias("bx"), F.col("cy").alias("by"),
+                     F.col("d").alias("db"))
+    # two equi-joins (east + south neighbor), NOT one OR-join: an OR of
+    # conjunctions has no extractable join keys and Catalyst would fall
+    # back to a nested-loop join — a scale killer on dense grids
+    east = d.join(right, (d["cx"] + 1 == right["bx"]) & (d["cy"] == right["by"]))
+    south = d.join(right, (d["cx"] == right["bx"]) & (d["cy"] + 1 == right["by"]))
+    pairs = east.select((F.col("d") * F.col("db")).alias("prod")).unionAll(
+        south.select((F.col("d") * F.col("db")).alias("prod"))
+    )
+    num_w = pairs.agg(
+        (F.lit(2) * F.sum("prod")).alias("num"),
+        (F.lit(2) * F.count(F.lit(1))).alias("w_pairs"),
+    )
+    den_n = d.agg(F.count(F.lit(1)).alias("n_cells"),
+                  F.sum(F.col("d") * F.col("d")).alias("den"))
+    return den_n.crossJoin(num_w).select("n_cells", "w_pairs", "num", "den")
+
+
+def sql_morans_i_terms(cells_cte: str) -> str:
+    """DuckDB twin over the same cells CTE body (selects cx, cy, cnt)."""
+    return f"""WITH cells AS ({cells_cte}),
+st AS (SELECT count(*) AS n, sum(cnt) AS s FROM cells),
+d AS (SELECT cx, cy, st.n * cnt - st.s AS d FROM cells, st),
+adj AS (
+  SELECT a.d AS da, b.d AS db FROM d a JOIN d b
+  ON (b.cx = a.cx + 1 AND b.cy = a.cy) OR (b.cx = a.cx AND b.cy = a.cy + 1))
+SELECT (SELECT count(*) FROM d) AS n_cells,
+       CAST(2 * (SELECT count(*) FROM adj) AS BIGINT) AS w_pairs,
+       CAST(2 * (SELECT sum(da * db) FROM adj) AS BIGINT) AS num,
+       CAST((SELECT sum(d * d) FROM d) AS BIGINT) AS den"""

@@ -2595,6 +2595,70 @@ def contour_rings_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_rings(contour_segments(counts, threshold=2))
 
 
+def _sql_cells(z: int) -> str:
+    return (
+        f"SELECT {tiles.sql_tile_x('lon7', z)} AS cx, "
+        f"{tiles.sql_tile_y('lat7', z)} AS cy, count(*) AS cnt "
+        f"FROM pts GROUP BY cx, cy"
+    )
+
+
+def _cells_df(spark: SparkSession, sf_dir: str, z: int) -> DataFrame:
+    pts = points_from_orders(spark, sf_dir)
+    return (
+        pts.select(
+            tiles.tile_x(F.col("lon7"), z).alias("cx"),
+            tiles.tile_y(F.col("lat7"), z).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _sql_density() -> str:
+    from osmgraft.operators.density import sql_density_smooth
+
+    return (
+        f"WITH pts AS ({_PTS}), outer_q AS (\n"
+        f"{sql_density_smooth(_sql_cells(10), 2)}\n) SELECT * FROM outer_q"
+    )
+
+
+@register("tile_density_smooth_z10", _sql_density())
+def tile_density_smooth_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KDE-style density surface (operators/density.py): z10 tile counts
+    convolved with a 5×5 box kernel — SEPARABLE in Spark (two explode+sum
+    passes, 2·5 work per cell, map-side combines) while the DuckDB twin
+    runs the direct 2-D convolution: two genuinely different algorithms,
+    one exact-integer hash. Sparse throughout — only cells within radius 2
+    of observed data exist."""
+    from osmgraft.operators.density import density_smooth
+
+    return density_smooth(_cells_df(spark, sf_dir, 10), radius=2)
+
+
+def _sql_morans() -> str:
+    from osmgraft.operators.density import sql_morans_i_terms
+
+    return (
+        f"WITH pts AS ({_PTS}), outer_q AS (\n"
+        f"{sql_morans_i_terms(_sql_cells(8))}\n) SELECT * FROM outer_q"
+    )
+
+
+@register("morans_i_z8", _sql_morans())
+def morans_i_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I spatial autocorrelation over the observed z8 cells
+    with rook weights, as EXACT INTEGER terms (n_cells, w_pairs, num, den
+    with d_i = n·x_i − s — no division, no floats, cross-engine hashable;
+    I = (n/W)·num/den for any consumer). Stats row broadcast back (no
+    driver collect); adjacency = two shifted equi-joins, never an OR-join
+    nested loop. operators/density.py."""
+    from osmgraft.operators.density import morans_i_terms
+
+    return morans_i_terms(_cells_df(spark, sf_dir, 8))
+
+
 # --- north star: image table → caption geo-parse → PIP → tiles ------------------
 from osmgraft.synth import _HOT_SPOTS as _HS
 from osmgraft.synth import _JIT as _JIT_

@@ -1,0 +1,98 @@
+"""density_smooth + morans_i_terms vs first-principles numpy references."""
+
+import numpy as np
+
+from osmgraft.operators.density import density_smooth, morans_i_terms
+
+
+def _cells_df(spark, arr):
+    rows = [
+        (int(x), int(y), int(arr[y, x]))
+        for y in range(arr.shape[0])
+        for x in range(arr.shape[1])
+        if arr[y, x]
+    ]
+    return spark.createDataFrame(rows, "cx long, cy long, cnt long")
+
+
+def test_density_smooth_matches_dense_convolution(spark):
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 4, (12, 14)) * (rng.random((12, 14)) < 0.3)
+    r = 2
+    got = {
+        (row.cx, row.cy): row.dens
+        for row in density_smooth(_cells_df(spark, arr), radius=r).collect()
+    }
+    # dense reference: full box sum at every coordinate (incl. negative halo)
+    for cx in range(-r, arr.shape[1] + r):
+        for cy in range(-r, arr.shape[0] + r):
+            want = int(
+                arr[
+                    max(0, cy - r) : cy + r + 1, max(0, cx - r) : cx + r + 1
+                ].sum()
+            )
+            if want == 0:
+                assert (cx, cy) not in got  # sparse: zero cells never emitted
+            else:
+                assert got[(cx, cy)] == want, (cx, cy)
+
+
+def test_density_smooth_radius_zero_is_identity(spark):
+    df = spark.createDataFrame(
+        [(3, 4, 7), (9, 9, 1)], "cx long, cy long, cnt long"
+    )
+    got = sorted((r.cx, r.cy, r.dens) for r in density_smooth(df, 0).collect())
+    assert got == [(3, 4, 7), (9, 9, 1)]
+
+
+def _ref_morans(cells):
+    """Float Moran's I from the textbook formula, for cross-checking the
+    integer terms."""
+    xs = np.array([v for _, _, v in cells], dtype=float)
+    xbar = xs.mean()
+    idx = {(x, y): i for i, (x, y, _) in enumerate(cells)}
+    num = w = 0.0
+    for (x, y), i in idx.items():
+        for nb in ((x + 1, y), (x - 1, y), (x, y + 1), (x, y - 1)):
+            j = idx.get(nb)
+            if j is not None:
+                num += (xs[i] - xbar) * (xs[j] - xbar)
+                w += 1
+    den = ((xs - xbar) ** 2).sum()
+    return len(xs) / w * num / den
+
+
+def test_morans_i_terms_match_float_reference(spark):
+    rng = np.random.default_rng(17)
+    cells = [
+        (int(x), int(y), int(v))
+        for x, y, v in zip(
+            rng.integers(0, 8, 40), rng.integers(0, 8, 40), rng.integers(1, 9, 40)
+        )
+    ]
+    cells = list({(x, y): (x, y, v) for x, y, v in cells}.values())
+    df = spark.createDataFrame(cells, "cx long, cy long, cnt long")
+    (row,) = morans_i_terms(df).collect()
+    assert row.n_cells == len(cells)
+    # integer terms: d_i = n*x_i - s scales num/den by n^2, which cancels
+    got_i = row.n_cells / row.w_pairs * row.num / row.den
+    assert abs(got_i - _ref_morans(cells)) < 1e-12
+    # checkerboard: perfect negative autocorrelation -> num < 0
+    board = [(x, y, 1 + (x + y) % 2) for x in range(6) for y in range(6)]
+    (neg,) = morans_i_terms(
+        spark.createDataFrame(board, "cx long, cy long, cnt long")
+    ).collect()
+    assert neg.num < 0
+
+
+def test_morans_plan_has_no_cartesian(spark):
+    df = spark.createDataFrame([(0, 0, 1), (1, 0, 2)], "cx long, cy long, cnt long")
+    plan = morans_i_terms(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # adjacency compiles to real equi-joins on the shifted keys...
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    # ...and every nested-loop join is a broadcast of a 1-row aggregate
+    import re
+
+    for m in re.finditer(r"BroadcastNestedLoopJoin (\w+), (\w+)", plan):
+        assert m.group(2) == "Cross"
