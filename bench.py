@@ -134,7 +134,7 @@ def main() -> None:
                  "shortest_paths_roads", "snap_to_road", "poly_overlap_pairs",
                  "clip_segments_z6", "mvt_lines_roundtrip_z6", "contour_segments_z8",
                  "contour_rings_z8", "mvt_polygons_roundtrip_z8",
-                 "tile_density_smooth_z10", "morans_i_z8",
+                 "tile_density_smooth_z10", "morans_i_z8", "image_patches_roundtrip",
                  "q3_shipping_priority", "q5_local_supplier_volume"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]

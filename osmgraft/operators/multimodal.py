@@ -1211,3 +1211,157 @@ def header_scan(images: DataFrame) -> DataFrame:
         hdr_h.alias("hdr_h"),
         dims_ok.alias("dims_ok"),
     )
+
+
+# --- ViT-style patch extraction + reassembly ------------------------------------
+
+PATCH_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("x0", IntegerType(), True),
+        StructField("y0", IntegerType(), True),
+        StructField("pw", IntegerType(), True),
+        StructField("ph", IntegerType(), True),
+        StructField("orig_w", IntegerType(), True),
+        StructField("orig_h", IntegerType(), True),
+        StructField("bytes", BinaryType(), True),
+        StructField("fmt", StringType(), True),
+        StructField("caption", StringType(), True),
+    ]
+)
+
+
+def image_patches(
+    images: DataFrame, patch: int = 16, on_error: str = "fail"
+) -> DataFrame:
+    """Non-overlapping ``patch``×``patch`` grid decomposition of every image
+    (the ViT tokenization shape): one output row per patch, raw RGB bytes,
+    pixel offsets (x0, y0) + patch dims (pw, ph) + original dims carried for
+    exact reassembly.  Images whose sides are not multiples of ``patch``
+    keep cropped remainder patches — decomposition is LOSSLESS by
+    construction (unpatchify ∘ image_patches = id, hash-gated).
+
+    Batch shape: Arrow-buffer chunk decode (_iter_image_chunks), then one
+    numpy slice per GRID CELL per chunk (never per row); the only per-row
+    work is the final contiguous .tobytes(). Corrupt payloads follow the
+    family's on_error contract (null patch row with x0 = -1)."""
+    if patch < 1:
+        raise ValueError("patch must be >= 1")
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            ids = rb.column("image_id").take(sel)
+            caps = rb.column("caption").take(sel)
+            k = len(sel)
+            if px is None:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        pa.array(np.full(k, -1, np.int32)),
+                        pa.array(np.full(k, -1, np.int32)),
+                        pa.nulls(k, pa.int32()),
+                        pa.nulls(k, pa.int32()),
+                        pa.nulls(k, pa.int32()),
+                        pa.nulls(k, pa.int32()),
+                        pa.nulls(k, pa.binary()),
+                        pa.nulls(k, pa.string()),
+                        caps,
+                    ],
+                    names=[f.name for f in PATCH_SCHEMA.fields],
+                )
+                continue
+            for y0 in range(0, h, patch):
+                ph_ = min(patch, h - y0)
+                for x0 in range(0, w, patch):
+                    pw_ = min(patch, w - x0)
+                    block = np.ascontiguousarray(
+                        px[:, y0 : y0 + ph_, x0 : x0 + pw_, :]
+                    )
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            ids,
+                            pa.array(np.full(k, x0, np.int32)),
+                            pa.array(np.full(k, y0, np.int32)),
+                            pa.array(np.full(k, pw_, np.int32)),
+                            pa.array(np.full(k, ph_, np.int32)),
+                            pa.array(np.full(k, w, np.int32)),
+                            pa.array(np.full(k, h, np.int32)),
+                            pa.array([block[i].tobytes() for i in range(k)],
+                                     pa.binary()),
+                            pa.array(["raw"] * k, pa.string()),
+                            caps,
+                        ],
+                        names=[f.name for f in PATCH_SCHEMA.fields],
+                    )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt", "caption").mapInArrow(
+        kernel, schema=PATCH_SCHEMA
+    )
+
+
+def unpatchify(patches: DataFrame) -> DataFrame:
+    """Inverse of :func:`image_patches`: reassemble raw patch rows into full
+    images (TRANSCODE_SCHEMA, fmt='raw').  ONE groupBy-image aggregate
+    (sort_array(collect_list) — deterministic placement order) then a
+    mapInArrow paste pass; total patch area must tile the image exactly or
+    the row fails loudly.  Null patch rows (a corrupt source) reassemble to
+    a null image."""
+
+    grouped = patches.groupBy("image_id").agg(
+        F.sort_array(F.collect_list(F.struct("y0", "x0", "pw", "ph", "bytes"))).alias(
+            "parts"
+        ),
+        F.max("orig_w").alias("orig_w"),
+        F.max("orig_h").alias("orig_h"),
+        F.min("x0").alias("min_x0"),
+        F.first("caption").alias("caption"),
+    )
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids = rb.column("image_id")
+            caps = rb.column("caption")
+            ows = rb.column("orig_w").to_numpy(zero_copy_only=False)
+            ohs = rb.column("orig_h").to_numpy(zero_copy_only=False)
+            minx = rb.column("min_x0").to_numpy(zero_copy_only=False)
+            parts = rb.column("parts")
+            outs, ws, hs, fmts = [], [], [], []
+            for i in range(rb.num_rows):
+                if minx[i] < 0:  # corrupt source: propagate null image
+                    outs.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    fmts.append(None)
+                    continue
+                W, H = int(ows[i]), int(ohs[i])
+                canvas = np.zeros((H, W, 3), np.uint8)
+                area = 0
+                for p in parts[i].as_py():
+                    blk = np.frombuffer(p["bytes"], np.uint8).reshape(
+                        p["ph"], p["pw"], 3
+                    )
+                    canvas[p["y0"] : p["y0"] + p["ph"],
+                           p["x0"] : p["x0"] + p["pw"]] = blk
+                    area += p["ph"] * p["pw"]
+                if area != W * H:
+                    raise ValueError(
+                        f"patches cover {area} px of a {W}x{H} image — "
+                        "missing or overlapping patches"
+                    )
+                outs.append(canvas.tobytes())
+                ws.append(W)
+                hs.append(H)
+                fmts.append("raw")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(outs, pa.binary()),
+                    pa.array(ws, pa.int32()),
+                    pa.array(hs, pa.int32()),
+                    pa.array(fmts, pa.string()),
+                    caps,
+                ],
+                names=[f.name for f in TRANSCODE_SCHEMA.fields],
+            )
+
+    return grouped.mapInArrow(kernel, schema=TRANSCODE_SCHEMA)

@@ -2838,6 +2838,38 @@ def image_augment_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "image_patches_roundtrip",
+    """WITH idxs AS (SELECT row_number() OVER () - 1 AS idx FROM orders),
+capped AS (SELECT idx FROM idxs WHERE idx < 800)
+SELECT concat('img', lpad(CAST(idx AS VARCHAR), 12, '0')) AS image_id,
+       TRUE AS caption_ok, TRUE AS pixels_exact, TRUE AS psnr_ok
+FROM capped WHERE (idx + idx // 25) % 5 IN (0, 1, 3)""",
+)
+def image_patches_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch decomposition correctness as a closed-form hash gate
+    (the image_augment_identity discipline): unpatchify ∘ image_patches is
+    the identity by construction — cropped remainder patches keep it exact
+    on non-multiple-of-16 sides — so running the lossless rows through the
+    16×16 grid and back must yield pixels_exact = TRUE for EVERY row, and
+    the DuckDB twin is the specification itself. Any offset, (w, h) swap,
+    remainder-crop, placement-order, or reassembly bug flips a pixel and
+    breaks the hash. operators/multimodal.py image_patches/unpatchify."""
+    from osmgraft.operators.multimodal import (
+        image_patches,
+        roundtrip_fidelity,
+        unpatchify,
+    )
+    from osmgraft.synth import synth_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 800)
+    imgs = synth_images(spark, n).filter(F.col("fmt").isin("raw", "ppm", "png"))
+    back = unpatchify(image_patches(imgs, patch=16))
+    return roundtrip_fidelity(imgs, back).select(
+        "image_id", "caption_ok", "pixels_exact", "psnr_ok"
+    )
+
+
 @register("tile_render_mvt_z10", None)  # protobuf output: no SQL twin
 def tile_render_mvt_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VECTOR tile-server materialization: z13 counts per z10 parent encoded

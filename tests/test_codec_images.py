@@ -479,3 +479,60 @@ def test_header_scan_valid_and_corrupt(spark):
     assert not got["meta_qdct"]["len_ok"]
     assert not got["no_eoi_jpeg"]["magic_ok"]
     assert got["no_eoi_jpeg"]["dims_ok"]  # SOF still present
+
+
+def test_image_patches_grid_and_remainders(spark):
+    """35x22 image at patch 16: 3x2 grid with 3px/6px remainders; bytes of
+    every patch equal the numpy slice; reassembly is bit-identical."""
+    import numpy as np
+
+    from osmgraft.functions.codec import encode_image
+    from osmgraft.operators.multimodal import image_patches, unpatchify
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (22, 35, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("a", encode_image(px, "ppm"), 35, 22, "ppm", "cap")],
+        "image_id string, bytes binary, w int, h int, fmt string, caption string",
+    )
+    rows = image_patches(df, patch=16).collect()
+    assert len(rows) == 6
+    dims = sorted((r.x0, r.y0, r.pw, r.ph) for r in rows)
+    assert dims == [(0, 0, 16, 16), (0, 16, 16, 6), (16, 0, 16, 16),
+                    (16, 16, 16, 6), (32, 0, 3, 16), (32, 16, 3, 6)]
+    for r in rows:
+        want = px[r.y0 : r.y0 + r.ph, r.x0 : r.x0 + r.pw]
+        assert bytes(r.bytes) == want.tobytes()
+        assert (r.orig_w, r.orig_h, r.fmt, r.caption) == (35, 22, "raw", "cap")
+    (back,) = unpatchify(image_patches(df, patch=16)).collect()
+    assert bytes(back.bytes) == px.tobytes()
+    assert (back.w, back.h, back.fmt, back.caption) == (35, 22, "raw", "cap")
+
+
+def test_image_patches_corrupt_null_path(spark):
+    """on_error='null': corrupt payloads yield a null patch row which
+    unpatchify propagates as a null image; missing coverage fails loudly."""
+    import numpy as np
+    import pytest
+
+    from osmgraft.functions.codec import encode_image
+    from osmgraft.operators.multimodal import image_patches, unpatchify
+
+    px = np.zeros((8, 8, 3), np.uint8)
+    df = spark.createDataFrame(
+        [("ok", encode_image(px, "raw"), 8, 8, "raw", "c"),
+         ("bad", b"\x00\x01", 8, 8, "raw", "c")],
+        "image_id string, bytes binary, w int, h int, fmt string, caption string",
+    )
+    pr = image_patches(df, patch=8, on_error="null")
+    rows = {r.image_id: r for r in pr.collect()}
+    assert rows["bad"].bytes is None and rows["bad"].x0 == -1
+    back = {r.image_id: r for r in unpatchify(pr).collect()}
+    assert back["bad"].bytes is None
+    assert bytes(back["ok"].bytes) == px.tobytes()
+    with pytest.raises(Exception, match="cover"):
+        unpatchify(
+            image_patches(df.filter("image_id = 'ok'"), patch=8).filter("x0 != 0 or y0 = 0")
+            .limit(0)
+            .unionByName(image_patches(df.filter("image_id = 'ok'"), patch=5).filter("x0 = 0"))
+        ).collect()
