@@ -108,3 +108,71 @@ SELECT (SELECT count(*) FROM d) AS n_cells,
        CAST(2 * (SELECT count(*) FROM adj) AS BIGINT) AS w_pairs,
        CAST(2 * (SELECT sum(da * db) FROM adj) AS BIGINT) AS num,
        CAST((SELECT sum(d * d) FROM d) AS BIGINT) AS den"""
+
+
+_VKEY = 4294967296  # 2^32: grid coords nonnegative and < 2^32 (contour.py twin)
+
+
+def grid_regions(
+    cells: DataFrame, cx: str = "cx", cy: str = "cy", cnt: str = "cnt"
+) -> DataFrame:
+    """4-connected region labeling of the observed cells (the flood-fill /
+    blob-extraction sibling of the contour family — regions are exactly
+    what the iso-rings bound): one row per region with region_id (minimum
+    cell key = cx·2^32 + cy), n_cells, sum_cnt, and the integer bbox.
+
+    Edges = east+south both-observed neighbors (two shifted equi-joins);
+    components via graph.cc_star — O(log n) large-star/small-star rounds,
+    so snake-shaped regions spanning millions of cells converge where
+    per-hop propagation would need diameter rounds; singleton cells (no
+    observed neighbor) coalesce to themselves without entering the graph."""
+    from osmgraft.operators.graph import cc_star
+
+    c = cells.select(
+        F.col(cx).alias("cx"), F.col(cy).alias("cy"),
+        F.col(cnt).cast("long").alias("v"),
+        (F.col(cx).cast("long") * _VKEY + F.col(cy)).alias("k"),
+    )
+    right = c.select(F.col("cx").alias("bx"), F.col("cy").alias("by"),
+                     F.col("k").alias("bk"))
+    east = c.join(right, (c["cx"] + 1 == right["bx"]) & (c["cy"] == right["by"]))
+    south = c.join(right, (c["cx"] == right["bx"]) & (c["cy"] + 1 == right["by"]))
+    edges = east.select(F.col("k").alias("u"), F.col("bk").alias("v")).unionAll(
+        south.select(F.col("k").alias("u"), F.col("bk").alias("v"))
+    )
+    labels = cc_star(edges)
+    lab = c.join(labels, c["k"] == labels["id"], "left").select(
+        "cx", "cy", "v", F.coalesce(F.col("comp"), F.col("k")).alias("region_id")
+    )
+    return lab.groupBy("region_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("v").alias("sum_cnt"),
+        F.min("cx").alias("min_cx"),
+        F.min("cy").alias("min_cy"),
+        F.max("cx").alias("max_cx"),
+        F.max("cy").alias("max_cy"),
+    )
+
+
+def sql_grid_regions(cells_cte: str) -> str:
+    """DuckDB twin over the same cells CTE body (selects cx, cy, cnt):
+    recursive-CTE transitive closure over the symmetric adjacency — a
+    different algorithm than the star alternation, same labels."""
+    return f"""WITH RECURSIVE cells AS ({cells_cte}),
+ck AS (SELECT cx, cy, cnt, cx * {_VKEY} + cy AS k FROM cells),
+e AS (
+  SELECT a.k AS u, b.k AS v FROM ck a JOIN ck b
+  ON b.cx = a.cx + 1 AND b.cy = a.cy
+  UNION ALL
+  SELECT a.k, b.k FROM ck a JOIN ck b
+  ON b.cx = a.cx AND b.cy = a.cy + 1),
+sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+reach(k, cur) AS (
+  SELECT k, k FROM ck
+  UNION
+  SELECT r.k, s.v FROM reach r JOIN sym s ON s.u = r.cur),
+lab AS (SELECT k, min(cur) AS region_id FROM reach GROUP BY k)
+SELECT region_id, count(*) AS n_cells, CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+       min(cx) AS min_cx, min(cy) AS min_cy,
+       max(cx) AS max_cx, max(cy) AS max_cy
+FROM ck JOIN lab USING (k) GROUP BY region_id"""

@@ -145,3 +145,83 @@ def sql_shortest_paths(
 )"""
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT node_id, dist_m FROM d{rounds}"
+
+
+# --- connected components at scale: alternating large-star / small-star --------
+
+def cc_star(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """(id, comp) connected components via the alternating large-star /
+    small-star algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14 — public knowledge): each round hangs
+    every node's larger neighbors (large-star) then its smaller ones
+    (small-star) off the neighborhood minimum, flattening trees
+    logarithmically.  Converges in O(log n) rounds on ANY topology —
+    including the path/coastline-shaped graphs where per-hop min-label
+    propagation (dedup.connected_components) needs diameter rounds — which
+    is the property that matters at 100 TB where a component can span
+    millions of cells.
+
+    Each star step is one groupBy-min + one join on the edge list, all
+    JVM-side; convergence is detected with a (count, xxhash-sum) signature
+    — two scalars per round, no edge-set comparison join.  Nodes with no
+    edges never appear; callers coalesce singletons to themselves.
+    Output: one row per non-root node (id, comp) plus (root, root)."""
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        dn = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = dn.groupBy("u").agg(F.min("v").alias("m"))  # v <= u ⇒ m = min(Γ⁺)
+        a = (
+            dn.join(m, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        b = m.where(F.col("u") != F.col("m")).select(
+            "u", F.col("m").alias("v")
+        )
+        return a.unionAll(b).distinct()
+
+    e = (
+        edges.selectExpr("u", "v")
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),  # no-overflow signature
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"cc_star did not converge in {max_rounds} rounds — raise "
+            "max_rounds (expected O(log n); this indicates a pathological "
+            "input or a bug, not normal operation)"
+        )
+    roots = e.select(F.col("v").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    )
+    return e.select(F.col("u").alias("id"), F.col("v").alias("comp")).unionAll(
+        roots
+    ).distinct()

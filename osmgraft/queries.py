@@ -2659,6 +2659,32 @@ def morans_i_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return morans_i_terms(_cells_df(spark, sf_dir, 8))
 
 
+def _sql_regions() -> str:
+    from osmgraft.operators.density import sql_grid_regions
+
+    inside = _sql_cells(8) + " HAVING count(*) >= 2"
+    return (
+        f"WITH pts AS ({_PTS}), outer_q AS (\n"
+        f"{sql_grid_regions(inside)}\n) SELECT * FROM outer_q"
+    )
+
+
+@register("cell_regions_z8", _sql_regions())
+def cell_regions_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flood-fill region labeling (operators/density.py grid_regions): the
+    z8 inside cells (cnt ≥ 2 — the same population the contour rings bound)
+    label into 4-connected regions via graph.cc_star — the alternating
+    large-star/small-star algorithm (Kiveris et al. SoCC'14), O(log n)
+    rounds on ANY topology where per-hop min-label propagation needs
+    diameter rounds. Per region: min-key id, cell count, count sum, integer
+    bbox. DuckDB twin: recursive-CTE transitive closure — two genuinely
+    different algorithms, one hash."""
+    from osmgraft.operators.density import grid_regions
+
+    cells = _cells_df(spark, sf_dir, 8).filter(F.col("cnt") >= 2)
+    return grid_regions(cells)
+
+
 # --- north star: image table → caption geo-parse → PIP → tiles ------------------
 from osmgraft.synth import _HOT_SPOTS as _HS
 from osmgraft.synth import _JIT as _JIT_

@@ -96,3 +96,46 @@ def test_morans_plan_has_no_cartesian(spark):
 
     for m in re.finditer(r"BroadcastNestedLoopJoin (\w+), (\w+)", plan):
         assert m.group(2) == "Cross"
+
+
+def test_grid_regions_matches_bfs_flood_fill(spark):
+    from collections import deque
+
+    from osmgraft.operators.density import grid_regions
+
+    rng = np.random.default_rng(23)
+    pts = {
+        (int(x), int(y)): int(v)
+        for x, y, v in zip(
+            rng.integers(0, 10, 70), rng.integers(0, 10, 70), rng.integers(1, 5, 70)
+        )
+    }
+    df = spark.createDataFrame(
+        [(x, y, v) for (x, y), v in pts.items()], "cx long, cy long, cnt long"
+    )
+    got = sorted(
+        (r.region_id, r.n_cells, r.sum_cnt, r.min_cx, r.min_cy, r.max_cx, r.max_cy)
+        for r in grid_regions(df).collect()
+    )
+    # BFS reference
+    seen, want = set(), []
+    for start in sorted(pts):
+        if start in seen:
+            continue
+        comp, q = [], deque([start])
+        seen.add(start)
+        while q:
+            x, y = q.popleft()
+            comp.append((x, y))
+            for nb in ((x + 1, y), (x - 1, y), (x, y + 1), (x, y - 1)):
+                if nb in pts and nb not in seen:
+                    seen.add(nb)
+                    q.append(nb)
+        want.append((
+            min(x * 4294967296 + y for x, y in comp),
+            len(comp),
+            sum(pts[c] for c in comp),
+            min(x for x, _ in comp), min(y for _, y in comp),
+            max(x for x, _ in comp), max(y for _, y in comp),
+        ))
+    assert got == sorted(want)
