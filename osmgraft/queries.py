@@ -2367,6 +2367,76 @@ def snap_to_road(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- segment x segment crossing join ------------------------------------------------
+def _sql_road_crossings() -> str:
+    from osmgraft.operators.crossings import crossing_formula_sql
+
+    cross = crossing_formula_sql(
+        "a.ax", "a.ay", "a.bx", "a.by", "b.ax", "b.ay", "b.bx", "b.by"
+    )
+    return f"""WITH s AS (
+  SELECT o_orderkey AS seg_id,
+         (o_orderkey * 48017) % 400000 - 200000 AS ax,
+         (o_orderkey * 57859) % 400000 - 200000 AS ay
+  FROM orders WHERE o_orderkey % 4 = 1),
+s2 AS (
+  SELECT seg_id, ax, ay,
+         ax + (seg_id * 36979) % {2 * _SNAP_L} - {_SNAP_L} AS bx,
+         ay + (seg_id * 44257) % {2 * _SNAP_L} - {_SNAP_L} AS by
+  FROM s),
+s3 AS (  -- materialized bbox columns: expression-free join keys
+  SELECT seg_id, ax, ay, bx, by,
+         least(ax, bx) AS x0, greatest(ax, bx) AS x1,
+         least(ay, by) AS y0, greatest(ay, by) AS y1
+  FROM s2)
+SELECT a.seg_id AS seg_a, b.seg_id AS seg_b
+FROM s3 a JOIN s3 b
+  ON a.seg_id < b.seg_id
+ AND a.x0 <= b.x1 AND a.x1 >= b.x0
+ AND a.y0 <= b.y1 AND a.y1 >= b.y0
+WHERE {cross}"""
+
+
+@register("road_crossings", _sql_road_crossings())
+def road_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment×segment crossing join (operators/crossings.py): all pairs of
+    synthetic street segments whose INTERIORS properly cross — four exact
+    int64 CCW orientation tests, strictly-opposite signs both ways, so
+    endpoint touches and collinear overlaps are excluded (in a road graph
+    the crossings WITHOUT a shared node are the signal: unmarked
+    intersections, missing bridge tags). Completes the pairwise spatial-
+    join family: point×point (knn), point×segment (snap), point×polygon
+    (pip), polygon×polygon (overlap), segment×segment (this).
+
+    Spark runs the scale plan: bbox cells at pitch 2·len-bound (≤ 4 cells
+    per segment, provably complete), one equi-join on cell, pair dedup,
+    codegen refine. The DuckDB twin brute-forces under a bbox-overlap
+    prefilter with the BYTE-IDENTICAL predicate text
+    (crossing_formula_sql) — two candidate generators, one formula, one
+    hash."""
+    from osmgraft.operators.crossings import segment_crossings
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    k = F.col("o_orderkey")
+    orders = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ).select(k.alias("k"))
+    kk = F.col("k")
+    segs = orders.filter(kk % 4 == 1).select(
+        kk.alias("seg_id"),
+        ((kk * 48017) % 400000 - 200000).alias("ax"),
+        ((kk * 57859) % 400000 - 200000).alias("ay"),
+    )
+    segs = segs.select(
+        "seg_id",
+        "ax",
+        "ay",
+        (F.col("ax") + (F.col("seg_id") * 36979) % (2 * _SNAP_L) - _SNAP_L).alias("bx"),
+        (F.col("ay") + (F.col("seg_id") * 44257) % (2 * _SNAP_L) - _SNAP_L).alias("by"),
+    )
+    return segment_crossings(segs, pitch=2 * _SNAP_L)
+
+
 # --- polygon x polygon overlap join (SAT) -------------------------------------------
 def _sql_poly_overlap() -> str:
     from osmgraft.operators.overlap import sat_formula_sql
