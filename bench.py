@@ -135,7 +135,7 @@ def main() -> None:
                  "clip_segments_z6", "mvt_lines_roundtrip_z6", "contour_segments_z8",
                  "contour_rings_z8", "mvt_polygons_roundtrip_z8",
                  "tile_density_smooth_z10", "morans_i_z8", "image_patches_roundtrip",
-                 "cell_regions_z8", "road_crossings",
+                 "cell_regions_z8", "road_crossings", "raster_upsample_z8_z9",
                  "q3_shipping_priority", "q5_local_supplier_volume"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]

@@ -176,3 +176,53 @@ SELECT region_id, count(*) AS n_cells, CAST(sum(cnt) AS BIGINT) AS sum_cnt,
        min(cx) AS min_cx, min(cy) AS min_cy,
        max(cx) AS max_cx, max(cy) AS max_cy
 FROM ck JOIN lab USING (k) GROUP BY region_id"""
+
+
+def raster_upsample(
+    cells: DataFrame, cx: str = "cx", cy: str = "cy", cnt: str = "cnt"
+) -> DataFrame:
+    """One zoom level UP (the inverse direction of tile_pyramid's rollup):
+    bilinear refinement of a sparse z-level raster onto the z+1 grid in
+    EXACT integers.  A z+1 child cell's center sits at quarter offsets of
+    the parent centers, so its bilinear value has denominators 16 — emit
+    the numerator ``dens16`` (= Σ wx·wy·parent with per-axis weights 3/1)
+    and never divide.  Equivalently each parent scatters the classic
+    (1,3,3,1) refinement mask onto children 2p−1..2p+2.
+
+    SEPARABLE like density_smooth: one x-pass explode (4 children) + sum,
+    one y-pass — 8 rows per parent instead of 16, two map-side-combined
+    shuffles; the DuckDB twin runs the direct 2-D scatter.  Children with
+    zero support never appear (sparse)."""
+    wx = F.when(F.col("dx").isin(0, 1), F.lit(3)).otherwise(F.lit(1))
+    xs = (
+        cells.select(F.col(cx).alias("cx"), F.col(cy).alias("cy"),
+                     F.col(cnt).cast("long").alias("v"),
+                     F.explode(F.sequence(F.lit(-1), F.lit(2))).alias("dx"))
+        .select((2 * F.col("cx") + F.col("dx")).alias("u"), "cy",
+                (wx * F.col("v")).alias("v"))
+        .groupBy("u", "cy")
+        .agg(F.sum("v").alias("v"))
+    )
+    wy = F.when(F.col("dy").isin(0, 1), F.lit(3)).otherwise(F.lit(1))
+    return (
+        xs.select("u", "cy", "v",
+                  F.explode(F.sequence(F.lit(-1), F.lit(2))).alias("dy"))
+        .select("u", (2 * F.col("cy") + F.col("dy")).alias("v_cell"),
+                (wy * F.col("v")).alias("v"))
+        .groupBy("u", F.col("v_cell").alias("v_out"))
+        .agg(F.sum("v").alias("dens16"))
+        .select(F.col("u").alias("cx"), F.col("v_out").alias("cy"), "dens16")
+    )
+
+
+def sql_raster_upsample(cells_cte: str) -> str:
+    """DuckDB twin: the DIRECT 2-D (1,3,3,1)⊗(1,3,3,1) scatter."""
+    return f"""WITH cells AS ({cells_cte})
+SELECT 2 * c.cx + dx.i AS cx, 2 * c.cy + dy.i AS cy,
+       CAST(sum((CASE WHEN dx.i IN (0, 1) THEN 3 ELSE 1 END)
+              * (CASE WHEN dy.i IN (0, 1) THEN 3 ELSE 1 END) * c.cnt) AS BIGINT)
+         AS dens16
+FROM cells c
+CROSS JOIN range(-1, 3) dx(i)
+CROSS JOIN range(-1, 3) dy(i)
+GROUP BY 1, 2"""

@@ -2755,6 +2755,28 @@ def cell_regions_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_regions(cells)
 
 
+def _sql_upsample() -> str:
+    from osmgraft.operators.density import sql_raster_upsample
+
+    return (
+        f"WITH pts AS ({_PTS}), outer_q AS (\n"
+        f"{sql_raster_upsample(_sql_cells(8))}\n) SELECT * FROM outer_q"
+    )
+
+
+@register("raster_upsample_z8_z9", _sql_upsample())
+def raster_upsample_z8_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear raster refinement one zoom UP (operators/density.py
+    raster_upsample) — the inverse direction of tile_pyramid_z13_8's
+    rollup: z8 counts scatter the (1,3,3,1) mask onto the z9 grid,
+    emitting exact integer numerators dens16 (denominator 16 never
+    divided). Spark runs the separable two-pass form; DuckDB the direct
+    2-D scatter — two algorithms, one hash."""
+    from osmgraft.operators.density import raster_upsample
+
+    return raster_upsample(_cells_df(spark, sf_dir, 8))
+
+
 # --- north star: image table → caption geo-parse → PIP → tiles ------------------
 from osmgraft.synth import _HOT_SPOTS as _HS
 from osmgraft.synth import _JIT as _JIT_

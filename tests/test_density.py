@@ -139,3 +139,34 @@ def test_grid_regions_matches_bfs_flood_fill(spark):
             max(x for x, _ in comp), max(y for _, y in comp),
         ))
     assert got == sorted(want)
+
+
+def test_raster_upsample_bilinear_exact(spark):
+    from osmgraft.operators.density import raster_upsample
+
+    rng = np.random.default_rng(31)
+    arr = rng.integers(0, 5, (9, 11)) * (rng.random((9, 11)) < 0.4)
+    got = {
+        (r.cx, r.cy): r.dens16
+        for r in raster_upsample(_cells_df(spark, arr)).collect()
+    }
+    # reference: gather per child from the 4 nearest parents, weights 3/1
+    def parent_w(c):
+        near = c // 2
+        far = near - 1 if c % 2 == 0 else near + 1
+        return [(near, 3), (far, 1)]
+
+    H, W = arr.shape
+    for ccx in range(-1, 2 * W + 1):
+        for ccy in range(-1, 2 * H + 1):
+            want = 0
+            for px, wx in parent_w(ccx):
+                for py, wy in parent_w(ccy):
+                    if 0 <= px < W and 0 <= py < H:
+                        want += wx * wy * int(arr[py, px])
+            if want == 0:
+                assert (ccx, ccy) not in got
+            else:
+                assert got[(ccx, ccy)] == want, (ccx, ccy)
+    # conservation: each parent scatters onto 4 children x weight-16 each
+    assert sum(got.values()) == 64 * int(arr.sum())
