@@ -136,6 +136,7 @@ def main() -> None:
                  "contour_rings_z8", "mvt_polygons_roundtrip_z8",
                  "tile_density_smooth_z10", "morans_i_z8", "image_patches_roundtrip",
                  "cell_regions_z8", "road_crossings", "raster_upsample_z8_z9",
+                 "trip_segments_orders",
                  "q3_shipping_priority", "q5_local_supplier_volume"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]

@@ -1,0 +1,70 @@
+"""Trajectory analytics: trip segmentation (spatial gaps-and-islands).
+
+A track is (ent, seq, x, y) — an entity's position samples in seq order
+(integer chart coordinates, the snap.py/crossings.py plane).  A TRIP is a
+maximal run of consecutive samples where each step's Chebyshev distance is
+≤ ``jump``; a larger step starts a new trip (signal loss, teleport between
+recording sessions — the standard GPS-track preprocessing cut).
+
+Shape: ONE shuffle on entity; lag + running-sum share a single window sort
+(Spark plans one Window node over both), then a grouped aggregate with
+map-side combine.  All integer comparisons — the trip ids and stats are
+exact cross-engine, so the DuckDB twin (same two windows, `sql_trip_
+segments`) hash-gates it.  Per-entity data must fit a task (windows are
+per-partition-key) — trajectories are bounded per device in practice;
+shard seq ranges first if one entity's history exceeds executor memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def trip_segments(track: DataFrame, jump: int) -> DataFrame:
+    """(ent, seq, x, y) → one row per trip: (ent, trip, n_pts, seq_start,
+    seq_end, min_x, max_x, min_y, max_y); trip = 1-based index of the
+    trip within the entity in seq order."""
+    w = Window.partitionBy("ent").orderBy("seq")
+    step = F.greatest(
+        F.abs(F.col("x") - F.lag("x").over(w)),
+        F.abs(F.col("y") - F.lag("y").over(w)),
+    )
+    new_trip = F.when(step.isNull() | (step > jump), 1).otherwise(0)
+    run = Window.partitionBy("ent").orderBy("seq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g = track.select(
+        "ent", "seq", "x", "y", F.sum(new_trip).over(run).alias("trip")
+    )
+    return g.groupBy("ent", "trip").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.min("seq").alias("seq_start"),
+        F.max("seq").alias("seq_end"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )
+
+
+def sql_trip_segments(track_cte: str, jump: int) -> str:
+    """DuckDB twin over a track CTE body (selects ent, seq, x, y)."""
+    return f"""WITH track AS ({track_cte}),
+f AS (
+  SELECT ent, seq, x, y,
+         CASE WHEN lag(x) OVER w IS NULL
+                OR greatest(abs(x - lag(x) OVER w), abs(y - lag(y) OVER w))
+                   > {jump}
+              THEN 1 ELSE 0 END AS nt
+  FROM track
+  WINDOW w AS (PARTITION BY ent ORDER BY seq)),
+g AS (
+  SELECT ent, seq, x, y,
+         sum(nt) OVER (PARTITION BY ent ORDER BY seq) AS trip
+  FROM f)
+SELECT ent, trip, count(*) AS n_pts,
+       min(seq) AS seq_start, max(seq) AS seq_end,
+       min(x) AS min_x, max(x) AS max_x,
+       min(y) AS min_y, max(y) AS max_y
+FROM g GROUP BY ent, trip"""

@@ -2777,6 +2777,40 @@ def raster_upsample_z8_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raster_upsample(_cells_df(spark, sf_dir, 8))
 
 
+# --- trajectory trip segmentation ------------------------------------------------
+_TRACK_CTE = """SELECT o_custkey % 199 AS ent, o_orderkey AS seq,
+       (o_orderkey * 13) % 100000 // 10 AS x,
+       (o_orderkey * 29) % 100000 // 10 AS y
+FROM orders"""
+
+
+def _sql_trips() -> str:
+    from osmgraft.operators.trajectory import sql_trip_segments
+
+    return sql_trip_segments(_TRACK_CTE, jump=2000)
+
+
+@register("trip_segments_orders", _sql_trips())
+def trip_segments_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory trip segmentation (operators/trajectory.py): per-entity
+    ordered position samples split into trips at Chebyshev jumps > 2000 —
+    the GPS-track gaps-and-islands cut. ONE shuffle on entity (lag +
+    running-sum share one window sort), grouped stats with map-side
+    combine; all-integer, hash-gated against the same two windows in
+    DuckDB."""
+    from osmgraft.operators.trajectory import trip_segments
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    o = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    track = o.selectExpr(
+        "o_custkey % 199 AS ent",
+        "o_orderkey AS seq",
+        "(o_orderkey * 13) % 100000 div 10 AS x",  # integer div, no IEEE
+        "(o_orderkey * 29) % 100000 div 10 AS y",
+    )
+    return trip_segments(track, jump=2000)
+
+
 # --- north star: image table → caption geo-parse → PIP → tiles ------------------
 from osmgraft.synth import _HOT_SPOTS as _HS
 from osmgraft.synth import _JIT as _JIT_
