@@ -140,3 +140,56 @@ def osc_apply(
     survivors = base.join(latest.select(*key_cols), key_cols, "left_anti")
     upserts = latest.filter(F.col(op_col) != F.lit("delete")).drop(op_col)
     return survivors.unionByName(upserts.select(*base.columns))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    cmp_cols: list[str],
+) -> DataFrame:
+    """The INVERSE of :func:`osc_apply`: derive the OSC-style change set
+    (create/modify/delete) that transforms snapshot ``old`` into snapshot
+    ``new`` — the diff-generation direction (osmosis --derive-change, the
+    tool OSM pipelines pair with apply; the reference only ships apply).
+
+    One full-outer join on the keys; op per key: create (absent in old),
+    delete (absent in new), modify (any compare column differs,
+    NULL-safe), unchanged rows dropped.  Output: key columns, ``op``, and
+    the compare columns valued from ``new`` (from ``old`` for deletes).
+    Round-trip law (test-pinned): ``osc_apply(old, snapshot_diff(old,
+    new) + version) ≡ new``.
+
+    Scale: one key-partitioned shuffle join; at 10^12 rows this is the
+    same sort-merge shape as the apply path, and with both snapshots
+    bucketed on the keys it is shuffle-free."""
+    o = old.select(
+        *key_cols,
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_old_{c}") for c in cmp_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"_new_{c}") for c in cmp_cols],
+    )
+    j = o.join(n, key_cols, "full_outer")
+    changed = None
+    for c in cmp_cols:
+        ne = ~F.col(f"_old_{c}").eqNullSafe(F.col(f"_new_{c}"))
+        changed = ne if changed is None else (changed | ne)
+    op = (
+        F.when(F.col("_in_old").isNull(), F.lit("create"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(changed, F.lit("modify"))
+    )
+    out_vals = [
+        F.when(F.col("_in_new").isNull(), F.col(f"_old_{c}"))
+        .otherwise(F.col(f"_new_{c}"))
+        .alias(c)
+        for c in cmp_cols
+    ]
+    return (
+        j.select(*key_cols, op.alias("op"), *out_vals)
+        .filter(F.col("op").isNotNull())
+    )

@@ -2811,6 +2811,52 @@ def trip_segments_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trip_segments(track, jump=2000)
 
 
+@register(
+    "snapshot_diff_events",
+    """SELECT event_id AS id, 'modify' AS op, event_type
+FROM events WHERE event_id % 5 = 0 AND event_id % 7 <> 0
+UNION ALL
+SELECT event_id, 'delete', event_type FROM events WHERE event_id % 35 = 0
+UNION ALL
+SELECT event_id + 100000000, 'create', event_type
+FROM events WHERE event_id % 11 = 0""",
+)
+def snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff generation — the INVERSE of osc_apply_events (operators/osm.py
+    snapshot_diff): Spark computes new = osc_apply(base, changeset), then
+    derives the change set BACK from (base, new) with one full-outer join
+    (create/modify/delete classification, NULL-safe compares). The DuckDB
+    twin states the expected diff in CLOSED FORM from the change-set
+    definition — the spec-as-oracle pattern — so any apply or diff bug
+    (missed delete, phantom modify, wrong key handling) breaks the hash.
+    Output columns are float-free (id, op, event_type); the value column
+    still drives modify detection internally."""
+    from osmgraft.operators.osm import osc_apply, snapshot_diff
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(F.col("event_id").alias("id"), "event_type", "value")
+    mods = ev.filter(F.col("event_id") % 5 == 0).select(
+        F.col("event_id").alias("id"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("delete"))
+        .otherwise(F.lit("modify"))
+        .alias("op"),
+        F.lit(2).alias("version"),
+        "event_type",
+        (F.col("value") + 1).alias("value"),
+    )
+    creates = ev.filter(F.col("event_id") % 11 == 0).select(
+        (F.col("event_id") + 100_000_000).alias("id"),
+        F.lit("create").alias("op"),
+        F.lit(1).alias("version"),
+        "event_type",
+        "value",
+    )
+    new = osc_apply(base, mods.unionByName(creates), key_cols=["id"])
+    return snapshot_diff(base, new, ["id"], ["event_type", "value"]).select(
+        "id", "op", "event_type"
+    )
+
+
 # --- north star: image table → caption geo-parse → PIP → tiles ------------------
 from osmgraft.synth import _HOT_SPOTS as _HS
 from osmgraft.synth import _JIT as _JIT_

@@ -134,3 +134,34 @@ def test_osc_wrap(spark):
     doc = [r.line for r in osc_wrap(node_to_xml(nodes)).orderBy("ord").collect()]
     assert doc[0].startswith("<?xml") and doc[1] == "<osmChange>" and doc[2] == "<modify>"
     assert doc[-2] == "</modify>" and doc[-1] == "</osmChange>"
+
+
+def test_snapshot_diff_roundtrip_and_semantics(spark):
+    """snapshot_diff is the exact inverse of osc_apply: applying the
+    derived change set to old reproduces new bit-for-bit, including
+    NULL-value transitions (NULL-safe compares)."""
+    from osmgraft.operators.osm import osc_apply, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, "d", 40)],
+        "id long, t string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10),      # unchanged -> absent from diff
+         (2, "b", 20),      # NULL -> 20: modify (NULL-safe)
+         (3, "c", None),    # 30 -> NULL: modify
+         (5, "e", 50)],     # created; id 4 deleted
+        "id long, t string, v long",
+    )
+    diff = snapshot_diff(old, new, ["id"], ["t", "v"])
+    got = {r.id: (r.op, r.t, r.v) for r in diff.collect()}
+    assert got == {
+        2: ("modify", "b", 20),
+        3: ("modify", "c", None),
+        4: ("delete", "d", 40),
+        5: ("create", "e", 50),
+    }
+    applied = osc_apply(
+        old, diff.withColumn("version", F.lit(2)), key_cols=["id"]
+    )
+    assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))
