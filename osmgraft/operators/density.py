@@ -121,28 +121,52 @@ def grid_regions(
     what the iso-rings bound): one row per region with region_id (minimum
     cell key = cx·2^32 + cy), n_cells, sum_cnt, and the integer bbox.
 
-    Edges = east+south both-observed neighbors (two shifted equi-joins);
-    components via graph.cc_star — O(log n) large-star/small-star rounds,
-    so snake-shaped regions spanning millions of cells converge where
-    per-hop propagation would need diameter rounds; singleton cells (no
-    observed neighbor) coalesce to themselves without entering the graph."""
-    from osmgraft.operators.graph import cc_star
+    Two-pass CCL, the raster classic re-expressed distributed: (1) contract
+    each row's maximal consecutive-cx RUN to one node with a single window
+    pass (runs are 4-connected by construction, so east edges vanish and the
+    node count drops by the mean run length); (2) label the run graph —
+    vertically-overlapping runs — with graph.cc_two_level: band-local
+    union-find (one applyInPandas job over cy-stripes) + cc_star's O(log n)
+    large-star/small-star rounds on only the stripe-boundary residual.  The
+    full-shuffle star rounds thus run on a graph two contractions smaller
+    than the cell grid; singleton runs (no vertical neighbor) coalesce to
+    themselves without entering the graph.  Labels are identical to plain
+    cc_star over the cell graph: run keys are leftmost-cell keys, union-find
+    is union-by-min, and minima compose."""
+    from pyspark.sql import Window
+
+    from osmgraft.operators.graph import cc_two_level
 
     c = cells.select(
         F.col(cx).alias("cx"), F.col(cy).alias("cy"),
         F.col(cnt).cast("long").alias("v"),
         (F.col(cx).cast("long") * _VKEY + F.col(cy)).alias("k"),
     )
-    right = c.select(F.col("cx").alias("bx"), F.col("cy").alias("by"),
-                     F.col("k").alias("bk"))
-    east = c.join(right, (c["cx"] + 1 == right["bx"]) & (c["cy"] == right["by"]))
-    south = c.join(right, (c["cx"] == right["bx"]) & (c["cy"] + 1 == right["by"]))
-    edges = east.select(F.col("k").alias("u"), F.col("bk").alias("v")).unionAll(
-        south.select(F.col("k").alias("u"), F.col("bk").alias("v"))
+    # (1) row-run contraction: run id = key of the run's leftmost cell.
+    w = Window.partitionBy("cy").orderBy("cx")
+    brk = F.when(
+        F.lag("cx").over(w).isNull() | (F.col("cx") - F.lag("cx").over(w) != 1),
+        F.col("k"),
     )
-    labels = cc_star(edges)
-    lab = c.join(labels, c["k"] == labels["id"], "left").select(
-        "cx", "cy", "v", F.coalesce(F.col("comp"), F.col("k")).alias("region_id")
+    cr = c.withColumn(
+        "run",
+        F.last(brk, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).localCheckpoint(eager=True)  # reused by the edge build AND the label join
+    # (2) vertical adjacency between runs via south-neighbor cell pairs.
+    right = cr.select(F.col("cx").alias("bx"), F.col("cy").alias("by"),
+                      F.col("run").alias("brun"))
+    south = cr.join(
+        right, (cr["cx"] == right["bx"]) & (cr["cy"] + 1 == right["by"])
+    )
+    edges = south.select(F.col("run").alias("u"), F.col("brun").alias("v"))
+    # band = cy-stripe (cy lives in the key's low 32 bits); 8-row stripes
+    # keep one stripe's runs in one union-find task at any tested zoom.
+    band = lambda col: F.shiftright(col.bitwiseAND(F.lit(_VKEY - 1)), 3)
+    labels = cc_two_level(edges, band)
+    lab = cr.join(labels, cr["run"] == labels["id"], "left").select(
+        "cx", "cy", "v", F.coalesce(F.col("comp"), F.col("run")).alias("region_id")
     )
     return lab.groupBy("region_id").agg(
         F.count(F.lit(1)).alias("n_cells"),

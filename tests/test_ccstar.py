@@ -56,3 +56,33 @@ def test_cc_star_two_components_and_dup_edges(spark):
     edges = [(5, 3), (3, 5), (3, 9), (20, 21), (21, 20), (7, 7)]
     got = _run(spark, edges)
     assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+
+
+def test_cc_two_level_matches_cc_star_both_merge_paths(spark):
+    """cc_two_level (band-local UF + gated residual merge) labels exactly as
+    cc_star, on a random graph whose components span bands — via BOTH the
+    driver-merge path (gate large) and the cc_star-residual path (gate 0)."""
+    from pyspark.sql import functions as F
+
+    from osmgraft.operators.graph import cc_two_level
+
+    rng = np.random.default_rng(11)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 400, size=(300, 2))
+        if a != b
+    ]
+    want = {}
+    uf = _uf_components(edges)
+    mins = {}
+    for x, r in uf.items():
+        mins[r] = min(mins.get(r, x), x)
+    want = {x: mins[r] for x, r in uf.items()}
+    df = spark.createDataFrame(edges, "u long, v long")
+    band = lambda c: F.shiftright(c, 5)  # 32-id stripes -> ~13 bands
+    for gate in (1 << 20, 0):
+        got = {
+            r.id: r.comp
+            for r in cc_two_level(df, band, driver_merge_max=gate).collect()
+        }
+        assert got == want, f"gate={gate}"
