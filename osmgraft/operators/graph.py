@@ -104,7 +104,14 @@ def shortest_paths(
 
     Per round: one equi-join of the frontier on src + one min-aggregation —
     integer weights, so min() is exact on both engines. Returns
-    (node_id, dist_m) for every node reached within ``rounds`` hops."""
+    (node_id, dist_m) for every node reached within ``rounds`` hops.
+
+    The edge list is eagerly checkpointed ONCE before iterating (standard
+    Pregel hygiene): without it every round re-evaluates the caller's edge
+    subplan — a window + joins at road scale — multiplying its cost by the
+    round count. The dist side stays small relative to edges, so AQE
+    broadcasts it and rounds never shuffle the edge list."""
+    edges = edges.select("src", "dst", "w_m").localCheckpoint(eager=True)
     spark = edges.sparkSession
     dist = spark.createDataFrame(
         [(int(s), 0) for s in sources], "node_id long, dist_m long"

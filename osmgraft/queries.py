@@ -1055,28 +1055,20 @@ def _weighted_road_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from osmgraft.geom import haversine_m_col
 
+    from osmgraft.synth import latlon_of_key
+
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    pts = points_from_orders(spark, sf_dir)
     w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    # coords are a closed-form projection of the key, so BOTH endpoints come
+    # from the one window pass (lead key -> lead coords): zero joins where
+    # the naive build self-joins the point table twice
     seq = orders.select(
         F.col("o_orderkey").alias("n"), F.lead("o_orderkey").over(w).alias("nn")
     ).filter(F.col("nn").isNotNull())
-    pa = pts.select(
-        F.col("point_id").alias("n"),
-        F.col("lat7").alias("a_lat"),
-        F.col("lon7").alias("a_lon"),
-    )
-    pb = pts.select(
-        F.col("point_id").alias("nn"),
-        F.col("lat7").alias("b_lat"),
-        F.col("lon7").alias("b_lon"),
-    )
-    segs = seq.join(pa, "n").join(pb, "nn").select(
-        "n",
-        "nn",
-        haversine_m_col(
-            F.col("a_lat"), F.col("a_lon"), F.col("b_lat"), F.col("b_lon")
-        ).alias("w_m"),
+    a_lat, a_lon = latlon_of_key(F.col("n"))
+    b_lat, b_lon = latlon_of_key(F.col("nn"))
+    segs = seq.select(
+        "n", "nn", haversine_m_col(a_lat, a_lon, b_lat, b_lon).alias("w_m")
     )
     fwd = segs.select(F.col("n").alias("src"), F.col("nn").alias("dst"), "w_m")
     return fwd.unionByName(

@@ -52,10 +52,10 @@ def points_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def points_projection(orders: DataFrame) -> DataFrame:
-    """The same deterministic (point_id, lat7, lon7) projection over an
-    already-loaded orders DataFrame (checkpoint/batch path)."""
-    k = F.col("o_orderkey")
+def latlon_of_key(k) -> tuple:
+    """(lat7, lon7) Column pair for an arbitrary key Column — the projection
+    as pure expressions, so callers that already HAVE the key in hand (e.g.
+    a lead() window neighbor) synthesize coordinates without a self-join."""
     base_lon = (k * F.lit(_A_LON)) % F.lit(_B_LON) - F.lit(_B_LON // 2)
     base_lat = (k * F.lit(_A_LAT) + F.lit(_C_LAT)) % F.lit(_B_LAT) - F.lit(_B_LAT // 2)
     d1 = (k * F.lit(48271)) % F.lit(_JIT) - F.lit(_JIT // 2)
@@ -74,10 +74,20 @@ def points_projection(orders: DataFrame) -> DataFrame:
         + d2
     )
     is_hot = (k % F.lit(5)) == 0
+    return (
+        F.when(is_hot, hot_lat).otherwise(base_lat).cast("int"),
+        F.when(is_hot, hot_lon).otherwise(base_lon).cast("int"),
+    )
+
+
+def points_projection(orders: DataFrame) -> DataFrame:
+    """The same deterministic (point_id, lat7, lon7) projection over an
+    already-loaded orders DataFrame (checkpoint/batch path)."""
+    lat, lon = latlon_of_key(F.col("o_orderkey"))
     return orders.select(
-        k.alias("point_id"),
-        F.when(is_hot, hot_lat).otherwise(base_lat).cast("int").alias("lat7"),
-        F.when(is_hot, hot_lon).otherwise(base_lon).cast("int").alias("lon7"),
+        F.col("o_orderkey").alias("point_id"),
+        lat.alias("lat7"),
+        lon.alias("lon7"),
     )
 
 
