@@ -137,7 +137,8 @@ def main() -> None:
                  "tile_density_smooth_z10", "morans_i_z8", "image_patches_roundtrip",
                  "cell_regions_z8", "road_crossings", "raster_upsample_z8_z9",
                  "trip_segments_orders",
-                 "q3_shipping_priority", "q5_local_supplier_volume"]:
+                 "q3_shipping_priority", "q5_local_supplier_volume",
+                 "decontaminate_ngrams", "snapshot_diff_events"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())

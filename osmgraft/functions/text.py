@@ -39,6 +39,33 @@ def sql_token_count(expr: str) -> str:
     return f"len({sql_tokens(expr)})"
 
 
+def ngrams(text: Column, n: int) -> Column:
+    """Space-joined word n-grams of the whitespace tokens (array<string>;
+    texts shorter than n tokens → empty array). All JVM: transform over a
+    sequence of start offsets + slice + concat_ws. The explicit short-text
+    guard matters because sequence(1, 0) in Spark DESCENDS — without it a
+    short doc would emit phantom reversed windows."""
+    t = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def sql_ngrams(expr: str, n: int) -> str:
+    """DuckDB twin (1-based inclusive list slicing; range(a,b) is [a,b))."""
+    t = sql_tokens(expr)
+    return (
+        f"CASE WHEN len({t}) >= {n} THEN "
+        f"list_transform(range(1, len({t}) - {n - 2}), "
+        f"i -> array_to_string(({t})[i:i+{n - 1}], ' ')) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
 def punct_count(text: Column) -> Column:
     return F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
 

@@ -836,6 +836,45 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECON_N = 4  # n-gram width; % 23 carves a deterministic "benchmark" subset
+
+
+@register(
+    "decontaminate_ngrams",
+    f"""WITH grams AS (
+  SELECT doc_id, unnest({T.sql_ngrams('text', _DECON_N)}) AS g FROM documents
+),
+b AS (SELECT DISTINCT g FROM grams WHERE doc_id % 23 = 0),
+t AS (SELECT doc_id, g FROM grams WHERE doc_id % 23 <> 0)
+SELECT t.doc_id AS doc_id, count(DISTINCT t.g) AS n_hits
+FROM t JOIN b USING (g) GROUP BY t.doc_id""",
+)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the GPT-3-style n-gram overlap scrub
+    every serious training corpus runs before training: training docs that
+    share any word n-gram (n = _DECON_N) with the held-out benchmark set (here the
+    deterministic doc_id % 23 == 0 subset standing in for an eval suite)
+    are reported with their distinct-overlapping-gram count, so the
+    curation pipeline can drop or redact them.
+
+    100 TB shape: eval benchmarks are megabytes while the corpus is the
+    100 TB side, so the benchmark gram set BROADCASTS (explicit hint) and
+    the corpus side is never shuffled until the per-doc count — one scan,
+    map-side gram explode, broadcast hash join, map-side-combined agg.
+    Gram construction is pure JVM (functions/text.ngrams)."""
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id", F.explode(T.ngrams(F.col("text"), _DECON_N)).alias("g")
+    )
+    bench = grams.filter(F.col("doc_id") % 23 == 0).select("g").distinct()
+    train = grams.filter(F.col("doc_id") % 23 != 0)
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_hits"))
+    )
+
+
 @register(
     "text_bigram_quality",
     f"SELECT doc_id, {T.sql_bigram_quality('text')} AS bq FROM documents",

@@ -137,3 +137,14 @@ def test_snap_to_road_plan_no_cartesian_one_window(spark):
     assert plan.count("WindowGroupLimit") == 2
     # the distance formula is pure Catalyst expressions — no Python anywhere
     assert "EvalPython" not in plan and "mapInArrow" not in plan
+
+
+def test_decontaminate_bench_side_is_broadcast(spark):
+    from osmgraft.queries import REGISTRY
+
+    plan = plan_of(REGISTRY["decontaminate_ngrams"][0](spark, SF))
+    # the benchmark gram set broadcasts; the corpus side never sort-merges
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # per-doc count has a map-side partial (two HashAggregate levels)
+    assert plan.count("HashAggregate") >= 2

@@ -820,3 +820,47 @@ def test_image_augment_involutions(spark):
         for r in df.collect():
             out = decode_image(bytes(r.bytes), r.w, r.h, r.fmt)
             assert np.array_equal(out, src[r.image_id]), chain
+
+
+def test_ngrams_semantics(spark):
+    """ngrams: exact windows, whitespace-run tolerance, and the short-text
+    guard (Spark's sequence() DESCENDS when stop < start — a doc shorter
+    than n must yield [], not phantom reversed windows)."""
+    from osmgraft.functions.text import ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b  c d"), (2, "a b"), (3, ""), (4, None), (5, "x y z")],
+        "id long, t string",
+    )
+    got = {
+        r.id: r.g
+        for r in df.select("id", ngrams(F.col("t"), 3).alias("g")).collect()
+    }
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == [] and got[3] == []
+    assert got[4] == []  # null text -> no tokens -> empty, not null row blowup
+    assert got[5] == ["x y z"]
+
+
+def test_ngrams_duckdb_agreement(spark):
+    """sql_ngrams produces the identical gram lists (slicing/range duality)."""
+    import duckdb
+
+    from osmgraft.functions.text import ngrams, sql_ngrams
+
+    texts = ["a b c d e f", "one two", "  pad   runs\tand tabs x ", "q w e r"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, t string"
+    )
+    for n in (2, 3, 5):
+        got = {
+            r.id: r.g
+            for r in df.select("id", ngrams(F.col("t"), n).alias("g")).collect()
+        }
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT i, {sql_ngrams('t', n)} FROM (SELECT unnest(?) , unnest(?)) s(i, t)",
+            [list(range(len(texts))), texts],
+        ).fetchall()
+        want = {r[0]: r[1] for r in rows}
+        assert got == want, f"n={n}"
