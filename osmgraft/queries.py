@@ -1024,6 +1024,32 @@ def quadkey_counts_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QT_CAP, _QT_DEPTH = 256, 12
+
+
+def _sql_quadtree() -> str:
+    from osmgraft.operators.quadtree import sql_quadtree_leaves
+
+    return sql_quadtree_leaves(_PTS, _QT_CAP, _QT_DEPTH)
+
+
+@register("quadtree_leaves_cap256", _sql_quadtree())
+def quadtree_leaves_cap256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree decomposition of the point set (split while a quad
+    holds > 256 points, to depth 12) — skew handled STRUCTURALLY: the dense
+    hot-spot cities split deep while the ocean stays coarse, so every leaf
+    (and hence every write partition / join task keyed on it) is capped.
+    Closed-form min-depth formulation (operators/quadtree.py): one prefix
+    explode + one count + a tiny counts self-join — no recursion, no driver
+    loop. DuckDB twin is the same closed form over range(); leaf
+    disjointness/completeness pinned in test_quadtree.py."""
+    from osmgraft.operators.quadtree import quadtree_leaves
+
+    return quadtree_leaves(
+        points_from_orders(spark, sf_dir), _QT_CAP, _QT_DEPTH
+    )
+
+
 # road-graph edges: consecutive node refs of each synthetic way, both
 # directions (the undirected road network the PIP/kNN fixtures walk)
 _ROAD_EDGES_SQL = """
