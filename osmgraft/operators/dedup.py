@@ -583,3 +583,45 @@ SELECT chunk_hash, chunk_len,
        count(DISTINCT {id_col}) AS n_docs, count(*) AS n_occurrences
 FROM chunks GROUP BY chunk_hash, chunk_len
 HAVING count(DISTINCT {id_col}) >= {min_docs}"""
+
+
+def dedup_clusters(docs: DataFrame, **minhash_kwargs) -> DataFrame:
+    """Near-duplicate CLUSTERS — what a curation pipeline actually drops by:
+    the verified minhash pairs (minhash_lsh_pairs) form an edge set and
+    connected components (graph.cc_two_level: banded union-find + size-gated
+    residual merge) label each group; per clustered doc we emit
+    (cluster_id = min doc_id of the group, doc_id, is_survivor) where the
+    canonical minimum survives and the rest are the dedup kill list.
+    Docs in no verified pair are trivially their own survivors and are NOT
+    listed (callers anti-join the kill list — the output stays
+    near-dup-sized, not corpus-sized, which is what you want at 100 TB).
+
+    Pairwise thresholds are not transitive, so a cluster may span docs whose
+    direct Jaccard is below threshold — the standard, documented semantics
+    of dedup-by-components (same choice as BigQuery/SlimPajama pipelines)."""
+    from osmgraft.operators.graph import cc_two_level
+
+    pairs = minhash_lsh_pairs(docs, **minhash_kwargs).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    labels = cc_two_level(pairs, lambda c: F.shiftright(c, 10))
+    return labels.select(
+        F.col("comp").alias("cluster_id"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") == F.col("comp")).alias("is_survivor"),
+    )
+
+
+def sql_dedup_clusters(**minhash_kwargs) -> str:
+    """DuckDB twin: recursive-CTE transitive closure over the same verified
+    pairs — a genuinely different algorithm than the star/union-find path."""
+    pairs_sql = sql_minhash_lsh_pairs(**minhash_kwargs)
+    return f"""WITH RECURSIVE prs AS (SELECT doc_a, doc_b FROM ({pairs_sql})),
+sym AS (SELECT doc_a AS u, doc_b AS v FROM prs UNION SELECT doc_b, doc_a FROM prs),
+nodes AS (SELECT DISTINCT u AS id FROM sym),
+reach(id, cur) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.id, s.v FROM reach r JOIN sym s ON s.u = r.cur),
+lab AS (SELECT id, min(cur) AS cluster_id FROM reach GROUP BY id)
+SELECT cluster_id, id AS doc_id, (id = cluster_id) AS is_survivor FROM lab"""

@@ -1590,6 +1590,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs)
 
 
+@register("dedup_clusters", D.sql_dedup_clusters())
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters + survivor/kill labels: the verified minhash pairs
+    close into connected components (graph.cc_two_level) and the minimum
+    doc_id of each group survives. DuckDB twin runs a recursive-CTE closure
+    over the same pairs — two different component algorithms, one hash."""
+    return D.dedup_clusters(_docs(spark, sf_dir))
+
+
 @register("dedup_jaccard_ngram", D.sql_jaccard_ngram_pairs())
 def dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs (inverted shingle-index join —

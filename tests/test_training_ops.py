@@ -864,3 +864,30 @@ def test_ngrams_duckdb_agreement(spark):
         ).fetchall()
         want = {r[0]: r[1] for r in rows}
         assert got == want, f"n={n}"
+
+
+def test_dedup_clusters_chain_transitivity(spark):
+    """A-B and B-C verified pairs close into ONE cluster with min-id survivor
+    even when A-C alone is below threshold (dedup-by-components semantics)."""
+    from osmgraft.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    mid = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (10, "one two three " + mid),            # A: shares mid with B
+            (11, mid + " four five six"),             # B: shares mid with A and C
+            (12, "seven eight " + mid + " nine ten"),  # C
+            (99, "totally different words entirely unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    pair_keys = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.4).collect()
+    }
+    assert (10, 11) in pair_keys and (11, 12) in pair_keys
+    got = {r.doc_id: (r.cluster_id, r.is_survivor)
+           for r in dedup_clusters(docs, jaccard_threshold=0.4).collect()}
+    assert got[10] == (10, True)
+    assert got[11] == (10, False) and got[12] == (10, False)
+    assert 99 not in got  # unpaired docs stay out of the kill list
