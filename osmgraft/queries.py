@@ -133,6 +133,85 @@ def pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- temporal PIP: containment at EVENT TIME against versioned boundaries ----------
+_PIPT_SHIFT = 2_000_000  # each version drifts 0.2° east (boundary redraws)
+_PIPT_T1, _PIPT_T2 = "2024-01-11", "2024-01-21"
+
+
+def _versioned_boundaries() -> list[dict]:
+    out = []
+    for b in ADMIN_BOUNDARIES:
+        for v in range(3):
+            out.append(
+                {
+                    "boundary_id": b["boundary_id"] * 10 + v,
+                    "name": f"{b['name']}-v{v}",
+                    "ring": [(la, lo + v * _PIPT_SHIFT) for la, lo in b["ring"]],
+                    "holes": [
+                        [(la, lo + v * _PIPT_SHIFT) for la, lo in h]
+                        for h in b.get("holes", [])
+                    ],
+                    "tags": b["tags"],
+                }
+            )
+    return out
+
+
+def _sql_pip_temporal() -> str:
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("event_id")
+    return f"""WITH pts AS (
+  SELECT event_id AS point_id, {lat} AS lat7, {lon} AS lon7 FROM events),
+{sql_pip_predicate(_versioned_boundaries())}
+SELECT pip.point_id AS event_id, pip.boundary_id // 10 AS boundary_id,
+       CAST(pip.boundary_id % 10 AS INTEGER) AS version
+FROM pip JOIN events e ON e.event_id = pip.point_id
+WHERE (pip.boundary_id % 10 = 0 AND e.ts < TIMESTAMP '{_PIPT_T1}')
+   OR (pip.boundary_id % 10 = 1 AND e.ts >= TIMESTAMP '{_PIPT_T1}'
+       AND e.ts < TIMESTAMP '{_PIPT_T2}')
+   OR (pip.boundary_id % 10 = 2 AND e.ts >= TIMESTAMP '{_PIPT_T2}')"""
+
+
+@register("pip_temporal", _sql_pip_temporal())
+def pip_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon AT EVENT TIME against slowly-changing boundaries —
+    the SCD-2 join real admin data needs (districts get redrawn; an event
+    must match the version in force at its timestamp). Every boundary has
+    three versions drifting 0.2° east with abutting validity windows.
+
+    Plan: the versioned polygon set still broadcasts (dims × versions is
+    dim-sized), the STR-tree spatial refine runs over ALL versions in the
+    one mapInArrow pass (ts rides through the kernel untouched), and the
+    validity window is a residual JVM predicate after containment — no
+    second join, no point-side shuffle. DuckDB twin: the ray-cast oracle
+    over the versioned edge set + the same window predicate."""
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+
+    ev = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+    lat, lon = latlon_of_key(F.col("event_id"))
+    pts = ev.select(
+        "event_id", "ts", lat.alias("lat7"), lon.alias("lon7")
+    )
+    hits = pip_join(pts, _versioned_boundaries(), how="inner")
+    v = F.col("boundary_id") % 10
+    t1 = F.lit(_PIPT_T1).cast("timestamp")
+    t2 = F.lit(_PIPT_T2).cast("timestamp")
+    in_force = (
+        ((v == 0) & (F.col("ts") < t1))
+        | ((v == 1) & (F.col("ts") >= t1) & (F.col("ts") < t2))
+        | ((v == 2) & (F.col("ts") >= t2))
+    )
+    return hits.filter(in_force).select(
+        "event_id",
+        F.expr("boundary_id div 10").alias("boundary_id"),
+        v.cast("int").alias("version"),
+    )
+
+
 # --- salted cell equi-join + refine (north-rule shuffle path) ----------------------
 @register("pip_celljoin", _PIP_SQL)
 def pip_celljoin(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -91,20 +91,34 @@ def points_projection(orders: DataFrame) -> DataFrame:
     )
 
 
+def sql_latlon_of_key(key: str) -> tuple[str, str]:
+    """DuckDB twin of :func:`latlon_of_key` for an arbitrary key expression —
+    (lat7_sql, lon7_sql) producing bit-identical integers."""
+    spots = _HOT_SPOTS
+    k = f"({key})"
+    lat = (
+        f"CAST(CASE WHEN {k} % 5 = 0 THEN "
+        f"(CASE {k} % 3 WHEN 0 THEN {spots[0][0]} WHEN 1 THEN {spots[1][0]} "
+        f"ELSE {spots[2][0]} END) + (({k} * 48271) % {_JIT} - {_JIT // 2}) "
+        f"ELSE ({k} * {_A_LAT} + {_C_LAT}) % {_B_LAT} - {_B_LAT // 2} END AS INTEGER)"
+    )
+    lon = (
+        f"CAST(CASE WHEN {k} % 5 = 0 THEN "
+        f"(CASE {k} % 3 WHEN 0 THEN {spots[0][1]} WHEN 1 THEN {spots[1][1]} "
+        f"ELSE {spots[2][1]} END) + (({k} * 69621) % {_JIT} - {_JIT // 2}) "
+        f"ELSE ({k} * {_A_LON}) % {_B_LON} - {_B_LON // 2} END AS INTEGER)"
+    )
+    return lat, lon
+
+
 def sql_points_cte() -> str:
     """DuckDB CTE body producing bit-identical rows to points_from_orders."""
-    spots = _HOT_SPOTS
+    lat, lon = sql_latlon_of_key("o_orderkey")
     return f"""
 SELECT
   o_orderkey AS point_id,
-  CAST(CASE WHEN o_orderkey % 5 = 0 THEN
-    (CASE o_orderkey % 3 WHEN 0 THEN {spots[0][0]} WHEN 1 THEN {spots[1][0]}
-     ELSE {spots[2][0]} END) + ((o_orderkey * 48271) % {_JIT} - {_JIT // 2})
-  ELSE (o_orderkey * {_A_LAT} + {_C_LAT}) % {_B_LAT} - {_B_LAT // 2} END AS INTEGER) AS lat7,
-  CAST(CASE WHEN o_orderkey % 5 = 0 THEN
-    (CASE o_orderkey % 3 WHEN 0 THEN {spots[0][1]} WHEN 1 THEN {spots[1][1]}
-     ELSE {spots[2][1]} END) + ((o_orderkey * 69621) % {_JIT} - {_JIT // 2})
-  ELSE (o_orderkey * {_A_LON}) % {_B_LON} - {_B_LON // 2} END AS INTEGER) AS lon7
+  {lat} AS lat7,
+  {lon} AS lon7
 FROM orders
 """.strip()
 
