@@ -250,3 +250,76 @@ FROM cells c
 CROSS JOIN range(-1, 3) dx(i)
 CROSS JOIN range(-1, 3) dy(i)
 GROUP BY 1, 2"""
+
+
+def slope_terms(
+    cells: DataFrame, cx: str = "cx", cy: str = "cy", cnt: str = "cnt"
+) -> DataFrame:
+    """Sobel gradient of the sparse count raster — the slope/aspect layer of
+    the raster family (smooth → Moran's I → upsample → contours → SLOPE):
+    per OBSERVED cell, gx = Σ v·wx, gy = Σ v·wy over the 3×3 window with the
+    integer Sobel masks ([[−1,0,1],[−2,0,2],[−1,0,1]] and its transpose;
+    unobserved neighbors contribute 0), plus g2 = gx²+gy² (magnitude² —
+    never rooted, so the surface stays exact integers cross-engine).
+
+    Plan: SCATTER form — each observed cell explodes its ≤8 weighted
+    contributions onto neighbor targets (one map-side explode), ONE grouped
+    sum, then an equi-join back to the observed set so only real cells
+    emit. Same sparse-safe shape as density_smooth, one shuffle + one join.
+    """
+    c = cells.select(
+        F.col(cx).alias("cx"), F.col(cy).alias("cy"),
+        F.col(cnt).cast("long").alias("v"),
+    )
+    # contribution of source cell to target (cx+dx, cy+dy): source weight in
+    # the TARGET's window is mask[-dx, -dy]; Sobel is antisymmetric so this
+    # is -mask[dx, dy] — baked into the struct literals below.
+    terms = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            wx = -(dx * (2 - abs(dy)))  # -sobel_x[dx,dy]
+            wy = -(dy * (2 - abs(dx)))
+            if wx == 0 and wy == 0:
+                continue
+            terms.append(
+                F.struct(
+                    F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                    F.lit(wx).alias("wx"), F.lit(wy).alias("wy"),
+                )
+            )
+    scat = (
+        c.select("cx", "cy", "v", F.explode(F.array(*terms)).alias("t"))
+        .select(
+            (F.col("cx") + F.col("t.dx")).alias("cx"),
+            (F.col("cy") + F.col("t.dy")).alias("cy"),
+            (F.col("v") * F.col("t.wx")).alias("px"),
+            (F.col("v") * F.col("t.wy")).alias("py"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.sum("px").alias("gx"), F.sum("py").alias("gy"))
+    )
+    # left join + zero-fill: a fully isolated cell has slope 0, not no row
+    gx = F.coalesce(F.col("gx"), F.lit(0))
+    gy = F.coalesce(F.col("gy"), F.lit(0))
+    return c.join(scat, ["cx", "cy"], "left").select(
+        "cx", "cy", gx.alias("gx"), gy.alias("gy"),
+        (gx * gx + gy * gy).alias("g2"),
+    )
+
+
+def sql_slope_terms(cells_cte: str) -> str:
+    """DuckDB twin: DIRECT gather — each observed cell left-joins its 3×3
+    neighborhood and applies the masks in place (a different evaluation
+    order than the scatter pass, same exact integers)."""
+    return f"""WITH cells AS ({cells_cte})
+SELECT c.cx, c.cy,
+  CAST(sum(n.cnt * dx.i * (2 - abs(dy.i))) AS BIGINT) AS gx,
+  CAST(sum(n.cnt * dy.i * (2 - abs(dx.i))) AS BIGINT) AS gy,
+  CAST(sum(n.cnt * dx.i * (2 - abs(dy.i))) * sum(n.cnt * dx.i * (2 - abs(dy.i)))
+     + sum(n.cnt * dy.i * (2 - abs(dx.i))) * sum(n.cnt * dy.i * (2 - abs(dx.i)))
+     AS BIGINT) AS g2
+FROM cells c
+CROSS JOIN range(-1, 2) dx(i)
+CROSS JOIN range(-1, 2) dy(i)
+JOIN cells n ON n.cx = c.cx + dx.i AND n.cy = c.cy + dy.i
+GROUP BY c.cx, c.cy"""

@@ -2852,6 +2852,29 @@ def tile_density_smooth_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return density_smooth(_cells_df(spark, sf_dir, 10), radius=2)
 
 
+def _sql_slope() -> str:
+    from osmgraft.operators.density import sql_slope_terms
+
+    return (
+        f"WITH pts AS ({_PTS}), outer_q AS (\n"
+        f"{sql_slope_terms(_sql_cells(8))}\n) SELECT * FROM outer_q"
+    )
+
+
+@register("tile_slope_z8", _sql_slope())
+def tile_slope_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sobel slope/gradient of the z8 count raster (operators/density.py
+    slope_terms): per observed cell, integer (gx, gy, g2 = gx²+gy²) over the
+    3×3 Sobel masks, sparse-safe (missing neighbors are 0, isolated cells
+    emit zero slope). Spark runs the SCATTER form (one explode + one grouped
+    sum + join back), DuckDB the direct GATHER — two evaluation orders, one
+    exact-integer hash. Completes the raster family: smooth → Moran's I →
+    upsample → contours → regions → slope."""
+    from osmgraft.operators.density import slope_terms
+
+    return slope_terms(_cells_df(spark, sf_dir, 8))
+
+
 def _sql_morans() -> str:
     from osmgraft.operators.density import sql_morans_i_terms
 

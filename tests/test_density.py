@@ -170,3 +170,28 @@ def test_raster_upsample_bilinear_exact(spark):
                 assert got[(ccx, ccy)] == want, (ccx, ccy)
     # conservation: each parent scatters onto 4 children x weight-16 each
     assert sum(got.values()) == 64 * int(arr.sum())
+
+
+def test_slope_terms_hand_raster(spark):
+    """Sobel gradient on a hand 3x3 ramp + an isolated cell: exact masks,
+    zero-fill for the loner, sparse neighbors treated as 0."""
+    import numpy as np
+
+    from osmgraft.operators.density import slope_terms
+
+    # x-ramp: cnt = cx over a full 3x3 block at (10..12, 20..22)
+    rows = [(cx, cy, cx) for cx in (10, 11, 12) for cy in (20, 21, 22)]
+    rows.append((100, 100, 7))  # isolated
+    df = spark.createDataFrame(rows, "cx long, cy long, cnt long")
+    got = {(r.cx, r.cy): (r.gx, r.gy, r.g2) for r in slope_terms(df).collect()}
+    assert len(got) == 10
+    # center of the block: full window; gx = sum(mask_x * cnt) with cnt=cx
+    grid = {(cx, cy): cx for cx in (10, 11, 12) for cy in (20, 21, 22)}
+    for (cx, cy), _ in list(grid.items()):
+        gx = sum(dx * (2 - abs(dy)) * grid.get((cx + dx, cy + dy), 0)
+                 for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+        gy = sum(dy * (2 - abs(dx)) * grid.get((cx + dx, cy + dy), 0)
+                 for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+        assert got[(cx, cy)] == (gx, gy, gx * gx + gy * gy), (cx, cy)
+    assert got[(100, 100)] == (0, 0, 0)
+    assert got[(11, 21)][0] == 8  # full window x-ramp: (1+2+1) * (right-left)
