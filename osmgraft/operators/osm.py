@@ -193,3 +193,38 @@ def snapshot_diff(
         j.select(*key_cols, op.alias("op"), *out_vals)
         .filter(F.col("op").isNotNull())
     )
+
+
+def expire_tiles(
+    changes: DataFrame,
+    z: int,
+    op_col: str = "op",
+    old_lat: str = "old_lat7", old_lon: str = "old_lon7",
+    new_lat: str = "new_lat7", new_lon: str = "new_lon7",
+) -> DataFrame:
+    """Tile expiry — the dirty-tile set a change stream invalidates (the
+    osm2pgsql --expire-tiles job every OSM render pipeline runs after an
+    OSC apply; the reference ships apply, this closes the loop to rendering):
+    a delete or modify dirties the tile of the object's OLD position, a
+    create or modify dirties the NEW one. Returns distinct (tx, ty) at zoom
+    ``z``.
+
+    One scan: two JVM tile projections unioned + a distinct (map-side
+    combined agg on the tile key — at 10^12-change scale this is a single
+    shuffle of already-collapsed tile keys, no join anywhere)."""
+    from osmgraft.functions import tiles
+
+    op = F.col(op_col)
+    old_side = changes.filter(
+        op.isin("delete", "modify") & F.col(old_lat).isNotNull()
+    ).select(
+        tiles.tile_x(F.col(old_lon), z).alias("tx"),
+        tiles.tile_y(F.col(old_lat), z).alias("ty"),
+    )
+    new_side = changes.filter(
+        op.isin("create", "modify") & F.col(new_lat).isNotNull()
+    ).select(
+        tiles.tile_x(F.col(new_lon), z).alias("tx"),
+        tiles.tile_y(F.col(new_lat), z).alias("ty"),
+    )
+    return old_side.unionAll(new_side).distinct()

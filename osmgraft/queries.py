@@ -3025,6 +3025,62 @@ def snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_expire() -> str:
+    from osmgraft.synth import sql_latlon_of_key
+
+    olat, olon = sql_latlon_of_key("event_id")
+    mlat, mlon = sql_latlon_of_key("event_id * 31 + 7")
+    clat, clon = sql_latlon_of_key("event_id + 100000000")
+    z = 12
+    return f"""SELECT DISTINCT tx, ty FROM (
+  SELECT {tiles.sql_tile_x(olon, z)} AS tx, {tiles.sql_tile_y(olat, z)} AS ty
+  FROM events
+  WHERE (event_id % 5 = 0 AND event_id % 7 <> 0) OR event_id % 35 = 0
+  UNION ALL
+  SELECT {tiles.sql_tile_x(mlon, z)}, {tiles.sql_tile_y(mlat, z)}
+  FROM events WHERE event_id % 5 = 0 AND event_id % 7 <> 0
+  UNION ALL
+  SELECT {tiles.sql_tile_x(clon, z)}, {tiles.sql_tile_y(clat, z)}
+  FROM events WHERE event_id % 11 = 0)"""
+
+
+@register("expire_tiles_z12", _sql_expire())
+def expire_tiles_z12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile expiry after a change set (operators/osm.py expire_tiles — the
+    osm2pgsql --expire-tiles counterpart): the snapshot_diff fixture's
+    change stream dirties the z12 tiles of deletes'/modifies' OLD positions
+    and creates'/modifies' NEW positions; renderers re-draw exactly this
+    set. One scan, two JVM tile projections, map-side-combined distinct.
+    DuckDB twin states the dirty set in closed form from the change-set
+    definition."""
+    from osmgraft.operators.osm import expire_tiles
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+
+    ev = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    k = F.col("event_id")
+    olat, olon = latlon_of_key(k)
+    mlat, mlon = latlon_of_key(k * 31 + 7)
+    clat, clon = latlon_of_key(k + 100_000_000)
+    null_i = F.lit(None).cast("int")
+    mods = ev.filter((k % 5 == 0) & (k % 7 != 0)).select(
+        F.lit("modify").alias("op"),
+        olat.alias("old_lat7"), olon.alias("old_lon7"),
+        mlat.alias("new_lat7"), mlon.alias("new_lon7"),
+    )
+    dels = ev.filter(k % 35 == 0).select(
+        F.lit("delete").alias("op"),
+        olat.alias("old_lat7"), olon.alias("old_lon7"),
+        null_i.alias("new_lat7"), null_i.alias("new_lon7"),
+    )
+    creates = ev.filter(k % 11 == 0).select(
+        F.lit("create").alias("op"),
+        null_i.alias("old_lat7"), null_i.alias("old_lon7"),
+        clat.alias("new_lat7"), clon.alias("new_lon7"),
+    )
+    return expire_tiles(mods.unionByName(dels).unionByName(creates), z=12)
+
+
 # --- north star: image table → caption geo-parse → PIP → tiles ------------------
 from osmgraft.synth import _HOT_SPOTS as _HS
 from osmgraft.synth import _JIT as _JIT_

@@ -165,3 +165,24 @@ def test_snapshot_diff_roundtrip_and_semantics(spark):
         old, diff.withColumn("version", F.lit(2)), key_cols=["id"]
     )
     assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_expire_tiles_semantics(spark):
+    """delete/modify dirty the OLD tile, create/modify the NEW tile; nulls
+    never emit; output is the distinct union."""
+    from osmgraft.operators.osm import expire_tiles
+
+    # z=1 tiles: lon sign picks tx, lat sign picks ty (simple quadrants)
+    E, W, N, S = 900_000_000, -900_000_000, 600_000_000, -600_000_000
+    rows = [
+        ("modify", N, W, N, E),   # dirties (W,N) and (E,N)
+        ("delete", S, W, None, None),  # dirties (W,S) only
+        ("create", None, None, S, E),  # dirties (E,S) only
+        ("modify", N, W, N, W),   # duplicate of (W,N) twice -> distinct
+    ]
+    df = spark.createDataFrame(
+        rows, "op string, old_lat7 int, old_lon7 int, new_lat7 int, new_lon7 int"
+    )
+    got = {(r.tx, r.ty) for r in expire_tiles(df, z=1).collect()}
+    assert got == {(0, 0), (1, 0), (0, 1), (1, 1)}
+    assert expire_tiles(df, z=1).count() == 4
