@@ -685,3 +685,31 @@ def sql_quantize_int8(table: str = "embeddings") -> str:
   list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 127.0 / {den} + 0.5) AS INT)) AS q8,
   CAST(floor({amax} * 1000000.0 + 0.5) AS BIGINT) AS scale_micro
 FROM {table}"""
+
+
+def semantic_dedup_clusters(
+    items: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **neardup_kwargs,
+) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: exact cosine near-dup PAIRS close into
+    connected components (graph.cc_two_level) and the minimum id of each
+    group survives — (cluster_id, vec_id, is_survivor) for every clustered
+    embedding; unpaired embeddings are trivially survivors and stay out of
+    the (near-dup-sized) kill list.  Same dedup-by-components semantics as
+    dedup.dedup_clusters, over the embedding modality; swap the exact pair
+    generator for lsh_ann/ivf candidates when n² verify is too much and the
+    recall trade is acceptable."""
+    from osmgraft.operators.graph import cc_two_level
+
+    pairs = cosine_neardup_pairs(
+        items, threshold, id_col=id_col, vec_col=vec_col, **neardup_kwargs
+    ).select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    labels = cc_two_level(pairs, lambda c: F.shiftright(c, 8))
+    return labels.select(
+        F.col("comp").alias("cluster_id"),
+        F.col("id").alias(id_col),
+        (F.col("id") == F.col("comp")).alias("is_survivor"),
+    )

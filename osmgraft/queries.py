@@ -1847,6 +1847,38 @@ WHERE list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
       >= 0.42""",
 )
+@register(
+    "embedding_semantic_dedup",
+    """WITH RECURSIVE s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+prs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= 0.42),
+sym AS (SELECT id_a AS u, id_b AS v FROM prs UNION SELECT id_b, id_a FROM prs),
+nodes AS (SELECT DISTINCT u AS id FROM sym),
+reach(id, cur) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.id, s2.v FROM reach r JOIN sym s2 ON s2.u = r.cur),
+lab AS (SELECT id, min(cur) AS cluster_id FROM reach GROUP BY id)
+SELECT cluster_id, id AS vec_id, (id = cluster_id) AS is_survivor FROM lab""",
+)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (operators/similarity.py
+    semantic_dedup_clusters): exact cosine-0.42 near-dup pairs close into
+    connected components and the min vec_id survives per group. DuckDB twin
+    runs a recursive-CTE closure over the same pairs — the embedding-modality
+    sibling of dedup_clusters, one hash."""
+    from osmgraft.operators.similarity import semantic_dedup_clusters
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    return semantic_dedup_clusters(
+        emb, threshold=0.42, block_rows=200, ensure_parallelism=True
+    )
+
+
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (cosine >= 0.42, every unordered
     pair once) via the block-broadcast self nested loop — shuffle-free pair
