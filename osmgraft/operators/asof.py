@@ -88,3 +88,59 @@ SELECT {out_cols}, {refs}
 FROM ({left_sql}) l
 ASOF LEFT JOIN ({right_sql}) r
   ON {keys} AND l.{ts} >= r.{ts}"""
+
+
+def scd2_build(
+    events: DataFrame,
+    key_cols: list[str],
+    state_col: str,
+    ts_col: str = "ts",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build — the inverse of asof_join:
+    collapse an event stream into per-key validity INTERVALS (key, state,
+    vf_us, vt_us; microsecond epochs, vt_us NULL for the open interval).
+    Consecutive events with an unchanged state merge into one interval;
+    a change closes the previous interval at the new event's timestamp.
+    asof_join against the result reproduces the original state timeline.
+
+    ONE hash exchange: both windows (change detection, then lead over the
+    surviving change rows) partition on the key with compatible sort
+    order, so Catalyst reuses the first exchange+sort for the second
+    window — no second shuffle, no groupBy (change rows ARE the interval
+    starts).  Ties at equal timestamps break on ``order_tiebreak``
+    (default: no extra columns — pass the event id for full determinism)."""
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(state_col).over(w)
+    chg = prev.isNull() | ~F.col(state_col).eqNullSafe(prev)
+    starts = events.withColumn("_chg", chg).where(F.col("_chg"))
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    vf = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return starts.select(
+        *key_cols,
+        F.col(state_col),
+        vf.alias("vf_us"),
+        F.lead(vf).over(w2).alias("vt_us"),
+    )
+
+
+def sql_scd2_build(
+    events_sql: str, key_cols: list[str], state_col: str, ts_col: str = "ts",
+    order_tiebreak: list[str] | None = None,
+) -> str:
+    """DuckDB twin: identical two-window form (epoch_us is exact int64)."""
+    keys = ", ".join(key_cols)
+    order = ", ".join([ts_col] + (order_tiebreak or []))
+    return f"""WITH ev AS ({events_sql}),
+chg AS (
+  SELECT *,
+    lag({state_col}) OVER (PARTITION BY {keys} ORDER BY {order}) AS _prev
+  FROM ev),
+starts AS (
+  SELECT * FROM chg
+  WHERE _prev IS NULL OR {state_col} IS DISTINCT FROM _prev)
+SELECT {keys}, {state_col},
+  epoch_us({ts_col}) AS vf_us,
+  lead(epoch_us({ts_col})) OVER (PARTITION BY {keys} ORDER BY {order}) AS vt_us
+FROM starts"""

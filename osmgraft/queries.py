@@ -1406,6 +1406,35 @@ def asof_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_scd2() -> str:
+    from osmgraft.operators.asof import sql_scd2_build
+
+    return sql_scd2_build(
+        "SELECT user_id, event_type, ts, event_id FROM events",
+        key_cols=["user_id"], state_col="event_type",
+        order_tiebreak=["event_id"],
+    )
+
+
+@register("scd2_user_state", _sql_scd2())
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD build — the inverse of asof_user_state: each user's event
+    stream collapses into validity intervals of their current event_type
+    (vf_us/vt_us microsecond epochs, open interval NULL-terminated;
+    consecutive same-state events merge). ONE key exchange: the change-
+    detection window and the interval lead() share partitioning and sort,
+    so Catalyst reuses the exchange (plan-asserted). operators/asof.py."""
+    from osmgraft.operators.asof import scd2_build
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return scd2_build(
+        ev, key_cols=["user_id"], state_col="event_type",
+        order_tiebreak=["event_id"],
+    ).select("user_id", "event_type", "vf_us", "vt_us")
+
+
 # BPE merge list learned by operators/bpe.train_merges on the sf0.01 corpus
 # (24 merges). Embedded as a literal so the ENCODE path is oracle-gateable at
 # every SF; tests/test_bpe.py re-trains and asserts this exact list, pinning

@@ -114,3 +114,43 @@ def test_asof_null_in_carried_column_same_row(spark):
     )
     r = asof_join(left, right, on=["k"], ts="t", right_cols=["v", "tag"]).collect()[0]
     assert (r.v_ref, r.tag_ref) == (None, "late")  # both from the t=9 row
+
+
+def test_scd2_build_intervals_and_roundtrip(spark):
+    """scd2_build merges same-state runs, closes intervals at the change ts,
+    and asof_join against the intervals reproduces the state timeline."""
+    from pyspark.sql import functions as F
+
+    from osmgraft.operators.asof import asof_join, scd2_build
+
+    rows = [
+        (1, "a", 100, 1), (1, "a", 200, 2), (1, "b", 300, 3), (1, "a", 400, 4),
+        (2, "x", 150, 5),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, state string, ts_us long, event_id long"
+    ).select("user_id", "state", F.timestamp_micros("ts_us").alias("ts"), "event_id")
+    iv = scd2_build(ev, ["user_id"], "state", order_tiebreak=["event_id"])
+    got = sorted((r.user_id, r.state, r.vf_us, r.vt_us) for r in iv.collect())
+    assert got == [
+        (1, "a", 100, 300), (1, "a", 400, None), (1, "b", 300, 400),
+        (2, "x", 150, None),
+    ]
+    # roundtrip: as-of join probes at event times return the event's state
+    probes = ev.select("user_id", "ts", F.col("state").alias("want"))
+    ref = iv.select(
+        "user_id", F.timestamp_micros("vf_us").alias("ts"), "state"
+    )
+    j = asof_join(probes, ref, on=["user_id"], ts="ts", right_cols=["state"])
+    bad = j.filter(F.col("state_ref") != F.col("want")).count()
+    assert bad == 0
+
+
+def test_scd2_single_exchange(spark):
+    """Both SCD2 windows share one hash exchange (the second window's
+    required distribution is satisfied by the first's)."""
+    from osmgraft.queries import REGISTRY
+
+    df = REGISTRY["scd2_user_state"][0](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
