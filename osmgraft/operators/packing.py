@@ -113,3 +113,42 @@ SELECT doc_id, n_tok, cum // {seq_len} AS first_seq,
        (cum + n_tok - 1) // {seq_len} AS last_seq,
        cum % {seq_len} AS seq_offset
 FROM c"""
+
+
+def mixture_sample(
+    docs: DataFrame,
+    group_col: str,
+    budget: "F.Column",
+    tok: "F.Column",
+    order_key: "F.Column",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic mixture sampling to a per-group token budget — the
+    data-mixing step that turns source weights into an actual training
+    subset (Pile/Dolma-style): within each group, documents are taken in
+    hash order (``order_key`` — reshuffle- and engine-independent) until
+    the group's running token total would exceed its ``budget``; the doc
+    that still fits is kept (greedy fill, cum <= budget semantics).
+
+    ONE hash exchange on the group: the running sum and the rank ride the
+    same window sort.  Deterministic by construction — same inputs give
+    the same sample at any partitioning, which is what makes a mixture
+    reproducible across reruns and engines."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(order_key, id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum(tok).over(w)
+    return (
+        docs.select(
+            id_col, group_col,
+            tok.alias("n_tok"),
+            cum.alias("cum_tok"),
+            budget.alias("_budget"),
+        )
+        .where(F.col("cum_tok") <= F.col("_budget"))
+        .drop("_budget")
+    )

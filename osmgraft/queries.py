@@ -1765,6 +1765,42 @@ SELECT doc_id, lang, bq, CAST(rk AS INTEGER) AS rk FROM (
   FROM scored)
 WHERE rk <= 50""",
 )
+@register(
+    "mixture_sample_sources",
+    f"""WITH scored AS (
+  SELECT doc_id, source,
+         {T.sql_token_count('text')} AS n_tok,
+         {T.sql_md5_long('CAST(doc_id AS VARCHAR)')} AS hk,
+         (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 500 AS budget
+  FROM documents)
+SELECT doc_id, source, n_tok, cum_tok FROM (
+  SELECT doc_id, source, n_tok, budget,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY hk, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM scored)
+WHERE cum_tok <= budget""",
+)
+def mixture_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling (operators/packing.mixture_sample):
+    per-source token budgets — (source index % 4 + 1)·500, standing in for
+    mixing weights — filled greedily in md5-hash order, so the selected
+    subset is reproducible across engines, reruns and partitionings. One
+    exchange; hash-gated end to end including the running totals."""
+    from osmgraft.operators.packing import mixture_sample
+
+    docs = _docs(spark, sf_dir)
+    budget = (
+        F.substring("source", 4, 10).cast("long") % 4 + 1
+    ) * 500
+    return mixture_sample(
+        docs,
+        group_col="source",
+        budget=budget,
+        tok=T.token_count(F.col("text")),
+        order_key=T.md5_long(F.col("doc_id").cast("string")),
+    )
+
+
 def lang_quality_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing primitive: top-50 documents PER LANGUAGE by fluency
     score (deterministic tiebreak on doc_id) — the per-group quota pattern

@@ -891,3 +891,35 @@ def test_dedup_clusters_chain_transitivity(spark):
     assert got[10] == (10, True)
     assert got[11] == (10, False) and got[12] == (10, False)
     assert 99 not in got  # unpaired docs stay out of the kill list
+
+
+def test_mixture_sample_budget_and_determinism(spark):
+    """Greedy fill never exceeds the budget, takes docs in hash order, and
+    is invariant to input partitioning."""
+    from osmgraft.functions.text import md5_long
+    from osmgraft.operators.packing import mixture_sample
+
+    rows = [(i, "s" + str(i % 2), "w " * (5 + i % 7)) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    from osmgraft.functions.text import token_count
+
+    def run(df):
+        out = mixture_sample(
+            df, "source", F.lit(30), token_count(F.col("text")),
+            md5_long(F.col("doc_id").cast("string")),
+        )
+        return sorted((r.doc_id, r.cum_tok) for r in out.collect())
+
+    a = run(docs)
+    b = run(docs.repartition(13))
+    assert a == b and len(a) > 0
+    # per-source cum_tok maxima respect the budget
+    import collections
+    by_src = collections.defaultdict(int)
+    out = mixture_sample(
+        docs, "source", F.lit(30), token_count(F.col("text")),
+        md5_long(F.col("doc_id").cast("string")),
+    ).collect()
+    for r in out:
+        by_src[r.source] = max(by_src[r.source], r.cum_tok)
+    assert all(v <= 30 for v in by_src.values()) and len(by_src) == 2
