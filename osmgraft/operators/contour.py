@@ -164,10 +164,18 @@ def ring_labels(segs: DataFrame, max_cycle: int | None = None) -> DataFrame:
     """Per-segment cycle labels: (x0, y0, x1, y1, k, cross, ring_id) where
     k = x0·2^32 + y0 (the unique start-vertex key), cross = the segment's
     shoelace term x0·y1 − x1·y0, and ring_id = the minimum k on the
-    segment's cycle — pointer doubling, ceil(log2(bound)) rounds.
+    segment's cycle.
 
-    ``max_cycle`` bounds the longest cycle (defaults to count(segs), one
-    scalar job)."""
+    A cycle IS its connected component in the (k → nxt) successor graph,
+    so labeling delegates to graph.cc_two_level: band-local union-find on
+    y-stripes (rings are spatially local, so almost every successor edge
+    is intra-stripe) + a size-gated residual merge — ~2 passes where the
+    previous pointer-doubling loop chained ceil(log2(n)) full joins.
+    ``max_cycle`` is kept for API compatibility (the component algorithm
+    needs no cycle-length bound)."""
+    del max_cycle  # no longer needed: components don't bound cycle length
+    from osmgraft.operators.graph import cc_two_level
+
     s = segs.select(
         F.col("x0").cast("long").alias("x0"),
         F.col("y0").cast("long").alias("y0"),
@@ -180,29 +188,12 @@ def ring_labels(segs: DataFrame, max_cycle: int | None = None) -> DataFrame:
             - F.col("x1").cast("long") * F.col("y0")
         ).alias("cross"),
     ).localCheckpoint(eager=True)
-    if max_cycle is None:
-        max_cycle = s.count()
-    if max_cycle == 0:
-        return s.select("x0", "y0", "x1", "y1", "k", "cross",
-                        F.col("k").alias("ring_id"))
-    state = s.select("k", "nxt", F.col("k").alias("lbl"))
-    for _ in range(max(1, math.ceil(math.log2(max(2, max_cycle))))):
-        hop = state.select(
-            F.col("k").alias("jk"),
-            F.col("nxt").alias("nxt2"),
-            F.col("lbl").alias("lbl2"),
-        )
-        state = (
-            state.join(hop, state["nxt"] == hop["jk"])
-            .select(
-                state["k"].alias("k"),
-                F.col("nxt2").alias("nxt"),
-                F.least(state["lbl"], F.col("lbl2")).alias("lbl"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    return s.join(state.select("k", F.col("lbl").alias("ring_id")), "k").select(
-        "x0", "y0", "x1", "y1", "k", "cross", "ring_id"
+    edges = s.select(F.col("k").alias("u"), F.col("nxt").alias("v"))
+    band = lambda c: F.shiftright(c.bitwiseAND(F.lit(_VKEY - 1)), 3)
+    labels = cc_two_level(edges, band)
+    return s.join(labels, s["k"] == labels["id"], "left").select(
+        "x0", "y0", "x1", "y1", "k", "cross",
+        F.coalesce(F.col("comp"), F.col("k")).alias("ring_id"),
     )
 
 

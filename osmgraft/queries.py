@@ -1754,18 +1754,6 @@ def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "lang_quality_quota",
-    f"""WITH scored AS (
-  SELECT doc_id, {T.sql_lang_id('text')} AS lang,
-         {T.sql_bigram_quality('text')} AS bq
-  FROM documents)
-SELECT doc_id, lang, bq, CAST(rk AS INTEGER) AS rk FROM (
-  SELECT doc_id, lang, bq,
-         row_number() OVER (PARTITION BY lang ORDER BY bq DESC, doc_id) AS rk
-  FROM scored)
-WHERE rk <= 50""",
-)
-@register(
     "mixture_sample_sources",
     f"""WITH scored AS (
   SELECT doc_id, source,
@@ -1801,6 +1789,18 @@ def mixture_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lang_quality_quota",
+    f"""WITH scored AS (
+  SELECT doc_id, {T.sql_lang_id('text')} AS lang,
+         {T.sql_bigram_quality('text')} AS bq
+  FROM documents)
+SELECT doc_id, lang, bq, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT doc_id, lang, bq,
+         row_number() OVER (PARTITION BY lang ORDER BY bq DESC, doc_id) AS rk
+  FROM scored)
+WHERE rk <= 50""",
+)
 def lang_quality_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing primitive: top-50 documents PER LANGUAGE by fluency
     score (deterministic tiebreak on doc_id) — the per-group quota pattern
@@ -1904,15 +1904,6 @@ REGISTRY["embedding_topk_blocked"] = (
 
 
 @register(
-    "embedding_cosine_neardup",
-    """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM s a JOIN s b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-      >= 0.42""",
-)
-@register(
     "embedding_semantic_dedup",
     """WITH RECURSIVE s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 prs AS (
@@ -1944,6 +1935,15 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_cosine_neardup",
+    """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM s a JOIN s b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= 0.42""",
+)
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (cosine >= 0.42, every unordered
     pair once) via the block-broadcast self nested loop — shuffle-free pair
