@@ -32,9 +32,20 @@ against one shared formula text, the snap.py/overlap.py discipline.
 
 Plan shape (100 TB): each segment explodes onto the tiles of its bbox
 (closed-window adjusted, <= (span/4096 + 2)^2 tiles, ~4 for street-scale
-ways), a generate-only explode with no shuffle; the filter + clip run in
-whole-stage codegen. The only exchange is whatever the consumer does next
-(e.g. groupBy tile for the MVT sink) — clipping itself is map-only.
+ways), a generate-only explode with no shuffle. The only exchange is
+whatever the consumer does next (e.g. groupBy tile for the MVT sink) —
+clipping itself is map-only.
+
+Known, measured codegen trade: fusing the explode with the full exact-
+integer step chain overflows janino's 64 KB method limit (the Generate
+doConsume inlines every step), so Spark logs "Failed to compile" and
+gracefully falls back to OPERATOR-level codegen for that stage. Measured
+cost ~10% on this stage (4.4 s vs 4.99 s full roundtrip at sf0.1);
+an observe() barrier, methodSplitThreshold=256 and excluding
+CollapseProject were all tried and do not restore WSCG (the consume chain
+fuses regardless). The formula text is shared verbatim with the DuckDB
+oracle, so restructuring the chain to appease codegen would fork the
+formulas the hash gate exists to pin — the fallback is the better trade.
 """
 
 from __future__ import annotations
