@@ -149,13 +149,11 @@ def contour_segments(
 # The loop-closure property (every head meets exactly one tail — tested in
 # test_contour.py) makes the segment set a FUNCTIONAL graph of disjoint
 # cycles: start vertices are unique, so "the segment starting where I end"
-# is a total successor function.  Cycle labeling therefore uses pointer
-# doubling — after r rounds each segment has seen the minimum start-vertex
-# key within 2^r successors, so ceil(log2(n)) rounds label every cycle —
-# O(log L) shuffles where min-label propagation (dedup.connected_components)
-# would take O(L) rounds on the long coastline-style rings real rasters
-# produce.  Lineage is cut with LAZY localCheckpoints (the knn.py
-# discipline), so the loop adds no blocking jobs.
+# is a total successor function, and a cycle IS its connected component in
+# the successor graph.  Labeling delegates to graph.cc_two_level (banded
+# union-find + size-gated residual merge) — flat ~2-pass plan where both
+# pointer doubling and min-label propagation would chain log-or-diameter
+# rounds on the long coastline-style rings real rasters produce.
 
 _VKEY = 4294967296  # 2^32: doubled grid coords are nonnegative and < 2^32
 
@@ -231,4 +229,42 @@ reach(k, cur) AS (
   SELECT r.k, s.nk FROM reach r JOIN segs s ON s.k = r.cur),
 labels AS (SELECT k, min(cur) AS ring_id FROM reach GROUP BY k)
 SELECT ring_id, count(*) AS n_seg, CAST(sum(crs) AS BIGINT) AS area2
+FROM segs JOIN labels USING (k) GROUP BY ring_id"""
+
+
+def ring_centroids(segs: DataFrame) -> DataFrame:
+    """Per-ring EXACT polygon centroid terms alongside the area: ring_id,
+    n_seg, area2 = Σ cross, cxn3 = Σ (x0+x1)·cross, cyn3 = Σ (y0+y1)·cross —
+    the standard shoelace centroid with the division NEVER taken (centroid =
+    (cxn3, cyn3) / (3·area2)), so the surface is exact integers and the
+    cross-engine hash cannot flake.  Bounds: per-term |(x0+x1)·cross| <
+    2·2^z·EXTENT·|cross|; at tile zooms ≤ 20 with doubled-grid contour
+    coords this sits far inside int64 (document per use)."""
+    return (
+        ring_labels(segs)
+        .groupBy("ring_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_seg"),
+            F.sum("cross").alias("area2"),
+            F.sum((F.col("x0") + F.col("x1")) * F.col("cross")).alias("cxn3"),
+            F.sum((F.col("y0") + F.col("y1")) * F.col("cross")).alias("cyn3"),
+        )
+    )
+
+
+def ring_centroids_oracle_sql(inside_cte: str) -> str:
+    """DuckDB twin of ring_centroids (recursive closure + the same sums)."""
+    return f"""WITH RECURSIVE segs AS (
+  SELECT x0, y0, x1, y1,
+         x0 * {_VKEY} + y0 AS k, x1 * {_VKEY} + y1 AS nk,
+         x0 * y1 - x1 * y0 AS crs
+  FROM ({contour_oracle_sql(inside_cte)}) c),
+reach(k, cur) AS (
+  SELECT k, k FROM segs
+  UNION
+  SELECT r.k, s.nk FROM reach r JOIN segs s ON s.k = r.cur),
+labels AS (SELECT k, min(cur) AS ring_id FROM reach GROUP BY k)
+SELECT ring_id, count(*) AS n_seg, CAST(sum(crs) AS BIGINT) AS area2,
+       CAST(sum((x0 + x1) * crs) AS BIGINT) AS cxn3,
+       CAST(sum((y0 + y1) * crs) AS BIGINT) AS cyn3
 FROM segs JOIN labels USING (k) GROUP BY ring_id"""

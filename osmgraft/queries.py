@@ -2883,12 +2883,47 @@ def mvt_polygons_roundtrip_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mvt_polygon_segments(tiles_df, grid_z=8)
 
 
+def _sql_ring_centroids() -> str:
+    from osmgraft.operators.contour import ring_centroids_oracle_sql
+
+    inside = f"""SELECT tx AS cx, ty AS cy FROM (
+    SELECT {tiles.sql_tile_x('lon7', 8)} AS tx, {tiles.sql_tile_y('lat7', 8)} AS ty
+    FROM pts GROUP BY tx, ty HAVING count(*) >= 2)"""
+    return (
+        f"WITH pts AS ({_PTS}), outer_q AS (\n"
+        f"{ring_centroids_oracle_sql(inside)}\n) SELECT * FROM outer_q"
+    )
+
+
+@register("contour_ring_centroids_z8", _sql_ring_centroids())
+def contour_ring_centroids_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT polygon centroids of the z8 contour rings (contour.py
+    ring_centroids): per ring the integer shoelace-centroid terms
+    (area2, cxn3, cyn3) with the division never taken — centroid =
+    (cxn3, cyn3)/(3·area2) for any consumer, but the HASH is over exact
+    integers. Same two-level component labeling as contour_rings_z8; the
+    DuckDB twin closes the successor relation recursively and takes the
+    identical sums."""
+    from osmgraft.operators.contour import contour_segments, ring_centroids
+
+    pts = points_from_orders(spark, sf_dir)
+    counts = (
+        pts.select(
+            tiles.tile_x(F.col("lon7"), 8).alias("cx"),
+            tiles.tile_y(F.col("lat7"), 8).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return ring_centroids(contour_segments(counts, threshold=2))
+
+
 @register("contour_rings_z8", _sql_contour_rings())
 def contour_rings_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contour RING assembly (operators/contour.py assemble_rings): the z8
     iso-segments chain into closed loops — the loop-closure property makes
     the segment set a functional graph of disjoint cycles, labeled by
-    pointer doubling (O(log L) shuffles, lazy checkpoints, no driver data).
+    two-level components (graph.cc_two_level via contour.ring_labels).
     Per ring: minimum-vertex-key id, segment count, and the exact integer
     shoelace sum (positive outer loops, negative holes). The DuckDB twin
     closes the same successor relation with a recursive CTE — two genuinely

@@ -208,3 +208,21 @@ def test_rings_empty(spark):
     from osmgraft.operators.contour import assemble_rings
 
     assert assemble_rings(contour_segments(df, 99)).count() == 0
+
+
+def test_ring_centroids_unit_square(spark):
+    """A single inside cell yields one CCW diamond ring whose exact centroid
+    terms put the centroid at the cell center (doubled coords)."""
+    from osmgraft.operators.contour import contour_segments, ring_centroids
+
+    cells = spark.createDataFrame([(5, 7, 9)], "cx long, cy long, cnt long")
+    r = ring_centroids(contour_segments(cells, threshold=2)).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.n_seg == 4
+    assert row.area2 > 0  # CCW outer ring
+    # The ring is the diamond through the 4 edge midpoints around the cell
+    # point (5, 7); its centroid is the doubled cell point (10, 14).
+    # centroid = (cxn3/(3*area2), cyn3/(3*area2))
+    assert row.cxn3 == 3 * row.area2 * 10
+    assert row.cyn3 == 3 * row.area2 * 14
