@@ -163,3 +163,76 @@ def snap_points_to_segments(
         )
     )
     return ranked.filter(F.col("rn") == 1).select("point_id", "seg_id", "d2q")
+
+
+# --- nearest CONSTANT vertex: the unmatched-point assignment projection --------
+#
+# The pip anti-join leaves points inside no boundary; a curation pipeline
+# still wants them ASSIGNED somewhere ("closest admin anchor").  With the
+# polygon set small enough to broadcast (the pip.py premise), nearest-vertex
+# is not even a join: the vertex list compiles into ONE literal array of
+# (d2, boundary_id, vidx) structs per row, array_min takes the lexicographic
+# argmin, a filter applies the radius — a flat whole-stage-codegen projection
+# with ZERO shuffles and zero Python, the cheapest possible 100 TB shape
+# (contrast knn.py, which earns its ring expansion only when the right side
+# is itself huge).
+
+
+def vertex_d2_sql(px: str, py: str, vx, vy, *, guard: int) -> str:
+    """Clamped squared distance (px,py)→(vx,vy) as ONE engine-neutral SQL
+    expression over int64: each axis delta is clamped to ±guard BEFORE
+    squaring, so the expression is total (no overflow for any globe-range
+    fixed-point input: 2·guard² must stay < 2^63) and EXACT for every
+    candidate strictly inside the guard — clamped rows compute a
+    garbage-but-≥guard² value that the caller's d2 < guard² radius filter
+    drops, the same totality discipline as snap_formula_sql."""
+    if 2 * guard * guard >= 1 << 63:
+        raise ValueError(f"guard {guard}: 2*guard^2 overflows int64")
+
+    def clamp(e: str) -> str:
+        return f"LEAST(GREATEST({e}, {-guard}), {guard})"
+
+    # globe-range deltas reach 3.6e9 — force int64 BEFORE subtracting so
+    # 32-bit point columns can't overflow under ANSI mode (either engine)
+    dx = clamp(f"(CAST({px} AS BIGINT) - {vx})")
+    dy = clamp(f"(CAST({py} AS BIGINT) - {vy})")
+    return f"({dx} * {dx} + {dy} * {dy})"
+
+
+def nearest_vertex(
+    points: DataFrame,
+    vertices: list[tuple[int, int, int, int]],
+    *,
+    guard: int,
+    px: str = "lon7",
+    py: str = "lat7",
+) -> DataFrame:
+    """Per point: the nearest of a CONSTANT vertex list, strictly within
+    ``guard`` (squared L2 in fixed-point units, int64-exact).
+
+    vertices: (boundary_id, vidx, vlat, vlon) rows.  Output = the input
+    columns + (boundary_id, vidx, d2) of the argmin, tie-broken by
+    (d2, boundary_id, vidx); points whose nearest vertex sits at
+    d2 >= guard² are dropped (inner radius semantics).  The clamp in
+    vertex_d2_sql only ever LOWERS a candidate's d2, so a clamped far
+    vertex (d2 ≥ guard²) can never beat a true in-radius candidate —
+    the argmin over clamped values is the true argmin on surviving rows."""
+    entries = [
+        F.struct(
+            F.expr(vertex_d2_sql(px, py, vlon, vlat, guard=guard)).alias("d2"),
+            F.lit(int(bid)).cast("long").alias("boundary_id"),
+            F.lit(int(vidx)).cast("long").alias("vidx"),
+        )
+        for bid, vidx, vlat, vlon in vertices
+    ]
+    m = F.array_min(F.array(*entries))
+    return (
+        points.withColumn("_nv", m)
+        .filter(F.col("_nv.d2") < F.lit(guard * guard))
+        .select(
+            *points.columns,
+            F.col("_nv.boundary_id").alias("boundary_id"),
+            F.col("_nv.vidx").alias("vidx"),
+            F.col("_nv.d2").alias("d2"),
+        )
+    )

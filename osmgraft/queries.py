@@ -133,6 +133,68 @@ def pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- nearest boundary anchor for unmatched points -----------------------------
+def _boundary_vertices() -> list[tuple[int, int, int, int]]:
+    """(boundary_id, vidx, vlat, vlon) for every distinct ring/hole vertex of
+    ADMIN_BOUNDARIES (closing duplicates skipped), vidx dense per boundary."""
+    out = []
+    for b in ADMIN_BOUNDARIES:
+        vidx = 0
+        for ring in [b["ring"], *b["holes"]]:
+            body = ring[:-1] if ring[0] == ring[-1] else ring
+            for vlat, vlon in body:
+                out.append((b["boundary_id"], vidx, vlat, vlon))
+                vidx += 1
+    return out
+
+
+_NV_GUARD = 300_000_000  # 30 degrees in fixed-point 1e7 units
+
+
+def _sql_nearest_boundary_vertex() -> str:
+    from osmgraft.operators.snap import vertex_d2_sql
+
+    rows = ", ".join(
+        f"({bid}, {vidx}, {vlat}, {vlon})"
+        for bid, vidx, vlat, vlon in _boundary_vertices()
+    )
+    d2 = vertex_d2_sql("a.lon7", "a.lat7", "v.vlon", "v.vlat", guard=_NV_GUARD)
+    return f"""WITH pts AS ({_PTS}),
+{sql_pip_predicate(ADMIN_BOUNDARIES)},
+unmatched AS (SELECT p.point_id, p.lat7, p.lon7 FROM pts p ANTI JOIN pip USING (point_id)),
+v(boundary_id, vidx, vlat, vlon) AS (VALUES {rows}),
+cand AS (
+  SELECT a.point_id, v.boundary_id, v.vidx, {d2} AS d2
+  FROM unmatched a CROSS JOIN v)
+SELECT point_id, boundary_id, vidx, d2 FROM (
+  SELECT point_id, boundary_id, vidx, d2,
+         row_number() OVER (PARTITION BY point_id ORDER BY d2, boundary_id, vidx) AS rn
+  FROM cand WHERE d2 < {_NV_GUARD * _NV_GUARD}) t
+WHERE rn = 1"""
+
+
+@register("nearest_boundary_vertex", _sql_nearest_boundary_vertex())
+def nearest_boundary_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unmatched-point assignment (operators/snap.py nearest_vertex): every
+    pip-anti point gets the nearest admin-boundary VERTEX within 30°
+    (boundary_id, vertex index, exact int64 squared distance, tie-break
+    (d2, boundary_id, vidx)).
+
+    100 TB shape: the vertex list is a CONSTANT, so this is not a join at
+    all — one literal array of (d2, bid, vidx) structs per row, array_min
+    argmin, radius filter: a flat whole-stage-codegen projection with zero
+    shuffles after the pip anti kernel.  The DuckDB twin cross-joins a
+    VALUES list and window-argmins — two generators, one clamped formula
+    text (vertex_d2_sql), one hash."""
+    from osmgraft.operators.snap import nearest_vertex
+
+    pts = points_from_orders(spark, sf_dir)
+    anti = pip_join(pts, ADMIN_BOUNDARIES, how="left_anti", ensure_parallelism=True)
+    return nearest_vertex(anti, _boundary_vertices(), guard=_NV_GUARD).select(
+        "point_id", "boundary_id", "vidx", "d2"
+    )
+
+
 # --- temporal PIP: containment at EVENT TIME against versioned boundaries ----------
 _PIPT_SHIFT = 2_000_000  # each version drifts 0.2° east (boundary redraws)
 _PIPT_T1, _PIPT_T2 = "2024-01-11", "2024-01-21"

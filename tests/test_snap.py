@@ -9,6 +9,7 @@ comparison with an all-pairs run of the same formula.
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from osmgraft.operators.snap import (
     Q_BITS,
@@ -148,3 +149,45 @@ def test_formula_sql_engine_parity():
     a = snap_formula_sql("x", "y", "ax", "ay", "bx", "by", div="div", guard=16384)
     b = snap_formula_sql("x", "y", "ax", "ay", "bx", "by", div="//", guard=16384)
     assert a.replace(" div ", " // ") == b
+
+
+def test_nearest_vertex_argmin_and_radius(spark):
+    """Argmin with (d2, boundary_id, vidx) tie-break; out-of-guard points
+    drop; clamped far vertices never beat an in-radius candidate."""
+    from osmgraft.operators.snap import nearest_vertex
+
+    pts = spark.createDataFrame(
+        [(1, 10, 10), (2, 0, 5_000), (3, 2_000_000_000, 2_000_000_000)],
+        "point_id long, lat7 long, lon7 long",
+    )
+    # vertex 0 of boundary 5 and vertex 1 of boundary 9 are equidistant from
+    # point 1 -> boundary 5 wins the tie; a far vertex exists for clamping
+    verts = [
+        (5, 0, 10, 0),
+        (9, 1, 10, 20),
+        (2, 3, -1_800_000_000, -1_800_000_000),
+    ]
+    rows = {
+        r["point_id"]: r
+        for r in nearest_vertex(pts, verts, guard=1_000).collect()
+    }
+    assert (rows[1]["boundary_id"], rows[1]["vidx"], rows[1]["d2"]) == (5, 0, 100)
+    # point 2 is 4980 east of (10,20): d2 > guard^2=1e6 -> dropped
+    assert 2 not in rows
+    # point 3: nearest true vertex far beyond guard; clamped d2 >= guard^2 -> dropped
+    assert 3 not in rows
+
+
+def test_nearest_vertex_zero_shuffle_plan(spark):
+    """The constant-vertex argmin is a flat projection: no Exchange at all."""
+    from osmgraft.operators.snap import nearest_vertex
+
+    pts = spark.range(100).select(
+        F.col("id").alias("point_id"),
+        (F.col("id") % 100).alias("lat7"),
+        (F.col("id") % 50).alias("lon7"),
+    )
+    plan = nearest_vertex(
+        pts, [(1, 0, 0, 0), (2, 1, 50, 50)], guard=1_000
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
