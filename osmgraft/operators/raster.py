@@ -578,3 +578,26 @@ def mvt_polygon_segments(
             )
 
     return tiles_df.select("z", "tx", "ty", "mvt").mapInArrow(kernel, out_schema)
+
+
+def zonal_stats(
+    cells: DataFrame, cover: DataFrame, *, value_col: str = "cnt"
+) -> DataFrame:
+    """Zonal statistics: per-boundary rollup of a sparse cell raster over the
+    boundary's tile cover — (boundary_id, tiles_hit, total, max_cnt).
+
+    100 TB shape: ``cells`` is the big side (the once-shuffled per-tile
+    aggregate of the raw table — tile_counts/tile_pyramid output), ``cover``
+    is polygon-derived and tiny, so the equi-join on (tx, ty) broadcasts the
+    cover and never re-shuffles the raster; the per-boundary aggregate that
+    follows is a few hundred groups.  Overlapping boundaries each count the
+    shared tiles (cover semantics, not a partition)."""
+    return (
+        cells.join(F.broadcast(cover), ["tx", "ty"])
+        .groupBy("boundary_id")
+        .agg(
+            F.count(F.lit(1)).alias("tiles_hit"),
+            F.sum(value_col).alias("total"),
+            F.max(value_col).alias("max_cnt"),
+        )
+    )

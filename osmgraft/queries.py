@@ -3405,6 +3405,51 @@ def boundary_tile_cover_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boundary_tile_cover(spark, COVER_BOUNDARIES, 10)
 
 
+@register(
+    "zonal_stats_z10",
+    f"""WITH pts AS ({_PTS}),
+cells AS (
+  SELECT {tiles.sql_tile_x('lon7', 10)} AS tx, {tiles.sql_tile_y('lat7', 10)} AS ty,
+         count(*) AS cnt
+  FROM pts GROUP BY tx, ty),
+bbox(boundary_id, lat_min, lon_min, lat_max, lon_max) AS (VALUES {_bbox_values()}),
+t AS (SELECT boundary_id,
+  {tiles.sql_tile_x('lon_min', 10)} AS tx0, {tiles.sql_tile_x('lon_max', 10)} AS tx1,
+  {tiles.sql_tile_y('lat_max', 10)} AS ty0, {tiles.sql_tile_y('lat_min', 10)} AS ty1
+  FROM bbox),
+nums AS (SELECT i FROM range(0, 1024) r(i)),
+cover AS (
+  SELECT boundary_id, t.tx0 + nx.i AS tx, t.ty0 + ny.i AS ty
+  FROM t JOIN nums nx ON nx.i <= t.tx1 - t.tx0
+         JOIN nums ny ON ny.i <= t.ty1 - t.ty0)
+SELECT boundary_id, count(*) AS tiles_hit,
+       CAST(sum(cnt) AS BIGINT) AS total, CAST(max(cnt) AS BIGINT) AS max_cnt
+FROM cells JOIN cover USING (tx, ty)
+GROUP BY boundary_id""",
+)
+def zonal_stats_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (operators/raster.py zonal_stats): per-boundary
+    rollup of the z10 point raster over each boundary's tile cover —
+    occupied-tile count, total points, hottest tile.  The raster↔vector
+    composition closer: tile_counts (raster) × boundary_tile_cover (vector
+    rasterization) in ONE broadcast equi-join — the 100 TB point table is
+    shuffled exactly once (the tile aggregation); the polygon side never
+    causes a second exchange."""
+    from osmgraft.operators.raster import boundary_tile_cover, zonal_stats
+    from osmgraft.synth import COVER_BOUNDARIES
+
+    pts = points_from_orders(spark, sf_dir)
+    cells = (
+        pts.select(
+            tiles.tile_x(F.col("lon7"), 10).alias("tx"),
+            tiles.tile_y(F.col("lat7"), 10).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return zonal_stats(cells, boundary_tile_cover(spark, COVER_BOUNDARIES, 10))
+
+
 from osmgraft.operators.simplify import DP_EPS, sql_dp_expected  # noqa: E402
 
 

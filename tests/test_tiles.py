@@ -346,3 +346,23 @@ def test_mvt_features_roundtrip_distributed(spark):
     a = {(r.tx13, r.ty13): r.cnt for r in back.collect()}
     b = {(r.tx, r.ty): r.cnt for r in counts.collect()}
     assert a == b
+
+
+def test_zonal_stats_broadcast_and_values(spark):
+    """Zonal rollup over a hand-built raster + cover; plan broadcasts the
+    cover side (no shuffle of the raster beyond its own aggregation)."""
+    from osmgraft.operators.raster import zonal_stats
+
+    cells = spark.createDataFrame(
+        [(0, 0, 5), (0, 1, 7), (9, 9, 100)], "tx long, ty long, cnt long"
+    )
+    cover = spark.createDataFrame(
+        [(1, 0, 0), (1, 0, 1), (2, 0, 1), (2, 3, 3)],
+        "boundary_id long, tx long, ty long",
+    )
+    rows = {r["boundary_id"]: r for r in zonal_stats(cells, cover).collect()}
+    assert (rows[1]["tiles_hit"], rows[1]["total"], rows[1]["max_cnt"]) == (2, 12, 7)
+    # boundary 2: one covered tile occupied, the (3,3) cover tile is empty
+    assert (rows[2]["tiles_hit"], rows[2]["total"], rows[2]["max_cnt"]) == (1, 7, 7)
+    plan = zonal_stats(cells, cover)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
