@@ -83,3 +83,27 @@ def pruned_fraction(
         if not (xmx < x_lo or xmn > x_hi or ymx < y_lo or ymn > y_hi)
     )
     return 1.0 - touch / len(spans)
+
+
+def hilbert_write(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    z: int,
+    n_files: int = 16,
+) -> None:
+    """Write ``df`` as parquet clustered on the Hilbert key of
+    (x_col, y_col) — same range-repartition + sort discipline as
+    zorder_write, tighter file footprints (consecutive Hilbert keys are grid
+    neighbors; Morton's diagonal jumps widen row-group min/max boxes)."""
+    from osmgraft.functions.hilbert import with_hilbert_key
+
+    keyed = with_hilbert_key(df, F.col(x_col), F.col(y_col), z, out="_h")
+    (
+        keyed.repartitionByRange(n_files, "_h")
+        .sortWithinPartitions("_h")
+        .drop("_h")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

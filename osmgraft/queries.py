@@ -520,6 +520,39 @@ def _geohash_oracle() -> str:
     return sql_geohash_counts(_PTS, 6)
 
 
+def _hilbert_oracle() -> str:
+    from osmgraft.functions.hilbert import sql_hilbert_cte_chain
+
+    base = f"""SELECT point_id,
+  {tiles.sql_tile_x('lon7', 12)} AS hx, {tiles.sql_tile_y('lat7', 12)} AS hy,
+  CAST(0 AS BIGINT) AS hd
+FROM ({_PTS}) pts"""
+    return sql_hilbert_cte_chain(12, base)
+
+
+@register("hilbert_key_z12", _hilbert_oracle())
+def hilbert_key_z12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point Hilbert index on the z12 tile grid (functions/hilbert.py) —
+    the locality-preserving write-clustering key (consecutive keys are grid
+    NEIGHBORS, unlike Morton's diagonal jumps; pinned by test).  12 chained
+    narrow projections, one engine-neutral step text per bit, collapsed by
+    Catalyst into a single codegen stage — no shuffle, no Python.  The
+    DuckDB twin chains the identical texts as CTEs."""
+    from osmgraft.functions.hilbert import with_hilbert_key
+
+    pts = points_from_orders(spark, sf_dir)
+    return with_hilbert_key(
+        pts.select(
+            "point_id",
+            tiles.tile_x(F.col("lon7"), 12).alias("_tx"),
+            tiles.tile_y(F.col("lat7"), 12).alias("_ty"),
+        ),
+        F.col("_tx"),
+        F.col("_ty"),
+        12,
+    ).select("point_id", "hkey")
+
+
 @register("geohash6_counts", _geohash_oracle())
 def geohash6_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geohash (Niemeyer base-32 Z-order) cell counts at precision 6 —
