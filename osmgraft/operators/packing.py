@@ -152,3 +152,72 @@ def mixture_sample(
         .where(F.col("cum_tok") <= F.col("_budget"))
         .drop("_budget")
     )
+
+
+def proportional_quotas(
+    counts: DataFrame, budget: int, *, n_col: str = "n"
+) -> DataFrame:
+    """Hamilton largest-remainder apportionment: split an integer ``budget``
+    across groups proportionally to their counts, EXACTLY — Σ quota ==
+    budget, |quota_i − budget·n_i/N| < 1, all int64 (no IEEE anywhere, so
+    the allocation is engine- and partitioning-independent).
+
+    quota_i = ⌊budget·n_i/N⌋, then the budget − Σ⌊·⌋ leftover seats go to
+    the largest fractional parts (budget·n_i mod N, ties to the smaller
+    group key).  Input is a per-group aggregate (one row per group — cells,
+    sources, langs), so the windows here run over the SMALL side; never
+    call this on raw rows.  Overflow bound: budget·max(n_i) must stay
+    < 2^63 — at extreme scale pre-divide counts by a common factor (the
+    allocation only depends on the n_i ratios)."""
+    keys = [c for c in counts.columns if c != n_col]
+    from pyspark.sql import Window as W
+
+    everything = W.partitionBy()  # counts is group-cardinality small
+    n = F.col(n_col).cast("long")
+    total = F.sum(n).over(everything)
+    # int64 `div` throughout — `/` on longs is DOUBLE division in Spark and
+    # silently loses exactness past 2^53
+    scored = counts.select(
+        *keys,
+        n.alias(n_col),
+        (F.lit(budget) * n).alias("_bn"),
+        total.alias("_total"),
+    ).selectExpr(
+        *keys,
+        n_col,
+        "_bn div _total AS _base",
+        "_bn % _total AS _frac",
+    )
+    leftover = F.lit(budget) - F.sum("_base").over(everything)
+    ranked = scored.select(
+        "*",
+        F.row_number()
+        .over(everything.orderBy(F.desc("_frac"), *keys))
+        .alias("_rk"),
+        leftover.alias("_left"),
+    )
+    return ranked.select(
+        *keys,
+        n_col,
+        (F.col("_base") + (F.col("_rk") <= F.col("_left")).cast("long")).alias(
+            "quota"
+        ),
+    )
+
+
+def sql_proportional_quotas(counts_cte: str, budget: int, keys: str, n: str = "n") -> str:
+    """DuckDB twin of proportional_quotas over a counts CTE body."""
+    return f"""WITH counts AS ({counts_cte}),
+scored AS (
+  -- operands are nonnegative, so // (floor) == Spark's div (truncate)
+  SELECT {keys}, {n},
+         ({budget} * {n}) // sum({n}) OVER () AS base,
+         ({budget} * {n}) % sum({n}) OVER () AS frac
+  FROM counts),
+ranked AS (
+  SELECT {keys}, {n}, base,
+         row_number() OVER (ORDER BY frac DESC, {keys}) AS rk,
+         {budget} - sum(base) OVER () AS leftover
+  FROM scored)
+SELECT {keys}, {n}, CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM ranked"""

@@ -520,6 +520,64 @@ def _geohash_oracle() -> str:
     return sql_geohash_counts(_PTS, 6)
 
 
+def _sql_stratified_sample() -> str:
+    from osmgraft.functions.text import sql_md5_long
+    from osmgraft.operators.packing import sql_proportional_quotas
+
+    counts = f"""SELECT {tiles.sql_tile_x('lon7', 6)} AS tx, {tiles.sql_tile_y('lat7', 6)} AS ty,
+         count(*) AS n
+  FROM pts GROUP BY tx, ty"""
+    quotas = sql_proportional_quotas(counts, 5000, "tx, ty")
+    hk = sql_md5_long("CAST(point_id AS VARCHAR)")
+    return f"""WITH pts AS ({_PTS}),
+q AS ({quotas}),
+keyed AS (
+  SELECT point_id, {tiles.sql_tile_x('lon7', 6)} AS tx, {tiles.sql_tile_y('lat7', 6)} AS ty,
+         {hk} AS hk
+  FROM pts)
+SELECT point_id, tx, ty FROM (
+  SELECT k.point_id, k.tx, k.ty, q.quota,
+         row_number() OVER (PARTITION BY k.tx, k.ty ORDER BY k.hk, k.point_id) AS rk
+  FROM keyed k JOIN q USING (tx, ty)) t
+WHERE rk <= quota"""
+
+
+@register("stratified_sample_z6", _sql_stratified_sample())
+def stratified_sample_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geographically stratified sampling to a GLOBAL budget of 5000 points:
+    Hamilton largest-remainder apportionment (operators/packing.
+    proportional_quotas — Σ quota == budget EXACTLY, pure int64) splits the
+    budget across z6 tiles proportionally to their populations; each tile
+    then keeps its quota in portable-md5 hash order (reshuffle- and
+    engine-independent).  The geographic twin of mixture_sample_sources:
+    spatial balance instead of source weights.
+
+    100 TB shape: one count aggregation of the raw table (map-side combine),
+    the apportionment windows run over the TILE table (≤ 4^6 rows), quotas
+    broadcast-join back, one per-tile window picks the sample — the raw
+    table is shuffled once for the agg and once for the selection window."""
+    from osmgraft.functions.text import md5_long
+    from osmgraft.operators.packing import proportional_quotas
+    from pyspark.sql import Window as W
+
+    pts = points_from_orders(spark, sf_dir).select(
+        "point_id",
+        tiles.tile_x(F.col("lon7"), 6).alias("tx"),
+        tiles.tile_y(F.col("lat7"), 6).alias("ty"),
+    )
+    counts = pts.groupBy("tx", "ty").agg(F.count(F.lit(1)).alias("n"))
+    quotas = proportional_quotas(counts, 5000).drop("n")
+    w = W.partitionBy("tx", "ty").orderBy(
+        md5_long(F.col("point_id").cast("string")), "point_id"
+    )
+    return (
+        pts.join(F.broadcast(quotas), ["tx", "ty"])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("point_id", "tx", "ty")
+    )
+
+
 def _hilbert_oracle() -> str:
     from osmgraft.functions.hilbert import sql_hilbert_cte_chain
 

@@ -923,3 +923,42 @@ def test_mixture_sample_budget_and_determinism(spark):
     for r in out:
         by_src[r.source] = max(by_src[r.source], r.cum_tok)
     assert all(v <= 30 for v in by_src.values()) and len(by_src) == 2
+
+
+def test_proportional_quotas_hamilton(spark):
+    """Σ quota == budget exactly; each quota within 1 of the real share;
+    leftover seats go to the largest fractional parts."""
+    from osmgraft.operators.packing import proportional_quotas
+
+    counts = spark.createDataFrame(
+        [("a", 3), ("b", 3), ("c", 4)], "g string, n long"
+    )
+    # budget 7, N=10: shares 2.1, 2.1, 2.8 -> bases 2,2,2; leftover 1 seat
+    # to the largest frac (.8 -> c)
+    q = {r["g"]: r["quota"] for r in proportional_quotas(counts, 7).collect()}
+    assert q == {"a": 2, "b": 2, "c": 3}
+    assert sum(q.values()) == 7
+    # frac tie: budget 5, counts 1,1 -> bases 2,2; 1 seat, tie broken to the
+    # smaller group key
+    counts2 = spark.createDataFrame([("x", 1), ("y", 1)], "g string, n long")
+    q2 = {r["g"]: r["quota"] for r in proportional_quotas(counts2, 5).collect()}
+    assert q2 == {"x": 3, "y": 2}
+
+
+def test_proportional_quotas_sql_twin(spark):
+    import duckdb
+
+    from osmgraft.operators.packing import proportional_quotas, sql_proportional_quotas
+
+    counts = [("s%d" % i, (i * 7) % 13 + 1) for i in range(9)]
+    df = spark.createDataFrame(counts, "g string, n long")
+    got = {r["g"]: r["quota"] for r in proportional_quotas(df, 41).collect()}
+    values = ", ".join(f"('{g}', {n})" for g, n in counts)
+    con = duckdb.connect()  # keep a reference: .sql() is lazy
+    duck = con.sql(
+        sql_proportional_quotas(
+            f"SELECT g, n FROM (VALUES {values}) v(g, n)", 41, "g"
+        )
+    ).fetchall()
+    assert {g: q for g, _, q in duck} == got
+    assert sum(got.values()) == 41
