@@ -173,6 +173,59 @@ SELECT point_id, boundary_id, vidx, d2 FROM (
 WHERE rn = 1"""
 
 
+def _sql_assign_all_points() -> str:
+    from osmgraft.operators.snap import vertex_d2_sql
+
+    rows = ", ".join(
+        f"({bid}, {vidx}, {vlat}, {vlon})"
+        for bid, vidx, vlat, vlon in _boundary_vertices()
+    )
+    d2 = vertex_d2_sql("a.lon7", "a.lat7", "v.vlon", "v.vlat", guard=_NV_GUARD)
+    return f"""WITH pts AS ({_PTS}),
+{sql_pip_predicate(ADMIN_BOUNDARIES)},
+unmatched AS (SELECT p.point_id, p.lat7, p.lon7 FROM pts p ANTI JOIN pip USING (point_id)),
+v(boundary_id, vidx, vlat, vlon) AS (VALUES {rows}),
+cand AS (
+  SELECT a.point_id, v.boundary_id, {d2} AS d2
+  FROM unmatched a CROSS JOIN v),
+nearest AS (
+  SELECT point_id, boundary_id FROM (
+    SELECT point_id, boundary_id, d2,
+           row_number() OVER (PARTITION BY point_id ORDER BY d2, boundary_id) AS rn
+    FROM cand WHERE d2 < {_NV_GUARD * _NV_GUARD}) t
+  WHERE rn = 1)
+SELECT point_id, boundary_id, 'inside' AS how FROM pip
+UNION ALL
+SELECT point_id, boundary_id, 'nearest' AS how FROM nearest"""
+
+
+@register("assign_all_points", _sql_assign_all_points())
+def assign_all_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse-geocode EVERY point: containment winners from the broadcast
+    ray-cast join (how='inside', one row per containing boundary), plus the
+    nearest-vertex fallback for pip-anti points within 30° (how='nearest') —
+    the full-assignment composition a geo-curation pipeline runs so no image
+    is left unlabeled.  Pure pipeline composition of pip_join and
+    snap.nearest_vertex: the point table streams through the anti kernel and
+    a flat constant-argmin projection; no new shuffles beyond the two
+    operators' own."""
+    from osmgraft.operators.snap import nearest_vertex
+
+    pts = points_from_orders(spark, sf_dir)
+    inside = pip_join(pts, ADMIN_BOUNDARIES, how="inner", ensure_parallelism=True).select(
+        "point_id", "boundary_id", F.lit("inside").alias("how")
+    )
+    anti = pip_join(pts, ADMIN_BOUNDARIES, how="left_anti", ensure_parallelism=True)
+    near = (
+        nearest_vertex(anti, _boundary_vertices(), guard=_NV_GUARD)
+        .select("point_id", "boundary_id", F.lit("nearest").alias("how"))
+    )
+    # tie-break divergence guard: nearest_vertex breaks d2 ties by
+    # (boundary_id, vidx); the oracle's rn orders by (d2, boundary_id) only —
+    # identical winners because vidx never changes the winning boundary_id
+    return inside.unionByName(near)
+
+
 @register("nearest_boundary_vertex", _sql_nearest_boundary_vertex())
 def nearest_boundary_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unmatched-point assignment (operators/snap.py nearest_vertex): every
