@@ -631,6 +631,74 @@ def stratified_sample_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- convex hull (operators/hull.py) --------------------------------------------
+# Spec-as-oracle fixture (the way_simplify_dp pattern): per group g, hull
+# points sit on two facing parabolas — (t, t²) below and (t, 2000 − t²)
+# above, t from a per-group arithmetic filter.  Parabola points are in
+# strictly convex position by construction (no rounding), so the EXACT hull
+# is known in closed form: the full lower parabola left→right, then the full
+# upper parabola right→left (CCW from the lexicographic minimum).  Interior
+# points (t, t²+1) and duplicate vertices are mixed in and must vanish.
+_HULL_K = 2000
+_HULL_G = 12
+_HULL_T = 30
+
+
+def _sql_convex_hull() -> str:
+    return f"""WITH ts AS (
+  SELECT g.i AS g, t.i AS t,
+         row_number() OVER (PARTITION BY g.i ORDER BY t.i) - 1 AS idx,
+         count(*) OVER (PARTITION BY g.i) AS n
+  FROM range(0, {_HULL_G}) g(i) JOIN range(0, {_HULL_T}) t(i)
+    ON (t.i + g.i) % 4 <> 0)
+SELECT g, idx AS seq, t AS x, t * t AS y FROM ts
+UNION ALL
+SELECT g, n + (n - 1 - idx) AS seq, t AS x, {_HULL_K} - t * t AS y FROM ts"""
+
+
+def _hull_fixture(spark: SparkSession) -> DataFrame:
+    """Hull + interior + duplicate points, deterministically shuffled."""
+    from pyspark.sql import Window as W
+
+    base = (
+        spark.range(_HULL_G)
+        .select(F.col("id").alias("g"))
+        .join(spark.range(_HULL_T).select(F.col("id").alias("t")))
+        .filter((F.col("t") + F.col("g")) % 4 != 0)
+    )
+    lower = base.select("g", F.col("t").alias("x"), (F.col("t") * F.col("t")).alias("y"))
+    upper = base.select(
+        "g", F.col("t").alias("x"), (F.lit(_HULL_K) - F.col("t") * F.col("t")).alias("y")
+    )
+    # strictly interior: one above each non-extreme lower vertex
+    w_min = F.min("t").over(W.partitionBy("g"))
+    w_max = F.max("t").over(W.partitionBy("g"))
+    interior = (
+        base.withColumn("_t0", w_min)
+        .withColumn("_t1", w_max)
+        .filter((F.col("t") > F.col("_t0")) & (F.col("t") < F.col("_t1")))
+        .select("g", F.col("t").alias("x"), (F.col("t") * F.col("t") + 1).alias("y"))
+    )
+    dups = lower.limit(40)  # duplicate vertices must not duplicate output
+    pts = lower.unionByName(upper).unionByName(interior).unionByName(dups)
+    return pts.repartition(7, "x").sortWithinPartitions("y")  # scramble order
+
+
+@register("convex_hull_groups", _sql_convex_hull())
+def convex_hull_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group strict convex hull (operators/hull.py): Andrew's monotone
+    chain on PYTHON-INT cross products (exact at any fixed-point scale)
+    behind a conservative vectorized Akl–Toussaint prune, distributed by one
+    hash exchange on the group key (applyInPandas).  The fixture's facing
+    parabolas make the exact hull closed-form for the DuckDB twin; interior
+    and duplicate points are mixed in and must vanish; output order is
+    canonical CCW from the lexicographic minimum, so the hash pins vertex
+    ORDER, not just the set."""
+    from osmgraft.operators.hull import convex_hull_per_group
+
+    return convex_hull_per_group(_hull_fixture(spark), ["g"], "x", "y")
+
+
 def _hilbert_oracle() -> str:
     from osmgraft.functions.hilbert import sql_hilbert_cte_chain
 
