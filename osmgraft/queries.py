@@ -631,6 +631,74 @@ def stratified_sample_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- hamming near-dup join, hash-gated -------------------------------------------
+# image_phash_neardup exercises the REAL decode→pHash pipeline but is
+# rows-only (DuckDB cannot decode pixels).  This twin runs the identical
+# banded-hamming JOIN OPERATOR (multimodal.phash_near_dup_pairs, multi-probe
+# path included) over a closed-form 63-bit sketch with planted 1-bit
+# near-dups, so the banding/probe/verify machinery itself is cross-engine
+# hash-gated: the oracle brute-forces all pairs with bit_count(xor()).
+_HNP_CAP = 4000  # brute-force twin is O(n²); cap like the image queries
+
+
+def _sketch_sql(v: str) -> str:
+    """Closed-form 63-bit sketch of an index expression (both engines)."""
+    return (
+        f"(({v} * 2654435761) % 2147483648) * 4294967296"
+        f" + (({v} * 40503 + 17) % 4294967296)"
+    )
+
+
+def _sql_hamming_neardup() -> str:
+    return f"""WITH idxs AS (SELECT row_number() OVER () - 1 AS idx FROM orders),
+capped AS (SELECT idx FROM idxs WHERE idx < {_HNP_CAP}),
+ph AS (
+  SELECT idx AS image_id,
+         CASE WHEN idx % 50 = 49 AND idx > 0
+              THEN xor({_sketch_sql('(idx - 1)')},
+                       CAST(1 AS BIGINT) << CAST(idx % 40 AS INTEGER))
+              ELSE {_sketch_sql('idx')} END AS phash
+  FROM capped)
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM ph a JOIN ph b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 4"""
+
+
+@register("hamming_neardup_pairs", _sql_hamming_neardup())
+def hamming_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-recall banded hamming join, hash-gated end to end (the
+    rows-only image_phash_neardup's cross-engine twin): multi-probe banding
+    (probe_flips=1) + popcount verify over a closed-form sketch table with
+    planted 1-bit near-dups.  The DuckDB oracle brute-forces every pair —
+    two radically different candidate generators, one pair set, one hash;
+    any recall hole in the banding (the pigeonhole argument) drops a planted
+    pair and fails the gate."""
+    from osmgraft.operators.multimodal import phash_near_dup_pairs
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), _HNP_CAP)
+    i = F.col("id")
+    base = ((i * 2654435761) % 2147483648) * 4294967296 + (
+        (i * 40503 + 17) % 4294967296
+    )
+    j = i - 1
+    prev = ((j * 2654435761) % 2147483648) * 4294967296 + (
+        (j * 40503 + 17) % 4294967296
+    )
+    # F.shiftleft requires a python-int shift; a column shift needs expr()
+    planted = prev.bitwiseXOR(
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 40 AS INT))")
+    )
+    df = ensure_min_parallelism(spark.range(n)).select(
+        i.alias("image_id"),
+        F.when((i % 50 == 49) & (i > 0), planted).otherwise(base).alias("phash"),
+    )
+    return phash_near_dup_pairs(df, max_hamming=4, probe_flips=1).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 # --- convex hull (operators/hull.py) --------------------------------------------
 # Spec-as-oracle fixture (the way_simplify_dp pattern): per group g, hull
 # points sit on two facing parabolas — (t, t²) below and (t, 2000 − t²)
