@@ -156,3 +156,56 @@ def convex_hull_global(
         partials.withColumn("_g", F.lit(0)), ["_g"], "x", "y"
     )
     return final.select("seq", "x", "y")
+
+
+def hull_diameter_per_group(
+    df: DataFrame, group_cols: list[str], x_col: str = "x", y_col: str = "y"
+) -> DataFrame:
+    """Per-group DIAMETER (farthest point pair): (group cols..., n_hull,
+    ax, ay, bx, by) — the endpoints, lexicographically normalized (a <= b)
+    and tie-broken to the smallest (ax, ay, bx, by), so the answer is
+    deterministic under any partitioning.
+
+    diameter(points) == diameter(hull vertices), so the heavy lifting is the
+    prune + chain; the pair search then runs over the tiny hull vertex set
+    (all-pairs on h vertices — rotating calipers' O(h) saves nothing once
+    h is post-hull small, and all-pairs keeps the exact python-int compare
+    trivially correct).  Endpoints, not d2, are returned: a squared
+    fixed-point diameter reaches 2.6e19 and would overflow int64; the
+    endpoints always fit."""
+    import pandas as pd
+
+    out_schema = ", ".join(
+        [f"{c} long" for c in group_cols]
+        + ["n_hull long", "ax long", "ay long", "bx long", "by long"]
+    )
+
+    def fn(key, pdf):
+        _, hx, hy = _hull_batch(pdf[x_col].to_numpy(), pdf[y_col].to_numpy())
+        verts = list(zip((int(v) for v in hx), (int(v) for v in hy)))
+        best = None
+        if len(verts) == 1:
+            best = (0, verts[0], verts[0])
+        else:
+            for i in range(len(verts)):
+                for j in range(i + 1, len(verts)):
+                    a, b = sorted((verts[i], verts[j]))
+                    d2 = (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2  # python ints
+                    cand = (d2, a, b)
+                    if best is None or (cand[0], ) > (best[0], ) or (
+                        cand[0] == best[0] and (cand[1], cand[2]) < (best[1], best[2])
+                    ):
+                        best = cand
+        row = {c: [int(k)] for c, k in zip(group_cols, key)}
+        row.update(
+            {
+                "n_hull": [len(verts)],
+                "ax": [best[1][0]],
+                "ay": [best[1][1]],
+                "bx": [best[2][0]],
+                "by": [best[2][1]],
+            }
+        )
+        return pd.DataFrame(row)
+
+    return df.groupBy(*group_cols).applyInPandas(fn, schema=out_schema)

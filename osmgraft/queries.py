@@ -767,6 +767,34 @@ def convex_hull_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return convex_hull_per_group(_hull_fixture(spark), ["g"], "x", "y")
 
 
+def _sql_hull_diameter() -> str:
+    return f"""WITH hull AS ({_sql_convex_hull()}),
+pairs AS (
+  SELECT a.g, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM hull a JOIN hull b ON a.g = b.g AND (a.x, a.y) < (b.x, b.y)),
+n AS (SELECT g, count(*) AS n_hull FROM hull GROUP BY g)
+SELECT g, n_hull, ax, ay, bx, by FROM (
+  SELECT p.g, n.n_hull, p.ax, p.ay, p.bx, p.by,
+         row_number() OVER (PARTITION BY p.g
+                            ORDER BY p.d2 DESC, p.ax, p.ay, p.bx, p.by) AS rn
+  FROM pairs p JOIN n USING (g)) t
+WHERE rn = 1"""
+
+
+@register("hull_diameter_groups", _sql_hull_diameter())
+def hull_diameter_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group diameter (farthest pair) over the SAME parabola fixture:
+    prune → exact chain → all-pairs on the tiny hull vertex set (python-int
+    d2 — a squared fixed-point diameter overflows int64, so the operator
+    returns the ENDPOINTS and compares exactly internally).  The DuckDB twin
+    brute-forces pairs of the closed-form hull with the identical
+    (d2 DESC, ax, ay, bx, by) tie-break."""
+    from osmgraft.operators.hull import hull_diameter_per_group
+
+    return hull_diameter_per_group(_hull_fixture(spark), ["g"], "x", "y")
+
+
 def _hilbert_oracle() -> str:
     from osmgraft.functions.hilbert import sql_hilbert_cte_chain
 

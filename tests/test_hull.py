@@ -109,3 +109,31 @@ def test_global_hull_matches_grouped(spark):
     )
     # the partition-local reduction is real: partials << input rows
     assert len(g) < 100
+
+
+def test_diameter_matches_brute(spark):
+    from osmgraft.operators.hull import hull_diameter_per_group
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (int(g), int(x), int(y))
+        for g in range(3)
+        for x, y in rng.randint(-1000, 1000, size=(60, 2))
+    ]
+    df = spark.createDataFrame(rows, "g long, x long, y long")
+    got = {r["g"]: r for r in hull_diameter_per_group(df, ["g"]).collect()}
+    by_g = {}
+    for g, x, y in rows:
+        by_g.setdefault(g, []).append((x, y))
+    for g, pts in by_g.items():
+        best = max(
+            (
+                ((a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2, *sorted((a, b)))
+                for i, a in enumerate(pts)
+                for b in pts[i + 1 :]
+                if a != b
+            ),
+            key=lambda t: (t[0], tuple(-v for v in (*t[1], *t[2]))),
+        )
+        r = got[g]
+        assert ((r.ax, r.ay), (r.bx, r.by)) == (best[1], best[2]), g
