@@ -138,7 +138,11 @@ def main() -> None:
                  "cell_regions_z8", "road_crossings", "raster_upsample_z8_z9",
                  "trip_segments_orders",
                  "q3_shipping_priority", "q5_local_supplier_volume",
-                 "decontaminate_ngrams", "snapshot_diff_events", "quadtree_leaves_cap256", "dedup_clusters", "pip_temporal", "tile_slope_z8", "expire_tiles_z12", "embedding_semantic_dedup", "scd2_user_state", "mixture_sample_sources"]:
+                 "decontaminate_ngrams", "snapshot_diff_events", "quadtree_leaves_cap256", "dedup_clusters", "pip_temporal", "tile_slope_z8", "expire_tiles_z12", "embedding_semantic_dedup", "scd2_user_state", "mixture_sample_sources",
+                 "contour_ring_centroids_z8", "nearest_boundary_vertex",
+                 "assign_all_points", "zonal_stats_z10", "hilbert_key_z12",
+                 "stratified_sample_z6", "hamming_neardup_pairs",
+                 "convex_hull_groups", "hull_diameter_groups"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())
