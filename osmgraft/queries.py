@@ -631,6 +631,62 @@ def stratified_sample_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- spatiotemporal hotspot detection --------------------------------------------
+def _sql_hotspot_days() -> str:
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("event_id")
+    return f"""WITH pts AS (
+  SELECT {tiles.sql_tile_x(f'({lon})', 5)} AS tx, {tiles.sql_tile_y(f'({lat})', 5)} AS ty,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events),
+counts AS (SELECT tx, ty, day, count(*) AS cnt FROM pts GROUP BY tx, ty, day),
+trailed AS (
+  SELECT tx, ty, day, cnt,
+         sum(cnt) OVER (PARTITION BY tx, ty ORDER BY day
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS sum7
+  FROM counts)
+SELECT tx, ty, day, cnt, sum7 FROM trailed
+WHERE 7 * cnt > 3 * sum7 AND sum7 > cnt"""
+
+
+@register("hotspot_days_z5", _sql_hotspot_days())
+def hotspot_days_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatiotemporal hotspot detection: per-(z5 tile, day) event counts, a
+    trailing 7-day RANGE window (gap-correct — missing days contribute zero
+    WITHOUT densifying the sparse tile-day grid), and an integer
+    cross-multiplied anomaly flag (today's count > 3× the trailing 7-day
+    mean: 7·cnt > 3·sum7, with sum7 > cnt requiring real history) — the
+    burst detector a geo-event pipeline runs for breaking-activity feeds.
+
+    100 TB shape: one hash aggregation of the raw events (map-side combine),
+    then a window over the per-tile-day AGGREGATE — orders of magnitude
+    smaller than the input; no IEEE anywhere, so the flag can't flake at a
+    threshold boundary."""
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+    from pyspark.sql import Window as W
+
+    ev = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    lat, lon = latlon_of_key(F.col("event_id"))
+    counts = (
+        ev.select(
+            tiles.tile_x(lon, 5).alias("tx"),
+            tiles.tile_y(lat, 5).alias("ty"),
+            # TIMESTAMP_NTZ won't cast to long; unix_timestamp handles it.
+            # epoch/86400 ~ 2e4 is far inside double exactness, floor exact.
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        )
+        .groupBy("tx", "ty", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("tx", "ty").orderBy("day").rangeBetween(-6, 0)
+    trailed = counts.withColumn("sum7", F.sum("cnt").over(w))
+    return trailed.filter(
+        (7 * F.col("cnt") > 3 * F.col("sum7")) & (F.col("sum7") > F.col("cnt"))
+    ).select("tx", "ty", "day", "cnt", "sum7")
+
+
 # --- hamming near-dup join, hash-gated -------------------------------------------
 # image_phash_neardup exercises the REAL decode→pHash pipeline but is
 # rows-only (DuckDB cannot decode pixels).  This twin runs the identical
