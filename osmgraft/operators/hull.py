@@ -209,3 +209,73 @@ def hull_diameter_per_group(
         return pd.DataFrame(row)
 
     return df.groupBy(*group_cols).applyInPandas(fn, schema=out_schema)
+
+
+def min_bounding_rect_per_group(
+    df: DataFrame, group_cols: list[str], x_col: str = "x", y_col: str = "y"
+) -> DataFrame:
+    """Per-group MINIMUM-AREA bounding rectangle (rotating-calipers
+    semantics): the optimum rectangle has a side collinear with a hull edge
+    (classic result — Freeman & Shapira 1975), so each hull edge e proposes
+    area(e) = W_e·H_e / |e|² with W_e the extent along e and H_e the extent
+    across it, both integer numerators over the common denominator |e|².
+
+    The argmin compares the rational areas EXACTLY — w·h·e2' vs w'·h'·e2 on
+    python ints (these products reach ~1e38 at fixed-point scale; no float
+    could order them) — tie-broken to the lexicographically smallest edge.
+    Output per group: n_hull, the chosen edge (ax, ay, bx, by) and the
+    integer terms (e2, w_num, h_num); area = w_num·h_num/e2 for any
+    consumer.  Emitted terms are range-checked: past int64 (possible for
+    globe-spanning groups) the operator raises with translate-to-local-
+    origin advice rather than wrapping.  Groups with a degenerate hull
+    (< 3 vertices) emit nothing."""
+    import pandas as pd
+
+    out_schema = ", ".join(
+        [f"{c} long" for c in group_cols]
+        + ["n_hull long", "ax long", "ay long", "bx long", "by long",
+           "e2 long", "w_num long", "h_num long"]
+    )
+
+    def fn(key, pdf):
+        _, hx, hy = _hull_batch(pdf[x_col].to_numpy(), pdf[y_col].to_numpy())
+        verts = list(zip((int(v) for v in hx), (int(v) for v in hy)))
+        h = len(verts)
+        cols = group_cols + ["n_hull", "ax", "ay", "bx", "by", "e2", "w_num", "h_num"]
+        if h < 3:
+            return pd.DataFrame({c: [] for c in cols}).astype("int64")
+        best = None  # (w*h, e2, edge key, row)
+        for i in range(h):
+            (ax, ay), (bx, by) = verts[i], verts[(i + 1) % h]
+            ex, ey = bx - ax, by - ay
+            e2 = ex * ex + ey * ey
+            dots = [ex * (x - ax) + ey * (y - ay) for x, y in verts]
+            crosses = [ex * (y - ay) - ey * (x - ax) for x, y in verts]
+            w_num = max(dots) - min(dots)
+            h_num = max(crosses)  # CCW hull: all points left of the edge
+            cand = (w_num * h_num, e2, (ax, ay, bx, by),
+                    (w_num, h_num))
+            if best is None:
+                best = cand
+            else:
+                # exact rational compare: cand < best  <=>  a1*d2 < a2*d1
+                l, r = cand[0] * best[1], best[0] * cand[1]
+                if l < r or (l == r and cand[2] < best[2]):
+                    best = cand
+        vals = [*best[2], best[1], *best[3]]
+        if any(abs(v) > (1 << 63) - 1 for v in vals):
+            raise ValueError(
+                "min_bounding_rect terms overflow int64 — translate the group "
+                "to a local origin first (the rectangle is translation-invariant)"
+            )
+        row = {c: [int(k)] for c, k in zip(group_cols, key)}
+        row.update(
+            {
+                "n_hull": [h],
+                "ax": [vals[0]], "ay": [vals[1]], "bx": [vals[2]], "by": [vals[3]],
+                "e2": [vals[4]], "w_num": [vals[5]], "h_num": [vals[6]],
+            }
+        )
+        return pd.DataFrame(row)
+
+    return df.groupBy(*group_cols).applyInPandas(fn, schema=out_schema)

@@ -851,6 +851,43 @@ def hull_diameter_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hull_diameter_per_group(_hull_fixture(spark), ["g"], "x", "y")
 
 
+def _sql_min_bounding_rect() -> str:
+    return f"""WITH hull AS ({_sql_convex_hull()}),
+n AS (SELECT g, count(*) AS n_hull FROM hull GROUP BY g),
+edges AS (
+  SELECT a.g, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by,
+         b.x - a.x AS ex, b.y - a.y AS ey
+  FROM hull a JOIN n USING (g)
+  JOIN hull b ON b.g = a.g AND b.seq = (a.seq + 1) % n.n_hull),
+cand AS (
+  SELECT e.g, e.ax, e.ay, e.bx, e.by,
+         e.ex * e.ex + e.ey * e.ey AS e2,
+         max(e.ex * (p.x - e.ax) + e.ey * (p.y - e.ay))
+           - min(e.ex * (p.x - e.ax) + e.ey * (p.y - e.ay)) AS w_num,
+         max(e.ex * (p.y - e.ay) - e.ey * (p.x - e.ax)) AS h_num
+  FROM edges e JOIN hull p USING (g)
+  GROUP BY e.g, e.ax, e.ay, e.bx, e.by, e.ex, e.ey)
+SELECT c.g, n.n_hull, c.ax, c.ay, c.bx, c.by, c.e2, c.w_num, c.h_num
+FROM cand c JOIN n USING (g)
+ANTI JOIN cand f ON f.g = c.g AND (
+     CAST(f.w_num AS HUGEINT) * f.h_num * c.e2 < CAST(c.w_num AS HUGEINT) * c.h_num * f.e2
+  OR (CAST(f.w_num AS HUGEINT) * f.h_num * c.e2 = CAST(c.w_num AS HUGEINT) * c.h_num * f.e2
+      AND (f.ax, f.ay, f.bx, f.by) < (c.ax, c.ay, c.bx, c.by)))"""
+
+
+@register("min_bounding_rect_groups", _sql_min_bounding_rect())
+def min_bounding_rect_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group minimum-area bounding rectangle (operators/hull.
+    min_bounding_rect_per_group): every hull edge proposes W·H/|e|², the
+    argmin compared as EXACT rationals (python ints Spark-side; HUGEINT
+    cross-multiplication in the DuckDB anti-join twin — no float could
+    order ~1e38 products).  Same parabola fixture; the twin derives edges
+    from the closed-form hull by seq adjacency."""
+    from osmgraft.operators.hull import min_bounding_rect_per_group
+
+    return min_bounding_rect_per_group(_hull_fixture(spark), ["g"], "x", "y")
+
+
 def _hilbert_oracle() -> str:
     from osmgraft.functions.hilbert import sql_hilbert_cte_chain
 

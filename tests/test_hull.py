@@ -137,3 +137,32 @@ def test_diameter_matches_brute(spark):
         )
         r = got[g]
         assert ((r.ax, r.ay), (r.bx, r.by)) == (best[1], best[2]), g
+
+
+def test_min_bounding_rect_square_and_rotation(spark):
+    from osmgraft.operators.hull import min_bounding_rect_per_group
+
+    # axis-aligned 10x4 rectangle of points: min rect area = 40, e2*area =
+    # w_num*h_num with a side on the long edge (or short — equal area; the
+    # lexicographic tie-break pins one edge deterministically)
+    rows = [(0, x, y) for x in (0, 10) for y in (0, 4)] + [(0, 5, 2), (0, 3, 1)]
+    # group 1: same rectangle rotated 90° (x<->y swap) — area invariant
+    rows += [(1, y, x) for _, x, y in rows if _ == 0]
+    df = spark.createDataFrame(rows, "g long, x long, y long")
+    got = {r["g"]: r for r in min_bounding_rect_per_group(df, ["g"]).collect()}
+    for g in (0, 1):
+        r = got[g]
+        assert r.n_hull == 4
+        # exact area: w_num*h_num/e2 == 40
+        assert r.w_num * r.h_num == 40 * r.e2
+    # diamond (rotated square, diagonal 10): min rect is the 45° square of
+    # side 5*sqrt(2) -> area 50, proposed by a diamond edge (e2 = 50)
+    d = spark.createDataFrame(
+        [(0, 5, 0), (0, 10, 5), (0, 5, 10), (0, 0, 5), (0, 5, 5)],
+        "g long, x long, y long",
+    )
+    r = min_bounding_rect_per_group(d, ["g"]).collect()[0]
+    assert r.w_num * r.h_num == 50 * r.e2
+    # degenerate group emits nothing
+    seg = spark.createDataFrame([(9, 0, 0), (9, 5, 5)], "g long, x long, y long")
+    assert min_bounding_rect_per_group(seg, ["g"]).count() == 0
