@@ -142,7 +142,8 @@ def main() -> None:
                  "contour_ring_centroids_z8", "nearest_boundary_vertex",
                  "assign_all_points", "zonal_stats_z10", "hilbert_key_z12",
                  "stratified_sample_z6", "hamming_neardup_pairs",
-                 "convex_hull_groups", "hull_diameter_groups"]:
+                 "convex_hull_groups", "hull_diameter_groups",
+                 "hotspot_days_z5", "min_bounding_rect_groups"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())

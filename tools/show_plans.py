@@ -31,6 +31,13 @@ HEADLINE = [
     "dedup_jaccard_ngram",
     "h3_compact_roundtrip",
     "video_frame_luma",
+    "zonal_stats_z10",
+    "nearest_boundary_vertex",
+    "hilbert_key_z12",
+    "stratified_sample_z6",
+    "hotspot_days_z5",
+    "hamming_neardup_pairs",
+    "convex_hull_groups",
 ]
 
 KEEP = (
