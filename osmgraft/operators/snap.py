@@ -217,6 +217,8 @@ def nearest_vertex(
     vertex_d2_sql only ever LOWERS a candidate's d2, so a clamped far
     vertex (d2 ≥ guard²) can never beat a true in-radius candidate —
     the argmin over clamped values is the true argmin on surviving rows."""
+    if not vertices:
+        raise ValueError("nearest_vertex needs a non-empty vertex list")
     entries = [
         F.struct(
             F.expr(vertex_d2_sql(px, py, vlon, vlat, guard=guard)).alias("d2"),
