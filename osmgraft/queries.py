@@ -3748,6 +3748,54 @@ def image_geo_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exif_oracle() -> str:
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("idx")
+    return f"""WITH idxs AS (SELECT row_number() OVER () - 1 AS idx FROM orders),
+pts AS (
+  SELECT {lat} AS lat7, {lon} AS lon7
+  FROM idxs WHERE idx % 97 <> 0
+)
+SELECT {tiles.sql_tile_x('lon7', 10)} AS tx, {tiles.sql_tile_y('lat7', 10)} AS ty,
+       count(*) AS cnt
+FROM pts GROUP BY tx, ty"""
+
+
+@register("exif_gps_tiles", _exif_oracle())
+def exif_gps_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metadata leg of the north star's geo-tagged image pipeline:
+    coordinates travel ONLY inside each row's Exif APP1 GPS IFD (real TIFF
+    wire format, functions/exif.py), are recovered by the segment/IFD walker
+    (operators/multimodal.exif_gps), gated for exact fixed-point roundtrip
+    against the stored columns (any rational-math or walker bug drops rows
+    and fails the hash — the caption-leg discipline of image_geo_tiles),
+    then z10-tile-assigned and counted.
+
+    The oracle recomputes coordinates arithmetically and drops the planted
+    corrupt rows (idx % 97 == 0) — the EXIF encode∘parse roundtrip exists
+    only on the Spark side, so wire-format fidelity at BOTH endiannesses and
+    decoy-segment skipping are part of the gate. Scale: header-bounded Arrow
+    kernel, no shuffle before the tile aggregate."""
+    from osmgraft.operators.multimodal import exif_gps
+    from osmgraft.synth import synth_exif_images
+
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    imgs = synth_exif_images(spark, n)
+    parsed = exif_gps(imgs, passthrough=("lat7", "lon7"))
+    pts = parsed.filter(
+        (F.col("plat7") == F.col("lat7")) & (F.col("plon7") == F.col("lon7"))
+    )
+    return (
+        pts.select(
+            tiles.tile_x(F.col("plon7"), 10).alias("tx"),
+            tiles.tile_y(F.col("plat7"), 10).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 # --- raster↔vector: polygon -> tile-grid rasterization --------------------------
 def _bbox_values() -> str:
     """Pre-split bbox rows (antimeridian wrap handled by cover_bboxes, shared

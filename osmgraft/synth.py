@@ -368,6 +368,43 @@ def synth_images(spark: SparkSession, n: int, with_pixels: bool = True) -> DataF
     return idx_df.mapInPandas(gen, schema=IMAGE_SCHEMA)
 
 
+def synth_exif_images(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic JPEG-container rows whose GPS position lives ONLY in a
+    real Exif APP1 segment (functions/exif.py) — the metadata leg of the
+    north star's "lon/lat from image metadata/captions".
+
+    Coordinates are the shared closed-form projection (latlon_of_key over
+    idx — computed as Spark COLUMNS, so the Python stage only serializes
+    already-exact ints into TIFF rationals; sql_latlon_of_key is the oracle
+    twin). Adversarial rotation: byte order alternates MM/II per row; a
+    decoy segment (none / COM / non-Exif APP1) precedes the Exif APP1 on a
+    3-cycle, so a parser that grabs "the first APP1" or assumes one endian
+    fails the gate; every 97th row is truncated mid-marker (corrupt upload
+    → parser must yield NULL, not raise)."""
+    from osmgraft.functions.exif import com_segment, jpeg_with_gps, xmp_app1
+
+    idx_df = spark.range(n).select(F.col("id").alias("idx"))
+    lat, lon = latlon_of_key(F.col("idx"))
+    base = idx_df.select("idx", lat.alias("lat7"), lon.alias("lon7"))
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            out = []
+            for idx, la, lo in zip(
+                pdf["idx"].to_numpy().tolist(),
+                pdf["lat7"].to_numpy().tolist(),
+                pdf["lon7"].to_numpy().tolist(),
+            ):
+                pre = (b"", com_segment(b"decoy comment"), xmp_app1())[idx % 3]
+                data = jpeg_with_gps(la, lo, "MM" if idx % 2 == 0 else "II", pre)
+                if idx % 97 == 0:
+                    data = data[:7]
+                out.append((f"img{idx:012d}", data, la, lo))
+            yield pd.DataFrame(out, columns=["image_id", "bytes", "lat7", "lon7"])
+
+    return base.mapInPandas(gen, "image_id string, bytes binary, lat7 int, lon7 int")
+
+
 # --- 4. osmio-model fixtures (golden literals) --------------------------------
 def osm_nodes_df(spark: SparkSession) -> DataFrame:
     """Includes the reference's golden node 197801 (opl/test.rs:22-38, test.rs:9)."""
