@@ -3748,6 +3748,28 @@ def image_geo_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dbscan_oracle() -> str:
+    from osmgraft.operators.dbscan import sql_dbscan
+
+    return sql_dbscan(_PTS, eps=15_000, min_pts=8)
+
+
+@register("dbscan_clusters", _dbscan_oracle())
+def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the point table (eps = 0.0015°, min_pts = 8): the classic
+    density clustering producing core/border/noise roles and deterministic
+    min-id cluster labels (border points attach to their MINIMUM reachable
+    cluster — scan-order-free, so the output is a pure function of the
+    input). Spark: one eps-grid candidate equi-join + cc_star (O(log n)
+    rounds) on the core graph; DuckDB twin: identical candidate/metric text
+    but recursive-CTE transitive closure — two algorithms, one hash.
+    The synthetic hot spots (NYC/London/Tokyo jitter boxes) supply genuine
+    density structure; the sparse background stays noise."""
+    from osmgraft.operators.dbscan import dbscan
+
+    return dbscan(points_from_orders(spark, sf_dir), eps=15_000, min_pts=8)
+
+
 def _exif_oracle() -> str:
     from osmgraft.synth import sql_latlon_of_key
 
