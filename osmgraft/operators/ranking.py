@@ -224,3 +224,90 @@ agg AS (
   FROM term_scores GROUP BY query_id, doc_id
 )
 SELECT query_id, doc_id, score, rnk FROM agg WHERE rnk <= {k}"""
+
+
+# --------------------------------------------------------------------------
+# bigram language-model surprisal (perplexity-style quality filter)
+# --------------------------------------------------------------------------
+
+def lm_surprisal(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document surprisal under a self-trained corpus bigram LM — the
+    classic perplexity quality filter (KenLM-style scoring, public method):
+    fluent text repeats the corpus's common word transitions (low surprisal);
+    gibberish, boilerplate-free spam, and wrong-language text hit rare
+    transitions (high surprisal). Complements the static-table heuristics
+    (bigram_quality, repetition, stopword ratios) with corpus-adaptive
+    statistics.
+
+    Model: add-one-smoothed conditional P(cur|prev) = (c_bi + 1)/(c_prev + V)
+    over lowercased whitespace tokens, with c_prev the corpus count of
+    ``prev`` as a bigram left side and V the distinct-token vocabulary size.
+    Scoring uses the engine's integer-log2 discipline (tfidf/bm25 above):
+    per-occurrence bits = ilog2(c_prev + V) - ilog2(c_bi + 1) with
+    ilog2(x) = length(bin(x)) - 1 = floor(log2 x) — exact in both engines,
+    no floating point, provably >= 0 (c_bi <= c_prev, 1 <= V). The division
+    mean-bits = surprisal_bits / n_bigrams is never taken.
+
+    Output: (doc_id, surprisal_bits, n_bigrams) for every document with at
+    least one bigram.
+
+    Scale shape: per-doc bigrams are pre-aggregated to (doc, prev, cur, k)
+    — one map-side-combined shuffle — before joining the two count tables
+    (equi-joins on term keys; AQE splits the stopword-head skew), then one
+    final doc aggregation. Corpus V is a 1-row broadcast. No Python, no
+    windows, no driver data."""
+    from osmgraft.functions.text import tokens
+
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, n),
+        F.slice(toks, 2, n),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    occ = (
+        docs.select(F.col(id_col), F.explode(pairs).alias("pr"))
+        .select(id_col, F.col("pr.prev").alias("prev"), F.col("pr.cur").alias("cur"))
+        .groupBy(id_col, "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    cbi = occ.groupBy("prev", "cur").agg(F.sum("k").alias("c_bi"))
+    cprev = cbi.groupBy("prev").agg(F.sum("c_bi").alias("c_prev"))
+    vocab = docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    ilog2 = lambda c: F.length(F.bin(c)) - 1  # noqa: E731  floor(log2 x), x>=1
+    bits = ilog2(F.col("c_prev") + F.col("v")) - ilog2(F.col("c_bi") + F.lit(1))
+    return (
+        occ.join(cbi, ["prev", "cur"])
+        .join(cprev, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("k") * bits).alias("surprisal_bits"),
+            F.sum("k").alias("n_bigrams"),
+        )
+    )
+
+
+def sql_lm_surprisal(table: str = "documents") -> str:
+    """DuckDB twin: identical counts and integer-log2 text."""
+    from osmgraft.functions.text import sql_tokens, sql_word_bigrams
+
+    t = sql_tokens("lower(text)")
+    bg = sql_word_bigrams("toks")
+    return f"""WITH d AS (SELECT doc_id, {t} AS toks FROM {table}),
+occ AS (
+  SELECT doc_id, split_part(bg, ' ', 1) AS prev, split_part(bg, ' ', 2) AS cur,
+         count(*) AS k
+  FROM (SELECT doc_id, unnest({bg}) AS bg FROM d)
+  GROUP BY 1, 2, 3
+),
+cbi AS (SELECT prev, cur, sum(k) AS c_bi FROM occ GROUP BY prev, cur),
+cprev AS (SELECT prev, sum(c_bi) AS c_prev FROM cbi GROUP BY prev),
+vocab AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(toks) AS t FROM d))
+SELECT occ.doc_id,
+       sum(k * ((length(bin(c_prev + v)) - 1) - (length(bin(c_bi + 1)) - 1))) AS surprisal_bits,
+       sum(k) AS n_bigrams
+FROM occ JOIN cbi USING (prev, cur) JOIN cprev USING (prev) CROSS JOIN vocab
+GROUP BY occ.doc_id"""

@@ -2128,6 +2128,17 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+@register("lm_surprisal", R.sql_lm_surprisal())
+def lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surprisal under a self-trained corpus bigram LM with
+    add-one smoothing — the perplexity-style quality filter (KenLM-shape,
+    scored with the engine's exact integer-log2 discipline; the mean-bits
+    division is never taken). Low bits/bigram = fluent corpus-typical text,
+    high = gibberish/outliers. See operators/ranking.py lm_surprisal for
+    the plan shape at 100 TB."""
+    return R.lm_surprisal(_docs(spark, sf_dir))
+
+
 @register(
     "bm25_search",
     R.sql_bm25_scores(

@@ -163,3 +163,32 @@ def test_bm25_no_int64_overflow_on_long_docs(spark):
     by_doc = dict(ref["q"])
     for d, s in got.items():
         assert abs(s / 1e6 - by_doc[d]) < 1e-3, d
+
+
+def test_lm_surprisal_hand_computed(spark):
+    from osmgraft.operators.ranking import lm_surprisal
+
+    # corpus: "a b" x3 docs, one "a z" doc, one bigram-free "solo" doc.
+    # vocab {a,b,z,solo} -> V=4. bigram counts: (a,b)=3, (a,z)=1; c_prev(a)=4.
+    # bits(a,b) = ilog2(4+4) - ilog2(3+1) = 3 - 2 = 1
+    # bits(a,z) = ilog2(8) - ilog2(2)     = 3 - 1 = 2
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a z"), (5, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["surprisal_bits"], r["n_bigrams"])
+           for r in lm_surprisal(docs).collect()}
+    assert got == {1: (1, 1), 2: (1, 1), 3: (1, 1), 4: (2, 1)}  # no bigram -> absent
+
+
+def test_lm_surprisal_flags_gibberish(spark):
+    from osmgraft.operators.ranking import lm_surprisal
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, fluent) for i in range(20)]
+    rows.append((99, "zqx vbn qwe rty uio zqx plm okn ijb uhv ygc tfx"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["surprisal_bits"] / r["n_bigrams"]
+           for r in lm_surprisal(docs).collect()}
+    fluent_mean = sum(v for k, v in out.items() if k != 99) / 20
+    assert out[99] > 2 * fluent_mean  # gibberish is decisively more surprising
