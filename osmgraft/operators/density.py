@@ -323,3 +323,142 @@ CROSS JOIN range(-1, 2) dx(i)
 CROSS JOIN range(-1, 2) dy(i)
 JOIN cells n ON n.cx = c.cx + dx.i AND n.cy = c.cy + dy.i
 GROUP BY c.cx, c.cy"""
+
+
+# --------------------------------------------------------------------------
+# inverse-distance-weighted (IDW) interpolation
+# --------------------------------------------------------------------------
+
+IDW_K = 1 << 36  # weight scale: w = K div max(d2, 1)
+
+
+def idw_terms(
+    samples: DataFrame, pitch: int, radius_cells: int = 2
+) -> DataFrame:
+    """Shepard inverse-distance-squared interpolation of scattered samples
+    onto the occupied cells of a ``pitch``-sized lat/lon grid — the classic
+    geostatistics gridding op (public method; power p=2), emitted as EXACT
+    INTEGER terms with the division never taken (the ring-centroid
+    discipline): per target cell,
+        estimate = idw_num / idw_den,
+        w_i = IDW_K div max(d2_i, 1)   (quantized integer weights),
+    d2_i the exact wrap-aware squared fixed-point distance from sample i to
+    the CELL CENTER, restricted to d2 <= (radius_cells*pitch)^2. Quantized
+    weights make the sums associative and cross-engine exact — float 1/d2
+    would hash differently under reassociation; an exact-rational sum would
+    need unbounded denominators. A sample ON the center (d2=0) gets the
+    maximum weight IDW_K.
+
+    Input: (point_id, lat7, lon7, v) with v a bounded integer (|v| <= ~1e3
+    keeps num far from int64 overflow: |terms| <= IDW_K*|v| ~ 6.9e13, room
+    for ~1e5 in-radius samples per cell; shrink IDW_K for denser rasters).
+
+    Completeness: a sample within radius_cells*pitch of a center can only
+    lie in a cell within radius_cells of it on each axis (|sample - center|
+    >= (|cell_offset| - 1/2)*pitch per axis), so the (2r+1)^2 explode below
+    provably covers every contributing pair.
+
+    100 TB shape: one explode + equi-join on cell keys (the DBSCAN/celljoin
+    skew surface — AQE or the quadtree partitioner split dense cities), one
+    map-side-combined aggregation. Output (cy, cx, n_samples, idw_num,
+    idw_den) for every OCCUPIED cell (sparse-raster convention).
+    """
+    from osmgraft.operators.knn import LON_SPAN, _floordiv
+
+    if LON_SPAN % pitch:
+        raise ValueError(f"pitch must divide {LON_SPAN} for uniform lon wrap")
+    ncl = LON_SPAN // pitch
+    r2 = (radius_cells * pitch) ** 2
+    base = samples.select(
+        F.col("lat7").cast("long").alias("slat"),
+        F.col("lon7").cast("long").alias("slon"),
+        F.col("v").cast("long").alias("v"),
+        _floordiv(F.col("lat7"), pitch).alias("cy"),
+        F.pmod(_floordiv(F.col("lon7"), pitch), F.lit(ncl)).alias("cx"),
+    )
+    occupied = base.select("cy", "cx").distinct()
+    offs = range(-radius_cells, radius_cells + 1)
+    probes = base.select(
+        "slat",
+        "slon",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cy") + F.lit(dy)).alias("ty"),
+                        F.pmod(F.col("cx") + F.lit(dx), F.lit(ncl)).alias("tx"),
+                    )
+                    for dy in offs
+                    for dx in offs
+                ]
+            )
+        ).alias("t"),
+    ).select("slat", "slon", "v", F.col("t.ty").alias("cy"), F.col("t.tx").alias("cx"))
+    # exact integer cell-center coordinates: center = cell*pitch + pitch/2.
+    # Longitude works in the WRAPPED-UNSIGNED frame [0, LON_SPAN): the cell
+    # key cx = pmod(floor(slon/pitch), ncl) equals floor(pmod(slon, LON_SPAN)
+    # / pitch), so center cx*pitch + pitch/2 and sample pmod(slon, LON_SPAN)
+    # live in the SAME frame and the wrap-min metric is exact.
+    clat = F.col("cy") * F.lit(pitch) + F.lit(pitch // 2)
+    clon_u = F.col("cx") * F.lit(pitch) + F.lit(pitch // 2)  # in [0, LON_SPAN)
+    dlat = F.col("slat") - clat
+    adlon = F.abs(F.pmod(F.col("slon"), F.lit(LON_SPAN)) - clon_u)
+    dlon = F.least(adlon, F.lit(LON_SPAN) - adlon)
+    d2 = dlat * dlat + dlon * dlon
+    w = F.expr(f"{IDW_K} div greatest(d2v, 1L)")
+    return (
+        probes.join(occupied, ["cy", "cx"])
+        .withColumn("d2v", d2)
+        .where(F.col("d2v") <= F.lit(r2))
+        .select("cy", "cx", "v", w.alias("w"))
+        .groupBy("cy", "cx")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(F.col("w") * F.col("v")).alias("idw_num"),
+            F.sum("w").alias("idw_den"),
+        )
+    )
+
+
+def sql_idw_terms(samples_cte: str, pitch: int, radius_cells: int = 2) -> str:
+    """DuckDB twin over a (point_id, lat7, lon7, v) CTE body — identical
+    weight/metric text, direct 2-D offset cross join."""
+    from osmgraft.operators.knn import LON_SPAN
+
+    ncl = LON_SPAN // pitch
+    r2 = (radius_cells * pitch) ** 2
+
+    def fdiv(expr: str) -> str:
+        return (
+            f"CAST((CAST({expr} AS BIGINT) - ((CAST({expr} AS BIGINT) % {pitch} + {pitch}) % {pitch})) / {pitch} AS BIGINT)"
+        )
+
+    return f"""WITH s AS (
+  SELECT CAST(lat7 AS BIGINT) AS slat, CAST(lon7 AS BIGINT) AS slon,
+         CAST(v AS BIGINT) AS v,
+         {fdiv('lat7')} AS cy,
+         (({fdiv('lon7')} % {ncl}) + {ncl}) % {ncl} AS cx
+  FROM ({samples_cte})
+),
+occupied AS (SELECT DISTINCT cy, cx FROM s),
+probes AS (
+  SELECT slat, slon, v, cy + dy.i AS cy, ((cx + dx.i) % {ncl} + {ncl}) % {ncl} AS cx
+  FROM s
+  CROSS JOIN range(-{radius_cells}, {radius_cells + 1}) dy(i)
+  CROSS JOIN range(-{radius_cells}, {radius_cells + 1}) dx(i)
+),
+terms AS (
+  SELECT p.cy, p.cx, p.v,
+         (p.slat - (p.cy * {pitch} + {pitch // 2})) * (p.slat - (p.cy * {pitch} + {pitch // 2}))
+         + LEAST(ABS(((p.slon % {LON_SPAN}) + {LON_SPAN}) % {LON_SPAN} - (p.cx * {pitch} + {pitch // 2})),
+                 {LON_SPAN} - ABS(((p.slon % {LON_SPAN}) + {LON_SPAN}) % {LON_SPAN} - (p.cx * {pitch} + {pitch // 2})))
+           * LEAST(ABS(((p.slon % {LON_SPAN}) + {LON_SPAN}) % {LON_SPAN} - (p.cx * {pitch} + {pitch // 2})),
+                   {LON_SPAN} - ABS(((p.slon % {LON_SPAN}) + {LON_SPAN}) % {LON_SPAN} - (p.cx * {pitch} + {pitch // 2}))) AS d2v
+  FROM probes p JOIN occupied o ON o.cy = p.cy AND o.cx = p.cx
+)
+SELECT cy, cx, count(*) AS n_samples,
+       sum(({IDW_K} // greatest(d2v, 1)) * v) AS idw_num,
+       sum({IDW_K} // greatest(d2v, 1)) AS idw_den
+FROM terms WHERE d2v <= {r2}
+GROUP BY cy, cx"""

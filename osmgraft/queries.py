@@ -3759,6 +3759,28 @@ def image_geo_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _idw_oracle() -> str:
+    from osmgraft.operators.density import sql_idw_terms
+
+    cte = f"SELECT point_id, lat7, lon7, (point_id * 7919) % 1000 AS v FROM ({_PTS})"
+    return sql_idw_terms(cte, pitch=100_000, radius_cells=2)
+
+
+@register("idw_grid_p01", _idw_oracle())
+def idw_grid_p01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-squared (Shepard) interpolation of a scattered sample
+    value onto the occupied 0.01°-grid cells — exact integer terms
+    (idw_num, idw_den), quantized weights w = 2^36 div max(d2,1), wrap-aware
+    metric; the estimate division is never taken (ring-centroid discipline).
+    One explode + cell equi-join + map-side-combined aggregation; DuckDB twin
+    shares the weight/metric text with a direct offset cross join."""
+    from osmgraft.operators.density import idw_terms
+
+    pts = points_from_orders(spark, sf_dir)
+    samples = pts.withColumn("v", (F.col("point_id") * 7919) % 1000)
+    return idw_terms(samples, pitch=100_000, radius_cells=2)
+
+
 def _dbscan_oracle() -> str:
     from osmgraft.operators.dbscan import sql_dbscan
 

@@ -195,3 +195,48 @@ def test_slope_terms_hand_raster(spark):
         assert got[(cx, cy)] == (gx, gy, gx * gx + gy * gy), (cx, cy)
     assert got[(100, 100)] == (0, 0, 0)
     assert got[(11, 21)][0] == 8  # full window x-ramp: (1+2+1) * (right-left)
+
+
+def test_idw_terms_reference(spark):
+    """Python reference over a hand scatter incl. antimeridian wrap, exact-hit
+    max weight, and radius cutoff."""
+    from osmgraft.operators.density import IDW_K, idw_terms
+
+    LON_SPAN = 3_600_000_000
+    pitch, r = 100_000, 2
+    pts = [
+        (1, 50_000, 50_000, 7),          # exactly ON the center of cell (0,0)
+        (2, 120_000, 40_000, 3),         # cell (1,0)
+        (3, -20_000, -30_000, 11),       # negative coords
+        (4, 0, LON_SPAN // 2 - 10, 5),   # hugging +180
+        (5, 0, -LON_SPAN // 2 + 10, 9),  # hugging -180 (wraps to near pt 4)
+        (6, 5_000_000, 5_000_000, 1),    # far away: isolated cell
+    ]
+    df = spark.createDataFrame(pts, "point_id long, lat7 long, lon7 long, v long")
+    got = {
+        (row["cy"], row["cx"]): (row["n_samples"], row["idw_num"], row["idw_den"])
+        for row in idw_terms(df, pitch=pitch, radius_cells=r).collect()
+    }
+
+    ncl = LON_SPAN // pitch
+    cells = {(la // pitch, (lo // pitch) % ncl) for _, la, lo, _ in pts}
+    ref = {}
+    for cy, cx in cells:
+        clat, clon = cy * pitch + pitch // 2, cx * pitch + pitch // 2
+        n = num = den = 0
+        for _, la, lo, v in pts:
+            dlat = la - clat
+            adlon = abs(lo % LON_SPAN - clon)
+            dlon = min(adlon, LON_SPAN - adlon)
+            d2 = dlat * dlat + dlon * dlon
+            if d2 <= (r * pitch) ** 2:
+                w = IDW_K // max(d2, 1)
+                n, num, den = n + 1, num + w * v, den + w
+        ref[(cy, cx)] = (n, num, den)
+    assert got == ref
+    # the exact-hit sample dominates its own cell with weight IDW_K
+    cy0 = (0, 0)
+    assert ref[cy0][2] >= IDW_K
+    # the two antimeridian huggers see each other across the wrap
+    east = (0, (LON_SPAN // 2 - 10) // pitch % ncl)
+    assert got[east][0] >= 2
