@@ -3759,6 +3759,83 @@ def image_geo_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _polyline_oracle() -> str:
+    from osmgraft.functions.polyline import sql_chunks, sql_round_e5, sql_zigzag
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("o_orderkey")
+    return f"""WITH pts AS (
+  SELECT o_custkey % 199 AS ent, o_orderkey AS seq, {lat} AS lat7, {lon} AS lon7
+  FROM orders
+),
+e5 AS (SELECT ent, seq, {sql_round_e5('lat7')} AS lat5, {sql_round_e5('lon7')} AS lon5 FROM pts),
+d AS (SELECT ent, seq,
+        lat5 - coalesce(lag(lat5) OVER (PARTITION BY ent ORDER BY seq), 0) AS d_lat,
+        lon5 - coalesce(lag(lon5) OVER (PARTITION BY ent ORDER BY seq), 0) AS d_lon
+      FROM e5),
+z AS (SELECT ent, seq, {sql_zigzag('d_lat')} AS zlat, {sql_zigzag('d_lon')} AS zlon FROM d),
+s AS (SELECT ent, seq, ({sql_chunks('zlat')}) || ({sql_chunks('zlon')}) AS s FROM z)
+SELECT ent, string_agg(s, '' ORDER BY seq) AS polyline FROM s GROUP BY ent"""
+
+
+@register("polyline_tracks", _polyline_oracle())
+def polyline_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Google Encoded Polyline (precision 5) per entity track — the route
+    interchange codec, built entirely from engine-neutral integer/chr SQL
+    texts (functions/polyline.py; the hilbert.py shared-step discipline) so
+    the encoded STRINGS hash identically cross-engine. One shuffle on ent
+    (the delta lag window and the ordered concat share its sort); published
+    Google example vector pinned in test_polyline.py."""
+    from pyspark.sql import Window as W
+
+    from osmgraft.functions.polyline import sql_chunks, sql_round_e5, sql_zigzag
+    from osmgraft.synth import latlon_of_key
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lat, lon = latlon_of_key(F.col("o_orderkey"))
+    pts = o.select(
+        (F.col("o_custkey") % 199).alias("ent"),
+        F.col("o_orderkey").alias("seq"),
+        lat.alias("lat7"),
+        lon.alias("lon7"),
+    )
+    e5 = pts.select(
+        "ent",
+        "seq",
+        F.expr(sql_round_e5("lat7")).alias("lat5"),
+        F.expr(sql_round_e5("lon7")).alias("lon5"),
+    )
+    w = W.partitionBy("ent").orderBy("seq")
+    d = e5.select(
+        "ent",
+        "seq",
+        (F.col("lat5") - F.coalesce(F.lag("lat5").over(w), F.lit(0))).alias("d_lat"),
+        (F.col("lon5") - F.coalesce(F.lag("lon5").over(w), F.lit(0))).alias("d_lon"),
+    )
+    z = d.select(
+        "ent",
+        "seq",
+        F.expr(sql_zigzag("d_lat")).alias("zlat"),
+        F.expr(sql_zigzag("d_lon")).alias("zlon"),
+    )
+    s = z.select(
+        "ent",
+        "seq",
+        F.expr(f"({sql_chunks('zlat')}) || ({sql_chunks('zlon')})").alias("s"),
+    )
+    return s.groupBy("ent").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("seq").alias("seq"), F.col("s").alias("s")))
+                ),
+                lambda e: e["s"],
+            ),
+            "",
+        ).alias("polyline")
+    )
+
+
 def _idw_oracle() -> str:
     from osmgraft.operators.density import sql_idw_terms
 
