@@ -143,7 +143,9 @@ def main() -> None:
                  "assign_all_points", "zonal_stats_z10", "hilbert_key_z12",
                  "stratified_sample_z6", "hamming_neardup_pairs",
                  "convex_hull_groups", "hull_diameter_groups",
-                 "hotspot_days_z5", "min_bounding_rect_groups"]:
+                 "hotspot_days_z5", "min_bounding_rect_groups",
+                 "exif_gps_tiles", "dbscan_clusters", "lm_surprisal",
+                 "idw_grid_p01", "polyline_tracks"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -68,3 +68,71 @@ SELECT ent, trip, count(*) AS n_pts,
        min(x) AS min_x, max(x) AS max_x,
        min(y) AS min_y, max(y) AS max_y
 FROM g GROUP BY ent, trip"""
+
+
+def od_matrix(track: DataFrame, jump: int, pitch: int) -> DataFrame:
+    """Origin-destination flow matrix — the per-trip composition of
+    trip_segments: each trip contributes one flow from the grid cell of its
+    FIRST sample to the cell of its LAST sample (cells = floor-div ``pitch``
+    over the chart coordinates), aggregated to (o_cx, o_cy, d_cx, d_cy,
+    flows) — the standard mobility-analysis rollup.
+
+    Shape: the SAME single ent-shuffle as trip_segments (lag + running sum
+    share one window sort), endpoints via min_by/max_by in the trip
+    aggregation (no second window), then a map-side-combined flow count.
+    All integer."""
+    w = Window.partitionBy("ent").orderBy("seq")
+    step = F.greatest(
+        F.abs(F.col("x") - F.lag("x").over(w)),
+        F.abs(F.col("y") - F.lag("y").over(w)),
+    )
+    new_trip = F.when(step.isNull() | (step > jump), 1).otherwise(0)
+    run = Window.partitionBy("ent").orderBy("seq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g = track.select(
+        "ent", "seq", "x", "y", F.sum(new_trip).over(run).alias("trip")
+    )
+
+    def cell(c):
+        return ((c - F.pmod(c, F.lit(pitch))) / F.lit(pitch)).cast("long")
+
+    trips = g.groupBy("ent", "trip").agg(
+        cell(F.min_by("x", "seq")).alias("o_cx"),
+        cell(F.min_by("y", "seq")).alias("o_cy"),
+        cell(F.max_by("x", "seq")).alias("d_cx"),
+        cell(F.max_by("y", "seq")).alias("d_cy"),
+    )
+    return trips.groupBy("o_cx", "o_cy", "d_cx", "d_cy").agg(
+        F.count(F.lit(1)).alias("flows")
+    )
+
+
+def sql_od_matrix(track_cte: str, jump: int, pitch: int) -> str:
+    """DuckDB twin (arg_min/arg_max endpoints, identical floor-div text)."""
+
+    def cell(e: str) -> str:
+        return (
+            f"CAST((({e}) - ((({e}) % {pitch} + {pitch}) % {pitch})) / {pitch} AS BIGINT)"
+        )
+
+    return f"""WITH track AS ({track_cte}),
+f AS (
+  SELECT ent, seq, x, y,
+         CASE WHEN lag(x) OVER w IS NULL
+                OR greatest(abs(x - lag(x) OVER w), abs(y - lag(y) OVER w))
+                   > {jump}
+              THEN 1 ELSE 0 END AS nt
+  FROM track
+  WINDOW w AS (PARTITION BY ent ORDER BY seq)),
+g AS (
+  SELECT ent, seq, x, y,
+         sum(nt) OVER (PARTITION BY ent ORDER BY seq) AS trip
+  FROM f),
+trips AS (
+  SELECT ent, trip,
+         {cell('arg_min(x, seq)')} AS o_cx, {cell('arg_min(y, seq)')} AS o_cy,
+         {cell('arg_max(x, seq)')} AS d_cx, {cell('arg_max(y, seq)')} AS d_cy
+  FROM g GROUP BY ent, trip)
+SELECT o_cx, o_cy, d_cx, d_cy, count(*) AS flows
+FROM trips GROUP BY o_cx, o_cy, d_cx, d_cy"""

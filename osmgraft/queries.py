@@ -3585,6 +3585,32 @@ def trip_segments_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trip_segments(track, jump=2000)
 
 
+def _sql_od() -> str:
+    from osmgraft.operators.trajectory import sql_od_matrix
+
+    return sql_od_matrix(_TRACK_CTE, jump=2000, pitch=500)
+
+
+@register("od_matrix_orders", _sql_od())
+def od_matrix_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix over the trip segmentation: each trip
+    contributes one (origin cell -> destination cell) flow on the pitch-500
+    grid — the standard mobility rollup. Same single ent-shuffle as
+    trip_segments (endpoints via min_by/max_by inside the trip aggregation,
+    no extra window); hash-gated against arg_min/arg_max in DuckDB."""
+    from osmgraft.operators.trajectory import od_matrix
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    o = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    track = o.selectExpr(
+        "o_custkey % 199 AS ent",
+        "o_orderkey AS seq",
+        "(o_orderkey * 13) % 100000 div 10 AS x",
+        "(o_orderkey * 29) % 100000 div 10 AS y",
+    )
+    return od_matrix(track, jump=2000, pitch=500)
+
+
 @register(
     "snapshot_diff_events",
     """SELECT event_id AS id, 'modify' AS op, event_type

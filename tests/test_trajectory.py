@@ -41,3 +41,26 @@ def test_single_window_sort_in_plan(spark):
     df = spark.createDataFrame([(1, 1, 0, 0)], "ent long, seq long, x long, y long")
     plan = trip_segments(df, 5)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") <= 2 and "Python" not in plan
+
+
+def test_od_matrix_hand_fixture(spark):
+    """Two entities, known trips: flows count trip endpoints, not samples."""
+    from osmgraft.operators.trajectory import od_matrix
+
+    rows = [
+        # ent 1: trip A seq 1-3 (cells 0->1), jump, trip B seq 4-5 (cell 4->4)
+        (1, 1, 100, 100), (1, 2, 300, 120), (1, 3, 600, 140),
+        (1, 4, 2300, 2300), (1, 5, 2400, 2350),
+        # ent 2: one single-sample trip at cell (9, 9) -> self flow
+        (2, 1, 4700, 4600),
+    ]
+    df = spark.createDataFrame(rows, "ent long, seq long, x long, y long")
+    got = {
+        (r["o_cx"], r["o_cy"], r["d_cx"], r["d_cy"]): r["flows"]
+        for r in od_matrix(df, jump=1000, pitch=500).collect()
+    }
+    assert got == {
+        (0, 0, 1, 0): 1,   # trip A: (100,100)->(600,140)
+        (4, 4, 4, 4): 1,   # trip B stays in cell 4,4
+        (9, 9, 9, 9): 1,   # singleton trip: origin == destination
+    }
