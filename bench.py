@@ -145,7 +145,8 @@ def main() -> None:
                  "convex_hull_groups", "hull_diameter_groups",
                  "hotspot_days_z5", "min_bounding_rect_groups",
                  "exif_gps_tiles", "dbscan_clusters", "lm_surprisal",
-                 "idw_grid_p01", "polyline_tracks"]:
+                 "idw_grid_p01", "polyline_tracks",
+                 "od_matrix_orders", "geojson_roundtrip_tracks"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -3785,6 +3785,63 @@ def image_geo_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _geojson_oracle() -> str:
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("o_orderkey")
+    return f"""WITH pts AS (
+  SELECT o_custkey % 199 AS ent, {lat} AS lat7, {lon} AS lon7 FROM orders
+)
+SELECT ent, count(*) AS n_vertices,
+       sum(CAST(lat7 AS BIGINT) + 2 * CAST(lon7 AS BIGINT)) AS coord_checksum
+FROM pts GROUP BY ent"""
+
+
+@register("geojson_roundtrip_tracks", _geojson_oracle())
+def geojson_roundtrip_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON interchange roundtrip: per-entity tracks are serialized as
+    RFC 7946 LineString Features with EXACT-decimal coordinate text
+    (functions/geojson.py — no float formatting anywhere), then read back
+    through Spark's real JSON parser and the half-away fixed-point codec.
+    The output (per-ent vertex count + an order-free integer checksum with
+    lon weighted 2x, so a lon/lat axis swap cannot cancel) must match the
+    oracle's closed-form geometry — any serialization, nesting, axis-order,
+    or precision bug flips the hash. One shuffle to assemble features, one
+    to re-aggregate the parsed vertices."""
+    from osmgraft.functions.geojson import (
+        parse_linestring_features,
+        sql_linestring_feature,
+        sql_position,
+    )
+    from osmgraft.synth import latlon_of_key
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lat, lon = latlon_of_key(F.col("o_orderkey"))
+    pts = o.select(
+        (F.col("o_custkey") % 199).alias("ent"),
+        F.col("o_orderkey").alias("seq"),
+        lat.alias("lat7"),
+        lon.alias("lon7"),
+    )
+    pos = pts.select("ent", "seq", F.expr(sql_position("lon7", "lat7")).alias("s"))
+    feats = pos.groupBy("ent").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("seq").alias("seq"), F.col("s").alias("s")))
+                ),
+                lambda e: e["s"],
+            ),
+            ",",
+        ).alias("coords")
+    ).select(F.expr(sql_linestring_feature("ent", "coords")).alias("feature"))
+    vertices = parse_linestring_features(feats, "feature")
+    return vertices.groupBy("ent").agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.sum(F.col("lat7") + 2 * F.col("lon7")).alias("coord_checksum"),
+    )
+
+
 def _polyline_oracle() -> str:
     from osmgraft.functions.polyline import sql_chunks, sql_round_e5, sql_zigzag
     from osmgraft.synth import sql_latlon_of_key
