@@ -146,7 +146,8 @@ def main() -> None:
                  "hotspot_days_z5", "min_bounding_rect_groups",
                  "exif_gps_tiles", "dbscan_clusters", "lm_surprisal",
                  "idw_grid_p01", "polyline_tracks",
-                 "od_matrix_orders", "geojson_roundtrip_tracks"]:
+                 "od_matrix_orders", "geojson_roundtrip_tracks",
+                 "colocation_pairs", "tile_equalize_z9"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())

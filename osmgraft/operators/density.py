@@ -462,3 +462,52 @@ SELECT cy, cx, count(*) AS n_samples,
        sum({IDW_K} // greatest(d2v, 1)) AS idw_den
 FROM terms WHERE d2v <= {r2}
 GROUP BY cy, cx"""
+
+
+# --------------------------------------------------------------------------
+# histogram equalization (raster contrast stretch)
+# --------------------------------------------------------------------------
+
+def equalize(cells: DataFrame, levels: int = 256) -> DataFrame:
+    """Histogram equalization of a sparse cell raster — the classic image
+    contrast stretch (public formula) applied to the tile-count surface
+    before rendering (render_tile_pngs consumes the remapped values):
+        eq(v) = (cdf(v) - cdf_min) * (levels-1) div (n - cdf_min)
+    with cdf(v) = #cells with cnt <= v, cdf_min = cdf of the smallest
+    value, integer division — exact, no floats. Degenerate raster (one
+    distinct value) maps to levels-1.
+
+    Shape: the CDF is computed on the per-VALUE histogram (groupBy cnt —
+    map-side combined; distinct count values are tiny compared to cells,
+    bounded by the count range), its running sum is one single-partition
+    window over that tiny table, and the remap is a broadcast join back to
+    the cells. The raster itself is never windowed or re-shuffled."""
+    from pyspark.sql import Window
+
+    vals = cells.groupBy("cnt").agg(F.count(F.lit(1)).alias("k"))
+    w = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdf = vals.select("cnt", F.sum("k").over(w).alias("cdf"))
+    stats = cdf.agg(F.max("cdf").alias("n"), F.min("cdf").alias("cdf_min"))
+    eq = F.when(
+        F.col("n") > F.col("cdf_min"),
+        F.expr(f"((cdf - cdf_min) * {levels - 1}) div (n - cdf_min)"),
+    ).otherwise(F.lit(levels - 1))
+    return (
+        cells.join(F.broadcast(cdf), "cnt")
+        .crossJoin(F.broadcast(stats))
+        .select("cy", "cx", "cnt", eq.cast("long").alias("eq"))
+    )
+
+
+def sql_equalize(cells_cte: str, levels: int = 256) -> str:
+    """DuckDB twin: identical CDF/remap text."""
+    return f"""WITH cells AS ({cells_cte}),
+vals AS (SELECT cnt, count(*) AS k FROM cells GROUP BY cnt),
+cdf AS (SELECT cnt, sum(k) OVER (ORDER BY cnt
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdf FROM vals),
+stats AS (SELECT max(cdf) AS n, min(cdf) AS cdf_min FROM cdf)
+SELECT c.cy, c.cx, c.cnt,
+       CASE WHEN s.n > s.cdf_min
+            THEN ((d.cdf - s.cdf_min) * {levels - 1}) // (s.n - s.cdf_min)
+            ELSE {levels - 1} END AS eq
+FROM cells c JOIN cdf d USING (cnt) CROSS JOIN stats s"""

@@ -3551,6 +3551,29 @@ def raster_upsample_z8_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raster_upsample(_cells_df(spark, sf_dir, 8))
 
 
+def _sql_equalize() -> str:
+    from osmgraft.operators.density import sql_equalize
+
+    return (
+        f"WITH pts AS ({_PTS}), outer_q AS (\n"
+        f"{sql_equalize(_sql_cells(9))}\n) SELECT * FROM outer_q"
+    )
+
+
+@register("tile_equalize_z9", _sql_equalize())
+def tile_equalize_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram equalization of the z9 tile-count raster — the image
+    contrast stretch applied to the heat surface before rendering (the
+    geospatial x image bridge: render_tile_pngs consumes the remapped
+    values). Exact integer CDF remap, eq = (cdf-cdf_min)*255 div
+    (n-cdf_min); the CDF lives on the tiny per-VALUE histogram (one
+    single-partition window over distinct counts), broadcast-joined back —
+    the raster itself is never re-shuffled."""
+    from osmgraft.operators.density import equalize
+
+    return equalize(_cells_df(spark, sf_dir, 9))
+
+
 # --- trajectory trip segmentation ------------------------------------------------
 _TRACK_CTE = """SELECT o_custkey % 199 AS ent, o_orderkey AS seq,
        (o_orderkey * 13) % 100000 // 10 AS x,
@@ -3782,6 +3805,58 @@ def image_geo_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("boundary_id", "tx", "ty")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _colocation_oracle() -> str:
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("event_id")
+    return f"""WITH pos AS (
+  SELECT user_id, ts, {lat} AS lat7, {lon} AS lon7 FROM events
+),
+v AS (
+  SELECT DISTINCT user_id,
+         {tiles.sql_tile_x('lon7', 5)} AS tx, {tiles.sql_tile_y('lat7', 5)} AS ty,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hb
+  FROM pos
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS co_hours
+FROM v a JOIN v b ON a.tx = b.tx AND a.ty = b.ty AND a.hb = b.hb
+                 AND a.user_id < b.user_id
+GROUP BY 1, 2"""
+
+
+@register("colocation_pairs", _colocation_oracle())
+def colocation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatiotemporal co-location join (the contact-tracing / co-occurrence
+    shape): users who visited the SAME z5 tile in the SAME hour bucket, as
+    distinct-visit pairs with their co-located-hour counts. Plan: one
+    distinct over (user, tile, hour) — map-side combined — then a self
+    equi-join on the (tile, hour) composite key (hot tiles are exactly the
+    AQE skew-split surface) and a pair count. All integer; twin shares the
+    tile/epoch text."""
+    from osmgraft.synth import latlon_of_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lat, lon = latlon_of_key(F.col("event_id"))
+    v = ev.select(
+        "user_id",
+        tiles.tile_x(lon, 5).alias("tx"),
+        tiles.tile_y(lat, 5).alias("ty"),
+        F.expr("unix_timestamp(ts) div 3600").alias("hb"),
+    ).distinct()
+    a = v.select(
+        F.col("user_id").alias("user_a"), "tx", "ty", "hb"
+    )
+    b = v.select(
+        F.col("user_id").alias("user_b"), "tx", "ty", "hb"
+    )
+    return (
+        a.join(b, ["tx", "ty", "hb"])
+        .where(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("co_hours"))
     )
 
 

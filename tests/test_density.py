@@ -240,3 +240,25 @@ def test_idw_terms_reference(spark):
     # the two antimeridian huggers see each other across the wrap
     east = (0, (LON_SPAN // 2 - 10) // pitch % ncl)
     assert got[east][0] >= 2
+
+
+def test_equalize_reference(spark):
+    """Exact remap vs numpy CDF reference; degenerate single-value raster."""
+    import numpy as np
+
+    from osmgraft.operators.density import equalize
+
+    rng = [(i % 7, i // 7, (i * i) % 13 + 1) for i in range(60)]
+    df = spark.createDataFrame(rng, "cx long, cy long, cnt long")
+    got = {(r["cy"], r["cx"]): r["eq"] for r in equalize(df).collect()}
+    cnts = np.array([c for _, _, c in rng])
+    n = len(cnts)
+    cdf_min = int((cnts <= cnts.min()).sum())
+    for cx, cy, c in rng:
+        cdf = int((cnts <= c).sum())
+        assert got[(cy, cx)] == (cdf - cdf_min) * 255 // (n - cdf_min)
+    # equalized histogram spans the full range
+    assert min(got.values()) == 0 and max(got.values()) == 255
+    # degenerate: all cells equal -> everything maps to 255
+    flat = spark.createDataFrame([(0, 0, 5), (1, 0, 5)], "cx long, cy long, cnt long")
+    assert {r["eq"] for r in equalize(flat).collect()} == {255}
