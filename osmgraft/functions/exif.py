@@ -51,9 +51,12 @@ def _dms_rationals(a7: int) -> list[tuple[int, int]]:
     return [(d, 1), (m, 1), (m_rem * 60, _TEN7)]
 
 
-def gps_tiff(lat7: int, lon7: int, endian: str = "MM") -> bytes:
+def gps_tiff(lat7: int, lon7: int, endian: str = "MM", orientation: int = 1) -> bytes:
     """TIFF stream (no APP1 framing) with IFD0 -> GPS IFD carrying the
-    coordinate as exact DMS rationals.  ``endian`` is 'MM' (big) or 'II'."""
+    coordinate as exact DMS rationals.  ``endian`` is 'MM' (big) or 'II';
+    ``orientation`` is the Exif 2.3 tag 0x0112 value (1..8)."""
+    if not 1 <= orientation <= 8:
+        raise ValueError("orientation must be 1..8")
     e = ">" if endian == "MM" else "<"
     u16 = lambda v: struct.pack(e + "H", v)  # noqa: E731
     u32 = lambda v: struct.pack(e + "I", v)  # noqa: E731
@@ -69,7 +72,7 @@ def gps_tiff(lat7: int, lon7: int, endian: str = "MM") -> bytes:
     hdr = (b"MM" if endian == "MM" else b"II") + u16(42) + u32(8)
     ifd0 = (
         u16(2)
-        + entry(0x0112, 3, 1, u16(1))          # Orientation SHORT 1
+        + entry(0x0112, 3, 1, u16(orientation))  # Orientation SHORT
         + entry(0x8825, 4, 1, u32(gps_off))    # GPSInfo IFD pointer
         + u32(0)
     )
@@ -86,19 +89,20 @@ def gps_tiff(lat7: int, lon7: int, endian: str = "MM") -> bytes:
     return hdr + ifd0 + gps + rat(_dms_rationals(abs(lat7))) + rat(_dms_rationals(abs(lon7)))
 
 
-def gps_app1(lat7: int, lon7: int, endian: str = "MM") -> bytes:
+def gps_app1(lat7: int, lon7: int, endian: str = "MM", orientation: int = 1) -> bytes:
     """Full APP1 segment: marker + length + "Exif\\0\\0" + TIFF stream."""
-    payload = b"Exif\x00\x00" + gps_tiff(lat7, lon7, endian)
+    payload = b"Exif\x00\x00" + gps_tiff(lat7, lon7, endian, orientation)
     return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
 
 
 def jpeg_with_gps(lat7: int, lon7: int, endian: str = "MM",
-                  pre_segments: bytes = b"") -> bytes:
+                  pre_segments: bytes = b"", orientation: int = 1) -> bytes:
     """Minimal JPEG segment stream carrying the GPS APP1: SOI, any caller
     segments (decoy APP1s / comments — real files front-load JFIF/XMP), the
     Exif APP1, EOI.  Enough container for any segment-walking metadata
     extractor; splice-ready after the SOI of a full ``jpeg_encode`` stream."""
-    return b"\xff\xd8" + pre_segments + gps_app1(lat7, lon7, endian) + b"\xff\xd9"
+    return (b"\xff\xd8" + pre_segments
+            + gps_app1(lat7, lon7, endian, orientation) + b"\xff\xd9")
 
 
 def com_segment(text: bytes) -> bytes:
@@ -200,8 +204,8 @@ def parse_gps_tiff(buf: bytes) -> tuple[int, int] | None:
         return None
 
 
-def parse_gps(data: bytes) -> tuple[int, int] | None:
-    """JPEG bytes -> (lat7, lon7) from the first Exif APP1, or None.
+def find_exif_tiff(data: bytes) -> bytes | None:
+    """JPEG bytes -> the TIFF payload of the first Exif APP1, or None.
 
     Walks the segment stream from SOI (the reference's frame-before-payload
     discipline, stringpbf/mod.rs:61-87: validate framing, then decode) and
@@ -222,6 +226,47 @@ def parse_gps(data: bytes) -> tuple[int, int] | None:
         if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
             # the one copy per row: the <=64 KiB APP1 payload (the outer
             # ``data`` may be a zero-copy memoryview of the Arrow buffer)
-            return parse_gps_tiff(bytes(data[pos + 10 : pos + 2 + seg_len]))
+            return bytes(data[pos + 10 : pos + 2 + seg_len])
         pos += 2 + seg_len
     return None
+
+
+def parse_gps(data: bytes) -> tuple[int, int] | None:
+    """JPEG bytes -> (lat7, lon7) from the first Exif APP1, or None."""
+    tiff = find_exif_tiff(data)
+    return None if tiff is None else parse_gps_tiff(tiff)
+
+
+def parse_orientation_tiff(buf: bytes) -> int | None:
+    """TIFF stream -> IFD0 Orientation (tag 0x0112, 1..8) or None."""
+    try:
+        bo = buf[:2]
+        if bo == b"MM":
+            e = ">"
+        elif bo == b"II":
+            e = "<"
+        else:
+            return None
+        magic, ifd0 = struct.unpack_from(e + "HI", buf, 2)
+        if magic != 42:
+            return None
+        ent = _ifd_entries(buf, e, ifd0).get(0x0112)
+        if ent is None:
+            return None
+        typ, cnt, tail = ent
+        vb = _value_bytes(buf, e, typ, cnt, tail)
+        if typ == 3 and len(vb) >= 2:
+            (o,) = struct.unpack(e + "H", vb[:2])
+        elif typ == 4 and len(vb) >= 4:
+            (o,) = struct.unpack(e + "I", vb[:4])
+        else:
+            return None
+        return o if 1 <= o <= 8 else None
+    except (struct.error, ValueError, IndexError):
+        return None
+
+
+def parse_orientation(data: bytes) -> int | None:
+    """JPEG bytes -> Exif Orientation (1..8) or None."""
+    tiff = find_exif_tiff(data)
+    return None if tiff is None else parse_orientation_tiff(tiff)

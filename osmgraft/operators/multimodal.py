@@ -1044,7 +1044,8 @@ def audio_dft_bins(
     )
 
 
-_AUGMENT_OPS = ("hflip", "vflip", "rot90", "rot180", "rot270", "transpose")
+_AUGMENT_OPS = ("hflip", "vflip", "rot90", "rot180", "rot270", "transpose",
+                "transverse")
 
 
 def image_augment(
@@ -1052,9 +1053,10 @@ def image_augment(
 ) -> DataFrame:
     """Deterministic geometric augmentation (training-data variant
     generation): hflip / vflip / rot90 (CCW, numpy convention) / rot180 /
-    rot270 / transpose, re-encoded losslessly as ``out_fmt``. Exact pixel
-    semantics (pure index permutations — no resampling, no floats), so
-    involutions hold bitwise: hflip∘hflip = id, rot90⁴ = id (test-pinned).
+    rot270 / transpose / transverse (anti-diagonal flip), re-encoded
+    losslessly as ``out_fmt``. Exact pixel semantics (pure index
+    permutations — no resampling, no floats), so involutions hold bitwise:
+    hflip∘hflip = id, rot90⁴ = id, transverse² = id (test-pinned).
     Same Arrow-buffer batch kernel family as transcode_qdct; rotations and
     transpose swap (w, h) in the metadata."""
     from osmgraft.functions.codec import encode_image
@@ -1063,7 +1065,7 @@ def image_augment(
         raise ValueError(f"op must be one of {_AUGMENT_OPS}")
     if out_fmt not in ("raw", "ppm", "png"):
         raise ValueError("out_fmt must be lossless: raw, ppm or png")
-    swaps = op in ("rot90", "rot270", "transpose")
+    swaps = op in ("rot90", "rot270", "transpose", "transverse")
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
@@ -1091,8 +1093,10 @@ def image_augment(
                 out = px[:, ::-1, ::-1]
             elif op == "rot270":
                 out = np.rot90(px, 3, axes=(1, 2))
-            else:  # transpose
+            elif op == "transpose":
                 out = np.transpose(px, (0, 2, 1, 3))
+            else:  # transverse: flip along the anti-diagonal = rot180 o transpose
+                out = np.transpose(px, (0, 2, 1, 3))[:, ::-1, ::-1]
             out = np.ascontiguousarray(out)
             ow, oh = (h, w) if swaps else (w, h)
             payloads = [encode_image(out[i], out_fmt) for i in range(k)]
@@ -1438,3 +1442,123 @@ def exif_gps(
 
     proj = [id_col, *passthrough, bytes_col]
     return images.select(*proj).mapInArrow(kernel, schema=out_schema)
+
+
+# EXIF Orientation (tag 0x0112) -> the augmentation that NORMALIZES pixels
+# back to orientation 1. Per Exif 2.3: 2=hflip'd, 3=rot180'd, 4=vflip'd,
+# 5=transposed, 6=stored rotated 90 deg CCW (correct with a CW turn = our
+# rot270), 7=transverse'd, 8=stored rotated 90 deg CW (correct with rot90).
+# Every correction is an involution or the inverse rotation, so
+# normalize(distort(o)) == identity bitwise (test-pinned).
+_ORIENT_FIX = {
+    2: "hflip",
+    3: "rot180",
+    4: "vflip",
+    5: "transpose",
+    6: "rot270",
+    7: "transverse",
+    8: "rot90",
+}
+
+
+def exif_autoorient(
+    images: DataFrame, exif_col: str = "exif", on_error: str = "fail"
+) -> DataFrame:
+    """Normalize stored pixels to Exif orientation 1 — the ingest step every
+    real photo lake runs before training/rendering (phones store sensor-
+    native pixels + an Orientation tag; ignoring it feeds sideways images to
+    the model).
+
+    Two stages, both Arrow kernels: (1) the header-bounded EXIF walker
+    (functions/exif.py) reads tag 0x0112 per row — pixel payloads untouched;
+    (2) rows fan out by orientation into the matching exact-permutation
+    augment kernel (8 branches unioned; orientation 1 / missing / invalid
+    pass through re-encoded by the identity branch, so output schema and fmt
+    are uniform). No shuffle anywhere — every branch is a narrow map over
+    the same scan, and Catalyst collapses the union into parallel stages.
+
+    Input needs (image_id, bytes, w, h, fmt, caption, exif_col); output is
+    TRANSCODE_SCHEMA with pixels normalized and (w, h) swapped where the
+    correction rotates/transposes.
+    """
+    from osmgraft.functions.exif import parse_orientation
+
+    # orientation column via the same zero-copy Arrow walker as exif_gps
+    def okernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            arr = rb.column(exif_col)
+            n = len(arr)
+            out: list[int | None] = [None] * n
+            if n:
+                buf, starts, ends = _binary_spans(arr)
+                mv = memoryview(buf)
+                valid = (
+                    arr.is_valid().to_numpy(zero_copy_only=False)
+                    if arr.null_count
+                    else np.ones(n, dtype=bool)
+                )
+                for i in range(n):
+                    if valid[i]:
+                        out[i] = parse_orientation(mv[starts[i] : ends[i]])
+            cols = [rb.column(c) for c in base_cols]
+            cols.append(pa.array(out, pa.int32()))
+            yield pa.RecordBatch.from_arrays(cols, names=[*base_cols, "orientation"])
+
+    base_cols = ["image_id", "bytes", "w", "h", "fmt", "caption"]
+    fields = [StructField(c, images.schema[c].dataType) for c in base_cols]
+    fields.append(StructField("orientation", IntegerType(), True))
+    tagged = images.select(*base_cols, exif_col).mapInArrow(
+        okernel, schema=StructType(fields)
+    )
+
+    ident = tagged.where(
+        F.col("orientation").isNull() | ~F.col("orientation").isin(list(_ORIENT_FIX))
+    ).select(*base_cols)
+    # identity branch re-encodes to out_fmt for a uniform output contract
+    branches = [transcode_to_raw(ident, on_error=on_error)]
+    for o, op in _ORIENT_FIX.items():
+        branch = tagged.where(F.col("orientation") == o).select(*base_cols)
+        branches.append(image_augment(branch, op=op, out_fmt="raw", on_error=on_error))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def transcode_to_raw(images: DataFrame, on_error: str = "fail") -> DataFrame:
+    """Identity re-encode to raw (decode + emit) — the identity branch of
+    exif_autoorient and a standalone format normalizer."""
+    from osmgraft.functions.codec import encode_image
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            k = len(sel)
+            if px is None:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        rb.column("image_id").take(sel),
+                        pa.nulls(k, pa.binary()),
+                        rb.column("w").take(sel),
+                        rb.column("h").take(sel),
+                        pa.nulls(k, pa.string()),
+                        rb.column("caption").take(sel),
+                    ],
+                    names=[f.name for f in TRANSCODE_SCHEMA.fields],
+                )
+                continue
+            payloads = [encode_image(px[i], "raw") for i in range(k)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column("image_id").take(sel),
+                    pa.array(payloads, pa.binary()),
+                    pa.array(np.full(k, w, dtype=np.int32)),
+                    pa.array(np.full(k, h, dtype=np.int32)),
+                    pa.array(["raw"] * k),
+                    rb.column("caption").take(sel),
+                ],
+                names=[f.name for f in TRANSCODE_SCHEMA.fields],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt", "caption").mapInArrow(
+        kernel, schema=TRANSCODE_SCHEMA
+    )

@@ -84,3 +84,81 @@ def sql_exact_percentiles_native(
         f"SELECT {ks}, {q} AS q_pm, p{q} AS val_q FROM a" for q in quantiles_pm
     )
     return f"WITH a AS (SELECT {ks}, {aggs} FROM ({table_sql}) GROUP BY {ks}) {arms}"
+
+
+# --------------------------------------------------------------------------
+# KMV distinct-count sketch
+# --------------------------------------------------------------------------
+
+KMV_BITS = 48  # hash width: (k-1) << 48 stays far inside int64 for k <= 2^15
+
+
+def kmv_distinct(
+    df: DataFrame, group_cols: list[str], key_col: str, k: int = 32
+) -> DataFrame:
+    """Approximate distinct count per group via the K-Minimum-Values sketch
+    (Bar-Yossef et al. 2002 — public method): hash every key to a uniform
+    48-bit integer, keep each group's k smallest DISTINCT hashes, estimate
+        est = (k-1) * 2^48 div h_k      (h_k = k-th smallest hash)
+    and exact n when a group holds fewer than k distinct keys.
+
+    Unlike HLL/KLL library sketches (engine-internal, never hash-gateable),
+    this sketch is DETERMINISTIC and engine-neutral: the hash is the md5
+    prefix both engines share (text.md5_long discipline), so Spark and
+    DuckDB produce bit-identical estimates — an approximate algorithm with
+    an EXACT cross-engine gate. Mergeability (sketch of a union = k smallest
+    of the sketch union) is test-pinned; it is what makes the sketch a
+    partial aggregate at 100 TB.
+
+    Output: group cols + (n_kept, kth_hash, est_distinct) — integers only.
+
+    Shape: distinct (group, hash) — map-side combined — then a rank-filtered
+    window Spark rewrites to WindowGroupLimit (per-partition partial top-k
+    BEFORE the shuffle: only k rows per group per partition move), then one
+    grouped aggregate."""
+    if not 2 <= k <= (1 << 15):
+        raise ValueError("k must be in [2, 32768]")
+    from pyspark.sql import Window
+
+    # text.md5_long's portable-hash discipline, at 12 hex chars (48 bits)
+    # for the (k-1) << 48 estimate headroom
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    dh = df.select(*group_cols, h.alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    topk = dh.select(*group_cols, "h", F.row_number().over(w).alias("rn")).where(
+        F.col("rn") <= k
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept")
+    ).otherwise(F.expr(f"({k - 1} * {1 << KMV_BITS}L) div kth_hash"))
+    return (
+        topk.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth_hash"))
+        .select(*group_cols, "n_kept", "kth_hash", est.alias("est_distinct"))
+    )
+
+
+def sql_kmv_distinct(
+    rows_cte: str, group_cols: list[str], key_expr: str, k: int = 32
+) -> str:
+    """DuckDB twin — identical hash/rank/estimate text."""
+    g = ", ".join(group_cols)
+    return f"""WITH rows_in AS ({rows_cte}),
+dh AS (
+  SELECT DISTINCT {g},
+         ('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM rows_in
+),
+rk AS (
+  SELECT {g}, h, row_number() OVER (PARTITION BY {g} ORDER BY h) AS rn FROM dh
+),
+agg AS (
+  SELECT {g}, count(*) AS n_kept, max(h) AS kth_hash FROM rk WHERE rn <= {k}
+  GROUP BY {g}
+)
+SELECT {g}, n_kept, kth_hash,
+       CASE WHEN n_kept < {k} THEN n_kept
+            ELSE ({k - 1} * {1 << KMV_BITS}) // kth_hash END AS est_distinct
+FROM agg"""

@@ -3808,6 +3808,39 @@ def image_geo_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_oracle() -> str:
+    from osmgraft.operators.stats import sql_kmv_distinct
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("event_id")
+    cte = f"""SELECT user_id,
+  {tiles.sql_tile_x('lon7', 6)} AS tx, {tiles.sql_tile_y('lat7', 6)} AS ty
+FROM (SELECT user_id, {lat} AS lat7, {lon} AS lon7 FROM events)"""
+    return sql_kmv_distinct(cte, ["tx", "ty"], "user_id", k=32)
+
+
+@register("kmv_distinct_users_z6", _kmv_oracle())
+def kmv_distinct_users_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per z6 tile via the K-Minimum-Values
+    sketch (k=32) — deterministic and engine-neutral (portable md5-prefix
+    hash), so an APPROXIMATE algorithm gets an EXACT cross-engine hash gate
+    (library HLL/KLL sketches never can). Exact count below k distinct;
+    WindowGroupLimit keeps the per-partition shuffle at k rows per group.
+    Mergeability (the property that makes it a 100 TB partial aggregate) is
+    pinned in test_stats.py."""
+    from osmgraft.operators.stats import kmv_distinct
+    from osmgraft.synth import latlon_of_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lat, lon = latlon_of_key(F.col("event_id"))
+    rows = ev.select(
+        "user_id",
+        tiles.tile_x(lon, 6).alias("tx"),
+        tiles.tile_y(lat, 6).alias("ty"),
+    )
+    return kmv_distinct(rows, ["tx", "ty"], "user_id", k=32)
+
+
 def _colocation_oracle() -> str:
     from osmgraft.synth import sql_latlon_of_key
 

@@ -143,3 +143,91 @@ def test_operator_and_fixture(spark):
             assert r["plat7"] is None and r["plon7"] is None
         else:
             assert (r["plat7"], r["plon7"]) == (r["lat7"], r["lon7"]), idx
+
+
+def test_orientation_roundtrip():
+    from osmgraft.functions.exif import jpeg_with_gps, parse_orientation
+
+    for o in range(1, 9):
+        for e in ("MM", "II"):
+            assert parse_orientation(jpeg_with_gps(1, 2, e, orientation=o)) == o
+    assert parse_orientation(b"\xff\xd8\xff\xd9") is None
+    import pytest
+
+    with pytest.raises(ValueError):
+        jpeg_with_gps(1, 2, orientation=0)
+
+
+def test_autoorient_normalizes_all_orientations(spark):
+    """distort(o) then exif_autoorient == the original pixels, bitwise, for
+    every Exif orientation — distortions are the spec-mandated inverses of
+    the corrections in _ORIENT_FIX."""
+    import numpy as np
+
+    from osmgraft.functions.codec import encode_image
+    from osmgraft.functions.exif import jpeg_with_gps
+    from osmgraft.operators.multimodal import exif_autoorient
+
+    rng = np.random.Generator(np.random.Philox(key=77))
+    base = rng.integers(0, 256, size=(12, 8, 3), dtype=np.uint8)  # h=12, w=8
+
+    def distort(px, o):
+        return {
+            1: lambda p: p,
+            2: lambda p: p[:, ::-1],                      # undone by hflip
+            3: lambda p: p[::-1, ::-1],                   # undone by rot180
+            4: lambda p: p[::-1, :],                      # undone by vflip
+            5: lambda p: np.transpose(p, (1, 0, 2)),      # undone by transpose
+            6: lambda p: np.rot90(p, 1),                  # CCW; undone by rot270
+            7: lambda p: np.transpose(p, (1, 0, 2))[::-1, ::-1],  # transverse
+            8: lambda p: np.rot90(p, 3),                  # CW; undone by rot90
+        }[o](px)
+
+    rows = []
+    for o in range(1, 9):
+        px = np.ascontiguousarray(distort(base, o))
+        h, w = px.shape[:2]
+        rows.append(
+            (
+                f"img{o:012d}",
+                encode_image(px, "raw"),
+                w,
+                h,
+                "raw",
+                f"orientation {o}",
+                jpeg_with_gps(5, 5, "MM" if o % 2 else "II", orientation=o),
+            )
+        )
+    # plus a row with no EXIF at all -> identity branch
+    rows.append(("img000000000099", encode_image(base, "raw"), 8, 12, "raw", "none", None))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, exif binary"
+    )
+    out = {r["image_id"]: r for r in exif_autoorient(df).collect()}
+    assert len(out) == 9
+    want = base.tobytes()
+    for img_id, r in out.items():
+        assert (r["w"], r["h"]) == (8, 12), img_id
+        assert bytes(r["bytes"]) == want, f"{img_id} pixels differ"
+        assert r["fmt"] == "raw"
+
+
+def test_transverse_is_involution(spark):
+    import numpy as np
+
+    from osmgraft.functions.codec import encode_image
+    from osmgraft.operators.multimodal import image_augment
+
+    rng = np.random.Generator(np.random.Philox(key=5))
+    px = rng.integers(0, 256, size=(6, 10, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("a", encode_image(px, "raw"), 10, 6, "raw", "c")],
+        "image_id string, bytes binary, w int, h int, fmt string, caption string",
+    )
+    once = image_augment(df, op="transverse")
+    twice = image_augment(once, op="transverse")
+    (r,) = twice.collect()
+    assert bytes(r["bytes"]) == px.tobytes()
+    (r1,) = once.collect()
+    assert (r1["w"], r1["h"]) == (6, 10)  # dims swap on the anti-diagonal flip

@@ -109,3 +109,56 @@ def test_exact_percentiles_ignore_nulls(spark):
         "(VALUES (5),(NULL),(1),(NULL),(9)) t(v)"
     ).fetchone()
     assert (got[("a", 500)], got[("a", 1000)]) == ref
+
+
+def test_kmv_accuracy_and_exact_small_groups(spark):
+    from pyspark.sql import functions as F
+
+    from osmgraft.operators.stats import kmv_distinct
+
+    # group "big": 5000 distinct keys; group "small": 7 distinct (repeated)
+    rows = [("big", i) for i in range(5000)]
+    rows += [("small", i % 7) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, key long")
+    out = {r["g"]: r for r in kmv_distinct(df, ["g"], "key", k=64).collect()}
+    assert out["small"]["n_kept"] == 7
+    assert out["small"]["est_distinct"] == 7  # below k -> exact
+    est = out["big"]["est_distinct"]
+    # KMV relative error ~ 1/sqrt(k-1) ~ 13% at k=64; allow 3 sigma
+    assert abs(est - 5000) < 5000 * 0.40, est
+    assert out["big"]["n_kept"] == 64
+
+
+def test_kmv_merge_law(spark):
+    """sketch(A ∪ B) == merge(sketch(A), sketch(B)) — the k smallest of the
+    union of the two kept sets. This is what makes KMV a partial aggregate."""
+    from osmgraft.operators.stats import kmv_distinct
+
+    a = [("g", i) for i in range(800)]
+    b = [("g", i) for i in range(400, 1300)]  # overlapping
+    k = 32
+    df_a = spark.createDataFrame(a, "g string, key long")
+    df_b = spark.createDataFrame(b, "g string, key long")
+    df_u = spark.createDataFrame(a + b, "g string, key long")
+
+    def kept(df):
+        # recompute the kept hash set through the operator's own window path
+        from pyspark.sql import Window, functions as F
+
+        h = F.conv(
+            F.substring(F.md5(F.col("key").cast("string")), 1, 12), 16, 10
+        ).cast("long")
+        dh = df.select("g", h.alias("h")).distinct()
+        w = Window.partitionBy("g").orderBy("h")
+        return sorted(
+            r["h"]
+            for r in dh.select("g", "h", F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") <= k)
+            .collect()
+        )
+
+    merged = sorted(set(kept(df_a)) | set(kept(df_b)))[:k]
+    assert kept(df_u) == merged
+    # and the union estimate derived from the merged sketch matches the op
+    (row,) = kmv_distinct(df_u, ["g"], "key", k=k).collect()
+    assert row["kth_hash"] == merged[-1]
