@@ -148,3 +148,52 @@ def test_decontaminate_bench_side_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
     # per-doc count has a map-side partial (two HashAggregate levels)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_dbscan_candidates_are_equi_join(spark):
+    """The eps-grid candidate join must stay a hash equi-join on cell keys —
+    never a nested-loop/cartesian (the all-pairs scale killer)."""
+    from osmgraft.operators.dbscan import _candidate_pairs
+    from osmgraft.synth import points_from_orders
+
+    pts = points_from_orders(spark, SF)
+    plan = plan_of(_candidate_pairs(pts, 15_000, "point_id", "lat7", "lon7"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_equalize_remap_is_broadcast(spark):
+    """The CDF remap joins back to the raster as a BROADCAST — the raster
+    itself must not shuffle for the join."""
+    from osmgraft.operators.density import equalize
+    from osmgraft.queries import _cells_df
+
+    plan = plan_of(equalize(_cells_df(spark, SF, 9)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmv_topk_uses_window_group_limit(spark):
+    """The rank<=k filter must rewrite to WindowGroupLimit (per-partition
+    partial top-k before the shuffle) — k rows per group per partition move,
+    not the full distinct-hash set."""
+    from osmgraft.operators.stats import kmv_distinct
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = plan_of(kmv_distinct(ev, ["event_type"], "user_id", k=16))
+    assert "WindowGroupLimit" in plan
+
+
+def test_exif_gps_projects_only_metadata_columns(spark):
+    """exif_gps must not drag unrelated columns through the Arrow kernel."""
+    from osmgraft.operators.multimodal import exif_gps
+    from osmgraft.synth import synth_exif_images
+
+    imgs = synth_exif_images(spark, 50)
+    plan = plan_of(exif_gps(imgs))
+    assert "ArrowEvalPython" in plan or "MapInArrow" in plan
+    # passthrough default: only image_id + bytes feed the kernel
+    assert "lat7" not in plan.split("MapInArrow")[0].split("\n")[0]
