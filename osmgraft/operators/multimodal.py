@@ -1477,6 +1477,12 @@ def exif_autoorient(
     are uniform). No shuffle anywhere — every branch is a narrow map over
     the same scan, and Catalyst collapses the union into parallel stages.
 
+    Cost trade (deliberate): each branch re-runs the HEADER walk over all
+    rows (8 x O(metadata bytes) — cents), but the expensive pixel decode
+    runs exactly once per row, in the single branch whose orientation
+    filter keeps it. Persisting ``tagged`` instead would materialize every
+    pixel payload a second time — far worse at lake scale.
+
     Input needs (image_id, bytes, w, h, fmt, caption, exif_col); output is
     TRANSCODE_SCHEMA with pixels normalized and (w, h) swapped where the
     correction rotates/transposes.
