@@ -147,7 +147,8 @@ def main() -> None:
                  "exif_gps_tiles", "dbscan_clusters", "lm_surprisal",
                  "idw_grid_p01", "polyline_tracks",
                  "od_matrix_orders", "geojson_roundtrip_tracks",
-                 "colocation_pairs", "tile_equalize_z9", "kmv_distinct_users_z6"]:
+                 "colocation_pairs", "tile_equalize_z9", "kmv_distinct_users_z6",
+                 "kmv_intersect_event_types"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())

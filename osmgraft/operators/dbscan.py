@@ -17,15 +17,16 @@ Distance is the kNN operator's exact integer metric (knn.py): squared
 planar fixed-point with antimeridian-wrapped longitude, so clusters
 straddling ±180° merge correctly.
 
-Relational shape (no driver loop except cc_star's O(log n) rounds):
+Relational shape (no driver loop; the component residual is size-gated):
   1. eps-pitch grid: each point keyed to ONE cell (lon cells wrap mod
      LON_SPAN/eps); the probe side explodes to its 3x3 cell neighborhood —
      every eps-close pair provably shares a (cell, probe-cell) key, so ONE
      equi-join enumerates all candidate pairs (each directed pair exactly
      once), refined by the exact metric in the same codegen stage.
   2. degree per point -> core flags (one map-side-combine count).
-  3. core-core edges -> cc_star components (alternating large/small star,
-     O(log n) rounds, converges to min-id labels on any topology).
+  3. core-core edges -> two-level components (stripe-local union-find in
+     one applyInPandas job + size-gated residual merge; labels provably
+     identical to cc_star's min-id labels).
   4. border attach: one join of non-core->core pairs against the core
      labels, min-aggregated.
 
@@ -41,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from osmgraft.operators.graph import cc_star
+from osmgraft.operators.graph import cc_two_level_banded
 from osmgraft.operators.knn import LON_SPAN, _floordiv
 
 
@@ -63,6 +64,7 @@ def _candidate_pairs(
         F.col("pid").alias("qid"),
         F.col("plat").alias("qlat"),
         F.col("plon").alias("qlon"),
+        F.col("cy").alias("qcy"),
         F.explode(
             F.array(
                 *[
@@ -88,7 +90,17 @@ def _candidate_pairs(
             (F.col("pid") != F.col("qid"))
             & (dlat * dlat + dlon * dlon <= F.lit(eps * eps))
         )
-        .select(F.col("pid").alias("u"), F.col("qid").alias("v"))
+        .select(
+            F.col("pid").alias("u"),
+            F.col("qid").alias("v"),
+            # lat-cell STRIPES (8 cells tall) as bands for the two-level
+            # component merge: a function of each endpoint's OWN cell, so
+            # banding is consistent per node; eps-sized clusters cross a
+            # stripe boundary only every 8th cell row, so almost all core
+            # edges are intra-band
+            F.expr("cy div 8").alias("bu"),
+            F.expr("qcy div 8").alias("bv"),
+        )
     )
 
 
@@ -120,7 +132,10 @@ def dbscan(
         .join(cores, pairs["v"] == cores["cid"], "leftsemi")
         .where(F.col("u") < F.col("v"))
     )
-    linked = cc_star(core_edges).select(
+    # two-level merge (graph.cc_two_level_banded): stripe-local union-find in
+    # ONE applyInPandas job + a size-gated residual — supercritical urban
+    # clusters otherwise cost cc_star a full-shuffle round per log2(diameter)
+    linked = cc_two_level_banded(core_edges.select("u", "v", "bu", "bv")).select(
         F.col("id").alias("cid"), F.col("comp").alias("core_label")
     )
     singles = cores.join(linked, "cid", "left_anti").select(

@@ -271,6 +271,21 @@ def cc_two_level(
     eb = e.select(
         "u", "v", band_of(F.col("u")).alias("bu"), band_of(F.col("v")).alias("bv")
     )
+    return cc_two_level_banded(eb, min_residual_rounds, driver_merge_max)
+
+
+def cc_two_level_banded(
+    eb: DataFrame,
+    min_residual_rounds: int = 30,
+    driver_merge_max: int = 1 << 20,
+) -> DataFrame:
+    """:func:`cc_two_level` over PRE-BANDED edges (u, v, bu, bv) — for
+    callers whose band is not a pure function of the node id (e.g. DBSCAN,
+    where the natural band is the node's spatial cell stripe, known at edge
+    build time but not recoverable from the id).  ``bu``/``bv`` must be a
+    consistent function of u resp. v; edges must have u != v (duplicates are
+    harmless — union-find and the residual distinct absorb them).  Labels
+    are provably identical to cc_star (union-by-min everywhere)."""
     intra = eb.where(F.col("bu") == F.col("bv")).select(
         F.col("bu").alias("band"), "u", "v"
     )

