@@ -136,3 +136,37 @@ trips AS (
   FROM g GROUP BY ent, trip)
 SELECT o_cx, o_cy, d_cx, d_cy, count(*) AS flows
 FROM trips GROUP BY o_cx, o_cy, d_cx, d_cy"""
+
+
+def stay_points(track: DataFrame, radius: int, min_samples: int) -> DataFrame:
+    """Stay-point detection — the dual reading of trip segmentation (Li et
+    al. 2008's GPS stay extraction, windowable variant): a STAY is a maximal
+    run of consecutive samples whose steps all remain within Chebyshev
+    ``radius`` (i.e., exactly a trip under jump = radius) that lasts at
+    least ``min_samples`` samples. Output one row per stay with its span
+    and the integer bbox center — the canonical 'places visited' extraction
+    feeding POI inference.
+
+    Shape: identical single ent-shuffle as trip_segments (this IS
+    trip_segments' aggregate with a HAVING and a center projection — the
+    composition is deliberate and documented, not hidden)."""
+    trips = trip_segments(track, jump=radius)
+    return trips.where(F.col("n_pts") >= min_samples).select(
+        "ent",
+        F.col("trip").alias("stay"),
+        "n_pts",
+        "seq_start",
+        "seq_end",
+        F.expr("(min_x + max_x) div 2").alias("center_x"),
+        F.expr("(min_y + max_y) div 2").alias("center_y"),
+    )
+
+
+def sql_stay_points(track_cte: str, radius: int, min_samples: int) -> str:
+    """DuckDB twin: the trip twin + HAVING + center projection."""
+    trips = sql_trip_segments(track_cte, jump=radius)
+    return f"""WITH trips AS ({trips})
+SELECT ent, trip AS stay, n_pts, seq_start, seq_end,
+       CAST(trunc((min_x + max_x) / 2.0) AS BIGINT) AS center_x,
+       CAST(trunc((min_y + max_y) / 2.0) AS BIGINT) AS center_y
+FROM trips WHERE n_pts >= {min_samples}"""

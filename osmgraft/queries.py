@@ -3608,6 +3608,31 @@ def trip_segments_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trip_segments(track, jump=2000)
 
 
+def _sql_stays() -> str:
+    from osmgraft.operators.trajectory import sql_stay_points
+
+    return sql_stay_points(_TRACK_CTE, radius=300, min_samples=4)
+
+
+@register("stay_points_orders", _sql_stays())
+def stay_points_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point extraction (the dual of trip segmentation): maximal runs
+    whose steps stay within Chebyshev 300, kept at >= 4 samples, with span
+    and integer bbox centers — 'places visited' for POI inference. Same
+    single ent-shuffle; hash-gated against the windowed twin."""
+    from osmgraft.operators.trajectory import stay_points
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    o = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    track = o.selectExpr(
+        "o_custkey % 199 AS ent",
+        "o_orderkey AS seq",
+        "(o_orderkey * 13) % 100000 div 10 AS x",
+        "(o_orderkey * 29) % 100000 div 10 AS y",
+    )
+    return stay_points(track, radius=300, min_samples=4)
+
+
 def _sql_od() -> str:
     from osmgraft.operators.trajectory import sql_od_matrix
 
