@@ -148,7 +148,8 @@ def main() -> None:
                  "idw_grid_p01", "polyline_tracks",
                  "od_matrix_orders", "geojson_roundtrip_tracks",
                  "colocation_pairs", "tile_equalize_z9", "kmv_distinct_users_z6",
-                 "kmv_intersect_event_types", "stay_points_orders"]:
+                 "kmv_intersect_event_types", "stay_points_orders",
+                 "voronoi_assign_z8"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())

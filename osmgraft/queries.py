@@ -4995,3 +4995,76 @@ def sessionize_batch_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     return sessionize_batch(events, gap_minutes=30)
+
+
+# --- discrete Voronoi labeling (operators/voronoi.py) ----------------------------
+_VOR_K, _VOR_Z = 48, 8
+
+
+def _vor_seeds_sql() -> str:
+    return (
+        f"SELECT CAST(i AS BIGINT) AS seed_id, (i * 97 + 13) % 256 AS sx, "
+        f"(i * 59 + 31) % 256 AS sy FROM range(0, {_VOR_K}) t(i)"
+    )
+
+
+def _vor_cells_sql() -> str:
+    return (
+        f"WITH pts AS ({_PTS}) SELECT {tiles.sql_tile_x('lon7', _VOR_Z)} AS cx, "
+        f"{tiles.sql_tile_y('lat7', _VOR_Z)} AS cy, count(*) AS cnt "
+        f"FROM pts GROUP BY cx, cy"
+    )
+
+
+def _vor_assign_sql() -> str:
+    from osmgraft.operators.voronoi import sql_voronoi_assign
+
+    return sql_voronoi_assign(_vor_cells_sql(), _vor_seeds_sql(), _VOR_Z)
+
+
+def _vor_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmgraft.operators.voronoi import voronoi_assign
+
+    pts = points_from_orders(spark, sf_dir)
+    cells = (
+        pts.select(
+            tiles.tile_x(F.col("lon7"), _VOR_Z).alias("cx"),
+            tiles.tile_y(F.col("lat7"), _VOR_Z).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seeds = spark.range(_VOR_K).select(
+        F.col("id").alias("seed_id"),
+        ((F.col("id") * 97 + 13) % 256).alias("sx"),
+        ((F.col("id") * 59 + 31) % 256).alias("sy"),
+    )
+    return voronoi_assign(cells, seeds, z=_VOR_Z)
+
+
+@register("voronoi_assign_z8", _vor_assign_sql())
+def voronoi_assign_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Voronoi labeling (operators/voronoi.py): every observed z8
+    cell assigned to its nearest of 48 deterministic facility seeds —
+    wrap-aware exact integer metric, MIN-(d2, seed_id) tie-break. Points
+    pre-aggregate to cells first (shuffle bounded by 4^z), the seed score
+    is a broadcast nested-loop (map-side), the argmin a partial-combined
+    min(struct) on the existing cell key. Hash-gated vs the DuckDB
+    cross-join/row_number twin."""
+    return _vor_parts(spark, sf_dir)
+
+
+def _vor_catchment_sql() -> str:
+    from osmgraft.operators.voronoi import sql_voronoi_catchment
+
+    return sql_voronoi_catchment(_vor_assign_sql())
+
+
+@register("voronoi_catchment_z8", _vor_catchment_sql())
+def voronoi_catchment_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-seed catchment rollup of the Voronoi label grid: cells owned +
+    points served per facility (the load-balancing aggregate). One more
+    K-row map-side-combined shuffle on top of voronoi_assign_z8."""
+    from osmgraft.operators.voronoi import voronoi_catchment
+
+    return voronoi_catchment(_vor_parts(spark, sf_dir))
