@@ -238,3 +238,101 @@ SELECT ga, gb, count(*) AS common_kept, theta,
        (count(*) * {1 << KMV_BITS}) // theta AS est_common
 FROM common WHERE h <= theta
 GROUP BY ga, gb, theta"""
+
+
+# --- Count-Min sketch (Cormode & Muthukrishnan 2005 — public method) -----------
+def _cm_bucket(j: int, key_col: str, w: int) -> F.Column:
+    """Portable row-j bucket: md5 prefix of 'j:key' mod w (same text both
+    engines; nonnegative 48-bit value so % is engine-agnostic)."""
+    s = F.concat(F.lit(f"{j}:"), F.col(key_col).cast("string"))
+    return (F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long") % w)
+
+
+def cm_sketch(df: DataFrame, key_col: str, d: int = 4, w: int = 128) -> DataFrame:
+    """Build the d x w Count-Min counter table for ``key_col`` frequencies:
+    one (j, bucket, cnt) row per non-empty counter. DETERMINISTIC and
+    engine-neutral (md5-prefix hash discipline, same as kmv_distinct) so an
+    approximate structure gates EXACTLY cross-engine.
+
+    Shape: one exploded d-fan (d is 3-5) then a map-side-combined groupBy
+    whose output is bounded by d*w — the counter table IS a partial
+    aggregate (elementwise sum merges shards; merge law test-pinned), the
+    property that makes it the standard 100 TB heavy-hitter pre-pass."""
+    if not (1 <= d <= 16 and 2 <= w <= (1 << 20)):
+        raise ValueError("d in [1,16], w in [2, 2^20]")
+    rows = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("j"), _cm_bucket(j, key_col, w).alias("bucket"))
+                for j in range(d)
+            ])
+        ).alias("jb")
+    )
+    return (
+        rows.select("jb.j", "jb.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_heavy_hitters(
+    df: DataFrame, key_col: str, threshold: int, d: int = 4, w: int = 128
+) -> DataFrame:
+    """Keys whose Count-Min frequency ESTIMATE (min over d row counters —
+    always >= the true count, so the output is a guaranteed superset of the
+    true heavy hitters) reaches ``threshold``. Output (key, est).
+
+    The probe set here is the stream's own distinct keys (what an offline
+    audit queries); a monitoring deployment probes its watchlist instead —
+    either way the counter table is tiny and BROADCAST back, so the only
+    data-sized shuffles are the sketch build and one distinct."""
+    sk = cm_sketch(df, key_col, d=d, w=w)
+    keys = df.select(F.col(key_col).alias("key")).distinct()
+    probes = keys.select(
+        "key",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    _cm_bucket(j, "key", w).alias("bucket"),
+                )
+                for j in range(d)
+            ])
+        ).alias("jb"),
+    ).select("key", "jb.j", "jb.bucket")
+    est = (
+        probes.join(F.broadcast(sk), ["j", "bucket"])
+        .groupBy("key")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.filter(F.col("est") >= threshold).select("key", "est")
+
+
+def _sql_cm_bucket(j: int, key_expr: str, w: int) -> str:
+    return (
+        f"(('0x' || substr(md5('{j}:' || CAST({key_expr} AS VARCHAR)), 1, 12))"
+        f"::BIGINT % {w})"
+    )
+
+
+def sql_cm_heavy_hitters(
+    rows_cte: str, key_expr: str, threshold: int, d: int = 4, w: int = 128
+) -> str:
+    """DuckDB twin — identical hash/bucket/min-estimate text."""
+    bucket_rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, {_sql_cm_bucket(j, key_expr, w)} AS bucket FROM rows_in"
+        for j in range(d)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT key, {j} AS j, {_sql_cm_bucket(j, 'key', w)} AS bucket FROM keys"
+        for j in range(d)
+    )
+    return f"""WITH rows_in AS ({rows_cte}),
+sk AS (SELECT j, bucket, count(*) AS cnt FROM ({bucket_rows}) GROUP BY j, bucket),
+keys AS (SELECT DISTINCT {key_expr} AS key FROM rows_in),
+probes AS ({probe_rows}),
+est AS (
+  SELECT p.key, min(sk.cnt) AS est
+  FROM probes p JOIN sk ON p.j = sk.j AND p.bucket = sk.bucket
+  GROUP BY p.key)
+SELECT key, est FROM est WHERE est >= {threshold}"""

@@ -5068,3 +5068,27 @@ def voronoi_catchment_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmgraft.operators.voronoi import voronoi_catchment
 
     return voronoi_catchment(_vor_parts(spark, sf_dir))
+
+
+# --- Count-Min heavy hitters (operators/stats.py) --------------------------------
+def _cm_sql() -> str:
+    from osmgraft.operators.stats import sql_cm_heavy_hitters
+
+    return sql_cm_heavy_hitters(
+        "SELECT user_id FROM events", "user_id", threshold=70, d=4, w=64
+    )
+
+
+@register("cm_heavy_hitters_users", _cm_sql())
+def cm_heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters (operators/stats.py cm_sketch /
+    cm_heavy_hitters): d=4 x w=64 counter table over event user_ids via the
+    portable md5-prefix hash, estimate = min over rows, keep est >= 70 — a
+    guaranteed SUPERSET of the true >= 70 hitters (CM never underestimates).
+    Approximate structure, EXACT cross-engine gate (same discipline as the
+    KMV sketch); the counter table is a d*w-bounded partial aggregate —
+    the 100 TB heavy-hitter pre-pass shape. Merge law pinned in pytest."""
+    from osmgraft.operators.stats import cm_heavy_hitters
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cm_heavy_hitters(ev.select("user_id"), "user_id", threshold=70, d=4, w=64)
