@@ -149,7 +149,8 @@ def main() -> None:
                  "od_matrix_orders", "geojson_roundtrip_tracks",
                  "colocation_pairs", "tile_equalize_z9", "kmv_distinct_users_z6",
                  "kmv_intersect_event_types", "stay_points_orders",
-                 "voronoi_assign_z8", "cm_heavy_hitters_users"]:
+                 "voronoi_assign_z8", "cm_heavy_hitters_users",
+                 "skyline_dist_cost"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -5092,3 +5092,49 @@ def cm_heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return cm_heavy_hitters(ev.select("user_id"), "user_id", threshold=70, d=4, w=64)
+
+
+# --- 2-D skyline / Pareto front (operators/skyline.py) ---------------------------
+def _sky_rows_sql() -> str:
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("o_orderkey")
+    return (
+        "SELECT o_orderkey AS point_id, o_orderkey % 16 AS grp, "
+        f"(abs(({lat}) - 450000000) // 100000) * (abs(({lat}) - 450000000) // 100000) "
+        f"+ (abs(({lon}) - 90000000) // 100000) * (abs(({lon}) - 90000000) // 100000) AS dist2, "
+        "(o_orderkey * 7919) % 100003 AS cost FROM orders"
+    )
+
+
+def _sky_sql() -> str:
+    from osmgraft.operators.skyline import sql_skyline_2d
+
+    return sql_skyline_2d(
+        _sky_rows_sql(), "dist2", "cost", "point_id, grp, dist2, cost", ["grp"]
+    )
+
+
+@register("skyline_dist_cost", _sky_sql())
+def skyline_dist_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto front (operators/skyline.py, Börzsönyi et al.
+    2001): per group, the points no other point beats on BOTH distance-to-
+    center and cost ('closest AND cheapest'). Engine runs the distinct-x
+    reduction (groupBy min + per-group running-min window + broadcast
+    semi-join back); oracle is the direct quadratic NOT EXISTS dominator
+    definition — two genuinely different algorithms, one hash."""
+    from osmgraft.operators.skyline import skyline_2d
+
+    pts = points_from_orders(spark, sf_dir)
+    rows = pts.select(
+        "point_id",
+        (F.col("point_id") % 16).alias("grp"),
+        (
+            (F.abs(F.col("lat7") - 450000000) / 100000).cast("long")
+            * (F.abs(F.col("lat7") - 450000000) / 100000).cast("long")
+            + (F.abs(F.col("lon7") - 90000000) / 100000).cast("long")
+            * (F.abs(F.col("lon7") - 90000000) / 100000).cast("long")
+        ).alias("dist2"),
+        ((F.col("point_id") * 7919) % 100003).alias("cost"),
+    )
+    return skyline_2d(rows, "dist2", "cost", group_cols=["grp"])
