@@ -1568,3 +1568,101 @@ def transcode_to_raw(images: DataFrame, on_error: str = "fail") -> DataFrame:
     return images.select("image_id", "bytes", "w", "h", "fmt", "caption").mapInArrow(
         kernel, schema=TRANSCODE_SCHEMA
     )
+
+
+def image_box_filter(
+    images: DataFrame, box: int = 5, stride: int = 3, on_error: str = "fail"
+) -> DataFrame:
+    """Sliding-window luma sums via a per-image INTEGRAL IMAGE (summed-area
+    table, Crow 1984 / Viola-Jones): decode → integer luma
+    ((299r + 587g + 114b) div 1000) → 2-D exclusive-prefix cumsum → every
+    ``box``x``box`` window sum at ``stride`` spacing costs FOUR lookups,
+    independent of box size — the kernel under box blur, Haar features and
+    SSIM means. Output one row per (image, wy, wx): window origin + exact
+    integer ``box_sum``.
+
+    Shape: the same Arrow-buffer batched decode as image_stats (grouped by
+    (fmt, w, h), chunk-capped, zero per-row Python); the SAT and the window
+    gather are one numpy cumsum + one fancy-index per chunk — map-only, no
+    shuffle at all. Windows never straddle rows of different images by
+    construction (the SAT is per image plane in the (k, h, w) batch).
+    on_error='null': invalid payloads emit a single null-sum row at
+    (wy, wx) = (-1, -1) so corrupt rows stay visible without killing the
+    job (same tolerance discipline as image_stats)."""
+    if box < 1 or stride < 1:
+        raise ValueError("box and stride must be >= 1")
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            ids = rb.column("image_id").take(sel)
+            if px is None:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        pa.array(np.full(len(ids), -1, np.int64)),
+                        pa.array(np.full(len(ids), -1, np.int64)),
+                        pa.array([None] * len(ids), type=pa.int64()),
+                    ],
+                    ["image_id", "wy", "wx", "box_sum"],
+                )
+                continue
+            if h < box or w < box:
+                continue  # no full window fits: image contributes no rows
+            p = px.astype(np.int64)
+            luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+            k = luma.shape[0]
+            sat = np.zeros((k, h + 1, w + 1), dtype=np.int64)
+            np.cumsum(np.cumsum(luma, axis=1), axis=2, out=sat[:, 1:, 1:])
+            ys = np.arange(0, h - box + 1, stride)
+            xs = np.arange(0, w - box + 1, stride)
+            yb, xb = ys[:, None], xs[None, :]
+            sums = (
+                sat[:, yb + box, xb + box]
+                - sat[:, yb, xb + box]
+                - sat[:, yb + box, xb]
+                + sat[:, yb, xb]
+            )  # (k, n_wy, n_wx)
+            n_win = len(ys) * len(xs)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(np.repeat(np.arange(k), n_win))),
+                    pa.array(np.tile(np.repeat(ys, len(xs)), k)),
+                    pa.array(np.tile(np.tile(xs, len(ys)), k)),
+                    pa.array(sums.reshape(-1)),
+                ],
+                ["image_id", "wy", "wx", "box_sum"],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
+        kernel, schema="image_id string, wy long, wx long, box_sum long"
+    )
+
+
+def sql_image_box_filter(
+    idx_cte: str, box: int = 5, stride: int = 3, max_h: int = 18, max_w: int = 32
+) -> str:
+    """DuckDB twin for image_box_filter over synth_formula_images: the
+    oracle REGENERATES every pixel from the fixture's integer formula and
+    sums windows directly — no SAT, no decode — so the two engines share
+    nothing but the spec. ``idx_cte`` yields the image idx set."""
+    return f"""WITH idxs AS ({idx_cte}),
+dims AS (SELECT idx, 16 + (idx % 3) * 8 AS w, 12 + (idx % 2) * 6 AS h FROM idxs),
+px AS (
+  SELECT idx, y, x,
+         (299 * ((idx*37 + y*11 + x*7) % 256)
+        + 587 * ((idx*37 + y*11 + x*7 + 29) % 256)
+        + 114 * ((idx*37 + y*11 + x*7 + 58) % 256)) // 1000 AS luma
+  FROM dims
+  CROSS JOIN range(0, {max_h}) ty(y) CROSS JOIN range(0, {max_w}) tx(x)
+  WHERE y < h AND x < w),
+wins AS (
+  SELECT idx, wy, wx FROM dims
+  CROSS JOIN range(0, {max_h}) a(wy) CROSS JOIN range(0, {max_w}) b(wx)
+  WHERE wy % {stride} = 0 AND wy + {box} <= h
+    AND wx % {stride} = 0 AND wx + {box} <= w)
+SELECT concat('fimg', lpad(CAST(w0.idx AS VARCHAR), 9, '0')) AS image_id,
+       w0.wy, w0.wx, CAST(sum(p.luma) AS BIGINT) AS box_sum
+FROM wins w0 JOIN px p ON p.idx = w0.idx
+  AND p.y >= w0.wy AND p.y < w0.wy + {box}
+  AND p.x >= w0.wx AND p.x < w0.wx + {box}
+GROUP BY 1, 2, 3"""

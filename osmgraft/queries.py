@@ -5138,3 +5138,32 @@ def skyline_dist_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("point_id") * 7919) % 100003).alias("cost"),
     )
     return skyline_2d(rows, "dist2", "cost", group_cols=["grp"])
+
+
+# --- integral-image box filter (operators/multimodal.image_box_filter) -----------
+def _boxfilter_sql() -> str:
+    from osmgraft.operators.multimodal import sql_image_box_filter
+
+    idx_cte = (
+        "SELECT idx FROM (SELECT row_number() OVER () - 1 AS idx FROM orders) "
+        "WHERE idx < 400"
+    )
+    return sql_image_box_filter(idx_cte, box=5, stride=3)
+
+
+@register("image_box_filter_5x3", _boxfilter_sql())
+def image_box_filter_5x3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integral-image (summed-area table) sliding box filter
+    (operators/multimodal.image_box_filter): real container decode
+    (raw/ppm/png rotation) → integer luma → per-image SAT → exact 5x5
+    window sums every 3 px. The fixture's pixels are pure integer formula
+    (synth_formula_images), so the DuckDB twin regenerates every pixel and
+    sums windows directly — decode, SAT algebra, window indexing and the
+    image_id join are all on the hash. Map-only: no shuffle at any width."""
+    from osmgraft.operators.multimodal import image_box_filter
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 400)
+    imgs = ensure_min_parallelism(synth_formula_images(spark, n))
+    return image_box_filter(imgs, box=5, stride=3)

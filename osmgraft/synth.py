@@ -752,3 +752,34 @@ def changesets_fixture_path(spark: SparkSession, sf_dir: str) -> str:
         write_changesets_file(out, tmp)
 
     return _fixture_file(spark, sf_dir, "changesets", "osm", build)
+
+
+def synth_formula_images(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic image table whose PIXELS are pure integer arithmetic —
+    pixel(idx, y, x, c) = (idx*37 + y*11 + x*7 + c*29) % 256 — so the DuckDB
+    oracle regenerates every pixel exactly (the synth_videos luma trick, in
+    RGB): any decode/SAT/window bug breaks the hash. Payloads are REAL
+    containers rotating raw/ppm/png; sizes vary (w = 16+(idx%3)*8,
+    h = 12+(idx%2)*6) to exercise per-(fmt,w,h) grouping."""
+    from osmgraft.functions.codec import encode_image
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            out = []
+            for i in pdf["idx"].tolist():
+                w, h = 16 + (i % 3) * 8, 12 + (i % 2) * 6
+                y = np.arange(h, dtype=np.int64)[:, None, None]
+                x = np.arange(w, dtype=np.int64)[None, :, None]
+                c = np.arange(3, dtype=np.int64)[None, None, :]
+                px = ((i * 37 + y * 11 + x * 7 + c * 29) % 256).astype(np.uint8)
+                fmt = ("raw", "ppm", "png")[i % 3]
+                out.append(
+                    (f"fimg{i:09d}", bytearray(encode_image(px, fmt)), w, h, fmt)
+                )
+            yield pd.DataFrame(
+                out, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    return spark.range(n).select(F.col("id").alias("idx")).mapInPandas(
+        gen, schema="image_id string, bytes binary, w int, h int, fmt string"
+    )
