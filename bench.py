@@ -150,7 +150,8 @@ def main() -> None:
                  "colocation_pairs", "tile_equalize_z9", "kmv_distinct_users_z6",
                  "kmv_intersect_event_types", "stay_points_orders",
                  "voronoi_assign_z8", "cm_heavy_hitters_users",
-                 "skyline_dist_cost", "image_box_filter_5x3"]:
+                 "skyline_dist_cost", "image_box_filter_5x3",
+                 "point_along_tracks"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -170,3 +170,129 @@ SELECT ent, trip AS stay, n_pts, seq_start, seq_end,
        CAST(trunc((min_x + max_x) / 2.0) AS BIGINT) AS center_x,
        CAST(trunc((min_y + max_y) / 2.0) AS BIGINT) AS center_y
 FROM trips WHERE n_pts >= {min_samples}"""
+
+
+def point_along(track: DataFrame, num: int = 1, den: int = 2) -> DataFrame:
+    """Linear referencing: the point at fraction ``num/den`` of each
+    entity's polyline length (ESRI/PostGIS ST_LineInterpolatePoint
+    semantics, exact-integer form). Length metric is Chebyshev per segment
+    (the repo's integer chart metric); the target milepost is
+    T = (L * num) div den, the carrying segment the FIRST whose cumulative
+    span passes T, and the interpolated position is returned as EXACT
+    RATIONALS — (fx_num, fy_num, den=seg_len) with
+    x = fx_num / seg_len — the IDW "division never taken" discipline, so
+    both engines agree bit-for-bit with zero float anywhere.
+
+    Zero-length tracks (L = 0: every sample identical) are excluded —
+    documented, matching ST_LineInterpolatePoint's degenerate-geometry
+    refusal. 0 <= num <= den; num = den lands exactly on the last vertex.
+
+    Shape: ONE ent-shuffle — lead + two running sums share the single
+    window sort; the carrying segment is picked by a map-side-combined
+    min(struct) aggregate. Per-entity history must fit a task (same bound
+    as trip_segments)."""
+    if not 0 <= num <= den or den <= 0:
+        raise ValueError("need 0 <= num <= den, den > 0")
+    w = Window.partitionBy("ent").orderBy("seq")
+    seg = track.select(
+        "ent",
+        "seq",
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+        F.lead("x").over(w).alias("x2"),
+        F.lead("y").over(w).alias("y2"),
+    ).where(F.col("x2").isNotNull())
+    slen = F.greatest(F.abs(F.col("x2") - F.col("x1")), F.abs(F.col("y2") - F.col("y1")))
+    run = Window.partitionBy("ent").orderBy("seq").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = Window.partitionBy("ent")
+    s = seg.select(
+        "ent", "seq", "x1", "y1", "x2", "y2", slen.alias("slen"),
+        F.coalesce(F.sum(slen).over(run), F.lit(0)).alias("cum"),
+        F.sum(slen).over(tot).alias("total_len"),
+    ).where(F.col("total_len") > 0)
+    t_target = F.expr(f"(total_len * {num}) div {den}")
+    if num == den:
+        # T == L: no segment satisfies cum+len > T; land on the LAST vertex
+        # via the last nonzero-length segment at t = slen (max-struct pick).
+        cand = s.where(F.col("slen") > 0).select(
+            "ent",
+            "total_len",
+            F.struct("seq", "cum", "slen", "x1", "y1", "x2", "y2").alias("c"),
+        )
+        best = cand.groupBy("ent").agg(
+            F.first("total_len").alias("total_len"), F.max("c").alias("c")
+        )
+        return best.select(
+            "ent",
+            "total_len",
+            F.col("c.seq").alias("seg_seq"),
+            (F.col("c.x2") * F.col("c.slen")).alias("fx_num"),
+            (F.col("c.y2") * F.col("c.slen")).alias("fy_num"),
+            F.col("c.slen").alias("f_den"),
+        )
+    cand = s.where(F.col("cum") + F.col("slen") > t_target).select(
+        "ent",
+        "total_len",
+        F.struct("seq", "cum", "slen", "x1", "y1", "x2", "y2").alias("c"),
+    )
+    best = cand.groupBy("ent").agg(
+        F.first("total_len").alias("total_len"), F.min("c").alias("c")
+    )
+    t = F.expr(f"(total_len * {num}) div {den}") - F.col("c.cum")
+    return best.select(
+        "ent",
+        "total_len",
+        F.col("c.seq").alias("seg_seq"),
+        (F.col("c.x1") * F.col("c.slen") + (F.col("c.x2") - F.col("c.x1")) * t)
+        .alias("fx_num"),
+        (F.col("c.y1") * F.col("c.slen") + (F.col("c.y2") - F.col("c.y1")) * t)
+        .alias("fy_num"),
+        F.col("c.slen").alias("f_den"),
+    )
+
+
+def sql_point_along(track_cte: str, num: int = 1, den: int = 2) -> str:
+    """DuckDB twin: same windows, same rational outputs."""
+    if num == den:
+        return f"""WITH track AS ({track_cte}),
+seg AS (
+  SELECT ent, seq, x AS x1, y AS y1,
+         lead(x) OVER w AS x2, lead(y) OVER w AS y2
+  FROM track WINDOW w AS (PARTITION BY ent ORDER BY seq)),
+s AS (
+  SELECT ent, seq, x2, y2,
+         greatest(abs(x2 - x1), abs(y2 - y1)) AS slen,
+         sum(greatest(abs(x2 - x1), abs(y2 - y1)))
+           OVER (PARTITION BY ent) AS total_len
+  FROM seg WHERE x2 IS NOT NULL),
+cand AS (
+  SELECT *, row_number() OVER (PARTITION BY ent ORDER BY seq DESC) AS rk
+  FROM s WHERE total_len > 0 AND slen > 0)
+SELECT ent, total_len, seq AS seg_seq,
+       x2 * slen AS fx_num, y2 * slen AS fy_num, slen AS f_den
+FROM cand WHERE rk = 1"""
+    return f"""WITH track AS ({track_cte}),
+seg AS (
+  SELECT ent, seq, x AS x1, y AS y1,
+         lead(x) OVER w AS x2, lead(y) OVER w AS y2
+  FROM track WINDOW w AS (PARTITION BY ent ORDER BY seq)),
+s AS (
+  SELECT ent, seq, x1, y1, x2, y2,
+         greatest(abs(x2 - x1), abs(y2 - y1)) AS slen,
+         coalesce(sum(greatest(abs(x2 - x1), abs(y2 - y1)))
+           OVER (PARTITION BY ent ORDER BY seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+         sum(greatest(abs(x2 - x1), abs(y2 - y1)))
+           OVER (PARTITION BY ent) AS total_len
+  FROM seg WHERE x2 IS NOT NULL),
+cand AS (
+  SELECT *, row_number() OVER (PARTITION BY ent ORDER BY seq) AS rk
+  FROM s
+  WHERE total_len > 0 AND cum + slen > (total_len * {num}) // {den})
+SELECT ent, total_len, seq AS seg_seq,
+       x1 * slen + (x2 - x1) * ((total_len * {num}) // {den} - cum) AS fx_num,
+       y1 * slen + (y2 - y1) * ((total_len * {num}) // {den} - cum) AS fy_num,
+       slen AS f_den
+FROM cand WHERE rk = 1"""

@@ -5167,3 +5167,30 @@ def image_box_filter_5x3(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 400)
     imgs = ensure_min_parallelism(synth_formula_images(spark, n))
     return image_box_filter(imgs, box=5, stride=3)
+
+
+def _sql_point_along() -> str:
+    from osmgraft.operators.trajectory import sql_point_along
+
+    return sql_point_along(_TRACK_CTE, num=1, den=2)
+
+
+@register("point_along_tracks", _sql_point_along())
+def point_along_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear referencing (operators/trajectory.point_along): the exact
+    midpoint (fraction 1/2) of each entity's polyline under the integer
+    Chebyshev length — ST_LineInterpolatePoint's job with rational outputs
+    (fx_num/f_den, fy_num/f_den) so the interpolation is bit-exact in both
+    engines, division never taken. One ent-shuffle (lead + 2 running sums
+    share one window sort) + a map-side min(struct) pick."""
+    from osmgraft.operators.trajectory import point_along
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    o = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    track = o.selectExpr(
+        "o_custkey % 199 AS ent",
+        "o_orderkey AS seq",
+        "(o_orderkey * 13) % 100000 div 10 AS x",
+        "(o_orderkey * 29) % 100000 div 10 AS y",
+    )
+    return point_along(track, num=1, den=2)
