@@ -1666,3 +1666,96 @@ FROM wins w0 JOIN px p ON p.idx = w0.idx
   AND p.y >= w0.wy AND p.y < w0.wy + {box}
   AND p.x >= w0.wx AND p.x < w0.wx + {box}
 GROUP BY 1, 2, 3"""
+
+
+_BAYER4 = np.array(
+    [[0, 8, 2, 10], [12, 4, 14, 6], [3, 11, 1, 9], [15, 7, 13, 5]], dtype=np.int64
+)  # the standard 4x4 index matrix (Bayer 1973, public)
+
+
+def _dither_channel(v: np.ndarray, t: np.ndarray, levels: int) -> np.ndarray:
+    """Ordered-dither quantize a uint8 plane to ``levels`` levels with Bayer
+    threshold ``t`` (0..15), all integer:
+        out = min(levels-1, (v*(levels-1)*32 + 255*(2t+1)) div (255*32))
+    — the floor((v*(L-1) + 255*(t+.5)/16) / 255) rule with the .5 carried
+    exactly as (2t+1)/32."""
+    num = v.astype(np.int64) * (levels - 1) * 32 + 255 * (2 * t + 1)
+    return np.minimum(num // (255 * 32), levels - 1)
+
+
+def image_quantize_rgb332(
+    images: DataFrame, dither: bool = True, on_error: str = "fail"
+) -> DataFrame:
+    """Palette quantization to RGB332 (3-3-2 bits) with 4x4 ordered (Bayer)
+    dithering — the classic thumbnail/GIF-era color reduction, exact
+    integers end to end. Emits the per-image PALETTE HISTOGRAM
+    (image_id, pal, cnt), pal = r3<<5 | g3<<2 | b2 — the shape a mosaic /
+    dominant-color pipeline consumes.
+
+    The Bayer threshold depends on (y%4, x%4), so the gate proves spatial
+    pixel addressing, not just value math. Histogram is built in-kernel
+    (np.bincount over 256 palette slots) — map-only, the shuffle-free dual
+    of a per-pixel groupBy. dither=False quantizes by truncation (v >> (8-bits)).
+    """
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            ids = rb.column("image_id").take(sel)
+            if px is None:
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array(np.full(len(ids), -1, np.int64)),
+                     pa.array([None] * len(ids), type=pa.int64())],
+                    ["image_id", "pal", "cnt"],
+                )
+                continue
+            if dither:
+                ty = _BAYER4[np.arange(h)[:, None] % 4, np.arange(w)[None, :] % 4]
+                r = _dither_channel(px[..., 0], ty, 8)
+                g = _dither_channel(px[..., 1], ty, 8)
+                b = _dither_channel(px[..., 2], ty, 4)
+            else:
+                r, g = px[..., 0] >> 5, px[..., 1] >> 5
+                b = px[..., 2] >> 6
+            pal = (r << 5) | (g << 2) | b  # (k, h, w) in 0..255
+            k = pal.shape[0]
+            flat = (pal + (np.arange(k, dtype=np.int64)[:, None, None] << 8)).reshape(-1)
+            counts = np.bincount(flat, minlength=k * 256).reshape(k, 256)
+            img_i, pal_v = np.nonzero(counts)
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(img_i)), pa.array(pal_v.astype(np.int64)),
+                 pa.array(counts[img_i, pal_v].astype(np.int64))],
+                ["image_id", "pal", "cnt"],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
+        kernel, schema="image_id string, pal long, cnt long"
+    )
+
+
+def sql_image_quantize_rgb332(idx_cte: str, max_h: int = 18, max_w: int = 32) -> str:
+    """DuckDB twin over synth_formula_images: regenerate pixels, apply the
+    identical Bayer/quantize integer text per pixel, GROUP BY palette."""
+    bayer = (
+        "(CASE y % 4 WHEN 0 THEN (CASE x % 4 WHEN 0 THEN 0 WHEN 1 THEN 8 WHEN 2 THEN 2 ELSE 10 END) "
+        "WHEN 1 THEN (CASE x % 4 WHEN 0 THEN 12 WHEN 1 THEN 4 WHEN 2 THEN 14 ELSE 6 END) "
+        "WHEN 2 THEN (CASE x % 4 WHEN 0 THEN 3 WHEN 1 THEN 11 WHEN 2 THEN 1 ELSE 9 END) "
+        "ELSE (CASE x % 4 WHEN 0 THEN 15 WHEN 1 THEN 7 WHEN 2 THEN 13 ELSE 5 END) END)"
+    )
+
+    def chan(off: int, levels: int) -> str:
+        v = f"((idx*37 + y*11 + x*7 + {off}) % 256)"
+        return (
+            f"least(({v} * {levels - 1} * 32 + 255 * (2 * {bayer} + 1)) // 8160, "
+            f"{levels - 1})"
+        )
+
+    return f"""WITH idxs AS ({idx_cte}),
+dims AS (SELECT idx, 16 + (idx % 3) * 8 AS w, 12 + (idx % 2) * 6 AS h FROM idxs),
+px AS (
+  SELECT idx, {chan(0, 8)} AS r3, {chan(29, 8)} AS g3, {chan(58, 4)} AS b2
+  FROM dims
+  CROSS JOIN range(0, {max_h}) ty(y) CROSS JOIN range(0, {max_w}) tx(x)
+  WHERE y < h AND x < w)
+SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
+       (r3 * 32 + g3 * 4 + b2) AS pal, count(*) AS cnt
+FROM px GROUP BY 1, 2"""

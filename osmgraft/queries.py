@@ -5194,3 +5194,30 @@ def point_along_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(o_orderkey * 29) % 100000 div 10 AS y",
     )
     return point_along(track, num=1, den=2)
+
+
+def _quant332_sql() -> str:
+    from osmgraft.operators.multimodal import sql_image_quantize_rgb332
+
+    idx_cte = (
+        "SELECT idx FROM (SELECT row_number() OVER () - 1 AS idx FROM orders) "
+        "WHERE idx < 400"
+    )
+    return sql_image_quantize_rgb332(idx_cte)
+
+
+@register("image_quantize_rgb332", _quant332_sql())
+def image_quantize_rgb332_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-dither palette quantization (operators/multimodal.
+    image_quantize_rgb332): decode → 4x4 Bayer threshold (position-
+    dependent, so pixel ADDRESSING is on the hash, not just values) →
+    RGB332 palette → in-kernel per-image histogram. Map-only; DuckDB twin
+    regenerates formula pixels and applies the identical integer
+    quantization text."""
+    from osmgraft.operators.multimodal import image_quantize_rgb332
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 400)
+    imgs = ensure_min_parallelism(synth_formula_images(spark, n))
+    return image_quantize_rgb332(imgs)
