@@ -511,3 +511,49 @@ SELECT c.cy, c.cx, c.cnt,
             THEN ((d.cdf - s.cdf_min) * {levels - 1}) // (s.n - s.cdf_min)
             ELSE {levels - 1} END AS eq
 FROM cells c JOIN cdf d USING (cnt) CROSS JOIN stats s"""
+
+
+def raster_dilate(cells: DataFrame, radius: int) -> DataFrame:
+    """Morphological DILATION of the observed cell set (Chebyshev
+    structuring square of side 2r+1, Serra 1982): every cell within r of an
+    observed cell. Output (cx, cy). Composition of the separable box pass
+    with an existence threshold — same two explode+sum shuffles as
+    density_smooth, output bounded by (2r+1)^2 x |cells|."""
+    ind = cells.select("cx", "cy", F.lit(1).alias("cnt"))
+    return density_smooth(ind, radius).where(F.col("dens") > 0).select("cx", "cy")
+
+
+def raster_erode(cells: DataFrame, radius: int) -> DataFrame:
+    """Morphological EROSION: cells whose ENTIRE (2r+1)^2 neighborhood is
+    observed (dens over the 0/1 indicator == full square). An unobserved
+    cell can never pass (it is in its own neighborhood), so the halo cells
+    the box pass emits filter themselves out."""
+    full = (2 * radius + 1) ** 2
+    ind = cells.select("cx", "cy", F.lit(1).alias("cnt"))
+    return (
+        density_smooth(ind, radius).where(F.col("dens") == full).select("cx", "cy")
+    )
+
+
+def raster_opening(cells: DataFrame, radius: int) -> DataFrame:
+    """OPENING = erode then dilate — the classic raster denoise: specks and
+    filaments thinner than the structuring square vanish, solid blobs keep
+    their shape. Output (cx, cy), a subset of the input support."""
+    return raster_dilate(raster_erode(cells, radius), radius)
+
+
+def sql_raster_opening(cells_cte: str, radius: int) -> str:
+    """DuckDB twin via direct neighborhood joins (different algorithm: no
+    separable pass — erode = a full-square count join over the observed
+    set, dilate = DISTINCT neighbor expansion of the eroded set)."""
+    full = (2 * radius + 1) ** 2
+    return f"""WITH cells AS ({cells_cte}),
+eroded AS (
+  SELECT c.cx, c.cy FROM cells c
+  WHERE (SELECT count(*) FROM cells n
+         WHERE n.cx BETWEEN c.cx - {radius} AND c.cx + {radius}
+           AND n.cy BETWEEN c.cy - {radius} AND c.cy + {radius}) = {full})
+SELECT DISTINCT e.cx + dx.i AS cx, e.cy + dy.i AS cy
+FROM eroded e
+CROSS JOIN range({-radius}, {radius + 1}) dx(i)
+CROSS JOIN range({-radius}, {radius + 1}) dy(i)"""

@@ -5221,3 +5221,33 @@ def image_quantize_rgb332_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 400)
     imgs = ensure_min_parallelism(synth_formula_images(spark, n))
     return image_quantize_rgb332(imgs)
+
+
+def _sql_opening() -> str:
+    from osmgraft.operators.density import sql_raster_opening
+
+    cells = f"WITH pts AS ({_PTS}) {_sql_cells(6)}"
+    return sql_raster_opening(cells, 1)
+
+
+@register("tile_opening_z6", _sql_opening())
+def tile_opening_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morphological OPENING (erode∘dilate, operators/density.py) of the z6
+    occupancy raster with a 3x3 structuring square — the classic raster
+    denoise: isolated specks and 1-cell filaments vanish, solid urban blobs
+    survive unchanged. Engine composes the separable box pass with
+    threshold/equality filters; the DuckDB twin is a direct correlated
+    neighborhood-count join + DISTINCT dilation — different algorithms,
+    one hash."""
+    from osmgraft.operators.density import raster_opening
+
+    pts = points_from_orders(spark, sf_dir)
+    cells = (
+        pts.select(
+            tiles.tile_x(F.col("lon7"), 6).alias("cx"),
+            tiles.tile_y(F.col("lat7"), 6).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return raster_opening(cells, radius=1)
