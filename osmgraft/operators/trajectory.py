@@ -296,3 +296,56 @@ SELECT ent, total_len, seq AS seg_seq,
        y1 * slen + (y2 - y1) * ((total_len * {num}) // {den} - cum) AS fy_num,
        slen AS f_den
 FROM cand WHERE rk = 1"""
+
+
+def _octant_expr(dx, dy):
+    """Exact integer octant of a step vector — sector k covers angles
+    [45k°, 45(k+1)°) counterclockwise from +x (E=0, NE=1, ... SE=7), the
+    floor(atan2/45°) convention whose boundaries fall ON axes/diagonals so
+    every tie is decidable with integer comparisons (no trig anywhere):
+    quadrant by signs, then the |dx| vs |dy| diagonal split (boundary
+    |dx| == |dy| belongs to the upper sector, matching the half-open
+    interval)."""
+    ax, ay = F.abs(dx), F.abs(dy)
+    return (
+        F.when((dx > 0) & (dy >= 0), F.when(ay < ax, 0).otherwise(1))
+        .when((dx <= 0) & (dy > 0), F.when(ax < ay, 2).otherwise(3))
+        .when((dx < 0) & (dy <= 0), F.when(ay < ax, 4).otherwise(5))
+        .otherwise(F.when(ax < ay, 6).otherwise(7))
+    )
+
+
+def movement_rose(track: DataFrame) -> DataFrame:
+    """Per-entity direction histogram (compass-rose / rose-diagram rollup)
+    of consecutive track steps: octant 0..7 counterclockwise from +x with
+    the exact integer sector rule above — the standard movement-ecology /
+    flow-cartography summary, zero floats. Zero-length steps are excluded
+    (no direction). One ent-shuffle (the lag window) + a map-side-combined
+    count keyed by (ent, octant)."""
+    w = Window.partitionBy("ent").orderBy("seq")
+    dx = F.col("x") - F.lag("x").over(w)
+    dy = F.col("y") - F.lag("y").over(w)
+    steps = track.select("ent", dx.alias("dx"), dy.alias("dy")).where(
+        F.col("dx").isNotNull() & ((F.col("dx") != 0) | (F.col("dy") != 0))
+    )
+    return (
+        steps.select("ent", _octant_expr(F.col("dx"), F.col("dy")).alias("octant"))
+        .groupBy("ent", "octant")
+        .agg(F.count(F.lit(1)).alias("steps"))
+    )
+
+
+def sql_movement_rose(track_cte: str) -> str:
+    """DuckDB twin — identical sector rule as SQL CASE text."""
+    return f"""WITH track AS ({track_cte}),
+d AS (
+  SELECT ent, x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy
+  FROM track WINDOW w AS (PARTITION BY ent ORDER BY seq)),
+s AS (
+  SELECT ent,
+         CASE WHEN dx > 0 AND dy >= 0 THEN (CASE WHEN abs(dy) < abs(dx) THEN 0 ELSE 1 END)
+              WHEN dx <= 0 AND dy > 0 THEN (CASE WHEN abs(dx) < abs(dy) THEN 2 ELSE 3 END)
+              WHEN dx < 0 AND dy <= 0 THEN (CASE WHEN abs(dy) < abs(dx) THEN 4 ELSE 5 END)
+              ELSE (CASE WHEN abs(dx) < abs(dy) THEN 6 ELSE 7 END) END AS octant
+  FROM d WHERE dx IS NOT NULL AND (dx != 0 OR dy != 0))
+SELECT ent, octant, count(*) AS steps FROM s GROUP BY ent, octant"""

@@ -5251,3 +5251,30 @@ def tile_opening_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return raster_opening(cells, radius=1)
+
+
+def _sql_rose() -> str:
+    from osmgraft.operators.trajectory import sql_movement_rose
+
+    return sql_movement_rose(_TRACK_CTE)
+
+
+@register("movement_rose_tracks", _sql_rose())
+def movement_rose_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity compass-rose direction histogram
+    (operators/trajectory.movement_rose): octant of each consecutive step
+    by the exact integer sector rule (quadrant signs + |dx| vs |dy|
+    diagonal split — floor(atan2/45°) without trig). One ent-shuffle +
+    map-side-combined counts; hash-gated against the identical CASE-text
+    twin at both SFs."""
+    from osmgraft.operators.trajectory import movement_rose
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    o = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    track = o.selectExpr(
+        "o_custkey % 199 AS ent",
+        "o_orderkey AS seq",
+        "(o_orderkey * 13) % 100000 div 10 AS x",
+        "(o_orderkey * 29) % 100000 div 10 AS y",
+    )
+    return movement_rose(track)
