@@ -601,3 +601,78 @@ def zonal_stats(
             F.max(value_col).alias("max_cnt"),
         )
     )
+
+
+def mosaic_tiles(
+    images: DataFrame, z: int, grid: int = 8, thumb: int = 8
+) -> DataFrame:
+    """GEO-MOSAIC tile materialization — the photo-map montage joining the
+    engine's two halves the other way around from render_tile_pngs (which
+    rasterizes COUNTS; this rasterizes the IMAGES THEMSELVES): geo-tagged
+    images are assigned to slippy z tiles, each tile picks its grid² lowest
+    image_ids (deterministic, scan-order-free), decodes them, area-resizes
+    each to a thumb×thumb RGB thumbnail and places them row-major into one
+    (grid·thumb)² montage, PNG-encoded per tile. Output
+    (tx, ty, n_images, mosaic_crc, png).
+
+    Scale shape: the representative pick is a rank-filtered window Spark
+    rewrites to WindowGroupLimit — per-partition partial top-k BEFORE any
+    pixel is decoded, so at 10^12 images only grid² payloads per tile ever
+    reach the Python stage (the pruning is the point; decode-then-pick
+    would be a disaster). Assembly is one applyInPandas task per tile whose
+    group is ≤ grid² rows BY CONSTRUCTION — the per-image loop inside is
+    bounded by the montage spec, not by data size. mosaic_crc hashes the
+    decoded canvas (CRC-32 of raw RGB bytes), not the PNG container, per
+    the repo's container-vs-content pinning discipline."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from osmgraft.functions.codec import decode_image, png_encode, resize_area
+
+    if grid < 1 or thumb < 1:
+        raise ValueError("grid and thumb must be >= 1")
+    sel = images.select(
+        "image_id", "bytes", "w", "h", "fmt",
+        tiles.tile_x(F.col("lon7"), z).alias("tx"),
+        tiles.tile_y(F.col("lat7"), z).alias("ty"),
+    )
+    wnd = Window.partitionBy("tx", "ty").orderBy("image_id")
+    top = sel.withColumn("rk", F.row_number().over(wnd)).where(
+        F.col("rk") <= grid * grid
+    )
+
+    def assemble(key, pdf):
+        import zlib
+
+        import numpy as np
+
+        side = grid * thumb
+        canvas = np.zeros((side, side, 3), dtype=np.uint8)
+        for rk, data, w, h, fmt in zip(
+            pdf["rk"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+        ):
+            px = decode_image(bytes(data), int(w), int(h), fmt)
+            t = np.stack(
+                [
+                    resize_area(px[..., c].astype(np.int64), thumb, thumb)
+                    for c in range(3)
+                ],
+                axis=-1,
+            ).astype(np.uint8)  # area means of 0..255 stay in range
+            gy, gx = divmod(int(rk) - 1, grid)
+            canvas[gy * thumb : (gy + 1) * thumb, gx * thumb : (gx + 1) * thumb] = t
+        crc = np.int64(zlib.crc32(canvas.tobytes()))
+        return pd.DataFrame(
+            {
+                "tx": [key[0]],
+                "ty": [key[1]],
+                "n_images": [len(pdf)],
+                "mosaic_crc": [crc],
+                "png": [png_encode(canvas)],
+            }
+        )
+
+    return top.groupBy("tx", "ty").applyInPandas(
+        assemble,
+        schema="tx long, ty long, n_images long, mosaic_crc long, png binary",
+    )

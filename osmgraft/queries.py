@@ -5278,3 +5278,20 @@ def movement_rose_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(o_orderkey * 29) % 100000 div 10 AS y",
     )
     return movement_rose(track)
+
+
+@register("tile_mosaic_z5", None)
+def tile_mosaic_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-mosaic tile montage (operators/raster.mosaic_tiles): geo-tagged
+    images → z5 tiles → per-tile 8x8 grid of 8x8 area-resized thumbnails →
+    one PNG per tile (the photo-map materialization; WindowGroupLimit
+    prunes to grid² payloads per tile BEFORE any decode). Rows-only by
+    design (pixels are Philox — no SQL twin); canvas CRCs + local
+    reconstruction equality are pinned in test_mosaic.py."""
+    from osmgraft.operators.raster import mosaic_tiles
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 1500)
+    imgs = ensure_min_parallelism(synth_images(spark, n))
+    return mosaic_tiles(imgs, z=5).select("tx", "ty", "n_images", "mosaic_crc")
