@@ -367,3 +367,81 @@ def cc_two_level_banded(
     )
     only_res = res.join(local.select("id"), "id", "left_anti")
     return out_local.unionByName(only_res)
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts — the clustering-coefficient
+    numerator, via the DEGREE-ORIENTED wedge algorithm (Cohen 2009 /
+    Suri-Vassilvitskii WWW'11, the canonical MapReduce formulation):
+    undirect + dedupe, orient every edge from the (degree, id)-SMALLER to
+    the larger endpoint, build wedges by joining oriented edges on their
+    source, close each wedge with a semi-join back on the oriented edge
+    set, then credit the 3 corners. Orientation bounds every node's
+    out-degree by O(sqrt(|E|)) regardless of skew — a celebrity node's
+    star never becomes a quadratic wedge set; the join keys are the skew
+    handling.
+
+    Output (node_id, n_tri); nodes in no triangle are absent. The oracle
+    twin is the NAIVE a<b<c three-way self-join — different algorithm,
+    same exact counts."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        und.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    ori = e.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    x, y = ori.alias("x"), ori.alias("y")
+    lower = (F.col("x.dv") < F.col("y.dv")) | (
+        (F.col("x.dv") == F.col("y.dv")) & (F.col("x.v") < F.col("y.v"))
+    )
+    wedges = x.join(y, F.col("x.u") == F.col("y.u")).where(lower).select(
+        F.col("x.u").alias("w1"), F.col("x.v").alias("w2"), F.col("y.v").alias("w3")
+    )
+    closed = wedges.join(
+        ori.select(F.col("u").alias("w2"), F.col("v").alias("w3")),
+        ["w2", "w3"],
+        "left_semi",
+    )
+    corners = (
+        closed.select(F.col("w1").alias("node_id"))
+        .unionAll(closed.select(F.col("w2").alias("node_id")))
+        .unionAll(closed.select(F.col("w3").alias("node_id")))
+    )
+    return corners.groupBy("node_id").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def sql_triangle_counts(edges_sql: str) -> str:
+    """DuckDB twin: naive ordered three-way self-join (a < b < c)."""
+    return f"""WITH edges AS ({edges_sql}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src != dst),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (
+  SELECT x AS node_id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri)
+SELECT node_id, count(*) AS n_tri FROM corners GROUP BY node_id"""

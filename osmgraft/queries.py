@@ -5295,3 +5295,34 @@ def tile_mosaic_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 1500)
     imgs = ensure_min_parallelism(synth_images(spark, n))
     return mosaic_tiles(imgs, z=5).select("tx", "ty", "n_images", "mosaic_crc")
+
+
+# --- triangle counting (operators/graph.triangle_counts) -------------------------
+_TRI_EDGES_SQL = """SELECT o_orderkey % 211 AS src,
+       (o_orderkey // 211) % 211 AS dst
+FROM orders"""
+
+
+def _sql_triangles() -> str:
+    from osmgraft.operators.graph import sql_triangle_counts
+
+    return sql_triangle_counts(_TRI_EDGES_SQL)
+
+
+@register("triangle_counts_covisit", _sql_triangles())
+def triangle_counts_covisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.triangle_counts) over the
+    deterministic co-visit graph — the clustering-coefficient numerator.
+    Engine: the degree-ORIENTED wedge algorithm (out-degree bounded
+    O(sqrt(E)) per node, so celebrity skew never goes quadratic); oracle:
+    the naive a<b<c three-way self-join. Different algorithms, identical
+    exact counts, both SFs."""
+    from osmgraft.operators.graph import triangle_counts
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    o = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    edges = o.selectExpr(
+        "o_orderkey % 211 AS src",
+        "(o_orderkey div 211) % 211 AS dst",
+    )
+    return triangle_counts(edges)
