@@ -92,18 +92,56 @@ def hilbert_write(
     y_col: str,
     z: int,
     n_files: int = 16,
+    keep_key: str | None = None,
 ) -> None:
     """Write ``df`` as parquet clustered on the Hilbert key of
     (x_col, y_col) — same range-repartition + sort discipline as
     zorder_write, tighter file footprints (consecutive Hilbert keys are grid
-    neighbors; Morton's diagonal jumps widen row-group min/max boxes)."""
+    neighbors; Morton's diagonal jumps widen row-group min/max boxes).
+
+    ``keep_key`` persists the key as a named column: a one-dimensional sort
+    key whose row-group min/max stats are TIGHT INTERVALS (the file is
+    sorted on it), which is what hilbert_range_scan's BETWEEN disjunction
+    prunes against — 2-D (x, y) stats can't express the curve locality."""
     from osmgraft.functions.hilbert import with_hilbert_key
 
-    keyed = with_hilbert_key(df, F.col(x_col), F.col(y_col), z, out="_h")
-    (
-        keyed.repartitionByRange(n_files, "_h")
-        .sortWithinPartitions("_h")
-        .drop("_h")
-        .write.mode("overwrite")
-        .parquet(path)
+    keyed = with_hilbert_key(
+        df, F.col(x_col), F.col(y_col), z, out=keep_key or "_h"
+    )
+    clustered = keyed.repartitionByRange(
+        n_files, keep_key or "_h"
+    ).sortWithinPartitions(keep_key or "_h")
+    if not keep_key:
+        clustered = clustered.drop("_h")
+    clustered.write.mode("overwrite").parquet(path)
+
+
+def hilbert_range_scan(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    z: int,
+    bbox: tuple[int, int, int, int],
+    max_ranges: int = 64,
+) -> DataFrame:
+    """Two-phase bbox scan over a Hilbert-keyed table: (1) an OR-of-BETWEENs
+    on the persisted 1-D key (driver-side O(perimeter) decomposition,
+    ``hilbert_bbox_ranges``) that Catalyst pushes into the parquet scan, so
+    row-group min/max stats on the sort key skip everything outside the
+    curve ranges; (2) a residual exact (x, y) bbox predicate that removes
+    the false positives ``max_ranges`` coalescing admitted.
+
+    The classic SFC index-scan shape (Hilbert R-tree lineage; e.g. Lawder &
+    King, "Querying multi-dimensional data indexed using the Hilbert
+    space-filling curve", SIGMOD Record 2001): ranges prune IO, the residual
+    refines. At 100 TB the BETWEEN chain is a handful of stats comparisons
+    per row group — no Python, no shuffle, no index structure to maintain
+    beyond the sorted layout hilbert_write already produces."""
+    from osmgraft.functions.hilbert import hilbert_bbox_ranges, hilbert_range_filter
+
+    x0, x1, y0, y1 = bbox
+    ranges = hilbert_bbox_ranges(z, x0, x1, y0, y1, max_ranges=max_ranges)
+    return df.filter(hilbert_range_filter(F.col(key_col), ranges)).filter(
+        F.col(x_col).between(x0, x1) & F.col(y_col).between(y0, y1)
     )

@@ -921,6 +921,61 @@ def hilbert_key_z12(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("point_id", "hkey")
 
 
+# London-hotspot bbox in z12 tile coords: deliberately unaligned and
+# non-square so the curve decomposition exercises partial quadrants on
+# every boundary edge, and max_ranges=8 forces gap coalescing so the
+# residual predicate is load-bearing (not a no-op).
+_HRS_BBOX = (2040, 2055, 1355, 1375)
+
+
+@register(
+    "hilbert_range_scan_z12",
+    f"""WITH pts AS ({_PTS})
+SELECT point_id, tx, ty FROM (
+  SELECT point_id,
+         {tiles.sql_tile_x('lon7', 12)} AS tx,
+         {tiles.sql_tile_y('lat7', 12)} AS ty
+  FROM pts)
+WHERE tx BETWEEN {_HRS_BBOX[0]} AND {_HRS_BBOX[1]}
+  AND ty BETWEEN {_HRS_BBOX[2]} AND {_HRS_BBOX[3]}""",
+)
+def hilbert_range_scan_z12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SFC index scan (operators/cluster.hilbert_range_scan): the
+    bbox is decomposed driver-side into O(perimeter) contiguous Hilbert-key
+    ranges (functions/hilbert.hilbert_bbox_ranges), coalesced to ≤8
+    BETWEENs that push into the parquet scan, then an exact residual (x, y)
+    predicate refines the coalescing false-positives.  The DuckDB twin is
+    the plain bbox filter — hash equality proves ranges ∪ residual ≡ bbox,
+    i.e. the decomposition neither drops nor invents cells.
+
+    The scan runs against a PERSISTED Hilbert-clustered table (hilbert_write
+    keep_key, materialized per sf_dir under tmp) — the operator's actual
+    contract: the BETWEEN chain must land on a stored sort-key column whose
+    row-group stats prune.  Filtering an inline 12-level key expression
+    instead would make Catalyst's pushdown substitute that tree into all 16
+    comparisons (exponential blowup — measured driver OOM), which is exactly
+    the anti-pattern the persisted key exists to avoid."""
+    import os
+    import tempfile
+
+    from osmgraft.operators.cluster import hilbert_range_scan, hilbert_write
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"osmgraft_hrs_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    pts = points_from_orders(spark, sf_dir).select(
+        "point_id",
+        tiles.tile_x(F.col("lon7"), 12).alias("tx"),
+        tiles.tile_y(F.col("lat7"), 12).alias("ty"),
+    )
+    hilbert_write(pts, path, "tx", "ty", 12, n_files=16, keep_key="hkey")
+    table = spark.read.parquet(path)
+    return hilbert_range_scan(
+        table, "hkey", "tx", "ty", 12, _HRS_BBOX, max_ranges=8
+    ).select("point_id", "tx", "ty")
+
+
 @register("geohash6_counts", _geohash_oracle())
 def geohash6_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geohash (Niemeyer base-32 Z-order) cell counts at precision 6 —

@@ -105,3 +105,133 @@ def test_hilbert_footprint_not_worse_than_zorder(spark, tmp_path):
     pr = pruned_fraction(rowgroup_spans(rp, "x", "y"), *box)
     assert ph > pr  # beats random layout
     assert ph >= pz - 1e-9  # never worse than Morton on a uniform grid
+
+
+# --- bbox → key-range decomposition (two-phase SFC index scan) ---------------
+
+
+def test_key_py_matches_sql_twin(spark):
+    """hilbert_key_py is the driver-side twin of the SQL steps — identical
+    output on every cell of the z4 grid."""
+    from osmgraft.functions.hilbert import hilbert_key_py
+
+    keys = _grid_keys(spark, 4)
+    for (x, y), d in keys.items():
+        assert hilbert_key_py(4, x, y) == d
+
+
+def test_bbox_ranges_exact_cover():
+    """Exhaustive at z=5: the decomposed ranges cover EXACTLY the bbox cells'
+    keys — no drops, no extras — for aligned, unaligned, degenerate (single
+    row/column/cell) and full-grid boxes."""
+    from osmgraft.functions.hilbert import hilbert_bbox_ranges, hilbert_key_py
+
+    z, n = 5, 32
+    boxes = [
+        (0, 31, 0, 31),      # full grid → one range
+        (0, 15, 0, 15),      # aligned quadrant → one range
+        (3, 17, 5, 29),      # unaligned
+        (7, 7, 0, 31),       # single column
+        (0, 31, 13, 13),     # single row
+        (19, 19, 23, 23),    # single cell
+        (1, 30, 1, 30),      # near-full with 1-cell border
+    ]
+    for x0, x1, y0, y1 in boxes:
+        ranges = hilbert_bbox_ranges(z, x0, x1, y0, y1)
+        covered = set()
+        for lo, hi in ranges:
+            covered.update(range(lo, hi + 1))
+        want = {
+            hilbert_key_py(z, x, y)
+            for x in range(x0, x1 + 1)
+            for y in range(y0, y1 + 1)
+        }
+        assert covered == want, (x0, x1, y0, y1)
+        # ranges are sorted, disjoint, non-adjacent (maximally merged)
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+            assert a_hi + 1 < b_lo
+    assert hilbert_bbox_ranges(z, 0, 31, 0, 31) == [(0, 1023)]
+
+
+def test_bbox_ranges_count_resolution_independent():
+    """The same geographic box decomposes into the SAME number of ranges at
+    z=10/14/16 — range count is O(perimeter of the box in its own units),
+    not O(grid resolution): deeper zoom only scales the aligned subsquares."""
+    from osmgraft.functions.hilbert import hilbert_bbox_ranges
+
+    counts = []
+    for z in (10, 14, 16):
+        s = 1 << (z - 6)  # the same box in each grid's units
+        counts.append(
+            len(hilbert_bbox_ranges(z, 3 * s, 17 * s - 1, 5 * s, 29 * s - 1))
+        )
+    assert counts[0] == counts[1] == counts[2]
+
+
+def test_bbox_ranges_max_ranges_superset():
+    """Coalescing to max_ranges keeps a SUPERSET of the exact cover (the
+    residual predicate handles the rest) and respects the cap."""
+    from osmgraft.functions.hilbert import hilbert_bbox_ranges
+
+    exact = hilbert_bbox_ranges(6, 3, 41, 5, 52)
+    assert len(exact) > 8
+    capped = hilbert_bbox_ranges(6, 3, 41, 5, 52, max_ranges=8)
+    assert len(capped) == 8
+    exact_keys = set()
+    for lo, hi in exact:
+        exact_keys.update(range(lo, hi + 1))
+    capped_keys = set()
+    for lo, hi in capped:
+        capped_keys.update(range(lo, hi + 1))
+    assert exact_keys <= capped_keys
+
+
+def test_range_scan_matches_plain_bbox_and_prunes(spark, tmp_path):
+    """End-to-end two-phase scan over a written Hilbert-clustered table:
+    result rows equal the plain bbox filter, the BETWEEN chain reaches the
+    parquet scan (PushedFilters on the persisted key), and the row-group
+    stats on the 1-D sort key prune most groups — MEASURED from footers."""
+    from osmgraft.functions.hilbert import hilbert_bbox_ranges
+    from osmgraft.operators.cluster import hilbert_range_scan, hilbert_write
+
+    n = 1 << 7
+    df = spark.range(n * n).select(
+        F.col("id").alias("point_id"),
+        (F.col("id") % n).alias("x"),
+        (F.col("id") / n).cast("long").alias("y"),
+    )
+    path = str(tmp_path / "hk")
+    hilbert_write(df, path, "x", "y", 7, n_files=8, keep_key="hkey")
+    table = spark.read.parquet(path)
+    bbox = (9, 24, 33, 50)
+    got = hilbert_range_scan(table, "hkey", "x", "y", 7, bbox, max_ranges=8)
+    want = table.filter(
+        F.col("x").between(bbox[0], bbox[1]) & F.col("y").between(bbox[2], bbox[3])
+    )
+    assert sorted(r["point_id"] for r in got.collect()) == sorted(
+        r["point_id"] for r in want.collect()
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters:" in plan and "hkey" in plan.split("PushedFilters:")[1]
+
+    # measured row-group pruning on the persisted sort key
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    ranges = hilbert_bbox_ranges(7, *bbox, max_ranges=8)
+    total = touched = 0
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ki = names.index("hkey")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ki).statistics
+            total += 1
+            if any(not (st.max < lo or st.min > hi) for lo, hi in ranges):
+                touched += 1
+    assert total >= 8
+    # bbox is ~1.6% of the grid area; sorted-key stats must skip >60% of
+    # groups even with the coalesced (superset) ranges
+    assert 1.0 - touched / total > 0.6
