@@ -713,3 +713,221 @@ def semantic_dedup_clusters(
         F.col("id").alias(id_col),
         (F.col("id") == F.col("comp")).alias("is_survivor"),
     )
+
+
+# --- product quantization (PQ) -------------------------------------------------
+# Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor Search"
+# (TPAMI 2011): split dim into m subspaces, vector -> m small codes, distance
+# approximated from per-subspace lookup tables (ADC). At 10^12 rows this is
+# THE storage/scan trade: 64 float32 dims (256 B) become m=8 uint8 codes
+# (8 B), so a full ANN scan reads 32x less and the distance kernel is m table
+# lookups + adds instead of dim multiplies. Same fixed-quantizer discipline
+# as ivf_anchors: codebooks are Philox-seeded literals, reproducible across
+# engines, so the DuckDB twin embeds the identical numbers and the encode +
+# ADC ranking hash-gate end to end (a trained codebook would rank better but
+# couldn't be cross-engine-pinned; train_anchors shows the training shape).
+
+
+def pq_codebooks(
+    dim: int, m: int = 8, ksub: int = 16, seed: int = 20240
+) -> np.ndarray:
+    """(m, ksub, dim//m) deterministic codebooks, Philox-keyed; scaled to
+    ~unit-coordinate range so distances to unit-ish embeddings are
+    informative (scale cancels in argmin ORDER only when uniform — kept
+    uniform here)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = np.random.Generator(np.random.Philox(key=seed + 7))
+    return rng.standard_normal((m, ksub, dim // m)) * 0.5
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — per subspace the L2-nearest centroid id,
+    ties to the LOWEST code (np.argmin first-max; SQL twin orders
+    (d2 ASC, code ASC)). Map-only vectorized pandas UDF against the
+    broadcast codebook tensor: no shuffle, no driver data."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, ksub, sub = codebooks.shape
+
+    @pandas_udf("array<int>")
+    def _encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        n = x.shape[0]
+        codes = np.empty((n, m), dtype=np.int32)
+        for s in range(m):
+            xs = x[:, s * sub : (s + 1) * sub]
+            c = codebooks[s]
+            # ||x-c||^2 = x.x - 2 x.c + c.c  (same expansion as the twin)
+            d2 = (
+                (xs * xs).sum(axis=1, keepdims=True)
+                - 2.0 * xs @ c.T
+                + (c * c).sum(axis=1)[None, :]
+            )
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return df.select(F.col(id_col), _encode(F.col(vec_col)).alias("codes"))
+
+
+def _sql_codebook_values(codebooks: np.ndarray) -> str:
+    """codebooks(s, code, cvec) VALUES — repr() round-trips IEEE doubles."""
+    m, ksub, _ = codebooks.shape
+    rows = ", ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            s, c, ", ".join(repr(float(v)) for v in codebooks[s, c])
+        )
+        for s in range(m)
+        for c in range(ksub)
+    )
+    return f"codebooks(s, code, cvec) AS (VALUES {rows})"
+
+
+def sql_pq_encode(codebooks: np.ndarray, table: str = "embeddings") -> str:
+    """DuckDB twin of pq_encode: explode subspaces, argmin by
+    (d2 ASC, code ASC), reassemble codes ordered by subspace."""
+    m, ksub, sub = codebooks.shape
+    return f"""WITH {_sql_codebook_values(codebooks)},
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+subs AS (
+  SELECT e.vec_id, s.i AS s, e.v[s.i * {sub} + 1 : (s.i + 1) * {sub}] AS xs
+  FROM emb e CROSS JOIN (SELECT unnest(range({m})) AS i) s),
+d AS (
+  SELECT u.vec_id, u.s, cb.code,
+         list_dot_product(u.xs, u.xs) - 2.0 * list_dot_product(u.xs, cb.cvec)
+           + list_dot_product(cb.cvec, cb.cvec) AS d2
+  FROM subs u JOIN codebooks cb ON cb.s = u.s),
+best AS (
+  SELECT vec_id, s, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM d)
+  WHERE rn = 1)
+SELECT vec_id, list(code ORDER BY s) AS codes FROM best GROUP BY vec_id"""
+
+
+def pq_adc_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ensure_parallelism: bool = False,
+) -> DataFrame:
+    """Asymmetric-distance top-k: items are scanned as CODES ONLY (m ints a
+    row); each query precomputes an (m, ksub) lookup table of exact
+    subspace distances, and a candidate's approximate distance is m table
+    lookups summed. Query LUTs broadcast; one vectorized mapInPandas pass
+    over the code table; the only shuffle is the final per-query top-k
+    window. Returns (query_id, neighbor_id, rank) by (adc ASC, neighbor)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from osmgraft.operators.util import maybe_parallelize
+
+    m, ksub, sub = codebooks.shape
+    codes = maybe_parallelize(
+        pq_encode(items, codebooks, id_col=id_col, vec_col=vec_col),
+        ensure_parallelism,
+    )
+    qrows = queries.select(id_col, vec_col).collect()  # bounded query set
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qx = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+
+    def _fold_dot(a, b) -> float:
+        # left-to-right IEEE fold — bit-identical to DuckDB list_dot_product,
+        # so every LUT entry is the SAME double the twin derives. numpy's
+        # pairwise summation would drift a ULP and flip near-tied ranks
+        # (observed); the LUT is (n_q, m, ksub) driver-side scalars, so the
+        # scalar fold costs nothing.
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    luts = np.empty((len(qids), m, ksub))
+    for qi in range(len(qids)):
+        for s in range(m):
+            qs = qx[qi, s * sub : (s + 1) * sub]
+            qq = _fold_dot(qs, qs)
+            for c in range(ksub):
+                cv = codebooks[s, c]
+                luts[qi, s, c] = qq - 2.0 * _fold_dot(qs, cv) + _fold_dot(cv, cv)
+    spark = items.sparkSession
+    bc = spark.sparkContext.broadcast((qids, luts))
+
+    def kernel(pdfs: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        qids_, luts_ = bc.value
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            cm = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            n = cm.shape[0]
+            # adc[q, i] = sum_s lut[q, s, cm[i, s]] — gathered per subspace
+            # in s order so the fold matches the twin's s-ordered list_sum
+            adc = np.zeros((len(qids_), n))
+            for s in range(m):
+                adc += luts_[:, s, :][:, cm[:, s]]
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids_, n),
+                    "neighbor_id": np.tile(ids, len(qids_)),
+                    "adc": adc.reshape(-1),
+                }
+            )
+
+    cand = codes.mapInPandas(kernel, "query_id long, neighbor_id long, adc double")
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def sql_pq_adc_topk(
+    codebooks: np.ndarray,
+    k: int = 10,
+    query_pred: str = "vec_id < 8",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of pq_adc_topk: encode via sql_pq_encode's argmin, LUT
+    distances from the same codebook literals, candidate ADC = an ORDERED
+    list_reduce over the m per-subspace lookups — bit-identical to the
+    kernel's s-order accumulation (and the LUT entries themselves are
+    bit-identical because pq_adc_topk builds them with left-to-right scalar
+    folds matching list_dot_product). An unordered SUM() here measurably
+    flips near-tied ranks by a ULP."""
+    m, ksub, sub = codebooks.shape
+    return f"""WITH {_sql_codebook_values(codebooks)},
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+subs AS (
+  SELECT e.vec_id, s.i AS s, e.v[s.i * {sub} + 1 : (s.i + 1) * {sub}] AS xs
+  FROM emb e CROSS JOIN (SELECT unnest(range({m})) AS i) s),
+d AS (
+  SELECT u.vec_id, u.s, cb.code,
+         list_dot_product(u.xs, u.xs) - 2.0 * list_dot_product(u.xs, cb.cvec)
+           + list_dot_product(cb.cvec, cb.cvec) AS d2
+  FROM subs u JOIN codebooks cb ON cb.s = u.s),
+best AS (
+  SELECT vec_id, s, code, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM d)
+  WHERE rn = 1),
+lut AS (SELECT vec_id AS query_id, s, code, d2 FROM d WHERE {query_pred}),
+cand AS (
+  SELECT l.query_id, b.vec_id AS neighbor_id,
+         list_reduce(list(l.d2 ORDER BY l.s), (a, b) -> a + b) AS adc
+  FROM best b JOIN lut l ON l.s = b.s AND l.code = b.code
+  GROUP BY l.query_id, b.vec_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+  FROM cand)
+WHERE rank <= {k}
+ORDER BY query_id, rank"""

@@ -2548,6 +2548,53 @@ REGISTRY["embedding_ivf_ann"] = (
 )
 
 
+@register("embedding_pq_codes", None)  # oracle attached below (codebook literals)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (Jégou et al., TPAMI 2011): 64 dims →
+    m=8 subspace codes of ksub=16 against Philox-seeded codebooks — the
+    32x embedding compression a 10^12-row ANN scan actually reads.
+    Map-only vectorized pandas UDF; hash-gated against a DuckDB twin that
+    argmins over the identical codebook literals with the same
+    (d2 ASC, code ASC) tie rule."""
+    from osmgraft.operators.similarity import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_encode(emb, pq_codebooks(64, m=8, ksub=16))
+
+
+@register("embedding_pq_ann", None)  # oracle attached below
+def embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): the code table is the ONLY thing
+    scanned (8 ints/row); each query's (m × ksub) exact-subspace-distance
+    LUT broadcasts and a candidate costs m lookups + adds in one vectorized
+    mapInPandas pass; the sole shuffle is the final per-query top-k window.
+    Completes the ANN family: brute-force (exact), LSH (recall-pinned),
+    IVF (bucketed exact-rerank), PQ (compressed-domain)."""
+    from osmgraft.operators.similarity import pq_adc_topk, pq_codebooks
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_adc_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        pq_codebooks(64, m=8, ksub=16),
+        k=10,
+        ensure_parallelism=True,
+    )
+
+
+from osmgraft.operators.similarity import pq_codebooks as _pq_cb  # noqa: E402
+from osmgraft.operators.similarity import sql_pq_adc_topk, sql_pq_encode  # noqa: E402
+
+REGISTRY["embedding_pq_codes"] = (
+    REGISTRY["embedding_pq_codes"][0],
+    sql_pq_encode(_pq_cb(64, m=8, ksub=16)),
+)
+REGISTRY["embedding_pq_ann"] = (
+    REGISTRY["embedding_pq_ann"][0],
+    sql_pq_adc_topk(_pq_cb(64, m=8, ksub=16), k=10, query_pred="vec_id < 8"),
+)
+
+
 # --- osmio format surface: XML escape, OPL encode, tag ops, area semantics ---------
 from osmgraft.sources.opl import sql_opl_escape  # noqa: E402
 from osmgraft.sources.osm_xml import sql_xml_escape, xml_escape  # noqa: E402
