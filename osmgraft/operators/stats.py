@@ -336,3 +336,66 @@ est AS (
   FROM probes p JOIN sk ON p.j = sk.j AND p.bucket = sk.bucket
   GROUP BY p.key)
 SELECT key, est FROM est WHERE est >= {threshold}"""
+
+
+# --- column profiling (data-quality pass of a training-data pipeline) ----------
+
+
+def profile_columns(df: DataFrame, cols: list[str], exact: bool = True) -> DataFrame:
+    """One-pass Deequ-style column profile: per column
+    (col, n, n_null, n_distinct, min_s, max_s).
+
+    All per-column aggregates run in a SINGLE agg (the multi-countDistinct
+    plan is one scan + one Expand of factor |cols|, all map-side partial
+    before the shuffle), then the 1×(5·|cols|) row pivots to |cols| rows via
+    explode of literal structs — no second pass, no per-column job.  min/max
+    are taken in NATIVE type then cast to string (string-ordering "10"<"9"
+    traps avoided; int→string renders identically in Spark and DuckDB, which
+    is why the profile sticks to int/string columns — float→string spelling
+    differs between engines).
+
+    ``exact=False`` swaps count(DISTINCT) for approx_count_distinct (HLL++):
+    the 100 TB shape — one ordinary agg, no Expand — but engine-specific, so
+    the hash gate pins the exact path and the approx path is tested by
+    relative-error bound in pytest."""
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        nd = (
+            F.countDistinct(col)
+            if exact
+            else F.approx_count_distinct(col)
+        )
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(col).alias(f"{c}__nn"),
+            nd.alias(f"{c}__d"),
+            F.min(col).cast("string").alias(f"{c}__mn"),
+            F.max(col).cast("string").alias(f"{c}__mx"),
+        ]
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__n").alias("n"),
+            (F.col(f"{c}__n") - F.col(f"{c}__nn")).alias("n_null"),
+            F.col(f"{c}__d").cast("long").alias("n_distinct"),
+            F.col(f"{c}__mn").alias("min_s"),
+            F.col(f"{c}__mx").alias("max_s"),
+        )
+        for c in cols
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def sql_profile_columns(cols: list[str], table: str) -> str:
+    """DuckDB twin: UNION ALL of per-column profile selects."""
+    parts = [
+        f"""SELECT '{c}' AS col, count(*) AS n,
+  count(*) - count({c}) AS n_null,
+  count(DISTINCT {c}) AS n_distinct,
+  CAST(min({c}) AS VARCHAR) AS min_s, CAST(max({c}) AS VARCHAR) AS max_s
+FROM {table}"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)

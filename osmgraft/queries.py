@@ -5428,3 +5428,31 @@ def triangle_counts_covisit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(o_orderkey div 211) % 211 AS dst",
     )
     return triangle_counts(edges)
+
+
+# --- column profiling ------------------------------------------------------------
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _sql_profile() -> str:
+    from osmgraft.operators.stats import sql_profile_columns
+
+    return sql_profile_columns(_PROFILE_COLS, "documents")
+
+
+@register("profile_documents", _sql_profile())
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style one-pass column profile of the documents table
+    (operators/stats.profile_columns): per column n / n_null / n_distinct /
+    min / max in ONE agg (single scan + Expand, all map-side partial) then
+    a literal-struct explode pivots to rows. The data-quality gate a
+    training-data pipeline runs before anything else touches a crawl
+    snapshot. Oracle: per-column UNION ALL — a different plan shape
+    computing the same profile."""
+    from osmgraft.operators.stats import profile_columns
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    return profile_columns(docs, _PROFILE_COLS)

@@ -184,3 +184,50 @@ def test_kmv_intersect_accuracy(spark):
     pairs = kmv_intersect(df2, "g", "key", k=32).collect()
     for p in pairs:
         assert p["common_kept"] <= 1  # chance hash collisions only (48-bit: none)
+
+
+# --- column profiler ------------------------------------------------------------
+
+
+def test_profile_columns_nulls_and_minmax(spark):
+    from osmgraft.operators.stats import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "b"), (2, None), (9, "a"), (10, "a"), (None, "c")],
+        "k int, s string",
+    )
+    prof = {r["col"]: r for r in profile_columns(df, ["k", "s"]).collect()}
+    k, s = prof["k"], prof["s"]
+    assert (k["n"], k["n_null"], k["n_distinct"]) == (5, 1, 4)
+    # min/max taken in NATIVE type then cast: 10 > 9 numerically even though
+    # "10" < "9" lexically — the string-ordering trap the operator avoids
+    assert (k["min_s"], k["max_s"]) == ("1", "10")
+    assert (s["n"], s["n_null"], s["n_distinct"]) == (5, 1, 3)
+    assert (s["min_s"], s["max_s"]) == ("a", "c")
+
+
+def test_profile_columns_approx_bounded(spark):
+    """The 100 TB path (HLL++): relative error within the sketch's
+    documented bound on a 10k-distinct column."""
+    from osmgraft.operators.stats import profile_columns
+
+    df = spark.range(10_000).selectExpr("id AS k")
+    got = profile_columns(df, ["k"], exact=False).collect()[0]
+    assert abs(got["n_distinct"] - 10_000) / 10_000 < 0.05
+    assert got["n_null"] == 0
+
+
+def test_profile_single_job_plan(spark):
+    """One scan, one Expand (the multi-countDistinct rewrite), no
+    per-column union of jobs."""
+    from osmgraft.operators.stats import profile_columns
+
+    df = spark.createDataFrame([(1, "a", 2.0)], "a int, b string, c double")
+    plan = (
+        profile_columns(df, ["a", "b"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Expand") >= 1
+    assert "Union" not in plan
