@@ -155,7 +155,8 @@ def main() -> None:
                  "tile_opening_z6", "movement_rose_tracks",
                  "tile_mosaic_z5", "triangle_counts_covisit",
                  "hilbert_range_scan_z12",
-                 "embedding_pq_codes", "embedding_pq_ann", "profile_documents"]:
+                 "embedding_pq_codes", "embedding_pq_ann", "profile_documents",
+                 "compaction_plan_docs"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())

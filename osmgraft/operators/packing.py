@@ -221,3 +221,67 @@ ranked AS (
   FROM scored)
 SELECT {keys}, {n}, CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
 FROM ranked"""
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    part_cols: list[str],
+    file_col: str = "file_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Plan small-file compaction: within each table partition, assign files
+    to merge bins of ~``target_bytes`` (the Iceberg `binPack` rewrite /
+    Delta OPTIMIZE planning step).
+
+    Deterministic next-fit-decreasing by cumulative sum: files order by
+    (bytes DESC, file_id) — large files seed bins first, the classic FFD
+    quality heuristic — and bin = exclusive-prefix-sum(bytes) div target.
+    A file straddling a boundary overflows its bin by < one file (bins are
+    never split mid-file), and a file larger than target gets a bin of its
+    own.  Output: one row per bin (part..., bin, n_files, bin_bytes).
+
+    Scale shape: manifests are file-count-sized, not data-sized, and the
+    window is PARTITIONED BY the table partition — per-partition file lists
+    are the bounded unit a metadata compactor actually holds (compare
+    pack_sequences for the two-pass trick when a single global order is
+    unavoidable).  One exchange on part_cols, everything else map-side."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(F.col(bytes_col).desc(), F.col(file_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(bytes_col).over(w), F.lit(0))
+    # int64 `div`, not float `/`: exact at any manifest size (FP division
+    # loses integer precision past 2^53; DuckDB's `//` is exact int div)
+    planned = files.withColumn("_cb", cum_before.cast("long")).withColumn(
+        "bin", F.expr(f"_cb div {int(target_bytes)}")
+    )
+    return planned.groupBy(*part_cols, "bin").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(bytes_col).cast("long").alias("bin_bytes"),
+    )
+
+
+def sql_compaction_plan(
+    files_cte: str,
+    target_bytes: int,
+    part_cols: str,
+    file_col: str = "file_id",
+    bytes_col: str = "bytes",
+) -> str:
+    """DuckDB twin: identical exclusive-prefix-sum bucketing via a window."""
+    return f"""WITH files AS ({files_cte}),
+planned AS (
+  SELECT {part_cols}, {bytes_col},
+         COALESCE(SUM({bytes_col}) OVER (
+           PARTITION BY {part_cols}
+           ORDER BY {bytes_col} DESC, {file_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {target_bytes} AS bin
+  FROM files)
+SELECT {part_cols}, bin, count(*) AS n_files,
+       CAST(sum({bytes_col}) AS BIGINT) AS bin_bytes
+FROM planned GROUP BY {part_cols}, bin"""

@@ -5456,3 +5456,31 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     )
     return profile_columns(docs, _PROFILE_COLS)
+
+
+def _sql_compaction() -> str:
+    from osmgraft.operators.packing import sql_compaction_plan
+
+    return sql_compaction_plan(
+        "SELECT doc_id AS file_id, source, n_chars AS bytes FROM documents",
+        target_bytes=4096,
+        part_cols="source",
+    )
+
+
+@register("compaction_plan_docs", _sql_compaction())
+def compaction_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (operators/packing.compaction_plan):
+    the Iceberg-binPack/Delta-OPTIMIZE rewrite plan over a synthetic file
+    manifest (documents as files, n_chars as bytes, source as the table
+    partition). Next-fit-decreasing by exclusive prefix sum, int64 `div`
+    bucketing, window partitioned by the table partition — manifests are
+    file-count-sized so this is the bounded-metadata shape a compactor
+    actually runs. Output: per-bin (source, bin, n_files, bin_bytes)."""
+    from osmgraft.operators.packing import compaction_plan
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).selectExpr("doc_id AS file_id", "source", "n_chars AS bytes")
+    return compaction_plan(docs, 4096, ["source"])

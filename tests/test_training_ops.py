@@ -962,3 +962,50 @@ def test_proportional_quotas_sql_twin(spark):
     ).fetchall()
     assert {g: q for g, _, q in duck} == got
     assert sum(got.values()) == 41
+
+
+# --- compaction planner -----------------------------------------------------
+
+
+def test_compaction_plan_semantics(spark):
+    """Hand-checked: sizes [5,4,3,2,1] target 6 within one partition →
+    exclusive cumsums [0,5,9,12,14] → bins [0,0,1,2,2]."""
+    from osmgraft.operators.packing import compaction_plan
+
+    df = spark.createDataFrame(
+        [("p", i, b) for i, b in enumerate([5, 4, 3, 2, 1])],
+        "part string, file_id int, bytes int",
+    )
+    got = {
+        r["bin"]: (r["n_files"], r["bin_bytes"])
+        for r in compaction_plan(df, 6, ["part"]).collect()
+    }
+    assert got == {0: (2, 9), 1: (1, 3), 2: (2, 3)}
+
+
+def test_compaction_plan_laws(spark):
+    """Conservation: Σ bin_bytes == Σ input bytes and Σ n_files == n. Bins
+    except the last (per partition) reach ≥ target once seeded (next-fit:
+    a bin closes only when the running fill crosses its boundary).
+    Oversized files occupy a bin alone seeded at their own prefix."""
+    from osmgraft.operators.packing import compaction_plan
+
+    rows = [("a", i, (i * 37) % 900 + 10) for i in range(200)] + [
+        ("b", i, 5000) for i in range(3)  # each larger than target
+    ]
+    df = spark.createDataFrame(rows, "part string, file_id int, bytes int")
+    plan = compaction_plan(df, 1024, ["part"]).collect()
+    assert sum(r["n_files"] for r in plan) == 203
+    assert sum(r["bin_bytes"] for r in plan) == sum(b for _, _, b in rows)
+    b_bins = [r for r in plan if r["part"] == "b"]
+    assert len(b_bins) == 3 and all(r["n_files"] == 1 for r in b_bins)
+
+
+def test_compaction_plan_parallelism_invariant(spark):
+    from osmgraft.operators.packing import compaction_plan
+
+    rows = [("p%d" % (i % 7), i, (i * 61) % 3000 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "part string, file_id int, bytes int")
+    r1 = sorted(map(tuple, compaction_plan(df.coalesce(1), 2048, ["part"]).collect()))
+    r32 = sorted(map(tuple, compaction_plan(df.repartition(32), 2048, ["part"]).collect()))
+    assert r1 == r32
