@@ -189,7 +189,10 @@ def image_stats(images: DataFrame, on_error: str = "fail") -> DataFrame:
 
 
 def phash_near_dup_pairs(
-    images: DataFrame, max_hamming: int = 8, probe_flips: int = 0
+    images: DataFrame,
+    max_hamming: int = 8,
+    probe_flips: int = 0,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs by pHash banding with a REAL recall
     guarantee: the 64-bit hash is split into ``max_hamming + 1`` disjoint bit
@@ -245,18 +248,30 @@ def phash_near_dup_pairs(
             for b in range(n_bands)
         ]
     )
+    # key_cols join into the candidate key: e.g. (tx, ty) restricts
+    # candidates to the same tile — the geo-aware dedup shape, where the
+    # bucket space multiplies by the key cardinality and a planetary image
+    # lake's self-join collapses to per-cell joins (skew bounded by the
+    # densest cell, same salting escape hatch as celljoin if one cell runs
+    # hot). Recall within a key group is still the pigeonhole guarantee.
+    keys = list(key_cols or [])
     t = images.select(
-        "image_id", "phash", F.posexplode(band_vals).alias("band_idx", "band_val")
+        "image_id",
+        "phash",
+        *keys,
+        F.posexplode(band_vals).alias("band_idx", "band_val"),
     )
     a = t.select(
         F.col("image_id").alias("id_a"),
         F.col("phash").alias("ph_a"),
+        *keys,
         "band_idx",
         "band_val",
     )
     b_ = t.select(
         F.col("image_id").alias("id_b"),
         F.col("phash").alias("ph_b"),
+        *keys,
         "band_idx",
         "band_val",
     )
@@ -280,7 +295,7 @@ def phash_near_dup_pairs(
             .drop("_mask")
         )
     cand = (
-        a.join(b_, ["band_idx", "band_val"])
+        a.join(b_, [*keys, "band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )

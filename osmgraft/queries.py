@@ -5484,3 +5484,70 @@ def compaction_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     ).selectExpr("doc_id AS file_id", "source", "n_chars AS bytes")
     return compaction_plan(docs, 4096, ["source"])
+
+
+# --- geo-aware image near-dup: same-tile + pHash-band candidates -------------------
+def _sql_geo_neardup() -> str:
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("loc_src")
+    return f"""WITH idxs AS (SELECT row_number() OVER () - 1 AS idx FROM orders),
+capped AS (SELECT idx FROM idxs WHERE idx < {_HNP_CAP}),
+srcs AS (
+  SELECT idx,
+         CASE WHEN idx % 50 IN (49, 24) AND idx > 0 THEN idx - 1 ELSE idx END AS hash_src,
+         CASE WHEN idx % 50 = 49 AND idx > 0 THEN idx - 1 ELSE idx END AS loc_src
+  FROM capped),
+t AS (
+  SELECT idx AS image_id,
+         CASE WHEN hash_src <> idx
+              THEN xor({_sketch_sql('hash_src')},
+                       CAST(1 AS BIGINT) << CAST(idx % 40 AS INTEGER))
+              ELSE {_sketch_sql('idx')} END AS phash,
+         {tiles.sql_tile_x(lon, 7)} AS tx,
+         {tiles.sql_tile_y(lat, 7)} AS ty
+  FROM srcs)
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM t a JOIN t b
+  ON a.image_id < b.image_id AND a.tx = b.tx AND a.ty = b.ty
+WHERE bit_count(xor(a.phash, b.phash)) <= 4"""
+
+
+@register("geo_phash_neardup_z7", _sql_geo_neardup())
+def geo_phash_neardup_z7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEO-AWARE image near-dup (multimodal.phash_near_dup_pairs with
+    key_cols=[tx, ty]): candidate pairs must share a z7 tile AND a pHash
+    band — the planetary-image-lake dedup shape, where the self-join
+    collapses to per-cell joins and bucket space multiplies by tile
+    cardinality.  The fixture plants TWO kinds of 1-bit hash near-dups:
+    co-located (idx%50==49, location inherited — must be found) and
+    location-independent (idx%50==24, own location — must be dropped unless
+    the pair coincidentally shares a tile, which both engines decide
+    identically from integer lat7/lon7).  Oracle: brute-force all pairs
+    with an explicit same-tile predicate — the tile restriction is
+    load-bearing on both sides."""
+    from osmgraft.operators.multimodal import phash_near_dup_pairs
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), _HNP_CAP)
+    i = F.col("id")
+    hash_src = F.when(((i % 50).isin(49, 24)) & (i > 0), i - 1).otherwise(i)
+    loc_src = F.when((i % 50 == 49) & (i > 0), i - 1).otherwise(i)
+    sk = lambda k: ((k * 2654435761) % 2147483648) * 4294967296 + (
+        (k * 40503 + 17) % 4294967296
+    )  # noqa: E731
+    planted = sk(hash_src).bitwiseXOR(
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 40 AS INT))")
+    )
+    lat, lon = latlon_of_key(loc_src)
+    df = ensure_min_parallelism(spark.range(n)).select(
+        i.alias("image_id"),
+        F.when(hash_src != i, planted).otherwise(sk(i)).alias("phash"),
+        tiles.tile_x(lon, 7).alias("tx"),
+        tiles.tile_y(lat, 7).alias("ty"),
+    )
+    return phash_near_dup_pairs(
+        df, max_hamming=4, probe_flips=1, key_cols=["tx", "ty"]
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))

@@ -1009,3 +1009,25 @@ def test_compaction_plan_parallelism_invariant(spark):
     r1 = sorted(map(tuple, compaction_plan(df.coalesce(1), 2048, ["part"]).collect()))
     r32 = sorted(map(tuple, compaction_plan(df.repartition(32), 2048, ["part"]).collect()))
     assert r1 == r32
+
+
+def test_phash_neardup_key_cols_restrict_and_keep_recall(spark):
+    """key_cols semantics: a 1-bit pair in the SAME key group is found
+    (pigeonhole recall holds within groups); the identical hash pair split
+    across groups is dropped."""
+    from osmgraft.operators.multimodal import phash_near_dup_pairs
+
+    rows = [
+        (0, 0b1010101, 5),   # group 5: 0 and 1 are 1 bit apart
+        (1, 0b1010100, 5),
+        (2, 0b1010101, 9),   # same hashes, different group: must NOT pair
+        (3, 0b1010100, 8),
+        (4, 0b1111111110000000, 5),  # far from everything
+    ]
+    df = spark.createDataFrame(rows, "image_id long, phash long, g int")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash_near_dup_pairs(df, max_hamming=2, key_cols=["g"]).collect()
+    )
+    # (2,3) is hamming-1 but in different groups (9 vs 8) → excluded
+    assert got == [(0, 1, 1)]
