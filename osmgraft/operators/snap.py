@@ -238,3 +238,183 @@ def nearest_vertex(
             F.col("_nv.d2").alias("d2"),
         )
     )
+
+
+# --- HMM map matching (Viterbi over candidate nodes) --------------------------
+
+
+def viterbi_match(
+    points: "DataFrame",
+    nodes: "DataFrame",
+    n_cand: int = 4,
+    shift_bits: int = 10,
+    lam: int = 1,
+) -> "DataFrame":
+    """HMM-style map matching (the Newson–Krumm shape, integer-exact
+    skeleton): each track point takes its ``n_cand`` nearest road nodes as
+    hidden-state candidates (emission = reduced squared distance point→node)
+    and Viterbi picks the jointly-cheapest node SEQUENCE, where a step's
+    transition cost is the reduced squared distance between consecutive
+    matched nodes × ``lam`` — continuity, the thing independent per-point
+    snapping (snap_points_to_segments) cannot express: a noisy point near a
+    parallel road matches the road its neighbors are on.
+
+    Integer-exact throughout so the DP hash-gates cross-engine: coordinates
+    shift to non-negative (truncating div == floor div on both engines) and
+    reduce by 2^shift_bits before squaring — worst-case cost sums stay far
+    inside int64.  Candidate sets are deterministic ((emis, node_id)-ordered
+    window top-C); DP ties resolve to the lowest candidate index, final
+    state to (cost, node_id)-min, so the PATH is unique, not just the cost.
+
+    Scale shape: nodes (the road graph's matchable vertices — bounded,
+    broadcastable per region at 100 TB; beyond that the celljoin cell-key
+    candidate generator replaces the crossJoin) broadcast into one
+    window-pruned candidate pass; the DP runs per track via applyInPandas —
+    tracks are independent, the one shuffle keys by track_id, and per-track
+    state is (track_len × n_cand) scalars.  Output: one row per point
+    (track_id, seq, node_id, total_cost) with total_cost the track's joint
+    optimum repeated per row (so per-track projections need no second agg).
+
+    Reference semantics anchor: osmio resolves way geometry by node-id join
+    (way.rs) — this is the inverse assignment, GPS/image points back onto
+    the way graph."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    red = lambda c, off: (  # noqa: E731
+        (c.cast("long") + F.lit(off)) / F.lit(1 << shift_bits)
+    ).cast("long")
+    # shift to non-negative BEFORE the power-of-two reduction: for
+    # non-negative ints a power-of-two FP division then long-cast is exact
+    # floor (values < 2^32, so the double is exact), matching DuckDB `//`
+    nx = red(F.col("lon7"), 1_800_000_000)
+    ny = red(F.col("lat7"), 900_000_000)
+    nd = nodes.select(
+        F.col("node_id"),
+        nx.alias("cnx"),
+        ny.alias("cny"),
+    )
+    px = points.select(
+        "track_id",
+        "seq",
+        nx.alias("pnx"),
+        ny.alias("pny"),
+    )
+    d2 = (F.col("pnx") - F.col("cnx")) * (F.col("pnx") - F.col("cnx")) + (
+        F.col("pny") - F.col("cny")
+    ) * (F.col("pny") - F.col("cny"))
+    w = Window.partitionBy("track_id", "seq").orderBy("emis", "node_id")
+    cand = (
+        px.crossJoin(F.broadcast(nd))
+        .withColumn("emis", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_cand)
+        .select("track_id", "seq", "node_id", "cnx", "cny", "emis")
+    )
+
+    def dp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["seq", "emis", "node_id"])
+        seqs = pdf["seq"].unique()  # sorted by construction
+        groups = [pdf[pdf["seq"] == s] for s in seqs]
+        # forward pass
+        g0 = groups[0]
+        best = g0["emis"].to_numpy().astype(np.int64)
+        parents = []
+        for g in groups[1:]:
+            cx, cy = g["cnx"].to_numpy(), g["cny"].to_numpy()
+            p = groups[len(parents)]
+            pxv, pyv = p["cnx"].to_numpy(), p["cny"].to_numpy()
+            trans = (pxv[:, None] - cx[None, :]) ** 2 + (
+                pyv[:, None] - cy[None, :]
+            ) ** 2
+            tot = best[:, None] + lam * trans
+            parent = np.argmin(tot, axis=0)  # first min → lowest prev index
+            best = tot[parent, np.arange(len(cx))] + g["emis"].to_numpy()
+            parents.append(parent)
+        # final state: (cost, node_id) min
+        last = groups[-1]
+        order = np.lexsort((last["node_id"].to_numpy(), best))
+        j = int(order[0])
+        total = int(best[j])
+        # backtrack
+        path = [j]
+        for parent in reversed(parents):
+            j = int(parent[j])
+            path.append(j)
+        path.reverse()
+        return pd.DataFrame(
+            {
+                "track_id": pdf["track_id"].iloc[0],
+                "seq": seqs,
+                "node_id": [int(g["node_id"].iloc[p]) for g, p in zip(groups, path)],
+                "total_cost": total,
+            }
+        )
+
+    return cand.groupBy("track_id").applyInPandas(
+        dp, "track_id long, seq long, node_id long, total_cost long"
+    )
+
+
+def sql_viterbi_cost(
+    points_cte: str,
+    nodes_cte: str,
+    max_len: int,
+    n_cand: int = 4,
+    shift_bits: int = 10,
+    lam: int = 1,
+) -> str:
+    """DuckDB twin of the Viterbi JOINT COST (the path itself is pinned by
+    exhaustive pytest — SQL backtracking would need either recursion with
+    aggregation, unsupported, or path-carrying state): the recurrence
+    unrolled to ``max_len`` chained CTEs, each one join + group-min, the
+    pagerank/Bellman-Ford bounded-round discipline.  points_cte must yield
+    (track_id, seq∈[1, max_len], lat7, lon7); nodes_cte (node_id, lat7,
+    lon7)."""
+    q = 1 << shift_bits
+    red_x = f"(CAST(lon7 AS BIGINT) + 1800000000) // {q}"
+    red_y = f"(CAST(lat7 AS BIGINT) + 900000000) // {q}"
+    parts = [
+        f"pts AS ({points_cte})",
+        f"nodes0 AS ({nodes_cte})",
+        f"nd AS (SELECT node_id, {red_x} AS cnx, {red_y} AS cny FROM nodes0)",
+        f"pp AS (SELECT track_id, seq, {red_x} AS pnx, {red_y} AS pny FROM pts)",
+        f"""cand AS (
+  SELECT track_id, seq, node_id, cnx, cny, emis FROM (
+    SELECT p.track_id, p.seq, n.node_id, n.cnx, n.cny,
+           (p.pnx - n.cnx) * (p.pnx - n.cnx)
+             + (p.pny - n.cny) * (p.pny - n.cny) AS emis,
+           row_number() OVER (PARTITION BY p.track_id, p.seq
+                              ORDER BY (p.pnx - n.cnx) * (p.pnx - n.cnx)
+                                     + (p.pny - n.cny) * (p.pny - n.cny),
+                                       n.node_id) AS rn
+    FROM pp p CROSS JOIN nd n) WHERE rn <= {n_cand})""",
+        """b1 AS (SELECT track_id, node_id, cnx, cny, emis AS cost
+  FROM cand WHERE seq = 1)""",
+    ]
+    for t in range(2, max_len + 1):
+        parts.append(
+            f"""b{t} AS (
+  SELECT c.track_id, c.node_id, c.cnx, c.cny,
+         c.emis + min(b.cost + {lam} * ((b.cnx - c.cnx) * (b.cnx - c.cnx)
+           + (b.cny - c.cny) * (b.cny - c.cny))) AS cost
+  FROM cand c JOIN b{t - 1} b USING (track_id)
+  WHERE c.seq = {t}
+  GROUP BY c.track_id, c.node_id, c.cnx, c.cny, c.emis)"""
+        )
+    levels = "\nUNION ALL\n".join(
+        f"SELECT {t} AS seq, track_id, cost FROM b{t}" for t in range(1, max_len + 1)
+    )
+    parts.append(f"lv AS ({levels})")
+    parts.append(
+        "tl AS (SELECT track_id, max(seq) AS n_pts FROM pts GROUP BY track_id)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT l.track_id, t.n_pts, min(l.cost) AS total_cost
+FROM lv l JOIN tl t ON t.track_id = l.track_id AND l.seq = t.n_pts
+GROUP BY l.track_id, t.n_pts"""
+    )

@@ -5551,3 +5551,76 @@ def geo_phash_neardup_z7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(
         df, max_hamming=4, probe_flips=1, key_cols=["tx", "ty"]
     ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# --- HMM map matching --------------------------------------------------------------
+_VIT_MAXLEN, _VIT_NODES = 6, 32
+
+
+def _vit_points_sql() -> str:
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("o_orderkey")
+    return f"""SELECT track_id, seq, lat7, lon7 FROM (
+  SELECT o_custkey AS track_id,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS seq,
+         {lat} AS lat7, {lon} AS lon7
+  FROM orders) WHERE seq <= {_VIT_MAXLEN}"""
+
+
+def _vit_nodes_sql() -> str:
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("(k * 7919 + 13)")
+    return f"""SELECT k AS node_id, {lat} AS lat7, {lon} AS lon7
+FROM (SELECT unnest(range(1, {_VIT_NODES + 1})) AS k)"""
+
+
+def _sql_viterbi() -> str:
+    from osmgraft.operators.snap import sql_viterbi_cost
+
+    return sql_viterbi_cost(
+        _vit_points_sql(), _vit_nodes_sql(), max_len=_VIT_MAXLEN, n_cand=4
+    )
+
+
+@register("viterbi_match_tracks", _sql_viterbi())
+def viterbi_match_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HMM map matching (operators/snap.viterbi_match): Viterbi over each
+    track's 4 nearest road-node candidates — continuity-aware snapping,
+    integer-exact DP (reduced squared distances).  Tracks: first ≤6 orders
+    per customer; nodes: 32 synthetic road vertices.  The gate hash-checks
+    the JOINT OPTIMUM (track_id, n_pts, total_cost) against the recurrence
+    unrolled into 6 chained group-min CTEs (the pagerank/Bellman-Ford
+    bounded-round discipline); the decoded PATH is pinned by exhaustive
+    brute force in test_snap.py (SQL backtracking would need recursion with
+    aggregation, which DuckDB 1.0 lacks)."""
+    from pyspark.sql import Window as W
+
+    from osmgraft.operators.snap import viterbi_match
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+
+    o = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    lat, lon = latlon_of_key(F.col("o_orderkey"))
+    pts = (
+        o.select(
+            F.col("o_custkey").alias("track_id"),
+            F.row_number()
+            .over(W.partitionBy("o_custkey").orderBy("o_orderkey"))
+            .alias("seq"),
+            lat.alias("lat7"),
+            lon.alias("lon7"),
+        )
+        .filter(F.col("seq") <= _VIT_MAXLEN)
+    )
+    k = F.col("id") * 7919 + 13
+    nlat, nlon = latlon_of_key(k)
+    nodes = spark.range(1, _VIT_NODES + 1).select(
+        F.col("id").alias("node_id"), nlat.alias("lat7"), nlon.alias("lon7")
+    )
+    matched = viterbi_match(pts, nodes, n_cand=4)
+    return matched.groupBy("track_id").agg(
+        F.max("seq").alias("n_pts"),
+        F.max("total_cost").alias("total_cost"),
+    )

@@ -191,3 +191,99 @@ def test_nearest_vertex_zero_shuffle_plan(spark):
         pts, [(1, 0, 0, 0), (2, 1, 50, 50)], guard=1_000
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- Viterbi map matching ----------------------------------------------------
+
+
+def _brute_viterbi(points, nodes, n_cand=4, lam=1, shift=10):
+    """Exhaustive argmin over ALL candidate combinations (tie-break: the
+    DP's deterministic choice — compare (cost, path-of-candidate-ranks)
+    lexicographically, which matches lowest-index backtracking)."""
+    from itertools import product
+
+    q = 1 << shift
+    rx = lambda lon: (lon + 1_800_000_000) // q  # noqa: E731
+    ry = lambda lat: (lat + 900_000_000) // q  # noqa: E731
+    nd = [(nid, rx(lon), ry(lat)) for nid, lat, lon in nodes]
+    cands = []
+    for lat, lon in points:
+        px, py = rx(lon), ry(lat)
+        em = sorted(
+            ((px - cx) ** 2 + (py - cy) ** 2, nid, cx, cy) for nid, cx, cy in nd
+        )[:n_cand]
+        cands.append(em)
+    best = None
+    for combo in product(*(range(len(c)) for c in cands)):
+        cost = sum(cands[t][j][0] for t, j in enumerate(combo))
+        for t in range(1, len(combo)):
+            _, _, ax, ay = cands[t - 1][combo[t - 1]]
+            _, _, bx, by = cands[t][combo[t]]
+            cost += lam * ((ax - bx) ** 2 + (ay - by) ** 2)
+        key = (cost, combo)
+        if best is None or key < best[0]:
+            best = (key, [cands[t][j][1] for t, j in enumerate(combo)])
+    return best[0][0], best[1]
+
+
+def test_viterbi_continuity_beats_pointwise(spark):
+    """The reason the operator exists: a noisy middle point sits nearer a
+    parallel road's node, but the joint optimum keeps the track on one
+    road. Two parallel node lines, track along line A with the middle
+    point nudged toward line B."""
+    from osmgraft.operators.snap import viterbi_match
+
+    q = 1 << 10
+    # line A nodes at y=0, parallel line B at y=12*q; x spaced 6*q
+    nodes = [(i + 1, 0, i * 6 * q) for i in range(3)] + [
+        (i + 101, 12 * q, i * 6 * q) for i in range(3)
+    ]
+    # track rides line A; the middle point is nudged to y=7*q — pointwise
+    # nearest is b2 (d=5 units) not a2 (d=7), but each 12-unit line switch
+    # costs 144 extra transition vs the 24-unit emission saving, so the
+    # joint optimum stays (a1, a2, a3); the last point sits 1 unit past a3
+    # so advancing strictly beats parking on a2 (no stay/advance tie)
+    track = [(0, 0), (7 * q, 6 * q), (0, 13 * q)]
+    ndf = spark.createDataFrame(nodes, "node_id long, lat7 long, lon7 long")
+    pdf = spark.createDataFrame(
+        [(1, s + 1, la, lo) for s, (la, lo) in enumerate(track)],
+        "track_id long, seq long, lat7 long, lon7 long",
+    )
+    got = sorted(
+        (r["seq"], r["node_id"])
+        for r in viterbi_match(pdf, ndf, n_cand=4).collect()
+    )
+    # pointwise nearest for the middle point is node 102 (line B, d=16q)
+    # vs node 2 (line A, d=24q) — Viterbi must still pick node 2
+    assert got == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_viterbi_matches_exhaustive(spark):
+    """Path AND cost equal the exhaustive argmin on pseudorandom tracks."""
+    from osmgraft.operators.snap import viterbi_match
+
+    rnd_nodes = [
+        (k, (k * 48271 * 7) % 2_000_000 - 1_000_000, (k * 69621 * 11) % 4_000_000 - 2_000_000)
+        for k in range(1, 13)
+    ]
+    rows, want = [], {}
+    for tid in range(1, 9):
+        n_pts = 2 + tid % 5
+        pts = [
+            (
+                ((tid * 31 + s * 17) * 1103515245) % 2_000_000 - 1_000_000,
+                ((tid * 37 + s * 19) * 2654435761) % 4_000_000 - 2_000_000,
+            )
+            for s in range(n_pts)
+        ]
+        want[tid] = _brute_viterbi(pts, rnd_nodes)
+        rows += [(tid, s + 1, la, lo) for s, (la, lo) in enumerate(pts)]
+    pdf = spark.createDataFrame(rows, "track_id long, seq long, lat7 long, lon7 long")
+    ndf = spark.createDataFrame(rnd_nodes, "node_id long, lat7 long, lon7 long")
+    got = {}
+    for r in viterbi_match(pdf, ndf, n_cand=4).collect():
+        got.setdefault(r["track_id"], {})[r["seq"]] = (r["node_id"], r["total_cost"])
+    for tid, (cost, path) in want.items():
+        g = got[tid]
+        assert [g[s + 1][0] for s in range(len(path))] == path, tid
+        assert g[1][1] == cost, tid
