@@ -311,3 +311,78 @@ SELECT occ.doc_id,
        sum(k) AS n_bigrams
 FROM occ JOIN cbi USING (prev, cur) JOIN cprev USING (prev) CROSS JOIN vocab
 GROUP BY occ.doc_id"""
+
+
+def auc_exact(
+    df: DataFrame,
+    group_cols: list[str],
+    label_col: str = "label",
+    score_col: str = "score",
+) -> DataFrame:
+    """Exact ROC-AUC per group (classifier evaluation — the quality-filter
+    calibration step of a curation pipeline) as an INTEGER RATIONAL:
+    (auc_num, auc_den) with AUC = auc_num / auc_den, tie-corrected
+    Mann-Whitney (average ranks — ties contribute 1/2, the trapezoidal ROC
+    convention).
+
+    Derivation: with per-score histogram counts c_s (rows) and p_s
+    (positives), a positive at score s has 2·avg_rank = 2·cnt_lt_s + c_s + 1,
+    so  auc_num = Σ_s p_s (2 cnt_lt_s + c_s + 1) − P(P+1),  auc_den = 2PN —
+    pure int64 (no IEEE division until the caller wants a float).
+
+    Scale shape: one hash agg collapses the data to DISTINCT (group, score)
+    size (map-side combine), the cumulative window runs over that aggregate
+    — never the raw rows — and the final rollup is group-sized.  Degenerate
+    groups (P=0 or N=0) report auc_den=0 (AUC undefined) instead of
+    dividing by zero."""
+    from pyspark.sql import Window
+
+    hist = df.groupBy(*group_cols, score_col).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.col(label_col).cast("long")).alias("p"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn("cnt_lt", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    per = cum.groupBy(*group_cols).agg(
+        F.sum("p").alias("p_tot"),
+        (F.sum("c") - F.sum("p")).alias("n_tot"),
+        F.sum(
+            F.col("p") * (2 * F.col("cnt_lt") + F.col("c") + 1)
+        ).alias("rank_term"),
+    )
+    return per.select(
+        *group_cols,
+        F.col("p_tot").alias("p"),
+        F.col("n_tot").alias("n"),
+        (F.col("rank_term") - F.col("p_tot") * (F.col("p_tot") + 1)).alias(
+            "auc_num"
+        ),
+        (2 * F.col("p_tot") * F.col("n_tot")).alias("auc_den"),
+    )
+
+
+def sql_auc_exact(
+    rows_cte: str, group_cols: str, label: str = "label", score: str = "score"
+) -> str:
+    """DuckDB twin — identical histogram/window/rollup formulation."""
+    return f"""WITH rows_in AS ({rows_cte}),
+hist AS (
+  SELECT {group_cols}, {score} AS s, count(*) AS c,
+         CAST(sum({label}) AS BIGINT) AS p
+  FROM rows_in GROUP BY {group_cols}, {score}),
+cum AS (
+  SELECT *, COALESCE(SUM(c) OVER (PARTITION BY {group_cols} ORDER BY s
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_lt
+  FROM hist),
+per AS (
+  SELECT {group_cols}, sum(p) AS p_tot, sum(c) - sum(p) AS n_tot,
+         sum(p * (2 * cnt_lt + c + 1)) AS rank_term
+  FROM cum GROUP BY {group_cols})
+SELECT {group_cols}, CAST(p_tot AS BIGINT) AS p, CAST(n_tot AS BIGINT) AS n,
+       CAST(rank_term - p_tot * (p_tot + 1) AS BIGINT) AS auc_num,
+       CAST(2 * p_tot * n_tot AS BIGINT) AS auc_den
+FROM per"""

@@ -5624,3 +5624,34 @@ def viterbi_match_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("seq").alias("n_pts"),
         F.max("total_cost").alias("total_cost"),
     )
+
+
+def _sql_auc() -> str:
+    from osmgraft.operators.ranking import sql_auc_exact
+
+    return sql_auc_exact(
+        "SELECT source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,"
+        " n_chars AS score FROM documents",
+        group_cols="source",
+    )
+
+
+@register("auc_lang_by_source", _sql_auc())
+def auc_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group ROC-AUC (operators/ranking.auc_exact) — evaluating
+    "n_chars as an is-English classifier" per source: tie-corrected
+    Mann-Whitney as an integer rational (auc_num, auc_den), no IEEE
+    anywhere. One histogram agg (distinct-score-sized), one cumulative
+    window over the AGGREGATE, one group rollup — the quality-filter
+    calibration loop a curation pipeline runs per strata."""
+    from osmgraft.operators.ranking import auc_exact
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select(
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        F.col("n_chars").alias("score"),
+    )
+    return auc_exact(docs, ["source"])

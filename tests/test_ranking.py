@@ -192,3 +192,61 @@ def test_lm_surprisal_flags_gibberish(spark):
            for r in lm_surprisal(docs).collect()}
     fluent_mean = sum(v for k, v in out.items() if k != 99) / 20
     assert out[99] > 2 * fluent_mean  # gibberish is decisively more surprising
+
+
+# --- exact AUC ---------------------------------------------------------------
+
+
+def test_auc_exact_against_sklearn_free_reference(spark):
+    """Hand-computable case + a brute-force pair-counting reference
+    (AUC = [#(pos>neg) + 0.5·#(pos==neg)] / (P·N))."""
+    from osmgraft.operators.ranking import auc_exact
+
+    rows = [
+        ("g", 1, 10), ("g", 1, 8), ("g", 0, 9), ("g", 0, 8), ("g", 0, 1),
+        ("h", 1, 5), ("h", 0, 5),  # all tied → AUC 1/2
+    ]
+    df = spark.createDataFrame(rows, "grp string, label int, score int")
+    got = {r["grp"]: r for r in auc_exact(df, ["grp"]).collect()}
+
+    def brute(rows):
+        pos = [s for _, l, s in rows if l == 1]
+        neg = [s for _, l, s in rows if l == 0]
+        num2 = sum(2 for p in pos for n in neg if p > n) + sum(
+            1 for p in pos for n in neg if p == n
+        )
+        return num2, 2 * len(pos) * len(neg)
+
+    for grp in ("g", "h"):
+        sub = [r for r in rows if r[0] == grp]
+        num2, den2 = brute(sub)
+        r = got[grp]
+        assert r["auc_num"] * den2 == num2 * r["auc_den"], grp
+        assert r["auc_den"] == den2
+    assert got["h"]["auc_num"] * 2 == got["h"]["auc_den"]  # tied → 1/2
+
+
+def test_auc_degenerate_groups(spark):
+    """P=0 or N=0 → auc_den = 0 (undefined), never a crash or a division."""
+    from osmgraft.operators.ranking import auc_exact
+
+    df = spark.createDataFrame(
+        [("p", 1, 3), ("p", 1, 4), ("q", 0, 1)],
+        "grp string, label int, score int",
+    )
+    got = {r["grp"]: r for r in auc_exact(df, ["grp"]).collect()}
+    assert got["p"]["auc_den"] == 0 and got["q"]["auc_den"] == 0
+    assert (got["p"]["p"], got["p"]["n"]) == (2, 0)
+
+
+def test_auc_perfect_and_inverted(spark):
+    from osmgraft.operators.ranking import auc_exact
+
+    perfect = [("x", 1, s) for s in (9, 8)] + [("x", 0, s) for s in (2, 1)]
+    inverted = [("y", 0, s) for s in (9, 8)] + [("y", 1, s) for s in (2, 1)]
+    df = spark.createDataFrame(
+        perfect + inverted, "grp string, label int, score int"
+    )
+    got = {r["grp"]: r for r in auc_exact(df, ["grp"]).collect()}
+    assert got["x"]["auc_num"] == got["x"]["auc_den"]  # AUC 1
+    assert got["y"]["auc_num"] == 0  # AUC 0
