@@ -157,7 +157,8 @@ def main() -> None:
                  "hilbert_range_scan_z12",
                  "embedding_pq_codes", "embedding_pq_ann", "profile_documents",
                  "compaction_plan_docs", "geo_phash_neardup_z7",
-                 "viterbi_match_tracks", "auc_lang_by_source"]:
+                 "viterbi_match_tracks", "auc_lang_by_source",
+                 "hausdorff_pairs_tracks"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -263,17 +263,22 @@ def viterbi_match(
     shift to non-negative (truncating div == floor div on both engines) and
     reduce by 2^shift_bits before squaring — worst-case cost sums stay far
     inside int64.  Candidate sets are deterministic ((emis, node_id)-ordered
-    window top-C); DP ties resolve to the lowest candidate index, final
-    state to (cost, node_id)-min, so the PATH is unique, not just the cost.
+    window top-C); every DP argmin (parent choice AND final state) resolves
+    ties to the LOWEST candidate rank in that order, so the PATH is a
+    unique deterministic function of the input, not just the cost.
 
     Scale shape: nodes (the road graph's matchable vertices — bounded,
     broadcastable per region at 100 TB; beyond that the celljoin cell-key
     candidate generator replaces the crossJoin) broadcast into one
-    window-pruned candidate pass; the DP runs per track via applyInPandas —
-    tracks are independent, the one shuffle keys by track_id, and per-track
-    state is (track_len × n_cand) scalars.  Output: one row per point
-    (track_id, seq, node_id, total_cost) with total_cost the track's joint
-    optimum repeated per row (so per-track projections need no second agg).
+    window-pruned candidate pass; tracks then collapse to ONE packed-array
+    row each (the same shuffle the window needed) and the DP runs BATCHED
+    across tracks in a single mapInPandas — tracks of equal length stack
+    into (n_tracks, len, n_cand) tensors and every DP step/backtrack is one
+    numpy op over the whole class (a per-track applyInPandas was measured
+    15× slower at 15 k tracks: per-group pandas overhead dominates a 6×4
+    DP).  Output: one row per point (track_id, seq, node_id, total_cost)
+    with total_cost the track's joint optimum repeated per row (so
+    per-track projections need no second agg).
 
     Reference semantics anchor: osmio resolves way geometry by node-id join
     (way.rs) — this is the inverse assignment, GPS/image points back onto
@@ -313,47 +318,88 @@ def viterbi_match(
         .select("track_id", "seq", "node_id", "cnx", "cny", "emis")
     )
 
-    def dp(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["seq", "emis", "node_id"])
-        seqs = pdf["seq"].unique()  # sorted by construction
-        groups = [pdf[pdf["seq"] == s] for s in seqs]
-        # forward pass
-        g0 = groups[0]
-        best = g0["emis"].to_numpy().astype(np.int64)
-        parents = []
-        for g in groups[1:]:
-            cx, cy = g["cnx"].to_numpy(), g["cny"].to_numpy()
-            p = groups[len(parents)]
-            pxv, pyv = p["cnx"].to_numpy(), p["cny"].to_numpy()
-            trans = (pxv[:, None] - cx[None, :]) ** 2 + (
-                pyv[:, None] - cy[None, :]
-            ) ** 2
-            tot = best[:, None] + lam * trans
-            parent = np.argmin(tot, axis=0)  # first min → lowest prev index
-            best = tot[parent, np.arange(len(cx))] + g["emis"].to_numpy()
-            parents.append(parent)
-        # final state: (cost, node_id) min
-        last = groups[-1]
-        order = np.lexsort((last["node_id"].to_numpy(), best))
-        j = int(order[0])
-        total = int(best[j])
-        # backtrack
-        path = [j]
-        for parent in reversed(parents):
-            j = int(parent[j])
-            path.append(j)
-        path.reverse()
-        return pd.DataFrame(
-            {
-                "track_id": pdf["track_id"].iloc[0],
-                "seq": seqs,
-                "node_id": [int(g["node_id"].iloc[p]) for g, p in zip(groups, path)],
-                "total_cost": total,
-            }
+    # one packed row per track, candidate entries ordered by (seq, emis,
+    # node_id) — struct sort_array gives the window's exact candidate rank
+    # order, so reshape(len, C) recovers per-level candidate lists
+    packed = (
+        cand.groupBy("track_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("seq", "emis", "node_id", "cnx", "cny"))
+            ).alias("cs")
         )
+        .select(
+            "track_id",
+            F.transform("cs", lambda c: c["seq"]).alias("a_seq"),
+            F.transform("cs", lambda c: c["emis"]).alias("a_emis"),
+            F.transform("cs", lambda c: c["node_id"]).alias("a_node"),
+            F.transform("cs", lambda c: c["cnx"]).alias("a_cx"),
+            F.transform("cs", lambda c: c["cny"]).alias("a_cy"),
+        )
+    )
 
-    return cand.groupBy("track_id").applyInPandas(
-        dp, "track_id long, seq long, node_id long, total_cost long"
+    def kernel(pdfs: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            tids = pdf["track_id"].to_numpy()
+            seq_l = pdf["a_seq"].to_numpy()
+            n_entries = np.array([len(a) for a in seq_l])
+            n_levels = np.array([len(np.unique(np.asarray(a))) for a in seq_l])
+            out_tid, out_seq, out_node, out_tot = [], [], [], []
+            # tracks of equal (levels, candidates-per-level) stack into one
+            # (n, L, C) tensor class; every step below is whole-class numpy
+            for key in set(zip(n_levels.tolist(), n_entries.tolist())):
+                L, E = key
+                C = E // L
+                m = (n_levels == L) & (n_entries == E)
+                idx = np.flatnonzero(m)
+                n = len(idx)
+                stack = lambda col: np.stack(  # noqa: E731
+                    [np.asarray(pdf[col].iloc[i], dtype=np.int64) for i in idx]
+                ).reshape(n, L, C)
+                seqs = stack("a_seq")
+                emis = stack("a_emis")
+                node = stack("a_node")
+                cx = stack("a_cx")
+                cy = stack("a_cy")
+                best = emis[:, 0, :]
+                parents = np.empty((n, max(L - 1, 0), C), dtype=np.int64)
+                for t in range(1, L):
+                    dx = cx[:, t - 1, :, None] - cx[:, t, None, :]
+                    dy = cy[:, t - 1, :, None] - cy[:, t, None, :]
+                    tot = best[:, :, None] + lam * (dx * dx + dy * dy)
+                    parent = np.argmin(tot, axis=1)  # first min → lowest rank
+                    best = (
+                        np.take_along_axis(tot, parent[:, None, :], axis=1)[:, 0, :]
+                        + emis[:, t, :]
+                    )
+                    parents[:, t - 1, :] = parent
+                j = np.argmin(best, axis=1)  # ties → lowest candidate rank
+                total = best[np.arange(n), j]
+                path = np.empty((n, L), dtype=np.int64)
+                path[:, L - 1] = j
+                for t in range(L - 2, -1, -1):
+                    j = parents[np.arange(n), t, j]
+                    path[:, t] = j
+                rows_n = node[
+                    np.arange(n)[:, None], np.arange(L)[None, :], path
+                ]
+                out_tid.append(np.repeat(tids[idx], L))
+                out_seq.append(seqs[:, :, 0].reshape(-1))
+                out_node.append(rows_n.reshape(-1))
+                out_tot.append(np.repeat(total, L))
+            yield pd.DataFrame(
+                {
+                    "track_id": np.concatenate(out_tid),
+                    "seq": np.concatenate(out_seq),
+                    "node_id": np.concatenate(out_node),
+                    "total_cost": np.concatenate(out_tot),
+                }
+            )
+
+    return packed.mapInPandas(
+        kernel, "track_id long, seq long, node_id long, total_cost long"
     )
 
 

@@ -349,3 +349,107 @@ s AS (
               ELSE (CASE WHEN abs(dx) < abs(dy) THEN 6 ELSE 7 END) END AS octant
   FROM d WHERE dx IS NOT NULL AND (dx != 0 OR dy != 0))
 SELECT ent, octant, count(*) AS steps FROM s GROUP BY ent, octant"""
+
+
+def hausdorff_pairs(
+    track: DataFrame,
+    bucket_z_shift: int,
+    max_pts: int = 8,
+) -> DataFrame:
+    """Trajectory similarity join: symmetric DISCRETE HAUSDORFF squared
+    distance between pairs of tracks whose FIRST sample shares a coarse
+    grid cell — (ent_a, ent_b, haus_d2).
+
+    h(A→B) = max_{a∈A} min_{b∈B} d²(a,b); symmetric = max of both
+    directions.  All int64 (squared euclidean on the integer chart plane) —
+    bit-exact cross-engine.
+
+    Shape: tracks collapse to ONE row each (seq-sorted point struct array,
+    capped at ``max_pts`` — the DTW/Fréchet-family cost cap), candidate
+    pairs come from a cell equi-join on the first sample's cell (the
+    celljoin discipline: bucket first, O(cell²) pairs instead of O(n²)),
+    and the max-min runs as NESTED ARRAY EXPRESSIONS (transform +
+    array_min/array_max) — whole-stage codegen over ≤max_pts² terms per
+    pair, no Python, no explode re-shuffle.  The DuckDB twin is
+    deliberately RELATIONAL (explode point pairs, group-min, group-max): a
+    different plan proving the same function."""
+    w = Window.partitionBy("ent").orderBy("seq")
+    arr = (
+        track.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_pts)
+        .groupBy("ent")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("seq", "x", "y"))
+            ).alias("pts")
+        )
+        .select(
+            "ent",
+            F.transform(
+                "pts", lambda p: F.struct(p["x"].alias("x"), p["y"].alias("y"))
+            ).alias("pts"),
+        )
+    )
+    a = arr.select(
+        F.col("ent").alias("ent_a"),
+        F.col("pts").alias("pa"),
+        F.shiftright(F.col("pts")[0]["x"], bucket_z_shift).alias("cx"),
+        F.shiftright(F.col("pts")[0]["y"], bucket_z_shift).alias("cy"),
+    )
+    b = arr.select(
+        F.col("ent").alias("ent_b"),
+        F.col("pts").alias("pb"),
+        F.shiftright(F.col("pts")[0]["x"], bucket_z_shift).alias("cx"),
+        F.shiftright(F.col("pts")[0]["y"], bucket_z_shift).alias("cy"),
+    )
+    pairs = a.join(b, ["cx", "cy"]).filter(F.col("ent_a") < F.col("ent_b"))
+
+    def d2(p, q):
+        return (p["x"] - q["x"]) * (p["x"] - q["x"]) + (p["y"] - q["y"]) * (
+            p["y"] - q["y"]
+        )
+
+    def directed(pa, pb):
+        return F.array_max(
+            F.transform(pa, lambda p: F.array_min(F.transform(pb, lambda q: d2(p, q))))
+        )
+
+    haus = F.greatest(
+        directed(F.col("pa"), F.col("pb")), directed(F.col("pb"), F.col("pa"))
+    )
+    return pairs.select("ent_a", "ent_b", haus.alias("haus_d2"))
+
+
+def sql_hausdorff_pairs(
+    track_cte: str, bucket_z_shift: int, max_pts: int = 8
+) -> str:
+    """DuckDB twin — relational max-min (explode pairs, group twice)."""
+    return f"""WITH tr AS ({track_cte}),
+capped AS (
+  SELECT ent, seq, x, y FROM (
+    SELECT *, row_number() OVER (PARTITION BY ent ORDER BY seq) AS rn FROM tr)
+  WHERE rn <= {max_pts}),
+head AS (
+  SELECT ent, x >> {bucket_z_shift} AS cx, y >> {bucket_z_shift} AS cy FROM (
+    SELECT *, row_number() OVER (PARTITION BY ent ORDER BY seq) AS rn
+    FROM capped) WHERE rn = 1),
+pair AS (
+  SELECT a.ent AS ent_a, b.ent AS ent_b
+  FROM head a JOIN head b ON a.cx = b.cx AND a.cy = b.cy AND a.ent < b.ent),
+dmin_ab AS (
+  SELECT p.ent_a, p.ent_b, pa.seq,
+         min((pa.x - pb.x) * (pa.x - pb.x) + (pa.y - pb.y) * (pa.y - pb.y)) AS dm
+  FROM pair p JOIN capped pa ON pa.ent = p.ent_a
+              JOIN capped pb ON pb.ent = p.ent_b
+  GROUP BY p.ent_a, p.ent_b, pa.seq),
+dmin_ba AS (
+  SELECT p.ent_a, p.ent_b, pb.seq,
+         min((pa.x - pb.x) * (pa.x - pb.x) + (pa.y - pb.y) * (pa.y - pb.y)) AS dm
+  FROM pair p JOIN capped pa ON pa.ent = p.ent_a
+              JOIN capped pb ON pb.ent = p.ent_b
+  GROUP BY p.ent_a, p.ent_b, pb.seq),
+h AS (
+  SELECT ent_a, ent_b, max(dm) AS h FROM dmin_ab GROUP BY ent_a, ent_b
+  UNION ALL
+  SELECT ent_a, ent_b, max(dm) FROM dmin_ba GROUP BY ent_a, ent_b)
+SELECT ent_a, ent_b, max(h) AS haus_d2 FROM h GROUP BY ent_a, ent_b"""

@@ -5655,3 +5655,32 @@ def auc_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("score"),
     )
     return auc_exact(docs, ["source"])
+
+
+def _sql_hausdorff() -> str:
+    from osmgraft.operators.trajectory import sql_hausdorff_pairs
+
+    return sql_hausdorff_pairs(_TRACK_CTE, bucket_z_shift=9, max_pts=8)
+
+
+@register("hausdorff_pairs_tracks", _sql_hausdorff())
+def hausdorff_pairs_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory similarity join (operators/trajectory.hausdorff_pairs):
+    symmetric discrete Hausdorff d² between track pairs bucketed by the
+    first sample's coarse cell (celljoin discipline — O(cell²) pairs, not
+    O(n²)). Tracks collapse to one bounded struct-array row; the max-min
+    runs as nested transform/array_min/array_max — whole-stage codegen, no
+    Python, no explode. The DuckDB twin is deliberately relational
+    (explode point pairs, group-min, group-max): different plan, same
+    integers."""
+    from osmgraft.operators.trajectory import hausdorff_pairs
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    o = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    track = o.selectExpr(
+        "o_custkey % 199 AS ent",
+        "o_orderkey AS seq",
+        "(o_orderkey * 13) % 100000 div 10 AS x",
+        "(o_orderkey * 29) % 100000 div 10 AS y",
+    )
+    return hausdorff_pairs(track, bucket_z_shift=9, max_pts=8)

@@ -64,3 +64,54 @@ def test_od_matrix_hand_fixture(spark):
         (4, 4, 4, 4): 1,   # trip B stays in cell 4,4
         (9, 9, 9, 9): 1,   # singleton trip: origin == destination
     }
+
+
+# --- Hausdorff similarity join ------------------------------------------------
+
+
+def test_hausdorff_matches_brute_force(spark):
+    from osmgraft.operators.trajectory import hausdorff_pairs
+
+    rows = [
+        (e, s, ((e * 31 + s * 17) * 97) % 128, ((e * 29 + s * 13) * 89) % 128)
+        for e in range(1, 7)
+        for s in range(1, 1 + (e % 4) + 2)
+    ]
+    df = spark.createDataFrame(rows, "ent long, seq long, x long, y long")
+    # shift 7 on a 128-wide chart → ONE cell: all pairs candidate
+    got = {
+        (r["ent_a"], r["ent_b"]): r["haus_d2"]
+        for r in hausdorff_pairs(df, bucket_z_shift=7).collect()
+    }
+    tracks = {}
+    for e, s, x, y in rows:
+        tracks.setdefault(e, []).append((s, x, y))
+    import itertools
+
+    for a, b in itertools.combinations(sorted(tracks), 2):
+        pa = [(x, y) for _, x, y in sorted(tracks[a])]
+        pb = [(x, y) for _, x, y in sorted(tracks[b])]
+        d2 = lambda p, q: (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2  # noqa: E731
+        h = max(
+            max(min(d2(p, q) for q in pb) for p in pa),
+            max(min(d2(p, q) for q in pa) for p in pb),
+        )
+        assert got[(a, b)] == h, (a, b)
+
+
+def test_hausdorff_bucket_restricts_and_caps(spark):
+    """Tracks whose heads land in different cells never pair; points past
+    max_pts are ignored on BOTH the capped track and its partner."""
+    from osmgraft.operators.trajectory import hausdorff_pairs
+
+    rows = (
+        [(1, s, 10, 10) for s in range(1, 12)]  # 11 points, all identical
+        + [(2, 1, 12, 12)]
+        + [(3, 1, 1000, 1000)]  # far cell at shift 5
+    )
+    df = spark.createDataFrame(rows, "ent long, seq long, x long, y long")
+    got = {
+        (r["ent_a"], r["ent_b"]): r["haus_d2"]
+        for r in hausdorff_pairs(df, bucket_z_shift=5, max_pts=8).collect()
+    }
+    assert got == {(1, 2): 8}  # (12-10)²+(12-10)²; track 3 unpaired
