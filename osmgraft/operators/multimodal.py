@@ -1774,3 +1774,93 @@ px AS (
 SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
        (r3 * 32 + g3 * 4 + b2) AS pal, count(*) AS cnt
 FROM px GROUP BY 1, 2"""
+
+
+def image_rle(images: DataFrame, on_error: str = "fail") -> DataFrame:
+    """Row-major run-length encoding of the integer luma plane — the
+    classic lossless raster compression primitive (TIFF PackBits / PCX / fax
+    G3 lineage): one row per maximal constant run,
+    (image_id, run_idx, val, run_len); Σ run_len == h·w and adjacent runs
+    differ by construction (both laws pinned in tests, and the DuckDB twin
+    re-derives the runs relationally so the whole codec is on the hash).
+
+    Shape: the image_stats Arrow-buffer batched decode (grouped by
+    (fmt, w, h), chunk-capped), luma + run extraction in numpy per chunk —
+    map-only, no shuffle; run boundaries via one diff/flatnonzero per
+    image. on_error='null': corrupt payloads emit a single null-val row at
+    run_idx = -1 (the image_box_filter tolerance discipline)."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            ids = rb.column("image_id").take(sel)
+            if px is None:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        pa.array(np.full(len(ids), -1, np.int64)),
+                        pa.array([None] * len(ids), type=pa.int64()),
+                        pa.array([None] * len(ids), type=pa.int64()),
+                    ],
+                    ["image_id", "run_idx", "val", "run_len"],
+                )
+                continue
+            p = px.astype(np.int64)
+            luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+            flat = luma.reshape(len(p), h * w)
+            out_id, out_ri, out_v, out_rl = [], [], [], []
+            ids_py = ids.to_pylist()
+            for i in range(len(p)):
+                v = flat[i]
+                starts = np.concatenate(
+                    ([0], np.flatnonzero(np.diff(v)) + 1)
+                )
+                lens = np.diff(np.concatenate((starts, [h * w])))
+                out_id += [ids_py[i]] * len(starts)
+                out_ri.append(np.arange(len(starts), dtype=np.int64))
+                out_v.append(v[starts])
+                out_rl.append(lens.astype(np.int64))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, type=pa.string()),
+                    pa.array(np.concatenate(out_ri)),
+                    pa.array(np.concatenate(out_v)),
+                    pa.array(np.concatenate(out_rl)),
+                ],
+                ["image_id", "run_idx", "val", "run_len"],
+            )
+
+    return images.mapInArrow(
+        kernel, "image_id string, run_idx long, val long, run_len long"
+    )
+
+
+def sql_image_rle(idx_cte: str, max_h: int = 18, max_w: int = 32) -> str:
+    """DuckDB twin over synth_formula_images: regenerate every luma pixel
+    from the integer formula, then RELATIONAL run extraction —
+    gaps-and-islands (lag-break flags, running-sum run ids) instead of the
+    kernel's diff/flatnonzero: two implementations, one run table."""
+    return f"""WITH idxs AS ({idx_cte}),
+dims AS (SELECT idx, 16 + (idx % 3) * 8 AS w, 12 + (idx % 2) * 6 AS h FROM idxs),
+px AS (
+  SELECT idx, y * w + x AS pos,
+         (299 * ((idx*37 + y*11 + x*7) % 256)
+        + 587 * ((idx*37 + y*11 + x*7 + 29) % 256)
+        + 114 * ((idx*37 + y*11 + x*7 + 58) % 256)) // 1000 AS luma
+  FROM dims
+  CROSS JOIN range(0, {max_h}) ty(y) CROSS JOIN range(0, {max_w}) tx(x)
+  WHERE y < h AND x < w),
+flagged AS (
+  SELECT idx, pos, luma,
+         CASE WHEN lag(luma) OVER (PARTITION BY idx ORDER BY pos) = luma
+              THEN 0 ELSE 1 END AS brk
+  FROM px),
+runs AS (
+  SELECT idx, pos, luma,
+         SUM(brk) OVER (PARTITION BY idx ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+  FROM flagged)
+SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
+       CAST(rid - 1 AS BIGINT) AS run_idx,
+       CAST(min(luma) AS BIGINT) AS val,
+       count(*) AS run_len
+FROM runs GROUP BY idx, rid"""

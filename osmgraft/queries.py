@@ -5684,3 +5684,30 @@ def hausdorff_pairs_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(o_orderkey * 29) % 100000 div 10 AS y",
     )
     return hausdorff_pairs(track, bucket_z_shift=9, max_pts=8)
+
+
+def _sql_rle() -> str:
+    from osmgraft.operators.multimodal import sql_image_rle
+
+    idx_cte = (
+        "SELECT idx FROM (SELECT row_number() OVER () - 1 AS idx FROM orders) "
+        "WHERE idx < 400"
+    )
+    return sql_image_rle(idx_cte)
+
+
+@register("image_rle_runs", _sql_rle())
+def image_rle_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of decoded luma planes
+    (operators/multimodal.image_rle): real container decode (raw/ppm/png) →
+    integer luma → maximal constant runs, one row each. The formula-pixel
+    fixture lets the DuckDB twin regenerate every pixel and extract runs
+    RELATIONALLY (gaps-and-islands) — decode, luma, run segmentation and
+    lengths are all on the hash. Map-only, no shuffle."""
+    from osmgraft.operators.multimodal import image_rle
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 400)
+    imgs = ensure_min_parallelism(synth_formula_images(spark, n))
+    return image_rle(imgs)

@@ -536,3 +536,52 @@ def test_image_patches_corrupt_null_path(spark):
             .limit(0)
             .unionByName(image_patches(df.filter("image_id = 'ok'"), patch=5).filter("x0 = 0"))
         ).collect()
+
+
+# --- RLE codec -----------------------------------------------------------------
+
+
+def test_image_rle_roundtrip_and_laws(spark):
+    """Conservation (Σ run_len == h·w), adjacency (consecutive runs differ),
+    and exact roundtrip (expanding the runs reproduces the luma plane)."""
+    import numpy as np
+
+    from osmgraft.operators.multimodal import image_rle
+    from osmgraft.synth import synth_formula_images
+
+    imgs = synth_formula_images(spark, 12)
+    runs = {}
+    for r in image_rle(imgs).collect():
+        runs.setdefault(r["image_id"], []).append(
+            (r["run_idx"], r["val"], r["run_len"])
+        )
+    assert len(runs) == 12
+    for i in range(12):
+        iid = f"fimg{i:09d}"
+        w, h = 16 + (i % 3) * 8, 12 + (i % 2) * 6
+        rs = sorted(runs[iid])
+        assert [ri for ri, _, _ in rs] == list(range(len(rs)))
+        assert sum(rl for _, _, rl in rs) == w * h
+        vals = [v for _, v, _ in rs]
+        assert all(a != b for a, b in zip(vals, vals[1:]))
+        # roundtrip vs the formula luma
+        y = np.arange(h)[:, None]
+        x = np.arange(w)[None, :]
+        base = (i * 37 + y * 11 + x * 7) % 256
+        luma = (
+            299 * base + 587 * ((i * 37 + y * 11 + x * 7 + 29) % 256)
+            + 114 * ((i * 37 + y * 11 + x * 7 + 58) % 256)
+        ) // 1000
+        expanded = np.concatenate([np.full(rl, v) for _, v, rl in rs])
+        assert np.array_equal(expanded, luma.reshape(-1))
+
+
+def test_image_rle_corrupt_null_row(spark):
+    from osmgraft.operators.multimodal import image_rle
+
+    df = spark.createDataFrame(
+        [("bad", bytearray(b"\x00\x01"), 4, 4, "ppm")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    rows = image_rle(df, on_error="null").collect()
+    assert len(rows) == 1 and rows[0]["run_idx"] == -1 and rows[0]["val"] is None
