@@ -5711,3 +5711,59 @@ def image_rle_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 400)
     imgs = ensure_min_parallelism(synth_formula_images(spark, n))
     return image_rle(imgs)
+
+
+# sparse hub-heavy noise graph + a PLANTED 30-clique: the noise part has an
+# EMPTY 20-core (hub-and-spoke — measured; peeling cascades it away), so
+# k=20 must recover exactly the planted clique or the gate fails.
+_KCORE_HALF_SQL = (
+    "SELECT o_orderkey % 2003 AS src, (o_orderkey // 2003) % 2003 AS dst "
+    "FROM orders"
+)
+_KCORE_CLIQUE_SQL = (
+    "SELECT a.i AS src, b.i AS dst FROM range(30) a(i) "
+    "CROSS JOIN range(30) b(i) WHERE a.i <> b.i"
+)
+_KCORE_EDGES_SQL = f"""SELECT src, dst FROM ({_KCORE_HALF_SQL}) WHERE src <> dst
+UNION
+SELECT dst, src FROM ({_KCORE_HALF_SQL}) WHERE src <> dst
+UNION
+SELECT src, dst FROM ({_KCORE_CLIQUE_SQL})"""
+
+
+def _sql_kcore() -> str:
+    from osmgraft.operators.graph import sql_kcore
+
+    return sql_kcore(_KCORE_EDGES_SQL, k=20, rounds=8)
+
+
+@register("kcore20_planted", _sql_kcore())
+def kcore20_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (operators/graph.kcore): 8 peel rounds at k=20
+    over a hub-heavy noise graph with a planted 30-clique — the
+    community-core / spam-ring primitive; the noise part's 20-core is
+    EMPTY (peeling cascades it away), so the gate checks both the cascade
+    and exact core recovery. Per round one degree agg + two semi-join
+    filters (Pregel shape, localCheckpoint against plan doubling);
+    convergence pinned in test_graph.py. Oracle: the peel unrolled into 8
+    chained MATERIALIZED CTEs (plain CTEs re-inline ~3^rounds times in
+    DuckDB 1.0 — measured minutes vs milliseconds)."""
+    from osmgraft.operators.graph import kcore
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    o = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    half = o.selectExpr(
+        "o_orderkey % 2003 AS src", "(o_orderkey div 2003) % 2003 AS dst"
+    ).filter("src <> dst")
+    r = spark.range(30)
+    clique = (
+        r.selectExpr("id AS src")
+        .crossJoin(r.selectExpr("id AS dst"))
+        .filter("src <> dst")
+    )
+    edges = (
+        half.unionByName(half.selectExpr("dst AS src", "src AS dst"))
+        .unionByName(clique)
+        .distinct()
+    )
+    return kcore(edges, k=20, rounds=8)

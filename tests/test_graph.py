@@ -90,3 +90,48 @@ def test_shortest_paths_hop_bound(spark):
             r.node_id: r.dist_m for r in shortest_paths(df, [0], rounds).collect()
         }
         assert got == {i: 10 * i for i in range(rounds + 1)}
+
+
+# --- k-core --------------------------------------------------------------------
+
+
+def _undirected(spark, pairs):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return df.unionByName(df.selectExpr("dst AS src", "src AS dst")).distinct()
+
+
+def test_kcore_recovers_planted_clique_and_cascades(spark):
+    """A K6 clique survives k=5; an attached chain (each chain node degree
+    ≤ 2) cascades away even though the FIRST peel only removes the tail."""
+    from osmgraft.operators.graph import kcore
+
+    clique = [(a, b) for a in range(6) for b in range(6) if a != b and a < b]
+    chain = [(5, 10), (10, 11), (11, 12)]
+    edges = _undirected(spark, clique + chain)
+    got = sorted(
+        (r["node_id"], r["degree"]) for r in kcore(edges, k=5, rounds=6).collect()
+    )
+    assert got == [(n, 5) for n in range(6)]
+
+
+def test_kcore_converged_round_count(spark):
+    """The gated fixture's round count is converged: rounds=8 == rounds=12
+    on the same planted-clique graph shape (small twin of the query)."""
+    from osmgraft.operators.graph import kcore
+
+    noise = [(i % 53, (i * 7) % 53) for i in range(120) if i % 53 != (i * 7) % 53]
+    clique = [(100 + a, 100 + b) for a in range(8) for b in range(8) if a < b]
+    edges = _undirected(spark, noise + clique)
+    r8 = sorted(map(tuple, kcore(edges, k=7, rounds=8).collect()))
+    r12 = sorted(map(tuple, kcore(edges, k=7, rounds=12).collect()))
+    assert r8 == r12
+    assert [n for n, _ in r8] == [100 + a for a in range(8)]
+
+
+def test_kcore_whole_graph_below_k_empty(spark):
+    from osmgraft.operators.graph import kcore
+
+    edges = _undirected(spark, [(1, 2), (2, 3), (3, 1)])  # triangle, deg 2
+    assert kcore(edges, k=3, rounds=4).count() == 0
