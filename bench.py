@@ -158,7 +158,8 @@ def main() -> None:
                  "embedding_pq_codes", "embedding_pq_ann", "profile_documents",
                  "compaction_plan_docs", "geo_phash_neardup_z7",
                  "viterbi_match_tracks", "auc_lang_by_source",
-                 "hausdorff_pairs_tracks", "image_rle_runs", "kcore20_planted"]:
+                 "hausdorff_pairs_tracks", "image_rle_runs", "kcore20_planted",
+                 "geofence_scrub_points"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -464,3 +464,55 @@ SELECT l.track_id, t.n_pts, min(l.cost) AS total_cost
 FROM lv l JOIN tl t ON t.track_id = l.track_id AND l.seq = t.n_pts
 GROUP BY l.track_id, t.n_pts"""
     )
+
+
+def geofence_scrub(
+    points: "DataFrame",
+    sites: list[tuple[int, int]],
+    radius: int,
+    px: str = "lon7",
+    py: str = "lat7",
+) -> "DataFrame":
+    """Proximity scrub (geo-PII pass of a curation pipeline): DROP every
+    point strictly within ``radius`` fixed-point units (squared L2) of any
+    of a CONSTANT sensitive-site list (homes, schools, bases — the
+    geofencing dual of pii_scrub's text pass). Keeps rows with
+    min-site d2 >= radius² (boundary-EXCLUSIVE: a point at exactly radius
+    survives).
+
+    The site list becomes one literal struct-array projection over the
+    shared clamped-d2 text (vertex_d2_sql — guard == radius, so clamped
+    far candidates evaluate ≥ radius² and can never falsely scrub; exact
+    inside the radius): zero joins, zero shuffles, pure codegen — the
+    nearest_boundary_vertex discipline. At 10⁴+ sites swap the literal
+    array for the celljoin cell-key candidate join; the predicate text
+    stays the same."""
+    if not sites:
+        raise ValueError("geofence_scrub needs a non-empty site list")
+    if radius <= 0:
+        raise ValueError("radius must be positive")
+    d2s = [
+        F.expr(vertex_d2_sql(px, py, int(sx), int(sy), guard=radius))
+        for sy, sx in sites
+    ]
+    mind2 = F.array_min(F.array(*d2s))
+    # radius² as ONE python-int literal: F.lit(r) * F.lit(r) would be an
+    # int32×int32 Spark multiply and overflow under ANSI for r > 46341
+    return points.filter(mind2 >= F.lit(int(radius) * int(radius)))
+
+
+def sql_geofence_scrub(
+    points_cte: str,
+    sites: list[tuple[int, int]],
+    radius: int,
+    px: str = "lon7",
+    py: str = "lat7",
+) -> str:
+    """DuckDB twin: identical clamped-d2 texts, LEAST over the site list."""
+    d2s = [
+        vertex_d2_sql(px, py, int(sx), int(sy), guard=radius)
+        for sy, sx in sites
+    ]
+    mind2 = d2s[0] if len(d2s) == 1 else "LEAST(" + ", ".join(d2s) + ")"
+    return f"""SELECT * FROM ({points_cte})
+WHERE {mind2} >= {radius * radius}"""

@@ -5767,3 +5767,31 @@ def kcore20_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return kcore(edges, k=20, rounds=8)
+
+
+# --- geofence proximity scrub ------------------------------------------------------
+_GEOFENCE_SITES = [(lat, lon) for lat, lon in [
+    (407_000_000, -740_000_000), (515_000_000, -1_000_000),
+    (356_000_000, 1_397_000_000)]]  # the synth hot-spot centers
+_GEOFENCE_R = 250_000  # 0.025°: inside the ±0.02° hot-box jitter, so the
+# fixture has points on BOTH sides of the fence (corners survive)
+
+
+def _sql_geofence() -> str:
+    from osmgraft.operators.snap import sql_geofence_scrub
+
+    return sql_geofence_scrub(_PTS, _GEOFENCE_SITES, _GEOFENCE_R)
+
+
+@register("geofence_scrub_points", _sql_geofence())
+def geofence_scrub_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-PII proximity scrub (operators/snap.geofence_scrub): drop points
+    strictly within 0.025° squared-L2 of any sensitive site (the hot-spot
+    centers — the radius sits INSIDE the hot-box jitter so both fates
+    occur). One literal clamped-d2 struct-array projection — zero joins,
+    zero shuffles, pure codegen; the geofencing dual of pii_scrub's text
+    pass. Twin: LEAST over the identical clamped-d2 texts."""
+    from osmgraft.operators.snap import geofence_scrub
+
+    pts = points_from_orders(spark, sf_dir)
+    return geofence_scrub(pts, _GEOFENCE_SITES, _GEOFENCE_R)

@@ -287,3 +287,53 @@ def test_viterbi_matches_exhaustive(spark):
         g = got[tid]
         assert [g[s + 1][0] for s in range(len(path))] == path, tid
         assert g[1][1] == cost, tid
+
+
+# --- geofence scrub ----------------------------------------------------------
+
+
+def test_geofence_scrub_semantics(spark):
+    """Inside dropped, exactly-on-radius KEPT (boundary-exclusive),
+    far-away clamped candidates never falsely scrub."""
+    from osmgraft.operators.snap import geofence_scrub
+
+    site = (100, 200)  # (lat7, lon7)
+    r = 50
+    rows = [
+        (1, 100, 200),        # at the site → dropped
+        (2, 100, 200 + 49),   # d2 = 2401 < 2500 → dropped
+        (3, 100, 200 + 50),   # d2 = 2500 == r² → KEPT (exclusive)
+        (4, 100 + 30, 200 + 40),  # d2 = 2500 exactly → KEPT
+        (5, 100, 200 + 51),   # outside → kept
+        (6, 2_000_000_000, -1_500_000_000),  # globe-far: clamp path → kept
+    ]
+    df = spark.createDataFrame(rows, "point_id long, lat7 long, lon7 long")
+    kept = sorted(r_["point_id"] for r_ in geofence_scrub(df, [site], r).collect())
+    assert kept == [3, 4, 5, 6]
+
+
+def test_geofence_scrub_zero_exchange_plan(spark):
+    from osmgraft.operators.snap import geofence_scrub
+
+    df = spark.createDataFrame(
+        [(1, 10, 10)], "point_id long, lat7 long, lon7 long"
+    )
+    plan = (
+        geofence_scrub(df, [(0, 0), (100, 100)], 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_geofence_scrub_validation(spark):
+    import pytest as _pt
+
+    from osmgraft.operators.snap import geofence_scrub
+
+    df = spark.createDataFrame([(1, 0, 0)], "point_id long, lat7 long, lon7 long")
+    with _pt.raises(ValueError):
+        geofence_scrub(df, [], 10)
+    with _pt.raises(ValueError):
+        geofence_scrub(df, [(0, 0)], 0)
