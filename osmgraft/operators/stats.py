@@ -399,3 +399,42 @@ FROM {table}"""
         for c in cols
     ]
     return "\nUNION ALL\n".join(parts)
+
+
+def mad_exact(df: DataFrame, keys: list[str], col: str) -> DataFrame:
+    """Exact median absolute deviation per group over an integer column —
+    the robust spread statistic an outlier filter actually wants (one wild
+    row moves stddev arbitrarily; it moves MAD not at all).
+
+    Two-phase exact: (1) per-group discrete median (exact_percentiles
+    rank convention — the smallest k-th order statistic, matching
+    quantile_disc), broadcast back as a join, (2) median of
+    |x − median| by the same machinery.  Both phases aggregate to
+    distinct-value-sized histograms before any window, so the raw table is
+    scanned twice but never re-shuffled row-wise beyond the two hash aggs.
+    Output: (keys…, med, mad) — all int64."""
+    med = exact_percentiles(df, keys, col, [500]).select(
+        *keys, F.col("val_q").alias("med")
+    )
+    dev = (
+        df.filter(F.col(col).isNotNull())
+        .join(F.broadcast(med), keys)
+        .select(*keys, "med", F.abs(F.col(col) - F.col("med")).alias("_adev"))
+    )
+    mad = exact_percentiles(dev, keys, "_adev", [500]).select(
+        *keys, F.col("val_q").alias("mad")
+    )
+    return med.join(mad, keys).select(*keys, "med", "mad")
+
+
+def sql_mad_exact(table_sql: str, keys: list[str], col: str) -> str:
+    """DuckDB twin via native median-of-deviations (quantile_disc twice)."""
+    ks = ", ".join(keys)
+    return f"""WITH base AS ({table_sql}),
+m AS (SELECT {ks}, quantile_disc({col}, 0.5) AS med FROM base
+      WHERE {col} IS NOT NULL GROUP BY {ks}),
+d AS (SELECT b.*, m.med, abs(b.{col} - m.med) AS adev
+      FROM base b JOIN m USING ({ks}) WHERE b.{col} IS NOT NULL)
+SELECT {ks}, CAST(med AS BIGINT) AS med,
+       CAST(quantile_disc(adev, 0.5) AS BIGINT) AS mad
+FROM d GROUP BY {ks}, med"""

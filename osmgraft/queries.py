@@ -5795,3 +5795,28 @@ def geofence_scrub_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = points_from_orders(spark, sf_dir)
     return geofence_scrub(pts, _GEOFENCE_SITES, _GEOFENCE_R)
+
+
+def _sql_mad() -> str:
+    from osmgraft.operators.stats import sql_mad_exact
+
+    return sql_mad_exact(
+        "SELECT source, n_chars FROM documents", ["source"], "n_chars"
+    )
+
+
+@register("mad_nchars_by_source", _sql_mad())
+def mad_nchars_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust spread per stratum (operators/stats.mad_exact): exact median
+    absolute deviation of document length per source — the outlier-filter
+    statistic stddev can't safely provide. Two exact discrete medians
+    (histogram + window over the AGGREGATE, rank convention ==
+    quantile_disc), deviation join broadcast. Twin: DuckDB native
+    quantile_disc twice — an independent implementation."""
+    from osmgraft.operators.stats import mad_exact
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("source", "n_chars")
+    return mad_exact(docs, ["source"], "n_chars")

@@ -231,3 +231,35 @@ def test_profile_single_job_plan(spark):
     )
     assert plan.count("Expand") >= 1
     assert "Union" not in plan
+
+
+# --- MAD ---------------------------------------------------------------------
+
+
+def test_mad_exact_hand_case_and_robustness(spark):
+    from osmgraft.operators.stats import mad_exact
+
+    # g: values 1..7 → med 4, |dev| {3,2,1,0,1,2,3} → mad 2
+    # h: same but one wild outlier replaces 7 → med stays 4, mad stays 2
+    rows = [("g", v) for v in range(1, 8)] + [
+        ("h", v) for v in [1, 2, 3, 4, 5, 6, 10_000_000]
+    ]
+    df = spark.createDataFrame(rows, "grp string, v int")
+    got = {r["grp"]: (r["med"], r["mad"]) for r in mad_exact(df, ["grp"], "v").collect()}
+    assert got["g"] == (4, 2)
+    assert got["h"] == (4, 2)  # the outlier moved NOTHING — the point of MAD
+
+
+def test_mad_even_count_and_nulls(spark):
+    """Even n uses the smallest-kth (quantile_disc) convention; NULLs are
+    excluded, not ranked."""
+    from osmgraft.operators.stats import mad_exact
+
+    df = spark.createDataFrame(
+        [("e", 1), ("e", 3), ("e", 5), ("e", 7), ("e", None)],
+        "grp string, v int",
+    )
+    got = mad_exact(df, ["grp"], "v").collect()[0]
+    # n=4 → k=2 → med 3; devs |1-3|,|3-3|,|5-3|,|7-3| = {2,0,2,4} sorted
+    # {0,2,2,4} → k=2 → mad 2
+    assert (got["med"], got["mad"]) == (3, 2)
