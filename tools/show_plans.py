@@ -38,6 +38,18 @@ HEADLINE = [
     "hotspot_days_z5",
     "hamming_neardup_pairs",
     "convex_hull_groups",
+    "hilbert_range_scan_z12",
+    "embedding_pq_ann",
+    "profile_documents",
+    "compaction_plan_docs",
+    "geo_phash_neardup_z7",
+    "viterbi_match_tracks",
+    "hausdorff_pairs_tracks",
+    "auc_lang_by_source",
+    "image_rle_runs",
+    "kcore20_planted",
+    "geofence_scrub_points",
+    "mad_nchars_by_source",
 ]
 
 KEEP = (
