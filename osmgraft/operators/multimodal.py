@@ -1864,3 +1864,263 @@ SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
        CAST(min(luma) AS BIGINT) AS val,
        count(*) AS run_len
 FROM runs GROUP BY idx, rid"""
+
+
+# --- Otsu threshold (per-image global binarization) ------------------------------
+
+_PX_LUMA_CTE = """dims AS (SELECT idx, 16 + (idx % 3) * 8 AS w, 12 + (idx % 2) * 6 AS h FROM idxs),
+px AS (
+  SELECT idx, y * w + x AS pos,
+         (299 * ((idx*37 + y*11 + x*7) % 256)
+        + 587 * ((idx*37 + y*11 + x*7 + 29) % 256)
+        + 114 * ((idx*37 + y*11 + x*7 + 58) % 256)) // 1000 AS luma
+  FROM dims
+  CROSS JOIN range(0, {max_h}) ty(y) CROSS JOIN range(0, {max_w}) tx(x)
+  WHERE y < h AND x < w)"""
+
+
+def image_otsu(images: DataFrame, on_error: str = "fail") -> DataFrame:
+    """Otsu's method (Otsu 1979, public): per image, the global threshold
+    that maximizes between-class variance of the integer luma histogram —
+    the standard automatic binarization step before blob/feature extraction.
+
+    Integer spec (shared verbatim with the DuckDB twin, so the gate is
+    exact): with class0 = {luma <= t}, w0/s0 the class-0 count/value-sum,
+    N/S the totals, the between-class variance is proportional to
+    num(t)^2 / den(t), num = s0*N - S*w0, den = w0*(N-w0).  Both engines
+    rank by the FLOOR-quantized integer score ``num*num // den`` and break
+    ties toward the smallest t — a deterministic, engine-neutral
+    discretization of Otsu's argmax.  |num| <= 255*N^2/4, so num^2 fits
+    int64 only up to N ~ 6800 px; beyond that the kernel switches the
+    O(256)-per-image reduction to exact arbitrary-precision ints (DuckDB's
+    side would need HUGEINT there — the fixture stays in the int64 range).
+
+    Emits (image_id, otsu_t, score, fg_cnt): threshold, its score, and the
+    foreground (luma > t) pixel count.  Degenerate constant images have no
+    valid t (den == 0 everywhere) -> otsu_t = -1, score/fg_cnt null.
+
+    Shape: histogram + cumulative sums + argmax all vectorized over the
+    (k-image, 256-bin) stack — map-only mapInArrow, no shuffle at any
+    width; the reduction is O(256) per image regardless of pixel count.
+    on_error='null': corrupt payloads emit (otsu_t=-1, nulls) rows."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            ids = rb.column("image_id").take(sel)
+            if px is None:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        pa.array(np.full(len(ids), -1, np.int64)),
+                        pa.array([None] * len(ids), type=pa.int64()),
+                        pa.array([None] * len(ids), type=pa.int64()),
+                    ],
+                    ["image_id", "otsu_t", "score", "fg_cnt"],
+                )
+                continue
+            p = px.astype(np.int64)
+            luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+            k, n = len(p), h * w
+            flat = luma.reshape(k, n)
+            hist = np.bincount(
+                (flat + (np.arange(k, dtype=np.int64)[:, None] << 8)).reshape(-1),
+                minlength=k * 256,
+            ).reshape(k, 256)
+            vals = np.arange(256, dtype=np.int64)
+            w0 = np.cumsum(hist, axis=1)[:, :255]          # t = 0..254
+            s0 = np.cumsum(hist * vals, axis=1)[:, :255]
+            S = s0[:, -1] + hist[:, 255] * 255             # total value sum
+            num = s0 * n - S[:, None] * w0
+            den = w0 * (n - w0)
+            # (255*n^2/4)^2 must fit int64; past that, exact Python ints
+            # (still O(256) scalars per image, never per-pixel).
+            if 255 * n * n <= 12_137_803_468:
+                score = np.where(den > 0, num * num // np.maximum(den, 1), -1)
+            else:
+                no, do = num.astype(object), den.astype(object)
+                score = np.where(den > 0, no * no // np.maximum(do, 1), -1)
+                # the FINAL score <= 255^2 * n^2 / 4 fits int64 to ~24 MP;
+                # only the intermediate num^2 needed the wide ints
+                score = score.astype(np.int64)
+            t = np.argmax(score, axis=1).astype(np.int64)  # first max = smallest t
+            best = score[np.arange(k), t]
+            valid = best >= 0
+            fg = n - w0[np.arange(k), t]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(np.where(valid, t, -1)),
+                    pa.array(np.where(valid, best, 0), mask=~valid),
+                    pa.array(np.where(valid, fg, 0), mask=~valid),
+                ],
+                ["image_id", "otsu_t", "score", "fg_cnt"],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
+        kernel, "image_id string, otsu_t long, score long, fg_cnt long"
+    )
+
+
+def sql_image_otsu(idx_cte: str, max_h: int = 18, max_w: int = 32) -> str:
+    """DuckDB twin over synth_formula_images: regenerate every luma pixel
+    from the integer formula, build the histogram RELATIONALLY (GROUP BY
+    luma), cumulative class sums via a <=-join, and rank by the identical
+    floor-quantized integer score — histogram, cumulative algebra, argmax
+    tie rule and the decode path are all on the hash."""
+    px = _PX_LUMA_CTE.format(max_h=max_h, max_w=max_w)
+    return f"""WITH idxs AS ({idx_cte}),
+{px},
+hist AS (SELECT idx, luma AS v, count(*) AS c FROM px GROUP BY 1, 2),
+tot AS (SELECT idx, sum(c) AS n, sum(v * c) AS s FROM hist GROUP BY idx),
+ts AS (SELECT idx, t FROM (SELECT DISTINCT idx FROM dims)
+       CROSS JOIN range(0, 255) r(t)),
+cum AS (
+  SELECT ts.idx, ts.t,
+         coalesce(sum(h.c), 0) AS w0, coalesce(sum(h.v * h.c), 0) AS s0
+  FROM ts LEFT JOIN hist h ON h.idx = ts.idx AND h.v <= ts.t
+  GROUP BY 1, 2),
+scored AS (
+  SELECT c.idx, c.t, tot.n - c.w0 AS fg,
+         (c.s0 * tot.n - tot.s * c.w0) * (c.s0 * tot.n - tot.s * c.w0)
+           // (c.w0 * (tot.n - c.w0)) AS score
+  FROM cum c JOIN tot ON tot.idx = c.idx
+  WHERE c.w0 * (tot.n - c.w0) > 0),
+best AS (
+  SELECT idx, t, fg, score,
+         row_number() OVER (PARTITION BY idx ORDER BY score DESC, t) AS rn
+  FROM scored)
+SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
+       CAST(t AS BIGINT) AS otsu_t, CAST(score AS BIGINT) AS score,
+       CAST(fg AS BIGINT) AS fg_cnt
+FROM best WHERE rn = 1"""
+
+
+# --- per-image connected-component labeling ---------------------------------------
+
+CC_THRESH = 200  # luma >= 200: sparse diagonal-band mask on the formula fixture
+
+
+def image_cc(
+    images: DataFrame, thresh: int = CC_THRESH, on_error: str = "fail"
+) -> DataFrame:
+    """4-connected component labeling of the foreground mask
+    (luma >= ``thresh``) per image — the blob-extraction primitive under
+    object counting / mask cleanup (Rosenfeld–Pfaltz 1966 lineage).  Emits
+    one row per component: (image_id, comp, size) where ``comp`` is the
+    smallest flat pixel index (y*w + x) in the component — a content-stable
+    label both engines derive independently.  Images with no foreground
+    emit (comp = -1, size = 0) so presence is auditable.
+
+    Shape: iterative min-label propagation vectorized across the WHOLE
+    (k, h, w) image stack — each sweep takes the elementwise min with the
+    4 shifted neighbor planes (mask-gated so labels never leak across
+    image slices), repeated to fixpoint: O(longest geodesic path) sweeps,
+    each a full-stack numpy op, no per-pixel Python.  Component sizes via
+    one offset bincount.  Map-only mapInArrow — no shuffle at any corpus
+    width; per-image cost is independent of corpus size.
+    on_error='null': corrupt payloads emit a (comp = -1, size = null) row."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            ids = rb.column("image_id").take(sel)
+            if px is None:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        pa.array(np.full(len(ids), -1, np.int64)),
+                        pa.array([None] * len(ids), type=pa.int64()),
+                    ],
+                    ["image_id", "comp", "size"],
+                )
+                continue
+            p = px.astype(np.int64)
+            luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+            k, n = len(p), h * w
+            mask = luma >= thresh
+            lab = np.where(mask, np.arange(n, dtype=np.int64).reshape(1, h, w), n)
+            while True:
+                new = lab.copy()
+                np.minimum(
+                    new[:, 1:, :],
+                    np.where(mask[:, 1:, :] & mask[:, :-1, :], lab[:, :-1, :], n),
+                    out=new[:, 1:, :],
+                )
+                np.minimum(
+                    new[:, :-1, :],
+                    np.where(mask[:, :-1, :] & mask[:, 1:, :], lab[:, 1:, :], n),
+                    out=new[:, :-1, :],
+                )
+                np.minimum(
+                    new[:, :, 1:],
+                    np.where(mask[:, :, 1:] & mask[:, :, :-1], lab[:, :, :-1], n),
+                    out=new[:, :, 1:],
+                )
+                np.minimum(
+                    new[:, :, :-1],
+                    np.where(mask[:, :, :-1] & mask[:, :, 1:], lab[:, :, 1:], n),
+                    out=new[:, :, :-1],
+                )
+                if np.array_equal(new, lab):
+                    break
+                lab = new
+            flat = lab.reshape(k, n)
+            counts = np.bincount(
+                (np.minimum(flat, n) + (np.arange(k, dtype=np.int64)[:, None] * (n + 1))).reshape(-1),
+                minlength=k * (n + 1),
+            ).reshape(k, n + 1)[:, :n]  # drop the background slot
+            img_i, comp_v = np.nonzero(counts)
+            sizes = counts[img_i, comp_v].astype(np.int64)
+            ids_np = ids.to_pylist()
+            # images with zero foreground: explicit empty marker row
+            empty = np.setdiff1d(np.arange(k), np.unique(img_i))
+            out_ids = [ids_np[i] for i in img_i] + [ids_np[i] for i in empty]
+            out_comp = np.concatenate([comp_v.astype(np.int64), np.full(len(empty), -1, np.int64)])
+            out_size = np.concatenate([sizes, np.zeros(len(empty), np.int64)])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=pa.string()), pa.array(out_comp), pa.array(out_size)],
+                ["image_id", "comp", "size"],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
+        kernel, "image_id string, comp long, size long"
+    )
+
+
+def sql_image_cc(idx_cte: str, thresh: int = CC_THRESH, max_h: int = 18, max_w: int = 32) -> str:
+    """DuckDB twin: regenerate the mask from the pixel formula, build the
+    4-adjacency edge set RELATIONALLY, transitive closure by recursive CTE,
+    per-node min reachable id = component label (the
+    sql_connected_components discipline, here on the pixel grid).  A
+    genuinely different algorithm from the kernel's stack-vectorized label
+    propagation — decode, thresholding, adjacency and labeling all on the
+    hash.  Closure size is sum(comp_size^2); the fixture threshold keeps
+    components small (max ~107 px at thresh=200)."""
+    px = _PX_LUMA_CTE.format(max_h=max_h, max_w=max_w)
+    return f"""WITH RECURSIVE idxs AS ({idx_cte}),
+{px},
+fg AS (
+  SELECT p.idx, p.pos, p.pos % d.w AS x, p.pos // d.w AS y, d.w, d.h
+  FROM px p JOIN dims d ON d.idx = p.idx
+  WHERE p.luma >= {thresh}),
+edges AS (
+  SELECT a.idx, a.pos AS src, b.pos AS dst
+  FROM fg a JOIN fg b ON b.idx = a.idx
+   AND ((b.pos = a.pos + 1 AND a.x + 1 < a.w) OR (b.pos = a.pos + a.w))
+  ),
+sym AS (SELECT idx, src, dst FROM edges
+        UNION SELECT idx, dst, src FROM edges),
+reach(idx, src, dst) AS (
+  SELECT idx, pos, pos FROM fg
+  UNION
+  SELECT r.idx, r.src, e.dst FROM reach r
+  JOIN sym e ON e.idx = r.idx AND e.src = r.dst),
+comp AS (SELECT idx, src, min(dst) AS comp FROM reach GROUP BY idx, src),
+nonempty AS (
+  SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
+         CAST(comp AS BIGINT) AS comp, count(*) AS size
+  FROM comp GROUP BY idx, comp),
+empties AS (
+  SELECT concat('fimg', lpad(CAST(d.idx AS VARCHAR), 9, '0')) AS image_id,
+         CAST(-1 AS BIGINT) AS comp, CAST(0 AS BIGINT) AS size
+  FROM dims d WHERE NOT EXISTS (SELECT 1 FROM fg WHERE fg.idx = d.idx))
+SELECT * FROM nonempty UNION ALL SELECT * FROM empties"""

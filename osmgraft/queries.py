@@ -5820,3 +5820,62 @@ def mad_nchars_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     ).select("source", "n_chars")
     return mad_exact(docs, ["source"], "n_chars")
+
+
+# --- image Otsu threshold + connected components -----------------------------------
+_FIMG_IDX_CTE = (
+    "SELECT idx FROM (SELECT row_number() OVER () - 1 AS idx FROM orders) "
+    "WHERE idx < {n}"
+)
+
+
+def _sql_otsu() -> str:
+    from osmgraft.operators.multimodal import sql_image_otsu
+
+    return sql_image_otsu(_FIMG_IDX_CTE.format(n=400))
+
+
+@register("image_otsu_threshold", _sql_otsu())
+def image_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Otsu global binarization threshold per image
+    (operators/multimodal.image_otsu): real container decode → integer luma
+    histogram → floor-quantized between-class-variance argmax (ties →
+    smallest t). The whole reduction is O(256) per image and vectorized
+    across the (images × 256) stack — map-only mapInArrow, no shuffle at
+    any corpus width. The DuckDB twin regenerates every pixel from the
+    formula fixture and builds histogram/cumulatives RELATIONALLY, so
+    decode, histogram, cumulative algebra and tie rule are all on the
+    hash."""
+    from osmgraft.operators.multimodal import image_otsu
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 400)
+    imgs = ensure_min_parallelism(synth_formula_images(spark, n))
+    return image_otsu(imgs)
+
+
+def _sql_cc_img() -> str:
+    from osmgraft.operators.multimodal import sql_image_cc
+
+    return sql_image_cc(_FIMG_IDX_CTE.format(n=250))
+
+
+@register("image_cc_blobs", _sql_cc_img())
+def image_cc_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-connected component labeling of per-image foreground masks
+    (operators/multimodal.image_cc): decode → luma >= 200 mask → one row
+    per blob (comp = min flat pixel index, size). The kernel is iterative
+    min-label propagation vectorized over the WHOLE image stack (full-array
+    numpy sweeps, no per-pixel Python) — map-only, per-image cost
+    independent of corpus width. The DuckDB twin labels the same mask by a
+    genuinely different algorithm (4-adjacency edge set + recursive-CTE
+    transitive closure), putting decode, thresholding, adjacency and
+    labeling all on the hash."""
+    from osmgraft.operators.multimodal import image_cc
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 250)
+    imgs = ensure_min_parallelism(synth_formula_images(spark, n))
+    return image_cc(imgs)

@@ -585,3 +585,122 @@ def test_image_rle_corrupt_null_row(spark):
     )
     rows = image_rle(df, on_error="null").collect()
     assert len(rows) == 1 and rows[0]["run_idx"] == -1 and rows[0]["val"] is None
+
+
+# --- Otsu threshold ---------------------------------------------------------------
+
+
+def _formula_luma(i):
+    import numpy as np
+
+    w, h = 16 + (i % 3) * 8, 12 + (i % 2) * 6
+    y = np.arange(h)[:, None]
+    x = np.arange(w)[None, :]
+    base = i * 37 + y * 11 + x * 7
+    return (
+        299 * (base % 256) + 587 * ((base + 29) % 256) + 114 * ((base + 58) % 256)
+    ) // 1000
+
+
+def test_image_otsu_vs_naive(spark):
+    """Engine Otsu == a from-scratch per-image Python loop over all 255
+    candidate thresholds with exact big-int arithmetic (independent of the
+    kernel's vectorized cumsum formulation)."""
+    from osmgraft.operators.multimodal import image_otsu
+    from osmgraft.synth import synth_formula_images
+
+    got = {
+        r["image_id"]: (r["otsu_t"], r["score"], r["fg_cnt"])
+        for r in image_otsu(synth_formula_images(spark, 10)).collect()
+    }
+    assert len(got) == 10
+    for i in range(10):
+        luma = _formula_luma(i).reshape(-1).tolist()
+        n, S = len(luma), sum(luma)
+        best_t, best_score = -1, -1
+        for t in range(255):
+            w0 = sum(1 for v in luma if v <= t)
+            s0 = sum(v for v in luma if v <= t)
+            den = w0 * (n - w0)
+            if den == 0:
+                continue
+            num = s0 * n - S * w0
+            score = num * num // den
+            if score > best_score:
+                best_t, best_score = t, score
+        fg = sum(1 for v in luma if v > best_t)
+        assert got[f"fimg{i:09d}"] == (best_t, best_score, fg)
+
+
+def test_image_otsu_constant_and_corrupt(spark):
+    """Degenerate constant image -> otsu_t=-1 with null score/fg; corrupt
+    payload under on_error='null' -> same marker row shape."""
+    from osmgraft.functions.codec import encode_image
+    import numpy as np
+
+    from osmgraft.operators.multimodal import image_otsu
+
+    const = encode_image(np.full((4, 4, 3), 77, np.uint8), "ppm")
+    df = spark.createDataFrame(
+        [
+            ("const", bytearray(const), 4, 4, "ppm"),
+            ("bad", bytearray(b"\x00"), 4, 4, "ppm"),
+        ],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    rows = {r["image_id"]: r for r in image_otsu(df, on_error="null").collect()}
+    assert rows["const"]["otsu_t"] == -1 and rows["const"]["score"] is None
+    assert rows["bad"]["otsu_t"] == -1 and rows["bad"]["fg_cnt"] is None
+
+
+# --- connected components ----------------------------------------------------------
+
+
+def test_image_cc_vs_bfs(spark):
+    """Engine labeling == an independent per-image BFS flood fill; checks
+    the exact (comp=min flat index, size) rows including empty-mask
+    markers."""
+    from collections import deque
+
+    from osmgraft.operators.multimodal import image_cc
+    from osmgraft.synth import synth_formula_images
+
+    got = {}
+    for r in image_cc(synth_formula_images(spark, 10)).collect():
+        got.setdefault(r["image_id"], set()).add((r["comp"], r["size"]))
+    assert len(got) == 10
+    for i in range(10):
+        luma = _formula_luma(i)
+        h, w = luma.shape
+        mask = luma >= 200
+        seen = [[False] * w for _ in range(h)]
+        want = set()
+        for sy in range(h):
+            for sx in range(w):
+                if not mask[sy][sx] or seen[sy][sx]:
+                    continue
+                q, members = deque([(sy, sx)]), []
+                seen[sy][sx] = True
+                while q:
+                    y, x = q.popleft()
+                    members.append(y * w + x)
+                    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        ny, nx = y + dy, x + dx
+                        if 0 <= ny < h and 0 <= nx < w and mask[ny][nx] and not seen[ny][nx]:
+                            seen[ny][nx] = True
+                            q.append((ny, nx))
+                want.add((min(members), len(members)))
+        if not want:
+            want = {(-1, 0)}
+        assert got[f"fimg{i:09d}"] == want
+
+
+def test_image_cc_corrupt_null_row(spark):
+    from osmgraft.operators.multimodal import image_cc
+
+    df = spark.createDataFrame(
+        [("bad", bytearray(b"\x00\x01"), 4, 4, "ppm")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    rows = image_cc(df, on_error="null").collect()
+    assert len(rows) == 1 and rows[0]["comp"] == -1 and rows[0]["size"] is None
