@@ -159,7 +159,8 @@ def main() -> None:
                  "compaction_plan_docs", "geo_phash_neardup_z7",
                  "viterbi_match_tracks", "auc_lang_by_source",
                  "hausdorff_pairs_tracks", "image_rle_runs", "kcore20_planted",
-                 "geofence_scrub_points", "mad_nchars_by_source"]:
+                 "geofence_scrub_points", "mad_nchars_by_source",
+                 "image_otsu_threshold", "image_cc_blobs"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())
