@@ -2000,6 +2000,42 @@ FROM best WHERE rn = 1"""
 CC_THRESH = 200  # luma >= 200: sparse diagonal-band mask on the formula fixture
 
 
+def _cc_label_stack(mask: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Min-label propagation over the whole (k, h, w) boolean stack: start
+    every foreground pixel at its own flat index (background = n = h*w),
+    sweep elementwise minima with the 4 shifted neighbor planes (mask-gated
+    so labels never leak across image slices) to fixpoint.  O(longest
+    geodesic path) sweeps, each a full-stack numpy op — no per-pixel
+    Python.  Returns the (k, h, w) int64 label volume."""
+    n = h * w
+    lab = np.where(mask, np.arange(n, dtype=np.int64).reshape(1, h, w), n)
+    while True:
+        new = lab.copy()
+        np.minimum(
+            new[:, 1:, :],
+            np.where(mask[:, 1:, :] & mask[:, :-1, :], lab[:, :-1, :], n),
+            out=new[:, 1:, :],
+        )
+        np.minimum(
+            new[:, :-1, :],
+            np.where(mask[:, :-1, :] & mask[:, 1:, :], lab[:, 1:, :], n),
+            out=new[:, :-1, :],
+        )
+        np.minimum(
+            new[:, :, 1:],
+            np.where(mask[:, :, 1:] & mask[:, :, :-1], lab[:, :, :-1], n),
+            out=new[:, :, 1:],
+        )
+        np.minimum(
+            new[:, :, :-1],
+            np.where(mask[:, :, :-1] & mask[:, :, 1:], lab[:, :, 1:], n),
+            out=new[:, :, :-1],
+        )
+        if np.array_equal(new, lab):
+            return lab
+        lab = new
+
+
 def image_cc(
     images: DataFrame, thresh: int = CC_THRESH, on_error: str = "fail"
 ) -> DataFrame:
@@ -2037,33 +2073,7 @@ def image_cc(
             luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
             k, n = len(p), h * w
             mask = luma >= thresh
-            lab = np.where(mask, np.arange(n, dtype=np.int64).reshape(1, h, w), n)
-            while True:
-                new = lab.copy()
-                np.minimum(
-                    new[:, 1:, :],
-                    np.where(mask[:, 1:, :] & mask[:, :-1, :], lab[:, :-1, :], n),
-                    out=new[:, 1:, :],
-                )
-                np.minimum(
-                    new[:, :-1, :],
-                    np.where(mask[:, :-1, :] & mask[:, 1:, :], lab[:, 1:, :], n),
-                    out=new[:, :-1, :],
-                )
-                np.minimum(
-                    new[:, :, 1:],
-                    np.where(mask[:, :, 1:] & mask[:, :, :-1], lab[:, :, :-1], n),
-                    out=new[:, :, 1:],
-                )
-                np.minimum(
-                    new[:, :, :-1],
-                    np.where(mask[:, :, :-1] & mask[:, :, 1:], lab[:, :, 1:], n),
-                    out=new[:, :, :-1],
-                )
-                if np.array_equal(new, lab):
-                    break
-                lab = new
-            flat = lab.reshape(k, n)
+            flat = _cc_label_stack(mask, h, w).reshape(k, n)
             counts = np.bincount(
                 (np.minimum(flat, n) + (np.arange(k, dtype=np.int64)[:, None] * (n + 1))).reshape(-1),
                 minlength=k * (n + 1),
@@ -2122,5 +2132,150 @@ nonempty AS (
 empties AS (
   SELECT concat('fimg', lpad(CAST(d.idx AS VARCHAR), 9, '0')) AS image_id,
          CAST(-1 AS BIGINT) AS comp, CAST(0 AS BIGINT) AS size
+  FROM dims d WHERE NOT EXISTS (SELECT 1 FROM fg WHERE fg.idx = d.idx))
+SELECT * FROM nonempty UNION ALL SELECT * FROM empties"""
+
+
+# --- per-blob region properties ----------------------------------------------------
+
+
+def image_blob_props(
+    images: DataFrame, thresh: int = CC_THRESH, on_error: str = "fail"
+) -> DataFrame:
+    """Region properties per 4-connected foreground blob (the scikit-image
+    ``regionprops`` shape, exact-integer subset): for each component of the
+    luma >= ``thresh`` mask emit (comp, size, bbox x0/y0/x1/y1 inclusive,
+    coordinate sums sx/sy, perim).  Centroid is the exact rational
+    (sx/size, sy/size) — division never taken, the IDW/point_along
+    discipline, so the gate is float-free.  ``perim`` is the 4-neighborhood
+    boundary length: per fg pixel 4 minus its in-image fg neighbor count,
+    summed per blob (image borders count as background).  Images with no
+    foreground emit an auditable (comp=-1, size=0) marker row.
+
+    Shape: the shared min-label propagation (``_cc_label_stack``) runs
+    stack-vectorized, then every per-blob statistic is one offset bincount
+    / minimum.at / maximum.at over flat (image, label) keys — map-only
+    mapInArrow, no shuffle at any corpus width.
+    on_error='null': corrupt payloads emit a (comp=-1, nulls) row."""
+    cols = ["image_id", "comp", "size", "x0", "y0", "x1", "y1", "sx", "sy", "perim"]
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            ids = rb.column("image_id").take(sel)
+            if px is None:
+                nulls = pa.array([None] * len(ids), type=pa.int64())
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array(np.full(len(ids), -1, np.int64))] + [nulls] * 8,
+                    cols,
+                )
+                continue
+            p = px.astype(np.int64)
+            luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+            k, n = len(p), h * w
+            mask = luma >= thresh
+            lab = _cc_label_stack(mask, h, w)
+            # in-image fg 4-neighbor counts (borders = background)
+            nb = np.zeros((k, h, w), np.int64)
+            nb[:, 1:, :] += mask[:, :-1, :]
+            nb[:, :-1, :] += mask[:, 1:, :]
+            nb[:, :, 1:] += mask[:, :, :-1]
+            nb[:, :, :-1] += mask[:, :, 1:]
+            flat_lab = lab.reshape(k, n)
+            fg = flat_lab < n
+            img_ix = np.broadcast_to(np.arange(k, dtype=np.int64)[:, None], (k, n))
+            key = (img_ix * (n + 1) + np.minimum(flat_lab, n)).reshape(-1)
+            kk = key[fg.reshape(-1)]
+            xs = np.broadcast_to(
+                np.tile(np.arange(w, dtype=np.int64), h)[None, :], (k, n)
+            ).reshape(-1)[fg.reshape(-1)]
+            ys = np.broadcast_to(
+                np.repeat(np.arange(h, dtype=np.int64), w)[None, :], (k, n)
+            ).reshape(-1)[fg.reshape(-1)]
+            pv = (4 - nb.reshape(k, n)).reshape(-1)[fg.reshape(-1)]
+            m = k * (n + 1)
+            size = np.bincount(kk, minlength=m)
+            sx = np.bincount(kk, weights=xs, minlength=m).astype(np.int64)
+            sy = np.bincount(kk, weights=ys, minlength=m).astype(np.int64)
+            perim = np.bincount(kk, weights=pv, minlength=m).astype(np.int64)
+            x0 = np.full(m, n, np.int64); y0 = np.full(m, n, np.int64)
+            x1 = np.full(m, -1, np.int64); y1 = np.full(m, -1, np.int64)
+            np.minimum.at(x0, kk, xs); np.minimum.at(y0, kk, ys)
+            np.maximum.at(x1, kk, xs); np.maximum.at(y1, kk, ys)
+            present = size > 0
+            keys = np.nonzero(present)[0]
+            img_i, comp_v = keys // (n + 1), keys % (n + 1)
+            ids_np = ids.to_pylist()
+            empty = np.setdiff1d(np.arange(k), np.unique(img_i))
+            out_ids = [ids_np[i] for i in img_i] + [ids_np[i] for i in empty]
+            ne = len(empty)
+            arrs = [pa.array(out_ids, type=pa.string())]
+            arrs.append(pa.array(np.concatenate([comp_v, np.full(ne, -1, np.int64)])))
+            arrs.append(pa.array(np.concatenate([size[keys], np.zeros(ne, np.int64)])))
+            for v in (x0, y0, x1, y1, sx, sy, perim):
+                vals = np.concatenate([v[keys], np.zeros(ne, np.int64)])
+                msk = np.concatenate([np.zeros(len(keys), bool), np.ones(ne, bool)])
+                arrs.append(pa.array(vals, mask=msk))
+            yield pa.RecordBatch.from_arrays(arrs, cols)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
+        kernel,
+        "image_id string, comp long, size long, x0 long, y0 long, x1 long, "
+        "y1 long, sx long, sy long, perim long",
+    )
+
+
+def sql_image_blob_props(
+    idx_cte: str, thresh: int = CC_THRESH, max_h: int = 18, max_w: int = 32
+) -> str:
+    """DuckDB twin: the sql_image_cc recursive-CTE closure labels the same
+    mask, then every region property is a plain relational aggregate over
+    the labeled fg pixels (min/max/sum of coordinates; perimeter = 4 minus
+    the fg-neighbor count from the symmetric edge set, left-joined so
+    isolated pixels contribute 4).  Decode, labeling, bbox, centroid sums
+    and boundary length are all on the hash."""
+    px = _PX_LUMA_CTE.format(max_h=max_h, max_w=max_w)
+    return f"""WITH RECURSIVE idxs AS ({idx_cte}),
+{px},
+fg AS (
+  SELECT p.idx, p.pos, p.pos % d.w AS x, p.pos // d.w AS y, d.w, d.h
+  FROM px p JOIN dims d ON d.idx = p.idx
+  WHERE p.luma >= {thresh}),
+edges AS (
+  SELECT a.idx, a.pos AS src, b.pos AS dst
+  FROM fg a JOIN fg b ON b.idx = a.idx
+   AND ((b.pos = a.pos + 1 AND a.x + 1 < a.w) OR (b.pos = a.pos + a.w))
+  ),
+sym AS (SELECT idx, src, dst FROM edges
+        UNION SELECT idx, dst, src FROM edges),
+reach(idx, src, dst) AS (
+  SELECT idx, pos, pos FROM fg
+  UNION
+  SELECT r.idx, r.src, e.dst FROM reach r
+  JOIN sym e ON e.idx = r.idx AND e.src = r.dst),
+comp AS (SELECT idx, src, min(dst) AS comp FROM reach GROUP BY idx, src),
+nb AS (SELECT idx, src, count(*) AS nbc FROM sym GROUP BY idx, src),
+props AS (
+  SELECT f.idx, c.comp, count(*) AS size,
+         min(f.x) AS x0, min(f.y) AS y0, max(f.x) AS x1, max(f.y) AS y1,
+         sum(f.x) AS sx, sum(f.y) AS sy,
+         sum(4 - coalesce(n.nbc, 0)) AS perim
+  FROM fg f
+  JOIN comp c ON c.idx = f.idx AND c.src = f.pos
+  LEFT JOIN nb n ON n.idx = f.idx AND n.src = f.pos
+  GROUP BY f.idx, c.comp),
+nonempty AS (
+  SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
+         CAST(comp AS BIGINT) AS comp, CAST(size AS BIGINT) AS size,
+         CAST(x0 AS BIGINT) AS x0, CAST(y0 AS BIGINT) AS y0,
+         CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1,
+         CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+         CAST(perim AS BIGINT) AS perim
+  FROM props),
+empties AS (
+  SELECT concat('fimg', lpad(CAST(d.idx AS VARCHAR), 9, '0')) AS image_id,
+         CAST(-1 AS BIGINT) AS comp, CAST(0 AS BIGINT) AS size,
+         NULL::BIGINT AS x0, NULL::BIGINT AS y0, NULL::BIGINT AS x1,
+         NULL::BIGINT AS y1, NULL::BIGINT AS sx, NULL::BIGINT AS sy,
+         NULL::BIGINT AS perim
   FROM dims d WHERE NOT EXISTS (SELECT 1 FROM fg WHERE fg.idx = d.idx))
 SELECT * FROM nonempty UNION ALL SELECT * FROM empties"""

@@ -5879,3 +5879,28 @@ def image_cc_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 250)
     imgs = ensure_min_parallelism(synth_formula_images(spark, n))
     return image_cc(imgs)
+
+
+def _sql_blob_props() -> str:
+    from osmgraft.operators.multimodal import sql_image_blob_props
+
+    return sql_image_blob_props(_FIMG_IDX_CTE.format(n=250))
+
+
+@register("image_blob_props", _sql_blob_props())
+def image_blob_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region properties per foreground blob
+    (operators/multimodal.image_blob_props, the scikit-image regionprops
+    shape): per 4-connected component — size, inclusive bbox, exact
+    rational centroid sums (division never taken) and 4-neighborhood
+    boundary length. Shared min-label propagation + offset-bincount /
+    minimum.at stats, map-only. Twin: recursive-CTE closure labeling +
+    plain relational aggregates — bbox, centroid sums and perimeter all on
+    the hash."""
+    from osmgraft.operators.multimodal import image_blob_props as ibp
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 250)
+    imgs = ensure_min_parallelism(synth_formula_images(spark, n))
+    return ibp(imgs)

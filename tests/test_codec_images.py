@@ -704,3 +704,76 @@ def test_image_cc_corrupt_null_row(spark):
     )
     rows = image_cc(df, on_error="null").collect()
     assert len(rows) == 1 and rows[0]["comp"] == -1 and rows[0]["size"] is None
+
+
+def test_image_blob_props_vs_bfs(spark):
+    """Engine regionprops == an independent BFS flood fill computing size,
+    bbox, coordinate sums and 4-neighborhood perimeter per blob."""
+    from collections import deque
+
+    from osmgraft.operators.multimodal import image_blob_props
+    from osmgraft.synth import synth_formula_images
+
+    got = {}
+    for r in image_blob_props(synth_formula_images(spark, 10)).collect():
+        got.setdefault(r["image_id"], set()).add(
+            (r["comp"], r["size"], r["x0"], r["y0"], r["x1"], r["y1"],
+             r["sx"], r["sy"], r["perim"])
+        )
+    for i in range(10):
+        luma = _formula_luma(i)
+        h, w = luma.shape
+        mask = luma >= 200
+        seen = [[False] * w for _ in range(h)]
+        want = set()
+        for sy_ in range(h):
+            for sx_ in range(w):
+                if not mask[sy_][sx_] or seen[sy_][sx_]:
+                    continue
+                q, mem = deque([(sy_, sx_)]), []
+                seen[sy_][sx_] = True
+                while q:
+                    y, x = q.popleft()
+                    mem.append((y, x))
+                    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        ny, nx = y + dy, x + dx
+                        if 0 <= ny < h and 0 <= nx < w and mask[ny][nx] and not seen[ny][nx]:
+                            seen[ny][nx] = True
+                            q.append((ny, nx))
+                perim = sum(
+                    4 - sum(
+                        1
+                        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1))
+                        if 0 <= y + dy < h and 0 <= x + dx < w and mask[y + dy][x + dx]
+                    )
+                    for y, x in mem
+                )
+                want.add((
+                    min(y * w + x for y, x in mem), len(mem),
+                    min(x for _, x in mem), min(y for y, _ in mem),
+                    max(x for _, x in mem), max(y for y, _ in mem),
+                    sum(x for _, x in mem), sum(y for y, _ in mem), perim,
+                ))
+        if not want:
+            want = {(-1, 0, None, None, None, None, None, None, None)}
+        assert got[f"fimg{i:09d}"] == want
+
+
+def test_image_blob_props_corrupt_and_empty(spark):
+    from osmgraft.functions.codec import encode_image
+    import numpy as np
+
+    from osmgraft.operators.multimodal import image_blob_props
+
+    dark = encode_image(np.zeros((4, 4, 3), np.uint8), "ppm")
+    df = spark.createDataFrame(
+        [
+            ("dark", bytearray(dark), 4, 4, "ppm"),
+            ("bad", bytearray(b"\x00"), 4, 4, "ppm"),
+        ],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    rows = {r["image_id"]: r for r in image_blob_props(df, on_error="null").collect()}
+    assert rows["dark"]["comp"] == -1 and rows["dark"]["size"] == 0
+    assert rows["dark"]["perim"] is None
+    assert rows["bad"]["comp"] == -1 and rows["bad"]["size"] is None
