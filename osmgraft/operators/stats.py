@@ -438,3 +438,81 @@ d AS (SELECT b.*, m.med, abs(b.{col} - m.med) AS adev
 SELECT {ks}, CAST(med AS BIGINT) AS med,
        CAST(quantile_disc(adev, 0.5) AS BIGINT) AS mad
 FROM d GROUP BY {ks}, med"""
+
+
+def cusum_bursts(
+    df: DataFrame,
+    key: str,
+    t_col: str,
+    x_col: str,
+    h_mult: int = 4,
+) -> DataFrame:
+    """One-sided CUSUM change detection (Page 1954) over a sparse
+    per-(key, t) count series — the sequential burst detector under alert
+    feeds and rate-anomaly monitors.  The textbook recurrence is
+    C_t = max(0, C_{t-1} + x_t - d) over DENSE time steps; this operator
+    computes it WITHOUT densifying the sparse aggregate, via the closed
+    form C_t = P_t - min_{0<=j<=t} P_j with P_t = sum(x) - d*(t - t0 + 1):
+    inside a gap P declines linearly (x=0), so its minimum sits one step
+    before the next observed row — pre_i = P_i - x_i + d — and the dense
+    running min is least(0, running_min(least(P_i, pre_i))).  The drift d
+    is the data-derived integer rate ceil(total/span) per key; threshold
+    h = h_mult*d.  All arithmetic is int64 — no IEEE flake.
+
+    Emits every observed step: (key, t, x, cusum, burst).  Scale shape:
+    one hash agg upstream of this (caller), then ONE key-shuffle for the
+    shared window sort over the AGGREGATE (t-domain-sized, not row-sized);
+    unbounded per-key stats ride the same window.  No collect, no
+    densify-explode (a sequence() densify at hour grain over years of keys
+    would dwarf the data)."""
+    wk = Window.partitionBy(key)
+    wo = wk.orderBy(t_col)
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = F.col("_d")
+    stats = (
+        df.withColumn("_t0", F.min(t_col).over(wk))
+        .withColumn("_span", F.max(t_col).over(wk) - F.col("_t0") + 1)
+        .withColumn("_tot", F.sum(x_col).over(wk))
+        # ceil(tot/span) in pure int64: (tot + span - 1) div span
+        .withColumn("_d", (F.col("_tot") + F.col("_span") - 1) / F.col("_span"))
+        .withColumn("_d", F.floor("_d").cast("long"))
+    )
+    p = F.sum(x_col).over(run) - d * (F.col(t_col) - F.col("_t0") + 1)
+    out = (
+        stats.withColumn("_p", p)
+        .withColumn("_pre", F.col("_p") - F.col(x_col) + d)
+        .withColumn(
+            "_m", F.least(F.lit(0), F.min(F.least("_p", "_pre")).over(run))
+        )
+        .withColumn("cusum", F.col("_p") - F.col("_m"))
+        .withColumn("burst", F.col("cusum") > F.lit(h_mult) * d)
+    )
+    return out.select(key, t_col, F.col(x_col).cast("long").alias(x_col), "cusum", "burst")
+
+
+def sql_cusum_bursts(counts_cte: str, key: str, t_col: str, x_col: str, h_mult: int = 4) -> str:
+    """DuckDB twin: the TEXTBOOK dense recurrence, literally — a recursive
+    CTE walks every dense step from t0-1 (C=0) to t1, one hour at a time,
+    applying greatest(0, C + x - d) with x = 0 on missing steps.  A
+    genuinely different algorithm from the engine's sparse closed form;
+    agreement proves the gap algebra, not just the arithmetic."""
+    return f"""WITH RECURSIVE c AS ({counts_cte}),
+b AS (SELECT {key}, min({t_col}) AS h0, max({t_col}) AS h1, sum({x_col}) AS tot
+      FROM c GROUP BY {key}),
+p AS (SELECT {key}, h0, h1,
+             (tot + (h1 - h0 + 1) - 1) // (h1 - h0 + 1) AS d
+      FROM b),
+walk({key}, t, cum) AS (
+  SELECT {key}, h0 - 1, CAST(0 AS BIGINT) FROM p
+  UNION ALL
+  SELECT w.{key}, w.t + 1,
+         greatest(CAST(0 AS BIGINT), w.cum + coalesce(c.{x_col}, 0) - p.d)
+  FROM walk w
+  JOIN p ON p.{key} = w.{key}
+  LEFT JOIN c ON c.{key} = w.{key} AND c.{t_col} = w.t + 1
+  WHERE w.t < p.h1)
+SELECT w.{key}, w.t AS {t_col}, CAST(c.{x_col} AS BIGINT) AS {x_col},
+       w.cum AS cusum, (w.cum > {h_mult} * p.d) AS burst
+FROM walk w
+JOIN c ON c.{key} = w.{key} AND c.{t_col} = w.t
+JOIN p ON p.{key} = w.{key}"""

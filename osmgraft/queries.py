@@ -5904,3 +5904,45 @@ def image_blob_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 250)
     imgs = ensure_min_parallelism(synth_formula_images(spark, n))
     return ibp(imgs)
+
+
+# --- CUSUM burst detection ----------------------------------------------------------
+# floor(epoch), not CAST: DuckDB's double->int cast ROUNDS, so an event at
+# hh:59:59.9 would jump into the next hour while Spark's unix_timestamp
+# truncates (found at sf0.01 — two boundary events).
+_CUSUM_COUNTS_SQL = (
+    "SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr, "
+    "count(*) AS cnt FROM events GROUP BY 1, 2"
+)
+
+
+def _sql_cusum() -> str:
+    from osmgraft.operators.stats import sql_cusum_bursts
+
+    return sql_cusum_bursts(_CUSUM_COUNTS_SQL, "event_type", "hr", "cnt")
+
+
+@register("cusum_bursts_hourly", _sql_cusum())
+def cusum_bursts_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential burst detection (operators/stats.cusum_bursts, Page
+    1954): one-sided CUSUM of hourly event counts per type with
+    data-derived integer drift — the rate-anomaly monitor. The engine
+    evaluates the dense recurrence in CLOSED FORM over the sparse
+    aggregate (gap minima via the pre-row value; no hour densification —
+    a sequence() explode at hour grain would dwarf the aggregate at
+    scale); the DuckDB twin walks the textbook recurrence hour by hour
+    with a recursive CTE, so the gap algebra itself is on the hash. One
+    hash agg + one key-shuffle window over the aggregate."""
+    from osmgraft.operators.stats import cusum_bursts
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    ev = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    counts = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return cusum_bursts(counts, "event_type", "hr", "cnt")

@@ -263,3 +263,56 @@ def test_mad_even_count_and_nulls(spark):
     # n=4 → k=2 → med 3; devs |1-3|,|3-3|,|5-3|,|7-3| = {2,0,2,4} sorted
     # {0,2,2,4} → k=2 → mad 2
     assert (got["med"], got["mad"]) == (3, 2)
+
+
+# --- CUSUM ---------------------------------------------------------------------
+
+
+def _cusum_ref(seq, d):
+    """Dense textbook recurrence C_t = max(0, C + x - d) from t0 to t1."""
+    cnts = dict(seq)
+    h0, h1 = min(cnts), max(cnts)
+    out, c = {}, 0
+    for t in range(h0, h1 + 1):
+        c = max(0, c + cnts.get(t, 0) - d)
+        if t in cnts:
+            out[t] = c
+    return out
+
+
+def test_cusum_matches_dense_recurrence(spark):
+    """Sparse closed form == the dense textbook recurrence, on a fixture
+    with long gaps (gap drain), a planted burst, and a reset-to-zero."""
+    from osmgraft.operators.stats import cusum_bursts
+
+    seq = [(10, 5), (11, 1), (12, 4), (20, 9), (21, 8), (22, 1), (40, 2)]
+    tot, span = sum(x for _, x in seq), 40 - 10 + 1
+    d = -(-tot // span)  # ceil
+    df = spark.createDataFrame(
+        [("a", t, x) for t, x in seq], "k string, t long, x long"
+    )
+    got = {r["t"]: (r["cnt" if False else "x"], r["cusum"], r["burst"])
+           for r in cusum_bursts(df, "k", "t", "x").collect()}
+    ref = _cusum_ref(seq, d)
+    assert set(got) == set(ref)
+    for t in ref:
+        assert got[t][1] == ref[t], (t, got[t], ref[t])
+        assert got[t][2] == (ref[t] > 4 * d)
+    # the planted burst fires and the long gap drains back to zero
+    assert any(b for _, _, b in got.values())
+    assert got[40][1] == max(0, 2 - d)
+
+
+def test_cusum_multi_key_independence(spark):
+    """Keys are independent: duplicating a key's rows under another key
+    leaves both series identical."""
+    from osmgraft.operators.stats import cusum_bursts
+
+    rows = [("a", t, (t * 7) % 5 + 1) for t in range(100, 130)]
+    df = spark.createDataFrame(
+        rows + [("b", t, x) for _, t, x in rows], "k string, t long, x long"
+    )
+    out = cusum_bursts(df, "k", "t", "x").collect()
+    a = sorted((r["t"], r["cusum"]) for r in out if r["k"] == "a")
+    b = sorted((r["t"], r["cusum"]) for r in out if r["k"] == "b")
+    assert a == b and len(a) == 30
