@@ -2279,3 +2279,110 @@ empties AS (
          NULL::BIGINT AS perim
   FROM dims d WHERE NOT EXISTS (SELECT 1 FROM fg WHERE fg.idx = d.idx))
 SELECT * FROM nonempty UNION ALL SELECT * FROM empties"""
+
+
+# --- template matching ---------------------------------------------------------------
+
+TM_IDX = 7777  # pseudo-image index whose formula luma defines the shared template
+
+
+def image_template_match(
+    images: DataFrame, tpl: int = 5, on_error: str = "fail"
+) -> DataFrame:
+    """Template matching by exact integer SSD (the sum-of-squared-
+    differences matcher under patch provenance / watermark localization):
+    slide a ``tpl``×``tpl`` luma template over every decoded image and
+    return the argmin offset — ties broken toward the smallest flat
+    position y0*w + x0.  The template is itself derived from the shared
+    pixel formula at pseudo-index ``TM_IDX``, so the DuckDB twin
+    regenerates it exactly; SSD ≤ tpl²·255² fits int64 with 10 orders of
+    margin.  Images smaller than the template emit a (-1, -1, null)
+    marker row.
+
+    Shape: sliding_window_view over the whole (k, h, w) stack → one
+    vectorized (win − T)² reduction → per-image argmin; map-only
+    mapInArrow, no shuffle at any corpus width.
+    on_error='null': corrupt payloads emit the marker row."""
+    t_y = np.arange(tpl, dtype=np.int64)[:, None]
+    t_x = np.arange(tpl, dtype=np.int64)[None, :]
+    base = TM_IDX * 37 + t_y * 11 + t_x * 7
+    T = (
+        299 * (base % 256) + 587 * ((base + 29) % 256) + 114 * ((base + 58) % 256)
+    ) // 1000
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            ids = rb.column("image_id").take(sel)
+            k = len(ids)
+            if px is None or h < tpl or w < tpl:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        pa.array(np.full(k, -1, np.int64)),
+                        pa.array(np.full(k, -1, np.int64)),
+                        pa.array([None] * k, type=pa.int64()),
+                    ],
+                    ["image_id", "y0", "x0", "ssd"],
+                )
+                continue
+            p = px.astype(np.int64)
+            luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+            win = sliding_window_view(luma, (tpl, tpl), axis=(1, 2))
+            ssd = ((win - T) ** 2).sum(axis=(-1, -2))  # (k, h-tpl+1, w-tpl+1)
+            flat = ssd.reshape(k, -1)
+            am = np.argmin(flat, axis=1)  # first min == smallest (y0, x0)
+            ww = w - tpl + 1
+            y0, x0 = am // ww, am % ww
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(y0.astype(np.int64)),
+                    pa.array(x0.astype(np.int64)),
+                    pa.array(flat[np.arange(k), am]),
+                ],
+                ["image_id", "y0", "x0", "ssd"],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
+        kernel, "image_id string, y0 long, x0 long, ssd long"
+    )
+
+
+def sql_image_template_match(
+    idx_cte: str, tpl: int = 5, max_h: int = 18, max_w: int = 32
+) -> str:
+    """DuckDB twin: regenerate image pixels AND the pseudo-index template
+    from the shared formula, cross-join every valid offset, sum (I−T)²
+    relationally, rank by (ssd, flat position) — decode, window addressing,
+    SSD algebra and the tie rule are all on the hash."""
+    px = _PX_LUMA_CTE.format(max_h=max_h, max_w=max_w)
+    return f"""WITH idxs AS ({idx_cte}),
+{px},
+tl AS (
+  SELECT ty.y AS ty, tx.x AS tx,
+         (299 * (({TM_IDX}*37 + ty.y*11 + tx.x*7) % 256)
+        + 587 * (({TM_IDX}*37 + ty.y*11 + tx.x*7 + 29) % 256)
+        + 114 * (({TM_IDX}*37 + ty.y*11 + tx.x*7 + 58) % 256)) // 1000 AS t
+  FROM range(0, {tpl}) ty(y) CROSS JOIN range(0, {tpl}) tx(x)),
+offs AS (
+  SELECT d.idx, oy.y AS y0, ox.x AS x0, d.w
+  FROM dims d
+  CROSS JOIN range(0, {max_h}) oy(y) CROSS JOIN range(0, {max_w}) ox(x)
+  WHERE oy.y + {tpl} <= d.h AND ox.x + {tpl} <= d.w),
+scored AS (
+  SELECT o.idx, o.y0, o.x0, o.w,
+         sum((p.luma - tl.t) * (p.luma - tl.t)) AS ssd
+  FROM offs o
+  JOIN tl ON true
+  JOIN px p ON p.idx = o.idx AND p.pos = (o.y0 + tl.ty) * o.w + (o.x0 + tl.tx)
+  GROUP BY o.idx, o.y0, o.x0, o.w),
+best AS (
+  SELECT idx, y0, x0, ssd,
+         row_number() OVER (PARTITION BY idx ORDER BY ssd, y0 * w + x0) AS rn
+  FROM scored)
+SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
+       CAST(y0 AS BIGINT) AS y0, CAST(x0 AS BIGINT) AS x0,
+       CAST(ssd AS BIGINT) AS ssd
+FROM best WHERE rn = 1"""

@@ -5946,3 +5946,27 @@ def cusum_bursts_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return cusum_bursts(counts, "event_type", "hr", "cnt")
+
+
+def _sql_tmatch() -> str:
+    from osmgraft.operators.multimodal import sql_image_template_match
+
+    return sql_image_template_match(_FIMG_IDX_CTE.format(n=300))
+
+
+@register("image_template_match", _sql_tmatch())
+def image_template_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer template matching
+    (operators/multimodal.image_template_match): SSD argmin of a shared
+    5x5 formula-derived luma template over every decoded image, ties to
+    the smallest flat offset — the patch-provenance / watermark-
+    localization primitive. Stack-vectorized sliding windows, map-only.
+    Twin: relational offset cross-join + grouped (I-T)^2 sums — window
+    addressing, SSD algebra and tie rule on the hash."""
+    from osmgraft.operators.multimodal import image_template_match as itm
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 300)
+    imgs = ensure_min_parallelism(synth_formula_images(spark, n))
+    return itm(imgs)

@@ -777,3 +777,77 @@ def test_image_blob_props_corrupt_and_empty(spark):
     assert rows["dark"]["comp"] == -1 and rows["dark"]["size"] == 0
     assert rows["dark"]["perim"] is None
     assert rows["bad"]["comp"] == -1 and rows["bad"]["size"] is None
+
+
+# --- template matching ---------------------------------------------------------------
+
+
+def test_template_match_planted_exact(spark):
+    """Plant the template verbatim inside a flat image: SSD must be 0 at
+    exactly the planted offset; a second identical plant later in scan
+    order must lose the tie."""
+    import numpy as np
+
+    from osmgraft.functions.codec import encode_image
+    from osmgraft.operators.multimodal import TM_IDX, image_template_match
+
+    t_y = np.arange(5)[:, None]
+    t_x = np.arange(5)[None, :]
+    base = TM_IDX * 37 + t_y * 11 + t_x * 7
+    # per-channel template pixels (the kernel only uses luma, but planting
+    # the exact RGB patch forces luma equality too)
+    rgb = np.stack([(base + c * 29) % 256 for c in (0, 1, 2)], axis=-1).astype(np.uint8)
+    img = np.full((12, 16, 3), 200, np.uint8)
+    img[3:8, 4:9] = rgb
+    img[6:11, 10:15] = rgb  # second plant, later in scan order
+    df = spark.createDataFrame(
+        [("p", bytearray(encode_image(img, "ppm")), 16, 12, "ppm")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    r = image_template_match(df).collect()[0]
+    assert (r["y0"], r["x0"], r["ssd"]) == (3, 4, 0)
+
+
+def test_template_match_vs_naive(spark):
+    """Engine argmin == brute-force python double loop on formula images."""
+    import numpy as np
+
+    from osmgraft.operators.multimodal import TM_IDX, image_template_match
+    from osmgraft.synth import synth_formula_images
+
+    t_y = np.arange(5)[:, None]
+    t_x = np.arange(5)[None, :]
+    base = TM_IDX * 37 + t_y * 11 + t_x * 7
+    T = (299 * (base % 256) + 587 * ((base + 29) % 256) + 114 * ((base + 58) % 256)) // 1000
+    got = {r["image_id"]: (r["y0"], r["x0"], r["ssd"])
+           for r in image_template_match(synth_formula_images(spark, 8)).collect()}
+    for i in range(8):
+        luma = _formula_luma(i)
+        h, w = luma.shape
+        best = None
+        for y0 in range(h - 4):
+            for x0 in range(w - 4):
+                ssd = int(((luma[y0:y0 + 5, x0:x0 + 5] - T) ** 2).sum())
+                key = (ssd, y0 * w + x0)
+                if best is None or key < best[0]:
+                    best = (key, (y0, x0, ssd))
+        assert got[f"fimg{i:09d}"] == best[1]
+
+
+def test_template_match_too_small_and_corrupt(spark):
+    import numpy as np
+
+    from osmgraft.functions.codec import encode_image
+    from osmgraft.operators.multimodal import image_template_match
+
+    tiny = encode_image(np.zeros((3, 3, 3), np.uint8), "ppm")
+    df = spark.createDataFrame(
+        [
+            ("tiny", bytearray(tiny), 3, 3, "ppm"),
+            ("bad", bytearray(b"\x01"), 8, 8, "ppm"),
+        ],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    rows = {r["image_id"]: r for r in image_template_match(df, on_error="null").collect()}
+    assert rows["tiny"]["y0"] == -1 and rows["tiny"]["ssd"] is None
+    assert rows["bad"]["y0"] == -1 and rows["bad"]["ssd"] is None
