@@ -5970,3 +5970,54 @@ def image_template_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 300)
     imgs = ensure_min_parallelism(synth_formula_images(spark, n))
     return itm(imgs)
+
+
+@register("stream_cusum_bursts", _sql_cusum())
+def stream_cusum_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming CUSUM (streaming/incremental.stream_cusum,
+    applyInPandasWithState): the same hourly burst statistic as
+    cusum_bursts_hourly, computed as an incremental per-key fold with two
+    int64s of state — and hash-gated against the SAME recursive-CTE dense
+    -recurrence oracle, so stream/batch parity itself is on the hash.
+    Drift rides each row (calibration pre-pass joined on; a stream can't
+    see total/span ahead of time)."""
+    import tempfile
+
+    from osmgraft.streaming.incremental import read_stream, run_available_now, stream_cusum
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = (
+        ev.select(
+            F.col("event_type").alias("key"),
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("t"),
+        )
+        .groupBy("key", "t")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    drift = counts.groupBy("key").agg(
+        F.floor(
+            (F.sum("x") + F.max("t") - F.min("t"))
+            / (F.max("t") - F.min("t") + 1)
+        ).cast("long").alias("d")
+    )
+    src = tempfile.mkdtemp(prefix="og_cusum_src_")
+    counts.join(drift, "key").write.mode("overwrite").parquet(src)
+    stream = read_stream(spark, src, "key string, t long, x long, d long")
+    rows_df = stream_cusum(stream, h_mult=4)
+    name = "og_stream_cusum_q"
+    q = (
+        rows_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="og_cusum_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("key").alias("event_type"),
+        F.col("t").alias("hr"),
+        F.col("x").alias("cnt"),
+        "cusum",
+        "burst",
+    )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -276,3 +277,77 @@ def stream_interval_join(
         & (F.col("a_ts") <= F.col("b_ts") + F.expr(f"INTERVAL {interval_seconds} SECONDS")),
         "inner",
     ).select("k", "a_id", "b_id")
+
+
+_CUSUM_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("t", LongType()),
+        StructField("x", LongType()),
+        StructField("cusum", LongType()),
+        StructField("burst", BooleanType()),
+    ]
+)
+_CUSUM_STATE = StructType(
+    [StructField("last_t", LongType()), StructField("c", LongType())]
+)
+
+
+def stream_cusum(counts_stream: DataFrame, h_mult: int = 4) -> DataFrame:
+    """Streaming one-sided CUSUM (Page 1954) — the stateful twin of
+    operators/stats.cusum_bursts: per key, fold each arriving (t, x) step
+    into C = max(0, C_gap + x - d), where the gap first decays the
+    statistic by max(0, C - d*gap) (the dense recurrence collapses in
+    closed form over missing steps, same algebra the batch operator
+    gates).  Input rows carry their key's calibrated integer drift as a
+    ``d`` column (a stream can't see total/span ahead of time — real
+    deployments join a calibration table on; the hash-gated query derives
+    it from the batch pre-pass).  State per key is TWO int64s (last_t, C)
+    — bounded by key cardinality, not history; rows at or before last_t
+    are late (behind the fold frontier) and are dropped, mirroring
+    watermark discard.  Threshold h = h_mult * d.
+
+    Batch/stream agreement is pinned in pytest (file-per-microbatch
+    replay == batch closed form) AND in the hash gate (the streaming
+    query shares the batch recursive-CTE oracle)."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("t")
+        last_t, c = state.get if state.exists else (None, 0)
+        out_t, out_x, out_c, out_b = [], [], [], []
+        for t, x, d in zip(
+            rows["t"].astype("int64"),
+            rows["x"].astype("int64"),
+            rows["d"].astype("int64"),
+        ):
+            t, x, d = int(t), int(x), int(d)
+            if last_t is not None and t <= last_t:
+                continue  # late arrival behind the fold frontier
+            gap = 0 if last_t is None else t - last_t - 1
+            c = max(0, c - d * gap)
+            c = max(0, c + x - d)
+            last_t = t
+            out_t.append(t); out_x.append(x); out_c.append(c)
+            out_b.append(c > h_mult * d)
+        if last_t is not None:
+            state.update((last_t, c))
+        if out_t:
+            yield pd.DataFrame(
+                {
+                    "key": key[0],
+                    "t": out_t,
+                    "x": out_x,
+                    "cusum": out_c,
+                    "burst": out_b,
+                }
+            )
+
+    return counts_stream.groupBy("key").applyInPandasWithState(
+        fn,
+        outputStructType=_CUSUM_OUT,
+        stateStructType=_CUSUM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -265,3 +265,55 @@ def test_stream_interval_join_matches_batch(spark):
             spark, "/root/testdata/sf0.001").collect())
     )
     assert stream_rows == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_cusum_matches_batch(spark, tmp_path):
+    """File-per-microbatch replay of the stateful streaming CUSUM ==
+    the batch closed form (same drift), including gap decay across
+    microbatch boundaries."""
+    from osmgraft.operators.stats import cusum_bursts
+    from osmgraft.streaming.incremental import stream_cusum
+
+    rows = [("a", t, (t * 13) % 7) for t in range(50, 80) if t % 3 != 0]
+    rows += [("a", 90, 25), ("b", 50, 30), ("b", 70, 33)]
+    df = spark.createDataFrame(rows, "key string, t long, x long")
+    batch = {}
+    for k in ("a", "b"):
+        sub = [r for r in rows if r[0] == k]
+        tot = sum(x for _, _, x in sub)
+        span = max(t for _, t, _ in sub) - min(t for _, t, _ in sub) + 1
+        batch[k] = -(-tot // span)
+    assert batch["a"] == batch["b"]  # shared drift so one stream covers both
+    d = batch["a"]
+    want = {
+        (r["key"], r["t"]): (r["cusum"], r["burst"])
+        for r in cusum_bursts(df, "key", "t", "x").collect()
+    }
+
+    src = str(tmp_path / "src")
+    # three files -> maxFilesPerTrigger=1 forces three stateful microbatches
+    for i, chunk in enumerate([rows[:10], rows[10:20], rows[20:]]):
+        spark.createDataFrame(
+            [(k, t, x, d) for k, t, x in chunk], "key string, t long, x long, d long"
+        ).coalesce(1).write.parquet(f"{src}/f{i}")
+    stream = (
+        spark.readStream.schema("key string, t long, x long, d long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        stream_cusum(stream, h_mult=4)
+        .writeStream.format("memory")
+        .queryName("cusum_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["key"], r["t"]): (r["cusum"], r["burst"])
+        for r in spark.sql("SELECT * FROM cusum_mem").collect()
+    }
+    assert got == want
+    assert any(b for _, b in got.values())  # the planted (90, 25) burst fires
