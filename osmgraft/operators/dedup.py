@@ -625,3 +625,145 @@ reach(id, cur) AS (
   SELECT r.id, s.v FROM reach r JOIN sym s ON s.u = r.cur),
 lab AS (SELECT id, min(cur) AS cluster_id FROM reach GROUP BY id)
 SELECT cluster_id, id AS doc_id, (id = cluster_id) AS is_survivor FROM lab"""
+
+
+# --- edit-distance near-dup join (pigeonhole segment candidates) ------------------
+def levenshtein_neardup_pairs(
+    docs: DataFrame,
+    k: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs within Levenshtein distance <= ``k`` — the fuzzy-dedup
+    primitive for captions/titles (typo variants survive MinHash only when
+    the shingle overlap stays high; edit distance is the metric the curation
+    briefs actually state).
+
+    Candidate scheme (PassJoin pigeonhole — Li/Deng/Feng, ICDE'11, public
+    algorithm): split each string of length ``la >= k+1`` into ``k+1``
+    disjoint segments (boundaries ``(i*la) div (k+1)``).  An optimal
+    alignment of a pair with ``ed <= k`` has at most ``k`` edits, so at
+    least ONE segment of the shorter string survives verbatim in the longer
+    one, shifted by at most ``k`` positions (each indel shifts by one).
+    The probe side therefore enumerates, for every candidate shorter length
+    ``la in [len-k, len]`` and segment ``i``, every substring of itself with
+    the segment's exact length within the +-k start window — a provably
+    complete candidate set: (k+1)^2 * (2k+1) probe keys per row (45 at k=2),
+    3 index keys per row, everything JVM ``transform``/``substring``
+    expressions inside whole-stage codegen.  Strings shorter than ``k+1``
+    can't pigeonhole (some segment is empty); any partner is then <= 2k
+    chars, so the tiny stratum (len <= 2k) self-joins all-pairs — a
+    vanishing, length-bounded subset of a caption lake.
+
+    Verification is EXACT (``F.levenshtein``) on the distinct candidate
+    id-pairs, so the pigeonhole scheme affects cost only, never recall.
+
+    100 TB shape: one exchange on the (la, i, segment) key — uniformly
+    hash-partitioned unless the corpus repeats boilerplate segments (same
+    caveat as jaccard_ngram_pairs; pre-dedup exact duplicates first).  The
+    verify join ships only candidate ids + the two texts; no driver
+    collection anywhere.
+
+    Returns (doc_a, doc_b, dist) with doc_a < doc_b, one row per unordered
+    pair.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    kp1 = k + 1
+    base = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("txt"),
+            F.length(text_col).alias("len"),
+        )
+        .filter(F.col("txt").isNotNull())
+    )
+
+    # Index side: the k+1 disjoint segments of every string with len >= k+1
+    # (each segment is non-empty there: floor boundaries differ by >= 1).
+    idx = (
+        base.filter(F.col("len") >= kp1)
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("len").alias("len_a"),
+            F.explode(
+                F.expr(
+                    f"""transform(sequence(0, {k}), i -> struct(
+                          i AS i,
+                          substring(txt, (i * len) div {kp1} + 1,
+                                    ((i + 1) * len) div {kp1} - (i * len) div {kp1}) AS seg))"""
+                )
+            ).alias("kv"),
+        )
+        .select("id_a", "len_a", F.col("kv.i").alias("ii"), F.col("kv.seg").alias("seg"))
+    )
+
+    # Probe side: for every candidate shorter length la (>= k+1, within k of
+    # our own), every segment index, every start inside the +-k shift window
+    # (the window is never empty: p <= len - seg_len and p <= p + k).
+    probe = base.select(
+        F.col("id").alias("id_b"),
+        F.col("len").alias("len_b"),
+        F.explode(
+            F.expr(
+                f"""flatten(transform(
+                      IF(len >= {kp1}, sequence(greatest({kp1}, len - {k}), len),
+                         CAST(array() AS array<int>)),
+                      la -> flatten(transform(sequence(0, {k}), i ->
+                        transform(
+                          sequence(greatest(0, (i * la) div {kp1} - {k}),
+                                   least(len - (((i + 1) * la) div {kp1} - (i * la) div {kp1}),
+                                         (i * la) div {kp1} + {k})),
+                          s -> struct(
+                            la AS la, i AS pi,
+                            substring(txt, s + 1,
+                                      ((i + 1) * la) div {kp1} - (i * la) div {kp1}) AS pseg))))))"""
+            )
+        ).alias("kv"),
+    ).select(
+        "id_b", "len_b", F.col("kv.la").alias("la"),
+        F.col("kv.pi").alias("pi"), F.col("kv.pseg").alias("pseg"),
+    )
+
+    order_ab = (F.col("len_a") < F.col("len_b")) | (
+        (F.col("len_a") == F.col("len_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    cand_main = (
+        idx.join(
+            probe,
+            (idx.len_a == probe.la) & (idx.ii == probe.pi) & (idx.seg == probe.pseg),
+        )
+        .filter(order_ab)
+        .select("id_a", "id_b")
+    )
+
+    # Tiny stratum: both partners of any pair involving len < k+1 are <= 2k
+    # chars; all-pairs there (bounded by the tiny-string count, broadcast).
+    tiny = base.filter(F.col("len") <= 2 * k).select(
+        F.col("id").alias("tid"), F.col("len").alias("tlen")
+    )
+    cand_tiny = (
+        tiny.select(F.col("tid").alias("id_a"), F.col("tlen").alias("len_a"))
+        .join(
+            F.broadcast(
+                tiny.select(F.col("tid").alias("id_b"), F.col("tlen").alias("len_b"))
+            ),
+            (F.abs(F.col("len_a") - F.col("len_b")) <= k) & order_ab,
+        )
+        .select("id_a", "id_b")
+    )
+
+    cands = cand_main.unionByName(cand_tiny).distinct()
+    ta = base.select(F.col("id").alias("id_a"), F.col("txt").alias("txt_a"))
+    tb = base.select(F.col("id").alias("id_b"), F.col("txt").alias("txt_b"))
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("dist", F.levenshtein("txt_a", "txt_b"))
+        .filter(F.col("dist") <= k)
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )

@@ -2245,6 +2245,55 @@ def dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_ngram_pairs(docs)
 
 
+def _sql_dedup_levenshtein() -> str:
+    return f"""WITH src AS (
+  SELECT doc_id, substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 80) AS t
+  FROM documents WHERE doc_id < {_LEV_CAP}),
+vars AS (
+  SELECT doc_id + 100000 AS doc_id,
+         concat(substr(t, 1, 5), '~', substr(t, 7, 14), substr(t, 22)) AS t
+  FROM src WHERE doc_id % 5 = 0),
+allrows AS (SELECT * FROM src UNION ALL SELECT * FROM vars)
+SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b,
+       CAST(levenshtein(a.t, b.t) AS INTEGER) AS dist
+FROM allrows a JOIN allrows b
+  ON a.doc_id < b.doc_id AND abs(length(a.t) - length(b.t)) <= 2
+WHERE levenshtein(a.t, b.t) <= 2"""
+
+
+_LEV_CAP = 400  # brute-force twin is O(n²·len²); cap like the image queries
+
+
+@register("dedup_levenshtein", _sql_dedup_levenshtein())
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs (operators/dedup.levenshtein_neardup_pairs):
+    PassJoin-pigeonhole segment candidates + exact F.levenshtein verify, over
+    ASCII-projected 80-char caption prefixes with planted 2-edit variants
+    (substitute pos 6, delete pos 21 — every 5th doc).  The DuckDB oracle
+    brute-forces all pairs with its native levenshtein — two radically
+    different candidate generators, one pair set, one hash; any recall hole
+    in the pigeonhole window drops a planted pair and fails the gate.
+    (ASCII projection pins semantics: Spark counts chars, DuckDB bytes.)"""
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < _LEV_CAP)
+    src = docs.select(
+        "doc_id",
+        F.substring(F.regexp_replace("text", "[^ -~]", ""), 1, 80).alias("t"),
+    )
+    vars_ = src.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.substring("t", 1, 5),
+            F.lit("~"),
+            F.substring("t", 7, 14),
+            F.expr("substring(t, 22)"),
+        ).alias("t"),
+    )
+    allrows = ensure_min_parallelism(src.unionByName(vars_))
+    return D.levenshtein_neardup_pairs(allrows, k=2, id_col="doc_id", text_col="t")
+
+
 @register("cdc_chunks", D.sql_cdc_chunks())
 def cdc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking: every document split at windowed-hash

@@ -1031,3 +1031,58 @@ def test_phash_neardup_key_cols_restrict_and_keep_recall(spark):
     )
     # (2,3) is hamming-1 but in different groups (9 vs 8) → excluded
     assert got == [(0, 1, 1)]
+
+
+# --- levenshtein near-dup join (pigeonhole segments) ---------------------------
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        cur = [i] + [0] * len(b)
+        for j in range(1, len(b) + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_neardup_brute_force(spark):
+    """Pigeonhole candidates + exact verify == brute force over an
+    adversarial mix: tiny strings (0..12 chars, alphabet 'ab' — maximal
+    segment collisions and the tiny all-pairs stratum) plus longer strings
+    with planted 2-edit variants (substitution + deletion)."""
+    import random
+
+    from osmgraft.operators.dedup import levenshtein_neardup_pairs
+
+    rng = random.Random(7)
+    rows = [(i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 12))))
+            for i in range(60)]
+    for i in range(60, 80):
+        s = "".join(rng.choice("abcdefgh ") for _ in range(rng.randint(20, 40)))
+        rows.append((i, s))
+        t = list(s)
+        t[5] = "~"
+        del t[11]
+        rows.append((i + 1000, "".join(t)))
+
+    want = sorted(
+        (a, b, _lev(ta, tb))
+        for (a, ta) in rows for (b, tb) in rows
+        if a < b and _lev(ta, tb) <= 2
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, levenshtein_neardup_pairs(df, k=2).collect()))
+    assert got == want
+    assert any(d == 2 for _, _, d in want)  # planted edits actually exercised
+    assert all(a < b for a, b, _ in got)  # one row per unordered pair
+
+
+def test_levenshtein_neardup_k1_and_length_gap(spark):
+    """k=1 tightens the gate; pairs with |len diff| > k can never appear."""
+    from osmgraft.operators.dedup import levenshtein_neardup_pairs
+
+    rows = [(0, "hello world"), (1, "hello worlds"), (2, "hello w0rld"),
+            (3, "hello"), (4, ""), (5, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, levenshtein_neardup_pairs(df, k=1).collect()))
+    assert got == [(0, 1, 1), (0, 2, 1), (4, 5, 1)]
