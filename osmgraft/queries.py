@@ -5955,6 +5955,32 @@ def image_blob_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ibp(imgs)
 
 
+def _sql_dt_img() -> str:
+    from osmgraft.operators.multimodal import sql_image_distance_transform
+
+    return sql_image_distance_transform(_FIMG_IDX_CTE.format(n=250))
+
+
+@register("image_distance_transform", _sql_dt_img())
+def image_distance_transform_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact L1 distance transform per image
+    (operators/multimodal.image_distance_transform): for every pixel, the
+    city-block distance to the nearest foreground pixel (luma >= 200),
+    emitted as a per-image distance histogram — every pixel's distance is
+    on the hash.  The kernel is the separable two-pass relaxation
+    (Rosenfeld–Pfaltz), each sweep a whole-stack numpy op; the DuckDB twin
+    applies the raw DEFINITION (min over all foreground pixels of
+    |dx|+|dy| via an all-pairs join) — so the exactness of the two-pass
+    argument itself is gated."""
+    from osmgraft.operators.multimodal import image_distance_transform
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 250)
+    imgs = ensure_min_parallelism(synth_formula_images(spark, n))
+    return image_distance_transform(imgs)
+
+
 # --- CUSUM burst detection ----------------------------------------------------------
 # floor(epoch), not CAST: DuckDB's double->int cast ROUNDS, so an event at
 # hh:59:59.9 would jump into the next hour while Spark's unix_timestamp

@@ -851,3 +851,58 @@ def test_template_match_too_small_and_corrupt(spark):
     rows = {r["image_id"]: r for r in image_template_match(df, on_error="null").collect()}
     assert rows["tiny"]["y0"] == -1 and rows["tiny"]["ssd"] is None
     assert rows["bad"]["y0"] == -1 and rows["bad"]["ssd"] is None
+
+
+# --- L1 distance transform -----------------------------------------------------------
+
+
+def test_image_distance_transform_vs_definition(spark):
+    """Two-pass separable relaxation == the raw definition (min |dx|+|dy|
+    over all foreground pixels), per pixel, on the formula fixtures."""
+    from collections import Counter
+
+    from osmgraft.operators.multimodal import image_distance_transform
+    from osmgraft.synth import synth_formula_images
+
+    got = {}
+    for r in image_distance_transform(synth_formula_images(spark, 8)).collect():
+        got.setdefault(r["image_id"], {})[r["d"]] = r["n_px"]
+    assert len(got) == 8
+    for i in range(8):
+        luma = _formula_luma(i)
+        h, w = luma.shape
+        fg = [(y, x) for y in range(h) for x in range(w) if luma[y][x] >= 200]
+        want = Counter(
+            min(abs(y - fy) + abs(x - fx) for fy, fx in fg)
+            for y in range(h)
+            for x in range(w)
+        ) if fg else {-1: 0}
+        assert got[f"fimg{i:09d}"] == dict(want)
+
+
+def test_image_distance_transform_markers(spark):
+    """All-background image -> (-1, 0) marker; corrupt payload -> (-1, null)
+    under on_error='null'; single foreground pixel -> exact L1 cones."""
+    import numpy as np
+
+    from osmgraft.functions.codec import encode_image
+    from osmgraft.operators.multimodal import image_distance_transform
+
+    black = np.zeros((4, 6, 3), np.uint8)
+    one = np.zeros((3, 5, 3), np.uint8)
+    one[1, 2] = 255
+    df = spark.createDataFrame(
+        [
+            ("black", bytearray(encode_image(black, "ppm")), 6, 4, "ppm"),
+            ("one", bytearray(encode_image(one, "ppm")), 5, 3, "ppm"),
+            ("bad", bytearray(b"\x00\x01"), 4, 4, "ppm"),
+        ],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    rows = {}
+    for r in image_distance_transform(df, on_error="null").collect():
+        rows.setdefault(r["image_id"], {})[r["d"]] = r["n_px"]
+    assert rows["black"] == {-1: 0}
+    assert rows["bad"] == {-1: None}
+    # cone around (1,2) in a 3x5 grid: d -> count
+    assert rows["one"] == {0: 1, 1: 4, 2: 6, 3: 4}
