@@ -2489,3 +2489,131 @@ empties AS (
          CAST(-1 AS BIGINT) AS d, CAST(0 AS BIGINT) AS n_px
   FROM dims d WHERE NOT EXISTS (SELECT 1 FROM fg WHERE fg.idx = d.idx))
 SELECT * FROM hist UNION ALL SELECT * FROM empties"""
+
+
+# --- gradient orientation histogram (HOG-style rose) --------------------------------
+
+
+def image_gradient_rose(images: DataFrame, on_error: str = "fail") -> DataFrame:
+    """Per-image gradient-orientation histogram — the HOG building block
+    (Dalal–Triggs 2005 lineage) as an exact integer rose: central-difference
+    gradients over INTERIOR luma pixels (gx = luma[y][x+1] - luma[y][x-1],
+    gy = luma[y+1][x] - luma[y-1][x], both pure int), octant 0..7
+    counterclockwise from +x by the SAME integer sector rule as the
+    trajectory movement rose (operators/trajectory._octant_expr — one rule
+    text, two domains), zero-gradient pixels in a -1 bin so every interior
+    pixel is accounted for.  Emits (image_id, octant, n_px, mag2_sum) where
+    mag2_sum = sum of gx²+gy² per bin — an integer-exact edge-energy
+    profile usable as a cheap blur/quality signal in image curation.
+
+    Map-only mapInArrow over the whole stack (two array subtractions + one
+    np.select per batch); no shuffle at any corpus width.  Images with no
+    interior (h < 3 or w < 3) emit (octant = -1, 0, 0); corrupt payloads
+    under on_error='null' emit (octant = -1, null, null)."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            ids = rb.column("image_id").take(sel)
+            if px is None:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        pa.array(np.full(len(ids), -1, np.int64)),
+                        pa.array([None] * len(ids), type=pa.int64()),
+                        pa.array([None] * len(ids), type=pa.int64()),
+                    ],
+                    ["image_id", "octant", "n_px", "mag2_sum"],
+                )
+                continue
+            p = px.astype(np.int64)
+            luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+            k = len(p)
+            ids_np = ids.to_pylist()
+            if h < 3 or w < 3:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids_np, type=pa.string()),
+                        pa.array(np.full(k, -1, np.int64)),
+                        pa.array(np.zeros(k, np.int64)),
+                        pa.array(np.zeros(k, np.int64)),
+                    ],
+                    ["image_id", "octant", "n_px", "mag2_sum"],
+                )
+                continue
+            gx = luma[:, 1:-1, 2:] - luma[:, 1:-1, :-2]
+            gy = luma[:, 2:, 1:-1] - luma[:, :-2, 1:-1]
+            agx, agy = np.abs(gx), np.abs(gy)
+            octant = np.select(
+                [
+                    (gx == 0) & (gy == 0),
+                    (gx > 0) & (gy >= 0),
+                    (gx <= 0) & (gy > 0),
+                    (gx < 0) & (gy <= 0),
+                ],
+                [
+                    np.full_like(gx, -1),
+                    np.where(agy < agx, 0, 1),
+                    np.where(agx < agy, 2, 3),
+                    np.where(agy < agx, 4, 5),
+                ],
+                default=np.where(agx < agy, 6, 7),
+            )
+            mag2 = gx * gx + gy * gy
+            bins = (np.arange(k, dtype=np.int64)[:, None, None] * 9 + octant + 1).reshape(-1)
+            n_px = np.bincount(bins, minlength=k * 9).reshape(k, 9)
+            m2 = np.zeros(k * 9, np.int64)
+            np.add.at(m2, bins, mag2.reshape(-1))
+            m2 = m2.reshape(k, 9)
+            img_i, b = np.nonzero(n_px)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([ids_np[i] for i in img_i], type=pa.string()),
+                    pa.array(b.astype(np.int64) - 1),
+                    pa.array(n_px[img_i, b].astype(np.int64)),
+                    pa.array(m2[img_i, b]),
+                ],
+                ["image_id", "octant", "n_px", "mag2_sum"],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
+        kernel, "image_id string, octant long, n_px long, mag2_sum long"
+    )
+
+
+def _sql_luma_at(dy: int, dx: int) -> str:
+    base = f"(idx*37 + (y+{dy})*11 + (x+{dx})*7)"
+    return (
+        f"((299 * ({base} % 256) + 587 * (({base} + 29) % 256)"
+        f" + 114 * (({base} + 58) % 256)) // 1000)"
+    )
+
+
+def sql_image_gradient_rose(idx_cte: str, max_h: int = 18, max_w: int = 32) -> str:
+    """DuckDB twin: no decode, no joins — the luma formula is CLOSED FORM,
+    so the gradient at (y, x) is the formula evaluated at shifted
+    coordinates; the octant CASE is the movement-rose rule text verbatim.
+    The engine decodes real containers and shifts arrays; the twin
+    algebraically re-derives each gradient — decode, the difference
+    stencil, the sector rule and the mag² sums are all on the hash."""
+    gx = f"({_sql_luma_at(0, 1)} - {_sql_luma_at(0, -1)})"
+    gy = f"({_sql_luma_at(1, 0)} - {_sql_luma_at(-1, 0)})"
+    return f"""WITH idxs AS ({idx_cte}),
+dims AS (SELECT idx, 16 + (idx % 3) * 8 AS w, 12 + (idx % 2) * 6 AS h FROM idxs),
+g AS (
+  SELECT idx, {gx} AS gx, {gy} AS gy
+  FROM dims
+  CROSS JOIN range(1, {max_h - 1}) ty(y) CROSS JOIN range(1, {max_w - 1}) tx(x)
+  WHERE y < h - 1 AND x < w - 1),
+o AS (
+  SELECT idx,
+         CASE WHEN gx = 0 AND gy = 0 THEN -1
+              WHEN gx > 0 AND gy >= 0 THEN (CASE WHEN abs(gy) < abs(gx) THEN 0 ELSE 1 END)
+              WHEN gx <= 0 AND gy > 0 THEN (CASE WHEN abs(gx) < abs(gy) THEN 2 ELSE 3 END)
+              WHEN gx < 0 AND gy <= 0 THEN (CASE WHEN abs(gy) < abs(gx) THEN 4 ELSE 5 END)
+              ELSE (CASE WHEN abs(gx) < abs(gy) THEN 6 ELSE 7 END) END AS octant,
+         gx * gx + gy * gy AS mag2
+  FROM g)
+SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
+       CAST(octant AS BIGINT) AS octant, count(*) AS n_px,
+       CAST(sum(mag2) AS BIGINT) AS mag2_sum
+FROM o GROUP BY idx, octant"""

@@ -5981,6 +5981,31 @@ def image_distance_transform_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_distance_transform(imgs)
 
 
+def _sql_grad_rose() -> str:
+    from osmgraft.operators.multimodal import sql_image_gradient_rose
+
+    return sql_image_gradient_rose(_FIMG_IDX_CTE.format(n=250))
+
+
+@register("image_gradient_rose", _sql_grad_rose())
+def image_gradient_rose_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image gradient-orientation rose
+    (operators/multimodal.image_gradient_rose, the HOG building block):
+    central-difference integer gradients over interior luma, the trajectory
+    movement-rose octant rule, per-bin pixel counts + exact mag² edge
+    energy.  Engine decodes real containers and shifts arrays; the DuckDB
+    twin re-derives every gradient from the closed-form pixel formula at
+    shifted coordinates — decode, stencil, sector rule and energy sums all
+    on one hash."""
+    from osmgraft.operators.multimodal import image_gradient_rose
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 250)
+    imgs = ensure_min_parallelism(synth_formula_images(spark, n))
+    return image_gradient_rose(imgs)
+
+
 # --- CUSUM burst detection ----------------------------------------------------------
 # floor(epoch), not CAST: DuckDB's double->int cast ROUNDS, so an event at
 # hh:59:59.9 would jump into the next hour while Spark's unix_timestamp

@@ -906,3 +906,63 @@ def test_image_distance_transform_markers(spark):
     assert rows["bad"] == {-1: None}
     # cone around (1,2) in a 3x5 grid: d -> count
     assert rows["one"] == {0: 1, 1: 4, 2: 6, 3: 4}
+
+
+# --- gradient orientation rose -------------------------------------------------------
+
+
+def test_image_gradient_rose_vs_atan2(spark):
+    """Integer sector rule == floor(atan2/45°) on every interior gradient;
+    per-bin counts and mag² sums match a double-loop reference."""
+    import math
+    from collections import defaultdict
+
+    from osmgraft.operators.multimodal import image_gradient_rose
+    from osmgraft.synth import synth_formula_images
+
+    got = {}
+    for r in image_gradient_rose(synth_formula_images(spark, 8)).collect():
+        got.setdefault(r["image_id"], {})[r["octant"]] = (r["n_px"], r["mag2_sum"])
+    assert len(got) == 8
+    for i in range(8):
+        luma = _formula_luma(i)
+        h, w = luma.shape
+        want = defaultdict(lambda: [0, 0])
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                gx = int(luma[y][x + 1]) - int(luma[y][x - 1])
+                gy = int(luma[y + 1][x]) - int(luma[y - 1][x])
+                if gx == 0 and gy == 0:
+                    o = -1
+                else:
+                    o = int((math.degrees(math.atan2(gy, gx)) % 360.0) // 45)
+                want[o][0] += 1
+                want[o][1] += gx * gx + gy * gy
+        assert got[f"fimg{i:09d}"] == {o: tuple(v) for o, v in want.items()}
+
+
+def test_image_gradient_rose_planted_and_markers(spark):
+    """A pure x-ramp image puts every interior pixel in octant 0; tiny
+    images emit the no-interior marker; corrupt payloads null out."""
+    import numpy as np
+
+    from osmgraft.functions.codec import encode_image
+    from osmgraft.operators.multimodal import image_gradient_rose
+
+    ramp = np.zeros((5, 8, 3), np.uint8)
+    ramp[:] = (np.arange(8, dtype=np.uint8) * 10)[None, :, None]
+    tiny = np.zeros((2, 2, 3), np.uint8)
+    df = spark.createDataFrame(
+        [
+            ("ramp", bytearray(encode_image(ramp, "ppm")), 8, 5, "ppm"),
+            ("tiny", bytearray(encode_image(tiny, "ppm")), 2, 2, "ppm"),
+            ("bad", bytearray(b"\x00"), 4, 4, "ppm"),
+        ],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    rows = {}
+    for r in image_gradient_rose(df, on_error="null").collect():
+        rows.setdefault(r["image_id"], {})[r["octant"]] = (r["n_px"], r["mag2_sum"])
+    assert rows["ramp"] == {0: (18, 18 * 400)}  # gx=20, gy=0 at all 3x6 interiors
+    assert rows["tiny"] == {-1: (0, 0)}
+    assert rows["bad"] == {-1: (None, None)}
