@@ -2617,3 +2617,117 @@ SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
        CAST(octant AS BIGINT) AS octant, count(*) AS n_px,
        CAST(sum(mag2) AS BIGINT) AS mag2_sum
 FROM o GROUP BY idx, octant"""
+
+
+# --- dominant-line detection (integer Hough / Muff transform) ------------------------
+
+# Fixed integer direction table (a, b): rho = a*x + b*y is constant along
+# lines perpendicular to (a, b).  Eight directions spanning a half-turn at
+# two angular granularities — the classic "Muff"/integer-Hough discipline
+# (no trig, no float rho binning; votes are exact).
+HOUGH_DIRS = ((1, 0), (2, 1), (1, 1), (1, 2), (0, 1), (-1, 2), (-1, 1), (-2, 1))
+
+
+def image_hough_argmax(
+    images: DataFrame, thresh: int = CC_THRESH, on_error: str = "fail"
+) -> DataFrame:
+    """Dominant straight line per image — an exact-integer Hough transform
+    (Duda–Hart 1972 lineage): foreground pixels (luma >= ``thresh``) vote
+    for (direction d, offset rho = a_d*x + b_d*y) over the fixed integer
+    direction table ``HOUGH_DIRS``; the winner is the (d, rho) with the
+    most votes, ties to the smallest (d, rho) — deterministic across
+    engines and partitionings.  Emits (image_id, dir, rho, votes); images
+    with no foreground emit (-1, 0, 0), corrupt payloads under
+    on_error='null' emit (-1, null, null).
+
+    Kernel shape: per batch, one (k, n_dirs, n_fg) integer tensor of rhos
+    + a composite-key bincount — whole-stack numpy, map-only mapInArrow,
+    no shuffle at any corpus width."""
+    n_d = len(HOUGH_DIRS)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            ids = rb.column("image_id").take(sel)
+            if px is None:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        pa.array(np.full(len(ids), -1, np.int64)),
+                        pa.array([None] * len(ids), type=pa.int64()),
+                        pa.array([None] * len(ids), type=pa.int64()),
+                    ],
+                    ["image_id", "dir", "rho", "votes"],
+                )
+                continue
+            p = px.astype(np.int64)
+            luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+            k = len(p)
+            ids_np = ids.to_pylist()
+            out = []
+            # rho ranges are direction-dependent; offset everything into one
+            # non-negative composite key: (img, dir, rho - rho_min).
+            rho_min = min(min(a * x for x in (0, w - 1)) + min(b * y for y in (0, h - 1))
+                          for a, b in HOUGH_DIRS)
+            rho_max = max(max(a * x for x in (0, w - 1)) + max(b * y for y in (0, h - 1))
+                          for a, b in HOUGH_DIRS)
+            span = rho_max - rho_min + 1
+            acc = np.zeros(k * n_d * span, np.int64)
+            img_i, ys, xs = np.nonzero(luma >= thresh)
+            for d, (a, b) in enumerate(HOUGH_DIRS):
+                rho = a * xs + b * ys
+                np.add.at(acc, (img_i * n_d + d) * span + (rho - rho_min), 1)
+            acc = acc.reshape(k, n_d * span)
+            # argmax with (votes desc, dir asc, rho asc) tie rule: np.argmax
+            # returns the FIRST maximal flat index, and flat order is
+            # exactly (dir, rho) ascending.
+            best = np.argmax(acc, axis=1)
+            votes = acc[np.arange(k), best]
+            dirs = (best // span).astype(np.int64)
+            rhos = (best % span + rho_min).astype(np.int64)
+            has_fg = votes > 0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids_np, type=pa.string()),
+                    pa.array(np.where(has_fg, dirs, -1)),
+                    pa.array(np.where(has_fg, rhos, 0)),
+                    pa.array(votes),
+                ],
+                ["image_id", "dir", "rho", "votes"],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
+        kernel, "image_id string, dir long, rho long, votes long"
+    )
+
+
+def sql_image_hough_argmax(
+    idx_cte: str, thresh: int = CC_THRESH, max_h: int = 18, max_w: int = 32
+) -> str:
+    """DuckDB twin: formula pixels → the same direction-table votes as a
+    relational GROUP BY + row_number() pick under the shared tie rule
+    (votes DESC, dir, rho) — accumulation strategy differs (composite-key
+    bincount vs hash aggregate), the winner must not."""
+    px = _PX_LUMA_CTE.format(max_h=max_h, max_w=max_w)
+    dirs_vals = ", ".join(f"({d}, {a}, {b})" for d, (a, b) in enumerate(HOUGH_DIRS))
+    return f"""WITH idxs AS ({idx_cte}),
+{px},
+fg AS (
+  SELECT p.idx, p.pos % d.w AS x, p.pos // d.w AS y
+  FROM px p JOIN dims d ON d.idx = p.idx WHERE p.luma >= {thresh}),
+votes AS (
+  SELECT fg.idx, dirs.d, dirs.a * fg.x + dirs.b * fg.y AS rho, count(*) AS votes
+  FROM fg CROSS JOIN (VALUES {dirs_vals}) dirs(d, a, b)
+  GROUP BY fg.idx, dirs.d, rho),
+ranked AS (
+  SELECT idx, d, rho, votes,
+         row_number() OVER (PARTITION BY idx ORDER BY votes DESC, d, rho) AS rn
+  FROM votes),
+best AS (
+  SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
+         CAST(d AS BIGINT) AS dir, CAST(rho AS BIGINT) AS rho, votes
+  FROM ranked WHERE rn = 1),
+empties AS (
+  SELECT concat('fimg', lpad(CAST(dm.idx AS VARCHAR), 9, '0')) AS image_id,
+         CAST(-1 AS BIGINT) AS dir, CAST(0 AS BIGINT) AS rho, CAST(0 AS BIGINT) AS votes
+  FROM dims dm WHERE NOT EXISTS (SELECT 1 FROM fg WHERE fg.idx = dm.idx))
+SELECT * FROM best UNION ALL SELECT * FROM empties"""

@@ -6006,6 +6006,30 @@ def image_gradient_rose_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_gradient_rose(imgs)
 
 
+def _sql_hough() -> str:
+    from osmgraft.operators.multimodal import sql_image_hough_argmax
+
+    return sql_image_hough_argmax(_FIMG_IDX_CTE.format(n=250))
+
+
+@register("image_hough_line", _sql_hough())
+def image_hough_line_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-line detection per image
+    (operators/multimodal.image_hough_argmax): exact-integer Hough votes
+    over a fixed 8-direction table (rho = a·x + b·y, no trig, no float
+    bins), winner by (votes DESC, dir, rho).  Kernel is a composite-key
+    bincount over the whole stack; the DuckDB twin re-votes relationally
+    from the formula pixels and picks with the shared tie rule — decode,
+    thresholding, the vote algebra and the argmax are all on the hash."""
+    from osmgraft.operators.multimodal import image_hough_argmax
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 250)
+    imgs = ensure_min_parallelism(synth_formula_images(spark, n))
+    return image_hough_argmax(imgs)
+
+
 # --- CUSUM burst detection ----------------------------------------------------------
 # floor(epoch), not CAST: DuckDB's double->int cast ROUNDS, so an event at
 # hh:59:59.9 would jump into the next hour while Spark's unix_timestamp

@@ -966,3 +966,64 @@ def test_image_gradient_rose_planted_and_markers(spark):
     assert rows["ramp"] == {0: (18, 18 * 400)}  # gx=20, gy=0 at all 3x6 interiors
     assert rows["tiny"] == {-1: (0, 0)}
     assert rows["bad"] == {-1: (None, None)}
+
+
+# --- integer Hough dominant line -----------------------------------------------------
+
+
+def test_image_hough_vs_reference(spark):
+    """Kernel argmax == a double-loop vote + shared tie rule on the formula
+    fixtures."""
+    from collections import Counter
+
+    from osmgraft.operators.multimodal import HOUGH_DIRS, image_hough_argmax
+    from osmgraft.synth import synth_formula_images
+
+    got = {
+        r["image_id"]: (r["dir"], r["rho"], r["votes"])
+        for r in image_hough_argmax(synth_formula_images(spark, 8)).collect()
+    }
+    assert len(got) == 8
+    for i in range(8):
+        luma = _formula_luma(i)
+        h, w = luma.shape
+        votes = Counter()
+        for y in range(h):
+            for x in range(w):
+                if luma[y][x] >= 200:
+                    for d, (a, b) in enumerate(HOUGH_DIRS):
+                        votes[(d, a * x + b * y)] += 1
+        if votes:
+            want = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+            assert got[f"fimg{i:09d}"] == (*want[0], want[1])
+        else:
+            assert got[f"fimg{i:09d}"] == (-1, 0, 0)
+
+
+def test_image_hough_planted_line_and_markers(spark):
+    """A planted y=x diagonal of bright pixels wins with direction (-1, 1)
+    and rho 0; black image -> no-fg marker; corrupt -> nulls."""
+    import numpy as np
+
+    from osmgraft.functions.codec import encode_image
+    from osmgraft.operators.multimodal import HOUGH_DIRS, image_hough_argmax
+
+    img = np.zeros((10, 10, 3), np.uint8)
+    for t in range(10):
+        img[t, t] = 255
+    black = np.zeros((4, 4, 3), np.uint8)
+    df = spark.createDataFrame(
+        [
+            ("diag", bytearray(encode_image(img, "ppm")), 10, 10, "ppm"),
+            ("black", bytearray(encode_image(black, "ppm")), 4, 4, "ppm"),
+            ("bad", bytearray(b"\x00"), 4, 4, "ppm"),
+        ],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    rows = {
+        r["image_id"]: (r["dir"], r["rho"], r["votes"])
+        for r in image_hough_argmax(df, on_error="null").collect()
+    }
+    assert rows["diag"] == (HOUGH_DIRS.index((-1, 1)), 0, 10)
+    assert rows["black"] == (-1, 0, 0)
+    assert rows["bad"] == (-1, None, None)
