@@ -6030,6 +6030,28 @@ def image_hough_line_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_hough_argmax(imgs)
 
 
+_SQL_CUBE = """SELECT lang, source, GROUPING(lang, source) AS gid,
+       count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM documents GROUP BY CUBE (lang, source)"""
+
+
+@register("cube_lang_source", _SQL_CUBE)
+def cube_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional rollup: doc counts + char volume over every
+    grouping set of (lang, source) in ONE pass — Spark's native CUBE
+    (Catalyst Expand + a single hash aggregate with map-side partials;
+    the OLAP sibling of tile_pyramid's spatial rollup).  grouping_id is
+    the SQL-standard bitmask both engines share, NULL marks aggregated
+    dims.  100 TB shape: Expand multiplies rows 4x BEFORE the combine —
+    still one shuffle keyed by (gid, lang, source), no per-set rescans."""
+    docs = _docs(spark, sf_dir)
+    return docs.cube("lang", "source").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    ).select("lang", "source", "gid", "n_docs", "sum_chars")
+
+
 # --- CUSUM burst detection ----------------------------------------------------------
 # floor(epoch), not CAST: DuckDB's double->int cast ROUNDS, so an event at
 # hh:59:59.9 would jump into the next hour while Spark's unix_timestamp
