@@ -2731,3 +2731,55 @@ empties AS (
          CAST(-1 AS BIGINT) AS dir, CAST(0 AS BIGINT) AS rho, CAST(0 AS BIGINT) AS votes
   FROM dims dm WHERE NOT EXISTS (SELECT 1 FROM fg WHERE fg.idx = dm.idx))
 SELECT * FROM best UNION ALL SELECT * FROM empties"""
+
+
+# --- scene-change detection over decoded video ---------------------------------------
+
+
+def video_scene_cuts(
+    media: DataFrame,
+    thr_permille: int = 30000,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Shot-boundary (scene-cut) detection per clip — the standard
+    frame-difference detector: for every consecutive frame pair, the total
+    absolute luma difference ``delta = Σ|L_f - L_{f-1}|`` (exact int64),
+    flagged as a cut when the MEAN per-pixel change exceeds
+    ``thr_permille/1000`` — evaluated cross-multiplied
+    (``1000·delta > thr_permille·h·w``), so the threshold never touches
+    IEEE.  Emits (media_id, f, delta, cut) for f = 1..n_frames-1.
+
+    REAL YUV4MPEG2 decode (the video_frame_sample path); per clip the
+    diff is one vectorized |Δ| sum over the (nf, h, w) luma stack — no
+    per-pixel Python.  Fixed-shape corpora batch further exactly as in
+    video_frame_sample's uniform one-reshape path."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(0).to_pylist()
+            buf, starts, ends = _binary_spans(rb.column(1))
+            bb = buf.tobytes()
+            o_id, o_f, o_d, o_c = [], [], [], []
+            for i in range(len(starts)):
+                w, h, _cs, luma = y4m_parse(bb[starts[i]:ends[i]])
+                d = np.abs(np.diff(luma.astype(np.int64), axis=0)).sum(axis=(1, 2))
+                o_id += [ids[i]] * len(d)
+                o_f += list(range(1, len(d) + 1))
+                o_d += d.tolist()
+                o_c += (1000 * d > thr_permille * h * w).tolist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_id, type=pa.string()),
+                    pa.array(o_f, type=pa.int32()),
+                    pa.array(o_d, type=pa.int64()),
+                    pa.array(o_c, type=pa.bool_()),
+                ],
+                ["media_id", "f", "delta", "cut"],
+            )
+
+    return media.select(F.col(id_col).cast("string"), F.col(bytes_col)).mapInArrow(
+        kernel, "media_id string, f int, delta long, cut boolean"
+    )

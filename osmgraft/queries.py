@@ -2867,6 +2867,37 @@ def video_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("media_id", "frame_idx", "luma_sum")
 
 
+@register(
+    "video_scene_cuts",
+    """WITH idxs AS (SELECT row_number() OVER () - 1 AS i FROM orders),
+clips AS (SELECT i, 4 + i % 3 AS nf FROM idxs WHERE i < 300),
+d AS (
+  SELECT c.i, f.range AS f,
+         sum(abs(((c.i * 31 + f.range * 17 + y.range * 5 + x.range * 3) % 256)
+               - ((c.i * 31 + (f.range - 1) * 17 + y.range * 5 + x.range * 3) % 256))) AS delta
+  FROM clips c
+  JOIN range(1, 6) f ON f.range < c.nf
+  CROSS JOIN range(0, 16) y CROSS JOIN range(0, 16) x
+  GROUP BY c.i, f.range)
+SELECT concat('vid', lpad(CAST(i AS VARCHAR), 12, '0')) AS media_id,
+       CAST(f AS INTEGER) AS f, CAST(delta AS BIGINT) AS delta,
+       (1000 * delta > 30000 * 256) AS cut
+FROM d""",
+)
+def video_scene_cuts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over REAL y4m decode
+    (operators/multimodal.video_scene_cuts): per consecutive frame pair,
+    the exact int64 total |Δluma| plus an integer cross-multiplied
+    mean-change threshold flag.  The DuckDB twin re-derives every frame
+    difference from the closed-form luma formula — decode, frame stride,
+    the diff stencil and the threshold algebra are all on the hash."""
+    from osmgraft.operators.multimodal import video_scene_cuts
+    from osmgraft.synth import synth_videos
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 300)
+    return video_scene_cuts(synth_videos(spark, n))
+
+
 @register("image_phash_neardup", None)
 def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pHash banded near-duplicate image pairs (JVM-only banding join)."""

@@ -1086,3 +1086,32 @@ def test_levenshtein_neardup_k1_and_length_gap(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = sorted(map(tuple, levenshtein_neardup_pairs(df, k=1).collect()))
     assert got == [(0, 1, 1), (0, 2, 1), (4, 5, 1)]
+
+
+def test_video_scene_cuts_planted(spark):
+    """A clip of two constant-luma halves has delta 0 everywhere except the
+    planted boundary; the threshold flag is exact at the cross-multiplied
+    boundary (strict >)."""
+    import numpy as np
+
+    from osmgraft.operators.multimodal import encode_y4m, video_scene_cuts
+
+    luma = np.zeros((6, 4, 4), np.uint8)
+    luma[3:] = 200  # hard cut between f=2 and f=3: delta = 200*16 = 3200
+    flat = np.full((3, 4, 4), 7, np.uint8)  # no cuts at all
+    df = spark.createDataFrame(
+        [("cut", bytearray(encode_y4m(luma, "mono"))),
+         ("flat", bytearray(encode_y4m(flat, "mono")))],
+        "media_id string, bytes binary",
+    )
+    # thr mean=200 exactly: 1000*3200 == 200000*16 -> strict > means False
+    rows = {}
+    for r in video_scene_cuts(df, thr_permille=200000).collect():
+        rows.setdefault(r["media_id"], {})[r["f"]] = (r["delta"], r["cut"])
+    assert rows["cut"] == {1: (0, False), 2: (0, False), 3: (3200, False),
+                           4: (0, False), 5: (0, False)}
+    assert rows["flat"] == {1: (0, False), 2: (0, False)}
+    rows2 = {}
+    for r in video_scene_cuts(df, thr_permille=199999).collect():
+        rows2.setdefault(r["media_id"], {})[r["f"]] = r["cut"]
+    assert rows2["cut"] == {1: False, 2: False, 3: True, 4: False, 5: False}
