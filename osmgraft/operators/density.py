@@ -557,3 +557,66 @@ SELECT DISTINCT e.cx + dx.i AS cx, e.cy + dy.i AS cy
 FROM eroded e
 CROSS JOIN range({-radius}, {radius + 1}) dx(i)
 CROSS JOIN range({-radius}, {radius + 1}) dy(i)"""
+
+
+def median_filter(
+    cells: DataFrame, cx: str = "cx", cy: str = "cy", cnt: str = "cnt"
+) -> DataFrame:
+    """3×3 median filter over a sparse integer raster — THE order-statistic
+    denoiser (salt-and-pepper speck removal that box blur smears and
+    morphology clips): for every OCCUPIED cell, the median of its 3×3
+    neighborhood with absent cells counted as 0.
+
+    Exact zero-padding rule (shared with the twin): with m observed values
+    in the window (1 <= m <= 9), the multiset is {0}×(9−m) ∪ values, so
+    median = 0 when m <= 4, else the (m−4)-th smallest observed value.
+
+    Shape: SCATTER form — each observed cell explodes its value to the 9
+    windows it participates in (9× the sparse raster, map-side), one hash
+    aggregate collecting per-window order statistics via sorted arrays
+    (windows hold <= 9 ints), then a semi-join back to occupied centers.
+    One exchange over cell keys; no densification — at 100 TB the cost
+    rides the OCCUPIED cell count, never the grid size."""
+    c = cells.select(
+        F.col(cx).alias("cx"), F.col(cy).alias("cy"), F.col(cnt).cast("long").alias("v")
+    )
+    off = F.explode(
+        F.expr("flatten(transform(sequence(-1, 1), a -> transform(sequence(-1, 1), b -> struct(a, b))))")
+    )
+    contrib = c.select("cx", "cy", "v", off.alias("o")).select(
+        (F.col("cx") + F.col("o.a")).alias("wx"),
+        (F.col("cy") + F.col("o.b")).alias("wy"),
+        "v",
+    )
+    wins = contrib.groupBy("wx", "wy").agg(
+        F.count(F.lit(1)).alias("m"), F.array_sort(F.collect_list("v")).alias("vals")
+    )
+    med = wins.select(
+        "wx",
+        "wy",
+        F.when(F.col("m") <= 4, F.lit(0).cast("long"))
+        .otherwise(F.element_at("vals", (F.col("m") - 4).cast("int")))
+        .alias("median"),
+    )
+    return (
+        c.select(F.col("cx").alias("wx"), F.col("cy").alias("wy"))
+        .join(med, ["wx", "wy"])
+        .select(F.col("wx").alias("cx"), F.col("wy").alias("cy"), "median")
+    )
+
+
+def sql_median_filter(cells_cte: str) -> str:
+    """DuckDB twin: GATHER form — per occupied center, join the <= 9
+    observed neighbors, rank them, and apply the identical zero-padding
+    rule (m <= 4 → 0, else (m−4)-th smallest).  Scatter vs gather, one
+    median surface."""
+    return f"""WITH cells AS ({cells_cte}),
+nb AS (
+  SELECT a.cx, a.cy, b.cnt AS v,
+         row_number() OVER (PARTITION BY a.cx, a.cy ORDER BY b.cnt) AS rk,
+         count(*) OVER (PARTITION BY a.cx, a.cy) AS m
+  FROM cells a JOIN cells b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1 AND b.cy BETWEEN a.cy - 1 AND a.cy + 1)
+SELECT cx, cy,
+       CAST(coalesce(max(CASE WHEN m > 4 AND rk = m - 4 THEN v END), 0) AS BIGINT) AS median
+FROM nb GROUP BY cx, cy"""

@@ -3640,6 +3640,30 @@ def tile_density_smooth_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return density_smooth(_cells_df(spark, sf_dir, 10), radius=2)
 
 
+def _sql_median() -> str:
+    from osmgraft.operators.density import sql_median_filter
+
+    return (
+        f"WITH pts AS ({_PTS}), outer_q AS (\n"
+        f"{sql_median_filter(_sql_cells(9))}\n) SELECT * FROM outer_q"
+    )
+
+
+@register("tile_median_z9", _sql_median())
+def tile_median_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3×3 median filter of the z9 count raster
+    (operators/density.median_filter): the order-statistic denoiser — for
+    every occupied cell, the exact median of its neighborhood with absent
+    cells as 0 (m≤4 observed → 0, else the (m−4)-th smallest).  Spark runs
+    the SCATTER form (explode each cell into the 9 windows it serves + one
+    hash agg over ≤9-element sorted arrays), DuckDB the direct GATHER with
+    a rank pick — two evaluation orders, one exact-integer hash.  Extends
+    the raster family with the nonlinear filter box blur can't express."""
+    from osmgraft.operators.density import median_filter
+
+    return median_filter(_cells_df(spark, sf_dir, 9))
+
+
 def _sql_slope() -> str:
     from osmgraft.operators.density import sql_slope_terms
 

@@ -262,3 +262,31 @@ def test_equalize_reference(spark):
     # degenerate: all cells equal -> everything maps to 255
     flat = spark.createDataFrame([(0, 0, 5), (1, 0, 5)], "cx long, cy long, cnt long")
     assert {r["eq"] for r in equalize(flat).collect()} == {255}
+
+
+def test_median_filter_vs_reference(spark):
+    """Scatter-form median == a dense numpy reference (zero padding), on a
+    random sparse raster; speck removal and block preservation hold."""
+    import random
+
+    from osmgraft.operators.density import median_filter
+
+    rng = random.Random(11)
+    cells = {}
+    for _ in range(120):
+        cells[(rng.randint(0, 14), rng.randint(0, 14))] = rng.randint(1, 9)
+    cells[(30, 30)] = 99          # isolated speck -> median 0
+    for dx in range(3):           # solid 3x3 block of 7s -> center stays 7
+        for dy in range(3):
+            cells[(40 + dx, 40 + dy)] = 7
+    df = spark.createDataFrame(
+        [(x, y, v) for (x, y), v in cells.items()], "cx long, cy long, cnt long"
+    )
+    got = {(r["cx"], r["cy"]): r["median"] for r in median_filter(df).collect()}
+    assert set(got) == set(cells)
+    for (x, y) in cells:
+        window = [cells.get((x + dx, y + dy), 0) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+        # exact rule: median of the 9-multiset = 5th smallest
+        assert got[(x, y)] == sorted(window)[4], (x, y)
+    assert got[(30, 30)] == 0
+    assert got[(41, 41)] == 7
