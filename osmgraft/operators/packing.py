@@ -285,3 +285,104 @@ planned AS (
 SELECT {part_cols}, bin, count(*) AS n_files,
        CAST(sum({bytes_col}) AS BIGINT) AS bin_bytes
 FROM planned GROUP BY {part_cols}, bin"""
+
+
+# --- span corruption masks (T5-style denoising spans) -------------------------------
+def span_corruption(
+    docs: DataFrame,
+    noise_pct: int = 15,
+    span_len: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic span-corruption masks — the T5/UL2 denoising-objective
+    prep step (Raffel et al. 2020, public): per document, choose
+    ``n_spans = n_tokens·noise_pct div (100·span_len)`` anchor positions by
+    portable-md5 rank (reproducible across engines, partitionings and
+    reshuffles — the doc_split_assign discipline), expand each anchor to a
+    ``span_len``-token span clamped at the document end, and merge
+    OVERLAPPING spans (gaps-and-islands over the running max end; adjacency
+    does not merge).  Emits one row per merged mask span:
+    (doc_id, span_start, span_end, n_masked) on 0-based token positions.
+
+    Scale shape: one explode bounded by total token count (the same cost
+    as any tokenize pass), two windows PARTITIONed by doc (state bounded
+    by doc length, never corpus size), one aggregate.  No randomness at
+    runtime — the mask is a pure function of (doc_id, position)."""
+    from pyspark.sql import Window as W
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        T.token_count(F.col(text_col)).alias("n"),
+    ).filter(F.col("n") * noise_pct >= 100 * span_len)
+    pos = base.select(
+        "doc_id",
+        "n",
+        F.expr(f"(n * {noise_pct}) div (100 * {span_len})").alias("n_spans"),
+        F.explode(F.expr("sequence(0, n - 1)")).alias("pos"),
+    )
+    h = T.md5_long(F.concat_ws(":", F.col("doc_id"), F.col("pos")))
+    ranked = pos.select(
+        "doc_id", "n", "n_spans", "pos", h.alias("h")
+    ).withColumn(
+        "rn", F.row_number().over(W.partitionBy("doc_id").orderBy("h", "pos"))
+    )
+    spans = ranked.filter(F.col("rn") <= F.col("n_spans")).select(
+        "doc_id",
+        F.col("pos").alias("s"),
+        F.least(F.col("pos") + span_len - 1, F.col("n") - 1).alias("e"),
+    )
+    w_prev = W.partitionBy("doc_id").orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    w_run = W.partitionBy("doc_id").orderBy("s").rowsBetween(W.unboundedPreceding, 0)
+    flagged = spans.withColumn("prev_e", F.max("e").over(w_prev)).withColumn(
+        "new_island",
+        (F.col("prev_e").isNull() | (F.col("s") > F.col("prev_e"))).cast("int"),
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_masked"),
+        )
+    )
+
+
+def sql_span_corruption(
+    table: str = "documents", noise_pct: int = 15, span_len: int = 3
+) -> str:
+    """DuckDB twin — same anchor-hash / clamp / island semantics, expressed
+    over DuckDB's lateral range and window engine."""
+    return f"""WITH base AS (
+  SELECT doc_id, len({T.sql_tokens('text')}) AS n FROM {table}),
+eligible AS (SELECT doc_id, n, (n * {noise_pct}) // (100 * {span_len}) AS n_spans
+             FROM base WHERE n * {noise_pct} >= 100 * {span_len}),
+pos AS (
+  -- this DuckDB build's range() takes no lateral column args: cross a
+  -- fixed 4096 ceiling and filter (docs are far shorter; engine explodes
+  -- sequence(0, n-1) directly)
+  SELECT e.doc_id, e.n, e.n_spans, p.range AS pos,
+         {T.sql_md5_long("concat_ws(':', e.doc_id, p.range)")} AS h
+  FROM eligible e CROSS JOIN range(0, 4096) p WHERE p.range < e.n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY h, pos) AS rn FROM pos),
+spans AS (
+  SELECT doc_id, pos AS s, least(pos + {span_len} - 1, n - 1) AS e
+  FROM ranked WHERE rn <= n_spans),
+flagged AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+  FROM spans),
+islands AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged)
+SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start, CAST(max(e) AS BIGINT) AS span_end,
+       CAST(max(e) - min(s) + 1 AS BIGINT) AS n_masked
+FROM islands GROUP BY doc_id, island"""

@@ -2294,6 +2294,29 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.levenshtein_neardup_pairs(allrows, k=2, id_col="doc_id", text_col="t")
 
 
+def _sql_span_corruption() -> str:
+    from osmgraft.operators.packing import sql_span_corruption
+
+    return sql_span_corruption()
+
+
+@register("span_corruption_masks", _sql_span_corruption())
+def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption masks (operators/packing.span_corruption):
+    per doc, 15%-of-tokens noise in 3-token spans anchored by portable-md5
+    rank, overlapping spans merged — the denoising-objective prep step,
+    reproducible across engines and partitionings because the mask is a
+    pure function of (doc_id, token position)."""
+    from osmgraft.operators.packing import span_corruption
+
+    return span_corruption(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_masked").cast("long").alias("n_masked"),
+    )
+
+
 @register("cdc_chunks", D.sql_cdc_chunks())
 def cdc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking: every document split at windowed-hash

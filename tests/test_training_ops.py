@@ -1115,3 +1115,55 @@ def test_video_scene_cuts_planted(spark):
     for r in video_scene_cuts(df, thr_permille=199999).collect():
         rows2.setdefault(r["media_id"], {})[r["f"]] = r["cut"]
     assert rows2["cut"] == {1: False, 2: False, 3: True, 4: False, 5: False}
+
+
+def test_span_corruption_reference_and_laws(spark):
+    """Masks == a hashlib reference (anchor rank -> clamp -> overlap merge);
+    spans are disjoint, within bounds, and invariant under repartition."""
+    import hashlib
+
+    from osmgraft.operators.packing import span_corruption
+
+    rows = [(i, " ".join(f"w{j}" for j in range(5 + (i * 7) % 40))) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in span_corruption(df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_masked"])
+        )
+    got = {k: sorted(v) for k, v in got.items()}
+
+    want = {}
+    for i, text in rows:
+        n = len(text.split())
+        n_spans = (n * 15) // (100 * 3)
+        if n_spans < 1:
+            continue
+        hs = sorted(
+            (int(hashlib.md5(f"{i}:{p}".encode()).hexdigest()[:15], 16), p)
+            for p in range(n)
+        )
+        anchors = sorted(p for _, p in hs[:n_spans])
+        merged = []
+        for p in anchors:
+            s, e = p, min(p + 2, n - 1)
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        want[i] = [(s, e, e - s + 1) for s, e in merged]
+    assert got == want
+    assert any(len(v) > 1 for v in want.values())
+    for i, spans in got.items():
+        n = len(rows[i][1].split())
+        prev_end = -1
+        for s, e, m in spans:
+            assert 0 <= s <= e < n and m == e - s + 1
+            assert s > prev_end  # disjoint after merging
+            prev_end = e
+    rep = {}
+    for r in span_corruption(df.repartition(7)).collect():
+        rep.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_masked"])
+        )
+    assert {k: sorted(v) for k, v in rep.items()} == got
