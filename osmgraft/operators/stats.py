@@ -516,3 +516,94 @@ SELECT w.{key}, w.t AS {t_col}, CAST(c.{x_col} AS BIGINT) AS {x_col},
 FROM walk w
 JOIN c ON c.{key} = w.{key} AND c.{t_col} = w.t
 JOIN p ON p.{key} = w.{key}"""
+
+
+# --- lag-k autocorrelation (seasonality detection) -----------------------------------
+def autocorr_terms(
+    counts: DataFrame, key: str, t_col: str, x_col: str, lag: int
+) -> DataFrame:
+    """Exact integer lag-``lag`` autocorrelation terms per key over a sparse
+    integer time series — the seasonality detector (is traffic 24h-periodic?)
+    with the Moran's-I discipline: n-scaled deviations d_t = n·x_t − S so
+    the Pearson numerator/denominator are exact int64 and the division is
+    never taken (autocorr = num/den downstream).
+
+    The DENSE-series definition (missing steps count as x=0) collapses to a
+    SPARSE closed form — with T = [lo, hi], n = hi−lo+1, S = Σx, Q = Σx²,
+    A = Σ x_t for t ≤ hi−lag, B = Σ x_t for t ≥ lo+lag, and
+    P = Σ x_t·x_{t+lag} over pairs BOTH observed:
+
+        num = n²·P − n·S·(A + B) + (n − lag)·S²
+        den = n²·Q − n·S²
+
+    so nothing is ever densified: one aggregate for the stats, one
+    equi-self-join on (key, t+lag) for P (shuffle bounded by OBSERVED
+    rows), one broadcast join back.  Keys with n <= lag are dropped (no
+    pairs).  Emits (key, n_steps, num, den)."""
+    c = counts.select(
+        F.col(key).alias("k"), F.col(t_col).alias("t"), F.col(x_col).cast("long").alias("x")
+    )
+    stats = c.groupBy("k").agg(
+        F.min("t").alias("lo"),
+        F.max("t").alias("hi"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    enriched = c.join(F.broadcast(stats), "k")
+    ab = enriched.groupBy("k").agg(
+        F.sum(F.when(F.col("t") <= F.col("hi") - lag, F.col("x")).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("t") >= F.col("lo") + lag, F.col("x")).otherwise(0)).alias("b"),
+    )
+    p = (
+        c.alias("l")
+        .join(
+            c.select(F.col("k"), (F.col("t") - lag).alias("t"), F.col("x").alias("x2")).alias("r"),
+            ["k", "t"],
+        )
+        .groupBy("k")
+        .agg(F.sum(F.col("x") * F.col("x2")).alias("p"))
+    )
+    n = F.col("hi") - F.col("lo") + 1
+    return (
+        stats.join(ab, "k")
+        .join(p, "k", "left")
+        .withColumn("p", F.coalesce("p", F.lit(0)))
+        .filter(n > lag)
+        .select(
+            F.col("k").alias(key),
+            n.alias("n_steps"),
+            (
+                n * n * F.col("p")
+                - n * F.col("s") * (F.col("a") + F.col("b"))
+                + (n - lag) * F.col("s") * F.col("s")
+            ).alias("num"),
+            (n * n * F.col("q") - n * F.col("s") * F.col("s")).alias("den"),
+        )
+    )
+
+
+def sql_autocorr_terms(counts_cte: str, key: str, t_col: str, x_col: str, lag: int,
+                       max_span: int = 20000) -> str:
+    """DuckDB twin: DENSIFY the series (fixed-ceiling range + left join,
+    missing steps x=0), form d_t = n·x_t − S directly, and take the
+    definition sums — a genuinely different evaluation than the sparse
+    closed form; the collapse algebra itself is on the hash."""
+    return f"""WITH counts AS ({counts_cte}),
+stats AS (SELECT {key} AS k, min({t_col}) AS lo, max({t_col}) AS hi
+          FROM counts GROUP BY 1),
+dense AS (
+  SELECT s.k, s.lo + r.range AS t, coalesce(c.{x_col}, 0) AS x,
+         s.hi - s.lo + 1 AS n
+  FROM stats s CROSS JOIN range(0, {max_span}) r
+  LEFT JOIN counts c ON c.{key} = s.k AND c.{t_col} = s.lo + r.range
+  WHERE s.lo + r.range <= s.hi),
+tot AS (SELECT k, sum(x) AS s FROM dense GROUP BY k),
+d AS (SELECT dense.k, t, n, n * x - s AS dv FROM dense JOIN tot USING (k)),
+num AS (
+  SELECT a.k, sum(a.dv * b.dv) AS num
+  FROM d a JOIN d b ON b.k = a.k AND b.t = a.t + {lag}
+  GROUP BY a.k),
+den AS (SELECT k, max(n) AS n_steps, sum(dv * dv) AS den FROM d GROUP BY k)
+SELECT den.k AS {key}, CAST(n_steps AS BIGINT) AS n_steps,
+       CAST(num AS BIGINT) AS num, CAST(den.den AS BIGINT) AS den
+FROM den JOIN num USING (k) WHERE n_steps > {lag}"""

@@ -6146,6 +6146,35 @@ def _sql_cusum() -> str:
     return sql_cusum_bursts(_CUSUM_COUNTS_SQL, "event_type", "hr", "cnt")
 
 
+def _sql_autocorr() -> str:
+    from osmgraft.operators.stats import sql_autocorr_terms
+
+    return sql_autocorr_terms(_CUSUM_COUNTS_SQL, "event_type", "hr", "cnt", lag=24)
+
+
+@register("autocorr_lag24", _sql_autocorr())
+def autocorr_lag24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality detection (operators/stats.autocorr_terms): exact
+    integer lag-24h autocorrelation terms per event type over the hourly
+    count series — the dense definition (missing hours are x=0) collapsed
+    to a sparse closed form (num = n²P − nS(A+B) + (n−24)S²), nothing ever
+    densified.  The DuckDB twin DOES densify (fixed-ceiling range + left
+    join) and takes the definition sums — the collapse algebra itself is
+    on the hash.  autocorr = num/den is left as an exact rational."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from osmgraft.operators.stats import autocorr_terms
+
+    return autocorr_terms(counts, "event_type", "hr", "cnt", lag=24)
+
+
 @register("cusum_bursts_hourly", _sql_cusum())
 def cusum_bursts_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential burst detection (operators/stats.cusum_bursts, Page

@@ -316,3 +316,39 @@ def test_cusum_multi_key_independence(spark):
     a = sorted((r["t"], r["cusum"]) for r in out if r["k"] == "a")
     b = sorted((r["t"], r["cusum"]) for r in out if r["k"] == "b")
     assert a == b and len(a) == 30
+
+
+def test_autocorr_terms_reference_and_laws(spark):
+    """Sparse closed form == a dense python reference; a perfectly periodic
+    series gives num == den (autocorr 1); keys with span <= lag drop."""
+    from osmgraft.operators.stats import autocorr_terms
+
+    rows = []
+    # perfectly periodic (period 3, span 30) with MISSING zero steps kept
+    # implicit: x = [5, 0, 0, 5, 0, 0, ...] -> only t%3==0 observed
+    rows += [("per", t, 5) for t in range(0, 30, 3)]
+    # aperiodic sparse series
+    rows += [("ap", t, (t * 7) % 11 + 1) for t in (0, 1, 4, 9, 16, 25, 33)]
+    # span shorter than the lag -> dropped
+    rows += [("short", 0, 3), ("short", 2, 4)]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    got = {r["k"]: (r["n_steps"], r["num"], r["den"])
+           for r in autocorr_terms(df, "k", "t", "x", lag=3).collect()}
+    assert set(got) == {"per", "ap"}
+
+    for k in ("per", "ap"):
+        obs = {t: x for kk, t, x in rows if kk == k}
+        lo, hi = min(obs), max(obs)
+        n = hi - lo + 1
+        xs = [obs.get(t, 0) for t in range(lo, hi + 1)]
+        s = sum(xs)
+        d = [n * x - s for x in xs]
+        num = sum(d[i] * d[i + 3] for i in range(n - 3))
+        den = sum(v * v for v in d)
+        assert got[k] == (n, num, den), k
+    # period-3 series at lag 3: strong positive correlation (d_{t+3} == d_t
+    # for every full period, so num is den minus the 3 truncated boundary
+    # terms -> strictly positive and close to den)
+    n_per, num_per, den_per = got["per"]
+    assert 0 < num_per <= den_per
+    assert 10 * num_per > 8 * den_per
