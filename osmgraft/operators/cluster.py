@@ -145,3 +145,34 @@ def hilbert_range_scan(
     return df.filter(hilbert_range_filter(F.col(key_col), ranges)).filter(
         F.col(x_col).between(x0, x1) & F.col(y_col).between(y0, y1)
     )
+
+
+def bucketed_write(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Write ``df`` as a BUCKETED table (Spark native bucketing: CLUSTERED
+    BY keys INTO n_buckets, parquet data source) — the shuffle eliminator
+    for repeated equi-joins on a stable key.  Two tables bucketed on the
+    same keys with the same bucket count are hash-partitioned identically
+    AT WRITE TIME, so a join between them needs NO Exchange on either side
+    (and with sort=True, no Sort either): at 100 TB, a fact↔dim or
+    fact↔fact join that would shuffle hundreds of TB becomes a per-bucket
+    merge — pay one layout write, amortize over every downstream join.
+    The complement of the Z-order/Hilbert layouts above (those prune
+    SCANS; bucketing co-locates JOINS).
+
+    ``path`` makes the table external (data at path, metadata in the
+    session catalog).  Spark's bucket file naming encodes the bucket id —
+    readers recover the partitioning from the catalog, not from sampling.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

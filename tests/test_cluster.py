@@ -60,3 +60,43 @@ def test_zorder_pruning_measured(spark, tmp_path):
     a = spark.read.parquet(zpath).orderBy("id").collect()
     b = spark.read.parquet(rpath).orderBy("id").collect()
     assert a == b
+
+
+def test_bucketed_join_eliminates_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key/count join with ZERO Exchange
+    (the co-located join the 100 TB brief calls for); the same join over
+    plain parquet shuffles both sides. Results are identical."""
+    from osmgraft.operators.cluster import bucketed_write
+
+    a = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") % 97).alias("va")
+    )
+    b = spark.range(0, 5000, 2).select(
+        F.col("id"), (F.col("id") % 31).alias("vb")
+    )
+    bucketed_write(a, "og_bkt_a", ["id"], 8, path=str(tmp_path / "a"))
+    bucketed_write(b, "og_bkt_b", ["id"], 8, path=str(tmp_path / "b"))
+    try:
+        # force the merge path (tiny test tables would broadcast otherwise;
+        # at the sizes bucketing targets, SMJ is what the planner picks)
+        joined = spark.table("og_bkt_a").join(spark.table("og_bkt_b").hint("merge"), "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+
+        a.write.mode("overwrite").parquet(str(tmp_path / "pa"))
+        b.write.mode("overwrite").parquet(str(tmp_path / "pb"))
+        pa_df = spark.read.parquet(str(tmp_path / "pa"))
+        pb_df = spark.read.parquet(str(tmp_path / "pb"))
+        plain = pa_df.join(
+            pb_df.hint("merge"), "id"
+        )
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert plain_plan.count("Exchange") >= 2
+
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS og_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS og_bkt_b")
