@@ -767,3 +767,70 @@ def levenshtein_neardup_pairs(
             F.col("dist").cast("int").alias("dist"),
         )
     )
+
+
+# --- prefix-filtered exact Jaccard (PPJoin discipline) ----------------------------
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs with PREFIX FILTERING (Chaudhuri et al.
+    SSJoin / Xiao et al. PPJoin, WWW'08 — public algorithms): identical
+    output to ``jaccard_ngram_pairs``, sub-quadratic candidate volume.
+
+    Prefix-filter lemma: order every doc's shingles by one GLOBAL total
+    order (df ascending, then shingle text — rarest-first minimizes
+    candidates; any fixed order preserves correctness).  With n = |doc| and
+    p = n − ⌈τ·n⌉ + 1, two docs with J ≥ τ share ≥ ⌈τ·max(n_a, n_b)⌉
+    shingles, and the globally SMALLEST shared shingle must sit inside both
+    length-p prefixes (were it outside either, that doc's ≤ ⌈τ·n⌉ − 1
+    suffix slots could not hold the whole overlap).  Candidates are
+    therefore the prefix-posting self-join; each candidate pair is verified
+    with the exact ``array_intersect`` of the two FULL shingle arrays.
+
+    100 TB shape: posting volume drops from Σ df² over ALL shingles (the
+    inverted-index op's stop-shingle quadratic exposure) to Σ df² over
+    PREFIX occurrences only — prefixes hold each doc's rarest shingles, so
+    hot shingles fall out of the join entirely without ``max_df``'s recall
+    trade.  Costs one extra exchange (the df table) and a per-doc window
+    bounded by doc length."""
+    thr = int(jaccard_threshold * 1000)
+    sh = shingles(F.col(text_col), ngram).alias("sh")
+    base = docs.select(F.col(id_col).alias("doc_id"), sh).filter(F.size("sh") > 0)
+    post = base.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
+    )
+    df_tab = post.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window as W
+
+    ranked = post.join(df_tab, "s").withColumn(
+        "rk", F.row_number().over(W.partitionBy("doc_id").orderBy("df", "s"))
+    )
+    # p = n − ⌈thr·n/1000⌉ + 1, integer ceil
+    prefix = ranked.filter(
+        F.col("rk") <= F.expr(f"n_sh - (({thr} * n_sh + 999) div 1000) + 1")
+    ).select("doc_id", "s")
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arr_a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    arr_b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    return (
+        cand.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sha", "shb")).cast("long").alias("inter_cnt"),
+            (F.size("sha") + F.size("shb")
+             - F.size(F.array_intersect("sha", "shb"))).cast("long").alias("union_cnt"),
+        )
+        .filter(F.col("inter_cnt") * F.lit(1000) >= F.lit(thr) * F.col("union_cnt"))
+    )

@@ -2294,6 +2294,18 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.levenshtein_neardup_pairs(allrows, k=2, id_col="doc_id", text_col="t")
 
 
+@register("dedup_jaccard_prefix", D.sql_jaccard_ngram_pairs())
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin prefix-filtered exact Jaccard pairs
+    (operators/dedup.jaccard_prefix_pairs): the SAME oracle as
+    dedup_jaccard_ngram but a sub-quadratic candidate generator — rarest
+    shingles only enter the self-join, verified by exact array_intersect.
+    Two candidate schemes (full inverted index vs prefix filter), one
+    DuckDB brute twin, one hash: any recall hole in the prefix lemma
+    breaks the gate."""
+    return D.jaccard_prefix_pairs(_docs(spark, sf_dir))
+
+
 def _sql_span_corruption() -> str:
     from osmgraft.operators.packing import sql_span_corruption
 

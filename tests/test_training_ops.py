@@ -1167,3 +1167,30 @@ def test_span_corruption_reference_and_laws(spark):
             (r["span_start"], r["span_end"], r["n_masked"])
         )
     assert {k: sorted(v) for k, v in rep.items()} == got
+
+
+def test_jaccard_prefix_equals_inverted_index(spark):
+    """PPJoin prefix filtering returns EXACTLY the inverted-index op's
+    pairs at several thresholds, on data with hot stop-shingles (the
+    prefix filter's adversarial case), and with fewer candidates."""
+    import random
+
+    from osmgraft.operators.dedup import jaccard_ngram_pairs, jaccard_prefix_pairs
+
+    rng = random.Random(3)
+    vocab = [f"w{j}" for j in range(40)]
+    rows = []
+    for i in range(40):
+        toks = ["the", "of", "and"] + [vocab[rng.randrange(40)] for _ in range(12)]
+        rows.append((i, " ".join(toks)))
+        if i % 4 == 0:  # tight near-dup (one appended token, J = n/(n+1))
+            rows.append((i + 500, " ".join(toks + ["zzz"])))
+        if i % 4 == 1:  # looser near-dup (one substituted token)
+            toks2 = list(toks)
+            toks2[7] = "zzz"
+            rows.append((i + 500, " ".join(toks2)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for tau in (0.5, 0.8):
+        full = sorted(map(tuple, jaccard_ngram_pairs(df, tau).collect()))
+        pref = sorted(map(tuple, jaccard_prefix_pairs(df, tau).collect()))
+        assert pref == full and len(full) > 0, tau
