@@ -161,7 +161,8 @@ def main() -> None:
                  "hausdorff_pairs_tracks", "image_rle_runs", "kcore20_planted",
                  "geofence_scrub_points", "mad_nchars_by_source",
                  "image_otsu_threshold", "image_cc_blobs", "image_blob_props",
-                 "cusum_bursts_hourly", "image_template_match"]:
+                 "cusum_bursts_hourly", "image_template_match",
+                 "dedup_substring_spans"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -834,3 +834,88 @@ def jaccard_prefix_pairs(
         )
         .filter(F.col("inter_cnt") * F.lit(1000) >= F.lit(thr) * F.col("union_cnt"))
     )
+
+
+def duplicate_substring_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = 24,
+    min_docs: int = 2,
+) -> DataFrame:
+    """EXACT cross-document duplicate-substring spans (the substring-level
+    dedup of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL'22 — published algorithm; their single-node tool is a
+    suffix array, re-expressed here as the distributed L-gram equivalent):
+    a character position is *duplicated* iff the length-``gram_len`` gram
+    starting there occurs in ≥ ``min_docs`` distinct documents; maximal
+    runs of duplicated positions merge into spans ``[span_start,
+    span_end)``.  Every substring of length ≥ gram_len shared by two
+    documents is covered by such a span, and no span contains a position
+    whose gram is unique — the exact pigeonhole semantics of the paper's
+    "all repeated substrings of length ≥ L" with L = gram_len.
+
+    Plan: one generate (sequence+explode, whole-stage codegen — no Python),
+    one hash aggregation on the gram (map-side partial), one shuffle join
+    back to positions, one per-doc window for the gaps-and-islands merge.
+
+    100 TB shape: the gram aggregation is the inherent cost (it IS the
+    suffix-array build, distributed); at scale shuffle ``xxhash64(gram)``
+    (8 bytes) instead of the raw gram text — a 2⁻⁶⁴ collision risk traded
+    for ~3x less shuffle I/O.  The oracle-gated query keeps raw grams so
+    the DuckDB twin is string-identical; the hashed variant is
+    ``gram_key=F.xxhash64`` one-liner at the groupBy.  The join back is a
+    plain shuffle equi-join (the duplicated-gram side is NOT guaranteed
+    small — web corpora have heavy boilerplate); the final window is
+    per-doc, bounded by doc length.
+    """
+    from pyspark.sql import Window as W
+
+    L = int(gram_len)
+    pos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.sequence(F.lit(0), F.length(text_col) - L)).alias("p"),
+        F.col(text_col).alias("_t"),
+    ).select(
+        "doc_id", "p", F.substring(F.col("_t"), F.col("p") + 1, F.lit(L)).alias("g")
+    )
+    dup = (
+        pos.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    hits = pos.join(dup, "g").select("doc_id", "p")
+    w = W.partitionBy("doc_id").orderBy("p")
+    isl = hits.withColumn(
+        "brk",
+        F.when(F.lag("p").over(w).isNull() | (F.col("p") > F.lag("p").over(w) + L), 1)
+        .otherwise(0),
+    ).withColumn("gid", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    return isl.groupBy("doc_id", "gid").agg(
+        F.min("p").alias("span_start"),
+        (F.max("p") + L).alias("span_end"),
+        (F.max("p") + L - F.min("p")).alias("span_len"),
+    ).select("doc_id", "span_start", "span_end", "span_len")
+
+
+def sql_duplicate_substring_spans(
+    table: str = "documents", gram_len: int = 24, min_docs: int = 2
+) -> str:
+    """DuckDB definition twin of ``duplicate_substring_spans`` (identical
+    gram/merge semantics, unnest(range) instead of sequence+explode)."""
+    L = int(gram_len)
+    return f"""WITH ppos AS (
+  SELECT doc_id, text, unnest(range(0, length(text) - {L} + 1)) AS p FROM {table}),
+pos AS (
+  SELECT doc_id, p, substr(text, CAST(p + 1 AS INTEGER), {L}) AS g FROM ppos),
+dup AS (SELECT g FROM pos GROUP BY g HAVING count(DISTINCT doc_id) >= {min_docs}),
+hits AS (SELECT pos.doc_id, pos.p FROM pos JOIN dup USING (g)),
+isl AS (SELECT doc_id, p,
+        CASE WHEN lag(p) OVER w IS NULL OR p > lag(p) OVER w + {L} THEN 1 ELSE 0 END AS brk
+        FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+grp AS (SELECT doc_id, p,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid FROM isl)
+SELECT doc_id, min(p) AS span_start, max(p) + {L} AS span_end,
+       max(p) + {L} - min(p) AS span_len
+FROM grp GROUP BY doc_id, gid"""

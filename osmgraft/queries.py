@@ -6286,3 +6286,16 @@ def stream_cusum_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum",
         "burst",
     )
+
+
+@register("dedup_substring_spans", D.sql_duplicate_substring_spans())
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-doc duplicate-substring spans (operators/dedup.
+    duplicate_substring_spans — Lee et al. ACL'22 substring dedup,
+    distributed as L-gram aggregation + gaps-and-islands merge instead of
+    their single-node suffix array): maximal character spans whose every
+    L=24 gram appears in ≥2 distinct documents.  One codegen'd generate,
+    one gram agg, one join back, one per-doc window; DuckDB twin runs the
+    identical definition via lateral range + substr, so an off-by-one in
+    position, gram width, or the merge-adjacency rule flips the hash."""
+    return D.duplicate_substring_spans(_docs(spark, sf_dir))

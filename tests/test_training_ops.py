@@ -1194,3 +1194,39 @@ def test_jaccard_prefix_equals_inverted_index(spark):
         full = sorted(map(tuple, jaccard_ngram_pairs(df, tau).collect()))
         pref = sorted(map(tuple, jaccard_prefix_pairs(df, tau).collect()))
         assert pref == full and len(full) > 0, tau
+
+
+def test_duplicate_substring_spans_planted(spark):
+    from osmgraft.operators.dedup import duplicate_substring_spans
+
+    shared = "XYZQWJKVBNMPLOIUHGT_SHARED_BOILERPLATE_RUN_0123456789"  # 53 chars
+    uniq_a = "aaaaaabbbbbbccccccddddddeeeeeeffffffgggggghhhhhh"
+    uniq_b = "iiiiiijjjjjjkkkkkkllllllmmmmmmnnnnnnooooooppppppqq"
+    rows = [
+        (1, uniq_a + shared + "tail_one_unique_suffix_abcdef"),
+        (2, "head_two_unique_prefix_zzzzz" + shared + uniq_b),
+        (3, "totally unrelated text with no repeats of that length at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_substring_spans(docs, gram_len=24).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    # docs 1 and 2 each get exactly one span covering the planted block
+    assert set(by_doc) == {1, 2}
+    for did, text in [(1, rows[0][1]), (2, rows[1][1])]:
+        r = by_doc[did]
+        s = text[r["span_start"]:r["span_end"]]
+        assert shared in s, (did, s)
+        assert r["span_len"] == r["span_end"] - r["span_start"]
+        # span must not stretch into provably-unique territory by more than
+        # gram_len-1 chars on each side (positions whose gram overlaps the block)
+        assert r["span_len"] < len(shared) + 2 * 24
+
+
+def test_duplicate_substring_spans_no_dups_empty(spark):
+    from osmgraft.operators.dedup import duplicate_substring_spans
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz0123456789"), (2, "ZYXWVUTSRQPONMLKJIHGFEDCBA_9876543210")],
+        "doc_id long, text string",
+    )
+    assert duplicate_substring_spans(docs, gram_len=24).count() == 0
