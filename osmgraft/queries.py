@@ -6299,3 +6299,57 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical definition via lateral range + substr, so an off-by-one in
     position, gram width, or the merge-adjacency rule flips the hash."""
     return D.duplicate_substring_spans(_docs(spark, sf_dir))
+
+
+@register(
+    "stream_sessionize_30m",
+    __import__(
+        "osmgraft.streaming.incremental", fromlist=["sql_sessionize_window"]
+    ).sql_sessionize_window(30),
+)
+def stream_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME streaming sessionization (streaming/incremental.
+    sessionize_window): built-in session_window aggregation in append mode,
+    drained deterministically — the source is written as (events, sentinel,
+    sentinel) files consumed one per microbatch (maxFilesPerTrigger=1), so
+    the far-future sentinel advances the GLOBAL watermark past every real
+    session end and the final batch flushes all state.  Hash-gated against
+    the gaps-and-islands batch twin (new session iff gap > 30 min — the
+    INCLUSIVE merge session_window actually implements, pinned by the
+    boundary test — end = last event + gap); a wrong watermark interaction
+    drops or duplicates sessions and flips the hash."""
+    import datetime
+    import os
+    import tempfile
+
+    from osmgraft.streaming import sessionize_window
+
+    src = tempfile.mkdtemp(prefix="og_sw_src_")
+    ckpt = tempfile.mkdtemp(prefix="og_sw_ck_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id"
+    )
+    mx = ev.agg(F.max("ts")).first()[0]
+    ev.write.mode("overwrite").parquet(os.path.join(src, "b0"))
+    s1 = mx + datetime.timedelta(hours=3)
+    for i, ts in enumerate([s1, s1 + datetime.timedelta(minutes=1)]):
+        spark.createDataFrame(
+            [(int(-1 - i), ts, -1)], "event_id long, ts timestamp, user_id long"
+        ).write.mode("overwrite").parquet(os.path.join(src, f"b{i + 1}"))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    name = "og_stream_sw_q"
+    q = (
+        sessionize_window(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).filter(F.col("user_id") >= 0)

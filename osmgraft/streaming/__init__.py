@@ -14,6 +14,7 @@ from osmgraft.streaming.incremental import (
     read_stream,
     run_available_now,
     sessionize,
+    sessionize_window,
     stream_dedup,
     stream_interval_join,
     stream_tile_counts,
@@ -25,6 +26,7 @@ __all__ = [
     "read_stream",
     "run_available_now",
     "sessionize",
+    "sessionize_window",
     "stream_dedup",
     "stream_interval_join",
     "stream_tile_counts",

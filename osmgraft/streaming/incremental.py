@@ -351,3 +351,55 @@ def stream_cusum(counts_stream: DataFrame, h_mult: int = 4) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize_window(
+    events_stream: DataFrame, gap_minutes: int = 30, watermark_delay: str = "1 hour"
+) -> DataFrame:
+    """EVENT-TIME streaming sessionization via the built-in session_window
+    aggregation (append mode): sessions merge while consecutive events are
+    <= gap apart (INCLUSIVE — pinned by test: events exactly gap apart
+    merge); window end = last event + gap; a session emits once the
+    watermark passes its end.  Unlike :func:`sessionize` (processing-time
+    timeouts — inherently wall-clock), this is deterministic and therefore
+    batch-twinnable: the gaps-and-islands analogue with a ``> gap``
+    new-session rule produces the identical session set.
+
+    State is one (user, open-session) row, aged out by the watermark —
+    bounded by active users per gap horizon, the right shape at 100 TB.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        events_stream.withWatermark("ts", watermark_delay)
+        .groupBy("user_id", F.session_window("ts", f"{int(gap_minutes)} minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+def sql_sessionize_window(gap_minutes: int = 30, table: str = "events") -> str:
+    """DuckDB twin of :func:`sessionize_window`: gaps-and-islands with the
+    INCLUSIVE merge rule (new session iff diff > gap) and window end =
+    last event + gap — session_window's exact semantics, pinned by
+    test_sessionize_window_boundary_semantics."""
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    return f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM {table}),
+f AS (SELECT user_id, event_id, us,
+  CASE WHEN lag(us) OVER w IS NULL
+         OR us - lag(us) OVER w > {gap_us} THEN 1 ELSE 0 END AS nf
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+s AS (SELECT user_id, us,
+  sum(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM f)
+SELECT user_id, min(us) AS session_start_us, max(us) + {gap_us} AS session_end_us,
+       count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, sid
+""".strip()

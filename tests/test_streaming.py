@@ -317,3 +317,55 @@ def test_stream_cusum_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert any(b for _, b in got.values())  # the planted (90, 25) burst fires
+
+
+def test_sessionize_window_boundary_semantics(spark, tmp_path):
+    """session_window merges INCLUSIVELY (diff == gap still merges) and
+    splits only on diff > gap; the crafted fixture puts one user exactly ON
+    the 30-min boundary, one just inside, and one 1 us past it, plus a
+    sentinel to flush the watermark."""
+    import datetime
+
+    from osmgraft.streaming import sessionize_window
+
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    gap = datetime.timedelta(minutes=30)
+    rows = [
+        # user 1: second event exactly gap later -> ONE session (inclusive)
+        (10, t0, 1), (11, t0 + gap, 1),
+        # user 2: second event 1 us inside the gap -> ONE session
+        (20, t0, 2), (21, t0 + gap - datetime.timedelta(microseconds=1), 2),
+        # user 3: second event 1 us PAST the gap -> TWO sessions
+        (30, t0, 3), (31, t0 + gap + datetime.timedelta(microseconds=1), 3),
+    ]
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long") \
+        .write.parquet(os.path.join(src, "b0"))
+    for i in range(2):
+        spark.createDataFrame(
+            [(int(-1 - i), t0 + datetime.timedelta(hours=3, minutes=i), -1)],
+            "event_id long, ts timestamp, user_id long",
+        ).write.parquet(os.path.join(src, f"b{i + 1}"))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        sessionize_window(stream, gap_minutes=30)
+        .writeStream.format("memory").queryName("swb").outputMode("append")
+        .option("checkpointLocation", ck).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = {r["user_id"]: [] for r in spark.table("swb").collect()}
+    for r in spark.table("swb").collect():
+        out[r["user_id"]].append((r["session_start_us"], r["session_end_us"], r["n_events"]))
+    us0 = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+    gap_us = 30 * 60 * 1_000_000
+    assert out[1] == [(us0, us0 + 2 * gap_us, 2)]
+    assert out[2] == [(us0, us0 + gap_us - 1 + gap_us, 2)]
+    assert sorted(out[3]) == [
+        (us0, us0 + gap_us, 1),
+        (us0 + gap_us + 1, us0 + 2 * gap_us + 1, 1),
+    ]
