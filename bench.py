@@ -162,7 +162,8 @@ def main() -> None:
                  "geofence_scrub_points", "mad_nchars_by_source",
                  "image_otsu_threshold", "image_cc_blobs", "image_blob_props",
                  "cusum_bursts_hourly", "image_template_match",
-                 "dedup_substring_spans", "stream_sessionize_30m"]:
+                 "dedup_substring_spans", "stream_sessionize_30m",
+                 "way_area_centroid"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -228,3 +228,62 @@ def expire_tiles(
         tiles.tile_y(F.col(new_lat), z).alias("ty"),
     )
     return old_side.unionAll(new_side).distinct()
+
+
+def way_area_centroid(
+    verts: DataFrame,
+    way_col: str = "way_id",
+    seq_col: str = "seq",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """EXACT planar shoelace area + centroid over resolved way geometry in
+    fixed-point 1e-7° units (the polygon-measurement step past osmio's
+    is_closed/is_area gates, lib.rs:456-472 — the reference stops at the
+    predicate; this computes the measure).  Per way (vertex ring ordered by
+    ``seq_col``, closing edge last→first implicit):
+
+      area2   = Σ (x_i·y_{i+1} − x_{i+1}·y_i)          — twice the signed area
+      cx6_num = Σ (x_i + x_{i+1})·cross_i               — 6·A·Cx numerator
+      cy6_num = Σ (y_i + y_{i+1})·cross_i               — 6·A·Cy numerator
+
+    all EXACT integers: each cross term fits int64 (|x|≤1.8e9 · |y|≤9e8 →
+    |term| ≤ 3.3e18), the centroid products run in decimal(31,0) (11-digit
+    vertex sums × 19-digit crosses — Spark decimal math is exact while
+    precision ≤ 38), and the sums accumulate in decimal(38,0).  No float
+    enters, so the result is bitwise partition-order-invariant — the same
+    fidelity rule as the fixed-point coordinate codec (lib.rs:66-71).
+    Centroid = (cx6_num/(3·area2), cy6_num/(3·area2)) — left rational for
+    the caller; degenerate rings (area2 = 0) keep their numerators.
+
+    Plan: one lead/first window per way + one hash aggregation — single
+    shuffle on way_id, everything whole-stage codegen.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(way_col).orderBy(seq_col)
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    # fixed-point coords arrive int32 (the reference's Lat/Lon width) —
+    # widen BEFORE any product: int32*int32 overflows at 2^31 under ANSI
+    x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    nx = F.coalesce(F.lead(x_col).over(w), F.first(x_col).over(wfull)).cast("long")
+    ny = F.coalesce(F.lead(y_col).over(w), F.first(y_col).over(wfull)).cast("long")
+    e = verts.select(
+        F.col(way_col).alias("way_id"),
+        x.alias("x"),
+        y.alias("y"),
+        nx.alias("nx"),
+        ny.alias("ny"),
+    ).select(
+        "way_id",
+        (F.col("x") * F.col("ny") - F.col("nx") * F.col("y")).alias("cross"),
+        (F.col("x") + F.col("nx")).cast("decimal(11,0)").alias("sx"),
+        (F.col("y") + F.col("ny")).cast("decimal(11,0)").alias("sy"),
+    )
+    cr = F.col("cross").cast("decimal(19,0)")
+    return e.groupBy("way_id").agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.sum(F.col("cross").cast("decimal(38,0)")).cast("decimal(38,0)").alias("area2"),
+        F.sum(F.col("sx") * cr).cast("decimal(38,0)").alias("cx6_num"),
+        F.sum(F.col("sy") * cr).cast("decimal(38,0)").alias("cy6_num"),
+    )

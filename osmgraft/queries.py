@@ -6353,3 +6353,56 @@ def stream_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+@register(
+    "way_area_centroid",
+    f"""WITH pts AS ({_PTS}),
+o AS (SELECT o_custkey AS way_id, o_orderkey AS node,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS seq,
+       count(*) OVER (PARTITION BY o_custkey) AS n
+      FROM orders),
+v AS (SELECT o.way_id, o.seq, o.n,
+             CAST(p.lon7 AS BIGINT) AS x, CAST(p.lat7 AS BIGINT) AS y
+      FROM o JOIN pts p ON p.point_id = o.node),
+e AS (SELECT a.way_id, a.x, a.y, b.x AS nx, b.y AS ny,
+             a.x * b.y - b.x * a.y AS cr
+      FROM v a JOIN v b ON b.way_id = a.way_id AND b.seq = a.seq % a.n + 1)
+SELECT way_id, count(*) AS n_vertices,
+  CAST(sum(cr) AS DECIMAL(38,0)) AS area2,
+  CAST(sum(CAST(x + nx AS HUGEINT) * cr) AS DECIMAL(38,0)) AS cx6_num,
+  CAST(sum(CAST(y + ny AS HUGEINT) * cr) AS DECIMAL(38,0)) AS cy6_num
+FROM e GROUP BY way_id""",
+)
+def way_area_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shoelace area + centroid numerators per way (operators/osm.
+    way_area_centroid): the polygon-measurement op over resolved way
+    geometry — every value an exact integer (int64 cross terms,
+    decimal(31,0) centroid products, decimal(38,0) sums), so the hash is
+    partition-order-invariant with NO float anywhere.  The DuckDB twin
+    closes the ring by a seq-modular self-join and accumulates in HUGEINT —
+    two different ring-closure mechanisms (window lead/first vs modular
+    join), one hash."""
+    from pyspark.sql import Window as W
+
+    from osmgraft.operators.osm import way_area_centroid as wac
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    pts = points_from_orders(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    seq = orders.select(
+        F.col("o_custkey").alias("way_id"),
+        F.col("o_orderkey").alias("node"),
+        F.row_number().over(w).alias("seq"),
+    )
+    verts = seq.join(
+        pts.select(
+            F.col("point_id").alias("node"),
+            F.col("lon7").alias("x"),
+            F.col("lat7").alias("y"),
+        ),
+        "node",
+    )
+    return wac(verts)

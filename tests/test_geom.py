@@ -134,3 +134,35 @@ def test_haversine_m_col_matches_numpy(spark):
     diff = np.abs(np.array(got) - want)
     assert diff.max() <= 1  # ulp-boundary rounding may differ by 1 m, never more
     assert (diff == 0).mean() > 0.999
+
+
+def test_way_area_centroid_golden(spark):
+    """Hand-computable ring: unit square scaled to fixed-point (side 1e7 =
+    1°).  CCW orientation → positive area2 = 2·(1e7)²; centroid at the
+    middle; numerators = 6·A·C with A = area2/2."""
+    from decimal import Decimal
+
+    from osmgraft.operators.osm import way_area_centroid
+
+    s = 10_000_000  # 1 degree in 1e-7 units
+    ring = [(0, 0), (s, 0), (s, s), (0, s)]  # CCW
+    rows = [(1, i + 1, x, y) for i, (x, y) in enumerate(ring)]
+    # CW copy must flip the sign of everything
+    rows += [(2, i + 1, x, y) for i, (x, y) in enumerate(ring[::-1])]
+    # translated copy: area identical, centroid numerators shift
+    rows += [(3, i + 1, x + 7 * s, y - 2 * s) for i, (x, y) in enumerate(ring)]
+    df = spark.createDataFrame(rows, "way_id long, seq int, x int, y int")
+    out = {r["way_id"]: r for r in way_area_centroid(df).collect()}
+    a2 = 2 * s * s
+    assert out[1]["area2"] == Decimal(a2)
+    # 6·A·Cx = 3·area2·Cx with Cx = s/2 → 3·a2·s/2
+    assert out[1]["cx6_num"] == Decimal(3 * a2 * s // 2)
+    assert out[1]["cy6_num"] == Decimal(3 * a2 * s // 2)
+    assert out[2]["area2"] == Decimal(-a2)
+    assert out[2]["cx6_num"] == Decimal(-3 * a2 * s // 2)
+    assert out[3]["area2"] == Decimal(a2)
+    cx3 = (7 * s + s // 2)
+    cy3 = (-2 * s + s // 2)
+    assert out[3]["cx6_num"] == Decimal(3 * a2 * cx3)
+    assert out[3]["cy6_num"] == Decimal(3 * a2 * cy3)
+    assert all(r["n_vertices"] == 4 for r in out.values())
