@@ -2783,3 +2783,134 @@ def video_scene_cuts(
     return media.select(F.col(id_col).cast("string"), F.col(bytes_col)).mapInArrow(
         kernel, "media_id string, f int, delta long, cut boolean"
     )
+
+
+def image_harris(images: DataFrame, on_error: str = "fail") -> DataFrame:
+    """Per-image Harris corner detection (Harris & Stephens 1988, public) as
+    EXACT integer arithmetic: central-difference gradients over interior
+    luma, 3x3-summed structure tensor (Sxx, Syy, Sxy), and the response
+    discretized as ``r20 = 20*(Sxx*Syy - Sxy^2) - (Sxx+Syy)^2`` — the
+    classic k = 0.05 written as an integer-exact rational (x20), so both
+    engines rank identical int64s (|r20| <= ~7e12, comfortably in range).
+    Emits the argmax corner per image: (image_id, cy, cx, r20, n_pos) with
+    ties broken (r20 DESC, y, x) — row-major argmax — and n_pos = count of
+    strictly positive responses (a corner-density signal for curation).
+
+    Map-only mapInArrow over the stack: two array subtractions, nine
+    shifted adds for the tensor windows, one argmax — no shuffle at any
+    corpus width.  Images too small for a full 3x3 tensor window
+    (h < 5 or w < 5) emit (cy = -1, cx = -1, r20 = 0, n_pos = 0); corrupt
+    payloads under on_error='null' emit nulls."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            ids = rb.column("image_id").take(sel)
+            k = len(ids)
+            if px is None:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        pa.array([None] * k, type=pa.int64()),
+                        pa.array([None] * k, type=pa.int64()),
+                        pa.array([None] * k, type=pa.int64()),
+                        pa.array([None] * k, type=pa.int64()),
+                    ],
+                    ["image_id", "cy", "cx", "r20", "n_pos"],
+                )
+                continue
+            ids_np = ids.to_pylist()
+            if h < 5 or w < 5:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids_np, type=pa.string()),
+                        pa.array(np.full(k, -1, np.int64)),
+                        pa.array(np.full(k, -1, np.int64)),
+                        pa.array(np.zeros(k, np.int64)),
+                        pa.array(np.zeros(k, np.int64)),
+                    ],
+                    ["image_id", "cy", "cx", "r20", "n_pos"],
+                )
+                continue
+            p = px.astype(np.int64)
+            luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+            gx = luma[:, 1:-1, 2:] - luma[:, 1:-1, :-2]
+            gy = luma[:, 2:, 1:-1] - luma[:, :-2, 1:-1]
+            xx, yy, xy = gx * gx, gy * gy, gx * gy
+            # 3x3 window sums over the gradient grid -> valid where the
+            # whole window fits (interior-of-interior)
+            def win9(a: np.ndarray) -> np.ndarray:
+                return sum(
+                    a[:, dy : a.shape[1] - 2 + dy, dx : a.shape[2] - 2 + dx]
+                    for dy in range(3)
+                    for dx in range(3)
+                )
+
+            sxx, syy, sxy = win9(xx), win9(yy), win9(xy)
+            r20 = 20 * (sxx * syy - sxy * sxy) - (sxx + syy) * (sxx + syy)
+            flat = r20.reshape(k, -1)
+            arg = np.argmax(flat, axis=1)  # first max in row-major = (y, x) tie rule
+            wv = r20.shape[2]
+            cy = arg // wv + 2  # back to original pixel coords
+            cx = arg % wv + 2
+            best = flat[np.arange(k), arg]
+            n_pos = (flat > 0).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids_np, type=pa.string()),
+                    pa.array(cy.astype(np.int64)),
+                    pa.array(cx.astype(np.int64)),
+                    pa.array(best.astype(np.int64)),
+                    pa.array(n_pos.astype(np.int64)),
+                ],
+                ["image_id", "cy", "cx", "r20", "n_pos"],
+            )
+
+    return images.mapInArrow(
+        kernel, schema="image_id string, cy long, cx long, r20 long, n_pos long"
+    )
+
+
+def sql_image_harris(idx_cte: str, max_h: int = 18, max_w: int = 32) -> str:
+    """DuckDB twin over synth_formula_images: regenerate luma from the
+    closed-form pixel formula, gradients via 4 neighbor self-joins, the
+    structure tensor via a full 3x3 gather join (HAVING count(*) = 9 pins
+    the valid region), the identical integer response and (r20 DESC, y, x)
+    argmax — decode, gradient convention, window extent, response algebra
+    and tie rule are all on the hash."""
+    return f"""WITH idxs AS ({idx_cte}),
+dims AS (SELECT idx, 16 + (idx % 3) * 8 AS w, 12 + (idx % 2) * 6 AS h FROM idxs),
+px AS (
+  SELECT idx, y, x,
+         (299 * ((idx*37 + y*11 + x*7) % 256)
+        + 587 * ((idx*37 + y*11 + x*7 + 29) % 256)
+        + 114 * ((idx*37 + y*11 + x*7 + 58) % 256)) // 1000 AS luma
+  FROM dims
+  CROSS JOIN range(0, {max_h}) ty(y) CROSS JOIN range(0, {max_w}) tx(x)
+  WHERE y < h AND x < w),
+grad AS (
+  SELECT c.idx, c.y, c.x, r.luma - l.luma AS gx, d.luma - u.luma AS gy
+  FROM px c
+  JOIN px r ON r.idx = c.idx AND r.y = c.y AND r.x = c.x + 1
+  JOIN px l ON l.idx = c.idx AND l.y = c.y AND l.x = c.x - 1
+  JOIN px d ON d.idx = c.idx AND d.y = c.y + 1 AND d.x = c.x
+  JOIN px u ON u.idx = c.idx AND u.y = c.y - 1 AND u.x = c.x),
+tens AS (
+  SELECT g.idx, g.y, g.x,
+         sum(n.gx * n.gx) AS sxx, sum(n.gy * n.gy) AS syy,
+         sum(n.gx * n.gy) AS sxy
+  FROM grad g JOIN grad n ON n.idx = g.idx
+   AND n.y BETWEEN g.y - 1 AND g.y + 1 AND n.x BETWEEN g.x - 1 AND g.x + 1
+  GROUP BY 1, 2, 3 HAVING count(*) = 9),
+resp AS (
+  SELECT idx, y, x,
+         20 * (sxx * syy - sxy * sxy) - (sxx + syy) * (sxx + syy) AS r20
+  FROM tens),
+np AS (SELECT idx, count(*) FILTER (r20 > 0) AS n_pos FROM resp GROUP BY idx),
+best AS (
+  SELECT idx, y, x, r20,
+         row_number() OVER (PARTITION BY idx ORDER BY r20 DESC, y, x) AS rn
+  FROM resp)
+SELECT concat('fimg', lpad(CAST(b.idx AS VARCHAR), 9, '0')) AS image_id,
+       CAST(b.y AS BIGINT) AS cy, CAST(b.x AS BIGINT) AS cx,
+       CAST(b.r20 AS BIGINT) AS r20, CAST(np.n_pos AS BIGINT) AS n_pos
+FROM best b JOIN np ON np.idx = b.idx WHERE b.rn = 1"""

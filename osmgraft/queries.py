@@ -6406,3 +6406,29 @@ def way_area_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
     )
     return wac(verts)
+
+
+def _sql_harris() -> str:
+    from osmgraft.operators.multimodal import sql_image_harris
+
+    return sql_image_harris(_FIMG_IDX_CTE.format(n=300))
+
+
+@register("image_harris_corner", _sql_harris())
+def image_harris_corner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harris corner argmax per image (operators/multimodal.image_harris):
+    real container decode → integer central-difference gradients → 3x3
+    structure tensor → k=0.05 response as the exact integer r20 — the
+    feature-detection step of an image-curation pipeline, map-only at any
+    corpus width.  The DuckDB twin regenerates pixels from the formula
+    fixture and re-derives the same argmax relationally (neighbor joins +
+    HAVING count(*)=9 window gate), so gradient convention, window extent,
+    response algebra and the (r20 DESC, y, x) tie rule are all hash-load-
+    bearing."""
+    from osmgraft.operators.multimodal import image_harris
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 300)
+    imgs = ensure_min_parallelism(synth_formula_images(spark, n))
+    return image_harris(imgs)

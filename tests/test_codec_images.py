@@ -1027,3 +1027,66 @@ def test_image_hough_planted_line_and_markers(spark):
     assert rows["diag"] == (HOUGH_DIRS.index((-1, 1)), 0, 10)
     assert rows["black"] == (-1, 0, 0)
     assert rows["bad"] == (-1, None, None)
+
+
+# --- Harris corners ------------------------------------------------------------------
+
+
+def test_image_harris_vs_naive(spark):
+    """Engine Harris == a from-scratch per-pixel Python triple loop (pure
+    int arithmetic, independent of the vectorized shifted-window sums)."""
+    from osmgraft.operators.multimodal import image_harris
+    from osmgraft.synth import synth_formula_images
+
+    got = {
+        r["image_id"]: (r["cy"], r["cx"], r["r20"], r["n_pos"])
+        for r in image_harris(synth_formula_images(spark, 8)).collect()
+    }
+    assert len(got) == 8
+    for i in range(8):
+        luma = _formula_luma(i)
+        h, w = luma.shape
+        gx = [[int(luma[y][x + 1]) - int(luma[y][x - 1]) for x in range(1, w - 1)]
+              for y in range(1, h - 1)]
+        gy = [[int(luma[y + 1][x]) - int(luma[y - 1][x]) for x in range(1, w - 1)]
+              for y in range(1, h - 1)]
+        gh, gw = h - 2, w - 2
+        best = None
+        n_pos = 0
+        for yy in range(1, gh - 1):
+            for xx in range(1, gw - 1):
+                sxx = syy = sxy = 0
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        a, b = gx[yy + dy][xx + dx], gy[yy + dy][xx + dx]
+                        sxx += a * a
+                        syy += b * b
+                        sxy += a * b
+                r20 = 20 * (sxx * syy - sxy * sxy) - (sxx + syy) * (sxx + syy)
+                if r20 > 0:
+                    n_pos += 1
+                # gradient index g maps to original pixel y = g + 1
+                key = (r20, -(yy + 1), -(xx + 1))
+                if best is None or key > best[0]:
+                    best = (key, yy + 1, xx + 1, r20)
+        assert got[f"fimg{i:09d}"] == (best[1], best[2], best[3], n_pos)
+
+
+def test_image_harris_small_and_corrupt(spark):
+    from osmgraft.functions.codec import encode_image
+    import numpy as np
+
+    from osmgraft.operators.multimodal import image_harris
+
+    tiny = encode_image(np.zeros((4, 4, 3), np.uint8), "ppm")
+    df = spark.createDataFrame(
+        [
+            ("tiny", bytearray(tiny), 4, 4, "ppm"),
+            ("bad", bytearray(b"\x00"), 4, 4, "ppm"),
+        ],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    rows = {r["image_id"]: r for r in image_harris(df, on_error="null").collect()}
+    assert (rows["tiny"]["cy"], rows["tiny"]["cx"], rows["tiny"]["r20"],
+            rows["tiny"]["n_pos"]) == (-1, -1, 0, 0)
+    assert rows["bad"]["r20"] is None and rows["bad"]["cy"] is None
