@@ -2914,3 +2914,72 @@ SELECT concat('fimg', lpad(CAST(b.idx AS VARCHAR), 9, '0')) AS image_id,
        CAST(b.y AS BIGINT) AS cy, CAST(b.x AS BIGINT) AS cx,
        CAST(b.r20 AS BIGINT) AS r20, CAST(np.n_pos AS BIGINT) AS n_pos
 FROM best b JOIN np ON np.idx = b.idx WHERE b.rn = 1"""
+
+
+def audio_active_segments(
+    media: DataFrame,
+    window: int = 128,
+    energy_thresh: int = 45_800_000_000,
+    decoder: str = "wav",
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Energy-threshold activity segmentation (the classic VAD front-end:
+    Rabiner & Sambur 1975 lineage — public): decode PCM → per-window
+    integer energy (:func:`audio_window_energy`) → windows with
+    ``energy > energy_thresh`` are *active* → maximal runs of consecutive
+    active windows merge into segments ``[seg_start, seg_end)`` with their
+    total energy.  All integer, so the gate hashes exactly.
+
+    Plan: the map-only decode kernel, one per-clip window (lag) for the
+    gaps-and-islands merge, one hash agg — a single shuffle on media_id,
+    bounded by windows-per-clip rows."""
+    from pyspark.sql import Window as W
+
+    en = audio_window_energy(
+        media, window=window, decoder=decoder, id_col=id_col, bytes_col=bytes_col
+    )
+    act = en.filter(F.col("energy") > energy_thresh)
+    w = W.partitionBy(id_col).orderBy("window_idx")
+    isl = act.withColumn(
+        "brk",
+        F.when(
+            F.lag("window_idx").over(w).isNull()
+            | (F.col("window_idx") > F.lag("window_idx").over(w) + 1),
+            1,
+        ).otherwise(0),
+    ).withColumn("gid", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    return isl.groupBy(id_col, "gid").agg(
+        F.min("window_idx").alias("seg_start"),
+        (F.max("window_idx") + 1).alias("seg_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("energy").alias("energy_sum"),
+    ).select(id_col, "seg_start", "seg_end", "n_windows", "energy_sum")
+
+
+def sql_audio_active_segments(
+    n_clips: int, window: int = 128, n_samples: int = 1024,
+    energy_thresh: int = 45_800_000_000,
+) -> str:
+    """DuckDB twin: regenerate the formula PCM, window energies, threshold,
+    islands — decode, windowing, threshold strictness and the adjacency
+    rule are all on the hash."""
+    return f"""WITH idxs AS (SELECT row_number() OVER () - 1 AS i FROM orders),
+capped AS (SELECT i FROM idxs WHERE i < {n_clips}),
+s AS (SELECT i, t.range AS t,
+             ((i * 1103515245 + t.range * 12345 + 42) % 65536) - 32768 AS v
+      FROM capped, range(0, {n_samples}) t),
+en AS (SELECT i, CAST(t // {window} AS BIGINT) AS wi,
+              CAST(sum(v * v) AS BIGINT) AS energy
+       FROM s GROUP BY 1, 2),
+act AS (SELECT i, wi, energy FROM en WHERE energy > {energy_thresh}),
+isl AS (SELECT i, wi, energy,
+        CASE WHEN lag(wi) OVER w IS NULL OR wi > lag(wi) OVER w + 1
+             THEN 1 ELSE 0 END AS brk
+        FROM act WINDOW w AS (PARTITION BY i ORDER BY wi)),
+grp AS (SELECT i, wi, energy,
+        sum(brk) OVER (PARTITION BY i ORDER BY wi) AS gid FROM isl)
+SELECT concat('aud', lpad(CAST(i AS VARCHAR), 9, '0')) AS media_id,
+       min(wi) AS seg_start, max(wi) + 1 AS seg_end,
+       count(*)::BIGINT AS n_windows, sum(energy)::BIGINT AS energy_sum
+FROM grp GROUP BY i, gid"""

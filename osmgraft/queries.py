@@ -6432,3 +6432,24 @@ def image_harris_corner(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 300)
     imgs = ensure_min_parallelism(synth_formula_images(spark, n))
     return image_harris(imgs)
+
+
+def _sql_vad() -> str:
+    from osmgraft.operators.multimodal import sql_audio_active_segments
+
+    return sql_audio_active_segments(300)
+
+
+@register("audio_active_segments", _sql_vad())
+def audio_active_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style activity segmentation (operators/multimodal.
+    audio_active_segments): real RIFF/PCM16 decode → 128-sample integer
+    window energies → threshold → maximal consecutive-window segments.
+    The DuckDB twin regenerates the formula PCM and re-derives segments
+    relationally, so header offset, window split, threshold strictness and
+    the adjacency rule all sit on the hash."""
+    from osmgraft.operators.multimodal import audio_active_segments
+    from osmgraft.synth import synth_audio
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 300)
+    return audio_active_segments(synth_audio(spark, n))

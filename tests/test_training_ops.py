@@ -1230,3 +1230,30 @@ def test_duplicate_substring_spans_no_dups_empty(spark):
         "doc_id long, text string",
     )
     assert duplicate_substring_spans(docs, gram_len=24).count() == 0
+
+
+def test_audio_active_segments_crafted(spark):
+    """Crafted PCM: loud block / silence / loud block -> exactly two
+    segments with hand-computed energies; all-silent clip -> no rows."""
+    import numpy as np
+
+    from osmgraft.operators.multimodal import audio_active_segments, encode_wav_pcm16
+
+    w = 4
+    loud, quiet = 1000, 1
+    pcm1 = np.array(
+        [loud] * (2 * w) + [quiet] * (3 * w) + [loud] * w, dtype=np.int16
+    )
+    pcm2 = np.array([quiet] * (6 * w), dtype=np.int16)
+    df = spark.createDataFrame(
+        [("a", bytearray(encode_wav_pcm16(pcm1))),
+         ("b", bytearray(encode_wav_pcm16(pcm2)))],
+        "media_id string, bytes binary",
+    )
+    thresh = w * loud * loud // 2
+    out = audio_active_segments(df, window=w, energy_thresh=thresh).collect()
+    segs = sorted((r["seg_start"], r["seg_end"], r["n_windows"], r["energy_sum"])
+                  for r in out)
+    assert all(r["media_id"] == "a" for r in out)
+    e = w * loud * loud
+    assert segs == [(0, 2, 2, 2 * e), (5, 6, 1, e)]
