@@ -607,3 +607,41 @@ den AS (SELECT k, max(n) AS n_steps, sum(dv * dv) AS den FROM d GROUP BY k)
 SELECT den.k AS {key}, CAST(n_steps AS BIGINT) AS n_steps,
        CAST(num AS BIGINT) AS num, CAST(den.den AS BIGINT) AS den
 FROM den JOIN num USING (k) WHERE n_steps > {lag}"""
+
+
+def groupwise_ols(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple linear regression as EXACT integer rationals (the
+    closed-form OLS normal equations over integer (x, y) — no float, no
+    iteration): slope = slope_num/den, intercept = icept_num/den with
+
+      slope_num = n·Σxy − Σx·Σy
+      den       = n·Σx² − (Σx)²
+      icept_num = Σy·Σx² − Σx·Σxy
+
+    all exact int64 products of decimal-safe sums; degenerate groups
+    (single x value → den = 0) emit their zero denominator for the caller
+    to handle.  One hash aggregation — map-side partial sums, single
+    shuffle on the group keys, fully whole-stage codegen: the regression
+    over a trillion rows is five sums.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    return agg.select(
+        *keys,
+        F.col("n"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).alias("icept_num"),
+    )

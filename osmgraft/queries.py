@@ -6453,3 +6453,44 @@ def audio_active_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 300)
     return audio_active_segments(synth_audio(spark, n))
+
+
+@register(
+    "trend_events_daily",
+    """WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 - 19700 AS day_x,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+agg AS (
+  SELECT event_type, count(*) AS n,
+         sum(day_x) AS sx, sum(cnt) AS sy,
+         sum(day_x * day_x) AS sxx, sum(day_x * cnt) AS sxy
+  FROM daily GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS den,
+       CAST(sy * sxx - sx * sxy AS BIGINT) AS icept_num
+FROM agg""",
+)
+def trend_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily-volume trend as EXACT rational OLS
+    (operators/stats.groupwise_ols): y = events/day regressed on the epoch
+    day — the drift detector a curation pipeline runs over ingest volumes.
+    Zero float: slope/intercept emitted as integer numerator/denominator,
+    so the hash is partition-order-invariant; the DuckDB twin re-derives
+    the normal equations from the same daily rollup."""
+    from osmgraft.operators.stats import groupwise_ols
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = (
+        ev.select(
+            "event_type",
+            (F.expr("unix_micros(cast(ts as timestamp)) div 86400000000") - 19700).alias(
+                "day_x"
+            ),
+        )
+        .groupBy("event_type", "day_x")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return groupwise_ols(daily, ["event_type"], "day_x", "cnt")

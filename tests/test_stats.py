@@ -352,3 +352,18 @@ def test_autocorr_terms_reference_and_laws(spark):
     n_per, num_per, den_per = got["per"]
     assert 0 < num_per <= den_per
     assert 10 * num_per > 8 * den_per
+
+
+def test_groupwise_ols_golden(spark):
+    """Known line y = 3x + 7 -> slope_num/den == 3 exactly, icept_num/den
+    == 7; constant-x group -> den == 0."""
+    from osmgraft.operators.stats import groupwise_ols
+
+    rows = [("a", x, 3 * x + 7) for x in range(10)]
+    rows += [("b", 5, y) for y in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r["g"]: r for r in groupwise_ols(df, ["g"], "x", "y").collect()}
+    a = out["a"]
+    assert a["den"] > 0 and a["slope_num"] == 3 * a["den"]
+    assert a["icept_num"] == 7 * a["den"]
+    assert out["b"]["den"] == 0 and out["b"]["n"] == 3
