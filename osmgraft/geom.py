@@ -233,3 +233,25 @@ def sql_haversine_m_int(a_lat: str, a_lon: str, b_lat: str, b_lon: str) -> str:
         f"cos({la}) * cos({lb}) * pow(sin({dlo} / 2), 2)"
     )
     return f"CAST(floor(2.0 * {EARTH_RADIUS_M} * asin(sqrt({h})) + 0.5) AS BIGINT)"
+
+
+def pnpoly_int(lat7: np.ndarray, lon7: np.ndarray, edges: np.ndarray) -> np.ndarray:
+    """DIVISION-FREE exact-integer even-odd test — same crossing semantics
+    as :func:`pnpoly` but the "ray crosses left of intersection" comparison
+    is an integer cross-product sign instead of a float divide:
+
+      x < x1 + (x2-x1)(y-y1)/(y2-y1)
+        ⟺  isLeft = (x2-x1)(y-y1) − (x-x1)(y2-y1)  has the sign of (y2-y1)
+
+    Every product fits int64 (|Δx| ≤ 3.6e9 × |Δy| ≤ 1.8e9 < 2^63), so the
+    test is EXACT at any coordinate — no ULP behavior on knife-edge points,
+    the arithmetic-model hardening twin of the float kernel (both gated
+    against one oracle)."""
+    y = lat7.astype(np.int64)[:, None]
+    x = lon7.astype(np.int64)[:, None]
+    ie = edges.astype(np.int64)
+    y1, x1, y2, x2 = ie[:, 0][None, :], ie[:, 1][None, :], ie[:, 2][None, :], ie[:, 3][None, :]
+    straddles = (y1 > y) != (y2 > y)
+    is_left = (x2 - x1) * (y - y1) - (x - x1) * (y2 - y1)
+    crosses = straddles & np.where(y2 > y1, is_left > 0, is_left < 0)
+    return (crosses.sum(axis=1) % 2).astype(bool)

@@ -22,7 +22,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql.types import LongType, StructField, StructType
 
-from osmgraft.geom import STRTree, pnpoly, polygon_bbox, polygon_edges
+from osmgraft.geom import STRTree, pnpoly, pnpoly_int, polygon_bbox, polygon_edges
 
 
 def _prepare(polys: list[dict]):
@@ -40,6 +40,7 @@ def pip_join(
     lat_col: str = "lat7",
     lon_col: str = "lon7",
     ensure_parallelism: bool = False,
+    refine: str = "raycast",
 ) -> DataFrame:
     """Join points to containing polygons.
 
@@ -47,12 +48,19 @@ def pip_join(
     how='left_semi'  → points inside ≥1 polygon
     how='left_anti'  → points inside none
 
+    refine='raycast' (default) is the float even-odd kernel; 'parity_int'
+    swaps in the division-free exact-integer test (geom.pnpoly_int) — same
+    semantics away from float knife edges, gated against the same oracle.
+
     ensure_parallelism: opt-in round-robin repartition for small local inputs
     (single-file scans); leave False on a real cluster — the scan's splits
     already parallelize and the extra Exchange is pure cost.
     """
     if how not in ("inner", "left_semi", "left_anti"):
         raise ValueError(how)
+    if refine not in ("raycast", "parity_int"):
+        raise ValueError(refine)
+    pip_test = pnpoly if refine == "raycast" else pnpoly_int
     from osmgraft.operators.util import maybe_parallelize
 
     points = maybe_parallelize(points, ensure_parallelism)
@@ -85,7 +93,7 @@ def pip_join(
             for g in np.unique(gi):
                 sel = gi == g
                 pts = pi[sel]
-                inside = pnpoly(lat[pts], lon[pts], edges[g])
+                inside = pip_test(lat[pts], lon[pts], edges[g])
                 hit_pi.append(pts[inside])
                 hit_gi.append(np.full(int(inside.sum()), g, dtype=np.int64))
             if hit_pi:

