@@ -453,3 +453,37 @@ h AS (
   UNION ALL
   SELECT ent_a, ent_b, max(dm) FROM dmin_ba GROUP BY ent_a, ent_b)
 SELECT ent_a, ent_b, max(h) AS haus_d2 FROM h GROUP BY ent_a, ent_b"""
+
+
+def tile_path(
+    df: DataFrame,
+    ent_col: str = "ent",
+    seq_col: str = "seq",
+    tx_col: str = "tx",
+    ty_col: str = "ty",
+) -> DataFrame:
+    """Trajectory → tile transition path: collapse consecutive duplicate
+    tiles per entity (keep each ENTRY into a tile, ordered by ``seq_col``)
+    and renumber the surviving transitions 1..k — the map-matched "cell
+    sequence" a movement-analytics store indexes instead of raw pings
+    (OD/flow, route mining, tile prefetch all consume this shape).
+
+    Plan: one lag window + filter + row_number — both windows share the
+    (ent, seq) sort, so Catalyst plans ONE Exchange + one sort for the
+    whole op; output is ≤ input rows, usually far fewer (dwell compresses).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(ent_col).orderBy(seq_col)
+    tx, ty = F.col(tx_col), F.col(ty_col)
+    keep = (
+        F.lag(tx_col).over(w).isNull()
+        | (tx != F.lag(tx_col).over(w))
+        | (ty != F.lag(ty_col).over(w))
+    )
+    return (
+        df.withColumn("_keep", keep)
+        .filter(F.col("_keep"))
+        .withColumn("step", F.row_number().over(w))
+        .select(F.col(ent_col).alias("track_id"), "step", tx.alias("tx"), ty.alias("ty"))
+    )

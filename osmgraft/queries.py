@@ -6511,3 +6511,41 @@ def pip_inner_intexact(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, ADMIN_BOUNDARIES, how="inner", ensure_parallelism=True,
         refine="parity_int",
     ).select("point_id", "boundary_id")
+
+
+@register(
+    "track_tile_path_z12",
+    f"""WITH pts AS ({_PTS}),
+t AS (SELECT o.o_custkey AS ent, o.o_orderkey AS seq,
+             {tiles.sql_tile_x('p.lon7', 12)} AS tx,
+             {tiles.sql_tile_y('p.lat7', 12)} AS ty
+      FROM orders o JOIN pts p ON p.point_id = o.o_orderkey),
+k AS (SELECT ent, seq, tx, ty,
+             lag(tx) OVER w AS ptx, lag(ty) OVER w AS pty
+      FROM t WINDOW w AS (PARTITION BY ent ORDER BY seq)),
+f AS (SELECT ent, seq, tx, ty FROM k
+      WHERE ptx IS NULL OR tx != ptx OR ty != pty)
+SELECT ent AS track_id,
+       row_number() OVER (PARTITION BY ent ORDER BY seq) AS step, tx, ty
+FROM f""",
+)
+def track_tile_path_z12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory tile-transition path (operators/trajectory.tile_path):
+    per-track z12 tile sequence with consecutive duplicates collapsed and
+    transitions renumbered — the compressed cell-sequence representation
+    downstream movement analytics index.  One Exchange (both windows share
+    the (ent, seq) sort); the DuckDB twin replays the identical
+    lag-filter-renumber pipeline."""
+    from osmgraft.operators.trajectory import tile_path
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("ent"), F.col("o_orderkey").alias("seq")
+    )
+    pts = points_from_orders(spark, sf_dir)
+    t = orders.join(pts, orders.seq == pts.point_id).select(
+        "ent",
+        "seq",
+        tiles.tile_x(F.col("lon7"), 12).alias("tx"),
+        tiles.tile_y(F.col("lat7"), 12).alias("ty"),
+    )
+    return tile_path(t)

@@ -115,3 +115,20 @@ def test_hausdorff_bucket_restricts_and_caps(spark):
         for r in hausdorff_pairs(df, bucket_z_shift=5, max_pts=8).collect()
     }
     assert got == {(1, 2): 8}  # (12-10)²+(12-10)²; track 3 unpaired
+
+
+def test_tile_path_collapse(spark):
+    """Dwell (repeated tile) collapses; revisits re-enter; single Exchange."""
+    from osmgraft.operators.trajectory import tile_path
+
+    rows = [
+        (1, 1, 5, 5), (1, 2, 5, 5), (1, 3, 6, 5), (1, 4, 6, 5), (1, 5, 5, 5),
+        (2, 1, 9, 9),
+    ]
+    df = spark.createDataFrame(rows, "ent long, seq long, tx long, ty long")
+    out = tile_path(df)
+    got = sorted((r["track_id"], r["step"], r["tx"], r["ty"]) for r in out.collect())
+    assert got == [(1, 1, 5, 5), (1, 2, 6, 5), (1, 3, 5, 5), (2, 1, 9, 9)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints the plan twice
+    assert final.count("Exchange") == 1
