@@ -2983,3 +2983,68 @@ SELECT concat('aud', lpad(CAST(i AS VARCHAR), 9, '0')) AS media_id,
        min(wi) AS seg_start, max(wi) + 1 AS seg_end,
        count(*)::BIGINT AS n_windows, sum(energy)::BIGINT AS energy_sum
 FROM grp GROUP BY i, gid"""
+
+
+def image_ssim_global(pairs: DataFrame) -> DataFrame:
+    """Global (single-window, uniform-weight) SSIM between image PAIRS as an
+    EXACT rational (Wang et al. 2004, public — the luminance/contrast/
+    structure product over whole-image moments):
+
+      SSIM = (num1·num2) / (den1·den2), with the four int64 factors
+      num1 = 800·Sx·Sy + 2601·N²        num2 = 800·N·Sxy − 800·Sx·Sy + 23409·N²
+      den1 = 400·(Sx²+Sy²) + 2601·N²    den2 = 400·(N·Sxx−Sx²+N·Syy−Sy²) + 23409·N²
+
+    — the standard C1=(0.01·255)², C2=(0.03·255)² written as the exact
+    rationals 2601/400 and 23409/400 and cleared of denominators (each
+    factor ×400; the scale cancels in the ratio).  Everything is integer
+    sums over 8-bit luma: |factors| < 2^63 for any N ≤ ~10⁶ px, and the
+    caller multiplies num1·num2 in big-int/HUGEINT if a scalar is wanted.
+
+    Input schema: (pair_id, a_bytes, b_bytes, w, h, fmt) — both payloads
+    share dims/format (resize first otherwise).  Map-only mapInArrow with
+    per-(fmt,w,h) grouped batch decode; the pairing join upstream is the
+    only shuffle, co-partitioned/bucketed at lake scale."""
+    from osmgraft.functions.codec import decode_batch
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            fmts = rb.column("fmt").to_pylist()
+            ws = rb.column("w").to_numpy(zero_copy_only=False)
+            hs = rb.column("h").to_numpy(zero_copy_only=False)
+            groups: dict[tuple, list[int]] = {}
+            for i, (f, wv, hv) in enumerate(zip(fmts, ws, hs)):
+                groups.setdefault((f, int(wv), int(hv)), []).append(i)
+            for (f, wv, hv), idxs in groups.items():
+                sub = rb.take(pa.array(idxs, type=pa.int64()))
+                pids = sub.column("pair_id")
+                px = []
+                for col in ("a_bytes", "b_bytes"):
+                    buf, st, en = _binary_spans(sub.column(col))
+                    p = decode_batch(buf, st, en, wv, hv, f).astype(np.int64)
+                    px.append(
+                        (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+                    )
+                la, lb = px
+                n = np.int64(wv * hv)
+                sx = la.sum(axis=(1, 2))
+                sy = lb.sum(axis=(1, 2))
+                sxx = (la * la).sum(axis=(1, 2))
+                syy = (lb * lb).sum(axis=(1, 2))
+                sxy = (la * lb).sum(axis=(1, 2))
+                n2 = n * n
+                num1 = 800 * sx * sy + 2601 * n2
+                num2 = 800 * n * sxy - 800 * sx * sy + 23409 * n2
+                den1 = 400 * (sx * sx + sy * sy) + 2601 * n2
+                den2 = 400 * (n * sxx - sx * sx + n * syy - sy * sy) + 23409 * n2
+                yield pa.RecordBatch.from_arrays(
+                    [pids, pa.array(num1), pa.array(num2),
+                     pa.array(den1), pa.array(den2)],
+                    ["pair_id", "num1", "num2", "den1", "den2"],
+                )
+
+    return pairs.mapInArrow(
+        kernel,
+        schema="pair_id long, num1 long, num2 long, den1 long, den2 long",
+    )

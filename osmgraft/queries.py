@@ -6549,3 +6549,56 @@ def track_tile_path_z12(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiles.tile_y(F.col("lat7"), 12).alias("ty"),
     )
     return tile_path(t)
+
+
+def _sql_ssim(n: int = 300) -> str:
+    def luma(i: str) -> str:
+        return (f"(299 * (({i}*37 + y*11 + x*7) % 256)"
+                f" + 587 * (({i}*37 + y*11 + x*7 + 29) % 256)"
+                f" + 114 * (({i}*37 + y*11 + x*7 + 58) % 256)) // 1000")
+
+    return f"""WITH idxs AS ({_FIMG_IDX_CTE.format(n=n)}),
+pidx AS (SELECT idx AS p FROM idxs WHERE idx % 12 < 6 AND idx + 6 < {n}),
+dims AS (SELECT p, 16 + (p % 3) * 8 AS w, 12 + (p % 2) * 6 AS h FROM pidx),
+px AS (
+  SELECT p, {luma('p')} AS lx, {luma('(p+6)')} AS ly
+  FROM dims CROSS JOIN range(0, 18) ty(y) CROSS JOIN range(0, 32) tx(x)
+  WHERE y < h AND x < w),
+m AS (SELECT p, count(*) AS n, sum(lx) AS sx, sum(ly) AS sy,
+             sum(lx*lx) AS sxx, sum(ly*ly) AS syy, sum(lx*ly) AS sxy
+      FROM px GROUP BY p)
+SELECT p AS pair_id,
+  CAST(800*sx*sy + 2601*n*n AS BIGINT) AS num1,
+  CAST(800*n*sxy - 800*sx*sy + 23409*n*n AS BIGINT) AS num2,
+  CAST(400*(sx*sx + sy*sy) + 2601*n*n AS BIGINT) AS den1,
+  CAST(400*(n*sxx - sx*sx + n*syy - sy*sy) + 23409*n*n AS BIGINT) AS den2
+FROM m"""
+
+
+@register("image_ssim_pairs", _sql_ssim())
+def image_ssim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global SSIM between image pairs as exact int64 rational factors
+    (operators/multimodal.image_ssim_global — Wang et al. 2004 with
+    C1=2601/400, C2=23409/400 cleared of denominators): the perceptual-
+    similarity leg of the multimodal metric suite (PSNR covers fidelity,
+    SSIM covers structure).  Pairs are (idx, idx+6) — same (fmt, w, h) by
+    the fixture's mod-6-stable dims — decoded together in one grouped
+    Arrow kernel; the DuckDB twin regenerates both luma planes from the
+    formula and re-derives the identical factor algebra."""
+    from osmgraft.operators.multimodal import image_ssim_global
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 300)
+    imgs = synth_formula_images(spark, n).withColumn(
+        "idx", F.substring("image_id", 5, 9).cast("long")
+    )
+    a = imgs.filter((F.col("idx") % 12 < 6) & (F.col("idx") + 6 < n)).select(
+        F.col("idx").alias("pair_id"),
+        F.col("bytes").alias("a_bytes"),
+        "w", "h", "fmt",
+    )
+    b = imgs.filter(F.col("idx") % 12 >= 6).select(
+        (F.col("idx") - 6).alias("pair_id"), F.col("bytes").alias("b_bytes")
+    )
+    return image_ssim_global(ensure_min_parallelism(a.join(b, "pair_id")))

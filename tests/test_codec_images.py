@@ -1090,3 +1090,42 @@ def test_image_harris_small_and_corrupt(spark):
     assert (rows["tiny"]["cy"], rows["tiny"]["cx"], rows["tiny"]["r20"],
             rows["tiny"]["n_pos"]) == (-1, -1, 0, 0)
     assert rows["bad"]["r20"] is None and rows["bad"]["cy"] is None
+
+
+def test_image_ssim_identity_and_bounds(spark):
+    """SSIM(x, x) == 1 exactly (num1·num2 == den1·den2); distinct images
+    land strictly inside (-1, 1); factor algebra matches a naive float
+    SSIM to 1e-9."""
+    import numpy as np
+
+    from osmgraft.functions.codec import encode_image
+    from osmgraft.operators.multimodal import image_ssim_global
+
+    rng = np.random.default_rng(3)
+    im1 = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    im2 = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    rows = [
+        (1, bytearray(encode_image(im1, "ppm")), bytearray(encode_image(im1, "ppm")), 8, 8, "ppm"),
+        (2, bytearray(encode_image(im1, "ppm")), bytearray(encode_image(im2, "ppm")), 8, 8, "ppm"),
+    ]
+    df = spark.createDataFrame(
+        rows, "pair_id long, a_bytes binary, b_bytes binary, w int, h int, fmt string"
+    )
+    out = {r["pair_id"]: r for r in image_ssim_global(df).collect()}
+    r1 = out[1]
+    assert r1["num1"] * r1["num2"] == r1["den1"] * r1["den2"]
+    r2 = out[2]
+    got = (r2["num1"] * r2["num2"]) / (r2["den1"] * r2["den2"])
+    assert -1.0 < got < 1.0
+
+    def luma(im):
+        p = im.astype(np.int64)
+        return (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+
+    la, lb = luma(im1).astype(float), luma(im2).astype(float)
+    c1, c2 = 6.5025, 58.5225
+    mx, my = la.mean(), lb.mean()
+    vx, vy = la.var(), lb.var()
+    cov = ((la - mx) * (lb - my)).mean()
+    ref = ((2 * mx * my + c1) * (2 * cov + c2)) / ((mx * mx + my * my + c1) * (vx + vy + c2))
+    assert abs(got - ref) < 1e-9
