@@ -931,3 +931,50 @@ SELECT query_id, neighbor_id, rank FROM (
   FROM cand)
 WHERE rank <= {k}
 ORDER BY query_id, rank"""
+
+
+def _rademacher_signs(dim: int, out_dim: int, seed: int = 101) -> np.ndarray:
+    """Deterministic ±1 projection matrix (Philox keyed by seed; no
+    wall-clock) — Achlioptas 2003's database-friendly JL variant."""
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    return rng.integers(0, 2, size=(out_dim, dim)).astype(np.float64) * 2.0 - 1.0
+
+
+def rademacher_project(
+    df: DataFrame,
+    dim: int,
+    out_dim: int = 8,
+    seed: int = 101,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a ±1 Rademacher
+    matrix (Achlioptas 2003, public): out_dim sequential-fold dot products
+    against FIXED sign rows — the cheap sketch an ANN pipeline stores next
+    to full vectors for prefiltering (JL: pairwise distances preserved
+    within 1±ε for out_dim = O(log n / ε²); the unscaled projection is used
+    — callers divide by √out_dim if calibrated distances are needed).
+
+    Bitwise cross-engine: each output is the SAME left-to-right double fold
+    as `_dot` (== DuckDB list_dot_product), the sign rows are embedded as
+    literals in both plans, and ±1 multiplication is exact in IEEE — so the
+    floats hash identically.  All JVM codegen (out_dim folds over dim
+    elements), map-only, no shuffle."""
+    signs = _rademacher_signs(dim, out_dim, seed)
+    cols = [F.col(id_col).alias("vec_id")]
+    for j in range(out_dim):
+        row = F.array(*[F.lit(float(s)) for s in signs[j]])
+        cols.append(_dot(F.col(vec_col), row).alias(f"p{j}"))
+    return df.select(*cols)
+
+
+def sql_rademacher_project(
+    dim: int, out_dim: int = 8, seed: int = 101, table: str = "embeddings"
+) -> str:
+    """DuckDB twin: list_dot_product against the identical literal rows."""
+    signs = _rademacher_signs(dim, out_dim, seed)
+    outs = []
+    for j in range(out_dim):
+        lit = "[" + ", ".join(f"{s:.1f}" for s in signs[j]) + "]::DOUBLE[]"
+        outs.append(f"list_dot_product(embedding::DOUBLE[], {lit}) AS p{j}")
+    return f"SELECT vec_id, {', '.join(outs)} FROM {table}"

@@ -6602,3 +6602,24 @@ def image_ssim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("idx") - 6).alias("pair_id"), F.col("bytes").alias("b_bytes")
     )
     return image_ssim_global(ensure_min_parallelism(a.join(b, "pair_id")))
+
+
+def _sql_jl() -> str:
+    from osmgraft.operators.similarity import sql_rademacher_project
+
+    return sql_rademacher_project(dim=64, out_dim=8)
+
+
+@register("embedding_jl_project", _sql_jl())
+def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss Rademacher projection 64→8
+    (operators/similarity.rademacher_project): the prefilter sketch of the
+    ANN suite, bitwise cross-engine — the same sequential fold as the
+    cosine ops against sign rows embedded as literals in BOTH plans, ±1
+    multiplication exact in IEEE.  Map-only, zero shuffle; hash-gated on
+    raw doubles (9-digit normalization in the gate, identical bits
+    underneath)."""
+    from osmgraft.operators.similarity import rademacher_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return rademacher_project(emb, dim=64, out_dim=8)

@@ -135,3 +135,33 @@ def test_quantize_int8_zero_vector_guard(spark):
     )
     want = {r[0]: (r[1], r[2]) for r in con.execute(sql_quantize_int8()).fetchall()}
     assert got == want
+
+
+def test_rademacher_project_jl_property(spark):
+    """Unscaled Rademacher projection: E[||Px||²] = out_dim·||x||² — check
+    the distance-preservation ratio lands within a loose JL band for
+    random pairs, and determinism across two invocations."""
+    import numpy as np
+
+    from osmgraft.operators.similarity import _rademacher_signs, rademacher_project
+
+    rng = np.random.default_rng(5)
+    rows = [(int(i), rng.standard_normal(64).tolist()) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = rademacher_project(df, dim=64, out_dim=16, seed=9).collect()
+    got = {r["vec_id"]: np.array([r[f"p{j}"] for j in range(16)]) for r in out}
+    signs = _rademacher_signs(64, 16, seed=9)
+    vecs = {i: np.array(v) for i, v in rows}
+    # exact parity with the literal matrix (fold order aside: allclose)
+    for i in (0, 7, 79):
+        assert np.allclose(got[i], signs @ vecs[i], rtol=0, atol=1e-9)
+    # JL band on pairwise distances (16 dims, loose 3-sigma band)
+    ratios = []
+    for a in range(0, 40, 5):
+        for b in range(40, 80, 5):
+            d_full = np.sum((vecs[a] - vecs[b]) ** 2)
+            d_proj = np.sum((got[a] - got[b]) ** 2) / 16.0
+            ratios.append(d_proj / d_full)
+    assert 0.4 < min(ratios) and max(ratios) < 2.5
+    out2 = rademacher_project(df, dim=64, out_dim=16, seed=9).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
