@@ -6623,3 +6623,48 @@ def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return rademacher_project(emb, dim=64, out_dim=8)
+
+
+@register(
+    "tile_counts_incremental_z9",
+    f"""WITH pts AS ({_PTS}),
+patched AS (
+  SELECT point_id, CASE WHEN point_id % 7 = 3 THEN -lat7 ELSE lat7 END AS lat7, lon7
+  FROM pts WHERE point_id % 7 != 0)
+SELECT {tiles.sql_tile_x('lon7', 9)} AS tx, {tiles.sql_tile_y('lat7', 9)} AS ty,
+       count(*) AS cnt
+FROM patched GROUP BY tx, ty""",
+)
+def tile_counts_incremental_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (streaming/incremental.
+    incremental_tile_counts): a deterministic OSC-style change feed
+    (every 7th point deleted, every 7th+3 mirrored across the equator) is
+    applied to the PRE-COMPUTED z9 counts as a delta merge — base never
+    rescanned.  The DuckDB twin recomputes the counts from the patched
+    point set from scratch: incremental-apply ≡ full-recompute is the
+    materialized-view correctness law, on the hash (a sign error, a
+    missed old-side row, or an undropped zero-count tile all flip it)."""
+    from osmgraft.streaming import incremental_tile_counts
+
+    pts = points_from_orders(spark, sf_dir)
+    base = (
+        pts.select(
+            tiles.tile_x(F.col("lon7"), 9).alias("tx"),
+            tiles.tile_y(F.col("lat7"), 9).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    changes = pts.filter(F.col("point_id") % 7 == 0).select(
+        F.lit("delete").alias("op"),
+        F.col("lat7").alias("old_lat7"), F.col("lon7").alias("old_lon7"),
+        F.lit(None).cast("int").alias("new_lat7"),
+        F.lit(None).cast("int").alias("new_lon7"),
+    ).unionByName(
+        pts.filter(F.col("point_id") % 7 == 3).select(
+            F.lit("modify").alias("op"),
+            F.col("lat7").alias("old_lat7"), F.col("lon7").alias("old_lon7"),
+            (-F.col("lat7")).alias("new_lat7"), F.col("lon7").alias("new_lon7"),
+        )
+    )
+    return incremental_tile_counts(base, changes, z=9)

@@ -11,6 +11,7 @@ the full batch operator suite is available).
 
 from osmgraft.streaming.incremental import (
     EVENTS_SCHEMA,
+    incremental_tile_counts,
     read_stream,
     run_available_now,
     sessionize,
@@ -23,6 +24,7 @@ from osmgraft.streaming.incremental import (
 
 __all__ = [
     "EVENTS_SCHEMA",
+    "incremental_tile_counts",
     "read_stream",
     "run_available_now",
     "sessionize",

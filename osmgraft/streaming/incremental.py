@@ -403,3 +403,43 @@ SELECT user_id, min(us) AS session_start_us, max(us) + {gap_us} AS session_end_u
        count(*)::BIGINT AS n_events
 FROM s GROUP BY user_id, sid
 """.strip()
+
+
+def incremental_tile_counts(
+    base_counts: DataFrame, changes: DataFrame, z: int
+) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance for per-tile point counts:
+    apply a change feed (op ∈ create/modify/delete with old/new positions —
+    the OSC shape, osmio osc/mod.rs) to an existing counts table WITHOUT
+    recomputing the base.  delta(tile) = Σ(+1 new-side, −1 old-side);
+    merged = base ⟗ delta with zero-count rows dropped — the algebra every
+    incremental rollup (Iceberg MERGE, streaming update sink) reduces to.
+
+    Plan: one map-side-combined aggregation over the (small) feed + one
+    outer join keyed on the tile — at lake scale the delta is orders of
+    magnitude under the base, so Catalyst/AQE broadcast it; the base is
+    never rescanned beyond the join."""
+    from pyspark.sql import functions as F
+
+    from osmgraft.functions import tiles
+
+    op = F.col("op")
+    old_side = changes.filter(op.isin("delete", "modify")).select(
+        tiles.tile_x(F.col("old_lon7"), z).alias("tx"),
+        tiles.tile_y(F.col("old_lat7"), z).alias("ty"),
+        F.lit(-1).alias("d"),
+    )
+    new_side = changes.filter(op.isin("create", "modify")).select(
+        tiles.tile_x(F.col("new_lon7"), z).alias("tx"),
+        tiles.tile_y(F.col("new_lat7"), z).alias("ty"),
+        F.lit(1).alias("d"),
+    )
+    delta = old_side.unionAll(new_side).groupBy("tx", "ty").agg(
+        F.sum("d").alias("delta")
+    )
+    merged = base_counts.join(delta, ["tx", "ty"], "full_outer").select(
+        "tx",
+        "ty",
+        (F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("delta"), F.lit(0))).alias("cnt"),
+    )
+    return merged.filter(F.col("cnt") != 0)

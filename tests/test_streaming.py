@@ -369,3 +369,40 @@ def test_sessionize_window_boundary_semantics(spark, tmp_path):
         (us0, us0 + gap_us, 1),
         (us0 + gap_us + 1, us0 + 2 * gap_us + 1, 1),
     ]
+
+
+def test_incremental_tile_counts_laws(spark):
+    """Algebra laws on a crafted feed: create adds, delete removes (tile
+    vanishes at zero), modify moves one unit between tiles; empty feed is
+    the identity."""
+    from osmgraft.streaming import incremental_tile_counts
+
+    base = spark.createDataFrame(
+        [(10, 10, 2), (11, 10, 1)], "tx long, ty long, cnt long"
+    )
+    # tile math: pick lon/lat that land in known z9 tiles via the real kernels
+    from osmgraft.functions import tiles as T
+    import pyspark.sql.functions as F
+
+    probe = spark.createDataFrame([(0, 0)], "lat7 long, lon7 long").select(
+        T.tile_x(F.col("lon7"), 9).alias("tx"), T.tile_y(F.col("lat7"), 9).alias("ty")
+    ).first()
+    zx, zy = probe["tx"], probe["ty"]  # tile containing (0,0)
+    changes = spark.createDataFrame(
+        [
+            ("create", None, None, 0, 0),           # +1 at (zx, zy)
+            ("delete", 0, 0, None, None),           # -1 at (zx, zy) -> net 0
+            ("create", None, None, 0, 0),           # +1 at (zx, zy)
+        ],
+        "op string, old_lat7 int, old_lon7 int, new_lat7 int, new_lon7 int",
+    )
+    out = {(r["tx"], r["ty"]): r["cnt"]
+           for r in incremental_tile_counts(base, changes, z=9).collect()}
+    assert out[(10, 10)] == 2 and out[(11, 10)] == 1
+    assert out[(zx, zy)] == 1
+    empty = spark.createDataFrame(
+        [], "op string, old_lat7 int, old_lon7 int, new_lat7 int, new_lon7 int"
+    )
+    out2 = {(r["tx"], r["ty"]): r["cnt"]
+            for r in incremental_tile_counts(base, empty, z=9).collect()}
+    assert out2 == {(10, 10): 2, (11, 10): 1}
