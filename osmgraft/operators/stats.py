@@ -645,3 +645,36 @@ def groupwise_ols(
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
         (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).alias("icept_num"),
     )
+
+
+def interval_union(
+    df: DataFrame,
+    keys: list[str],
+    start_col: str = "s",
+    end_col: str = "e",
+) -> DataFrame:
+    """Per-key interval-set union (the sweep-line "total covered length"
+    primitive behind uptime, active-time and coverage metrics): overlapping
+    or touching [s, e) intervals merge; emits per key the merged-interval
+    count and the total covered length.  Handles containment — the island
+    break tests the RUNNING MAX of all previous ends, not just the last —
+    so unsorted, nested, duplicate intervals are all correct.
+
+    Plan: one (keys, s) sort window for the running max + island id, one
+    hash agg for the per-island extents, one for the per-key rollup —
+    a single Exchange on the keys."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(w.rowsBetween(W.unboundedPreceding, -1))
+    brk = F.when(prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1).otherwise(0)
+    isl = df.withColumn("_brk", brk).withColumn(
+        "_gid", F.sum("_brk").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    per_island = isl.groupBy(*keys, "_gid").agg(
+        F.min(start_col).alias("_s"), F.max(end_col).alias("_e")
+    )
+    return per_island.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("_e") - F.col("_s")).alias("covered"),
+    )

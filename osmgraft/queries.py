@@ -6668,3 +6668,40 @@ def tile_counts_incremental_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return incremental_tile_counts(base, changes, z=9)
+
+
+@register(
+    "user_active_coverage",
+    """WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e FROM events),
+m AS (SELECT user_id, s, e,
+  CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            IS NULL
+         OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       THEN 1 ELSE 0 END AS brk
+  FROM iv),
+g AS (SELECT user_id, s, e,
+      sum(brk) OVER (PARTITION BY user_id ORDER BY s, e) AS gid FROM m),
+i AS (SELECT user_id, gid, min(s) AS s0, max(e) AS e1 FROM g GROUP BY 1, 2)
+SELECT user_id, count(*)::BIGINT AS n_intervals,
+       sum(e1 - s0)::BIGINT AS covered
+FROM i GROUP BY user_id""",
+)
+def user_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user active-time coverage (operators/stats.interval_union): each
+    event opens a 5-minute activity interval; overlapping intervals merge
+    and the TOTAL COVERED microseconds are summed — the uptime/engagement
+    metric interval algebra (distinct from session span: coverage of a
+    union, not extent of a window).  Running-max island break handles
+    nesting exactly; one Exchange; the DuckDB twin replays the identical
+    sweep."""
+    from osmgraft.operators.stats import interval_union
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + 300_000_000).alias("e"),
+    )
+    return interval_union(ev, ["user_id"], "s", "e")

@@ -367,3 +367,17 @@ def test_groupwise_ols_golden(spark):
     assert a["den"] > 0 and a["slope_num"] == 3 * a["den"]
     assert a["icept_num"] == 7 * a["den"]
     assert out["b"]["den"] == 0 and out["b"]["n"] == 3
+
+
+def test_interval_union_nesting_and_touching(spark):
+    """Containment, touching and disjoint intervals: [0,10) ∪ [2,3) ∪
+    [10,12) merge to one island of length 12; [20,21) is separate."""
+    from osmgraft.operators.stats import interval_union
+
+    rows = [("u", 0, 10), ("u", 2, 3), ("u", 10, 12), ("u", 20, 21),
+            ("v", 5, 6)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = {r["k"]: (r["n_intervals"], r["covered"])
+           for r in interval_union(df, ["k"], "s", "e").collect()}
+    assert out["u"] == (2, 13)
+    assert out["v"] == (1, 1)
