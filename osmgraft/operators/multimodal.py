@@ -3048,3 +3048,50 @@ def image_ssim_global(pairs: DataFrame) -> DataFrame:
         kernel,
         schema="pair_id long, num1 long, num2 long, den1 long, den2 long",
     )
+
+
+def video_temporal_signature(
+    media: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Temporal ordinal signature per clip — the video-modality near-dup
+    key (Chen et al.-style ordinal/temporal fingerprints, public lineage):
+    bit f−1 of ``sig`` is 1 iff total frame luma RISES from frame f−1 to f,
+    so the signature captures the clip's brightness rhythm and is invariant
+    to global luma offsets.  Near-dup candidate pairs are then a plain
+    equi-join (or banded hamming join, operators/multimodal.
+    phash_near_dup_pairs machinery) on (n_frames, sig) — this kernel emits
+    the signature; the join downstream is the standard bucketed shape.
+
+    REAL y4m decode; per clip one (nf, h, w) → nf luma-sum reduction and a
+    diff-sign fold — map-only, no shuffle."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(0).to_pylist()
+            buf, starts, ends = _binary_spans(rb.column(1))
+            bb = buf.tobytes()
+            o_id, o_nf, o_sig = [], [], []
+            for i in range(len(starts)):
+                _w, _h, _cs, luma = y4m_parse(bb[starts[i]:ends[i]])
+                sums = luma.astype(np.int64).sum(axis=(1, 2))
+                bits = (np.diff(sums) > 0).astype(np.int64)
+                sig = int((bits << np.arange(len(bits), dtype=np.int64)).sum())
+                o_id.append(ids[i])
+                o_nf.append(len(sums))
+                o_sig.append(sig)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_id, type=pa.string()),
+                    pa.array(o_nf, type=pa.int32()),
+                    pa.array(o_sig, type=pa.int64()),
+                ],
+                ["media_id", "n_frames", "sig"],
+            )
+
+    return media.select(F.col(id_col).cast("string"), F.col(bytes_col)).mapInArrow(
+        kernel, "media_id string, n_frames int, sig long"
+    )

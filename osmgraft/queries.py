@@ -6705,3 +6705,40 @@ def user_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.col("ts").cast("timestamp")) + 300_000_000).alias("e"),
     )
     return interval_union(ev, ["user_id"], "s", "e")
+
+
+@register(
+    "video_temporal_sig",
+    """WITH idxs AS (SELECT row_number() OVER () - 1 AS i FROM orders),
+clips AS (SELECT i, 4 + i % 3 AS nf FROM idxs WHERE i < 300),
+s AS (
+  SELECT c.i, c.nf, f.range AS f,
+         sum((c.i * 31 + f.range * 17 + y.range * 5 + x.range * 3) % 256) AS lsum
+  FROM clips c
+  JOIN range(0, 6) f ON f.range < c.nf
+  CROSS JOIN range(0, 16) y CROSS JOIN range(0, 16) x
+  GROUP BY c.i, c.nf, f.range),
+b AS (
+  SELECT i, nf, f,
+         CASE WHEN lsum > lag(lsum) OVER (PARTITION BY i ORDER BY f)
+              THEN 1 ELSE 0 END AS bit
+  FROM s),
+sig AS (
+  SELECT i, nf, sum(bit * (1 << (f - 1))) AS sig
+  FROM b WHERE f >= 1 GROUP BY i, nf)
+SELECT concat('vid', lpad(CAST(i AS VARCHAR), 12, '0')) AS media_id,
+       CAST(nf AS INTEGER) AS n_frames, CAST(sig AS BIGINT) AS sig
+FROM sig""",
+)
+def video_temporal_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video temporal ordinal signature (operators/multimodal.
+    video_temporal_signature): the brightness-rhythm bit vector over real
+    y4m decode — the near-dup key for the video modality (the downstream
+    pair join is the standard bucketed equi/hamming shape).  DuckDB twin
+    rebuilds per-frame luma sums from the closed-form formula and folds
+    the identical diff-sign bits."""
+    from osmgraft.operators.multimodal import video_temporal_signature
+    from osmgraft.synth import synth_videos
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 300)
+    return video_temporal_signature(synth_videos(spark, n))

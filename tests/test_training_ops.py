@@ -1257,3 +1257,27 @@ def test_audio_active_segments_crafted(spark):
     assert all(r["media_id"] == "a" for r in out)
     e = w * loud * loud
     assert segs == [(0, 2, 2, 2 * e), (5, 6, 1, e)]
+
+
+def test_video_temporal_signature_crafted(spark):
+    """Hand-built y4m clips: monotone-brighter -> all bits set; monotone-
+    darker -> zero; a shifted copy (global +10 luma) keeps the signature
+    (offset invariance)."""
+    import numpy as np
+
+    from osmgraft.operators.multimodal import encode_y4m, video_temporal_signature
+
+    up = np.stack([np.full((4, 4), 10 * (f + 1), np.uint8) for f in range(4)])
+    down = up[::-1].copy()
+    up_shift = np.clip(up.astype(np.int32) + 10, 0, 255).astype(np.uint8)
+    rows = [
+        ("up", bytearray(encode_y4m(up))),
+        ("down", bytearray(encode_y4m(down))),
+        ("up_shift", bytearray(encode_y4m(up_shift))),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary")
+    out = {r["media_id"]: (r["n_frames"], r["sig"])
+           for r in video_temporal_signature(df).collect()}
+    assert out["up"] == (4, 0b111)
+    assert out["down"] == (4, 0)
+    assert out["up_shift"] == out["up"]
