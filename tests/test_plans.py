@@ -197,3 +197,45 @@ def test_exif_gps_projects_only_metadata_columns(spark):
     assert "ArrowEvalPython" in plan or "MapInArrow" in plan
     # passthrough default: only image_id + bytes feed the kernel
     assert "lat7" not in plan.split("MapInArrow")[0].split("\n")[0]
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """The 100 TB shuffle-join pruning knob, evidenced live: with a
+    selective filter on one join side and broadcast disabled, Catalyst
+    injects a runtime Bloom filter (bloom_filter_agg on the creation side,
+    might_contain on the probe side) so the big side drops non-matching
+    rows BEFORE the exchange. Thresholds are lowered to trigger at test
+    scale — at lake scale the defaults (10 MB creation side) fire on any
+    dimension-filtered fact join."""
+    import pyspark.sql.functions as F
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        small = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").filter(
+            F.col("c_custkey") % 50 == 0
+        )
+        j = big.join(small, big.o_custkey == small.c_custkey).groupBy(
+            "c_mktsegment"
+        ).count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+        # the equality-derived predicate is ALSO pushed to the probe side
+        assert "(o_custkey" in plan and "% 50" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
