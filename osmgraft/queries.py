@@ -6742,3 +6742,63 @@ def video_temporal_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 300)
     return video_temporal_signature(synth_videos(spark, n))
+
+
+def _sql_boundary_density() -> str:
+    edges = []
+    for b in ADMIN_BOUNDARIES:
+        for ridx, ring in enumerate([b["ring"]] + b.get("holes", [])):
+            for (y1, x1), (y2, x2) in zip(ring[:-1], ring[1:]):
+                edges.append(f"({b['boundary_id']}, {ridx}, {x1}, {y1}, {x2}, {y2})")
+    vals = ",\n  ".join(edges)
+    return f"""WITH pts AS ({_PTS}),
+{sql_pip_predicate(ADMIN_BOUNDARIES)},
+cnt AS (SELECT boundary_id, count(*) AS cnt FROM pip GROUP BY 1),
+v(bid, ridx, x1, y1, x2, y2) AS (VALUES
+  {vals}),
+r AS (SELECT bid, ridx,
+      abs(sum(CAST(x1 AS BIGINT) * y2 - CAST(x2 AS BIGINT) * y1)) AS a2
+      FROM v GROUP BY 1, 2),
+area AS (SELECT bid, sum(CASE WHEN ridx = 0 THEN a2 ELSE -a2 END) AS area2
+         FROM r GROUP BY bid)
+SELECT c.boundary_id, c.cnt, CAST(area.area2 AS BIGINT) AS area2
+FROM cnt c JOIN area ON area.bid = c.boundary_id"""
+
+
+@register("boundary_density", _sql_boundary_density())
+def boundary_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-boundary point DENSITY as an exact rational (cnt, area2): the
+    flagship PIP join composed with the shoelace operator — counts from
+    the broadcast STR-tree join, areas from operators/osm.way_area_centroid
+    run over the boundary rings themselves (holes subtract: |outer| −
+    Σ|holes|, the donut fixture exercises it).  The DuckDB twin re-derives
+    the areas from a VALUES edge list and the counts from the shared PIP
+    predicate — join result and polygon measure land on one hash.
+    Density = cnt / (area2 / 2 / 1e14 deg²); the rational pair is emitted
+    so no float enters the gate."""
+    from osmgraft.operators.osm import way_area_centroid as wac
+    from osmgraft.operators.pip import pip_join
+
+    verts = []
+    for b in ADMIN_BOUNDARIES:
+        for ridx, ring in enumerate([b["ring"]] + b.get("holes", [])):
+            for seq, (lat, lon) in enumerate(ring[:-1]):
+                verts.append((b["boundary_id"] * 16 + ridx, seq, lon, lat))
+    vdf = spark.createDataFrame(verts, "rk long, seq int, x long, y long")
+    ring_areas = wac(vdf, way_col="rk", seq_col="seq").select(
+        (F.col("way_id") / 16).cast("long").alias("boundary_id"),
+        F.when(F.col("way_id") % 16 == 0, F.abs(F.col("area2")))
+        .otherwise(-F.abs(F.col("area2")))
+        .cast("decimal(38,0)")
+        .alias("signed_a2"),
+    )
+    areas = ring_areas.groupBy("boundary_id").agg(
+        F.sum("signed_a2").cast("long").alias("area2")
+    )
+    pts = points_from_orders(spark, sf_dir)
+    counts = (
+        pip_join(pts, ADMIN_BOUNDARIES, how="inner", ensure_parallelism=True)
+        .groupBy("boundary_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.join(areas, "boundary_id").select("boundary_id", "cnt", "area2")

@@ -186,3 +186,13 @@ def test_pnpoly_int_knife_edge_exact(spark=None):
     la = rng.integers(1, 1_000_000, 500)
     lo = rng.integers(1, 1_000_000, 500)
     assert (pnpoly_int(la, lo, edges) == pnpoly(la, lo, edges)).all()
+
+
+def test_boundary_density_donut_area(spark):
+    """The composed density query's area leg: donut = |outer| − |hole|
+    exactly (2·(3e8² − 1e8²) in fixed-point²)."""
+    from osmgraft.queries import boundary_density
+
+    out = {r["boundary_id"]: r for r in boundary_density(spark, "/root/testdata/sf0.001").collect()}
+    assert out[7]["area2"] == 2 * (300_000_000 ** 2 - 100_000_000 ** 2)
+    assert all(r["area2"] > 0 and r["cnt"] > 0 for r in out.values())
