@@ -6802,3 +6802,81 @@ def boundary_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return counts.join(areas, "boundary_id").select("boundary_id", "cnt", "area2")
+
+
+@register(
+    "tile_skew_gini_z9",
+    f"""WITH pts AS ({_PTS}),
+t AS (SELECT {tiles.sql_tile_x('lon7', 9)} AS tx, {tiles.sql_tile_y('lat7', 9)} AS ty,
+             count(*) AS cnt
+      FROM pts GROUP BY tx, ty),
+r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, tx, ty) AS i FROM t)
+SELECT count(*)::BIGINT AS n_tiles, sum(cnt)::BIGINT AS total,
+       CAST(2 * sum(i * cnt) - (count(*) + 1) * sum(cnt) AS BIGINT) AS gini_num,
+       CAST(count(*) * sum(cnt) AS BIGINT) AS gini_den
+FROM r""",
+)
+def tile_skew_gini_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Gini concentration index of z9 tile occupancy — the skew
+    diagnosis the north rule's "skew handled explicitly" starts from:
+    Gini = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over counts sorted ascending
+    (ties broken (cnt, tx, ty) so both engines rank identically), emitted
+    as an integer numerator/denominator pair.  One tile agg + one global
+    sort-rank over the (small) tile table + one scalar agg; the ranked
+    window never touches point rows."""
+    from pyspark.sql import Window as W
+
+    pts = points_from_orders(spark, sf_dir)
+    t = (
+        pts.select(
+            tiles.tile_x(F.col("lon7"), 9).alias("tx"),
+            tiles.tile_y(F.col("lat7"), 9).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    r = t.withColumn("i", F.row_number().over(W.orderBy("cnt", "tx", "ty")))
+    return r.agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.sum("cnt").alias("total"),
+        (2 * F.sum(F.col("i") * F.col("cnt"))
+         - (F.count(F.lit(1)) + 1) * F.sum("cnt")).alias("gini_num"),
+        (F.count(F.lit(1)) * F.sum("cnt")).alias("gini_den"),
+    )
+
+
+@register(
+    "salt_plan_cells",
+    f"""WITH pts AS ({_PTS}),
+c AS (SELECT (CAST(((CAST(lat7 AS BIGINT) - ((CAST(lat7 AS BIGINT) % 50000000 + 50000000) % 50000000)) / 50000000) AS BIGINT) * 72 + ((CAST(((CAST(lon7 AS BIGINT) - ((CAST(lon7 AS BIGINT) % 50000000 + 50000000) % 50000000)) / 50000000) AS BIGINT) % 72 + 72) % 72)) AS cell,
+             count(*) AS cnt
+      FROM pts GROUP BY 1)
+SELECT cell, cnt,
+       CAST(least(64, greatest(1, (cnt + 299) // 300)) AS BIGINT) AS nsalts
+FROM c WHERE cnt > 500""",
+)
+def salt_plan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit salt-factor PLAN the skew-split cell join derives
+    (operators/celljoin.cell_pip_join step 1, same ceil-division algebra;
+    thresholds here are scaled to the gate SFs — 500-row hot cells,
+    300 rows/salt, cap 64 — so the plan is NON-EMPTY where production uses
+    20k/10k): hot cells and their integer salt counts as a first-class
+    auditable artifact — at 10^12 rows this tiny table is what an operator
+    reviews before a backfill.  The DuckDB twin recomputes the grid-cell
+    key and the ceil-division plan."""
+    from osmgraft.functions.cells import grid_cell
+
+    pts = points_from_orders(spark, sf_dir)
+    c = (
+        pts.withColumn("cell", grid_cell(F.col("lat7"), F.col("lon7"), 50_000_000))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 500)
+    )
+    return c.select(
+        "cell",
+        "cnt",
+        F.least(F.lit(64), F.greatest(F.lit(1), F.floor((F.col("cnt") + 299) / 300)))
+        .cast("long")
+        .alias("nsalts"),
+    )

@@ -381,3 +381,14 @@ def test_interval_union_nesting_and_touching(spark):
            for r in interval_union(df, ["k"], "s", "e").collect()}
     assert out["u"] == (2, 13)
     assert out["v"] == (1, 1)
+
+
+def test_tile_gini_bounds(spark):
+    """Gini sanity on the real fixture: 0 < G < 1 and the rational is in
+    canonical integer form; hot-spot skew makes it clearly nonzero."""
+    from osmgraft.queries import tile_skew_gini_z9
+
+    r = tile_skew_gini_z9(spark, "/root/testdata/sf0.001").collect()[0]
+    g = r["gini_num"] / r["gini_den"]
+    assert 0.05 < g < 1.0
+    assert r["n_tiles"] > 100 and r["total"] == 1500
