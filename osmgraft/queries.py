@@ -6880,3 +6880,88 @@ def salt_plan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("nsalts"),
     )
+
+
+@register(
+    "stream_tile_counts_incremental_z9",
+    f"""WITH pts AS ({_PTS}),
+patched AS (
+  SELECT point_id, CASE WHEN point_id % 7 = 3 THEN -lat7 ELSE lat7 END AS lat7, lon7
+  FROM pts WHERE point_id % 7 != 0)
+SELECT {tiles.sql_tile_x('lon7', 9)} AS tx, {tiles.sql_tile_y('lat7', 9)} AS ty,
+       count(*) AS cnt
+FROM patched GROUP BY tx, ty""",
+)
+def stream_tile_counts_incremental_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental view maintenance, end-to-end: the same
+    OSC-shaped change feed as tile_counts_incremental_z9 arrives as a
+    2-microbatch file stream; foreachBatch applies
+    streaming/incremental.incremental_tile_counts to the persisted counts
+    view per batch (read → delta-merge → version-swap write — the
+    read-modify-write an Iceberg MERGE INTO replaces atomically at lake
+    scale).  Because delta merge is ASSOCIATIVE, any batch split of the
+    feed converges to the same view; the gate pins the final table against
+    the full-recompute oracle, so a lost batch, double-applied delta or
+    undropped zero row flips the hash."""
+    import os
+    import tempfile
+
+    from osmgraft.streaming import incremental_tile_counts
+
+    pts = points_from_orders(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="og_sinc_")
+    base = (
+        pts.select(
+            tiles.tile_x(F.col("lon7"), 9).alias("tx"),
+            tiles.tile_y(F.col("lat7"), 9).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    view = {"path": os.path.join(root, "view_v0")}
+    base.write.parquet(view["path"])
+
+    changes = pts.filter(F.col("point_id") % 7 == 0).select(
+        F.col("point_id"),
+        F.lit("delete").alias("op"),
+        F.col("lat7").alias("old_lat7"), F.col("lon7").alias("old_lon7"),
+        F.lit(None).cast("int").alias("new_lat7"),
+        F.lit(None).cast("int").alias("new_lon7"),
+    ).unionByName(
+        pts.filter(F.col("point_id") % 7 == 3).select(
+            F.col("point_id"),
+            F.lit("modify").alias("op"),
+            F.col("lat7").alias("old_lat7"), F.col("lon7").alias("old_lon7"),
+            (-F.col("lat7")).alias("new_lat7"), F.col("lon7").alias("new_lon7"),
+        )
+    )
+    feed = os.path.join(root, "feed")
+    changes.filter(F.col("point_id") % 2 == 0).drop("point_id").write.parquet(
+        os.path.join(feed, "b0")
+    )
+    changes.filter(F.col("point_id") % 2 == 1).drop("point_id").write.parquet(
+        os.path.join(feed, "b1")
+    )
+    schema = ("op string, old_lat7 int, old_lon7 int, "
+              "new_lat7 int, new_lon7 int")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed + "/*")
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = spark.read.parquet(view["path"])
+        nxt = incremental_tile_counts(cur, batch_df, z=9)
+        out = os.path.join(root, f"view_v{batch_id + 1}")
+        nxt.write.parquet(out)
+        view["path"] = out
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(root, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(view["path"])
