@@ -329,3 +329,33 @@ def sql_bpe_pretokens(expr: str) -> str:
     # RE2: single-quoted pattern; leftmost-first alternation like Java
     pat = BPE_SPLIT_RE.replace("'", "''")
     return f"regexp_extract_all({expr}, '{pat}')"
+
+
+def luhn_valid(digits: Column) -> Column:
+    """Luhn mod-10 checksum (ISO/IEC 7812, public — the card-number
+    validity test a PII scrubber uses to cut false positives on arbitrary
+    digit runs): from the RIGHT, every second digit doubles (minus 9 past
+    9); valid iff the total divides by 10.  A pure integer fold over
+    sequence(1, length) — whole-stage codegen, no UDF; sql_luhn_sum is the
+    engine-neutral relational twin."""
+    n = F.length(digits)
+
+    def term(acc: Column, i: Column) -> Column:
+        d = F.ascii(F.substring(digits, i, F.lit(1))) - 48
+        j = n - i  # 0-based position from the right
+        dbl = 2 * d
+        return acc + F.when(j % 2 == 1, F.when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(d)
+
+    total = F.aggregate(F.sequence(F.lit(1), n), F.lit(0), term)
+    return (total % 10 == 0) & (n >= 13)
+
+
+def sql_luhn_sum(digits_expr: str) -> str:
+    """DuckDB per-digit term source for the Luhn sum: emits a FROM-ready
+    lateral unnest fragment; callers GROUP BY and test sum % 10 = 0.
+    (Relational formulation — a different evaluation strategy than the
+    engine's sequence fold, same checksum.)"""
+    return (
+        f"SELECT unnest(range(1, length({digits_expr}) + 1)) AS i, "
+        f"{digits_expr} AS dg"
+    )

@@ -6965,3 +6965,42 @@ def stream_tile_counts_incremental_z9(spark: SparkSession, sf_dir: str) -> DataF
     )
     q.awaitTermination(300)
     return spark.read.parquet(view["path"])
+
+
+@register(
+    "pii_luhn_cards",
+    """WITH d AS (
+  SELECT doc_id,
+         lpad(CAST((doc_id * 7919 + 123456789) % 10000000000000000 AS VARCHAR),
+              16, '0') AS dg
+  FROM documents),
+t AS (SELECT doc_id, dg, unnest(range(1, length(dg) + 1)) AS i FROM d),
+s AS (SELECT doc_id, dg,
+        sum(CASE WHEN (length(dg) - i) % 2 = 1
+                 THEN CASE WHEN 2 * (ascii(substr(dg, CAST(i AS INTEGER), 1)) - 48) > 9
+                           THEN 2 * (ascii(substr(dg, CAST(i AS INTEGER), 1)) - 48) - 9
+                           ELSE 2 * (ascii(substr(dg, CAST(i AS INTEGER), 1)) - 48) END
+                 ELSE ascii(substr(dg, CAST(i AS INTEGER), 1)) - 48 END) AS tot
+      FROM t GROUP BY doc_id, dg)
+SELECT doc_id, dg AS card_digits, (tot % 10 = 0) AS luhn_ok FROM s""",
+)
+def pii_luhn_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn checksum validation (functions/text.luhn_valid): every doc gets
+    a deterministic 16-digit candidate (formula-derived, so ~10% pass);
+    the engine folds the mod-10 checksum JVM-side while the DuckDB twin
+    evaluates it relationally (unnest + grouped CASE sum) — two evaluation
+    strategies, one checksum on the hash.  In a real scrubber this gates
+    the card-number regex of pii_scrub: digit runs failing Luhn stay
+    unredacted (false-positive control)."""
+    from osmgraft.functions.text import luhn_valid
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.lpad(
+            ((F.col("doc_id") * 7919 + 123456789) % F.lit(10_000_000_000_000_000))
+            .cast("string"),
+            16,
+            "0",
+        ).alias("card_digits"),
+    )
+    return docs.select("doc_id", "card_digits", luhn_valid(F.col("card_digits")).alias("luhn_ok"))

