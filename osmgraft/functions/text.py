@@ -336,8 +336,9 @@ def luhn_valid(digits: Column) -> Column:
     validity test a PII scrubber uses to cut false positives on arbitrary
     digit runs): from the RIGHT, every second digit doubles (minus 9 past
     9); valid iff the total divides by 10.  A pure integer fold over
-    sequence(1, length) — whole-stage codegen, no UDF; sql_luhn_sum is the
-    engine-neutral relational twin."""
+    sequence(1, length) — whole-stage codegen, no UDF; the pii_luhn_cards
+    oracle evaluates the same checksum relationally (unnest + grouped
+    CASE sum) including the >= 13-digit gate."""
     n = F.length(digits)
 
     def term(acc: Column, i: Column) -> Column:
@@ -348,14 +349,3 @@ def luhn_valid(digits: Column) -> Column:
 
     total = F.aggregate(F.sequence(F.lit(1), n), F.lit(0), term)
     return (total % 10 == 0) & (n >= 13)
-
-
-def sql_luhn_sum(digits_expr: str) -> str:
-    """DuckDB per-digit term source for the Luhn sum: emits a FROM-ready
-    lateral unnest fragment; callers GROUP BY and test sum % 10 = 0.
-    (Relational formulation — a different evaluation strategy than the
-    engine's sequence fold, same checksum.)"""
-    return (
-        f"SELECT unnest(range(1, length({digits_expr}) + 1)) AS i, "
-        f"{digits_expr} AS dg"
-    )

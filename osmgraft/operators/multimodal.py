@@ -2939,6 +2939,10 @@ def audio_active_segments(
     en = audio_window_energy(
         media, window=window, decoder=decoder, id_col=id_col, bytes_col=bytes_col
     )
+    # audio_window_energy emits its id column as 'media_id' regardless of
+    # id_col — rename back so the windows below resolve for any caller
+    if id_col != "media_id":
+        en = en.withColumnRenamed("media_id", id_col)
     act = en.filter(F.col("energy") > energy_thresh)
     w = W.partitionBy(id_col).orderBy("window_idx")
     isl = act.withColumn(
@@ -3078,7 +3082,10 @@ def video_temporal_signature(
             for i in range(len(starts)):
                 _w, _h, _cs, luma = y4m_parse(bb[starts[i]:ends[i]])
                 sums = luma.astype(np.int64).sum(axis=(1, 2))
-                bits = (np.diff(sums) > 0).astype(np.int64)
+                # first 63 diffs only: int64 shifts past bit 62 are UB
+                # (wrap mod 64 on x86) — longer clips truncate the rhythm
+                # key, which stays a valid (coarser) near-dup bucket
+                bits = (np.diff(sums)[:63] > 0).astype(np.int64)
                 sig = int((bits << np.arange(len(bits), dtype=np.int64)).sum())
                 o_id.append(ids[i])
                 o_nf.append(len(sums))

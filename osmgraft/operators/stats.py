@@ -631,6 +631,10 @@ def groupwise_ols(
     """
     x = F.col(x_col).cast("long")
     y = F.col(y_col).cast("long")
+    # rows with null x or y are excluded ENTIRELY so n matches the summed
+    # population (count(lit(1)) with null-skipping sums would corrupt the
+    # normal equations)
+    df = df.filter(x.isNotNull() & y.isNotNull())
     agg = df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),

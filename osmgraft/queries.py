@@ -6558,7 +6558,8 @@ def _sql_ssim(n: int = 300) -> str:
                 f" + 114 * (({i}*37 + y*11 + x*7 + 58) % 256)) // 1000")
 
     return f"""WITH idxs AS ({_FIMG_IDX_CTE.format(n=n)}),
-pidx AS (SELECT idx AS p FROM idxs WHERE idx % 12 < 6 AND idx + 6 < {n}),
+pidx AS (SELECT idx AS p FROM idxs
+         WHERE idx % 12 < 6 AND idx + 6 < least({n}, (SELECT count(*) FROM orders))),
 dims AS (SELECT p, 16 + (p % 3) * 8 AS w, 12 + (p % 2) * 6 AS h FROM pidx),
 px AS (
   SELECT p, {luma('p')} AS lx, {luma('(p+6)')} AS ly
@@ -6845,16 +6846,20 @@ def tile_skew_gini_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "salt_plan_cells",
-    f"""WITH pts AS ({_PTS}),
-c AS (SELECT (CAST(((CAST(lat7 AS BIGINT) - ((CAST(lat7 AS BIGINT) % 50000000 + 50000000) % 50000000)) / 50000000) AS BIGINT) * 72 + ((CAST(((CAST(lon7 AS BIGINT) - ((CAST(lon7 AS BIGINT) % 50000000 + 50000000) % 50000000)) / 50000000) AS BIGINT) % 72 + 72) % 72)) AS cell,
+def _sql_salt_plan() -> str:
+    from osmgraft.functions.cells import sql_grid_cell
+
+    cell = sql_grid_cell("lat7", "lon7", 50_000_000)
+    return f"""WITH pts AS ({_PTS}),
+c AS (SELECT {cell} AS cell,
              count(*) AS cnt
       FROM pts GROUP BY 1)
 SELECT cell, cnt,
        CAST(least(64, greatest(1, (cnt + 299) // 300)) AS BIGINT) AS nsalts
-FROM c WHERE cnt > 500""",
-)
+FROM c WHERE cnt > 500"""
+
+
+@register("salt_plan_cells", _sql_salt_plan())
 def salt_plan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The explicit salt-factor PLAN the skew-split cell join derives
     (operators/celljoin.cell_pip_join step 1, same ceil-division algebra;

@@ -392,3 +392,13 @@ def test_tile_gini_bounds(spark):
     g = r["gini_num"] / r["gini_den"]
     assert 0.05 < g < 1.0
     assert r["n_tiles"] > 100 and r["total"] == 1500
+
+
+def test_groupwise_ols_null_rows_excluded(spark):
+    from osmgraft.operators.stats import groupwise_ols
+
+    rows = [("a", 1, 3), ("a", None, 5), ("a", 2, None), ("a", 2, 6)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    r = groupwise_ols(df, ["g"], "x", "y").collect()[0]
+    # only the two complete rows participate: y = 3x exactly
+    assert r["n"] == 2 and r["slope_num"] == 3 * r["den"] and r["den"] > 0

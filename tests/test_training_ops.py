@@ -1281,3 +1281,37 @@ def test_video_temporal_signature_crafted(spark):
     assert out["up"] == (4, 0b111)
     assert out["down"] == (4, 0)
     assert out["up_shift"] == out["up"]
+
+
+def test_video_temporal_signature_long_clip_truncates(spark):
+    """Clips past 64 frames must not hit undefined int64 shifts: the sig
+    uses the first 63 diffs only, and a 100-frame clip equals its own
+    first-64-frame prefix."""
+    import numpy as np
+
+    from osmgraft.operators.multimodal import encode_y4m, video_temporal_signature
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, (100, 4, 4)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [("full", bytearray(encode_y4m(frames))),
+         ("head", bytearray(encode_y4m(frames[:64])))],
+        "media_id string, bytes binary",
+    )
+    out = {r["media_id"]: r for r in video_temporal_signature(df).collect()}
+    assert out["full"]["sig"] == out["head"]["sig"]
+    assert 0 <= out["full"]["sig"] < 2 ** 63
+    assert out["full"]["n_frames"] == 100
+
+
+def test_audio_active_segments_custom_id_col(spark):
+    import numpy as np
+
+    from osmgraft.operators.multimodal import audio_active_segments, encode_wav_pcm16
+
+    pcm = np.array([1000] * 8, dtype=np.int16)
+    df = spark.createDataFrame(
+        [("c1", bytearray(encode_wav_pcm16(pcm)))], "clip_id string, bytes binary"
+    )
+    out = audio_active_segments(df, window=4, energy_thresh=1, id_col="clip_id").collect()
+    assert [r["clip_id"] for r in out] == ["c1"]
