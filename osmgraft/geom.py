@@ -255,3 +255,39 @@ def pnpoly_int(lat7: np.ndarray, lon7: np.ndarray, edges: np.ndarray) -> np.ndar
     is_left = (x2 - x1) * (y - y1) - (x - x1) * (y2 - y1)
     crosses = straddles & np.where(y2 > y1, is_left > 0, is_left < 0)
     return (crosses.sum(axis=1) % 2).astype(bool)
+
+
+def sql_spherical_tri_excess(
+    p0: tuple[str, str], p1: tuple[str, str], p2: tuple[str, str]
+) -> str:
+    """Engine-neutral expression text for the SIGNED spherical excess of
+    the triangle (p0, p1, p2) — Van Oosterom & Strackee 1983's
+    tangent-of-half formula E = 2·atan2(v0·(v1×v2), 1 + v0·v1 + v1·v2 +
+    v0·v2) over unit vectors, numerically stable where l'Huilier's
+    tan-product blows up near degenerate/antipodal triangles.  Inputs are
+    (lat_rad, lon_rad) expression strings; the SAME text runs as a Spark
+    `F.expr` and inside the DuckDB twin, so both engines evaluate one IEEE
+    expression shape and a km²-granularity round sits ~7 orders above
+    cross-library trig ulp noise (the haversine_m_int discipline)."""
+
+    def vec(lat: str, lon: str) -> tuple[str, str, str]:
+        return (
+            f"cos({lat}) * cos({lon})",
+            f"cos({lat}) * sin({lon})",
+            f"sin({lat})",
+        )
+
+    x0, y0, z0 = vec(*p0)
+    x1, y1, z1 = vec(*p1)
+    x2, y2, z2 = vec(*p2)
+
+    def dot(a, b):
+        return f"(({a[0]})*({b[0]}) + ({a[1]})*({b[1]}) + ({a[2]})*({b[2]}))"
+
+    v0, v1, v2 = (x0, y0, z0), (x1, y1, z1), (x2, y2, z2)
+    triple = (
+        f"(({x0})*(({y1})*({z2}) - ({z1})*({y2}))"
+        f" - ({y0})*(({x1})*({z2}) - ({z1})*({x2}))"
+        f" + ({z0})*(({x1})*({y2}) - ({y1})*({x2})))"
+    )
+    return f"2 * atan2({triple}, 1 + {dot(v0, v1)} + {dot(v1, v2)} + {dot(v0, v2)})"

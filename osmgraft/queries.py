@@ -7009,3 +7009,92 @@ def pii_luhn_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("card_digits"),
     )
     return docs.select("doc_id", "card_digits", luhn_valid(F.col("card_digits")).alias("luhn_ok"))
+
+
+def _sql_way_area_geodesic() -> str:
+    from osmgraft.geom import sql_spherical_tri_excess
+
+    ex = sql_spherical_tri_excess(("la0", "lo0"), ("la1", "lo1"), ("la2", "lo2"))
+    return f"""WITH pts AS ({_PTS}),
+o AS (SELECT o_custkey AS way_id, o_orderkey AS node,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+      FROM orders),
+v AS (SELECT o.way_id, o.rn,
+             radians(p.lat7 / 1e7) AS la, radians(p.lon7 / 1e7) AS lo
+      FROM o JOIN pts p ON p.point_id = o.node),
+t AS (SELECT way_id, rn,
+       first_value(la) OVER wf AS la0, first_value(lo) OVER wf AS lo0,
+       la AS la1, lo AS lo1,
+       lead(la) OVER w AS la2, lead(lo) OVER w AS lo2
+      FROM v WINDOW w AS (PARTITION BY way_id ORDER BY rn),
+      wf AS (PARTITION BY way_id ORDER BY rn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+e AS (SELECT way_id,
+       CAST(round(({ex}) * 1000000000000000.0) AS BIGINT) AS e15
+      FROM t WHERE rn >= 2 AND la2 IS NOT NULL)
+SELECT way_id, count(*)::BIGINT AS n_tris,
+       CAST(round(abs(sum(e15)) / 1000000000000000.0 * 40589753.12967744)
+            AS BIGINT) AS area_km2
+FROM e GROUP BY way_id"""
+
+
+@register("way_area_geodesic", _sql_way_area_geodesic())
+def way_area_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEODESIC way area (spherical excess) — the measure the planar
+    shoelace (way_area_centroid) distorts at continental extent: per way
+    the apex-fan of spherical triangles, each excess by Van Oosterom &
+    Strackee's stable 2·atan2(triple, 1+Σdots) form (geom.
+    sql_spherical_tri_excess — ONE expression text, both engines), summed
+    as INTEGER 1e-15-steradian quanta so the aggregation is associative
+    and partition-order-invariant (float sums would not be), then scaled
+    by R² and rounded to km² — 7 orders above cross-library trig ulp
+    noise.  One window + one integer agg, all JVM trig."""
+    from pyspark.sql import Window as W
+
+    from osmgraft.geom import sql_spherical_tri_excess
+
+    ex = sql_spherical_tri_excess(("la0", "lo0"), ("la1", "lo1"), ("la2", "lo2"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    pts = points_from_orders(spark, sf_dir)
+    w = W.partitionBy("way_id").orderBy("rn")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    v = (
+        orders.select(
+            F.col("o_custkey").alias("way_id"),
+            F.col("o_orderkey").alias("node"),
+            F.row_number()
+            .over(W.partitionBy("o_custkey").orderBy("o_orderkey"))
+            .alias("rn"),
+        )
+        .join(
+            pts.select(
+                F.col("point_id").alias("node"),
+                F.radians(F.col("lat7") / 1e7).alias("la"),
+                F.radians(F.col("lon7") / 1e7).alias("lo"),
+            ),
+            "node",
+        )
+    )
+    t = v.select(
+        "way_id",
+        "rn",
+        F.first("la").over(wf).alias("la0"),
+        F.first("lo").over(wf).alias("lo0"),
+        F.col("la").alias("la1"),
+        F.col("lo").alias("lo1"),
+        F.lead("la").over(w).alias("la2"),
+        F.lead("lo").over(w).alias("lo2"),
+    ).filter((F.col("rn") >= 2) & F.col("la2").isNotNull())
+    e = t.select(
+        "way_id",
+        F.expr(f"CAST(round(({ex}) * 1000000000000000.0) AS BIGINT)").alias("e15"),
+    )
+    return e.groupBy("way_id").agg(
+        F.count(F.lit(1)).alias("n_tris"),
+        F.expr(
+            "CAST(round(abs(sum(e15)) / 1000000000000000.0 * 40589753.12967744)"
+            " AS BIGINT)"
+        ).alias("area_km2"),
+    )

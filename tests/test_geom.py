@@ -196,3 +196,33 @@ def test_boundary_density_donut_area(spark):
     out = {r["boundary_id"]: r for r in boundary_density(spark, "/root/testdata/sf0.001").collect()}
     assert out[7]["area2"] == 2 * (300_000_000 ** 2 - 100_000_000 ** 2)
     assert all(r["area2"] > 0 and r["cnt"] > 0 for r in out.values())
+
+
+def test_spherical_excess_golden_and_planar_agreement():
+    """Octant = 4π/8 steradians exactly; a 1°x1° equatorial square's
+    spherical area matches the planar-equirectangular value within 0.01%."""
+    import math
+
+    import duckdb
+
+    from osmgraft.geom import sql_spherical_tri_excess
+
+    ex = sql_spherical_tri_excess(("la0", "lo0"), ("la1", "lo1"), ("la2", "lo2"))
+    con = duckdb.connect()
+    octant = con.sql(
+        f"SELECT {ex} AS e FROM (SELECT 0.0 la0, 0.0 lo0, 0.0 la1,"
+        " radians(90) lo1, radians(90) la2, 0.0 lo2)"
+    ).fetchone()[0]
+    assert abs(octant - math.pi / 2) < 1e-12
+    # unit square at the equator split into two fan triangles from (0,0)
+    r = math.radians(1.0)
+
+    def excess(p0, p1, p2):
+        q = f"""SELECT {ex} AS e FROM (SELECT {p0[0]} la0, {p0[1]} lo0,
+                {p1[0]} la1, {p1[1]} lo1, {p2[0]} la2, {p2[1]} lo2)"""
+        return con.sql(q).fetchone()[0]
+
+    e_total = excess((0, 0), (0, r), (r, r)) + excess((0, 0), (r, r), (r, 0))
+    area_km2 = abs(e_total) * 6371.0088 ** 2
+    planar_km2 = (math.pi / 180 * 6371.0088) ** 2  # 1 deg x 1 deg at equator
+    assert abs(area_km2 - planar_km2) / planar_km2 < 1e-4
