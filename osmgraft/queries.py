@@ -7098,3 +7098,64 @@ def way_area_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("area_km2"),
     )
+
+
+@register(
+    "trailing_events_1h",
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+SELECT event_id, user_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY us
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ::BIGINT AS n_trailing_1h
+FROM e""",
+)
+def trailing_events_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE-frame sliding aggregate: per event, how many
+    same-user events fall in the trailing hour INCLUSIVE of ties — the
+    rate-limiter / burst-feature window.  This is the VALUE-based frame
+    (rangeBetween on microseconds), a different executor path than the
+    row-count frames every other registry window uses: peers with equal
+    timestamps share one frame, which ROWS frames cannot express.  One
+    Exchange on user_id; twin is the identical RANGE frame in DuckDB."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = W.partitionBy("user_id").orderBy("us").rangeBetween(-3_600_000_000, 0)
+    return ev.select(
+        "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_trailing_1h")
+    )
+
+
+@register(
+    "pivot_type_by_user",
+    """SELECT user_id,
+  count(*) FILTER (event_type = 'click')::BIGINT AS click,
+  count(*) FILTER (event_type = 'error')::BIGINT AS error,
+  count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+  count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+  count(*) FILTER (event_type = 'view')::BIGINT AS view
+FROM events GROUP BY user_id""",
+)
+def pivot_type_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational PIVOT (the DataFrame .pivot() API — wide per-entity
+    feature tables from long event logs, the standard featurization
+    reshape): per user one column per event type with explicit value list
+    (no extra distinct pass; unnamed pivot would scan twice).  Catalyst
+    compiles it to ONE aggregation with conditional counts — exactly the
+    FILTER-clause twin.  Missing combinations must surface as 0 (pivot
+    count yields null — coalesced explicitly, a classic reshape bug)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
+    )

@@ -278,3 +278,18 @@ def test_luhn_known_vectors(spark):
     df = spark.createDataFrame([(d,) for d, _ in rows], "dg string")
     got = [r["ok"] for r in df.select(luhn_valid(F.col("dg")).alias("ok")).collect()]
     assert got == [w for _, w in rows]
+
+
+def test_range_frame_ties_share_window(spark):
+    """RANGE frames include timestamp PEERS (ties) — the semantic a ROWS
+    frame cannot express; pinned with two simultaneous events."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    rows = [(1, 1, 1_000_000), (2, 1, 1_000_000), (3, 1, 5_000_000_000)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, us long")
+    w = W.partitionBy("user_id").orderBy("us").rangeBetween(-3_600_000_000, 0)
+    got = {r["event_id"]: r["n"] for r in
+           df.select("event_id", F.count(F.lit(1)).over(w).alias("n")).collect()}
+    # both tied events see each other; the later event is past the hour
+    assert got == {1: 2, 2: 2, 3: 1}
