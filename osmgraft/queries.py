@@ -7159,3 +7159,24 @@ def pivot_type_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
     )
+
+
+@register(
+    "unpivot_type_counts",
+    """SELECT user_id, event_type, count(*)::BIGINT AS cnt
+FROM events GROUP BY user_id, event_type""",
+)
+def unpivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse reshape, gated as a ROUNDTRIP LAW: the
+    wide pivot_type_by_user table melts back to long and must equal the
+    plain (user, type) aggregate, except that pivot materialized absent
+    combinations as 0 — melt must drop them again (the classic
+    wide-to-long fidelity bug).  Uses the native DataFrame unpivot API
+    (Spark's UNPIVOT plan node), not a manual stack()."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = pivot_type_by_user(spark, sf_dir)
+    long = wide.unpivot(
+        ids=["user_id"], values=types, variableColumnName="event_type",
+        valueColumnName="cnt",
+    )
+    return long.filter(F.col("cnt") > 0)
