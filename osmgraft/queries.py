@@ -7180,3 +7180,36 @@ def unpivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         valueColumnName="cnt",
     )
     return long.filter(F.col("cnt") > 0)
+
+
+@register(
+    "ntile_event_values",
+    """WITH e AS (SELECT event_id, user_id, CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events)
+SELECT event_id, user_id,
+       ntile(4) OVER w::BIGINT AS quartile,
+       percent_rank() OVER w AS pr
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY v, event_id)""",
+)
+def ntile_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family windows (ntile + percent_rank) — the per-entity
+    quantile-bucketing reshape (feature binning / outlier strata): events
+    quartiled per user over an integer value projection with a total
+    (v, event_id) order, so both engines tile identically.  percent_rank's
+    (rank−1)/(n−1) is the same integer ratio in both engines → bitwise
+    doubles; ntile's uneven-bucket rule (first buckets get the extra rows)
+    is pinned by the shared total order."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    w = W.partitionBy("user_id").orderBy("v", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
