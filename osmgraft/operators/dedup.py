@@ -919,3 +919,64 @@ grp AS (SELECT doc_id, p,
 SELECT doc_id, min(p) AS span_start, max(p) + {L} AS span_end,
        max(p) + {L} - min(p) AS span_len
 FROM grp GROUP BY doc_id, gid"""
+
+
+def containment_pairs(
+    docs: DataFrame,
+    containment_threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+) -> DataFrame:
+    """EXACT asymmetric set-CONTAINMENT pairs (the excerpt/superset
+    detector symmetric Jaccard misses — a short quote inside a long page
+    scores near-zero Jaccard but containment 1.0; standard in SSJoin
+    literature as the overlap/containment predicate): DIRECTED pairs
+    (doc_a, doc_b) with |A∩B| ≥ t·|A|, A = doc_a's shingle set.
+
+    Same inverted-index candidates as jaccard_ngram_pairs (every pair
+    sharing a shingle is scored — exact recall), threshold by integer
+    cross-multiply (inter·1000 ≥ t1000·|A|), both directions emitted
+    independently.  One shuffle on shingles, one on id pairs, sizes
+    broadcast back."""
+    sh = shingles(F.col(text_col), ngram).alias("sh")
+    base = docs.select(F.col(id_col).alias("doc_id"), sh).filter(F.size("sh") > 0)
+    sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
+    post = base.select("doc_id", F.explode("sh").alias("s"))
+    a = post.select(F.col("doc_id").alias("doc_a"), "s")
+    b = post.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    thr = int(containment_threshold * 1000)
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+            ),
+            "doc_a",
+        )
+        .filter(F.col("inter_cnt") * F.lit(1000) >= F.lit(thr) * F.col("na"))
+        .select("doc_a", "doc_b", "inter_cnt", F.col("na").alias("a_size"))
+    )
+
+
+def sql_containment_pairs(
+    containment_threshold: float = 0.8, table: str = "documents", ngram: int = 3
+) -> str:
+    sh = sql_shingles("text", ngram)
+    thr = int(containment_threshold * 1000)
+    return f"""
+WITH base AS (SELECT doc_id, {sh} AS sh FROM {table}),
+ne AS (SELECT doc_id, sh, len(sh) AS n_sh FROM base WHERE len(sh) > 0),
+post AS (SELECT doc_id, unnest(sh) AS s FROM ne),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_cnt
+          FROM post a JOIN post b ON a.s = b.s AND a.doc_id != b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter_cnt, sa.n_sh AS a_size
+FROM inter JOIN ne sa ON sa.doc_id = doc_a
+WHERE inter_cnt * 1000 >= {thr} * sa.n_sh
+""".strip()

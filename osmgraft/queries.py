@@ -7213,3 +7213,13 @@ def ntile_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.percent_rank().over(w).alias("pr"),
     )
+
+
+@register("dedup_containment", D.sql_containment_pairs(0.8))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs (operators/dedup.
+    containment_pairs): directed |A∩B| ≥ 0.8·|A| — the excerpt/superset
+    near-dup predicate symmetric Jaccard misses (a quote inside a long
+    page).  Exact inverted-index recall, integer cross-multiplied
+    threshold; brute twin in DuckDB."""
+    return D.containment_pairs(_docs(spark, sf_dir), 0.8)

@@ -1315,3 +1315,22 @@ def test_audio_active_segments_custom_id_col(spark):
     )
     out = audio_active_segments(df, window=4, energy_thresh=1, id_col="clip_id").collect()
     assert [r["clip_id"] for r in out] == ["c1"]
+
+
+def test_containment_asymmetric_excerpt(spark):
+    """A short excerpt inside a long page: containment(excerpt -> page)
+    fires while symmetric Jaccard at the same threshold does not; the
+    reverse direction (page -> excerpt) must NOT fire."""
+    from osmgraft.operators.dedup import containment_pairs, jaccard_ngram_pairs
+
+    page = " ".join(f"tok{i}" for i in range(60))
+    excerpt = " ".join(f"tok{i}" for i in range(10, 20))
+    docs = spark.createDataFrame(
+        [(1, page), (2, excerpt), (3, "completely different words here entirely")],
+        "doc_id long, text string",
+    )
+    cont = {(r["doc_a"], r["doc_b"])
+            for r in containment_pairs(docs, 0.8).collect()}
+    assert (2, 1) in cont and (1, 2) not in cont
+    jac = jaccard_ngram_pairs(docs, 0.8).collect()
+    assert not any({r["doc_a"], r["doc_b"]} == {1, 2} for r in jac)
