@@ -682,3 +682,87 @@ def interval_union(
         F.count(F.lit(1)).alias("n_intervals"),
         F.sum(F.col("_e") - F.col("_s")).alias("covered"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str = "day",
+    val_col: str = "cnt",
+    z2_num: int = 4,
+) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per key group (Mann 1945 / Kendall
+    1975 — the emerging-hotspot primitive ArcGIS-style space-time analysis
+    builds on): S = Σ_{i<j} sign(v_j − v_i) over the group's observations
+    ordered by ``order_col``; Var(S) = n(n−1)(2n+5)/18 (no-ties form — ties
+    only shrink the true variance, so this classification is conservative,
+    never inflated); class 'rising' iff S > 0 and 18·S² > z²·n(n−1)(2n+5)
+    with z² = ``z2_num`` (z ≈ 2 default), 'falling' symmetric, else 'flat'.
+
+    Exact integers end to end: the sign fold, S, and the cross-multiplied
+    significance inequality are all int64, so the class cannot flake at a
+    threshold boundary and every sum is associative (partition-order
+    invariant — the north-rule bitwise requirement).
+
+    Plan / 100 TB shape: the i<j pair explosion runs on the per-(key, tick)
+    AGGREGATE, never on raw rows — bounded by ticks-per-key² (30 days →
+    ≤435 pairs per key), one equi-join on the keys + one hash agg; key skew
+    is capped by the tick count, not data volume."""
+    obs = df.select(*keys, F.col(order_col).alias("_t"), F.col(val_col).alias("_v"))
+    left = obs
+    right = obs.select(
+        *keys, F.col("_t").alias("_t2"), F.col("_v").alias("_v2")
+    )
+    sgn = (
+        F.when(F.col("_v2") > F.col("_v"), 1)
+        .when(F.col("_v2") < F.col("_v"), -1)
+        .otherwise(0)
+    )
+    s = (
+        left.join(right, keys)
+        .filter(F.col("_t") < F.col("_t2"))
+        .groupBy(*keys)
+        .agg(F.sum(sgn).cast("long").alias("s_stat"))
+    )
+    n = obs.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    j = n.join(s, keys, "left").withColumn(
+        "s_stat", F.coalesce(F.col("s_stat"), F.lit(0).cast("long"))
+    )
+    nn = F.col("n_days")
+    var18 = nn * (nn - 1) * (2 * nn + 5)  # 18·Var(S), exact int64
+    sig = 18 * F.col("s_stat") * F.col("s_stat") > F.lit(int(z2_num)) * var18
+    trend = (
+        F.when(sig & (F.col("s_stat") > 0), "rising")
+        .when(sig & (F.col("s_stat") < 0), "falling")
+        .otherwise("flat")
+    )
+    return j.select(*keys, "n_days", "s_stat", trend.alias("trend"))
+
+
+def sql_mann_kendall(
+    counts_cte: str, keys: list[str], order_col: str = "day",
+    val_col: str = "cnt", z2_num: int = 4,
+) -> str:
+    """DuckDB twin of :func:`mann_kendall` over a counts CTE body — same
+    integer sign fold, S, and cross-multiplied class."""
+    ks = ", ".join(keys)
+    on = " AND ".join(f"a.{k} = b.{k}" for k in keys)
+    aks = ", ".join(f"a.{k}" for k in keys)
+    nks = ", ".join(f"n.{k}" for k in keys)
+    return f"""counts AS ({counts_cte}),
+mk_s AS (
+  SELECT {aks}, CAST(sum(CASE WHEN b.{val_col} > a.{val_col} THEN 1
+                              WHEN b.{val_col} < a.{val_col} THEN -1
+                              ELSE 0 END) AS BIGINT) AS s_stat
+  FROM counts a JOIN counts b ON {on} AND a.{order_col} < b.{order_col}
+  GROUP BY {aks}),
+mk_n AS (SELECT {ks}, CAST(count(*) AS BIGINT) AS n_days FROM counts GROUP BY {ks}),
+mk AS (
+  SELECT {nks}, n.n_days, COALESCE(s.s_stat, 0) AS s_stat,
+         CASE WHEN 18 * COALESCE(s.s_stat, 0) * COALESCE(s.s_stat, 0)
+                   > {int(z2_num)} * n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+              THEN (CASE WHEN COALESCE(s.s_stat, 0) > 0 THEN 'rising'
+                         WHEN COALESCE(s.s_stat, 0) < 0 THEN 'falling'
+                         ELSE 'flat' END)
+              ELSE 'flat' END AS trend
+  FROM mk_n n LEFT JOIN mk_s s ON {" AND ".join(f"n.{k} = s.{k}" for k in keys)})"""

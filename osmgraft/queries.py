@@ -7223,3 +7223,50 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     page).  Exact inverted-index recall, integer cross-multiplied
     threshold; brute twin in DuckDB."""
     return D.containment_pairs(_docs(spark, sf_dir), 0.8)
+
+
+# --- Mann–Kendall emerging-hotspot trend -----------------------------------------
+def _sql_trend_mk() -> str:
+    from osmgraft.operators.stats import sql_mann_kendall
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("event_id")
+    counts = f"""SELECT {tiles.sql_tile_x(f'({lon})', 5)} AS tx,
+         {tiles.sql_tile_y(f'({lat})', 5)} AS ty,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2, 3"""
+    return (
+        "WITH "
+        + sql_mann_kendall(counts, ["tx", "ty"], "day", "cnt")
+        + "\nSELECT tx, ty, n_days, s_stat, trend FROM mk"
+    )
+
+
+@register("tile_trend_mk_z5", _sql_trend_mk())
+def tile_trend_mk_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging-hotspot trend per z5 tile (operators/stats.mann_kendall —
+    Mann 1945 / Kendall 1975): per-(tile, day) event counts, then the exact
+    integer Mann–Kendall S statistic over each tile's 30-day history and a
+    cross-multiplied significance class (rising / falling / flat at z≈2) —
+    the space-time-cube "emerging hotspot" analysis over the same
+    tile-day rollup hotspot_days_z5 bursts on (that one is a level detector;
+    this is the monotonic-trend detector).
+
+    100 TB shape: the i<j pair join runs on the per-tile-day AGGREGATE
+    (≤435 pairs per tile at 30 days), never the raw events; zero IEEE."""
+    from osmgraft.operators.stats import mann_kendall
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+
+    ev = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    lat, lon = latlon_of_key(F.col("event_id"))
+    counts = (
+        ev.select(
+            tiles.tile_x(lon, 5).alias("tx"),
+            tiles.tile_y(lat, 5).alias("ty"),
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        )
+        .groupBy("tx", "ty", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return mann_kendall(counts, ["tx", "ty"], "day", "cnt")

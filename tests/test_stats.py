@@ -402,3 +402,28 @@ def test_groupwise_ols_null_rows_excluded(spark):
     r = groupwise_ols(df, ["g"], "x", "y").collect()[0]
     # only the two complete rows participate: y = 3x exactly
     assert r["n"] == 2 and r["slope_num"] == 3 * r["den"] and r["den"] > 0
+
+
+def test_mann_kendall_hand_cases(spark):
+    """Hand-computed S / n / class on tiny series (Mann 1945 definition):
+    strictly increasing n=5 → S=10 rising (18·100 > 4·300); strictly
+    decreasing → falling; constant → S=0 flat; n=2 single step → S=±1 but
+    insignificant (18 < 72) → flat; singleton key (no pairs) → S=0 flat."""
+    from osmgraft.operators.stats import mann_kendall
+
+    rows = []
+    for t, v in enumerate([1, 2, 3, 4, 5]):
+        rows.append(("up", t, v))
+    for t, v in enumerate([9, 7, 5, 3, 1]):
+        rows.append(("down", t, v))
+    for t in range(5):
+        rows.append(("const", t, 4))
+    rows += [("short", 0, 1), ("short", 1, 2), ("single", 0, 7)]
+    df = spark.createDataFrame(rows, "k string, day long, cnt long")
+    out = {r["k"]: r for r in mann_kendall(df, ["k"]).collect()}
+    assert out["up"]["s_stat"] == 10 and out["up"]["trend"] == "rising"
+    assert out["down"]["s_stat"] == -10 and out["down"]["trend"] == "falling"
+    assert out["const"]["s_stat"] == 0 and out["const"]["trend"] == "flat"
+    assert out["short"]["s_stat"] == 1 and out["short"]["trend"] == "flat"
+    assert out["single"]["s_stat"] == 0 and out["single"]["n_days"] == 1
+    assert out["single"]["trend"] == "flat"
