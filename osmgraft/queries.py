@@ -7270,3 +7270,65 @@ def tile_trend_mk_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return mann_kendall(counts, ["tx", "ty"], "day", "cnt")
+
+
+# --- WKT polygon codec roundtrip ---------------------------------------------------
+def _sql_wkt_boundaries() -> str:
+    from osmgraft.functions.wkt import sql_fmt_e7
+
+    rows = ", ".join(
+        f"({b['boundary_id']}, {ri}, {si}, {vlat}, {vlon})"
+        for b in ADMIN_BOUNDARIES
+        for ri, ring in enumerate([b["ring"], *b["holes"]])
+        for si, (vlat, vlon) in enumerate(ring)
+    )
+    pt = f"{sql_fmt_e7('vlon')} || ' ' || {sql_fmt_e7('vlat')}"
+    return f"""WITH v(boundary_id, ring_idx, seq, vlat, vlon) AS (VALUES {rows}),
+ringtxt AS (
+  SELECT boundary_id, ring_idx,
+         string_agg({pt}, ', ' ORDER BY seq) AS t, count(*) AS nv
+  FROM v GROUP BY boundary_id, ring_idx),
+poly AS (
+  SELECT boundary_id,
+         'POLYGON (' || string_agg('(' || t || ')', ', ' ORDER BY ring_idx) || ')' AS wkt,
+         CAST(count(*) AS BIGINT) AS n_rings, CAST(sum(nv) AS BIGINT) AS n_vertices
+  FROM ringtxt GROUP BY boundary_id)
+SELECT boundary_id, wkt, n_rings, n_vertices, TRUE AS roundtrip_ok FROM poly"""
+
+
+@register("wkt_roundtrip_boundaries", _sql_wkt_boundaries())
+def wkt_roundtrip_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT polygon codec (functions/wkt.py, OGC Simple Features): every admin
+    boundary serialized to byte-exact POLYGON text — coordinates are E7
+    integers rendered by integer div/mod (no float formatting) — then parsed
+    BACK by the JVM regexp/split pipeline and compared ring-for-ring against
+    the source arrays (roundtrip_ok must be TRUE everywhere; the oracle
+    constructs the same text independently via VALUES + ordered string_agg,
+    so a writer bug breaks the wkt hash and a parser bug breaks the flag).
+
+    Map-only whole-stage-codegen expressions — zero shuffle at any scale;
+    the format twin of the geojson/polyline/MVT family."""
+    from osmgraft.functions.wkt import parse_wkt_polygon, wkt_polygon
+    from osmgraft.synth import admin_boundaries_df
+
+    b = admin_boundaries_df(spark)
+    wkt = wkt_polygon(F.col("ring"), F.col("holes"))
+    out = b.select(
+        "boundary_id",
+        "ring",
+        "holes",
+        wkt.alias("wkt"),
+        (1 + F.size("holes")).cast("long").alias("n_rings"),
+        (
+            F.size("ring")
+            + F.aggregate("holes", F.lit(0), lambda a, h: a + F.size(h))
+        ).cast("long").alias("n_vertices"),
+        parse_wkt_polygon(wkt).alias("_parsed"),
+    )
+    ok = (F.col("_parsed").getItem(0) == F.col("ring")) & (
+        F.slice(F.col("_parsed"), 2, F.greatest(F.size("_parsed") - 1, F.lit(0)))
+        == F.col("holes")
+    )
+    return out.select(
+        "boundary_id", "wkt", "n_rings", "n_vertices", ok.alias("roundtrip_ok")
+    )

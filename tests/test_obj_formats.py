@@ -242,3 +242,33 @@ def test_unicode_roundtrip_all_formats(spark, tmp_path):
     pbf.write_pbf(dicts, p)
     got_pbf = sorted(_key(r) for r in pbf.read_pbf(spark, p).collect())
     assert got_pbf == want
+
+
+def test_wkt_fmt_parse_inverse_and_corruption(spark):
+    """fmt_e7/parse_e7 are exact inverses on sign/zero/extreme E7 values;
+    a corrupted coordinate flips the polygon roundtrip equality."""
+    from pyspark.sql import functions as F
+
+    from osmgraft.functions.wkt import fmt_e7, parse_e7, parse_wkt_polygon
+
+    vals = [0, 1, -1, 9_999_999, -9_999_999, 10_000_000, -1_800_000_000,
+            1_800_000_000, -900_000_000, 123_456_789]
+    df = spark.createDataFrame([(v,) for v in vals], "c int")
+    out = df.select("c", fmt_e7(F.col("c")).alias("t")).select(
+        "c", "t", parse_e7(F.col("t")).alias("back")
+    )
+    for r in out.collect():
+        assert r["back"] == r["c"], r
+        ip, fp = r["t"].lstrip("-").split(".")
+        assert len(fp) == 7
+    # corruption: swap one digit in the text -> parsed ring != source ring
+    poly = "POLYGON ((0.0000000 1.0000000, 2.0000000 1.0000000, 0.0000000 1.0000000))"
+    bad = poly.replace("2.0000000", "2.0000001")
+    rings = (
+        spark.createDataFrame([(poly,), (bad,)], "w string")
+        .select(parse_wkt_polygon(F.col("w")).alias("r"))
+        .collect()
+    )
+    assert rings[0]["r"] != rings[1]["r"]
+    assert rings[0]["r"][0][1]["lon7"] == 20_000_000
+    assert rings[1]["r"][0][1]["lon7"] == 20_000_001
