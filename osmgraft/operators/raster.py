@@ -676,3 +676,100 @@ def mosaic_tiles(
         assemble,
         schema="tx long, ty long, n_images long, mosaic_crc long, png binary",
     )
+
+
+def terrain_rgb_tiles(
+    tile_counts: DataFrame, z: int, parent_z: int
+) -> DataFrame:
+    """DEM tile ENCODER in Mapbox Terrain-RGB convention (public spec:
+    elevation = -10000 + 0.1·(R·65536 + G·256 + B)): per parent tile at
+    ``parent_z``, its 2^(z-parent_z) grid of z-level integer elevations
+    (here the engine's synthetic DEM — per-cell counts, in whole meters)
+    packs as v = (elev + 10000)·10 into 24-bit RGB and encodes a REAL png
+    (functions/codec.png_encode).  Unobserved cells carry elevation 0
+    (v = 100000 → RGB(1,134,160)), the spec's sea-level value.
+
+    Scale shape: ONE shuffle groups z cells under their parent (groups
+    bounded by 4^(z-parent_z)), then each tile packs + deflates
+    independently in an applyInPandas task.  Output (z, tx, ty, png)."""
+    import numpy as np
+    import pandas as pd
+
+    from osmgraft.functions.codec import png_encode
+
+    shift = z - parent_z
+    if shift <= 0:
+        raise ValueError("parent_z must be coarser than z")
+    grid = 1 << shift
+
+    counts = tile_counts.select(
+        F.shiftright(F.col("tx"), shift).alias("ptx"),
+        F.shiftright(F.col("ty"), shift).alias("pty"),
+        (F.col("tx") - F.shiftleft(F.shiftright(F.col("tx"), shift), shift)).alias("sx"),
+        (F.col("ty") - F.shiftleft(F.shiftright(F.col("ty"), shift), shift)).alias("sy"),
+        F.col("cnt").alias("elev"),
+    )
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        ras = np.zeros((grid, grid), dtype=np.int64)
+        ras[pdf["sy"].to_numpy(), pdf["sx"].to_numpy()] = pdf["elev"].to_numpy()
+        v = (ras + 10_000) * 10
+        if (v < 0).any() or (v > 0xFFFFFF).any():
+            raise ValueError("elevation outside Terrain-RGB 24-bit range")
+        rgb = np.stack(
+            [(v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF], axis=-1
+        ).astype(np.uint8)
+        return pd.DataFrame(
+            {
+                "z": [parent_z],
+                "tx": [int(pdf["ptx"].iloc[0])],
+                "ty": [int(pdf["pty"].iloc[0])],
+                "png": [bytearray(png_encode(rgb))],
+            }
+        )
+
+    return counts.groupBy("ptx", "pty").applyInPandas(
+        render, schema="z long, tx long, ty long, png binary"
+    )
+
+
+def terrain_rgb_stats(tiles_df: DataFrame) -> DataFrame:
+    """DEM tile DECODER + rollup: png_decode each Terrain-RGB tile, unpack
+    v = R·65536 + G·256 + B back to integer elevations (exact: encoder
+    elevations are whole meters so v is a multiple of 10), and emit per
+    tile the elevation sum and the count of non-sea-level cells — the
+    aggregate a hypsometry/zonal pipeline reads off a DEM layer.  Paired
+    with :func:`terrain_rgb_tiles` this closes an encode→deflate→inflate→
+    decode loop whose output is hash-gatable against a twin that never
+    touches pixels (spec-as-oracle).  Map-only vectorized kernel."""
+    import numpy as np
+    import pandas as pd
+
+    from osmgraft.functions.codec import png_decode
+
+    def stats(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            sums, nz = [], []
+            for b in pdf["png"]:
+                px = png_decode(bytes(b)).astype(np.int64)
+                v = (px[..., 0] << 16) | (px[..., 1] << 8) | px[..., 2]
+                if (v % 10).any():
+                    raise ValueError("fractional-meter Terrain-RGB value")
+                elev = v // 10 - 10_000
+                sums.append(int(elev.sum()))
+                nz.append(int((elev != 0).sum()))
+            yield pd.DataFrame(
+                {
+                    "z": pdf["z"],
+                    "tx": pdf["tx"],
+                    "ty": pdf["ty"],
+                    "sum_elev": pd.Series(sums, index=pdf.index, dtype="int64"),
+                    "n_cells": pd.Series(nz, index=pdf.index, dtype="int64"),
+                }
+            )
+
+    return tiles_df.mapInPandas(
+        stats, schema="z long, tx long, ty long, sum_elev long, n_cells long"
+    )

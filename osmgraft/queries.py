@@ -7332,3 +7332,33 @@ def wkt_roundtrip_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "boundary_id", "wkt", "n_rings", "n_vertices", ok.alias("roundtrip_ok")
     )
+
+
+# --- Mapbox Terrain-RGB DEM tile roundtrip ----------------------------------------
+@register(
+    "terrain_rgb_roundtrip_z10_7",
+    f"""WITH pts AS ({_PTS}),
+cells AS ({_sql_cells(10)})
+SELECT 7 AS z, cx // 8 AS tx, cy // 8 AS ty,
+       CAST(sum(cnt) AS BIGINT) AS sum_elev, CAST(count(*) AS BIGINT) AS n_cells
+FROM cells GROUP BY 1, 2, 3""",
+)
+def terrain_rgb_roundtrip_z10_7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mapbox Terrain-RGB DEM tiles, full encode→decode loop (operators/
+    raster.terrain_rgb_tiles/_stats): z10 cell elevations (the synthetic
+    count DEM) pack as v=(elev+10000)·10 into 24-bit RGB, deflate through
+    the REAL pure-python png codec per z7 parent, then a second kernel
+    inflates, unpacks, and rolls up per-tile elevation sum + non-sea cell
+    count.  The DuckDB twin computes the same rollup STRAIGHT from the cell
+    counts (spec-as-oracle, the image_roundtrip_fidelity pattern): any
+    pack/unpack, filter, stride, or deflate bug breaks the hash.
+
+    100 TB shape: one bounded-group shuffle (≤4^3 cells per parent) + two
+    map-only Arrow kernels — the DEM-layer materialization a tile server
+    runs, now hash-gated."""
+    from osmgraft.operators.raster import terrain_rgb_stats, terrain_rgb_tiles
+
+    cells = _cells_df(spark, sf_dir, 10).select(
+        F.col("cx").alias("tx"), F.col("cy").alias("ty"), "cnt"
+    )
+    return terrain_rgb_stats(terrain_rgb_tiles(cells, z=10, parent_z=7))

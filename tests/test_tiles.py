@@ -366,3 +366,27 @@ def test_zonal_stats_broadcast_and_values(spark):
     assert (rows[2]["tiles_hit"], rows[2]["total"], rows[2]["max_cnt"]) == (1, 7, 7)
     plan = zonal_stats(cells, cover)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_terrain_rgb_pack_unpack_negative_and_zero(spark):
+    """Terrain-RGB convention pinned on hand values: elevation -10000 →
+    v=0 → RGB(0,0,0); 0 → RGB(1,134,160) (the published sea-level bytes);
+    unpack inverts exactly through a real PNG deflate/inflate, negatives
+    included."""
+    from pyspark.sql import functions as F
+
+    from osmgraft.operators.raster import terrain_rgb_stats, terrain_rgb_tiles
+
+    rows = [(0, 0, -10_000), (1, 0, 0), (0, 1, 250), (1, 1, 8_848)]
+    df = spark.createDataFrame(rows, "tx long, ty long, cnt long")
+    tiles_df = terrain_rgb_tiles(df, z=1, parent_z=0)
+    png = bytes(tiles_df.collect()[0]["png"])
+    from osmgraft.functions.codec import png_decode
+
+    px = png_decode(png)
+    assert tuple(px[0, 1]) == (1, 134, 160)  # elev 0 at grid (sy=0, sx=1)
+    assert tuple(px[0, 0]) == (0, 0, 0)      # elev -10000
+    out = terrain_rgb_stats(tiles_df).collect()[0]
+    # sum includes the -10000; n_cells counts non-sea-level cells only
+    assert out["sum_elev"] == -10_000 + 0 + 250 + 8_848
+    assert out["n_cells"] == 3
