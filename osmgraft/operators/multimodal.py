@@ -3102,3 +3102,85 @@ def video_temporal_signature(
     return media.select(F.col(id_col).cast("string"), F.col(bytes_col)).mapInArrow(
         kernel, "media_id string, n_frames int, sig long"
     )
+
+
+def audio_fingerprint_keys(
+    media: DataFrame,
+    window: int = 256,
+    bins: tuple[int, ...] = (2, 3, 5, 7),
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Landmark fingerprint keys over PCM16 WAV clips (the Shazam-shaped
+    constellation idea, Wang 2003, in its exact-integer form): per analysis
+    window the quantized-DFT peak bin is found (basis round(cos/sin·2^15),
+    the audio_dft_bins discipline — int64 sums, associative, cross-engine
+    exact; magnitude = |re|+|im| so nothing squares past int64), each
+    window condenses to a 5-bit code (peak index · 8 + magnitude mod 8) and
+    consecutive window TRIPLES pack into a 15-bit key.  Keys carry no
+    absolute window position, so a window-aligned time shift leaves the
+    shared keys intact — the property the near-dup join exploits.
+
+    Map-only vectorized kernel (one matmul per clip batch); emits the
+    DISTINCT (media_id, key) set per clip."""
+    karr = np.array(bins, dtype=np.int64)
+    t = np.arange(window, dtype=np.float64)
+    ang = 2.0 * np.pi * karr[:, None] * t[None, :] / float(window)
+    cq = np.rint(np.cos(ang) * 32768.0).astype(np.int64)
+    sq = np.rint(np.sin(ang) * 32768.0).astype(np.int64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_key = [], []
+            for r in pdf.itertuples(index=False):
+                pcm = wav_pcm16(bytes(getattr(r, bytes_col))).astype(np.int64)
+                n_win = len(pcm) // window
+                if n_win < 3:
+                    continue
+                x = pcm[: n_win * window].reshape(n_win, window)
+                re = x @ cq.T  # (n_win, bins)
+                im = x @ sq.T
+                m = np.abs(re) + np.abs(im)
+                peak = np.argmax(m, axis=1)  # first max -> lowest bin index
+                mm = m[np.arange(n_win), peak]
+                code = peak * 8 + mm % 8
+                keys = (code[:-2] * 32 + code[1:-1]) * 32 + code[2:]
+                for k in np.unique(keys):
+                    out_id.append(getattr(r, id_col))
+                    out_key.append(int(k))
+            yield pd.DataFrame({"media_id": out_id, "key": out_key})
+
+    return media.select(F.col(id_col).cast("string"), F.col(bytes_col)).mapInPandas(
+        kernel, schema="media_id string, key long"
+    )
+
+
+def audio_fingerprint_pairs(
+    media: DataFrame,
+    window: int = 256,
+    bins: tuple[int, ...] = (2, 3, 5, 7),
+    min_shared: int = 1,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Audio near-duplicate candidate pairs by shared landmark keys — the
+    audio leg of the modality near-dup family (image: phash_near_dup_pairs,
+    video: video_temporal_signature).  Clips sharing ≥ min_shared keys pair
+    once as (id_a < id_b, n_shared).
+
+    100 TB shape: fingerprinting is map-only; the only shuffle is the
+    equi-join on the 15-bit key space — a bucketed self-join on uniform
+    hash-like keys (same shape as the MinHash band join), then one hash
+    agg.  No all-pairs stage anywhere."""
+    keys = audio_fingerprint_keys(
+        media, window=window, bins=bins, id_col=id_col, bytes_col=bytes_col
+    )
+    a = keys.select(F.col("media_id").alias("id_a"), "key")
+    b = keys.select(F.col("media_id").alias("id_b"), "key")
+    return (
+        a.join(b, "key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )

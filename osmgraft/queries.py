@@ -7362,3 +7362,55 @@ def terrain_rgb_roundtrip_z10_7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cx").alias("tx"), F.col("cy").alias("ty"), "cnt"
     )
     return terrain_rgb_stats(terrain_rgb_tiles(cells, z=10, parent_z=7))
+
+
+# --- audio landmark-fingerprint near-dup -------------------------------------------
+@register(
+    "audio_fingerprint_neardup",
+    """WITH idxs AS (SELECT row_number() OVER () - 1 AS i FROM orders),
+capped AS (SELECT i FROM idxs WHERE i < 300),
+b(bi, bb) AS (VALUES (0, 2), (1, 3), (2, 5), (3, 7)),
+mix AS (SELECT c.i, w.range AS w, t.range AS t,
+               ((c.i // 3) * 1103515245
+                 + ((c.i % 3) * 256 + w.range * 256 + t.range) * 12345 + 42)
+                % 65536 AS x
+        FROM capped c, range(0, 6) w, range(0, 256) t),
+smp AS (SELECT i, w, t, ((x * x + x) // 256) % 65536 - 32768 AS v FROM mix),
+q AS (SELECT smp.i, smp.w, b.bi,
+             sum(smp.v * CAST(round(cos(2.0 * pi() * b.bb * smp.t / 256.0) * 32768.0) AS BIGINT)) AS re,
+             sum(smp.v * CAST(round(sin(2.0 * pi() * b.bb * smp.t / 256.0) * 32768.0) AS BIGINT)) AS im
+      FROM smp, b GROUP BY 1, 2, 3),
+pk AS (SELECT i, w, bi, abs(re) + abs(im) AS m,
+              row_number() OVER (PARTITION BY i, w
+                                 ORDER BY abs(re) + abs(im) DESC, bi) AS rn
+       FROM q),
+code AS (SELECT i, w, bi * 8 + m % 8 AS code FROM pk WHERE rn = 1),
+seq AS (SELECT i, w, code,
+               lead(code) OVER (PARTITION BY i ORDER BY w) AS c1,
+               lead(code, 2) OVER (PARTITION BY i ORDER BY w) AS c2
+        FROM code),
+k AS (SELECT DISTINCT i, (code * 32 + c1) * 32 + c2 AS key
+      FROM seq WHERE c2 IS NOT NULL)
+SELECT concat('aud', lpad(CAST(a.i AS VARCHAR), 9, '0')) AS id_a,
+       concat('aud', lpad(CAST(b2.i AS VARCHAR), 9, '0')) AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM k a JOIN k b2 ON a.key = b2.key AND a.i < b2.i
+GROUP BY 1, 2""",
+)
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup by landmark fingerprints (operators/multimodal.
+    audio_fingerprint_pairs — the Wang-2003 constellation shape in exact
+    integers): REAL WAV decode → per-window quantized-DFT peak codes →
+    consecutive-triple 15-bit keys → bucketed key self-join.  The fixture
+    (synth.synth_audio_shifted) plants window-aligned time-shifted copies
+    (groups of 3), which share 2-3 keys because keys carry no absolute
+    position — the shift invariance that makes this the audio twin of
+    pHash banding / video temporal signatures.  The DuckDB oracle
+    regenerates the PCM arithmetically and replays the whole fingerprint
+    algebra relationally; Spark parses genuine RIFF containers, so a header
+    offset, window stride, peak tie-break, or key-pack bug breaks the hash."""
+    from osmgraft.operators.multimodal import audio_fingerprint_pairs
+    from osmgraft.synth import synth_audio_shifted
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 300)
+    return audio_fingerprint_pairs(synth_audio_shifted(spark, n))

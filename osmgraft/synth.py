@@ -238,6 +238,39 @@ def synth_audio(spark: SparkSession, n: int, n_samples: int = 1024,
     )
 
 
+def synth_audio_shifted(spark: SparkSession, n: int, window: int = 256,
+                        n_windows: int = 6, rate: int = 16_000) -> DataFrame:
+    """Audio near-dup fixture: clip i is a WINDOW-ALIGNED time shift of its
+    group's base stream — pcm(i, t) = base(i//3, (i%3)*window + t) with
+    base(g, u) = ((x² + x) // 256) % 65536 − 32768, x = (g·1103515245 +
+    u·12345 + 42) % 65536 — the quadratic mix matters: a plain LCG sample
+    (synth_audio's formula) is a mod-65536 sawtooth with the SAME slope for
+    every clip, so all spectra collide and landmark keys stop
+    discriminating (measured 82% of random pairs sharing a key; the mix
+    drops that to 0.19% while every planted pair still matches).  Clips of
+    one group share most analysis windows; the arithmetic stays pure
+    integer (x² ≤ 2^32: no overflow) so the DuckDB oracle regenerates
+    every sample. Payloads are REAL RIFF/PCM16 WAVs."""
+    from osmgraft.operators.multimodal import encode_wav_pcm16
+
+    n_samples = n_windows * window
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            out = []
+            for i in pdf["idx"].tolist():
+                g, sh = i // 3, (i % 3) * window
+                u = sh + np.arange(n_samples, dtype=np.int64)
+                x = (g * 1103515245 + u * 12345 + 42) % 65536
+                pcm = (((x * x + x) // 256) % 65536 - 32768).astype(np.int16)
+                out.append((f"aud{i:09d}", bytearray(encode_wav_pcm16(pcm, rate))))
+            yield pd.DataFrame(out, columns=["media_id", "bytes"])
+
+    return spark.range(n).select(F.col("id").alias("idx")).mapInPandas(
+        gen, schema="media_id string, bytes binary"
+    )
+
+
 def synth_videos(spark: SparkSession, n: int, w: int = 16, h: int = 16,
                  uniform: bool = False) -> DataFrame:
     """Deterministic video table: REAL YUV4MPEG2 (Cmono) payloads whose luma

@@ -1334,3 +1334,30 @@ def test_containment_asymmetric_excerpt(spark):
     assert (2, 1) in cont and (1, 2) not in cont
     jac = jaccard_ngram_pairs(docs, 0.8).collect()
     assert not any({r["doc_a"], r["doc_b"]} == {1, 2} for r in jac)
+
+
+def test_audio_fingerprint_shift_invariance_and_recall(spark):
+    """Every planted window-aligned shifted pair is recovered (recall 1.0 on
+    the fixture groups — shift invariance of position-free triple keys), and
+    pair counts per group are the structural 2-3 shared keys; candidates
+    across groups stay rare (<1% of cross pairs)."""
+    from osmgraft.operators.multimodal import audio_fingerprint_pairs
+    from osmgraft.synth import synth_audio_shifted
+
+    n = 60  # 20 groups of 3
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in audio_fingerprint_pairs(synth_audio_shifted(spark, n)).collect()
+    }
+    true_pairs = [
+        (f"aud{a:09d}", f"aud{b:09d}")
+        for g in range(n // 3)
+        for a in (3 * g, 3 * g + 1)
+        for b in range(a + 1, 3 * g + 3)
+    ]
+    for p in true_pairs:
+        assert p in pairs, f"planted pair {p} missed"
+        assert pairs[p] >= 1
+    n_false = len(pairs) - len(true_pairs)
+    n_cross = n * (n - 1) // 2 - len(true_pairs)
+    assert n_false / n_cross < 0.01, (n_false, n_cross)
