@@ -96,3 +96,103 @@ def segment_crossings(segments: DataFrame, pitch: int) -> DataFrame:
         )
     )
     return cand.filter(cross).select("seg_a", "seg_b")
+
+
+def ring_self_crossings(
+    vertices: DataFrame,
+    key_col: str = "ring_id",
+    seq_col: str = "seq",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """OGC simple-feature VALIDITY check: per ring (vertices in ``seq_col``
+    order, implicitly closed last→first), count properly-crossing edge
+    pairs — a simple (valid) ring has none.  Shares the exact int64
+    orientation predicate with :func:`segment_crossings` (the
+    crossing_formula_sql text, evaluated verbatim by both engines), so the
+    verdict can never flip near-degenerate geometry differently across
+    engines.  Strictness caveats are the family's: edge pairs touching at
+    a point or overlapping collinearly are NOT counted (adjacent edges
+    always share a vertex and are therefore never "properly crossing" —
+    no adjacency exclusion needed).
+
+    Callers must bound coordinates so cross terms fit int64: |Δ| < 2^31
+    per axis (global E7 rings overflow — quantize to E5 first; the verdict
+    is then exact FOR THE QUANTIZED ring, identically in both engines).
+
+    Scale shape: one window per ring for edge construction, one per-key
+    equi-join whose fan-out is edges², bounded by the caller's per-ring
+    vertex cap — never data volume; one hash agg."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key_col).orderBy(seq_col)
+    wall = W.partitionBy(key_col).orderBy(seq_col).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    edges = vertices.select(
+        F.col(key_col).alias("k"),
+        F.row_number().over(w).alias("eseq"),
+        F.col(x_col).cast("long").alias("ax"),
+        F.col(y_col).cast("long").alias("ay"),
+        F.coalesce(F.lead(x_col).over(w), F.first(x_col).over(wall))
+        .cast("long")
+        .alias("bx"),
+        F.coalesce(F.lead(y_col).over(w), F.first(y_col).over(wall))
+        .cast("long")
+        .alias("by"),
+        F.count(F.lit(1)).over(wall).alias("n_edges"),
+    ).filter(F.col("n_edges") >= 3)
+    a = edges.select("k", "n_edges", F.col("eseq").alias("sa"),
+                     F.col("ax").alias("p_ax"), F.col("ay").alias("p_ay"),
+                     F.col("bx").alias("p_bx"), F.col("by").alias("p_by"))
+    b = edges.select("k", F.col("eseq").alias("sb"),
+                     F.col("ax").alias("q_ax"), F.col("ay").alias("q_ay"),
+                     F.col("bx").alias("q_bx"), F.col("by").alias("q_by"))
+    cross = F.expr(
+        crossing_formula_sql(
+            "p_ax", "p_ay", "p_bx", "p_by", "q_ax", "q_ay", "q_bx", "q_by"
+        )
+    )
+    pairs = a.join(b, "k").filter(F.col("sa") < F.col("sb"))
+    return (
+        pairs.groupBy("k", "n_edges")
+        .agg(F.sum(F.when(cross, 1).otherwise(0)).cast("long").alias("n_crossings"))
+        .select(
+            F.col("k").alias(key_col),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            "n_crossings",
+            (F.col("n_crossings") == 0).alias("is_simple"),
+        )
+    )
+
+
+def sql_ring_self_crossings(vertices_cte: str, key_col: str = "ring_id") -> str:
+    """DuckDB twin of :func:`ring_self_crossings` over a (key, seq, x, y)
+    CTE body — same edge wrap, same verbatim crossing formula."""
+    cross = crossing_formula_sql(
+        "a.ax", "a.ay", "a.bx", "a.by", "b.ax", "b.ay", "b.bx", "b.by"
+    )
+    return f"""verts AS ({vertices_cte}),
+edges AS (
+  SELECT {key_col} AS k,
+         row_number() OVER (PARTITION BY {key_col} ORDER BY seq) AS eseq,
+         CAST(x AS BIGINT) AS ax, CAST(y AS BIGINT) AS ay,
+         CAST(coalesce(lead(x) OVER (PARTITION BY {key_col} ORDER BY seq),
+                       first_value(x) OVER (PARTITION BY {key_col} ORDER BY seq
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+              AS BIGINT) AS bx,
+         CAST(coalesce(lead(y) OVER (PARTITION BY {key_col} ORDER BY seq),
+                       first_value(y) OVER (PARTITION BY {key_col} ORDER BY seq
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+              AS BIGINT) AS by,
+         count(*) OVER (PARTITION BY {key_col}) AS n_edges
+  FROM verts),
+ok AS (SELECT * FROM edges WHERE n_edges >= 3),
+hits AS (
+  SELECT a.k, a.n_edges,
+         CAST(sum(CASE WHEN {cross} THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
+  FROM ok a JOIN ok b ON a.k = b.k AND a.eseq < b.eseq
+  GROUP BY a.k, a.n_edges)
+SELECT k AS {key_col}, CAST(n_edges AS BIGINT) AS n_edges, n_crossings,
+       (n_crossings = 0) AS is_simple
+FROM hits"""

@@ -7414,3 +7414,65 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 300)
     return audio_fingerprint_pairs(synth_audio_shifted(spark, n))
+
+
+# --- OGC ring validity over data-derived rings --------------------------------------
+def _sql_ring_validity() -> str:
+    from osmgraft.operators.crossings import sql_ring_self_crossings
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("o_orderkey")
+
+    def e5(x: str) -> str:  # floor-div by 100 via nonneg mod (// truncates in DuckDB)
+        return f"(({x}) - ((({x}) % 100 + 100) % 100)) // 100"
+
+    verts = f"""SELECT ring_id, seq, x, y FROM (
+    SELECT o_custkey AS ring_id, o_orderkey AS seq,
+           {e5(f'({lon})')} AS x, {e5(f'({lat})')} AS y,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+    FROM orders) WHERE rn <= 12"""
+    return "WITH " + sql_ring_self_crossings(verts, "ring_id")
+
+
+@register("ring_validity_orders", _sql_ring_validity())
+def ring_validity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGC simple-feature validity scan (operators/crossings.
+    ring_self_crossings): per customer, the ring that connects their first
+    ≤12 order points in orderkey order (closed last→first) is checked for
+    properly-crossing edge pairs with the exact int64 orientation predicate
+    — data-derived rings genuinely self-intersect, so both verdicts appear.
+    Coordinates are E5-quantized (floor-div by 100 via the nonneg-mod
+    spelling both engines share) so every cross term fits int64 at global
+    extent; the verdict is exact for the quantized ring in BOTH engines —
+    the ST_IsSimple-shaped validity gate a geometry ingest pipeline runs
+    before areas/PIP trust the rings.
+
+    100 TB shape: edge windows partition by ring; the pair join fans out
+    edges² bounded by the 12-vertex cap per ring, never data volume."""
+    from osmgraft.operators.crossings import ring_self_crossings
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+    from pyspark.sql import Window as W
+
+    orders = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+    )
+    lat, lon = latlon_of_key(F.col("o_orderkey"))
+
+    def e5(c):
+        return ((c - F.pmod(c, F.lit(100))) / F.lit(100)).cast("long")
+
+    verts = (
+        orders.select(
+            F.col("o_custkey").alias("ring_id"),
+            F.col("o_orderkey").alias("seq"),
+            e5(lon).alias("x"),
+            e5(lat).alias("y"),
+            F.row_number()
+            .over(W.partitionBy("o_custkey").orderBy("o_orderkey"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 12)
+        .drop("rn")
+    )
+    return ring_self_crossings(verts, "ring_id", "seq", "x", "y")

@@ -337,3 +337,28 @@ def test_geofence_scrub_validation(spark):
         geofence_scrub(df, [], 10)
     with _pt.raises(ValueError):
         geofence_scrub(df, [(0, 0)], 0)
+
+
+def test_ring_self_crossings_hand_shapes(spark):
+    """Bowtie (1 proper crossing, invalid) vs square (simple); a shared-
+    vertex figure-eight is NOT counted (proper-crossing strictness, the
+    crossings-family contract); sub-3-vertex rings drop out."""
+    from osmgraft.operators.crossings import ring_self_crossings
+
+    rows = (
+        # bowtie: (0,0)->(10,10)->(10,0)->(0,10) closes to (0,0): edges 0-1 and 2-3 cross
+        [("bow", i, x, y) for i, (x, y) in enumerate([(0, 0), (10, 10), (10, 0), (0, 10)])]
+        # convex square: simple
+        + [("sq", i, x, y) for i, (x, y) in enumerate([(0, 0), (10, 0), (10, 10), (0, 10)])]
+        # figure-eight THROUGH a shared vertex: touch, not proper crossing
+        + [("fig8", i, x, y) for i, (x, y) in enumerate(
+            [(0, 0), (10, 10), (20, 0), (10, 10) , (5, 15), (0, 10)])]
+        # degenerate 2-vertex "ring": filtered out
+        + [("deg", i, x, y) for i, (x, y) in enumerate([(0, 0), (5, 5)])]
+    )
+    df = spark.createDataFrame(rows, "ring_id string, seq long, x long, y long")
+    out = {r["ring_id"]: r for r in ring_self_crossings(df).collect()}
+    assert out["bow"]["n_crossings"] == 1 and not out["bow"]["is_simple"]
+    assert out["sq"]["n_crossings"] == 0 and out["sq"]["is_simple"]
+    assert out["fig8"]["n_crossings"] == 0  # vertex touch excluded by strictness
+    assert "deg" not in out
