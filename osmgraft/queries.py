@@ -7476,3 +7476,77 @@ def ring_validity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
     return ring_self_crossings(verts, "ring_id", "seq", "x", "y")
+
+
+# --- GPX track format roundtrip -------------------------------------------------
+def _sql_gpx_tracks() -> str:
+    from osmgraft.functions.wkt import sql_fmt_e7
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("o_orderkey")
+    pt = (
+        "'<trkpt lat=\"' || " + sql_fmt_e7("lat7") + " || '\" lon=\"' || "
+        + sql_fmt_e7("lon7")
+        + " || '\"><time>' || strftime(make_timestamp(ep * 1000000), "
+        "'%Y-%m-%dT%H:%M:%SZ') || '</time></trkpt>'"
+    )
+    return f"""WITH pts AS (
+  SELECT o_custkey % 199 AS ent, o_orderkey AS seq,
+         ({lat}) AS lat7, ({lon}) AS lon7,
+         1500000000 + o_orderkey % 2592000 AS ep
+  FROM orders),
+t AS (SELECT ent, seq, lat7, lon7, ep, {pt} AS p FROM pts),
+g AS (SELECT ent,
+             '<trk><name>ent' || CAST(ent AS VARCHAR) || '</name><trkseg>'
+               || string_agg(p, '' ORDER BY seq) || '</trkseg></trk>' AS gpx,
+             CAST(count(*) AS BIGINT) AS n_vertices,
+             CAST(sum(2 * CAST(lon7 AS BIGINT) + lat7) AS BIGINT) AS coord_ck,
+             CAST(sum(ep) AS BIGINT) AS ts_ck
+      FROM t GROUP BY ent)
+SELECT ent, gpx, n_vertices, coord_ck, ts_ck FROM g"""
+
+
+@register("gpx_roundtrip_tracks", _sql_gpx_tracks())
+def gpx_roundtrip_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPX 1.1 track codec roundtrip (functions/gpx.py): per-entity tracks
+    serialize as <trk>/<trkseg>/<trkpt> with integer-only E7 coordinate
+    text and shared ISO-8601 times (UTC session), then parse BACK through
+    the regexp pipeline; the output carries the byte-exact <trk> string
+    (hash-gated against DuckDB's independent string_agg construction) plus
+    vertex count and order-free coordinate/time checksums computed FROM THE
+    PARSED values — a writer bug breaks the gpx hash, a parser bug breaks
+    the checksums.  Completes the track-format family: GeoJSON ⋄ polyline ⋄
+    MVT ⋄ GPX.  One shuffle to assemble, map-only parse."""
+    from osmgraft.functions.gpx import gpx_trk, gpx_trkpt, parse_gpx_trkpts
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+
+    o = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    lat, lon = latlon_of_key(F.col("o_orderkey"))
+    pts = o.select(
+        (F.col("o_custkey") % 199).alias("ent"),
+        F.col("o_orderkey").alias("seq"),
+        gpx_trkpt(lat, lon, F.lit(1_500_000_000) + F.col("o_orderkey") % 2_592_000).alias("p"),
+    )
+    tracks = pts.groupBy("ent").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("seq").alias("seq"), F.col("p").alias("p")))
+                ),
+                lambda e: e["p"],
+            ),
+            "",
+        ).alias("body")
+    ).select(
+        "ent",
+        gpx_trk(F.concat(F.lit("ent"), F.col("ent").cast("string")), F.col("body")).alias("gpx"),
+    )
+    parsed = parse_gpx_trkpts(tracks, "gpx")
+    return parsed.groupBy("ent", "gpx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.sum(2 * F.col("lon7").cast("long") + F.col("lat7").cast("long"))
+        .cast("long")
+        .alias("coord_ck"),
+        F.sum("epoch").cast("long").alias("ts_ck"),
+    ).select("ent", "gpx", "n_vertices", "coord_ck", "ts_ck")

@@ -272,3 +272,34 @@ def test_wkt_fmt_parse_inverse_and_corruption(spark):
     assert rings[0]["r"] != rings[1]["r"]
     assert rings[0]["r"][0][1]["lon7"] == 20_000_000
     assert rings[1]["r"][0][1]["lon7"] == 20_000_001
+
+
+def test_gpx_parse_recovers_exact_values(spark):
+    """Writer→parser inversion on hand values incl. negative coords and a
+    midnight-boundary time; pt_idx preserves segment order."""
+    from pyspark.sql import functions as F
+
+    from osmgraft.functions.gpx import gpx_trk, gpx_trkpt, parse_gpx_trkpts
+
+    rows = [
+        (0, -900_000_000, 1_799_999_999, 1_500_000_000),
+        (1, 450_000_001, -7, 1_500_000_000 + 86_399),  # 23:59:59 boundary
+    ]
+    df = spark.createDataFrame(rows, "i long, lat7 int, lon7 int, ep long")
+    pts = df.select(
+        "i", gpx_trkpt(F.col("lat7"), F.col("lon7"), F.col("ep")).alias("p")
+    )
+    body = pts.groupBy().agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "p"))), lambda e: e["p"]
+            ),
+            "",
+        ).alias("b")
+    ).select(gpx_trk(F.lit("t"), F.col("b")).alias("gpx"))
+    got = parse_gpx_trkpts(body, "gpx").orderBy("pt_idx").collect()
+    assert [(r["lat7"], r["lon7"], r["epoch"]) for r in got] == [
+        (-900_000_000, 1_799_999_999, 1_500_000_000),
+        (450_000_001, -7, 1_500_000_000 + 86_399),
+    ]
+    assert "<time>2017-07-14T02:40:00Z</time>" in body.collect()[0]["gpx"]
