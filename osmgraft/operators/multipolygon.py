@@ -255,3 +255,66 @@ SELECT CAST(3000000000 + b AS BIGINT) AS rel_id,
   CAST(2 * w * h + CASE WHEN b % 11 = 0 THEN 2 * w * (h // 2) ELSE 0 END
        - 2 * (w - 2 * (w // 4)) * (h - 2 * (h // 4)) AS BIGINT) AS area2_net
 FROM dims"""
+
+
+def chain_route_ways(members: DataFrame) -> DataFrame:
+    """ROUTE relation assembly — the LINEAR twin of multipolygon ring
+    assembly (osmio surfaces relation members generically, relations.rs;
+    route relations — bus lines, hiking trails — are the other big consumer
+    besides multipolygons): given each route's member ways as UNORDERED
+    directed segments (way_id, ax, ay, bx, by), recover the traversal
+    order purely from endpoint connectivity.
+
+    Semantics: a well-formed route is a simple open path — every interior
+    endpoint shared by exactly two members, one unique start (a head
+    endpoint that is no member's tail).  The kernel walks the successor map
+    from that start; ``complete`` is FALSE when the walk doesn't cover all
+    members or a next-hop is ambiguous/missing (branching, gaps, loops) —
+    malformed routes are flagged, not silently truncated (the ring
+    assembler's discipline).
+
+    Scale shape: ONE shuffle groups members per route; chains are
+    relation-sized (bounded tens), so the per-group kernel is O(members)
+    dict walking — route COUNT carries the 100 TB scale, not route size."""
+    import pandas as pd
+
+    def chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        rid = pdf["route_id"].iloc[0]
+        nxt = {}
+        tails = set()
+        dup_head = False
+        for r in pdf.itertuples(index=False):
+            h = (r.ax, r.ay)
+            if h in nxt:
+                dup_head = True
+            nxt[h] = (int(r.way_id), (r.bx, r.by))
+            tails.add((r.bx, r.by))
+        starts = [h for h in nxt if h not in tails]
+        out_pos, out_way = [], []
+        if len(starts) == 1 and not dup_head:
+            cur = starts[0]
+            seen = 0
+            while cur in nxt and seen < len(pdf):
+                way, cur = nxt[cur]
+                out_pos.append(seen)
+                out_way.append(way)
+                seen += 1
+        complete = len(out_way) == len(pdf)
+        if not complete:  # flag the route once; no partial ordering leaks out
+            return pd.DataFrame(
+                {"route_id": [rid], "pos": [-1], "way_id": [-1], "complete": [False]}
+            )
+        return pd.DataFrame(
+            {
+                "route_id": [rid] * len(out_way),
+                "pos": out_pos,
+                "way_id": out_way,
+                "complete": [True] * len(out_way),
+            }
+        )
+
+    return members.select(
+        "route_id", "way_id", "ax", "ay", "bx", "by"
+    ).groupBy("route_id").applyInPandas(
+        chain, schema="route_id long, pos long, way_id long, complete boolean"
+    )

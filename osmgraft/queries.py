@@ -7550,3 +7550,63 @@ def gpx_roundtrip_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("coord_ck"),
         F.sum("epoch").cast("long").alias("ts_ck"),
     ).select("ent", "gpx", "n_vertices", "coord_ck", "ts_ck")
+
+
+# --- route relation assembly (linear twin of multipolygon) -------------------------
+@register(
+    "route_assembly",
+    """WITH idxs AS (SELECT row_number() OVER () - 1 AS r FROM orders),
+routes AS (SELECT r, 4 + r % 5 AS m FROM idxs WHERE r < 300),
+good AS (SELECT r AS route_id, p.range AS pos,
+                r * 100 + (p.range * 7919) % (4 + r % 5) AS way_id,
+                TRUE AS complete
+         FROM routes, range(0, 8) p WHERE p.range < m AND r % 50 <> 49),
+bad AS (SELECT r AS route_id, -1 AS pos, -1 AS way_id, FALSE AS complete
+        FROM routes WHERE r % 50 = 49)
+SELECT CAST(route_id AS BIGINT) AS route_id, CAST(pos AS BIGINT) AS pos,
+       CAST(way_id AS BIGINT) AS way_id, complete FROM good
+UNION ALL
+SELECT CAST(route_id AS BIGINT), CAST(pos AS BIGINT), CAST(way_id AS BIGINT),
+       complete FROM bad""",
+)
+def route_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OSM route-relation assembly (operators/multipolygon.chain_route_ways
+    — the LINEAR twin of assemble_multipolygons): member ways arrive as
+    unordered directed segments and the traversal order is recovered purely
+    from endpoint connectivity (unique head → successor-map walk).  The
+    fixture scrambles way ids with a ×7919 position permutation so id order
+    carries NO signal, and every 50th route gets a branching extra member —
+    those must be FLAGGED incomplete, not silently truncated.  The oracle
+    writes down the intended order closed-form (spec-as-oracle): any
+    chaining, start-detection, or malformed-route-handling bug breaks the
+    hash.
+
+    100 TB shape: one groups-by-route shuffle; chains are relation-sized
+    (≤8 here, tens in OSM), so route COUNT carries scale, not route size."""
+    from osmgraft.operators.multipolygon import chain_route_ways
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 300)
+    base = ensure_min_parallelism(
+        spark.range(n).select(F.col("id").alias("r"))
+    )
+    mem = base.select(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(3) + F.col("r") % 5)).alias("p")
+    )
+    members = mem.select(
+        F.col("r").alias("route_id"),
+        (F.col("r") * 100 + (F.col("p") * 7919) % (4 + F.col("r") % 5)).alias("way_id"),
+        (F.col("r") * 1000 + F.col("p")).alias("ax"),
+        ((F.col("r") * 7 + F.col("p") * 13) % 1000).alias("ay"),
+        (F.col("r") * 1000 + F.col("p") + 1).alias("bx"),
+        ((F.col("r") * 7 + (F.col("p") + 1) * 13) % 1000).alias("by"),
+    )
+    branch = base.filter(F.col("r") % 50 == 49).select(
+        F.col("r").alias("route_id"),
+        (F.col("r") * 100 + 99).alias("way_id"),
+        (F.col("r") * 1000).alias("ax"),
+        ((F.col("r") * 7) % 1000).alias("ay"),
+        (F.col("r") * 1000 + 500).alias("bx"),
+        F.lit(0).cast("long").alias("by"),
+    )
+    return chain_route_ways(members.unionByName(branch))

@@ -116,3 +116,31 @@ def test_point_on_edge_orientation_independent():
         assert a == b, pt
     assert _point_in_ring(5, 5, square_ccw) and _point_in_ring(5, 5, square_cw)
     assert not _point_in_ring(5, 11, square_ccw)
+
+
+def test_chain_route_ways_hand_routes(spark):
+    """Chaining by connectivity only: a 3-way shuffled chain orders
+    correctly; a branching route and a closed loop (no unique start) are
+    flagged incomplete as single (-1, -1, False) rows."""
+    from osmgraft.operators.multipolygon import chain_route_ways
+
+    rows = [
+        # route 1: C->D, A->B, B->C presented shuffled; chain = w20, w21, w22
+        (1, 22, 30, 0, 40, 0), (1, 20, 10, 0, 20, 0), (1, 21, 20, 0, 30, 0),
+        # route 2: branch at head 10,0
+        (2, 30, 10, 0, 20, 0), (2, 31, 10, 0, 30, 0),
+        # route 3: closed triangle loop (every head is also a tail)
+        (3, 40, 0, 0, 1, 0), (3, 41, 1, 0, 2, 0), (3, 42, 2, 0, 0, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "route_id long, way_id long, ax long, ay long, bx long, by long"
+    )
+    out = chain_route_ways(df).collect()
+    r1 = sorted(
+        [(r["pos"], r["way_id"]) for r in out if r["route_id"] == 1]
+    )
+    assert r1 == [(0, 20), (1, 21), (2, 22)]
+    for rid in (2, 3):
+        rows_r = [r for r in out if r["route_id"] == rid]
+        assert len(rows_r) == 1 and not rows_r[0]["complete"]
+        assert rows_r[0]["pos"] == -1 and rows_r[0]["way_id"] == -1
