@@ -163,7 +163,10 @@ def main() -> None:
                  "image_otsu_threshold", "image_cc_blobs", "image_blob_props",
                  "cusum_bursts_hourly", "image_template_match",
                  "dedup_substring_spans", "stream_sessionize_30m",
-                 "way_area_centroid", "image_harris_corner", "audio_active_segments", "trend_events_daily", "pip_inner_intexact", "track_tile_path_z12", "image_ssim_pairs", "embedding_jl_project", "tile_counts_incremental_z9", "user_active_coverage", "video_temporal_sig", "boundary_density", "tile_skew_gini_z9", "salt_plan_cells", "stream_tile_counts_incremental_z9", "pii_luhn_cards", "way_area_geodesic", "trailing_events_1h", "pivot_type_by_user", "unpivot_type_counts", "ntile_event_values", "dedup_containment"]:
+                 "way_area_centroid", "image_harris_corner", "audio_active_segments", "trend_events_daily", "pip_inner_intexact", "track_tile_path_z12", "image_ssim_pairs", "embedding_jl_project", "tile_counts_incremental_z9", "user_active_coverage", "video_temporal_sig", "boundary_density", "tile_skew_gini_z9", "salt_plan_cells", "stream_tile_counts_incremental_z9", "pii_luhn_cards", "way_area_geodesic", "trailing_events_1h", "pivot_type_by_user", "unpivot_type_counts", "ntile_event_values", "dedup_containment",
+                 "tile_trend_mk_z5", "wkt_roundtrip_boundaries",
+                 "terrain_rgb_roundtrip_z10_7", "audio_fingerprint_neardup",
+                 "ring_validity_orders", "gpx_roundtrip_tracks", "route_assembly"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())
