@@ -620,3 +620,80 @@ nb AS (
 SELECT cx, cy,
        CAST(coalesce(max(CASE WHEN m > 4 AND rk = m - 4 THEN v END), 0) AS BIGINT) AS median
 FROM nb GROUP BY cx, cy"""
+
+
+def local_join_counts(
+    cells: DataFrame, cx: str = "cx", cy: str = "cy", cnt: str = "cnt"
+) -> DataFrame:
+    """LOCAL join-count statistic (Anselin's local indicator family — the
+    per-cell companion to the GLOBAL morans_i_terms): cells binarize hot =
+    (n·cnt > Σcnt), exact cross-multiplied mean threshold — and every
+    observed cell reports its observed rook-neighbor count and how many of
+    those neighbors are jointly hot (hot_i·hot_j summed).  High jc on a hot
+    cell = a hot CLUSTER member; hot with jc 0 = an isolated spike — the
+    distinction the global I cannot make.
+
+    All integers end to end.  Join shape: the same two shifted EQUI-joins
+    as Moran's (east + south; an OR-join would nested-loop — scale killer),
+    each orientation replayed in reverse so every ordered adjacency appears
+    once; one hash agg per cell; zero-neighbor cells kept by a left join."""
+    c = cells.select(
+        F.col(cx).alias("cx"), F.col(cy).alias("cy"), F.col(cnt).cast("long").alias("v")
+    )
+    stats = c.agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    m = c.crossJoin(F.broadcast(stats)).select(
+        "cx",
+        "cy",
+        F.when(F.col("n") * F.col("v") > F.col("s"), 1).otherwise(0).cast("long").alias("hot"),
+    )
+    right = m.select(
+        F.col("cx").alias("bx"), F.col("cy").alias("by"), F.col("hot").alias("hotb")
+    )
+    east = m.join(right, (m["cx"] + 1 == right["bx"]) & (m["cy"] == right["by"]))
+    south = m.join(right, (m["cx"] == right["bx"]) & (m["cy"] + 1 == right["by"]))
+    fwd = east.select("cx", "cy", "hot", "hotb").unionAll(
+        south.select("cx", "cy", "hot", "hotb")
+    )
+    rev = east.select(
+        F.col("bx").alias("cx"), F.col("by").alias("cy"),
+        F.col("hotb").alias("hot"), F.col("hot").alias("hotb"),
+    ).unionAll(
+        south.select(
+            F.col("bx").alias("cx"), F.col("by").alias("cy"),
+            F.col("hotb").alias("hot"), F.col("hot").alias("hotb"),
+        )
+    )
+    per = (
+        fwd.unionAll(rev)
+        .groupBy("cx", "cy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_obs"),
+            F.sum(F.col("hot") * F.col("hotb")).cast("long").alias("jc"),
+        )
+    )
+    return m.join(per, ["cx", "cy"], "left").select(
+        "cx",
+        "cy",
+        "hot",
+        F.coalesce(F.col("k_obs"), F.lit(0).cast("long")).alias("k_obs"),
+        F.coalesce(F.col("jc"), F.lit(0).cast("long")).alias("jc"),
+    )
+
+
+def sql_local_join_counts(cells_cte: str) -> str:
+    """DuckDB twin over the same cells CTE body (cx, cy, cnt)."""
+    return f"""WITH cells AS ({cells_cte}),
+st AS (SELECT count(*) AS n, sum(cnt) AS s FROM cells),
+m AS (SELECT cx, cy,
+             CASE WHEN st.n * cnt > st.s THEN 1 ELSE 0 END AS hot
+      FROM cells, st),
+adj AS (
+  SELECT a.cx, a.cy, a.hot, b.hot AS hotb FROM m a JOIN m b
+  ON (b.cx = a.cx + 1 AND b.cy = a.cy) OR (b.cx = a.cx - 1 AND b.cy = a.cy)
+     OR (b.cx = a.cx AND b.cy = a.cy + 1) OR (b.cx = a.cx AND b.cy = a.cy - 1)),
+per AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS k_obs,
+               CAST(sum(hot * hotb) AS BIGINT) AS jc
+        FROM adj GROUP BY cx, cy)
+SELECT m.cx, m.cy, CAST(m.hot AS BIGINT) AS hot,
+       coalesce(per.k_obs, 0) AS k_obs, coalesce(per.jc, 0) AS jc
+FROM m LEFT JOIN per ON per.cx = m.cx AND per.cy = m.cy"""

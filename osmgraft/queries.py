@@ -7610,3 +7610,27 @@ def route_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("by"),
     )
     return chain_route_ways(members.unionByName(branch))
+
+
+# --- local join-count spatial statistic ---------------------------------------------
+def _sql_local_jc() -> str:
+    from osmgraft.operators.density import sql_local_join_counts
+
+    return (
+        f"WITH pts AS ({_PTS}), outer_q AS (\n"
+        f"{sql_local_join_counts(_sql_cells(8))}\n) SELECT * FROM outer_q"
+    )
+
+
+@register("local_join_counts_z8", _sql_local_jc())
+def local_join_counts_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell LOCAL join-count statistic over the observed z8 cells
+    (operators/density.local_join_counts): hot = exact cross-multiplied
+    above-mean mark, jc = jointly-hot rook neighbors — the local-indicator
+    companion that tells hot CLUSTERS from isolated spikes, which the
+    global Moran's I (morans_i_z8, same cells, same rook adjacency) cannot.
+    Same two shifted equi-joins as Moran's (no OR nested-loop), both
+    orientations replayed; zero IEEE anywhere."""
+    from osmgraft.operators.density import local_join_counts
+
+    return local_join_counts(_cells_df(spark, sf_dir, 8))

@@ -427,3 +427,23 @@ def test_mann_kendall_hand_cases(spark):
     assert out["short"]["s_stat"] == 1 and out["short"]["trend"] == "flat"
     assert out["single"]["s_stat"] == 0 and out["single"]["n_days"] == 1
     assert out["single"]["trend"] == "flat"
+
+
+def test_local_join_counts_hand_grid(spark):
+    """Hand grid: two adjacent hot cells get jc=1 toward each other; an
+    isolated hot cell gets jc=0; cold cells report observed neighbor counts;
+    a neighbor-less cell keeps k_obs=0 via the left join."""
+    from osmgraft.operators.density import local_join_counts
+
+    # values: mean = 30/5 = 6 -> hot iff v > 6
+    rows = [
+        (0, 0, 10), (1, 0, 10),   # adjacent hot pair
+        (0, 1, 1), (1, 1, 1),     # cold cells under them
+        (9, 9, 8),                # isolated hot (no neighbors at all)
+    ]
+    df = spark.createDataFrame(rows, "cx long, cy long, cnt long")
+    out = {(r["cx"], r["cy"]): r for r in local_join_counts(df).collect()}
+    assert out[(0, 0)]["hot"] == 1 and out[(0, 0)]["jc"] == 1 and out[(0, 0)]["k_obs"] == 2
+    assert out[(1, 0)]["jc"] == 1
+    assert out[(9, 9)]["hot"] == 1 and out[(9, 9)]["jc"] == 0 and out[(9, 9)]["k_obs"] == 0
+    assert out[(0, 1)]["hot"] == 0 and out[(0, 1)]["k_obs"] == 2 and out[(0, 1)]["jc"] == 0
