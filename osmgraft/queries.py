@@ -7634,3 +7634,66 @@ def local_join_counts_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmgraft.operators.density import local_join_counts
 
     return local_join_counts(_cells_df(spark, sf_dir, 8))
+
+
+# --- geofence enter/exit transitions -------------------------------------------------
+@register(
+    "geofence_transitions",
+    f"""WITH pts AS ({_PTS}),
+{sql_pip_predicate(ADMIN_BOUNDARIES)},
+sig AS (SELECT p.point_id,
+               coalesce(string_agg(CAST(pip.boundary_id AS VARCHAR), ','
+                                   ORDER BY pip.boundary_id), '') AS zones
+        FROM pts p LEFT JOIN pip USING (point_id) GROUP BY p.point_id),
+seq AS (SELECT o.o_custkey AS uid, s.point_id, s.zones,
+               lag(s.zones) OVER (PARTITION BY o.o_custkey
+                                  ORDER BY s.point_id) AS prev_zones
+        FROM sig s JOIN orders o ON o.o_orderkey = s.point_id)
+SELECT uid, point_id, prev_zones, zones FROM seq
+WHERE prev_zones IS NOT NULL AND prev_zones <> zones""",
+)
+def geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence ENTER/EXIT detection — the flagship PIP join married to
+    sequence analytics: every point gets a canonical containment SIGNATURE
+    (numerically-sorted boundary-id list; '' = outside everything, so
+    partial overlaps and multi-zone membership all transition correctly),
+    and each entity's consecutive-point signature changes are emitted with
+    both sides — the alert stream a fleet/safety pipeline derives from raw
+    pings.  Signature building is one group-by over the PIP output; the
+    transition scan is one lag window per entity; zero floats (the PIP
+    kernel's crossing rule is the gate-shared one).
+
+    100 TB shape: broadcast STR-tree PIP (zero point-side shuffle) → one
+    hash agg → one window on (entity, seq) — three exchanges total,
+    entity-bounded windows."""
+    from osmgraft.operators.pip import pip_join
+    from osmgraft.synth import ADMIN_BOUNDARIES as _AB
+    from osmgraft.synth import points_from_orders
+    from pyspark.sql import Window as W
+
+    pts = points_from_orders(spark, sf_dir)
+    hits = pip_join(pts, _AB, how="inner", ensure_parallelism=True).select(
+        "point_id", "boundary_id"
+    )
+    sig = (
+        pts.select("point_id")
+        .join(hits, "point_id", "left")
+        .groupBy("point_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_compact(F.sort_array(F.collect_list("boundary_id"))),
+                    lambda b: b.cast("string"),
+                ),
+                ",",
+            ).alias("zones")
+        )
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("point_id"), F.col("o_custkey").alias("uid")
+    )
+    w = W.partitionBy("uid").orderBy("point_id")
+    seq = sig.join(o, "point_id").withColumn("prev_zones", F.lag("zones").over(w))
+    return seq.filter(
+        F.col("prev_zones").isNotNull() & (F.col("prev_zones") != F.col("zones"))
+    ).select("uid", "point_id", "prev_zones", "zones")
