@@ -7697,3 +7697,65 @@ def geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.filter(
         F.col("prev_zones").isNotNull() & (F.col("prev_zones") != F.col("zones"))
     ).select("uid", "point_id", "prev_zones", "zones")
+
+
+# --- PMI collocation extraction ------------------------------------------------------
+@register(
+    "collocations_pmi",
+    f"""WITH t AS (SELECT doc_id, {T.sql_tokens('text')} AS toks FROM documents),
+uni AS (SELECT u.w, CAST(count(*) AS BIGINT) AS c
+        FROM t, unnest(t.toks) AS u(w) GROUP BY u.w),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM uni),
+big AS (SELECT b.bg, CAST(count(*) AS BIGINT) AS c_ab
+        FROM t, unnest({T.sql_word_bigrams('t.toks')}) AS b(bg) GROUP BY b.bg),
+parts AS (SELECT bg, c_ab, split_part(bg, ' ', 1) AS w1,
+                 split_part(bg, ' ', 2) AS w2 FROM big)
+SELECT p.w1, p.w2, p.c_ab, a.c AS c_a, b.c AS c_b
+FROM parts p JOIN uni a ON a.w = p.w1 JOIN uni b ON b.w = p.w2, n
+WHERE p.c_ab >= 2 AND n.total * p.c_ab >= 3 * a.c * b.c""",
+)
+def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information (Church &
+    Hanks 1990, in exact-integer threshold form): adjacent word pairs whose
+    joint count beats 3× the independence expectation — N·c(a,b) ≥
+    3·c(a)·c(b), PMI ≥ log₂3 — with a c(a,b) ≥ 2 support floor (thresholds
+    calibrated so the synthetic corpus yields a non-empty result at every
+    gate SF; an empty gate would pass vacuously).  The
+    cross-multiplied inequality needs no logarithm or division, so the
+    verdict is bit-exact in both engines (caveat: N·c_ab must fit int64 —
+    at trillion-token scale shard N or move to 128-bit, documented here).
+
+    Plan: one token explode → unigram hash agg (map-side combine), one
+    bigram explode → hash agg, two equi-joins of the BIGRAM AGGREGATE
+    against the unigram AGGREGATE (vocabulary-sized, not corpus-sized),
+    broadcast total.  The phrase-mining step of a corpus pipeline."""
+    docs = _docs(spark, sf_dir)
+    t = docs.withColumn("toks", T.tokens(F.col("text")))
+    uni = (
+        t.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    total = uni.agg(F.sum("c").cast("long").alias("total"))
+    big = (
+        t.select(F.explode(T.word_bigrams(F.col("toks"))).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    parts = big.select(
+        "c_ab",
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        parts.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(total))
+        .filter(
+            (F.col("c_ab") >= 2)
+            & (F.col("total") * F.col("c_ab") >= 3 * F.col("c_a") * F.col("c_b"))
+        )
+        .select("w1", "w2", "c_ab", "c_a", "c_b")
+    )

@@ -1361,3 +1361,30 @@ def test_audio_fingerprint_shift_invariance_and_recall(spark):
     n_false = len(pairs) - len(true_pairs)
     n_cross = n * (n - 1) // 2 - len(true_pairs)
     assert n_false / n_cross < 0.01, (n_false, n_cross)
+
+
+def test_collocations_pmi_crafted(spark):
+    """Crafted corpus: a phrase always co-occurring ('hong kong') passes the
+    cross-multiplied PMI gate; a frequent-but-independent pair does not."""
+    from osmgraft.queries import collocations_pmi
+    import osmgraft.queries as Q
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hong kong hong kong hong kong"),
+            (2, "the cat the dog the cow the pig"),
+            (3, "the fox the hen the owl the bee"),
+        ],
+        "doc_id long, text string",
+    )
+    orig = Q._docs
+    Q._docs = lambda spark, sf_dir: docs
+    try:
+        out = {(r["w1"], r["w2"]): r for r in collocations_pmi(spark, "ignored").collect()}
+    finally:
+        Q._docs = orig
+    assert ("hong", "kong") in out
+    r = out[("hong", "kong")]
+    assert r["c_ab"] == 3 and r["c_a"] == 3 and r["c_b"] == 3
+    # 'the X' pairs: c('the')=8 dominates -> N*c_ab < 3*c_a*c_b, filtered
+    assert all(w1 != "the" for (w1, _) in out)
