@@ -7699,6 +7699,45 @@ def geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("uid", "point_id", "prev_zones", "zones")
 
 
+# --- Open Location Code (Plus Codes) --------------------------------------------------
+def _sql_olc() -> str:
+    from osmgraft.functions.olc import sql_olc, sql_olc_parse_sw
+
+    sw_lat, sw_lon = sql_olc_parse_sw("olc")
+    return (
+        f"WITH pts AS ({_PTS}),\n"
+        f"enc AS (SELECT point_id, {sql_olc('lat7', 'lon7')} AS olc FROM pts)\n"
+        f"SELECT point_id, olc, {sw_lat} AS sw_lat7, {sw_lon} AS sw_lon7 FROM enc"
+    )
+
+
+@register("olc_codes", _sql_olc())
+def olc_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open Location Code (Google Plus Codes, public spec) per point — the
+    SEVENTH cell-index family member (slippy ⋄ S2 ⋄ H3 ⋄ grid ⋄ geohash ⋄
+    quadkey ⋄ OLC).  The finest pair of a 10-digit code is 0.000125° =
+    exactly 1250 E7 units, so encode is pure integer digit extraction on
+    the osmio fixed-point coordinates (lib.rs:66-91) — whole-stage codegen,
+    no UDF — and the emitted STRING is then re-PARSED (instr over the
+    base-20 alphabet) back to the cell's SW corner, putting encoder and
+    parser on the hash.  Published vector 47.365590,8.524997 →
+    8FVC9G8F+6X pinned in tests/test_olc.py with a Fraction-exact
+    from-spec reference (float references mis-bin exact cell-boundary
+    points; the integer kernel is the authoritative one).
+
+    100 TB shape: map-only projection — no shuffle at any width."""
+    from osmgraft.functions.olc import olc_col, olc_parse_sw_exprs
+
+    pts = points_from_orders(spark, sf_dir)
+    enc = pts.select(
+        "point_id", olc_col(F.col("lat7"), F.col("lon7")).alias("olc")
+    )
+    sw_lat, sw_lon = olc_parse_sw_exprs("olc")
+    return enc.select(
+        "point_id", "olc", sw_lat.alias("sw_lat7"), sw_lon.alias("sw_lon7")
+    )
+
+
 # --- PMI collocation extraction ------------------------------------------------------
 @register(
     "collocations_pmi",
