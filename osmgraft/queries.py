@@ -7738,6 +7738,42 @@ def olc_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- rendezvous (HRW) hashing shard assignment ---------------------------------------
+def _sql_hrw() -> str:
+    from osmgraft.operators.sharding import sql_hrw_bucket
+
+    return (
+        "SELECT o_orderkey AS point_id,\n"
+        f"  {sql_hrw_bucket('o_orderkey', 12)}::INTEGER AS b12,\n"
+        f"  {sql_hrw_bucket('o_orderkey', 13)}::INTEGER AS b13\n"
+        "FROM orders"
+    )
+
+
+@register("hrw_shard_moves", _sql_hrw())
+def hrw_shard_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous/HRW hashing (Thaler & Ravishankar 1996, operators/
+    sharding.py): every key's shard at B=12 AND at B=13, so the gate hash
+    carries the consistent-hashing minimal-movement law — a key either
+    keeps its bucket or moves to the NEW bucket 12, never sideways
+    (asserted in tests; ~1/13 of keys move vs ~12/13 under hash%B).  The
+    shard map a resumable pipeline uses so a parallelism change between
+    checkpoints relocates the minimum number of partitions.  Argmax is a
+    single codegen'd `greatest` over weight*64+b packed ints (no struct
+    compare, no UDF, identical text in DuckDB).
+
+    100 TB shape: map-only — no shuffle at any width, B md5s per row."""
+    from osmgraft.operators.sharding import hrw_bucket
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    return o.select(
+        k.alias("point_id"),
+        hrw_bucket(k, 12).cast("int").alias("b12"),
+        hrw_bucket(k, 13).cast("int").alias("b13"),
+    )
+
+
 # --- PMI collocation extraction ------------------------------------------------------
 @register(
     "collocations_pmi",
