@@ -980,3 +980,131 @@ SELECT doc_a, doc_b, inter_cnt, sa.n_sh AS a_size
 FROM inter JOIN ne sa ON sa.doc_id = doc_a
 WHERE inter_cnt * 1000 >= {thr} * sa.n_sh
 """.strip()
+
+
+# --- winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003, SIGMOD) --------
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 6, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints — the MOSS local fingerprinting
+    algorithm: hash every character k-gram of the normalized text, then in
+    every window of ``w`` consecutive k-gram hashes select the minimum; the
+    DISTINCT selected values are the fingerprint set.  Guarantee (Thm 1 of
+    the paper): any substring match of length >= w + k - 1 between two
+    documents shares at least one fingerprint, while only ~2/(w+1) of all
+    k-grams are kept — the density/guarantee trade the rolling-hash
+    ``doc_fingerprint`` (one global hash) cannot make.
+
+    Selecting by VALUE makes the output independent of the paper's
+    rightmost-position tie rule: the window minimum value is unique per
+    window regardless of which position carries it, so the distinct-value
+    set is deterministic even for self-repeating text.
+
+    Implemented entirely in higher-order array functions (transform /
+    slice / array_min / array_distinct) — whole-stage codegen, no UDF, no
+    explode: per row the plan builds the k-gram hash array once and the
+    window scan reads slices of it.  100 TB shape: map-only, no shuffle.
+
+    Returns (doc_id, n_fp, fp_digest) where fp_digest is the md5-long of
+    the sorted fingerprint list (the per-doc sketch a near-dup index
+    stores).  Also see winnow_shared_pairs for the pair join.
+    """
+    t = normalize_text(F.col(text_col))
+    d = docs.select("doc_id", t.alias("_t"), F.length(t).alias("_n"))
+    m = F.col("_n") - k + 1  # number of k-grams
+    kgrams = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(0), m - 1),
+            lambda i: md5_long(F.substr(F.col("_t"), i + 1, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    d = d.withColumn("_h", kgrams)
+    nw = F.size(F.col("_h")) - w + 1
+    wins = F.when(
+        nw >= 1,
+        F.transform(
+            F.sequence(F.lit(0), nw - 1),
+            lambda j: F.array_min(F.slice(F.col("_h"), j + 1, w)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    d = d.withColumn("_fps", F.array_sort(F.array_distinct(wins)))
+    return d.select(
+        "doc_id",
+        F.size("_fps").cast("long").alias("n_fp"),
+        md5_long(
+            F.array_join(F.transform("_fps", lambda x: x.cast("string")), ",")
+        ).alias("fp_digest"),
+    )
+
+
+def winnow_fingerprint_sets(
+    docs: DataFrame, k: int = 6, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fp) exploded fingerprint postings — input to the pair join."""
+    t = normalize_text(F.col(text_col))
+    d = docs.select("doc_id", t.alias("_t"), F.length(t).alias("_n"))
+    m = F.col("_n") - k + 1
+    kgrams = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(0), m - 1),
+            lambda i: md5_long(F.substr(F.col("_t"), i + 1, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    d = d.withColumn("_h", kgrams)
+    nw = F.size(F.col("_h")) - w + 1
+    wins = F.when(
+        nw >= 1,
+        F.transform(
+            F.sequence(F.lit(0), nw - 1),
+            lambda j: F.array_min(F.slice(F.col("_h"), j + 1, w)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return d.select(
+        "doc_id", F.explode(F.array_distinct(wins)).alias("fp")
+    )
+
+
+def winnow_shared_pairs(
+    docs: DataFrame, min_shared: int = 2, k: int = 6, w: int = 4
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints: postings
+    self-join on fp (bucketed equi-join on uniform hash values — the same
+    scale shape as the MinHash band join), count shared, threshold."""
+    post = winnow_fingerprint_sets(docs, k=k, w=w)
+    a = post.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = post.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def sql_winnow_fingerprints(k: int = 6, w: int = 4, table: str = "documents") -> str:
+    """DuckDB twin of winnow_fingerprints — identical hash text, list
+    comprehension forms; range(0, negative) is [] so short docs need no
+    guard."""
+    norm = sql_normalize_text("text")
+    h = f"('0x' || substr(md5(substr(txt, CAST(i + 1 AS INTEGER), {k})), 1, 15))::BIGINT"
+    return f"""
+WITH t AS (SELECT doc_id, {norm} AS txt FROM {table}),
+g AS (SELECT doc_id,
+        list_transform(range(0, length(txt) - {k} + 1), i -> {h}) AS h
+      FROM t),
+wm AS (SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+           range(0, len(h) - {w} + 1),
+           j -> list_aggregate(list_slice(h, CAST(j + 1 AS INTEGER),
+                                          CAST(j + {w} AS INTEGER)), 'min')
+         ))) AS fps
+       FROM g)
+SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+  ('0x' || substr(md5(coalesce(list_aggregate(
+      list_transform(fps, x -> CAST(x AS VARCHAR)), 'string_agg', ','), '')),
+   1, 15))::BIGINT AS fp_digest
+FROM wm
+""".strip()

@@ -7738,6 +7738,33 @@ def olc_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- winnowing fingerprints (MOSS) ----------------------------------------------------
+def _sql_winnow() -> str:
+    from osmgraft.operators.dedup import sql_winnow_fingerprints
+
+    return sql_winnow_fingerprints(k=6, w=4)
+
+
+@register("winnow_fingerprints", _sql_winnow())
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    algorithm, operators/dedup.winnow_fingerprints): min-in-window
+    selection over character-6-gram hashes, window 4, distinct selected
+    values per doc.  Completes the fingerprint family — rolling-hash
+    doc_fingerprint (global), CDC chunks (content-defined boundaries),
+    MinHash (set sketch) — with the LOCAL fingerprint that carries the
+    guarantee: any shared substring of length >= w+k-1 = 9 yields a shared
+    fingerprint (property-tested).  The gate hashes per-doc count AND the
+    md5 of the full sorted fingerprint list, so selection, tie handling,
+    dedup and ordering are all pinned cross-engine.
+
+    Plan: higher-order array functions only (transform/slice/array_min) —
+    whole-stage codegen, map-only, no explode, no shuffle at any width."""
+    from osmgraft.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=6, w=4)
+
+
 # --- rendezvous (HRW) hashing shard assignment ---------------------------------------
 def _sql_hrw() -> str:
     from osmgraft.operators.sharding import sql_hrw_bucket
