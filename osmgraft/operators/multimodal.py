@@ -3184,3 +3184,94 @@ def audio_fingerprint_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= int(min_shared))
     )
+
+
+# --- seam carving: min-energy vertical seam (Avidan & Shamir 2007) --------------------
+def image_seam_energy(images: DataFrame, on_error: str = "fail") -> DataFrame:
+    """Minimum-energy vertical seam per image — the dynamic program at the
+    heart of seam carving (Avidan & Shamir, SIGGRAPH 2007): over interior
+    luma pixels, energy e = |gx| + |gy| (the gradient_rose central-diff
+    stencil verbatim), then dp(y,x) = e(y,x) + min(dp(y-1, x-1..x+1)) row
+    by row; the answer is the cheapest bottom-row cell, ties to the
+    smallest x.  Emits (image_id, seam_cost, end_x) with end_x in interior
+    coordinates (1..w-2).  Content-aware retargeting's cost model reduced
+    to an exact integer DP, so the cross-engine hash pins decode, the
+    energy stencil, the transition rule, the border clamp AND the tie rule.
+
+    The DP is h-2 vectorized numpy row sweeps over the whole decoded stack
+    (np.minimum of shifted rows) — no per-image Python.  Images with no
+    interior (h < 3 or w < 3) emit NULLs, as do corrupt payloads under
+    on_error='null'.  100 TB shape: map-only mapInArrow, no shuffle."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            ids = rb.column("image_id").take(sel)
+            k = len(ids)
+            if px is None or h < 3 or w < 3:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        pa.array([None] * k, type=pa.int64()),
+                        pa.array([None] * k, type=pa.int64()),
+                    ],
+                    ["image_id", "seam_cost", "end_x"],
+                )
+                continue
+            p = px.astype(np.int64)
+            luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+            gx = luma[:, 1:-1, 2:] - luma[:, 1:-1, :-2]
+            gy = luma[:, 2:, 1:-1] - luma[:, :-2, 1:-1]
+            e = np.abs(gx) + np.abs(gy)  # (k, h-2, w-2)
+            big = np.int64(1) << 40
+            dp = e[:, 0, :].copy()
+            for r in range(1, e.shape[1]):
+                left = np.concatenate(
+                    [np.full((k, 1), big), dp[:, :-1]], axis=1
+                )
+                right = np.concatenate(
+                    [dp[:, 1:], np.full((k, 1), big)], axis=1
+                )
+                dp = e[:, r, :] + np.minimum(np.minimum(left, dp), right)
+            cost = dp.min(axis=1)
+            end_x = dp.argmin(axis=1) + 1  # first (smallest-x) minimum
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(cost), pa.array(end_x.astype(np.int64))],
+                ["image_id", "seam_cost", "end_x"],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
+        kernel, "image_id string, seam_cost long, end_x long"
+    )
+
+
+def sql_image_seam_energy(idx_cte: str) -> str:
+    """DuckDB twin: the SAME dynamic program as a RECURSIVE CTE that carries
+    each image's current dp ROW as a LIST — one self-reference (the SQL
+    recursion rule), one iteration per image row, every transition computed
+    by list_transform over closed-form formula energies.  Two genuinely
+    different executions (vectorized row sweeps vs recursive list algebra),
+    one hash."""
+    # energy at (y, x) in closed form, y/x interior coordinates
+    gx = f"({_sql_luma_at(0, 1)} - {_sql_luma_at(0, -1)})"
+    gy = f"({_sql_luma_at(1, 0)} - {_sql_luma_at(-1, 0)})"
+    e_yx = f"(abs({gx}) + abs({gy}))"
+    e_first = e_yx.replace("(y+", "(1+").replace("(y)*11", "(1)*11")
+    return f"""WITH RECURSIVE idxs AS ({idx_cte}),
+dims AS (SELECT idx, 16 + (idx % 3) * 8 AS w, 12 + (idx % 2) * 6 AS h FROM idxs),
+dp AS (
+  SELECT idx, w, h, 1 AS y,
+         list_transform(range(1, w - 1),
+                        x -> CAST({e_first} AS BIGINT)) AS costs
+  FROM dims
+  UNION ALL
+  SELECT idx, w, h, y + 1,
+         list_transform(range(1, w - 1), x -> CAST({e_yx.replace('(y+', '(y+1+')} AS BIGINT)
+           + least(costs[CAST(greatest(x - 1, 1) AS INTEGER)],
+                   costs[CAST(x AS INTEGER)],
+                   costs[CAST(least(x + 1, w - 2) AS INTEGER)])) AS costs
+  FROM dp WHERE y < h - 2
+)
+SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
+       list_aggregate(costs, 'min') AS seam_cost,
+       CAST(list_position(costs, list_aggregate(costs, 'min')) AS BIGINT) AS end_x
+FROM dp WHERE y = h - 2"""

@@ -7738,6 +7738,40 @@ def olc_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- seam carving min-energy DP --------------------------------------------------------
+def _seam_sql() -> str:
+    from osmgraft.operators.multimodal import sql_image_seam_energy
+
+    idx_cte = (
+        "SELECT idx FROM (SELECT row_number() OVER () - 1 AS idx FROM orders) "
+        "WHERE idx < 400"
+    )
+    return sql_image_seam_energy(idx_cte)
+
+
+@register("image_seam_energy", _seam_sql())
+def image_seam_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seam carving's minimum-energy vertical seam (Avidan & Shamir 2007,
+    operators/multimodal.image_seam_energy): real container decode →
+    integer central-diff energy → row-by-row DP with the x-1..x+1
+    transition rule → cheapest bottom cell + its column (smallest-x ties).
+    The DuckDB twin replays the SAME DP as a RECURSIVE CTE whose state is
+    each image's dp row carried as a list — a dynamic program on the
+    cross-engine hash, not just a projection.  The first genuinely
+    SEQUENTIAL per-image algorithm in the image suite (everything row y
+    needs is row y-1), vectorized across the whole decoded stack so the
+    sequentiality costs h-2 numpy sweeps, not per-image Python.
+
+    100 TB shape: map-only mapInArrow — no shuffle at any corpus width."""
+    from osmgraft.operators.multimodal import image_seam_energy
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 400)
+    imgs = ensure_min_parallelism(synth_formula_images(spark, n))
+    return image_seam_energy(imgs)
+
+
 # --- winnowing fingerprints (MOSS) ----------------------------------------------------
 def _sql_winnow() -> str:
     from osmgraft.operators.dedup import sql_winnow_fingerprints
