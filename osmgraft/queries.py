@@ -5825,6 +5825,36 @@ def hausdorff_pairs_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hausdorff_pairs(track, bucket_z_shift=9, max_pts=8)
 
 
+def _sql_frechet() -> str:
+    from osmgraft.operators.trajectory import sql_frechet_pairs
+
+    return sql_frechet_pairs(_TRACK_CTE, bucket_z_shift=9, max_pts=7)
+
+
+@register("frechet_pairs_tracks", _sql_frechet())
+def frechet_pairs_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Fréchet coupling distance between track pairs (operators/
+    trajectory.frechet_pairs, Eiter & Mannila 1994) — the ORDER-AWARE
+    companion to hausdorff_pairs_tracks over the same bucketed pair
+    population: ca(i,j) = max(d², min(↑, ↖, ←)), all int64.  Spark runs
+    the DP as nested JVM aggregate() folds (sequential scan per row, no
+    Python); the DuckDB twin advances each row in CLOSED FORM inside a
+    recursive CTE (min-max identity) — two different algorithms, one
+    hash.  By Fréchet ≥ Hausdorff the pair yields a pinned cross-query
+    invariant (tests)."""
+    from osmgraft.operators.trajectory import frechet_pairs
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    o = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    track = o.selectExpr(
+        "o_custkey % 199 AS ent",
+        "o_orderkey AS seq",
+        "(o_orderkey * 13) % 100000 div 10 AS x",
+        "(o_orderkey * 29) % 100000 div 10 AS y",
+    )
+    return frechet_pairs(track, bucket_z_shift=9, max_pts=7)
+
+
 def _sql_rle() -> str:
     from osmgraft.operators.multimodal import sql_image_rle
 

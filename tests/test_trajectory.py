@@ -132,3 +132,97 @@ def test_tile_path_collapse(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]  # AQE prints the plan twice
     assert final.count("Exchange") == 1
+
+
+def _brute_frechet(pa, pb):
+    """Reference Eiter-Mannila memoized recursion (independent of both
+    engines' formulations)."""
+    import functools
+
+    d2 = lambda p, q: (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2  # noqa: E731
+
+    @functools.lru_cache(maxsize=None)
+    def ca(i, j):
+        d = d2(pa[i], pb[j])
+        if i == 0 and j == 0:
+            return d
+        if i == 0:
+            return max(d, ca(0, j - 1))
+        if j == 0:
+            return max(d, ca(i - 1, 0))
+        return max(d, min(ca(i - 1, j), ca(i - 1, j - 1), ca(i, j - 1)))
+
+    return ca(len(pa) - 1, len(pb) - 1)
+
+
+def test_frechet_matches_brute_force(spark):
+    from osmgraft.operators.trajectory import frechet_pairs
+
+    rows = [
+        (e, s, ((e * 31 + s * 17) * 97) % 128, ((e * 29 + s * 13) * 89) % 128)
+        for e in range(1, 7)
+        for s in range(1, 1 + (e % 4) + 3)
+    ]
+    df = spark.createDataFrame(rows, "ent long, seq long, x long, y long")
+    got = {
+        (r["ent_a"], r["ent_b"]): r["frechet_d2"]
+        for r in frechet_pairs(df, bucket_z_shift=7).collect()
+    }
+    tracks = {}
+    for e, s, x, y in rows:
+        tracks.setdefault(e, []).append((s, x, y))
+    import itertools
+
+    for a, b in itertools.combinations(sorted(tracks), 2):
+        pa = tuple((x, y) for _, x, y in sorted(tracks[a]))
+        pb = tuple((x, y) for _, x, y in sorted(tracks[b]))
+        assert got[(a, b)] == _brute_frechet(pa, pb), (a, b)
+
+
+def test_frechet_at_least_hausdorff_and_order_aware(spark):
+    """Fréchet >= Hausdorff always; a reversed track shows the gap (the
+    coupling cannot walk backwards)."""
+    from osmgraft.operators.trajectory import frechet_pairs, hausdorff_pairs
+
+    # ent 1 walks 0..5 east; ent 2 walks the SAME points west
+    rows = [(1, s, s * 10, 0) for s in range(6)] + [
+        (2, s, (5 - s) * 10, 1) for s in range(6)
+    ]
+    df = spark.createDataFrame(rows, "ent long, seq long, x long, y long")
+    h = hausdorff_pairs(df, bucket_z_shift=7).collect()[0]["haus_d2"]
+    f = frechet_pairs(df, bucket_z_shift=7).collect()[0]["frechet_d2"]
+    assert h == 1  # same point set, 1 apart in y
+    assert f == 50 * 50 + 1  # coupling must stretch across the whole sweep
+    assert f >= h
+
+
+def test_frechet_caps_and_buckets(spark):
+    from osmgraft.operators.trajectory import frechet_pairs
+
+    rows = (
+        [(1, s, 10 + (s % 2), 10) for s in range(1, 12)]
+        + [(2, 1, 12, 12)]
+        + [(3, 1, 1000, 1000)]  # far cell at shift 5 -> never pairs
+    )
+    df = spark.createDataFrame(rows, "ent long, seq long, x long, y long")
+    got = {
+        (r["ent_a"], r["ent_b"]): r["frechet_d2"]
+        for r in frechet_pairs(df, bucket_z_shift=5, max_pts=8).collect()
+    }
+    # single-point partner: frechet == max over capped track of d2 to it
+    pts = [(10 + (s % 2), 10) for s in range(1, 9)]
+    want = max((x - 12) ** 2 + (y - 12) ** 2 for x, y in pts)
+    assert got == {(1, 2): want}
+
+
+def test_frechet_plan_no_python(spark):
+    from osmgraft.operators.trajectory import frechet_pairs
+
+    df = spark.createDataFrame([(1, 1, 0, 0)], "ent long, seq long, x long, y long")
+    plan = (
+        frechet_pairs(df, bucket_z_shift=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Cartesian" not in plan
