@@ -697,3 +697,107 @@ per AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS k_obs,
 SELECT m.cx, m.cy, CAST(m.hot AS BIGINT) AS hot,
        coalesce(per.k_obs, 0) AS k_obs, coalesce(per.jc, 0) AS jc
 FROM m LEFT JOIN per ON per.cx = m.cx AND per.cy = m.cy"""
+
+
+def getis_ord_gi_star(
+    cells: DataFrame,
+    cx: str = "cx",
+    cy: str = "cy",
+    cnt: str = "cnt",
+    z2: int = 4,
+) -> DataFrame:
+    """Getis–Ord Gi* hot/cold-spot classification (Getis & Ord 1992; Ord &
+    Getis 1995) per observed cell — the z-score family member the ESDA
+    suite still lacked (global Moran's I = morans_i_z8, local join counts
+    = local_join_counts_z8, temporal trend = tile_trend_mk_z5; Gi* is the
+    LEVEL detector ArcGIS calls "Hot Spot Analysis").
+
+    Weights: binary queen contiguity INCLUDING self (the Gi* convention)
+    over the observed-cell universe.  With L = Σ_{j∈N(i)} x_j,
+    W = |N(i)|, T1 = Σx, T2 = Σx², n = #cells:
+
+        z_i = (n·L − W·T1) · sqrt(n−1) / sqrt((n·T2 − T1²)(n·W − W²))
+
+    classified EXACTLY with no sqrt/division: |z| ≥ z0 ⇔
+    A²·(n−1) ≥ z0²·(n·T2 − T1²)·(n·W − W²) with A = n·L − W·T1, evaluated
+    in DECIMAL(38) (the twin uses HUGEINT) so the cross-multiplication
+    never wraps; sign(A) picks hot (+1) vs cold (−1), A = 0 (degenerate
+    universes included) is 0.  Emits (cx, cy, gi_num = A, w_obs, cls).
+
+    Join shape: ONE explode of the 9 window offsets + hash re-group (the
+    density_smooth discipline — no OR-join nested loop), one equi-join back
+    to the universe to drop phantom targets, one broadcast of the 1-row
+    global stats.  Scales: work is 9·cells, all map-side combinable."""
+    c = cells.select(
+        F.col(cx).alias("cx"), F.col(cy).alias("cy"), F.col(cnt).cast("long").alias("v")
+    )
+    stats = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("t1"),
+        F.sum(F.col("v") * F.col("v")).alias("t2"),
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    contrib = c.select(F.explode(offs).alias("o"), "cx", "cy", "v").select(
+        (F.col("cx") + F.col("o.dx")).alias("tx"),
+        (F.col("cy") + F.col("o.dy")).alias("ty"),
+        "v",
+    )
+    nb = contrib.groupBy("tx", "ty").agg(
+        F.sum("v").alias("l"), F.count(F.lit(1)).alias("w")
+    )
+    j = c.join(nb, (c["cx"] == nb["tx"]) & (c["cy"] == nb["ty"])).crossJoin(
+        F.broadcast(stats)
+    )
+    d19 = "decimal(19,0)"
+    n19 = F.col("n").cast(d19)
+    a = (F.col("n") * F.col("l") - F.col("w") * F.col("t1")).cast(d19)
+    lhs = (a * a) * (F.col("n") - 1).cast(d19)
+    sden = n19 * F.col("t2").cast(d19) - F.col("t1").cast(d19) * F.col("t1").cast(d19)
+    wden = (F.col("n") * F.col("w") - F.col("w") * F.col("w")).cast(d19)
+    rhs = F.lit(z2).cast(d19) * sden * wden
+    cls = (
+        F.when(a == 0, 0)
+        .when((a > 0) & (lhs >= rhs), 1)
+        .when((a < 0) & (lhs >= rhs), -1)
+        .otherwise(0)
+    )
+    return j.select(
+        "cx",
+        "cy",
+        a.cast("long").alias("gi_num"),
+        F.col("w").cast("long").alias("w_obs"),
+        cls.cast("long").alias("cls"),
+    )
+
+
+def sql_getis_ord_gi_star(cells_cte: str, z2: int = 4) -> str:
+    """DuckDB twin over the same cells CTE body (cx, cy, cnt) — identical
+    exact inequality in HUGEINT, relational window sum via a 9-row VALUES
+    cross join."""
+    return f"""WITH cells AS ({cells_cte}),
+st AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(cnt) AS HUGEINT) AS t1,
+              CAST(sum(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS t2 FROM cells),
+contrib AS (
+  SELECT cx + d.dx AS tx, cy + d.dy AS ty, cnt AS v
+  FROM cells, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                      (1,-1),(1,0),(1,1)) d(dx, dy)),
+nb AS (SELECT tx, ty, CAST(sum(v) AS HUGEINT) AS l, CAST(count(*) AS HUGEINT) AS w
+       FROM contrib GROUP BY tx, ty),
+sc AS (SELECT c.cx, c.cy, nb.w,
+              st.n * nb.l - nb.w * st.t1 AS a,
+              st.n - 1 AS nm1,
+              st.n * st.t2 - st.t1 * st.t1 AS sden,
+              st.n * nb.w - nb.w * nb.w AS wden
+       FROM cells c JOIN nb ON nb.tx = c.cx AND nb.ty = c.cy, st)
+SELECT cx, cy, CAST(a AS BIGINT) AS gi_num, CAST(w AS BIGINT) AS w_obs,
+       CAST(CASE WHEN a = 0 THEN 0
+                 WHEN a > 0 AND a * a * nm1 >= {z2} * sden * wden THEN 1
+                 WHEN a < 0 AND a * a * nm1 >= {z2} * sden * wden THEN -1
+                 ELSE 0 END AS BIGINT) AS cls
+FROM sc"""

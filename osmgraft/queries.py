@@ -7666,6 +7666,26 @@ def local_join_counts_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_join_counts(_cells_df(spark, sf_dir, 8))
 
 
+def _sql_gi_star() -> str:
+    from osmgraft.operators.density import sql_getis_ord_gi_star
+
+    return f"WITH pts AS ({_PTS}), outer_q AS (\n{sql_getis_ord_gi_star(_sql_cells(8))}\n) SELECT * FROM outer_q"
+
+
+@register("getis_ord_hot_z8", _sql_gi_star())
+def getis_ord_hot_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis–Ord Gi* hot/cold-spot z-classification per z8 cell (operators/
+    density.getis_ord_gi_star) — the LEVEL-detecting z-score member of the
+    ESDA family (Moran's I global, local join counts, Mann–Kendall trend).
+    |z| ≥ 2 decided exactly by the cross-multiplied inequality
+    A²(n−1) ≥ 4(nT2−T1²)(nW−W²) in DECIMAL(38) (HUGEINT twin) — no sqrt,
+    no IEEE, bitwise at any parallelism.  One offset-explode + regroup
+    (no OR-join), one equi-join, one broadcast stats row."""
+    from osmgraft.operators.density import getis_ord_gi_star
+
+    return getis_ord_gi_star(_cells_df(spark, sf_dir, 8))
+
+
 # --- geofence enter/exit transitions -------------------------------------------------
 @register(
     "geofence_transitions",

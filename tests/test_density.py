@@ -290,3 +290,79 @@ def test_median_filter_vs_reference(spark):
         assert got[(x, y)] == sorted(window)[4], (x, y)
     assert got[(30, 30)] == 0
     assert got[(41, 41)] == 7
+
+
+def _gi_star_float_ref(cells, z0=2.0):
+    """Textbook float Gi* (Ord & Getis 1995) — independent of both engines'
+    exact-integer formulation."""
+    import math
+
+    n = len(cells)
+    t1 = sum(cells.values())
+    t2 = sum(v * v for v in cells.values())
+    xbar = t1 / n
+    s = math.sqrt(t2 / n - xbar * xbar)
+    out = {}
+    for (x, y) in cells:
+        nbrs = [
+            cells[(x + dx, y + dy)]
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (x + dx, y + dy) in cells
+        ]
+        w = len(nbrs)
+        l = sum(nbrs)
+        num = l - xbar * w
+        den = s * math.sqrt((n * w - w * w) / (n - 1)) if n > 1 else 0.0
+        if den == 0 or num == 0:
+            out[(x, y)] = 0
+            continue
+        z = num / den
+        out[(x, y)] = 1 if z >= z0 else (-1 if z <= -z0 else 0)
+    return out
+
+
+def test_gi_star_matches_float_reference(spark):
+    """Planted hot block + cold strip on a noisy grid: exact-integer
+    classification == textbook float z-scores (no boundary ties planted)."""
+    from osmgraft.operators.density import getis_ord_gi_star
+
+    cells = {}
+    for x in range(8):
+        for y in range(6):
+            cells[(x, y)] = 50 + ((x * 7 + y * 13) % 5)
+    for x, y in [(2, 2), (2, 3), (3, 2), (3, 3)]:
+        cells[(x, y)] = 85  # hot block
+    for y in range(6):
+        cells[(7, y)] = 20  # cold strip
+    df = spark.createDataFrame(
+        [(x, y, v) for (x, y), v in cells.items()], "cx long, cy long, cnt long"
+    )
+    got = {(r["cx"], r["cy"]): r["cls"] for r in getis_ord_gi_star(df).collect()}
+    want = _gi_star_float_ref(cells)
+    assert got == want
+    assert 1 in got.values() and -1 in got.values() and 0 in got.values()
+
+
+def test_gi_star_degenerate_universes(spark):
+    """n = 1 and all-equal universes classify 0 everywhere (A = 0 path)."""
+    from osmgraft.operators.density import getis_ord_gi_star
+
+    one = spark.createDataFrame([(5, 5, 9)], "cx long, cy long, cnt long")
+    assert [(r["cls"], r["gi_num"]) for r in getis_ord_gi_star(one).collect()] == [(0, 0)]
+    flat = spark.createDataFrame(
+        [(x, 0, 7) for x in range(4)], "cx long, cy long, cnt long"
+    )
+    assert {r["cls"] for r in getis_ord_gi_star(flat).collect()} == {0}
+
+
+def test_gi_star_gi_num_and_w(spark):
+    """gi_num = n·L − W·T1 and w_obs checked by hand on a 3-cell line."""
+    from osmgraft.operators.density import getis_ord_gi_star
+
+    df = spark.createDataFrame(
+        [(0, 0, 1), (1, 0, 2), (2, 0, 4)], "cx long, cy long, cnt long"
+    )
+    got = {(r["cx"], r["cy"]): (r["gi_num"], r["w_obs"]) for r in getis_ord_gi_star(df).collect()}
+    # n=3, T1=7: cell0 L=3 W=2 -> 9-14=-5; cell1 L=7 W=3 -> 21-21=0; cell2 L=6 W=2 -> 18-14=4
+    assert got == {(0, 0): (-5, 2), (1, 0): (0, 3), (2, 0): (4, 2)}
