@@ -3275,3 +3275,96 @@ SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
        list_aggregate(costs, 'min') AS seam_cost,
        CAST(list_position(costs, list_aggregate(costs, 'min')) AS BIGINT) AS end_x
 FROM dp WHERE y = h - 2"""
+
+
+def image_bilinear_up2x(images: DataFrame, on_error: str = "fail") -> DataFrame:
+    """Exact 2× bilinear upsample per image (align-corners: output pixel
+    (Y, X) samples input (Y/2, X/2)) — the resize augmentation a training
+    pipeline runs on every image, kept EXACT by scaling values by 4 so the
+    1/2 and 1/4 interpolation weights never touch IEEE: even/even cells are
+    4·p, edge cells 2·(p₁+p₂), center cells the 4-corner sum.  Output is
+    (2h−1)×(2w−1)×3 in ×4 units; rather than ship the pixels, each image
+    emits its exact moments — (out_h, out_w, sum4, ssq4, wsum4) with
+    wsum4 = Σ v·(Y·131 + X·137 + c·139 + 1) — the positional weight makes
+    any transposition/shift/channel-swap break the hash, so decode AND the
+    full interpolation lattice are pinned cross-engine.
+
+    Vectorized: four strided-slice assignments per decoded stack + three
+    reductions (einsum for the weighted one) — no per-image Python.
+    Degenerate sizes (h < 2 or w < 2) and corrupt payloads under
+    on_error='null' emit NULL moments.  100 TB shape: map-only mapInArrow,
+    no shuffle."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            ids = rb.column("image_id").take(sel)
+            k = len(ids)
+            if px is None or h < 2 or w < 2:
+                nul = pa.array([None] * k, type=pa.int64())
+                yield pa.RecordBatch.from_arrays(
+                    [ids, nul, nul, nul, nul, nul],
+                    ["image_id", "out_h", "out_w", "sum4", "ssq4", "wsum4"],
+                )
+                continue
+            p = px.astype(np.int64)
+            oh, ow = 2 * h - 1, 2 * w - 1
+            up = np.empty((k, oh, ow, 3), dtype=np.int64)
+            up[:, 0::2, 0::2] = 4 * p
+            up[:, 0::2, 1::2] = 2 * (p[:, :, :-1] + p[:, :, 1:])
+            up[:, 1::2, 0::2] = 2 * (p[:, :-1, :] + p[:, 1:, :])
+            up[:, 1::2, 1::2] = (
+                p[:, :-1, :-1] + p[:, :-1, 1:] + p[:, 1:, :-1] + p[:, 1:, 1:]
+            )
+            yv = np.arange(oh, dtype=np.int64)[:, None, None]
+            xv = np.arange(ow, dtype=np.int64)[None, :, None]
+            cv = np.arange(3, dtype=np.int64)[None, None, :]
+            wgt = yv * 131 + xv * 137 + cv * 139 + 1
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(np.full(k, oh, dtype=np.int64)),
+                    pa.array(np.full(k, ow, dtype=np.int64)),
+                    pa.array(up.sum(axis=(1, 2, 3))),
+                    pa.array((up * up).sum(axis=(1, 2, 3))),
+                    pa.array(np.einsum("kyxc,yxc->k", up, wgt)),
+                ],
+                ["image_id", "out_h", "out_w", "sum4", "ssq4", "wsum4"],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
+        kernel,
+        "image_id string, out_h long, out_w long, sum4 long, ssq4 long, wsum4 long",
+    )
+
+
+def sql_image_bilinear_up2x(idx_cte: str, max_h: int = 18, max_w: int = 32) -> str:
+    """DuckDB twin: the interpolation lattice replayed RELATIONALLY over the
+    closed-form pixels — one row per output (Y, X, c), parity CASE for the
+    four weight patterns, exact integer aggregation of the same moments."""
+
+    def px(y: str, x: str) -> str:
+        return f"((idx*37 + ({y})*11 + ({x})*7 + 29*c) % 256)"
+
+    out4 = (
+        f"CASE WHEN yy % 2 = 0 AND xx % 2 = 0 THEN 4 * {px('yy//2', 'xx//2')}\n"
+        f"  WHEN yy % 2 = 0 THEN 2 * ({px('yy//2', '(xx-1)//2')} + {px('yy//2', '(xx+1)//2')})\n"
+        f"  WHEN xx % 2 = 0 THEN 2 * ({px('(yy-1)//2', 'xx//2')} + {px('(yy+1)//2', 'xx//2')})\n"
+        f"  ELSE {px('(yy-1)//2', '(xx-1)//2')} + {px('(yy-1)//2', '(xx+1)//2')}\n"
+        f"     + {px('(yy+1)//2', '(xx-1)//2')} + {px('(yy+1)//2', '(xx+1)//2')} END"
+    )
+    return f"""WITH idxs AS ({idx_cte}),
+dims AS (SELECT idx, 16 + (idx % 3) * 8 AS w, 12 + (idx % 2) * 6 AS h FROM idxs),
+o AS (
+  SELECT idx, 2 * h - 1 AS out_h, 2 * w - 1 AS out_w,
+         CAST({out4} AS BIGINT) AS v,
+         yy * 131 + xx * 137 + c * 139 + 1 AS wt
+  FROM dims
+  CROSS JOIN range(0, {2 * max_h - 1}) ty(yy)
+  CROSS JOIN range(0, {2 * max_w - 1}) tx(xx)
+  CROSS JOIN range(0, 3) tc(c)
+  WHERE yy < 2 * h - 1 AND xx < 2 * w - 1)
+SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
+       CAST(max(out_h) AS BIGINT) AS out_h, CAST(max(out_w) AS BIGINT) AS out_w,
+       CAST(sum(v) AS BIGINT) AS sum4, CAST(sum(v * v) AS BIGINT) AS ssq4,
+       CAST(sum(v * wt) AS BIGINT) AS wsum4
+FROM o GROUP BY idx"""

@@ -7822,6 +7822,35 @@ def image_seam_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_seam_energy(imgs)
 
 
+def _bilinear_sql() -> str:
+    from osmgraft.operators.multimodal import sql_image_bilinear_up2x
+
+    idx_cte = (
+        "SELECT idx FROM (SELECT row_number() OVER () - 1 AS idx FROM orders) "
+        "WHERE idx < 400"
+    )
+    return sql_image_bilinear_up2x(idx_cte)
+
+
+@register("image_bilinear_up2x", _bilinear_sql())
+def image_bilinear_up2x_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2× bilinear upsample (operators/multimodal.image_bilinear_up2x):
+    real container decode → align-corners interpolation in ×4 integer units
+    (weights 1, 1/2, 1/4 never touch IEEE) → per-image exact moments with a
+    positional checksum that pins the whole output lattice.  The DuckDB
+    twin replays the interpolation RELATIONALLY over the closed-form
+    pixels (one row per output sample, parity CASE for the four weight
+    patterns).  The resize leg of the augmentation suite
+    (image_augment_identity ⋄ image_patches ⋄ this).  100 TB: map-only."""
+    from osmgraft.operators.multimodal import image_bilinear_up2x
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 400)
+    imgs = ensure_min_parallelism(synth_formula_images(spark, n))
+    return image_bilinear_up2x(imgs)
+
+
 # --- winnowing fingerprints (MOSS) ----------------------------------------------------
 def _sql_winnow() -> str:
     from osmgraft.operators.dedup import sql_winnow_fingerprints
