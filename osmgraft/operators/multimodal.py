@@ -3368,3 +3368,125 @@ SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
        CAST(sum(v) AS BIGINT) AS sum4, CAST(sum(v * v) AS BIGINT) AS ssq4,
        CAST(sum(v * wt) AS BIGINT) AS wsum4
 FROM o GROUP BY idx"""
+
+
+def image_canny_nms(images: DataFrame, t2: int = 2000, on_error: str = "fail") -> DataFrame:
+    """Canny-style edge map: gradient magnitude threshold + NON-MAXIMUM
+    SUPPRESSION along the quantized gradient direction (Canny 1986, stages
+    1-2; hysteresis is image_cc_blobs territory) — exact integers end to
+    end.  mag² = gx²+gy² on the central-diff interior; direction quantized
+    by the SAME integer octant rule as image_gradient_rose / the movement
+    rose (one sector predicate, three domains), folded mod 4 into the four
+    NMS axes (E-W, NE-SW, N-S, NW-SE); a pixel survives iff mag² > t2 AND
+    mag² >= both neighbors' mag² along its axis.  Emits per image
+    (edge_n, edge_chk) with edge_chk = Σ (y·131 + x·137 + 1) over
+    surviving pixels — the positional checksum pins the exact edge SET,
+    not just its size.  Valid domain is y,x ∈ [2, dim-3] (gradient plus
+    one NMS neighbor); smaller images emit zeros, corrupt payloads under
+    on_error='null' emit NULLs.  100 TB: map-only mapInArrow, no shuffle."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            ids = rb.column("image_id").take(sel)
+            k = len(ids)
+            if px is None:
+                nul = pa.array([None] * k, type=pa.int64())
+                yield pa.RecordBatch.from_arrays(
+                    [ids, nul, nul], ["image_id", "edge_n", "edge_chk"]
+                )
+                continue
+            if h < 5 or w < 5:
+                zer = pa.array(np.zeros(k, np.int64))
+                yield pa.RecordBatch.from_arrays(
+                    [ids, zer, zer], ["image_id", "edge_n", "edge_chk"]
+                )
+                continue
+            p = px.astype(np.int64)
+            luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+            gx = luma[:, 1:-1, 2:] - luma[:, 1:-1, :-2]
+            gy = luma[:, 2:, 1:-1] - luma[:, :-2, 1:-1]
+            mag2 = gx * gx + gy * gy  # (k, h-2, w-2), image coords offset 1
+            gxi, gyi = gx[:, 1:-1, 1:-1], gy[:, 1:-1, 1:-1]
+            agx, agy = np.abs(gxi), np.abs(gyi)
+            octant = np.select(
+                [
+                    (gxi > 0) & (gyi >= 0),
+                    (gxi <= 0) & (gyi > 0),
+                    (gxi < 0) & (gyi <= 0),
+                ],
+                [
+                    np.where(agy < agx, 0, 1),
+                    np.where(agx < agy, 2, 3),
+                    np.where(agy < agx, 4, 5),
+                ],
+                default=np.where(agx < agy, 6, 7),
+            )
+            axis = octant % 4
+            inner = mag2[:, 1:-1, 1:-1]
+            nbr = {
+                0: (mag2[:, 1:-1, 2:], mag2[:, 1:-1, :-2]),
+                1: (mag2[:, 2:, 2:], mag2[:, :-2, :-2]),
+                2: (mag2[:, 2:, 1:-1], mag2[:, :-2, 1:-1]),
+                3: (mag2[:, 2:, :-2], mag2[:, :-2, 2:]),
+            }
+            keep = np.zeros_like(inner, dtype=bool)
+            for d, (n1, n2) in nbr.items():
+                keep |= (axis == d) & (inner >= n1) & (inner >= n2)
+            edge = (inner > t2) & keep
+            yv = (np.arange(2, h - 2, dtype=np.int64))[None, :, None]
+            xv = (np.arange(2, w - 2, dtype=np.int64))[None, None, :]
+            wgt = yv * 131 + xv * 137 + 1
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(edge.sum(axis=(1, 2)).astype(np.int64)),
+                    pa.array((edge * wgt).sum(axis=(1, 2)).astype(np.int64)),
+                ],
+                ["image_id", "edge_n", "edge_chk"],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
+        kernel, "image_id string, edge_n long, edge_chk long"
+    )
+
+
+def sql_image_canny_nms(idx_cte: str, t2: int = 2000, max_h: int = 18, max_w: int = 32) -> str:
+    """DuckDB twin: mag² at the center and its 8 neighbors in CLOSED FORM
+    (luma formula at shifted coordinates), the shared octant CASE, and the
+    axis-picked NMS comparison — one row per interior-interior pixel."""
+
+    def g(a: int, b: int) -> tuple[str, str]:
+        gx = f"({_sql_luma_at(a, b + 1)} - {_sql_luma_at(a, b - 1)})"
+        gy = f"({_sql_luma_at(a + 1, b)} - {_sql_luma_at(a - 1, b)})"
+        return gx, gy
+
+    def m2(a: int, b: int) -> str:
+        gx, gy = g(a, b)
+        return f"({gx} * {gx} + {gy} * {gy})"
+
+    gx0, gy0 = g(0, 0)
+    oct_case = (
+        f"CASE WHEN {gx0} > 0 AND {gy0} >= 0 THEN (CASE WHEN abs({gy0}) < abs({gx0}) THEN 0 ELSE 1 END)\n"
+        f" WHEN {gx0} <= 0 AND {gy0} > 0 THEN (CASE WHEN abs({gx0}) < abs({gy0}) THEN 2 ELSE 3 END)\n"
+        f" WHEN {gx0} < 0 AND {gy0} <= 0 THEN (CASE WHEN abs({gy0}) < abs({gx0}) THEN 4 ELSE 5 END)\n"
+        f" ELSE (CASE WHEN abs({gx0}) < abs({gy0}) THEN 6 ELSE 7 END) END"
+    )
+    nms = (
+        f"CASE ({oct_case}) % 4\n"
+        f" WHEN 0 THEN m0 >= {m2(0, 1)} AND m0 >= {m2(0, -1)}\n"
+        f" WHEN 1 THEN m0 >= {m2(1, 1)} AND m0 >= {m2(-1, -1)}\n"
+        f" WHEN 2 THEN m0 >= {m2(1, 0)} AND m0 >= {m2(-1, 0)}\n"
+        f" ELSE m0 >= {m2(1, -1)} AND m0 >= {m2(-1, 1)} END"
+    )
+    return f"""WITH idxs AS ({idx_cte}),
+dims AS (SELECT idx, 16 + (idx % 3) * 8 AS w, 12 + (idx % 2) * 6 AS h FROM idxs),
+px AS (
+  SELECT idx, y, x, {m2(0, 0)} AS m0,
+         CASE WHEN {m2(0, 0)} > {t2} AND ({nms}) THEN 1 ELSE 0 END AS edge
+  FROM dims
+  CROSS JOIN range(2, {max_h - 2}) ty(y) CROSS JOIN range(2, {max_w - 2}) tx(x)
+  WHERE y < h - 2 AND x < w - 2)
+SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
+       CAST(sum(edge) AS BIGINT) AS edge_n,
+       CAST(sum(edge * (y * 131 + x * 137 + 1)) AS BIGINT) AS edge_chk
+FROM px GROUP BY idx"""

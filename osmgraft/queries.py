@@ -7851,6 +7851,36 @@ def image_bilinear_up2x_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_bilinear_up2x(imgs)
 
 
+def _canny_sql() -> str:
+    from osmgraft.operators.multimodal import sql_image_canny_nms
+
+    idx_cte = (
+        "SELECT idx FROM (SELECT row_number() OVER () - 1 AS idx FROM orders) "
+        "WHERE idx < 400"
+    )
+    return sql_image_canny_nms(idx_cte)
+
+
+@register("image_canny_nms", _canny_sql())
+def image_canny_nms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canny stages 1-2 (operators/multimodal.image_canny_nms): real decode
+    → integer central-diff gradients → magnitude threshold → non-maximum
+    suppression along the octant-quantized gradient axis (the shared
+    movement-rose sector rule folded mod 4).  Per-image edge count + a
+    positional checksum pinning the exact surviving-pixel SET.  The DuckDB
+    twin evaluates mag² at the center and all 8 neighbors in closed form —
+    decode, stencil, sector rule and the NMS comparisons all on one hash.
+    Completes the edge chain: gradient_rose → NMS edges → cc_blobs.
+    100 TB: map-only."""
+    from osmgraft.operators.multimodal import image_canny_nms
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 400)
+    imgs = ensure_min_parallelism(synth_formula_images(spark, n))
+    return image_canny_nms(imgs)
+
+
 # --- winnowing fingerprints (MOSS) ----------------------------------------------------
 def _sql_winnow() -> str:
     from osmgraft.operators.dedup import sql_winnow_fingerprints
