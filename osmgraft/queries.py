@@ -7508,6 +7508,62 @@ def ring_validity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ring_self_crossings(verts, "ring_id", "seq", "x", "y")
 
 
+def _sql_triangulate() -> str:
+    from osmgraft.operators.triangulate import sql_triangulate_rings
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("o_orderkey")
+
+    def e5(x: str) -> str:
+        return f"(({x}) - ((({x}) % 100 + 100) % 100)) // 100"
+
+    pts = f"""SELECT ring_id, x, y FROM (
+    SELECT o_custkey AS ring_id,
+           {e5(f'({lon})')} AS x, {e5(f'({lat})')} AS y,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+    FROM orders) WHERE rn <= 10"""
+    return sql_triangulate_rings(pts)
+
+
+@register("triangulate_customer_rings", _sql_triangulate())
+def triangulate_customer_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ear-clipping tessellation (operators/triangulate.py): per customer,
+    the first ≤10 order points are polygonized by the exact two-chain
+    construction (simple by construction in general position), gated by
+    the shared crossing predicate, CCW-normalized and clipped into n−2
+    triangles by the first-ear rule — Spark sweeps all rings at once in
+    masked numpy (mapInArrow, no per-ring Python), the DuckDB twin replays
+    the SAME clip sequence as a recursive CTE over the ring-as-list.  Every
+    emitted coordinate is on the hash, so construction order, orientation
+    normalization, the convexity test, closed-triangle blocking AND the
+    clip sequence itself are all pinned cross-engine.  100 TB: one bounded
+    pair join + one hash agg per ring, then map-only."""
+    from osmgraft.operators.triangulate import triangulate_rings, two_chain_ring
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+    from pyspark.sql import Window as W
+
+    orders = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    lat, lon = latlon_of_key(F.col("o_orderkey"))
+
+    def e5(c):
+        return ((c - F.pmod(c, F.lit(100))) / F.lit(100)).cast("long")
+
+    pts = (
+        orders.select(
+            F.col("o_custkey").alias("ring_id"),
+            e5(lon).alias("x"),
+            e5(lat).alias("y"),
+            F.row_number()
+            .over(W.partitionBy("o_custkey").orderBy("o_orderkey"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+    return triangulate_rings(two_chain_ring(pts))
+
+
 # --- GPX track format roundtrip -------------------------------------------------
 def _sql_gpx_tracks() -> str:
     from osmgraft.functions.wkt import sql_fmt_e7
