@@ -766,3 +766,114 @@ mk AS (
                          ELSE 'flat' END)
               ELSE 'flat' END AS trend
   FROM mk_n n LEFT JOIN mk_s s ON {" AND ".join(f"n.{k} = s.{k}" for k in keys)})"""
+
+
+# lcm(1..30): every pair of time ticks <= 30 apart yields an EXACT integer
+# slope key dy * (LCM // dx) — the scaled-rational trick that makes slopes
+# sortable without IEEE division
+_LCM_1_30 = 2329089562800
+
+
+def theil_sen(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str = "day",
+    val_col: str = "cnt",
+    max_dx: int = 30,
+) -> DataFrame:
+    """Theil–Sen robust slope per key group (Theil 1950; Sen 1968) — the
+    MEDIAN of all pairwise slopes (v_j − v_i)/(t_j − t_i), the
+    breakdown-point-0.29 companion to the OLS fit (trend_events_daily) and
+    the Mann–Kendall direction test (tile_trend_mk_z5): MK says *whether*
+    a tile trends, Theil–Sen says *how fast*, immune to a burst day.
+
+    Exactness: slopes are rationals with denominators ≤ ``max_dx``; each
+    is scaled to the EXACT int64 key dy · (lcm(1..30) // dx), so ordering,
+    the median pick and the emitted value never touch IEEE — bitwise at
+    any parallelism.  Ties in the key are true slope ties (equal output).
+    Emits (keys…, n_days, n_pairs, slope_num, slope_den) where the Theil–
+    Sen slope = slope_num / slope_den (slope_den = lcm constant) and
+    slope_num is the LOWER median (position (P+1)//2 of P pairs ascending).
+    Groups with < 2 observations have no slope and are omitted; a tick gap
+    beyond ``max_dx`` raises (the lcm would no longer divide evenly).
+
+    100 TB shape: the i<j pair join runs on the per-(key, tick) AGGREGATE
+    (≤ 435 pairs per key at 30 ticks); one keys-shuffle for the window
+    median; zero IEEE anywhere."""
+    if max_dx > 30:
+        raise ValueError("max_dx beyond 30 needs a larger lcm constant")
+    obs = df.select(*keys, F.col(order_col).alias("_t"), F.col(val_col).alias("_v"))
+    right = obs.select(*keys, F.col("_t").alias("_t2"), F.col("_v").alias("_v2"))
+    pairs = (
+        obs.join(right, keys)
+        .filter(F.col("_t") < F.col("_t2"))
+        .select(
+            *keys,
+            (F.col("_v2") - F.col("_v")).alias("_dy"),
+            (F.col("_t2") - F.col("_t")).alias("_dx"),
+        )
+        .withColumn(
+            "_key",
+            F.col("_dy")
+            * F.when(F.col("_dx") <= max_dx, F.expr(f"{_LCM_1_30} div _dx")).otherwise(
+                # inside the CASE so Catalyst cannot constant-fold it away;
+                # fires only when a tick gap exceeds the lcm range
+                F.raise_error(f"theil_sen: tick gap > {max_dx}").cast("long")
+            ),
+        )
+    )
+    w = Window.partitionBy(*keys).orderBy("_key")
+    ranked = pairs.select(
+        *keys,
+        "_key",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(*keys)).alias("n_pairs"),
+    )
+    med = ranked.filter(F.col("_rn") == F.expr("(n_pairs + 1) div 2")).select(
+        *keys,
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("_key").cast("long").alias("slope_num"),
+        F.lit(_LCM_1_30).cast("long").alias("slope_den"),
+    )
+    n = df.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return n.join(med, keys).select(
+        *keys, "n_days", "n_pairs", "slope_num", "slope_den"
+    )
+
+
+def sql_theil_sen(
+    counts_cte: str,
+    keys: list[str],
+    order_col: str = "day",
+    val_col: str = "cnt",
+    max_dx: int = 30,
+) -> str:
+    """DuckDB twin of :func:`theil_sen` — same pair join, same exact lcm
+    slope key, same lower-median window pick."""
+    ks = ", ".join(keys)
+    on = " AND ".join(f"a.{k} = b.{k}" for k in keys)
+    ka = ", ".join(f"a.{k} AS {k}" for k in keys)
+    return f"""counts AS ({counts_cte}),
+tpairs AS (
+  SELECT {ka},
+         b.{val_col} - a.{val_col} AS dy,
+         b.{order_col} - a.{order_col} AS dx
+  FROM counts a JOIN counts b ON {on} AND a.{order_col} < b.{order_col}),
+tkeys AS (
+  SELECT {ks},
+         dy * (CASE WHEN dx > {max_dx}
+                    THEN CAST(error('theil_sen: tick gap > {max_dx}') AS BIGINT)
+                    ELSE {_LCM_1_30} // dx END) AS key
+  FROM tpairs),
+tranked AS (
+  SELECT {ks}, key,
+         row_number() OVER (PARTITION BY {ks} ORDER BY key) AS rn,
+         count(*) OVER (PARTITION BY {ks}) AS n_pairs
+  FROM tkeys),
+tn AS (SELECT {ks}, CAST(count(*) AS BIGINT) AS n_days FROM counts GROUP BY {ks}),
+ts AS (
+  SELECT {ks}, CAST(n_pairs AS BIGINT) AS n_pairs, CAST(key AS BIGINT) AS slope_num,
+         CAST({_LCM_1_30} AS BIGINT) AS slope_den
+  FROM tranked WHERE rn = (n_pairs + 1) // 2)
+SELECT tn.*, ts.n_pairs, ts.slope_num, ts.slope_den
+FROM tn JOIN ts USING ({ks})"""

@@ -7302,6 +7302,44 @@ def tile_trend_mk_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_kendall(counts, ["tx", "ty"], "day", "cnt")
 
 
+def _sql_theil_sen() -> str:
+    from osmgraft.operators.stats import sql_theil_sen
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("event_id")
+    counts = f"""SELECT {tiles.sql_tile_x(f'({lon})', 5)} AS tx,
+         {tiles.sql_tile_y(f'({lat})', 5)} AS ty,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2, 3"""
+    return "WITH " + sql_theil_sen(counts, ["tx", "ty"])
+
+
+@register("tile_theil_sen_z5", _sql_theil_sen())
+def tile_theil_sen_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust slope per z5 tile (operators/stats.theil_sen) over
+    the SAME tile-day rollup as tile_trend_mk_z5 — completing the trend
+    trio (OLS fit ⋄ Mann–Kendall direction ⋄ robust magnitude).  Pairwise
+    slopes become EXACT int64 keys via dy·(lcm(1..30)//dx), so the median
+    pick and the emitted slope never touch IEEE.  100 TB: pair join on the
+    tile-day aggregate (≤435 pairs/tile), one window median."""
+    from osmgraft.operators.stats import theil_sen
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+
+    ev = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    lat, lon = latlon_of_key(F.col("event_id"))
+    counts = (
+        ev.select(
+            tiles.tile_x(lon, 5).alias("tx"),
+            tiles.tile_y(lat, 5).alias("ty"),
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        )
+        .groupBy("tx", "ty", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return theil_sen(counts, ["tx", "ty"])
+
+
 # --- WKT polygon codec roundtrip ---------------------------------------------------
 def _sql_wkt_boundaries() -> str:
     from osmgraft.functions.wkt import sql_fmt_e7

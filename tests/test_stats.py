@@ -447,3 +447,51 @@ def test_local_join_counts_hand_grid(spark):
     assert out[(1, 0)]["jc"] == 1
     assert out[(9, 9)]["hot"] == 1 and out[(9, 9)]["jc"] == 0 and out[(9, 9)]["k_obs"] == 0
     assert out[(0, 1)]["hot"] == 0 and out[(0, 1)]["k_obs"] == 2 and out[(0, 1)]["jc"] == 0
+
+
+def _ts_ref(series, lcm=2329089562800):
+    """Independent median-of-pairwise-slopes reference (python fractions)."""
+    from fractions import Fraction
+
+    pts = sorted(series)
+    slopes = []
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            dx = pts[j][0] - pts[i][0]
+            slopes.append(Fraction(pts[j][1] - pts[i][1], dx))
+    slopes.sort()
+    med = slopes[(len(slopes) + 1) // 2 - 1]
+    return len(pts), len(slopes), int(med * lcm)
+
+
+def test_theil_sen_matches_fraction_reference(spark):
+    from osmgraft.operators.stats import theil_sen
+
+    groups = {
+        1: [(0, 5), (1, 7), (2, 9), (3, 11)],              # exact slope 2
+        2: [(0, 10), (3, 10), (7, 300), (9, 10), (12, 10)],  # burst day: robust 0
+        3: [(0, 9), (2, 3), (5, 1), (6, 0)],                # falling, fractional
+        4: [(10, 4), (11, 9)],                              # single pair
+    }
+    rows = [(g, t, v) for g, s in groups.items() for t, v in s]
+    df = spark.createDataFrame(rows, "g long, day long, cnt long")
+    got = {
+        r["g"]: (r["n_days"], r["n_pairs"], r["slope_num"])
+        for r in theil_sen(df, ["g"]).collect()
+    }
+    for g, series in groups.items():
+        assert got[g] == _ts_ref(series), g
+    # robustness: group 2's burst does NOT drag the median off zero
+    assert got[2][2] == 0
+    # singletons carry no slope
+    one = spark.createDataFrame([(9, 0, 5)], "g long, day long, cnt long")
+    assert theil_sen(one, ["g"]).count() == 0
+
+
+def test_theil_sen_gap_guard(spark):
+    import pytest
+    from osmgraft.operators.stats import theil_sen
+
+    df = spark.createDataFrame([(1, 0, 1), (1, 40, 5)], "g long, day long, cnt long")
+    with pytest.raises(Exception):
+        theil_sen(df, ["g"]).collect()
