@@ -7975,6 +7975,33 @@ def image_canny_nms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_canny_nms(imgs)
 
 
+def _moments_sql() -> str:
+    from osmgraft.operators.multimodal import sql_image_central_moments
+
+    idx_cte = (
+        "SELECT idx FROM (SELECT row_number() OVER () - 1 AS idx FROM orders) "
+        "WHERE idx < 400"
+    )
+    return sql_image_central_moments(idx_cte)
+
+
+@register("image_central_moments", _moments_sql())
+def image_central_moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intensity-weighted image moments (operators/multimodal.
+    image_central_moments, Hu 1962 lineage): real decode → exact raw luma
+    moments → M00-scaled central moments c20/c02/c11 (the centroid division
+    never taken) — the per-image second-order shape signature (principal
+    axis, eccentricity) in pure integers.  Twin aggregates the closed-form
+    luma relationally and applies the same algebra.  100 TB: map-only."""
+    from osmgraft.operators.multimodal import image_central_moments
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 400)
+    imgs = ensure_min_parallelism(synth_formula_images(spark, n))
+    return image_central_moments(imgs)
+
+
 # --- winnowing fingerprints (MOSS) ----------------------------------------------------
 def _sql_winnow() -> str:
     from osmgraft.operators.dedup import sql_winnow_fingerprints
