@@ -801,3 +801,71 @@ SELECT cx, cy, CAST(a AS BIGINT) AS gi_num, CAST(w AS BIGINT) AS w_obs,
                  WHEN a < 0 AND a * a * nm1 >= {z2} * sden * wden THEN -1
                  ELSE 0 END AS BIGINT) AS cls
 FROM sc"""
+
+
+def decayed_tile_counts(
+    pts: DataFrame,
+    cx: str = "cx",
+    cy: str = "cy",
+    day: str = "day",
+    k: int = 100,
+) -> DataFrame:
+    """Recency-weighted tile heat with EXACT exponential decay (half-life =
+    one day): weight(event) = 2^(day − day_min), so the decayed count
+    Σ 2^(day−day_min) is an int64 (span ≤ ~30 days ⇒ ≤ 2^29·n — no IEEE
+    pow anywhere); the physical heat at read time is decayed_num /
+    2^(day_max − day_min), a division the consumer takes, never the
+    engine.  Emits the global TOP-``k`` tiles as (rank, tx, ty,
+    decayed_num, n_events) ordered by (decayed_num DESC, tx, ty) — the
+    freshness-biased hot-tile list a cache-warming / prefetch layer feeds
+    on, where yesterday's burst outranks last week's.
+
+    Shape: per-tile agg with map-side combine; the 1-row (day_min) agg
+    broadcast into the weight expression; top-k via orderBy+limit
+    (TakeOrderedAndProject — no global sort materialization) and a
+    ≤k-row rank window.  Scales: everything after the first agg is
+    aggregate-sized."""
+    from pyspark.sql import Window
+
+    base = pts.select(
+        F.col(cx).alias("tx"), F.col(cy).alias("ty"), F.col(day).cast("long").alias("d")
+    )
+    dmin = base.agg(F.min("d").alias("dmin"))
+    per = (
+        base.crossJoin(F.broadcast(dmin))
+        .select(
+            "tx",
+            "ty",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(d - dmin AS INT))").alias("wt"),
+        )
+        .groupBy("tx", "ty")
+        .agg(
+            F.sum("wt").alias("decayed_num"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    top = per.orderBy(F.desc("decayed_num"), "tx", "ty").limit(k)
+    w = Window.orderBy(F.desc("decayed_num"), "tx", "ty")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "tx",
+        "ty",
+        "decayed_num",
+        "n_events",
+    )
+
+
+def sql_decayed_tile_counts(pts_cte: str, k: int = 100) -> str:
+    """DuckDB twin over a (cx, cy, day) CTE body — same exact shifted
+    weights, same deterministic top-k order."""
+    return f"""WITH dpts AS ({pts_cte}),
+dmin AS (SELECT min(day) AS dmin FROM dpts),
+per AS (
+  SELECT cx AS tx, cy AS ty,
+         CAST(sum(CAST(1 AS BIGINT) << CAST(day - dmin AS INTEGER)) AS BIGINT)
+           AS decayed_num,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM dpts, dmin GROUP BY cx, cy)
+SELECT CAST(row_number() OVER (ORDER BY decayed_num DESC, tx, ty) AS BIGINT) AS rank,
+       tx, ty, decayed_num, n_events
+FROM per ORDER BY decayed_num DESC, tx, ty LIMIT {k}"""

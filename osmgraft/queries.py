@@ -7302,6 +7302,40 @@ def tile_trend_mk_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_kendall(counts, ["tx", "ty"], "day", "cnt")
 
 
+def _sql_decayed() -> str:
+    from osmgraft.operators.density import sql_decayed_tile_counts
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("event_id")
+    pts = f"""SELECT {tiles.sql_tile_x(f'({lon})', 8)} AS cx,
+         {tiles.sql_tile_y(f'({lat})', 8)} AS cy,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events"""
+    return sql_decayed_tile_counts(pts)
+
+
+@register("tile_decayed_top100_z8", _sql_decayed())
+def tile_decayed_top100_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed hot-tile list (operators/density.decayed_tile_counts):
+    per-z8-tile Σ 2^(day − day_min) — exponential half-life-1-day decay as
+    EXACT shifted integers, no IEEE pow — top-100 by (decayed DESC, tx,
+    ty).  The freshness-biased ranking a prefetch/cache layer consumes;
+    yesterday's burst outranks last week's plateau (plain counts can't).
+    100 TB: map-side-combined agg, broadcast 1-row min, TakeOrdered top-k."""
+    from osmgraft.operators.density import decayed_tile_counts
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+
+    ev = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    lat, lon = latlon_of_key(F.col("event_id"))
+    pts = ev.select(
+        tiles.tile_x(lon, 8).alias("cx"),
+        tiles.tile_y(lat, 8).alias("cy"),
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    )
+    return decayed_tile_counts(pts)
+
+
 def _sql_theil_sen() -> str:
     from osmgraft.operators.stats import sql_theil_sen
     from osmgraft.synth import sql_latlon_of_key

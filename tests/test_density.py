@@ -366,3 +366,35 @@ def test_gi_star_gi_num_and_w(spark):
     got = {(r["cx"], r["cy"]): (r["gi_num"], r["w_obs"]) for r in getis_ord_gi_star(df).collect()}
     # n=3, T1=7: cell0 L=3 W=2 -> 9-14=-5; cell1 L=7 W=3 -> 21-21=0; cell2 L=6 W=2 -> 18-14=4
     assert got == {(0, 0): (-5, 2), (1, 0): (0, 3), (2, 0): (4, 2)}
+
+
+def test_decayed_tile_counts_hand(spark):
+    """Exact shifted weights and deterministic top-k order: a 1-event
+    fresh tile outranks a 3-event stale tile once 2^span > 3."""
+    from osmgraft.operators.density import decayed_tile_counts
+
+    rows = (
+        [(1, 1, 0)] * 3      # stale: weight 3 * 2^0 = 3
+        + [(2, 2, 2)]        # fresh: 2^2 = 4
+        + [(3, 3, 1), (3, 3, 1)]  # middle: 2 * 2^1 = 4, ties fresh -> (tx,ty) order
+    )
+    df = spark.createDataFrame(rows, "cx long, cy long, day long")
+    got = [
+        (r["rank"], r["tx"], r["ty"], r["decayed_num"], r["n_events"])
+        for r in decayed_tile_counts(df, k=10).collect()
+    ]
+    assert sorted(got) == [
+        (1, 2, 2, 4, 1),
+        (2, 3, 3, 4, 2),
+        (3, 1, 1, 3, 3),
+    ]
+
+
+def test_decayed_counts_k_limits(spark):
+    from osmgraft.operators.density import decayed_tile_counts
+
+    rows = [(i, i, i % 3) for i in range(50)]
+    df = spark.createDataFrame(rows, "cx long, cy long, day long")
+    out = decayed_tile_counts(df, k=7).collect()
+    assert len(out) == 7
+    assert sorted(r["rank"] for r in out) == list(range(1, 8))
