@@ -386,3 +386,128 @@ islands AS (
 SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start, CAST(max(e) AS BIGINT) AS span_end,
        CAST(max(e) - min(s) + 1 AS BIGINT) AS n_masked
 FROM islands GROUP BY doc_id, island"""
+
+
+def _isqrt_expr(p):
+    """Exact integer ceil-sqrt of a positive BIGINT column via fp sqrt +
+    two integer corrections (fp error is ±1 ulp; the corrections clamp it
+    exactly) — the same expression text both engines evaluate."""
+    s0 = F.floor(F.sqrt(p.cast("double"))).cast("long")
+    s1 = s0 - (s0 * s0 > p).cast("long")
+    return s1 + (s1 * s1 < p).cast("long")
+
+
+def str_pack_leaves(
+    pts: DataFrame,
+    id_col: str = "point_id",
+    x: str = "x",
+    y: str = "y",
+    capacity: int = 256,
+    bucket_shift: int = 22,
+) -> DataFrame:
+    """Sort-Tile-Recursive R-tree bulk-load layout (Leutenegger, Lopez &
+    Edgington, ICDE 1997): n points → P = ceil(n/B) leaves arranged in
+    S = ceil(sqrt(P)) x-slices of S·B points each, each slice cut into
+    y-runs of B — THE standard way a spatial store lays out a static
+    index.  Emits the per-leaf directory (slice, leaf, n_pts, exact bbox)
+    — the level-0 index a reader prunes on.
+
+    Exactness: the layout is a pure function of the total order
+    (x, y, id) — unique, so ranks (and therefore every leaf assignment)
+    are engine-independent.  ceil-sqrt is fp-sqrt plus two integer
+    corrections (exact for any BIGINT).
+
+    100 TB shape — the point of this operator: a naive global
+    row_number() OVER (ORDER BY x) is a SINGLE-PARTITION sort, the classic
+    scale-killer.  Here the global x-rank is TWO-PASS: coarse x-bucket
+    (x >> ``bucket_shift``) counts roll up to a bounded aggregate, a
+    running-sum window over THAT aggregate yields per-bucket offsets
+    (broadcast back), and the within-bucket rank is a window PARTITIONED
+    BY bucket — every stage parallel, no single-reducer sort.  The
+    within-slice y-rank partitions by slice (S·B rows each) for free.
+    The DuckDB twin uses plain global windows — deliberately a different
+    plan proving the same function."""
+    from pyspark.sql import Window as W
+
+    p = pts.select(
+        F.col(id_col).alias("pid"),
+        F.col(x).cast("long").alias("px"),
+        F.col(y).cast("long").alias("py"),
+    )
+    # exact P = ceil(n / B) without fp: (n + B - 1) div B
+    n_s = p.agg(F.count(F.lit(1)).alias("n")).select(
+        "n", _isqrt_expr(F.expr(f"(n + {capacity - 1}) div {capacity}")).alias("s_slices")
+    )
+    b = p.withColumn("bkt", F.shiftright("px", bucket_shift))
+    offs = (
+        b.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("c").over(
+                    W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "off")
+    )
+    wb = W.partitionBy("bkt").orderBy("px", "py", "pid")
+    ranked = (
+        b.join(F.broadcast(offs), "bkt")
+        .withColumn("rx", F.col("off") + F.row_number().over(wb))
+        .crossJoin(F.broadcast(n_s))
+        .withColumn(
+            "slice", F.expr(f"(rx - 1) div (s_slices * {capacity})").cast("long")
+        )
+    )
+    ws = W.partitionBy("slice").orderBy("py", "px", "pid")
+    leaves = ranked.withColumn(
+        "leaf",
+        ((F.row_number().over(ws) - 1) / capacity).cast("long"),
+    )
+    return (
+        leaves.groupBy("slice", "leaf")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pts"),
+            F.min("px").alias("min_x"),
+            F.max("px").alias("max_x"),
+            F.min("py").alias("min_y"),
+            F.max("py").alias("max_y"),
+        )
+    )
+
+
+def sql_str_pack_leaves(pts_cte: str, capacity: int = 256) -> str:
+    """DuckDB twin over a (point_id, x, y) CTE body — plain global windows
+    (single total order), same (x, y, id) tie-break, same ceil-sqrt
+    corrections, same leaf directory."""
+    b = capacity
+    return f"""spts AS ({pts_cte}),
+sn AS (
+  SELECT count(*) AS n FROM spts),
+ss AS (
+  SELECT n,
+         (CASE WHEN s1 * s1 < p THEN s1 + 1 ELSE s1 END) AS s_slices
+  FROM (
+    SELECT n, p, (CASE WHEN s0 * s0 > p THEN s0 - 1 ELSE s0 END) AS s1
+    FROM (
+      SELECT n, (n + {b - 1}) // {b} AS p,
+             CAST(floor(sqrt(CAST((n + {b - 1}) // {b} AS DOUBLE))) AS BIGINT) AS s0
+      FROM sn))),
+srank AS (
+  SELECT point_id AS pid, CAST(x AS BIGINT) AS px, CAST(y AS BIGINT) AS py,
+         row_number() OVER (ORDER BY x, y, point_id) AS rx
+  FROM spts),
+ssl AS (
+  SELECT pid, px, py, (rx - 1) // (ss.s_slices * {b}) AS slice
+  FROM srank, ss),
+sleaf AS (
+  SELECT slice, px, py,
+         (row_number() OVER (PARTITION BY slice ORDER BY py, px, pid) - 1) // {b} AS leaf
+  FROM ssl)
+SELECT CAST(slice AS BIGINT) AS slice, CAST(leaf AS BIGINT) AS leaf,
+       CAST(count(*) AS BIGINT) AS n_pts,
+       min(px) AS min_x, max(px) AS max_x, min(py) AS min_y, max(py) AS max_y
+FROM sleaf GROUP BY slice, leaf"""

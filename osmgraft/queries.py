@@ -7302,6 +7302,31 @@ def tile_trend_mk_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_kendall(counts, ["tx", "ty"], "day", "cnt")
 
 
+def _sql_str_pack() -> str:
+    from osmgraft.operators.packing import sql_str_pack_leaves
+
+    pts = f"SELECT point_id, lon7 AS x, lat7 AS y FROM ({_PTS})"
+    return "WITH " + sql_str_pack_leaves(pts, capacity=256)
+
+
+@register("str_pack_leaves_cap256", _sql_str_pack())
+def str_pack_leaves_cap256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-Tile-Recursive R-tree bulk-load directory (operators/packing.
+    str_pack_leaves, Leutenegger et al. ICDE 1997): the points table laid
+    out into sqrt-sliced capacity-256 leaves with exact bboxes — the
+    static-spatial-index layout step.  The Spark plan computes the GLOBAL
+    x-rank in two passes (bounded bucket-offset aggregate + per-bucket
+    windows) so there is NO single-partition sort anywhere — the 100 TB
+    difference vs the twin's textbook global window, which proves the
+    same function relationally at gate SF."""
+    from osmgraft.operators.packing import str_pack_leaves
+
+    pts = points_from_orders(spark, sf_dir).selectExpr(
+        "point_id", "lon7 AS x", "lat7 AS y"
+    )
+    return str_pack_leaves(pts, capacity=256)
+
+
 def _sql_decayed() -> str:
     from osmgraft.operators.density import sql_decayed_tile_counts
     from osmgraft.synth import sql_latlon_of_key
