@@ -869,3 +869,79 @@ per AS (
 SELECT CAST(row_number() OVER (ORDER BY decayed_num DESC, tx, ty) AS BIGINT) AS rank,
        tx, ty, decayed_num, n_events
 FROM per ORDER BY decayed_num DESC, tx, ty LIMIT {k}"""
+
+
+def empirical_variogram(
+    cells: DataFrame,
+    cx: str = "cx",
+    cy: str = "cy",
+    cnt: str = "cnt",
+    max_r: int = 4,
+) -> DataFrame:
+    """Empirical (Matheron) semivariogram over the observed-cell lattice —
+    the geostatistics primitive under kriging/IDW parameter choice
+    (Matheron 1963): for every unordered cell pair at lag vector (dx, dy)
+    with Chebyshev radius ≤ ``max_r``, accumulate (v_a − v_b)² into its
+    squared-distance class d2 = dx²+dy².  Emits (d2, n_pairs, sum_sqdiff);
+    γ(d2) = sum_sqdiff / (2·n_pairs) is the consumer's division — the gate
+    stays integer-exact.  Completes the spatial-structure family (Moran's
+    I level, Gi* hotspots, join counts, variogram RANGE structure).
+
+    Pairing discipline: each ordered lag from the HALF-PLANE offset set
+    (dx > 0, or dx = 0 ∧ dy > 0) explodes once and equi-joins back to the
+    universe — every unordered pair exactly once, no OR-join, no n².
+    100 TB: work is |offsets|·cells, all map-side combinable."""
+    offsets = [
+        (dx, dy)
+        for dx in range(0, max_r + 1)
+        for dy in range(-max_r, max_r + 1)
+        if (dx > 0 or (dx == 0 and dy > 0))
+    ]
+    c = cells.select(
+        F.col(cx).alias("cx"), F.col(cy).alias("cy"), F.col(cnt).cast("long").alias("v")
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in offsets
+        ]
+    )
+    ex = c.select(F.explode(offs).alias("o"), "cx", "cy", "v").select(
+        (F.col("cx") + F.col("o.dx")).alias("tx"),
+        (F.col("cy") + F.col("o.dy")).alias("ty"),
+        (F.col("o.dx") * F.col("o.dx") + F.col("o.dy") * F.col("o.dy")).alias("d2"),
+        F.col("v").alias("va"),
+    )
+    other = c.select(
+        F.col("cx").alias("tx"), F.col("cy").alias("ty"), F.col("v").alias("vb")
+    )
+    d = F.col("va") - F.col("vb")
+    return (
+        ex.join(other, ["tx", "ty"])
+        .groupBy("d2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(d * d).cast("long").alias("sum_sqdiff"),
+        )
+    )
+
+
+def sql_empirical_variogram(cells_cte: str, max_r: int = 4) -> str:
+    """DuckDB twin over the same cells CTE body — same half-plane lag set
+    via a generated VALUES cross join."""
+    offsets = [
+        (dx, dy)
+        for dx in range(0, max_r + 1)
+        for dy in range(-max_r, max_r + 1)
+        if (dx > 0 or (dx == 0 and dy > 0))
+    ]
+    vals = ", ".join(f"({dx}, {dy})" for dx, dy in offsets)
+    return f"""WITH cells AS ({cells_cte}),
+lag_ex AS (
+  SELECT cx + o.dx AS tx, cy + o.dy AS ty,
+         o.dx * o.dx + o.dy * o.dy AS d2, cnt AS va
+  FROM cells, (VALUES {vals}) o(dx, dy))
+SELECT CAST(d2 AS BIGINT) AS d2, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum((va - b.cnt) * (va - b.cnt)) AS BIGINT) AS sum_sqdiff
+FROM lag_ex JOIN cells b ON b.cx = lag_ex.tx AND b.cy = lag_ex.ty
+GROUP BY d2"""
