@@ -7305,6 +7305,29 @@ def tile_trend_mk_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_kendall(counts, ["tx", "ty"], "day", "cnt")
 
 
+def _sql_variogram() -> str:
+    from osmgraft.operators.density import sql_empirical_variogram
+
+    return (
+        f"WITH pts AS ({_PTS}), outer_q AS (\n"
+        f"{sql_empirical_variogram(_sql_cells(8))}\n) SELECT * FROM outer_q"
+    )
+
+
+@register("variogram_z8", _sql_variogram())
+def variogram_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical Matheron semivariogram over z8 cells (operators/density.
+    empirical_variogram): per squared-distance class d2 = dx²+dy² (lags to
+    Chebyshev radius 4), exact integer (n_pairs, Σ(Δv)²) — γ(d2) is the
+    consumer's division.  The spatial-STRUCTURE companion to Moran's I /
+    Gi* (range + nugget shape under kriging/IDW parameter choice).
+    Half-plane lag explode + equi-join — every unordered pair once, no
+    OR-join, no n².  100 TB: |lags|·cells work, map-side combined."""
+    from osmgraft.operators.density import empirical_variogram
+
+    return empirical_variogram(_cells_df(spark, sf_dir, 8))
+
+
 def _sql_str_pack() -> str:
     from osmgraft.operators.packing import sql_str_pack_leaves
 

@@ -398,3 +398,39 @@ def test_decayed_counts_k_limits(spark):
     out = decayed_tile_counts(df, k=7).collect()
     assert len(out) == 7
     assert sorted(r["rank"] for r in out) == list(range(1, 8))
+
+
+def test_variogram_hand_grid(spark):
+    """2x2 grid with known values: every unordered pair counted exactly
+    once in its d2 class."""
+    from osmgraft.operators.density import empirical_variogram
+
+    cells = {(0, 0): 1, (1, 0): 4, (0, 1): 9, (1, 1): 16}
+    df = spark.createDataFrame(
+        [(x, y, v) for (x, y), v in cells.items()], "cx long, cy long, cnt long"
+    )
+    got = {r["d2"]: (r["n_pairs"], r["sum_sqdiff"]) for r in empirical_variogram(df).collect()}
+    # d2=1: (0,0)-(1,0) 9, (0,1)-(1,1) 49, (0,0)-(0,1) 64, (1,0)-(1,1) 144 -> 266
+    # d2=2: diagonals (0,0)-(1,1) 225, (1,0)-(0,1) 25 -> 250
+    assert got == {1: (4, 266), 2: (2, 250)}
+
+
+def test_variogram_pair_count_law(spark):
+    """Total pairs across classes == all unordered pairs within radius."""
+    from osmgraft.operators.density import empirical_variogram
+
+    import itertools
+    cells = {(x, y): 1 + (x * 3 + y) % 5 for x in range(6) for y in range(5)}
+    df = spark.createDataFrame(
+        [(x, y, v) for (x, y), v in cells.items()], "cx long, cy long, cnt long"
+    )
+    got = {r["d2"]: (r["n_pairs"], r["sum_sqdiff"]) for r in empirical_variogram(df, max_r=2).collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(cells), 2):
+        dx, dy = abs(a[0] - b[0]), abs(a[1] - b[1])
+        if max(dx, dy) > 2:
+            continue
+        d2 = dx * dx + dy * dy
+        n, s = want.get(d2, (0, 0))
+        want[d2] = (n + 1, s + (cells[a] - cells[b]) ** 2)
+    assert got == want
