@@ -3569,3 +3569,120 @@ SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
        m00 * m02 - m01 * m01 AS c02,
        m00 * m11 - m10 * m01 AS c11
 FROM raw"""
+
+
+def image_haar_energies(images: DataFrame, on_error: str = "fail") -> DataFrame:
+    """Two-level 2-D Haar transform on luma, EXACT (unnormalized integer
+    lifting — the √2 scale factors deferred forever, so every coefficient
+    is an int64): level-1 sums/differences over 2×2 blocks give LL/LH/HL/HH
+    (LL = p00+p01+p10+p11, LH = row-sum difference, HL = column-sum
+    difference, HH = diagonal), level 2 repeats on the LL grid.  Emits per
+    image the SUBBAND ENERGIES Σc² for the six detail bands plus the total
+    LL2 mass — the multi-resolution signature behind wavelet-domain blur /
+    compression-quality screens (and the pHash block-DCT's orthogonal
+    sibling).  Odd trailing rows/cols are cropped per level (the standard
+    dyadic convention).  100 TB: map-only mapInArrow, pure strided sums."""
+
+    def _level(a):
+        h2, w2 = (a.shape[1] // 2) * 2, (a.shape[2] // 2) * 2
+        a = a[:, :h2, :w2]
+        s00, s01 = a[:, 0::2, 0::2], a[:, 0::2, 1::2]
+        s10, s11 = a[:, 1::2, 0::2], a[:, 1::2, 1::2]
+        ll = s00 + s01 + s10 + s11
+        lh = (s00 + s01) - (s10 + s11)
+        hl = (s00 - s01) + (s10 - s11)
+        hh = (s00 - s01) - (s10 - s11)
+        return ll, lh, hl, hh
+
+    names = ["image_id", "e_lh1", "e_hl1", "e_hh1", "e_lh2", "e_hl2", "e_hh2", "ll2_sum"]
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            ids = rb.column("image_id").take(sel)
+            k = len(ids)
+            if px is None or h < 4 or w < 4:
+                nul = pa.array([None] * k, type=pa.int64())
+                yield pa.RecordBatch.from_arrays([ids] + [nul] * 7, names)
+                continue
+            p = px.astype(np.int64)
+            luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+            ll1, lh1, hl1, hh1 = _level(luma)
+            ll2, lh2, hl2, hh2 = _level(ll1)
+            e = lambda c: (c * c).sum(axis=(1, 2))  # noqa: E731
+            yield pa.RecordBatch.from_arrays(
+                [ids] + [pa.array(v) for v in (
+                    e(lh1), e(hl1), e(hh1), e(lh2), e(hl2), e(hh2),
+                    ll2.sum(axis=(1, 2)),
+                )],
+                names,
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
+        kernel,
+        "image_id string, e_lh1 long, e_hl1 long, e_hh1 long, "
+        "e_lh2 long, e_hl2 long, e_hh2 long, ll2_sum long",
+    )
+
+
+def sql_image_haar_energies(idx_cte: str, max_h: int = 18, max_w: int = 32) -> str:
+    """DuckDB twin: level-1 coefficients in closed form per 2×2 block;
+    level 2 assembled from four level-1 LLs (16 closed-form pixels each) —
+    the whole dyadic pyramid on the hash with zero decode."""
+
+    def luma(y: str, x: str) -> str:
+        b = f"(idx*37 + ({y})*11 + ({x})*7)"
+        return (
+            f"((299 * ({b} % 256) + 587 * (({b} + 29) % 256)"
+            f" + 114 * (({b} + 58) % 256)) // 1000)"
+        )
+
+    def blk(by: str, bx: str):  # level-1 quadrant sums at block (by, bx)
+        return {
+            "s00": luma(f"2*({by})", f"2*({bx})"),
+            "s01": luma(f"2*({by})", f"2*({bx})+1"),
+            "s10": luma(f"2*({by})+1", f"2*({bx})"),
+            "s11": luma(f"2*({by})+1", f"2*({bx})+1"),
+        }
+
+    def coef(q, kind):
+        if kind == "ll":
+            return f"(({q['s00']}) + ({q['s01']}) + ({q['s10']}) + ({q['s11']}))"
+        if kind == "lh":
+            return f"((({q['s00']}) + ({q['s01']})) - (({q['s10']}) + ({q['s11']})))"
+        if kind == "hl":
+            return f"((({q['s00']}) - ({q['s01']})) + (({q['s10']}) - ({q['s11']})))"
+        return f"((({q['s00']}) - ({q['s01']})) - (({q['s10']}) - ({q['s11']})))"
+
+    b1 = blk("by", "bx")
+    ll = {  # level-1 LL at block (2*cy+dy, 2*cx+dx) for the level-2 combine
+        (dy, dx): coef(blk(f"2*cy+{dy}", f"2*cx+{dx}"), "ll")
+        for dy in (0, 1)
+        for dx in (0, 1)
+    }
+
+    def coef2(kind):
+        q = {"s00": ll[(0, 0)], "s01": ll[(0, 1)], "s10": ll[(1, 0)], "s11": ll[(1, 1)]}
+        return coef(q, kind)
+
+    return f"""WITH idxs AS ({idx_cte}),
+dims AS (SELECT idx, 16 + (idx % 3) * 8 AS w, 12 + (idx % 2) * 6 AS h FROM idxs),
+l1 AS (
+  SELECT idx,
+         CAST(sum({coef(b1, 'lh')} * {coef(b1, 'lh')}) AS BIGINT) AS e_lh1,
+         CAST(sum({coef(b1, 'hl')} * {coef(b1, 'hl')}) AS BIGINT) AS e_hl1,
+         CAST(sum({coef(b1, 'hh')} * {coef(b1, 'hh')}) AS BIGINT) AS e_hh1
+  FROM dims
+  CROSS JOIN range(0, {max_h // 2}) tby(by) CROSS JOIN range(0, {max_w // 2}) tbx(bx)
+  WHERE by < h // 2 AND bx < w // 2 GROUP BY idx),
+l2 AS (
+  SELECT idx,
+         CAST(sum({coef2('lh')} * {coef2('lh')}) AS BIGINT) AS e_lh2,
+         CAST(sum({coef2('hl')} * {coef2('hl')}) AS BIGINT) AS e_hl2,
+         CAST(sum({coef2('hh')} * {coef2('hh')}) AS BIGINT) AS e_hh2,
+         CAST(sum({coef2('ll')}) AS BIGINT) AS ll2_sum
+  FROM dims
+  CROSS JOIN range(0, {max_h // 4}) tcy(cy) CROSS JOIN range(0, {max_w // 4}) tcx(cx)
+  WHERE cy < (h // 2) // 2 AND cx < (w // 2) // 2 GROUP BY idx)
+SELECT concat('fimg', lpad(CAST(l1.idx AS VARCHAR), 9, '0')) AS image_id,
+       e_lh1, e_hl1, e_hh1, e_lh2, e_hl2, e_hh2, ll2_sum
+FROM l1 JOIN l2 ON l1.idx = l2.idx"""

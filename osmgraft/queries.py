@@ -8087,6 +8087,33 @@ def image_central_moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_central_moments(imgs)
 
 
+def _haar_sql() -> str:
+    from osmgraft.operators.multimodal import sql_image_haar_energies
+
+    idx_cte = (
+        "SELECT idx FROM (SELECT row_number() OVER () - 1 AS idx FROM orders) "
+        "WHERE idx < 400"
+    )
+    return sql_image_haar_energies(idx_cte)
+
+
+@register("image_haar_energies", _haar_sql())
+def image_haar_energies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level exact Haar subband energies (operators/multimodal.
+    image_haar_energies): real decode → unnormalized integer lifting →
+    Σc² per detail band + LL2 mass — the multi-resolution blur/quality
+    signature (the pHash block-DCT's orthogonal sibling).  Twin assembles
+    every coefficient in closed form (level 2 from 16 pixels each).
+    100 TB: map-only."""
+    from osmgraft.operators.multimodal import image_haar_energies
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 400)
+    imgs = ensure_min_parallelism(synth_formula_images(spark, n))
+    return image_haar_energies(imgs)
+
+
 # --- winnowing fingerprints (MOSS) ----------------------------------------------------
 def _sql_winnow() -> str:
     from osmgraft.operators.dedup import sql_winnow_fingerprints
