@@ -3686,3 +3686,140 @@ l2 AS (
 SELECT concat('fimg', lpad(CAST(l1.idx AS VARCHAR), 9, '0')) AS image_id,
        e_lh1, e_hl1, e_hh1, e_lh2, e_hl2, e_hh2, ll2_sum
 FROM l1 JOIN l2 ON l1.idx = l2.idx"""
+
+
+def video_block_motion(
+    media: DataFrame,
+    block: int = 4,
+    radius: int = 2,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Block-matching motion estimation — the ME kernel inside every video
+    codec (exhaustive full search, the MPEG reference algorithm): for each
+    consecutive frame pair and each ``block``×``block`` luma block, the
+    motion vector is the in-bounds shift (dy, dx) ∈ [−radius, radius]²
+    minimizing the integer SAD against the PREVIOUS frame, ties broken
+    lexicographically by (sad, dy, dx) via the packed key
+    sad·(2r+1)² + (dy+r)·(2r+1) + (dx+r) — one argmin, exact everywhere.
+    Emits (media_id, f, by, bx, mvy, mvx, sad) for f ≥ 1.
+
+    REAL Y4M decode; per clip the SAD stack is (2r+1)² vectorized
+    shifted-difference sums over the whole (nf, h, w) luma array — the
+    only Python loop is over the bounded shift set.  100 TB: map-only
+    mapInArrow, no shuffle."""
+    span = 2 * radius + 1
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        names = ["media_id", "f", "by", "bx", "mvy", "mvx", "sad"]
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(0).to_pylist()
+            buf, starts, ends = _binary_spans(rb.column(1))
+            bb = buf.tobytes()
+            o = {n: [] for n in names}
+            for i in range(len(starts)):
+                w, h, _cs, luma = y4m_parse(bb[starts[i]:ends[i]])
+                lf = luma.astype(np.int64)
+                nf = lf.shape[0]
+                if nf < 2 or h < block or w < block:
+                    continue
+                nby, nbx = h // block, w // block
+                cur = lf[1:]   # (nf-1, h, w)
+                prv = lf[:-1]
+                best = np.full((nf - 1, nby, nbx), np.int64(1) << 62)
+                for dy in range(-radius, radius + 1):
+                    for dx in range(-radius, radius + 1):
+                        # shifted |cur - prv(y+dy, x+dx)| over the overlap
+                        y0, y1 = max(0, -dy), min(h, h - dy)
+                        x0, x1 = max(0, -dx), min(w, w - dx)
+                        ad = np.abs(
+                            cur[:, y0:y1, x0:x1]
+                            - prv[:, y0 + dy : y1 + dy, x0 + dx : x1 + dx]
+                        )
+                        # per-block SAD for EVERY block fully inside the
+                        # overlap, in one reshape-sum (no per-block Python)
+                        by0 = (y0 + block - 1) // block
+                        by1 = (y1 - block) // block
+                        bx0 = (x0 + block - 1) // block
+                        bx1 = (x1 - block) // block
+                        if by1 < by0 or bx1 < bx0:
+                            continue
+                        sub = ad[
+                            :,
+                            by0 * block - y0 : (by1 + 1) * block - y0,
+                            bx0 * block - x0 : (bx1 + 1) * block - x0,
+                        ]
+                        sad = sub.reshape(
+                            nf - 1, by1 - by0 + 1, block, bx1 - bx0 + 1, block
+                        ).sum(axis=(2, 4))
+                        key = sad * (span * span) + (dy + radius) * span + (dx + radius)
+                        np.minimum(
+                            best[:, by0 : by1 + 1, bx0 : bx1 + 1],
+                            key,
+                            out=best[:, by0 : by1 + 1, bx0 : bx1 + 1],
+                        )
+                ks = best.reshape(nf - 1, -1)
+                f_idx, b_idx = np.nonzero(ks < (np.int64(1) << 62))
+                key = ks[f_idx, b_idx]
+                o["media_id"] += [ids[i]] * len(key)
+                o["f"] += (f_idx + 1).tolist()
+                o["by"] += (b_idx // nbx).tolist()
+                o["bx"] += (b_idx % nbx).tolist()
+                o["mvy"] += ((key % (span * span)) // span - radius).tolist()
+                o["mvx"] += (key % span - radius).tolist()
+                o["sad"] += (key // (span * span)).tolist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o["media_id"], type=pa.string())]
+                + [pa.array(o[n], type=pa.int64()) for n in names[1:]],
+                names,
+            )
+
+    return media.select(F.col(id_col).cast("string"), F.col(bytes_col)).mapInArrow(
+        kernel,
+        "media_id string, f long, by long, bx long, mvy long, mvx long, sad long",
+    )
+
+
+def sql_video_block_motion(idx_cte: str, n_frames_expr: str = "4 + idx % 3",
+                           max_nf: int = 6, h: int = 16, w: int = 16,
+                           block: int = 4, radius: int = 2) -> str:
+    """DuckDB twin over the synth_videos closed-form luma
+    (idx·31 + f·17 + y·5 + x·3) % 256 — full relational search: one row per
+    (video, frame, block, shift, pixel), SAD by aggregation, argmin via the
+    same packed key."""
+    span = 2 * radius + 1
+    cur = "((idx*31 + f*17 + (by*{b}+py)*5 + (bx*{b}+px)*3) % 256)".format(b=block)
+    prv = (
+        "((idx*31 + (f-1)*17 + (by*{b}+py+dy)*5 + (bx*{b}+px+dx)*3) % 256)".format(
+            b=block
+        )
+    )
+    return f"""WITH idxs AS ({idx_cte}),
+vids AS (SELECT idx, {n_frames_expr} AS nf FROM idxs),
+cand AS (
+  SELECT idx, f, by, bx, dy, dx,
+         sum(abs({cur} - {prv})) AS sad
+  FROM vids
+  CROSS JOIN range(1, {max_nf}) tf(f)
+  CROSS JOIN range(0, {h // block}) tby(by) CROSS JOIN range(0, {w // block}) tbx(bx)
+  CROSS JOIN range({-radius}, {radius + 1}) tdy(dy)
+  CROSS JOIN range({-radius}, {radius + 1}) tdx(dx)
+  CROSS JOIN range(0, {block}) tpy(py) CROSS JOIN range(0, {block}) tpx(px)
+  WHERE f < nf
+    AND by * {block} + dy >= 0
+    AND by * {block} + {block - 1} + dy <= {h - 1}
+    AND bx * {block} + dx >= 0
+    AND bx * {block} + {block - 1} + dx <= {w - 1}
+  GROUP BY 1, 2, 3, 4, 5, 6),
+keyed AS (
+  SELECT idx, f, by, bx,
+         min(sad * {span * span} + (dy + {radius}) * {span} + (dx + {radius})) AS key
+  FROM cand GROUP BY idx, f, by, bx)
+SELECT concat('vid', lpad(CAST(idx AS VARCHAR), 12, '0')) AS media_id,
+       CAST(f AS BIGINT) AS f, CAST(by AS BIGINT) AS by, CAST(bx AS BIGINT) AS bx,
+       CAST((key % {span * span}) // {span} - {radius} AS BIGINT) AS mvy,
+       CAST(key % {span} - {radius} AS BIGINT) AS mvx,
+       CAST(key // {span * span} AS BIGINT) AS sad
+FROM keyed"""

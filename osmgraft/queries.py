@@ -8114,6 +8114,34 @@ def image_haar_energies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_haar_energies(imgs)
 
 
+def _blockme_sql() -> str:
+    from osmgraft.operators.multimodal import sql_video_block_motion
+
+    idx_cte = (
+        "SELECT idx FROM (SELECT row_number() OVER () - 1 AS idx FROM orders) "
+        "WHERE idx < 200"
+    )
+    return sql_video_block_motion(idx_cte)
+
+
+@register("video_block_motion", _blockme_sql())
+def video_block_motion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-matching motion estimation (operators/multimodal.
+    video_block_motion) — the exhaustive-search ME kernel of every codec:
+    real Y4M decode, per 4×4 block the ±2 shift minimizing SAD vs the
+    previous frame, ties by the packed (sad, dy, dx) key.  The twin runs
+    the FULL relational search (one row per video×frame×block×shift×pixel)
+    over the closed-form luma.  Completes the video chain: frame sample →
+    scene cuts → temporal sig → motion field.  100 TB: map-only."""
+    from osmgraft.operators.multimodal import video_block_motion
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_videos
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 200)
+    vids = ensure_min_parallelism(synth_videos(spark, n))
+    return video_block_motion(vids)
+
+
 # --- winnowing fingerprints (MOSS) ----------------------------------------------------
 def _sql_winnow() -> str:
     from osmgraft.operators.dedup import sql_winnow_fingerprints
