@@ -3823,3 +3823,103 @@ SELECT concat('vid', lpad(CAST(idx AS VARCHAR), 12, '0')) AS media_id,
        CAST(key % {span} - {radius} AS BIGINT) AS mvx,
        CAST(key // {span * span} AS BIGINT) AS sad
 FROM keyed"""
+
+
+_ACF_OFF = 200_000_000_000  # > |min r|: keeps the packed pitch key nonneg so
+#                             both engines' % and // agree (truncated vs floor)
+
+
+def audio_pitch_lags(
+    media: DataFrame,
+    window: int = 256,
+    lag_min: int = 20,
+    lag_max: int = 100,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Autocorrelation pitch-lag tracker — the classic ACF pitch detector
+    (Rabiner 1977 lineage) in exact integers: per complete window,
+    r(lag) = Σ_{t=0}^{window−lag_max−1} x[t]·x[t+lag] with a FIXED term
+    count for every lag (so candidates compare without normalization or
+    IEEE), best lag = argmax r with ties to the SMALLEST lag via the
+    nonneg packed key (r + OFF)·(lag_max+1) + (lag_max − lag).  Emits
+    (media_id, window_idx, best_lag, r_best) — the f0 ≈ rate/best_lag
+    estimate a speech/music curation filter bins on.
+
+    REAL RIFF/PCM16 decode (wav_pcm16); the lag loop is bounded
+    (lag_max−lag_min+1 iterations), each a vectorized product-sum over all
+    windows of the clip.  100 TB: map-only mapInArrow, no shuffle."""
+    span = lag_max + 1
+    m = window - lag_max
+    if m <= 0:
+        raise ValueError("window must exceed lag_max")
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        names = ["media_id", "window_idx", "best_lag", "r_best"]
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(0).to_pylist()
+            buf, starts, ends = _binary_spans(rb.column(1))
+            bb = buf.tobytes()
+            o_id, o_w, o_l, o_r = [], [], [], []
+            for i in range(len(starts)):
+                pcm = wav_pcm16(bb[starts[i] : ends[i]]).astype(np.int64)
+                k = len(pcm) // window
+                if k == 0:
+                    continue
+                wnd = pcm[: k * window].reshape(k, window)
+                base = wnd[:, :m]
+                best = None
+                for lag in range(lag_min, lag_max + 1):
+                    r = (base * wnd[:, lag : lag + m]).sum(axis=1)
+                    key = (r + _ACF_OFF) * span + (lag_max - lag)
+                    best = key if best is None else np.maximum(best, key)
+                o_id += [ids[i]] * k
+                o_w += list(range(k))
+                o_l += (lag_max - best % span).tolist()
+                o_r += (best // span - _ACF_OFF).tolist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_id, type=pa.string()),
+                    pa.array(o_w, type=pa.int64()),
+                    pa.array(o_l, type=pa.int64()),
+                    pa.array(o_r, type=pa.int64()),
+                ],
+                names,
+            )
+
+    return media.select(F.col(id_col).cast("string"), F.col(bytes_col)).mapInArrow(
+        kernel, "media_id string, window_idx long, best_lag long, r_best long"
+    )
+
+
+def sql_audio_pitch_lags(idx_cte: str, n_samples: int = 1024, window: int = 256,
+                         lag_min: int = 20, lag_max: int = 100) -> str:
+    """DuckDB twin over the synth_audio closed-form PCM — full relational
+    search (one row per clip×window×lag×term), same packed-key argmax."""
+    span = lag_max + 1
+    m = window - lag_max
+
+    def pcm(t: str) -> str:
+        return f"(((idx*1103515245 + ({t})*12345 + 42) % 65536) - 32768)"
+
+    return f"""WITH idxs AS ({idx_cte}),
+acf AS (
+  SELECT idx, win,
+         lag,
+         sum({pcm('win*' + str(window) + ' + tt')}
+             * {pcm('win*' + str(window) + ' + tt + lag')}) AS r
+  FROM idxs
+  CROSS JOIN range(0, {n_samples // window}) twin(win)
+  CROSS JOIN range({lag_min}, {lag_max + 1}) tlag(lag)
+  CROSS JOIN range(0, {m}) ttt(tt)
+  GROUP BY 1, 2, 3),
+keyed AS (
+  SELECT idx, win, max((r + {_ACF_OFF}) * {span} + ({lag_max} - lag)) AS key
+  FROM acf GROUP BY idx, win)
+SELECT concat('aud', lpad(CAST(idx AS VARCHAR), 9, '0')) AS media_id,
+       CAST(win AS BIGINT) AS window_idx,
+       CAST({lag_max} - key % {span} AS BIGINT) AS best_lag,
+       CAST(key // {span} - {_ACF_OFF} AS BIGINT) AS r_best
+FROM keyed"""

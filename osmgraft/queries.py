@@ -8114,6 +8114,33 @@ def image_haar_energies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_haar_energies(imgs)
 
 
+def _pitch_sql() -> str:
+    from osmgraft.operators.multimodal import sql_audio_pitch_lags
+
+    idx_cte = (
+        "SELECT idx FROM (SELECT row_number() OVER () - 1 AS idx FROM orders) "
+        "WHERE idx < 200"
+    )
+    return sql_audio_pitch_lags(idx_cte)
+
+
+@register("audio_pitch_lags", _pitch_sql())
+def audio_pitch_lags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation pitch-lag tracking (operators/multimodal.
+    audio_pitch_lags): real RIFF/PCM16 decode → fixed-term-count ACF per
+    window → packed-key argmax (ties to the smallest lag).  The twin runs
+    the FULL relational lag search over the closed-form PCM.  Completes
+    the audio chain: energy → DFT bins → active segments → landmarks →
+    pitch.  100 TB: map-only."""
+    from osmgraft.operators.multimodal import audio_pitch_lags
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_audio
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 200)
+    auds = ensure_min_parallelism(synth_audio(spark, n))
+    return audio_pitch_lags(auds)
+
+
 def _blockme_sql() -> str:
     from osmgraft.operators.multimodal import sql_video_block_motion
 
