@@ -3923,3 +3923,109 @@ SELECT concat('aud', lpad(CAST(idx AS VARCHAR), 9, '0')) AS media_id,
        CAST({lag_max} - key % {span} AS BIGINT) AS best_lag,
        CAST(key // {span} - {_ACF_OFF} AS BIGINT) AS r_best
 FROM keyed"""
+
+
+# FAST circle: the 16 Bresenham radius-3 offsets, index 0 at 12 o'clock,
+# clockwise (Rosten & Drummond 2006 — published constants)
+_FAST_OFFS = [(-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2),
+              (3, 1), (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3),
+              (-2, -2), (-3, -1)]
+
+
+def image_fast9_corners(images: DataFrame, t: int = 20, on_error: str = "fail") -> DataFrame:
+    """FAST-9 corner detection (Rosten & Drummond, ECCV 2006) — the
+    feature detector behind ORB — in exact integers: pixel p is a corner
+    iff ≥9 CONTIGUOUS pixels of its radius-3 Bresenham circle are all
+    brighter than p + ``t`` or all darker than p − ``t``.  The cyclic
+    ≥9-run test is pure bit algebra: with the 16 comparisons packed into a
+    mask b, a run exists iff AND of b's 9 cyclic rotations (k = 0..8) is
+    nonzero — no per-pixel loop, no branching, identical in SQL.  Emits
+    per image (corner_n, corner_chk) with the positional checksum
+    Σ (y·131 + x·137 + 1) pinning the exact corner SET.  Domain
+    y, x ∈ [3, dim−4]; smaller images emit zeros, corrupt payloads under
+    on_error='null' emit NULLs.  Pairs with image_harris_corner (response
+    map) as the segment-test member of the detector family.
+    100 TB: map-only mapInArrow."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        names = ["image_id", "corner_n", "corner_chk"]
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            ids = rb.column("image_id").take(sel)
+            k = len(ids)
+            if px is None:
+                nul = pa.array([None] * k, type=pa.int64())
+                yield pa.RecordBatch.from_arrays([ids, nul, nul], names)
+                continue
+            if h < 7 or w < 7:
+                zer = pa.array(np.zeros(k, np.int64))
+                yield pa.RecordBatch.from_arrays([ids, zer, zer], names)
+                continue
+            p = px.astype(np.int64)
+            luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+            c = luma[:, 3 : h - 3, 3 : w - 3]
+            bright = np.zeros_like(c)
+            dark = np.zeros_like(c)
+            for i, (dy, dx) in enumerate(_FAST_OFFS):
+                q = luma[:, 3 + dy : h - 3 + dy, 3 + dx : w - 3 + dx]
+                bright |= (q > c + t).astype(np.int64) << i
+                dark |= (q < c - t).astype(np.int64) << i
+            def run9(b):
+                acc = b.copy()
+                for r in range(1, 9):
+                    acc &= ((b << r) | (b >> (16 - r))) & 0xFFFF
+                return acc != 0
+            corner = run9(bright) | run9(dark)
+            yv = np.arange(3, h - 3, dtype=np.int64)[None, :, None]
+            xv = np.arange(3, w - 3, dtype=np.int64)[None, None, :]
+            wgt = yv * 131 + xv * 137 + 1
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(corner.sum(axis=(1, 2)).astype(np.int64)),
+                    pa.array((corner * wgt).sum(axis=(1, 2)).astype(np.int64)),
+                ],
+                names,
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
+        kernel, "image_id string, corner_n long, corner_chk long"
+    )
+
+
+def sql_image_fast9_corners(idx_cte: str, t: int = 20, max_h: int = 18, max_w: int = 32) -> str:
+    """DuckDB twin: the 16 circle comparisons in closed form pack into the
+    same 16-bit masks; the ≥9-cyclic-run test is the identical 9-rotation
+    AND — bit algebra as SQL."""
+
+    def mask(op: str, sign: str) -> str:
+        terms = []
+        for i, (dy, dx) in enumerate(_FAST_OFFS):
+            terms.append(
+                f"(CASE WHEN {_sql_luma_at(dy, dx)} {op} {_sql_luma_at(0, 0)} {sign} {t}"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    def run9(b: str) -> str:
+        rots = [b]
+        for r in range(1, 9):
+            rots.append(f"((({b}) << {r}) | (({b}) >> {16 - r})) & 65535")
+        return "(" + " & ".join(rots) + ") != 0"
+
+    return f"""WITH idxs AS ({idx_cte}),
+dims AS (SELECT idx, 16 + (idx % 3) * 8 AS w, 12 + (idx % 2) * 6 AS h FROM idxs),
+m AS (
+  SELECT idx, y, x,
+         {mask('>', '+')} AS bmask,
+         {mask('<', '-')} AS dmask
+  FROM dims
+  CROSS JOIN range(3, {max_h - 3}) ty(y) CROSS JOIN range(3, {max_w - 3}) tx(x)
+  WHERE y < h - 3 AND x < w - 3),
+e AS (
+  SELECT idx, y, x,
+         CASE WHEN ({run9('bmask')}) OR ({run9('dmask')}) THEN 1 ELSE 0 END AS corner
+  FROM m)
+SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
+       CAST(sum(corner) AS BIGINT) AS corner_n,
+       CAST(sum(corner * (y * 131 + x * 137 + 1)) AS BIGINT) AS corner_chk
+FROM e GROUP BY idx"""

@@ -8114,6 +8114,34 @@ def image_haar_energies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_haar_energies(imgs)
 
 
+def _fast9_sql() -> str:
+    from osmgraft.operators.multimodal import sql_image_fast9_corners
+
+    idx_cte = (
+        "SELECT idx FROM (SELECT row_number() OVER () - 1 AS idx FROM orders) "
+        "WHERE idx < 400"
+    )
+    return sql_image_fast9_corners(idx_cte, t=8)
+
+
+@register("image_fast9_corners", _fast9_sql())
+def image_fast9_corners_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAST-9 segment-test corners (operators/multimodal.
+    image_fast9_corners, Rosten & Drummond 2006 — ORB's detector): real
+    decode → 16 Bresenham-circle comparisons packed into bit masks → the
+    ≥9-cyclic-run test as a 9-rotation AND (pure bit algebra, identical
+    in SQL).  Per-image corner count + positional checksum.  Pairs with
+    image_harris_corner as the detector family's second member.
+    100 TB: map-only."""
+    from osmgraft.operators.multimodal import image_fast9_corners
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 400)
+    imgs = ensure_min_parallelism(synth_formula_images(spark, n))
+    return image_fast9_corners(imgs, t=8)
+
+
 def _pitch_sql() -> str:
     from osmgraft.operators.multimodal import sql_audio_pitch_lags
 
