@@ -511,3 +511,70 @@ SELECT CAST(slice AS BIGINT) AS slice, CAST(leaf AS BIGINT) AS leaf,
        CAST(count(*) AS BIGINT) AS n_pts,
        min(px) AS min_x, max(px) AS max_x, min(py) AS min_y, max(py) AS max_y
 FROM sleaf GROUP BY slice, leaf"""
+
+
+def str_prune_stats(
+    leaves: DataFrame,
+    queries: DataFrame,
+) -> DataFrame:
+    """Index-USE evidence for the STR directory: for each query box, how
+    many leaves intersect (must be scanned) and the total points inside
+    them (the scan upper bound a reader pays), vs the table totals — the
+    partition-pruning arithmetic an Iceberg/Parquet reader does against
+    min/max stats.  Inputs: ``leaves`` = str_pack_leaves output;
+    ``queries`` = (query_id, qx0, qx1, qy0, qy1).  Emits per query
+    (n_leaves_hit, n_pts_bound, n_leaves_total, n_pts_total).
+
+    Join shape: queries are a bounded set → broadcast against the leaf
+    directory (itself aggregate-sized: n/capacity rows); totals are one
+    1-row agg cross-joined.  At 10^12 rows the directory is ~4M rows and
+    this never touches the data files — that IS the point."""
+    tot = leaves.agg(
+        F.count(F.lit(1)).cast("long").alias("n_leaves_total"),
+        F.sum("n_pts").cast("long").alias("n_pts_total"),
+    )
+    hit = (
+        leaves.crossJoin(F.broadcast(queries))
+        .filter(
+            (F.col("min_x") <= F.col("qx1"))
+            & (F.col("max_x") >= F.col("qx0"))
+            & (F.col("min_y") <= F.col("qy1"))
+            & (F.col("max_y") >= F.col("qy0"))
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_leaves_hit"),
+            F.sum("n_pts").cast("long").alias("n_pts_bound"),
+        )
+    )
+    return (
+        queries.select("query_id")
+        .join(hit, "query_id", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "query_id",
+            F.coalesce("n_leaves_hit", F.lit(0).cast("long")).alias("n_leaves_hit"),
+            F.coalesce("n_pts_bound", F.lit(0).cast("long")).alias("n_pts_bound"),
+            "n_leaves_total",
+            "n_pts_total",
+        )
+    )
+
+
+def sql_str_prune_stats(leaves_cte_tail: str, queries_cte: str) -> str:
+    """DuckDB twin: ``leaves_cte_tail`` is sql_str_pack_leaves output used
+    as a subquery; ``queries_cte`` yields (query_id, qx0, qx1, qy0, qy1)."""
+    return f"""qrs AS ({queries_cte}),
+ldir AS ({leaves_cte_tail}),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_leaves_total,
+               CAST(sum(n_pts) AS BIGINT) AS n_pts_total FROM ldir),
+hit AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_leaves_hit,
+         CAST(sum(n_pts) AS BIGINT) AS n_pts_bound
+  FROM ldir JOIN qrs
+    ON min_x <= qx1 AND max_x >= qx0 AND min_y <= qy1 AND max_y >= qy0
+  GROUP BY query_id)
+SELECT q.query_id, coalesce(hit.n_leaves_hit, 0) AS n_leaves_hit,
+       coalesce(hit.n_pts_bound, 0) AS n_pts_bound,
+       tot.n_leaves_total, tot.n_pts_total
+FROM qrs q LEFT JOIN hit ON hit.query_id = q.query_id, tot"""

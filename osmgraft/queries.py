@@ -7353,6 +7353,51 @@ def str_pack_leaves_cap256(spark: SparkSession, sf_dir: str) -> DataFrame:
     return str_pack_leaves(pts, capacity=256)
 
 
+def _sql_str_prune() -> str:
+    from osmgraft.operators.packing import sql_str_pack_leaves, sql_str_prune_stats
+    from osmgraft.synth import sql_latlon_of_key
+
+    pts = f"SELECT point_id, lon7 AS x, lat7 AS y FROM ({_PTS})"
+    lat, lon = sql_latlon_of_key("(q * 17 + 1)")
+    queries = f"""SELECT q AS query_id,
+       ({lon}) - 20000000 AS qx0, ({lon}) + 20000000 AS qx1,
+       ({lat}) - 20000000 AS qy0, ({lat}) + 20000000 AS qy1
+  FROM range(0, 20) t(q)"""
+    leaves_tail = "WITH " + sql_str_pack_leaves(pts, capacity=256)
+    # wrap the full leaf statement as a subquery relation for the prune CTE
+    return (
+        "WITH "
+        + sql_str_prune_stats(f"SELECT * FROM ({leaves_tail})", queries)
+    )
+
+
+@register("str_prune_stats", _sql_str_prune())
+def str_prune_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruning arithmetic over the STR leaf directory (operators/
+    packing.str_prune_stats): 20 deterministic query boxes broadcast
+    against the bbox directory — per query the leaves that must be scanned
+    and the point-count upper bound, vs table totals.  The read-side proof
+    that the str_pack_leaves layout prunes: at 10^12 rows this touches the
+    ~n/256-row directory, never the data."""
+    from osmgraft.operators.packing import str_pack_leaves, str_prune_stats
+    from osmgraft.synth import latlon_of_key
+
+    pts = points_from_orders(spark, sf_dir).selectExpr(
+        "point_id", "lon7 AS x", "lat7 AS y"
+    )
+    leaves = str_pack_leaves(pts, capacity=256)
+    q = spark.range(20).select(F.col("id").alias("query_id"))
+    lat, lon = latlon_of_key(F.col("query_id") * 17 + 1)
+    boxes = q.select(
+        "query_id",
+        (lon - 20000000).alias("qx0"),
+        (lon + 20000000).alias("qx1"),
+        (lat - 20000000).alias("qy0"),
+        (lat + 20000000).alias("qy1"),
+    )
+    return str_prune_stats(leaves, boxes)
+
+
 def _sql_decayed() -> str:
     from osmgraft.operators.density import sql_decayed_tile_counts
     from osmgraft.synth import sql_latlon_of_key

@@ -74,3 +74,31 @@ def test_plan_no_single_partition_sort(spark):
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         spec = m.group(1)
         assert ("bkt" in spec) or ("slice" in spec) or ("bkt#" in spec), spec
+
+
+def test_prune_stats_hand(spark):
+    """Hand leaf directory + boxes: intersect counts, zero-hit query kept,
+    totals constant."""
+    from osmgraft.operators.packing import str_prune_stats
+
+    leaves = spark.createDataFrame(
+        [
+            (0, 0, 10, 0, 4, 0, 4),
+            (0, 1, 20, 5, 9, 0, 4),
+            (1, 0, 30, 0, 4, 5, 9),
+        ],
+        "slice long, leaf long, n_pts long, min_x long, max_x long, min_y long, max_y long",
+    )
+    boxes = spark.createDataFrame(
+        [
+            (1, 0, 2, 0, 2),      # hits leaf (0,0) only
+            (2, 4, 5, 4, 5),      # corner-touches all three (closed bboxes)
+            (3, 100, 200, 100, 200),  # hits nothing
+        ],
+        "query_id long, qx0 long, qx1 long, qy0 long, qy1 long",
+    )
+    got = {
+        r["query_id"]: (r["n_leaves_hit"], r["n_pts_bound"], r["n_leaves_total"], r["n_pts_total"])
+        for r in str_prune_stats(leaves, boxes).collect()
+    }
+    assert got == {1: (1, 10, 3, 60), 2: (3, 60, 3, 60), 3: (0, 0, 3, 60)}
