@@ -7305,6 +7305,53 @@ def tile_trend_mk_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_kendall(counts, ["tx", "ty"], "day", "cnt")
 
 
+def _sql_simpson() -> str:
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("event_id")
+    return f"""WITH ev AS (
+  SELECT {tiles.sql_tile_x(f'({lon})', 6)} AS tx,
+         {tiles.sql_tile_y(f'({lat})', 6)} AS ty,
+         event_type FROM events),
+per AS (SELECT tx, ty, event_type, count(*) AS n FROM ev GROUP BY 1, 2, 3)
+SELECT tx, ty,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(n * (n - 1)) AS BIGINT) AS simpson_num,
+       CAST(sum(n) * (sum(n) - 1) AS BIGINT) AS simpson_den
+FROM per GROUP BY tx, ty"""
+
+
+@register("tile_simpson_diversity_z6", _sql_simpson())
+def tile_simpson_diversity_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity index per z6 tile as the exact rational
+    λ = Σnᵢ(nᵢ−1) / N(N−1) over event types (Simpson 1949) — the
+    concentration/diversity member of the tile-analytics family (Gini
+    measures cross-tile skew; this measures WITHIN-tile type mixing;
+    1−λ is the Gini–Simpson diversity).  Division never taken — the
+    percentile/centroid rational discipline.  Two hash aggs, both
+    map-side combinable; no joins."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+
+    ev = ensure_min_parallelism(ev)
+    lat, lon = latlon_of_key(F.col("event_id"))
+    per = (
+        ev.select(
+            tiles.tile_x(lon, 6).alias("tx"),
+            tiles.tile_y(lat, 6).alias("ty"),
+            "event_type",
+        )
+        .groupBy("tx", "ty", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("long").alias("simpson_num"),
+        (F.sum("n") * (F.sum("n") - 1)).cast("long").alias("simpson_den"),
+    )
+
+
 def _sql_variogram() -> str:
     from osmgraft.operators.density import sql_empirical_variogram
 
