@@ -7400,6 +7400,39 @@ def str_pack_leaves_cap256(spark: SparkSession, sf_dir: str) -> DataFrame:
     return str_pack_leaves(pts, capacity=256)
 
 
+def _sql_kmeans() -> str:
+    from osmgraft.operators.kmeans import sql_kmeans_exact
+
+    def e5(x: str) -> str:
+        return f"(({x}) - ((({x}) % 100 + 100) % 100)) // 100"
+
+    pts = f"SELECT {e5('lon7')} AS x, {e5('lat7')} AS y FROM ({_PTS})"
+    return sql_kmeans_exact(pts)
+
+
+@register("kmeans_exact_k6_r3", _sql_kmeans())
+def kmeans_exact_k6_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Lloyd k-means (operators/kmeans.py): 3 rounds, k = 6 fixed
+    seeds, centroids carried as integer rationals (Σx, Σy, N) and the
+    argmin decided by the cross-multiplied comparator A_j·N_i² < A_i·N_j²
+    in DECIMAL(38)/HUGEINT — a clustering trajectory that is bitwise
+    identical at any parallelism, which float k-means cannot be.  Per
+    round: one broadcast map-only assignment pass + one map-side-combined
+    aggregate; no driver loop, no collect.  The twin unrolls the same
+    rounds as chained CTEs."""
+    from osmgraft.operators.kmeans import kmeans_exact
+
+    pts = points_from_orders(spark, sf_dir).select(
+        ((F.col("lon7") - F.pmod(F.col("lon7"), F.lit(100))) / 100)
+        .cast("long")
+        .alias("x"),
+        ((F.col("lat7") - F.pmod(F.col("lat7"), F.lit(100))) / 100)
+        .cast("long")
+        .alias("y"),
+    )
+    return kmeans_exact(pts)
+
+
 def _sql_str_prune() -> str:
     from osmgraft.operators.packing import sql_str_pack_leaves, sql_str_prune_stats
     from osmgraft.synth import sql_latlon_of_key
