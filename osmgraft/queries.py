@@ -7400,6 +7400,38 @@ def str_pack_leaves_cap256(spark: SparkSession, sf_dir: str) -> DataFrame:
     return str_pack_leaves(pts, capacity=256)
 
 
+def _sql_bloom() -> str:
+    from osmgraft.operators.bloom import sql_bloom_probe_stats
+
+    return sql_bloom_probe_stats(
+        "SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'",
+        "SELECT c_custkey AS k FROM customer",
+    )
+
+
+@register("bloom_semijoin_stats", _sql_bloom())
+def bloom_semijoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter build + probe (operators/bloom.py, Bloom
+    1970): the BUILDING-segment customer keys hashed twice (portable md5
+    60-bit integers) into a 16×63-bit filter (one bit_or aggregate), then
+    every customer probed against the broadcast row.  The filter WORDS
+    ride the cross-engine hash along with the exact pass/false split —
+    hash portability, bit layout, the zero-false-negative law and the
+    measured FPR all pinned.  The data-level twin of runtime Bloom-join
+    pruning; at 10^12 rows per-partition filters bit_or-merge."""
+    from osmgraft.operators.bloom import bloom_probe_stats
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    cust = ensure_min_parallelism(cust)
+    members = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    probes = cust.select(F.col("c_custkey").alias("k"))
+    return bloom_probe_stats(members, probes, "k")
+
+
 def _sql_kmeans() -> str:
     from osmgraft.operators.kmeans import sql_kmeans_exact
 
