@@ -619,6 +619,159 @@ SELECT ent_a, ent_b, costs[CAST(len(pb) AS INTEGER)] AS frechet_d2
 FROM dp WHERE i = len(pa)"""
 
 
+def dtw_pairs(
+    track: DataFrame,
+    bucket_z_shift: int,
+    max_pts: int = 8,
+) -> DataFrame:
+    """Trajectory similarity join: DYNAMIC TIME WARPING cost (Sakoe & Chiba
+    1978; Berndt & Clifford 1994 for the data-mining form) between pairs of
+    tracks whose FIRST sample shares a coarse grid cell —
+    (ent_a, ent_b, dtw_cost), cost = sum of squared euclidean step costs
+    along the optimal monotone alignment:
+
+        ca(i,j) = d²(aᵢ,bⱼ) + min(ca(i-1,j), ca(i-1,j-1), ca(i,j-1)).
+
+    The SUM-coupling member of the similarity trio (Hausdorff = unordered
+    max, Fréchet = ordered max-coupling, DTW = ordered sum-coupling): DTW
+    charges every alignment step, so it separates tracks that Fréchet ties
+    (a dwell repeated point is free under max, paid under sum).  All int64
+    on the integer chart plane — path length ≤ m+n ≤ 2·max_pts and per-step
+    d² ≤ 2·(span)², far from overflow — bit-exact cross-engine, exact at
+    any parallelism.
+
+    Shape: identical celljoin discipline to frechet_pairs (one seq-sorted
+    struct-array row per track capped at ``max_pts``, head-cell equi-join
+    for candidates), DP as nested JVM ``aggregate`` folds — the outer fold
+    walks rows of A carrying B's dp row as array<long>, the inner fold
+    walks columns left-to-right (the ca(i,j-1) dependency).  No Python, no
+    explode, no shuffle beyond the pair join.  The DuckDB twin
+    (sql_dtw_pairs) is a DIFFERENT algorithm: recursive CTE advancing each
+    row in CLOSED FORM via the distributive identity
+    ca(i,j) = min_{k≤j} (Σ_{l=k..j} d²(aᵢ,b_l) + Tₖ), T₁ = u₁,
+    Tₖ = min(uₖ, uₖ₋₁) — the scan x_j = d_j + min(t_j, x_{j-1}) unrolled by
+    distributing + over min.  Two executions, one hash."""
+    w = Window.partitionBy("ent").orderBy("seq")
+    arr = (
+        track.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_pts)
+        .groupBy("ent")
+        .agg(F.sort_array(F.collect_list(F.struct("seq", "x", "y"))).alias("pts"))
+        .select(
+            "ent",
+            F.transform(
+                "pts", lambda p: F.struct(p["x"].alias("x"), p["y"].alias("y"))
+            ).alias("pts"),
+        )
+    )
+    a = arr.select(
+        F.col("ent").alias("ent_a"),
+        F.col("pts").alias("pa"),
+        F.shiftright(F.col("pts")[0]["x"], bucket_z_shift).alias("cx"),
+        F.shiftright(F.col("pts")[0]["y"], bucket_z_shift).alias("cy"),
+    )
+    b = arr.select(
+        F.col("ent").alias("ent_b"),
+        F.col("pts").alias("pb"),
+        F.shiftright(F.col("pts")[0]["x"], bucket_z_shift).alias("cx"),
+        F.shiftright(F.col("pts")[0]["y"], bucket_z_shift).alias("cy"),
+    )
+    pairs = a.join(b, ["cx", "cy"]).filter(F.col("ent_a") < F.col("ent_b"))
+
+    pa, pb = F.col("pa"), F.col("pb")
+    empty = F.array().cast("array<long>")
+    # ca(1, j): prefix SUM of d²(a₁, bⱼ) — sequential fold
+    a1 = F.element_at(pa, 1)
+    row1 = F.aggregate(
+        pb,
+        empty,
+        lambda acc, q: F.concat(
+            acc,
+            F.array(
+                _pt_d2(a1, q)
+                + F.coalesce(F.get(acc, F.size(acc) - 1), F.lit(0).cast("long"))
+            ),
+        ),
+    )
+
+    def next_row(u, apt):
+        def cell(acc, j):
+            dj = _pt_d2(apt, F.element_at(pb, j))
+            return F.when(
+                j == F.lit(1), dj + F.element_at(u, F.lit(1))
+            ).otherwise(
+                dj
+                + F.least(
+                    F.element_at(u, j),
+                    F.element_at(u, j - F.lit(1)),
+                    F.get(acc, F.size(acc) - 1),  # j ≥ 2 ⇒ acc non-empty
+                )
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.size(pb)),
+            empty,
+            lambda acc, j: F.concat(acc, F.array(cell(acc, j))),
+        )
+
+    costs = F.aggregate(F.slice(pa, 2, max_pts), row1, next_row)
+    return pairs.select(
+        "ent_a", "ent_b", F.element_at(costs, F.size(pb)).alias("dtw_cost")
+    )
+
+
+def sql_dtw_pairs(track_cte: str, bucket_z_shift: int, max_pts: int = 8) -> str:
+    """DuckDB twin of dtw_pairs — recursive CTE over rows of A carrying the
+    dp row for B as a LIST, each row advanced by the closed-form
+    distributive identity (see dtw_pairs docstring):
+    ca(i,j) = min_{k=1..j} (Σ_{l=k..j} d² + T_k), T₁ = u₁,
+    T_k = min(u_k, u_{k-1})."""
+
+    def d2(ai: str, l: str) -> str:
+        return (
+            f"((pa[{ai}].x - pb[CAST({l} AS INTEGER)].x)"
+            f" * (pa[{ai}].x - pb[CAST({l} AS INTEGER)].x)"
+            f" + (pa[{ai}].y - pb[CAST({l} AS INTEGER)].y)"
+            f" * (pa[{ai}].y - pb[CAST({l} AS INTEGER)].y))"
+        )
+
+    return f"""WITH RECURSIVE tr AS ({track_cte}),
+capped AS (
+  SELECT ent, seq, x, y FROM (
+    SELECT *, row_number() OVER (PARTITION BY ent ORDER BY seq) AS rn FROM tr)
+  WHERE rn <= {max_pts}),
+head AS (
+  SELECT ent, x >> {bucket_z_shift} AS cx, y >> {bucket_z_shift} AS cy FROM (
+    SELECT *, row_number() OVER (PARTITION BY ent ORDER BY seq) AS rn
+    FROM capped) WHERE rn = 1),
+lists AS (
+  SELECT ent, list(struct_pack(x := x, y := y) ORDER BY seq) AS pts
+  FROM capped GROUP BY ent),
+pair AS (
+  SELECT a.ent AS ent_a, b.ent AS ent_b, la.pts AS pa, lb.pts AS pb
+  FROM head a JOIN head b ON a.cx = b.cx AND a.cy = b.cy AND a.ent < b.ent
+  JOIN lists la ON la.ent = a.ent
+  JOIN lists lb ON lb.ent = b.ent),
+dp AS (
+  SELECT ent_a, ent_b, pa, pb, 1 AS i,
+         list_transform(range(1, len(pb) + 1), j ->
+           list_aggregate(list_transform(range(1, j + 1),
+             l -> {d2('1', 'l')}), 'sum')) AS costs
+  FROM pair
+  UNION ALL
+  SELECT ent_a, ent_b, pa, pb, i + 1,
+         list_transform(range(1, len(pb) + 1), j ->
+           list_aggregate(list_transform(range(1, j + 1), k ->
+             (CASE WHEN k = 1 THEN costs[1]
+                   ELSE least(costs[CAST(k AS INTEGER)],
+                              costs[CAST(k - 1 AS INTEGER)]) END
+              + list_aggregate(list_transform(range(k, j + 1),
+                  l -> {d2('CAST(i + 1 AS INTEGER)', 'l')}), 'sum'))), 'min'))
+  FROM dp WHERE i < len(pa))
+SELECT ent_a, ent_b, costs[CAST(len(pb) AS INTEGER)] AS dtw_cost
+FROM dp WHERE i = len(pa)"""
+
+
 def tile_path(
     df: DataFrame,
     ent_col: str = "ent",

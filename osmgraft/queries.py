@@ -5855,6 +5855,36 @@ def frechet_pairs_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frechet_pairs(track, bucket_z_shift=9, max_pts=7)
 
 
+def _sql_dtw() -> str:
+    from osmgraft.operators.trajectory import sql_dtw_pairs
+
+    return sql_dtw_pairs(_TRACK_CTE, bucket_z_shift=9, max_pts=7)
+
+
+@register("dtw_pairs_tracks", _sql_dtw())
+def dtw_pairs_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping alignment cost between track pairs (operators/
+    trajectory.dtw_pairs, Sakoe & Chiba 1978 / Berndt & Clifford 1994) —
+    the SUM-coupling member of the similarity trio over the same bucketed
+    pair population as hausdorff/frechet_pairs_tracks:
+    ca(i,j) = d² + min(↑, ↖, ←), all int64.  Spark runs the DP as nested
+    JVM aggregate() folds; the DuckDB twin advances each row in CLOSED
+    FORM inside a recursive CTE (distributing + over min) — two different
+    algorithms, one hash.  DTW ≥ Fréchet ≥ Hausdorff on shared pairs is a
+    pinned cross-query invariant (tests/test_trajectory.py)."""
+    from osmgraft.operators.trajectory import dtw_pairs
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    o = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    track = o.selectExpr(
+        "o_custkey % 199 AS ent",
+        "o_orderkey AS seq",
+        "(o_orderkey * 13) % 100000 div 10 AS x",
+        "(o_orderkey * 29) % 100000 div 10 AS y",
+    )
+    return dtw_pairs(track, bucket_z_shift=9, max_pts=7)
+
+
 def _sql_rle() -> str:
     from osmgraft.operators.multimodal import sql_image_rle
 

@@ -226,3 +226,94 @@ def test_frechet_plan_no_python(spark):
         .toString()
     )
     assert "Python" not in plan and "Cartesian" not in plan
+
+
+def _brute_dtw(pa, pb):
+    """Reference DTW memoized recursion (independent of both engines'
+    formulations)."""
+    import functools
+
+    d2 = lambda p, q: (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2  # noqa: E731
+
+    @functools.lru_cache(maxsize=None)
+    def ca(i, j):
+        d = d2(pa[i], pb[j])
+        if i == 0 and j == 0:
+            return d
+        if i == 0:
+            return d + ca(0, j - 1)
+        if j == 0:
+            return d + ca(i - 1, 0)
+        return d + min(ca(i - 1, j), ca(i - 1, j - 1), ca(i, j - 1))
+
+    return ca(len(pa) - 1, len(pb) - 1)
+
+
+def test_dtw_matches_brute_force(spark):
+    from osmgraft.operators.trajectory import dtw_pairs
+
+    rows = [
+        (e, s, ((e * 31 + s * 17) * 97) % 128, ((e * 29 + s * 13) * 89) % 128)
+        for e in range(1, 7)
+        for s in range(1, 1 + (e % 4) + 3)
+    ]
+    df = spark.createDataFrame(rows, "ent long, seq long, x long, y long")
+    got = {
+        (r["ent_a"], r["ent_b"]): r["dtw_cost"]
+        for r in dtw_pairs(df, bucket_z_shift=7).collect()
+    }
+    tracks = {}
+    for e, s, x, y in rows:
+        tracks.setdefault(e, []).append((s, x, y))
+    import itertools
+
+    for a, b in itertools.combinations(sorted(tracks), 2):
+        pa = tuple((x, y) for _, x, y in sorted(tracks[a]))
+        pb = tuple((x, y) for _, x, y in sorted(tracks[b]))
+        assert got[(a, b)] == _brute_dtw(pa, pb), (a, b)
+
+
+def test_dtw_dominates_frechet_and_pays_for_dwell(spark):
+    """DTW >= Fréchet always (sum of nonneg step costs >= their max); a
+    repeated dwell point is FREE under Fréchet's max-coupling but PAID
+    under DTW's sum — the separating fixture."""
+    from osmgraft.operators.trajectory import dtw_pairs, frechet_pairs
+
+    # ent 1: 3 steps east; ent 2: same path but dwells 3x at a point 1 off
+    rows = (
+        [(1, s, s * 10, 0) for s in range(4)]
+        + [(2, 0, 0, 1), (2, 1, 10, 1), (2, 2, 10, 1), (2, 3, 10, 1),
+           (2, 4, 20, 1), (2, 5, 30, 1)]
+    )
+    df = spark.createDataFrame(rows, "ent long, seq long, x long, y long")
+    f = frechet_pairs(df, bucket_z_shift=7).collect()[0]["frechet_d2"]
+    d = dtw_pairs(df, bucket_z_shift=7).collect()[0]["dtw_cost"]
+    assert f == 1  # every aligned pair is exactly 1 apart in y
+    assert d == 6  # 6 alignment steps, each costing 1: dwell is charged
+    assert d >= f
+
+
+def test_dtw_caps_buckets_and_plan(spark):
+    from osmgraft.operators.trajectory import dtw_pairs
+
+    rows = (
+        [(1, s, 10 + (s % 2), 10) for s in range(1, 12)]
+        + [(2, 1, 12, 12)]
+        + [(3, 1, 1000, 1000)]  # far cell at shift 5 -> never pairs
+    )
+    df = spark.createDataFrame(rows, "ent long, seq long, x long, y long")
+    got = {
+        (r["ent_a"], r["ent_b"]): r["dtw_cost"]
+        for r in dtw_pairs(df, bucket_z_shift=5, max_pts=8).collect()
+    }
+    # single-point partner: dtw == SUM over capped track of d2 to it
+    pts = [(10 + (s % 2), 10) for s in range(1, 9)]
+    want = sum((x - 12) ** 2 + (y - 12) ** 2 for x, y in pts)
+    assert got == {(1, 2): want}
+    plan = (
+        dtw_pairs(df, bucket_z_shift=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Cartesian" not in plan
