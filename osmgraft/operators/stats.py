@@ -240,6 +240,127 @@ FROM common WHERE h <= theta
 GROUP BY ga, gb, theta"""
 
 
+# --------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch — exact-integer emission
+# --------------------------------------------------------------------------
+
+HLL_P = 6  # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+HLL_W = 32 - HLL_P  # rho bits (classic 32-bit HLL)
+HLL_RMAX = HLL_W + 1  # rho ∈ [1, 27]; empty register = 0
+# alpha_64 = 0.709 (published constant, Flajolet et al. 2007 §4 for m=64),
+# carried as the exact rational 709/1000 so the estimate stays integer
+_HLL_EST_NUM = 709 * HLL_M * HLL_M * (1 << HLL_RMAX)  # 1000·E·S, ~3.9e14
+_HLL_LC_MILLI = 1000 * 5 * HLL_M // 2  # small-range threshold 5m/2, in milli
+_HLL_LARGE_MILLI = 1000 * (1 << 32) // 30  # large-range threshold 2^32/30
+
+
+def hll_distinct(df: DataFrame, group_cols: list[str], key_col: str) -> DataFrame:
+    """Approximate distinct count per group via HyperLogLog (Flajolet,
+    Fusy, Gandouet & Meunier 2007 — public method), in the repo's
+    portable-sketch discipline: the hash is the md5 prefix both engines
+    share, registers and the raw estimate are EXACT INTEGERS, so the
+    approximate sketch gets an exact cross-engine hash gate (a library HLL
+    never can — its hash and float path are engine-internal).
+
+    Classic 32-bit form, p=6: x = top 32 bits of the 48-bit md5 prefix,
+    register index j = x >> 26, remainder w = x & (2^26−1),
+    rho(w) = 27 − bitlength(w) (w = 0 → 27; bitlength via the engines'
+    shared binary-string length — no float log2).  Register r_j = max rho.
+    The indicator sum Z = Σ 2^(−r_j) is carried as the exact integer
+    S = Σ 2^(27 − r_j) (absent registers contribute 2^27), so the raw
+    estimate E = α₆₄ m² / Z is the exact integer division
+        est_milli = 1000·E = (709·m²·2^27) div S        (α₆₄ = 709/1000).
+    The published small/large-range corrections are transcendental
+    (m·ln(m/V), −2^32·ln(1−E/2^32)) — the sketch emits est_kind
+    ('raw' | 'linear' | 'large') decided by EXACT integer comparisons and
+    NULLs est_milli outside the raw branch, leaving the exact ingredients
+    (n_zero, sum_sh) for the consumer's float step.  Output per group:
+    (n_zero, sum_sh, est_kind, est_milli).
+
+    Shape: distinct (group, j, rho) is skipped — ONE grouped max per
+    (group, j) (map-side combined; 64 rows per group max), then one grouped
+    sum: two narrow aggregates, mergeable at any parallelism — the textbook
+    100 TB partial aggregate (register-wise max is associative)."""
+    x = F.shiftright(
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10).cast(
+            "long"
+        ),
+        16,
+    )  # top 32 of 48 bits
+    j = F.shiftright(x, HLL_W)
+    w = x.bitwiseAND(F.lit((1 << HLL_W) - 1))
+    rho = F.when(w == 0, F.lit(HLL_RMAX)).otherwise(
+        F.lit(HLL_RMAX) - F.length(F.conv(w, 10, 2))
+    )
+    regs = (
+        df.select(*group_cols, j.alias("j"), rho.alias("rho"))
+        .groupBy(*group_cols, "j")
+        .agg(F.max("rho").alias("r"))
+    )
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr(f"shiftleft(1L, {HLL_RMAX} - r)")).alias("s_present"),
+    )
+    base = agg.select(
+        *group_cols,
+        (F.lit(HLL_M) - F.col("n_present")).alias("n_zero"),
+        (
+            F.col("s_present")
+            + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1 << HLL_RMAX)
+        ).alias("sum_sh"),
+    )
+    raw_milli = F.expr(f"{_HLL_EST_NUM}L div sum_sh")
+    kind = (
+        F.when((raw_milli <= _HLL_LC_MILLI) & (F.col("n_zero") > 0), F.lit("linear"))
+        .when(raw_milli > _HLL_LARGE_MILLI, F.lit("large"))
+        .otherwise(F.lit("raw"))
+    )
+    return base.select(
+        *group_cols,
+        "n_zero",
+        "sum_sh",
+        kind.alias("est_kind"),
+        F.when(kind == F.lit("raw"), raw_milli).alias("est_milli"),
+    )
+
+
+def sql_hll_distinct(rows_cte: str, group_cols: list[str], key_expr: str) -> str:
+    """DuckDB twin — identical hash/register/estimate integer text
+    (bitlength via format('{:b}', w) string length)."""
+    g = ", ".join(group_cols)
+    return f"""WITH rows_in AS ({rows_cte}),
+hx AS (
+  SELECT {g},
+         (('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 12))::BIGINT >> 16)
+           AS x
+  FROM rows_in
+),
+regs AS (
+  SELECT {g}, x >> {HLL_W} AS j,
+         max(CASE WHEN (x & {(1 << HLL_W) - 1}) = 0 THEN {HLL_RMAX}
+                  ELSE {HLL_RMAX} - length(format('{{:b}}', x & {(1 << HLL_W) - 1}))
+             END) AS r
+  FROM hx GROUP BY {g}, j
+),
+agg AS (
+  SELECT {g}, {HLL_M} - count(*) AS n_zero,
+         CAST(sum(1::BIGINT << ({HLL_RMAX} - r)) AS BIGINT)
+           + ({HLL_M} - count(*)) * {1 << HLL_RMAX} AS sum_sh
+  FROM regs GROUP BY {g}
+)
+SELECT {g}, n_zero, sum_sh,
+       CASE WHEN ({_HLL_EST_NUM} // sum_sh) <= {_HLL_LC_MILLI} AND n_zero > 0
+              THEN 'linear'
+            WHEN ({_HLL_EST_NUM} // sum_sh) > {_HLL_LARGE_MILLI} THEN 'large'
+            ELSE 'raw' END AS est_kind,
+       CASE WHEN ({_HLL_EST_NUM} // sum_sh) <= {_HLL_LC_MILLI} AND n_zero > 0
+              THEN NULL
+            WHEN ({_HLL_EST_NUM} // sum_sh) > {_HLL_LARGE_MILLI} THEN NULL
+            ELSE {_HLL_EST_NUM} // sum_sh END AS est_milli
+FROM agg"""
+
+
 # --- Count-Min sketch (Cormode & Muthukrishnan 2005 — public method) -----------
 def _cm_bucket(j: int, key_col: str, w: int) -> F.Column:
     """Portable row-j bucket: md5 prefix of 'j:key' mod w (same text both

@@ -4107,6 +4107,42 @@ def kmv_distinct_users_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(rows, ["tx", "ty"], "user_id", k=32)
 
 
+def _hll_oracle() -> str:
+    from osmgraft.operators.stats import sql_hll_distinct
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("event_id")
+    cte = f"""SELECT user_id,
+  {tiles.sql_tile_x('lon7', 6)} AS tx, {tiles.sql_tile_y('lat7', 6)} AS ty
+FROM (SELECT user_id, {lat} AS lat7, {lon} AS lon7 FROM events)"""
+    return sql_hll_distinct(cte, ["tx", "ty"], "user_id")
+
+
+@register("hll_distinct_users_z6", _hll_oracle())
+def hll_distinct_users_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per z6 tile via HyperLogLog (p=6, classic
+    32-bit form) in the portable-sketch discipline (operators/stats.
+    hll_distinct): md5-prefix hash, exact-integer registers, indicator sum
+    and raw estimate (α₆₄ = 709/1000 carried rationally), correction-branch
+    selection by exact integer comparison — an approximate sketch with an
+    EXACT cross-engine hash gate, registered beside kmv_distinct_users_z6
+    so the two estimators cross-check on one population (test_stats.py pins
+    both within tolerance of truth). Register-wise max is the canonical
+    100 TB partial aggregate: two narrow map-side-combined shuffles,
+    ≤64 rows per group."""
+    from osmgraft.operators.stats import hll_distinct
+    from osmgraft.synth import latlon_of_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lat, lon = latlon_of_key(F.col("event_id"))
+    rows = ev.select(
+        "user_id",
+        tiles.tile_x(lon, 6).alias("tx"),
+        tiles.tile_y(lat, 6).alias("ty"),
+    )
+    return hll_distinct(rows, ["tx", "ty"], "user_id")
+
+
 def _kmv_intersect_oracle() -> str:
     from osmgraft.operators.stats import sql_kmv_intersect
 

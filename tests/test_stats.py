@@ -495,3 +495,118 @@ def test_theil_sen_gap_guard(spark):
     df = spark.createDataFrame([(1, 0, 1), (1, 40, 5)], "g long, day long, cnt long")
     with pytest.raises(Exception):
         theil_sen(df, ["g"]).collect()
+
+
+def _py_hll(keys):
+    """Independent python replay of the portable HLL (registers + exact
+    integer emission)."""
+    import hashlib
+
+    from osmgraft.operators.stats import (
+        HLL_M, HLL_RMAX, HLL_W, _HLL_EST_NUM, _HLL_LARGE_MILLI, _HLL_LC_MILLI,
+    )
+
+    regs = [0] * HLL_M
+    for k in keys:
+        x = int(hashlib.md5(str(k).encode()).hexdigest()[:12], 16) >> 16
+        j, w = x >> HLL_W, x & ((1 << HLL_W) - 1)
+        rho = HLL_RMAX if w == 0 else HLL_RMAX - w.bit_length()
+        regs[j] = max(regs[j], rho)
+    n_zero = sum(1 for r in regs if r == 0)
+    sum_sh = sum(1 << (HLL_RMAX - r) for r in regs)
+    raw = _HLL_EST_NUM // sum_sh
+    if raw <= _HLL_LC_MILLI and n_zero > 0:
+        return n_zero, sum_sh, "linear", None
+    if raw > _HLL_LARGE_MILLI:
+        return n_zero, sum_sh, "large", None
+    return n_zero, sum_sh, "raw", raw
+
+
+def test_hll_matches_python_reference_and_accuracy(spark):
+    from osmgraft.operators.stats import hll_distinct
+
+    rows = [("big", i * 7919) for i in range(6000)] + [
+        ("small", i % 9) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, key long")
+    out = {r["g"]: r for r in hll_distinct(df, ["g"], "key").collect()}
+
+    for g, keys in (
+        ("big", [i * 7919 for i in range(6000)]),
+        ("small", [i % 9 for i in range(100)]),
+    ):
+        nz, sh, kind, est = _py_hll(keys)
+        r = out[g]
+        assert (r["n_zero"], r["sum_sh"], r["est_kind"], r["est_milli"]) == (
+            nz, sh, kind, est
+        ), g
+
+    # small group: 9 distinct -> linear-counting branch (est NULLed, exact
+    # ingredients emitted)
+    assert out["small"]["est_kind"] == "linear"
+    assert out["small"]["est_milli"] is None
+    # big group: raw branch; HLL sigma ~ 1.04/sqrt(64) = 13% — allow 3 sigma
+    assert out["big"]["est_kind"] == "raw"
+    est = out["big"]["est_milli"] / 1000.0
+    assert abs(est - 6000) < 6000 * 0.40, est
+
+
+def test_hll_merge_law(spark):
+    """Register-wise max of two sketches == sketch of the union — what
+    makes HLL a partial aggregate at 100 TB. Verified through the exact
+    emitted (n_zero, sum_sh): recompute per-half registers in python, merge
+    by max, compare to the operator's union-run output."""
+    from osmgraft.operators.stats import hll_distinct
+
+    a = [i * 31 for i in range(3000)]
+    b = [i * 31 for i in range(1500, 4500)]
+    df_u = spark.createDataFrame(
+        [("g", k) for k in a + b], "g string, key long"
+    )
+    got = hll_distinct(df_u, ["g"], "key").collect()[0]
+
+    import hashlib
+
+    from osmgraft.operators.stats import HLL_M, HLL_RMAX, HLL_W
+
+    def regs_of(keys):
+        regs = [0] * HLL_M
+        for k in keys:
+            x = int(hashlib.md5(str(k).encode()).hexdigest()[:12], 16) >> 16
+            j, w = x >> HLL_W, x & ((1 << HLL_W) - 1)
+            rho = HLL_RMAX if w == 0 else HLL_RMAX - w.bit_length()
+            regs[j] = max(regs[j], rho)
+        return regs
+
+    merged = [max(x, y) for x, y in zip(regs_of(a), regs_of(b))]
+    assert got["n_zero"] == sum(1 for r in merged if r == 0)
+    assert got["sum_sh"] == sum(1 << (HLL_RMAX - r) for r in merged)
+
+
+def test_hll_kmv_cross_check(spark):
+    """The two portable estimators agree with each other (and truth) on one
+    population — the cross-query invariant pinning hll_distinct_users_z6
+    beside kmv_distinct_users_z6."""
+    from osmgraft.operators.stats import hll_distinct, kmv_distinct
+
+    keys = [(i * 104729) % 1000003 for i in range(4000)]
+    df = spark.createDataFrame([("g", k) for k in keys], "g string, key long")
+    truth = len(set(keys))
+    h = hll_distinct(df, ["g"], "key").collect()[0]["est_milli"] / 1000.0
+    k = kmv_distinct(df, ["g"], "key", k=64).collect()[0]["est_distinct"]
+    assert abs(h - truth) < truth * 0.40
+    assert abs(k - truth) < truth * 0.40
+    assert abs(h - k) < truth * 0.60
+
+
+def test_hll_plan_two_aggregates_no_python(spark):
+    from osmgraft.operators.stats import hll_distinct
+
+    df = spark.createDataFrame([("g", 1)], "g string, key long")
+    plan = (
+        hll_distinct(df, ["g"], "key")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Cartesian" not in plan
