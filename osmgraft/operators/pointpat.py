@@ -1,0 +1,211 @@
+"""Point-pattern statistics: Ripley's K pair counts and the Knox
+space-time interaction statistic — the POINT-level members of the spatial
+statistics family (the cell-raster members live in operators/density.py:
+Moran's I, Getis-Ord Gi*, local join counts, semivariogram).
+
+Both operators follow the repo's exact-integer discipline: squared
+fixed-point distances, integer day gaps, pair COUNTS — no area
+normalization or floats, so Spark and DuckDB hash-match bitwise.  Both
+bound their candidate pairs with the celljoin ring discipline
+(operators/celljoin.py): a coarse grid bucket whose pitch is >= the
+largest radius makes the 3x3 neighbor ring PROVABLY complete (two points
+within r <= pitch differ by < pitch per axis, so their bucket coords
+differ by at most 1) — the self-join never goes quadratic in n, only in
+local density, exactly the property that survives 100 TB.
+
+Reference semantics (public methods): Ripley 1976/1977 K-function pair
+counts; Knox 1964 space-time interaction count with the marginal
+space-close and time-close pair counts a Monte-Carlo or Poisson test
+consumes.  The normalizations (K(r) = A * 2*pairs / (n(n-1)); Knox
+expectation n_s*n_t/N_pairs) are constant rationals the consumer applies
+— the engine emits the exact integer ingredients.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# lat7 >= -6e8, lon7 >= -1.79e9: adding 2^31 makes both axes nonnegative, so
+# `>>` bucketing is floor division in BOTH engines (no negative-shift UB)
+_OFF = 1 << 31
+
+
+def _ring_pairs(pts: DataFrame, shift: int, extra: list[str]) -> DataFrame:
+    """Unordered candidate pairs (pid_a < pid_b) whose grid buckets at
+    ``shift`` differ by at most 1 per axis — scatter form: side B explodes
+    to its 9 neighbor buckets, side A keeps its own, one equi-join.  Each
+    pair surfaces exactly once (the 9 scatter targets are distinct)."""
+    a = pts.select(
+        F.col("pid").alias("pid_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        *[F.col(c).alias(f"{c}_a") for c in extra],
+        F.shiftright(F.col("x") + _OFF, shift).alias("cx"),
+        F.shiftright(F.col("y") + _OFF, shift).alias("cy"),
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    b = pts.select(
+        F.col("pid").alias("pid_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        *[F.col(c).alias(f"{c}_b") for c in extra],
+        F.explode(offs).alias("o"),
+        F.shiftright(F.col("x") + _OFF, shift).alias("bx"),
+        F.shiftright(F.col("y") + _OFF, shift).alias("by"),
+    ).select(
+        "pid_b",
+        "xb",
+        "yb",
+        *[f"{c}_b" for c in extra],
+        (F.col("bx") + F.col("o.dx")).alias("cx"),
+        (F.col("by") + F.col("o.dy")).alias("cy"),
+    )
+    return a.join(b, ["cx", "cy"]).filter(F.col("pid_a") < F.col("pid_b"))
+
+
+def _sql_ring_pairs(pts_cte: str, shift: int, extra: list[str]) -> str:
+    """DuckDB twin of the ring pair generator — GATHER form (side A joins
+    the 3x3 offset range directly), a different evaluation order over the
+    same pair population."""
+    ea = "".join(f", a.{c} AS {c}_a" for c in extra)
+    eb = "".join(f", b.{c} AS {c}_b" for c in extra)
+    return f"""p AS (
+  SELECT pid, x, y{"".join(", " + c for c in extra)},
+         (x + {_OFF}) >> {shift} AS cx, (y + {_OFF}) >> {shift} AS cy
+  FROM ({pts_cte})),
+pairs AS (
+  SELECT a.pid AS pid_a, a.x AS xa, a.y AS ya{ea},
+         b.pid AS pid_b, b.x AS xb, b.y AS yb{eb}
+  FROM p a
+  CROSS JOIN range(-1, 2) dx(i) CROSS JOIN range(-1, 2) dy(i)
+  JOIN p b ON b.cx = a.cx + dx.i AND b.cy = a.cy + dy.i AND a.pid < b.pid)"""
+
+
+def _d2_long():
+    """Squared pair distance with LONG intermediates — ring-bounded diffs
+    reach 2^18, whose square overflows int32; the sum never exceeds 2^37."""
+    dx = (F.col("xa") - F.col("xb")).cast("long")
+    dy = (F.col("ya") - F.col("yb")).cast("long")
+    return dx * dx + dy * dy
+
+
+def ripley_k(pts: DataFrame, radii: list[int], shift: int) -> DataFrame:
+    """Ripley's K pair counts: one row per radius r in ``radii`` (ascending
+    fixed-point units) with (r, n_pts, pair_cnt) — pair_cnt the EXACT number
+    of unordered point pairs at squared distance <= r².  Requires
+    max(radii) <= 2^shift (ring completeness; raises otherwise).
+
+    Plan: ONE ring self-join evaluates all radii (conditional sums over the
+    shared d² column), then a 1-row broadcast join attaches n_pts and a
+    stack() explodes to per-radius rows — no per-radius rescan."""
+    if max(radii) > (1 << shift):
+        raise ValueError(f"max radius {max(radii)} exceeds pitch {1 << shift}")
+    pr = _ring_pairs(pts, shift, [])
+    d2 = _d2_long()
+    aggs = [
+        F.sum(F.when(d2 <= r * r, 1).otherwise(0)).cast("long").alias(f"c{i}")
+        for i, r in enumerate(radii)
+    ]
+    counts = pr.agg(*aggs).withColumn("k", F.lit(1))
+    n = pts.agg(F.count(F.lit(1)).alias("n_pts")).withColumn("k", F.lit(1))
+    stack = ", ".join(f"{r}L, c{i}" for i, r in enumerate(radii))
+    return (
+        counts.join(F.broadcast(n), "k")
+        .selectExpr("n_pts", f"stack({len(radii)}, {stack}) AS (r, pair_cnt)")
+        .select("r", "n_pts", "pair_cnt")
+    )
+
+
+# DuckDB may reorder the ring equi-join into an inequality join and evaluate
+# the distance predicate on NON-ring candidate pairs, where int32 (and even
+# int64 for antipodal lon) products overflow — HUGEINT makes it total.
+_SQL_D2 = (
+    "(CAST(xa AS HUGEINT)-xb)*(CAST(xa AS HUGEINT)-xb)"
+    " + (CAST(ya AS HUGEINT)-yb)*(CAST(ya AS HUGEINT)-yb)"
+)
+
+
+def sql_ripley_k(pts_cte: str, radii: list[int], shift: int) -> str:
+    """DuckDB twin — gather-form ring join, per-radius conditional counts
+    unpivoted through UNION ALL."""
+    sels = "\nUNION ALL\n".join(
+        f"SELECT {r} AS r, (SELECT count(*) FROM ({pts_cte})) AS n_pts, "
+        f"(SELECT count(*) FROM pairs WHERE {_SQL_D2}"
+        f" <= {r * r}) AS pair_cnt"
+        for r in radii
+    )
+    return f"WITH {_sql_ring_pairs(pts_cte, shift, [])}\n{sels}"
+
+
+def knox(pts: DataFrame, delta: int, tau: int, shift: int) -> DataFrame:
+    """Knox space-time interaction statistic over points (pid, x, y, t)
+    with t in integer days: ONE row
+        (n_pts, n_space, n_time, x_knox)
+    where n_space = #unordered pairs with d² <= delta², n_time = #unordered
+    pairs with |Δt| <= tau, x_knox = #pairs close in BOTH.  All exact
+    integers — the ingredients of the Knox test (expectation
+    n_space*n_time / C(n,2)).
+
+    Plan: space pairs (and the joint count) from one ring self-join;
+    the time marginal NEVER touches pairs — it folds the daily histogram
+    against its tau-window (explode of 2*tau+1 offsets + equi-join on day,
+    Σ cnt_d·cnt_{d+k} = ordered close pairs + n, halved exactly), so the
+    O(n²) time-close population costs O(days·tau)."""
+    if delta > (1 << shift):
+        raise ValueError(f"delta {delta} exceeds pitch {1 << shift}")
+    pr = _ring_pairs(pts, shift, ["t"])
+    d2 = _d2_long()
+    close_t = F.abs(F.col("t_a") - F.col("t_b")) <= tau
+    sp = pr.filter(d2 <= delta * delta).agg(
+        F.count(F.lit(1)).alias("n_space"),
+        F.sum(close_t.cast("long")).alias("x_knox"),
+    )
+    daily = pts.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    scat = daily.select(
+        F.explode(F.sequence(F.lit(-tau), F.lit(tau))).alias("k"), "t", "cnt"
+    ).select((F.col("t") + F.col("k")).alias("t"), F.col("cnt").alias("cnt_o"))
+    s_and_n = (
+        daily.join(scat, "t")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_o")).alias("s"))
+        .withColumn("k", F.lit(1))
+        .join(
+            F.broadcast(
+                pts.agg(F.count(F.lit(1)).alias("n_pts")).withColumn("k", F.lit(1))
+            ),
+            "k",
+        )
+        .select("n_pts", F.expr("(s - n_pts) div 2").alias("n_time"))
+    )
+    return (
+        sp.withColumn("k", F.lit(1))
+        .join(F.broadcast(s_and_n.withColumn("k", F.lit(1))), "k")
+        .select("n_pts", "n_space", "n_time", "x_knox")
+    )
+
+
+def sql_knox(pts_cte: str, delta: int, tau: int, shift: int) -> str:
+    """DuckDB twin — gather ring join for the space/joint counts, histogram
+    fold for the time marginal."""
+    return f"""WITH {_sql_ring_pairs(pts_cte, shift, ["t"])},
+sp AS (
+  SELECT count(*) AS n_space,
+         CAST(sum(CASE WHEN abs(t_a - t_b) <= {tau} THEN 1 ELSE 0 END)
+              AS BIGINT) AS x_knox
+  FROM pairs
+  WHERE {_SQL_D2} <= {delta * delta}),
+daily AS (SELECT t, count(*) AS cnt FROM ({pts_cte}) GROUP BY t),
+tm AS (
+  SELECT CAST(sum(a.cnt * b.cnt) AS BIGINT) AS s
+  FROM daily a
+  CROSS JOIN range({-tau}, {tau + 1}) k(i)
+  JOIN daily b ON b.t = a.t + k.i),
+n AS (SELECT count(*) AS n_pts FROM ({pts_cte}))
+SELECT n.n_pts, sp.n_space, (tm.s - n.n_pts) // 2 AS n_time, sp.x_knox
+FROM sp, tm, n"""

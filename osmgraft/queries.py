@@ -4107,6 +4107,78 @@ def kmv_distinct_users_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(rows, ["tx", "ty"], "user_id", k=32)
 
 
+_RIPLEY_RADII = [25_000, 50_000, 100_000]  # 0.0025 / 0.005 / 0.01 deg
+_RIPLEY_SHIFT = 17  # pitch 131072 >= max radius -> 3x3 ring provably complete
+
+
+def _ripley_oracle() -> str:
+    from osmgraft.operators.pointpat import sql_ripley_k
+
+    return sql_ripley_k(sql_points_cte().replace("point_id", "pid")
+                        .replace("lat7", "y").replace("lon7", "x"),
+                        _RIPLEY_RADII, _RIPLEY_SHIFT)
+
+
+@register("ripley_k_pairs", _ripley_oracle())
+def ripley_k_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K-function pair counts (operators/pointpat.ripley_k, Ripley
+    1976/77) at three radii over the order points — the POINT-level member
+    of the spatial-stats family (Moran's I / Gi* / join counts are its
+    cell-raster kin): exact unordered pair counts at d² <= r², candidates
+    bounded by the celljoin ring discipline (pitch >= max radius makes the
+    3x3 ring provably complete — local-density cost, never global n²).
+    Spark scatters one side to 9 buckets (one equi-join evaluates ALL
+    radii); the DuckDB twin gathers over the offset range — two evaluation
+    orders, one exact hash. The K normalization A·2·cnt/(n(n-1)) is a
+    constant rational left to the consumer."""
+    from osmgraft.operators.pointpat import ripley_k
+    from osmgraft.synth import points_from_orders
+
+    pts = points_from_orders(spark, sf_dir).select(
+        F.col("point_id").alias("pid"),
+        F.col("lon7").alias("x"),
+        F.col("lat7").alias("y"),
+    )
+    return ripley_k(pts, _RIPLEY_RADII, _RIPLEY_SHIFT)
+
+
+def _knox_oracle() -> str:
+    from osmgraft.operators.pointpat import sql_knox
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("o_orderkey")
+    cte = (
+        f"SELECT o_orderkey AS pid, {lon} AS x, {lat} AS y, "
+        f"CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
+        f" AS BIGINT) AS t FROM orders"
+    )
+    return sql_knox(cte, delta=50_000, tau=7, shift=_RIPLEY_SHIFT)
+
+
+@register("knox_space_time", _knox_oracle())
+def knox_space_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knox space-time interaction statistic (operators/pointpat.knox, Knox
+    1964) over order points with t = order date in days: exact counts of
+    pairs close in space (d² <= δ², δ = 0.005°), close in time (|Δt| <= 7
+    days), and close in BOTH — the epidemiology/event-clustering test's
+    integer ingredients. The joint and space counts ride ONE ring
+    self-join; the time marginal folds the daily histogram against its
+    ±7-day window (O(days·τ), never pairs). Exact cross-engine hash on a
+    single 4-column row."""
+    from osmgraft.operators.pointpat import knox
+    from osmgraft.synth import latlon_of_key
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lat, lon = latlon_of_key(F.col("o_orderkey"))
+    pts = o.select(
+        F.col("o_orderkey").alias("pid"),
+        lon.alias("x"),
+        lat.alias("y"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("t"),
+    )
+    return knox(pts, delta=50_000, tau=7, shift=_RIPLEY_SHIFT)
+
+
 def _hll_oracle() -> str:
     from osmgraft.operators.stats import sql_hll_distinct
     from osmgraft.synth import sql_latlon_of_key
