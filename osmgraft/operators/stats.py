@@ -998,3 +998,134 @@ ts AS (
   FROM tranked WHERE rn = (n_pairs + 1) // 2)
 SELECT tn.*, ts.n_pairs, ts.slope_num, ts.slope_den
 FROM tn JOIN ts USING ({ks})"""
+
+
+def kendall_tau(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    strong_num: int = 1,
+    strong_den: int = 4,
+) -> DataFrame:
+    """Kendall τ-b rank correlation per key group (Kendall 1938; τ-b tie
+    form Kendall 1945) between TWO observed measures — the bivariate
+    member of the trend family (Mann–Kendall IS Kendall τ of value vs
+    time; this correlates value vs value, e.g. volume vs user diversity).
+
+    Per group over observations (x_i, y_i) ordered by ``order_col``, every
+    unordered pair is classified exactly: concordant (dx·dy > 0),
+    discordant (dx·dy < 0), tied in x only, tied in y only, tied in both.
+    τ-b = (C−D)/√((n0−n1)(n0−n2)) with n0 = n(n−1)/2, n1 = pairs tied in
+    x, n2 = pairs tied in y — the √ never evaluated: the strength class
+    |τb|² ≥ strong_num/strong_den is decided by the cross-multiplied
+    integer inequality strong_den·(C−D)² ≥ strong_num·(n0−n1)(n0−n2)
+    (default θ² = 1/4, i.e. |τb| ≥ 0.5).  Classes: 'concordant' /
+    'discordant' when strong, 'weak' otherwise, 'degenerate' when either
+    marginal is constant (denominator zero — τ-b undefined).
+
+    Exact int64 end to end — the pair classification, the five counts and
+    the class inequality are all integers, so nothing flakes at a
+    threshold boundary and every sum is associative (parallelism-
+    invariant).
+
+    100 TB shape: identical to mann_kendall — the i<j pair explosion runs
+    on the per-(key, tick) AGGREGATE (≤435 pairs per key at 30 ticks),
+    one equi-join + one hash agg; skew capped by tick count."""
+    obs = df.select(
+        *keys,
+        F.col(order_col).alias("_t"),
+        F.col(x_col).alias("_x"),
+        F.col(y_col).alias("_y"),
+    )
+    right = obs.select(
+        *keys,
+        F.col("_t").alias("_t2"),
+        F.col("_x").alias("_x2"),
+        F.col("_y").alias("_y2"),
+    )
+    dx = F.col("_x2") - F.col("_x")
+    dy = F.col("_y2") - F.col("_y")
+    cnt = lambda c: F.sum(c.cast("long")).alias  # noqa: E731
+    agg = (
+        obs.join(right, keys)
+        .filter(F.col("_t") < F.col("_t2"))
+        .groupBy(*keys)
+        .agg(
+            cnt((dx * dy) > 0)("concordant"),
+            cnt((dx * dy) < 0)("discordant"),
+            cnt((dx == 0) & (dy != 0))("tied_x"),
+            cnt((dx != 0) & (dy == 0))("tied_y"),
+            cnt((dx == 0) & (dy == 0))("tied_both"),
+        )
+    )
+    n = obs.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    j = n.join(agg, keys)
+    # n(n-1) is always even, so div is exact integer arithmetic
+    n0 = F.expr("n_obs * (n_obs - 1) div 2")
+    n1 = F.col("tied_x") + F.col("tied_both")
+    n2 = F.col("tied_y") + F.col("tied_both")
+    den = (n0 - n1) * (n0 - n2)
+    s = F.col("concordant") - F.col("discordant")
+    strong = F.lit(strong_den) * s * s >= F.lit(strong_num) * den
+    cls = (
+        F.when(den == 0, "degenerate")
+        .when(strong & (s > 0), "concordant")
+        .when(strong & (s < 0), "discordant")
+        .otherwise("weak")
+    )
+    return j.select(
+        *keys,
+        "n_obs",
+        "concordant",
+        "discordant",
+        "tied_x",
+        "tied_y",
+        "tied_both",
+        cls.alias("tau_class"),
+    )
+
+
+def sql_kendall_tau(
+    obs_cte: str,
+    keys: list[str],
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    strong_num: int = 1,
+    strong_den: int = 4,
+) -> str:
+    """DuckDB twin of :func:`kendall_tau` over an observations CTE body —
+    same exact pair classification and cross-multiplied class."""
+    ks = ", ".join(keys)
+    on = " AND ".join(f"a.{k} = b.{k}" for k in keys)
+    aks = ", ".join(f"a.{k}" for k in keys)
+    dx = f"(b.{x_col} - a.{x_col})"
+    dy = f"(b.{y_col} - a.{y_col})"
+    return f"""obs AS ({obs_cte}),
+kt_p AS (
+  SELECT {aks},
+         CAST(sum(CASE WHEN {dx} * {dy} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+         CAST(sum(CASE WHEN {dx} * {dy} < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+         CAST(sum(CASE WHEN {dx} = 0 AND {dy} <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS tied_x,
+         CAST(sum(CASE WHEN {dx} <> 0 AND {dy} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tied_y,
+         CAST(sum(CASE WHEN {dx} = 0 AND {dy} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tied_both
+  FROM obs a JOIN obs b ON {on} AND a.{order_col} < b.{order_col}
+  GROUP BY {aks}),
+kt_n AS (SELECT {ks}, CAST(count(*) AS BIGINT) AS n_obs FROM obs GROUP BY {ks}),
+kt AS (
+  SELECT n.*, p.concordant, p.discordant, p.tied_x, p.tied_y, p.tied_both,
+         CASE WHEN (n.n_obs * (n.n_obs - 1) // 2 - p.tied_x - p.tied_both)
+                 * (n.n_obs * (n.n_obs - 1) // 2 - p.tied_y - p.tied_both) = 0
+              THEN 'degenerate'
+              WHEN {strong_den} * (p.concordant - p.discordant)
+                              * (p.concordant - p.discordant)
+                >= {strong_num}
+                 * (n.n_obs * (n.n_obs - 1) // 2 - p.tied_x - p.tied_both)
+                 * (n.n_obs * (n.n_obs - 1) // 2 - p.tied_y - p.tied_both)
+              THEN (CASE WHEN p.concordant > p.discordant THEN 'concordant'
+                         WHEN p.concordant < p.discordant THEN 'discordant'
+                         ELSE 'weak' END)
+              ELSE 'weak' END AS tau_class
+  FROM kt_n n JOIN kt_p p USING ({ks}))"""

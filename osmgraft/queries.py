@@ -7682,6 +7682,58 @@ def tile_decayed_top100_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_tile_counts(pts)
 
 
+def _sql_kendall() -> str:
+    from osmgraft.operators.stats import sql_kendall_tau
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("event_id")
+    obs = f"""SELECT {tiles.sql_tile_x(f'({lon})', 5)} AS tx,
+         {tiles.sql_tile_y(f'({lat})', 5)} AS ty,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS users
+  FROM events GROUP BY 1, 2, 3"""
+    return (
+        "WITH "
+        + sql_kendall_tau(obs, ["tx", "ty"], "day", "cnt", "users")
+        + "\nSELECT * FROM kt"
+    )
+
+
+@register("tile_kendall_tau_z5", _sql_kendall())
+def tile_kendall_tau_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b rank correlation per z5 tile (operators/stats.
+    kendall_tau, Kendall 1938/1945) between daily event VOLUME and daily
+    user DIVERSITY over the same tile-day rollup as tile_trend_mk_z5 —
+    the bivariate member of the trend family (Mann–Kendall IS Kendall τ
+    of value vs time; this correlates value vs value).  Exact integer
+    concordant/discordant/tie counts and a cross-multiplied |τb| ≥ 0.5
+    strength class — the √ in τ-b's denominator is never evaluated.
+
+    100 TB shape: pair join on the per-tile-day AGGREGATE (≤435 pairs per
+    tile at 30 days), never raw events; zero IEEE anywhere."""
+    from osmgraft.operators.stats import kendall_tau
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+
+    ev = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    lat, lon = latlon_of_key(F.col("event_id"))
+    obs = (
+        ev.select(
+            tiles.tile_x(lon, 5).alias("tx"),
+            tiles.tile_y(lat, 5).alias("ty"),
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+            "user_id",
+        )
+        .groupBy("tx", "ty", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.countDistinct("user_id").cast("long").alias("users"),
+        )
+    )
+    return kendall_tau(obs, ["tx", "ty"], "day", "cnt", "users")
+
+
 def _sql_theil_sen() -> str:
     from osmgraft.operators.stats import sql_theil_sen
     from osmgraft.synth import sql_latlon_of_key

@@ -610,3 +610,91 @@ def test_hll_plan_two_aggregates_no_python(spark):
         .toString()
     )
     assert "Python" not in plan and "Cartesian" not in plan
+
+
+def _kendall_ref(obs, strong_num=1, strong_den=4):
+    """Brute-force τ-b classification (independent of both engines)."""
+    import itertools
+
+    c = d = tx = ty = tb = 0
+    for (x1, y1), (x2, y2) in itertools.combinations(obs, 2):
+        dx, dy = x2 - x1, y2 - y1
+        if dx * dy > 0:
+            c += 1
+        elif dx * dy < 0:
+            d += 1
+        elif dx == 0 and dy == 0:
+            tb += 1
+        elif dx == 0:
+            tx += 1
+        else:
+            ty += 1
+    n = len(obs)
+    n0 = n * (n - 1) // 2
+    den = (n0 - tx - tb) * (n0 - ty - tb)
+    s = c - d
+    if den == 0:
+        cls = "degenerate"
+    elif strong_den * s * s >= strong_num * den:
+        cls = "concordant" if s > 0 else ("discordant" if s < 0 else "weak")
+    else:
+        cls = "weak"
+    return (n, c, d, tx, ty, tb, cls)
+
+
+def test_kendall_tau_matches_brute_force(spark):
+    from osmgraft.operators.stats import kendall_tau
+
+    rows = [
+        (g, t, ((g * 31 + t * 17) * 97) % 23, ((g * 13 + t * 7) * 89) % 19)
+        for g in range(1, 8)
+        for t in range(1, 1 + 4 + (g % 5))
+    ]
+    df = spark.createDataFrame(rows, "g long, t long, x long, y long")
+    got = {
+        r["g"]: (
+            r["n_obs"], r["concordant"], r["discordant"],
+            r["tied_x"], r["tied_y"], r["tied_both"], r["tau_class"],
+        )
+        for r in kendall_tau(df, ["g"], "t", "x", "y").collect()
+    }
+    series = {}
+    for g, t, x, y in rows:
+        series.setdefault(g, []).append((t, x, y))
+    for g, obs in series.items():
+        ref = _kendall_ref([(x, y) for _, x, y in sorted(obs)])
+        assert got[g] == ref, g
+
+
+def test_kendall_tau_classes(spark):
+    """Perfect agreement -> concordant; perfect reversal -> discordant;
+    constant marginal -> degenerate; a dwell pair is a tie, not noise."""
+    from osmgraft.operators.stats import kendall_tau
+
+    rows = (
+        [(1, t, t, t * 2) for t in range(5)]            # tau = +1
+        + [(2, t, t, 100 - t) for t in range(5)]        # tau = -1
+        + [(3, t, 7, t) for t in range(5)]              # x constant
+        + [(4, 0, 1, 1), (4, 1, 1, 1), (4, 2, 5, 9)]    # tied_both pair
+    )
+    df = spark.createDataFrame(rows, "g long, t long, x long, y long")
+    got = {r["g"]: r.asDict() for r in kendall_tau(df, ["g"], "t", "x", "y").collect()}
+    assert got[1]["tau_class"] == "concordant" and got[1]["discordant"] == 0
+    assert got[2]["tau_class"] == "discordant" and got[2]["concordant"] == 0
+    assert got[3]["tau_class"] == "degenerate"
+    assert got[4]["tied_both"] == 1 and got[4]["concordant"] == 2
+
+
+def test_kendall_tau_plan_no_python(spark):
+    from osmgraft.operators.stats import kendall_tau
+
+    df = spark.createDataFrame(
+        [(1, 0, 1, 2), (1, 1, 2, 3)], "g long, t long, x long, y long"
+    )
+    plan = (
+        kendall_tau(df, ["g"], "t", "x", "y")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Cartesian" not in plan
