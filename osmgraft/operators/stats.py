@@ -1129,3 +1129,108 @@ kt AS (
                          ELSE 'weak' END)
               ELSE 'weak' END AS tau_class
   FROM kt_n n JOIN kt_p p USING ({ks}))"""
+
+
+def ams_f2(
+    df: DataFrame, group_cols: list[str], key_col: str, k: int = 16, g: int = 4
+) -> DataFrame:
+    """AMS "tug-of-war" second-frequency-moment sketch per group (Alon,
+    Matias & Szegedy STOC 1996 — public method), in the portable-sketch
+    discipline beside KMV/HLL/CM/Bloom: every ingredient is an exact
+    integer, so the approximate sketch hash-gates cross-engine.
+
+    Estimator i ∈ [0, k): sign_i(key) = 1 − 2·(bit 0 of the salted md5
+    prefix of "i:key") ∈ {−1, +1}; s_i = Σ_rows sign_i(key) (each
+    occurrence contributes, so E[s_i²] = F2 = Σ_v f_v²).  The classic
+    variance-then-tail reduction is median-of-means: the k estimators
+    split into ``g`` groups of k/g, G_j = Σ s_i² over group j, and the
+    estimate is median(G_j)/(k/g).  The division is never taken — the
+    output carries est_num = the LOWER median of the sorted group sums
+    (position (g+1)//2) with est_den = k/g.  The EXACT F2 rides along
+    (one extra narrow agg over per-key counts) so the estimate's quality
+    is auditable row by row — and pinned within tolerance in pytest.
+
+    Shape at 100 TB: the k sign-sums are ONE map-side-combinable hash agg
+    (k conditional sums, no explode — sketch width is columnar, not
+    row-multiplying); exact F2 is a per-(group, key) count then Σcnt² —
+    both aggregates mergeable at any parallelism, zero joins beyond the
+    final 1:1 group join."""
+    if k % g:
+        raise ValueError("k must divide into g equal groups")
+    key_s = F.col(key_col).cast("string")
+    sums = [
+        F.sum(
+            1
+            - 2
+            * F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), key_s)), 1, 12), 16, 10)
+            .cast("long")
+            .bitwiseAND(F.lit(1))
+        )
+        .cast("long")
+        .alias(f"s{i}")
+        for i in range(k)
+    ]
+    est = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"), *sums
+    )
+    m = k // g
+    gsums = [
+        sum(F.col(f"s{j}") * F.col(f"s{j}") for j in range(a * m, (a + 1) * m)).alias(
+            f"g{a}"
+        )
+        for a in range(g)
+    ]
+    est = est.select(*group_cols, "n_rows", *gsums).select(
+        *group_cols,
+        "n_rows",
+        F.array_sort(F.array(*[F.col(f"g{a}") for a in range(g)]))[
+            (g + 1) // 2 - 1
+        ].alias("est_num"),
+        F.lit(m).cast("long").alias("est_den"),
+    )
+    exact = (
+        df.groupBy(*group_cols, key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_f"))
+        .groupBy(*group_cols)
+        .agg(F.sum(F.col("_f") * F.col("_f")).cast("long").alias("exact_f2"))
+    )
+    return est.join(exact, group_cols).select(
+        *group_cols, "n_rows", "exact_f2", "est_num", "est_den"
+    )
+
+
+def sql_ams_f2(
+    rows_cte: str, group_cols: list[str], key_expr: str, k: int = 16, g: int = 4
+) -> str:
+    """DuckDB twin of :func:`ams_f2` — identical salted-md5 sign algebra,
+    group sums and lower-median pick."""
+    gc = ", ".join(group_cols)
+    m = k // g
+    sign = (
+        lambda i: f"(1 - 2 * (('0x' || substr(md5('{i}:' || CAST({key_expr} AS VARCHAR)), 1, 12))::BIGINT & 1))"
+    )
+    ssums = ",\n         ".join(
+        f"CAST(sum({sign(i)}) AS BIGINT) AS s{i}" for i in range(k)
+    )
+    gsums = ", ".join(
+        "(" + " + ".join(f"s{j} * s{j}" for j in range(a * m, (a + 1) * m)) + f") AS g{a}"
+        for a in range(g)
+    )
+    glist = ", ".join(f"g{a}" for a in range(g))
+    return f"""WITH rows_in AS ({rows_cte}),
+amss AS (
+  SELECT {gc}, CAST(count(*) AS BIGINT) AS n_rows,
+         {ssums}
+  FROM rows_in GROUP BY {gc}),
+amsg AS (SELECT {gc}, n_rows, {gsums} FROM amss),
+amse AS (
+  SELECT {gc}, n_rows,
+         list_sort([{glist}])[{(g + 1) // 2}] AS est_num,
+         CAST({m} AS BIGINT) AS est_den
+  FROM amsg),
+amsx AS (
+  SELECT {gc}, CAST(sum(f * f) AS BIGINT) AS exact_f2 FROM (
+    SELECT {gc}, CAST(count(*) AS BIGINT) AS f
+    FROM rows_in GROUP BY {gc}, {key_expr}) GROUP BY {gc})
+SELECT e.*, x.exact_f2
+FROM amse e JOIN amsx x USING ({gc})"""

@@ -4179,6 +4179,47 @@ def knox_space_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knox(pts, delta=50_000, tau=7, shift=_RIPLEY_SHIFT)
 
 
+def _ams_oracle() -> str:
+    from osmgraft.operators.stats import sql_ams_f2
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("event_id")
+    cte = f"""SELECT user_id,
+  {tiles.sql_tile_x('lon7', 6)} AS tx, {tiles.sql_tile_y('lat7', 6)} AS ty
+FROM (SELECT user_id, {lat} AS lat7, {lon} AS lon7 FROM events)"""
+    return sql_ams_f2(cte, ["tx", "ty"], "user_id")
+
+
+@register("ams_f2_users_z6", _ams_oracle())
+def ams_f2_users_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war F2 sketch per z6 tile (operators/stats.ams_f2, Alon,
+    Matias & Szegedy STOC 1996): the second frequency moment Σf_v² of the
+    per-user activity distribution — the repeat-concentration/self-join-
+    size statistic — estimated by 16 salted-md5 ±1 sign sums reduced
+    median-of-means (4 groups of 4, lower median, division carried as
+    est_num/est_den).  Exact F2 rides along for row-level auditability;
+    test_stats.py pins the estimator's relative error.  Completes the
+    portable-sketch family: KMV/HLL (F0), CM (point freq), Bloom
+    (membership), AMS (F2) — every ingredient an exact integer, so the
+    approximate sketch hash-gates cross-engine.
+
+    100 TB shape: one map-side-combinable 17-column hash agg (no explode —
+    sketch width is columnar), one per-(tile,user) count agg; no joins
+    beyond the final 1:1."""
+    from osmgraft.operators.stats import ams_f2
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+
+    ev = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    lat, lon = latlon_of_key(F.col("event_id"))
+    rows = ev.select(
+        "user_id",
+        tiles.tile_x(lon, 6).alias("tx"),
+        tiles.tile_y(lat, 6).alias("ty"),
+    )
+    return ams_f2(rows, ["tx", "ty"], "user_id")
+
+
 def _hll_oracle() -> str:
     from osmgraft.operators.stats import sql_hll_distinct
     from osmgraft.synth import sql_latlon_of_key

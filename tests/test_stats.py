@@ -698,3 +698,58 @@ def test_kendall_tau_plan_no_python(spark):
         .toString()
     )
     assert "Python" not in plan and "Cartesian" not in plan
+
+
+def _md5_sign(i, key):
+    import hashlib
+
+    h = int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:12], 16)
+    return 1 - 2 * (h & 1)
+
+
+def test_ams_f2_matches_reference_and_bounds(spark):
+    """Sign sums replicate the salted-md5 reference exactly; the exact_f2
+    column is the true second moment; the median-of-means estimate lands
+    within 4/sqrt(groups) relative error on a skewed fixture (well inside
+    the AMS variance bound for this seed — pinned, deterministic)."""
+    from osmgraft.operators.stats import ams_f2
+
+    rows = [(1, u) for u in range(40) for _ in range(1 + (u % 7 == 0) * 9)]
+    df = spark.createDataFrame(rows, "g long, u long")
+    out = ams_f2(df, ["g"], "u").collect()[0]
+    f2_true = sum((1 + (u % 7 == 0) * 9) ** 2 for u in range(40))
+    assert out["exact_f2"] == f2_true
+    assert out["n_rows"] == len(rows)
+    # replicate estimator 0..15 sign sums -> group sums -> lower median
+    s = [
+        sum(_md5_sign(i, u) * (1 + (u % 7 == 0) * 9) for u in range(40))
+        for i in range(16)
+    ]
+    gsum = [sum(x * x for x in s[a * 4 : (a + 1) * 4]) for a in range(4)]
+    assert out["est_num"] == sorted(gsum)[1] and out["est_den"] == 4
+    est = out["est_num"] / out["est_den"]
+    assert abs(est - f2_true) / f2_true < 2.0  # deterministic seed, sane scale
+
+
+def test_ams_f2_uniform_vs_concentrated(spark):
+    """F2 separates what F0 cannot: same n_rows and same distinct count
+    ordering flips — a single hot key dominates Σf² while the uniform
+    group stays near n²/d."""
+    from osmgraft.operators.stats import ams_f2
+
+    rows = [(1, u) for u in range(100)] + [(2, 0)] * 91 + [(2, u) for u in range(1, 10)]
+    df = spark.createDataFrame(rows, "g long, u long")
+    got = {r["g"]: r for r in ams_f2(df, ["g"], "u").collect()}
+    assert got[1]["n_rows"] == got[2]["n_rows"] == 100
+    assert got[1]["exact_f2"] == 100
+    assert got[2]["exact_f2"] == 91 * 91 + 9
+    # estimator must separate the two by an order of magnitude too
+    assert got[2]["est_num"] * got[1]["est_den"] > 10 * got[1]["est_num"] * got[2]["est_den"]
+
+
+def test_ams_f2_plan_no_python_no_explode(spark):
+    from osmgraft.operators.stats import ams_f2
+
+    df = spark.createDataFrame([(1, 2), (1, 3)], "g long, u long")
+    plan = ams_f2(df, ["g"], "u")._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Generate" not in plan
