@@ -1234,3 +1234,87 @@ amsx AS (
     FROM rows_in GROUP BY {gc}, {key_expr}) GROUP BY {gc})
 SELECT e.*, x.exact_f2
 FROM amse e JOIN amsx x USING ({gc})"""
+
+
+def contingency_assoc(
+    df: DataFrame, row_col: str, col_col: str, z2: int = 4
+) -> DataFrame:
+    """Chi-square-family association cells of a two-way contingency table
+    (Pearson 1900 lineage; Haberman 1973 adjusted residuals — public
+    methods): for every (row, col) category pair the observed count O, the
+    marginals R, C, N, and an EXACT enriched/depleted/none class — the
+    cell-level reading of "which language × source combinations occur more
+    than independence predicts".
+
+    The adjusted residual d = (O − RC/N) / √(RC/N · (1−R/N)(1−C/N))
+    crosses |d| ≥ z exactly when
+
+        N · (N·O − R·C)² ≥ z² · R · C · (N−R) · (N−C)
+
+    — the √ and the three divisions never evaluated; both sides are
+    carried in DECIMAL(38) (HUGEINT twin), the Getis-Ord discipline.
+    Sign of N·O − R·C picks enriched vs depleted.  Bounds: exact through
+    N ≈ 10⁷ (N⁵ < 10³⁸); beyond that, pre-aggregate counts to a coarser
+    unit (the class is scale-free) — documented, not silent.
+
+    Shape at 100 TB: three map-side-combinable hash aggs (cells, row
+    marginal, col marginal) — all of category-domain size, never row
+    count — two broadcastable dimension joins, one 1-row broadcast."""
+    o = df.groupBy(row_col, col_col).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    r = df.groupBy(row_col).agg(F.count(F.lit(1)).cast("long").alias("r_tot"))
+    c = df.groupBy(col_col).agg(F.count(F.lit(1)).cast("long").alias("c_tot"))
+    n = df.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    d19 = "decimal(19,0)"
+    j = (
+        o.join(F.broadcast(r), row_col)
+        .join(F.broadcast(c), col_col)
+        .crossJoin(F.broadcast(n))
+    )
+    a = (
+        F.col("n_tot").cast(d19) * F.col("o").cast(d19)
+        - F.col("r_tot").cast(d19) * F.col("c_tot").cast(d19)
+    )
+    lhs = F.col("n_tot").cast(d19) * a * a
+    rhs = (
+        F.lit(z2).cast(d19)
+        * (F.col("r_tot").cast(d19) * F.col("c_tot").cast(d19))
+        * (
+            (F.col("n_tot") - F.col("r_tot")).cast(d19)
+            * (F.col("n_tot") - F.col("c_tot")).cast(d19)
+        )
+    )
+    cls = (
+        F.when((a > 0) & (lhs >= rhs), "enriched")
+        .when((a < 0) & (lhs >= rhs), "depleted")
+        .otherwise("none")
+    )
+    return j.select(
+        row_col, col_col, "o", "r_tot", "c_tot", "n_tot", cls.alias("assoc")
+    )
+
+
+def sql_contingency_assoc(rows_cte: str, row_col: str, col_col: str, z2: int = 4) -> str:
+    """DuckDB twin of :func:`contingency_assoc` — identical exact
+    inequality in HUGEINT."""
+    return f"""WITH rows_in AS ({rows_cte}),
+ct_o AS (SELECT {row_col}, {col_col}, CAST(count(*) AS BIGINT) AS o
+         FROM rows_in GROUP BY 1, 2),
+ct_r AS (SELECT {row_col}, CAST(count(*) AS BIGINT) AS r_tot FROM rows_in GROUP BY 1),
+ct_c AS (SELECT {col_col}, CAST(count(*) AS BIGINT) AS c_tot FROM rows_in GROUP BY 1),
+ct_n AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM rows_in),
+ct AS (
+  SELECT o.{row_col}, o.{col_col}, o.o, r.r_tot, c.c_tot, n.n_tot,
+         CAST(n.n_tot AS HUGEINT) * o.o
+           - CAST(r.r_tot AS HUGEINT) * c.c_tot AS a
+  FROM ct_o o JOIN ct_r r USING ({row_col}) JOIN ct_c c USING ({col_col}), ct_n n)
+SELECT {row_col}, {col_col}, o, r_tot, c_tot, n_tot,
+       CASE WHEN a > 0 AND CAST(n_tot AS HUGEINT) * a * a
+                 >= {z2} * (CAST(r_tot AS HUGEINT) * c_tot)
+                         * (CAST(n_tot - r_tot AS HUGEINT) * (n_tot - c_tot))
+              THEN 'enriched'
+            WHEN a < 0 AND CAST(n_tot AS HUGEINT) * a * a
+                 >= {z2} * (CAST(r_tot AS HUGEINT) * c_tot)
+                         * (CAST(n_tot - r_tot AS HUGEINT) * (n_tot - c_tot))
+              THEN 'depleted'
+            ELSE 'none' END AS assoc
+FROM ct"""

@@ -4179,6 +4179,36 @@ def knox_space_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knox(pts, delta=50_000, tau=7, shift=_RIPLEY_SHIFT)
 
 
+def _assoc_oracle() -> str:
+    from osmgraft.operators.stats import sql_contingency_assoc
+
+    return sql_contingency_assoc(
+        "SELECT lang, source FROM documents", "lang", "source"
+    )
+
+
+@register("lang_source_assoc", _assoc_oracle())
+def lang_source_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association cells of the lang × source contingency table (operators/
+    stats.contingency_assoc, Pearson 1900 / Haberman 1973 adjusted
+    residuals): per category pair the observed count, all marginals, and
+    an exact enriched/depleted/none class — |residual| ≥ 2 decided by the
+    cross-multiplied DECIMAL(38)/HUGEINT inequality
+    N(NO−RC)² ≥ z²·RC(N−R)(N−C), no √, no division.  The cell-level
+    companion to cube_lang_source (which counts) and auc_lang_by_source
+    (which ranks): this one TESTS independence.
+
+    100 TB shape: three category-domain hash aggs + broadcast dimension
+    joins — never touches row-count-sized state."""
+    from osmgraft.operators.stats import contingency_assoc
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("lang", "source")
+    return contingency_assoc(docs, "lang", "source")
+
+
 def _ams_oracle() -> str:
     from osmgraft.operators.stats import sql_ams_f2
     from osmgraft.synth import sql_latlon_of_key

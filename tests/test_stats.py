@@ -753,3 +753,51 @@ def test_ams_f2_plan_no_python_no_explode(spark):
     df = spark.createDataFrame([(1, 2), (1, 3)], "g long, u long")
     plan = ams_f2(df, ["g"], "u")._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Generate" not in plan
+
+
+def test_contingency_assoc_matches_float_reference(spark):
+    """Exact integer class == the float adjusted-residual formula on a
+    deterministic skewed table (and the fixture actually exercises all
+    three classes)."""
+    import math
+
+    from osmgraft.operators.stats import contingency_assoc
+
+    # hand-built counts spanning all three classes: diagonal surplus,
+    # starved off-diagonals, and near-independent cells
+    counts = {
+        ("r0", "c0"): 80, ("r0", "c1"): 20, ("r0", "c2"): 50,
+        ("r1", "c0"): 20, ("r1", "c1"): 80, ("r1", "c2"): 50,
+        ("r2", "c0"): 50, ("r2", "c1"): 50, ("r2", "c2"): 50,
+    }
+    rows = [(r, c) for (r, c), k in counts.items() for _ in range(k)]
+    df = spark.createDataFrame(rows, "lang string, source string")
+    got = {(x["lang"], x["source"]): x for x in contingency_assoc(df, "lang", "source").collect()}
+    from collections import Counter
+
+    o = Counter(rows)
+    rt = Counter(r for r, _ in rows)
+    ct = Counter(c for _, c in rows)
+    n = len(rows)
+    classes = set()
+    for (r, c), row in got.items():
+        e = rt[r] * ct[c] / n
+        d = (o[(r, c)] - e) / math.sqrt(e * (1 - rt[r] / n) * (1 - ct[c] / n))
+        want = "enriched" if d >= 2 else ("depleted" if d <= -2 else "none")
+        assert row["assoc"] == want, ((r, c), d, row["assoc"])
+        assert row["o"] == o[(r, c)] and row["n_tot"] == n
+        classes.add(want)
+    assert classes == {"enriched", "depleted", "none"}
+
+
+def test_contingency_assoc_independent_table(spark):
+    """A perfectly independent product table has every cell 'none' and
+    N*O == R*C exactly."""
+    from osmgraft.operators.stats import contingency_assoc
+
+    rows = [(f"r{i}", f"c{j}") for i in range(3) for j in range(4) for _ in range(5)]
+    df = spark.createDataFrame(rows, "lang string, source string")
+    out = contingency_assoc(df, "lang", "source").collect()
+    assert len(out) == 12 and all(x["assoc"] == "none" for x in out)
+    for x in out:
+        assert x["n_tot"] * x["o"] == x["r_tot"] * x["c_tot"]
