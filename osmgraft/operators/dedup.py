@@ -1108,3 +1108,114 @@ SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
    1, 15))::BIGINT AS fp_digest
 FROM wm
 """.strip()
+
+
+# --- longest common subsequence pair join ------------------------------------
+def lcs_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "t",
+    min_lcs: int = 1,
+) -> DataFrame:
+    """Longest-common-subsequence length between document pairs sharing a
+    bucket (Wagner & Fischer 1974 DP; Hirschberg 1975 lineage) — the
+    ORDER-PRESERVING member of the string-similarity family: levenshtein
+    charges every edit, containment demands contiguity, LCS counts the
+    longest shared subsequence (robust to scattered insertions — the
+    plagiarism/excerpt signal).  Emits (doc_a, doc_b, lcs_len) for
+    unordered within-bucket pairs with lcs_len >= ``min_lcs``.
+
+    DP entirely in JVM aggregate() folds (the dtw_pairs discipline): the
+    outer fold walks chars of A carrying B's dp row as array<int>; the
+    row advance uses the monotone-row identity
+        dp(i,j) = max(dp(i,j-1), c_j),
+        c_j = max(dp(i-1,j), a_i=b_j ? dp(i-1,j-1)+1 : 0)
+    — a running max, so each row is one sequential fold.  The DuckDB twin
+    (sql_lcs_pairs) advances each row in CLOSED FORM inside a recursive
+    CTE: dp(i,j) = max_{k<=j} c_k (max distributed over the scan).  Two
+    algorithms, one exact integer hash.
+
+    Strings must be pre-capped by the caller (cost is |A|·|B| fold steps
+    per pair); empty strings are excluded (both engines split '' into
+    ['']).  100 TB: bucketed equi-join — pair cost bounded by bucket
+    size², never global n²."""
+    base = df.filter(F.length(text_col) >= 1).select(
+        *bucket_cols,
+        F.col(id_col).alias("_id"),
+        F.split(F.col(text_col), "").alias("_ch"),
+    )
+    a = base.select(
+        *bucket_cols, F.col("_id").alias("doc_a"), F.col("_ch").alias("ca")
+    )
+    b = base.select(
+        *bucket_cols, F.col("_id").alias("doc_b"), F.col("_ch").alias("cb")
+    )
+    pairs = a.join(b, bucket_cols).filter(F.col("doc_a") < F.col("doc_b"))
+
+    ca, cb = F.col("ca"), F.col("cb")
+    empty = F.array().cast("array<int>")
+
+    def next_row(u, ach):
+        # u: dp row for the previous char of A (dp(i-1, 1..m)); this fold
+        # computes dp(i, 1..m) left to right as a running max
+        def cell(acc, j):
+            diag = F.when(j == F.lit(1), F.lit(0)).otherwise(
+                F.element_at(u, j - F.lit(1))
+            )
+            c = F.greatest(
+                F.element_at(u, j),
+                F.when(F.element_at(cb, j) == ach, diag + 1).otherwise(F.lit(0)),
+            )
+            return F.greatest(
+                c, F.coalesce(F.get(acc, F.size(acc) - 1), F.lit(0))
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.size(cb)),
+            empty,
+            lambda acc, j: F.concat(acc, F.array(cell(acc, j).cast("int"))),
+        )
+
+    zeros = F.transform(cb, lambda _: F.lit(0).cast("int"))
+    dp = F.aggregate(ca, zeros, next_row)
+    out = pairs.select(
+        "doc_a", "doc_b", F.element_at(dp, F.size(cb)).cast("int").alias("lcs_len")
+    )
+    return out.filter(F.col("lcs_len") >= min_lcs)
+
+
+def sql_lcs_pairs(
+    rows_cte: str,
+    bucket_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "t",
+    min_lcs: int = 1,
+) -> str:
+    """DuckDB twin of :func:`lcs_pairs` — recursive CTE over chars of A,
+    each dp row advanced in closed form (dp(i,j) = max_{k<=j} c_k)."""
+    on = " AND ".join(f"a.{k} = b.{k}" for k in bucket_cols)
+    cell = (
+        "greatest(costs[CAST(k AS INTEGER)], "
+        "CASE WHEN cb[CAST(k AS INTEGER)] = ca[CAST(i + 1 AS INTEGER)] "
+        "THEN (CASE WHEN k = 1 THEN 0 ELSE costs[CAST(k - 1 AS INTEGER)] END) + 1 "
+        "ELSE 0 END)"
+    )
+    return f"""WITH RECURSIVE lcs_src AS ({rows_cte}),
+lcs_rows AS (
+  SELECT *, string_split({text_col}, '') AS ch
+  FROM lcs_src WHERE length({text_col}) >= 1),
+lcs_pair AS (
+  SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, a.ch AS ca, b.ch AS cb
+  FROM lcs_rows a JOIN lcs_rows b ON {on} AND a.{id_col} < b.{id_col}),
+lcs_dp AS (
+  SELECT doc_a, doc_b, ca, cb, 0 AS i,
+         list_transform(range(1, len(cb) + 1), j -> 0) AS costs
+  FROM lcs_pair
+  UNION ALL
+  SELECT doc_a, doc_b, ca, cb, i + 1,
+         list_transform(range(1, len(cb) + 1), j ->
+           list_aggregate(list_transform(range(1, j + 1), k -> {cell}), 'max'))
+  FROM lcs_dp WHERE i < len(ca))
+SELECT doc_a, doc_b, CAST(costs[CAST(len(cb) AS INTEGER)] AS INTEGER) AS lcs_len
+FROM lcs_dp WHERE i = len(ca) AND costs[CAST(len(cb) AS INTEGER)] >= {min_lcs}"""

@@ -2294,6 +2294,64 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.levenshtein_neardup_pairs(allrows, k=2, id_col="doc_id", text_col="t")
 
 
+_LCS_CAP = 240
+
+
+def _sql_dedup_lcs() -> str:
+    from osmgraft.operators.dedup import sql_lcs_pairs
+
+    src = f"""SELECT doc_id, lang,
+         substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 16) AS t
+  FROM documents WHERE doc_id < {_LCS_CAP}
+  UNION ALL
+  SELECT doc_id + 200000, lang,
+         concat(substr(t, 1, 4), '#', substr(t, 5, 5), '@', substr(t, 10, 7))
+  FROM (SELECT doc_id, lang,
+               substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 16) AS t
+        FROM documents WHERE doc_id < {_LCS_CAP}) WHERE doc_id % 4 = 0"""
+    return sql_lcs_pairs(src, ["lang"], min_lcs=12)
+
+
+@register("dedup_lcs_pairs", _sql_dedup_lcs())
+def dedup_lcs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-common-subsequence near-dup pairs (operators/dedup.
+    lcs_pairs, Wagner & Fischer 1974): the ORDER-PRESERVING member of the
+    string-similarity family (levenshtein charges edits, containment
+    demands contiguity, LCS counts the longest shared subsequence — the
+    excerpt-with-scattered-insertions signal both of those miss).  ASCII
+    16-char caption prefixes bucketed by lang, with planted variants that
+    interleave two junk chars — the original stays a full subsequence, so
+    every planted pair MUST surface at lcs_len = 16; dropping one fails
+    the gate.  Spark runs the DP as nested JVM aggregate folds (running-
+    max row advance); the DuckDB twin advances each row in CLOSED FORM
+    (max over prefix) in a recursive CTE — two algorithms, one hash.
+
+    100 TB: bucketed equi-join, cost bounded by bucket size², no Python,
+    no Cartesian."""
+    from osmgraft.operators.dedup import lcs_pairs
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < _LCS_CAP)
+    src = docs.select(
+        "doc_id",
+        "lang",
+        F.substring(F.regexp_replace("text", "[^ -~]", ""), 1, 16).alias("t"),
+    )
+    vars_ = src.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        "lang",
+        F.concat(
+            F.substring("t", 1, 4),
+            F.lit("#"),
+            F.substring("t", 5, 5),
+            F.lit("@"),
+            F.substring("t", 10, 7),
+        ).alias("t"),
+    )
+    allrows = ensure_min_parallelism(src.unionByName(vars_))
+    return lcs_pairs(allrows, ["lang"], min_lcs=12)
+
+
 @register("dedup_jaccard_prefix", D.sql_jaccard_ngram_pairs())
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PPJoin prefix-filtered exact Jaccard pairs

@@ -1388,3 +1388,75 @@ def test_collocations_pmi_crafted(spark):
     assert r["c_ab"] == 3 and r["c_a"] == 3 and r["c_b"] == 3
     # 'the X' pairs: c('the')=8 dominates -> N*c_ab < 3*c_a*c_b, filtered
     assert all(w1 != "the" for (w1, _) in out)
+
+
+# --- LCS pair join (order-preserving string similarity) ----------------------
+def _lcs_ref(a, b):
+    """Textbook quadratic LCS table (independent of both engines)."""
+    m, n = len(a), len(b)
+    dp = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            dp[i][j] = (
+                dp[i - 1][j - 1] + 1
+                if a[i - 1] == b[j - 1]
+                else max(dp[i - 1][j], dp[i][j - 1])
+            )
+    return dp[m][n]
+
+
+def test_lcs_pairs_matches_brute_force(spark):
+    from osmgraft.operators.dedup import lcs_pairs
+
+    strs = {
+        1: "abcdefgh",
+        2: "axbyczdh",
+        3: "hgfedcba",
+        4: "abcd",
+        5: "zzzz",
+        6: "ab",
+    }
+    rows = [(i, 0, t) for i, t in strs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, g int, t string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["lcs_len"]
+        for r in lcs_pairs(df, ["g"], min_lcs=0).collect()
+    }
+    import itertools
+
+    for a, b in itertools.combinations(sorted(strs), 2):
+        assert got[(a, b)] == _lcs_ref(strs[a], strs[b]), (a, b)
+
+
+def test_lcs_pairs_subsequence_law_and_buckets(spark):
+    """A scattered-insertion variant keeps the full original as its LCS;
+    different buckets never pair; empty strings are excluded."""
+    from osmgraft.operators.dedup import lcs_pairs
+
+    rows = [
+        (1, 0, "abcdefgh"),
+        (2, 0, "abXcdYefZgh"),   # 1 interleaved -> LCS = 8
+        (3, 1, "abcdefgh"),      # other bucket: no pair with 1/2
+        (4, 0, ""),              # excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, g int, t string")
+    out = {
+        (r["doc_a"], r["doc_b"]): r["lcs_len"]
+        for r in lcs_pairs(df, ["g"], min_lcs=0).collect()
+    }
+    assert out == {(1, 2): 8}
+
+
+def test_lcs_pairs_plan_no_python(spark):
+    from osmgraft.operators.dedup import lcs_pairs
+
+    df = spark.createDataFrame(
+        [(1, 0, "ab"), (2, 0, "ba")], "doc_id long, g int, t string"
+    )
+    plan = (
+        lcs_pairs(df, ["g"], min_lcs=0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Cartesian" not in plan
