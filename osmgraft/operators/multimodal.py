@@ -4029,3 +4029,115 @@ SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
        CAST(sum(corner) AS BIGINT) AS corner_n,
        CAST(sum(corner * (y * 131 + x * 137 + 1)) AS BIGINT) AS corner_chk
 FROM e GROUP BY idx"""
+
+
+# --- uniform local binary patterns -------------------------------------------
+# LBP bit order: clockwise from top-left — bit k set iff neighbor k >= center
+_LBP_OFFS = ((-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1))
+
+# uniform iff the circular 0/1 ring has <= 2 transitions:
+# U(c) = popcount(c XOR rol8(c)) — precomputed 256-entry mask
+_LBP_UNIFORM = np.array(
+    [
+        bin(c ^ (((c << 1) | (c >> 7)) & 0xFF)).count("1") <= 2
+        for c in range(256)
+    ],
+    dtype=bool,
+)
+
+
+def image_lbp_uniform(images: DataFrame, on_error: str = "fail") -> DataFrame:
+    """Uniform local-binary-pattern texture histogram per image (Ojala,
+    Pietikäinen & Mäenpää PAMI 2002 — the classic rotation-robust texture
+    descriptor): per interior luma pixel the 8-bit code Σ 2^k·[neighbor_k
+    ≥ center] (clockwise from top-left), classed UNIFORM when its circular
+    ring has ≤ 2 bit transitions (popcount(c XOR rol8(c)) ≤ 2 — 58 codes)
+    and pooled into the single -1 bin otherwise — the textbook 59-bin
+    descriptor.  Emits (image_id, pattern, n_px): pattern = the code for
+    uniform pixels, -1 for non-uniform; exact integer counts.
+
+    The texture companion to image_gradient_rose (orientation energy) and
+    image_haar_energies (scale energy) — flat/edge/corner micro-texture
+    composition, exact.
+
+    Map-only mapInArrow (8 array comparisons + one table lookup + one
+    bincount per batch); no shuffle at any corpus width.  Images with no
+    interior emit (pattern = -1, 0); corrupt payloads under
+    on_error='null' emit (pattern = -1, null)."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            ids = rb.column("image_id").take(sel)
+            if px is None:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        pa.array(np.full(len(ids), -1, np.int64)),
+                        pa.array([None] * len(ids), type=pa.int64()),
+                    ],
+                    ["image_id", "pattern", "n_px"],
+                )
+                continue
+            p = px.astype(np.int64)
+            luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+            k = len(p)
+            ids_np = ids.to_pylist()
+            if h < 3 or w < 3:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids_np, type=pa.string()),
+                        pa.array(np.full(k, -1, np.int64)),
+                        pa.array(np.zeros(k, np.int64)),
+                    ],
+                    ["image_id", "pattern", "n_px"],
+                )
+                continue
+            c = luma[:, 1:-1, 1:-1]
+            code = np.zeros_like(c)
+            for bit, (dy, dx) in enumerate(_LBP_OFFS):
+                nb = luma[:, 1 + dy : h - 1 + dy, 1 + dx : w - 1 + dx]
+                code |= (nb >= c).astype(np.int64) << bit
+            pattern = np.where(_LBP_UNIFORM[code], code, -1)
+            bins = (np.arange(k, dtype=np.int64)[:, None, None] * 257 + pattern + 1).reshape(-1)
+            n_px = np.bincount(bins, minlength=k * 257).reshape(k, 257)
+            img_i, b = np.nonzero(n_px)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([ids_np[i] for i in img_i], type=pa.string()),
+                    pa.array(b.astype(np.int64) - 1),
+                    pa.array(n_px[img_i, b].astype(np.int64)),
+                ],
+                ["image_id", "pattern", "n_px"],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
+        kernel, "image_id string, pattern long, n_px long"
+    )
+
+
+def sql_image_lbp_uniform(idx_cte: str, max_h: int = 18, max_w: int = 32) -> str:
+    """DuckDB twin: the 8 neighbor comparisons evaluate the CLOSED-FORM
+    luma at shifted coordinates, the code is the same bit sum, and
+    uniformity is the same rotate-XOR-popcount — decode, bit order and
+    the uniform/non-uniform pooling all on the hash."""
+    center = _sql_luma_at(0, 0)
+    bits = " + ".join(
+        f"(CASE WHEN {_sql_luma_at(dy, dx)} >= {center} THEN {1 << k} ELSE 0 END)"
+        for k, (dy, dx) in enumerate(_LBP_OFFS)
+    )
+    return f"""WITH idxs AS ({idx_cte}),
+dims AS (SELECT idx, 16 + (idx % 3) * 8 AS w, 12 + (idx % 2) * 6 AS h FROM idxs),
+codes AS (
+  SELECT idx, ({bits}) AS code
+  FROM dims
+  CROSS JOIN range(1, {max_h - 1}) ty(y) CROSS JOIN range(1, {max_w - 1}) tx(x)
+  WHERE y < h - 1 AND x < w - 1),
+pat AS (
+  SELECT idx,
+         CASE WHEN bit_count(CAST(xor(code, ((code * 2) % 256) + (code // 128))
+                              AS BIGINT)) <= 2
+              THEN code ELSE -1 END AS pattern
+  FROM codes)
+SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
+       CAST(pattern AS BIGINT) AS pattern, count(*) AS n_px
+FROM pat GROUP BY idx, pattern"""

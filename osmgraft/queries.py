@@ -6393,6 +6393,34 @@ def image_gradient_rose_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_gradient_rose(imgs)
 
 
+def _sql_lbp() -> str:
+    from osmgraft.operators.multimodal import sql_image_lbp_uniform
+
+    return sql_image_lbp_uniform(_FIMG_IDX_CTE.format(n=250))
+
+
+@register("image_lbp_uniform", _sql_lbp())
+def image_lbp_uniform_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform LBP texture histogram per image (operators/multimodal.
+    image_lbp_uniform, Ojala et al. PAMI 2002): 8-bit neighbor-vs-center
+    codes over interior luma, the 58 uniform ring patterns kept, the rest
+    pooled at -1 — the textbook 59-bin texture descriptor, exact integer
+    counts.  The micro-texture companion to image_gradient_rose
+    (orientation) and image_haar_energies (scale).  Engine decodes real
+    containers; the DuckDB twin re-derives every comparison from the
+    closed-form pixel formula and replays the rotate-XOR-popcount
+    uniformity rule — decode, bit order and pooling all on one hash.
+
+    100 TB: map-only mapInArrow, no shuffle."""
+    from osmgraft.operators.multimodal import image_lbp_uniform
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 250)
+    imgs = ensure_min_parallelism(synth_formula_images(spark, n))
+    return image_lbp_uniform(imgs)
+
+
 def _sql_hough() -> str:
     from osmgraft.operators.multimodal import sql_image_hough_argmax
 
