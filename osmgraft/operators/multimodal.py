@@ -4141,3 +4141,84 @@ pat AS (
 SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
        CAST(pattern AS BIGINT) AS pattern, count(*) AS n_px
 FROM pat GROUP BY idx, pattern"""
+
+
+# --- Bayer ordered dithering -------------------------------------------------
+# classic 4x4 Bayer index matrix (Bayer 1973); threshold T = 16*(M+1) - 8
+# spreads the 16 mid-levels uniformly over [8, 248]
+_BAYER4 = np.array(
+    [[0, 8, 2, 10], [12, 4, 14, 6], [3, 11, 1, 9], [15, 7, 13, 5]],
+    dtype=np.int64,
+)
+
+
+def image_dither_bayer(images: DataFrame, on_error: str = "fail") -> DataFrame:
+    """Ordered (Bayer) dithering to 1-bit per image (Bayer 1973 — the
+    classic halftone matrix): luma pixel (y, x) is ON iff
+    luma ≥ 16·(M4[y%4][x%4]+1) − 8 — a pure integer threshold lattice, so
+    the ENTIRE output bitmap is exact.  Each image emits (n_px, n_on,
+    chk_on) with chk_on = Σ_on (y·131 + x·137 + 1) — the positional
+    checksum pins every bit's location, so decode, the luma rule and the
+    threshold tiling all hash-gate.  The parallel-by-construction
+    counterpart to error-diffusion dithering (Floyd–Steinberg is a
+    sequential scan; Bayer is map-only — the 100 TB choice).
+
+    Map-only mapInArrow; no shuffle.  Corrupt payloads under
+    on_error='null' emit NULL stats."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            ids = rb.column("image_id").take(sel)
+            k = len(ids)
+            if px is None:
+                nul = pa.array([None] * k, type=pa.int64())
+                yield pa.RecordBatch.from_arrays(
+                    [ids, nul, nul, nul], ["image_id", "n_px", "n_on", "chk_on"]
+                )
+                continue
+            p = px.astype(np.int64)
+            luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+            t = 16 * (_BAYER4[np.arange(h)[:, None] % 4, np.arange(w)[None, :] % 4] + 1) - 8
+            on = luma >= t[None, :, :]
+            wgt = (
+                np.arange(h, dtype=np.int64)[:, None] * 131
+                + np.arange(w, dtype=np.int64)[None, :] * 137
+                + 1
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(np.full(k, h * w, np.int64)),
+                    pa.array(on.sum(axis=(1, 2)).astype(np.int64)),
+                    pa.array((on * wgt[None, :, :]).sum(axis=(1, 2)).astype(np.int64)),
+                ],
+                ["image_id", "n_px", "n_on", "chk_on"],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
+        kernel, "image_id string, n_px long, n_on long, chk_on long"
+    )
+
+
+def sql_image_dither_bayer(idx_cte: str, max_h: int = 18, max_w: int = 32) -> str:
+    """DuckDB twin: closed-form luma vs the same Bayer threshold lattice
+    (the 4×4 matrix inlined as a CASE over (y%4, x%4))."""
+    flat = _BAYER4.reshape(-1)
+    m = " ".join(
+        f"WHEN {i} THEN {int(v)}" for i, v in enumerate(flat)
+    )
+    return f"""WITH idxs AS ({idx_cte}),
+dims AS (SELECT idx, 16 + (idx % 3) * 8 AS w, 12 + (idx % 2) * 6 AS h FROM idxs),
+bits AS (
+  SELECT idx, y, x,
+         CASE WHEN {_sql_luma_at(0, 0)}
+                >= 16 * ((CASE (y % 4) * 4 + (x % 4) {m} END) + 1) - 8
+              THEN 1 ELSE 0 END AS onb
+  FROM dims
+  CROSS JOIN range(0, {max_h}) ty(y) CROSS JOIN range(0, {max_w}) tx(x)
+  WHERE y < h AND x < w)
+SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
+       count(*) AS n_px,
+       CAST(sum(onb) AS BIGINT) AS n_on,
+       CAST(sum(onb * (y * 131 + x * 137 + 1)) AS BIGINT) AS chk_on
+FROM bits GROUP BY idx"""

@@ -6393,6 +6393,30 @@ def image_gradient_rose_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_gradient_rose(imgs)
 
 
+def _sql_dither() -> str:
+    from osmgraft.operators.multimodal import sql_image_dither_bayer
+
+    return sql_image_dither_bayer(_FIMG_IDX_CTE.format(n=250))
+
+
+@register("image_dither_bayer", _sql_dither())
+def image_dither_bayer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered Bayer dithering to 1-bit per image (operators/multimodal.
+    image_dither_bayer, Bayer 1973): luma against the tiled 4×4 index
+    matrix's integer threshold lattice; per image exact (n_px, n_on,
+    chk_on) with a positional checksum pinning every bit's location.
+    Map-only by construction — the halftone a 100 TB pipeline can afford
+    (error diffusion is a sequential scan; this is one comparison per
+    pixel).  Twin replays the lattice from the closed-form pixels."""
+    from osmgraft.operators.multimodal import image_dither_bayer
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 250)
+    imgs = ensure_min_parallelism(synth_formula_images(spark, n))
+    return image_dither_bayer(imgs)
+
+
 def _sql_lbp() -> str:
     from osmgraft.operators.multimodal import sql_image_lbp_uniform
 

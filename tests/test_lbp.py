@@ -82,3 +82,38 @@ def test_lbp_small_and_corrupt(spark):
     rows = image_lbp_uniform(df.unionByName(bad), on_error="null").collect()
     got = {r["image_id"]: r for r in rows if r["image_id"] == "x"}
     assert got["x"]["pattern"] == -1 and got["x"]["n_px"] is None
+
+
+# --- Bayer ordered dithering -------------------------------------------------
+def test_dither_matches_double_loop(spark):
+    from osmgraft.operators.multimodal import _BAYER4, image_dither_bayer
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (7, 9, 3))
+    out = image_dither_bayer(_raw_rows(spark, [px])).collect()[0]
+    p = px.astype(np.int64)
+    luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+    n_on = chk = 0
+    for y in range(7):
+        for x in range(9):
+            if luma[y, x] >= 16 * (_BAYER4[y % 4, x % 4] + 1) - 8:
+                n_on += 1
+                chk += y * 131 + x * 137 + 1
+    assert (out["n_px"], out["n_on"], out["chk_on"]) == (63, n_on, chk)
+
+
+def test_dither_extremes_and_mean_level(spark):
+    """Black -> all off; white -> all on; a flat mid gray turns on a
+    fraction equal to the number of matrix cells at or below its level —
+    the defining property of ordered dithering."""
+    from osmgraft.operators.multimodal import image_dither_bayer
+
+    black = np.zeros((8, 8, 3), np.uint8)
+    white = np.full((8, 8, 3), 255, np.uint8)
+    gray = np.full((8, 8, 3), 120, np.uint8)  # thresholds 8..248 step 16
+    out = {r["image_id"]: r for r in image_dither_bayer(
+        _raw_rows(spark, [black, white, gray])).collect()}
+    assert out["t0"]["n_on"] == 0
+    assert out["t1"]["n_on"] == 64
+    # luma 120 >= T for T in {8,24,...,120} -> 8 of 16 cells on
+    assert out["t2"]["n_on"] == 64 * 8 // 16
