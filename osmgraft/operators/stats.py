@@ -1318,3 +1318,80 @@ SELECT {row_col}, {col_col}, o, r_tot, c_tot, n_tot,
               THEN 'depleted'
             ELSE 'none' END AS assoc
 FROM ct"""
+
+
+# Benford first-digit probabilities log10(1 + 1/d) in EXACT parts-per-million
+# (published constants, Newcomb 1881 / Benford 1938; they sum to exactly 1e6)
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+
+def benford_deviation(df: DataFrame, col: str, z2: int = 4) -> DataFrame:
+    """Benford's-law first-digit audit of a positive integer column
+    (Newcomb 1881; Benford 1938; Nigrini's forensic-accounting usage —
+    public methods): per leading digit d ∈ 1..9 the observed count O, the
+    total N, the published expectation in ppm, and an exact
+    over/under/ok class — the fabricated-data / unit-mixing screen a
+    curation pipeline runs on numeric columns.
+
+    The binomial z-test |O − Np| ≥ z·√(Np(1−p)) crosses exactly when
+
+        (10⁶·O − N·ppm)² ≥ z² · N · ppm · (10⁶ − ppm)
+
+    — carried in DECIMAL(38)/HUGEINT, no float p, no √.  The leading
+    digit is extracted without logs: first char of the integer's decimal
+    string (identical text in both engines).  Rows with col ≤ 0 are
+    excluded (leading digit undefined).
+
+    Shape at 100 TB: one 9-bucket map-side-combinable hash agg + a 1-row
+    broadcast — never more state than nine counters per partition."""
+    pos = df.filter(F.col(col) > 0)
+    d = F.substring(F.col(col).cast("string"), 1, 1).cast("int")
+    o = pos.groupBy(d.alias("digit")).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    n = pos.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    ppm = F.element_at(
+        F.array(*[F.lit(p).cast("long") for p in BENFORD_PPM]), F.col("digit")
+    )
+    d19 = "decimal(19,0)"
+    j = o.crossJoin(F.broadcast(n)).withColumn("exp_ppm", ppm)
+    a = (
+        F.lit(1_000_000).cast(d19) * F.col("o").cast(d19)
+        - F.col("n_tot").cast(d19) * F.col("exp_ppm").cast(d19)
+    )
+    lhs = a * a
+    rhs = (
+        F.lit(z2).cast(d19)
+        * (F.col("n_tot").cast(d19) * F.col("exp_ppm").cast(d19))
+        * (F.lit(1_000_000) - F.col("exp_ppm")).cast(d19)
+    )
+    cls = (
+        F.when((a > 0) & (lhs >= rhs), "over")
+        .when((a < 0) & (lhs >= rhs), "under")
+        .otherwise("ok")
+    )
+    return j.select("digit", "o", "n_tot", "exp_ppm", cls.alias("conformity"))
+
+
+def sql_benford_deviation(rows_cte: str, col: str, z2: int = 4) -> str:
+    """DuckDB twin of :func:`benford_deviation` — identical digit
+    extraction and HUGEINT inequality."""
+    ppm_arr = ", ".join(str(p) for p in BENFORD_PPM)
+    return f"""WITH bf_rows AS ({rows_cte}),
+bf_pos AS (SELECT {col} AS v FROM bf_rows WHERE {col} > 0),
+bf_o AS (
+  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         CAST(count(*) AS BIGINT) AS o
+  FROM bf_pos GROUP BY 1),
+bf_n AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM bf_pos),
+bf AS (
+  SELECT o.digit, o.o, n.n_tot,
+         ([{ppm_arr}])[o.digit] AS exp_ppm,
+         CAST(1000000 AS HUGEINT) * o.o
+           - CAST(n.n_tot AS HUGEINT) * ([{ppm_arr}])[o.digit] AS a
+  FROM bf_o o, bf_n n)
+SELECT digit, o, n_tot, CAST(exp_ppm AS BIGINT) AS exp_ppm,
+       CASE WHEN a > 0 AND a * a >= {z2} * (CAST(n_tot AS HUGEINT) * exp_ppm)
+                                         * (1000000 - exp_ppm) THEN 'over'
+            WHEN a < 0 AND a * a >= {z2} * (CAST(n_tot AS HUGEINT) * exp_ppm)
+                                         * (1000000 - exp_ppm) THEN 'under'
+            ELSE 'ok' END AS conformity
+FROM bf"""

@@ -4267,6 +4267,39 @@ def lang_source_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contingency_assoc(docs, "lang", "source")
 
 
+def _benford_oracle() -> str:
+    from osmgraft.operators.stats import sql_benford_deviation
+
+    return sql_benford_deviation(
+        "SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents"
+        " FROM lineitem",
+        "cents",
+    )
+
+
+@register("benford_prices", _benford_oracle())
+def benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of lineitem prices (operators/stats.
+    benford_deviation, Newcomb 1881 / Benford 1938 / Nigrini's forensic
+    screen): leading decimal digit of the cents value — extracted as the
+    first char of the integer's decimal string, no logs — vs the published
+    log10(1+1/d) expectations carried as EXACT ppm constants (they sum to
+    10⁶); per digit an over/under/ok class from the cross-multiplied
+    binomial z-test in DECIMAL(38)/HUGEINT.  The fabricated-data /
+    unit-mixing screen of the curation family (profile_documents measures
+    shape; this tests a LAW).
+
+    100 TB: one 9-bucket map-side-combinable agg + a 1-row broadcast."""
+    from osmgraft.operators.stats import benford_deviation
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    li = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    cents = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("cents")
+    )
+    return benford_deviation(cents, "cents")
+
+
 def _ams_oracle() -> str:
     from osmgraft.operators.stats import sql_ams_f2
     from osmgraft.synth import sql_latlon_of_key

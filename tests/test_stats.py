@@ -801,3 +801,38 @@ def test_contingency_assoc_independent_table(spark):
     assert len(out) == 12 and all(x["assoc"] == "none" for x in out)
     for x in out:
         assert x["n_tot"] * x["o"] == x["r_tot"] * x["c_tot"]
+
+
+def test_benford_matches_float_reference(spark):
+    """Exact ppm class == the float binomial z-test on a log-uniform-ish
+    fixture (2^k values are Benford-perfect in the limit; a planted spike
+    of 9xxx values flips digit 9 to 'over')."""
+    import math
+
+    from osmgraft.operators.stats import BENFORD_PPM, benford_deviation
+
+    vals = [2**k for k in range(1, 63)] * 3 + [9000 + i for i in range(120)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r["digit"]: r for r in benford_deviation(df, "v").collect()}
+    from collections import Counter
+
+    obs = Counter(int(str(v)[0]) for v in vals)
+    n = len(vals)
+    for d in range(1, 10):
+        p = BENFORD_PPM[d - 1] / 1e6
+        z = (obs[d] - n * p) / math.sqrt(n * p * (1 - p))
+        want = "over" if z >= 2 else ("under" if z <= -2 else "ok")
+        assert got[d]["conformity"] == want, (d, z)
+        assert got[d]["o"] == obs[d] and got[d]["exp_ppm"] == BENFORD_PPM[d - 1]
+    assert got[9]["conformity"] == "over"
+
+
+def test_benford_excludes_nonpositive_and_sums(spark):
+    from osmgraft.operators.stats import benford_deviation
+
+    df = spark.createDataFrame(
+        [(v,) for v in [-5, 0, 123, 456, 789, 12, 1]], "v long"
+    )
+    out = benford_deviation(df, "v").collect()
+    assert sum(r["o"] for r in out) == 5
+    assert all(r["n_tot"] == 5 for r in out)
