@@ -209,3 +209,121 @@ tm AS (
 n AS (SELECT count(*) AS n_pts FROM ({pts_cte}))
 SELECT n.n_pts, sp.n_space, (tm.s - n.n_pts) // 2 AS n_time, sp.x_knox
 FROM sp, tm, n"""
+
+
+def dispersion_ellipse(
+    pts: DataFrame, group_cols: list[str], q_shift: int = 16
+) -> DataFrame:
+    """Standard-deviational-ellipse dispersion classifier per group (the
+    Lefever 1926 / ArcGIS "directional distribution" summary — public
+    method) in exact integers: per group the central second moments of the
+    point cloud and two classifications — the orientation OCTANT of the
+    ellipse's major axis and a compact/elongated shape class — with the
+    usual atan2/sqrt/eigen float pipeline replaced by exact algebra.
+
+    Coordinates are quantized to ``2^q_shift`` fixed-point units (default
+    ≈ 0.0066° — dispersion at tile scale, not survey scale).  Central
+    moments via the translation-invariant M00-scaled form (the
+    image_central_moments discipline): c20 = n·Σx² − (Σx)², c02, c11 — the
+    centroid division never taken.  The eigen structure of [[c20,c11],
+    [c11,c02]] enters only through the doubled-angle vector
+    (c20−c02, 2c11): its OCTANT (shared movement-rose sector rule —
+    operators/trajectory._octant_expr, one rule text, three domains) is
+    the major-axis direction class, and eccentricity
+    (λ1−λ2)/(λ1+λ2) ≥ 1/2 is decided by the cross-multiplied inequality
+    4·((c20−c02)² + 4c11²) ≥ (c20+c02)², carried in DECIMAL(38)/HUGEINT.
+    Exact through n ≈ 10⁶ points per group at the default quantization
+    (n²·span² < 2³⁸ digits); beyond that pre-aggregate to distinct
+    quantized cells first — documented, not silent.
+
+    Emits (group…, n_pts, qx_sum, qy_sum, c20, c02, c11, orient2_octant,
+    shape_class): octant −1 and class 'degenerate' when the moment matrix
+    is isotropic-zero or n < 2.
+
+    100 TB: ONE map-side-combinable hash agg (5 sums + count); no joins,
+    no window, no floats."""
+    from osmgraft.operators.trajectory import _octant_expr
+
+    qx = F.shiftright(F.col("x") + _OFF, q_shift).cast("long")
+    qy = F.shiftright(F.col("y") + _OFF, q_shift).cast("long")
+    agg = (
+        pts.select(*group_cols, qx.alias("_qx"), qy.alias("_qy"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pts"),
+            F.sum("_qx").cast("long").alias("qx_sum"),
+            F.sum("_qy").cast("long").alias("qy_sum"),
+            F.sum(F.col("_qx") * F.col("_qx")).cast("long").alias("_sxx"),
+            F.sum(F.col("_qy") * F.col("_qy")).cast("long").alias("_syy"),
+            F.sum(F.col("_qx") * F.col("_qy")).cast("long").alias("_sxy"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    n = F.col("n_pts").cast(d38)
+    c20 = (n * F.col("_sxx").cast(d38) - F.col("qx_sum").cast(d38) * F.col("qx_sum").cast(d38)).alias("_c20")
+    c02 = (n * F.col("_syy").cast(d38) - F.col("qy_sum").cast(d38) * F.col("qy_sum").cast(d38)).alias("_c02")
+    c11 = (n * F.col("_sxy").cast(d38) - F.col("qx_sum").cast(d38) * F.col("qy_sum").cast(d38)).alias("_c11")
+    m = agg.select(*group_cols, "n_pts", "qx_sum", "qy_sum", c20, c02, c11)
+    a = F.col("_c20") - F.col("_c02")
+    b = F.lit(2).cast(d38) * F.col("_c11")
+    tr = F.col("_c20") + F.col("_c02")
+    octant = F.when((a == 0) & (b == 0), F.lit(-1)).otherwise(_octant_expr(a, b))
+    elong = F.lit(4).cast(d38) * (a * a + b * b) >= tr * tr
+    cls = (
+        F.when((F.col("n_pts") < 2) | (tr == 0), "degenerate")
+        .when(elong, "elongated")
+        .otherwise("compact")
+    )
+    return m.select(
+        *group_cols,
+        "n_pts",
+        "qx_sum",
+        "qy_sum",
+        F.col("_c20").cast("long").alias("c20"),
+        F.col("_c02").cast("long").alias("c02"),
+        F.col("_c11").cast("long").alias("c11"),
+        octant.cast("long").alias("orient2_octant"),
+        cls.alias("shape_class"),
+    )
+
+
+def sql_dispersion_ellipse(
+    pts_cte: str, group_cols: list[str], q_shift: int = 16
+) -> str:
+    """DuckDB twin of :func:`dispersion_ellipse` — identical quantization,
+    HUGEINT moments, octant rule text and cross-multiplied shape class."""
+    g = ", ".join(group_cols)
+    return f"""WITH de_pts AS ({pts_cte}),
+de_q AS (
+  SELECT {g}, (x + {_OFF}) >> {q_shift} AS qx, (y + {_OFF}) >> {q_shift} AS qy
+  FROM de_pts),
+de_agg AS (
+  SELECT {g}, CAST(count(*) AS BIGINT) AS n_pts,
+         CAST(sum(qx) AS BIGINT) AS qx_sum, CAST(sum(qy) AS BIGINT) AS qy_sum,
+         CAST(sum(qx * qx) AS BIGINT) AS sxx,
+         CAST(sum(qy * qy) AS BIGINT) AS syy,
+         CAST(sum(qx * qy) AS BIGINT) AS sxy
+  FROM de_q GROUP BY {g}),
+de_m AS (
+  SELECT {g}, n_pts, qx_sum, qy_sum,
+         CAST(n_pts AS HUGEINT) * sxx - CAST(qx_sum AS HUGEINT) * qx_sum AS c20,
+         CAST(n_pts AS HUGEINT) * syy - CAST(qy_sum AS HUGEINT) * qy_sum AS c02,
+         CAST(n_pts AS HUGEINT) * sxy - CAST(qx_sum AS HUGEINT) * qy_sum AS c11
+  FROM de_agg)
+SELECT {g}, n_pts, qx_sum, qy_sum,
+       CAST(c20 AS BIGINT) AS c20, CAST(c02 AS BIGINT) AS c02,
+       CAST(c11 AS BIGINT) AS c11,
+       CAST(CASE WHEN c20 - c02 = 0 AND c11 = 0 THEN -1
+            WHEN (c20 - c02) > 0 AND (2 * c11) >= 0
+              THEN (CASE WHEN abs(2 * c11) < abs(c20 - c02) THEN 0 ELSE 1 END)
+            WHEN (c20 - c02) <= 0 AND (2 * c11) > 0
+              THEN (CASE WHEN abs(c20 - c02) < abs(2 * c11) THEN 2 ELSE 3 END)
+            WHEN (c20 - c02) < 0 AND (2 * c11) <= 0
+              THEN (CASE WHEN abs(2 * c11) < abs(c20 - c02) THEN 4 ELSE 5 END)
+            ELSE (CASE WHEN abs(c20 - c02) < abs(2 * c11) THEN 6 ELSE 7 END)
+       END AS BIGINT) AS orient2_octant,
+       CASE WHEN n_pts < 2 OR c20 + c02 = 0 THEN 'degenerate'
+            WHEN 4 * ((c20 - c02) * (c20 - c02) + (2 * c11) * (2 * c11))
+                 >= (c20 + c02) * (c20 + c02) THEN 'elongated'
+            ELSE 'compact' END AS shape_class
+FROM de_m"""

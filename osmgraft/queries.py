@@ -4341,6 +4341,40 @@ def ams_f2_users_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ams_f2(rows, ["tx", "ty"], "user_id")
 
 
+def _dispersion_oracle() -> str:
+    from osmgraft.operators.pointpat import sql_dispersion_ellipse
+
+    pts = f"""SELECT {tiles.sql_tile_x('lon7', 6)} AS tx,
+         {tiles.sql_tile_y('lat7', 6)} AS ty, lon7 AS x, lat7 AS y
+  FROM ({_PTS})"""
+    return sql_dispersion_ellipse(pts, ["tx", "ty"])
+
+
+@register("tile_dispersion_z6", _dispersion_oracle())
+def tile_dispersion_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard-deviational-ellipse dispersion per z6 tile (operators/
+    pointpat.dispersion_ellipse, Lefever 1926 / the ArcGIS directional-
+    distribution summary): exact translation-invariant central moments
+    over quantized order points, the major-axis ORIENTATION as the octant
+    of the doubled-angle vector (c20−c02, 2c11) — the shared movement-rose
+    sector rule's third domain after track steps and image gradients — and
+    a compact/elongated class from the cross-multiplied eccentricity
+    inequality 4(a²+b²) ≥ tr² in DECIMAL(38)/HUGEINT.  No atan2, no √,
+    no eigen-solver: the whole ellipse pipeline reduced to integer algebra.
+
+    100 TB: ONE map-side-combinable hash agg (5 sums + count), no joins."""
+    from osmgraft.operators.pointpat import dispersion_ellipse
+    from osmgraft.synth import points_from_orders
+
+    pts = points_from_orders(spark, sf_dir).select(
+        tiles.tile_x(F.col("lon7"), 6).alias("tx"),
+        tiles.tile_y(F.col("lat7"), 6).alias("ty"),
+        F.col("lon7").alias("x"),
+        F.col("lat7").alias("y"),
+    )
+    return dispersion_ellipse(pts, ["tx", "ty"])
+
+
 def _hll_oracle() -> str:
     from osmgraft.operators.stats import sql_hll_distinct
     from osmgraft.synth import sql_latlon_of_key
