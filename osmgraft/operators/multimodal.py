@@ -4222,3 +4222,86 @@ SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
        CAST(sum(onb) AS BIGINT) AS n_on,
        CAST(sum(onb * (y * 131 + x * 137 + 1)) AS BIGINT) AS chk_on
 FROM bits GROUP BY idx"""
+
+
+def audio_zcr_windows(
+    media: DataFrame,
+    window: int = 256,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Zero-crossing rate + mean-magnitude per window — the classic
+    voiced/unvoiced discriminator pair (Rabiner & Schafer 1978 lineage;
+    ZCR high for fricatives/noise, low for voiced pitch; together with
+    window energy these are the textbook VAD features) in exact integers:
+    per complete window, zcr = #{t : sign(x[t]) ≠ sign(x[t+1])} with the
+    deterministic convention sign(x) = +1 iff x ≥ 0 (zero counts as
+    positive — no tri-state wobble), and abs_sum = Σ|x[t]| (the mean-
+    magnitude proxy, division left to the consumer).
+
+    Emits (media_id, window_idx, zcr, abs_sum).  REAL RIFF/PCM16 decode;
+    one vectorized comparison + one reduction per clip.  100 TB: map-only
+    mapInArrow, no shuffle."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        names = ["media_id", "window_idx", "zcr", "abs_sum"]
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(0).to_pylist()
+            buf, starts, ends = _binary_spans(rb.column(1))
+            bb = buf.tobytes()
+            o_id, o_w, o_z, o_a = [], [], [], []
+            for i in range(len(starts)):
+                pcm = wav_pcm16(bb[starts[i] : ends[i]]).astype(np.int64)
+                k = len(pcm) // window
+                if k == 0:
+                    continue
+                wnd = pcm[: k * window].reshape(k, window)
+                sgn = wnd >= 0
+                o_id += [ids[i]] * k
+                o_w += list(range(k))
+                o_z += (sgn[:, 1:] != sgn[:, :-1]).sum(axis=1).tolist()
+                o_a += np.abs(wnd).sum(axis=1).tolist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_id, type=pa.string()),
+                    pa.array(o_w, type=pa.int64()),
+                    pa.array(o_z, type=pa.int64()),
+                    pa.array(o_a, type=pa.int64()),
+                ],
+                names,
+            )
+
+    return media.select(F.col(id_col).cast("string"), F.col(bytes_col)).mapInArrow(
+        kernel, "media_id string, window_idx long, zcr long, abs_sum long"
+    )
+
+
+def sql_audio_zcr_windows(idx_cte: str, n_samples: int = 1024, window: int = 256) -> str:
+    """DuckDB twin over the synth_audio closed-form PCM — same sign
+    convention (x ≥ 0 is positive), relational transition count."""
+
+    def pcm(t: str) -> str:
+        return f"(((idx*1103515245 + ({t})*12345 + 42) % 65536) - 32768)"
+
+    t0 = f"win*{window} + tt"
+    t1 = f"win*{window} + tt + 1"
+    return f"""WITH idxs AS ({idx_cte}),
+zc AS (
+  SELECT idx, win,
+         CAST(sum(CASE WHEN ({pcm(t0)} >= 0) <> ({pcm(t1)} >= 0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+  FROM idxs
+  CROSS JOIN range(0, {n_samples // window}) twin(win)
+  CROSS JOIN range(0, {window - 1}) ttt(tt)
+  GROUP BY 1, 2),
+ab AS (
+  SELECT idx, win, CAST(sum(abs({pcm(t0)})) AS BIGINT) AS abs_sum
+  FROM idxs
+  CROSS JOIN range(0, {n_samples // window}) twin(win)
+  CROSS JOIN range(0, {window}) ttt(tt)
+  GROUP BY 1, 2)
+SELECT concat('aud', lpad(CAST(zc.idx AS VARCHAR), 9, '0')) AS media_id,
+       CAST(zc.win AS BIGINT) AS window_idx, zc.zcr, ab.abs_sum
+FROM zc JOIN ab ON zc.idx = ab.idx AND zc.win = ab.win"""

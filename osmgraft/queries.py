@@ -8764,6 +8764,35 @@ def audio_pitch_lags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_pitch_lags(auds)
 
 
+def _zcr_sql() -> str:
+    from osmgraft.operators.multimodal import sql_audio_zcr_windows
+
+    idx_cte = (
+        "SELECT idx FROM (SELECT row_number() OVER () - 1 AS idx FROM orders) "
+        "WHERE idx < 200"
+    )
+    return sql_audio_zcr_windows(idx_cte)
+
+
+@register("audio_zcr_windows", _zcr_sql())
+def audio_zcr_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing rate + mean magnitude per window (operators/
+    multimodal.audio_zcr_windows, Rabiner & Schafer 1978): the classic
+    voiced/unvoiced VAD feature pair in exact integers — sign convention
+    x ≥ 0 pinned so no tri-state wobble, |x| sums with division left to
+    the consumer.  Real RIFF/PCM16 decode engine-side; the twin counts
+    transitions relationally over the closed-form PCM.  Completes the
+    audio chain: energy → DFT → segments → landmarks → pitch → ZCR.
+    100 TB: map-only."""
+    from osmgraft.operators.multimodal import audio_zcr_windows
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_audio
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 200)
+    auds = ensure_min_parallelism(synth_audio(spark, n))
+    return audio_zcr_windows(auds)
+
+
 def _blockme_sql() -> str:
     from osmgraft.operators.multimodal import sql_video_block_motion
 

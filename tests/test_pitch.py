@@ -60,3 +60,37 @@ def test_constant_signal_smallest_lag(spark):
     got = audio_pitch_lags(_wav_rows(spark, [const])).collect()
     assert all(r["best_lag"] == 20 for r in got)
     assert all(r["r_best"] == 1000 * 1000 * 156 for r in got)
+
+
+# --- audio_zcr_windows -------------------------------------------------------
+def test_zcr_matches_brute_force(spark):
+    from osmgraft.operators.multimodal import audio_zcr_windows
+
+    rng = np.random.default_rng(17)
+    clips = [rng.integers(-32768, 32767, 600), rng.integers(-200, 200, 256)]
+    got = {}
+    for r in audio_zcr_windows(_wav_rows(spark, clips), window=256).collect():
+        got[(r["media_id"], r["window_idx"])] = (r["zcr"], r["abs_sum"])
+    for i, c in enumerate(clips):
+        pcm = c.astype(np.int64)
+        k = len(pcm) // 256
+        for wi in range(k):
+            seg = pcm[wi * 256:(wi + 1) * 256]
+            sgn = seg >= 0
+            want = (int((sgn[1:] != sgn[:-1]).sum()), int(np.abs(seg).sum()))
+            assert got[(f"a{i}", wi)] == want, (i, wi)
+
+
+def test_zcr_extremes(spark):
+    """A pure alternating signal crosses every sample; a constant positive
+    signal never crosses; zero counts as positive (sign convention)."""
+    from osmgraft.operators.multimodal import audio_zcr_windows
+
+    alt = np.tile([1000, -1000], 128)          # 255 crossings
+    const = np.full(256, 42)                   # 0 crossings
+    zero_edge = np.array([0, -1] * 128)        # 0 is positive -> 255 crossings
+    out = {r["media_id"]: (r["zcr"], r["abs_sum"]) for r in audio_zcr_windows(
+        _wav_rows(spark, [alt, const, zero_edge]), window=256).collect()}
+    assert out["a0"] == (255, 256000)
+    assert out["a1"] == (0, 42 * 256)
+    assert out["a2"] == (255, 128)
