@@ -1395,3 +1395,133 @@ SELECT digit, o, n_tot, CAST(exp_ppm AS BIGINT) AS exp_ppm,
                                          * (1000000 - exp_ppm) THEN 'under'
             ELSE 'ok' END AS conformity
 FROM bf"""
+
+
+# ln(40) = ln(2/0.05), the Pettitt p<=0.05 threshold constant, pinned as an
+# exact rational approximation (published transcendental, fixed here so the
+# significance class is pure integer arithmetic)
+_PETTITT_LN40_PPM = 3_688_879
+
+
+def pettitt(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str = "day",
+    val_col: str = "cnt",
+) -> DataFrame:
+    """Pettitt change-point test per key group (Pettitt 1979 — the
+    rank-based single change-point locator): over the group's observations
+    ordered by ``order_col``, U_r = Σ_{i≤r<j} sign(v_j − v_i) for every
+    split after rank r; K = max_r |U_r| locates the most probable change
+    point, and the published approximation p ≈ 2·exp(−6K²/(n³+n²)) crosses
+    0.05 exactly when 6·10⁶·K² ≥ ln(40)·10⁶·(n³+n²) with ln(40) pinned as
+    the exact rational 3688879/10⁶ — all integer arithmetic, no exp.
+
+    Completes the trend family: Mann–Kendall answers WHETHER the series
+    trends, Theil–Sen HOW FAST, CUSUM flags bursts, Pettitt locates WHEN
+    the level shifted.  Emits (keys…, n_obs, k_stat, u_signed, t_star,
+    change_class): t_star = the ``order_col`` value of the LAST
+    observation before the split (smallest rank on ties), class
+    'change'/'stable', groups with < 2 observations omitted.
+
+    100 TB shape: the pair explosion runs on the per-(key, tick) AGGREGATE
+    (≤435 pairs/key at 30 ticks), each pair exploding to its ≤29 covered
+    splits — O(ticks³) per key worst case, bounded by the tick count,
+    never data volume; one keys-shuffle, zero IEEE."""
+    w = Window.partitionBy(*keys).orderBy("_t")
+    obs = df.select(
+        *keys, F.col(order_col).alias("_t"), F.col(val_col).alias("_v")
+    ).withColumn("_r", F.row_number().over(w))
+    right = obs.select(
+        *keys,
+        F.col("_r").alias("_r2"),
+        F.col("_v").alias("_v2"),
+    )
+    sgn = (
+        F.when(F.col("_v2") > F.col("_v"), 1)
+        .when(F.col("_v2") < F.col("_v"), -1)
+        .otherwise(0)
+    )
+    contrib = (
+        obs.join(right, keys)
+        .filter(F.col("_r") < F.col("_r2"))
+        .select(
+            *keys,
+            F.explode(F.sequence(F.col("_r"), F.col("_r2") - 1)).alias("_split"),
+            sgn.alias("_s"),
+        )
+    )
+    u = contrib.groupBy(*keys, "_split").agg(F.sum("_s").cast("long").alias("_u"))
+    # packed argmax: largest |U| first, smallest split rank on ties
+    key = F.abs(F.col("_u")) * F.lit(1 << 32) + (F.lit(1 << 31) - F.col("_split"))
+    best = u.groupBy(*keys).agg(F.max(key).alias("_k"))
+    picked = (
+        best.select(
+            *keys,
+            (F.lit(1 << 31) - F.col("_k") % F.lit(1 << 32)).alias("_split"),
+            F.expr(f"_k div {1 << 32}").alias("k_stat"),
+        )
+        .join(u, [*keys, "_split"])
+        .join(obs.select(*keys, F.col("_r").alias("_split"), "_t"), [*keys, "_split"])
+    )
+    n = obs.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    j = n.join(picked, keys)
+    sig = (
+        F.lit(6_000_000) * F.col("k_stat") * F.col("k_stat")
+        >= F.lit(_PETTITT_LN40_PPM)
+        * (
+            F.col("n_obs") * F.col("n_obs") * F.col("n_obs")
+            + F.col("n_obs") * F.col("n_obs")
+        )
+    )
+    return j.select(
+        *keys,
+        "n_obs",
+        "k_stat",
+        F.col("_u").alias("u_signed"),
+        F.col("_t").alias("t_star"),
+        F.when(sig, "change").otherwise("stable").alias("change_class"),
+    )
+
+
+def sql_pettitt(
+    counts_cte: str,
+    keys: list[str],
+    order_col: str = "day",
+    val_col: str = "cnt",
+) -> str:
+    """DuckDB twin of :func:`pettitt` — same ranks, split explosion,
+    packed argmax and pinned-rational significance."""
+    ks = ", ".join(keys)
+    on = " AND ".join(f"a.{k} = b.{k}" for k in keys)
+    aks = ", ".join(f"a.{k}" for k in keys)
+    return f"""counts AS ({counts_cte}),
+pt_obs AS (
+  SELECT {ks}, {order_col} AS t, {val_col} AS v,
+         row_number() OVER (PARTITION BY {ks} ORDER BY {order_col}) AS r
+  FROM counts),
+pt_contrib AS (
+  SELECT {aks}, s.split,
+         CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sg
+  FROM pt_obs a JOIN pt_obs b ON {on} AND a.r < b.r
+  CROSS JOIN LATERAL (SELECT unnest(range(a.r, b.r)) AS split) s),
+pt_u AS (
+  SELECT {ks}, split, CAST(sum(sg) AS BIGINT) AS u
+  FROM pt_contrib GROUP BY {ks}, split),
+pt_best AS (
+  SELECT {ks}, max(abs(u) * {1 << 32} + ({1 << 31} - split)) AS k
+  FROM pt_u GROUP BY {ks}),
+pt_pick AS (
+  SELECT {ks}, {1 << 31} - k % {1 << 32} AS split, k // {1 << 32} AS k_stat
+  FROM pt_best),
+pt_n AS (SELECT {ks}, CAST(count(*) AS BIGINT) AS n_obs FROM pt_obs GROUP BY {ks}),
+pt AS (
+  SELECT n.*, p.k_stat, u.u AS u_signed, o.t AS t_star,
+         CASE WHEN 6000000 * p.k_stat * p.k_stat
+                   >= {_PETTITT_LN40_PPM}
+                      * (n.n_obs * n.n_obs * n.n_obs + n.n_obs * n.n_obs)
+              THEN 'change' ELSE 'stable' END AS change_class
+  FROM pt_n n
+  JOIN pt_pick p USING ({ks})
+  JOIN pt_u u ON {" AND ".join(f"u.{k} = n.{k}" for k in keys)} AND u.split = p.split
+  JOIN pt_obs o ON {" AND ".join(f"o.{k} = n.{k}" for k in keys)} AND o.r = p.split)"""

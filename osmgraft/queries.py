@@ -7930,6 +7930,48 @@ def tile_decayed_top100_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_tile_counts(pts)
 
 
+def _sql_pettitt_q() -> str:
+    from osmgraft.operators.stats import sql_pettitt
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("event_id")
+    counts = f"""SELECT {tiles.sql_tile_x(f'({lon})', 5)} AS tx,
+         {tiles.sql_tile_y(f'({lat})', 5)} AS ty,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2, 3"""
+    return "WITH " + sql_pettitt(counts, ["tx", "ty"]) + "\nSELECT * FROM pt"
+
+
+@register("tile_pettitt_z5", _sql_pettitt_q())
+def tile_pettitt_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt change-point locator per z5 tile (operators/stats.pettitt,
+    Pettitt 1979) over the same tile-day rollup as tile_trend_mk_z5 —
+    completing the trend family: MK says WHETHER a tile trends, Theil–Sen
+    HOW FAST, CUSUM flags bursts, Pettitt locates WHEN the level shifted.
+    Rank-based U_r split statistics, packed-integer argmax (largest |U|,
+    smallest split), and a significance class whose ln(40) threshold is
+    pinned as an exact rational — zero IEEE anywhere.
+
+    100 TB: pair/split explosion on the per-tile-day AGGREGATE (≤435
+    pairs × ≤29 splits per tile), never raw events."""
+    from osmgraft.operators.stats import pettitt
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+
+    ev = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    lat, lon = latlon_of_key(F.col("event_id"))
+    counts = (
+        ev.select(
+            tiles.tile_x(lon, 5).alias("tx"),
+            tiles.tile_y(lat, 5).alias("ty"),
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        )
+        .groupBy("tx", "ty", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return pettitt(counts, ["tx", "ty"])
+
+
 def _sql_kendall() -> str:
     from osmgraft.operators.stats import sql_kendall_tau
     from osmgraft.synth import sql_latlon_of_key

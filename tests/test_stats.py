@@ -836,3 +836,61 @@ def test_benford_excludes_nonpositive_and_sums(spark):
     out = benford_deviation(df, "v").collect()
     assert sum(r["o"] for r in out) == 5
     assert all(r["n_tot"] == 5 for r in out)
+
+
+def _pettitt_ref(series):
+    """Textbook Pettitt: U_r over ordered values, max |U|, smallest split."""
+    vals = [v for _, v in sorted(series)]
+    ts = [t for t, _ in sorted(series)]
+    n = len(vals)
+    best = None
+    for r in range(1, n):
+        u = sum(
+            (vals[j] > vals[i]) - (vals[j] < vals[i])
+            for i in range(r)
+            for j in range(r, n)
+        )
+        cand = (abs(u), -r)
+        if best is None or cand > best:
+            best, bu = cand, u
+    k, r = best[0], -best[1]
+    sig = 6_000_000 * k * k >= 3_688_879 * (n**3 + n**2)
+    return (n, k, bu, ts[r - 1], "change" if sig else "stable")
+
+
+def test_pettitt_matches_reference(spark):
+    from osmgraft.operators.stats import pettitt
+
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    rows, refs = [], {}
+    for g in range(1, 7):
+        n = 8 + g * 3
+        shift_at = n // 2
+        series = [
+            (t, int(rng.integers(0, 10)) + (40 if g % 2 and t >= shift_at else 0))
+            for t in range(n)
+        ]
+        rows += [(g, t, v) for t, v in series]
+        refs[g] = _pettitt_ref(series)
+    df = spark.createDataFrame(rows, "g long, day long, cnt long")
+    got = {
+        r["g"]: (r["n_obs"], r["k_stat"], r["u_signed"], r["t_star"], r["change_class"])
+        for r in pettitt(df, ["g"]).collect()
+    }
+    for g, want in refs.items():
+        assert got[g] == want, (g, got[g], want)
+    # odd groups carry a planted level shift -> must be flagged
+    assert all(got[g][4] == "change" for g in (1, 3, 5))
+    assert all(got[g][4] == "stable" for g in (2, 4, 6))
+
+
+def test_pettitt_locates_the_shift(spark):
+    """A clean level shift puts t_star exactly at the last low day."""
+    from osmgraft.operators.stats import pettitt
+
+    rows = [(1, t, 5) for t in range(10)] + [(1, t, 50) for t in range(10, 20)]
+    df = spark.createDataFrame(rows, "g long, day long, cnt long")
+    (r,) = pettitt(df, ["g"]).collect()
+    assert r["t_star"] == 9 and r["k_stat"] == 100 and r["change_class"] == "change"
