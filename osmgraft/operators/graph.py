@@ -502,3 +502,81 @@ def sql_kcore(edges_sql: str, k: int, rounds: int) -> str:
 SELECT src AS node_id, count(*) AS degree
 FROM e{rounds} GROUP BY src HAVING count(*) >= {k}"""
     )
+
+
+def hits(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg JACM 1999) over a directed edge
+    list (src, dst) — PageRank's mutual-reinforcement sibling — run
+    DIVISION-FREE: the per-round L2 normalization only rescales, so a
+    FIXED ``rounds``-round run carries the UNNORMALIZED integer iterates
+        a_{t+1}(v) = Σ_{(u,v)∈E} h_t(u),   h_{t+1}(u) = Σ_{(u,v)∈E} a_{t+1}(v)
+    from h_0 = 1 — exact int64 (growth ≤ (d_max²)^rounds; at the default
+    2 rounds and degrees ≤ 10⁴ the scores stay < 10¹⁶), bitwise at any
+    parallelism, and the RANKING equals normalized HITS exactly.
+
+    Emits (node_id, hub_score, auth_score) for every node appearing in the
+    edge list (absent side = 0).  Per round: two dst/src-keyed
+    aggregate-joins — the Pregel shape; one partitioning serves both.
+
+    100 TB: bounded rounds of equi-join + map-side-combinable sums; no
+    driver loop, no floats, no collect."""
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .unionByName(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    h = nodes.select("node_id", F.lit(1).cast("long").alias("h"))
+    a = None
+    for _ in range(rounds):
+        a = (
+            e.join(h, e.src == h.node_id)
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+        )
+        h = (
+            e.join(a, "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+            .withColumnRenamed("src", "node_id")
+        )
+    return (
+        nodes.join(h, "node_id", "left")
+        .join(a.withColumnRenamed("dst", "node_id"), "node_id", "left")
+        .select(
+            "node_id",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub_score"),
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth_score"),
+        )
+    )
+
+
+def sql_hits(edges_sql: str, rounds: int = 2) -> str:
+    """DuckDB twin of :func:`hits` — the same recurrence unrolled into
+    chained CTEs."""
+    parts = [
+        f"h_edges AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "h_nodes AS (SELECT DISTINCT src AS node_id FROM h_edges"
+        " UNION SELECT DISTINCT dst FROM h_edges)",
+        "h0 AS (SELECT node_id, CAST(1 AS BIGINT) AS h FROM h_nodes)",
+    ]
+    for t in range(rounds):
+        parts.append(
+            f"""a{t + 1} AS (
+  SELECT e.dst, CAST(sum(h.h) AS BIGINT) AS a
+  FROM h_edges e JOIN h{t} h ON e.src = h.node_id GROUP BY e.dst),
+h{t + 1} AS (
+  SELECT e.src AS node_id, CAST(sum(a.a) AS BIGINT) AS h
+  FROM h_edges e JOIN a{t + 1} a ON e.dst = a.dst GROUP BY e.src)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT n.node_id,
+       COALESCE(h.h, 0) AS hub_score,
+       COALESCE(a.a, 0) AS auth_score
+FROM h_nodes n
+LEFT JOIN h{rounds} h ON h.node_id = n.node_id
+LEFT JOIN a{rounds} a ON a.dst = n.node_id"""
+    )

@@ -1681,6 +1681,38 @@ def _sql_pagerank_roads() -> str:
     return sql_pagerank(_ROAD_EDGES_SQL, iters=4)
 
 
+def _sql_hits_q() -> str:
+    from osmgraft.operators.graph import sql_hits
+
+    return sql_hits(
+        "SELECT concat('u', CAST(user_id AS VARCHAR)) AS src,"
+        " concat('t:', event_type) AS dst FROM events"
+    )
+
+
+@register("hits_user_types", _sql_hits_q())
+def hits_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators/graph.hits, Kleinberg JACM 1999)
+    over the directed user → event-type graph: hub users touch many
+    authoritative types, authoritative types attract hubby users — the
+    mutual-reinforcement sibling of pagerank_roads, run DIVISION-FREE
+    (unnormalized integer iterates; normalization only rescales, so the
+    ranking is exact HITS).  Fixed 2 rounds, hash-gated against the same
+    recurrence unrolled as chained CTEs.
+
+    100 TB: per round two equi-join + map-side-combinable sums (Pregel
+    shape), no floats, no driver loop."""
+    from osmgraft.operators.graph import hits
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    ev = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    edges = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    )
+    return hits(edges)
+
+
 @register("pagerank_roads", _sql_pagerank_roads())
 def pagerank_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the synthetic road network (ways → consecutive-node

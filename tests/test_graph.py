@@ -135,3 +135,48 @@ def test_kcore_whole_graph_below_k_empty(spark):
 
     edges = _undirected(spark, [(1, 2), (2, 3), (3, 1)])  # triangle, deg 2
     assert kcore(edges, k=3, rounds=4).count() == 0
+
+
+# --- HITS hubs & authorities -------------------------------------------------
+def _hits_ref(edges, rounds=2):
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    es = set(edges)
+    h = {n: 1 for n in nodes}
+    a = {}
+    for _ in range(rounds):
+        a = {n: 0 for n in nodes}
+        for u, v in es:
+            a[v] += h.get(u, 0)
+        h = {n: 0 for n in nodes}
+        for u, v in es:
+            h[u] += a[v]
+    return {n: (h.get(n, 0), a.get(n, 0)) for n in nodes}
+
+
+def test_hits_matches_reference(spark):
+    from osmgraft.operators.graph import hits
+
+    edges = [
+        ("u1", "p1"), ("u1", "p2"), ("u1", "p3"),
+        ("u2", "p1"), ("u2", "p2"),
+        ("u3", "p3"), ("u3", "u1"),       # non-bipartite edge
+        ("p1", "p2"),                      # page linking a page
+        ("u1", "p1"),                      # duplicate must not double-count
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node_id"]: (r["hub_score"], r["auth_score"])
+           for r in hits(df).collect()}
+    assert got == _hits_ref(edges)
+
+
+def test_hits_star_graph_ranking(spark):
+    """A star u* -> {p1..p5} plus singles: the star center is the top hub,
+    every pi beats q (pointed at by a weaker hub)."""
+    from osmgraft.operators.graph import hits
+
+    edges = [("star", f"p{i}") for i in range(5)] + [("w", "q"), ("w", "p0")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node_id"]: r for r in hits(df).collect()}
+    assert got["star"]["hub_score"] > got["w"]["hub_score"]
+    assert got["p0"]["auth_score"] > got["q"]["auth_score"]
+    assert got["q"]["hub_score"] == 0  # sink: no out-edges
