@@ -166,7 +166,20 @@ def main() -> None:
                  "way_area_centroid", "image_harris_corner", "audio_active_segments", "trend_events_daily", "pip_inner_intexact", "track_tile_path_z12", "image_ssim_pairs", "embedding_jl_project", "tile_counts_incremental_z9", "user_active_coverage", "video_temporal_sig", "boundary_density", "tile_skew_gini_z9", "salt_plan_cells", "stream_tile_counts_incremental_z9", "pii_luhn_cards", "way_area_geodesic", "trailing_events_1h", "pivot_type_by_user", "unpivot_type_counts", "ntile_event_values", "dedup_containment",
                  "tile_trend_mk_z5", "wkt_roundtrip_boundaries",
                  "terrain_rgb_roundtrip_z10_7", "audio_fingerprint_neardup",
-                 "ring_validity_orders", "gpx_roundtrip_tracks", "route_assembly"]:
+                 "ring_validity_orders", "gpx_roundtrip_tracks", "route_assembly",
+                 "frechet_pairs_tracks", "dtw_pairs_tracks", "getis_ord_hot_z8",
+                 "image_bilinear_up2x", "image_canny_nms",
+                 "triangulate_customer_rings", "tile_theil_sen_z5",
+                 "image_central_moments", "tile_decayed_top100_z8",
+                 "str_pack_leaves_cap256", "str_prune_stats", "variogram_z8",
+                 "image_haar_energies", "video_block_motion", "audio_pitch_lags",
+                 "image_fast9_corners", "tile_simpson_diversity_z6",
+                 "kmeans_exact_k6_r3", "bloom_semijoin_stats",
+                 "hll_distinct_users_z6", "ripley_k_pairs", "knox_space_time",
+                 "tile_kendall_tau_z5", "ams_f2_users_z6", "lang_source_assoc",
+                 "dedup_lcs_pairs", "image_lbp_uniform", "image_dither_bayer",
+                 "benford_prices", "audio_zcr_windows", "tile_pettitt_z5",
+                 "tile_dispersion_z6", "hits_user_types"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -144,3 +144,89 @@ SELECT {keys}, {state_col},
   epoch_us({ts_col}) AS vf_us,
   lead(epoch_us({ts_col})) OVER (PARTITION BY {keys} ORDER BY {order}) AS vt_us
 FROM starts"""
+
+
+# --- Allen interval algebra --------------------------------------------------
+# The 13 relations (Allen CACM 1983), from A's perspective, as mutually
+# exclusive exact comparisons on closed integer intervals [s, e], s <= e.
+_ALLEN = [
+    ("precedes", "ea < sb"),
+    ("meets", "ea = sb AND sa < sb"),
+    ("overlaps", "sa < sb AND sb < ea AND ea < eb"),
+    ("finished_by", "sa < sb AND ea = eb"),
+    ("contains", "sa < sb AND eb < ea"),
+    ("starts", "sa = sb AND ea < eb"),
+    ("equals", "sa = sb AND ea = eb"),
+    ("started_by", "sa = sb AND eb < ea"),
+    ("during", "sb < sa AND ea < eb"),
+    ("finishes", "sb < sa AND ea = eb"),
+    ("overlapped_by", "sb < sa AND sa < eb AND eb < ea"),
+    ("met_by", "eb = sa AND sb < sa"),
+    ("preceded_by", "eb < sa"),
+]
+
+
+def allen_relations(
+    intervals: DataFrame,
+    keys: list[str],
+    id_col: str,
+    s_col: str,
+    e_col: str,
+) -> DataFrame:
+    """Allen interval-algebra classification (Allen CACM 1983 — the 13
+    qualitative temporal relations every temporal-reasoning system builds
+    on) between every unordered pair of intervals sharing ``keys``: emits
+    (keys…, id_a, id_b, relation) with relation ∈ {precedes, meets,
+    overlaps, finished_by, contains, starts, equals, started_by, during,
+    finishes, overlapped_by, met_by, preceded_by} from id_a's perspective
+    (id_a < id_b).  The 13 conditions partition every configuration of two
+    closed integer intervals — mutually exclusive and exhaustive by
+    construction — so the class is exact, no epsilon, no floats.  One rule
+    text, both engines.
+
+    For PROPER intervals (s < e) the 13 conditions partition every
+    configuration — mutually exclusive and exhaustive.  Degenerate (point)
+    intervals can satisfy two conditions (a point at another interval's
+    endpoint is both 'finishes' and 'met_by'); the FIRST match in the
+    fixed order above is the pinned tie rule — one rule text, both
+    engines, so the class stays deterministic there too.
+
+    100 TB: within-key self-join — pair cost bounded by intervals per key,
+    never global n²; the classification is a codegen CASE cascade."""
+    a = intervals.select(
+        *keys,
+        F.col(id_col).alias("id_a"),
+        F.col(s_col).alias("sa"),
+        F.col(e_col).alias("ea"),
+    )
+    b = intervals.select(
+        *keys,
+        F.col(id_col).alias("id_b"),
+        F.col(s_col).alias("sb"),
+        F.col(e_col).alias("eb"),
+    )
+    pairs = a.join(b, keys).filter(F.col("id_a") < F.col("id_b"))
+    rel = F.expr(
+        "CASE "
+        + " ".join(f"WHEN {cond} THEN '{name}'" for name, cond in _ALLEN)
+        + " END"
+    )
+    return pairs.select(*keys, "id_a", "id_b", rel.alias("relation"))
+
+
+def sql_allen_relations(
+    intervals_cte: str, keys: list[str], id_col: str, s_col: str, e_col: str
+) -> str:
+    """DuckDB twin of :func:`allen_relations` — the identical CASE text."""
+    ks = ", ".join(f"a.{k}" for k in keys)
+    on = " AND ".join(f"a.{k} = b.{k}" for k in keys)
+    case = "CASE " + " ".join(
+        f"WHEN {cond} THEN '{name}'" for name, cond in _ALLEN
+    ) + " END"
+    return f"""WITH al_iv AS ({intervals_cte}),
+al_pairs AS (
+  SELECT {ks}, a.{id_col} AS id_a, b.{id_col} AS id_b,
+         a.{s_col} AS sa, a.{e_col} AS ea, b.{s_col} AS sb, b.{e_col} AS eb
+  FROM al_iv a JOIN al_iv b ON {on} AND a.{id_col} < b.{id_col})
+SELECT {", ".join(keys)}, id_a, id_b, {case} AS relation
+FROM al_pairs"""

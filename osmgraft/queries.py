@@ -4373,6 +4373,41 @@ def ams_f2_users_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ams_f2(rows, ["tx", "ty"], "user_id")
 
 
+def _allen_oracle() -> str:
+    from osmgraft.operators.asof import sql_allen_relations
+
+    iv = """SELECT user_id, event_type,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS s,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS e
+  FROM events GROUP BY 1, 2"""
+    return sql_allen_relations(iv, ["user_id"], "event_type", "s", "e")
+
+
+@register("allen_user_type_intervals", _allen_oracle())
+def allen_user_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval-algebra classification (operators/asof.
+    allen_relations, Allen CACM 1983) between each user's per-event-type
+    activity spans [first ts, last ts]: every unordered type pair labeled
+    with one of the 13 qualitative temporal relations (precedes … equals
+    … preceded_by) by exact integer comparisons — the temporal-reasoning
+    vocabulary overlap/containment queries reduce to, as data.  The
+    interval-SEMANTICS companion to asof_user_state (which joins) and
+    user_active_coverage (which measures).  Point-interval ties resolved
+    by the pinned first-match order — one CASE text, both engines.
+
+    100 TB: within-user self-join on the per-(user, type) AGGREGATE
+    (≤C(types,2) pairs per user), codegen CASE, no floats."""
+    from osmgraft.operators.asof import allen_relations
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    ev = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    iv = ev.groupBy("user_id", "event_type").agg(
+        F.floor(F.unix_timestamp(F.min("ts"))).cast("long").alias("s"),
+        F.floor(F.unix_timestamp(F.max("ts"))).cast("long").alias("e"),
+    )
+    return allen_relations(iv, ["user_id"], "event_type", "s", "e")
+
+
 def _dispersion_oracle() -> str:
     from osmgraft.operators.pointpat import sql_dispersion_ellipse
 

@@ -154,3 +154,61 @@ def test_scd2_single_exchange(spark):
     df = REGISTRY["scd2_user_state"][0](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# --- Allen interval relations ------------------------------------------------
+def test_allen_all_13_relations(spark):
+    """One hand fixture per relation, from A's (lexicographically smaller
+    id's) perspective."""
+    from osmgraft.operators.asof import allen_relations
+
+    cases = {
+        "precedes": ((0, 2), (5, 9)),
+        "meets": ((0, 5), (5, 9)),
+        "overlaps": ((0, 6), (5, 9)),
+        "finished_by": ((0, 9), (5, 9)),
+        "contains": ((0, 10), (5, 9)),
+        "starts": ((5, 7), (5, 9)),
+        "equals": ((5, 9), (5, 9)),
+        "started_by": ((5, 12), (5, 9)),
+        "during": ((6, 8), (5, 9)),
+        "finishes": ((7, 9), (5, 9)),
+        "overlapped_by": ((7, 12), (5, 9)),
+        "met_by": ((9, 12), (5, 9)),
+        "preceded_by": ((11, 12), (5, 9)),
+    }
+    rows = []
+    for g, (rel, ((sa, ea), (sb, eb))) in enumerate(cases.items()):
+        rows += [(g, "a", sa, ea), (g, "b", sb, eb)]
+    df = spark.createDataFrame(rows, "g long, iid string, s long, e long")
+    got = {r["g"]: r["relation"]
+           for r in allen_relations(df, ["g"], "iid", "s", "e").collect()}
+    for g, rel in enumerate(cases):
+        assert got[g] == rel, (g, rel, got[g])
+
+
+def test_allen_inverse_symmetry_and_points(spark):
+    """Swapping ids maps each relation to its inverse; the degenerate
+    point-at-endpoint case resolves by the pinned first-match order."""
+    from osmgraft.operators.asof import allen_relations
+
+    inv = {"precedes": "preceded_by", "meets": "met_by",
+           "overlaps": "overlapped_by", "finished_by": "finishes",
+           "contains": "during", "starts": "started_by", "equals": "equals"}
+    rows = []
+    for g, (sa, ea, sb, eb) in enumerate(
+        [(0, 2, 5, 9), (0, 5, 5, 9), (0, 6, 5, 9), (0, 9, 5, 9),
+         (0, 10, 5, 9), (5, 7, 5, 9), (5, 9, 5, 9)]
+    ):
+        rows += [(g, "a", sa, ea), (g, "b", sb, eb)]
+        rows += [(g + 100, "a", sb, eb), (g + 100, "b", sa, ea)]
+    df = spark.createDataFrame(rows, "g long, iid string, s long, e long")
+    got = {r["g"]: r["relation"]
+           for r in allen_relations(df, ["g"], "iid", "s", "e").collect()}
+    for g, rel in enumerate(inv):
+        assert got[g] == rel and got[g + 100] == inv[rel], (g, rel)
+    # point at B's end: 'finishes' wins over 'met_by' by fixed order
+    pt = spark.createDataFrame(
+        [(1, "a", 5, 5), (1, "b", 2, 5)], "g long, iid string, s long, e long"
+    )
+    assert allen_relations(pt, ["g"], "iid", "s", "e").collect()[0]["relation"] == "finishes"
