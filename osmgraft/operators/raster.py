@@ -773,3 +773,109 @@ def terrain_rgb_stats(tiles_df: DataFrame) -> DataFrame:
     return tiles_df.mapInPandas(
         stats, schema="z long, tx long, ty long, sum_elev long, n_cells long"
     )
+
+
+def terrain_viewshed(tiles_df: DataFrame) -> DataFrame:
+    """Row viewshed over Terrain-RGB DEM tiles — the classic line-of-sight
+    raster analysis (Fisher 1993 lineage; GRASS r.viewshed's 1-D core) in
+    EXACT integers: per tile row, a viewer at the west edge cell (x = 0,
+    eye at ground elevation z0 = elev[y, 0]) sees cell x ≥ 1 iff its
+    elevation angle strictly exceeds every intervening cell's:
+
+        visible(x) ⟺ ∀ 1 ≤ x' < x:  (z[x] − z0)·x' > (z[x'] − z0)·x
+
+    — the slope comparison cross-multiplied (positive denominators), so
+    no division, no IEEE, no epsilon.  Emits per tile (z, tx, ty,
+    n_visible, chk_visible) with the positional checksum
+    Σ_visible (y·131 + x·137 + 1) pinning the exact visible SET.
+
+    The DEM arrives as REAL png tiles (the terrain_rgb_tiles encoder), so
+    the full deflate→inflate→unpack path is under the gate; the DuckDB
+    twin rebuilds the grid relationally from the cell counts and evaluates
+    the same quantified inequality with NOT EXISTS — decode and
+    line-of-sight algebra on one hash.  Map-only vectorized kernel
+    (O(w²) comparisons per row as one masked matrix op)."""
+    import numpy as np
+    import pandas as pd
+
+    from osmgraft.functions.codec import png_decode
+
+    def kernel(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            nv, chk = [], []
+            for b in pdf["png"]:
+                px = png_decode(bytes(b)).astype(np.int64)
+                v = (px[..., 0] << 16) | (px[..., 1] << 8) | px[..., 2]
+                elev = v // 10 - 10_000
+                h, w = elev.shape
+                z0 = elev[:, :1]                      # (h, 1) viewer per row
+                dz = elev - z0                        # (h, w)
+                x = np.arange(w, dtype=np.int64)
+                # cmp[y, x, x'] = dz[y,x]*x' > dz[y,x']*x  for x' in [1, x)
+                lhs = dz[:, :, None] * x[None, None, :]
+                rhs = dz[:, None, :] * x[None, :, None]
+                ok = lhs > rhs
+                mask = (x[None, :] < x[:, None]) & (x[None, :] >= 1)  # (x, x')
+                vis = np.logical_and.reduce(ok | ~mask[None, :, :], axis=2)
+                vis[:, 0] = False                     # the viewer itself
+                wgt = (
+                    np.arange(h, dtype=np.int64)[:, None] * 131
+                    + x[None, :] * 137
+                    + 1
+                )
+                nv.append(int(vis.sum()))
+                chk.append(int((vis * wgt).sum()))
+            yield pd.DataFrame(
+                {
+                    "z": pdf["z"].astype("int64"),
+                    "tx": pdf["tx"].astype("int64"),
+                    "ty": pdf["ty"].astype("int64"),
+                    "n_visible": pd.Series(nv, dtype="int64"),
+                    "chk_visible": pd.Series(chk, dtype="int64"),
+                }
+            )
+
+    return tiles_df.mapInPandas(
+        kernel, schema="z long, tx long, ty long, n_visible long, chk_visible long"
+    )
+
+
+def sql_terrain_viewshed(cells_cte: str, z: int, parent_z: int) -> str:
+    """DuckDB twin of :func:`terrain_viewshed` over the raw z-level cell
+    counts (spec-as-oracle — never touches pixels): rebuild each parent
+    tile's grid with sea-level (0) fill, then the same cross-multiplied
+    NOT EXISTS line-of-sight."""
+    shift = z - parent_z
+    grid = 1 << shift
+    return f"""WITH vs_cells AS ({cells_cte}),
+vs_obs AS (
+  SELECT cx >> {shift} AS ptx, cy >> {shift} AS pty,
+         cx - ((cx >> {shift}) << {shift}) AS sx,
+         cy - ((cy >> {shift}) << {shift}) AS sy,
+         cnt AS elev
+  FROM vs_cells),
+vs_tiles AS (SELECT DISTINCT ptx, pty FROM vs_obs),
+vs_grid AS (
+  SELECT t.ptx, t.pty, gy.y, gx.x, COALESCE(o.elev, 0) AS elev
+  FROM vs_tiles t
+  CROSS JOIN range(0, {grid}) gy(y) CROSS JOIN range(0, {grid}) gx(x)
+  LEFT JOIN vs_obs o
+    ON o.ptx = t.ptx AND o.pty = t.pty AND o.sy = gy.y AND o.sx = gx.x),
+vs_z0 AS (SELECT ptx, pty, y, elev AS z0 FROM vs_grid WHERE x = 0),
+vs_vis AS (
+  SELECT g.ptx, g.pty, g.y, g.x
+  FROM vs_grid g JOIN vs_z0 v ON v.ptx = g.ptx AND v.pty = g.pty AND v.y = g.y
+  WHERE g.x >= 1 AND NOT EXISTS (
+    SELECT 1 FROM vs_grid b
+    JOIN vs_z0 v2 ON v2.ptx = b.ptx AND v2.pty = b.pty AND v2.y = b.y
+    WHERE b.ptx = g.ptx AND b.pty = g.pty AND b.y = g.y
+      AND b.x >= 1 AND b.x < g.x
+      AND (g.elev - v.z0) * b.x <= (b.elev - v2.z0) * g.x))
+SELECT {parent_z} AS z, t.ptx AS tx, t.pty AS ty,
+       CAST(COALESCE(s.nv, 0) AS BIGINT) AS n_visible,
+       CAST(COALESCE(s.chk, 0) AS BIGINT) AS chk_visible
+FROM vs_tiles t LEFT JOIN (
+  SELECT ptx, pty, count(*) AS nv, sum(y * 131 + x * 137 + 1) AS chk
+  FROM vs_vis GROUP BY ptx, pty) s ON s.ptx = t.ptx AND s.pty = t.pty"""

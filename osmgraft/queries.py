@@ -8221,6 +8221,40 @@ def terrain_rgb_roundtrip_z10_7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terrain_rgb_stats(terrain_rgb_tiles(cells, z=10, parent_z=7))
 
 
+def _viewshed_oracle() -> str:
+    from osmgraft.operators.raster import sql_terrain_viewshed
+
+    return (
+        f"WITH pts AS ({_PTS}), vs_in AS ({_sql_cells(10)})\n"
+        + sql_terrain_viewshed("SELECT * FROM vs_in", z=10, parent_z=7).replace(
+            "WITH vs_cells", ", vs_cells", 1
+        )
+    )
+
+
+@register("terrain_viewshed_z10_7", _viewshed_oracle())
+def terrain_viewshed_z10_7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row viewshed over Terrain-RGB DEM tiles (operators/raster.
+    terrain_viewshed, the classic line-of-sight raster analysis): west-
+    edge viewer per row, cell visible iff its elevation angle strictly
+    beats every intervening cell's — the slope comparison CROSS-MULTIPLIED
+    so no division/IEEE/epsilon anywhere; per tile the visible count plus
+    a positional checksum pinning the exact visible set.  The DEM rides
+    the REAL png codec (encode→deflate→inflate→unpack under the gate);
+    the twin rebuilds the grid relationally from raw cell counts and
+    evaluates the same quantified inequality with NOT EXISTS — two
+    representations, one hash.
+
+    100 TB: one bounded-group shuffle to form tiles + two map-only
+    kernels; O(w²) comparisons per row as a masked matrix op."""
+    from osmgraft.operators.raster import terrain_rgb_tiles, terrain_viewshed
+
+    cells = _cells_df(spark, sf_dir, 10).select(
+        F.col("cx").alias("tx"), F.col("cy").alias("ty"), "cnt"
+    )
+    return terrain_viewshed(terrain_rgb_tiles(cells, z=10, parent_z=7))
+
+
 # --- audio landmark-fingerprint near-dup -------------------------------------------
 @register(
     "audio_fingerprint_neardup",

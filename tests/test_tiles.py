@@ -390,3 +390,80 @@ def test_terrain_rgb_pack_unpack_negative_and_zero(spark):
     # sum includes the -10000; n_cells counts non-sea-level cells only
     assert out["sum_elev"] == -10_000 + 0 + 250 + 8_848
     assert out["n_cells"] == 3
+
+
+# --- terrain viewshed --------------------------------------------------------
+def _viewshed_ref(elev):
+    """Quadratic Fraction reference for the west-edge row viewshed."""
+    from fractions import Fraction
+
+    h, w = elev.shape
+    vis = set()
+    for y in range(h):
+        z0 = elev[y][0]
+        best = None
+        for x in range(1, w):
+            ang = Fraction(int(elev[y][x]) - int(z0), x)
+            if best is None or ang > best:
+                vis.add((y, x))
+            best = ang if best is None else max(best, ang)
+    return vis
+
+
+def test_viewshed_matches_fraction_reference(spark):
+    import numpy as np
+
+    from osmgraft.operators.raster import terrain_rgb_tiles, terrain_viewshed
+
+    rng = np.random.default_rng(31)
+    rows = [
+        (int(tx) * 8 + int(sx), int(ty) * 8 + int(sy), int(e))
+        for tx, ty in [(0, 0), (3, 5)]
+        for sx, sy, e in zip(
+            rng.integers(0, 8, 40), rng.integers(0, 8, 40), rng.integers(0, 900, 40)
+        )
+    ]
+    # dedupe (sx, sy) collisions keeping the last like the raster assign
+    seen = {}
+    for tx, ty, e in rows:
+        seen[(tx, ty)] = e
+    rows = [(tx, ty, e) for (tx, ty), e in seen.items()]
+    df = spark.createDataFrame(rows, "tx long, ty long, cnt long")
+    out = {
+        (r["tx"], r["ty"]): (r["n_visible"], r["chk_visible"])
+        for r in terrain_viewshed(terrain_rgb_tiles(df, z=10, parent_z=7)).collect()
+    }
+    import collections
+
+    grids = collections.defaultdict(lambda: np.zeros((8, 8), np.int64))
+    for tx, ty, e in rows:
+        grids[(tx >> 3, ty >> 3)][ty % 8, tx % 8] = e
+    for key, g in grids.items():
+        vis = _viewshed_ref(g)
+        want = (len(vis), sum(y * 131 + x * 137 + 1 for y, x in vis))
+        assert out[key] == want, key
+
+
+def test_viewshed_monotone_ridge_blocks(spark):
+    """A single tall ridge at x=2 hides everything behind it that is not
+    taller; a monotone upward slope is fully visible."""
+    import numpy as np
+
+    from osmgraft.operators.raster import terrain_rgb_tiles, terrain_viewshed
+
+    g = np.zeros((8, 8), np.int64)
+    g[0, :] = [x * x for x in range(8)]       # convex ramp: all 7 visible
+    g[1, :] = [0, 0, 500, 0, 0, 0, 0, 0]      # ridge at x=2 hides x>2
+    rows = [(x, y, int(g[y, x])) for y in range(8) for x in range(8)]
+    df = spark.createDataFrame(rows, "tx long, ty long, cnt long")
+    (r,) = terrain_viewshed(terrain_rgb_tiles(df, z=10, parent_z=7)).collect()
+    vis = _viewshed_ref(g)
+    row0 = {(y, x) for y, x in vis if y == 0}
+    row1 = {(y, x) for y, x in vis if y == 1}
+    # ang(x) = x²/x = x strictly increases -> every cell visible
+    assert row0 == {(0, x) for x in range(1, 8)}
+    # x=1 vacuously visible, the ridge at x=2 visible, everything after
+    # sits below the ridge angle
+    assert row1 == {(1, 1), (1, 2)}
+    # flat rows (all zeros): only x=1 (vacuous); angles tie at 0 after
+    assert r["n_visible"] == len(vis) == 7 + 2 + 6 * 1
