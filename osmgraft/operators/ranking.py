@@ -386,3 +386,139 @@ SELECT {group_cols}, CAST(p_tot AS BIGINT) AS p, CAST(n_tot AS BIGINT) AS n,
        CAST(rank_term - p_tot * (p_tot + 1) AS BIGINT) AS auc_num,
        CAST(2 * p_tot * n_tot AS BIGINT) AS auc_den
 FROM per"""
+
+
+# --- rank aggregation (Borda + Condorcet) ------------------------------------
+def rank_aggregation(
+    counts: DataFrame,
+    keys: list[str],
+    ballot_col: str,
+    cand_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Rank aggregation per key group (Borda 1781; Condorcet 1785; the
+    metasearch/rank-fusion framing of Dwork, Kumar, Naor & Sivakumar WWW
+    2001 — public methods): each ``ballot_col`` value is one BALLOT
+    ranking the candidates it contains by (score desc, candidate asc —
+    the pinned total order, no ties survive), and the group aggregates
+    ballots two classic ways:
+
+      * Borda: candidate earns (ballot size − rank) per ballot; winner =
+        max total, ties to the lexicographically smallest candidate.
+      * Condorcet: A beats B if A wins the strict majority of the ballots
+        where BOTH appear; the Condorcet winner (if any) beats every
+        other candidate the group ever ranked — NULL when the paradox
+        cycle leaves none.
+
+    Emits (keys…, n_ballots, borda_winner, borda_score,
+    condorcet_winner).  Partial ballots (a candidate absent that day)
+    score only where present — the standard truncated-ballot reading,
+    identical in both engines.  All counts/scores exact int64.
+
+    100 TB shape: ranks via one ballot-keyed window over the per-(ballot,
+    candidate) AGGREGATE; the pairwise stage self-joins within ballots
+    (≤ C(candidates,2) rows per ballot — candidate domain, not data,
+    bounds it); winners via group windows.  No floats, no driver loop."""
+    w = Window.partitionBy(*keys, ballot_col).orderBy(
+        F.col(score_col).desc(), F.col(cand_col).asc()
+    )
+    ranked = counts.select(
+        *keys, ballot_col, cand_col, score_col
+    ).withColumn("_rank", F.row_number().over(w)).withColumn(
+        "_m", F.count(F.lit(1)).over(Window.partitionBy(*keys, ballot_col))
+    )
+    borda = (
+        ranked.groupBy(*keys, cand_col)
+        .agg(F.sum(F.col("_m") - F.col("_rank")).cast("long").alias("_score"))
+    )
+    wb = Window.partitionBy(*keys).orderBy(
+        F.col("_score").desc(), F.col(cand_col).asc()
+    )
+    borda_win = (
+        borda.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *keys,
+            F.col(cand_col).alias("borda_winner"),
+            F.col("_score").alias("borda_score"),
+        )
+    )
+    a = ranked.select(*keys, ballot_col, F.col(cand_col).alias("ca"), F.col("_rank").alias("ra"))
+    b = ranked.select(*keys, ballot_col, F.col(cand_col).alias("cb"), F.col("_rank").alias("rb"))
+    pair = (
+        a.join(b, [*keys, ballot_col])
+        .filter(F.col("ca") != F.col("cb"))
+        .groupBy(*keys, "ca", "cb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_both"),
+            F.sum((F.col("ra") < F.col("rb")).cast("long")).alias("_wins"),
+        )
+    )
+    beats = pair.withColumn(
+        "_beat", (F.lit(2) * F.col("_wins") > F.col("_both")).cast("long")
+    )
+    n_cand = counts.select(*keys, cand_col).distinct().groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_nc")
+    )
+    cond = (
+        beats.groupBy(*keys, "ca")
+        .agg(F.sum("_beat").alias("_nbeat"))
+        .join(n_cand, keys)
+        .filter(F.col("_nbeat") == F.col("_nc") - 1)
+        .select(*keys, F.col("ca").alias("condorcet_winner"))
+    )
+    n_ballots = counts.select(*keys, ballot_col).distinct().groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ballots")
+    )
+    return (
+        n_ballots.join(borda_win, keys)
+        .join(cond, keys, "left")
+        .select(*keys, "n_ballots", "borda_winner", "borda_score", "condorcet_winner")
+    )
+
+
+def sql_rank_aggregation(
+    counts_cte: str, keys: list[str], ballot_col: str, cand_col: str, score_col: str
+) -> str:
+    """DuckDB twin of :func:`rank_aggregation` — identical rank order,
+    Borda totals, majority rule and beats-all test."""
+    ks = ", ".join(keys)
+    on = " AND ".join(f"a.{k} = b.{k}" for k in keys)
+    aks = ", ".join(f"a.{k}" for k in keys)
+    return f"""WITH ra_counts AS ({counts_cte}),
+ra_ranked AS (
+  SELECT {ks}, {ballot_col}, {cand_col},
+         row_number() OVER (PARTITION BY {ks}, {ballot_col}
+                            ORDER BY {score_col} DESC, {cand_col} ASC) AS rnk,
+         count(*) OVER (PARTITION BY {ks}, {ballot_col}) AS m
+  FROM ra_counts),
+ra_borda AS (
+  SELECT {ks}, {cand_col}, CAST(sum(m - rnk) AS BIGINT) AS score
+  FROM ra_ranked GROUP BY {ks}, {cand_col}),
+ra_bwin AS (
+  SELECT {ks}, {cand_col} AS borda_winner, score AS borda_score
+  FROM (SELECT *, row_number() OVER (PARTITION BY {ks}
+                  ORDER BY score DESC, {cand_col} ASC) AS rn FROM ra_borda)
+  WHERE rn = 1),
+ra_pair AS (
+  SELECT {aks}, a.{cand_col} AS ca, b.{cand_col} AS cb,
+         count(*) AS both_n,
+         sum(CASE WHEN a.rnk < b.rnk THEN 1 ELSE 0 END) AS wins
+  FROM ra_ranked a JOIN ra_ranked b
+    ON {on} AND a.{ballot_col} = b.{ballot_col}
+   AND a.{cand_col} <> b.{cand_col}
+  GROUP BY {aks}, ca, cb),
+ra_nc AS (SELECT {ks}, count(DISTINCT {cand_col}) AS nc FROM ra_counts GROUP BY {ks}),
+ra_cond AS (
+  SELECT {ks}, ca AS condorcet_winner
+  FROM (SELECT {ks}, ca,
+               sum(CASE WHEN 2 * wins > both_n THEN 1 ELSE 0 END) AS nbeat
+        FROM ra_pair GROUP BY {ks}, ca) p
+  JOIN ra_nc USING ({ks})
+  WHERE p.nbeat = ra_nc.nc - 1),
+ra_nb AS (SELECT {ks}, CAST(count(DISTINCT {ballot_col}) AS BIGINT) AS n_ballots
+          FROM ra_counts GROUP BY {ks})
+SELECT n.*, w.borda_winner, w.borda_score, c.condorcet_winner
+FROM ra_nb n
+JOIN ra_bwin w USING ({ks})
+LEFT JOIN ra_cond c USING ({ks})"""

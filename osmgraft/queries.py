@@ -7997,6 +7997,52 @@ def tile_decayed_top100_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_tile_counts(pts)
 
 
+def _sql_rank_agg() -> str:
+    from osmgraft.operators.ranking import sql_rank_aggregation
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("event_id")
+    counts = f"""SELECT {tiles.sql_tile_x(f'({lon})', 5)} AS tx,
+         {tiles.sql_tile_y(f'({lat})', 5)} AS ty,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2, 3, 4"""
+    return sql_rank_aggregation(counts, ["tx", "ty"], "day", "event_type", "cnt")
+
+
+@register("rank_agg_types_z5", _sql_rank_agg())
+def rank_agg_types_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank aggregation per z5 tile (operators/ranking.rank_aggregation,
+    Borda 1781 / Condorcet 1785 / Dwork et al. WWW 2001 rank fusion):
+    each DAY is a ballot ranking the tile's event types by count (ties
+    broken lexicographically — a pinned total order), aggregated into the
+    Borda winner+score and the Condorcet winner (NULL on a paradox
+    cycle).  The voting-theory reading of "what type dominates this
+    tile": top_event_types counts raw volume; this fuses per-day
+    RANKINGS, robust to one huge burst day.
+
+    100 TB shape: windows and pairwise self-join run on the per-(tile,
+    day, type) AGGREGATE — candidate-domain-bounded, never data-bounded;
+    exact int64 throughout."""
+    from osmgraft.operators.ranking import rank_aggregation
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+
+    ev = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    lat, lon = latlon_of_key(F.col("event_id"))
+    counts = (
+        ev.select(
+            tiles.tile_x(lon, 5).alias("tx"),
+            tiles.tile_y(lat, 5).alias("ty"),
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+            "event_type",
+        )
+        .groupBy("tx", "ty", "day", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return rank_aggregation(counts, ["tx", "ty"], "day", "event_type", "cnt")
+
+
 def _sql_pettitt_q() -> str:
     from osmgraft.operators.stats import sql_pettitt
     from osmgraft.synth import sql_latlon_of_key

@@ -250,3 +250,49 @@ def test_auc_perfect_and_inverted(spark):
     got = {r["grp"]: r for r in auc_exact(df, ["grp"]).collect()}
     assert got["x"]["auc_num"] == got["x"]["auc_den"]  # AUC 1
     assert got["y"]["auc_num"] == 0  # AUC 0
+
+
+# --- rank aggregation (Borda + Condorcet) ------------------------------------
+def test_rank_agg_textbook_condorcet_paradox(spark):
+    """The canonical 3-ballot cycle A>B>C, B>C>A, C>A>B: no Condorcet
+    winner; Borda ties all three -> lexicographic 'A' wins."""
+    from osmgraft.operators.ranking import rank_aggregation
+
+    rows = []
+    for day, order in enumerate([["A", "B", "C"], ["B", "C", "A"], ["C", "A", "B"]]):
+        for pos, cand in enumerate(order):
+            rows.append((1, day, cand, 30 - pos * 10))
+    df = spark.createDataFrame(rows, "g long, day long, cand string, cnt long")
+    (r,) = rank_aggregation(df, ["g"], "day", "cand", "cnt").collect()
+    assert r["condorcet_winner"] is None
+    assert r["borda_winner"] == "A" and r["borda_score"] == 3
+    assert r["n_ballots"] == 3
+
+
+def test_rank_agg_majority_and_burst_robustness(spark):
+    """B wins 2 of 3 days head-to-head (Condorcet + Borda) even though A's
+    single burst day dominates raw volume — the robustness Borda buys
+    over plain top_event_types."""
+    from osmgraft.operators.ranking import rank_aggregation
+
+    rows = [
+        (1, 0, "A", 1000), (1, 0, "B", 5),          # A's burst day
+        (1, 1, "A", 3), (1, 1, "B", 7),
+        (1, 2, "A", 2), (1, 2, "B", 9), (1, 2, "C", 1),
+    ]
+    df = spark.createDataFrame(rows, "g long, day long, cand string, cnt long")
+    (r,) = rank_aggregation(df, ["g"], "day", "cand", "cnt").collect()
+    assert r["condorcet_winner"] == "B" and r["borda_winner"] == "B"
+    # Borda: B = 0 + 1 + 2 = 3; A = 1 + 0 + 1 = 2; C = 0
+    assert r["borda_score"] == 3
+
+
+def test_rank_agg_tie_rule_pinned(spark):
+    """Equal counts in a ballot rank lexicographically — deterministic at
+    any parallelism."""
+    from osmgraft.operators.ranking import rank_aggregation
+
+    rows = [(1, 0, "Z", 5), (1, 0, "M", 5), (1, 1, "Z", 5), (1, 1, "M", 5)]
+    df = spark.createDataFrame(rows, "g long, day long, cand string, cnt long")
+    (r,) = rank_aggregation(df, ["g"], "day", "cand", "cnt").collect()
+    assert r["borda_winner"] == "M" and r["condorcet_winner"] == "M"
