@@ -1525,3 +1525,59 @@ pt AS (
   JOIN pt_pick p USING ({ks})
   JOIN pt_u u ON {" AND ".join(f"u.{k} = n.{k}" for k in keys)} AND u.split = p.split
   JOIN pt_obs o ON {" AND ".join(f"o.{k} = n.{k}" for k in keys)} AND o.r = p.split)"""
+
+
+def weekday_seasonality(
+    df: DataFrame, keys: list[str], dow_col: str = "dow", z2: int = 4
+) -> DataFrame:
+    """Day-of-week seasonality screen per key group: per (group, weekday)
+    the observed count O against the uniform-week null E = N/7, classed
+    over/under/flat by the EXACT binomial z-test — multiplying
+    (O − N/7)² ≥ z²·N·(1/7)(6/7) through by 49 gives
+
+        (7·O − N)² ≥ 6·z²·N
+
+    — pure int64, no rational constants needed at all (1/7 clears
+    perfectly).  The weekly-rhythm member of the temporal family:
+    trend_events_daily fits level, tile_trend_mk_z5 detects drift, CUSUM
+    flags bursts, this one reads the WEEKLY PROFILE (commuter tile vs
+    nightlife tile vs uniform bot traffic).
+
+    Emits (keys…, dow, o, n_tot, seasonality) — weekdays with zero events
+    are absent (their O = 0 row can be derived; the class there is
+    'under' whenever 36·z²·... trivially, documented).
+
+    100 TB: one 7-bucket map-side-combinable agg per group + a group
+    total — counter-sized state, no joins beyond the 1:1."""
+    o = df.groupBy(*keys, dow_col).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    n = df.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    j = o.join(n, keys)
+    a = F.lit(7) * F.col("o") - F.col("n_tot")
+    sig = a * a >= F.lit(6 * z2) * F.col("n_tot")
+    cls = (
+        F.when((a > 0) & sig, "over")
+        .when((a < 0) & sig, "under")
+        .otherwise("flat")
+    )
+    return j.select(*keys, dow_col, "o", "n_tot", cls.alias("seasonality"))
+
+
+def sql_weekday_seasonality(
+    rows_cte: str, keys: list[str], dow_col: str = "dow", z2: int = 4
+) -> str:
+    """DuckDB twin of :func:`weekday_seasonality` — identical cleared
+    inequality."""
+    ks = ", ".join(keys)
+    return f"""WITH ws_rows AS ({rows_cte}),
+ws_o AS (SELECT {ks}, {dow_col}, CAST(count(*) AS BIGINT) AS o
+         FROM ws_rows GROUP BY {ks}, {dow_col}),
+ws_n AS (SELECT {ks}, CAST(count(*) AS BIGINT) AS n_tot FROM ws_rows GROUP BY {ks})
+SELECT o.{", o.".join(keys)}, o.{dow_col}, o.o, n.n_tot,
+       CASE WHEN 7 * o.o - n.n_tot > 0
+                 AND (7 * o.o - n.n_tot) * (7 * o.o - n.n_tot) >= {6 * z2} * n.n_tot
+              THEN 'over'
+            WHEN 7 * o.o - n.n_tot < 0
+                 AND (7 * o.o - n.n_tot) * (7 * o.o - n.n_tot) >= {6 * z2} * n.n_tot
+              THEN 'under'
+            ELSE 'flat' END AS seasonality
+FROM ws_o o JOIN ws_n n USING ({ks})"""

@@ -7997,6 +7997,44 @@ def tile_decayed_top100_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_tile_counts(pts)
 
 
+def _sql_weekday() -> str:
+    from osmgraft.operators.stats import sql_weekday_seasonality
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("event_id")
+    rows = f"""SELECT {tiles.sql_tile_x(f'({lon})', 6)} AS tx,
+         {tiles.sql_tile_y(f'({lat})', 6)} AS ty,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS dow
+  FROM events"""
+    return sql_weekday_seasonality(rows, ["tx", "ty"])
+
+
+@register("tile_weekday_seasonality_z6", _sql_weekday())
+def tile_weekday_seasonality_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality screen per z6 tile (operators/stats.
+    weekday_seasonality): observed weekday counts against the uniform-week
+    null, classed over/under/flat by the exact cleared inequality
+    (7O − N)² ≥ 6z²N — the 1/7 clears perfectly, so not even a rational
+    constant is needed.  Weekday = (epoch_days + 4) mod 7 with Monday = 0
+    — pure integer arithmetic, immune to the engines' differing
+    dayofweek() conventions.  The weekly-rhythm member of the temporal
+    family (level ⋄ drift ⋄ burst ⋄ change-point ⋄ PROFILE).
+
+    100 TB: 7-bucket map-side-combinable agg + group total, no joins."""
+    from osmgraft.operators.stats import weekday_seasonality
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+
+    ev = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    lat, lon = latlon_of_key(F.col("event_id"))
+    rows = ev.select(
+        tiles.tile_x(lon, 6).alias("tx"),
+        tiles.tile_y(lat, 6).alias("ty"),
+        ((F.floor(F.unix_timestamp("ts") / 86400).cast("long") + 4) % 7).alias("dow"),
+    )
+    return weekday_seasonality(rows, ["tx", "ty"])
+
+
 def _sql_rank_agg() -> str:
     from osmgraft.operators.ranking import sql_rank_aggregation
     from osmgraft.synth import sql_latlon_of_key

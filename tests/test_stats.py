@@ -894,3 +894,32 @@ def test_pettitt_locates_the_shift(spark):
     df = spark.createDataFrame(rows, "g long, day long, cnt long")
     (r,) = pettitt(df, ["g"]).collect()
     assert r["t_star"] == 9 and r["k_stat"] == 100 and r["change_class"] == "change"
+
+
+def test_weekday_seasonality_reference_and_epoch_dow(spark):
+    """Cleared inequality == the float z-test; the integer dow convention
+    puts 1970-01-01 (a Thursday) at 4 with Monday = 0."""
+    import math
+
+    from osmgraft.operators.stats import weekday_seasonality
+
+    assert (0 + 4) % 7 == 4  # 1970-01-01 -> Thursday
+    # group 1: uniform-ish; group 2: strong Saturday spike
+    rows = [(1, d % 7) for d in range(700)]
+    rows += [(2, 5)] * 200 + [(2, d % 7) for d in range(350)]
+    df = spark.createDataFrame(rows, "g long, dow long")
+    got = {(r["g"], r["dow"]): r for r in weekday_seasonality(df, ["g"]).collect()}
+    from collections import Counter
+
+    obs = {g: Counter() for g in (1, 2)}
+    for g, d in rows:
+        obs[g][d] += 1
+    for g in (1, 2):
+        n = sum(obs[g].values())
+        for d in range(7):
+            o = obs[g][d]
+            z = (o - n / 7) / math.sqrt(n * (1 / 7) * (6 / 7))
+            want = "over" if z >= 2 else ("under" if z <= -2 else "flat")
+            assert got[(g, d)]["seasonality"] == want, (g, d, z)
+    assert got[(2, 5)]["seasonality"] == "over"
+    assert all(got[(1, d)]["seasonality"] == "flat" for d in range(7))
