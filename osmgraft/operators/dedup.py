@@ -1219,3 +1219,102 @@ lcs_dp AS (
   FROM lcs_dp WHERE i < len(ca))
 SELECT doc_a, doc_b, CAST(costs[CAST(len(cb) AS INTEGER)] AS INTEGER) AS lcs_len
 FROM lcs_dp WHERE i = len(ca) AND costs[CAST(len(cb) AS INTEGER)] >= {min_lcs}"""
+
+
+# --- Soundex phonetic blocking -----------------------------------------------
+# American Soundex letter->symbol map (NARA standard, public): digits 1-6 are
+# the codes, '0' marks vowels+Y (run breakers, never emitted), '9' marks H/W
+# (TRANSPARENT: same-code letters separated by H/W collapse to one).
+_SOUNDEX_FROM = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_SOUNDEX_TO = "01230129022455012623019202"
+
+
+def _soundex_steps(expr: str, fns: dict) -> str:
+    """Build the engine-neutral soundex expression from ONE rule list —
+    ``fns`` supplies the engine's function-name spellings.  RE2-safe: no
+    backreferences (per-digit patterns are enumerated), so the identical
+    text runs under Java regex AND DuckDB's RE2."""
+    up = f"upper({expr})"
+    clean = f"{fns['re']}({up}, '[^A-Z]', '', 'g')" if fns["g"] else (
+        f"{fns['re']}({up}, '[^A-Z]', '')"
+    )
+    s = f"translate({clean}, '{_SOUNDEX_FROM}', '{_SOUNDEX_TO}')"
+    # H/W transparency: d 9+ d  ->  d d   (two passes close 9-chains)
+    for _ in range(2):
+        for d in "0123456":
+            pat, rep = f"'{d}9+{d}'", f"'{d}{d}'"
+            s = (
+                f"{fns['re']}({s}, {pat}, {rep}, 'g')"
+                if fns["g"]
+                else f"{fns['re']}({s}, {pat}, {rep})"
+            )
+    # stray H/W markers delete; then collapse runs per digit
+    s = f"{fns['re']}({s}, '9', '', 'g')" if fns["g"] else f"{fns['re']}({s}, '9', '')"
+    for d in "0123456":
+        pat, rep = f"'{d}{d}+'", f"'{d}'"
+        s = (
+            f"{fns['re']}({s}, {pat}, {rep}, 'g')"
+            if fns["g"]
+            else f"{fns['re']}({s}, {pat}, {rep})"
+        )
+    # drop the first letter's own code (it merged with any same-code run),
+    # unless the first letter is H/W (its 9 was deleted -> nothing to drop)
+    first = f"substring({clean}, 1, 1)"
+    fcode = f"translate({first}, '{_SOUNDEX_FROM}', '{_SOUNDEX_TO}')"
+    digits = f"CASE WHEN {fcode} = '9' THEN {s} ELSE substring({s}, 2) END"
+    nz = (
+        f"{fns['re']}({digits}, '0', '', 'g')"
+        if fns["g"]
+        else f"{fns['re']}({digits}, '0', '')"
+    )
+    return (
+        f"CASE WHEN {clean} = '' THEN NULL ELSE "
+        f"{first} || substring({nz} || '000', 1, 3) END"
+    )
+
+
+def soundex_expr(col: str) -> F.Column:
+    """American Soundex of a Spark string column — the full NARA rule set
+    (first-letter retention, H/W transparency, vowel run-breaking, 0-pad
+    to letter+3) as ONE chained JVM expression (upper → strip → translate
+    → enumerated regexp passes).  Built from the same rule list as
+    :func:`sql_soundex_expr`, so both engines run the identical text."""
+    return F.expr(_soundex_steps(col, {"re": "regexp_replace", "g": False}))
+
+
+def sql_soundex_expr(col: str) -> str:
+    """DuckDB twin text of :func:`soundex_expr` (RE2-safe, 'g' flags)."""
+    return _soundex_steps(col, {"re": "regexp_replace", "g": True})
+
+
+def soundex_pairs(
+    names: DataFrame, id_col: str = "name_id", name_col: str = "name"
+) -> DataFrame:
+    """Phonetic blocking join (Russell & Odell 1918 soundex; the classic
+    entity-resolution blocking key): names bucketed by their soundex code,
+    distinct spelling pairs surfaced per bucket — the candidate generator
+    a fuzzy-dedup pipeline verifies with edit distance.  Emits
+    (code, name_a, name_b) for every unordered pair of DISTINCT spellings
+    sharing a code.
+
+    100 TB: one distinct + equi-join on the 26·7³ code space — bucketed,
+    never global n²; the code itself is pure codegen string algebra."""
+    coded = (
+        names.select(soundex_expr(name_col).alias("code"), F.col(name_col).alias("n"))
+        .filter(F.col("code").isNotNull())
+        .distinct()
+    )
+    a = coded.select("code", F.col("n").alias("name_a"))
+    b = coded.select("code", F.col("n").alias("name_b"))
+    return a.join(b, "code").filter(F.col("name_a") < F.col("name_b"))
+
+
+def sql_soundex_pairs(names_cte: str, name_col: str = "name") -> str:
+    """DuckDB twin of :func:`soundex_pairs`."""
+    code = sql_soundex_expr(name_col)
+    return f"""WITH sx_names AS ({names_cte}),
+sx_coded AS (
+  SELECT DISTINCT {code} AS code, {name_col} AS n FROM sx_names
+  WHERE {code} IS NOT NULL)
+SELECT a.code, a.n AS name_a, b.n AS name_b
+FROM sx_coded a JOIN sx_coded b ON a.code = b.code AND a.n < b.n"""

@@ -1460,3 +1460,34 @@ def test_lcs_pairs_plan_no_python(spark):
         .toString()
     )
     assert "Python" not in plan and "Cartesian" not in plan
+
+
+# --- soundex phonetic blocking -----------------------------------------------
+def test_soundex_published_vectors(spark):
+    """The classic NARA/Knuth test vectors, engine side."""
+    from osmgraft.operators.dedup import soundex_expr
+
+    vectors = {
+        "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+        "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+        "Honeyman": "H555", "Washington": "W252", "Lee": "L000",
+        "Gutierrez": "G362", "Jackson": "J250", "VanDeusen": "V532",
+        "Smith": "S530", "Smyth": "S530", "Williams": "W452",
+        "o'Brien": "O165", "Hrabal": "H614",
+    }
+    df = spark.createDataFrame([(n,) for n in vectors], "name string")
+    got = {r["name"]: r["code"] for r in df.select(
+        "name", soundex_expr("name").alias("code")).collect()}
+    assert got == vectors
+
+
+def test_soundex_pairs_blocks_homophones_only(spark):
+    from osmgraft.operators.dedup import soundex_pairs
+
+    names = ["Smith", "Smyth", "Robert", "Rupert", "Lee", "Garcia"]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "name_id long, name string"
+    )
+    got = {(r["name_a"], r["name_b"]): r["code"]
+           for r in soundex_pairs(df).collect()}
+    assert got == {("Smith", "Smyth"): "S530", ("Robert", "Rupert"): "R163"}
