@@ -1581,3 +1581,76 @@ SELECT o.{", o.".join(keys)}, o.{dow_col}, o.o, n.n_tot,
               THEN 'under'
             ELSE 'flat' END AS seasonality
 FROM ws_o o JOIN ws_n n USING ({ks})"""
+
+
+def markov_transitions(
+    df: DataFrame,
+    seq_keys: list[str],
+    state_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity state
+    sequences (the maximum-likelihood chain estimate — Anderson &
+    Goodman 1957): consecutive state bigrams within each ``seq_keys``
+    entity (ordered by ``order_cols`` — include a unique tiebreaker so
+    the sequence is total), pooled into global transition counts.  Emits
+    one row per observed (from_state, to_state): (from_state, to_state,
+    cnt, row_total, is_mode) — the MLE P(to|from) is the exact rational
+    cnt/row_total (division never taken), and is_mode marks the argmax
+    next state with ties to the lexicographically smallest (pinned).
+
+    The sequential companion to collocations_pmi (which tests bigram
+    ASSOCIATION): this estimates the DYNAMICS a sessionization or
+    next-event model consumes.
+
+    100 TB: one entity-keyed window (lag) + two map-side-combinable hash
+    aggs on the state-domain-sized matrix; no floats."""
+    w = Window.partitionBy(*seq_keys).orderBy(*order_cols)
+    steps = (
+        df.select(*seq_keys, F.col(state_col).alias("_s"), *order_cols)
+        .withColumn("_prev", F.lag("_s").over(w))
+        .filter(F.col("_prev").isNotNull())
+    )
+    cnt = steps.groupBy(
+        F.col("_prev").alias("from_state"), F.col("_s").alias("to_state")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = cnt.groupBy("from_state").agg(
+        F.sum("cnt").cast("long").alias("row_total")
+    )
+    wm = Window.partitionBy("from_state").orderBy(
+        F.col("cnt").desc(), F.col("to_state").asc()
+    )
+    return (
+        cnt.join(tot, "from_state")
+        .withColumn("_rn", F.row_number().over(wm))
+        .select(
+            "from_state",
+            "to_state",
+            "cnt",
+            "row_total",
+            (F.col("_rn") == 1).alias("is_mode"),
+        )
+    )
+
+
+def sql_markov_transitions(
+    rows_cte: str, seq_keys: list[str], state_col: str, order_cols: list[str]
+) -> str:
+    """DuckDB twin of :func:`markov_transitions` — identical lag window,
+    counts and pinned mode pick."""
+    sk = ", ".join(seq_keys)
+    oc = ", ".join(order_cols)
+    return f"""WITH mk_rows AS ({rows_cte}),
+mk_steps AS (
+  SELECT lag({state_col}) OVER (PARTITION BY {sk} ORDER BY {oc}) AS from_state,
+         {state_col} AS to_state
+  FROM mk_rows),
+mk_cnt AS (
+  SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS cnt
+  FROM mk_steps WHERE from_state IS NOT NULL GROUP BY 1, 2),
+mk_tot AS (SELECT from_state, CAST(sum(cnt) AS BIGINT) AS row_total
+           FROM mk_cnt GROUP BY 1)
+SELECT c.from_state, c.to_state, c.cnt, t.row_total,
+       row_number() OVER (PARTITION BY c.from_state
+                          ORDER BY c.cnt DESC, c.to_state ASC) = 1 AS is_mode
+FROM mk_cnt c JOIN mk_tot t USING (from_state)"""

@@ -8051,6 +8051,43 @@ def tile_decayed_top100_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_tile_counts(pts)
 
 
+def _sql_markov() -> str:
+    from osmgraft.operators.stats import sql_markov_transitions
+
+    rows = (
+        "SELECT user_id, event_type,"
+        " CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id FROM events"
+    )
+    return sql_markov_transitions(
+        rows, ["user_id"], "event_type", ["tsec", "event_id"]
+    )
+
+
+@register("markov_event_transitions", _sql_markov())
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (operators/stats.markov_transitions, Anderson & Goodman 1957 MLE):
+    consecutive event-type bigrams per user (ordered by epoch second with
+    event_id as the unique tiebreaker — a pinned total order), pooled
+    into exact transition counts with the modal next state flagged (ties
+    lexicographic).  P(to|from) is the exact rational cnt/row_total.  The
+    DYNAMICS companion to collocations_pmi (association) and
+    funnel_sequence (a fixed path).
+
+    100 TB: one user-keyed lag window + state-domain-sized aggs."""
+    from osmgraft.operators.stats import markov_transitions
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    ev = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    rows = ev.select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("tsec"),
+        "event_id",
+    )
+    return markov_transitions(rows, ["user_id"], "event_type", ["tsec", "event_id"])
+
+
 def _sql_weekday() -> str:
     from osmgraft.operators.stats import sql_weekday_seasonality
     from osmgraft.synth import sql_latlon_of_key

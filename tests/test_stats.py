@@ -923,3 +923,27 @@ def test_weekday_seasonality_reference_and_epoch_dow(spark):
             assert got[(g, d)]["seasonality"] == want, (g, d, z)
     assert got[(2, 5)]["seasonality"] == "over"
     assert all(got[(1, d)]["seasonality"] == "flat" for d in range(7))
+
+
+def test_markov_transitions_hand_chain(spark):
+    """Two users' chains pool into the global matrix; the mode is pinned
+    lexicographically on count ties; cross-user boundaries never create
+    transitions."""
+    from osmgraft.operators.stats import markov_transitions
+
+    rows = [
+        (1, 0, "a"), (1, 1, "b"), (1, 2, "a"), (1, 3, "c"),
+        (2, 0, "a"), (2, 1, "b"), (2, 2, "b"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, s string")
+    got = {
+        (r["from_state"], r["to_state"]): (r["cnt"], r["row_total"], r["is_mode"])
+        for r in markov_transitions(df, ["u"], "s", ["t"]).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 3, True),
+        ("a", "c"): (1, 3, False),
+        ("b", "a"): (1, 2, True),   # tie 1-1 with (b,b): 'a' wins lexicographically
+        ("b", "b"): (1, 2, False),
+    }
+    assert sum(c for c, _, _ in got.values()) == 5  # 3 + 2 steps, no cross-user
