@@ -1654,3 +1654,128 @@ SELECT c.from_state, c.to_state, c.cnt, t.row_total,
        row_number() OVER (PARTITION BY c.from_state
                           ORDER BY c.cnt DESC, c.to_state ASC) = 1 AS is_mode
 FROM mk_cnt c JOIN mk_tot t USING (from_state)"""
+
+
+def isotonic_fit(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str = "day",
+    val_col: str = "cnt",
+    max_n: int = 30,
+) -> DataFrame:
+    """EXACT isotonic regression per key group (least-squares monotone
+    fit; Barlow, Bartholomew, Bremner & Brunk 1972) — computed NOT by the
+    sequential pool-adjacent-violators scan but by the closed MINIMAX
+    identity
+
+        fit(t) = max_{i ≤ t} min_{j ≥ t} mean(x_i .. x_j)
+
+    which is pure relational algebra: explode every (i, j, t) with
+    i ≤ t ≤ j on the per-(key, tick) AGGREGATE, then one grouped min and
+    one grouped max.  Rational means never divide: mean = S/L is carried
+    as the exact integer S·(lcm(1..30)//L) in DECIMAL(38) (HUGEINT twin),
+    a canonical representation because the scale is a CONSTANT — min/max
+    of the scaled keys equal min/max of the rationals.  Emits (keys…, t,
+    n_obs, fit_num, fit_den) with fit = fit_num/fit_den, fit_den = lcm —
+    exact int64 output for values up to ~4·10⁶ (num < 2⁶³/lcm); groups
+    longer than ``max_n`` ticks raise (the lcm constant covers 30).
+
+    Pool-adjacent-violators is an inherently sequential scan; the minimax
+    form trades O(n) sequential for O(n³) parallel rows per group — at
+    tick-rollup sizes (≤30) that is ≤27 000 rows per key, each a codegen
+    arithmetic row.  The fitted sequence is nondecreasing, equals the
+    input when already monotone, and pools violators to their mean —
+    all law-tested against a Fraction PAVA reference."""
+    w = Window.partitionBy(*keys).orderBy("_t")
+    obs = (
+        df.select(*keys, F.col(order_col).alias("_t"), F.col(val_col).alias("_v"))
+        .withColumn("_r", F.row_number().over(w))
+        .withColumn("_p", F.sum("_v").over(w).cast("long"))  # prefix sum
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+    )
+    guard = F.when(
+        F.col("_n") <= max_n, F.col("_r")
+    ).otherwise(F.raise_error(f"isotonic_fit: group exceeds {max_n} ticks").cast("int"))
+    obs = obs.withColumn("_r", guard)
+    left = obs.select(
+        *keys, F.col("_r").alias("_i"), (F.col("_p") - F.col("_v")).alias("_pi")
+    )
+    right = obs.select(*keys, F.col("_r").alias("_j"), F.col("_p").alias("_pj"))
+    d38 = "decimal(38,0)"
+    pairs = (
+        left.join(right, keys)
+        .filter(F.col("_i") <= F.col("_j"))
+        .select(
+            *keys,
+            "_i",
+            "_j",
+            (
+                (F.col("_pj") - F.col("_pi")).cast(d38)
+                * F.expr(f"CAST({_LCM_1_30} div (_j - _i + 1) AS {d38})")
+            ).alias("_key"),
+        )
+    )
+    spans = pairs.select(
+        *keys,
+        "_i",
+        F.explode(F.sequence(F.col("_i"), F.col("_j"))).alias("_tt"),
+        "_key",
+    )
+    inner = spans.groupBy(*keys, "_tt", "_i").agg(F.min("_key").alias("_mn"))
+    outer = inner.groupBy(*keys, "_tt").agg(F.max("_mn").alias("_fit"))
+    return (
+        outer.join(obs.select(*keys, F.col("_r").alias("_tt"), "_t", "_n"), [*keys, "_tt"])
+        .select(
+            *keys,
+            F.col("_t").alias(order_col),
+            F.col("_n").cast("long").alias("n_obs"),
+            F.col("_fit").cast("long").alias("fit_num"),
+            F.lit(_LCM_1_30).cast("long").alias("fit_den"),
+        )
+    )
+
+
+def sql_isotonic_fit(
+    counts_cte: str,
+    keys: list[str],
+    order_col: str = "day",
+    val_col: str = "cnt",
+    max_n: int = 30,
+) -> str:
+    """DuckDB twin of :func:`isotonic_fit` — same minimax explode in
+    HUGEINT."""
+    ks = ", ".join(keys)
+    on = " AND ".join(f"a.{k} = b.{k}" for k in keys)
+    aks = ", ".join(f"a.{k}" for k in keys)
+    return f"""counts AS ({counts_cte}),
+iso_obs AS (
+  SELECT {ks}, {order_col} AS t, {val_col} AS v,
+         row_number() OVER (PARTITION BY {ks} ORDER BY {order_col}) AS r,
+         sum({val_col}) OVER (PARTITION BY {ks} ORDER BY {order_col}) AS p,
+         count(*) OVER (PARTITION BY {ks}) AS n
+  FROM counts),
+iso_g AS (
+  SELECT *, CASE WHEN n <= {max_n} THEN r
+                 ELSE CAST(error('isotonic_fit: group exceeds {max_n} ticks') AS BIGINT)
+            END AS rg
+  FROM iso_obs),
+iso_pairs AS (
+  SELECT {aks}, a.rg AS i, b.rg AS j,
+         CAST(b.p - (a.p - a.v) AS HUGEINT)
+           * ({_LCM_1_30} // (b.rg - a.rg + 1)) AS key
+  FROM iso_g a JOIN iso_g b ON {on} AND a.rg <= b.rg),
+iso_spans AS (
+  SELECT {ks}, i, s.tt, key
+  FROM iso_pairs
+  CROSS JOIN LATERAL (SELECT unnest(range(i, j + 1)) AS tt) s),
+iso_inner AS (
+  SELECT {ks}, tt, i, min(key) AS mn FROM iso_spans GROUP BY {ks}, tt, i),
+iso_outer AS (
+  SELECT {ks}, tt, max(mn) AS fit FROM iso_inner GROUP BY {ks}, tt),
+iso AS (
+  SELECT o.{", o.".join(keys)}, g.t AS {order_col},
+         CAST(g.n AS BIGINT) AS n_obs,
+         CAST(o.fit AS BIGINT) AS fit_num,
+         CAST({_LCM_1_30} AS BIGINT) AS fit_den
+  FROM iso_outer o
+  JOIN iso_g g ON {" AND ".join(f"g.{k} = o.{k}" for k in keys)} AND g.rg = o.tt)"""

@@ -8051,6 +8051,51 @@ def tile_decayed_top100_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_tile_counts(pts)
 
 
+def _sql_isotonic() -> str:
+    from osmgraft.operators.stats import sql_isotonic_fit
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("event_id")
+    counts = f"""SELECT {tiles.sql_tile_x(f'({lon})', 5)} AS tx,
+         {tiles.sql_tile_y(f'({lat})', 5)} AS ty,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2, 3"""
+    return "WITH " + sql_isotonic_fit(counts, ["tx", "ty"]) + "\nSELECT * FROM iso"
+
+
+@register("tile_isotonic_z5", _sql_isotonic())
+def tile_isotonic_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT isotonic regression per z5 tile (operators/stats.
+    isotonic_fit, Barlow et al. 1972) over the same tile-day rollup as
+    the trend family — the monotone least-squares fit, computed by the
+    closed MINIMAX identity fit(t) = max_{i≤t} min_{j≥t} mean(x_i..x_j)
+    instead of the inherently sequential pool-adjacent-violators scan:
+    pure relational algebra (one O(ticks³) explode on the AGGREGATE, one
+    min, one max), rational means carried as lcm-scaled DECIMAL(38)/
+    HUGEINT integers so nothing ever divides.  Completes the family: MK
+    detects drift, Theil–Sen rates it, Pettitt locates it, isotonic FITS
+    the monotone shape.
+
+    100 TB: ≤27 000 codegen rows per tile (ticks ≤ 30), two map-side-
+    combinable aggs; sequential PAVA traded for parallel width."""
+    from osmgraft.operators.stats import isotonic_fit
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+
+    ev = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    lat, lon = latlon_of_key(F.col("event_id"))
+    counts = (
+        ev.select(
+            tiles.tile_x(lon, 5).alias("tx"),
+            tiles.tile_y(lat, 5).alias("ty"),
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        )
+        .groupBy("tx", "ty", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return isotonic_fit(counts, ["tx", "ty"])
+
+
 def _sql_markov() -> str:
     from osmgraft.operators.stats import sql_markov_transitions
 

@@ -947,3 +947,66 @@ def test_markov_transitions_hand_chain(spark):
         ("b", "b"): (1, 2, False),
     }
     assert sum(c for c, _, _ in got.values()) == 5  # 3 + 2 steps, no cross-user
+
+
+def _pava_ref(vals):
+    """Textbook sequential pool-adjacent-violators, exact Fractions."""
+    from fractions import Fraction
+
+    blocks = [[Fraction(v), 1] for v in vals]  # [sum, len]
+    out = []
+    for b in blocks:
+        out.append(b)
+        while len(out) >= 2 and out[-2][0] * out[-1][1] >= out[-1][0] * out[-2][1]:
+            s, l = out.pop()
+            out[-1][0] += s
+            out[-1][1] += l
+    fit = []
+    for s, l in out:
+        fit += [Fraction(s, l)] * l
+    return fit
+
+
+def test_isotonic_matches_pava_reference(spark):
+    from fractions import Fraction
+
+    from osmgraft.operators.stats import isotonic_fit
+
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    rows, refs = [], {}
+    for g in range(1, 6):
+        vals = [int(v) for v in rng.integers(0, 50, 6 + g * 4)]
+        rows += [(g, t, v) for t, v in enumerate(vals)]
+        refs[g] = _pava_ref(vals)
+    df = spark.createDataFrame(rows, "g long, day long, cnt long")
+    got = {}
+    for r in isotonic_fit(df, ["g"]).collect():
+        got.setdefault(r["g"], {})[r["day"]] = Fraction(r["fit_num"], r["fit_den"])
+    for g, ref in refs.items():
+        for t, want in enumerate(ref):
+            assert got[g][t] == want, (g, t, got[g][t], want)
+
+
+def test_isotonic_laws(spark):
+    """Monotone input is a fixed point; a violator pair pools to its
+    mean; output is always nondecreasing."""
+    from fractions import Fraction
+
+    from osmgraft.operators.stats import isotonic_fit
+
+    rows = (
+        [(1, t, v) for t, v in enumerate([1, 3, 7, 9])]       # already monotone
+        + [(2, t, v) for t, v in enumerate([5, 1])]            # pools to 3
+        + [(3, t, v) for t, v in enumerate([9, 1, 5, 3, 7])]
+    )
+    df = spark.createDataFrame(rows, "g long, day long, cnt long")
+    got = {}
+    for r in isotonic_fit(df, ["g"]).collect():
+        got.setdefault(r["g"], {})[r["day"]] = Fraction(r["fit_num"], r["fit_den"])
+    assert [got[1][t] for t in range(4)] == [1, 3, 7, 9]
+    assert got[2][0] == got[2][1] == 3
+    seq = [got[3][t] for t in range(5)]
+    assert all(a <= b for a, b in zip(seq, seq[1:]))
+    assert seq == _pava_ref([9, 1, 5, 3, 7])
