@@ -1779,3 +1779,118 @@ iso AS (
          CAST({_LCM_1_30} AS BIGINT) AS fit_den
   FROM iso_outer o
   JOIN iso_g g ON {" AND ".join(f"g.{k} = o.{k}" for k in keys)} AND g.rg = o.tt)"""
+
+
+# KS two-sample critical coefficient c(alpha=0.05)^2 = 1.358^2, pinned as the
+# exact rational 1844/1000 (published constant, fixed so the drift class is
+# pure integer arithmetic)
+_KS_C2_MILLI = 1844
+
+
+def ks_two_sample(
+    df: DataFrame, group_col: str, val_col: str, c2_milli: int = _KS_C2_MILLI
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distribution-drift test between every
+    pair of groups (Kolmogorov 1933; Smirnov 1939; the standard
+    distribution-shift screen a curation pipeline runs between shards /
+    sources / snapshots): D = max_v |F̂_a(v) − F̂_b(v)| over the pooled
+    value domain, carried EXACTLY as
+
+        d_num = max_v |n_b·C_a(v) − n_a·C_b(v)|,   D = d_num/(n_a·n_b)
+
+    and the α = 0.05 rejection D > c·√((n_a+n_b)/(n_a·n_b)) cleared of
+    the root: 1000·d_num² ≥ c²₁₀₀₀·(n_a+n_b)·n_a·n_b with c² pinned as
+    1844/1000 — DECIMAL(38)/HUGEINT, no IEEE anywhere.  Emits one row per
+    unordered group pair: (ga, gb, n_a, n_b, d_num, d_den, drift) with
+    drift ∈ {'shifted','same'}.
+
+    Shape at 100 TB: histograms are map-side-combined to value-domain
+    size; each pair's CDF walk is ONE window over its pooled distinct
+    values (pairs × |V| rows — domain-bounded, not data-bounded)."""
+    h = df.groupBy(group_col, val_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    n = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ga = n.select(F.col(group_col).alias("ga"), F.col("_n").alias("n_a"))
+    gb = n.select(F.col(group_col).alias("gb"), F.col("_n").alias("n_b"))
+    pairs = ga.crossJoin(gb).filter(F.col("ga") < F.col("gb"))
+    rows = (
+        pairs.join(
+            h.withColumnRenamed(group_col, "_g"),
+            (F.col("_g") == F.col("ga")) | (F.col("_g") == F.col("gb")),
+        )
+        .groupBy("ga", "gb", "n_a", "n_b", val_col)
+        .agg(
+            F.sum(F.when(F.col("_g") == F.col("ga"), F.col("_c")).otherwise(0)).alias("_ca"),
+            F.sum(F.when(F.col("_g") == F.col("gb"), F.col("_c")).otherwise(0)).alias("_cb"),
+        )
+    )
+    w = (
+        Window.partitionBy("ga", "gb")
+        .orderBy(val_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d38 = "decimal(38,0)"
+    cum = rows.select(
+        "ga",
+        "gb",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("n_b").cast(d38) * F.sum("_ca").over(w).cast(d38)
+            - F.col("n_a").cast(d38) * F.sum("_cb").over(w).cast(d38)
+        ).alias("_d"),
+    )
+    agg = cum.groupBy("ga", "gb", "n_a", "n_b").agg(F.max("_d").alias("_dmax"))
+    sig = F.lit(1000).cast(d38) * F.col("_dmax") * F.col("_dmax") >= (
+        F.lit(c2_milli).cast(d38)
+        * (F.col("n_a") + F.col("n_b")).cast(d38)
+        * F.col("n_a").cast(d38)
+        * F.col("n_b").cast(d38)
+    )
+    return agg.select(
+        "ga",
+        "gb",
+        "n_a",
+        "n_b",
+        F.col("_dmax").cast("long").alias("d_num"),
+        (F.col("n_a") * F.col("n_b")).cast("long").alias("d_den"),
+        F.when(sig, "shifted").otherwise("same").alias("drift"),
+    )
+
+
+def sql_ks_two_sample(
+    rows_cte: str, group_col: str, val_col: str, c2_milli: int = _KS_C2_MILLI
+) -> str:
+    """DuckDB twin of :func:`ks_two_sample` — identical pooled-CDF walk
+    and cleared inequality in HUGEINT."""
+    return f"""WITH ks_rows AS ({rows_cte}),
+ks_h AS (SELECT {group_col} AS g, {val_col} AS v, CAST(count(*) AS BIGINT) AS c
+         FROM ks_rows GROUP BY 1, 2),
+ks_n AS (SELECT {group_col} AS g, CAST(count(*) AS BIGINT) AS n
+         FROM ks_rows GROUP BY 1),
+ks_p AS (SELECT a.g AS ga, b.g AS gb, a.n AS n_a, b.n AS n_b
+         FROM ks_n a JOIN ks_n b ON a.g < b.g),
+ks_m AS (
+  SELECT p.ga, p.gb, p.n_a, p.n_b, h.v,
+         CAST(sum(CASE WHEN h.g = p.ga THEN h.c ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN h.g = p.gb THEN h.c ELSE 0 END) AS BIGINT) AS cb
+  FROM ks_p p JOIN ks_h h ON h.g = p.ga OR h.g = p.gb
+  GROUP BY 1, 2, 3, 4, 5),
+ks_c AS (
+  SELECT ga, gb, n_a, n_b,
+         abs(CAST(n_b AS HUGEINT)
+               * sum(ca) OVER (PARTITION BY ga, gb ORDER BY v
+                               ROWS UNBOUNDED PRECEDING)
+             - CAST(n_a AS HUGEINT)
+               * sum(cb) OVER (PARTITION BY ga, gb ORDER BY v
+                               ROWS UNBOUNDED PRECEDING)) AS d
+  FROM ks_m),
+ks AS (SELECT ga, gb, n_a, n_b, max(d) AS dmax
+       FROM ks_c GROUP BY 1, 2, 3, 4)
+SELECT ga, gb, n_a, n_b, CAST(dmax AS BIGINT) AS d_num,
+       CAST(n_a * n_b AS BIGINT) AS d_den,
+       CASE WHEN 1000 * dmax * dmax
+                 >= {c2_milli} * CAST(n_a + n_b AS HUGEINT) * n_a * n_b
+            THEN 'shifted' ELSE 'same' END AS drift
+FROM ks"""

@@ -8051,6 +8051,38 @@ def tile_decayed_top100_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_tile_counts(pts)
 
 
+def _sql_ks() -> str:
+    from osmgraft.operators.stats import sql_ks_two_sample
+
+    return sql_ks_two_sample(
+        "SELECT source, n_chars FROM documents", "source", "n_chars"
+    )
+
+
+@register("ks_source_drift", _sql_ks())
+def ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test between every pair of
+    document sources on the n_chars distribution (operators/stats.
+    ks_two_sample, Kolmogorov 1933 / Smirnov 1939): the D statistic
+    carried as the exact integer max |n_b·C_a − n_a·C_b| over the pooled
+    CDF walk, the α = 0.05 rejection cleared of its √ with the pinned
+    rational c² = 1844/1000 — DECIMAL(38)/HUGEINT, zero IEEE.  THE
+    distribution-shift screen a curation pipeline runs between shards,
+    snapshots and ingest sources; the distribution-level companion to
+    lang_source_assoc (category-level) and mad_nchars_by_source
+    (scale-level).
+
+    100 TB: value-domain-bounded histograms (map-side combined) + one
+    window per pair over pooled distinct values."""
+    from osmgraft.operators.stats import ks_two_sample
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("source", "n_chars")
+    return ks_two_sample(docs, "source", "n_chars")
+
+
 def _sql_isotonic() -> str:
     from osmgraft.operators.stats import sql_isotonic_fit
     from osmgraft.synth import sql_latlon_of_key

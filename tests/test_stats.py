@@ -1010,3 +1010,46 @@ def test_isotonic_laws(spark):
     seq = [got[3][t] for t in range(5)]
     assert all(a <= b for a, b in zip(seq, seq[1:]))
     assert seq == _pava_ref([9, 1, 5, 3, 7])
+
+
+def test_ks_two_sample_matches_scipy_free_reference(spark):
+    """Exact D and class vs a float reference on planted same/shifted
+    distributions."""
+    import math
+
+    from osmgraft.operators.stats import ks_two_sample
+
+    import numpy as np
+
+    rng = np.random.default_rng(47)
+    base = rng.integers(0, 100, 400)
+    rows = (
+        [("a", int(v)) for v in base]
+        + [("b", int(v)) for v in rng.integers(0, 100, 300)]   # same law
+        + [("c", int(v) + 40) for v in base[:350]]              # shifted
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {(r["ga"], r["gb"]): r for r in ks_two_sample(df, "g", "v").collect()}
+    series = {}
+    for g, v in rows:
+        series.setdefault(g, []).append(v)
+    import itertools
+
+    for a, b in itertools.combinations(sorted(series), 2):
+        xa, xb = sorted(series[a]), sorted(series[b])
+        na, nb = len(xa), len(xb)
+        vs = sorted(set(xa) | set(xb))
+        dmax = max(
+            abs(nb * sum(1 for x in xa if x <= v) - na * sum(1 for x in xb if x <= v))
+            for v in vs
+        )
+        r = got[(a, b)]
+        assert (r["n_a"], r["n_b"], r["d_num"], r["d_den"]) == (na, nb, dmax, na * nb)
+        d = dmax / (na * nb)
+        thr = 1.358 * math.sqrt((na + nb) / (na * nb))
+        want = "shifted" if d * d * 1000 >= 1844 * (na + nb) * na * nb / (na * nb) ** 2 else "same"
+        assert r["drift"] == want
+        # sanity vs the float threshold too (identical here)
+        assert want == ("shifted" if d >= thr - 1e-12 else "same")
+    assert got[("a", "b")]["drift"] == "same"
+    assert got[("a", "c")]["drift"] == "shifted"
