@@ -1894,3 +1894,109 @@ SELECT ga, gb, n_a, n_b, CAST(dmax AS BIGINT) AS d_num,
                  >= {c2_milli} * CAST(n_a + n_b AS HUGEINT) * n_a * n_b
             THEN 'shifted' ELSE 'same' END AS drift
 FROM ks"""
+
+
+def mann_whitney_u(df: DataFrame, group_col: str, val_col: str, z2: int = 4) -> DataFrame:
+    """Mann–Whitney U rank-sum test between every pair of groups (Mann &
+    Whitney 1947; Wilcoxon 1945) — the LOCATION-shift cousin of
+    ks_two_sample (KS sees any shape change; U sees stochastic
+    dominance): U = #{(a, b) : x_a > x_b} + ½·ties, carried exactly as
+    u2 = 2·wins + ties (the ½ never divides), computed from the pooled
+    VALUE HISTOGRAMS — wins = Σ_v c_a(v)·C_b(v⁻) — so no pair explosion
+    ever touches row space.  The normal-approximation rejection
+    |U − n_a n_b/2| ≥ z·√(n_a n_b(n_a+n_b+1)/12) clears to
+
+        3·(u2 − n_a·n_b)² ≥ z²·n_a·n_b·(n_a + n_b + 1)
+
+    in DECIMAL(38)/HUGEINT (no-ties variance — ties only shrink it, so
+    the class is conservative, the mann_kendall convention).  Emits
+    (ga, gb, n_a, n_b, u2, shift ∈ {'greater','less','same'}) — 'greater'
+    means group a stochastically dominates.
+
+    100 TB: histograms map-side-combine to value-domain size; each pair
+    is one window walk over pooled distinct values — domain-bounded."""
+    h = df.groupBy(group_col, val_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    n = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ga = n.select(F.col(group_col).alias("ga"), F.col("_n").alias("n_a"))
+    gb = n.select(F.col(group_col).alias("gb"), F.col("_n").alias("n_b"))
+    pairs = ga.crossJoin(gb).filter(F.col("ga") < F.col("gb"))
+    rows = (
+        pairs.join(
+            h.withColumnRenamed(group_col, "_g"),
+            (F.col("_g") == F.col("ga")) | (F.col("_g") == F.col("gb")),
+        )
+        .groupBy("ga", "gb", "n_a", "n_b", val_col)
+        .agg(
+            F.sum(F.when(F.col("_g") == F.col("ga"), F.col("_c")).otherwise(0)).alias("_ca"),
+            F.sum(F.when(F.col("_g") == F.col("gb"), F.col("_c")).otherwise(0)).alias("_cb"),
+        )
+    )
+    w = (
+        Window.partitionBy("ga", "gb")
+        .orderBy(val_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    terms = rows.select(
+        "ga",
+        "gb",
+        "n_a",
+        "n_b",
+        (F.col("_ca") * F.coalesce(F.sum("_cb").over(w), F.lit(0))).alias("_win"),
+        (F.col("_ca") * F.col("_cb")).alias("_tie"),
+    )
+    agg = terms.groupBy("ga", "gb", "n_a", "n_b").agg(
+        (F.lit(2) * F.sum("_win") + F.sum("_tie")).cast("long").alias("u2")
+    )
+    d38 = "decimal(38,0)"
+    a = F.col("u2").cast(d38) - F.col("n_a").cast(d38) * F.col("n_b").cast(d38)
+    sig = F.lit(3).cast(d38) * a * a >= (
+        F.lit(z2).cast(d38)
+        * F.col("n_a").cast(d38)
+        * F.col("n_b").cast(d38)
+        * (F.col("n_a") + F.col("n_b") + 1).cast(d38)
+    )
+    cls = (
+        F.when(sig & (a > 0), "greater")
+        .when(sig & (a < 0), "less")
+        .otherwise("same")
+    )
+    return agg.select("ga", "gb", "n_a", "n_b", "u2", cls.alias("shift"))
+
+
+def sql_mann_whitney_u(
+    rows_cte: str, group_col: str, val_col: str, z2: int = 4
+) -> str:
+    """DuckDB twin of :func:`mann_whitney_u`."""
+    return f"""WITH mw_rows AS ({rows_cte}),
+mw_h AS (SELECT {group_col} AS g, {val_col} AS v, CAST(count(*) AS BIGINT) AS c
+         FROM mw_rows GROUP BY 1, 2),
+mw_n AS (SELECT {group_col} AS g, CAST(count(*) AS BIGINT) AS n
+         FROM mw_rows GROUP BY 1),
+mw_p AS (SELECT a.g AS ga, b.g AS gb, a.n AS n_a, b.n AS n_b
+         FROM mw_n a JOIN mw_n b ON a.g < b.g),
+mw_m AS (
+  SELECT p.ga, p.gb, p.n_a, p.n_b, h.v,
+         CAST(sum(CASE WHEN h.g = p.ga THEN h.c ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN h.g = p.gb THEN h.c ELSE 0 END) AS BIGINT) AS cb
+  FROM mw_p p JOIN mw_h h ON h.g = p.ga OR h.g = p.gb
+  GROUP BY 1, 2, 3, 4, 5),
+mw_t AS (
+  SELECT ga, gb, n_a, n_b,
+         ca * COALESCE(sum(cb) OVER (PARTITION BY ga, gb ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS win,
+         ca * cb AS tie
+  FROM mw_m),
+mw AS (SELECT ga, gb, n_a, n_b,
+              CAST(2 * sum(win) + sum(tie) AS BIGINT) AS u2
+       FROM mw_t GROUP BY 1, 2, 3, 4)
+SELECT ga, gb, n_a, n_b, u2,
+       CASE WHEN 3 * (CAST(u2 AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b)
+                  * (CAST(u2 AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b)
+                 >= {z2} * CAST(n_a AS HUGEINT) * n_b * (n_a + n_b + 1)
+            THEN (CASE WHEN u2 > CAST(n_a AS HUGEINT) * n_b THEN 'greater'
+                       WHEN u2 < CAST(n_a AS HUGEINT) * n_b THEN 'less'
+                       ELSE 'same' END)
+            ELSE 'same' END AS shift
+FROM mw"""

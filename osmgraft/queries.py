@@ -8051,6 +8051,35 @@ def tile_decayed_top100_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_tile_counts(pts)
 
 
+def _sql_mwu() -> str:
+    from osmgraft.operators.stats import sql_mann_whitney_u
+
+    return sql_mann_whitney_u(
+        "SELECT lang, n_chars FROM documents", "lang", "n_chars"
+    )
+
+
+@register("mwu_lang_length", _sql_mwu())
+def mwu_lang_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test between every language pair on
+    document length (operators/stats.mann_whitney_u, Mann & Whitney
+    1947): U carried exactly as 2·wins + ties computed from value
+    HISTOGRAMS (no pair explosion), the normal rejection cleared to
+    3(u2 − n_a n_b)² ≥ z²·n_a n_b(n_a+n_b+1) in HUGEINT — the LOCATION
+    member of the drift family beside ks_source_drift (shape) and
+    mad_nchars_by_source (scale).  'greater' = the first language's
+    documents stochastically run longer.
+
+    100 TB: domain-bounded histograms + one window walk per pair."""
+    from osmgraft.operators.stats import mann_whitney_u
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("lang", "n_chars")
+    return mann_whitney_u(docs, "lang", "n_chars")
+
+
 def _sql_ks() -> str:
     from osmgraft.operators.stats import sql_ks_two_sample
 

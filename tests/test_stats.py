@@ -1053,3 +1053,42 @@ def test_ks_two_sample_matches_scipy_free_reference(spark):
         assert want == ("shifted" if d >= thr - 1e-12 else "same")
     assert got[("a", "b")]["drift"] == "same"
     assert got[("a", "c")]["drift"] == "shifted"
+
+
+def test_mann_whitney_matches_brute_force(spark):
+    """Histogram-walk U == the quadratic pair count, and the class matches
+    the float z-test, on planted same/greater fixtures."""
+    import math
+
+    from osmgraft.operators.stats import mann_whitney_u
+
+    import numpy as np
+
+    rng = np.random.default_rng(53)
+    rows = (
+        [("a", int(v)) for v in rng.integers(0, 40, 250)]
+        + [("b", int(v)) for v in rng.integers(0, 40, 200)]     # same law
+        + [("c", int(v) + 15) for v in rng.integers(0, 40, 220)]  # shifted up
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {(r["ga"], r["gb"]): r for r in mann_whitney_u(df, "g", "v").collect()}
+    series = {}
+    for g, v in rows:
+        series.setdefault(g, []).append(v)
+    import itertools
+
+    for a, b in itertools.combinations(sorted(series), 2):
+        xa, xb = series[a], series[b]
+        na, nb = len(xa), len(xb)
+        wins = sum(1 for x in xa for y in xb if x > y)
+        ties = sum(1 for x in xa for y in xb if x == y)
+        u2 = 2 * wins + ties
+        r = got[(a, b)]
+        assert (r["n_a"], r["n_b"], r["u2"]) == (na, nb, u2), (a, b)
+        u = u2 / 2
+        z = (u - na * nb / 2) / math.sqrt(na * nb * (na + nb + 1) / 12)
+        want = "greater" if z >= 2 else ("less" if z <= -2 else "same")
+        assert r["shift"] == want, (a, b, z)
+    assert got[("a", "b")]["shift"] == "same"
+    assert got[("a", "c")]["shift"] == "less"   # c runs higher -> a < c
+    assert got[("b", "c")]["shift"] == "less"
