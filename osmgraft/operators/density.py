@@ -945,3 +945,94 @@ SELECT CAST(d2 AS BIGINT) AS d2, CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(sum((va - b.cnt) * (va - b.cnt)) AS BIGINT) AS sum_sqdiff
 FROM lag_ex JOIN cells b ON b.cx = lag_ex.tx AND b.cy = lag_ex.ty
 GROUP BY d2"""
+
+
+def geary_c_terms(
+    cells: DataFrame, cx: str = "cx", cy: str = "cy", cnt: str = "cnt"
+) -> DataFrame:
+    """Exact integer terms of Geary's C over the observed cells with rook
+    weights (Geary 1954) — Moran's I's difference-based sibling (I
+    correlates deviations and is dominated by global structure; C sums
+    squared NEIGHBOR differences and is the more local detector; the two
+    together are the standard ESDA pair).  One row:
+
+        (n_cells, w_pairs, ssq_w, den_raw, spatial_class)
+
+    where ssq_w = Σ over ORDERED adjacent pairs of (x_i − x_j)²,
+    den_raw = n·Σx² − (Σx)² (= n·Σ(x_i − x̄)², the mean cleared), and
+        C = (n−1)·n·ssq_w / (2·w_pairs·den_raw)
+    exactly.  spatial_class compares C to its null expectation 1 by the
+    cross-multiplied inequality in DECIMAL(38)/HUGEINT: 'clustered'
+    (C < 1 — neighbors more alike than chance), 'dispersed' (C > 1),
+    'random' (exactly 1), 'degenerate' (den zero).
+
+    100 TB: same shape as morans_i_terms — two equi-joins (east + south
+    neighbors, never an OR-join), all aggs map-side combinable."""
+    c = cells.select(
+        F.col(cx).alias("cx"), F.col(cy).alias("cy"), F.col(cnt).cast("long").alias("v")
+    )
+    right = c.select(
+        F.col("cx").alias("bx"), F.col("cy").alias("by"), F.col("v").alias("vb")
+    )
+    east = c.join(right, (c["cx"] + 1 == right["bx"]) & (c["cy"] == right["by"]))
+    south = c.join(right, (c["cx"] == right["bx"]) & (c["cy"] + 1 == right["by"]))
+    diffs = east.select(
+        ((F.col("v") - F.col("vb")) * (F.col("v") - F.col("vb"))).alias("d2")
+    ).unionAll(
+        south.select(
+            ((F.col("v") - F.col("vb")) * (F.col("v") - F.col("vb"))).alias("d2")
+        )
+    )
+    num_w = diffs.agg(
+        (F.lit(2) * F.sum("d2")).cast("long").alias("ssq_w"),
+        (F.lit(2) * F.count(F.lit(1))).cast("long").alias("w_pairs"),
+    )
+    den_n = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("v") * F.col("v"))
+            - F.sum("v") * F.sum("v")
+        ).cast("long").alias("den_raw"),
+    )
+    j = den_n.crossJoin(num_w)
+    d38 = "decimal(38,0)"
+    lhs = (
+        (F.col("n_cells") - 1).cast(d38)
+        * F.col("n_cells").cast(d38)
+        * F.col("ssq_w").cast(d38)
+    )
+    rhs = F.lit(2).cast(d38) * F.col("w_pairs").cast(d38) * F.col("den_raw").cast(d38)
+    cls = (
+        F.when((F.col("den_raw") == 0) | (F.col("w_pairs") == 0), "degenerate")
+        .when(lhs < rhs, "clustered")
+        .when(lhs > rhs, "dispersed")
+        .otherwise("random")
+    )
+    return j.select(
+        "n_cells", "w_pairs", "ssq_w", "den_raw", cls.alias("spatial_class")
+    )
+
+
+def sql_geary_c_terms(cells_cte: str) -> str:
+    """DuckDB twin over the same cells CTE body (cx, cy, cnt)."""
+    return f"""WITH cells AS ({cells_cte}),
+gadj AS (
+  SELECT CAST(a.cnt AS BIGINT) AS va, CAST(b.cnt AS BIGINT) AS vb
+  FROM cells a JOIN cells b
+  ON (b.cx = a.cx + 1 AND b.cy = a.cy) OR (b.cx = a.cx AND b.cy = a.cy + 1)),
+gst AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(count(*) * sum(CAST(cnt AS BIGINT) * cnt)
+                    - sum(CAST(cnt AS BIGINT)) * sum(CAST(cnt AS BIGINT))
+                 AS BIGINT) AS den_raw
+        FROM cells),
+gnw AS (SELECT CAST(2 * COALESCE(sum((va - vb) * (va - vb)), 0) AS BIGINT) AS ssq_w,
+               CAST(2 * count(*) AS BIGINT) AS w_pairs
+        FROM gadj)
+SELECT n_cells, w_pairs, ssq_w, den_raw,
+       CASE WHEN den_raw = 0 OR w_pairs = 0 THEN 'degenerate'
+            WHEN CAST(n_cells - 1 AS HUGEINT) * n_cells * ssq_w
+                 < 2 * CAST(w_pairs AS HUGEINT) * den_raw THEN 'clustered'
+            WHEN CAST(n_cells - 1 AS HUGEINT) * n_cells * ssq_w
+                 > 2 * CAST(w_pairs AS HUGEINT) * den_raw THEN 'dispersed'
+            ELSE 'random' END AS spatial_class
+FROM gst, gnw"""

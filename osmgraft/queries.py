@@ -3888,6 +3888,30 @@ def morans_i_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return morans_i_terms(_cells_df(spark, sf_dir, 8))
 
 
+def _sql_geary() -> str:
+    from osmgraft.operators.density import sql_geary_c_terms
+
+    return (
+        f"WITH pts AS ({_PTS}), outer_q AS (\n"
+        f"{sql_geary_c_terms(_sql_cells(8))}\n) SELECT * FROM outer_q"
+    )
+
+
+@register("geary_c_z8", _sql_geary())
+def geary_c_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Geary's C over the observed z8 cells with rook weights
+    (operators/density.geary_c_terms, Geary 1954) — Moran's I's
+    difference-based sibling, completing the global ESDA pair: exact
+    integer ssq_w = Σ(xᵢ−xⱼ)² over adjacent pairs and the mean-cleared
+    den_raw = nΣx² − (Σx)², with C = (n−1)·n·ssq_w / (2W·den_raw) and a
+    clustered/dispersed/random class decided against the null C = 1 by a
+    cross-multiplied DECIMAL(38)/HUGEINT compare.  Same two-equi-join
+    adjacency shape as morans_i_z8 (never an OR-join)."""
+    from osmgraft.operators.density import geary_c_terms
+
+    return geary_c_terms(_cells_df(spark, sf_dir, 8))
+
+
 def _sql_regions() -> str:
     from osmgraft.operators.density import sql_grid_regions
 

@@ -434,3 +434,39 @@ def test_variogram_pair_count_law(spark):
         n, s = want.get(d2, (0, 0))
         want[d2] = (n + 1, s + (cells[a] - cells[b]) ** 2)
     assert got == want
+
+
+# --- Geary's C ----------------------------------------------------------------
+def test_geary_c_matches_float_reference_and_classes(spark):
+    """Exact terms == textbook float C; a smooth gradient classes
+    clustered, a checkerboard disperses."""
+    from osmgraft.operators.density import geary_c_terms
+
+    def run(cells):
+        df = spark.createDataFrame(cells, "cx long, cy long, cnt long")
+        return geary_c_terms(df).collect()[0]
+
+    def ref_c(cells):
+        vals = {(x, y): v for x, y, v in cells}
+        n = len(vals)
+        xbar = sum(vals.values()) / n
+        w = num = 0
+        for (x, y), v in vals.items():
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                if (x + dx, y + dy) in vals:
+                    w += 1
+                    num += (v - vals[(x + dx, y + dy)]) ** 2
+        den = sum((v - xbar) ** 2 for v in vals.values())
+        return (n - 1) * num / (2 * w * den)
+
+    grad = [(x, y, 10 * x + y) for x in range(5) for y in range(5)]
+    board = [(x, y, 100 if (x + y) % 2 else 1) for x in range(5) for y in range(5)]
+    for cells, want_cls in ((grad, "clustered"), (board, "dispersed")):
+        r = run(cells)
+        c_float = (r["n_cells"] - 1) * r["n_cells"] * r["ssq_w"] / (
+            2 * r["w_pairs"] * r["den_raw"]
+        )
+        assert abs(c_float - ref_c(cells)) < 1e-12
+        assert r["spatial_class"] == want_cls
+    flat = [(x, y, 7) for x in range(3) for y in range(3)]
+    assert run(flat)["spatial_class"] == "degenerate"
