@@ -2000,3 +2000,114 @@ SELECT ga, gb, n_a, n_b, u2,
                        ELSE 'same' END)
             ELSE 'same' END AS shift
 FROM mw"""
+
+
+def siegel_slope(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str = "day",
+    val_col: str = "cnt",
+    max_dx: int = 30,
+) -> DataFrame:
+    """Siegel repeated-median slope per key group (Siegel Biometrika
+    1982) — the 50 %-BREAKDOWN member completing the robust-trend ladder
+    (OLS breaks at 0 %, Theil–Sen at 29 %, the repeated median holds to
+    half the data being corrupt): per observation i the MEDIAN over j≠i
+    of slope(i, j), then the MEDIAN over i of those medians.
+
+    Exactness is the theil_sen discipline: every slope is the exact
+    int64 key dy'·(lcm(1..30) // |dx|) with dy' sign-folded so the key
+    equals slope·lcm regardless of pair order; both median layers are
+    lower medians (position (P+1)//2) over exact keys — no IEEE
+    anywhere, bitwise at any parallelism.  Emits (keys…, n_obs,
+    slope_num, slope_den = lcm); groups with < 2 observations are
+    omitted; tick gaps beyond ``max_dx`` raise in BOTH engines.
+
+    100 TB: the i×j explosion runs on the per-(key, tick) AGGREGATE
+    (≤ 30·29 ordered pairs per key), two window medians."""
+    if max_dx > 30:
+        raise ValueError("max_dx beyond 30 needs a larger lcm constant")
+    obs = df.select(*keys, F.col(order_col).alias("_t"), F.col(val_col).alias("_v"))
+    right = obs.select(*keys, F.col("_t").alias("_t2"), F.col("_v").alias("_v2"))
+    dx = F.col("_t2") - F.col("_t")
+    dy = F.col("_v2") - F.col("_v")
+    dys = F.when(dx < 0, -dy).otherwise(dy)
+    dxa = F.abs(dx)
+    key = dys * F.when(
+        dxa <= max_dx, F.expr(f"{_LCM_1_30} div abs(_t2 - _t)")
+    ).otherwise(F.raise_error(f"siegel_slope: tick gap > {max_dx}").cast("long"))
+    pairs = (
+        obs.join(right, keys)
+        .filter(F.col("_t") != F.col("_t2"))
+        .select(*keys, "_t", key.alias("_key"))
+    )
+    wi = Window.partitionBy(*keys, "_t").orderBy("_key")
+    med_i = (
+        pairs.select(
+            *keys,
+            "_t",
+            "_key",
+            F.row_number().over(wi).alias("_rn"),
+            F.count(F.lit(1)).over(Window.partitionBy(*keys, "_t")).alias("_np"),
+        )
+        .filter(F.col("_rn") == F.expr("(_np + 1) div 2"))
+        .select(*keys, F.col("_key").alias("_med"))
+    )
+    wk = Window.partitionBy(*keys).orderBy("_med")
+    final = (
+        med_i.select(
+            *keys,
+            "_med",
+            F.row_number().over(wk).alias("_rn"),
+            F.count(F.lit(1)).over(Window.partitionBy(*keys)).alias("_nm"),
+        )
+        .filter(F.col("_rn") == F.expr("(_nm + 1) div 2"))
+        .select(
+            *keys,
+            F.col("_nm").cast("long").alias("n_obs"),
+            F.col("_med").cast("long").alias("slope_num"),
+            F.lit(_LCM_1_30).cast("long").alias("slope_den"),
+        )
+    )
+    return final
+
+
+def sql_siegel_slope(
+    counts_cte: str,
+    keys: list[str],
+    order_col: str = "day",
+    val_col: str = "cnt",
+    max_dx: int = 30,
+) -> str:
+    """DuckDB twin of :func:`siegel_slope` — same sign-folded keys and
+    two lower-median layers."""
+    ks = ", ".join(keys)
+    on = " AND ".join(f"a.{k} = b.{k}" for k in keys)
+    aks = ", ".join(f"a.{k}" for k in keys)
+    return f"""counts AS ({counts_cte}),
+sg_pairs AS (
+  SELECT {aks}, a.{order_col} AS t,
+         (CASE WHEN b.{order_col} < a.{order_col}
+               THEN a.{val_col} - b.{val_col}
+               ELSE b.{val_col} - a.{val_col} END)
+           * (CASE WHEN abs(b.{order_col} - a.{order_col}) > {max_dx}
+                   THEN CAST(error('siegel_slope: tick gap > {max_dx}') AS BIGINT)
+                   ELSE {_LCM_1_30} // abs(b.{order_col} - a.{order_col}) END)
+           AS key
+  FROM counts a JOIN counts b ON {on} AND a.{order_col} <> b.{order_col}),
+sg_medi AS (
+  SELECT {ks}, key AS med FROM (
+    SELECT {ks}, t, key,
+           row_number() OVER (PARTITION BY {ks}, t ORDER BY key) AS rn,
+           count(*) OVER (PARTITION BY {ks}, t) AS np
+    FROM sg_pairs)
+  WHERE rn = (np + 1) // 2),
+sg AS (
+  SELECT {ks}, CAST(nm AS BIGINT) AS n_obs, CAST(med AS BIGINT) AS slope_num,
+         CAST({_LCM_1_30} AS BIGINT) AS slope_den
+  FROM (
+    SELECT {ks}, med,
+           row_number() OVER (PARTITION BY {ks} ORDER BY med) AS rn,
+           count(*) OVER (PARTITION BY {ks}) AS nm
+    FROM sg_medi)
+  WHERE rn = (nm + 1) // 2)"""

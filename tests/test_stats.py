@@ -1092,3 +1092,52 @@ def test_mann_whitney_matches_brute_force(spark):
     assert got[("a", "b")]["shift"] == "same"
     assert got[("a", "c")]["shift"] == "less"   # c runs higher -> a < c
     assert got[("b", "c")]["shift"] == "less"
+
+
+def _siegel_ref(series, lcm=2329089562800):
+    """Fraction repeated-median reference with the lower-median pick."""
+    from fractions import Fraction
+
+    def lower_median(xs):
+        xs = sorted(xs)
+        return xs[(len(xs) + 1) // 2 - 1]
+
+    meds = []
+    for t1, v1 in series:
+        slopes = [
+            Fraction(v2 - v1, t2 - t1) for t2, v2 in series if t2 != t1
+        ]
+        meds.append(lower_median(slopes))
+    return lower_median(meds) * lcm
+
+
+def test_siegel_matches_fraction_reference(spark):
+    from osmgraft.operators.stats import siegel_slope
+
+    import numpy as np
+
+    rng = np.random.default_rng(59)
+    rows, refs = [], {}
+    for g in range(1, 6):
+        series = [(t, int(rng.integers(0, 60))) for t in range(5 + g * 3)]
+        rows += [(g, t, v) for t, v in series]
+        refs[g] = _siegel_ref(series)
+    df = spark.createDataFrame(rows, "g long, day long, cnt long")
+    got = {r["g"]: r for r in siegel_slope(df, ["g"]).collect()}
+    for g, want in refs.items():
+        assert got[g]["slope_num"] == want, g
+        assert got[g]["slope_den"] == 2329089562800
+
+
+def test_siegel_survives_half_corruption(spark):
+    """A clean slope-2 line with just under half the points replaced by
+    wild outliers still recovers slope 2 — the 50% breakdown property
+    Theil–Sen lacks (TS needs a majority of clean PAIRS, not points)."""
+    from osmgraft.operators.stats import siegel_slope
+
+    clean = [(t, 2 * t + 5) for t in range(11)]
+    wild = [(t, 10_000 + 137 * t) for t in range(11, 16)]  # 5 of 16 corrupt
+    rows = [(1, t, v) for t, v in clean + wild]
+    df = spark.createDataFrame(rows, "g long, day long, cnt long")
+    (r,) = siegel_slope(df, ["g"]).collect()
+    assert r["slope_num"] == 2 * r["slope_den"]
