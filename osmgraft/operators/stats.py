@@ -2111,3 +2111,109 @@ sg AS (
            count(*) OVER (PARTITION BY {ks}) AS nm
     FROM sg_medi)
   WHERE rn = (nm + 1) // 2)"""
+
+
+def runs_test(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str = "day",
+    val_col: str = "cnt",
+    z2: int = 4,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test per key group (Wald & Wolfowitz 1940) —
+    the RANDOMNESS screen of the temporal family: dichotomize the series
+    at its own exact lower median (values strictly above → '+', at or
+    below → '−'), count the runs R, and test against the number expected
+    from an exchangeable sequence.  Too FEW runs = trending/sticky; too
+    MANY = oscillating/overdispersed; in between = consistent with
+    random order.
+
+    With n₁ pluses, n₂ minuses, n = n₁+n₂: E[R] = 1 + 2n₁n₂/n and
+    Var[R] = 2n₁n₂(2n₁n₂−n) / (n²(n−1)); |R−E| ≥ z·σ clears to
+
+        ((R−1)·n − 2n₁n₂)² · (n−1) ≥ 2z²·n₁n₂·(2n₁n₂−n)
+
+    — exact int64 at tick-rollup sizes.  Emits (keys…, n_obs, n_plus,
+    n_runs, run_class ∈ {'sticky','oscillating','random','degenerate'})
+    (degenerate when either side is empty — Var undefined).
+
+    100 TB: one window median + one lag scan per key on the AGGREGATE."""
+    w = Window.partitionBy(*keys).orderBy("_v")
+    obs = df.select(*keys, F.col(order_col).alias("_t"), F.col(val_col).alias("_v"))
+    ranked = obs.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    )
+    med = ranked.filter(F.col("_rn") == F.expr("(_n + 1) div 2")).select(
+        *keys, F.col("_v").alias("_med")
+    )
+    signed = obs.join(med, keys).select(
+        *keys, "_t", (F.col("_v") > F.col("_med")).cast("int").alias("_s")
+    )
+    wt = Window.partitionBy(*keys).orderBy("_t")
+    runs = signed.withColumn("_prev", F.lag("_s").over(wt)).groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("_s").cast("long").alias("n_plus"),
+        (
+            F.sum(
+                (F.col("_prev").isNull() | (F.col("_s") != F.col("_prev"))).cast("long")
+            )
+        ).cast("long").alias("n_runs"),
+    )
+    n1 = F.col("n_plus")
+    n2 = F.col("n_obs") - F.col("n_plus")
+    n = F.col("n_obs")
+    a = (F.col("n_runs") - 1) * n - 2 * n1 * n2
+    sig = a * a * (n - 1) >= F.lit(2 * z2) * n1 * n2 * (2 * n1 * n2 - n)
+    cls = (
+        F.when((n1 == 0) | (n2 == 0), "degenerate")
+        .when(sig & (a < 0), "sticky")
+        .when(sig & (a > 0), "oscillating")
+        .otherwise("random")
+    )
+    return runs.select(*keys, "n_obs", "n_plus", "n_runs", cls.alias("run_class"))
+
+
+def sql_runs_test(
+    counts_cte: str,
+    keys: list[str],
+    order_col: str = "day",
+    val_col: str = "cnt",
+    z2: int = 4,
+) -> str:
+    """DuckDB twin of :func:`runs_test` — same median split, lag scan and
+    cleared inequality."""
+    ks = ", ".join(keys)
+    return f"""counts AS ({counts_cte}),
+rt_med AS (
+  SELECT {ks}, v AS med FROM (
+    SELECT {ks}, {val_col} AS v,
+           row_number() OVER (PARTITION BY {ks} ORDER BY {val_col}) AS rn,
+           count(*) OVER (PARTITION BY {ks}) AS n
+    FROM counts)
+  WHERE rn = (n + 1) // 2),
+rt_signed AS (
+  SELECT {ks}, c.{order_col} AS t,
+         CASE WHEN c.{val_col} > m.med THEN 1 ELSE 0 END AS s
+  FROM counts c JOIN rt_med m USING ({ks})),
+rt_runs AS (
+  SELECT {ks}, CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(sum(s) AS BIGINT) AS n_plus,
+         CAST(sum(CASE WHEN prev IS NULL OR s <> prev THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_runs
+  FROM (SELECT {ks}, s,
+               lag(s) OVER (PARTITION BY {ks} ORDER BY t) AS prev
+        FROM rt_signed)
+  GROUP BY {ks}),
+rt AS (
+  SELECT {ks}, n_obs, n_plus, n_runs,
+         CASE WHEN n_plus = 0 OR n_obs - n_plus = 0 THEN 'degenerate'
+              WHEN ((n_runs - 1) * n_obs - 2 * n_plus * (n_obs - n_plus))
+                   * ((n_runs - 1) * n_obs - 2 * n_plus * (n_obs - n_plus))
+                   * (n_obs - 1)
+                   >= {2 * z2} * n_plus * (n_obs - n_plus)
+                      * (2 * n_plus * (n_obs - n_plus) - n_obs)
+              THEN (CASE WHEN (n_runs - 1) * n_obs
+                              < 2 * n_plus * (n_obs - n_plus)
+                         THEN 'sticky' ELSE 'oscillating' END)
+              ELSE 'random' END AS run_class
+  FROM rt_runs)"""

@@ -8344,6 +8344,47 @@ def tile_pettitt_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pettitt(counts, ["tx", "ty"])
 
 
+def _sql_runs() -> str:
+    from osmgraft.operators.stats import sql_runs_test
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("event_id")
+    counts = f"""SELECT {tiles.sql_tile_x(f'({lon})', 5)} AS tx,
+         {tiles.sql_tile_y(f'({lat})', 5)} AS ty,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2, 3"""
+    return "WITH " + sql_runs_test(counts, ["tx", "ty"]) + "\nSELECT * FROM rt"
+
+
+@register("tile_runs_test_z5", _sql_runs())
+def tile_runs_test_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test per z5 tile (operators/stats.runs_test,
+    1940) over the tile-day rollup — the RANDOMNESS screen of the
+    temporal family (MK asks monotone?, Pettitt asks where?, this asks
+    "is the day-to-day ORDER even exchangeable?"): dichotomize at the
+    tile's own exact lower median, count runs, and class sticky /
+    oscillating / random by the root-cleared inequality
+    ((R−1)n − 2n₁n₂)²(n−1) ≥ 2z²n₁n₂(2n₁n₂−n) — exact int64.
+
+    100 TB: one window median + one lag scan per tile on the AGGREGATE."""
+    from osmgraft.operators.stats import runs_test
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+
+    ev = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    lat, lon = latlon_of_key(F.col("event_id"))
+    counts = (
+        ev.select(
+            tiles.tile_x(lon, 5).alias("tx"),
+            tiles.tile_y(lat, 5).alias("ty"),
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        )
+        .groupBy("tx", "ty", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return runs_test(counts, ["tx", "ty"])
+
+
 def _sql_siegel() -> str:
     from osmgraft.operators.stats import sql_siegel_slope
     from osmgraft.synth import sql_latlon_of_key

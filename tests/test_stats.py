@@ -1141,3 +1141,44 @@ def test_siegel_survives_half_corruption(spark):
     df = spark.createDataFrame(rows, "g long, day long, cnt long")
     (r,) = siegel_slope(df, ["g"]).collect()
     assert r["slope_num"] == 2 * r["slope_den"]
+
+
+def test_runs_test_reference_and_classes(spark):
+    """Exact class == the float z-test; a monotone ramp is maximally
+    sticky (2 runs), a perfect alternation maximally oscillating."""
+    import math
+
+    from osmgraft.operators.stats import runs_test
+
+    import numpy as np
+
+    rng = np.random.default_rng(61)
+    fixtures = {
+        1: [int(v) for v in rng.integers(0, 100, 24)],        # random-ish
+        2: list(range(24)),                                    # ramp: 2 runs
+        3: [5 if t % 2 else 95 for t in range(24)],            # alternation
+        4: [7] * 10,                                           # constant
+    }
+    rows = [(g, t, v) for g, vals in fixtures.items() for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g long, day long, cnt long")
+    got = {r["g"]: r for r in runs_test(df, ["g"]).collect()}
+    for g, vals in fixtures.items():
+        med = sorted(vals)[(len(vals) + 1) // 2 - 1]
+        s = [1 if v > med else 0 for v in vals]
+        n1 = sum(s)
+        n2 = len(s) - n1
+        runs = 1 + sum(1 for a, b in zip(s, s[1:]) if a != b)
+        r = got[g]
+        assert (r["n_obs"], r["n_plus"], r["n_runs"]) == (len(s), n1, runs), g
+        if n1 == 0 or n2 == 0:
+            assert r["run_class"] == "degenerate"
+            continue
+        n = len(s)
+        e = 1 + 2 * n1 * n2 / n
+        var = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+        z = (runs - e) / math.sqrt(var)
+        want = "sticky" if z <= -2 else ("oscillating" if z >= 2 else "random")
+        assert r["run_class"] == want, (g, z)
+    assert got[2]["run_class"] == "sticky" and got[2]["n_runs"] == 2
+    assert got[3]["run_class"] == "oscillating"
+    assert got[4]["run_class"] == "degenerate"
