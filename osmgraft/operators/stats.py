@@ -2217,3 +2217,67 @@ rt AS (
                          THEN 'sticky' ELSE 'oscillating' END)
               ELSE 'random' END AS run_class
   FROM rt_runs)"""
+
+
+def tukey_outliers(
+    df: DataFrame,
+    keys: list[str],
+    val_col: str = "cnt",
+) -> DataFrame:
+    """Tukey-fence outlier screen per key group (Tukey, Exploratory Data
+    Analysis 1977 — the boxplot rule): quartiles by the repo's exact
+    discrete-quantile convention (k = max(1, ceil(q·n)), the
+    quantile_disc rank), and the 1.5·IQR fences cleared of their halves:
+
+        low  outlier ⟺ 2·v < 5·q1 − 3·q3
+        high outlier ⟺ 2·v > 5·q3 − 3·q1
+
+    — exact int64, no 1.5 ever floats.  Emits (keys…, n_obs, q1, q3,
+    n_low, n_high): the burst-day/dead-day counter that complements
+    cusum_bursts (sequential detector) with a distributional screen.
+
+    100 TB: one window rank per key on the AGGREGATE + one conditional
+    re-aggregate; zero IEEE."""
+    w = Window.partitionBy(*keys).orderBy("_v")
+    obs = (
+        df.select(*keys, F.col(val_col).alias("_v"))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+    )
+    q1 = obs.filter(F.col("_rn") == F.expr("greatest(1L, (250 * _n + 999) div 1000)")).select(
+        *keys, F.col("_v").alias("q1")
+    )
+    q3 = obs.filter(F.col("_rn") == F.expr("greatest(1L, (750 * _n + 999) div 1000)")).select(
+        *keys, F.col("_v").alias("q3")
+    )
+    j = obs.join(q1, keys).join(q3, keys)
+    low = 2 * F.col("_v") < 5 * F.col("q1") - 3 * F.col("q3")
+    high = 2 * F.col("_v") > 5 * F.col("q3") - 3 * F.col("q1")
+    return j.groupBy(*keys, "q1", "q3").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(low.cast("long")).cast("long").alias("n_low"),
+        F.sum(high.cast("long")).cast("long").alias("n_high"),
+    ).select(*keys, "n_obs", "q1", "q3", "n_low", "n_high")
+
+
+def sql_tukey_outliers(counts_cte: str, keys: list[str], val_col: str = "cnt") -> str:
+    """DuckDB twin of :func:`tukey_outliers` — same rank convention and
+    cleared fences."""
+    ks = ", ".join(keys)
+    return f"""counts AS ({counts_cte}),
+tk_r AS (
+  SELECT {ks}, {val_col} AS v,
+         row_number() OVER (PARTITION BY {ks} ORDER BY {val_col}) AS rn,
+         count(*) OVER (PARTITION BY {ks}) AS n
+  FROM counts),
+tk_q1 AS (SELECT {ks}, v AS q1 FROM tk_r
+          WHERE rn = greatest(1, (250 * n + 999) // 1000)),
+tk_q3 AS (SELECT {ks}, v AS q3 FROM tk_r
+          WHERE rn = greatest(1, (750 * n + 999) // 1000)),
+tk AS (
+  SELECT {ks}, CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(any_value(q1) AS BIGINT) AS q1, CAST(any_value(q3) AS BIGINT) AS q3,
+         CAST(sum(CASE WHEN 2 * v < 5 * q1 - 3 * q3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+         CAST(sum(CASE WHEN 2 * v > 5 * q3 - 3 * q1 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+  FROM tk_r JOIN tk_q1 USING ({ks}) JOIN tk_q3 USING ({ks})
+  GROUP BY {ks})"""

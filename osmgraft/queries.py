@@ -8344,6 +8344,47 @@ def tile_pettitt_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pettitt(counts, ["tx", "ty"])
 
 
+def _sql_tukey() -> str:
+    from osmgraft.operators.stats import sql_tukey_outliers
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("event_id")
+    counts = f"""SELECT {tiles.sql_tile_x(f'({lon})', 5)} AS tx,
+         {tiles.sql_tile_y(f'({lat})', 5)} AS ty,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2, 3"""
+    return "WITH " + sql_tukey_outliers(counts, ["tx", "ty"]) + "\nSELECT * FROM tk"
+
+
+@register("tile_tukey_outlier_days_z5", _sql_tukey())
+def tile_tukey_outlier_days_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier days per z5 tile (operators/stats.
+    tukey_outliers, EDA 1977 boxplot rule) over the tile-day rollup:
+    exact discrete quartiles (the quantile_disc rank convention the
+    percentile family already pins) and the 1.5·IQR fences cleared to
+    2v < 5q1 − 3q3 / 2v > 5q3 − 3q1 — the distributional burst/dead-day
+    counter beside cusum_bursts' sequential detector.  Exact int64.
+
+    100 TB: one window rank per tile on the AGGREGATE + one conditional
+    re-aggregate."""
+    from osmgraft.operators.stats import tukey_outliers
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+
+    ev = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    lat, lon = latlon_of_key(F.col("event_id"))
+    counts = (
+        ev.select(
+            tiles.tile_x(lon, 5).alias("tx"),
+            tiles.tile_y(lat, 5).alias("ty"),
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        )
+        .groupBy("tx", "ty", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return tukey_outliers(counts, ["tx", "ty"])
+
+
 def _sql_runs() -> str:
     from osmgraft.operators.stats import sql_runs_test
     from osmgraft.synth import sql_latlon_of_key

@@ -1182,3 +1182,29 @@ def test_runs_test_reference_and_classes(spark):
     assert got[2]["run_class"] == "sticky" and got[2]["n_runs"] == 2
     assert got[3]["run_class"] == "oscillating"
     assert got[4]["run_class"] == "degenerate"
+
+
+def test_tukey_outliers_reference(spark):
+    """Cleared fences == the float 1.5*IQR rule under the shared rank
+    convention; a planted burst day is counted high, a dead day low."""
+    from osmgraft.operators.stats import tukey_outliers
+
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(67)
+    base = [int(v) for v in rng.integers(40, 60, 26)]
+    vals = base + [500, 480, 0]  # two bursts, one dead day
+    rows = [(1, v) for v in vals]
+    df = spark.createDataFrame(rows, "g long, cnt long")
+    (r,) = tukey_outliers(df, ["g"]).collect()
+    s = sorted(vals)
+    n = len(s)
+    q1 = s[max(1, math.ceil(250 * n / 1000)) - 1]
+    q3 = s[max(1, math.ceil(750 * n / 1000)) - 1]
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    assert (r["q1"], r["q3"]) == (q1, q3)
+    assert r["n_low"] == sum(1 for v in vals if v < lo)
+    assert r["n_high"] == sum(1 for v in vals if v > hi)
+    assert r["n_high"] == 2 and r["n_low"] == 1
