@@ -4305,3 +4305,84 @@ ab AS (
 SELECT concat('aud', lpad(CAST(zc.idx AS VARCHAR), 9, '0')) AS media_id,
        CAST(zc.win AS BIGINT) AS window_idx, zc.zcr, ab.abs_sum
 FROM zc JOIN ab ON zc.idx = ab.idx AND zc.win = ab.win"""
+
+
+def image_glcm_features(images: DataFrame, on_error: str = "fail") -> DataFrame:
+    """Gray-level co-occurrence texture features (Haralick, Shanmugam &
+    Dinstein 1973 — the classic GLCM family, LBP's statistical sibling):
+    luma quantized to 16 levels (luma >> 4), co-occurrence counted at the
+    single offset (dx, dy) = (1, 0) (east neighbor, ordered), and the two
+    division-free Haralick features emitted exactly:
+
+        contrast = Σ_{i,j} c(i,j)·(i−j)²   (= Σ over pixel pairs (la−lb)²)
+        energy_num = Σ_{i,j} c(i,j)²        (angular second moment × n²)
+
+    plus n_pairs so the consumer can normalize (energy = energy_num /
+    n_pairs²).  All exact int64.  Emits (image_id, n_pairs, contrast,
+    energy_num).
+
+    Map-only mapInArrow: one shifted subtraction for contrast, one 2-D
+    bincount for the energy histogram.  Corrupt payloads under
+    on_error='null' emit NULLs; w < 2 images emit zeros."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        names = ["image_id", "n_pairs", "contrast", "energy_num"]
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            ids = rb.column("image_id").take(sel)
+            k = len(ids)
+            if px is None:
+                nul = pa.array([None] * k, type=pa.int64())
+                yield pa.RecordBatch.from_arrays([ids, nul, nul, nul], names)
+                continue
+            if w < 2:
+                zer = pa.array(np.zeros(k, np.int64))
+                yield pa.RecordBatch.from_arrays([ids, zer, zer, zer], names)
+                continue
+            p = px.astype(np.int64)
+            luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+            q = luma >> 4  # 16 levels
+            a, b = q[:, :, :-1], q[:, :, 1:]
+            contrast = ((a - b) ** 2).sum(axis=(1, 2))
+            # 2-D histogram per image via one flat bincount
+            pair_codes = (
+                np.arange(k, dtype=np.int64)[:, None, None] * 256 + a * 16 + b
+            ).reshape(-1)
+            hist = np.bincount(pair_codes, minlength=k * 256).reshape(k, 256)
+            energy = (hist * hist).sum(axis=1)
+            n_pairs = np.full(k, h * (w - 1), np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(n_pairs),
+                    pa.array(contrast.astype(np.int64)),
+                    pa.array(energy.astype(np.int64)),
+                ],
+                names,
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
+        kernel, "image_id string, n_pairs long, contrast long, energy_num long"
+    )
+
+
+def sql_image_glcm_features(idx_cte: str, max_h: int = 18, max_w: int = 32) -> str:
+    """DuckDB twin: closed-form luma at (y, x) and (y, x+1), quantized
+    >>4; contrast directly, energy through the relational co-occurrence
+    histogram."""
+    la = f"({_sql_luma_at(0, 0)} >> 4)"
+    lb = f"({_sql_luma_at(0, 1)} >> 4)"
+    return f"""WITH idxs AS ({idx_cte}),
+dims AS (SELECT idx, 16 + (idx % 3) * 8 AS w, 12 + (idx % 2) * 6 AS h FROM idxs),
+gl_pairs AS (
+  SELECT idx, {la} AS la, {lb} AS lb
+  FROM dims
+  CROSS JOIN range(0, {max_h}) ty(y) CROSS JOIN range(0, {max_w - 1}) tx(x)
+  WHERE y < h AND x < w - 1),
+gl_hist AS (
+  SELECT idx, la, lb, CAST(count(*) AS BIGINT) AS c
+  FROM gl_pairs GROUP BY 1, 2, 3)
+SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
+       CAST(sum(c) AS BIGINT) AS n_pairs,
+       CAST(sum(c * (la - lb) * (la - lb)) AS BIGINT) AS contrast,
+       CAST(sum(c * c) AS BIGINT) AS energy_num
+FROM gl_hist GROUP BY idx"""

@@ -6605,6 +6605,31 @@ def image_gradient_rose_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_gradient_rose(imgs)
 
 
+def _sql_glcm() -> str:
+    from osmgraft.operators.multimodal import sql_image_glcm_features
+
+    return sql_image_glcm_features(_FIMG_IDX_CTE.format(n=250))
+
+
+@register("image_glcm_features", _sql_glcm())
+def image_glcm_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLCM texture features per image (operators/multimodal.
+    image_glcm_features, Haralick et al. 1973): east-neighbor
+    co-occurrence over 16-level quantized luma, the division-free pair
+    contrast = Σc(i,j)(i−j)² and energy_num = Σc(i,j)² exact — the
+    STATISTICAL texture family beside image_lbp_uniform's structural
+    codes (LBP sees micro-patterns; GLCM sees the level-pair
+    distribution).  Twin replays the histogram relationally from the
+    closed-form pixels.  100 TB: map-only mapInArrow."""
+    from osmgraft.operators.multimodal import image_glcm_features
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 250)
+    imgs = ensure_min_parallelism(synth_formula_images(spark, n))
+    return image_glcm_features(imgs)
+
+
 def _sql_dither() -> str:
     from osmgraft.operators.multimodal import sql_image_dither_bayer
 

@@ -117,3 +117,42 @@ def test_dither_extremes_and_mean_level(spark):
     assert out["t1"]["n_on"] == 64
     # luma 120 >= T for T in {8,24,...,120} -> 8 of 16 cells on
     assert out["t2"]["n_on"] == 64 * 8 // 16
+
+
+# --- GLCM texture features ---------------------------------------------------
+def test_glcm_matches_double_loop(spark):
+    from osmgraft.operators.multimodal import image_glcm_features
+
+    rng = np.random.default_rng(19)
+    px = rng.integers(0, 256, (6, 9, 3))
+    out = image_glcm_features(_raw_rows(spark, [px])).collect()[0]
+    p = px.astype(np.int64)
+    luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+    q = luma >> 4
+    hist = {}
+    contrast = 0
+    for y in range(6):
+        for x in range(8):
+            a, b = int(q[y, x]), int(q[y, x + 1])
+            contrast += (a - b) ** 2
+            hist[(a, b)] = hist.get((a, b), 0) + 1
+    assert out["n_pairs"] == 6 * 8
+    assert out["contrast"] == contrast
+    assert out["energy_num"] == sum(c * c for c in hist.values())
+
+
+def test_glcm_flat_vs_noise(spark):
+    """A flat image maximizes energy (all pairs identical) with zero
+    contrast; uniform noise minimizes energy and has positive contrast."""
+    from osmgraft.operators.multimodal import image_glcm_features
+
+    flat = np.full((8, 8, 3), 100, np.uint8)
+    rng = np.random.default_rng(29)
+    noise = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    out = {r["image_id"]: r for r in image_glcm_features(
+        _raw_rows(spark, [flat, noise])).collect()}
+    np_pairs = 8 * 7
+    assert out["t0"]["contrast"] == 0
+    assert out["t0"]["energy_num"] == np_pairs * np_pairs
+    assert out["t1"]["contrast"] > 0
+    assert out["t1"]["energy_num"] < out["t0"]["energy_num"]
