@@ -4386,3 +4386,102 @@ SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
        CAST(sum(c * (la - lb) * (la - lb)) AS BIGINT) AS contrast,
        CAST(sum(c * c) AS BIGINT) AS energy_num
 FROM gl_hist GROUP BY idx"""
+
+
+def image_hist_equalize(images: DataFrame, on_error: str = "fail") -> DataFrame:
+    """Per-image histogram equalization of the luma channel (Gonzalez &
+    Woods' textbook integer recipe): with cdf(v) the cumulative luma
+    histogram and cdf_min its smallest nonzero value,
+
+        v' = (cdf(v) − cdf_min) · 255 div (n_px − cdf_min)
+
+    — the standard 8-bit remap, EXACT (one integer floor division whose
+    operands both engines share).  Rather than ship pixels, each image
+    emits the remapped plane's exact moments (n_px, sum_eq, ssq_eq,
+    wsum_eq) with the positional weight y·131 + x·137 + 1 pinning every
+    remapped value's location — decode, histogram, CDF and remap all on
+    one hash.  The contrast-enhancement member of the image chain
+    (quantize → dither → EQUALIZE); tile_equalize_z9 is its raster-tile
+    sibling.  Degenerate single-level images (n_px = cdf_min) map to 0.
+
+    Map-only mapInArrow: per chunk one bincount + cumsum + gather.
+    Corrupt payloads under on_error='null' emit NULLs."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        names = ["image_id", "n_px", "sum_eq", "ssq_eq", "wsum_eq"]
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            ids = rb.column("image_id").take(sel)
+            k = len(ids)
+            if px is None:
+                nul = pa.array([None] * k, type=pa.int64())
+                yield pa.RecordBatch.from_arrays([ids, nul, nul, nul, nul], names)
+                continue
+            p = px.astype(np.int64)
+            luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+            n = h * w
+            codes = (np.arange(k, dtype=np.int64)[:, None, None] * 256 + luma).reshape(-1)
+            hist = np.bincount(codes, minlength=k * 256).reshape(k, 256)
+            cdf = hist.cumsum(axis=1)
+            # smallest nonzero cdf value = cdf at the first occupied level
+            first = (hist > 0).argmax(axis=1)
+            cdf_min = cdf[np.arange(k), first]
+            den = np.maximum(n - cdf_min, 1)
+            lut = (cdf - cdf_min[:, None]) * 255 // den[:, None]
+            lut = np.clip(lut, 0, 255)
+            eq = np.take_along_axis(
+                lut, luma.reshape(k, -1), axis=1
+            ).reshape(k, h, w)
+            wgt = (
+                np.arange(h, dtype=np.int64)[:, None] * 131
+                + np.arange(w, dtype=np.int64)[None, :] * 137
+                + 1
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(np.full(k, n, np.int64)),
+                    pa.array(eq.sum(axis=(1, 2)).astype(np.int64)),
+                    pa.array((eq * eq).sum(axis=(1, 2)).astype(np.int64)),
+                    pa.array((eq * wgt[None, :, :]).sum(axis=(1, 2)).astype(np.int64)),
+                ],
+                names,
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
+        kernel, "image_id string, n_px long, sum_eq long, ssq_eq long, wsum_eq long"
+    )
+
+
+def sql_image_hist_equalize(idx_cte: str, max_h: int = 18, max_w: int = 32) -> str:
+    """DuckDB twin: relational luma histogram → window CDF → the same
+    integer remap, from the closed-form pixels."""
+    luma = _sql_luma_at(0, 0)
+    return f"""WITH idxs AS ({idx_cte}),
+dims AS (SELECT idx, 16 + (idx % 3) * 8 AS w, 12 + (idx % 2) * 6 AS h FROM idxs),
+he_px AS (
+  SELECT idx, y, x, {luma} AS v, w * h AS n
+  FROM dims
+  CROSS JOIN range(0, {max_h}) ty(y) CROSS JOIN range(0, {max_w}) tx(x)
+  WHERE y < h AND x < w),
+he_h AS (SELECT idx, v, n, CAST(count(*) AS BIGINT) AS c
+         FROM he_px GROUP BY 1, 2, 3),
+he_c AS (
+  SELECT idx, v, n,
+         sum(c) OVER (PARTITION BY idx ORDER BY v ROWS UNBOUNDED PRECEDING) AS cdf,
+         min(CASE WHEN c > 0 THEN v END) OVER (PARTITION BY idx) AS vmin
+  FROM he_h),
+he_lut AS (
+  SELECT c.idx, c.v,
+         least(greatest((c.cdf - m.cdfmin) * 255
+                        // greatest(c.n - m.cdfmin, 1), 0), 255) AS ev
+  FROM he_c c JOIN (
+    SELECT idx, min(cdf) AS cdfmin FROM he_c GROUP BY idx) m ON m.idx = c.idx),
+he_eq AS (
+  SELECT p.idx, p.y, p.x, l.ev
+  FROM he_px p JOIN he_lut l ON l.idx = p.idx AND l.v = p.v)
+SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
+       count(*) AS n_px,
+       CAST(sum(ev) AS BIGINT) AS sum_eq,
+       CAST(sum(ev * ev) AS BIGINT) AS ssq_eq,
+       CAST(sum(ev * (y * 131 + x * 137 + 1)) AS BIGINT) AS wsum_eq
+FROM he_eq GROUP BY idx"""

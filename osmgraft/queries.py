@@ -6605,6 +6605,31 @@ def image_gradient_rose_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_gradient_rose(imgs)
 
 
+def _sql_histeq() -> str:
+    from osmgraft.operators.multimodal import sql_image_hist_equalize
+
+    return sql_image_hist_equalize(_FIMG_IDX_CTE.format(n=250))
+
+
+@register("image_hist_equalize", _sql_histeq())
+def image_hist_equalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image histogram equalization (operators/multimodal.
+    image_hist_equalize, the Gonzalez–Woods integer recipe): luma
+    remapped through its own CDF with one exact floor division, output
+    pinned by exact moments + positional checksum — decode, histogram,
+    CDF and remap all on one hash.  Completes the enhancement chain
+    (quantize → dither → equalize); tile_equalize_z9 is the raster-tile
+    sibling.  Twin rebuilds the CDF relationally from closed-form
+    pixels.  100 TB: map-only mapInArrow."""
+    from osmgraft.operators.multimodal import image_hist_equalize
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 250)
+    imgs = ensure_min_parallelism(synth_formula_images(spark, n))
+    return image_hist_equalize(imgs)
+
+
 def _sql_glcm() -> str:
     from osmgraft.operators.multimodal import sql_image_glcm_features
 

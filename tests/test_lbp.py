@@ -156,3 +156,48 @@ def test_glcm_flat_vs_noise(spark):
     assert out["t0"]["energy_num"] == np_pairs * np_pairs
     assert out["t1"]["contrast"] > 0
     assert out["t1"]["energy_num"] < out["t0"]["energy_num"]
+
+
+# --- histogram equalization --------------------------------------------------
+def test_histeq_matches_double_loop(spark):
+    from osmgraft.operators.multimodal import image_hist_equalize
+
+    rng = np.random.default_rng(37)
+    px = rng.integers(0, 256, (7, 10, 3))
+    out = image_hist_equalize(_raw_rows(spark, [px])).collect()[0]
+    p = px.astype(np.int64)
+    luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+    n = luma.size
+    import collections
+
+    hist = collections.Counter(luma.reshape(-1).tolist())
+    levels = sorted(hist)
+    cdf, acc = {}, 0
+    for v in levels:
+        acc += hist[v]
+        cdf[v] = acc
+    cdf_min = cdf[levels[0]]
+    s = ss = ws = 0
+    for y in range(7):
+        for x in range(10):
+            ev = (cdf[int(luma[y, x])] - cdf_min) * 255 // max(n - cdf_min, 1)
+            s += ev
+            ss += ev * ev
+            ws += ev * (y * 131 + x * 137 + 1)
+    assert (out["n_px"], out["sum_eq"], out["ssq_eq"], out["wsum_eq"]) == (n, s, ss, ws)
+
+
+def test_histeq_stretches_and_degenerates(spark):
+    """A two-level image stretches to {0, 255}; a constant image maps to
+    all zeros (degenerate guard)."""
+    from osmgraft.operators.multimodal import image_hist_equalize
+
+    two = np.zeros((4, 8, 3), np.uint8)
+    two[:, 4:] = 200
+    const = np.full((4, 8, 3), 77, np.uint8)
+    out = {r["image_id"]: r for r in image_hist_equalize(
+        _raw_rows(spark, [two, const])).collect()}
+    # 16 px at level0 -> (16-16)*255//16 = 0; 16 at level1 -> (32-16)*255//16 = 255
+    assert out["t0"]["sum_eq"] == 16 * 255
+    assert out["t0"]["ssq_eq"] == 16 * 255 * 255
+    assert out["t1"]["sum_eq"] == 0 and out["t1"]["ssq_eq"] == 0
