@@ -179,7 +179,14 @@ def main() -> None:
                  "tile_kendall_tau_z5", "ams_f2_users_z6", "lang_source_assoc",
                  "dedup_lcs_pairs", "image_lbp_uniform", "image_dither_bayer",
                  "benford_prices", "audio_zcr_windows", "tile_pettitt_z5",
-                 "tile_dispersion_z6", "hits_user_types"]:
+                 "tile_dispersion_z6", "hits_user_types",
+                 "allen_user_type_intervals", "terrain_viewshed_z10_7",
+                 "rank_agg_types_z5", "tile_weekday_seasonality_z6",
+                 "soundex_name_pairs", "markov_event_transitions",
+                 "tile_isotonic_z5", "ks_source_drift", "mwu_lang_length",
+                 "geary_c_z8", "tile_siegel_slope_z5", "tile_runs_test_z5",
+                 "tile_tukey_outlier_days_z5", "image_glcm_features",
+                 "image_hist_equalize"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())

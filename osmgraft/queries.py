@@ -4275,8 +4275,13 @@ def kmv_distinct_users_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(rows, ["tx", "ty"], "user_id", k=32)
 
 
-_RIPLEY_RADII = [25_000, 50_000, 100_000]  # 0.0025 / 0.005 / 0.01 deg
-_RIPLEY_SHIFT = 17  # pitch 131072 >= max radius -> 3x3 ring provably complete
+# radii sized so the ring pitch (2^15 = 32768 ~ 0.0033 deg) subdivides the
+# synth hot boxes (+-0.04 deg) into ~600 cells: candidate pairs stay
+# local-density-bounded (the celljoin promise) instead of collapsing the
+# whole hot box into one cell (the r14 bench found 100k-unit radii cost
+# 25 s at sf0.1 purely from that collapse)
+_RIPLEY_RADII = [6_250, 12_500, 25_000]  # ~0.0006 / 0.00125 / 0.0025 deg
+_RIPLEY_SHIFT = 15  # pitch 32768 >= max radius -> 3x3 ring provably complete
 
 
 def _ripley_oracle() -> str:
@@ -4320,14 +4325,14 @@ def _knox_oracle() -> str:
         f"CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
         f" AS BIGINT) AS t FROM orders"
     )
-    return sql_knox(cte, delta=50_000, tau=7, shift=_RIPLEY_SHIFT)
+    return sql_knox(cte, delta=25_000, tau=7, shift=_RIPLEY_SHIFT)
 
 
 @register("knox_space_time", _knox_oracle())
 def knox_space_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Knox space-time interaction statistic (operators/pointpat.knox, Knox
     1964) over order points with t = order date in days: exact counts of
-    pairs close in space (d² <= δ², δ = 0.005°), close in time (|Δt| <= 7
+    pairs close in space (d² <= δ², δ = 0.0025°), close in time (|Δt| <= 7
     days), and close in BOTH — the epidemiology/event-clustering test's
     integer ingredients. The joint and space counts ride ONE ring
     self-join; the time marginal folds the daily histogram against its
@@ -4344,7 +4349,7 @@ def knox_space_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         lat.alias("y"),
         F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("t"),
     )
-    return knox(pts, delta=50_000, tau=7, shift=_RIPLEY_SHIFT)
+    return knox(pts, delta=25_000, tau=7, shift=_RIPLEY_SHIFT)
 
 
 def _assoc_oracle() -> str:
