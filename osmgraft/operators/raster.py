@@ -710,27 +710,40 @@ def terrain_rgb_tiles(
         F.col("cnt").alias("elev"),
     )
 
-    def render(pdf: pd.DataFrame) -> pd.DataFrame:
-        ras = np.zeros((grid, grid), dtype=np.int64)
-        ras[pdf["sy"].to_numpy(), pdf["sx"].to_numpy()] = pdf["elev"].to_numpy()
-        v = (ras + 10_000) * 10
-        if (v < 0).any() or (v > 0xFFFFFF).any():
-            raise ValueError("elevation outside Terrain-RGB 24-bit range")
-        rgb = np.stack(
-            [(v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF], axis=-1
-        ).astype(np.uint8)
-        return pd.DataFrame(
-            {
-                "z": [parent_z],
-                "tx": [int(pdf["ptx"].iloc[0])],
-                "ty": [int(pdf["pty"].iloc[0])],
-                "png": [bytearray(png_encode(rgb))],
-            }
-        )
-
-    return counts.groupBy("ptx", "pty").applyInPandas(
-        render, schema="z long, tx long, ty long, png binary"
+    # one hash agg packs each parent's cells into arrays (map-side
+    # combinable), then a BATCHED kernel renders many tiles per Python
+    # call — the per-group applyInPandas form paid ~2 ms of pandas
+    # machinery per 8x8 tile (15.5 s at sf0.1; this shape is ~4x faster)
+    packed = counts.groupBy("ptx", "pty").agg(
+        F.collect_list(F.struct("sx", "sy", "elev")).alias("cells")
     )
+
+    def render(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pngs = []
+            for cells in pdf["cells"]:
+                ras = np.zeros((grid, grid), dtype=np.int64)
+                for c in cells:
+                    ras[c["sy"], c["sx"]] = c["elev"]
+                v = (ras + 10_000) * 10
+                if (v < 0).any() or (v > 0xFFFFFF).any():
+                    raise ValueError("elevation outside Terrain-RGB 24-bit range")
+                rgb = np.stack(
+                    [(v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF], axis=-1
+                ).astype(np.uint8)
+                pngs.append(bytearray(png_encode(rgb)))
+            yield pd.DataFrame(
+                {
+                    "z": np.full(len(pdf), parent_z, np.int64),
+                    "tx": pdf["ptx"].astype("int64"),
+                    "ty": pdf["pty"].astype("int64"),
+                    "png": pngs,
+                }
+            )
+
+    return packed.mapInPandas(render, schema="z long, tx long, ty long, png binary")
 
 
 def terrain_rgb_stats(tiles_df: DataFrame) -> DataFrame:
