@@ -8738,6 +8738,70 @@ def terrain_viewshed_z10_7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terrain_viewshed(terrain_rgb_tiles(cells, z=10, parent_z=7))
 
 
+def _sql_boundary_luma() -> str:
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("idx")
+    luma = (
+        "((299 * ((idx*37 + y*11 + x*7) % 256)"
+        " + 587 * ((idx*37 + y*11 + x*7 + 29) % 256)"
+        " + 114 * ((idx*37 + y*11 + x*7 + 58) % 256)) // 1000)"
+    )
+    return f"""WITH idxs AS (
+  SELECT idx FROM (SELECT row_number() OVER () - 1 AS idx FROM orders)
+  WHERE idx < 2000),
+pts AS (SELECT idx AS point_id, {lat} AS lat7, {lon} AS lon7 FROM idxs),
+{sql_pip_predicate(ADMIN_BOUNDARIES)},
+dims AS (SELECT idx, 16 + (idx % 3) * 8 AS w, 12 + (idx % 2) * 6 AS h FROM idxs),
+lum AS (
+  SELECT idx, CAST(sum({luma}) AS BIGINT) AS m00
+  FROM dims
+  CROSS JOIN range(0, 18) ty(y) CROSS JOIN range(0, 32) tx(x)
+  WHERE y < h AND x < w GROUP BY idx)
+SELECT p.boundary_id, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(l.m00) AS BIGINT) AS luma_sum
+FROM pip p JOIN lum l ON l.idx = p.point_id
+GROUP BY p.boundary_id"""
+
+
+@register("boundary_image_luma", _sql_boundary_luma())
+def boundary_image_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-admin-boundary image luminance census — the north-star axes
+    composed END TO END in one query: REAL container decode (raw/ppm/png
+    rotating) → exact luma mass per image (image_central_moments' m00) →
+    deterministic geo from the image id → broadcast STR-tree
+    point-in-polygon → per-boundary rollup.  The DuckDB twin regenerates
+    every pixel from the closed-form formula and replays the PIP
+    predicate — decode, geo assignment and the zonal aggregation all on
+    ONE hash.  The zonal-statistics reading of the image lake: "how much
+    pixel mass per admin area".
+
+    100 TB: map-only decode, broadcast PIP (no point-side shuffle), one
+    map-side-combinable agg."""
+    from osmgraft.operators.multimodal import image_central_moments
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key, synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 2000)
+    imgs = ensure_min_parallelism(synth_formula_images(spark, n))
+    moments = image_central_moments(imgs).select(
+        F.substring("image_id", 5, 9).cast("long").alias("point_id"), "m00"
+    )
+    lat, lon = latlon_of_key(F.col("point_id"))
+    pts = moments.select("point_id", lat.alias("lat7"), lon.alias("lon7"), "m00")
+    joined = pip_join(
+        pts.select("point_id", "lat7", "lon7"), ADMIN_BOUNDARIES, how="inner"
+    )
+    return (
+        joined.join(pts.select("point_id", "m00"), "point_id")
+        .groupBy("boundary_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.sum("m00").cast("long").alias("luma_sum"),
+        )
+    )
+
+
 # --- audio landmark-fingerprint near-dup -------------------------------------------
 @register(
     "audio_fingerprint_neardup",
