@@ -2281,3 +2281,98 @@ tk AS (
          CAST(sum(CASE WHEN 2 * v > 5 * q3 - 3 * q1 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
   FROM tk_r JOIN tk_q1 USING ({ks}) JOIN tk_q3 USING ({ks})
   GROUP BY {ks})"""
+
+
+def emd_1d(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
+    """Exact 1-D Earth Mover's (Wasserstein-1) distance between every
+    pair of groups (Monge 1781 lineage; the closed form W₁ = ∫|F_a − F_b|
+    over the line) — the L1 companion to ks_two_sample's L∞ on the SAME
+    pooled-CDF walk: KS asks "where do the CDFs differ MOST", EMD asks
+    "how much mass must move, times how far".  Carried exactly:
+
+        w1_num = Σ_k (v_{k+1} − v_k) · |n_b·C_a(v_k) − n_a·C_b(v_k)|,
+        W₁ = w1_num / (n_a·n_b)
+
+    over the pooled distinct values — integers end to end (DECIMAL(38)
+    internally for the products).  Emits (ga, gb, n_a, n_b, w1_num,
+    w1_den).
+
+    100 TB: identical shape to ks_two_sample — domain-bounded histograms,
+    one window walk per pair (cum sums + lead)."""
+    h = df.groupBy(group_col, val_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    n = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ga = n.select(F.col(group_col).alias("ga"), F.col("_n").alias("n_a"))
+    gb = n.select(F.col(group_col).alias("gb"), F.col("_n").alias("n_b"))
+    pairs = ga.crossJoin(gb).filter(F.col("ga") < F.col("gb"))
+    rows = (
+        pairs.join(
+            h.withColumnRenamed(group_col, "_g"),
+            (F.col("_g") == F.col("ga")) | (F.col("_g") == F.col("gb")),
+        )
+        .groupBy("ga", "gb", "n_a", "n_b", val_col)
+        .agg(
+            F.sum(F.when(F.col("_g") == F.col("ga"), F.col("_c")).otherwise(0)).alias("_ca"),
+            F.sum(F.when(F.col("_g") == F.col("gb"), F.col("_c")).otherwise(0)).alias("_cb"),
+        )
+    )
+    wp = Window.partitionBy("ga", "gb").orderBy(val_col)
+    wc = wp.rowsBetween(Window.unboundedPreceding, 0)
+    d38 = "decimal(38,0)"
+    terms = rows.select(
+        "ga",
+        "gb",
+        "n_a",
+        "n_b",
+        (
+            (F.lead(val_col).over(wp) - F.col(val_col)).cast(d38)
+            * F.abs(
+                F.col("n_b").cast(d38) * F.sum("_ca").over(wc).cast(d38)
+                - F.col("n_a").cast(d38) * F.sum("_cb").over(wc).cast(d38)
+            )
+        ).alias("_t"),
+    )
+    return (
+        terms.groupBy("ga", "gb", "n_a", "n_b")
+        .agg(F.sum("_t").cast("long").alias("w1_num"))
+        .select(
+            "ga",
+            "gb",
+            "n_a",
+            "n_b",
+            F.coalesce(F.col("w1_num"), F.lit(0)).alias("w1_num"),
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("w1_den"),
+        )
+    )
+
+
+def sql_emd_1d(rows_cte: str, group_col: str, val_col: str) -> str:
+    """DuckDB twin of :func:`emd_1d`."""
+    return f"""WITH em_rows AS ({rows_cte}),
+em_h AS (SELECT {group_col} AS g, {val_col} AS v, CAST(count(*) AS BIGINT) AS c
+         FROM em_rows GROUP BY 1, 2),
+em_n AS (SELECT {group_col} AS g, CAST(count(*) AS BIGINT) AS n
+         FROM em_rows GROUP BY 1),
+em_p AS (SELECT a.g AS ga, b.g AS gb, a.n AS n_a, b.n AS n_b
+         FROM em_n a JOIN em_n b ON a.g < b.g),
+em_m AS (
+  SELECT p.ga, p.gb, p.n_a, p.n_b, h.v,
+         CAST(sum(CASE WHEN h.g = p.ga THEN h.c ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN h.g = p.gb THEN h.c ELSE 0 END) AS BIGINT) AS cb
+  FROM em_p p JOIN em_h h ON h.g = p.ga OR h.g = p.gb
+  GROUP BY 1, 2, 3, 4, 5),
+em_t AS (
+  SELECT ga, gb, n_a, n_b,
+         (lead(v) OVER (PARTITION BY ga, gb ORDER BY v) - v)
+           * abs(CAST(n_b AS HUGEINT)
+                   * sum(ca) OVER (PARTITION BY ga, gb ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING)
+                 - CAST(n_a AS HUGEINT)
+                   * sum(cb) OVER (PARTITION BY ga, gb ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING)) AS t
+  FROM em_m)
+SELECT ga, gb, n_a, n_b,
+       CAST(COALESCE(sum(t), 0) AS BIGINT) AS w1_num,
+       CAST(n_a * n_b AS BIGINT) AS w1_den
+FROM em_t GROUP BY 1, 2, 3, 4"""

@@ -8130,6 +8130,30 @@ def tile_decayed_top100_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_tile_counts(pts)
 
 
+def _sql_emd() -> str:
+    from osmgraft.operators.stats import sql_emd_1d
+
+    return sql_emd_1d("SELECT source, n_chars FROM documents", "source", "n_chars")
+
+
+@register("emd_source_drift", _sql_emd())
+def emd_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Earth Mover's distance between every document-source
+    pair on n_chars (operators/stats.emd_1d, the W₁ = ∫|F_a − F_b|
+    closed form): the L1 companion to ks_source_drift's L∞ over the same
+    pooled-CDF walk — KS localizes the worst gap, EMD prices the total
+    mass transport.  w1_num/w1_den exact integers, HUGEINT internally.
+
+    100 TB: domain-bounded histograms + one window walk per pair."""
+    from osmgraft.operators.stats import emd_1d
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("source", "n_chars")
+    return emd_1d(docs, "source", "n_chars")
+
+
 def _sql_mwu() -> str:
     from osmgraft.operators.stats import sql_mann_whitney_u
 

@@ -1208,3 +1208,52 @@ def test_tukey_outliers_reference(spark):
     assert r["n_low"] == sum(1 for v in vals if v < lo)
     assert r["n_high"] == sum(1 for v in vals if v > hi)
     assert r["n_high"] == 2 and r["n_low"] == 1
+
+
+def test_emd_1d_matches_scipy_free_reference(spark):
+    """w1_num/w1_den equals the textbook sorted-sample W1 (computable as
+    mean |sorted quantile difference| for equal n, and by the CDF
+    integral generally)."""
+    from fractions import Fraction
+
+    from osmgraft.operators.stats import emd_1d
+
+    import numpy as np
+
+    rng = np.random.default_rng(71)
+    rows = (
+        [("a", int(v)) for v in rng.integers(0, 50, 120)]
+        + [("b", int(v) + 7) for v in rng.integers(0, 50, 90)]
+        + [("c", int(v)) for v in rng.integers(0, 50, 120)]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {(r["ga"], r["gb"]): r for r in emd_1d(df, "g", "v").collect()}
+    series = {}
+    for g, v in rows:
+        series.setdefault(g, []).append(v)
+    import itertools
+
+    for a, b in itertools.combinations(sorted(series), 2):
+        xa, xb = series[a], series[b]
+        na, nb = len(xa), len(xb)
+        vs = sorted(set(xa) | set(xb))
+        w1 = Fraction(0)
+        for v, v2 in zip(vs, vs[1:]):
+            fa = Fraction(sum(1 for x in xa if x <= v), na)
+            fb = Fraction(sum(1 for x in xb if x <= v), nb)
+            w1 += (v2 - v) * abs(fa - fb)
+        r = got[(a, b)]
+        assert Fraction(r["w1_num"], r["w1_den"]) == w1, (a, b)
+    # the shifted pair is strictly farther than the iid pair
+    rab = got[("a", "b")]
+    rac = got[("a", "c")]
+    assert rab["w1_num"] * rac["w1_den"] > rac["w1_num"] * rab["w1_den"]
+
+
+def test_emd_identical_groups_zero(spark):
+    from osmgraft.operators.stats import emd_1d
+
+    rows = [("a", v) for v in (1, 5, 9)] + [("b", v) for v in (1, 5, 9)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    (r,) = emd_1d(df, "g", "v").collect()
+    assert r["w1_num"] == 0
