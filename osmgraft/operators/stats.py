@@ -2376,3 +2376,79 @@ SELECT ga, gb, n_a, n_b,
        CAST(COALESCE(sum(t), 0) AS BIGINT) AS w1_num,
        CAST(n_a * n_b AS BIGINT) AS w1_den
 FROM em_t GROUP BY 1, 2, 3, 4"""
+
+
+def tv_distance(df: DataFrame, group_col: str, cat_col: str) -> DataFrame:
+    """Exact total-variation distance between every pair of groups over a
+    CATEGORICAL column: TV = ½·Σ_c |p_a(c) − p_b(c)|, carried as
+
+        tv_num = Σ_c |n_b·c_a(c) − n_a·c_b(c)|,   TV = tv_num/(2·n_a·n_b)
+
+    — the categorical member of the drift family (EMD prices ordered
+    values, KS localizes CDF gaps, TV reads unordered category mixes;
+    it equals half the L1 and bounds every event-probability change).
+    Emits (ga, gb, n_a, n_b, tv_num, tv_den) — exact integers, HUGEINT
+    products internally.
+
+    100 TB: category-domain-bounded counts (map-side combined) + one
+    grouped sum per pair; no windows, no ordering needed."""
+    h = df.groupBy(group_col, cat_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    n = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ga = n.select(F.col(group_col).alias("ga"), F.col("_n").alias("n_a"))
+    gb = n.select(F.col(group_col).alias("gb"), F.col("_n").alias("n_b"))
+    pairs = ga.crossJoin(gb).filter(F.col("ga") < F.col("gb"))
+    d38 = "decimal(38,0)"
+    rows = (
+        pairs.join(
+            h.withColumnRenamed(group_col, "_g"),
+            (F.col("_g") == F.col("ga")) | (F.col("_g") == F.col("gb")),
+        )
+        .groupBy("ga", "gb", "n_a", "n_b", cat_col)
+        .agg(
+            F.sum(F.when(F.col("_g") == F.col("ga"), F.col("_c")).otherwise(0)).alias("_ca"),
+            F.sum(F.when(F.col("_g") == F.col("gb"), F.col("_c")).otherwise(0)).alias("_cb"),
+        )
+    )
+    return (
+        rows.groupBy("ga", "gb", "n_a", "n_b")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("n_b").cast(d38) * F.col("_ca").cast(d38)
+                    - F.col("n_a").cast(d38) * F.col("_cb").cast(d38)
+                )
+            ).cast("long").alias("tv_num")
+        )
+        .select(
+            "ga",
+            "gb",
+            "n_a",
+            "n_b",
+            "tv_num",
+            (F.lit(2) * F.col("n_a") * F.col("n_b")).cast("long").alias("tv_den"),
+        )
+    )
+
+
+def sql_tv_distance(rows_cte: str, group_col: str, cat_col: str) -> str:
+    """DuckDB twin of :func:`tv_distance`."""
+    return f"""WITH tv_rows AS ({rows_cte}),
+tv_h AS (SELECT {group_col} AS g, {cat_col} AS c, CAST(count(*) AS BIGINT) AS n
+         FROM tv_rows GROUP BY 1, 2),
+tv_n AS (SELECT {group_col} AS g, CAST(count(*) AS BIGINT) AS n
+         FROM tv_rows GROUP BY 1),
+tv_p AS (SELECT a.g AS ga, b.g AS gb, a.n AS n_a, b.n AS n_b
+         FROM tv_n a JOIN tv_n b ON a.g < b.g),
+tv_m AS (
+  SELECT p.ga, p.gb, p.n_a, p.n_b, h.c,
+         CAST(sum(CASE WHEN h.g = p.ga THEN h.n ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN h.g = p.gb THEN h.n ELSE 0 END) AS BIGINT) AS cb
+  FROM tv_p p JOIN tv_h h ON h.g = p.ga OR h.g = p.gb
+  GROUP BY 1, 2, 3, 4, 5)
+SELECT ga, gb, n_a, n_b,
+       CAST(sum(abs(CAST(n_b AS HUGEINT) * ca - CAST(n_a AS HUGEINT) * cb))
+            AS BIGINT) AS tv_num,
+       CAST(2 * n_a * n_b AS BIGINT) AS tv_den
+FROM tv_m GROUP BY 1, 2, 3, 4"""

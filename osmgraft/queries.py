@@ -8130,6 +8130,33 @@ def tile_decayed_top100_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_tile_counts(pts)
 
 
+def _sql_tv() -> str:
+    from osmgraft.operators.stats import sql_tv_distance
+
+    return sql_tv_distance("SELECT source, lang FROM documents", "source", "lang")
+
+
+@register("tv_source_langmix", _sql_tv())
+def tv_source_langmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact total-variation distance between every document-source pair
+    on the LANGUAGE mix (operators/stats.tv_distance): TV = ½Σ|p−q|
+    carried as integer tv_num/tv_den — the categorical member of the
+    drift family (EMD prices ordered values, KS localizes CDF gaps, TV
+    reads unordered category mixes and bounds every event-probability
+    change).  The "did this source's language composition move"
+    monitoring query.
+
+    100 TB: category-domain counts + one grouped sum per pair — no
+    windows, no ordering."""
+    from osmgraft.operators.stats import tv_distance
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("source", "lang")
+    return tv_distance(docs, "source", "lang")
+
+
 def _sql_emd() -> str:
     from osmgraft.operators.stats import sql_emd_1d
 

@@ -1257,3 +1257,32 @@ def test_emd_identical_groups_zero(spark):
     df = spark.createDataFrame(rows, "g string, v long")
     (r,) = emd_1d(df, "g", "v").collect()
     assert r["w1_num"] == 0
+
+
+def test_tv_distance_matches_fraction_reference(spark):
+    from fractions import Fraction
+
+    from osmgraft.operators.stats import tv_distance
+
+    rows = (
+        [("a", c) for c in "xxxyyz"]
+        + [("b", c) for c in "xyzzzz"]
+        + [("c", c) for c in "xxxyyz"]  # same mix as a
+    )
+    df = spark.createDataFrame(rows, "g string, c string")
+    got = {(r["ga"], r["gb"]): r for r in tv_distance(df, "g", "c").collect()}
+    import collections
+    import itertools
+
+    series = collections.defaultdict(collections.Counter)
+    for g, c in rows:
+        series[g][c] += 1
+    for a, b in itertools.combinations(sorted(series), 2):
+        na, nb = sum(series[a].values()), sum(series[b].values())
+        tv = sum(
+            abs(Fraction(series[a][c], na) - Fraction(series[b][c], nb))
+            for c in set(series[a]) | set(series[b])
+        ) / 2
+        r = got[(a, b)]
+        assert Fraction(r["tv_num"], r["tv_den"]) == tv, (a, b)
+    assert got[("a", "c")]["tv_num"] == 0
