@@ -186,7 +186,8 @@ def main() -> None:
                  "tile_isotonic_z5", "ks_source_drift", "mwu_lang_length",
                  "geary_c_z8", "tile_siegel_slope_z5", "tile_runs_test_z5",
                  "tile_tukey_outlier_days_z5", "image_glcm_features",
-                 "image_hist_equalize"]:
+                 "image_hist_equalize", "emd_source_drift",
+                 "tv_source_langmix", "boundary_image_luma"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())

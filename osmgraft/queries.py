@@ -5159,6 +5159,52 @@ def way_lengths_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_windowed_counts_1h",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1, 2""",
+)
+def stream_windowed_counts_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window counts per type with a 30-minute
+    watermark (streaming/incremental.windowed_event_counts): the
+    canonical Structured-Streaming aggregation — the watermark bounds
+    RUNNING state (windows older than max-event-time − 30 min finalize),
+    which is what makes the query runnable forever at 100 TB/day.
+    Materialized here in COMPLETE mode over an availableNow snapshot so
+    the gate sees every window including the not-yet-finalized tail
+    (append mode only emits a window once the watermark passes it — the
+    sessionize drain problem); the DuckDB twin is the batch date_trunc
+    rollup — stream/batch parity as the gate (hour windows align to
+    epoch hours in both engines)."""
+    import tempfile
+
+    from osmgraft.streaming import read_stream
+    from osmgraft.streaming.incremental import windowed_event_counts
+
+    src = tempfile.mkdtemp(prefix="og_wec_src_")
+    ckpt = tempfile.mkdtemp(prefix="og_wec_ck_")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.mode("overwrite").parquet(src)
+    stream = read_stream(
+        spark, src,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    name = "og_stream_wec_q"
+    q = (
+        windowed_event_counts(stream)
+        .select("window_start", "event_type", F.col("cnt").cast("long").alias("cnt"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register(
     "stream_dedup_events",
     "SELECT event_id, user_id, event_type, value FROM events",
 )
