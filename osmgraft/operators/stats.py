@@ -2452,3 +2452,119 @@ SELECT ga, gb, n_a, n_b,
             AS BIGINT) AS tv_num,
        CAST(2 * n_a * n_b AS BIGINT) AS tv_den
 FROM tv_m GROUP BY 1, 2, 3, 4"""
+
+
+def simpsons_paradox(
+    df: DataFrame, group_col: str, stratum_col: str, flag_col: str
+) -> DataFrame:
+    """Simpson's-paradox screen between every pair of groups (Simpson
+    1951; Yule 1903): compare the groups' rates of a boolean flag both
+    POOLED and within every stratum, all by exact cross-multiplied
+    integer comparisons (a₁/n₁ > a₂/n₂ ⟺ a₁·n₂ > a₂·n₁ — no division),
+    and raise the paradox flag when the pooled direction is strictly
+    CONTRADICTED by the strata (pooled says A > B, yet no stratum says
+    A > B and at least one says A < B, or symmetrically) — the
+    aggregation-bias trap every metrics pipeline should test for before
+    reporting a pooled rate.
+
+    Emits (ga, gb, dir_pooled ∈ {1,0,−1}, strata_gt, strata_lt,
+    strata_eq, paradox boolean); strata counted only where BOTH groups
+    have observations.
+
+    100 TB: category-domain aggregates + one pair join — never row-scale
+    state."""
+    per = df.groupBy(group_col, stratum_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col(flag_col).cast("long")).cast("long").alias("_k"),
+    )
+    tot = per.groupBy(group_col).agg(
+        F.sum("_n").alias("_n"), F.sum("_k").alias("_k")
+    )
+    ta = tot.select(
+        F.col(group_col).alias("ga"), F.col("_n").alias("na"), F.col("_k").alias("ka")
+    )
+    tb = tot.select(
+        F.col(group_col).alias("gb"), F.col("_n").alias("nb"), F.col("_k").alias("kb")
+    )
+    pooled = ta.crossJoin(tb).filter(F.col("ga") < F.col("gb"))
+    dp = F.col("ka") * F.col("nb") - F.col("kb") * F.col("na")
+    pooled = pooled.select(
+        "ga",
+        "gb",
+        F.when(dp > 0, 1).when(dp < 0, -1).otherwise(0).cast("long").alias("dir_pooled"),
+    )
+    sa = per.select(
+        F.col(group_col).alias("ga"),
+        F.col(stratum_col).alias("_s"),
+        F.col("_n").alias("sna"),
+        F.col("_k").alias("ska"),
+    )
+    sb = per.select(
+        F.col(group_col).alias("gb"),
+        F.col(stratum_col).alias("_s"),
+        F.col("_n").alias("snb"),
+        F.col("_k").alias("skb"),
+    )
+    ds = F.col("ska") * F.col("snb") - F.col("skb") * F.col("sna")
+    strata = (
+        sa.join(sb, "_s")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(
+            F.sum((ds > 0).cast("long")).cast("long").alias("strata_gt"),
+            F.sum((ds < 0).cast("long")).cast("long").alias("strata_lt"),
+            F.sum((ds == 0).cast("long")).cast("long").alias("strata_eq"),
+        )
+    )
+    j = pooled.join(strata, ["ga", "gb"], "left").na.fill(
+        {"strata_gt": 0, "strata_lt": 0, "strata_eq": 0}
+    )
+    paradox = (
+        (F.col("dir_pooled") == 1)
+        & (F.col("strata_gt") == 0)
+        & (F.col("strata_lt") > 0)
+    ) | (
+        (F.col("dir_pooled") == -1)
+        & (F.col("strata_lt") == 0)
+        & (F.col("strata_gt") > 0)
+    )
+    return j.select(
+        "ga", "gb", "dir_pooled", "strata_gt", "strata_lt", "strata_eq",
+        paradox.alias("paradox"),
+    )
+
+
+def sql_simpsons_paradox(
+    rows_cte: str, group_col: str, stratum_col: str, flag_col: str
+) -> str:
+    """DuckDB twin of :func:`simpsons_paradox`."""
+    return f"""WITH sx_rows AS ({rows_cte}),
+sx_per AS (
+  SELECT {group_col} AS g, {stratum_col} AS s,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN {flag_col} THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM sx_rows GROUP BY 1, 2),
+sx_tot AS (SELECT g, CAST(sum(n) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS k
+           FROM sx_per GROUP BY 1),
+sx_pool AS (
+  SELECT a.g AS ga, b.g AS gb,
+         CAST(CASE WHEN a.k * b.n > b.k * a.n THEN 1
+                   WHEN a.k * b.n < b.k * a.n THEN -1 ELSE 0 END AS BIGINT)
+           AS dir_pooled
+  FROM sx_tot a JOIN sx_tot b ON a.g < b.g),
+sx_str AS (
+  SELECT a.g AS ga, b.g AS gb,
+         CAST(sum(CASE WHEN a.k * b.n > b.k * a.n THEN 1 ELSE 0 END) AS BIGINT) AS strata_gt,
+         CAST(sum(CASE WHEN a.k * b.n < b.k * a.n THEN 1 ELSE 0 END) AS BIGINT) AS strata_lt,
+         CAST(sum(CASE WHEN a.k * b.n = b.k * a.n THEN 1 ELSE 0 END) AS BIGINT) AS strata_eq
+  FROM sx_per a JOIN sx_per b ON a.s = b.s AND a.g < b.g
+  GROUP BY 1, 2)
+SELECT p.ga, p.gb, p.dir_pooled,
+       COALESCE(s.strata_gt, 0) AS strata_gt,
+       COALESCE(s.strata_lt, 0) AS strata_lt,
+       COALESCE(s.strata_eq, 0) AS strata_eq,
+       (p.dir_pooled = 1 AND COALESCE(s.strata_gt, 0) = 0
+          AND COALESCE(s.strata_lt, 0) > 0)
+       OR (p.dir_pooled = -1 AND COALESCE(s.strata_lt, 0) = 0
+          AND COALESCE(s.strata_gt, 0) > 0) AS paradox
+FROM sx_pool p LEFT JOIN sx_str s ON s.ga = p.ga AND s.gb = p.gb"""

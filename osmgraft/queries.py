@@ -8176,6 +8176,38 @@ def tile_decayed_top100_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_tile_counts(pts)
 
 
+def _sql_simpson_px() -> str:
+    from osmgraft.operators.stats import sql_simpsons_paradox
+
+    return sql_simpsons_paradox(
+        "SELECT source, lang, n_chars > 500 AS long_doc FROM documents",
+        "source",
+        "lang",
+        "long_doc",
+    )
+
+
+@register("simpsons_paradox_sources", _sql_simpson_px())
+def simpsons_paradox_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen between document sources on the long-doc
+    rate, stratified by language (operators/stats.simpsons_paradox,
+    Simpson 1951 / Yule 1903): pooled vs per-stratum rate directions all
+    decided by cross-multiplied integer comparisons, paradox raised when
+    the pooled ranking is strictly contradicted inside every stratum —
+    the aggregation-bias trap a metrics pipeline must test before
+    reporting pooled rates.  Completes the stratification family beside
+    cube_lang_source (counts) and lang_source_assoc (independence).
+
+    100 TB: category-domain aggregates + one pair join."""
+    from osmgraft.operators.stats import simpsons_paradox
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("source", "lang", (F.col("n_chars") > 500).alias("long_doc"))
+    return simpsons_paradox(docs, "source", "lang", "long_doc")
+
+
 def _sql_tv() -> str:
     from osmgraft.operators.stats import sql_tv_distance
 

@@ -1286,3 +1286,34 @@ def test_tv_distance_matches_fraction_reference(spark):
         r = got[(a, b)]
         assert Fraction(r["tv_num"], r["tv_den"]) == tv, (a, b)
     assert got[("a", "c")]["tv_num"] == 0
+
+
+def test_simpsons_paradox_textbook_fixture(spark):
+    """The classic reversal: A beats B pooled, loses in BOTH strata
+    (weights do the lying); plus a consistent pair with no paradox."""
+    from osmgraft.operators.stats import simpsons_paradox
+
+    rows = []
+    # stratum s1: A 50/100 vs B 60/100 (B better); s2: A 5/100 vs B 90/900?
+    # classic construction: A = 80/100 in easy + 20/100 in hard pooled 100/200
+    #                       B = 90/100 easy-heavy...
+    def add(g, s, k, n):
+        rows.extend([(g, s, True)] * k + [(g, s, False)] * (n - k))
+
+    # A: easy 93/100, hard 73/100  -> pooled 166/200
+    # B: easy 95/10 scaled: 950/1000? make ints small:
+    # B: easy 19/20, hard 370/500 -> pooled 389/520
+    add("A", "easy", 93, 100)
+    add("A", "hard", 73, 100)
+    add("B", "easy", 19, 20)       # 0.95 > 0.93
+    add("B", "hard", 375, 500)     # 0.75 > 0.73
+    # pooled: A 166/200 = 0.83 ; B 394/520 = 0.7577 -> A pooled-better, paradox
+    add("C", "easy", 10, 100)
+    add("C", "hard", 10, 100)      # C worse everywhere: no paradox vs A
+    df = spark.createDataFrame(rows, "g string, s string, f boolean")
+    got = {(r["ga"], r["gb"]): r for r in simpsons_paradox(df, "g", "s", "f").collect()}
+    ab = got[("A", "B")]
+    assert ab["dir_pooled"] == 1 and ab["strata_gt"] == 0 and ab["strata_lt"] == 2
+    assert ab["paradox"] is True
+    ac = got[("A", "C")]
+    assert ac["dir_pooled"] == 1 and ac["strata_gt"] == 2 and ac["paradox"] is False
