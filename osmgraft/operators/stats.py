@@ -2568,3 +2568,118 @@ SELECT p.ga, p.gb, p.dir_pooled,
        OR (p.dir_pooled = -1 AND COALESCE(s.strata_lt, 0) = 0
           AND COALESCE(s.strata_gt, 0) > 0) AS paradox
 FROM sx_pool p LEFT JOIN sx_str s ON s.ga = p.ga AND s.gb = p.gb"""
+
+
+def rater_agreement(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's kappa between two categorical labelings (Cohen 1960, with
+    the Landis & Koch 1977 strength bands) — the chance-corrected
+    agreement every labeling/eval pipeline reports, exact: with N rows,
+    ``agree`` exact matches, and P = Σ_c n_a(c)·n_b(c) the chance-
+    agreement numerator,
+
+        κ = (N·agree − P) / (N² − P)
+
+    — an exact integer rational (division never taken).  The strength
+    class pins two published band edges as rationals: 'substantial' at
+    κ ≥ 3/5, 'moderate' at κ ≥ 2/5, else 'low'; 'degenerate' when
+    N² = P (a constant marginal — κ undefined).  Emits one row
+    (n, agree, kappa_num, kappa_den, strength).
+
+    100 TB: three category-domain aggs + a 1-row join — counter-sized."""
+    per_a = df.groupBy(col_a).agg(F.count(F.lit(1)).cast("long").alias("_na"))
+    per_b = df.groupBy(col_b).agg(F.count(F.lit(1)).cast("long").alias("_nb"))
+    p = (
+        per_a.join(per_b, per_a[col_a] == per_b[col_b])
+        .agg(F.sum(F.col("_na") * F.col("_nb")).cast("long").alias("_p"))
+        .withColumn("_k", F.lit(1))
+    )
+    base = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col(col_a) == F.col(col_b)).cast("long")).cast("long").alias("agree"),
+    ).withColumn("_k", F.lit(1))
+    j = base.join(F.broadcast(p), "_k")
+    num = F.col("n") * F.col("agree") - F.coalesce(F.col("_p"), F.lit(0))
+    den = F.col("n") * F.col("n") - F.coalesce(F.col("_p"), F.lit(0))
+    cls = (
+        F.when(den == 0, "degenerate")
+        .when(F.lit(5) * num >= F.lit(3) * den, "substantial")
+        .when(F.lit(5) * num >= F.lit(2) * den, "moderate")
+        .otherwise("low")
+    )
+    return j.select(
+        "n",
+        "agree",
+        num.cast("long").alias("kappa_num"),
+        den.cast("long").alias("kappa_den"),
+        cls.alias("strength"),
+    )
+
+
+def sql_rater_agreement(rows_cte: str, col_a: str, col_b: str) -> str:
+    """DuckDB twin of :func:`rater_agreement`."""
+    return f"""WITH ka_rows AS ({rows_cte}),
+ka_a AS (SELECT {col_a} AS c, CAST(count(*) AS BIGINT) AS na FROM ka_rows GROUP BY 1),
+ka_b AS (SELECT {col_b} AS c, CAST(count(*) AS BIGINT) AS nb FROM ka_rows GROUP BY 1),
+ka_p AS (SELECT CAST(COALESCE(sum(na * nb), 0) AS BIGINT) AS p
+         FROM ka_a JOIN ka_b USING (c)),
+ka_n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN {col_a} = {col_b} THEN 1 ELSE 0 END) AS BIGINT)
+                  AS agree
+         FROM ka_rows)
+SELECT n, agree,
+       CAST(n * agree - p AS BIGINT) AS kappa_num,
+       CAST(n * n - p AS BIGINT) AS kappa_den,
+       CASE WHEN n * n - p = 0 THEN 'degenerate'
+            WHEN 5 * (n * agree - p) >= 3 * (n * n - p) THEN 'substantial'
+            WHEN 5 * (n * agree - p) >= 2 * (n * n - p) THEN 'moderate'
+            ELSE 'low' END AS strength
+FROM ka_n, ka_p"""
+
+
+def mcnemar(
+    df: DataFrame, truth_col: str, pred_a: str, pred_b: str, z2: int = 4
+) -> DataFrame:
+    """McNemar's paired-classifier test (McNemar 1947): on the SAME rows,
+    count the discordant pairs b = #(A right, B wrong) and
+    c = #(A wrong, B right); under the null the discordants split evenly,
+    and (b − c)²/(b + c) ≥ z² — cleared to (b−c)² ≥ z²·(b+c) — rejects
+    it.  THE honest way to compare two classifiers on one eval set
+    (pooled accuracies ignore pairing).  Emits one row (n, b_only,
+    c_only, verdict ∈ {'a_better','b_better','same'}).
+
+    100 TB: one map-side-combinable agg — four counters."""
+    a_ok = F.col(pred_a) == F.col(truth_col)
+    b_ok = F.col(pred_b) == F.col(truth_col)
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((a_ok & ~b_ok).cast("long")).cast("long").alias("b_only"),
+        F.sum((~a_ok & b_ok).cast("long")).cast("long").alias("c_only"),
+    )
+    d = F.col("b_only") - F.col("c_only")
+    sig = d * d >= F.lit(z2) * (F.col("b_only") + F.col("c_only"))
+    verdict = (
+        F.when(sig & (d > 0), "a_better")
+        .when(sig & (d < 0), "b_better")
+        .otherwise("same")
+    )
+    return agg.select("n", "b_only", "c_only", verdict.alias("verdict"))
+
+
+def sql_mcnemar(
+    rows_cte: str, truth_col: str, pred_a: str, pred_b: str, z2: int = 4
+) -> str:
+    """DuckDB twin of :func:`mcnemar`."""
+    return f"""WITH mc_rows AS ({rows_cte}),
+mc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN {pred_a} = {truth_col} AND {pred_b} <> {truth_col}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b_only,
+         CAST(sum(CASE WHEN {pred_a} <> {truth_col} AND {pred_b} = {truth_col}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c_only
+  FROM mc_rows)
+SELECT n, b_only, c_only,
+       CASE WHEN (b_only - c_only) * (b_only - c_only) >= {z2} * (b_only + c_only)
+            THEN (CASE WHEN b_only > c_only THEN 'a_better'
+                       WHEN b_only < c_only THEN 'b_better' ELSE 'same' END)
+            ELSE 'same' END AS verdict
+FROM mc"""

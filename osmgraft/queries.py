@@ -8176,6 +8176,79 @@ def tile_decayed_top100_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_tile_counts(pts)
 
 
+def _sql_kappa() -> str:
+    from osmgraft.functions.text import sql_lang_id
+    from osmgraft.operators.stats import sql_rater_agreement
+
+    rows = f"SELECT lang, {sql_lang_id('text')} AS pred FROM documents"
+    return sql_rater_agreement(rows, "lang", "pred")
+
+
+@register("kappa_langid", _sql_kappa())
+def kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the stopword language-ID against ground truth
+    (operators/stats.rater_agreement, Cohen 1960): chance-corrected
+    agreement as the exact rational (N·agree − Σn_a n_b)/(N² − Σn_a n_b),
+    strength banded at the pinned Landis–Koch rationals 3/5 and 2/5 — the
+    eval metric auc_lang_by_source (ranking) and lang_id_pred (raw
+    predictions) lack: it discounts agreement the class skew gives for
+    free.  100 TB: three category-domain aggs + a 1-row join."""
+    from osmgraft.functions.text import lang_id
+    from osmgraft.operators.stats import rater_agreement
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("lang", lang_id(F.col("text")).alias("pred"))
+    return rater_agreement(docs, "lang", "pred")
+
+
+def _sql_mcnemar() -> str:
+    from osmgraft.functions.text import sql_lang_id
+    from osmgraft.operators.stats import sql_mcnemar
+
+    rows = f"""SELECT lang, {sql_lang_id('text')} AS pred_a,
+       (SELECT lang FROM documents GROUP BY lang
+        ORDER BY count(*) DESC, lang ASC LIMIT 1) AS pred_b
+  FROM documents"""
+    return sql_mcnemar(rows, "lang", "pred_a", "pred_b")
+
+
+@register("mcnemar_langid_vs_majority", _sql_mcnemar())
+def mcnemar_langid_vs_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test (operators/stats.mcnemar, 1947): stopword
+    language-ID vs the majority-class baseline on the SAME documents —
+    discordant counts b/c and the cleared rejection (b−c)² ≥ z²(b+c).
+    The honest classifier comparison (pooled accuracy ignores pairing);
+    with kappa_langid this completes the eval pair.  Baseline = globally
+    most frequent lang, ties lexicographic — computed exactly in both
+    engines.  100 TB: one 4-counter agg + a 1-row broadcast."""
+    from osmgraft.functions.text import lang_id
+    from osmgraft.operators.stats import mcnemar
+    from osmgraft.operators.util import ensure_min_parallelism
+    from pyspark.sql.window import Window as _W
+
+    docs = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("lang", "text")
+    maj = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                _W.orderBy(F.col("_c").desc(), F.col("lang").asc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(F.col("lang").alias("pred_b"))
+    )
+    rows = docs.crossJoin(F.broadcast(maj)).select(
+        "lang", lang_id(F.col("text")).alias("pred_a"), "pred_b"
+    )
+    return mcnemar(rows, "lang", "pred_a", "pred_b")
+
+
 def _sql_simpson_px() -> str:
     from osmgraft.operators.stats import sql_simpsons_paradox
 

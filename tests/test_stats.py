@@ -1317,3 +1317,53 @@ def test_simpsons_paradox_textbook_fixture(spark):
     assert ab["paradox"] is True
     ac = got[("A", "C")]
     assert ac["dir_pooled"] == 1 and ac["strata_gt"] == 2 and ac["paradox"] is False
+
+
+def test_kappa_reference_and_bands(spark):
+    """Exact rational == float Cohen kappa; perfect agreement = 1;
+    skew-only agreement is discounted to ~0."""
+    from fractions import Fraction
+
+    from osmgraft.operators.stats import rater_agreement
+
+    def run(pairs):
+        df = spark.createDataFrame(pairs, "a string, b string")
+        (r,) = rater_agreement(df, "a", "b").collect()
+        return r
+
+    # mixed: some agreement beyond chance
+    pairs = [("x", "x")] * 40 + [("y", "y")] * 30 + [("x", "y")] * 10 + [("y", "x")] * 20
+    r = run(pairs)
+    n = 100
+    agree = 70
+    na = {"x": 50, "y": 50}
+    nb = {"x": 60, "y": 40}
+    p = sum(na[c] * nb[c] for c in na)
+    assert (r["kappa_num"], r["kappa_den"]) == (n * agree - p, n * n - p)
+    k = Fraction(r["kappa_num"], r["kappa_den"])
+    po, pe = Fraction(70, 100), Fraction(p, n * n)
+    assert k == (po - pe) / (1 - pe)
+    # perfect
+    assert run([("a", "a")] * 5 + [("b", "b")] * 5)["strength"] == "substantial"
+    # rater B constant: agreement is pure chance -> kappa 0 -> low
+    r0 = run([("x", "x")] * 9 + [("y", "x")] * 1)
+    assert r0["kappa_num"] == 0 and r0["strength"] == "low"
+
+
+def test_mcnemar_hand_cases(spark):
+    from osmgraft.operators.stats import mcnemar
+
+    rows = (
+        [("t", "t", "f")] * 12   # A right, B wrong
+        + [("t", "f", "t")] * 2  # B right, A wrong
+        + [("t", "t", "t")] * 50
+        + [("t", "f", "f")] * 6
+    )
+    df = spark.createDataFrame(rows, "y string, a string, b string")
+    (r,) = mcnemar(df, "y", "a", "b").collect()
+    assert (r["b_only"], r["c_only"]) == (12, 2)
+    assert r["verdict"] == "a_better"  # (12-2)^2 = 100 >= 4*14
+    even = spark.createDataFrame(
+        [("t", "t", "f")] * 3 + [("t", "f", "t")] * 3, "y string, a string, b string"
+    )
+    assert mcnemar(even, "y", "a", "b").collect()[0]["verdict"] == "same"
