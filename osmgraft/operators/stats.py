@@ -2683,3 +2683,63 @@ SELECT n, b_only, c_only,
                        WHEN b_only < c_only THEN 'b_better' ELSE 'same' END)
             ELSE 'same' END AS verdict
 FROM mc"""
+
+
+def classifier_report(df: DataFrame, truth_col: str, pred_col: str) -> DataFrame:
+    """Per-class precision / recall / F1 as EXACT RATIONALS from the
+    confusion matrix (the standard eval report, division-free): per truth
+    class c with tp = #(truth=c ∧ pred=c), pred_n = #(pred=c),
+    truth_n = #(truth=c):
+
+        precision = tp/pred_n,  recall = tp/truth_n,
+        F1 = 2·tp / (pred_n + truth_n)     (the harmonic-mean identity)
+
+    — all three emitted as integer numerator/denominator pairs, so the
+    report is hash-exact and threshold checks downstream can cross-
+    multiply.  Classes appearing only in predictions get truth_n = 0
+    rows and vice versa (full outer over the class set).  Emits
+    (cls, truth_n, pred_n, tp, f1_num, f1_den).
+
+    100 TB: three category-domain hash aggs + outer join — never
+    row-scale state."""
+    tp = (
+        df.filter(F.col(truth_col) == F.col(pred_col))
+        .groupBy(F.col(truth_col).alias("cls"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tp"))
+    )
+    tn = df.groupBy(F.col(truth_col).alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("truth_n")
+    )
+    pn = df.groupBy(F.col(pred_col).alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("pred_n")
+    )
+    j = (
+        tn.join(pn, "cls", "full_outer")
+        .join(tp, "cls", "left")
+        .na.fill({"truth_n": 0, "pred_n": 0, "tp": 0})
+    )
+    return j.select(
+        "cls",
+        "truth_n",
+        "pred_n",
+        "tp",
+        (F.lit(2) * F.col("tp")).cast("long").alias("f1_num"),
+        (F.col("truth_n") + F.col("pred_n")).cast("long").alias("f1_den"),
+    )
+
+
+def sql_classifier_report(rows_cte: str, truth_col: str, pred_col: str) -> str:
+    """DuckDB twin of :func:`classifier_report`."""
+    return f"""WITH cr_rows AS ({rows_cte}),
+cr_tp AS (SELECT {truth_col} AS cls, CAST(count(*) AS BIGINT) AS tp
+          FROM cr_rows WHERE {truth_col} = {pred_col} GROUP BY 1),
+cr_tn AS (SELECT {truth_col} AS cls, CAST(count(*) AS BIGINT) AS truth_n
+          FROM cr_rows GROUP BY 1),
+cr_pn AS (SELECT {pred_col} AS cls, CAST(count(*) AS BIGINT) AS pred_n
+          FROM cr_rows GROUP BY 1)
+SELECT cls, COALESCE(t.truth_n, 0) AS truth_n, COALESCE(p.pred_n, 0) AS pred_n,
+       COALESCE(x.tp, 0) AS tp,
+       CAST(2 * COALESCE(x.tp, 0) AS BIGINT) AS f1_num,
+       CAST(COALESCE(t.truth_n, 0) + COALESCE(p.pred_n, 0) AS BIGINT) AS f1_den
+FROM cr_tn t FULL OUTER JOIN cr_pn p USING (cls)
+LEFT JOIN cr_tp x USING (cls)"""

@@ -8203,6 +8203,33 @@ def kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rater_agreement(docs, "lang", "pred")
 
 
+def _sql_clf_report() -> str:
+    from osmgraft.functions.text import sql_lang_id
+    from osmgraft.operators.stats import sql_classifier_report
+
+    rows = f"SELECT lang, {sql_lang_id('text')} AS pred FROM documents"
+    return sql_classifier_report(rows, "lang", "pred")
+
+
+@register("langid_class_report", _sql_clf_report())
+def langid_class_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the stopword language-ID as EXACT
+    RATIONALS (operators/stats.classifier_report): confusion-matrix
+    marginals plus F1 = 2tp/(truth_n + pred_n) via the harmonic-mean
+    identity — division never taken, thresholds downstream cross-
+    multiply.  With kappa_langid (chance-corrected) and
+    mcnemar_langid_vs_majority (paired) this completes the eval report a
+    labeling pipeline ships.  100 TB: three category-domain aggs."""
+    from osmgraft.functions.text import lang_id
+    from osmgraft.operators.stats import classifier_report
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("lang", lang_id(F.col("text")).alias("pred"))
+    return classifier_report(docs, "lang", "pred")
+
+
 def _sql_mcnemar() -> str:
     from osmgraft.functions.text import sql_lang_id
     from osmgraft.operators.stats import sql_mcnemar

@@ -1367,3 +1367,34 @@ def test_mcnemar_hand_cases(spark):
         [("t", "t", "f")] * 3 + [("t", "f", "t")] * 3, "y string, a string, b string"
     )
     assert mcnemar(even, "y", "a", "b").collect()[0]["verdict"] == "same"
+
+
+def test_classifier_report_reference(spark):
+    """Marginals and the F1 rational == sklearn-style formulas, including
+    a prediction-only class and a never-predicted class."""
+    from fractions import Fraction
+
+    from osmgraft.operators.stats import classifier_report
+
+    rows = (
+        [("a", "a")] * 8 + [("a", "b")] * 2
+        + [("b", "b")] * 5 + [("b", "a")] * 1
+        + [("c", "a")] * 3           # c never predicted
+        + [("b", "d")] * 1           # d only predicted
+    )
+    df = spark.createDataFrame(rows, "y string, p string")
+    got = {r["cls"]: r for r in classifier_report(df, "y", "p").collect()}
+    import collections
+
+    tn = collections.Counter(y for y, _ in rows)
+    pn = collections.Counter(p for _, p in rows)
+    tp = collections.Counter(y for y, p in rows if y == p)
+    for c in set(tn) | set(pn):
+        r = got[c]
+        assert (r["truth_n"], r["pred_n"], r["tp"]) == (tn[c], pn[c], tp[c]), c
+        prec = Fraction(tp[c], pn[c]) if pn[c] else None
+        rec = Fraction(tp[c], tn[c]) if tn[c] else None
+        if prec and rec and (prec + rec) > 0:
+            f1 = 2 * prec * rec / (prec + rec)
+            assert Fraction(r["f1_num"], r["f1_den"]) == f1, c
+    assert got["c"]["pred_n"] == 0 and got["d"]["truth_n"] == 0
