@@ -8176,6 +8176,78 @@ def tile_decayed_top100_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_tile_counts(pts)
 
 
+def _sql_segregation() -> str:
+    from osmgraft.operators.stats import sql_tv_distance
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("event_id")
+    rows = f"""SELECT event_type,
+         {tiles.sql_tile_x(f'({lon})', 6)} * 64 + {tiles.sql_tile_y(f'({lat})', 6)}
+           AS cell
+  FROM events"""
+    return sql_tv_distance(rows, "event_type", "cell")
+
+
+@register("segregation_types_z6", _sql_segregation())
+def segregation_types_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duncan dissimilarity (segregation) index between every event-type
+    pair over z6 cells (Duncan & Duncan 1955 — the classic residential-
+    segregation statistic): D = ½·Σ_cells |share_a(cell) − share_b(cell)|
+    is EXACTLY the total-variation distance with cells as categories, so
+    the op IS operators/stats.tv_distance over (event_type, packed z6
+    cell) — one exact integer rational per pair, "how differently are
+    these two event types distributed over space".
+
+    100 TB: cell-domain counts + one grouped sum per type pair."""
+    from osmgraft.operators.stats import tv_distance
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+
+    ev = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    lat, lon = latlon_of_key(F.col("event_id"))
+    rows = ev.select(
+        "event_type",
+        (tiles.tile_x(lon, 6) * 64 + tiles.tile_y(lat, 6)).alias("cell"),
+    )
+    return tv_distance(rows, "event_type", "cell")
+
+
+def _sql_lq() -> str:
+    from osmgraft.operators.stats import sql_contingency_assoc
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("event_id")
+    rows = f"""SELECT
+         {tiles.sql_tile_x(f'({lon})', 6)} * 64 + {tiles.sql_tile_y(f'({lat})', 6)}
+           AS cell, event_type
+  FROM events"""
+    return sql_contingency_assoc(rows, "cell", "event_type")
+
+
+@register("tile_type_lq_z6", _sql_lq())
+def tile_type_lq_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Location-quotient cells per (z6 cell, event type) — the
+    geomarketing LQ = (x_ct/x_c)/(x_t/x) screen: LQ > 1 with significance
+    is EXACTLY the contingency-association enrichment test, so the op IS
+    operators/stats.contingency_assoc over (packed z6 cell, event_type):
+    enriched = the type over-concentrates in that cell beyond the
+    adjusted-residual z-bound, depleted symmetric — the "which activity
+    characterizes this neighborhood" analysis, exact.
+
+    100 TB: category-domain aggs + broadcast dimension joins."""
+    from osmgraft.operators.stats import contingency_assoc
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+
+    ev = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    lat, lon = latlon_of_key(F.col("event_id"))
+    rows = ev.select(
+        (tiles.tile_x(lon, 6) * 64 + tiles.tile_y(lat, 6)).alias("cell"),
+        "event_type",
+    )
+    return contingency_assoc(rows, "cell", "event_type")
+
+
 def _sql_kappa() -> str:
     from osmgraft.functions.text import sql_lang_id
     from osmgraft.operators.stats import sql_rater_agreement
