@@ -2743,3 +2743,61 @@ SELECT cls, COALESCE(t.truth_n, 0) AS truth_n, COALESCE(p.pred_n, 0) AS pred_n,
        CAST(COALESCE(t.truth_n, 0) + COALESCE(p.pred_n, 0) AS BIGINT) AS f1_den
 FROM cr_tn t FULL OUTER JOIN cr_pn p USING (cls)
 LEFT JOIN cr_tp x USING (cls)"""
+
+
+def burstiness(df: DataFrame, keys: list[str], gap_col: str) -> DataFrame:
+    """Goh–Barabási burstiness class per key group (Goh & Barabási EPL
+    2008) over inter-event gaps: B = (σ−μ)/(σ+μ) is positive exactly
+    when σ > μ — i.e. when the gap process is MORE variable than the
+    memoryless exponential (σ = μ, B = 0, the Poisson-process line) —
+    and that sign is decided exactly:
+
+        σ² > μ²  ⟺  n·Σx² − S² > S²      (S = Σx, population variance)
+
+    Emits (keys…, n_gaps, gap_sum, disp_num = n·Σx² − 2S² — positive ⟺
+    bursty, zero ⟺ exponential-like, negative ⟺ regular/pacemaker — and
+    burst_class accordingly).  The behavioral-rhythm member of the
+    temporal family: sessionize cuts on a gap threshold, this READS the
+    gap distribution's character.  All int64 through n·Σx² (gaps in
+    seconds; exact to ~10⁶ gaps of ~10⁵ s per key).
+
+    100 TB: one map-side-combinable agg on the per-key gap rollup."""
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(gap_col).cast("long").alias("gap_sum"),
+        F.sum(F.col(gap_col) * F.col(gap_col)).cast("long").alias("_ssq"),
+    )
+    disp = (
+        F.col("n_gaps") * F.col("_ssq")
+        - F.lit(2) * F.col("gap_sum") * F.col("gap_sum")
+    )
+    cls = (
+        F.when(disp > 0, "bursty")
+        .when(disp < 0, "regular")
+        .otherwise("poisson_like")
+    )
+    return agg.select(
+        *keys,
+        "n_gaps",
+        "gap_sum",
+        disp.cast("long").alias("disp_num"),
+        cls.alias("burst_class"),
+    )
+
+
+def sql_burstiness(rows_cte: str, keys: list[str], gap_col: str) -> str:
+    """DuckDB twin of :func:`burstiness`."""
+    ks = ", ".join(keys)
+    return f"""WITH bs_rows AS ({rows_cte}),
+bs AS (
+  SELECT {ks}, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum({gap_col}) AS BIGINT) AS gap_sum,
+         CAST(count(*) * sum(CAST({gap_col} AS BIGINT) * {gap_col})
+              - 2 * sum(CAST({gap_col} AS BIGINT)) * sum(CAST({gap_col} AS BIGINT))
+           AS BIGINT) AS disp_num
+  FROM bs_rows GROUP BY {ks})
+SELECT {ks}, n_gaps, gap_sum, disp_num,
+       CASE WHEN disp_num > 0 THEN 'bursty'
+            WHEN disp_num < 0 THEN 'regular'
+            ELSE 'poisson_like' END AS burst_class
+FROM bs"""

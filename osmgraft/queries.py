@@ -8176,6 +8176,44 @@ def tile_decayed_top100_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_tile_counts(pts)
 
 
+def _sql_burst() -> str:
+    from osmgraft.operators.stats import sql_burstiness
+
+    rows = """SELECT user_id,
+       CAST(floor(epoch(ts)) AS BIGINT)
+         - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events QUALIFY gap IS NOT NULL"""
+    return sql_burstiness(rows, ["user_id"], "gap")
+
+
+@register("user_burstiness", _sql_burst())
+def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási burstiness class per user (operators/stats.
+    burstiness, EPL 2008) over inter-event gaps: bursty / regular /
+    poisson_like decided by the exact sign of n·Σx² − 2S² (σ vs μ with
+    the square-root never taken) — the behavioral-rhythm screen beside
+    sessionize (which cuts on a gap) and autocorr (which seeks period).
+    Gap extraction shares the pinned (ts, event_id) total order with
+    markov_event_transitions.
+
+    100 TB: one lag window + one map-side-combinable agg."""
+    from osmgraft.operators.stats import burstiness
+    from osmgraft.operators.util import ensure_min_parallelism
+    from pyspark.sql.window import Window as _W
+
+    ev = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.floor(F.unix_timestamp("ts")).cast("long")
+    gaps = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("gap", sec - F.lag(sec).over(w))
+        .filter(F.col("gap").isNotNull())
+        .select("user_id", "gap")
+    )
+    return burstiness(gaps, ["user_id"], "gap")
+
+
 def _sql_segregation() -> str:
     from osmgraft.operators.stats import sql_tv_distance
     from osmgraft.synth import sql_latlon_of_key

@@ -1398,3 +1398,26 @@ def test_classifier_report_reference(spark):
             f1 = 2 * prec * rec / (prec + rec)
             assert Fraction(r["f1_num"], r["f1_den"]) == f1, c
     assert got["c"]["pred_n"] == 0 and got["d"]["truth_n"] == 0
+
+
+def test_burstiness_classes(spark):
+    """A metronome is regular (sigma 0 < mu), a heavy-tailed on/off
+    pattern is bursty, and the boundary sigma == mu lands poisson_like."""
+    from osmgraft.operators.stats import burstiness
+
+    rows = (
+        [(1, 10)] * 20                           # perfect metronome
+        + [(2, 1)] * 19 + [(2, 1000)]            # one huge gap: bursty
+        + [(3, 0), (3, 2)]                       # mu=1, sigma=1 -> boundary
+    )
+    df = spark.createDataFrame(rows, "u long, gap long")
+    got = {r["u"]: r for r in burstiness(df, ["u"], "gap").collect()}
+    assert got[1]["burst_class"] == "regular" and got[1]["disp_num"] < 0
+    assert got[2]["burst_class"] == "bursty"
+    assert got[3]["burst_class"] == "poisson_like" and got[3]["disp_num"] == 0
+    # exact dispersion identity on the bursty fixture
+    import numpy as np
+
+    x = np.array([1] * 19 + [1000], dtype=np.int64)
+    n, s, ssq = len(x), int(x.sum()), int((x * x).sum())
+    assert got[2]["disp_num"] == n * ssq - 2 * s * s
