@@ -2801,3 +2801,108 @@ SELECT {ks}, n_gaps, gap_sum, disp_num,
             WHEN disp_num < 0 THEN 'regular'
             ELSE 'poisson_like' END AS burst_class
 FROM bs"""
+
+
+def spearman_rho(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    strong_num: int = 1,
+    strong_den: int = 4,
+) -> DataFrame:
+    """Spearman rank correlation per key group (Spearman 1904), tie-exact:
+    ranks are AVERAGE ranks carried as integers by the ×2 trick —
+    rank2(v) = min_rank + max_rank over v's tie group (= 2·average rank,
+    always integral) — and ρ is Pearson on the rank2 values, never
+    evaluated: the emitted exact integers are
+
+        num  = n·Σxy − Σx·Σy,   den_x = n·Σx² − (Σx)²,  den_y likewise
+
+    (ρ = num/√(den_x·den_y)) and the strength class |ρ| ≥ ½ is decided by
+    the cross-multiplied strong_den²... precisely:
+    strong_den·num² ≥ strong_num·den_x·den_y, sign from num — the
+    kendall_tau discipline, completing the rank-correlation pair
+    (Kendall counts pair inversions; Spearman measures rank displacement).
+    'degenerate' when either margin is constant.
+
+    100 TB: two windows over the per-(key, tick) AGGREGATE + one
+    map-side-combinable agg; all int64 at tick-rollup sizes."""
+    obs = df.select(*keys, F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+
+    def rank2(col, out):
+        wv = Window.partitionBy(*keys).orderBy(col)
+        wt = Window.partitionBy(*keys, col)
+        return (
+            (F.min(F.row_number().over(wv)).over(wt)
+             + F.max(F.row_number().over(wv)).over(wt)).alias(out)
+        )
+
+    # two passes (one per variable) to keep each window's ordering simple
+    r1 = obs.select(*keys, "_x", "_y", rank2(F.col("_x"), "_rx"))
+    r2 = r1.select(*keys, "_y", "_rx", rank2(F.col("_y"), "_ry"))
+    agg = r2.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("_rx").cast("long").alias("_sx"),
+        F.sum("_ry").cast("long").alias("_sy"),
+        F.sum(F.col("_rx") * F.col("_rx")).cast("long").alias("_sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).cast("long").alias("_syy"),
+        F.sum(F.col("_rx") * F.col("_ry")).cast("long").alias("_sxy"),
+    )
+    num = F.col("n_obs") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    dx = F.col("n_obs") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dy = F.col("n_obs") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    strong = F.lit(strong_den) * num * num >= F.lit(strong_num) * dx * dy
+    cls = (
+        F.when((dx == 0) | (dy == 0), "degenerate")
+        .when(strong & (num > 0), "positive")
+        .when(strong & (num < 0), "negative")
+        .otherwise("weak")
+    )
+    return agg.select(
+        *keys,
+        "n_obs",
+        num.cast("long").alias("rho_num"),
+        dx.cast("long").alias("den_x"),
+        dy.cast("long").alias("den_y"),
+        cls.alias("rho_class"),
+    )
+
+
+def sql_spearman_rho(
+    counts_cte: str,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    strong_num: int = 1,
+    strong_den: int = 4,
+) -> str:
+    """DuckDB twin of :func:`spearman_rho` — same ×2 average ranks and
+    cross-multiplied class."""
+    ks = ", ".join(keys)
+    return f"""counts AS ({counts_cte}),
+sp_r AS (
+  SELECT {ks},
+         min(rnx) OVER (PARTITION BY {ks}, {x_col})
+           + max(rnx) OVER (PARTITION BY {ks}, {x_col}) AS rx,
+         min(rny) OVER (PARTITION BY {ks}, {y_col})
+           + max(rny) OVER (PARTITION BY {ks}, {y_col}) AS ry
+  FROM (
+    SELECT {ks}, {x_col}, {y_col},
+           row_number() OVER (PARTITION BY {ks} ORDER BY {x_col}) AS rnx,
+           row_number() OVER (PARTITION BY {ks} ORDER BY {y_col}) AS rny
+    FROM counts)),
+sp AS (
+  SELECT {ks}, CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(count(*) * sum(rx * ry) - sum(rx) * sum(ry) AS BIGINT) AS rho_num,
+         CAST(count(*) * sum(rx * rx) - sum(rx) * sum(rx) AS BIGINT) AS den_x,
+         CAST(count(*) * sum(ry * ry) - sum(ry) * sum(ry) AS BIGINT) AS den_y
+  FROM sp_r GROUP BY {ks}),
+sp_out AS (
+  SELECT {ks}, n_obs, rho_num, den_x, den_y,
+         CASE WHEN den_x = 0 OR den_y = 0 THEN 'degenerate'
+              WHEN {strong_den} * rho_num * rho_num >= {strong_num} * den_x * den_y
+              THEN (CASE WHEN rho_num > 0 THEN 'positive'
+                         WHEN rho_num < 0 THEN 'negative' ELSE 'weak' END)
+              ELSE 'weak' END AS rho_class
+  FROM sp)"""

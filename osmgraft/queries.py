@@ -8696,6 +8696,56 @@ def rank_agg_types_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_aggregation(counts, ["tx", "ty"], "day", "event_type", "cnt")
 
 
+def _sql_spearman() -> str:
+    from osmgraft.operators.stats import sql_spearman_rho
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("event_id")
+    obs = f"""SELECT {tiles.sql_tile_x(f'({lon})', 5)} AS tx,
+         {tiles.sql_tile_y(f'({lat})', 5)} AS ty,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS users
+  FROM events GROUP BY tx, ty, CAST(floor(epoch(ts)) AS BIGINT) // 86400"""
+    return (
+        "WITH "
+        + sql_spearman_rho(obs, ["tx", "ty"], "cnt", "users")
+        + "\nSELECT * FROM sp_out"
+    )
+
+
+@register("tile_spearman_z5", _sql_spearman())
+def tile_spearman_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per z5 tile between daily volume and
+    user diversity (operators/stats.spearman_rho, Spearman 1904) — the
+    rank-DISPLACEMENT member completing the rank-correlation pair with
+    tile_kendall_tau_z5's pair inversions, over the same tile-day
+    rollup: tie-exact ×2 average ranks, Pearson-on-ranks numerator and
+    margins emitted as exact integers, |ρ| ≥ ½ class cross-multiplied.
+
+    100 TB: two windows + one agg on the tile-day AGGREGATE."""
+    from osmgraft.operators.stats import spearman_rho
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+
+    ev = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    lat, lon = latlon_of_key(F.col("event_id"))
+    obs = (
+        ev.select(
+            tiles.tile_x(lon, 5).alias("tx"),
+            tiles.tile_y(lat, 5).alias("ty"),
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+            "user_id",
+        )
+        .groupBy("tx", "ty", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.countDistinct("user_id").cast("long").alias("users"),
+        )
+        .select("tx", "ty", "cnt", "users")
+    )
+    return spearman_rho(obs, ["tx", "ty"], "cnt", "users")
+
+
 def _sql_pettitt_q() -> str:
     from osmgraft.operators.stats import sql_pettitt
     from osmgraft.synth import sql_latlon_of_key

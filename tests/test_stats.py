@@ -1421,3 +1421,69 @@ def test_burstiness_classes(spark):
     x = np.array([1] * 19 + [1000], dtype=np.int64)
     n, s, ssq = len(x), int(x.sum()), int((x * x).sum())
     assert got[2]["disp_num"] == n * ssq - 2 * s * s
+
+
+def test_spearman_matches_scipy_free_reference(spark):
+    """Exact rho parts == Pearson-on-average-ranks with ties, and the
+    class matches the float |rho| >= 0.5 rule."""
+    from fractions import Fraction
+
+    from osmgraft.operators.stats import spearman_rho
+
+    import numpy as np
+
+    rng = np.random.default_rng(79)
+    rows, refs = [], {}
+    for g in range(1, 6):
+        n = 10 + g * 3
+        xs = [int(v) for v in rng.integers(0, 8, n)]   # heavy ties
+        ys = [x + int(v) for x, v in zip(xs, rng.integers(0, 6, n))]
+        rows += [(g, x, y) for x, y in zip(xs, ys)]
+        refs[g] = (xs, ys)
+    df = spark.createDataFrame(rows, "g long, cnt long, users long")
+    got = {r["g"]: r for r in spearman_rho(df, ["g"], "cnt", "users").collect()}
+
+    def avg_rank2(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        r2 = [0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            for k in range(i, j):
+                r2[order[k]] = (i + 1) + j  # min_rank + max_rank
+            i = j
+        return r2
+
+    for g, (xs, ys) in refs.items():
+        rx, ry = avg_rank2(xs), avg_rank2(ys)
+        n = len(xs)
+        num = n * sum(a * b for a, b in zip(rx, ry)) - sum(rx) * sum(ry)
+        dx = n * sum(a * a for a in rx) - sum(rx) ** 2
+        dy = n * sum(b * b for b in ry) - sum(ry) ** 2
+        r = got[g]
+        assert (r["rho_num"], r["den_x"], r["den_y"]) == (num, dx, dy), g
+        import math
+
+        rho = num / math.sqrt(dx * dy)
+        want = (
+            "positive" if rho >= 0.5 else ("negative" if rho <= -0.5 else "weak")
+        )
+        assert r["rho_class"] == want, (g, rho)
+
+
+def test_spearman_perfect_and_degenerate(spark):
+    from osmgraft.operators.stats import spearman_rho
+
+    rows = (
+        [(1, t, t * 2) for t in range(8)]       # rho = +1
+        + [(2, t, 100 - t) for t in range(8)]   # rho = -1
+        + [(3, 5, t) for t in range(8)]         # x constant
+    )
+    df = spark.createDataFrame(rows, "g long, cnt long, users long")
+    got = {r["g"]: r for r in spearman_rho(df, ["g"], "cnt", "users").collect()}
+    assert got[1]["rho_class"] == "positive"
+    assert got[1]["rho_num"] == got[1]["den_x"]  # rho exactly 1
+    assert got[2]["rho_class"] == "negative" and got[2]["rho_num"] == -got[2]["den_x"]
+    assert got[3]["rho_class"] == "degenerate"
