@@ -187,7 +187,12 @@ def main() -> None:
                  "geary_c_z8", "tile_siegel_slope_z5", "tile_runs_test_z5",
                  "tile_tukey_outlier_days_z5", "image_glcm_features",
                  "image_hist_equalize", "emd_source_drift",
-                 "tv_source_langmix", "boundary_image_luma"]:
+                 "tv_source_langmix", "boundary_image_luma",
+                 "simpsons_paradox_sources", "kappa_langid",
+                 "mcnemar_langid_vs_majority", "langid_class_report",
+                 "segregation_types_z6", "tile_type_lq_z6",
+                 "user_burstiness", "tile_spearman_z5",
+                 "stream_windowed_counts_1h"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())

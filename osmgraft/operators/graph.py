@@ -580,3 +580,83 @@ FROM h_nodes n
 LEFT JOIN h{rounds} h ON h.node_id = n.node_id
 LEFT JOIN a{rounds} a ON a.dst = n.node_id"""
     )
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """Degree-assortativity terms of an undirected graph (Newman PRL
+    2002): the Pearson correlation of end-point degrees over edges,
+    emitted as EXACT integers — with both orientations of every edge
+    (the standard symmetrization, M = 2m samples of (d_u, d_v)):
+
+        num = M·Σ d_u d_v − (Σd_u)·(Σd_v),
+        den_x = M·Σd_u² − (Σd_u)²   (= den_y by symmetry)
+
+    and r = num/den_x exactly (the symmetrized den_x = den_y, so the √
+    collapses — no irrational anywhere).  Class: 'assortative' when
+    2·num ≥ den_x (r ≥ ½), 'disassortative' when −2·num ≥ den_x,
+    'neutral' otherwise, 'degenerate' on a regular graph (den 0).
+    Hubs-link-hubs vs hubs-link-leaves — the one-number mixing summary
+    beside hits/pagerank's per-node scores.
+
+    Emits ONE row (n_nodes, n_edges, r_num, r_den, mix_class).
+
+    100 TB: a degree agg + two broadcast-able joins + one final agg."""
+    und = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    du = deg.select(F.col("src").alias("_u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("src").alias("_v"), F.col("deg").alias("dv"))
+    j = und.join(du, und.src == du._u).join(dv, und.dst == dv._v)
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("_m2"),
+        F.sum("du").cast("long").alias("_sx"),
+        F.sum(F.col("du") * F.col("du")).cast("long").alias("_sxx"),
+        F.sum(F.col("du") * F.col("dv")).cast("long").alias("_sxy"),
+    )
+    n_nodes = deg.count()
+    num = F.col("_m2") * F.col("_sxy") - F.col("_sx") * F.col("_sx")
+    den = F.col("_m2") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    cls = (
+        F.when(den == 0, "degenerate")
+        .when(F.lit(2) * num >= den, "assortative")
+        .when(F.lit(-2) * num >= den, "disassortative")
+        .otherwise("neutral")
+    )
+    return agg.select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.expr("_m2 div 2").alias("n_edges"),
+        num.cast("long").alias("r_num"),
+        den.cast("long").alias("r_den"),
+        cls.alias("mix_class"),
+    )
+
+
+def sql_assortativity(edges_sql: str) -> str:
+    """DuckDB twin of :func:`assortativity`."""
+    return f"""WITH as_e AS ({edges_sql}),
+as_und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM as_e UNION ALL SELECT dst, src FROM as_e)),
+as_deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+           FROM as_und GROUP BY 1),
+as_j AS (
+  SELECT a.deg AS du, b.deg AS dv
+  FROM as_und e JOIN as_deg a ON a.node = e.src JOIN as_deg b ON b.node = e.dst),
+as_agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS m2,
+         CAST(sum(du) AS BIGINT) AS sx,
+         CAST(sum(du * du) AS BIGINT) AS sxx,
+         CAST(sum(du * dv) AS BIGINT) AS sxy
+  FROM as_j)
+SELECT (SELECT count(*) FROM as_deg) AS n_nodes,
+       m2 // 2 AS n_edges,
+       CAST(m2 * sxy - sx * sx AS BIGINT) AS r_num,
+       CAST(m2 * sxx - sx * sx AS BIGINT) AS r_den,
+       CASE WHEN m2 * sxx - sx * sx = 0 THEN 'degenerate'
+            WHEN 2 * (m2 * sxy - sx * sx) >= m2 * sxx - sx * sx
+              THEN 'assortative'
+            WHEN -2 * (m2 * sxy - sx * sx) >= m2 * sxx - sx * sx
+              THEN 'disassortative'
+            ELSE 'neutral' END AS mix_class
+FROM as_agg"""

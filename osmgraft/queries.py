@@ -1681,6 +1681,29 @@ def _sql_pagerank_roads() -> str:
     return sql_pagerank(_ROAD_EDGES_SQL, iters=4)
 
 
+def _sql_assort() -> str:
+    from osmgraft.operators.graph import sql_assortativity
+
+    return sql_assortativity(_ROAD_EDGES_SQL)
+
+
+@register("road_assortativity", _sql_assort())
+def road_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the road network (operators/graph.
+    assortativity, Newman PRL 2002): Pearson of end-point degrees over
+    symmetrized edges, emitted as exact integers — the symmetrization
+    makes den_x = den_y so r = num/den with NO square root, and the
+    assortative / disassortative / neutral class cross-multiplies at
+    |r| ≥ ½.  The one-number mixing summary beside pagerank/hits'
+    per-node scores: do hubs link hubs (social-like) or leaves
+    (infrastructure-like)?
+
+    100 TB: degree agg + two joins + one 4-counter agg."""
+    from osmgraft.operators.graph import assortativity
+
+    return assortativity(_road_edges(spark, sf_dir))
+
+
 def _sql_hits_q() -> str:
     from osmgraft.operators.graph import sql_hits
 

@@ -180,3 +180,49 @@ def test_hits_star_graph_ranking(spark):
     assert got["star"]["hub_score"] > got["w"]["hub_score"]
     assert got["p0"]["auth_score"] > got["q"]["auth_score"]
     assert got["q"]["hub_score"] == 0  # sink: no out-edges
+
+
+# --- degree assortativity ----------------------------------------------------
+def test_assortativity_reference_and_classes(spark):
+    """Exact parts == the float Newman r on hand graphs: a star is maximally
+    disassortative, two linked cliques assortative-ish, a cycle degenerate."""
+    from osmgraft.operators.graph import assortativity
+
+    import itertools
+    import math
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return assortativity(df).collect()[0]
+
+    def ref_r(edges):
+        und = set()
+        for u, v in edges:
+            und.add((u, v))
+            und.add((v, u))
+        deg = {}
+        for u, _ in und:
+            deg[u] = deg.get(u, 0) + 1
+        xs = [(deg[u], deg[v]) for u, v in und]
+        m2 = len(xs)
+        sx = sum(a for a, _ in xs)
+        sxx = sum(a * a for a, _ in xs)
+        sxy = sum(a * b for a, b in xs)
+        num, den = m2 * sxy - sx * sx, m2 * sxx - sx * sx
+        return num, den
+
+    star = [("c", f"l{i}") for i in range(6)]
+    r = run(star)
+    num, den = ref_r(star)
+    assert (r["r_num"], r["r_den"]) == (num, den)
+    assert r["mix_class"] == "disassortative" and num < 0
+    cliques = (
+        list(itertools.combinations(["a1", "a2", "a3", "a4"], 2))
+        + list(itertools.combinations(["b1", "b2", "b3", "b4"], 2))
+        + [("a1", "b1")]
+    )
+    rc = run(cliques)
+    numc, denc = ref_r(cliques)
+    assert (rc["r_num"], rc["r_den"]) == (numc, denc)
+    cyc = [(f"n{i}", f"n{(i + 1) % 5}") for i in range(5)]
+    assert run(cyc)["mix_class"] == "degenerate"  # 2-regular: den = 0
