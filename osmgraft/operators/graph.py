@@ -660,3 +660,80 @@ SELECT (SELECT count(*) FROM as_deg) AS n_nodes,
               THEN 'disassortative'
             ELSE 'neutral' END AS mix_class
 FROM as_agg"""
+
+
+def transitivity(edges: DataFrame) -> DataFrame:
+    """Global transitivity (the graph clustering coefficient, Watts &
+    Strogatz 1998 / Newman's global form): C = 3·triangles / wedges,
+    carried exactly as
+
+        c_num = 6·T_total   (Σ per-node triangle credits = 3T, doubled)
+        c_den = Σ_v d_v·(d_v − 1)   (= 2·wedges)
+
+    so C = c_num/c_den with no division — reusing the degree-oriented
+    triangle kernel (:func:`triangle_counts`, skew-bounded by
+    orientation) for the numerator and one degree aggregate for the
+    denominator.  Class: 'clustered' at C ≥ 1/3 (the Erdős–Rényi-vs-
+    small-world divide, pinned rational), 'sparse' otherwise,
+    'degenerate' with no wedges.  ONE row (n_nodes, n_tri_total, c_num,
+    c_den, cluster_class).
+
+    100 TB: triangle kernel cost + one degree agg."""
+    tri = triangle_counts(edges)
+    t3 = tri.agg(F.coalesce(F.sum("n_tri"), F.lit(0)).cast("long").alias("_t3"))
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    dd = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1)).cast("long").alias("_w2"),
+    )
+    j = dd.crossJoin(F.broadcast(t3))
+    cls = (
+        F.when(F.col("_w2") == 0, "degenerate")
+        .when(F.lit(3) * F.lit(2) * F.col("_t3") >= F.col("_w2"), "clustered")
+        .otherwise("sparse")
+    )
+    return j.select(
+        "n_nodes",
+        F.expr("_t3 div 3").alias("n_tri_total"),
+        (F.lit(2) * F.col("_t3")).cast("long").alias("c_num"),
+        F.col("_w2").alias("c_den"),
+        cls.alias("cluster_class"),
+    )
+
+
+def sql_transitivity(edges_sql: str) -> str:
+    """DuckDB twin of :func:`transitivity` — naive triangle count + the
+    same degree wedge denominator."""
+    return f"""WITH tr_edges AS ({edges_sql}),
+tr_und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM tr_edges WHERE src <> dst),
+tr_deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS n FROM tr_und UNION ALL SELECT b FROM tr_und) GROUP BY 1),
+tr_tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS t
+  FROM tr_und e1 JOIN tr_und e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN tr_und e3 ON e3.a = e1.b AND e3.b = e2.b),
+tr_dd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d * (d - 1)) AS BIGINT) AS w2
+  FROM tr_deg)
+SELECT n_nodes, t AS n_tri_total,
+       CAST(6 * t AS BIGINT) AS c_num, w2 AS c_den,
+       CASE WHEN w2 = 0 THEN 'degenerate'
+            WHEN 18 * t >= w2 THEN 'clustered'
+            ELSE 'sparse' END AS cluster_class
+FROM tr_dd, tr_tri"""

@@ -6092,6 +6092,36 @@ def triangle_counts_covisit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+def _sql_transitivity() -> str:
+    from osmgraft.operators.graph import sql_transitivity
+
+    return sql_transitivity(
+        "SELECT o_orderkey % 211 AS src, (o_orderkey // 211) % 211 AS dst"
+        " FROM orders"
+    )
+
+
+@register("covisit_transitivity", _sql_transitivity())
+def covisit_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity of the co-visit graph (operators/graph.
+    transitivity, Watts & Strogatz 1998): C = 3·triangles/wedges as the
+    exact rational 6T / Σd(d−1), numerator from the degree-ORIENTED
+    triangle kernel (skew-bounded), clustered/sparse class at the pinned
+    C ≥ 1/3 divide — the one-number small-world summary over the same
+    graph triangle_counts_covisit counts per node.
+
+    100 TB: triangle kernel + one degree agg."""
+    from osmgraft.operators.graph import transitivity
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    o = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    edges = o.selectExpr(
+        "o_orderkey % 211 AS src",
+        "(o_orderkey div 211) % 211 AS dst",
+    )
+    return transitivity(edges)
+
+
 # --- column profiling ------------------------------------------------------------
 _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 

@@ -226,3 +226,28 @@ def test_assortativity_reference_and_classes(spark):
     assert (rc["r_num"], rc["r_den"]) == (numc, denc)
     cyc = [(f"n{i}", f"n{(i + 1) % 5}") for i in range(5)]
     assert run(cyc)["mix_class"] == "degenerate"  # 2-regular: den = 0
+
+
+def test_transitivity_hand_graphs(spark):
+    """Complete K4: C = 1; a path: C = 0 (sparse); a triangle with a
+    pendant: C = 3*1 / (wedges) matches the hand count."""
+    from osmgraft.operators.graph import transitivity
+
+    import itertools
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return transitivity(df).collect()[0]
+
+    k4 = list(itertools.combinations(["a", "b", "c", "d"], 2))
+    r = run(k4)
+    assert r["n_tri_total"] == 4 and r["c_num"] == r["c_den"]
+    assert r["cluster_class"] == "clustered"
+    path = [("a", "b"), ("b", "c"), ("c", "d")]
+    rp = run(path)
+    assert rp["n_tri_total"] == 0 and rp["cluster_class"] == "sparse"
+    tri_pendant = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "x")]
+    rt = run(tri_pendant)
+    # degrees: a=3, b=2, c=2, x=1 -> wedges2 = 6+2+2+0 = 10; 6T = 6
+    assert (rt["c_num"], rt["c_den"]) == (6, 10)
+    assert rt["cluster_class"] == "clustered"  # 3/5 >= 1/3
