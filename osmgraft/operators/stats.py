@@ -2906,3 +2906,71 @@ sp_out AS (
                          WHEN rho_num < 0 THEN 'negative' ELSE 'weak' END)
               ELSE 'weak' END AS rho_class
   FROM sp)"""
+
+
+def winsorized_stats(
+    df: DataFrame,
+    keys: list[str],
+    val_col: str,
+    lo_pm: int = 50,
+    hi_pm: int = 950,
+) -> DataFrame:
+    """Winsorized summary per key group (Winsor via Tukey & McLaughlin
+    1963; the standard robust-mean ingredient): values clamped to the
+    group's exact [p_lo, p_hi] discrete quantiles (the quantile_disc rank
+    convention k = max(1, ceil(q·n)) the percentile family pins), then
+    summed — the robust location estimate whose breakdown the trim
+    chooses, with NO value ever dropped (clamping keeps n).
+
+    Emits (keys…, n_obs, p_lo, p_hi, wins_sum, n_clamped_lo,
+    n_clamped_hi) — all exact integers; the winsorized mean is the
+    consumer's wins_sum/n_obs.
+
+    100 TB: one window rank per key on the AGGREGATE + one conditional
+    re-aggregate (the tukey_outliers shape)."""
+    w = Window.partitionBy(*keys).orderBy("_v")
+    obs = (
+        df.select(*keys, F.col(val_col).alias("_v"))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+    )
+    pick = lambda pm, out: obs.filter(  # noqa: E731
+        F.col("_rn") == F.expr(f"greatest(1L, ({pm} * _n + 999) div 1000)")
+    ).select(*keys, F.col("_v").alias(out))
+    j = obs.join(pick(lo_pm, "p_lo"), keys).join(pick(hi_pm, "p_hi"), keys)
+    clamped = F.greatest(F.col("p_lo"), F.least(F.col("p_hi"), F.col("_v")))
+    return (
+        j.groupBy(*keys, "p_lo", "p_hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum(clamped).cast("long").alias("wins_sum"),
+            F.sum((F.col("_v") < F.col("p_lo")).cast("long")).cast("long").alias("n_clamped_lo"),
+            F.sum((F.col("_v") > F.col("p_hi")).cast("long")).cast("long").alias("n_clamped_hi"),
+        )
+        .select(*keys, "n_obs", "p_lo", "p_hi", "wins_sum", "n_clamped_lo", "n_clamped_hi")
+    )
+
+
+def sql_winsorized_stats(
+    rows_cte: str, keys: list[str], val_col: str, lo_pm: int = 50, hi_pm: int = 950
+) -> str:
+    """DuckDB twin of :func:`winsorized_stats`."""
+    ks = ", ".join(keys)
+    return f"""WITH wz_rows AS ({rows_cte}),
+wz_r AS (
+  SELECT {ks}, {val_col} AS v,
+         row_number() OVER (PARTITION BY {ks} ORDER BY {val_col}) AS rn,
+         count(*) OVER (PARTITION BY {ks}) AS n
+  FROM wz_rows),
+wz_lo AS (SELECT {ks}, v AS p_lo FROM wz_r
+          WHERE rn = greatest(1, ({lo_pm} * n + 999) // 1000)),
+wz_hi AS (SELECT {ks}, v AS p_hi FROM wz_r
+          WHERE rn = greatest(1, ({hi_pm} * n + 999) // 1000))
+SELECT {ks}, CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(any_value(p_lo) AS BIGINT) AS p_lo,
+       CAST(any_value(p_hi) AS BIGINT) AS p_hi,
+       CAST(sum(greatest(p_lo, least(p_hi, v))) AS BIGINT) AS wins_sum,
+       CAST(sum(CASE WHEN v < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+       CAST(sum(CASE WHEN v > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi
+FROM wz_r JOIN wz_lo USING ({ks}) JOIN wz_hi USING ({ks})
+GROUP BY {ks}"""

@@ -8229,6 +8229,32 @@ def tile_decayed_top100_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_tile_counts(pts)
 
 
+def _sql_winsor() -> str:
+    from osmgraft.operators.stats import sql_winsorized_stats
+
+    return sql_winsorized_stats(
+        "SELECT source, n_chars FROM documents", ["source"], "n_chars"
+    )
+
+
+@register("winsorized_nchars_by_source", _sql_winsor())
+def winsorized_nchars_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized length summary per document source (operators/stats.
+    winsorized_stats, Tukey & McLaughlin 1963): values clamped to the
+    exact [p05, p95] discrete quantiles (the pinned quantile_disc rank),
+    clamp counts and the winsorized sum all exact integers — the robust
+    location ingredient beside mad_nchars_by_source's robust scale.
+
+    100 TB: one window rank + one conditional re-aggregate per source."""
+    from osmgraft.operators.stats import winsorized_stats
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("source", "n_chars")
+    return winsorized_stats(docs, ["source"], "n_chars")
+
+
 def _sql_burst() -> str:
     from osmgraft.operators.stats import sql_burstiness
 

@@ -1487,3 +1487,28 @@ def test_spearman_perfect_and_degenerate(spark):
     assert got[1]["rho_num"] == got[1]["den_x"]  # rho exactly 1
     assert got[2]["rho_class"] == "negative" and got[2]["rho_num"] == -got[2]["den_x"]
     assert got[3]["rho_class"] == "degenerate"
+
+
+def test_winsorized_stats_reference(spark):
+    """Clamp bounds follow the shared rank convention; sums and clamp
+    counts match a plain-python reference with planted outliers."""
+    import math
+
+    from osmgraft.operators.stats import winsorized_stats
+
+    import numpy as np
+
+    rng = np.random.default_rng(83)
+    vals = [int(v) for v in rng.integers(100, 200, 60)] + [5, 3, 9000, 8000, 7000]
+    df = spark.createDataFrame([(1, v) for v in vals], "g long, v long")
+    (r,) = winsorized_stats(df, ["g"], "v").collect()
+    s = sorted(vals)
+    n = len(s)
+    p_lo = s[max(1, math.ceil(50 * n / 1000)) - 1]
+    p_hi = s[max(1, math.ceil(950 * n / 1000)) - 1]
+    assert (r["p_lo"], r["p_hi"]) == (p_lo, p_hi)
+    assert r["wins_sum"] == sum(min(max(v, p_lo), p_hi) for v in vals)
+    assert r["n_clamped_lo"] == sum(1 for v in vals if v < p_lo)
+    assert r["n_clamped_hi"] == sum(1 for v in vals if v > p_hi)
+    # the winsorized mean sits in the clean range despite the wild tail
+    assert 100 <= r["wins_sum"] / r["n_obs"] <= 500
