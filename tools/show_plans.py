@@ -50,6 +50,19 @@ HEADLINE = [
     "kcore20_planted",
     "geofence_scrub_points",
     "mad_nchars_by_source",
+    # session-14 family heads
+    "ripley_k_pairs",
+    "knox_space_time",
+    "tile_kendall_tau_z5",
+    "tile_isotonic_z5",
+    "ks_source_drift",
+    "tile_dispersion_z6",
+    "terrain_viewshed_z10_7",
+    "hits_user_types",
+    "rank_agg_types_z5",
+    "dedup_lcs_pairs",
+    "soundex_name_pairs",
+    "boundary_image_luma",
 ]
 
 KEEP = (
