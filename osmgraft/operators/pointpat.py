@@ -327,3 +327,63 @@ SELECT {g}, n_pts, qx_sum, qy_sum,
                  >= (c20 + c02) * (c20 + c02) THEN 'elongated'
             ELSE 'compact' END AS shape_class
 FROM de_m"""
+
+
+def nn_g_function(pts: DataFrame, radii: list[int], shift: int) -> DataFrame:
+    """Nearest-neighbour distance distribution (the G "event-to-event"
+    function of spatial statistics, Diggle 1983 lineage) — Ripley's K's
+    nearest-only companion: K counts ALL pairs within r, G asks what
+    fraction of points have their NEAREST neighbour within r.  Emits one
+    row per radius (r, n_pts, n_within) with n_within = #points whose
+    min pair distance² ≤ r² — exact integers; G(r) = n_within/n_pts is
+    the consumer's division.
+
+    Candidates come from the same provably-complete 3×3 grid ring as
+    ripley_k (pitch ≥ max radius): a point's nearest neighbour within
+    max(radii) is necessarily inside the ring, and points with NO ring
+    neighbour simply have nn > max(radii) — counted in n_pts, never in
+    n_within.  Plan: ring pairs → BOTH orientations → grouped min d² per
+    point → conditional sums, one stack explode.
+
+    100 TB: local-density-bounded candidates, two map-side-combinable
+    aggs, no window."""
+    if max(radii) > (1 << shift):
+        raise ValueError(f"max radius {max(radii)} exceeds pitch {1 << shift}")
+    pr = _ring_pairs(pts, shift, [])
+    d2 = _d2_long().alias("_d2")
+    both = pr.select(F.col("pid_a").alias("pid"), d2).unionByName(
+        pr.select(F.col("pid_b").alias("pid"), d2)
+    )
+    nn = both.groupBy("pid").agg(F.min("_d2").alias("_nn"))
+    aggs = [
+        F.sum(F.when(F.col("_nn") <= r * r, 1).otherwise(0))
+        .cast("long")
+        .alias(f"c{i}")
+        for i, r in enumerate(radii)
+    ]
+    counts = nn.agg(*aggs).withColumn("k", F.lit(1))
+    n = pts.agg(F.count(F.lit(1)).alias("n_pts")).withColumn("k", F.lit(1))
+    stack = ", ".join(f"{r}L, c{i}" for i, r in enumerate(radii))
+    return (
+        counts.join(F.broadcast(n), "k")
+        .selectExpr("n_pts", f"stack({len(radii)}, {stack}) AS (r, n_within)")
+        .select("r", "n_pts", "n_within")
+    )
+
+
+def sql_nn_g_function(pts_cte: str, radii: list[int], shift: int) -> str:
+    """DuckDB twin — gather-form ring, min-d² per point, per-radius
+    conditional counts."""
+    sels = "\nUNION ALL\n".join(
+        f"SELECT {r} AS r, (SELECT count(*) FROM ({pts_cte})) AS n_pts, "
+        f"(SELECT count(*) FROM nn WHERE mind2 <= {r * r}) AS n_within"
+        for r in radii
+    )
+    return f"""WITH {_sql_ring_pairs(pts_cte, shift, [])},
+nn AS (
+  SELECT pid, min(d2) AS mind2 FROM (
+    SELECT pid_a AS pid, {_SQL_D2} AS d2 FROM pairs
+    UNION ALL
+    SELECT pid_b AS pid, {_SQL_D2} AS d2 FROM pairs)
+  GROUP BY pid)
+{sels}"""

@@ -4338,6 +4338,36 @@ def ripley_k_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ripley_k(pts, _RIPLEY_RADII, _RIPLEY_SHIFT)
 
 
+def _g_fn_oracle() -> str:
+    from osmgraft.operators.pointpat import sql_nn_g_function
+
+    return sql_nn_g_function(sql_points_cte().replace("point_id", "pid")
+                             .replace("lat7", "y").replace("lon7", "x"),
+                             _RIPLEY_RADII, _RIPLEY_SHIFT)
+
+
+@register("nn_g_function", _g_fn_oracle())
+def nn_g_function_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbour G-function at the Ripley radii (operators/
+    pointpat.nn_g_function, Diggle 1983 lineage): the fraction of points
+    whose NEAREST neighbour lies within r — K's nearest-only companion
+    (K counts all pairs; G reads the gap structure), over the same
+    provably-complete grid ring.  Exact (r, n_pts, n_within) rows; ring
+    pairs → both orientations → grouped min d² → conditional sums.
+
+    100 TB: local-density-bounded candidates, map-side-combinable aggs,
+    no window, no n²."""
+    from osmgraft.operators.pointpat import nn_g_function
+    from osmgraft.synth import points_from_orders
+
+    pts = points_from_orders(spark, sf_dir).select(
+        F.col("point_id").alias("pid"),
+        F.col("lon7").alias("x"),
+        F.col("lat7").alias("y"),
+    )
+    return nn_g_function(pts, _RIPLEY_RADII, _RIPLEY_SHIFT)
+
+
 def _knox_oracle() -> str:
     from osmgraft.operators.pointpat import sql_knox
     from osmgraft.synth import sql_latlon_of_key

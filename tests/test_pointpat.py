@@ -109,3 +109,38 @@ def test_dispersion_hand_shapes(spark):
     assert (got[3]["orient2_octant"], got[3]["shape_class"]) == (-1, "compact")
     assert got[4]["shape_class"] == "degenerate"
     assert got[1]["c02"] == 0 and got[1]["c11"] == 0 and got[1]["c20"] > 0
+
+
+def test_g_function_matches_brute_force(spark):
+    from osmgraft.operators.pointpat import nn_g_function
+
+    rng = np.random.default_rng(89)
+    pts = [(i, int(x), int(y)) for i, (x, y) in enumerate(
+        zip(rng.integers(-400, 400, 50), rng.integers(-400, 400, 50)))]
+    df = spark.createDataFrame(pts, "pid long, x long, y long")
+    radii = [60, 150, 700]
+    got = {r["r"]: (r["n_pts"], r["n_within"])
+           for r in nn_g_function(df, radii, shift=10).collect()}
+    for r in radii:
+        nw = 0
+        for i, xa, ya in pts:
+            best = min(
+                (xa - xb) ** 2 + (ya - yb) ** 2
+                for j, xb, yb in pts if j != i
+            )
+            nw += best <= r * r
+        assert got[r] == (50, nw), r
+
+
+def test_g_vs_k_laws(spark):
+    """G counts each point once (n_within <= n_pts always) while K's pair
+    count can exceed n; an isolated far point never enters n_within."""
+    from osmgraft.operators.pointpat import nn_g_function, ripley_k
+
+    pts = [(1, 0, 0), (2, 3, 0), (3, 0, 4), (4, 100000, 100000)]
+    df = spark.createDataFrame(pts, "pid long, x long, y long")
+    g = {r["r"]: r["n_within"] for r in nn_g_function(df, [5, 30], 6).collect()}
+    k = {r["r"]: r["pair_cnt"] for r in ripley_k(df, [5, 30], 6).collect()}
+    assert g[5] == 3          # the cluster of three; the far point out
+    assert g[30] == 3
+    assert k[5] == 3 and k[30] == 3  # three close pairs among the cluster
