@@ -987,12 +987,13 @@ def geary_c_terms(
         (F.lit(2) * F.sum("d2")).cast("long").alias("ssq_w"),
         (F.lit(2) * F.count(F.lit(1))).cast("long").alias("w_pairs"),
     )
+    d38g = "decimal(38,0)"
     den_n = c.agg(
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         (
-            F.count(F.lit(1)) * F.sum(F.col("v") * F.col("v"))
-            - F.sum("v") * F.sum("v")
-        ).cast("long").alias("den_raw"),
+            F.count(F.lit(1)).cast(d38g) * F.sum(F.col("v") * F.col("v")).cast(d38g)
+            - F.sum("v").cast(d38g) * F.sum("v").cast(d38g)
+        ).alias("den_raw"),
     )
     j = den_n.crossJoin(num_w)
     d38 = "decimal(38,0)"
@@ -1021,9 +1022,9 @@ gadj AS (
   FROM cells a JOIN cells b
   ON (b.cx = a.cx + 1 AND b.cy = a.cy) OR (b.cx = a.cx AND b.cy = a.cy + 1)),
 gst AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
-               CAST(count(*) * sum(CAST(cnt AS BIGINT) * cnt)
-                    - sum(CAST(cnt AS BIGINT)) * sum(CAST(cnt AS BIGINT))
-                 AS BIGINT) AS den_raw
+               CAST(count(*) AS HUGEINT) * sum(CAST(cnt AS HUGEINT) * cnt)
+                    - sum(CAST(cnt AS HUGEINT)) * sum(CAST(cnt AS HUGEINT))
+                 AS den_raw
         FROM cells),
 gnw AS (SELECT CAST(2 * COALESCE(sum((va - vb) * (va - vb)), 0) AS BIGINT) AS ssq_w,
                CAST(2 * count(*) AS BIGINT) AS w_pairs

@@ -2758,8 +2758,8 @@ def burstiness(df: DataFrame, keys: list[str], gap_col: str) -> DataFrame:
     bursty, zero ⟺ exponential-like, negative ⟺ regular/pacemaker — and
     burst_class accordingly).  The behavioral-rhythm member of the
     temporal family: sessionize cuts on a gap threshold, this READS the
-    gap distribution's character.  All int64 through n·Σx² (gaps in
-    seconds; exact to ~10⁶ gaps of ~10⁵ s per key).
+    gap distribution's character.  Dispersion carried in DECIMAL(38)/
+    HUGEINT (n·Σx² exceeds int64 for very active keys).
 
     100 TB: one map-side-combinable agg on the per-key gap rollup."""
     agg = df.groupBy(*keys).agg(
@@ -2767,9 +2767,13 @@ def burstiness(df: DataFrame, keys: list[str], gap_col: str) -> DataFrame:
         F.sum(gap_col).cast("long").alias("gap_sum"),
         F.sum(F.col(gap_col) * F.col(gap_col)).cast("long").alias("_ssq"),
     )
+    # n·Σx² overflows int64 for very active keys (n ~ 10⁴ gaps of ~10⁶ s);
+    # DECIMAL(38) here, HUGEINT in the twin — emitted WITHOUT a bigint cast
+    # (decimal/hugeint stringify identically on the hash)
+    d38 = "decimal(38,0)"
     disp = (
-        F.col("n_gaps") * F.col("_ssq")
-        - F.lit(2) * F.col("gap_sum") * F.col("gap_sum")
+        F.col("n_gaps").cast(d38) * F.col("_ssq").cast(d38)
+        - F.lit(2).cast(d38) * F.col("gap_sum").cast(d38) * F.col("gap_sum").cast(d38)
     )
     cls = (
         F.when(disp > 0, "bursty")
@@ -2780,7 +2784,7 @@ def burstiness(df: DataFrame, keys: list[str], gap_col: str) -> DataFrame:
         *keys,
         "n_gaps",
         "gap_sum",
-        disp.cast("long").alias("disp_num"),
+        disp.alias("disp_num"),
         cls.alias("burst_class"),
     )
 
@@ -2792,9 +2796,10 @@ def sql_burstiness(rows_cte: str, keys: list[str], gap_col: str) -> str:
 bs AS (
   SELECT {ks}, CAST(count(*) AS BIGINT) AS n_gaps,
          CAST(sum({gap_col}) AS BIGINT) AS gap_sum,
-         CAST(count(*) * sum(CAST({gap_col} AS BIGINT) * {gap_col})
-              - 2 * sum(CAST({gap_col} AS BIGINT)) * sum(CAST({gap_col} AS BIGINT))
-           AS BIGINT) AS disp_num
+         CAST(count(*) AS HUGEINT)
+             * sum(CAST({gap_col} AS HUGEINT) * {gap_col})
+           - 2 * sum(CAST({gap_col} AS HUGEINT))
+               * sum(CAST({gap_col} AS HUGEINT)) AS disp_num
   FROM bs_rows GROUP BY {ks})
 SELECT {ks}, n_gaps, gap_sum, disp_num,
        CASE WHEN disp_num > 0 THEN 'bursty'

@@ -464,7 +464,7 @@ def test_geary_c_matches_float_reference_and_classes(spark):
     for cells, want_cls in ((grad, "clustered"), (board, "dispersed")):
         r = run(cells)
         c_float = (r["n_cells"] - 1) * r["n_cells"] * r["ssq_w"] / (
-            2 * r["w_pairs"] * r["den_raw"]
+            2 * r["w_pairs"] * int(r["den_raw"])
         )
         assert abs(c_float - ref_c(cells)) < 1e-12
         assert r["spatial_class"] == want_cls
