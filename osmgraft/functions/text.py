@@ -349,3 +349,44 @@ def luhn_valid(digits: Column) -> Column:
 
     total = F.aggregate(F.sequence(F.lit(1), n), F.lit(0), term)
     return (total % 10 == 0) & (n >= 13)
+
+
+# --- Flesch reading ease (Flesch 1948 / Kincaid et al. 1975) -----------------------
+# Pinned counting heuristics (documented, shared verbatim by both engines):
+#   words     = maximal [A-Za-z]+ runs
+#   sentences = maximal [.!?]+ runs, floored at 1 for non-empty word counts
+#   syllables = maximal [aeiouyAEIOUY]+ vowel-letter runs (the standard
+#               vowel-group proxy; consonant-only words under-count by 1 —
+#               a pinned, engine-shared property of the heuristic)
+# The score itself is carried as an exact rational: with W, S, Y the counts,
+#   FRE = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+#       = (206835·S·W − 1015·W² − 84600·Y·S) / (1000·S·W)
+# so fre_num/fre_den is exact and every class threshold cross-multiplies.
+
+_WORD_RE = "[A-Za-z]+"
+_SENT_RE = "[.!?]+"
+_SYL_RE = "[aeiouyAEIOUY]+"
+
+
+def word_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(_WORD_RE)).cast("long")
+
+
+def sentence_count(text: Column) -> Column:
+    return F.greatest(F.regexp_count(text, F.lit(_SENT_RE)).cast("long"), F.lit(1).cast("long"))
+
+
+def syllable_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(_SYL_RE)).cast("long")
+
+
+def sql_word_count(expr: str) -> str:
+    return f"CAST(len(regexp_extract_all({expr}, '{_WORD_RE}')) AS BIGINT)"
+
+
+def sql_sentence_count(expr: str) -> str:
+    return f"greatest(CAST(len(regexp_extract_all({expr}, '{_SENT_RE}')) AS BIGINT), 1)"
+
+
+def sql_syllable_count(expr: str) -> str:
+    return f"CAST(len(regexp_extract_all({expr}, '{_SYL_RE}')) AS BIGINT)"

@@ -737,3 +737,96 @@ SELECT n_nodes, t AS n_tri_total,
             WHEN 18 * t >= w2 THEN 'clustered'
             ELSE 'sparse' END AS cluster_class
 FROM tr_dd, tr_tri"""
+
+
+def link_prediction(edges: DataFrame, top_k: int = 100) -> DataFrame:
+    """Link prediction over an undirected graph (Liben-Nowell & Kleinberg
+    CIKM 2003): for every non-adjacent pair (u, v) sharing at least one
+    neighbor, the three classic neighborhood scores, all exact integers —
+
+        cn      = |Γ(u) ∩ Γ(v)|                (common neighbors)
+        jacc_e9 = cn·10⁹ div (d_u + d_v − cn)  (Jaccard, floor-scaled —
+                  the division both engines share, no float anywhere)
+        pa      = d_u · d_v                     (preferential attachment)
+
+    ranked by (jacc_e9 DESC, cn DESC, u, v) — a total order, so the
+    top-``top_k`` slice is deterministic across engines and partitionings.
+    Emits (u, v, cn, du, dv, jacc_e9, pa, rnk).
+
+    Shape: wedge self-join on the hub node (Σd² pairs — the classic
+    skew; at 100 TB cap hub degrees or orient like triangle_counts),
+    one groupBy(u, v), an anti-join against the edge set, two degree
+    joins, one ranked window.  Spark's WindowGroupLimit pushes the
+    rnk ≤ k filter below the final sort, so no partition materializes
+    more than k rows per window."""
+    from pyspark.sql.window import Window
+
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("n"), F.col("b").alias("m")).unionAll(
+        und.select(F.col("b").alias("n"), F.col("a").alias("m"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    lft = adj.select(F.col("n").alias("hub"), F.col("m").alias("u"))
+    rgt = adj.select(F.col("n").alias("hub"), F.col("m").alias("v"))
+    cand = (
+        lft.join(rgt, "hub")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+        .join(und, (F.col("u") == und.a) & (F.col("v") == und.b), "left_anti")
+        .join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    scored = cand.select(
+        "u",
+        "v",
+        "cn",
+        "du",
+        "dv",
+        F.expr("cn * 1000000000 div (du + dv - cn)").cast("long").alias("jacc_e9"),
+        (F.col("du") * F.col("dv")).cast("long").alias("pa"),
+    )
+    w = Window.orderBy(
+        F.desc("jacc_e9"), F.desc("cn"), F.asc("u"), F.asc("v")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).where(
+        F.col("rnk") <= top_k
+    )
+
+
+def sql_link_prediction(edges_sql: str, top_k: int = 100) -> str:
+    """DuckDB twin of :func:`link_prediction` — same wedge join, same
+    floor-scaled Jaccard, same pinned total order."""
+    return f"""WITH lp_e AS ({edges_sql}),
+lp_und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM lp_e WHERE src <> dst),
+lp_adj AS (
+  SELECT a AS n, b AS m FROM lp_und UNION ALL SELECT b, a FROM lp_und),
+lp_deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM lp_adj GROUP BY 1),
+lp_cand AS (
+  SELECT l.m AS u, r.m AS v, CAST(count(*) AS BIGINT) AS cn
+  FROM lp_adj l JOIN lp_adj r ON l.n = r.n AND l.m < r.m
+  GROUP BY 1, 2),
+lp_new AS (
+  SELECT c.u, c.v, c.cn, a.d AS du, b.d AS dv
+  FROM lp_cand c
+  JOIN lp_deg a ON a.n = c.u JOIN lp_deg b ON b.n = c.v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM lp_und e WHERE e.a = c.u AND e.b = c.v)),
+lp_scored AS (
+  SELECT u, v, cn, du, dv,
+         CAST(cn * 1000000000 // (du + dv - cn) AS BIGINT) AS jacc_e9,
+         CAST(du * dv AS BIGINT) AS pa
+  FROM lp_new)
+SELECT u, v, cn, du, dv, jacc_e9, pa,
+       CAST(row_number() OVER (
+         ORDER BY jacc_e9 DESC, cn DESC, u, v) AS BIGINT) AS rnk
+FROM lp_scored
+QUALIFY rnk <= {top_k}"""

@@ -4485,3 +4485,119 @@ SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
        CAST(sum(ev * ev) AS BIGINT) AS ssq_eq,
        CAST(sum(ev * (y * 131 + x * 137 + 1)) AS BIGINT) AS wsum_eq
 FROM he_eq GROUP BY idx"""
+
+
+def audio_onset_flux(
+    media: DataFrame,
+    bins: tuple[int, ...] = (3, 5, 9),
+    n_samples: int = 1024,
+    window: int = 256,
+    qscale: int = 64,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Onset detection by spectral flux (Masri 1996 / Bello et al. 2005 —
+    the standard music-information-retrieval onset front end): a windowed
+    integer-quantized DFT (the audio_dft_bins basis discipline, scaled at
+    ``qscale`` = 2⁶ so per-bin powers re²+im² stay inside int64), then per
+    window the HALF-WAVE-RECTIFIED power rise
+
+        flux_t = Σ_k max(0, p_t[k] − p_{t−1}[k])     (flux_0 = Σ_k p_0[k])
+
+    and the pinned onset rule  2·flux_t ≥ 3·flux_{t−1} ∧ flux_t > 0  (a
+    3/2× energy jump, exact-integer cross-multiplied; window 0 is never an
+    onset).  Emits (media_id, window_idx, flux, is_onset).
+
+    Every arithmetic step after the basis quantization is int64 — the
+    DuckDB twin regenerates the PCM arithmetically, quantizes the same
+    cos/sin basis at the same 2⁻⁶ granularity (11+ orders above libm ulp
+    divergence) and walks the same lag — decode, STFT, rectification and
+    the onset rule all sit on one hash.
+
+    Scale: map-only mapInPandas; per batch ONE stacked einsum over
+    (clips × windows × window) — no per-sample Python, no shuffle."""
+    karr = np.array(bins, dtype=np.int64)
+    tt = np.arange(window, dtype=np.float64)
+    ang = 2.0 * np.pi * karr[:, None] * tt[None, :] / float(window)
+    cq = np.rint(np.cos(ang) * qscale).astype(np.int64)  # (bins, window)
+    sq = np.rint(np.sin(ang) * qscale).astype(np.int64)
+    nwin = n_samples // window
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].tolist()
+            pcm = np.stack(
+                [
+                    wav_pcm16(bytes(b))[:n_samples].astype(np.int64)
+                    for b in pdf[bytes_col]
+                ]
+            )  # (n, n_samples)
+            n = pcm.shape[0]
+            x = pcm.reshape(n, nwin, window)
+            re = np.einsum("nwt,kt->nwk", x, cq)
+            im = np.einsum("nwt,kt->nwk", x, sq)
+            p = re * re + im * im  # (n, nwin, bins)
+            rise = np.maximum(p[:, 1:, :] - p[:, :-1, :], 0).sum(axis=2)
+            flux = np.concatenate([p[:, :1, :].sum(axis=2), rise], axis=1)
+            prev = np.concatenate(
+                [np.zeros((n, 1), np.int64), flux[:, :-1]], axis=1
+            )
+            onset = (2 * flux >= 3 * prev) & (flux > 0)
+            onset[:, 0] = False
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(ids, nwin),
+                    "window_idx": np.tile(np.arange(nwin, dtype=np.int32), n),
+                    "flux": flux.reshape(-1),
+                    "is_onset": onset.reshape(-1),
+                }
+            )
+
+    return media.select(F.col(id_col).cast("string"), F.col(bytes_col)).mapInPandas(
+        kernel, schema="media_id string, window_idx int, flux long, is_onset boolean"
+    )
+
+
+def sql_audio_onset_flux(
+    idx_cte: str,
+    bins: tuple[int, ...] = (3, 5, 9),
+    n_samples: int = 1024,
+    window: int = 256,
+    qscale: int = 64,
+) -> str:
+    """DuckDB twin of :func:`audio_onset_flux` over the synth_audio
+    closed-form PCM — same quantized basis, same rectified lag walk."""
+    vals = ", ".join(f"({b})" for b in bins)
+    return f"""WITH idxs AS ({idx_cte}),
+of_s AS (
+  SELECT idx, t.range // {window} AS win, t.range % {window} AS tt,
+         ((idx*1103515245 + t.range*12345 + 42) % 65536) - 32768 AS v
+  FROM idxs, range(0, {n_samples}) t),
+of_k(b) AS (VALUES {vals}),
+of_q AS (
+  SELECT idx, win, b,
+         CAST(sum(v * CAST(round(cos(2.0*pi()*b*tt/{window}.0) * {qscale}.0)
+                           AS BIGINT)) AS BIGINT) AS re,
+         CAST(sum(v * CAST(round(sin(2.0*pi()*b*tt/{window}.0) * {qscale}.0)
+                           AS BIGINT)) AS BIGINT) AS im
+  FROM of_s, of_k GROUP BY 1, 2, 3),
+of_p AS (SELECT idx, win, b, re*re + im*im AS p FROM of_q),
+of_l AS (
+  SELECT idx, win, b, p,
+         lag(p) OVER (PARTITION BY idx, b ORDER BY win) AS pp
+  FROM of_p),
+of_f AS (
+  SELECT idx, win,
+         CAST(sum(CASE WHEN pp IS NULL THEN p
+                       ELSE greatest(p - pp, 0) END) AS BIGINT) AS flux
+  FROM of_l GROUP BY 1, 2),
+of_o AS (
+  SELECT idx, win, flux,
+         lag(flux) OVER (PARTITION BY idx ORDER BY win) AS pf
+  FROM of_f)
+SELECT concat('aud', lpad(CAST(idx AS VARCHAR), 9, '0')) AS media_id,
+       CAST(win AS INTEGER) AS window_idx, flux,
+       (win >= 1 AND 2*flux >= 3*COALESCE(pf, 0) AND flux > 0) AS is_onset
+FROM of_o"""

@@ -1433,6 +1433,76 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_readability",
+    f"""WITH rd AS (
+  SELECT doc_id,
+         {T.sql_word_count('text')} AS n_words,
+         {T.sql_sentence_count('text')} AS n_sentences,
+         {T.sql_syllable_count('text')} AS n_syllables
+  FROM documents)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(206835 * n_sentences * n_words - 1015 * n_words * n_words
+            - 84600 * n_syllables * n_sentences AS BIGINT) AS fre_num,
+       CAST(1000 * n_sentences * n_words AS BIGINT) AS fre_den,
+       CASE WHEN n_words = 0 THEN 'empty'
+            WHEN 206835 * n_sentences * n_words - 1015 * n_words * n_words
+                 - 84600 * n_syllables * n_sentences
+                 >= 90 * 1000 * n_sentences * n_words THEN 'very_easy'
+            WHEN 206835 * n_sentences * n_words - 1015 * n_words * n_words
+                 - 84600 * n_syllables * n_sentences
+                 >= 70 * 1000 * n_sentences * n_words THEN 'easy'
+            WHEN 206835 * n_sentences * n_words - 1015 * n_words * n_words
+                 - 84600 * n_syllables * n_sentences
+                 >= 50 * 1000 * n_sentences * n_words THEN 'medium'
+            WHEN 206835 * n_sentences * n_words - 1015 * n_words * n_words
+                 - 84600 * n_syllables * n_sentences
+                 >= 30 * 1000 * n_sentences * n_words THEN 'difficult'
+            ELSE 'very_difficult' END AS fre_class
+FROM rd""",
+)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document (functions/text.{word,sentence,
+    syllable}_count; Flesch 1948, the curation-stack readability filter):
+    the score is carried as the EXACT rational fre_num/fre_den =
+    (206835·S·W − 1015·W² − 84600·Y·S)/(1000·S·W) — the published
+    206.835/1.015/84.6 coefficients scaled to integers — and the
+    very_easy … very_difficult band (90/70/50/30 cuts) cross-multiplies
+    against the positive denominator, so no float is ever formed.
+    Counting heuristics (word = [A-Za-z]+ run, sentence = [.!?]+ run
+    floored at 1, syllable = vowel-letter run) are pinned and shared
+    verbatim by both engines.
+
+    100 TB: three regexp counters + integer arithmetic per row — one
+    scan, map-only, whole-stage codegen; the quality-filter sibling of
+    text_stats/bigram_quality."""
+    docs = _docs(spark, sf_dir)
+    w = T.word_count(F.col("text"))
+    s = T.sentence_count(F.col("text"))
+    y = T.syllable_count(F.col("text"))
+    num = (
+        F.lit(206835) * s * w - F.lit(1015) * w * w - F.lit(84600) * y * s
+    ).cast("long")
+    den = (F.lit(1000) * s * w).cast("long")
+    cls = (
+        F.when(w == 0, "empty")
+        .when(num >= 90 * den, "very_easy")
+        .when(num >= 70 * den, "easy")
+        .when(num >= 50 * den, "medium")
+        .when(num >= 30 * den, "difficult")
+        .otherwise("very_difficult")
+    )
+    return docs.select(
+        "doc_id",
+        w.alias("n_words"),
+        s.alias("n_sentences"),
+        y.alias("n_syllables"),
+        num.alias("fre_num"),
+        den.alias("fre_den"),
+        cls.alias("fre_class"),
+    )
+
+
 _DECON_N = 4  # n-gram width; % 23 carves a deterministic "benchmark" subset
 
 
@@ -1702,6 +1772,31 @@ def road_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmgraft.operators.graph import assortativity
 
     return assortativity(_road_edges(spark, sf_dir))
+
+
+def _sql_linkpred() -> str:
+    from osmgraft.operators.graph import sql_link_prediction
+
+    return sql_link_prediction(_ROAD_EDGES_SQL, top_k=100)
+
+
+@register("road_link_prediction", _sql_linkpred())
+def road_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the road network (operators/graph.
+    link_prediction, Liben-Nowell & Kleinberg CIKM 2003): the top-100
+    non-adjacent pairs by floor-scaled exact Jaccard of their
+    neighborhoods, with common-neighbor and preferential-attachment
+    scores riding along — the missing-edge recommender every graph
+    stack ships, division-free (jacc_e9 = cn·10⁹ div (du+dv−cn)) with
+    a pinned total tie order so the slice is engine- and
+    partitioning-exact.
+
+    100 TB: wedge self-join on the hub (skew = Σd² — cap hub degrees),
+    map-side-combinable pair counts, anti-join vs the edge set,
+    WindowGroupLimit-bounded ranking."""
+    from osmgraft.operators.graph import link_prediction
+
+    return link_prediction(_road_edges(spark, sf_dir), top_k=100)
 
 
 def _sql_hits_q() -> str:
@@ -3037,6 +3132,35 @@ def audio_dft_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 300)
     return adb(synth_audio(spark, n), bins=(3, 5, 9), n_samples=1024)
+
+
+def _sql_onset_flux() -> str:
+    from osmgraft.operators.multimodal import sql_audio_onset_flux
+
+    return sql_audio_onset_flux(
+        "SELECT idx FROM (SELECT row_number() OVER () - 1 AS idx FROM orders) "
+        "WHERE idx < 300"
+    )
+
+
+@register("audio_onset_flux", _sql_onset_flux())
+def audio_onset_flux_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onset detection by half-wave-rectified spectral flux over REAL WAV
+    decode (operators/multimodal.audio_onset_flux; Masri 1996 / Bello et
+    al. 2005): windowed integer-quantized DFT powers, flux_t =
+    Σ_k max(0, p_t[k] − p_{t−1}[k]), and the pinned 3/2×-jump onset rule
+    cross-multiplied in exact integers.  The DuckDB twin regenerates the
+    PCM arithmetically and walks the same quantized STFT + lag — the MIR
+    event-segmentation companion to audio_dft_bins (global spectrum) and
+    audio_window_energy (time envelope).
+
+    100 TB: map-only stacked einsum per batch; one lag window per clip
+    is computed inside the kernel, so the plan has NO shuffle at all."""
+    from osmgraft.operators.multimodal import audio_onset_flux
+    from osmgraft.synth import synth_audio
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 300)
+    return audio_onset_flux(synth_audio(spark, n))
 
 
 @register(

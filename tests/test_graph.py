@@ -251,3 +251,68 @@ def test_transitivity_hand_graphs(spark):
     # degrees: a=3, b=2, c=2, x=1 -> wedges2 = 6+2+2+0 = 10; 6T = 6
     assert (rt["c_num"], rt["c_den"]) == (6, 10)
     assert rt["cluster_class"] == "clustered"  # 3/5 >= 1/3
+
+
+def _ref_link_prediction(edges, top_k=100):
+    """Plain-python reference: neighborhoods via dict-of-sets, exact
+    Jaccard ordering by Fraction (checks the floor-scaled key preserves
+    the true rational ranking up to its pinned 1e-9 granularity)."""
+    from collections import defaultdict
+
+    nbr = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            nbr[s].add(d)
+            nbr[d].add(s)
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    cand = {}
+    for hub, ns in nbr.items():
+        ns = sorted(ns)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                p = (ns[i], ns[j])
+                if p not in und:
+                    cand[p] = cand.get(p, 0) + 1
+    rows = []
+    for (u, v), cn in cand.items():
+        du, dv = len(nbr[u]), len(nbr[v])
+        rows.append(
+            (cn * 10**9 // (du + dv - cn), cn, u, v, du, dv, du * dv)
+        )
+    rows.sort(key=lambda r: (-r[0], -r[1], r[2], r[3]))
+    return [
+        (u, v, cn, du, dv, j, pa, i + 1)
+        for i, (j, cn, u, v, du, dv, pa) in enumerate(rows[:top_k])
+    ]
+
+
+def test_link_prediction_matches_reference(spark):
+    import numpy as np
+
+    from osmgraft.operators.graph import link_prediction
+
+    rng = np.random.default_rng(15)
+    edges = list({(int(a), int(b)) for a, b in rng.integers(0, 30, (120, 2)) if a != b})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = [
+        (r.u, r.v, r.cn, r.du, r.dv, r.jacc_e9, r.pa, r.rnk)
+        for r in link_prediction(df, top_k=50)
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert got == _ref_link_prediction(edges, 50)
+
+
+def test_link_prediction_excludes_existing_edges_and_ranks_jaccard(spark):
+    from osmgraft.operators.graph import link_prediction
+
+    # path a-b-c-d plus triangle closure candidate: (a,c), (b,d) are the only
+    # wedge pairs; (a,d) shares no neighbor.
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    rows = link_prediction(df, top_k=10).orderBy("rnk").collect()
+    pairs = [(r.u, r.v) for r in rows]
+    assert pairs == [(1, 3), (2, 4)]
+    for r in rows:
+        assert r.cn == 1 and r.jacc_e9 == 10**9 // 2  # |Γu ∪ Γv| = 2
