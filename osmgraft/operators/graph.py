@@ -830,3 +830,114 @@ SELECT u, v, cn, du, dv, jacc_e9, pa,
          ORDER BY jacc_e9 DESC, cn DESC, u, v) AS BIGINT) AS rnk
 FROM lp_scored
 QUALIFY rnk <= {top_k}"""
+
+
+def boruvka_msf(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
+    """Minimum spanning forest by Borůvka's algorithm (Borůvka 1926 —
+    the oldest MST algorithm and the natively parallel one: every
+    component picks its lightest incident crossing edge, components
+    contract, repeat; components at least halve per round, so
+    ``max_rounds`` = 10 covers 2¹⁰ initial components).
+
+    ``edges`` is an undirected edge list (a, b, dcnt, wkey) whose
+    ``wkey`` values are DISTINCT (callers pack tie-break ids into the
+    low bits) — distinct weights make the MSF unique and the picked
+    edge set cycle-free (a cycle's heaviest edge can't be either
+    endpoint component's minimum), which in turn makes the result
+    engine- and partitioning-exact.  Emits the MSF edge rows
+    (a, b, dcnt, wkey).
+
+    Distribution shape, per round: two comp-label equi-joins of the
+    edge list, ONE map-side-combinable min_by aggregation per
+    component (min over (wkey, …) structs — no window, no skewed
+    shuffle), then contraction of the chosen pointer graph (out-degree
+    exactly 1 per component; distinct weights ⇒ only mutual 2-cycles)
+    via :func:`cc_star` — O(log) star rounds, each step materialized,
+    so no exponentially-deep self-join plan; no driver collect of data
+    rows, localCheckpoint caps lineage like pagerank /
+    dedup.connected_components.  The DuckDB twin is a genuinely
+    different algorithm (sql_msf_cut: the cut-property
+    characterization via strictly-lighter-subgraph reachability in one
+    recursive CTE) — two algorithms, one hash."""
+    ecols = edges.select("a", "b", "dcnt", "wkey")
+    nodes = (
+        ecols.select(F.col("a").alias("node"))
+        .unionAll(ecols.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    comp = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
+    picked = None
+    for _ in range(max_rounds):
+        ca = comp.select(F.col("node").alias("a"), F.col("comp").alias("ca"))
+        cb = comp.select(F.col("node").alias("b"), F.col("comp").alias("cb"))
+        e2 = ecols.join(ca, "a").join(cb, "b").where(F.col("ca") != F.col("cb"))
+        cand = e2.select(
+            F.col("ca").alias("c"), F.col("cb").alias("d"), "a", "b", "dcnt", "wkey"
+        ).unionAll(
+            e2.select(
+                F.col("cb").alias("c"), F.col("ca").alias("d"), "a", "b", "dcnt", "wkey"
+            )
+        )
+        chosen = (
+            cand.groupBy("c")
+            .agg(F.min(F.struct("wkey", "d", "a", "b", "dcnt")).alias("m"))
+            .select(
+                "c",
+                F.col("m.d").alias("d"),
+                F.col("m.a").alias("a"),
+                F.col("m.b").alias("b"),
+                F.col("m.dcnt").alias("dcnt"),
+                F.col("m.wkey").alias("wkey"),
+            )
+            .localCheckpoint()
+        )
+        if chosen.limit(1).count() == 0:
+            break
+        new_e = chosen.select("a", "b", "dcnt", "wkey").distinct()
+        picked = new_e if picked is None else picked.unionAll(new_e)
+        # contraction: merged groups = connected components of the chosen
+        # pointer graph (each comp has out-degree exactly 1; with distinct
+        # weights its only cycles are mutual 2-cycles) — cc_star flattens
+        # chains in O(log) star rounds, materializing each step, so no
+        # exponentially-deep self-join plan is ever built
+        labels = cc_star(
+            chosen.select(F.col("c").alias("u"), F.col("d").alias("v"))
+        )
+        comp = (
+            comp.join(
+                labels.select(F.col("id").alias("comp"), F.col("comp").alias("newc")),
+                "comp",
+                "left",
+            )
+            .select("node", F.coalesce("newc", F.col("comp")).alias("comp"))
+            .localCheckpoint()
+        )
+    if picked is None:
+        return ecols.limit(0)
+    return picked.distinct()
+
+
+def sql_msf_cut(adj_sql: str) -> str:
+    """DuckDB twin of :func:`boruvka_msf` by the CUT PROPERTY instead of
+    Borůvka rounds: with distinct weights, edge e = (u, v, w) is in the
+    MSF iff v is NOT reachable from u through strictly-lighter edges —
+    one recursive CTE computes, for every edge at once, the
+    lighter-subgraph reachable set of its left endpoint (state rows
+    (eid, node), eid doubling as the weight threshold), and an anti-
+    EXISTS keeps exactly the unique MSF.  Two genuinely different
+    algorithms, one hash."""
+    return f"""WITH RECURSIVE msf_adj AS ({adj_sql}),
+msf_dirs AS (
+  SELECT a, b, wkey FROM msf_adj
+  UNION ALL SELECT b, a, wkey FROM msf_adj),
+msf_rch(eid, node) AS (
+  SELECT wkey, a FROM msf_adj
+  UNION
+  SELECT r.eid, d.b
+  FROM msf_rch r JOIN msf_dirs d ON d.a = r.node
+  WHERE d.wkey < r.eid
+)
+SELECT e.a, e.b, e.dcnt, e.wkey
+FROM msf_adj e
+WHERE NOT EXISTS (
+  SELECT 1 FROM msf_rch WHERE eid = e.wkey AND node = e.b)"""

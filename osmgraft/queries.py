@@ -1774,6 +1774,113 @@ def road_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assortativity(_road_edges(spark, sf_dir))
 
 
+_MSF_Z = 5
+_MSF_N = 1 << _MSF_Z
+
+
+def _sql_msf_adj() -> str:
+    tx = tiles.sql_tile_x("lon7", _MSF_Z)
+    ty = tiles.sql_tile_y("lat7", _MSF_Z)
+    return f"""
+  SELECT ca.cid AS a, cb.cid AS b, abs(ca.cnt - cb.cnt) AS dcnt,
+         abs(ca.cnt - cb.cnt)*16777216 + ca.cid*4096 + cb.cid AS wkey
+  FROM (
+    SELECT CAST({ty}*{_MSF_N} + {tx} AS BIGINT) AS cid,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM ({sql_points_cte()}) GROUP BY 1) ca
+  JOIN (
+    SELECT CAST({ty}*{_MSF_N} + {tx} AS BIGINT) AS cid,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM ({sql_points_cte()}) GROUP BY 1) cb
+    ON cb.cid > ca.cid
+   AND abs((ca.cid % {_MSF_N}) - (cb.cid % {_MSF_N})) <= 1
+   AND abs((ca.cid // {_MSF_N}) - (cb.cid // {_MSF_N})) <= 1"""
+
+
+def _sql_msf() -> str:
+    from osmgraft.operators.graph import sql_msf_cut
+
+    return sql_msf_cut(_sql_msf_adj())
+
+
+@register("cell_msf_z5", _sql_msf())
+def cell_msf_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest over the occupied-z5-cell adjacency graph
+    (operators/graph.boruvka_msf, Borůvka 1926): nodes are occupied
+    slippy-z5 cells, edges connect 8-neighborhood cells with weight
+    |Δcount| (the density-discontinuity cost — this MSF is the
+    single-linkage dendrogram backbone HDBSCAN-style clustering cuts),
+    tie-broken to DISTINCT weights by packing (a, b) into the low key
+    bits, so the forest is unique and hash-exact.  Spark runs the
+    natively-parallel Borůvka rounds (min_by per component + pointer-
+    doubling contraction); DuckDB proves the same edge set by the CUT
+    PROPERTY (strictly-lighter reachability in one recursive CTE) — two
+    genuinely different algorithms, one hash.
+
+    100 TB: per round two equi-joins + one map-side-combinable min_by
+    per component; the 9-offset ring join (no cross product) builds
+    adjacency; rounds = log₂(cells)."""
+    from osmgraft.operators.graph import boruvka_msf
+
+    pts = points_from_orders(spark, sf_dir)
+    cells = (
+        pts.select(
+            (
+                tiles.tile_y(F.col("lat7"), _MSF_Z) * _MSF_N
+                + tiles.tile_x(F.col("lon7"), _MSF_Z)
+            ).alias("cid")
+        )
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    base = cells.select(
+        "cid",
+        "cnt",
+        (F.col("cid") % _MSF_N).alias("tx"),
+        (F.col("cid") / F.lit(_MSF_N)).cast("long").alias("ty"),
+    )
+    probe = base.select(
+        F.col("cid").alias("acid"),
+        F.col("cnt").alias("acnt"),
+        F.explode(
+            F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                      for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+        ).alias("o"),
+        "tx",
+        "ty",
+    ).select(
+        "acid",
+        "acnt",
+        (F.col("tx") + F.col("o.dx")).alias("ntx"),
+        (F.col("ty") + F.col("o.dy")).alias("nty"),
+    )
+    edges = (
+        probe.join(
+            base.select(
+                F.col("cid").alias("bcid"),
+                F.col("cnt").alias("bcnt"),
+                F.col("tx").alias("ntx"),
+                F.col("ty").alias("nty"),
+            ),
+            ["ntx", "nty"],
+        )
+        .where(F.col("bcid") > F.col("acid"))
+        .select(
+            F.col("acid").alias("a"),
+            F.col("bcid").alias("b"),
+            F.abs(F.col("acnt") - F.col("bcnt")).cast("long").alias("dcnt"),
+            (
+                F.abs(F.col("acnt") - F.col("bcnt")) * F.lit(16777216)
+                + F.col("acid") * F.lit(4096)
+                + F.col("bcid")
+            )
+            .cast("long")
+            .alias("wkey"),
+        )
+    )
+    return boruvka_msf(edges)
+
+
 def _sql_linkpred() -> str:
     from osmgraft.operators.graph import sql_link_prediction
 

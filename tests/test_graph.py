@@ -316,3 +316,75 @@ def test_link_prediction_excludes_existing_edges_and_ranks_jaccard(spark):
     assert pairs == [(1, 3), (2, 4)]
     for r in rows:
         assert r.cn == 1 and r.jacc_e9 == 10**9 // 2  # |Γu ∪ Γv| = 2
+
+
+def _kruskal_ref(edges):
+    """Union-find Kruskal over (a, b, wkey) with distinct wkeys."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = []
+    for a, b, dcnt, wkey in sorted(edges, key=lambda e: e[3]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.append((a, b, dcnt, wkey))
+    return sorted(out)
+
+
+def test_boruvka_msf_matches_kruskal_random(spark):
+    import numpy as np
+
+    from osmgraft.operators.graph import boruvka_msf
+
+    rng = np.random.default_rng(21)
+    pairs = {(int(a), int(b)) for a, b in rng.integers(0, 60, (400, 2)) if a < b}
+    edges = [
+        (a, b, int(w), int(w) * 16777216 + a * 4096 + b)
+        for (a, b), w in zip(sorted(pairs), rng.integers(0, 50, len(pairs)))
+    ]
+    df = spark.createDataFrame(edges, "a long, b long, dcnt long, wkey long")
+    got = sorted(
+        (r.a, r.b, r.dcnt, r.wkey) for r in boruvka_msf(df).collect()
+    )
+    assert got == _kruskal_ref(edges)
+
+
+def test_boruvka_msf_forest_invariants(spark):
+    import numpy as np
+
+    from osmgraft.operators.graph import boruvka_msf
+
+    # two disjoint cliques -> forest with (n1-1) + (n2-1) edges
+    rng = np.random.default_rng(22)
+    edges = []
+    for base, n in ((0, 7), (100, 5)):
+        for i in range(n):
+            for j in range(i + 1, n):
+                a, b = base + i, base + j
+                edges.append((a, b, int(rng.integers(0, 9)), 0))
+    edges = [
+        (a, b, d, d * 16777216 + a * 4096 + b) for a, b, d, _ in edges
+    ]
+    df = spark.createDataFrame(edges, "a long, b long, dcnt long, wkey long")
+    rows = boruvka_msf(df).collect()
+    assert len(rows) == (7 - 1) + (5 - 1)
+    assert sorted((r.a, r.b, r.dcnt, r.wkey) for r in rows) == _kruskal_ref(edges)
+
+
+def test_boruvka_msf_path_graph_chain_contraction(spark):
+    from osmgraft.operators.graph import boruvka_msf
+
+    # a pure path with increasing weights exercises the chain-merge case
+    # (every comp points left; contraction must flatten the whole chain)
+    edges = [
+        (i, i + 1, i, i * 16777216 + i * 4096 + (i + 1)) for i in range(20)
+    ]
+    df = spark.createDataFrame(edges, "a long, b long, dcnt long, wkey long")
+    rows = boruvka_msf(df).collect()
+    assert len(rows) == 20  # every path edge is in the MST
