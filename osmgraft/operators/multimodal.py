@@ -4601,3 +4601,137 @@ SELECT concat('aud', lpad(CAST(idx AS VARCHAR), 9, '0')) AS media_id,
        CAST(win AS INTEGER) AS window_idx, flux,
        (win >= 1 AND 2*flux >= 3*COALESCE(pf, 0) AND flux > 0) AS is_onset
 FROM of_o"""
+
+
+def image_pyramid_energies(images: DataFrame, on_error: str = "fail") -> DataFrame:
+    """One Gaussian/Laplacian pyramid step (Burt & Adelson 1983), all
+    integer: luma is filtered with the separable 5-tap binomial
+    [1,4,6,4,1]/16 (clamp-to-edge, horizontal pass then vertical, each
+    with its own pinned //16 floor division) and subsampled 2× to level
+    1; the Laplacian residual is level 0 minus the nearest-neighbour
+    upsample of level 1.  Per image the exact level-1 moments
+    (n_px1, sum_l1, ssq_l1, wsum_l1 with the house y·131+x·137+1
+    positional weight) and residual energies (sum_res signed, ssq_res)
+    ride on one row — decode, both filter passes, the subsample grid and
+    the residual algebra all hash-gated, since every step after decode
+    is int64.  Fixture dims are even, so 2×2 blocks tile exactly.
+
+    Map-only mapInArrow; per chunk five clamped gathers + one reduce —
+    no shuffle at any corpus width.  Corrupt payloads under
+    on_error='null' emit NULLs."""
+    kern = np.array([1, 4, 6, 4, 1], dtype=np.int64)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        names = [
+            "image_id", "n_px1", "sum_l1", "ssq_l1", "wsum_l1",
+            "sum_res", "ssq_res",
+        ]
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            ids = rb.column("image_id").take(sel)
+            k = len(ids)
+            if px is None:
+                nul = pa.array([None] * k, type=pa.int64())
+                yield pa.RecordBatch.from_arrays([ids, nul, nul, nul, nul, nul, nul], names)
+                continue
+            p = px.astype(np.int64)
+            luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+            # horizontal binomial, clamp-to-edge, floor /16
+            xs = np.arange(w)
+            t = sum(
+                kern[i] * luma[:, :, np.clip(xs + i - 2, 0, w - 1)]
+                for i in range(5)
+            ) // 16
+            # vertical binomial + 2x subsample of both axes
+            h1, w1 = h // 2, w // 2
+            ybase = 2 * np.arange(h1)
+            l1 = sum(
+                kern[i] * t[:, np.clip(ybase + i - 2, 0, h - 1), :][:, :, ::2]
+                for i in range(5)
+            ) // 16
+            up = np.repeat(np.repeat(l1, 2, axis=1), 2, axis=2)
+            res = luma - up
+            wgt = (
+                np.arange(h1, dtype=np.int64)[:, None] * 131
+                + np.arange(w1, dtype=np.int64)[None, :] * 137
+                + 1
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(np.full(k, h1 * w1, np.int64)),
+                    pa.array(l1.sum(axis=(1, 2)).astype(np.int64)),
+                    pa.array((l1 * l1).sum(axis=(1, 2)).astype(np.int64)),
+                    pa.array((l1 * wgt[None]).sum(axis=(1, 2)).astype(np.int64)),
+                    pa.array(res.sum(axis=(1, 2)).astype(np.int64)),
+                    pa.array((res * res).sum(axis=(1, 2)).astype(np.int64)),
+                ],
+                names,
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
+        kernel,
+        "image_id string, n_px1 long, sum_l1 long, ssq_l1 long, wsum_l1 long,"
+        " sum_res long, ssq_res long",
+    )
+
+
+def _sql_luma_expr(y_expr: str, x_expr: str) -> str:
+    """Closed-form fixture luma at arbitrary coordinate EXPRESSIONS (the
+    _sql_luma_at sibling for clamped/derived coordinates)."""
+    base = f"(idx*37 + ({y_expr})*11 + ({x_expr})*7)"
+    return (
+        f"((299 * ({base} % 256) + 587 * (({base} + 29) % 256)"
+        f" + 114 * (({base} + 58) % 256)) // 1000)"
+    )
+
+
+def sql_image_pyramid_energies(idx_cte: str, max_h: int = 18, max_w: int = 32) -> str:
+    """DuckDB twin: both binomial passes rebuilt relationally from the
+    closed-form pixels — horizontal as a 5-term clamped luma sum,
+    vertical+subsample as a weighted join against the t plane, residual
+    as a 2×2 block join."""
+    lum_t = _sql_luma_expr("y", "least(greatest(x + j - 2, 0), w - 1)")
+    lum_r = _sql_luma_expr("2*y1 + dy", "2*x1 + dx")
+    return f"""WITH idxs AS ({idx_cte}),
+dims AS (SELECT idx, 16 + (idx % 3) * 8 AS w, 12 + (idx % 2) * 6 AS h FROM idxs),
+py_k(j, kw) AS (VALUES (0, 1), (1, 4), (2, 6), (3, 4), (4, 1)),
+py_t AS (
+  SELECT idx, y, x, h, w,
+         CAST(sum(kw * {lum_t}) // 16 AS BIGINT) AS t
+  FROM dims
+  CROSS JOIN range(0, {max_h}) ty(y) CROSS JOIN range(0, {max_w}) tx(x)
+  CROSS JOIN py_k
+  WHERE y < h AND x < w
+  GROUP BY 1, 2, 3, 4, 5),
+py_l1 AS (
+  SELECT c.idx, c.y1, c.x1,
+         CAST(sum(k.kw * t.t) // 16 AS BIGINT) AS v
+  FROM (
+    SELECT d.idx, y1.range AS y1, x1.range AS x1, d.h, d.w
+    FROM dims d
+    CROSS JOIN range(0, {max_h // 2}) y1 CROSS JOIN range(0, {max_w // 2}) x1
+    WHERE y1.range < d.h // 2 AND x1.range < d.w // 2) c
+  JOIN py_k k ON true
+  JOIN py_t t
+    ON t.idx = c.idx
+   AND t.y = least(greatest(2*c.y1 + k.j - 2, 0), c.h - 1)
+   AND t.x = 2*c.x1
+  GROUP BY 1, 2, 3),
+py_res AS (
+  SELECT l.idx, {lum_r} - l.v AS r
+  FROM py_l1 l
+  CROSS JOIN range(0, 2) tdy(dy) CROSS JOIN range(0, 2) tdx(dx)),
+py_mom AS (
+  SELECT idx,
+         CAST(count(*) AS BIGINT) AS n_px1,
+         CAST(sum(v) AS BIGINT) AS sum_l1,
+         CAST(sum(v * v) AS BIGINT) AS ssq_l1,
+         CAST(sum(v * (y1 * 131 + x1 * 137 + 1)) AS BIGINT) AS wsum_l1
+  FROM py_l1 GROUP BY 1),
+py_re AS (
+  SELECT idx, CAST(sum(r) AS BIGINT) AS sum_res,
+         CAST(sum(r * r) AS BIGINT) AS ssq_res
+  FROM py_res GROUP BY 1)
+SELECT concat('fimg', lpad(CAST(m.idx AS VARCHAR), 9, '0')) AS image_id,
+       m.n_px1, m.sum_l1, m.ssq_l1, m.wsum_l1, e.sum_res, e.ssq_res
+FROM py_mom m JOIN py_re e ON e.idx = m.idx"""

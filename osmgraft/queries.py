@@ -3241,6 +3241,39 @@ def audio_dft_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adb(synth_audio(spark, n), bins=(3, 5, 9), n_samples=1024)
 
 
+def _sql_pyramid() -> str:
+    from osmgraft.operators.multimodal import sql_image_pyramid_energies
+
+    return sql_image_pyramid_energies(
+        "SELECT idx FROM (SELECT row_number() OVER () - 1 AS idx FROM orders) "
+        "WHERE idx < 250"
+    )
+
+
+@register("image_pyramid_energies", _sql_pyramid())
+def image_pyramid_energies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Gaussian/Laplacian pyramid step per image (operators/
+    multimodal.image_pyramid_energies, Burt & Adelson 1983): separable
+    integer 5-tap binomial (clamp-to-edge, pinned //16 per pass), 2×
+    subsample, nearest-upsample Laplacian residual — level-1 moments and
+    residual energies on one hash.  The DuckDB twin rebuilds BOTH filter
+    passes relationally from the closed-form pixels, so decode, the two
+    floor divisions, the subsample grid and the residual algebra are all
+    gated.  The scale-space member of the image family (beside Haar's
+    orthogonal subbands — the pyramid is the overcomplete one CV
+    pipelines actually downsample with).
+
+    100 TB: map-only mapInArrow, five clamped gathers + reduces per
+    chunk, no shuffle."""
+    from osmgraft.operators.multimodal import image_pyramid_energies
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 250)
+    imgs = ensure_min_parallelism(synth_formula_images(spark, n))
+    return image_pyramid_energies(imgs)
+
+
 def _sql_onset_flux() -> str:
     from osmgraft.operators.multimodal import sql_audio_onset_flux
 
