@@ -9975,6 +9975,99 @@ def geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("uid", "point_id", "prev_zones", "zones")
 
 
+# --- geofence dwell statistics (gaps-and-islands over containment runs) --------------
+@register(
+    "geofence_dwell",
+    f"""WITH pts AS ({_PTS}),
+{sql_pip_predicate(ADMIN_BOUNDARIES)},
+sig AS (SELECT p.point_id,
+               coalesce(string_agg(CAST(pip.boundary_id AS VARCHAR), ','
+                                   ORDER BY pip.boundary_id), '') AS zones
+        FROM pts p LEFT JOIN pip USING (point_id) GROUP BY p.point_id),
+seq AS (SELECT o.o_custkey AS uid, s.point_id, s.zones,
+               date_diff('day', DATE '1995-01-01',
+                         CAST(o.o_orderdate AS DATE)) AS day,
+               row_number() OVER (PARTITION BY o.o_custkey
+                                  ORDER BY s.point_id)
+               - row_number() OVER (PARTITION BY o.o_custkey, s.zones
+                                    ORDER BY s.point_id) AS grp
+        FROM sig s JOIN orders o ON o.o_orderkey = s.point_id),
+visits AS (SELECT uid, zones, grp,
+                  CAST(count(*) AS BIGINT) AS n_pings,
+                  CAST(max(day) - min(day) AS BIGINT) AS span_days
+           FROM seq GROUP BY 1, 2, 3)
+SELECT uid, zones,
+       CAST(count(*) AS BIGINT) AS n_visits,
+       CAST(sum(n_pings) AS BIGINT) AS n_pings,
+       CAST(max(n_pings) AS BIGINT) AS max_visit_pings,
+       CAST(sum(span_days) AS BIGINT) AS sum_span_days
+FROM visits GROUP BY 1, 2""",
+)
+def geofence_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence DWELL statistics — the sibling of geofence_transitions
+    that answers "how long do entities stay", via the classic
+    gaps-and-islands run decomposition (row_number difference) over each
+    entity's containment-signature sequence: a VISIT is a maximal run of
+    equal zone signature, and per (uid, zones) the visit count, total
+    pings, longest visit and summed day spans are emitted.  Day spans
+    are exact integer epoch-day differences (engine-neutral), the
+    signature is the canonical sorted boundary-id list, and every
+    aggregate is integer — one hash covers PIP, the signature agg, both
+    window row_numbers and the two-level rollup.
+
+    100 TB: broadcast STR-tree PIP (zero point-side shuffle) → hash agg
+    → two windows on the same (uid, point_id) sort (ONE exchange — the
+    partitionBy prefix is shared) → two map-side-combinable aggs."""
+    from pyspark.sql import Window as W
+
+    from osmgraft.operators.pip import pip_join
+    from osmgraft.synth import ADMIN_BOUNDARIES as _AB
+
+    pts = points_from_orders(spark, sf_dir)
+    hits = pip_join(pts, _AB, how="inner", ensure_parallelism=True).select(
+        "point_id", "boundary_id"
+    )
+    sig = (
+        pts.select("point_id")
+        .join(hits, "point_id", "left")
+        .groupBy("point_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_compact(F.sort_array(F.collect_list("boundary_id"))),
+                    lambda b: b.cast("string"),
+                ),
+                ",",
+            ).alias("zones")
+        )
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("point_id"),
+        F.col("o_custkey").alias("uid"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("day"),
+    )
+    w1 = W.partitionBy("uid").orderBy("point_id")
+    w2 = W.partitionBy("uid", "zones").orderBy("point_id")
+    seq = (
+        sig.join(o, "point_id")
+        .withColumn("grp", F.row_number().over(w1) - F.row_number().over(w2))
+    )
+    visits = seq.groupBy("uid", "zones", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pings"),
+        (F.max("day") - F.min("day")).cast("long").alias("span_days"),
+    )
+    return visits.groupBy("uid", "zones").agg(
+        F.count(F.lit(1)).cast("long").alias("n_visits"),
+        F.sum("n_pings").cast("long").alias("n_pings"),
+        F.max("n_pings").cast("long").alias("max_visit_pings"),
+        F.sum("span_days").cast("long").alias("sum_span_days"),
+    )
+
+
 # --- Open Location Code (Plus Codes) --------------------------------------------------
 def _sql_olc() -> str:
     from osmgraft.functions.olc import sql_olc, sql_olc_parse_sw
