@@ -4735,3 +4735,172 @@ py_re AS (
 SELECT concat('fimg', lpad(CAST(m.idx AS VARCHAR), 9, '0')) AS image_id,
        m.n_px1, m.sum_l1, m.ssq_l1, m.wsum_l1, e.sum_res, e.ssq_res
 FROM py_mom m JOIN py_re e ON e.idx = m.idx"""
+
+
+def image_colorfulness(images: DataFrame, on_error: str = "fail") -> DataFrame:
+    """Colorfulness moments (Hasler & Süsstrunk SPIE 2003 — the standard
+    no-reference colorfulness metric image-curation filters rank with):
+    opponent axes rg = R − G and yb2 = R + G − 2B (the ×2-scaled
+    yellow-blue axis, kept integer), per image the exact moment parts
+    (n_px, sum_rg, ssq_rg, sum_yb2, ssq_yb2) plus the pinned class on
+    the metric's VARIANCE term,
+
+        colorful ⟺ 4·(n·ssq_rg − sum_rg²) + (n·ssq_yb2 − sum_yb2²)
+                    ≥ 4·n²·24²
+
+    (σ²_rg + σ²_yb against the σ = 24 cut, cross-multiplied — the
+    mean-magnitude radical of the full metric is left to consumers, the
+    variance term is what separates gray-world from colorful content).
+    Grayscale planes land exactly at zero variance → 'drab'.
+
+    Map-only mapInArrow; two subtractions + reduces per chunk."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        names = [
+            "image_id", "n_px", "sum_rg", "ssq_rg", "sum_yb2", "ssq_yb2",
+            "color_class",
+        ]
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            ids = rb.column("image_id").take(sel)
+            k = len(ids)
+            if px is None:
+                nul = pa.array([None] * k, type=pa.int64())
+                yield pa.RecordBatch.from_arrays(
+                    [ids, nul, nul, nul, nul, nul,
+                     pa.array([None] * k, type=pa.string())], names)
+                continue
+            p = px.astype(np.int64)
+            rg = p[..., 0] - p[..., 1]
+            yb2 = p[..., 0] + p[..., 1] - 2 * p[..., 2]
+            n = h * w
+            s_rg = rg.sum(axis=(1, 2))
+            q_rg = (rg * rg).sum(axis=(1, 2))
+            s_yb = yb2.sum(axis=(1, 2))
+            q_yb = (yb2 * yb2).sum(axis=(1, 2))
+            lhs = 4 * (n * q_rg - s_rg * s_rg) + (n * q_yb - s_yb * s_yb)
+            cls = np.where(lhs >= 4 * n * n * 24 * 24, "colorful", "drab")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(np.full(k, n, np.int64)),
+                    pa.array(s_rg.astype(np.int64)),
+                    pa.array(q_rg.astype(np.int64)),
+                    pa.array(s_yb.astype(np.int64)),
+                    pa.array(q_yb.astype(np.int64)),
+                    pa.array(cls.tolist(), type=pa.string()),
+                ],
+                names,
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
+        kernel,
+        "image_id string, n_px long, sum_rg long, ssq_rg long, sum_yb2 long,"
+        " ssq_yb2 long, color_class string",
+    )
+
+
+def sql_image_colorfulness(idx_cte: str, max_h: int = 18, max_w: int = 32) -> str:
+    """DuckDB twin from the closed-form fixture channels."""
+    base = "(idx*37 + y*11 + x*7)"
+    r = f"({base} % 256)"
+    g = f"(({base} + 29) % 256)"
+    b = f"(({base} + 58) % 256)"
+    return f"""WITH idxs AS ({idx_cte}),
+dims AS (SELECT idx, 16 + (idx % 3) * 8 AS w, 12 + (idx % 2) * 6 AS h FROM idxs),
+cf_px AS (
+  SELECT idx, w * h AS n, {r} - {g} AS rg, {r} + {g} - 2*{b} AS yb2
+  FROM dims
+  CROSS JOIN range(0, {max_h}) ty(y) CROSS JOIN range(0, {max_w}) tx(x)
+  WHERE y < h AND x < w),
+cf_m AS (
+  SELECT idx, any_value(n) AS n,
+         CAST(sum(rg) AS BIGINT) AS sum_rg,
+         CAST(sum(rg * rg) AS BIGINT) AS ssq_rg,
+         CAST(sum(yb2) AS BIGINT) AS sum_yb2,
+         CAST(sum(yb2 * yb2) AS BIGINT) AS ssq_yb2
+  FROM cf_px GROUP BY idx)
+SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
+       CAST(n AS BIGINT) AS n_px, sum_rg, ssq_rg, sum_yb2, ssq_yb2,
+       CASE WHEN 4*(n*ssq_rg - sum_rg*sum_rg) + (n*ssq_yb2 - sum_yb2*sum_yb2)
+                 >= 4*n*n*576 THEN 'colorful' ELSE 'drab' END AS color_class
+FROM cf_m"""
+
+
+def audio_clipping_stats(
+    media: DataFrame,
+    n_samples: int = 1024,
+    clip_at: int = 32760,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Audio QA scan — the loudness/clipping filter an audio-curation
+    pipeline runs before training: per clip the exact peak |sample|,
+    clipped-sample count (|x| ≥ ``clip_at``, just inside the int16
+    rails), DC-offset sum and energy, plus the pinned class
+    'clipped' ⟺ 100·n_clip ≥ n (≥ 1 % of samples at the rails),
+    else 'hot' ⟺ peak ≥ 32000, else 'ok'.  All integer — decode,
+    rectification, the rails test and the class on one hash.
+
+    Map-only mapInPandas over real RIFF/PCM16 containers."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].tolist()
+            pcm = np.stack(
+                [
+                    wav_pcm16(bytes(b))[:n_samples].astype(np.int64)
+                    for b in pdf[bytes_col]
+                ]
+            )
+            n = pcm.shape[1]
+            a = np.abs(pcm)
+            peak = a.max(axis=1)
+            n_clip = (a >= clip_at).sum(axis=1)
+            dc = pcm.sum(axis=1)
+            energy = (pcm * pcm).sum(axis=1)
+            cls = np.where(
+                100 * n_clip >= n, "clipped", np.where(peak >= 32000, "hot", "ok")
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_samples": np.full(len(ids), n, np.int64),
+                    "peak": peak,
+                    "n_clip": n_clip.astype(np.int64),
+                    "dc_sum": dc,
+                    "energy": energy,
+                    "clip_class": cls,
+                }
+            )
+
+    return media.select(F.col(id_col).cast("string"), F.col(bytes_col)).mapInPandas(
+        kernel,
+        schema="media_id string, n_samples long, peak long, n_clip long,"
+        " dc_sum long, energy long, clip_class string",
+    )
+
+
+def sql_audio_clipping_stats(
+    idx_cte: str, n_samples: int = 1024, clip_at: int = 32760
+) -> str:
+    """DuckDB twin over the synth_audio closed-form PCM."""
+    return f"""WITH idxs AS ({idx_cte}),
+cl_s AS (
+  SELECT idx, ((idx*1103515245 + t.range*12345 + 42) % 65536) - 32768 AS v
+  FROM idxs, range(0, {n_samples}) t),
+cl_m AS (
+  SELECT idx, CAST(count(*) AS BIGINT) AS n,
+         CAST(max(abs(v)) AS BIGINT) AS peak,
+         CAST(sum(CASE WHEN abs(v) >= {clip_at} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clip,
+         CAST(sum(v) AS BIGINT) AS dc_sum,
+         CAST(sum(v * v) AS BIGINT) AS energy
+  FROM cl_s GROUP BY idx)
+SELECT concat('aud', lpad(CAST(idx AS VARCHAR), 9, '0')) AS media_id,
+       n AS n_samples, peak, n_clip, dc_sum, energy,
+       CASE WHEN 100 * n_clip >= n THEN 'clipped'
+            WHEN peak >= 32000 THEN 'hot'
+            ELSE 'ok' END AS clip_class
+FROM cl_m"""

@@ -3274,6 +3274,58 @@ def image_pyramid_energies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pyramid_energies(imgs)
 
 
+def _sql_colorfulness() -> str:
+    from osmgraft.operators.multimodal import sql_image_colorfulness
+
+    return sql_image_colorfulness(
+        "SELECT idx FROM (SELECT row_number() OVER () - 1 AS idx FROM orders) "
+        "WHERE idx < 250"
+    )
+
+
+@register("image_colorfulness", _sql_colorfulness())
+def image_colorfulness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hasler–Süsstrunk colorfulness moments per image (operators/
+    multimodal.image_colorfulness, SPIE 2003): exact opponent-axis
+    moment parts (rg = R−G, yb2 = R+G−2B) over real container decode,
+    with the colorful/drab class decided by the metric's variance term
+    cross-multiplied at σ = 24 — the image-curation quality filter
+    beside text's readability/fluency scores.
+
+    100 TB: map-only mapInArrow, no shuffle."""
+    from osmgraft.operators.multimodal import image_colorfulness
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 250)
+    return image_colorfulness(ensure_min_parallelism(synth_formula_images(spark, n)))
+
+
+def _sql_clipping() -> str:
+    from osmgraft.operators.multimodal import sql_audio_clipping_stats
+
+    return sql_audio_clipping_stats(
+        "SELECT idx FROM (SELECT row_number() OVER () - 1 AS idx FROM orders) "
+        "WHERE idx < 300"
+    )
+
+
+@register("audio_clipping_stats", _sql_clipping())
+def audio_clipping_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio QA scan over REAL WAV decode (operators/multimodal.
+    audio_clipping_stats): exact peak, rails-clipped sample count,
+    DC-offset sum, energy, and the pinned clipped/hot/ok class
+    (100·n_clip ≥ n cross-multiplied) — the loudness/clipping filter an
+    audio-curation pipeline runs before training.
+
+    100 TB: map-only mapInPandas, no shuffle."""
+    from osmgraft.operators.multimodal import audio_clipping_stats
+    from osmgraft.synth import synth_audio
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 300)
+    return audio_clipping_stats(synth_audio(spark, n))
+
+
 def _sql_onset_flux() -> str:
     from osmgraft.operators.multimodal import sql_audio_onset_flux
 
