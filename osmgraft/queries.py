@@ -10120,6 +10120,56 @@ def geofence_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-boundary emerging-trend composition -----------------------------------------
+def _sql_boundary_trend() -> str:
+    from osmgraft.operators.stats import sql_mann_kendall
+
+    counts = """SELECT pip.boundary_id,
+         CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400 AS day,
+         count(*) AS cnt
+  FROM pip JOIN orders o ON o.o_orderkey = pip.point_id
+  GROUP BY 1, 2"""
+    return (
+        f"WITH pts AS ({_PTS}),\n"
+        + sql_pip_predicate(ADMIN_BOUNDARIES)
+        + ",\n"
+        + sql_mann_kendall(counts, ["boundary_id"], "day", "cnt")
+        + "\nSELECT boundary_id, n_days, s_stat, trend FROM mk"
+    )
+
+
+@register("boundary_trend_mk", _sql_boundary_trend())
+def boundary_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-boundary emerging trend — the north-star composition run END TO
+    END on one hash: broadcast STR-tree PIP containment → per-(boundary,
+    epoch-day) counts → exact integer Mann–Kendall S with the
+    cross-multiplied significance class (rising/falling/flat at z ≈ 2).
+    The admin-area sibling of tile_trend_mk_z5: "which districts are
+    heating up", the question a fleet/ads/safety pipeline actually asks
+    of the flagship join's output.
+
+    100 TB: PIP adds no point-side shuffle; the i<j pair join runs on
+    the per-(boundary, day) AGGREGATE (≤ days² pairs per boundary)."""
+    from osmgraft.operators.pip import pip_join
+    from osmgraft.operators.stats import mann_kendall
+    from osmgraft.synth import ADMIN_BOUNDARIES as _AB
+
+    pts = points_from_orders(spark, sf_dir)
+    hits = pip_join(pts, _AB, how="inner", ensure_parallelism=True).select(
+        "point_id", "boundary_id"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("point_id"),
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("day"),
+    )
+    counts = (
+        hits.join(o, "point_id")
+        .groupBy("boundary_id", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return mann_kendall(counts, ["boundary_id"], "day", "cnt")
+
+
 # --- Open Location Code (Plus Codes) --------------------------------------------------
 def _sql_olc() -> str:
     from osmgraft.functions.olc import sql_olc, sql_olc_parse_sw
