@@ -941,3 +941,99 @@ SELECT e.a, e.b, e.dcnt, e.wkey
 FROM msf_adj e
 WHERE NOT EXISTS (
   SELECT 1 FROM msf_rch WHERE eid = e.wkey AND node = e.b)"""
+
+
+def ktruss(edges: DataFrame, k: int = 4, max_rounds: int = 6) -> DataFrame:
+    """k-truss decomposition at fixed k (Cohen 2008 — the edge-cohesion
+    refinement of k-core): the maximal subgraph in which EVERY edge
+    closes at least k−2 triangles *within the subgraph*, computed by the
+    standard support-peel fixed point — per round, enumerate oriented
+    triangles (a < b < c — the degree-bounded orientation that caps
+    skew), count per-edge support, drop edges below k−2, repeat.
+    Peeling is monotone, so extra rounds past convergence are no-ops;
+    ``max_rounds`` is a pinned bound shared with the DuckDB twin (the
+    same peel unrolled as chained CTEs) and convergence-at-bound is
+    pytest-pinned.  Emits the surviving edges (a, b, support) with
+    support recomputed at the fixed point — exact integers, engine- and
+    partitioning-independent.
+
+    100 TB, per round: one wedge self-join + one closing equi-join
+    (triangle kernel) + a map-side-combinable count + an anti-ish
+    semi-join filter; localCheckpoint caps lineage; early exit on an
+    unchanged edge count."""
+    cur = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_prev = cur.count()
+    out = cur.select("a", "b", F.lit(0).cast("long").alias("support")).limit(0)
+    for _ in range(max_rounds):
+        e1 = cur.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = cur.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        e3 = cur.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        tri = (
+            e1.join(e2, "x")
+            .where(F.col("z") > F.col("y"))
+            .join(e3, ["y", "z"])
+        )  # (x, y, z) with x < y < z, all three edges present
+        sup = (
+            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .unionAll(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+            .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        )
+        nxt = (
+            cur.join(sup, ["a", "b"], "left")
+            .select(
+                "a", "b", F.coalesce("support", F.lit(0).cast("long")).alias("support")
+            )
+            .where(F.col("support") >= k - 2)
+            .localCheckpoint()
+        )
+        out = nxt
+        n_now = nxt.count()
+        cur = nxt.select("a", "b")
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return out
+
+
+def sql_ktruss(edges_sql: str, k: int = 4, rounds: int = 6) -> str:
+    """DuckDB twin of :func:`ktruss` — the identical support-peel
+    unrolled as ``rounds`` chained CTE stages."""
+    parts = [
+        f"""kt_e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_sql}) WHERE src <> dst)"""
+    ]
+    # kt_e{r} is referenced 4× and kt_t{r} 3× per round — plain CTEs would
+    # re-inline ~4^rounds times (the kcore lesson), so both are MATERIALIZED
+    for r in range(rounds):
+        parts.append(
+            f"""kt_t{r} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM kt_e{r} e1
+  JOIN kt_e{r} e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN kt_e{r} e3 ON e3.a = e1.b AND e3.b = e2.b),
+kt_s{r} AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+    SELECT x AS a, y AS b FROM kt_t{r}
+    UNION ALL SELECT x, z FROM kt_t{r}
+    UNION ALL SELECT y, z FROM kt_t{r})
+  GROUP BY 1, 2),
+kt_e{r + 1} AS MATERIALIZED (
+  SELECT e.a, e.b, s.support
+  FROM kt_e{r} e JOIN kt_s{r} s ON s.a = e.a AND s.b = e.b
+  WHERE s.support >= {k - 2})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT a, b, support FROM kt_e{rounds}"
+    )

@@ -6468,6 +6468,41 @@ def covisit_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transitivity(edges)
 
 
+def _sql_ktruss_q() -> str:
+    from osmgraft.operators.graph import sql_ktruss
+
+    return sql_ktruss(
+        "SELECT o_orderkey % 211 AS src, (o_orderkey // 211) % 211 AS dst"
+        " FROM orders",
+        k=4,
+        rounds=6,
+    )
+
+
+@register("covisit_ktruss_4", _sql_ktruss_q())
+def covisit_ktruss_4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the co-visit graph (operators/graph.ktruss, Cohen
+    2008): the maximal subgraph where every edge closes ≥ 2 triangles
+    WITHIN the subgraph, by the standard support-peel fixed point —
+    the edge-cohesion refinement of k-core (k-core bounds degrees,
+    k-truss bounds triangle embedding; a 4-truss is contained in the
+    3-core but strictly tighter).  Surviving edges carry their exact
+    fixed-point support.  DuckDB unrolls the identical peel as
+    MATERIALIZED chained CTEs; convergence inside the pinned 6 rounds
+    is pytest-pinned.
+
+    100 TB, per round: oriented wedge join + closing equi-join +
+    map-side count — the triangle kernel's skew bound applies."""
+    from osmgraft.operators.graph import ktruss
+    from osmgraft.operators.util import ensure_min_parallelism
+
+    o = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    edges = o.selectExpr(
+        "o_orderkey % 211 AS src", "(o_orderkey div 211) % 211 AS dst"
+    )
+    return ktruss(edges, k=4, max_rounds=6)
+
+
 # --- column profiling ------------------------------------------------------------
 _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 

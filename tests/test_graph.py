@@ -388,3 +388,60 @@ def test_boruvka_msf_path_graph_chain_contraction(spark):
     df = spark.createDataFrame(edges, "a long, b long, dcnt long, wkey long")
     rows = boruvka_msf(df).collect()
     assert len(rows) == 20  # every path edge is in the MST
+
+
+def _ref_ktruss(edges, k):
+    """Plain-python support peel to fixed point."""
+    cur = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        sup = {}
+        es = cur
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        for a, b in es:
+            sup[(a, b)] = len(adj[a] & adj[b])
+        nxt = {e for e in es if sup[e] >= k - 2}
+        if nxt == cur:
+            return sorted((a, b, sup[(a, b)]) for a, b in nxt)
+        cur = nxt
+
+
+def test_ktruss_matches_reference_and_converges(spark):
+    import numpy as np
+
+    from osmgraft.operators.graph import ktruss
+
+    rng = np.random.default_rng(33)
+    edges = list({(int(a), int(b)) for a, b in rng.integers(0, 25, (160, 2)) if a != b})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted((r.a, r.b, r.support) for r in ktruss(df, k=4, max_rounds=10).collect())
+    assert got == _ref_ktruss(edges, 4)
+
+
+def test_ktruss_clique_survives_tree_dies(spark):
+    from osmgraft.operators.graph import ktruss
+
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    tree = [(100 + i, 100 + i + 1) for i in range(6)]
+    df = spark.createDataFrame(clique + tree, "src long, dst long")
+    rows = ktruss(df, k=4).collect()
+    # K5: every edge in 3 triangles -> survives with support 3; the path has none
+    assert sorted((r.a, r.b) for r in rows) == sorted(clique)
+    assert all(r.support == 3 for r in rows)
+
+
+def test_ktruss_fixture_converges_within_pinned_rounds(spark, sf_smoke):
+    """The driver-gate fixture must reach its fixed point inside the 6
+    rounds the DuckDB twin unrolls."""
+    from osmgraft.operators.graph import ktruss
+    from osmgraft.queries import covisit_ktruss_4
+
+    o = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    edges = o.selectExpr(
+        "o_orderkey % 211 AS src", "(o_orderkey div 211) % 211 AS dst"
+    )
+    r6 = {(r.a, r.b, r.support) for r in ktruss(edges, k=4, max_rounds=6).collect()}
+    r8 = {(r.a, r.b, r.support) for r in ktruss(edges, k=4, max_rounds=8).collect()}
+    assert r6 == r8 and len(r6) > 0
