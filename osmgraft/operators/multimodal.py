@@ -4904,3 +4904,167 @@ SELECT concat('aud', lpad(CAST(idx AS VARCHAR), 9, '0')) AS media_id,
             WHEN peak >= 32000 THEN 'hot'
             ELSE 'ok' END AS clip_class
 FROM cl_m"""
+
+
+# --- BRIEF-16 descriptors at FAST corners + bag-of-features matching ----------------
+# Pinned 16 point pairs inside the ±3 window (in-bounds for the FAST corner
+# domain y, x ∈ [3, dim−4]); bit i set iff luma(p+u_i) > luma(p+v_i).
+_BRIEF_PAIRS = (
+    ((-3, -3), (3, 3)), ((-3, 3), (3, -3)), ((0, -3), (0, 3)), ((-3, 0), (3, 0)),
+    ((-2, -1), (2, 1)), ((1, -2), (-1, 2)), ((-3, 1), (2, -2)), ((3, -1), (-2, 2)),
+    ((0, -1), (0, 2)), ((-1, 0), (2, 0)), ((-2, -3), (1, 3)), ((2, 3), (-1, -3)),
+    ((3, 2), (-3, -2)), ((-2, 2), (2, -3)), ((1, 1), (-1, -1)), ((0, 3), (-3, 0)),
+)
+
+
+def brief_descriptors(
+    images: DataFrame, t: int = 20, on_error: str = "fail"
+) -> DataFrame:
+    """BRIEF-16 binary descriptors at FAST-9 corners (Calonder et al.
+    ECCV 2010 / Rosten & Drummond 2006 — the ORB recipe's two halves):
+    per corner the 16-bit code Σ 2ⁱ·[luma(p+uᵢ) > luma(p+vᵢ)] over the
+    pinned pair table ``_BRIEF_PAIRS``, emitted as the per-image
+    DISTINCT descriptor set (image_id, des) — the bag-of-features
+    representation.  Everything integer: detector masks, the 9-rotation
+    run test and the 16 comparisons, so the set is engine-exact.
+
+    Map-only mapInArrow: the descriptor plane is computed for the whole
+    interior window with 32 shifted gathers and then masked by the
+    corner plane — no per-corner loop."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        names = ["image_id", "des"]
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            ids = rb.column("image_id").take(sel).to_pylist()
+            if px is None or h < 7 or w < 7:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([], type=pa.string()), pa.array([], type=pa.int64())],
+                    names,
+                )
+                continue
+            p = px.astype(np.int64)
+            luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+            c = luma[:, 3 : h - 3, 3 : w - 3]
+            bright = np.zeros_like(c)
+            dark = np.zeros_like(c)
+            for i, (dy, dx) in enumerate(_FAST_OFFS):
+                q = luma[:, 3 + dy : h - 3 + dy, 3 + dx : w - 3 + dx]
+                bright |= (q > c + t).astype(np.int64) << i
+                dark |= (q < c - t).astype(np.int64) << i
+
+            def run9(b):
+                acc = b.copy()
+                for r in range(1, 9):
+                    acc &= ((b << r) | (b >> (16 - r))) & 0xFFFF
+                return acc != 0
+
+            corner = run9(bright) | run9(dark)
+            des = np.zeros_like(c)
+            for i, ((uy, ux), (vy, vx)) in enumerate(_BRIEF_PAIRS):
+                a = luma[:, 3 + uy : h - 3 + uy, 3 + ux : w - 3 + ux]
+                b = luma[:, 3 + vy : h - 3 + vy, 3 + vx : w - 3 + vx]
+                des |= (a > b).astype(np.int64) << i
+            img_i, yy, xx = np.nonzero(corner)
+            key = img_i * 65536 + des[img_i, yy, xx]
+            uniq = np.unique(key)
+            out_img = (uniq // 65536).astype(np.int64)
+            out_des = (uniq % 65536).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([ids[i] for i in out_img], type=pa.string()),
+                    pa.array(out_des, type=pa.int64()),
+                ],
+                names,
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
+        kernel, "image_id string, des long"
+    )
+
+
+def brief_match_pairs(
+    images: DataFrame, t: int = 20, min_shared: int = 3, on_error: str = "fail"
+) -> DataFrame:
+    """Bag-of-features image matching on BRIEF-16 descriptor sets: image
+    pairs sharing ≥ ``min_shared`` DISTINCT descriptor values, found by
+    the sub-linear bucket join on the descriptor value (the LSH-band
+    discipline — never an all-pairs image join; only images colliding in
+    a 16-bit bucket ever meet).  The formula fixture's luma pattern is
+    translation-related across idx, so genuinely matching pairs exist
+    and the descriptor's translation covariance is what surfaces them.
+    Emits (image_a, image_b, n_shared).
+
+    100 TB: descriptor extraction is map-only; the match is one
+    shuffle on the 16-bit descriptor + a map-side-combinable pair
+    count; hot buckets are the usual banding skew (documented)."""
+    d = brief_descriptors(images, t=t, on_error=on_error)
+    a = d.select(F.col("image_id").alias("image_a"), "des")
+    b = d.select(F.col("image_id").alias("image_b"), "des")
+    return (
+        a.join(b, "des")
+        .where(F.col("image_a") < F.col("image_b"))
+        .groupBy("image_a", "image_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def _sql_luma_tex(dy: int, dx: int) -> str:
+    """Closed-form luma of the synth_textured_images fixture (the y·x
+    cross-term sibling of _sql_luma_at)."""
+    base = f"(idx*37 + (y+{dy})*11 + (x+{dx})*7 + 13*(y+{dy})*(x+{dx}))"
+    return (
+        f"((299 * ({base} % 256) + 587 * (({base} + 29) % 256)"
+        f" + 114 * (({base} + 58) % 256)) // 1000)"
+    )
+
+
+def sql_brief_match_pairs(
+    idx_cte: str, t: int = 20, min_shared: int = 3,
+    max_h: int = 18, max_w: int = 32,
+) -> str:
+    """DuckDB twin over the TEXTURED fixture: corner masks + run test as
+    in sql_image_fast9_corners (textured luma), the 16 pair comparisons
+    in closed form, distinct sets, bucket self-join."""
+
+    def mask(op: str, sign: str) -> str:
+        terms = []
+        for i, (dy, dx) in enumerate(_FAST_OFFS):
+            terms.append(
+                f"(CASE WHEN {_sql_luma_tex(dy, dx)} {op} {_sql_luma_tex(0, 0)} {sign} {t}"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    def run9(b: str) -> str:
+        rots = [b]
+        for r in range(1, 9):
+            rots.append(f"((({b}) << {r}) | (({b}) >> {16 - r})) & 65535")
+        return "(" + " & ".join(rots) + ") != 0"
+
+    des_terms = []
+    for i, ((uy, ux), (vy, vx)) in enumerate(_BRIEF_PAIRS):
+        des_terms.append(
+            f"(CASE WHEN {_sql_luma_tex(uy, ux)} > {_sql_luma_tex(vy, vx)}"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    des = "(" + " + ".join(des_terms) + ")"
+    return f"""WITH idxs AS ({idx_cte}),
+dims AS (SELECT idx, 16 + (idx % 3) * 8 AS w, 12 + (idx % 2) * 6 AS h FROM idxs),
+bm_m AS (
+  SELECT idx, y, x, h, w,
+         {mask('>', '+')} AS bmask,
+         {mask('<', '-')} AS dmask
+  FROM dims
+  CROSS JOIN range(3, {max_h - 3}) ty(y) CROSS JOIN range(3, {max_w - 3}) tx(x)
+  WHERE y < h - 3 AND x < w - 3),
+bm_d AS MATERIALIZED (
+  SELECT DISTINCT idx, {des} AS des
+  FROM bm_m
+  WHERE ({run9('bmask')}) OR ({run9('dmask')}))
+SELECT concat('timg', lpad(CAST(a.idx AS VARCHAR), 9, '0')) AS image_a,
+       concat('timg', lpad(CAST(b.idx AS VARCHAR), 9, '0')) AS image_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM bm_d a JOIN bm_d b ON b.des = a.des AND b.idx > a.idx
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}"""

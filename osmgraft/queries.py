@@ -3274,6 +3274,39 @@ def image_pyramid_energies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pyramid_energies(imgs)
 
 
+def _sql_brief_match() -> str:
+    from osmgraft.operators.multimodal import sql_brief_match_pairs
+
+    return sql_brief_match_pairs(
+        "SELECT idx FROM (SELECT row_number() OVER () - 1 AS idx FROM orders) "
+        "WHERE idx < 250"
+    )
+
+
+@register("image_brief_match", _sql_brief_match())
+def image_brief_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORB-recipe matching pipeline end to end (operators/multimodal.
+    brief_match_pairs; Rosten & Drummond 2006 + Calonder et al. 2010):
+    FAST-9 corners → BRIEF-16 binary descriptors at each corner →
+    per-image distinct descriptor sets → image pairs sharing ≥ 3
+    descriptor values via the sub-linear bucket join on the descriptor
+    value (never an all-pairs image join).  Runs on the TEXTURED
+    fixture (synth_textured_images — a y·x cross term gives corners
+    position-dependent context, so the 16-bit vocabulary spans
+    thousands of words and matches are selective, ~8 % of pairs) —
+    detector masks, the 9-rotation run test, all 16 comparisons, set
+    semantics and the bucket join on one hash.
+
+    100 TB: map-only extraction; one shuffle on the 16-bit descriptor;
+    hot-bucket skew is the standard banding trade (documented)."""
+    from osmgraft.operators.multimodal import brief_match_pairs
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_textured_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 250)
+    return brief_match_pairs(ensure_min_parallelism(synth_textured_images(spark, n)))
+
+
 def _sql_colorfulness() -> str:
     from osmgraft.operators.multimodal import sql_image_colorfulness
 

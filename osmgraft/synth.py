@@ -816,3 +816,38 @@ def synth_formula_images(spark: SparkSession, n: int) -> DataFrame:
     return spark.range(n).select(F.col("id").alias("idx")).mapInPandas(
         gen, schema="image_id string, bytes binary, w int, h int, fmt string"
     )
+
+
+def synth_textured_images(spark: SparkSession, n: int) -> DataFrame:
+    """synth_formula_images' TEXTURED sibling: pixel(idx, y, x, c) =
+    (idx*37 + y*11 + x*7 + c*29 + 13*y*x) % 256 — the y·x cross term
+    breaks the linear pattern's translation regularity, so corner
+    detectors fire at position-dependent structure and binary
+    descriptors span a real vocabulary (thousands of words instead of
+    ten).  Still pure integer arithmetic: the DuckDB oracle regenerates
+    every pixel exactly.  Real containers rotating raw/ppm/png; same
+    size rotation as the formula fixture."""
+    from osmgraft.functions.codec import encode_image
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            out = []
+            for i in pdf["idx"].tolist():
+                w, h = 16 + (i % 3) * 8, 12 + (i % 2) * 6
+                y = np.arange(h, dtype=np.int64)[:, None, None]
+                x = np.arange(w, dtype=np.int64)[None, :, None]
+                c = np.arange(3, dtype=np.int64)[None, None, :]
+                px = ((i * 37 + y * 11 + x * 7 + c * 29 + 13 * y * x) % 256).astype(
+                    np.uint8
+                )
+                fmt = ("raw", "ppm", "png")[i % 3]
+                out.append(
+                    (f"timg{i:09d}", bytearray(encode_image(px, fmt)), w, h, fmt)
+                )
+            yield pd.DataFrame(
+                out, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    return spark.range(n).select(F.col("id").alias("idx")).mapInPandas(
+        gen, schema="image_id string, bytes binary, w int, h int, fmt string"
+    )
