@@ -1037,3 +1037,109 @@ SELECT n_cells, w_pairs, ssq_w, den_raw,
                  > 2 * CAST(w_pairs AS HUGEINT) * den_raw THEN 'dispersed'
             ELSE 'random' END AS spatial_class
 FROM gst, gnw"""
+
+
+def local_moran_quadrants(
+    cells: DataFrame, cx: str = "cx", cy: str = "cy", cnt: str = "cnt"
+) -> DataFrame:
+    """Local Moran's I — the LISA member (Anselin, Geographical Analysis
+    1995) completing the ESDA suite (global Moran level, Geary contrast,
+    Getis–Ord level z, join counts; this is the PER-CELL cluster/outlier
+    map every GIS ships as "LISA cluster map").  With the global-Moran
+    deviation d_i = n·x_i − s (integer-scaled, mean-free) and the rook
+    lag L_i = Σ_{j∈N(i)} d_j over observed neighbors:
+
+        ii_num   = d_i · L_i        (sign = local clustering direction)
+        quadrant = HH / LL (cluster) , HL / LH (spatial outlier),
+                   'none' when d_i, L_i or the neighbor set is zero
+
+    — the Moran-scatterplot quadrant classification, exact (no
+    variance normalization: normalizing rescales within a cell but
+    never moves a quadrant, and significance screening is the
+    companion getis_ord query's job).  Emits (cx, cy, v, d, lag_sum,
+    n_nbrs, ii_num, quadrant).
+
+    100 TB: one broadcast stats row, one 4-offset explode + equi-join
+    regroup (the local_join_counts shape — no OR-join, no cross), one
+    map-side-combinable agg."""
+    c = cells.select(
+        F.col(cx).alias("cx"), F.col(cy).alias("cy"),
+        F.col(cnt).cast("long").alias("v"),
+    )
+    stats = c.agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    d = c.crossJoin(F.broadcast(stats)).select(
+        "cx", "cy", "v", (F.col("n") * F.col("v") - F.col("s")).alias("d")
+    )
+    offs = F.array(
+        F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy")),
+        F.struct(F.lit(-1).alias("dx"), F.lit(0).alias("dy")),
+        F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy")),
+        F.struct(F.lit(0).alias("dx"), F.lit(-1).alias("dy")),
+    )
+    probe = d.select(
+        "cx", "cy", F.explode(offs).alias("o")
+    ).select(
+        F.col("cx").alias("ocx"), F.col("cy").alias("ocy"),
+        (F.col("cx") + F.col("o.dx")).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    )
+    nbr = probe.join(
+        d.select(F.col("cx").alias("nx"), F.col("cy").alias("ny"),
+                 F.col("d").alias("nd")),
+        ["nx", "ny"],
+    ).groupBy("ocx", "ocy").agg(
+        F.sum("nd").cast("long").alias("lag_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_nbrs"),
+    )
+    j = d.join(
+        nbr,
+        (d.cx == nbr.ocx) & (d.cy == nbr.ocy),
+        "left",
+    ).select(
+        "cx", "cy", "v", "d",
+        F.coalesce("lag_sum", F.lit(0).cast("long")).alias("lag_sum"),
+        F.coalesce("n_nbrs", F.lit(0).cast("long")).alias("n_nbrs"),
+    )
+    quad = (
+        F.when((F.col("n_nbrs") == 0) | (F.col("d") == 0) | (F.col("lag_sum") == 0), "none")
+        .when((F.col("d") > 0) & (F.col("lag_sum") > 0), "HH")
+        .when((F.col("d") < 0) & (F.col("lag_sum") < 0), "LL")
+        .when((F.col("d") > 0) & (F.col("lag_sum") < 0), "HL")
+        .otherwise("LH")
+    )
+    return j.select(
+        "cx", "cy", "v", "d", "lag_sum", "n_nbrs",
+        (F.col("d") * F.col("lag_sum")).cast("long").alias("ii_num"),
+        quad.alias("quadrant"),
+    )
+
+
+def sql_local_moran_quadrants(cells_cte: str) -> str:
+    """DuckDB twin of :func:`local_moran_quadrants`."""
+    return f"""lm_cells AS ({cells_cte}),
+lm_st AS (SELECT count(*) AS n, sum(cnt) AS s FROM lm_cells),
+lm_d AS (SELECT cx, cy, CAST(cnt AS BIGINT) AS v,
+                CAST(lm_st.n * cnt - lm_st.s AS BIGINT) AS d
+         FROM lm_cells, lm_st),
+lm_o(dx, dy) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)),
+lm_nbr AS (
+  SELECT a.cx AS ocx, a.cy AS ocy,
+         CAST(sum(b.d) AS BIGINT) AS lag_sum,
+         CAST(count(*) AS BIGINT) AS n_nbrs
+  FROM lm_d a JOIN lm_o o ON true
+  JOIN lm_d b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+  GROUP BY 1, 2),
+lm_j AS (
+  SELECT d.cx, d.cy, d.v, d.d,
+         COALESCE(n.lag_sum, 0) AS lag_sum,
+         COALESCE(n.n_nbrs, 0) AS n_nbrs
+  FROM lm_d d LEFT JOIN lm_nbr n ON n.ocx = d.cx AND n.ocy = d.cy),
+lm AS (
+  SELECT cx, cy, v, d, lag_sum, n_nbrs,
+         CAST(d * lag_sum AS BIGINT) AS ii_num,
+         CASE WHEN n_nbrs = 0 OR d = 0 OR lag_sum = 0 THEN 'none'
+              WHEN d > 0 AND lag_sum > 0 THEN 'HH'
+              WHEN d < 0 AND lag_sum < 0 THEN 'LL'
+              WHEN d > 0 AND lag_sum < 0 THEN 'HL'
+              ELSE 'LH' END AS quadrant
+  FROM lm_j)"""

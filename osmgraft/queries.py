@@ -1503,6 +1503,72 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEXTRANK_EDGES_SQL = """
+SELECT src, dst FROM (
+  SELECT t[i] AS src, t[i+1] AS dst
+  FROM (SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS t FROM documents) d
+  CROSS JOIN UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+) WHERE regexp_matches(src, '^[a-z]{3,}$') AND regexp_matches(dst, '^[a-z]{3,}$')
+  AND src <> dst
+UNION ALL
+SELECT dst, src FROM (
+  SELECT t[i] AS src, t[i+1] AS dst
+  FROM (SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS t FROM documents) d
+  CROSS JOIN UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+) WHERE regexp_matches(src, '^[a-z]{3,}$') AND regexp_matches(dst, '^[a-z]{3,}$')
+  AND src <> dst"""
+
+
+def _sql_textrank() -> str:
+    from osmgraft.operators.graph import sql_pagerank
+
+    pr = sql_pagerank(_TEXTRANK_EDGES_SQL, iters=4)
+    return f"""SELECT node_id AS word, rank_fx, rnk FROM (
+  SELECT node_id, rank_fx,
+         CAST(row_number() OVER (ORDER BY rank_fx DESC, node_id) AS BIGINT) AS rnk
+  FROM ({pr})) WHERE rnk <= 30"""
+
+
+@register("textrank_keywords", _sql_textrank())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau EMNLP 2004) — the
+    classic unsupervised keyword ranker, as a pure REUSE of the integer
+    fixed-point pagerank kernel over the word co-occurrence graph:
+    adjacent lowercase alpha tokens (≥ 3 chars) form symmetric
+    multi-edges (co-occurrence frequency = edge multiplicity, which
+    pagerank's outdeg arithmetic weights naturally), 4 fixed rounds,
+    top-30 by (rank_fx DESC, word) with the pinned total order.  The
+    corpus-keyword summary a curation stack puts beside tf-idf
+    (frequency-based) and BM25 (query-based) — this is the GRAPH-based
+    member.
+
+    100 TB: bigram explode is map-only; each round one src equi-join +
+    map-side-combined dst agg; ranking WindowGroupLimit-bounded."""
+    from pyspark.sql import Window as W
+
+    from osmgraft.operators.graph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(F.lower(F.col("text")))
+    g = docs.select(F.explode(T.word_bigrams(toks)).alias("g"))
+    sp = F.split(F.col("g"), " ")
+    e = g.select(sp.getItem(0).alias("src"), sp.getItem(1).alias("dst")).where(
+        F.col("src").rlike("^[a-z]{3,}$")
+        & F.col("dst").rlike("^[a-z]{3,}$")
+        & (F.col("src") != F.col("dst"))
+    )
+    edges = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pr = pagerank(edges, iters=4)
+    w = W.orderBy(F.desc("rank_fx"), F.asc("node_id"))
+    return (
+        pr.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 30)
+        .select(F.col("node_id").alias("word"), "rank_fx", "rnk")
+    )
+
+
 _DECON_N = 4  # n-gram width; % 23 carves a deterministic "benchmark" subset
 
 
@@ -10030,6 +10096,33 @@ def getis_ord_hot_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmgraft.operators.density import getis_ord_gi_star
 
     return getis_ord_gi_star(_cells_df(spark, sf_dir, 8))
+
+
+def _sql_local_moran() -> str:
+    from osmgraft.operators.density import sql_local_moran_quadrants
+
+    return (
+        f"WITH pts AS ({_PTS}),\n"
+        + sql_local_moran_quadrants(_sql_cells(8))
+        + "\nSELECT cx, cy, v, d, lag_sum, n_nbrs, ii_num, quadrant FROM lm"
+    )
+
+
+@register("local_moran_z8", _sql_local_moran())
+def local_moran_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I quadrants per z8 cell (operators/density.
+    local_moran_quadrants, Anselin 1995) — the LISA cluster/outlier map
+    completing the ESDA suite: HH/LL clusters and HL/LH spatial
+    outliers from the exact integer deviation d_i = n·x_i − s and its
+    rook lag, with ii_num = d_i·L_i riding along.  No variance
+    normalization (it can't move a quadrant); significance screening is
+    getis_ord_hot_z8's job.
+
+    100 TB: broadcast stats row + 4-offset explode equi-join regroup
+    (the local_join_counts shape) + one agg — no OR-join, no cross."""
+    from osmgraft.operators.density import local_moran_quadrants
+
+    return local_moran_quadrants(_cells_df(spark, sf_dir, 8))
 
 
 # --- geofence enter/exit transitions -------------------------------------------------

@@ -470,3 +470,59 @@ def test_geary_c_matches_float_reference_and_classes(spark):
         assert r["spatial_class"] == want_cls
     flat = [(x, y, 7) for x in range(3) for y in range(3)]
     assert run(flat)["spatial_class"] == "degenerate"
+
+
+def _ref_lisa(cells):
+    """Plain-python LISA quadrants (rook lag over observed cells)."""
+    n = len(cells)
+    s = sum(v for _, _, v in cells)
+    dmap = {(x, y): n * v - s for x, y, v in cells}
+    out = {}
+    for (x, y), d in dmap.items():
+        nbrs = [dmap[p] for p in ((x+1,y),(x-1,y),(x,y+1),(x,y-1)) if p in dmap]
+        lag = sum(nbrs)
+        g = len(nbrs)
+        if g == 0 or d == 0 or lag == 0:
+            q = "none"
+        elif d > 0 and lag > 0:
+            q = "HH"
+        elif d < 0 and lag < 0:
+            q = "LL"
+        elif d > 0 and lag < 0:
+            q = "HL"
+        else:
+            q = "LH"
+        out[(x, y)] = (d, lag, g, d * lag, q)
+    return out
+
+
+def test_local_moran_matches_reference(spark):
+    import numpy as np
+
+    from osmgraft.operators.density import local_moran_quadrants
+
+    rng = np.random.default_rng(51)
+    seen = {}
+    for _ in range(60):
+        seen[(int(rng.integers(0, 8)), int(rng.integers(0, 8)))] = int(
+            rng.integers(1, 50)
+        )
+    cells = [(x, y, v) for (x, y), v in seen.items()]
+    df = spark.createDataFrame(cells, "cx long, cy long, cnt long")
+    got = {
+        (r.cx, r.cy): (r.d, r.lag_sum, r.n_nbrs, r.ii_num, r.quadrant)
+        for r in local_moran_quadrants(df).collect()
+    }
+    assert got == _ref_lisa(cells)
+
+
+def test_local_moran_hotspot_is_hh(spark):
+    from osmgraft.operators.density import local_moran_quadrants
+
+    # a plateau of hot cells surrounded by cold ones: the interior hot cell
+    # must be HH, the far-away cold cells LL
+    cells = [(x, y, 100) for x in range(3) for y in range(3)]
+    cells += [(x + 10, y + 10, 1) for x in range(3) for y in range(3)]
+    df = spark.createDataFrame(cells, "cx long, cy long, cnt long")
+    got = {(r.cx, r.cy): r.quadrant for r in local_moran_quadrants(df).collect()}
+    assert got[(1, 1)] == "HH" and got[(11, 11)] == "LL"
