@@ -892,3 +892,128 @@ SELECT {parent_z} AS z, t.ptx AS tx, t.pty AS ty,
 FROM vs_tiles t LEFT JOIN (
   SELECT ptx, pty, count(*) AS nv, sum(y * 131 + x * 137 + 1) AS chk
   FROM vs_vis GROUP BY ptx, pty) s ON s.ptx = t.ptx AND s.pty = t.pty"""
+
+
+# D8 direction table, pinned order (tie → smallest d): E SE S SW W NW N NE
+_D8_DIRS = (
+    (0, 1, 1), (1, 1, 2), (1, 0, 1), (1, -1, 2),
+    (0, -1, 1), (-1, -1, 2), (-1, 0, 1), (-1, 1, 2),
+)  # (dy, dx, dist²)
+
+
+def terrain_d8_flow(tiles_df: DataFrame) -> DataFrame:
+    """D8 flow direction over Terrain-RGB DEM tiles (O'Callaghan & Mark
+    1984 — the hydrology primitive every GIS derives drainage from):
+    each cell flows to its steepest strictly-downhill neighbor of the 8,
+    slope comparison EXACT — for candidates i, j with positive drops,
+    slope_i > slope_j ⟺ drop_i²·dist_j² > drop_j²·dist_i², so the
+    single integer sort key drop²·(3 − dist²) (dist² ∈ {1, 2}) ranks
+    correctly and ties break to the pinned direction order (E SE S SW W
+    NW N NE).  Cells with no strictly-downhill neighbor (sinks, flats,
+    sea level) get direction −1.  Tile-local: out-of-tile neighbors are
+    ignored (pinned, engine-shared).  Emits per (tile, direction) the
+    cell count and the positional checksum Σ (y·131 + x·137 + 1)
+    pinning the exact cell set per direction.
+
+    The DEM rides the REAL png codec (deflate→inflate→unpack under the
+    gate); the twin rebuilds the grid relationally and ranks the same
+    key.  Map-only vectorized kernel: 8 shifted comparisons."""
+    import numpy as np
+    import pandas as pd
+
+    from osmgraft.functions.codec import png_decode
+
+    def kernel(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            rows = []
+            for z, tx, ty, b in zip(pdf["z"], pdf["tx"], pdf["ty"], pdf["png"]):
+                px = png_decode(bytes(b)).astype(np.int64)
+                v = (px[..., 0] << 16) | (px[..., 1] << 8) | px[..., 2]
+                elev = v // 10 - 10_000
+                h, w = elev.shape
+                best_key = np.zeros((h, w), np.int64)
+                best_dir = np.full((h, w), -1, np.int64)
+                for d, (dy, dx, dist2) in enumerate(_D8_DIRS):
+                    nbr = np.full((h, w), np.iinfo(np.int64).max, np.int64)
+                    ys0, ys1 = max(dy, 0), h + min(dy, 0)
+                    xs0, xs1 = max(dx, 0), w + min(dx, 0)
+                    nbr[ys0 - dy : ys1 - dy, xs0 - dx : xs1 - dx] = elev[
+                        ys0:ys1, xs0:xs1
+                    ]
+                    valid = nbr != np.iinfo(np.int64).max
+                    drop = np.where(valid, elev - nbr, 0)
+                    key = np.where(drop > 0, drop * drop * (3 - dist2), 0)
+                    better = key > best_key
+                    best_key = np.where(better, key, best_key)
+                    best_dir = np.where(better, d, best_dir)
+                wgt = (
+                    np.arange(h, dtype=np.int64)[:, None] * 131
+                    + np.arange(w, dtype=np.int64)[None, :] * 137
+                    + 1
+                )
+                for d in range(-1, 8):
+                    m = best_dir == d
+                    n = int(m.sum())
+                    if n:
+                        rows.append(
+                            (int(z), int(tx), int(ty), d, n, int((m * wgt).sum()))
+                        )
+            yield pd.DataFrame(
+                rows, columns=["z", "tx", "ty", "dir", "n_cells", "chk"]
+            )
+
+    return tiles_df.mapInPandas(
+        kernel, schema="z long, tx long, ty long, dir int, n_cells long, chk long"
+    )
+
+
+def sql_terrain_d8_flow(cells_cte: str, z: int, parent_z: int) -> str:
+    """DuckDB twin of :func:`terrain_d8_flow` over the raw z-level cell
+    counts (spec-as-oracle): sea-level-filled grid, 8-direction join,
+    the same integer sort key, row_number argmax, −1 sinks."""
+    shift = z - parent_z
+    grid = 1 << shift
+    dirs = ", ".join(
+        f"({d}, {dy}, {dx}, {dist2})"
+        for d, (dy, dx, dist2) in enumerate(_D8_DIRS)
+    )
+    return f"""WITH d8_cells AS ({cells_cte}),
+d8_obs AS (
+  SELECT cx >> {shift} AS ptx, cy >> {shift} AS pty,
+         cx - ((cx >> {shift}) << {shift}) AS sx,
+         cy - ((cy >> {shift}) << {shift}) AS sy,
+         cnt AS elev
+  FROM d8_cells),
+d8_tiles AS (SELECT DISTINCT ptx, pty FROM d8_obs),
+d8_grid AS MATERIALIZED (
+  SELECT t.ptx, t.pty, gy.y, gx.x, COALESCE(o.elev, 0) AS elev
+  FROM d8_tiles t
+  CROSS JOIN range(0, {grid}) gy(y) CROSS JOIN range(0, {grid}) gx(x)
+  LEFT JOIN d8_obs o
+    ON o.ptx = t.ptx AND o.pty = t.pty AND o.sy = gy.y AND o.sx = gx.x),
+d8_dirs(d, dy, dx, dist2) AS (VALUES {dirs}),
+d8_cand AS (
+  SELECT g.ptx, g.pty, g.y, g.x, dd.d,
+         (g.elev - n.elev) * (g.elev - n.elev) * (3 - dd.dist2) AS skey
+  FROM d8_grid g
+  JOIN d8_dirs dd ON true
+  JOIN d8_grid n ON n.ptx = g.ptx AND n.pty = g.pty
+                AND n.y = g.y + dd.dy AND n.x = g.x + dd.dx
+  WHERE g.elev > n.elev),
+d8_best AS (
+  SELECT ptx, pty, y, x, d
+  FROM (SELECT ptx, pty, y, x, d,
+               row_number() OVER (PARTITION BY ptx, pty, y, x
+                                  ORDER BY skey DESC, d) AS rn
+        FROM d8_cand)
+  WHERE rn = 1),
+d8_all AS (
+  SELECT g.ptx, g.pty, g.y, g.x, COALESCE(b.d, -1) AS dir
+  FROM d8_grid g LEFT JOIN d8_best b
+    ON b.ptx = g.ptx AND b.pty = g.pty AND b.y = g.y AND b.x = g.x)
+SELECT {parent_z} AS z, ptx AS tx, pty AS ty, CAST(dir AS INTEGER) AS dir,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(y * 131 + x * 137 + 1) AS BIGINT) AS chk
+FROM d8_all GROUP BY 1, 2, 3, 4"""

@@ -9686,6 +9686,39 @@ def terrain_viewshed_z10_7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terrain_viewshed(terrain_rgb_tiles(cells, z=10, parent_z=7))
 
 
+def _d8_oracle() -> str:
+    from osmgraft.operators.raster import sql_terrain_d8_flow
+
+    return (
+        f"WITH pts AS ({_PTS}), d8_in AS ({_sql_cells(10)})\n"
+        + sql_terrain_d8_flow("SELECT * FROM d8_in", z=10, parent_z=7).replace(
+            "WITH d8_cells", ", d8_cells", 1
+        )
+    )
+
+
+@register("terrain_d8_flow_z10_7", _d8_oracle())
+def terrain_d8_flow_z10_7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow direction over Terrain-RGB DEM tiles (operators/raster.
+    terrain_d8_flow, O'Callaghan & Mark 1984 — the drainage primitive
+    beside slope and viewshed): steepest strictly-downhill neighbor of
+    8, ranked by the EXACT integer key drop²·(3 − dist²) (the √2
+    diagonal cross-multiplied away), ties to the pinned direction
+    order, sinks/flats → −1; per (tile, direction) cell counts + a
+    positional checksum pinning the exact per-direction cell sets.  The
+    DEM rides the REAL png codec; the twin rebuilds the grid
+    relationally and ranks the same key.
+
+    100 TB: one bounded-group shuffle to form tiles + a map-only
+    8-shift kernel."""
+    from osmgraft.operators.raster import terrain_d8_flow, terrain_rgb_tiles
+
+    cells = _cells_df(spark, sf_dir, 10).select(
+        F.col("cx").alias("tx"), F.col("cy").alias("ty"), "cnt"
+    )
+    return terrain_d8_flow(terrain_rgb_tiles(cells, z=10, parent_z=7))
+
+
 def _sql_boundary_luma() -> str:
     from osmgraft.synth import sql_latlon_of_key
 

@@ -1,0 +1,75 @@
+"""terrain_d8_flow: scalar reference on crafted DEMs, cone/ridge laws."""
+
+import numpy as np
+
+
+def _tiles_df(spark, grids):
+    from osmgraft.functions.codec import png_encode
+
+    rows = []
+    for i, g in enumerate(grids):
+        v = (g.astype(np.int64) + 10_000) * 10
+        rgb = np.stack([(v >> 16) & 255, (v >> 8) & 255, v & 255], axis=-1).astype(
+            np.uint8
+        )
+        rows.append((7, i, 0, bytearray(png_encode(rgb))))
+    return spark.createDataFrame(rows, "z long, tx long, ty long, png binary")
+
+
+def _ref_d8(elev):
+    from osmgraft.operators.raster import _D8_DIRS
+
+    h, w = elev.shape
+    out = {}
+    for y in range(h):
+        for x in range(w):
+            best = (0, -1)
+            for d, (dy, dx, dist2) in enumerate(_D8_DIRS):
+                ny, nx = y + dy, x + dx
+                if not (0 <= ny < h and 0 <= nx < w):
+                    continue
+                drop = elev[y, x] - elev[ny, nx]
+                if drop > 0:
+                    key = drop * drop * (3 - dist2)
+                    if key > best[0]:
+                        best = (key, d)
+            out[(y, x)] = best[1]
+    return out
+
+
+def test_d8_matches_reference_random(spark):
+    from osmgraft.operators.raster import terrain_d8_flow
+
+    rng = np.random.default_rng(61)
+    grids = [rng.integers(0, 500, (8, 8)) for _ in range(4)]
+    rows = terrain_d8_flow(_tiles_df(spark, grids)).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.tx, {})[r.dir] = (r.n_cells, r.chk)
+    for i, g in enumerate(grids):
+        ref = _ref_d8(g.astype(np.int64))
+        wgt = lambda y, x: y * 131 + x * 137 + 1
+        for d in range(-1, 8):
+            cells = [(y, x) for (y, x), rd in ref.items() if rd == d]
+            if cells:
+                assert got[i][d] == (len(cells), sum(wgt(y, x) for y, x in cells)), (i, d)
+            else:
+                assert d not in got.get(i, {}), (i, d)
+
+
+def test_d8_tilted_plane_flows_east_flat_is_sink(spark):
+    from osmgraft.operators.raster import terrain_d8_flow
+
+    # east-tilted plane: every cell except the east edge flows E (straight
+    # beats the equal-drop diagonal by the dist² factor); a flat tile is
+    # all sinks
+    tilt = np.zeros((8, 8), np.int64)
+    for x in range(8):
+        tilt[:, x] = 2 * (7 - x)
+    flat = np.full((8, 8), 7, np.int64)
+    rows = terrain_d8_flow(_tiles_df(spark, [tilt, flat])).collect()
+    by_tile = {}
+    for r in rows:
+        by_tile.setdefault(r.tx, {})[r.dir] = r.n_cells
+    assert by_tile[1] == {-1: 64}  # flat: every cell a sink
+    assert by_tile[0] == {0: 56, -1: 8}  # east edge column has no in-tile drop
