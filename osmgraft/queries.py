@@ -8470,6 +8470,94 @@ def tile_trend_mk_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_kendall(counts, ["tx", "ty"], "day", "cnt")
 
 
+def _sql_ewma() -> str:
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("event_id")
+    return f"""WITH ew_c AS (
+  SELECT {tiles.sql_tile_x(f'({lon})', 5)} AS tx,
+         {tiles.sql_tile_y(f'({lat})', 5)} AS ty,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2, 3),
+ew_l AS (
+  SELECT tx, ty, list(cnt ORDER BY day) AS l, count(*) AS n_days
+  FROM ew_c GROUP BY 1, 2),
+ew_f AS (
+  SELECT tx, ty, CAST(n_days AS BIGINT) AS n_days,
+         CAST(l[-1] AS BIGINT) AS last_cnt,
+         CAST(list_reduce(l, (acc, x) -> (x + 3*acc) // 4) AS BIGINT)
+           AS ewma_level
+  FROM ew_l)
+SELECT tx, ty, n_days, last_cnt, ewma_level,
+       CASE WHEN last_cnt > ewma_level THEN 'above'
+            WHEN last_cnt < ewma_level THEN 'below'
+            ELSE 'at' END AS ewma_class
+FROM ew_f"""
+
+
+@register("tile_ewma_z5", _sql_ewma())
+def tile_ewma_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per z5 tile (Roberts 1959 —
+    the EWMA control chart, the smoothing member of the per-tile
+    time-series family beside Mann–Kendall's trend and CUSUM's bursts):
+    over each tile's day-ordered counts the integer recursion
+
+        level_t = (cnt_t + 3·level_{t−1}) div 4      (α = 1/4, pinned)
+
+    seeded with the first observation — a SEQUENTIAL fold, run in Spark
+    as one JVM ``aggregate`` over the sorted per-tile array (no Python,
+    no window cascade) and in DuckDB as the identical ``list_reduce``
+    lambda; the floor division makes every step exact, so the fold is
+    deterministic even though it is order-sensitive (the sort is pinned
+    by day).  Emits the final level, last observation, and the
+    above/below/at class.
+
+    100 TB: one shuffle to the per-(tile, day) aggregate, one hash agg
+    packing each tile's ≤ days-long array, map-only fold."""
+    from pyspark.sql.functions import aggregate as Fagg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+
+    ev = ensure_min_parallelism(ev)
+    lat, lon = latlon_of_key(F.col("event_id"))
+    counts = (
+        ev.select(
+            tiles.tile_x(lon, 5).alias("tx"),
+            tiles.tile_y(lat, 5).alias("ty"),
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        )
+        .groupBy("tx", "ty", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    g = counts.groupBy("tx", "ty").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "cnt"))), lambda e: e["cnt"]
+        ).alias("l"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    level = Fagg(
+        F.slice(F.col("l"), 2, F.greatest(F.size("l") - 1, F.lit(0))),
+        F.element_at(F.col("l"), 1).cast("long"),
+        lambda acc, x: F.shiftright(x + 3 * acc, 2),
+    )
+    out = g.select(
+        "tx",
+        "ty",
+        "n_days",
+        F.element_at(F.col("l"), -1).cast("long").alias("last_cnt"),
+        level.cast("long").alias("ewma_level"),
+    )
+    cls = (
+        F.when(F.col("last_cnt") > F.col("ewma_level"), "above")
+        .when(F.col("last_cnt") < F.col("ewma_level"), "below")
+        .otherwise("at")
+    )
+    return out.withColumn("ewma_class", cls)
+
+
 def _sql_simpson() -> str:
     from osmgraft.synth import sql_latlon_of_key
 
@@ -10312,6 +10400,112 @@ def geofence_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_pings").cast("long").alias("max_visit_pings"),
         F.sum("span_days").cast("long").alias("sum_span_days"),
     )
+
+
+# --- track sinuosity ------------------------------------------------------------------
+def _sql_sinuosity() -> str:
+    from osmgraft.geom import sql_haversine_m_int
+
+    seg = sql_haversine_m_int("pa.lat7", "pa.lon7", "pb.lat7", "pb.lon7")
+    direct = sql_haversine_m_int("f.lat7", "f.lon7", "l.lat7", "l.lon7")
+    return f"""WITH pts AS ({_PTS}),
+sn_seq AS (
+  SELECT o.o_custkey AS uid, p.point_id, p.lat7, p.lon7,
+         lead(p.point_id) OVER (PARTITION BY o.o_custkey
+                                ORDER BY p.point_id) AS nxt,
+         row_number() OVER (PARTITION BY o.o_custkey
+                            ORDER BY p.point_id) AS rn,
+         count(*) OVER (PARTITION BY o.o_custkey) AS n_pts,
+         min(p.point_id) OVER (PARTITION BY o.o_custkey) AS first_id,
+         max(p.point_id) OVER (PARTITION BY o.o_custkey) AS last_id
+  FROM pts p JOIN orders o ON o.o_orderkey = p.point_id),
+sn_path AS (
+  SELECT a.uid, CAST(sum({seg}) AS BIGINT) AS path_m
+  FROM sn_seq a
+  JOIN pts pa ON pa.point_id = a.point_id
+  JOIN pts pb ON pb.point_id = a.nxt
+  WHERE a.nxt IS NOT NULL
+  GROUP BY 1),
+sn_ends AS (
+  SELECT DISTINCT uid, CAST(n_pts AS BIGINT) AS n_pts, first_id, last_id
+  FROM sn_seq),
+sn_d AS (
+  SELECT e.uid, e.n_pts,
+         COALESCE(p.path_m, 0) AS path_m,
+         CAST({direct} AS BIGINT) AS direct_m
+  FROM sn_ends e
+  LEFT JOIN sn_path p ON p.uid = e.uid
+  JOIN pts f ON f.point_id = e.first_id
+  JOIN pts l ON l.point_id = e.last_id)
+SELECT uid, n_pts, path_m, direct_m,
+       CASE WHEN n_pts < 2 THEN 'degenerate'
+            WHEN direct_m = 0 THEN 'loop'
+            WHEN 5 * path_m <= 6 * direct_m THEN 'straight'
+            WHEN path_m >= 2 * direct_m THEN 'winding'
+            ELSE 'curved' END AS sin_class
+FROM sn_d"""
+
+
+@register("track_sinuosity", _sql_sinuosity())
+def track_sinuosity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sinuosity index per entity track (Leopold & Wolman 1957's channel
+    sinuosity, the GPS-track tortuosity measure): geodesic path length
+    (integer-meter per-segment haversine — associative sums, the
+    way_lengths_geodesic discipline) against the straight-line geodesic
+    between the track's endpoints, carried as the exact rational
+    path_m/direct_m with cross-multiplied classes (straight ≤ 1.2,
+    winding ≥ 2, loop on coincident endpoints, degenerate below 2
+    points).
+
+    100 TB: one window sort per entity (lead + ends share ONE
+    exchange), one map-side-combinable path sum, two point lookups."""
+    from pyspark.sql import Window as W
+
+    from osmgraft.geom import haversine_m_col
+
+    pts = points_from_orders(spark, sf_dir)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("point_id"), F.col("o_custkey").alias("uid")
+    )
+    w = W.partitionBy("uid").orderBy("point_id")
+    seq = pts.join(o, "point_id").select(
+        "uid",
+        "point_id",
+        "lat7",
+        "lon7",
+        F.lead("lat7").over(w).alias("nlat"),
+        F.lead("lon7").over(w).alias("nlon"),
+        F.count(F.lit(1)).over(W.partitionBy("uid")).alias("n_pts"),
+        F.min_by(F.struct("lat7", "lon7"), F.col("point_id"))
+        .over(W.partitionBy("uid"))
+        .alias("fp"),
+        F.max_by(F.struct("lat7", "lon7"), F.col("point_id"))
+        .over(W.partitionBy("uid"))
+        .alias("lp"),
+    )
+    seg = F.when(
+        F.col("nlat").isNotNull(),
+        haversine_m_col(F.col("lat7"), F.col("lon7"), F.col("nlat"), F.col("nlon")),
+    ).otherwise(F.lit(0).cast("long"))
+    agg = seq.groupBy("uid").agg(
+        F.first("n_pts").cast("long").alias("n_pts"),
+        F.sum(seg).cast("long").alias("path_m"),
+        F.first(
+            haversine_m_col(
+                F.col("fp.lat7"), F.col("fp.lon7"), F.col("lp.lat7"), F.col("lp.lon7")
+            )
+        )
+        .cast("long")
+        .alias("direct_m"),
+    )
+    cls = (
+        F.when(F.col("n_pts") < 2, "degenerate")
+        .when(F.col("direct_m") == 0, "loop")
+        .when(5 * F.col("path_m") <= 6 * F.col("direct_m"), "straight")
+        .when(F.col("path_m") >= 2 * F.col("direct_m"), "winding")
+        .otherwise("curved")
+    )
+    return agg.select("uid", "n_pts", "path_m", "direct_m", cls.alias("sin_class"))
 
 
 # --- per-boundary emerging-trend composition -----------------------------------------

