@@ -192,7 +192,14 @@ def main() -> None:
                  "mcnemar_langid_vs_majority", "langid_class_report",
                  "segregation_types_z6", "tile_type_lq_z6",
                  "user_burstiness", "tile_spearman_z5",
-                 "stream_windowed_counts_1h"]:
+                 "stream_windowed_counts_1h",
+                 # session-15 additions
+                 "road_link_prediction", "doc_readability", "audio_onset_flux",
+                 "cell_msf_z5", "image_pyramid_energies", "image_colorfulness",
+                 "audio_clipping_stats", "geofence_dwell", "boundary_trend_mk",
+                 "covisit_ktruss_4", "local_moran_z8", "textrank_keywords",
+                 "image_brief_match", "terrain_d8_flow_z10_7", "tile_ewma_z5",
+                 "track_sinuosity"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -5068,3 +5068,90 @@ SELECT concat('timg', lpad(CAST(a.idx AS VARCHAR), 9, '0')) AS image_a,
 FROM bm_d a JOIN bm_d b ON b.des = a.des AND b.idx > a.idx
 GROUP BY 1, 2
 HAVING count(*) >= {min_shared}"""
+
+
+def image_blur_metric(
+    images: DataFrame, var_thresh: int = 1500, on_error: str = "fail"
+) -> DataFrame:
+    """Blur detection by variance of the Laplacian (Pech-Pacheco et al.
+    ICPR 2000 — the standard focus/blur QA measure): the 4-neighbor
+    integer Laplacian r = 4·L(y,x) − L(y−1,x) − L(y+1,x) − L(y,x−1) −
+    L(y,x+1) over interior luma, per image the exact response moments
+    (n_int, sum_lap, ssq_lap) and the cross-multiplied class
+
+        blurry ⟺ n·ssq_lap − sum_lap² < var_thresh·n²
+
+    (Var(r) < var_thresh without ever dividing).  Sharp/textured content
+    has heavy Laplacian tails; defocused content collapses toward zero.
+    The third image-curation QA filter beside colorfulness (color cast)
+    and histogram stats (exposure).
+
+    Map-only mapInArrow: four shifted subtractions + reduces."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        names = ["image_id", "n_int", "sum_lap", "ssq_lap", "blur_class"]
+        for rb, sel, px, w, h, _fmt in _iter_image_chunks(batches, on_error):
+            ids = rb.column("image_id").take(sel)
+            k = len(ids)
+            if px is None or h < 3 or w < 3:
+                nul = pa.array([None] * k, type=pa.int64())
+                yield pa.RecordBatch.from_arrays(
+                    [ids, nul, nul, nul, pa.array([None] * k, type=pa.string())],
+                    names,
+                )
+                continue
+            p = px.astype(np.int64)
+            luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+            c = luma[:, 1 : h - 1, 1 : w - 1]
+            r = (
+                4 * c
+                - luma[:, : h - 2, 1 : w - 1]
+                - luma[:, 2:, 1 : w - 1]
+                - luma[:, 1 : h - 1, : w - 2]
+                - luma[:, 1 : h - 1, 2:]
+            )
+            n = (h - 2) * (w - 2)
+            s = r.sum(axis=(1, 2))
+            q = (r * r).sum(axis=(1, 2))
+            cls = np.where(n * q - s * s < var_thresh * n * n, "blurry", "sharp")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(np.full(k, n, np.int64)),
+                    pa.array(s.astype(np.int64)),
+                    pa.array(q.astype(np.int64)),
+                    pa.array(cls.tolist(), type=pa.string()),
+                ],
+                names,
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
+        kernel,
+        "image_id string, n_int long, sum_lap long, ssq_lap long, blur_class string",
+    )
+
+
+def sql_image_blur_metric(
+    idx_cte: str, var_thresh: int = 1500, max_h: int = 18, max_w: int = 32
+) -> str:
+    """DuckDB twin from the closed-form fixture luma."""
+    r = (
+        f"(4*{_sql_luma_at(0, 0)} - {_sql_luma_at(-1, 0)} - {_sql_luma_at(1, 0)}"
+        f" - {_sql_luma_at(0, -1)} - {_sql_luma_at(0, 1)})"
+    )
+    return f"""WITH idxs AS ({idx_cte}),
+dims AS (SELECT idx, 16 + (idx % 3) * 8 AS w, 12 + (idx % 2) * 6 AS h FROM idxs),
+bl_r AS (
+  SELECT idx, {r} AS r
+  FROM dims
+  CROSS JOIN range(1, {max_h - 1}) ty(y) CROSS JOIN range(1, {max_w - 1}) tx(x)
+  WHERE y < h - 1 AND x < w - 1),
+bl_m AS (
+  SELECT idx, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(r) AS BIGINT) AS s, CAST(sum(r * r) AS BIGINT) AS q
+  FROM bl_r GROUP BY idx)
+SELECT concat('fimg', lpad(CAST(idx AS VARCHAR), 9, '0')) AS image_id,
+       n AS n_int, s AS sum_lap, q AS ssq_lap,
+       CASE WHEN n * q - s * s < {var_thresh} * n * n
+            THEN 'blurry' ELSE 'sharp' END AS blur_class
+FROM bl_m"""

@@ -3400,6 +3400,33 @@ def image_colorfulness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_colorfulness(ensure_min_parallelism(synth_formula_images(spark, n)))
 
 
+def _sql_blur() -> str:
+    from osmgraft.operators.multimodal import sql_image_blur_metric
+
+    return sql_image_blur_metric(
+        "SELECT idx FROM (SELECT row_number() OVER () - 1 AS idx FROM orders) "
+        "WHERE idx < 250"
+    )
+
+
+@register("image_blur_metric", _sql_blur())
+def image_blur_metric_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blur detection per image (operators/multimodal.image_blur_metric,
+    Pech-Pacheco et al. ICPR 2000): exact integer 4-neighbor Laplacian
+    moments over real decode, blurry/sharp by the cross-multiplied
+    variance cut — the focus member of the image-QA trio
+    (colorfulness → color cast, histogram → exposure, Laplacian →
+    blur).
+
+    100 TB: map-only mapInArrow, four shifted subtractions."""
+    from osmgraft.operators.multimodal import image_blur_metric
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import synth_formula_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 250)
+    return image_blur_metric(ensure_min_parallelism(synth_formula_images(spark, n)))
+
+
 def _sql_clipping() -> str:
     from osmgraft.operators.multimodal import sql_audio_clipping_stats
 

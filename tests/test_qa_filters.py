@@ -64,3 +64,25 @@ def test_clipping_classes(spark):
     assert r2.peak == 32767
     assert r2.dc_sum == int(clipped.sum())
     assert r2.energy == int((clipped.astype(np.int64) ** 2).sum())
+
+
+def test_blur_metric_classes_and_moments(spark):
+    from osmgraft.operators.multimodal import image_blur_metric
+
+    rng = np.random.default_rng(71)
+    # smooth gradient -> tiny Laplacian variance; noise -> huge
+    smooth = np.zeros((12, 16, 3), np.int64)
+    for x in range(16):
+        smooth[:, x, :] = 5 + 2 * x
+    noisy = rng.integers(0, 256, (12, 16, 3))
+    rows = {r.image_id: r for r in
+            image_blur_metric(_raw_rows(spark, [smooth, noisy])).collect()}
+    b, s = rows["t0"], rows["t1"]
+    assert b.blur_class == "blurry"
+    # a linear ramp has EXACTLY zero Laplacian response in the interior
+    assert b.sum_lap == 0 and b.ssq_lap == 0
+    assert s.blur_class == "sharp"
+    luma = (299 * noisy[..., 0] + 587 * noisy[..., 1] + 114 * noisy[..., 2]) // 1000
+    c = luma[1:-1, 1:-1]
+    r = 4 * c - luma[:-2, 1:-1] - luma[2:, 1:-1] - luma[1:-1, :-2] - luma[1:-1, 2:]
+    assert (s.sum_lap, s.ssq_lap) == (int(r.sum()), int((r * r).sum()))

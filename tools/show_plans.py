@@ -63,6 +63,17 @@ HEADLINE = [
     "dedup_lcs_pairs",
     "soundex_name_pairs",
     "boundary_image_luma",
+    # session-15 family heads
+    "road_link_prediction",
+    "cell_msf_z5",
+    "covisit_ktruss_4",
+    "image_brief_match",
+    "terrain_d8_flow_z10_7",
+    "local_moran_z8",
+    "geofence_dwell",
+    "tile_ewma_z5",
+    "track_sinuosity",
+    "textrank_keywords",
 ]
 
 KEEP = (
