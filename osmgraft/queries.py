@@ -5863,6 +5863,121 @@ def stream_tile_counts_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "attribution_last_touch",
+    """WITH conv AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events WHERE event_type = 'purchase'),
+touch AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events WHERE event_type IN ('click', 'view')),
+ranked AS (
+  SELECT c.event_id AS conv_id, c.user_id,
+         t.event_id AS touch_id, t.event_type AS touch_type,
+         c.t - t.t AS gap_s,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY t.t DESC, t.event_id DESC) AS rn
+  FROM conv c JOIN touch t
+    ON t.user_id = c.user_id AND t.t <= c.t AND c.t - t.t <= 604800)
+SELECT conv_id, user_id, touch_id, touch_type, gap_s
+FROM ranked WHERE rn = 1""",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution — the marketing-analytics classic
+    (the simplest member of the attribution family; Shapley/Markov models
+    start from this join): each purchase attributes to the same user's
+    LATEST click/view within the 7-day lookback, ties on equal timestamps
+    pinned to the highest event id.  Exact epoch-second gaps; purchases
+    with no touch in window drop out (inner semantics, pinned).
+
+    100 TB: one equi-join on user (the inequality is a post-filter, so
+    this is a hash join, not a range scan), one max_by-shaped window per
+    conversion — per-user skew bounded by that user's event count."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"), "user_id", F.col("t").alias("ct")
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+        F.col("t").alias("tt"),
+    )
+    j = conv.join(touch, "user_id").where(
+        (F.col("tt") <= F.col("ct")) & (F.col("ct") - F.col("tt") <= 604800)
+    )
+    best = j.groupBy("conv_id", "user_id").agg(
+        F.max(
+            F.struct("tt", "touch_id", "touch_type", (F.col("ct") - F.col("tt")).alias("gap"))
+        ).alias("m")
+    )
+    return best.select(
+        "conv_id",
+        "user_id",
+        F.col("m.touch_id").alias("touch_id"),
+        F.col("m.touch_type").alias("touch_type"),
+        F.col("m.gap").cast("long").alias("gap_s"),
+    )
+
+
+@register(
+    "stream_static_enrich",
+    """SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(e.user_id % 1000) AS BIGINT) AS chk
+FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+GROUP BY 1""",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment join — the one Structured Streaming join
+    shape the suite didn't yet exercise (stream-stream interval,
+    watermarked dedup, stateful sessionize and windowed aggs are all
+    gated): the event stream (file source, availableNow drain) joins a
+    broadcast static dimension (nation) on a derived key and aggregates
+    per dimension value in complete mode; must hash-match the plain
+    batch SQL join — the enrich-against-reference-data pattern every
+    streaming pipeline runs, gated for stream/batch parity.
+
+    100 TB: the static side broadcasts (never shuffles the stream);
+    the aggregation state is dimension-bounded."""
+    import tempfile
+
+    from osmgraft.streaming import read_stream
+
+    src = tempfile.mkdtemp(prefix="og_sse_src_")
+    ckpt = tempfile.mkdtemp(prefix="og_sse_ck_")
+    spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    ).write.mode("overwrite").parquet(src)
+    stream = read_stream(spark, src, "event_id long, user_id long")
+    dim = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("nk"), "n_name"
+    )
+    joined = stream.join(
+        F.broadcast(dim), (F.col("user_id") % 25) == F.col("nk")
+    )
+    agg = joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col("user_id") % 1000).cast("long").alias("chk"),
+    )
+    name = "og_sse_q"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 # --- S1-S5: real .osm.pbf scan (osmio stringpbf/mod.rs flagship path) -----------
 @register(
     "pbf_roundtrip_nodes",
