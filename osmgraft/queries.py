@@ -5864,6 +5864,62 @@ def stream_tile_counts_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "basket_lift_pairs",
+    """WITH bk AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+bn AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM bk),
+bi AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM bk GROUP BY 1),
+bp AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS cab
+  FROM bk a JOIN bk b ON b.o = a.o AND b.p > a.p
+  GROUP BY 1, 2 HAVING count(*) >= 3)
+SELECT bp.pa, bp.pb, bp.cab, ia.c AS ca, ib.c AS cb, bn.n AS n_orders,
+       CASE WHEN bp.cab * bn.n > ia.c * ib.c THEN 'positive'
+            WHEN bp.cab * bn.n < ia.c * ib.c THEN 'negative'
+            ELSE 'independent' END AS lift_class
+FROM bp JOIN bi ia ON ia.p = bp.pa JOIN bi ib ON ib.p = bp.pb
+CROSS JOIN bn""",
+)
+def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association pairs (Agrawal, Imieliński & Swami
+    SIGMOD 1993 — the Apriori paper's level-2 core): parts co-ordered in
+    ≥ 3 orders, with support counts and the LIFT direction decided by
+    the exact cross-multiplied inequality cab·N vs ca·cb (lift > 1 ⟺
+    positively associated) — confidence/lift stay exact rationals the
+    consumer can form, no division in the gate.
+
+    100 TB: distinct-pair explode per order (bounded by basket size²),
+    map-side-combinable counts, two broadcast-able item-count joins."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bk = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = bk.select("o").distinct().count()
+    bi = bk.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = bk.select("o", F.col("p").alias("pa"))
+    b = bk.select("o", F.col("p").alias("pb"))
+    bp = (
+        a.join(b, "o")
+        .where(F.col("pb") > F.col("pa"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("cab"))
+        .where(F.col("cab") >= 3)
+    )
+    out = (
+        bp.join(bi.select(F.col("p").alias("pa"), F.col("c").alias("ca")), "pa")
+        .join(bi.select(F.col("p").alias("pb"), F.col("c").alias("cb")), "pb")
+        .withColumn("n_orders", F.lit(n).cast("long"))
+    )
+    cls = (
+        F.when(F.col("cab") * F.col("n_orders") > F.col("ca") * F.col("cb"), "positive")
+        .when(F.col("cab") * F.col("n_orders") < F.col("ca") * F.col("cb"), "negative")
+        .otherwise("independent")
+    )
+    return out.select(
+        "pa", "pb", "cab", "ca", "cb", "n_orders", cls.alias("lift_class")
+    )
+
+
+@register(
     "attribution_last_touch",
     """WITH conv AS (
   SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
