@@ -1017,3 +1017,139 @@ SELECT {parent_z} AS z, ptx AS tx, pty AS ty, CAST(dir AS INTEGER) AS dir,
        CAST(count(*) AS BIGINT) AS n_cells,
        CAST(sum(y * 131 + x * 137 + 1) AS BIGINT) AS chk
 FROM d8_all GROUP BY 1, 2, 3, 4"""
+
+
+def terrain_watershed(tiles_df: DataFrame) -> DataFrame:
+    """Watershed (drainage-basin) delineation over Terrain-RGB DEM tiles
+    — the D8 composition (O'Callaghan & Mark 1984 → basin labeling):
+    each cell follows its D8 pointer chain to the sink it drains into;
+    the pointer graph is FUNCTIONAL (out-degree exactly 1, sinks
+    self-looped), so pointer DOUBLING reaches every root in
+    ⌈log₂(cells)⌉ = 6 steps on an 8×8 tile — the same contraction
+    discipline as boruvka_msf/cc_star, here fully vectorized inside a
+    map-only kernel because tiles are bounded.  Emits per (tile, sink)
+    the basin size and the positional checksum of its member cells —
+    the exact partition of the tile into drainage basins.
+
+    The DuckDB twin rebuilds flow directions relationally and runs the
+    IDENTICAL 6 doubling rounds as chained MATERIALIZED CTEs."""
+    import numpy as np
+    import pandas as pd
+
+    from osmgraft.functions.codec import png_decode
+
+    def kernel(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            rows = []
+            for z, tx, ty, b in zip(pdf["z"], pdf["tx"], pdf["ty"], pdf["png"]):
+                px = png_decode(bytes(b)).astype(np.int64)
+                v = (px[..., 0] << 16) | (px[..., 1] << 8) | px[..., 2]
+                elev = v // 10 - 10_000
+                h, w = elev.shape
+                best_key = np.zeros((h, w), np.int64)
+                best_dir = np.full((h, w), -1, np.int64)
+                for d, (dy, dx, dist2) in enumerate(_D8_DIRS):
+                    nbr = np.full((h, w), np.iinfo(np.int64).max, np.int64)
+                    ys0, ys1 = max(dy, 0), h + min(dy, 0)
+                    xs0, xs1 = max(dx, 0), w + min(dx, 0)
+                    nbr[ys0 - dy : ys1 - dy, xs0 - dx : xs1 - dx] = elev[
+                        ys0:ys1, xs0:xs1
+                    ]
+                    valid = nbr != np.iinfo(np.int64).max
+                    drop = np.where(valid, elev - nbr, 0)
+                    key = np.where(drop > 0, drop * drop * (3 - dist2), 0)
+                    better = key > best_key
+                    best_key = np.where(better, key, best_key)
+                    best_dir = np.where(better, d, best_dir)
+                yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                ptr = (yy * w + xx).reshape(-1)
+                for d, (dy, dx, _d2) in enumerate(_D8_DIRS):
+                    m = (best_dir == d).reshape(-1)
+                    ptr[m] = ((yy + dy) * w + (xx + dx)).reshape(-1)[m]
+                for _ in range(6):  # 2^6 = 64 >= longest path in a 64-cell tile
+                    ptr = ptr[ptr]
+                wgt = (yy * 131 + xx * 137 + 1).reshape(-1)
+                sizes = np.bincount(ptr, minlength=h * w)
+                chks = np.bincount(ptr, weights=wgt, minlength=h * w).astype(
+                    np.int64
+                )
+                for root in np.nonzero(sizes)[0]:
+                    rows.append(
+                        (
+                            int(z), int(tx), int(ty),
+                            int(root // w), int(root % w),
+                            int(sizes[root]), int(chks[root]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["z", "tx", "ty", "sink_y", "sink_x", "basin_size", "chk"],
+            )
+
+    return tiles_df.mapInPandas(
+        kernel,
+        schema="z long, tx long, ty long, sink_y long, sink_x long,"
+        " basin_size long, chk long",
+    )
+
+
+def sql_terrain_watershed(cells_cte: str, z: int, parent_z: int) -> str:
+    """DuckDB twin of :func:`terrain_watershed`: the D8 core rebuilt
+    relationally, then 6 pointer-doubling rounds as MATERIALIZED chained
+    CTEs (plain CTEs would re-inline 2^rounds times)."""
+    shift = z - parent_z
+    grid = 1 << shift
+    dirs = ", ".join(
+        f"({d}, {dy}, {dx}, {dist2})"
+        for d, (dy, dx, dist2) in enumerate(_D8_DIRS)
+    )
+    doubling = ",\n".join(
+        f"""ws_p{k + 1} AS MATERIALIZED (
+  SELECT a.ptx, a.pty, a.y, a.x, b.py, b.px
+  FROM ws_p{k} a JOIN ws_p{k} b
+    ON b.ptx = a.ptx AND b.pty = a.pty AND b.y = a.py AND b.x = a.px)"""
+        for k in range(6)
+    )
+    return f"""WITH ws_cells AS ({cells_cte}),
+ws_obs AS (
+  SELECT cx >> {shift} AS ptx, cy >> {shift} AS pty,
+         cx - ((cx >> {shift}) << {shift}) AS sx,
+         cy - ((cy >> {shift}) << {shift}) AS sy,
+         cnt AS elev
+  FROM ws_cells),
+ws_tiles AS (SELECT DISTINCT ptx, pty FROM ws_obs),
+ws_grid AS MATERIALIZED (
+  SELECT t.ptx, t.pty, gy.y, gx.x, COALESCE(o.elev, 0) AS elev
+  FROM ws_tiles t
+  CROSS JOIN range(0, {grid}) gy(y) CROSS JOIN range(0, {grid}) gx(x)
+  LEFT JOIN ws_obs o
+    ON o.ptx = t.ptx AND o.pty = t.pty AND o.sy = gy.y AND o.sx = gx.x),
+ws_dirs(d, dy, dx, dist2) AS (VALUES {dirs}),
+ws_cand AS (
+  SELECT g.ptx, g.pty, g.y, g.x, dd.d, dd.dy, dd.dx,
+         (g.elev - n.elev) * (g.elev - n.elev) * (3 - dd.dist2) AS skey
+  FROM ws_grid g
+  JOIN ws_dirs dd ON true
+  JOIN ws_grid n ON n.ptx = g.ptx AND n.pty = g.pty
+                AND n.y = g.y + dd.dy AND n.x = g.x + dd.dx
+  WHERE g.elev > n.elev),
+ws_best AS (
+  SELECT ptx, pty, y, x, dy, dx
+  FROM (SELECT ptx, pty, y, x, dy, dx,
+               row_number() OVER (PARTITION BY ptx, pty, y, x
+                                  ORDER BY skey DESC, d) AS rn
+        FROM ws_cand)
+  WHERE rn = 1),
+ws_p0 AS MATERIALIZED (
+  SELECT g.ptx, g.pty, g.y, g.x,
+         g.y + COALESCE(b.dy, 0) AS py, g.x + COALESCE(b.dx, 0) AS px
+  FROM ws_grid g LEFT JOIN ws_best b
+    ON b.ptx = g.ptx AND b.pty = g.pty AND b.y = g.y AND b.x = g.x),
+{doubling}
+SELECT {parent_z} AS z, ptx AS tx, pty AS ty,
+       CAST(py AS BIGINT) AS sink_y, CAST(px AS BIGINT) AS sink_x,
+       CAST(count(*) AS BIGINT) AS basin_size,
+       CAST(sum(y * 131 + x * 137 + 1) AS BIGINT) AS chk
+FROM ws_p6 GROUP BY 1, 2, 3, 4, 5"""

@@ -10005,6 +10005,40 @@ def terrain_d8_flow_z10_7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terrain_d8_flow(terrain_rgb_tiles(cells, z=10, parent_z=7))
 
 
+def _watershed_oracle() -> str:
+    from osmgraft.operators.raster import sql_terrain_watershed
+
+    return (
+        f"WITH pts AS ({_PTS}), ws_in AS ({_sql_cells(10)})\n"
+        + sql_terrain_watershed("SELECT * FROM ws_in", z=10, parent_z=7).replace(
+            "WITH ws_cells", ", ws_cells", 1
+        )
+    )
+
+
+@register("terrain_watershed_z10_7", _watershed_oracle())
+def terrain_watershed_z10_7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watershed delineation over Terrain-RGB DEM tiles (operators/
+    raster.terrain_watershed): every cell chases its D8 pointer chain to
+    its sink via 6 pointer-DOUBLING rounds (the functional graph's
+    out-degree is exactly 1, so doubling reaches all roots in log₂ 64
+    steps — the cc_star/boruvka contraction discipline, vectorized
+    in-kernel because tiles are bounded); per (tile, sink) the basin
+    size and exact member checksum.  The DuckDB twin runs the identical
+    6 doubling rounds as MATERIALIZED chained CTEs — flow directions,
+    the pointer algebra and the basin partition all on one hash.
+
+    100 TB: one bounded-group shuffle to form tiles + a map-only
+    kernel; basins never cross tiles by construction (documented
+    tile-local semantics, as for D8)."""
+    from osmgraft.operators.raster import terrain_rgb_tiles, terrain_watershed
+
+    cells = _cells_df(spark, sf_dir, 10).select(
+        F.col("cx").alias("tx"), F.col("cy").alias("ty"), "cnt"
+    )
+    return terrain_watershed(terrain_rgb_tiles(cells, z=10, parent_z=7))
+
+
 def _sql_boundary_luma() -> str:
     from osmgraft.synth import sql_latlon_of_key
 

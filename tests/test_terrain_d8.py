@@ -73,3 +73,47 @@ def test_d8_tilted_plane_flows_east_flat_is_sink(spark):
         by_tile.setdefault(r.tx, {})[r.dir] = r.n_cells
     assert by_tile[1] == {-1: 64}  # flat: every cell a sink
     assert by_tile[0] == {0: 56, -1: 8}  # east edge column has no in-tile drop
+
+
+def _ref_watershed(elev):
+    from osmgraft.operators.raster import _D8_DIRS
+
+    h, w = elev.shape
+    d8 = _ref_d8(elev)
+    out = {}
+    for y in range(h):
+        for x in range(w):
+            cy, cx = y, x
+            for _ in range(h * w):
+                d = d8[(cy, cx)]
+                if d == -1:
+                    break
+                dy, dx, _d2 = _D8_DIRS[d]
+                cy, cx = cy + dy, cx + dx
+            out.setdefault((cy, cx), []).append((y, x))
+    return out
+
+
+def test_watershed_matches_reference_and_tilt_law(spark):
+    from osmgraft.operators.raster import terrain_watershed
+
+    rng = np.random.default_rng(81)
+    tilt = np.zeros((8, 8), np.int64)
+    for x in range(8):
+        tilt[:, x] = 2 * (7 - x)
+    grids = [tilt, rng.integers(0, 500, (8, 8)), rng.integers(0, 60, (8, 8))]
+    rows = terrain_watershed(_tiles_df(spark, grids)).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.tx, {})[(r.sink_y, r.sink_x)] = (r.basin_size, r.chk)
+    for i, g in enumerate(grids):
+        ref = _ref_watershed(g.astype(np.int64))
+        exp = {
+            s: (len(m), sum(y * 131 + x * 137 + 1 for y, x in m))
+            for s, m in ref.items()
+        }
+        assert got[i] == exp, i
+    # tilt law: exactly 8 basins, one per row, rooted at the east edge
+    assert got[0] == {
+        (y, 7): (8, sum(y * 131 + x * 137 + 1 for x in range(8))) for y in range(8)
+    }
