@@ -1153,3 +1153,155 @@ SELECT {parent_z} AS z, ptx AS tx, pty AS ty,
        CAST(count(*) AS BIGINT) AS basin_size,
        CAST(sum(y * 131 + x * 137 + 1) AS BIGINT) AS chk
 FROM ws_p6 GROUP BY 1, 2, 3, 4, 5"""
+
+
+def terrain_flow_accumulation(tiles_df: DataFrame) -> DataFrame:
+    """D8 flow accumulation over Terrain-RGB DEM tiles — the third member
+    of the hydrology trio (direction → watershed → ACCUMULATION; the
+    layer stream networks are thresholded from): acc(c) = 1 + Σ acc(u)
+    over cells u draining directly into c, i.e. the number of upstream
+    cells (itself included).  Computed by 63 exact relaxation rounds of
+    the scatter-add recurrence (≥ the longest possible path in a
+    64-cell tile, so the fixed point is reached; integer, associative).
+    Emits ONE row per tile: the outlet (max accumulation, ties to the
+    smallest (y, x)), its accumulation, the total Σacc (= Σ path
+    lengths + n, a strong invariant) and the checksum Σ acc·(y·131 +
+    x·137 + 1) pinning the entire accumulation surface.
+
+    The DuckDB twin builds the transitive closure of the pointer graph
+    with ONE recursive CTE (functional graph ⇒ closure size = Σ path
+    lengths, linear-ish) and counts ancestors per cell — two genuinely
+    different algorithms, one hash."""
+    import numpy as np
+    import pandas as pd
+
+    from osmgraft.functions.codec import png_decode
+
+    def kernel(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            rows = []
+            for z, tx, ty, b in zip(pdf["z"], pdf["tx"], pdf["ty"], pdf["png"]):
+                px = png_decode(bytes(b)).astype(np.int64)
+                v = (px[..., 0] << 16) | (px[..., 1] << 8) | px[..., 2]
+                elev = v // 10 - 10_000
+                h, w = elev.shape
+                best_key = np.zeros((h, w), np.int64)
+                best_dir = np.full((h, w), -1, np.int64)
+                for d, (dy, dx, dist2) in enumerate(_D8_DIRS):
+                    nbr = np.full((h, w), np.iinfo(np.int64).max, np.int64)
+                    ys0, ys1 = max(dy, 0), h + min(dy, 0)
+                    xs0, xs1 = max(dx, 0), w + min(dx, 0)
+                    nbr[ys0 - dy : ys1 - dy, xs0 - dx : xs1 - dx] = elev[
+                        ys0:ys1, xs0:xs1
+                    ]
+                    valid = nbr != np.iinfo(np.int64).max
+                    drop = np.where(valid, elev - nbr, 0)
+                    key = np.where(drop > 0, drop * drop * (3 - dist2), 0)
+                    better = key > best_key
+                    best_key = np.where(better, key, best_key)
+                    best_dir = np.where(better, d, best_dir)
+                yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                flat = (yy * w + xx).reshape(-1)
+                tgt = flat.copy()
+                for d, (dy, dx, _d2) in enumerate(_D8_DIRS):
+                    m = (best_dir == d).reshape(-1)
+                    tgt[m] = ((yy + dy) * w + (xx + dx)).reshape(-1)[m]
+                flows = tgt != flat  # non-sink cells contribute downstream
+                acc = np.ones(h * w, np.int64)
+                for _ in range(h * w - 1):
+                    nxt = np.ones(h * w, np.int64)
+                    np.add.at(nxt, tgt[flows], acc[flows])
+                    if np.array_equal(nxt, acc):
+                        break
+                    acc = nxt
+                wgt = (yy * 131 + xx * 137 + 1).reshape(-1)
+                best = np.lexsort((flat, -acc))[0]
+                rows.append(
+                    (
+                        int(z), int(tx), int(ty),
+                        int(best // w), int(best % w), int(acc[best]),
+                        int(acc.sum()), int((acc * wgt).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "z", "tx", "ty", "out_y", "out_x", "max_acc",
+                    "sum_acc", "chk",
+                ],
+            )
+
+    return tiles_df.mapInPandas(
+        kernel,
+        schema="z long, tx long, ty long, out_y long, out_x long,"
+        " max_acc long, sum_acc long, chk long",
+    )
+
+
+def sql_terrain_flow_accumulation(cells_cte: str, z: int, parent_z: int) -> str:
+    """DuckDB twin of :func:`terrain_flow_accumulation`: pointer graph →
+    transitive closure by ONE recursive CTE → ancestor counts."""
+    shift = z - parent_z
+    grid = 1 << shift
+    dirs = ", ".join(
+        f"({d}, {dy}, {dx}, {dist2})"
+        for d, (dy, dx, dist2) in enumerate(_D8_DIRS)
+    )
+    return f"""WITH RECURSIVE fa_cells AS ({cells_cte}),
+fa_obs AS (
+  SELECT cx >> {shift} AS ptx, cy >> {shift} AS pty,
+         cx - ((cx >> {shift}) << {shift}) AS sx,
+         cy - ((cy >> {shift}) << {shift}) AS sy,
+         cnt AS elev
+  FROM fa_cells),
+fa_tiles AS (SELECT DISTINCT ptx, pty FROM fa_obs),
+fa_grid AS MATERIALIZED (
+  SELECT t.ptx, t.pty, gy.y, gx.x, COALESCE(o.elev, 0) AS elev
+  FROM fa_tiles t
+  CROSS JOIN range(0, {grid}) gy(y) CROSS JOIN range(0, {grid}) gx(x)
+  LEFT JOIN fa_obs o
+    ON o.ptx = t.ptx AND o.pty = t.pty AND o.sy = gy.y AND o.sx = gx.x),
+fa_dirs(d, dy, dx, dist2) AS (VALUES {dirs}),
+fa_cand AS (
+  SELECT g.ptx, g.pty, g.y, g.x, dd.d, dd.dy, dd.dx,
+         (g.elev - n.elev) * (g.elev - n.elev) * (3 - dd.dist2) AS skey
+  FROM fa_grid g
+  JOIN fa_dirs dd ON true
+  JOIN fa_grid n ON n.ptx = g.ptx AND n.pty = g.pty
+                AND n.y = g.y + dd.dy AND n.x = g.x + dd.dx
+  WHERE g.elev > n.elev),
+fa_edges AS MATERIALIZED (
+  SELECT ptx, pty, y AS uy, x AS ux, y + dy AS vy, x + dx AS vx
+  FROM (SELECT ptx, pty, y, x, dy, dx,
+               row_number() OVER (PARTITION BY ptx, pty, y, x
+                                  ORDER BY skey DESC, d) AS rn
+        FROM fa_cand)
+  WHERE rn = 1),
+fa_reach(ptx, pty, uy, ux, vy, vx) AS (
+  SELECT ptx, pty, uy, ux, vy, vx FROM fa_edges
+  UNION
+  SELECT r.ptx, r.pty, r.uy, r.ux, e.vy, e.vx
+  FROM fa_reach r JOIN fa_edges e
+    ON e.ptx = r.ptx AND e.pty = r.pty AND e.uy = r.vy AND e.ux = r.vx),
+fa_acc AS (
+  SELECT g.ptx, g.pty, g.y, g.x,
+         1 + COALESCE(a.n, 0) AS acc
+  FROM fa_grid g LEFT JOIN (
+    SELECT ptx, pty, vy, vx, CAST(count(*) AS BIGINT) AS n
+    FROM fa_reach GROUP BY 1, 2, 3, 4) a
+    ON a.ptx = g.ptx AND a.pty = g.pty AND a.vy = g.y AND a.vx = g.x),
+fa_out AS (
+  SELECT ptx, pty, y, x, acc,
+         row_number() OVER (PARTITION BY ptx, pty
+                            ORDER BY acc DESC, y * {grid} + x) AS rn
+  FROM fa_acc)
+SELECT {parent_z} AS z, a.ptx AS tx, a.pty AS ty,
+       CAST(o.y AS BIGINT) AS out_y, CAST(o.x AS BIGINT) AS out_x,
+       CAST(o.acc AS BIGINT) AS max_acc,
+       CAST(sum(a.acc) AS BIGINT) AS sum_acc,
+       CAST(sum(a.acc * (a.y * 131 + a.x * 137 + 1)) AS BIGINT) AS chk
+FROM fa_acc a JOIN fa_out o
+  ON o.ptx = a.ptx AND o.pty = a.pty AND o.rn = 1
+GROUP BY 1, 2, 3, 4, 5, 6"""

@@ -10039,6 +10039,41 @@ def terrain_watershed_z10_7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terrain_watershed(terrain_rgb_tiles(cells, z=10, parent_z=7))
 
 
+def _flowacc_oracle() -> str:
+    from osmgraft.operators.raster import sql_terrain_flow_accumulation
+
+    composed = (
+        f"WITH pts AS ({_PTS}), fa_in AS ({_sql_cells(10)})\n"
+        + sql_terrain_flow_accumulation(
+            "SELECT * FROM fa_in", z=10, parent_z=7
+        ).replace("WITH RECURSIVE fa_cells", ", fa_cells", 1)
+    )
+    return composed.replace("WITH pts", "WITH RECURSIVE pts", 1)
+
+
+@register("terrain_flow_accumulation_z10_7", _flowacc_oracle())
+def terrain_flow_accumulation_z10_7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow accumulation per DEM tile (operators/raster.
+    terrain_flow_accumulation) — the hydrology trio's third member
+    (direction → watershed → accumulation): upstream-cell counts by
+    exact integer relaxation in the kernel, gated against a DuckDB twin
+    that instead builds the pointer graph's transitive closure with ONE
+    recursive CTE and counts ancestors — two genuinely different
+    algorithms, one hash; per tile the outlet cell (pinned tie), its
+    accumulation, Σacc and the full-surface checksum.
+
+    100 TB: one bounded-group shuffle + a map-only kernel."""
+    from osmgraft.operators.raster import (
+        terrain_flow_accumulation,
+        terrain_rgb_tiles,
+    )
+
+    cells = _cells_df(spark, sf_dir, 10).select(
+        F.col("cx").alias("tx"), F.col("cy").alias("ty"), "cnt"
+    )
+    return terrain_flow_accumulation(terrain_rgb_tiles(cells, z=10, parent_z=7))
+
+
 def _sql_boundary_luma() -> str:
     from osmgraft.synth import sql_latlon_of_key
 
