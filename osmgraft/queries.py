@@ -5864,6 +5864,117 @@ def stream_tile_counts_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kanonymity_groups",
+    """WITH qi AS (
+  SELECT lang, source, n_chars // 100 AS len_bucket,
+         CAST(count(*) AS BIGINT) AS group_size
+  FROM documents GROUP BY 1, 2, 3)
+SELECT lang, source, len_bucket, group_size,
+       CASE WHEN group_size < 5 THEN 'unsafe' ELSE 'safe' END AS k_class,
+       CAST(CASE WHEN group_size < 5 THEN group_size ELSE 0 END AS BIGINT)
+         AS n_suppress
+FROM qi""",
+)
+def kanonymity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002 — the privacy-compliance check a
+    release pipeline runs before publishing): quasi-identifier groups
+    (lang, source, length bucket) with their sizes, the k = 5 safety
+    class, and the suppression count a k-anonymizer would redact — all
+    exact integers, one hash agg.
+
+    100 TB: one map-side-combinable groupBy; the QI cardinality (not
+    the corpus) bounds the output."""
+    docs = _docs(spark, sf_dir)
+    qi = docs.groupBy(
+        "lang", "source", F.expr("n_chars div 100").alias("len_bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+    return qi.select(
+        "lang",
+        "source",
+        "len_bucket",
+        "group_size",
+        F.when(F.col("group_size") < 5, "unsafe").otherwise("safe").alias("k_class"),
+        F.when(F.col("group_size") < 5, F.col("group_size"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_suppress"),
+    )
+
+
+@register(
+    "linkage_patterns",
+    """WITH lk AS (
+  SELECT c_custkey AS id, c_nationkey AS blk, c_mktsegment AS seg,
+         CAST(floor(c_acctbal) AS BIGINT) // 1000 AS bal_b,
+         c_custkey % 97 AS name_k
+  FROM customer),
+lp AS (
+  SELECT CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS seg_eq,
+         CASE WHEN a.bal_b = b.bal_b THEN 1 ELSE 0 END AS bal_eq,
+         CASE WHEN a.name_k = b.name_k THEN 1 ELSE 0 END AS name_eq
+  FROM lk a JOIN lk b ON b.blk = a.blk AND b.id > a.id),
+sc AS (
+  SELECT seg_eq, bal_eq, name_eq,
+         CAST(seg_eq*4 + (1-seg_eq)*(-2) + bal_eq*3 + (1-bal_eq)*(-1)
+              + name_eq*5 + (1-name_eq)*(-3) AS BIGINT) AS weight,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM lp GROUP BY 1, 2, 3)
+SELECT seg_eq, bal_eq, name_eq, weight, n_pairs,
+       CASE WHEN weight >= 8 THEN 'match'
+            WHEN weight >= 3 THEN 'possible'
+            ELSE 'nonmatch' END AS link_class
+FROM sc""",
+)
+def linkage_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage agreement patterns (Fellegi & Sunter JASA 1969 —
+    the probabilistic-linkage framework's decision table): candidate
+    pairs blocked on nation, the (segment, balance-bucket, name-key)
+    agreement vector, pinned INTEGER log-odds weights (4/−2, 3/−1,
+    5/−3) and the match/possible/nonmatch decision at the pinned 8/3
+    cuts — the whole m/u-probability machinery carried as exact
+    integers, aggregated per pattern so the output is the decision
+    table itself.
+
+    100 TB: blocked self-join (never cross-block), map-side pattern
+    counts — the soundex_name_pairs discipline with scoring on top."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr("CAST(floor(c_acctbal) AS BIGINT) div 1000").alias("bal_b"),
+        (F.col("c_custkey") % 97).alias("name_k"),
+    )
+    a = c.select(*[F.col(x).alias(f"a_{x}") for x in c.columns])
+    b = c.select(*[F.col(x).alias(f"b_{x}") for x in c.columns])
+    pairs = a.join(b, (F.col("b_blk") == F.col("a_blk")) & (F.col("b_id") > F.col("a_id")))
+    pat = pairs.select(
+        (F.col("a_seg") == F.col("b_seg")).cast("int").alias("seg_eq"),
+        (F.col("a_bal_b") == F.col("b_bal_b")).cast("int").alias("bal_eq"),
+        (F.col("a_name_k") == F.col("b_name_k")).cast("int").alias("name_eq"),
+    )
+    sc = pat.groupBy("seg_eq", "bal_eq", "name_eq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    weight = (
+        F.col("seg_eq") * 4
+        + (1 - F.col("seg_eq")) * (-2)
+        + F.col("bal_eq") * 3
+        + (1 - F.col("bal_eq")) * (-1)
+        + F.col("name_eq") * 5
+        + (1 - F.col("name_eq")) * (-3)
+    ).cast("long")
+    out = sc.withColumn("weight", weight)
+    cls = (
+        F.when(F.col("weight") >= 8, "match")
+        .when(F.col("weight") >= 3, "possible")
+        .otherwise("nonmatch")
+    )
+    return out.select(
+        "seg_eq", "bal_eq", "name_eq", "weight", "n_pairs", cls.alias("link_class")
+    )
+
+
+@register(
     "basket_lift_pairs",
     """WITH bk AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 bn AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM bk),
