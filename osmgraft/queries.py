@@ -10116,6 +10116,101 @@ def terrain_d8_flow_z10_7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terrain_d8_flow(terrain_rgb_tiles(cells, z=10, parent_z=7))
 
 
+def _hypsometry_oracle() -> str:
+    return f"""WITH pts AS ({_PTS}),
+hy_c AS ({_sql_cells(10)}),
+hy_obs AS (
+  SELECT cx >> 3 AS ptx, cy >> 3 AS pty,
+         cx - ((cx >> 3) << 3) AS sx, cy - ((cy >> 3) << 3) AS sy,
+         cnt AS elev
+  FROM hy_c),
+hy_tiles AS (SELECT DISTINCT ptx, pty FROM hy_obs),
+hy_grid AS (
+  SELECT t.ptx, t.pty, COALESCE(o.elev, 0) AS elev
+  FROM hy_tiles t
+  CROSS JOIN range(0, 8) gy(y) CROSS JOIN range(0, 8) gx(x)
+  LEFT JOIN hy_obs o
+    ON o.ptx = t.ptx AND o.pty = t.pty AND o.sy = gy.y AND o.sx = gx.x),
+hy_m AS (
+  SELECT ptx, pty, CAST(count(*) AS BIGINT) AS n,
+         CAST(min(elev) AS BIGINT) AS emin,
+         CAST(max(elev) AS BIGINT) AS emax,
+         CAST(sum(elev) AS BIGINT) AS esum
+  FROM hy_grid GROUP BY 1, 2)
+SELECT 7 AS z, ptx AS tx, pty AS ty, n, emin, emax, esum,
+       CAST(esum - n * emin AS BIGINT) AS hi_num,
+       CAST(n * (emax - emin) AS BIGINT) AS hi_den,
+       CASE WHEN emax = emin THEN 'flat'
+            WHEN 2 * (esum - n * emin) > n * (emax - emin) THEN 'young'
+            ELSE 'mature' END AS hypso_class
+FROM hy_m"""
+
+
+@register("terrain_hypsometry_z10_7", _hypsometry_oracle())
+def terrain_hypsometry_z10_7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypsometric integral per DEM tile (Strahler 1952 — the
+    geomorphology maturity index): HI = (mean − min)/(max − min)
+    carried as the exact rational hi_num/hi_den = (Σe − n·min)/
+    (n·(max−min)) with the young (HI > ½, convex/uneroded) vs mature
+    (concave/eroded) class cross-multiplied and flat tiles called out —
+    the landscape-evolution summary read directly off the Terrain-RGB
+    layer.  The fourth hydrology/terrain member (D8 ⋄ watershed ⋄
+    accumulation ⋄ hypsometry), and the cheapest: pure aggregates over
+    the REAL png decode path (the engine side decodes; the twin
+    rebuilds the sea-level-filled grid relationally).
+
+    100 TB: one bounded-group shuffle + map-only decode + one agg."""
+    from osmgraft.operators.raster import terrain_rgb_tiles
+
+    import pandas as pd  # noqa: F401
+
+    from osmgraft.functions.codec import png_decode  # noqa: F401
+
+    cells = _cells_df(spark, sf_dir, 10).select(
+        F.col("cx").alias("tx"), F.col("cy").alias("ty"), "cnt"
+    )
+    tiles_df = terrain_rgb_tiles(cells, z=10, parent_z=7)
+
+    def kernel(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        from osmgraft.functions.codec import png_decode as _dec
+
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            rows = []
+            for z, tx, ty, b in zip(pdf["z"], pdf["tx"], pdf["ty"], pdf["png"]):
+                px = _dec(bytes(b)).astype(np.int64)
+                v = (px[..., 0] << 16) | (px[..., 1] << 8) | px[..., 2]
+                elev = v // 10 - 10_000
+                n = elev.size
+                emin, emax, esum = int(elev.min()), int(elev.max()), int(elev.sum())
+                hi_num, hi_den = esum - n * emin, n * (emax - emin)
+                cls = (
+                    "flat"
+                    if emax == emin
+                    else ("young" if 2 * hi_num > hi_den else "mature")
+                )
+                rows.append(
+                    (int(z), int(tx), int(ty), n, emin, emax, esum, hi_num, hi_den, cls)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "z", "tx", "ty", "n", "emin", "emax", "esum",
+                    "hi_num", "hi_den", "hypso_class",
+                ],
+            )
+
+    return tiles_df.mapInPandas(
+        kernel,
+        schema="z long, tx long, ty long, n long, emin long, emax long,"
+        " esum long, hi_num long, hi_den long, hypso_class string",
+    )
+
+
 def _watershed_oracle() -> str:
     from osmgraft.operators.raster import sql_terrain_watershed
 
