@@ -1037,3 +1037,87 @@ kt_e{r + 1} AS MATERIALIZED (
         + ",\n".join(parts)
         + f"\nSELECT a, b, support FROM kt_e{rounds}"
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame, seeds: list[int], iters: int = 4, checkpoint_every: int = 4
+) -> DataFrame:
+    """Personalized PageRank / random walk with restart (Haveliwala WWW
+    2002 — the candidate-generation staple of modern recommenders):
+    identical integer fixed-point recurrence to :func:`pagerank` except
+    the teleport mass lands ONLY on the seed set:
+
+        r_0(v)     = SCALE·[v ∈ S]
+        r_{t+1}(v) = [v ∈ S]·(15·SCALE div 100)
+                     + (85 · Σ_{u→v} (r_t(u) div outdeg(u))) div 100
+
+    so scores measure proximity to the seeds, not global centrality.
+    Same Pregel shape, same float-free gate discipline (the twin
+    unrolls the recurrence as chained CTEs with the same seed
+    predicate).  Returns (node_id, rank_fx)."""
+    seed_set = sorted(set(int(s) for s in seeds))
+    nodes = (
+        edges.select(F.col("src").alias("node_id"))
+        .unionByName(edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    is_seed = F.col("node_id").isin(seed_set)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn(
+        "rank_fx", F.when(is_seed, F.lit(SCALE)).otherwise(F.lit(0)).cast("long")
+    )
+    for t in range(iters):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node_id)
+            .join(deg, "src")
+            .select("dst", F.expr("rank_fx div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = nodes.join(
+            contrib, nodes.node_id == contrib.dst, "left"
+        ).select(
+            "node_id",
+            (
+                F.when(is_seed, F.lit(_BASE)).otherwise(F.lit(0))
+                + F.expr("(85 * coalesce(in_sum, 0)) div 100")
+            )
+            .cast("long")
+            .alias("rank_fx"),
+        )
+        if (t + 1) % checkpoint_every == 0 and t + 1 < iters:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def sql_personalized_pagerank(
+    edges_sql: str, seeds: list[int], iters: int = 4
+) -> str:
+    """DuckDB twin: the seeded recurrence unrolled into chained CTEs."""
+    seed_list = ", ".join(str(int(s)) for s in sorted(set(seeds)))
+    parts = [
+        f"edges AS ({edges_sql})",
+        "nodes AS (SELECT DISTINCT src AS node_id FROM edges"
+        " UNION SELECT DISTINCT dst FROM edges)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        f"""p0 AS (SELECT node_id,
+  CAST(CASE WHEN node_id IN ({seed_list}) THEN {SCALE} ELSE 0 END AS BIGINT)
+    AS rank_fx FROM nodes)""",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""pc{t} AS (
+  SELECT e.dst, sum(r.rank_fx // d.outdeg) AS in_sum
+  FROM edges e JOIN p{t} r ON e.src = r.node_id JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+p{t + 1} AS (
+  SELECT n.node_id,
+         CAST(CASE WHEN n.node_id IN ({seed_list}) THEN {_BASE} ELSE 0 END
+              + (85 * coalesce(c.in_sum, 0)) // 100 AS BIGINT) AS rank_fx
+  FROM nodes n LEFT JOIN pc{t} c ON n.node_id = c.dst
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT node_id, rank_fx FROM p{iters}"
+    )

@@ -2016,6 +2016,32 @@ def pagerank_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_road_edges(spark, sf_dir), iters=4)
 
 
+_PPR_SEEDS = [1, 2, 3, 5, 8]
+
+
+def _sql_ppr_roads() -> str:
+    from osmgraft.operators.graph import sql_personalized_pagerank
+
+    return sql_personalized_pagerank(_ROAD_EDGES_SQL, _PPR_SEEDS, iters=4)
+
+
+@register("ppr_roads", _sql_ppr_roads())
+def ppr_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a pinned seed set (operators/graph.
+    personalized_pagerank, Haveliwala WWW 2002): the random-walk-with-
+    restart proximity scores recommenders generate candidates with —
+    identical integer fixed-point discipline to pagerank_roads but the
+    teleport mass lands only on the seeds, so rank_fx measures
+    closeness to them, not global centrality.  4 fixed rounds, chained-
+    CTE twin with the same seed predicate.
+
+    100 TB: Pregel shape — per round one src equi-join + one
+    map-side-combined dst agg."""
+    from osmgraft.operators.graph import personalized_pagerank
+
+    return personalized_pagerank(_road_edges(spark, sf_dir), _PPR_SEEDS, iters=4)
+
+
 def _weighted_road_edges_sql() -> str:
     from osmgraft.geom import sql_haversine_m_int
 

@@ -445,3 +445,46 @@ def test_ktruss_fixture_converges_within_pinned_rounds(spark, sf_smoke):
     r6 = {(r.a, r.b, r.support) for r in ktruss(edges, k=4, max_rounds=6).collect()}
     r8 = {(r.a, r.b, r.support) for r in ktruss(edges, k=4, max_rounds=8).collect()}
     assert r6 == r8 and len(r6) > 0
+
+
+def test_personalized_pagerank_reference_and_locality(spark):
+    import numpy as np
+
+    from osmgraft.operators.graph import SCALE, personalized_pagerank
+
+    def ref_ppr(edges, seeds, iters):
+        nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+        deg = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        base = 15 * SCALE // 100
+        r = {n: (SCALE if n in seeds else 0) for n in nodes}
+        for _ in range(iters):
+            in_sum = {n: 0 for n in nodes}
+            for s, d in edges:
+                in_sum[d] += r[s] // deg[s]
+            r = {
+                n: (base if n in seeds else 0) + (85 * in_sum[n]) // 100
+                for n in nodes
+            }
+        return r
+
+    rng = np.random.default_rng(23)
+    edges = list({(int(a), int(b)) for a, b in rng.integers(0, 40, (300, 2)) if a != b})
+    seeds = {1, 2, 3}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node_id: r.rank_fx
+        for r in personalized_pagerank(df, sorted(seeds), iters=4).collect()
+    }
+    assert got == ref_ppr(edges, seeds, 4)
+    # locality: two disjoint cliques, seeds in one — the other must score 0
+    cl1 = [(i, j) for i in range(5) for j in range(5) if i != j]
+    cl2 = [(100 + i, 100 + j) for i in range(5) for j in range(5) if i != j]
+    df2 = spark.createDataFrame(cl1 + cl2, "src long, dst long")
+    got2 = {
+        r.node_id: r.rank_fx
+        for r in personalized_pagerank(df2, [0, 1], iters=4).collect()
+    }
+    assert all(got2[100 + i] == 0 for i in range(5))
+    assert all(got2[i] > 0 for i in range(5))
