@@ -1143,3 +1143,137 @@ lm AS (
               WHEN d > 0 AND lag_sum < 0 THEN 'HL'
               ELSE 'LH' END AS quadrant
   FROM lm_j)"""
+
+
+def bivariate_moran_quadrants(
+    cells_a: DataFrame, cells_b: DataFrame
+) -> DataFrame:
+    """BIVARIATE local Moran quadrants (Anselin, Syabri & Smirnov 2002 —
+    GeoDa's bivariate LISA): does variable A at a cell co-locate with
+    variable B in its NEIGHBORHOOD?  Over the union of observed cells
+    (zero-filled), with integer deviations d^A_i = n·a_i − Σa and
+    d^B_i likewise, each cell classifies by the sign pair of
+    (d^A_i, rook-lag Σ_{j∈N(i)} d^B_j): HH/LL = positive spatial
+    cross-correlation, HL/LH = inverse, 'none' on zeros/isolates;
+    ii_num = d^A_i·lag^B_i exactly.  The two-layer composition question
+    ("are events hot where points are dense nearby") the univariate
+    LISA can't answer.  Emits (cx, cy, a, b, da, lag_b, n_nbrs,
+    ii_num, quadrant).
+
+    100 TB: one outer-join cell union, one broadcast stats row, the
+    4-offset explode equi-join regroup — the local_moran shape ×2."""
+    a = cells_a.select("cx", "cy", F.col("cnt").cast("long").alias("a"))
+    b = cells_b.select("cx", "cy", F.col("cnt").cast("long").alias("b"))
+    u = (
+        a.join(b, ["cx", "cy"], "full_outer")
+        .select(
+            "cx",
+            "cy",
+            F.coalesce("a", F.lit(0)).alias("a"),
+            F.coalesce("b", F.lit(0)).alias("b"),
+        )
+    )
+    stats = u.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("a").alias("sa"), F.sum("b").alias("sb")
+    )
+    d = u.crossJoin(F.broadcast(stats)).select(
+        "cx",
+        "cy",
+        "a",
+        "b",
+        (F.col("n") * F.col("a") - F.col("sa")).alias("da"),
+        (F.col("n") * F.col("b") - F.col("sb")).alias("db"),
+    )
+    offs = F.array(
+        F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy")),
+        F.struct(F.lit(-1).alias("dx"), F.lit(0).alias("dy")),
+        F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy")),
+        F.struct(F.lit(0).alias("dx"), F.lit(-1).alias("dy")),
+    )
+    probe = d.select("cx", "cy", F.explode(offs).alias("o")).select(
+        F.col("cx").alias("ocx"),
+        F.col("cy").alias("ocy"),
+        (F.col("cx") + F.col("o.dx")).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    )
+    nbr = (
+        probe.join(
+            d.select(
+                F.col("cx").alias("nx"), F.col("cy").alias("ny"),
+                F.col("db").alias("ndb"),
+            ),
+            ["nx", "ny"],
+        )
+        .groupBy("ocx", "ocy")
+        .agg(
+            F.sum("ndb").cast("long").alias("lag_b"),
+            F.count(F.lit(1)).cast("long").alias("n_nbrs"),
+        )
+    )
+    j = d.join(nbr, (d.cx == nbr.ocx) & (d.cy == nbr.ocy), "left").select(
+        "cx",
+        "cy",
+        "a",
+        "b",
+        "da",
+        F.coalesce("lag_b", F.lit(0).cast("long")).alias("lag_b"),
+        F.coalesce("n_nbrs", F.lit(0).cast("long")).alias("n_nbrs"),
+    )
+    quad = (
+        F.when(
+            (F.col("n_nbrs") == 0) | (F.col("da") == 0) | (F.col("lag_b") == 0),
+            "none",
+        )
+        .when((F.col("da") > 0) & (F.col("lag_b") > 0), "HH")
+        .when((F.col("da") < 0) & (F.col("lag_b") < 0), "LL")
+        .when((F.col("da") > 0) & (F.col("lag_b") < 0), "HL")
+        .otherwise("LH")
+    )
+    return j.select(
+        "cx",
+        "cy",
+        "a",
+        "b",
+        F.col("da").cast("long").alias("da"),
+        "lag_b",
+        "n_nbrs",
+        (F.col("da") * F.col("lag_b")).cast("long").alias("ii_num"),
+        quad.alias("quadrant"),
+    )
+
+
+def sql_bivariate_moran_quadrants(cells_a_cte: str, cells_b_cte: str) -> str:
+    """DuckDB twin of :func:`bivariate_moran_quadrants`."""
+    return f"""bm_a AS ({cells_a_cte}),
+bm_b AS ({cells_b_cte}),
+bm_u AS (
+  SELECT COALESCE(a.cx, b.cx) AS cx, COALESCE(a.cy, b.cy) AS cy,
+         CAST(COALESCE(a.cnt, 0) AS BIGINT) AS a,
+         CAST(COALESCE(b.cnt, 0) AS BIGINT) AS b
+  FROM bm_a a FULL OUTER JOIN bm_b b ON b.cx = a.cx AND b.cy = a.cy),
+bm_st AS (SELECT count(*) AS n, sum(a) AS sa, sum(b) AS sb FROM bm_u),
+bm_d AS (
+  SELECT cx, cy, a, b,
+         CAST(bm_st.n * a - bm_st.sa AS BIGINT) AS da,
+         CAST(bm_st.n * b - bm_st.sb AS BIGINT) AS db
+  FROM bm_u, bm_st),
+bm_o(dx, dy) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)),
+bm_nbr AS (
+  SELECT a.cx AS ocx, a.cy AS ocy,
+         CAST(sum(nb.db) AS BIGINT) AS lag_b,
+         CAST(count(*) AS BIGINT) AS n_nbrs
+  FROM bm_d a JOIN bm_o o ON true
+  JOIN bm_d nb ON nb.cx = a.cx + o.dx AND nb.cy = a.cy + o.dy
+  GROUP BY 1, 2),
+bm AS (
+  SELECT d.cx, d.cy, d.a, d.b, d.da,
+         COALESCE(n.lag_b, 0) AS lag_b,
+         COALESCE(n.n_nbrs, 0) AS n_nbrs,
+         CAST(d.da * COALESCE(n.lag_b, 0) AS BIGINT) AS ii_num,
+         CASE WHEN COALESCE(n.n_nbrs, 0) = 0 OR d.da = 0
+                   OR COALESCE(n.lag_b, 0) = 0 THEN 'none'
+              WHEN d.da > 0 AND n.lag_b > 0 THEN 'HH'
+              WHEN d.da < 0 AND n.lag_b < 0 THEN 'LL'
+              WHEN d.da > 0 AND n.lag_b < 0 THEN 'HL'
+              ELSE 'LH' END AS quadrant
+  FROM bm_d d LEFT JOIN bm_nbr n ON n.ocx = d.cx AND n.ocy = d.cy)"""

@@ -10745,6 +10745,49 @@ def local_moran_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_moran_quadrants(_cells_df(spark, sf_dir, 8))
 
 
+def _sql_bivariate_moran() -> str:
+    from osmgraft.operators.density import sql_bivariate_moran_quadrants
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("event_id")
+    ev_cells = f"""SELECT {tiles.sql_tile_x(f'({lon})', 8)} AS cx,
+         {tiles.sql_tile_y(f'({lat})', 8)} AS cy, count(*) AS cnt
+  FROM events GROUP BY 1, 2"""
+    return (
+        f"WITH pts AS ({_PTS}),\n"
+        + sql_bivariate_moran_quadrants(ev_cells, _sql_cells(8))
+        + "\nSELECT cx, cy, a, b, da, lag_b, n_nbrs, ii_num, quadrant FROM bm"
+    )
+
+
+@register("bivariate_moran_z8", _sql_bivariate_moran())
+def bivariate_moran_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate local Moran quadrants per z8 cell (operators/density.
+    bivariate_moran_quadrants, Anselin et al. 2002 — GeoDa's bivariate
+    LISA): event density at a cell against POINT density in its rook
+    neighborhood, over the zero-filled union of observed cells —
+    HH/LL = the two layers co-locate, HL/LH = inverse, the two-layer
+    question univariate LISA can't ask.  Exact integer deviations and
+    lags; ii_num = dA·lagB rides along.
+
+    100 TB: one outer-join union + broadcast stats + the 4-offset
+    explode equi-join regroup."""
+    from osmgraft.operators.density import bivariate_moran_quadrants
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+
+    ev = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    lat, lon = latlon_of_key(F.col("event_id"))
+    ev_cells = (
+        ev.select(
+            tiles.tile_x(lon, 8).alias("cx"), tiles.tile_y(lat, 8).alias("cy")
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return bivariate_moran_quadrants(ev_cells, _cells_df(spark, sf_dir, 8))
+
+
 # --- geofence enter/exit transitions -------------------------------------------------
 @register(
     "geofence_transitions",

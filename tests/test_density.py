@@ -526,3 +526,46 @@ def test_local_moran_hotspot_is_hh(spark):
     df = spark.createDataFrame(cells, "cx long, cy long, cnt long")
     got = {(r.cx, r.cy): r.quadrant for r in local_moran_quadrants(df).collect()}
     assert got[(1, 1)] == "HH" and got[(11, 11)] == "LL"
+
+
+def test_bivariate_moran_matches_reference(spark):
+    import numpy as np
+
+    from osmgraft.operators.density import bivariate_moran_quadrants
+
+    rng = np.random.default_rng(52)
+    ca, cb = {}, {}
+    for _ in range(40):
+        ca[(int(rng.integers(0, 6)), int(rng.integers(0, 6)))] = int(rng.integers(1, 30))
+    for _ in range(40):
+        cb[(int(rng.integers(0, 6)), int(rng.integers(0, 6)))] = int(rng.integers(1, 30))
+    dfa = spark.createDataFrame([(x, y, v) for (x, y), v in ca.items()],
+                                "cx long, cy long, cnt long")
+    dfb = spark.createDataFrame([(x, y, v) for (x, y), v in cb.items()],
+                                "cx long, cy long, cnt long")
+    union = set(ca) | set(cb)
+    n = len(union)
+    sa = sum(ca.get(p, 0) for p in union)
+    sb = sum(cb.get(p, 0) for p in union)
+    exp = {}
+    for (x, y) in union:
+        da = n * ca.get((x, y), 0) - sa
+        nbrs = [p for p in ((x+1,y),(x-1,y),(x,y+1),(x,y-1)) if p in union]
+        lag = sum(n * cb.get(p, 0) - sb for p in nbrs)
+        g = len(nbrs)
+        if g == 0 or da == 0 or lag == 0:
+            q = "none"
+        elif da > 0 and lag > 0:
+            q = "HH"
+        elif da < 0 and lag < 0:
+            q = "LL"
+        elif da > 0 and lag < 0:
+            q = "HL"
+        else:
+            q = "LH"
+        exp[(x, y)] = (da, lag, g, da * lag, q)
+    got = {
+        (r.cx, r.cy): (r.da, r.lag_b, r.n_nbrs, r.ii_num, r.quadrant)
+        for r in bivariate_moran_quadrants(dfa, dfb).collect()
+    }
+    assert got == exp
