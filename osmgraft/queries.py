@@ -1947,6 +1947,99 @@ def cell_msf_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boruvka_msf(edges)
 
 
+_NEG_K = 2
+
+
+def _sql_neg_samples() -> str:
+    from osmgraft.functions.text import sql_md5_long
+
+    h = sql_md5_long(
+        "CAST(n.node AS VARCHAR) || ':' || CAST(t.i AS VARCHAR)"
+    )
+    return f"""WITH ns_e AS ({_ROAD_EDGES_SQL}),
+ns_und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ns_e WHERE src <> dst),
+ns_nodes AS (
+  SELECT node, row_number() OVER (ORDER BY node) - 1 AS ridx,
+         count(*) OVER () AS nn
+  FROM (SELECT DISTINCT a AS node FROM ns_und
+        UNION SELECT DISTINCT b FROM ns_und)),
+ns_cand AS (
+  SELECT n.node AS u, t.i, ({h}) % n.nn AS cidx
+  FROM ns_nodes n
+  CROSS JOIN range(0, {_NEG_K}) t(i)),
+ns_v AS (
+  SELECT c.u, c.i, m.node AS v
+  FROM ns_cand c JOIN ns_nodes m ON m.ridx = c.cidx
+  WHERE m.node <> c.u)
+SELECT u, v, CAST(i AS BIGINT) AS i
+FROM ns_v c
+WHERE NOT EXISTS (
+  SELECT 1 FROM ns_und e
+  WHERE e.a = least(c.u, c.v) AND e.b = greatest(c.u, c.v))"""
+
+
+@register("edge_negative_samples", _sql_neg_samples())
+def edge_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative edge sampling (the training-data op every
+    link-prediction / GNN pipeline runs — Mikolov-style negatives made
+    REPRODUCIBLE): per node u and slot i < 2, candidate v = node at
+    dense rank md5(u:i) mod n — a pinned hash, so the sample is a pure
+    function of the graph — with self-pairs and EXISTING edges
+    anti-joined away (expected-k semantics, the standard trade;
+    rejected slots simply drop).  Emits (u, v, i).
+
+    100 TB: one dense-rank index, a k-slot explode, one broadcast-able
+    rank join, one anti-join — no randomness, no driver state."""
+    from pyspark.sql import Window as W
+
+    from osmgraft.functions.text import md5_long
+
+    edges = _road_edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    nn = nodes.count()
+    idx = nodes.withColumn(
+        "ridx", F.row_number().over(W.orderBy("node")).cast("long") - 1
+    )
+    cand = (
+        idx.select(F.col("node").alias("u"))
+        .crossJoin(spark.range(_NEG_K).select(F.col("id").alias("i")))
+        .select(
+            "u",
+            "i",
+            (
+                md5_long(
+                    F.concat(
+                        F.col("u").cast("string"), F.lit(":"), F.col("i").cast("string")
+                    )
+                )
+                % nn
+            ).alias("cidx"),
+        )
+    )
+    v = cand.join(
+        idx.select(F.col("ridx").alias("cidx"), F.col("node").alias("v")), "cidx"
+    ).where(F.col("v") != F.col("u"))
+    neg = v.join(
+        und,
+        (F.least("u", "v") == und.a) & (F.greatest("u", "v") == und.b),
+        "left_anti",
+    )
+    return neg.select("u", "v", F.col("i").cast("long").alias("i"))
+
+
 def _sql_linkpred() -> str:
     from osmgraft.operators.graph import sql_link_prediction
 
