@@ -8898,6 +8898,165 @@ def tile_trend_mk_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_kendall(counts, ["tx", "ty"], "day", "cnt")
 
 
+@register(
+    "churn_life_table",
+    """WITH ch_u AS (
+  SELECT user_id,
+         CAST(floor(epoch(min(ts))) AS BIGINT) // 3600 AS d0,
+         CAST(floor(epoch(max(ts))) AS BIGINT) // 3600 AS d1
+  FROM events GROUP BY 1),
+ch_max AS (SELECT max(d1) AS dmax FROM ch_u),
+ch_s AS (
+  SELECT u.user_id, u.d1 - u.d0 AS dur,
+         CASE WHEN u.d1 >= m.dmax - 168 THEN 1 ELSE 0 END AS censored
+  FROM ch_u u, ch_max m),
+ch_t AS (
+  SELECT dur, CAST(sum(1 - censored) AS BIGINT) AS n_event,
+         CAST(sum(censored) AS BIGINT) AS n_censored
+  FROM ch_s GROUP BY 1)
+SELECT dur AS t,
+       CAST(sum(n_event + n_censored)
+            OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_risk,
+       n_event, n_censored
+FROM ch_t""",
+)
+def churn_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier life table for user churn (Kaplan & Meier JASA 1958
+    — the survival-analysis sufficient statistics): per user the
+    activity span in epoch HOURS (first → last event), right-CENSORED
+    when the last event falls in the final 168 hours of the observation
+    window; per duration t the at-risk count (reverse cumulative),
+    events (churns) and censored — exactly the (t, n_i, d_i) table the
+    KM product-limit estimator consumes, all exact integers (the
+    product itself is left to consumers: a float fold would break the
+    bitwise gate, the life table is the lossless form).
+
+    100 TB: one per-user agg + one broadcast max + one hash agg + one
+    window over the duration domain (≤ days, tiny)."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("d")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    dmax = u.agg(F.max("d1").alias("dmax"))
+    s = u.crossJoin(F.broadcast(dmax)).select(
+        (F.col("d1") - F.col("d0")).alias("dur"),
+        F.when(F.col("d1") >= F.col("dmax") - 168, 1).otherwise(0).alias("censored"),
+    )
+    t = s.groupBy("dur").agg(
+        F.sum(1 - F.col("censored")).cast("long").alias("n_event"),
+        F.sum("censored").cast("long").alias("n_censored"),
+    )
+    w = W.orderBy(F.desc("dur")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    return t.select(
+        F.col("dur").alias("t"),
+        F.sum(F.col("n_event") + F.col("n_censored")).over(w).cast("long").alias("n_risk"),
+        "n_event",
+        "n_censored",
+    )
+
+
+def _sql_naive_forecast() -> str:
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("event_id")
+    tx = tiles.sql_tile_x(f"({lon})", 4)
+    ty = tiles.sql_tile_y(f"({lat})", 4)
+    return f"""WITH nf_c AS (
+  SELECT tx, ty, day, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT {tx} AS tx, {ty} AS ty,
+           CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+    FROM events) GROUP BY 1, 2, 3),
+nf_l AS (
+  SELECT tx, ty, day, cnt,
+         lag(cnt, 1) OVER (PARTITION BY tx, ty ORDER BY day) AS c1,
+         lag(cnt, 7) OVER (PARTITION BY tx, ty ORDER BY day) AS c7,
+         lag(day, 1) OVER (PARTITION BY tx, ty ORDER BY day) AS d1,
+         lag(day, 7) OVER (PARTITION BY tx, ty ORDER BY day) AS d7
+  FROM nf_c),
+nf_e AS (
+  SELECT tx, ty,
+         CAST(count(*) AS BIGINT) AS n_eval,
+         CAST(sum(abs(cnt - c1)) AS BIGINT) AS mae1_sum,
+         CAST(sum(abs(cnt - c7)) AS BIGINT) AS mae7_sum
+  FROM nf_l
+  WHERE c1 IS NOT NULL AND c7 IS NOT NULL
+    AND d1 = day - 1 AND d7 = day - 7
+  GROUP BY 1, 2)
+SELECT tx, ty, n_eval, mae1_sum, mae7_sum,
+       CASE WHEN mae7_sum < mae1_sum THEN 'seasonal'
+            WHEN mae1_sum < mae7_sum THEN 'naive'
+            ELSE 'tie' END AS winner
+FROM nf_e"""
+
+
+@register("tile_naive_forecast_z4", _sql_naive_forecast())
+def tile_naive_forecast_z4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline bake-off per z4 tile (Hyndman & Athanasopoulos'
+    textbook benchmark discipline: any forecaster must beat the naive
+    baselines first): for every day with BOTH a yesterday and a
+    same-weekday-last-week observation (gap-strict — lagged rows must
+    be exactly 1 and 7 days back), the summed absolute errors of
+    naive-1 (persistence) and seasonal-naive-7, and the per-tile winner
+    by exact integer comparison.  The evaluation harness a forecasting
+    pipeline runs, with no forecaster in the loop — and later models
+    are graded against these exact sums.
+
+    100 TB: one rollup shuffle + one window per tile (two lags share
+    the sort) + one agg."""
+    from pyspark.sql import Window as W
+
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+
+    ev = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    lat, lon = latlon_of_key(F.col("event_id"))
+    c = (
+        ev.select(
+            tiles.tile_x(lon, 4).alias("tx"),
+            tiles.tile_y(lat, 4).alias("ty"),
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        )
+        .groupBy("tx", "ty", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = W.partitionBy("tx", "ty").orderBy("day")
+    l = c.select(
+        "tx",
+        "ty",
+        "day",
+        "cnt",
+        F.lag("cnt", 1).over(w).alias("c1"),
+        F.lag("cnt", 7).over(w).alias("c7"),
+        F.lag("day", 1).over(w).alias("d1"),
+        F.lag("day", 7).over(w).alias("d7"),
+    )
+    e = (
+        l.where(
+            F.col("c1").isNotNull()
+            & F.col("c7").isNotNull()
+            & (F.col("d1") == F.col("day") - 1)
+            & (F.col("d7") == F.col("day") - 7)
+        )
+        .groupBy("tx", "ty")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(F.abs(F.col("cnt") - F.col("c1"))).cast("long").alias("mae1_sum"),
+            F.sum(F.abs(F.col("cnt") - F.col("c7"))).cast("long").alias("mae7_sum"),
+        )
+    )
+    win = (
+        F.when(F.col("mae7_sum") < F.col("mae1_sum"), "seasonal")
+        .when(F.col("mae1_sum") < F.col("mae7_sum"), "naive")
+        .otherwise("tie")
+    )
+    return e.select("tx", "ty", "n_eval", "mae1_sum", "mae7_sum", win.alias("winner"))
+
+
 def _sql_ewma() -> str:
     from osmgraft.synth import sql_latlon_of_key
 
