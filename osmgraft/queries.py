@@ -8898,6 +8898,87 @@ def tile_trend_mk_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_kendall(counts, ["tx", "ty"], "day", "cnt")
 
 
+_MRL_DIMS = 16  # truncation prefix (Matryoshka-style nested representation)
+
+
+def _sql_mrl_overlap() -> str:
+    def topk(vecexpr: str) -> str:
+        dot = f"list_dot_product(q.qv, {vecexpr.replace('X.', 'e.')})"
+        nq = "sqrt(list_dot_product(q.qv, q.qv))"
+        ne = (
+            f"sqrt(list_dot_product({vecexpr.replace('X.', 'e.')},"
+            f" {vecexpr.replace('X.', 'e.')}))"
+        )
+        return f"""SELECT query_id, neighbor_id FROM (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    row_number() OVER (PARTITION BY q.query_id
+      ORDER BY {dot} / ({nq} * {ne}) DESC, e.vec_id) AS rank
+  FROM embeddings e, q) WHERE rank <= 10"""
+
+    full_vec = "X.embedding::DOUBLE[]"
+    trunc_vec = f"(X.embedding::DOUBLE[])[1:{_MRL_DIMS}]"
+    return f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 8),
+mr_full AS ({topk(full_vec)}),
+qt AS (
+  SELECT vec_id AS query_id, (embedding::DOUBLE[])[1:{_MRL_DIMS}] AS qv
+  FROM embeddings WHERE vec_id < 8),
+mr_trunc AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY list_dot_product(q.qv, {trunc_vec.replace('X.', 'e.')})
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product({trunc_vec.replace('X.', 'e.')},
+                                            {trunc_vec.replace('X.', 'e.')})))
+                 DESC, e.vec_id) AS rank
+    FROM embeddings e, qt q) WHERE rank <= 10)
+SELECT f.query_id, CAST(count(n.neighbor_id) AS BIGINT) AS n_overlap
+FROM mr_full f LEFT JOIN mr_trunc n
+  ON n.query_id = f.query_id AND n.neighbor_id = f.neighbor_id
+GROUP BY 1"""
+
+
+@register("embedding_matryoshka_overlap", _sql_mrl_overlap())
+def embedding_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation (Kusupati et al. NeurIPS 2022 —
+    the MRL question every embedding-serving stack now asks: how much
+    recall does serving the first d′ dims lose?): exact cosine top-10
+    from the FULL 64-dim embeddings vs from the first-16-dim prefix,
+    overlap@10 per query as an exact integer — ranking runs on both
+    engines with the identical sequential-fold dot products
+    (the embedding_topk bitwise discipline), so even this float-ranked
+    comparison is hash-stable.
+
+    100 TB: two broadcast-query scans + WindowGroupLimit top-k, one
+    tiny join — the evaluation normally run before switching the ANN
+    index to truncated vectors."""
+    from osmgraft.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    emb_t = emb.select(
+        "vec_id", F.slice("embedding", 1, _MRL_DIMS).alias("embedding")
+    )
+    q_t = emb_t.filter(F.col("vec_id") < 8)
+    full = cosine_topk(emb, q, k=10, ensure_parallelism=True).select(
+        "query_id", "neighbor_id"
+    )
+    trunc = cosine_topk(emb_t, q_t, k=10).select(
+        F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn")
+    )
+    return (
+        full.join(
+            trunc,
+            (F.col("query_id") == F.col("tq")) & (F.col("neighbor_id") == F.col("tn")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("tn").cast("long").alias("n_overlap"))
+    )
+
+
 _IVM_CUT = 20  # epoch-day-of-January cutoff splitting old vs delta
 
 
