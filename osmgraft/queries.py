@@ -8898,6 +8898,44 @@ def tile_trend_mk_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_kendall(counts, ["tx", "ty"], "day", "cnt")
 
 
+@register(
+    "vocab_stats_by_source",
+    f"""WITH vt AS (
+  SELECT source, lower(t.tok) AS tok
+  FROM documents, UNNEST({T.sql_tokens('text')}) AS t(tok)),
+vc AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM vt GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(max(c) AS BIGINT) AS top_freq
+FROM vc GROUP BY 1""",
+)
+def vocab_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics per source (the Heaps/Zipf raw
+    material corpus linguists and tokenizer designers read first):
+    token count, type count, hapax legomena (frequency-1 types — the
+    vocabulary's growth edge) and the top type frequency, all exact.
+    Types are lowercased whitespace tokens — the same tokenizer the
+    rest of the text family pins.
+
+    100 TB: one token explode + two map-side-combinable aggs; the
+    per-(source, type) intermediate is the only shuffle."""
+    docs = _docs(spark, sf_dir)
+    vt = docs.select(
+        "source", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    vc = vt.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return vc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.max("c").cast("long").alias("top_freq"),
+    )
+
+
 _MRL_DIMS = 16  # truncation prefix (Matryoshka-style nested representation)
 
 
