@@ -199,7 +199,14 @@ def main() -> None:
                  "audio_clipping_stats", "geofence_dwell", "boundary_trend_mk",
                  "covisit_ktruss_4", "local_moran_z8", "textrank_keywords",
                  "image_brief_match", "terrain_d8_flow_z10_7", "tile_ewma_z5",
-                 "track_sinuosity"]:
+                 "track_sinuosity", "image_blur_metric", "stream_static_enrich",
+                 "attribution_last_touch", "basket_lift_pairs",
+                 "kanonymity_groups", "linkage_patterns",
+                 "terrain_watershed_z10_7", "terrain_flow_accumulation_z10_7",
+                 "terrain_hypsometry_z10_7", "ppr_roads", "bivariate_moran_z8",
+                 "edge_negative_samples", "churn_life_table",
+                 "tile_naive_forecast_z4", "ivm_join_delta",
+                 "embedding_matryoshka_overlap", "vocab_stats_by_source"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
             timed(name, lambda fn=fn: fn(spark, sf_dir).count())

@@ -74,6 +74,14 @@ HEADLINE = [
     "tile_ewma_z5",
     "track_sinuosity",
     "textrank_keywords",
+    "terrain_watershed_z10_7",
+    "terrain_flow_accumulation_z10_7",
+    "ppr_roads",
+    "bivariate_moran_z8",
+    "ivm_join_delta",
+    "embedding_matryoshka_overlap",
+    "attribution_last_touch",
+    "basket_lift_pairs",
 ]
 
 KEEP = (
