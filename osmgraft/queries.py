@@ -5983,6 +5983,45 @@ def stream_tile_counts_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "solar_hour_histogram",
+    f"""WITH pts AS ({_PTS}),
+sh AS (
+  SELECT (((CAST(floor(epoch(o.o_orderdate)) AS BIGINT)
+            + ((CAST(p.lon7 AS BIGINT) + 1800000000) * 24) // 1000000
+            - 43200) // 3600) % 24) AS solar_hour
+  FROM pts p JOIN orders o ON o.o_orderkey = p.point_id)
+SELECT solar_hour, CAST(count(*) AS BIGINT) AS cnt
+FROM sh GROUP BY 1""",
+)
+def solar_hour_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-solar-hour histogram — the geo-temporal normalization a
+    global activity analysis needs before comparing 'morning' across
+    longitudes: each point's UTC timestamp shifts by its longitude's
+    solar offset (240 s per degree = lon7·24 div 10⁶ seconds, computed
+    on the +180°-rebased positive value so floor division agrees on
+    both engines), then buckets into the 24 solar hours.  Pure integer
+    arithmetic end to end — the fixed-point coordinate column doing
+    double duty as a time-zone proxy.
+
+    100 TB: one equi-join + a 24-bucket map-side-combinable agg."""
+    pts = points_from_orders(spark, sf_dir)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("point_id"),
+        F.floor(F.unix_timestamp("o_orderdate")).cast("long").alias("epoch"),
+    )
+    j = pts.join(o, "point_id").select(
+        F.expr(
+            "((epoch + ((CAST(lon7 AS BIGINT) + 1800000000) * 24) div 1000000"
+            " - 43200)"
+            " div 3600) % 24"
+        )
+        .cast("long")
+        .alias("solar_hour")
+    )
+    return j.groupBy("solar_hour").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+@register(
     "kanonymity_groups",
     """WITH qi AS (
   SELECT lang, source, n_chars // 100 AS len_bucket,
