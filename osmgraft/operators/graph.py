@@ -1121,3 +1121,72 @@ p{t + 1} AS (
     return (
         "WITH " + ",\n".join(parts) + f"\nSELECT node_id, rank_fx FROM p{iters}"
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame, sources: list[int], rounds: int = 6
+) -> DataFrame:
+    """Harmonic centrality of a pinned source set (Boldi & Vigna 2014 —
+    the centrality that behaves on disconnected graphs, where closeness
+    breaks): per source s, H(s) = Σ_{v≠s} 1/d(s, v) over nodes reached
+    within ``rounds`` hops, carried EXACTLY as Σ 60/d (60 = lcm(1..6),
+    so every reciprocal is an integer — no floats, no rationals left
+    unreduced).  Distances are per-(source, node) keyed Bellman-Ford
+    relaxations of the hop metric (min-plus with unit weights), the
+    shortest_paths recurrence with the source id threaded through.
+    Emits (source, n_reached, h60) — h60 div 60 is the conventional
+    value; the remainder keeps the gate exact.
+
+    100 TB: per round one equi-join on node + min agg keyed by
+    (source, node) — the frontier is |sources|× the sssp shape."""
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    dist = spark.createDataFrame(
+        [(int(s), int(s), 0) for s in sources], "source long, node_id long, d long"
+    )
+    for _ in range(rounds):
+        cand = e.join(dist, e.src == dist.node_id).select(
+            "source", F.col("dst").alias("node_id"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("source", "node_id")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+    reached = dist.filter(F.col("d") > 0)
+    return reached.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+        F.sum(F.expr("60 div d")).cast("long").alias("h60"),
+    )
+
+
+def sql_harmonic_centrality(
+    edges_sql: str, sources: list[int], rounds: int = 6
+) -> str:
+    """DuckDB twin: the keyed min-plus recurrence unrolled."""
+    src_vals = ", ".join(f"({int(s)})" for s in sources)
+    parts = [
+        f"hc_e AS ({edges_sql})",
+        f"hc_d0 AS (SELECT node_id AS source, node_id, CAST(0 AS BIGINT) AS d"
+        f" FROM (VALUES {src_vals}) s(node_id))",
+    ]
+    for t in range(rounds):
+        parts.append(
+            f"""hc_d{t + 1} AS (
+  SELECT source, node_id, min(d) AS d FROM (
+    SELECT source, node_id, d FROM hc_d{t}
+    UNION ALL
+    SELECT x.source, e.dst AS node_id, x.d + 1 AS d
+    FROM hc_e e JOIN hc_d{t} x ON e.src = x.node_id
+  ) GROUP BY 1, 2
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum(60 // d) AS BIGINT) AS h60
+FROM hc_d{rounds} WHERE d > 0 GROUP BY 1"""
+    )

@@ -2109,6 +2109,30 @@ def pagerank_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_road_edges(spark, sf_dir), iters=4)
 
 
+_HC_SOURCES = [1, 2, 3, 5, 8]
+
+
+def _sql_harmonic() -> str:
+    from osmgraft.operators.graph import sql_harmonic_centrality
+
+    return sql_harmonic_centrality(_ROAD_EDGES_SQL, _HC_SOURCES, rounds=6)
+
+
+@register("harmonic_centrality_roads", _sql_harmonic())
+def harmonic_centrality_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality of a pinned source set over the road network
+    (operators/graph.harmonic_centrality, Boldi & Vigna 2014): per
+    source Σ 1/d within 6 hops carried EXACTLY as Σ 60/d
+    (60 = lcm(1..6) — every reciprocal an integer) — the
+    disconnected-graph-safe closeness member of the centrality family
+    (pagerank ⋄ PPR ⋄ HITS ⋄ harmonic).
+
+    100 TB: keyed min-plus relaxations, |sources|× the sssp shape."""
+    from osmgraft.operators.graph import harmonic_centrality
+
+    return harmonic_centrality(_road_edges(spark, sf_dir), _HC_SOURCES, rounds=6)
+
+
 _PPR_SEEDS = [1, 2, 3, 5, 8]
 
 

@@ -488,3 +488,38 @@ def test_personalized_pagerank_reference_and_locality(spark):
     }
     assert all(got2[100 + i] == 0 for i in range(5))
     assert all(got2[i] > 0 for i in range(5))
+
+
+def test_harmonic_centrality_matches_bfs_reference(spark):
+    import numpy as np
+    from collections import deque
+
+    from osmgraft.operators.graph import harmonic_centrality
+
+    rng = np.random.default_rng(24)
+    edges = list({(int(a), int(b)) for a, b in rng.integers(0, 30, (120, 2)) if a != b})
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    sources = [0, 1, 2]
+    exp = {}
+    for s in sources:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= 6:
+                continue
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        reach = {v: d for v, d in dist.items() if 0 < d <= 6}
+        if reach:
+            exp[s] = (len(reach), sum(60 // d for d in reach.values()))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.source: (r.n_reached, r.h60)
+        for r in harmonic_centrality(df, sources, rounds=6).collect()
+    }
+    assert got == exp
