@@ -6006,6 +6006,45 @@ def stream_tile_counts_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_langid_reliability() -> str:
+    from osmgraft.functions.text import LANG_ORDER, sql_lang_id, sql_stopword_count
+
+    best = "greatest(" + ", ".join(
+        sql_stopword_count("text", lg) for lg in LANG_ORDER
+    ) + ")"
+    return f"""WITH lr AS (
+  SELECT least({best}, 10) AS conf_bucket,
+         CASE WHEN ({sql_lang_id('text')}) = lang THEN 1 ELSE 0 END AS ok
+  FROM documents)
+SELECT conf_bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(ok) AS BIGINT) AS n_correct
+FROM lr GROUP BY 1"""
+
+
+@register("langid_reliability", _sql_langid_reliability())
+def langid_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the stopword language-ID (the calibration
+    diagram's exact backing data — Guo et al.'s ECE starts here): docs
+    bucketed by evidence strength (best stopword-hit count, capped at
+    10) with per-bucket totals and correct counts — accuracy-vs-
+    confidence as exact integers, completing the eval suite (kappa ⋄
+    McNemar ⋄ per-class report ⋄ RELIABILITY).
+
+    100 TB: map-only scoring + an 11-bucket agg."""
+    from osmgraft.functions.text import LANG_ORDER, lang_id, stopword_count
+
+    docs = _docs(spark, sf_dir)
+    best = F.greatest(*[stopword_count(F.col("text"), lg) for lg in LANG_ORDER])
+    lr = docs.select(
+        F.least(best, F.lit(10)).cast("long").alias("conf_bucket"),
+        (lang_id(F.col("text")) == F.col("lang")).cast("int").alias("ok"),
+    )
+    return lr.groupBy("conf_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ok").cast("long").alias("n_correct"),
+    )
+
+
 @register(
     "solar_hour_histogram",
     f"""WITH pts AS ({_PTS}),
