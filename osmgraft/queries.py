@@ -6085,6 +6085,90 @@ def solar_hour_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rfm_segments",
+    """WITH rf AS (
+  SELECT o_custkey AS cust,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS m_cents,
+         CAST(max(floor(epoch(o_orderdate))) AS BIGINT) // 86400 AS last_day
+  FROM orders GROUP BY 1),
+mx AS (SELECT max(last_day) AS dmax FROM rf),
+sc AS (
+  SELECT cust, dmax - last_day AS gap_days, f, m_cents,
+         CAST(ntile(5) OVER (ORDER BY dmax - last_day DESC, cust) AS BIGINT)
+           AS r_score,
+         CAST(ntile(5) OVER (ORDER BY f, cust) AS BIGINT) AS f_score,
+         CAST(ntile(5) OVER (ORDER BY m_cents, cust) AS BIGINT) AS m_score
+  FROM rf, mx)
+SELECT cust, gap_days, f, m_cents, r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+              THEN 'champion'
+            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+            WHEN r_score <= 2 AND f_score <= 2 AND m_score <= 2 THEN 'lost'
+            ELSE 'regular' END AS segment
+FROM sc""",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (Hughes 1994 — the marketing-analytics
+    workhorse): per customer the recency gap in epoch days, order
+    frequency, and monetary total in exact CENTS; quintile scores by
+    ntile(5) with customer-id tie-breaks (a pinned total order, so the
+    buckets are engine- and partitioning-exact) and the pinned
+    champion / at_risk / lost / regular segment rule.
+
+    100 TB: one per-customer agg + a broadcast max + three ntile
+    windows sharing one pass (WindowGroupLimit-free, full-table rank —
+    at true scale swap ntile for the percentile_disc rank the
+    winsorized family uses to avoid a single-partition sort; pinned
+    here for the classic formulation)."""
+    from pyspark.sql import Window as W
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rf = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.count(F.lit(1)).cast("long").alias("f"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("m_cents"),
+        (F.max(F.floor(F.unix_timestamp("o_orderdate"))).cast("long") / 86400)
+        .cast("long")
+        .alias("last_day"),
+    )
+    mx = rf.agg(F.max("last_day").alias("dmax"))
+    sc = rf.crossJoin(F.broadcast(mx)).select(
+        "cust",
+        (F.col("dmax") - F.col("last_day")).cast("long").alias("gap_days"),
+        "f",
+        "m_cents",
+    )
+    r_w = W.orderBy(F.desc("gap_days"), F.asc("cust"))
+    f_w = W.orderBy(F.asc("f"), F.asc("cust"))
+    m_w = W.orderBy(F.asc("m_cents"), F.asc("cust"))
+    scored = sc.select(
+        "cust",
+        "gap_days",
+        "f",
+        "m_cents",
+        F.ntile(5).over(r_w).cast("long").alias("r_score"),
+        F.ntile(5).over(f_w).cast("long").alias("f_score"),
+        F.ntile(5).over(m_w).cast("long").alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2) & (F.col("m_score") <= 2),
+            "lost",
+        )
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg)
+
+
+@register(
     "kanonymity_groups",
     """WITH qi AS (
   SELECT lang, source, n_chars // 100 AS len_bucket,
