@@ -9405,6 +9405,83 @@ def tile_naive_forecast_z4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("tx", "ty", "n_eval", "mae1_sum", "mae7_sum", win.alias("winner"))
 
 
+def _sql_day_jaccard() -> str:
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("event_id")
+    return f"""WITH dj_c AS (
+  SELECT DISTINCT {tiles.sql_tile_x(f'({lon})', 8)} AS tx,
+         {tiles.sql_tile_y(f'({lat})', 8)} AS ty,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events),
+dj_n AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM dj_c GROUP BY 1),
+dj_i AS (
+  SELECT a.day AS day, CAST(count(*) AS BIGINT) AS n_inter
+  FROM dj_c a JOIN dj_c b
+    ON b.day = a.day + 1 AND b.tx = a.tx AND b.ty = a.ty
+  GROUP BY 1)
+SELECT n1.day, n1.n AS n_day, n2.n AS n_next,
+       COALESCE(i.n_inter, 0) AS n_inter,
+       n1.n + n2.n - COALESCE(i.n_inter, 0) AS n_union,
+       CASE WHEN 2 * COALESCE(i.n_inter, 0)
+                 >= n1.n + n2.n - COALESCE(i.n_inter, 0)
+            THEN 'stable' ELSE 'churning' END AS stability
+FROM dj_n n1
+JOIN dj_n n2 ON n2.day = n1.day + 1
+LEFT JOIN dj_i i ON i.day = n1.day"""
+
+
+@register("tile_day_jaccard_z8", _sql_day_jaccard())
+def tile_day_jaccard_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day hotspot stability: the exact Jaccard terms between
+    consecutive days' occupied-z8-tile SETS (intersection via one
+    self-join on (day+1, tile), union by inclusion-exclusion) with the
+    cross-multiplied stable/churning class at J ≥ ½ — "does today's
+    activity footprint persist tomorrow", the set-similarity view of
+    the space-time cube beside Knox (pairs) and Mann–Kendall (trend).
+
+    100 TB: one distinct rollup + one equi-join + tiny per-day aggs."""
+    from osmgraft.operators.util import ensure_min_parallelism
+    from osmgraft.synth import latlon_of_key
+
+    ev = ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    lat, lon = latlon_of_key(F.col("event_id"))
+    c = ev.select(
+        tiles.tile_x(lon, 8).alias("tx"),
+        tiles.tile_y(lat, 8).alias("ty"),
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).distinct()
+    n = c.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    b = c.select((F.col("day") - 1).alias("day"), "tx", "ty")
+    i = (
+        c.join(b, ["day", "tx", "ty"])
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    n2 = n.select((F.col("day") - 1).alias("day"), F.col("n").alias("n_next"))
+    j = (
+        n.join(n2, "day")
+        .join(i, "day", "left")
+        .select(
+            "day",
+            F.col("n").alias("n_day"),
+            "n_next",
+            F.coalesce("n_inter", F.lit(0).cast("long")).alias("n_inter"),
+        )
+    )
+    uni = (F.col("n_day") + F.col("n_next") - F.col("n_inter")).cast("long")
+    return j.select(
+        "day",
+        "n_day",
+        "n_next",
+        "n_inter",
+        uni.alias("n_union"),
+        F.when(2 * F.col("n_inter") >= uni, "stable")
+        .otherwise("churning")
+        .alias("stability"),
+    )
+
+
 def _sql_ewma() -> str:
     from osmgraft.synth import sql_latlon_of_key
 
