@@ -554,7 +554,7 @@ def _sql_div7(n: str) -> str:
             f" ELSE -((-2*({n})+7)//14) END)")
 
 
-def sql_h3_cell(pts_cte: str, res: int) -> str:
+def sql_h3_cell(pts_cte: str, res: int, per_point: bool = False) -> str:
     """DuckDB twin of ``latlng_to_cell(res)`` over a points CTE — converts
     the H3 cell-count queries from rows-only to hash-gated.
 
@@ -718,7 +718,8 @@ fx AS (SELECT point_id, base, rot, pent, {fix_cols} FROM bj),
 ids AS (SELECT point_id,
         {header} + base*{1 << 45} + {packed} + {tail7} AS cell
         FROM {prev_r})
-SELECT cell, count(*) AS cnt FROM ids GROUP BY cell"""
+{"SELECT point_id, cell FROM ids" if per_point
+ else "SELECT cell, count(*) AS cnt FROM ids GROUP BY cell"}"""
 
 
 # --- neighbor traversal (gridDisk) on real H3 ids ----------------------------
@@ -820,7 +821,22 @@ def polygon_to_cells(ring, holes, res: int) -> np.ndarray:
     Completeness and membership are property-tested via grid_disk closure
     (tests/test_h3real.py).  Polar-cap polygons (ring enclosing a pole) are
     out of scope for the bbox sweep and raise."""
-    from osmgraft.geom import pnpoly, polygon_edges
+    from osmgraft.geom import pnpoly
+
+    sw = _fill_sweep(ring, holes, res)
+    inside = pnpoly(sw["clat7"], sw["clon7_pip"], sw["edges"])
+    return sw["cand"][inside]
+
+
+def _fill_sweep(ring, holes, res: int) -> dict:
+    """Shared bbox-sweep scaffold behind :func:`polygon_to_cells` and its
+    DuckDB twin (:func:`sql_h3_polyfill_oracle`): candidate cells, their
+    EXACT fixed-point centers (encode frame + wrap-shifted PIP frame), the
+    even-odd edge table, and the literal lattice parameters the twin
+    replays with ``generate_series`` in SQL.  One construction keeps both
+    sides sweeping the same sample family; membership (encode + PIP) is
+    re-decided independently on each side."""
+    from osmgraft.geom import polygon_edges
 
     ring = np.asarray(ring, dtype=np.int64)
     if not np.array_equal(ring[0], ring[-1]):
@@ -846,8 +862,11 @@ def polygon_to_cells(ring, holes, res: int) -> np.ndarray:
     pitch = np.degrees(_RES0_U_GNOMONIC / _SQRT7 ** res)
     s = pitch * 0.63 / 2 * 0.9
     margin = 4 * s
-    glat = np.arange(lat_lo - margin, lat_hi + margin + s, s)
-    glat = glat[(glat > -89.9) & (glat < 89.9)]
+    lat_base = lat_lo - margin
+    glat_full = np.arange(lat_base, lat_hi + margin + s, s)
+    keep = (glat_full > -89.9) & (glat_full < 89.9)
+    glat = glat_full[keep]
+    lat_k0 = int(np.nonzero(keep)[0][0]) if keep.any() else 0
     # physical lon spacing is slon*cos(lat), LARGEST at the smallest |lat|
     # in the box — that latitude is the binding covering constraint (using
     # max|lat| here under-sampled the low-latitude band; caught in review)
@@ -856,12 +875,16 @@ def polygon_to_cells(ring, holes, res: int) -> np.ndarray:
     if wrap:
         east = lons[lons > 0].min()
         west = lons[lons < 0].max()
-        glon = np.concatenate([
+        lon_parts = [
             np.arange(east - margin, 180.0, slon),
             np.arange(-180.0, west + margin + slon, slon),
-        ])
+        ]
+        lon_specs = [(east - margin, len(lon_parts[0]), slon),
+                     (-180.0, len(lon_parts[1]), slon)]
+        glon = np.concatenate(lon_parts)
     else:
         glon = np.arange(lons.min() - margin, lons.max() + margin + slon, slon)
+        lon_specs = [(lons.min() - margin, len(glon), slon)]
     la = np.repeat(glat, len(glon))
     lo = np.tile(glon, len(glat))
     lo = np.mod(lo + 180.0, 360.0) - 180.0
@@ -869,11 +892,96 @@ def polygon_to_cells(ring, holes, res: int) -> np.ndarray:
         np.round(la * 1e7).astype(np.int64),
         np.round(lo * 1e7).astype(np.int64), res))
     cla, clo = cell_to_latlng(cand)
-    clo7 = np.round(clo * 1e7).astype(np.int64)
+    clat7 = np.round(cla * 1e7).astype(np.int64)
+    clon7_enc = np.round(clo * 1e7).astype(np.int64)
     if wrap:
-        clo7 = np.where(clo7 < 0, clo7 + 3_600_000_000, clo7)
-    inside = pnpoly(np.round(cla * 1e7).astype(np.int64), clo7, edges)
-    return cand[inside]
+        clon7_pip = np.where(clon7_enc < 0, clon7_enc + 3_600_000_000, clon7_enc)
+    else:
+        clon7_pip = clon7_enc
+    return {
+        "cand": cand, "clat7": clat7, "clon7_enc": clon7_enc,
+        "clon7_pip": clon7_pip, "edges": edges, "wrap": wrap,
+        "lat_spec": (lat_base, lat_k0, len(glat), s), "lon_specs": lon_specs,
+    }
+
+
+def sql_h3_polyfill_oracle(polys: list[dict], res: int) -> str:
+    """DuckDB twin of ``polygon_to_cells`` over a boundary fixture list —
+    converts the polyfill query from rows-only to hash-gated.
+
+    Twin independence is layered the way the other H3 twins are:
+
+    * the CANDIDATE sweep is re-run in SQL — the per-boundary lattice specs
+      from :func:`_fill_sweep` expand through ``generate_series`` and every
+      lattice point goes through :func:`sql_h3_cell`'s from-scratch encoder
+      chain (NOT the engine's numpy kernel), so an engine sweep that missed
+      a covering cell would not be missed here;
+    * the CENTERS are seeded as exact fixed-point literals (decode has its
+      own independent gate: the center-child bit-math oracle of
+      `h3_center_child_r7_r9`) and every seeded center is re-encoded by the
+      SQL encoder — a drifted center whose encode no longer returns its own
+      cell drops the row and flips the gate red;
+    * MEMBERSHIP is the shared even-odd PIP expression text
+      (geom.sql_pip_predicate shape) over the seeded centers, evaluated on
+      the same IEEE doubles as the numpy kernel — bit-identical booleans.
+
+    Residual untested sliver: a decode drift small enough to stay inside
+    its own cell yet large enough to cross the polygon edge — bounded by
+    the center-child gate to sub-inradius scales and measure-zero in the
+    fixtures (no center sits within float-ulp of an edge)."""
+    spec_rows, seed_rows, edge_rows = [], [], []
+    seq = 0
+    sid = 0
+    for b in polys:
+        sw = _fill_sweep(b["ring"], b["holes"], res)
+        bid = int(b["boundary_id"])
+        lat_base, lat_k0, nlat, s = sw["lat_spec"]
+        for lon_base, nlon, slon in sw["lon_specs"]:
+            spec_rows.append(
+                f"({sid},{bid},{float(lat_base)!r},{lat_k0},{nlat},"
+                f"{float(s)!r},{float(lon_base)!r},{nlon},{float(slon)!r})")
+            sid += 1
+        for c, la7, loe, lop in zip(
+            sw["cand"], sw["clat7"], sw["clon7_enc"], sw["clon7_pip"]
+        ):
+            seed_rows.append(f"({seq},{bid},{int(c)},{int(la7)},{int(loe)},{int(lop)})")
+            seq += 1
+        for y1, x1, y2, x2 in sw["edges"]:
+            edge_rows.append(
+                f"({bid},{float(y1)!r},{float(x1)!r},{float(y2)!r},{float(x2)!r})")
+    lattice_pts = (
+        "SELECT sid*10000000000 + i*nlon + j AS point_id,"
+        " CAST(round(latd*10000000.0) AS BIGINT) AS lat7,"
+        " CAST(round((fmod(fmod(lonb + j*slon + 180.0, 360.0) + 360.0, 360.0)"
+        " - 180.0)*10000000.0) AS BIGINT) AS lon7 FROM lon_j"
+    )
+    seed_pts = "SELECT seq AS point_id, clat7 AS lat7, clon7e AS lon7 FROM seed"
+    return f"""WITH specs(sid, bid, latb, k0, nlat, s, lonb, nlon, slon) AS (VALUES
+    {",".join(spec_rows)}),
+lat_i AS (SELECT sid, bid, latb, k0, s, lonb, nlon, slon,
+                 unnest(generate_series(0, nlat - 1)) AS i FROM specs),
+lon_j AS (SELECT sid, bid, latb + (k0 + i)*s AS latd, i, lonb, slon, nlon,
+                 unnest(generate_series(0, nlon - 1)) AS j FROM lat_i),
+lenc AS ({sql_h3_cell(lattice_pts, res, per_point=True)}),
+cand AS (SELECT DISTINCT s.bid, e.cell
+         FROM lenc e JOIN specs s ON s.sid = e.point_id // 10000000000),
+seed(seq, bid, cell, clat7, clon7e, clon7p) AS (VALUES
+    {",".join(seed_rows)}),
+senc AS ({sql_h3_cell(seed_pts, res, per_point=True)}),
+ver AS (SELECT sd.bid, sd.cell, sd.clat7, sd.clon7p
+        FROM seed sd JOIN senc e ON e.point_id = sd.seq AND e.cell = sd.cell),
+cv AS (SELECT v.bid, v.cell, v.clat7, v.clon7p
+       FROM cand c JOIN ver v ON v.bid = c.bid AND v.cell = c.cell),
+pedges(bid, y1, x1, y2, x2) AS (VALUES
+    {",".join(edge_rows)}),
+crossings AS (SELECT cv.bid, cv.cell,
+  CASE WHEN ((e.y1 > CAST(cv.clat7 AS DOUBLE)) <> (e.y2 > CAST(cv.clat7 AS DOUBLE)))
+    AND (CAST(cv.clon7p AS DOUBLE) <
+         (e.x2 - e.x1) * (CAST(cv.clat7 AS DOUBLE) - e.y1) / (e.y2 - e.y1) + e.x1)
+  THEN 1 ELSE 0 END AS c
+  FROM cv JOIN pedges e ON e.bid = cv.bid)
+SELECT bid AS boundary_id, cell FROM crossings
+GROUP BY bid, cell HAVING sum(c) % 2 = 1"""
 
 
 # --- cellToBoundary (hexagons; substrate-grid vertices per faceijk.c) --------

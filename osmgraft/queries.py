@@ -33,10 +33,13 @@ from osmgraft.synth import (
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
-REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+# oracle: SQL string, None (rows-only gate), or a zero-arg callable building
+# the SQL lazily (for oracles whose construction is itself expensive — e.g.
+# the h3_polyfill twin runs the bbox sweep; resolved + cached in all_oracles)
+REGISTRY: dict[str, tuple[QueryFn, str | None | Callable[[], str]]] = {}
 
 
-def register(name: str, oracle: str | None):
+def register(name: str, oracle: str | None | Callable[[], str]):
     def deco(fn: QueryFn) -> QueryFn:
         REGISTRY[name] = (fn, oracle)
         return fn
@@ -423,15 +426,23 @@ def h3_center_child_r7_r9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("h3_polyfill_r4", None)  # no SQL twin: needs cell-center decode
+def _h3_polyfill_oracle() -> str:
+    from osmgraft.functions.h3real import sql_h3_polyfill_oracle
+    from osmgraft.synth import COVER_BOUNDARIES
+
+    return sql_h3_polyfill_oracle(COVER_BOUNDARIES, 4)
+
+
+@register("h3_polyfill_r4", _h3_polyfill_oracle)  # lazy: sweep runs on demand
 def h3_polyfill_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H3 polygonToCells (center-containment polyfill) of every fixture
     boundary — including the donut hole and the antimeridian-wrapped
-    fiji box — at res 4, one applyInPandas group per polygon.  Rows-only
-    in the driver gate (an SQL twin needs cellToLatLng in DuckDB);
-    membership + grid_disk-closure (no cell whose center is inside is
-    missing, none outside is present) are property-gated in
-    tests/test_h3real.py, on exact decoded centers."""
+    fiji box — at res 4, one applyInPandas group per polygon.  Hash-gated
+    since r4: the DuckDB twin (h3real.sql_h3_polyfill_oracle) re-runs the
+    covering-lattice sweep through the from-scratch SQL encoder, re-encodes
+    every seeded exact center, and re-decides membership with the shared
+    even-odd PIP expression; grid_disk-closure completeness stays
+    property-gated in tests/test_h3real.py on exact decoded centers."""
     from osmgraft.operators.h3ops import h3_polyfill
     from osmgraft.schema import ADMIN_BOUNDARY_SCHEMA
     from osmgraft.synth import COVER_BOUNDARIES
@@ -6801,7 +6812,15 @@ def all_queries() -> dict[str, QueryFn]:
 
 
 def all_oracles() -> dict[str, str]:
-    return {k: v[1] for k, v in REGISTRY.items() if v[1] is not None}
+    out: dict[str, str] = {}
+    for k, (fn, o) in REGISTRY.items():
+        if o is None:
+            continue
+        if callable(o):
+            o = o()
+            REGISTRY[k] = (fn, o)  # cache the resolved SQL
+        out[k] = o
+    return out
 
 
 @register("sessionize_batch_30m", __import__(

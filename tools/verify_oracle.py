@@ -45,7 +45,7 @@ def main():
     import __spark_entry__ as e
     from osmgraft.session import get_spark
 
-    spark = get_spark("verify", cpus=8)
+    spark = get_spark("verify", cpus=int(os.environ.get("VERIFY_CPUS", "8")))
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
