@@ -214,11 +214,16 @@ def _sdiv_round(v: np.ndarray, d: int) -> np.ndarray:
     return np.sign(v) * ((np.abs(v) + d // 2) // d)
 
 
+_BT601_W = np.array([299, 587, 114], dtype=np.int64)
+
+
 def to_gray(pixels: np.ndarray) -> np.ndarray:
     """ITU-R BT.601 luma in MILLI-gray units: int64 (h, w) = 299R+587G+114B.
-    Exact integer arithmetic (the float path's 0.299R+… is this / 1000)."""
-    p = pixels.astype(np.int64)
-    return 299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]
+    Exact integer arithmetic (the float path's 0.299R+… is this / 1000).
+    Spelled as a contiguous last-axis int64 matvec: bit-identical to the
+    per-channel strided form but ~50x faster (BENCH/IMAGE.md r4 — the
+    strided int64 channel views were the image_stats_20k 3x regression)."""
+    return pixels.astype(np.int64) @ _BT601_W
 
 
 def resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -266,15 +271,23 @@ def phash64(pixels: np.ndarray) -> np.int64:
 
 
 def to_gray_batch(pixels: np.ndarray) -> np.ndarray:
-    """Batched BT.601 milli-luma: (n, h, w, 3) uint8 → (n, h, w) int64."""
-    p = pixels.astype(np.int64)
-    return 299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]
+    """Batched BT.601 milli-luma: (n, h, w, 3) uint8 → (n, h, w) int64.
+    Same contiguous int64 matvec as :func:`to_gray` (exact, order-free)."""
+    return pixels.astype(np.int64) @ _BT601_W
 
 
 def resize_area_batch(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Batched integer box/area resampling: (n, h, w) int64 → (n, out_h,
-    out_w) int64. Identical per-image results to :func:`resize_area`."""
+    out_w) int64. Identical per-image results to :func:`resize_area`.
+    Exact-divisor shapes take a reshape-sum fast path (integer sums are
+    associative, so regrouping the bin sum is bit-identical); the general
+    shape falls back to the np.add.at binning."""
     n, h, w = img.shape
+    if h % out_h == 0 and w % out_w == 0:
+        fy, fx = h // out_h, w // out_w
+        s = img.reshape(n, out_h, fy, out_w, fx).sum(axis=(2, 4), dtype=np.int64)
+        c = fy * fx
+        return (2 * s + c) // (2 * c)
     ys = (np.arange(h) * out_h) // h
     xs = (np.arange(w) * out_w) // w
     out = np.zeros((n, out_h, out_w), dtype=np.int64)
