@@ -832,7 +832,9 @@ FROM lp_scored
 QUALIFY rnk <= {top_k}"""
 
 
-def boruvka_msf(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
+def boruvka_msf(
+    edges: DataFrame, max_rounds: int = 12, driver_merge_max: int = 1 << 20
+) -> DataFrame:
     """Minimum spanning forest by Borůvka's algorithm (Borůvka 1926 —
     the oldest MST algorithm and the natively parallel one: every
     component picks its lightest incident crossing edge, components
@@ -853,13 +855,37 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
     shuffle), then contraction of the chosen pointer graph (out-degree
     exactly 1 per component; distinct weights ⇒ only mutual 2-cycles)
     via :func:`cc_star` — O(log) star rounds, each step materialized,
-    so no exponentially-deep self-join plan; no driver collect of data
-    rows, localCheckpoint caps lineage like pagerank /
-    dedup.connected_components.  The DuckDB twin is a genuinely
-    different algorithm (sql_msf_cut: the cut-property
-    characterization via strictly-lighter-subgraph reachability in one
-    recursive CTE) — two algorithms, one hash."""
+    so no exponentially-deep self-join plan; localCheckpoint caps
+    lineage like pagerank / dedup.connected_components.  The DuckDB
+    twin is a genuinely different algorithm (sql_msf_cut: the
+    cut-property characterization via strictly-lighter-subgraph
+    reachability in one recursive CTE) — two algorithms, one hash.
+
+    r4 round-fusion (VERDICT r3 #5): the contraction operates on the
+    POINTER GRAPH, whose size is the component count — at most the
+    node count and halving per round — NOT the edge count.  When the
+    graph has at most ``driver_merge_max`` nodes (the same bound the
+    cc_two_level residual merge uses; for grid-cell callers the node
+    set is grid-bounded — z5 is ≤32×32 cells at ANY data scale), the
+    per-round pipeline collapses to TWO jobs: one distributed
+    min_by-per-component aggregation whose ≤#components-row result is
+    collected, and one broadcast relabel+checkpoint of the (shrinking)
+    component-endpoint edge list; the union-find contraction runs on
+    the driver over the collected pointer rows.  Each round's work over
+    EDGES (the data-scale side) stays fully distributed — only
+    component bookkeeping rides the driver, exactly the documented
+    bounded-driver-merge trade.  Graphs above the bound take the
+    original all-distributed path (cc_star contraction per round)."""
     ecols = edges.select("a", "b", "dcnt", "wkey")
+    if ecols.sparkSession.conf.get("spark.osmgraft.msf.forceDistributed", "0") != "1":
+        nodes_cnt = (
+            ecols.select(F.col("a").alias("node"))
+            .unionAll(ecols.select(F.col("b").alias("node")))
+            .distinct()
+            .count()
+        )
+        if nodes_cnt <= driver_merge_max:
+            return _boruvka_msf_fused(ecols, max_rounds)
     nodes = (
         ecols.select(F.col("a").alias("node"))
         .unionAll(ecols.select(F.col("b").alias("node")))
@@ -915,6 +941,93 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
     if picked is None:
         return ecols.limit(0)
     return picked.distinct()
+
+
+def _boruvka_msf_fused(ecols: DataFrame, max_rounds: int) -> DataFrame:
+    """Fused small-node-set Borůvka body (see :func:`boruvka_msf`): per
+    round ONE distributed min_by-per-component aggregation (collected —
+    ≤ #components rows, under the caller's driver_merge_max gate) and ONE
+    broadcast relabel + checkpoint of the component-endpoint edge list;
+    contraction is a driver union-find over the collected pointer rows.
+    The MSF is unique under distinct wkey, so the fused and distributed
+    paths emit the identical edge set (property-tested both ways)."""
+    spark = ecols.sparkSession
+    # component-endpoint edges; original (a, b, dcnt, wkey) ride as payload.
+    # One eager checkpoint pins the (data-scale) upstream derivation so no
+    # round re-executes it — the legacy path re-joined the raw edge lineage
+    # every round.
+    ce = ecols.select(
+        F.col("a").alias("u"), F.col("b").alias("v"), "a", "b", "dcnt", "wkey"
+    ).localCheckpoint()
+    picked: dict = {}
+    for _ in range(max_rounds):
+        cand = ce.select(
+            F.col("u").alias("c"), F.col("v").alias("d"), "a", "b", "dcnt", "wkey"
+        ).unionAll(
+            ce.select(
+                F.col("v").alias("c"), F.col("u").alias("d"), "a", "b", "dcnt", "wkey"
+            )
+        )
+        chosen = (
+            cand.groupBy("c")
+            .agg(F.min(F.struct("wkey", "d", "a", "b", "dcnt")).alias("m"))
+            .select(
+                "c",
+                F.col("m.d").alias("d"),
+                F.col("m.a").alias("a"),
+                F.col("m.b").alias("b"),
+                F.col("m.dcnt").alias("dcnt"),
+                F.col("m.wkey").alias("wkey"),
+            )
+            .collect()  # ≤ #components rows — the gated driver merge
+        )
+        if not chosen:
+            break
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in chosen:
+            picked[row.wkey] = (row.a, row.b, row.dcnt, row.wkey)
+            ru, rv = find(row.c), find(row.d)
+            if ru != rv:
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+        labels = [(x, find(x)) for x in parent]
+        lbl = spark.createDataFrame(labels, "old long, new long")
+        ce = (
+            ce.join(
+                F.broadcast(lbl.select(F.col("old").alias("u"), F.col("new").alias("nu"))),
+                "u",
+                "left",
+            )
+            .join(
+                F.broadcast(lbl.select(F.col("old").alias("v"), F.col("new").alias("nv"))),
+                "v",
+                "left",
+            )
+            .select(
+                F.coalesce("nu", F.col("u")).alias("u"),
+                F.coalesce("nv", F.col("v")).alias("v"),
+                "a",
+                "b",
+                "dcnt",
+                "wkey",
+            )
+            .where(F.col("u") != F.col("v"))
+            .localCheckpoint()
+        )
+    if not picked:
+        return ecols.limit(0)
+    return spark.createDataFrame(list(picked.values()), ecols.schema)
 
 
 def sql_msf_cut(adj_sql: str) -> str:

@@ -523,3 +523,28 @@ def test_harmonic_centrality_matches_bfs_reference(spark):
         for r in harmonic_centrality(df, sources, rounds=6).collect()
     }
     assert got == exp
+
+
+def test_boruvka_msf_fused_matches_distributed(spark):
+    """The r4 fused (driver-contracted) path and the legacy all-distributed
+    path must emit the identical MSF edge set (unique under distinct wkey)."""
+    import numpy as np
+
+    from osmgraft.operators.graph import boruvka_msf
+
+    rng = np.random.default_rng(33)
+    pairs = {(int(a), int(b)) for a, b in rng.integers(0, 80, (500, 2)) if a < b}
+    edges = [
+        (a, b, int(w), int(w) * 16777216 + a * 4096 + b)
+        for (a, b), w in zip(sorted(pairs), rng.integers(0, 60, len(pairs)))
+    ]
+    df = spark.createDataFrame(edges, "a long, b long, dcnt long, wkey long")
+    fused = sorted((r.a, r.b, r.dcnt, r.wkey) for r in boruvka_msf(df).collect())
+    spark.conf.set("spark.osmgraft.msf.forceDistributed", "1")
+    try:
+        legacy = sorted(
+            (r.a, r.b, r.dcnt, r.wkey) for r in boruvka_msf(df).collect()
+        )
+    finally:
+        spark.conf.set("spark.osmgraft.msf.forceDistributed", "0")
+    assert fused == legacy == _kruskal_ref(edges)
