@@ -99,3 +99,42 @@ def test_spark_submit_py_files_curation(tmp_path):
     assert counts["all"] == 4000
     assert 0 < counts["dedup_canonical"] <= counts["lang_en"] <= 4000
     assert counts["packed_windows"] > 0
+
+
+def test_spark_submit_local_cluster_flagship(tmp_path):
+    """Multi-executor deployment proof (north rule): standalone local-cluster
+    mode spawns a real Master + separate Worker JVMs with their own executor
+    Python workers, so driver-only imports/paths that local[n] masks fail
+    here. Flagship must run from the shipped zip alone (BENCH/SUBMIT.md)."""
+    sys.path.insert(0, REPO)
+    from tools.make_dist import build
+
+    zip_path = build(str(tmp_path / "osmgraft.zip"))
+    out_dir = str(tmp_path / "out")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master",
+            "local-cluster[2,4,4096]",
+            "--conf",
+            "spark.ui.enabled=false",
+            "--conf",
+            "spark.sql.shuffle.partitions=8",
+            "--py-files",
+            zip_path,
+            os.path.join(REPO, "tools", "jobs", "flagship_job.py"),
+            "--rows",
+            "50000",
+            "--output",
+            out_dir,
+        ],
+        cwd=str(tmp_path),
+        capture_output=True,
+        text=True,
+        timeout=280,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "wrote" in proc.stdout
