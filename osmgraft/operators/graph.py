@@ -36,11 +36,21 @@ def pagerank(edges: DataFrame, iters: int = 4, checkpoint_every: int = 4) -> Dat
 
     Nodes are everything appearing as src or dst. Returns (node_id, rank_fx)
     after exactly ``iters`` iterations — fixed count, so the result is a
-    deterministic function of the edge list."""
+    deterministic function of the edge list.
+
+    The edge list is materialized once up front (eager localCheckpoint):
+    every iteration references it twice (contrib join + deg), and Catalyst
+    does not dedupe common subtrees, so an un-materialized upstream (e.g.
+    textrank's regex tokenize + bigram explode) would re-execute
+    O(iters) times inside the final action (r4 fix: textrank 8.9 s → the
+    tokenize ran ~10x).  ``nodes``/``deg`` are derived from the pinned
+    edges, so they re-scan materialized rows only."""
+    edges = edges.select("src", "dst").localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node_id"))
         .unionByName(edges.select(F.col("dst").alias("node_id")))
         .distinct()
+        .localCheckpoint()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = nodes.withColumn("rank_fx", F.lit(SCALE).cast("long"))
@@ -460,11 +470,19 @@ def kcore(edges: DataFrame, k: int, rounds: int, checkpoint_every: int = 4) -> D
     Returns surviving (node_id, degree).  Per round: ONE degree aggregation
     + one semi-join filter on each endpoint — two shuffles, map-side
     combine; localCheckpoint every few rounds stops plan doubling (the
-    pagerank discipline)."""
-    live = edges
+    pagerank discipline).
+
+    r4: ``keep`` (node-scale, tiny) is pinned per round — it is referenced
+    twice in the filter join and its subtree CONTAINS the previous round's
+    ``live``, so un-pinned the plan tripled per round (~3^checkpoint_every
+    re-evaluations of the checkpointed base inside each window; measured
+    7.0 s → ~4 s on kcore20_planted at sf0.1).  With keep pinned, live's
+    lineage grows by one join pair per round, and the every-few-rounds live
+    checkpoint bounds the chain that each keep evaluation walks."""
+    live = edges.select("src", "dst").localCheckpoint()
     for t in range(rounds):
         deg = live.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-        keep = deg.filter(F.col("d") >= k).select("src")
+        keep = deg.filter(F.col("d") >= k).select("src").localCheckpoint()
         live = (
             live.join(keep, "src")
             .join(keep.select(F.col("src").alias("dst")), "dst")
@@ -1167,12 +1185,16 @@ def personalized_pagerank(
     so scores measure proximity to the seeds, not global centrality.
     Same Pregel shape, same float-free gate discipline (the twin
     unrolls the recurrence as chained CTEs with the same seed
-    predicate).  Returns (node_id, rank_fx)."""
+    predicate).  Returns (node_id, rank_fx).  Edges/nodes are pinned up
+    front like :func:`pagerank` (un-materialized upstreams re-execute
+    O(iters) times otherwise)."""
     seed_set = sorted(set(int(s) for s in seeds))
+    edges = edges.select("src", "dst").localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node_id"))
         .unionByName(edges.select(F.col("dst").alias("node_id")))
         .distinct()
+        .localCheckpoint()
     )
     is_seed = F.col("node_id").isin(seed_set)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
