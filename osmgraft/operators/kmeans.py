@@ -122,7 +122,12 @@ def kmeans_exact(
                 F.when(empty, F.col(f"psx{j}")).otherwise(F.col(f"csx{j}")).cast("long").alias(f"sx{j}"),
                 F.when(empty, F.col(f"psy{j}")).otherwise(F.col(f"csy{j}")).cast("long").alias(f"sy{j}"),
             ]
-        wide = nxt.select(*outc)
+        # pin the 1-row centroid state per round: un-pinned, round r's
+        # broadcast lineage nests every earlier round's full aggregation, so
+        # the point scan re-executed O(rounds^2)/2 times (r4; the data-scale
+        # side stays un-materialized — re-scanning the input per round is
+        # the correct 100 TB trade, re-running prior rounds is not)
+        wide = nxt.select(*outc).localCheckpoint()
 
     stack = ", ".join(f"{j}, n{j}, sx{j}, sy{j}" for j in range(k))
     return wide.selectExpr(

@@ -2002,7 +2002,11 @@ def edge_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejected slots simply drop).  Emits (u, v, i).
 
     100 TB: one dense-rank index, a k-slot explode, one broadcast-able
-    rank join, one anti-join — no randomness, no driver state."""
+    rank join, one anti-join — no randomness, no driver state.  The
+    undirected edge set and the rank index are pinned (eager checkpoint):
+    und feeds three consumers (rank index, candidate join, anti-join) and
+    idx two, so un-pinned the road-edge derivation re-executed ~4x in the
+    final action (the pagerank lineage discipline, r4)."""
     from pyspark.sql import Window as W
 
     from osmgraft.functions.text import md5_long
@@ -2014,6 +2018,7 @@ def edge_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
     nodes = (
         und.select(F.col("a").alias("node"))
@@ -2023,7 +2028,7 @@ def edge_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = nodes.count()
     idx = nodes.withColumn(
         "ridx", F.row_number().over(W.orderBy("node")).cast("long") - 1
-    )
+    ).localCheckpoint()
     cand = (
         idx.select(F.col("node").alias("u"))
         .crossJoin(spark.range(_NEG_K).select(F.col("id").alias("i")))
