@@ -3402,11 +3402,105 @@ def _n_images(sf_dir: str) -> int:
 
 @register("image_stats", None)
 def image_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image decode -> exact channel sums + pHash (Arrow kernel over binary column)."""
+    """Image decode -> exact channel sums + pHash (Arrow kernel over binary
+    column). Rows-only here (pixels are Philox-generated, not SQL-derivable);
+    the SAME operator is hash-gated end to end on formula pixels by
+    image_stats_phash_formula."""
     from osmgraft.operators.multimodal import image_stats
     from osmgraft.synth import synth_images
 
     return image_stats(synth_images(spark, _n_images(sf_dir)))
+
+
+_PHF_CAP = 600  # formula images; SQL-capped like the audio fixture
+
+
+def _sql_image_stats_phash() -> str:
+    """DuckDB twin of image_stats over the textured formula fixture — the
+    ENTIRE integer pHash pipeline re-derived relationally: BT.601
+    milli-luma from the pixel formula, 32x32 half-up box resize (empty
+    upsample bins = 0, matching resize_area's clamped count), the 2^16
+    fixed-point 32-point DCT-II with the basis computed IN SQL from the
+    cosine formula (bit-equal to codec._DCT_M_FX for all 1024 entries —
+    np.round half-even vs round() half-away cannot differ: cos of rational
+    multiples of pi is irrational except 0,±1/2,±1 by Niven, and those hit
+    no .5 case at 2^16 scale), the 63-element exact median (order statistic
+    rank 32), the numpy float64-domain bit comparison (CAST AS DOUBLE on
+    both sides), and two's-complement 64-bit packing (fi=0 carries -2^63).
+    Any decode, resize, DCT, median, or packing bug flips the hash."""
+    return f"""
+WITH idxs AS (SELECT row_number() OVER () - 1 AS i FROM orders),
+imgs AS (SELECT i, 16 + (i % 3) * 8 AS w, 12 + (i % 2) * 6 AS h
+         FROM idxs WHERE i < {_PHF_CAP}),
+px AS (
+  SELECT i, w, h, y.range AS y, x.range AS x,
+         (i*37 + y.range*11 + x.range*7 + 13*y.range*x.range) % 256 AS b
+  FROM imgs, range(0,32) y, range(0,32) x
+  WHERE y.range < h AND x.range < w),
+lum AS (
+  SELECT i, w, h, y, x,
+         299*((b+0)%256) + 587*((b+29)%256) + 114*((b+58)%256) AS l,
+         (b+0)%256 AS p0, (b+29)%256 AS p1, (b+58)%256 AS p2
+  FROM px),
+sums AS (SELECT i, sum(p0) AS sum_r, sum(p1) AS sum_g, sum(p2) AS sum_b
+         FROM lum GROUP BY i),
+binagg AS (
+  SELECT i, (y*32)//h AS yb, (x*32)//w AS xb, sum(l) AS s, count(*) AS c
+  FROM lum GROUP BY i, (y*32)//h, (x*32)//w),
+grid AS (SELECT i, yb.range AS yb, xb.range AS xb
+         FROM imgs, range(0,32) yb, range(0,32) xb),
+r AS (
+  SELECT g.i, g.yb, g.xb,
+         CASE WHEN b.c IS NULL THEN 0 ELSE (2*b.s + b.c) // (2*b.c) END AS v
+  FROM grid g LEFT JOIN binagg b ON b.i=g.i AND b.yb=g.yb AND b.xb=g.xb),
+m AS (SELECT n.range AS n, k.range AS k,
+             CAST(round(cos(pi()/32 * (n.range + 0.5) * k.range) * 65536) AS BIGINT) AS m
+      FROM range(0,32) n, range(0,8) k),
+s1 AS (
+  SELECT r.i, m.k AS k1, r.xb, sum(m.m * r.v) AS v
+  FROM r JOIN m ON m.n = r.yb GROUP BY r.i, m.k, r.xb),
+d AS (
+  SELECT s1.i, s1.k1, m.k AS k2, sum(s1.v * m.m) AS v
+  FROM s1 JOIN m ON m.n = s1.xb GROUP BY s1.i, s1.k1, m.k),
+flat AS (SELECT i, k1*8 + k2 AS fi, v FROM d),
+med AS (
+  SELECT i, v AS medv FROM (
+    SELECT i, v, row_number() OVER (PARTITION BY i ORDER BY v) AS rn
+    FROM flat WHERE fi >= 1) t WHERE rn = 32),
+bits AS (
+  SELECT f.i, f.fi,
+         CASE WHEN CAST(f.v AS DOUBLE) > CAST(m.medv AS DOUBLE) THEN 1 ELSE 0 END AS bit
+  FROM flat f JOIN med m ON m.i = f.i),
+ph AS (
+  SELECT i,
+    sum(CASE WHEN fi = 0 AND bit = 1 THEN -9223372036854775808
+             WHEN fi > 0 AND bit = 1 THEN (1::BIGINT << (63 - fi))
+             ELSE 0 END) AS phash
+  FROM bits GROUP BY i)
+SELECT concat('timg', lpad(CAST(s.i AS VARCHAR), 9, '0')) AS image_id,
+       CAST(s.sum_r AS BIGINT) AS sum_r, CAST(s.sum_g AS BIGINT) AS sum_g,
+       CAST(s.sum_b AS BIGINT) AS sum_b, CAST(p.phash AS BIGINT) AS phash
+FROM sums s JOIN ph p ON p.i = s.i"""
+
+
+@register("image_stats_phash_formula", _sql_image_stats_phash())
+def image_stats_phash_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """image_stats hash-gated END TO END (r4 — closes the last rows-only
+    image gate class): real raw/ppm/PNG containers of the textured formula
+    fixture are decoded by the Arrow batch kernel and reduced to channel
+    sums + the 64-bit integer pHash; the DuckDB twin re-derives every
+    pixel from the formula and replays the ENTIRE hash pipeline
+    relationally (resize, in-SQL cosine DCT basis, fixed-point DCT,
+    median, float64-domain bits, two's-complement packing) — see
+    _sql_image_stats_phash. One wrong pixel anywhere in decode or one
+    wrong coefficient in the hash flips the gate."""
+    from osmgraft.operators.multimodal import image_stats
+    from osmgraft.synth import synth_textured_images
+
+    n = min(
+        spark.read.parquet(f"{sf_dir}/orders.parquet").count(), _PHF_CAP
+    )
+    return image_stats(synth_textured_images(spark, n))
 
 
 @register(
