@@ -679,7 +679,7 @@ def mosaic_tiles(
 
 
 def terrain_rgb_tiles(
-    tile_counts: DataFrame, z: int, parent_z: int
+    tile_counts: DataFrame, z: int, parent_z: int, ensure_parallelism: bool = False
 ) -> DataFrame:
     """DEM tile ENCODER in Mapbox Terrain-RGB convention (public spec:
     elevation = -10000 + 0.1·(R·65536 + G·256 + B)): per parent tile at
@@ -717,6 +717,13 @@ def terrain_rgb_tiles(
     packed = counts.groupBy("ptx", "pty").agg(
         F.collect_list(F.struct("sx", "sy", "elev")).alias("cells")
     )
+    if ensure_parallelism:
+        # sandbox/test opt-in (operators never blind-shuffle, VERDICT r1 #6):
+        # AQE coalesces the few-MB packed-parents shuffle to ONE partition,
+        # serializing the CPU-heavy deflate render on local fixtures
+        from osmgraft.operators.util import ensure_min_parallelism
+
+        packed = ensure_min_parallelism(packed)
 
     def render(pdfs):
         for pdf in pdfs:

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from osmgraft.functions import coords, tiles
 from osmgraft.geom import sql_pip_predicate
 from osmgraft.operators.pip import pip_join
+from osmgraft.operators.util import ensure_min_parallelism
 from osmgraft.synth import (
     _A_LAT,
     _A_LON,
@@ -10867,7 +10868,7 @@ def terrain_rgb_roundtrip_z10_7(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = _cells_df(spark, sf_dir, 10).select(
         F.col("cx").alias("tx"), F.col("cy").alias("ty"), "cnt"
     )
-    return terrain_rgb_stats(terrain_rgb_tiles(cells, z=10, parent_z=7))
+    return terrain_rgb_stats(terrain_rgb_tiles(cells, z=10, parent_z=7, ensure_parallelism=True))
 
 
 def _viewshed_oracle() -> str:
@@ -10901,7 +10902,7 @@ def terrain_viewshed_z10_7(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = _cells_df(spark, sf_dir, 10).select(
         F.col("cx").alias("tx"), F.col("cy").alias("ty"), "cnt"
     )
-    return terrain_viewshed(terrain_rgb_tiles(cells, z=10, parent_z=7))
+    return terrain_viewshed(terrain_rgb_tiles(cells, z=10, parent_z=7, ensure_parallelism=True))
 
 
 def _d8_oracle() -> str:
@@ -10934,7 +10935,7 @@ def terrain_d8_flow_z10_7(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = _cells_df(spark, sf_dir, 10).select(
         F.col("cx").alias("tx"), F.col("cy").alias("ty"), "cnt"
     )
-    return terrain_d8_flow(terrain_rgb_tiles(cells, z=10, parent_z=7))
+    return terrain_d8_flow(terrain_rgb_tiles(cells, z=10, parent_z=7, ensure_parallelism=True))
 
 
 def _hypsometry_oracle() -> str:
@@ -10990,7 +10991,7 @@ def terrain_hypsometry_z10_7(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = _cells_df(spark, sf_dir, 10).select(
         F.col("cx").alias("tx"), F.col("cy").alias("ty"), "cnt"
     )
-    tiles_df = terrain_rgb_tiles(cells, z=10, parent_z=7)
+    tiles_df = terrain_rgb_tiles(cells, z=10, parent_z=7, ensure_parallelism=True)
 
     def kernel(pdfs):
         import numpy as np
@@ -11063,7 +11064,7 @@ def terrain_watershed_z10_7(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = _cells_df(spark, sf_dir, 10).select(
         F.col("cx").alias("tx"), F.col("cy").alias("ty"), "cnt"
     )
-    return terrain_watershed(terrain_rgb_tiles(cells, z=10, parent_z=7))
+    return terrain_watershed(terrain_rgb_tiles(cells, z=10, parent_z=7, ensure_parallelism=True))
 
 
 def _flowacc_oracle() -> str:
@@ -11098,7 +11099,7 @@ def terrain_flow_accumulation_z10_7(spark: SparkSession, sf_dir: str) -> DataFra
     cells = _cells_df(spark, sf_dir, 10).select(
         F.col("cx").alias("tx"), F.col("cy").alias("ty"), "cnt"
     )
-    return terrain_flow_accumulation(terrain_rgb_tiles(cells, z=10, parent_z=7))
+    return terrain_flow_accumulation(terrain_rgb_tiles(cells, z=10, parent_z=7, ensure_parallelism=True))
 
 
 def _sql_boundary_luma() -> str:
