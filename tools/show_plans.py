@@ -82,6 +82,11 @@ HEADLINE = [
     "embedding_matryoshka_overlap",
     "attribution_last_touch",
     "basket_lift_pairs",
+    # round-4 heads
+    "h3_polyfill_r4",
+    "image_stats_phash_formula",
+    "edge_negative_samples",
+    "kmeans_exact_k6_r3",
 ]
 
 KEEP = (
