@@ -292,7 +292,11 @@ def mvt_features(tiles_df: DataFrame, layer: str = "counts") -> DataFrame:
 
 
 def render_tile_mvt_lines(
-    clipped: DataFrame, z: int, layer: str = "ways", extent: int = 4096
+    clipped: DataFrame,
+    z: int,
+    layer: str = "ways",
+    extent: int = 4096,
+    ensure_parallelism: bool = False,
 ) -> DataFrame:
     """Materialize the LINE-layer tile-server product: clipped way segments
     (operators/clip.py output: way_id, seg_idx, tx, ty, px0..py1 tile-local
@@ -328,6 +332,13 @@ def render_tile_mvt_lines(
             ).alias("segs")
         )
     )
+    if ensure_parallelism:
+        # sandbox/test opt-in (see terrain_rgb_tiles): AQE coalesces the
+        # few-MB grouped-tiles shuffle to one partition, serializing the
+        # protobuf encode kernel on local fixtures
+        from osmgraft.operators.util import ensure_min_parallelism
+
+        grouped = ensure_min_parallelism(grouped)
     out_schema = "z int, tx long, ty long, mvt binary, n_features long"
 
     def kernel(batches):

@@ -4352,6 +4352,10 @@ def mvt_lines_roundtrip_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmgraft.operators.raster import mvt_line_features, render_tile_mvt_lines
 
     clipped = clip_segments_z6(spark, sf_dir)
+    # NOTE: ensure_parallelism deliberately NOT set — A/B at sf0.1 measured
+    # the extra packed-array shuffle costing more than the serialized encode
+    # saves (3.3 s vs 4.8 s); the segs payload is heavy, unlike the terrain
+    # case where the packed groups are tiny
     tiles_df = render_tile_mvt_lines(clipped, z=6)
     return mvt_line_features(tiles_df).select(
         "way_id", "seg_idx", "tx", "ty",
@@ -11405,7 +11409,10 @@ def gpx_roundtrip_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ent",
         gpx_trk(F.concat(F.lit("ent"), F.col("ent").cast("string")), F.col("body")).alias("gpx"),
     )
-    parsed = parse_gpx_trkpts(tracks, "gpx")
+    # 199 ~70KB track strings coalesce to ONE AQE partition after the
+    # assembly agg, serializing the regex parse — sandbox opt-in, as for
+    # the terrain render (at scale entity count >> cores)
+    parsed = parse_gpx_trkpts(ensure_min_parallelism(tracks), "gpx")
     return parsed.groupBy("ent", "gpx").agg(
         F.count(F.lit(1)).cast("long").alias("n_vertices"),
         F.sum(2 * F.col("lon7").cast("long") + F.col("lat7").cast("long"))
