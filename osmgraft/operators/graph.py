@@ -896,6 +896,10 @@ def boruvka_msf(
     original all-distributed path (cc_star contraction per round)."""
     ecols = edges.select("a", "b", "dcnt", "wkey")
     if ecols.sparkSession.conf.get("spark.osmgraft.msf.forceDistributed", "0") != "1":
+        # pin the edge derivation ONCE — the size gate and every later
+        # consumer (fused or legacy) re-scan materialized rows instead of
+        # re-running the upstream adjacency build per reference
+        ecols = ecols.localCheckpoint()
         nodes_cnt = (
             ecols.select(F.col("a").alias("node"))
             .unionAll(ecols.select(F.col("b").alias("node")))
@@ -970,13 +974,12 @@ def _boruvka_msf_fused(ecols: DataFrame, max_rounds: int) -> DataFrame:
     The MSF is unique under distinct wkey, so the fused and distributed
     paths emit the identical edge set (property-tested both ways)."""
     spark = ecols.sparkSession
-    # component-endpoint edges; original (a, b, dcnt, wkey) ride as payload.
-    # One eager checkpoint pins the (data-scale) upstream derivation so no
-    # round re-executes it — the legacy path re-joined the raw edge lineage
-    # every round.
+    # component-endpoint edges; original (a, b, dcnt, wkey) ride as payload
+    # (caller already pinned ecols — this projection re-scans materialized
+    # rows only)
     ce = ecols.select(
         F.col("a").alias("u"), F.col("b").alias("v"), "a", "b", "dcnt", "wkey"
-    ).localCheckpoint()
+    )
     picked: dict = {}
     for _ in range(max_rounds):
         cand = ce.select(
