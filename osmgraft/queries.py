@@ -3438,18 +3438,35 @@ px AS (
          (i*37 + y.range*11 + x.range*7 + 13*y.range*x.range) % 256 AS b
   FROM imgs, range(0,32) y, range(0,32) x
   WHERE y.range < h AND x.range < w),
-lum AS (
+px3 AS (
   SELECT i, w, h, y, x,
-         299*((b+0)%256) + 587*((b+29)%256) + 114*((b+58)%256) AS l,
          (b+0)%256 AS p0, (b+29)%256 AS p1, (b+58)%256 AS p2
   FROM px),
+{_sql_phash_stats_tail()}
+SELECT concat('timg', lpad(CAST(s.i AS VARCHAR), 9, '0')) AS image_id,
+       CAST(s.sum_r AS BIGINT) AS sum_r, CAST(s.sum_g AS BIGINT) AS sum_g,
+       CAST(s.sum_b AS BIGINT) AS sum_b, CAST(p.phash AS BIGINT) AS phash
+FROM sums s JOIN ph p ON p.i = s.i"""
+
+
+def _sql_phash_stats_tail() -> str:
+    """Shared CTE-chain fragment of the relational pHash pipeline: consumes
+    a preceding CTE ``px3(i, w, h, y, x, p0, p1, p2)`` (dense per-pixel
+    rows, one per (image, y, x)) and defines ``sums(i, sum_r, sum_g,
+    sum_b)`` and ``ph(i, phash)``.  See _sql_image_stats_phash for the
+    numeric-discipline notes (half-up resize, in-SQL cosine basis, rank-32
+    median, float64-domain bits, two's-complement packing).  Reused by the
+    tile_mosaic_phash_z5 twin over assembled montage canvases."""
+    return """lum AS (
+  SELECT i, w, h, y, x, 299*p0 + 587*p1 + 114*p2 AS l, p0, p1, p2
+  FROM px3),
 sums AS (SELECT i, sum(p0) AS sum_r, sum(p1) AS sum_g, sum(p2) AS sum_b
          FROM lum GROUP BY i),
 binagg AS (
   SELECT i, (y*32)//h AS yb, (x*32)//w AS xb, sum(l) AS s, count(*) AS c
   FROM lum GROUP BY i, (y*32)//h, (x*32)//w),
-grid AS (SELECT i, yb.range AS yb, xb.range AS xb
-         FROM imgs, range(0,32) yb, range(0,32) xb),
+grid AS (SELECT di.i, yb.range AS yb, xb.range AS xb
+         FROM (SELECT DISTINCT i FROM px3) di, range(0,32) yb, range(0,32) xb),
 r AS (
   SELECT g.i, g.yb, g.xb,
          CASE WHEN b.c IS NULL THEN 0 ELSE (2*b.s + b.c) // (2*b.c) END AS v
@@ -3477,11 +3494,7 @@ ph AS (
     sum(CASE WHEN fi = 0 AND bit = 1 THEN -9223372036854775808
              WHEN fi > 0 AND bit = 1 THEN (1::BIGINT << (63 - fi))
              ELSE 0 END) AS phash
-  FROM bits GROUP BY i)
-SELECT concat('timg', lpad(CAST(s.i AS VARCHAR), 9, '0')) AS image_id,
-       CAST(s.sum_r AS BIGINT) AS sum_r, CAST(s.sum_g AS BIGINT) AS sum_g,
-       CAST(s.sum_b AS BIGINT) AS sum_b, CAST(p.phash AS BIGINT) AS phash
-FROM sums s JOIN ph p ON p.i = s.i"""
+  FROM bits GROUP BY i)"""
 
 
 @register("image_stats_phash_formula", _sql_image_stats_phash())
@@ -3502,6 +3515,97 @@ def image_stats_phash_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/orders.parquet").count(), _PHF_CAP
     )
     return image_stats(synth_textured_images(spark, n))
+
+
+def _sql_tile_mosaic_phash() -> str:
+    """DuckDB twin of the GEO-MOSAIC montage pipeline (tile_mosaic_phash_z5):
+    re-derives per z5 tile the rank-ordered top-64 pick (row_number over
+    image_id ≡ idx for the fixed-width ids), each pick's 8×8 per-channel
+    half-up area thumbnail straight from the pixel formula, the row-major
+    canvas placement (rk-1 = (y//8)*8 + x//8), dense 64×64 zero-fill, and
+    then the FULL relational pHash/stats pipeline over the canvases via
+    the shared tail — so tile assignment, pick order, thumbnail resize,
+    placement arithmetic, the PNG encode∘decode roundtrip and the hash all
+    sit on one value hash."""
+    from osmgraft.synth import sql_latlon_of_key
+
+    lat, lon = sql_latlon_of_key("i")
+    tx = tiles.sql_tile_x("lon7", 5)
+    ty = tiles.sql_tile_y("lat7", 5)
+    return f"""
+WITH idxs AS (SELECT row_number() OVER () - 1 AS i FROM orders),
+imgs0 AS (SELECT i, 16 + (i % 3) * 8 AS w, 12 + (i % 2) * 6 AS h
+          FROM idxs WHERE i < {_PHF_CAP}),
+geo AS (SELECT i, w, h, {lat} AS lat7, {lon} AS lon7 FROM imgs0),
+tiled AS (SELECT i, w, h, {tx} AS tx, {ty} AS ty FROM geo),
+ranked AS (SELECT * FROM (
+    SELECT i, w, h, tx, ty,
+           row_number() OVER (PARTITION BY tx, ty ORDER BY i) AS rk
+    FROM tiled) t WHERE rk <= 64),
+tpx AS (
+  SELECT r.tx, r.ty, r.rk, r.i, r.w, r.h, y.range AS y, x.range AS x,
+         (r.i*37 + y.range*11 + x.range*7 + 13*y.range*x.range) % 256 AS b
+  FROM ranked r, range(0,32) y, range(0,32) x
+  WHERE y.range < r.h AND x.range < r.w),
+tb AS (
+  SELECT tx, ty, rk, (y*8)//h AS yb, (x*8)//w AS xb,
+         (2*sum((b+0)%256) + count(*)) // (2*count(*)) AS p0,
+         (2*sum((b+29)%256) + count(*)) // (2*count(*)) AS p1,
+         (2*sum((b+58)%256) + count(*)) // (2*count(*)) AS p2
+  FROM tpx GROUP BY tx, ty, rk, (y*8)//h, (x*8)//w),
+keys AS (SELECT tx, ty, count(*) AS n_images FROM ranked GROUP BY tx, ty),
+cgrid AS (SELECT k.tx, k.ty, cy.range AS y, cx.range AS x
+          FROM keys k, range(0,64) cy, range(0,64) cx),
+px3 AS (
+  SELECT g.tx*1024 + g.ty AS i, 64 AS w, 64 AS h, g.y, g.x,
+         COALESCE(t.p0, 0) AS p0, COALESCE(t.p1, 0) AS p1, COALESCE(t.p2, 0) AS p2
+  FROM cgrid g LEFT JOIN tb t
+    ON t.tx = g.tx AND t.ty = g.ty
+   AND t.rk = (g.y // 8) * 8 + (g.x // 8) + 1
+   AND t.yb = g.y % 8 AND t.xb = g.x % 8),
+{_sql_phash_stats_tail()}
+SELECT concat('mz', CAST(s.i // 1024 AS VARCHAR), '_', CAST(s.i % 1024 AS VARCHAR)) AS image_id,
+       CAST(k.n_images AS BIGINT) AS n_images,
+       CAST(s.sum_r AS BIGINT) AS sum_r, CAST(s.sum_g AS BIGINT) AS sum_g,
+       CAST(s.sum_b AS BIGINT) AS sum_b, CAST(p.phash AS BIGINT) AS phash
+FROM sums s JOIN ph p ON p.i = s.i
+JOIN keys k ON k.tx*1024 + k.ty = s.i"""
+
+
+@register("tile_mosaic_phash_z5", _sql_tile_mosaic_phash)  # lazy (synth import)
+def tile_mosaic_phash_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The photo-map montage pipeline hash-gated END TO END (r4): textured
+    formula images get deterministic geo tags, operators/raster.mosaic_tiles
+    assigns them to z5 tiles, picks each tile's 64 lowest ids BEFORE any
+    decode (WindowGroupLimit), decodes the raw/ppm/PNG payloads, area-
+    resizes to 8×8 thumbnails, places them row-major on a 64×64 canvas and
+    PNG-encodes it; the canvases then roundtrip through image_stats
+    (decode → channel sums + integer pHash).  The DuckDB twin re-derives
+    canvases pixel-by-pixel from the formula and replays the hash
+    relationally (_sql_tile_mosaic_phash) — placement off by one cell,
+    a wrong pick order, resize bin, or canvas byte flips the gate."""
+    from osmgraft.operators.multimodal import image_stats
+    from osmgraft.operators.raster import mosaic_tiles
+    from osmgraft.synth import latlon_of_key, synth_textured_images
+
+    n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), _PHF_CAP)
+    imgs = synth_textured_images(spark, n)
+    idx = F.substring("image_id", 5, 9).cast("long")
+    lat, lon = latlon_of_key(idx)
+    geo = imgs.select("*", lat.alias("lat7"), lon.alias("lon7"))
+    mz = mosaic_tiles(geo, z=5)
+    canv = mz.select(
+        F.concat(
+            F.lit("mz"), F.col("tx").cast("string"),
+            F.lit("_"), F.col("ty").cast("string"),
+        ).alias("image_id"),
+        F.col("png").alias("bytes"),
+        F.lit(64).cast("int").alias("w"),
+        F.lit(64).cast("int").alias("h"),
+        F.lit("png").alias("fmt"),
+        F.col("n_images").cast("long").alias("n_images"),
+    ).localCheckpoint()  # consumed twice (stats + n_images join)
+    return image_stats(canv).join(canv.select("image_id", "n_images"), "image_id")
 
 
 @register(
