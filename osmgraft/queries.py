@@ -3608,6 +3608,78 @@ def tile_mosaic_phash_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_stats(canv).join(canv.select("image_id", "n_images"), "image_id")
 
 
+def _sql_tile_render_png_phash() -> str:
+    """DuckDB twin of the heat-raster tile-server pipeline
+    (tile_render_png_phash_z10): z13 counts → per-z10-parent 8×8 raster,
+    intensity = (cnt·255) // tile-max (pure integer), nearest-neighbor
+    8× upscale (pixel (y, x) reads cell (y//8, x//8)), gray RGB — then the
+    shared relational pHash/stats tail over the dense 64×64 canvases.
+    Gates rasterize + PNG encode∘decode + hash on one value hash."""
+    tx = tiles.sql_tile_x("lon7", 13)
+    ty = tiles.sql_tile_y("lat7", 13)
+    return f"""
+WITH pts AS ({_PTS}),
+c13 AS (SELECT {tx} AS tx, {ty} AS ty, count(*) AS cnt FROM pts GROUP BY 1, 2),
+pc AS (SELECT tx // 8 AS ptx, ty // 8 AS pty, tx % 8 AS sx, ty % 8 AS sy, cnt
+       FROM c13),
+mx AS (SELECT ptx, pty, max(cnt) AS mxc, sum(cnt) AS n_points
+       FROM pc GROUP BY ptx, pty),
+cells AS (SELECT p.ptx, p.pty, p.sx, p.sy,
+                 (p.cnt * 255) // GREATEST(m.mxc, 1) AS v
+          FROM pc p JOIN mx m ON m.ptx = p.ptx AND m.pty = p.pty),
+cgrid AS (SELECT k.ptx, k.pty, y.range AS y, x.range AS x
+          FROM mx k, range(0,64) y, range(0,64) x),
+px3 AS (
+  SELECT g.ptx*1024 + g.pty AS i, 64 AS w, 64 AS h, g.y, g.x,
+         COALESCE(c.v, 0) AS p0, COALESCE(c.v, 0) AS p1, COALESCE(c.v, 0) AS p2
+  FROM cgrid g LEFT JOIN cells c
+    ON c.ptx = g.ptx AND c.pty = g.pty
+   AND c.sy = g.y // 8 AND c.sx = g.x // 8),
+{_sql_phash_stats_tail()}
+SELECT concat('hz', CAST(s.i // 1024 AS VARCHAR), '_', CAST(s.i % 1024 AS VARCHAR)) AS image_id,
+       CAST(k.n_points AS BIGINT) AS n_points,
+       CAST(s.sum_r AS BIGINT) AS sum_r, CAST(s.sum_g AS BIGINT) AS sum_g,
+       CAST(s.sum_b AS BIGINT) AS sum_b, CAST(p.phash AS BIGINT) AS phash
+FROM sums s JOIN ph p ON p.i = s.i
+JOIN mx k ON k.ptx*1024 + k.pty = s.i"""
+
+
+@register("tile_render_png_phash_z10", _sql_tile_render_png_phash)  # lazy
+def tile_render_png_phash_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raster tile-server materialization hash-gated END TO END (r4):
+    render_tile_pngs rasterizes z13 counts per z10 parent (integer heat
+    scaling, NN upscale, gray RGB, real PNG encode) and the PNGs roundtrip
+    through image_stats; the twin recomputes every raster pixel
+    relationally and replays the shared pHash tail.  Complements
+    tile_render_png_z10 (which stays rows-only on the legally-zlib-varying
+    container length) by pinning the decoded CONTENT cross-engine."""
+    from osmgraft.operators.multimodal import image_stats
+    from osmgraft.operators.raster import render_tile_pngs
+
+    pts = points_from_orders(spark, sf_dir)
+    counts = (
+        pts.select(
+            tiles.tile_x(F.col("lon7"), 13).alias("tx"),
+            tiles.tile_y(F.col("lat7"), 13).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rz = render_tile_pngs(counts, z=13, parent_z=10, size=64)
+    canv = rz.select(
+        F.concat(
+            F.lit("hz"), F.col("tx").cast("string"),
+            F.lit("_"), F.col("ty").cast("string"),
+        ).alias("image_id"),
+        F.col("png").alias("bytes"),
+        F.lit(64).cast("int").alias("w"),
+        F.lit(64).cast("int").alias("h"),
+        F.lit("png").alias("fmt"),
+        F.col("n_points").cast("long").alias("n_points"),
+    ).localCheckpoint()  # consumed twice (stats + n_points join)
+    return image_stats(canv).join(canv.select("image_id", "n_points"), "image_id")
+
+
 @register(
     "audio_window_energy",
     """WITH idxs AS (SELECT row_number() OVER () - 1 AS i FROM orders),
