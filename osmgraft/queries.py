@@ -3680,6 +3680,44 @@ def tile_render_png_phash_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_stats(canv).join(canv.select("image_id", "n_points"), "image_id")
 
 
+def _sql_tile_render_mvt_roundtrip() -> str:
+    tx = tiles.sql_tile_x("lon7", 13)
+    ty = tiles.sql_tile_y("lat7", 13)
+    return f"""
+WITH pts AS ({_PTS}),
+c13 AS (SELECT {tx} AS tx, {ty} AS ty, count(*) AS cnt FROM pts GROUP BY 1, 2)
+SELECT CAST(10 AS INTEGER) AS z, tx // 8 AS tx, ty // 8 AS ty,
+       CAST((tx % 8) * 512 + 256 AS INTEGER) AS x,
+       CAST((ty % 8) * 512 + 256 AS INTEGER) AS y,
+       CAST(cnt AS BIGINT) AS cnt
+FROM c13"""
+
+
+@register("tile_render_mvt_roundtrip_z10", _sql_tile_render_mvt_roundtrip())
+def tile_render_mvt_roundtrip_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-layer vector-tile write/read symmetry, hash-gated (r4 —
+    completes the MVT roundtrip family: lines z6, polygons z8, points
+    z10): z13 counts encode per z10 parent as real MVT POINT features at
+    sub-cell centers (render_tile_mvt) and the generic wire parser
+    (mvt_features) decodes them back in a separate distributed pass; the
+    twin states the expected features in closed form (x = sx·512 + 256,
+    extent 4096 over an 8×8 grid), so a zigzag, command-integer, or
+    attribute-encoding bug flips the hash.  The rows-only
+    tile_render_mvt_z10 keeps pinning container length in pytest."""
+    from osmgraft.operators.raster import mvt_features, render_tile_mvt
+
+    pts = points_from_orders(spark, sf_dir)
+    counts = (
+        pts.select(
+            tiles.tile_x(F.col("lon7"), 13).alias("tx"),
+            tiles.tile_y(F.col("lat7"), 13).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return mvt_features(render_tile_mvt(counts, z=13, parent_z=10))
+
+
 @register(
     "audio_window_energy",
     """WITH idxs AS (SELECT row_number() OVER () - 1 AS i FROM orders),
