@@ -127,7 +127,8 @@ def main() -> None:
                  "audio_window_energy", "video_frame_luma", "h3_rollup_r9_to_r7",
                  "h3_compact_roundtrip", "embedding_ivf_ann", "s2_rollup_l13_to_l10",
                  "h3_center_child_r7_r9", "multipolygon_assembly", "h3_polyfill_r4",
-                 "image_stats_phash_formula",
+                 "image_stats_phash_formula", "tile_mosaic_phash_z5",
+                 "tile_render_png_phash_z10", "tile_render_mvt_roundtrip_z10",
                  "tfidf_top_terms", "bm25_search", "bpe_encode",
                  "cdc_chunks", "token_count_bpe", "curation_funnel", "pii_scrub",
                  "asof_user_state", "value_percentiles_exact", "pagerank_roads",
