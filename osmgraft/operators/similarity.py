@@ -91,14 +91,71 @@ def lsh_bucket_udf(dim: int, n_planes: int = 12, table: int = 0):
 
     @F.pandas_udf("long")
     def _udf(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())  # (batch, dim)
-        sig = (m @ planes.T) > 0  # (batch, n_planes)
+        # float64 + SEQUENTIAL left-to-right per-plane fold (vectorized over
+        # the batch) — the same accumulation shape as _dot/list_dot_product,
+        # so the DuckDB twin (sql_lsh_ann_topk) reproduces every signature
+        # bit-for-bit; a BLAS matmul's blocked summation order could flip a
+        # knife-edge sign cross-engine (r4)
+        m = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
         out = np.zeros(len(m), dtype=np.int64)
         for j in range(n_planes):
-            out = (out << 1) | sig[:, j].astype(np.int64)
+            acc = np.zeros(len(m), dtype=np.float64)
+            for d in range(m.shape[1]):
+                acc = acc + m[:, d] * planes[j, d]
+            out = (out << 1) | (acc > 0).astype(np.int64)
         return pd.Series(out)
 
     return _udf
+
+
+def sql_lsh_ann_topk(
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 10,
+    n_tables: int = 4,
+    query_pred: str = "vec_id < 5",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`lsh_ann_topk` — converts the LSH path from
+    rows-only to hash-gated.  The Philox-seeded hyperplanes are embedded as
+    exact repr() double literals (the PQ-codebook discipline); signatures
+    use ``list_dot_product`` whose sequential fold matches the engine
+    kernel's accumulation order exactly, so bucket ids agree bit-for-bit;
+    candidates union over the L tables, dedup, and the exact cosine
+    re-rank uses the shared expression shape with the pinned
+    (sim DESC, neighbor_id) tie order."""
+
+    def lit(p: np.ndarray) -> str:
+        return "[" + ",".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+    sig_cols = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {lit(planes[j])}) > 0"
+            f" THEN {1 << (n_planes - 1 - j)} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+        sig_cols.append(f"{bits} AS b{t}")
+    joins = "\nUNION ALL\n".join(
+        f"SELECT q.vec_id AS query_id, i.vec_id AS neighbor_id,"
+        f" q.v AS qv, i.v AS iv FROM qs q JOIN sigs i ON q.b{t} = i.b{t}"
+        for t in range(n_tables)
+    )
+    dot = "list_dot_product(qv, iv)"
+    nq = "sqrt(list_dot_product(qv, qv))"
+    ne = "sqrt(list_dot_product(iv, iv))"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+sigs AS (SELECT vec_id, v, {", ".join(sig_cols)} FROM e),
+qs AS (SELECT * FROM sigs WHERE {query_pred}),
+cand AS (SELECT DISTINCT query_id, neighbor_id, qv, iv FROM ({joins}) u)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY {dot} / ({nq} * {ne}) DESC, neighbor_id) AS rank
+  FROM cand) t
+WHERE rank <= {k}"""
 
 
 def lsh_ann_topk(

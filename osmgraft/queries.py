@@ -3168,9 +3168,20 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_lsh_ann", None)  # approximate → rows-only check
+def _lsh_ann_oracle() -> str:
+    from osmgraft.operators.similarity import sql_lsh_ann_topk
+
+    return sql_lsh_ann_topk(k=10, dim=64, n_planes=5, n_tables=6)
+
+
+@register("embedding_lsh_ann", _lsh_ann_oracle)  # lazy (plane literals)
 def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate NN (recall vs brute force pinned in tests)."""
+    """Hyperplane-LSH approximate NN — hash-gated since r4 (the last
+    rows-only registry entry): the LSH output is APPROXIMATE relative to
+    brute force (recall pinned in tests) but fully DETERMINISTIC given the
+    Philox-seeded planes, so the DuckDB twin replays signatures (sequential
+    double fold = list_dot_product order), the multi-table bucket union,
+    and the exact cosine re-rank on one hash."""
     from osmgraft.operators.similarity import lsh_ann_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
