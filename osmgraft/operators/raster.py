@@ -127,6 +127,7 @@ def render_tile_pngs(
     z: int,
     parent_z: int,
     size: int = 64,
+    ensure_parallelism: bool = False,
 ) -> DataFrame:
     """Materialize a raster TILE SERVER layer: per parent tile at
     ``parent_z``, rasterize its ``z``-level descendant counts into a
@@ -142,11 +143,13 @@ def render_tile_pngs(
     the compressed bytes).
 
     Scale shape: one shuffle groups z-level counts by parent tile (bounded
-    groups: 4^(z-parent_z) cells max), then each tile renders + deflates
-    independently in an applyInPandas task.  Output: (z, tx, ty, png,
-    n_points)."""
+    groups: 4^(z-parent_z) cells max), then a BATCHED mapInArrow kernel
+    renders thousands of tiles per Python call — the per-group
+    applyInPandas form paid ~2-3 ms of pandas machinery per tile (150 s
+    over ~80k sparse parents at sf0.1; the flattened-columnar shape is the
+    render_tile_mvt_lines fix, r4).  Output: (z, tx, ty, png, n_points)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     from osmgraft.functions.codec import png_encode
 
@@ -156,6 +159,7 @@ def render_tile_pngs(
     grid = 1 << shift
     if size % grid != 0:
         raise ValueError(f"size must be a multiple of {grid}")
+    f = size // grid
 
     counts = tile_counts.select(
         F.shiftright(F.col("tx"), shift).alias("ptx"),
@@ -164,28 +168,51 @@ def render_tile_pngs(
         (F.col("ty") - F.shiftleft(F.shiftright(F.col("ty"), shift), shift)).alias("sy"),
         "cnt",
     )
+    packed = counts.groupBy("ptx", "pty").agg(
+        F.collect_list(F.struct("sx", "sy", "cnt")).alias("cells")
+    )
+    if ensure_parallelism:
+        # sandbox/test opt-in (see terrain_rgb_tiles): AQE coalesces the
+        # packed-parents shuffle to one partition on local fixtures
+        from osmgraft.operators.util import ensure_min_parallelism
 
-    def render(pdf: pd.DataFrame) -> pd.DataFrame:
-        ptx = int(pdf["ptx"].iloc[0])
-        pty = int(pdf["pty"].iloc[0])
-        ras = np.zeros((grid, grid), dtype=np.int64)
-        ras[pdf["sy"].to_numpy(), pdf["sx"].to_numpy()] = pdf["cnt"].to_numpy()
-        mx = int(ras.max())
-        img8 = ((ras * 255) // max(mx, 1)).astype(np.uint8)
-        up = np.repeat(np.repeat(img8, size // grid, axis=0), size // grid, axis=1)
-        rgb = np.stack([up, up, up], axis=-1)
-        return pd.DataFrame(
-            {
-                "z": [parent_z],
-                "tx": [ptx],
-                "ty": [pty],
-                "png": [png_encode(rgb)],
-                "n_points": [int(ras.sum())],
-            }
-        )
+        packed = ensure_min_parallelism(packed)
 
-    return counts.groupBy("ptx", "pty").applyInPandas(
-        render, schema="z int, tx long, ty long, png binary, n_points long"
+    def kernel(batches):
+        for rb in batches:
+            ptxs = rb.column("ptx")
+            ptys = rb.column("pty")
+            lst = rb.column("cells")
+            flat = lst.flatten()
+            lens = lst.value_lengths().to_numpy(zero_copy_only=False)
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            sx = flat.field("sx").to_numpy(zero_copy_only=False)
+            sy = flat.field("sy").to_numpy(zero_copy_only=False)
+            cnt = flat.field("cnt").to_numpy(zero_copy_only=False)
+            pngs, npts = [], []
+            for i in range(rb.num_rows):
+                a, b = offs[i], offs[i + 1]
+                ras = np.zeros((grid, grid), dtype=np.int64)
+                ras[sy[a:b], sx[a:b]] = cnt[a:b]
+                mx = int(ras.max())
+                img8 = ((ras * 255) // max(mx, 1)).astype(np.uint8)
+                up = np.repeat(np.repeat(img8, f, axis=0), f, axis=1)
+                rgb = np.stack([up, up, up], axis=-1)
+                pngs.append(png_encode(rgb))
+                npts.append(int(ras.sum()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.full(rb.num_rows, parent_z, dtype=np.int32)),
+                    ptxs.cast(pa.int64()),
+                    ptys.cast(pa.int64()),
+                    pa.array(pngs, pa.binary()),
+                    pa.array(npts, pa.int64()),
+                ],
+                names=["z", "tx", "ty", "png", "n_points"],
+            )
+
+    return packed.mapInArrow(
+        kernel, "z int, tx long, ty long, png binary, n_points long"
     )
 
 
@@ -195,6 +222,7 @@ def render_tile_mvt(
     parent_z: int,
     layer: str = "counts",
     extent: int = 4096,
+    ensure_parallelism: bool = False,
 ) -> DataFrame:
     """Materialize the VECTOR tile-server layer: per parent tile at
     ``parent_z``, its z-level descendant counts become POINT features (at
@@ -205,10 +233,15 @@ def render_tile_mvt(
     they are the two products a tile server serves.
 
     Deterministic: features ordered by (sy, sx), ids positional. Scale
-    shape identical to the PNG path — one bounded-group shuffle, then each
-    tile encodes independently in an applyInPandas task. Output:
+    shape identical to the PNG path — one bounded-group shuffle (the
+    sort_array on (sy, sx, cnt) structs replaces the per-group pandas
+    sort), then a BATCHED mapInArrow kernel encodes thousands of tiles per
+    Python call (the per-group applyInPandas form paid ~2-3 ms of pandas
+    machinery per tile — 135 s over ~80k sparse parents at sf0.1; r4, same
+    fix as render_tile_pngs / render_tile_mvt_lines). Output:
     (z, tx, ty, mvt, n_features)."""
-    import pandas as pd
+    import numpy as np
+    import pyarrow as pa
 
     from osmgraft.functions.mvt import encode_point_layer
 
@@ -225,26 +258,51 @@ def render_tile_mvt(
         (F.col("ty") - F.shiftleft(F.shiftright(F.col("ty"), shift), shift)).alias("sy"),
         "cnt",
     )
+    packed = counts.groupBy("ptx", "pty").agg(
+        F.sort_array(
+            F.collect_list(F.struct("sy", "sx", "cnt"))
+        ).alias("cells")
+    )
+    if ensure_parallelism:
+        from osmgraft.operators.util import ensure_min_parallelism
 
-    def render(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["sy", "sx"])
-        pts = [
-            (int(sx) * cell + cell // 2, int(sy) * cell + cell // 2, {"cnt": int(c)})
-            for sx, sy, c in zip(pdf["sx"], pdf["sy"], pdf["cnt"])
-        ]
-        data = encode_point_layer(layer, pts, extent)
-        return pd.DataFrame(
-            {
-                "z": [parent_z],
-                "tx": [int(pdf["ptx"].iloc[0])],
-                "ty": [int(pdf["pty"].iloc[0])],
-                "mvt": [data],
-                "n_features": [len(pts)],
-            }
-        )
+        packed = ensure_min_parallelism(packed)
 
-    return counts.groupBy("ptx", "pty").applyInPandas(
-        render, schema="z int, tx long, ty long, mvt binary, n_features long"
+    def kernel(batches):
+        for rb in batches:
+            ptxs = rb.column("ptx")
+            ptys = rb.column("pty")
+            lst = rb.column("cells")
+            flat = lst.flatten()
+            lens = lst.value_lengths().to_numpy(zero_copy_only=False)
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            sy = flat.field("sy").to_numpy(zero_copy_only=False)
+            sx = flat.field("sx").to_numpy(zero_copy_only=False)
+            cnt = flat.field("cnt").to_numpy(zero_copy_only=False)
+            mvts, nfs = [], []
+            for i in range(rb.num_rows):
+                a, b = offs[i], offs[i + 1]
+                pts = [
+                    (int(sx[j]) * cell + cell // 2,
+                     int(sy[j]) * cell + cell // 2,
+                     {"cnt": int(cnt[j])})
+                    for j in range(a, b)
+                ]
+                mvts.append(encode_point_layer(layer, pts, extent))
+                nfs.append(b - a)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.full(rb.num_rows, parent_z, dtype=np.int32)),
+                    ptxs.cast(pa.int64()),
+                    ptys.cast(pa.int64()),
+                    pa.array(mvts, pa.binary()),
+                    pa.array(np.array(nfs, dtype=np.int64)),
+                ],
+                names=["z", "tx", "ty", "mvt", "n_features"],
+            )
+
+    return packed.mapInArrow(
+        kernel, "z int, tx long, ty long, mvt binary, n_features long"
     )
 
 

@@ -3676,7 +3676,7 @@ def tile_render_png_phash_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tx", "ty")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    rz = render_tile_pngs(counts, z=13, parent_z=10, size=64)
+    rz = render_tile_pngs(counts, z=13, parent_z=10, size=64, ensure_parallelism=True)
     canv = rz.select(
         F.concat(
             F.lit("hz"), F.col("tx").cast("string"),
@@ -3726,7 +3726,7 @@ def tile_render_mvt_roundtrip_z10(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("tx", "ty")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    return mvt_features(render_tile_mvt(counts, z=13, parent_z=10))
+    return mvt_features(render_tile_mvt(counts, z=13, parent_z=10, ensure_parallelism=True))
 
 
 @register(
@@ -6041,7 +6041,7 @@ def tile_render_mvt_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tx", "ty")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    return render_tile_mvt(counts, z=13, parent_z=10).select(
+    return render_tile_mvt(counts, z=13, parent_z=10, ensure_parallelism=True).select(
         "z", "tx", "ty", F.length("mvt").alias("mvt_bytes"), "n_features"
     )
 
@@ -6066,7 +6066,7 @@ def tile_render_png_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     # PNG bytes vary legally with zlib version: expose the stable columns
-    return render_tile_pngs(counts, z=13, parent_z=10, size=64).select(
+    return render_tile_pngs(counts, z=13, parent_z=10, size=64, ensure_parallelism=True).select(
         "z", "tx", "ty", F.length("png").alias("png_bytes"), "n_points"
     )
 
