@@ -892,6 +892,21 @@ def _fill_sweep(ring, holes, res: int) -> dict:
         np.round(la * 1e7).astype(np.int64),
         np.round(lo * 1e7).astype(np.int64), res))
     cla, clo = cell_to_latlng(cand)
+    # np.round here is half-EVEN while the SQL twin's round() is
+    # half-AWAY; they agree except at an exact .5 double, where the two
+    # lattices would silently desync and flip the gate spuriously. There
+    # is no Niven-style no-tie argument for arbitrary latd*1e7 doubles
+    # (unlike the DCT-basis twin), so instead of assuming measure-zero we
+    # CHECK it at twin-build time: any exact tie fails loudly here rather
+    # than shipping a desynced oracle.
+    for arr in (la * 1e7, lo * 1e7, cla * 1e7, clo * 1e7):
+        frac = np.abs(arr - np.floor(arr) - 0.5)
+        if frac.size and float(frac.min()) == 0.0:
+            raise AssertionError(
+                "polyfill lattice hit an exact .5 quantization tie — "
+                "np.round (half-even) and SQL round() (half-away) would "
+                "desync; nudge the sweep spec or pin floor(x+0.5) on both"
+            )
     clat7 = np.round(cla * 1e7).astype(np.int64)
     clon7_enc = np.round(clo * 1e7).astype(np.int64)
     if wrap:
@@ -914,8 +929,10 @@ def sql_h3_polyfill_oracle(polys: list[dict], res: int) -> str:
     * the CANDIDATE sweep is re-run in SQL — the per-boundary lattice specs
       from :func:`_fill_sweep` expand through ``generate_series`` and every
       lattice point goes through :func:`sql_h3_cell`'s from-scratch encoder
-      chain (NOT the engine's numpy kernel), so an engine sweep that missed
-      a covering cell would not be missed here;
+      chain (NOT the engine's numpy kernel); a candidate cell the SQL sweep
+      finds but the engine-seeded set lacks surfaces as a sentinel row
+      (cell = -1, the ``orphan`` CTE) so engine UNDER-coverage flips the
+      hash red rather than being silently inner-joined away;
     * the CENTERS are seeded as exact fixed-point literals (decode has its
       own independent gate: the center-child bit-math oracle of
       `h3_center_child_r7_r9`) and every seeded center is re-encoded by the
@@ -972,6 +989,9 @@ ver AS (SELECT sd.bid, sd.cell, sd.clat7, sd.clon7p
         FROM seed sd JOIN senc e ON e.point_id = sd.seq AND e.cell = sd.cell),
 cv AS (SELECT v.bid, v.cell, v.clat7, v.clon7p
        FROM cand c JOIN ver v ON v.bid = c.bid AND v.cell = c.cell),
+orphan AS (SELECT DISTINCT c.bid, CAST(-1 AS BIGINT) AS cell
+           FROM cand c WHERE NOT EXISTS (
+             SELECT 1 FROM ver v WHERE v.bid = c.bid AND v.cell = c.cell)),
 pedges(bid, y1, x1, y2, x2) AS (VALUES
     {",".join(edge_rows)}),
 crossings AS (SELECT cv.bid, cv.cell,
@@ -981,7 +1001,9 @@ crossings AS (SELECT cv.bid, cv.cell,
   THEN 1 ELSE 0 END AS c
   FROM cv JOIN pedges e ON e.bid = cv.bid)
 SELECT bid AS boundary_id, cell FROM crossings
-GROUP BY bid, cell HAVING sum(c) % 2 = 1"""
+GROUP BY bid, cell HAVING sum(c) % 2 = 1
+UNION ALL
+SELECT bid AS boundary_id, cell FROM orphan"""
 
 
 # --- cellToBoundary (hexagons; substrate-grid vertices per faceijk.c) --------

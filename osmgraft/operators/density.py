@@ -458,8 +458,8 @@ terms AS (
   FROM probes p JOIN occupied o ON o.cy = p.cy AND o.cx = p.cx
 )
 SELECT cy, cx, count(*) AS n_samples,
-       sum(({IDW_K} // greatest(d2v, 1)) * v) AS idw_num,
-       sum({IDW_K} // greatest(d2v, 1)) AS idw_den
+       CAST(sum(({IDW_K} // greatest(d2v, 1)) * v) AS BIGINT) AS idw_num,
+       CAST(sum({IDW_K} // greatest(d2v, 1)) AS BIGINT) AS idw_den
 FROM terms WHERE d2v <= {r2}
 GROUP BY cy, cx"""
 
@@ -507,9 +507,9 @@ cdf AS (SELECT cnt, sum(k) OVER (ORDER BY cnt
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdf FROM vals),
 stats AS (SELECT max(cdf) AS n, min(cdf) AS cdf_min FROM cdf)
 SELECT c.cy, c.cx, c.cnt,
-       CASE WHEN s.n > s.cdf_min
+       CAST(CASE WHEN s.n > s.cdf_min
             THEN ((d.cdf - s.cdf_min) * {levels - 1}) // (s.n - s.cdf_min)
-            ELSE {levels - 1} END AS eq
+            ELSE {levels - 1} END AS BIGINT) AS eq
 FROM cells c JOIN cdf d USING (cnt) CROSS JOIN stats s"""
 
 
@@ -1022,9 +1022,9 @@ gadj AS (
   FROM cells a JOIN cells b
   ON (b.cx = a.cx + 1 AND b.cy = a.cy) OR (b.cx = a.cx AND b.cy = a.cy + 1)),
 gst AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
-               CAST(count(*) AS HUGEINT) * sum(CAST(cnt AS HUGEINT) * cnt)
+               CAST(CAST(count(*) AS HUGEINT) * sum(CAST(cnt AS HUGEINT) * cnt)
                     - sum(CAST(cnt AS HUGEINT)) * sum(CAST(cnt AS HUGEINT))
-                 AS den_raw
+                 AS BIGINT) AS den_raw
         FROM cells),
 gnw AS (SELECT CAST(2 * COALESCE(sum((va - vb) * (va - vb)), 0) AS BIGINT) AS ssq_w,
                CAST(2 * count(*) AS BIGINT) AS w_pairs

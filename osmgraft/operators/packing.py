@@ -109,9 +109,10 @@ c AS (
          COALESCE(SUM(n_tok) OVER (ORDER BY okey, doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
   FROM d WHERE n_tok > 0)
-SELECT doc_id, n_tok, cum // {seq_len} AS first_seq,
-       (cum + n_tok - 1) // {seq_len} AS last_seq,
-       cum % {seq_len} AS seq_offset
+SELECT doc_id, n_tok,
+       CAST(cum // {seq_len} AS BIGINT) AS first_seq,
+       CAST((cum + n_tok - 1) // {seq_len} AS BIGINT) AS last_seq,
+       CAST(cum % {seq_len} AS BIGINT) AS seq_offset
 FROM c"""
 
 
@@ -282,7 +283,7 @@ planned AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            // {target_bytes} AS bin
   FROM files)
-SELECT {part_cols}, bin, count(*) AS n_files,
+SELECT {part_cols}, CAST(bin AS BIGINT) AS bin, count(*) AS n_files,
        CAST(sum({bytes_col}) AS BIGINT) AS bin_bytes
 FROM planned GROUP BY {part_cols}, bin"""
 

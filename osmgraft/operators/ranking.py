@@ -223,7 +223,8 @@ agg AS (
                             ORDER BY sum(ts) DESC, doc_id ASC) AS rnk
   FROM term_scores GROUP BY query_id, doc_id
 )
-SELECT query_id, doc_id, score, rnk FROM agg WHERE rnk <= {k}"""
+SELECT query_id, doc_id, CAST(score AS BIGINT) AS score, rnk
+FROM agg WHERE rnk <= {k}"""
 
 
 # --------------------------------------------------------------------------
@@ -307,8 +308,8 @@ cbi AS (SELECT prev, cur, sum(k) AS c_bi FROM occ GROUP BY prev, cur),
 cprev AS (SELECT prev, sum(c_bi) AS c_prev FROM cbi GROUP BY prev),
 vocab AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(toks) AS t FROM d))
 SELECT occ.doc_id,
-       sum(k * ((length(bin(c_prev + v)) - 1) - (length(bin(c_bi + 1)) - 1))) AS surprisal_bits,
-       sum(k) AS n_bigrams
+       CAST(sum(k * ((length(bin(c_prev + v)) - 1) - (length(bin(c_bi + 1)) - 1))) AS BIGINT) AS surprisal_bits,
+       CAST(sum(k) AS BIGINT) AS n_bigrams
 FROM occ JOIN cbi USING (prev, cur) JOIN cprev USING (prev) CROSS JOIN vocab
 GROUP BY occ.doc_id"""
 

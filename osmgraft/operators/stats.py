@@ -2796,10 +2796,10 @@ def sql_burstiness(rows_cte: str, keys: list[str], gap_col: str) -> str:
 bs AS (
   SELECT {ks}, CAST(count(*) AS BIGINT) AS n_gaps,
          CAST(sum({gap_col}) AS BIGINT) AS gap_sum,
-         CAST(count(*) AS HUGEINT)
+         CAST(CAST(count(*) AS HUGEINT)
              * sum(CAST({gap_col} AS HUGEINT) * {gap_col})
            - 2 * sum(CAST({gap_col} AS HUGEINT))
-               * sum(CAST({gap_col} AS HUGEINT)) AS disp_num
+               * sum(CAST({gap_col} AS HUGEINT)) AS BIGINT) AS disp_num
   FROM bs_rows GROUP BY {ks})
 SELECT {ks}, n_gaps, gap_sum, disp_num,
        CASE WHEN disp_num > 0 THEN 'bursty'

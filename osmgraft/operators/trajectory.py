@@ -63,7 +63,7 @@ g AS (
   SELECT ent, seq, x, y,
          sum(nt) OVER (PARTITION BY ent ORDER BY seq) AS trip
   FROM f)
-SELECT ent, trip, count(*) AS n_pts,
+SELECT ent, CAST(trip AS BIGINT) AS trip, count(*) AS n_pts,
        min(seq) AS seq_start, max(seq) AS seq_end,
        min(x) AS min_x, max(x) AS max_x,
        min(y) AS min_y, max(y) AS max_y
@@ -270,8 +270,9 @@ s AS (
 cand AS (
   SELECT *, row_number() OVER (PARTITION BY ent ORDER BY seq DESC) AS rk
   FROM s WHERE total_len > 0 AND slen > 0)
-SELECT ent, total_len, seq AS seg_seq,
-       x2 * slen AS fx_num, y2 * slen AS fy_num, slen AS f_den
+SELECT ent, CAST(total_len AS BIGINT) AS total_len, seq AS seg_seq,
+       CAST(x2 * slen AS BIGINT) AS fx_num,
+       CAST(y2 * slen AS BIGINT) AS fy_num, slen AS f_den
 FROM cand WHERE rk = 1"""
     return f"""WITH track AS ({track_cte}),
 seg AS (
@@ -291,9 +292,9 @@ cand AS (
   SELECT *, row_number() OVER (PARTITION BY ent ORDER BY seq) AS rk
   FROM s
   WHERE total_len > 0 AND cum + slen > (total_len * {num}) // {den})
-SELECT ent, total_len, seq AS seg_seq,
-       x1 * slen + (x2 - x1) * ((total_len * {num}) // {den} - cum) AS fx_num,
-       y1 * slen + (y2 - y1) * ((total_len * {num}) // {den} - cum) AS fy_num,
+SELECT ent, CAST(total_len AS BIGINT) AS total_len, seq AS seg_seq,
+       CAST(x1 * slen + (x2 - x1) * ((total_len * {num}) // {den} - cum) AS BIGINT) AS fx_num,
+       CAST(y1 * slen + (y2 - y1) * ((total_len * {num}) // {den} - cum) AS BIGINT) AS fy_num,
        slen AS f_den
 FROM cand WHERE rk = 1"""
 
@@ -768,7 +769,7 @@ dp AS (
               + list_aggregate(list_transform(range(k, j + 1),
                   l -> {d2('CAST(i + 1 AS INTEGER)', 'l')}), 'sum'))), 'min'))
   FROM dp WHERE i < len(pa))
-SELECT ent_a, ent_b, costs[CAST(len(pb) AS INTEGER)] AS dtw_cost
+SELECT ent_a, ent_b, CAST(costs[CAST(len(pb) AS INTEGER)] AS BIGINT) AS dtw_cost
 FROM dp WHERE i = len(pa)"""
 
 

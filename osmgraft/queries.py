@@ -650,13 +650,13 @@ def _sql_hotspot_days() -> str:
     lat, lon = sql_latlon_of_key("event_id")
     return f"""WITH pts AS (
   SELECT {tiles.sql_tile_x(f'({lon})', 5)} AS tx, {tiles.sql_tile_y(f'({lat})', 5)} AS ty,
-         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
   FROM events),
 counts AS (SELECT tx, ty, day, count(*) AS cnt FROM pts GROUP BY tx, ty, day),
 trailed AS (
   SELECT tx, ty, day, cnt,
-         sum(cnt) OVER (PARTITION BY tx, ty ORDER BY day
-                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS sum7
+         CAST(sum(cnt) OVER (PARTITION BY tx, ty ORDER BY day
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum7
   FROM counts)
 SELECT tx, ty, day, cnt, sum7 FROM trailed
 WHERE 7 * cnt > 3 * sum7 AND sum7 > cnt"""
@@ -685,9 +685,13 @@ def hotspot_days_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             tiles.tile_x(lon, 5).alias("tx"),
             tiles.tile_y(lat, 5).alias("ty"),
-            # TIMESTAMP_NTZ won't cast to long; unix_timestamp handles it.
-            # epoch/86400 ~ 2e4 is far inside double exactness, floor exact.
-            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+            # day as an integer date-diff, NOT floor(unix_timestamp/86400):
+            # unix_timestamp() on a TIMESTAMP_NTZ column applies the SESSION
+            # TIMEZONE, so the bucket would shift per-deployment; date-cast
+            # truncation is tz-free and integer-exact on both engines.
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day"),
         )
         .groupBy("tx", "ty", "day")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -1243,13 +1247,31 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CENTS_REV = "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)"
+# Revenue as an EXACT integer: price and discount each have 2 decimal
+# digits, so round(price*100) and round(discount*100) sit within ~1e-9 of
+# an integer — every rounding mode agrees — and the per-row revenue
+# pc·(100−pct) is pure int64 arithmetic. The r3/r4 form rounded the FLOAT
+# product price·(1−disc)·100, which can land near .5 of a cent where
+# engines whose round() is the floor(x+0.5) idiom diverge from true
+# half-away — one of the two fragile constructs behind the repeat
+# driver-reds on q3/q5 (the other: the uncast HUGEINT sum, see
+# tools/verify_oracle.py docstring). Unit: 1e-4 currency units.
+_REV_X10K = (
+    "(CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))"
+)
+
+
+def _rev_x10k_col():
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return pc * (F.lit(100) - pct)
 
 
 @register(
     "q3_shipping_priority",
     f"""SELECT l_orderkey,
-  sum({_CENTS_REV}) AS revenue_cents,
+  CAST(sum({_REV_X10K}) AS BIGINT) AS revenue_x10k,
   date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS o_day
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -1258,15 +1280,16 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
   AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
 GROUP BY l_orderkey, o_day
-ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+ORDER BY revenue_x10k DESC, l_orderkey LIMIT 10""",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (shipping priority): customer⨝orders⨝lineitem 3-way
     join with selective filters on both outer sides, revenue top-10.
-    Revenue is rounded to INTEGER CENTS per row before summation (identical
-    IEEE product shape on both engines), so the aggregate is an associative
-    integer sum and the top-10 is deterministic (ties → orderkey). Dates
-    leave as integer day offsets so the hash never touches date formatting.
+    Revenue is EXACT integer 1e-4-unit arithmetic (_REV_X10K — integer
+    cents × integer discount percent, never a rounded float product), so
+    the aggregate is an associative integer sum and the top-10 is
+    deterministic (ties → orderkey). Dates leave as integer day offsets so
+    the hash never touches date formatting.
     Plan: both dimension filters push into the scans; customer broadcasts."""
     cu = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -1277,9 +1300,6 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
         F.col("l_shipdate") > F.lit("1997-06-01 00:00:00").cast("timestamp")
     )
-    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
-        "long"
-    )
     return (
         cu.join(o, cu.c_custkey == o.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -1289,16 +1309,16 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
             ).alias("o_day"),
         )
-        .agg(F.sum(cents).alias("revenue_cents"))
-        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .agg(F.sum(_rev_x10k_col()).alias("revenue_x10k"))
+        .orderBy(F.desc("revenue_x10k"), F.asc("l_orderkey"))
         .limit(10)
-        .select("l_orderkey", "revenue_cents", "o_day")
+        .select("l_orderkey", "revenue_x10k", "o_day")
     )
 
 
 @register(
     "q5_local_supplier_volume",
-    f"""SELECT n_name, sum({_CENTS_REV}) AS revenue_cents
+    f"""SELECT n_name, CAST(sum({_REV_X10K}) AS BIGINT) AS revenue_x10k
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -1313,12 +1333,9 @@ GROUP BY n_name""",
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape (local supplier volume): the 6-way join with the
     non-key c_nationkey = s_nationkey condition that makes Q5 the classic
-    join-order stress test. Integer-cents revenue as in Q3; nation/region
-    broadcast, the fact-side joins shuffle on their keys."""
+    join-order stress test. Exact-integer revenue as in Q3 (_REV_X10K);
+    nation/region broadcast, the fact-side joins shuffle on their keys."""
     rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
-    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
-        "long"
-    )
     o = rd("orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
@@ -1338,7 +1355,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .groupBy("n_name")
-        .agg(F.sum(cents).alias("revenue_cents"))
+        .agg(F.sum(_rev_x10k_col()).alias("revenue_x10k"))
     )
 
 
@@ -1362,6 +1379,89 @@ def top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "event_type")
         .limit(100)
     )
+
+
+def _sql_gate_canary() -> str:
+    """DuckDB side of gate_canary — one UNION ALL branch per probe."""
+    from osmgraft.functions import text as T  # runs at import time, pre-1432
+
+    zoo = "'a b' || chr(9) || 'c' || chr(10) || 'd' || chr(13) || 'e  f'"
+    probes = [
+        ("round_below_half", "CAST(round(CAST(0.49999999999999994 AS DOUBLE), 0) AS BIGINT)"),
+        ("round_half_pos", "CAST(round(CAST(0.5 AS DOUBLE), 0) AS BIGINT)"),
+        ("round_half_neg", "CAST(round(CAST(-2.5 AS DOUBLE), 0) AS BIGINT)"),
+        ("round_cents_prod", "CAST(round(CAST(2.675 AS DOUBLE) * 100, 0) AS BIGINT)"),
+        ("day_datecast", "CAST(date_diff('day', DATE '1970-01-01', CAST(TIMESTAMP '2024-01-15 23:30:00' AS DATE)) AS BIGINT)"),
+        ("epoch_session_tz", "CAST(floor(epoch(TIMESTAMP '2024-01-16 00:00:00')) AS BIGINT)"),
+        ("tile_ty_z5", tiles.sql_tile_y("515000000", 5)),
+        ("tile_ty_z13", tiles.sql_tile_y("356000000", 13)),
+        ("tile_tx_z5", tiles.sql_tile_x("-1000000", 5)),
+        ("md5_conv", T.sql_md5_long("'osmgraft-canary'")),
+        ("tok_zoo", T.sql_token_count(zoo)),
+        ("sum_cast", "(SELECT CAST(sum(i) AS BIGINT) FROM range(1, 1001) t(i))"),
+        ("collate_binary", "CASE WHEN 'Zebra' < 'apple' THEN 1 ELSE 0 END"),
+        ("div_pos", "17 // 5"),
+    ]
+    return "\nUNION ALL ".join(
+        f"SELECT '{n}' AS probe, CAST({e} AS BIGINT) AS value" for n, e in probes
+    )
+
+
+@register("gate_canary", _sql_gate_canary())
+def gate_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine primitive canary (round-5 instrumentation for the r3/r4
+    repeat driver-reds): 14 one-row probes, each exercising ONE fragile
+    primitive in isolation — round() at exact .5 and at
+    0.49999999999999994 (the floor(x+0.5) idiom detector), a float
+    product round, date-cast day bucketing, epoch of a pinned timestamp
+    (flips iff the Spark session timezone isn't UTC), the shared
+    ln/tan/sqrt tile formula at three (lat, zoom) sites, the md5→conv
+    60-bit hash, the whitespace-zoo tokenizer, a CAST sum (fetch-path
+    probe), binary string collation, and positive integer division.  If a
+    driver environment evaluates any primitive differently, this gate
+    goes red and the mismatching probe NAMES the divergence — one
+    artifact row localizes what five opaque reds could not."""
+    pairs = [
+        ("round_below_half", F.round(F.lit(0.49999999999999994), 0)),
+        ("round_half_pos", F.round(F.lit(0.5), 0)),
+        ("round_half_neg", F.round(F.lit(-2.5), 0)),
+        ("round_cents_prod", F.round(F.lit(2.675) * 100, 0)),
+        (
+            "day_datecast",
+            F.datediff(
+                F.lit("2024-01-15 23:30:00").cast("timestamp").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ),
+        ),
+        (
+            "epoch_session_tz",
+            F.unix_timestamp(F.lit("2024-01-16 00:00:00").cast("timestamp")),
+        ),
+        ("tile_ty_z5", tiles.tile_y(F.lit(515000000), 5)),
+        ("tile_ty_z13", tiles.tile_y(F.lit(356000000), 13)),
+        ("tile_tx_z5", tiles.tile_x(F.lit(-1000000), 5)),
+        ("md5_conv", T.md5_long(F.lit("osmgraft-canary"))),
+        ("tok_zoo", T.token_count(F.lit("a b\tc\nd\re  f"))),
+        (
+            "sum_cast",
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(1000)),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ),
+        ),
+        ("collate_binary", F.when(F.lit("Zebra") < F.lit("apple"), 1).otherwise(0)),
+        ("div_pos", F.expr("17 div 5")),
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("probe"), v.cast("long").alias("value")
+            )
+            for n, v in pairs
+        ]
+    )
+    return spark.range(1).select(F.inline(rows))
 
 
 @register(
@@ -1956,7 +2056,9 @@ def cell_msf_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("wkey"),
         )
     )
-    return boruvka_msf(edges)
+    # z5 grid: nodes are cell ids, statically ≤ 32·32 — hint skips the
+    # strategy-gate counting job (r4 ADVICE #4)
+    return boruvka_msf(edges, nodes_hint=1 << 10)
 
 
 _NEG_K = 2
@@ -2564,10 +2666,10 @@ flags AS (
 ),
 agg AS (
   SELECT count(*) AS n0,
-         sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS n1,
-         sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS n2,
-         sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS n3,
-         sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS n4,
+         CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
          count(DISTINCT CASE WHEN f4 THEN fp END) AS n5
   FROM flags
 )
@@ -2969,7 +3071,7 @@ def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
          {T.sql_md5_long('CAST(doc_id AS VARCHAR)')} AS hk,
          (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 500 AS budget
   FROM documents)
-SELECT doc_id, source, n_tok, cum_tok FROM (
+SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok FROM (
   SELECT doc_id, source, n_tok, budget,
          sum(n_tok) OVER (PARTITION BY source ORDER BY hk, doc_id
                           ROWS UNBOUNDED PRECEDING) AS cum_tok
@@ -5620,7 +5722,7 @@ def _geojson_oracle() -> str:
   SELECT o_custkey % 199 AS ent, {lat} AS lat7, {lon} AS lon7 FROM orders
 )
 SELECT ent, count(*) AS n_vertices,
-       sum(CAST(lat7 AS BIGINT) + 2 * CAST(lon7 AS BIGINT)) AS coord_checksum
+       CAST(sum(CAST(lat7 AS BIGINT) + 2 * CAST(lon7 AS BIGINT)) AS BIGINT) AS coord_checksum
 FROM pts GROUP BY ent"""
 
 
@@ -8278,7 +8380,7 @@ def image_hough_line_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_CUBE = """SELECT lang, source, GROUPING(lang, source) AS gid,
-       count(*) AS n_docs, sum(n_chars) AS sum_chars
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY CUBE (lang, source)"""
 
 
@@ -8529,22 +8631,34 @@ v AS (SELECT o.way_id, o.seq, o.n,
       FROM o JOIN pts p ON p.point_id = o.node),
 e AS (SELECT a.way_id, a.x, a.y, b.x AS nx, b.y AS ny,
              a.x * b.y - b.x * a.y AS cr
-      FROM v a JOIN v b ON b.way_id = a.way_id AND b.seq = a.seq % a.n + 1)
-SELECT way_id, count(*) AS n_vertices,
+      FROM v a JOIN v b ON b.way_id = a.way_id AND b.seq = a.seq % a.n + 1),
+m AS (SELECT way_id, count(*) AS n_vertices,
   CAST(sum(cr) AS DECIMAL(38,0)) AS area2,
   CAST(sum(CAST(x + nx AS HUGEINT) * cr) AS DECIMAL(38,0)) AS cx6_num,
   CAST(sum(CAST(y + ny AS HUGEINT) * cr) AS DECIMAL(38,0)) AS cy6_num
-FROM e GROUP BY way_id""",
+FROM e GROUP BY way_id)
+SELECT way_id, n_vertices,
+  {T.sql_md5_long("CAST(area2 AS VARCHAR) || '|' || CAST(cx6_num AS VARCHAR)"
+                  " || '|' || CAST(cy6_num AS VARCHAR)")} AS geom_hash
+FROM m""",
 )
 def way_area_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shoelace area + centroid numerators per way (operators/osm.
     way_area_centroid): the polygon-measurement op over resolved way
     geometry — every value an exact integer (int64 cross terms,
-    decimal(31,0) centroid products, decimal(38,0) sums), so the hash is
+    decimal(31,0) centroid products, decimal(38,0) sums), so the result is
     partition-order-invariant with NO float anywhere.  The DuckDB twin
     closes the ring by a seq-modular self-join and accumulates in HUGEINT —
     two different ring-closure mechanisms (window lead/first vs modular
-    join), one hash."""
+    join), one hash.
+
+    The GATE pins the three exact decimals through md5 of their canonical
+    digit strings (geom_hash BIGINT) rather than emitting them raw: the
+    numerators exceed int64 (up to ~1e28), and DECIMAL(38,0)/HUGEINT
+    output columns are fetch-path-dependent client-side (float64 via
+    .df() — the r3/r4 driver-red mechanism; tools/verify_oracle.py), so
+    any digit drift still flips the hash while every emitted column stays
+    a plain BIGINT."""
     from pyspark.sql import Window as W
 
     from osmgraft.operators.osm import way_area_centroid as wac
@@ -8567,7 +8681,21 @@ def way_area_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "node",
     )
-    return wac(verts)
+    m = wac(verts)
+    # decimal(38,0) → canonical digit string → 60-bit md5: exactness kept,
+    # every emitted column BIGINT (see the oracle-side comment above).
+    return m.select(
+        "way_id",
+        "n_vertices",
+        T.md5_long(
+            F.concat_ws(
+                "|",
+                F.col("area2").cast("string"),
+                F.col("cx6_num").cast("string"),
+                F.col("cy6_num").cast("string"),
+            )
+        ).alias("geom_hash"),
+    )
 
 
 def _sql_harris() -> str:

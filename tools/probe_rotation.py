@@ -11,13 +11,20 @@ Usage:
     python tools/probe_rotation.py <round> [k]        # print round r's names
     python tools/probe_rotation.py <round> [k] --run  # and run the gate on them
 
-The sample is stable for a given (registry contents, round) pair: the
-shuffle seeds from the cycle index and the sorted name list, so adding
-queries re-deals only future cycles.
+Cycle pinning: with a state file (the CLI default, BENCH/probe_cycles.json)
+each cycle's shuffled order and window count are computed ONCE from the
+registry snapshot at the time the cycle is first requested and persisted,
+so registry growth never re-deals an in-progress cycle — new queries join
+the rotation at the next cycle boundary, and already-probed windows stay
+disjoint from the remaining ones. Without a state file (preview/test mode)
+the deal is a pure function of (sorted names, cycle index) and ANY registry
+change re-deals the current cycle too — that mode makes no mid-cycle
+coverage promise.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import random
 import subprocess
@@ -25,14 +32,53 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+DEFAULT_STATE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "BENCH",
+    "probe_cycles.json",
+)
 
-def sample_for_round(names: list[str], rnd: int, k: int = 50) -> list[str]:
-    names = sorted(names)
-    per_cycle = max(1, (len(names) + k - 1) // k)  # rounds per full cycle
-    cycle, slot = divmod(max(rnd - 1, 0), per_cycle)
-    order = names[:]
-    random.Random(f"osmgraft-probe-cycle-{cycle}-{len(names)}").shuffle(order)
-    return sorted(order[slot * k : (slot + 1) * k])
+
+def sample_for_round(
+    names: list[str], rnd: int, k: int = 50, state_path: str | None = None
+) -> list[str]:
+    names_set = set(names)
+    if state_path is None:  # stateless preview mode (docstring caveat)
+        snames = sorted(names_set)
+        per_cycle = max(1, (len(snames) + k - 1) // k)
+        cycle, slot = divmod(max(rnd - 1, 0), per_cycle)
+        order = snames[:]
+        random.Random(f"osmgraft-probe-cycle-{cycle}").shuffle(order)
+        return sorted(order[slot * k : (slot + 1) * k])
+
+    state = {"cycles": []}
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            state = json.load(f)
+    cycles = state.setdefault("cycles", [])
+    r0, ci, dirty = max(rnd - 1, 0), 0, False
+    while True:
+        if ci >= len(cycles):
+            order = sorted(names_set)
+            random.Random(f"osmgraft-probe-cycle-{ci}").shuffle(order)
+            cycles.append(
+                {"order": order, "k": k, "per_cycle": max(1, (len(order) + k - 1) // k)}
+            )
+            dirty = True
+        c = cycles[ci]
+        if r0 < c["per_cycle"]:
+            slot = r0
+            break
+        r0 -= c["per_cycle"]
+        ci += 1
+    if dirty:
+        os.makedirs(os.path.dirname(state_path), exist_ok=True)
+        with open(state_path, "w") as f:
+            json.dump(state, f, indent=1)
+    ck = c.get("k", k)
+    window = c["order"][slot * ck : (slot + 1) * ck]
+    # deleted queries are skipped but keep their slot (window stays pinned)
+    return sorted(n for n in window if n in names_set)
 
 
 def main() -> None:
@@ -40,7 +86,10 @@ def main() -> None:
     k = int(sys.argv[2]) if len(sys.argv) > 2 and sys.argv[2].isdigit() else 50
     from osmgraft.queries import all_queries
 
-    names = sample_for_round(list(all_queries()), rnd, k)
+    state_path = os.environ.get("PROBE_STATE", DEFAULT_STATE)
+    names = sample_for_round(
+        list(all_queries()), rnd, k, state_path=state_path or None
+    )
     try:
         for n in names:
             print(n)

@@ -1,7 +1,22 @@
 """Mimic the driver's correctness gate: run each queries() entry in Spark and
 its oracle_sql() twin in DuckDB at the given sf dir; compare row count, schema
 width, and an order-insensitive value hash (sorted columns by name, rows
-sorted, values stringified). Usage: python tools/verify_oracle.py [sf_dir] [names...]
+sorted, values stringified).
+
+Usage: python tools/verify_oracle.py [sf_dir] [names...]
+       DUCK_FETCH=native|df|arrow  — how oracle rows are materialized.
+
+DUCK_FETCH matters because DuckDB's three client fetch paths type
+aggregate results DIFFERENTLY: sum(BIGINT) is HUGEINT, which .fetchall()
+returns as exact Python int, .df() as float64 (duckdb 1.0) or object-int
+(later), and .arrow() as decimal128 — so a value-hash computed over a
+HUGEINT column matches under one fetch path and diverges under another.
+That exact skew produced the five repeat driver-red gates of rounds 3-4
+(CORRECTNESS_r0{3,4}: hotspot_days_z5, q3, q5, textrank, doc_pack — the
+only five probed queries whose oracles then had uncast HUGEINT outputs).
+The repo rule is now: oracle output columns must be BIGINT/VARCHAR/BOOL/
+DOUBLE — never HUGEINT or DECIMAL (tests/test_oracle_types.py enforces);
+this harness runs under all three fetch paths to prove fetch-invariance.
 """
 
 from __future__ import annotations
@@ -26,6 +41,23 @@ def norm_cell(v):
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
+
+
+def fetch_rows(rel):
+    """Materialize a DuckDB relation under the fetch path named by
+    DUCK_FETCH — each is a real client path a driver harness might use,
+    and they type HUGEINT/DECIMAL columns differently (module docstring)."""
+    mode = os.environ.get("DUCK_FETCH", "native")
+    if mode == "native":
+        return rel.fetchall()
+    if mode == "df":
+        df = rel.df()
+        return list(df.itertuples(index=False, name=None))
+    if mode == "arrow":
+        tbl = rel.arrow()
+        cols = [c.to_pylist() for c in tbl.columns]
+        return list(zip(*cols)) if cols else []
+    raise SystemExit(f"unknown DUCK_FETCH={mode!r}")
 
 
 def table_fingerprint(cols, rows):
@@ -72,7 +104,7 @@ def main():
         try:
             rel = con.sql(oracles[name])
             o_cols_raw = rel.columns
-            orows = rel.fetchall()
+            orows = fetch_rows(rel)
             o_n, o_cols, o_h = table_fingerprint(o_cols_raw, orows)
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
