@@ -211,7 +211,11 @@ def main() -> None:
                  "embedding_matryoshka_overlap", "vocab_stats_by_source"]:
         if name in REGISTRY:
             fn = REGISTRY[name][0]
-            timed(name, lambda fn=fn: fn(spark, sf_dir).count())
+            # r5 DRIFT finding: these three pay a 2-2.4 s cold first rep
+            # (page cache + Arrow-kernel JIT) that min-of-2 can't damp —
+            # the r4 artifact recorded it as a phantom regression
+            cold = name in ("video_block_motion", "embedding_ivf_ann", "image_geo_tiles")
+            timed(name, lambda fn=fn: fn(spark, sf_dir).count(), reps=3 if cold else 2)
 
     # image-pipeline headline (the graft payload is images): batched decode →
     # stats/pHash over a 20k-row 64x64 raw table materialized to parquet once
