@@ -160,7 +160,12 @@ def dbscan(
             .when(F.col("border_label").isNotNull(), F.lit("border"))
             .otherwise(F.lit("noise"))
             .alias("role"),
-            F.coalesce(F.col("core_label"), F.col("border_label")).alias("label"),
+            # noise carries the sentinel -1, never NULL: a nullable int
+            # output column floatifies under pandas-path oracle fetches
+            # (None → NaN → '4.0'-style hash skew; r5 DUCK_FETCH=df sweep)
+            F.coalesce(F.col("core_label"), F.col("border_label"), F.lit(-1).cast("long")).alias(
+                "label"
+            ),
         )
     )
 
@@ -226,7 +231,7 @@ SELECT pts.point_id,
        CASE WHEN cl.core_label IS NOT NULL THEN 'core'
             WHEN bl.border_label IS NOT NULL THEN 'border'
             ELSE 'noise' END AS role,
-       COALESCE(cl.core_label, bl.border_label) AS label
+       CAST(COALESCE(cl.core_label, bl.border_label, -1) AS BIGINT) AS label
 FROM pts
 LEFT JOIN core_labels cl ON cl.cid = pts.point_id
 LEFT JOIN border_labels bl ON bl.u = pts.point_id"""

@@ -3292,21 +3292,39 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _join_ints(col: str):
+    """Gate-layer canonicalization of an array<int> column: a comma-joined
+    string.  Array OUTPUT columns are fetch-path-fragile on the oracle
+    side (.fetchall() Python list vs .df() numpy array stringify
+    differently — caught by the r5 DUCK_FETCH=df registry sweep), the same
+    client-side-skew class as HUGEINT; operators keep their array
+    semantics, only the registered gate serializes."""
+    return F.concat_ws(",", F.transform(F.col(col), lambda x: x.cast("string")))
+
+
+def _sql_join_ints(expr: str) -> str:
+    return f"array_to_string(list_transform({expr}, x -> CAST(x AS VARCHAR)), ',')"
+
+
 @register("embedding_quantize_int8", None)  # oracle attached below
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization (embedding compression, 4x):
     pure JVM expressions, integer-only output, bit-identical DuckDB twin
-    (floor(x+0.5) + exactly-specified IEEE division on both engines)."""
+    (floor(x+0.5) + exactly-specified IEEE division on both engines).
+    The gate serializes the code vector to a comma string (_join_ints)."""
     from osmgraft.operators.similarity import quantize_int8
 
-    return quantize_int8(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return quantize_int8(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
+        "vec_id", _join_ints("q8").alias("q8"), "scale_micro"
+    )
 
 
 from osmgraft.operators.similarity import sql_quantize_int8  # noqa: E402
 
 REGISTRY["embedding_quantize_int8"] = (
     REGISTRY["embedding_quantize_int8"][0],
-    sql_quantize_int8(),
+    f"""SELECT vec_id, {_sql_join_ints('q8')} AS q8, scale_micro
+FROM ({sql_quantize_int8()})""",
 )
 
 
@@ -3351,7 +3369,9 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmgraft.operators.similarity import pq_codebooks, pq_encode
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return pq_encode(emb, pq_codebooks(64, m=8, ksub=16))
+    return pq_encode(emb, pq_codebooks(64, m=8, ksub=16)).select(
+        "vec_id", _join_ints("codes").alias("codes")
+    )
 
 
 @register("embedding_pq_ann", None)  # oracle attached below
@@ -3379,7 +3399,8 @@ from osmgraft.operators.similarity import sql_pq_adc_topk, sql_pq_encode  # noqa
 
 REGISTRY["embedding_pq_codes"] = (
     REGISTRY["embedding_pq_codes"][0],
-    sql_pq_encode(_pq_cb(64, m=8, ksub=16)),
+    f"""SELECT vec_id, {_sql_join_ints('codes')} AS codes
+FROM ({sql_pq_encode(_pq_cb(64, m=8, ksub=16))})""",
 )
 REGISTRY["embedding_pq_ann"] = (
     REGISTRY["embedding_pq_ann"][0],

@@ -50,7 +50,9 @@ def ref_dbscan(pts, eps, min_pts):
             out[i] = ("core", label[i])
         else:
             core_ns = [label[j] for j in ns if j in cores]
-            out[i] = ("border", min(core_ns)) if core_ns else ("noise", None)
+            # noise labels as sentinel -1 (nullable-int outputs floatify
+            # under pandas-path oracle fetches — r5 fetch-invariance rule)
+            out[i] = ("border", min(core_ns)) if core_ns else ("noise", -1)
     return out
 
 
@@ -70,7 +72,7 @@ def test_two_blobs_and_noise(spark):
     got = run_engine(spark, pts, eps, min_pts=3)
     assert got == ref_dbscan(pts, eps, 3)
     assert got[0] == ("core", 0)
-    assert got[100] == ("noise", None)
+    assert got[100] == ("noise", -1)
 
 
 def test_border_attaches_to_min_cluster(spark):

@@ -27,7 +27,11 @@ import pytest
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMOKE", "/root/testdata/sf0.001")
 
-FORBIDDEN = ("HUGEINT", "UHUGEINT", "UBIGINT", "DECIMAL")
+# HUGEINT/DECIMAL: int vs float64 vs decimal128 per fetch path.
+# []/LIST/STRUCT/MAP: Python list vs numpy array stringification per path
+# (caught by the r5 DUCK_FETCH=df registry sweep on embedding_quantize_int8 /
+# embedding_pq_codes) — serialize arrays to comma-joined VARCHAR at the gate.
+FORBIDDEN = ("HUGEINT", "UHUGEINT", "UBIGINT", "DECIMAL", "[]", "STRUCT", "MAP")
 
 
 @pytest.fixture(scope="module")
