@@ -274,7 +274,9 @@ def hll_distinct(df: DataFrame, group_cols: list[str], key_col: str) -> DataFram
     The published small/large-range corrections are transcendental
     (m·ln(m/V), −2^32·ln(1−E/2^32)) — the sketch emits est_kind
     ('raw' | 'linear' | 'large') decided by EXACT integer comparisons and
-    NULLs est_milli outside the raw branch, leaving the exact ingredients
+    emits est_milli = -1 outside the raw branch (a sentinel, not NULL —
+    nullable ints floatify under pandas-path fetches), leaving the exact
+    ingredients
     (n_zero, sum_sh) for the consumer's float step.  Output per group:
     (n_zero, sum_sh, est_kind, est_milli).
 
@@ -321,7 +323,9 @@ def hll_distinct(df: DataFrame, group_cols: list[str], key_col: str) -> DataFram
         "n_zero",
         "sum_sh",
         kind.alias("est_kind"),
-        F.when(kind == F.lit("raw"), raw_milli).alias("est_milli"),
+        # non-raw branches report -1, never NULL: a nullable int output
+        # column floatifies under pandas-path oracle fetches (r5 rule)
+        F.when(kind == F.lit("raw"), raw_milli).otherwise(F.lit(-1)).alias("est_milli"),
     )
 
 
@@ -354,10 +358,10 @@ SELECT {g}, n_zero, sum_sh,
               THEN 'linear'
             WHEN ({_HLL_EST_NUM} // sum_sh) > {_HLL_LARGE_MILLI} THEN 'large'
             ELSE 'raw' END AS est_kind,
-       CASE WHEN ({_HLL_EST_NUM} // sum_sh) <= {_HLL_LC_MILLI} AND n_zero > 0
-              THEN NULL
-            WHEN ({_HLL_EST_NUM} // sum_sh) > {_HLL_LARGE_MILLI} THEN NULL
-            ELSE {_HLL_EST_NUM} // sum_sh END AS est_milli
+       CAST(CASE WHEN ({_HLL_EST_NUM} // sum_sh) <= {_HLL_LC_MILLI} AND n_zero > 0
+              THEN -1
+            WHEN ({_HLL_EST_NUM} // sum_sh) > {_HLL_LARGE_MILLI} THEN -1
+            ELSE {_HLL_EST_NUM} // sum_sh END AS BIGINT) AS est_milli
 FROM agg"""
 
 

@@ -2477,10 +2477,13 @@ def _sql_asof_user_state() -> str:
         right_cols=["event_id", "value"],
         out_cols="l.event_id, l.user_id",
     )
+    # unmatched rows carry -1 sentinels, never NULL ints: nullable int
+    # output columns floatify under pandas-path oracle fetches (r5
+    # fetch-invariance rule, tools/verify_oracle.py docstring)
     return f"""
 SELECT event_id, user_id,
-       event_id_ref AS ref_event_id,
-       CAST(round(value_ref * 100) AS BIGINT) AS ref_cents
+       CAST(COALESCE(event_id_ref, -1) AS BIGINT) AS ref_event_id,
+       CAST(COALESCE(round(value_ref * 100), -1) AS BIGINT) AS ref_cents
 FROM ({inner})"""
 
 
@@ -2504,19 +2507,27 @@ def asof_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "event_id",
         "user_id",
-        F.col("event_id_ref").alias("ref_event_id"),
-        F.round(F.col("value_ref") * 100).cast("long").alias("ref_cents"),
+        F.coalesce(F.col("event_id_ref"), F.lit(-1)).cast("long").alias("ref_event_id"),
+        F.coalesce(F.round(F.col("value_ref") * 100), F.lit(-1))
+        .cast("long")
+        .alias("ref_cents"),
     )
+
+
+_SCD2_OPEN = (1 << 63) - 1  # open-interval sentinel (int64-max, both engines)
 
 
 def _sql_scd2() -> str:
     from osmgraft.operators.asof import sql_scd2_build
 
-    return sql_scd2_build(
+    inner = sql_scd2_build(
         "SELECT user_id, event_type, ts, event_id FROM events",
         key_cols=["user_id"], state_col="event_type",
         order_tiebreak=["event_id"],
     )
+    return f"""SELECT user_id, event_type, vf_us,
+  CAST(COALESCE(vt_us, {_SCD2_OPEN}) AS BIGINT) AS vt_us
+FROM ({inner})"""
 
 
 @register("scd2_user_state", _sql_scd2())
@@ -2532,10 +2543,16 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "user_id", "event_type", "ts", "event_id"
     )
+    # open intervals close at int64-max, never NULL (fetch-invariance rule)
     return scd2_build(
         ev, key_cols=["user_id"], state_col="event_type",
         order_tiebreak=["event_id"],
-    ).select("user_id", "event_type", "vf_us", "vt_us")
+    ).select(
+        "user_id",
+        "event_type",
+        "vf_us",
+        F.coalesce(F.col("vt_us"), F.lit(_SCD2_OPEN)).alias("vt_us"),
+    )
 
 
 # BPE merge list learned by operators/bpe.train_merges on the sf0.01 corpus
@@ -4243,8 +4260,8 @@ SELECT concat('img', lpad(CAST(idx AS VARCHAR), 12, '0')) AS image_id,
        fmt,
        TRUE AS magic_ok,
        TRUE AS len_ok,
-       CAST(CASE WHEN fmt = 'raw' THEN NULL ELSE w END AS BIGINT) AS hdr_w,
-       CAST(CASE WHEN fmt = 'raw' THEN NULL ELSE h END AS BIGINT) AS hdr_h,
+       CAST(CASE WHEN fmt = 'raw' THEN -1 ELSE w END AS BIGINT) AS hdr_w,
+       CAST(CASE WHEN fmt = 'raw' THEN -1 ELSE h END AS BIGINT) AS hdr_h,
        TRUE AS dims_ok
 FROM dims""",
 )
@@ -4264,7 +4281,11 @@ def image_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmgraft.synth import synth_images
 
     n = min(spark.read.parquet(f"{sf_dir}/orders.parquet").count(), 2000)
-    return header_scan(synth_images(spark, n))
+    hs = header_scan(synth_images(spark, n))
+    # headerless formats report -1 dims, never NULL (fetch-invariance rule)
+    return hs.withColumn(
+        "hdr_w", F.coalesce(F.col("hdr_w").cast("long"), F.lit(-1))
+    ).withColumn("hdr_h", F.coalesce(F.col("hdr_h").cast("long"), F.lit(-1)))
 
 
 # --- checkpoint/resume (north-rule lineage path) -----------------------------------
@@ -7128,12 +7149,12 @@ SELECT 'w', 1000000000 + c, 1, false, CAST(c % 1000 + 1 AS INTEGER),
   CAST(c % 500 AS INTEGER), 'w-' || CAST(c % 13 AS VARCHAR),
   strftime(epoch_ms((1600000000 + c) * 1000), '%Y-%m-%dT%H:%M:%SZ'),
   CAST(c % 2 AS INTEGER), CAST(nrefs AS INTEGER),
-  CAST(NULL AS INTEGER), CAST(NULL AS INTEGER) FROM w
+  CAST(-2000000000 AS INTEGER), CAST(-2000000000 AS INTEGER) FROM w
 UNION ALL
 SELECT 'r', 2000000000 + b, 1, false, CAST(b + 1 AS INTEGER),
   7, 'rel', strftime(epoch_ms((1700000000 + b) * 1000), '%Y-%m-%dT%H:%M:%SZ'),
   1, CAST(nways + 1 AS INTEGER),
-  CAST(NULL AS INTEGER), CAST(NULL AS INTEGER) FROM r""".format(pts=_PTS)
+  CAST(-2000000000 AS INTEGER), CAST(-2000000000 AS INTEGER) FROM r""".format(pts=_PTS)
 
 
 def _obj_roundtrip_projection(parsed: DataFrame) -> DataFrame:
@@ -7153,8 +7174,11 @@ def _obj_roundtrip_projection(parsed: DataFrame) -> DataFrame:
         )
         .cast("int")
         .alias("n_children"),
-        "lat7",
-        "lon7",
+        # ways/relations have no coordinates: sentinel -2e9 (outside the
+        # ±1.8e9 fixed-point domain), never NULL — nullable int outputs
+        # floatify under pandas-path oracle fetches (r5 rule)
+        F.coalesce(F.col("lat7").cast("int"), F.lit(-2_000_000_000)).alias("lat7"),
+        F.coalesce(F.col("lon7").cast("int"), F.lit(-2_000_000_000)).alias("lon7"),
     )
 
 

@@ -515,10 +515,11 @@ def _py_hll(keys):
     n_zero = sum(1 for r in regs if r == 0)
     sum_sh = sum(1 << (HLL_RMAX - r) for r in regs)
     raw = _HLL_EST_NUM // sum_sh
+    # -1 sentinel outside the raw branch (r5 fetch-invariance rule)
     if raw <= _HLL_LC_MILLI and n_zero > 0:
-        return n_zero, sum_sh, "linear", None
+        return n_zero, sum_sh, "linear", -1
     if raw > _HLL_LARGE_MILLI:
-        return n_zero, sum_sh, "large", None
+        return n_zero, sum_sh, "large", -1
     return n_zero, sum_sh, "raw", raw
 
 
@@ -541,10 +542,10 @@ def test_hll_matches_python_reference_and_accuracy(spark):
             nz, sh, kind, est
         ), g
 
-    # small group: 9 distinct -> linear-counting branch (est NULLed, exact
-    # ingredients emitted)
+    # small group: 9 distinct -> linear-counting branch (est = -1 sentinel,
+    # exact ingredients emitted)
     assert out["small"]["est_kind"] == "linear"
-    assert out["small"]["est_milli"] is None
+    assert out["small"]["est_milli"] == -1
     # big group: raw branch; HLL sigma ~ 1.04/sqrt(64) = 13% — allow 3 sigma
     assert out["big"]["est_kind"] == "raw"
     est = out["big"]["est_milli"] / 1000.0
