@@ -56,10 +56,23 @@ def latlon_of_key(k) -> tuple:
     """(lat7, lon7) Column pair for an arbitrary key Column — the projection
     as pure expressions, so callers that already HAVE the key in hand (e.g.
     a lead() window neighbor) synthesize coordinates without a self-join."""
-    base_lon = (k * F.lit(_A_LON)) % F.lit(_B_LON) - F.lit(_B_LON // 2)
-    base_lat = (k * F.lit(_A_LAT) + F.lit(_C_LAT)) % F.lit(_B_LAT) - F.lit(_B_LAT // 2)
-    d1 = (k * F.lit(48271)) % F.lit(_JIT) - F.lit(_JIT // 2)
-    d2 = (k * F.lit(69621)) % F.lit(_JIT) - F.lit(_JIT // 2)
+    # Overflow-safe to k ≥ 10^12 (the north-rule row scale) via exact
+    # modular identities — k·A mod B == ((k mod B)·A') mod B with
+    # A' ≡ A (mod B); values are BIT-IDENTICAL to the pre-r5 direct form
+    # for every k where that form didn't overflow (k·2654435761 blew past
+    # int64 at k ≈ 3.47e9 — caught by the r5 4B-row scale run). The lon
+    # side uses the negative residue A−B so the product stays ≤ 3.3e18;
+    # the lat side fits after mod-first alone. sql_latlon_of_key mirrors
+    # the same text; tests/test_synth_scale.py pins both properties.
+    k_lon = k % F.lit(_B_LON)
+    base_lon = (
+        (k_lon * F.lit(_A_LON - _B_LON)) % F.lit(_B_LON) + F.lit(_B_LON)
+    ) % F.lit(_B_LON) - F.lit(_B_LON // 2)
+    base_lat = ((k % F.lit(_B_LAT)) * F.lit(_A_LAT) + F.lit(_C_LAT)) % F.lit(
+        _B_LAT
+    ) - F.lit(_B_LAT // 2)
+    d1 = ((k % F.lit(_JIT)) * F.lit(48271)) % F.lit(_JIT) - F.lit(_JIT // 2)
+    d2 = ((k % F.lit(_JIT)) * F.lit(69621)) % F.lit(_JIT) - F.lit(_JIT // 2)
     spot = k % F.lit(3)
     hot_lat = (
         F.when(spot == 0, F.lit(_HOT_SPOTS[0][0]))
@@ -96,17 +109,20 @@ def sql_latlon_of_key(key: str) -> tuple[str, str]:
     (lat7_sql, lon7_sql) producing bit-identical integers."""
     spots = _HOT_SPOTS
     k = f"({key})"
+    # overflow-safe modular forms, textually mirroring latlon_of_key
     lat = (
         f"CAST(CASE WHEN {k} % 5 = 0 THEN "
         f"(CASE {k} % 3 WHEN 0 THEN {spots[0][0]} WHEN 1 THEN {spots[1][0]} "
-        f"ELSE {spots[2][0]} END) + (({k} * 48271) % {_JIT} - {_JIT // 2}) "
-        f"ELSE ({k} * {_A_LAT} + {_C_LAT}) % {_B_LAT} - {_B_LAT // 2} END AS INTEGER)"
+        f"ELSE {spots[2][0]} END) + ((({k} % {_JIT}) * 48271) % {_JIT} - {_JIT // 2}) "
+        f"ELSE (({k} % {_B_LAT}) * {_A_LAT} + {_C_LAT}) % {_B_LAT} - {_B_LAT // 2} "
+        f"END AS INTEGER)"
     )
     lon = (
         f"CAST(CASE WHEN {k} % 5 = 0 THEN "
         f"(CASE {k} % 3 WHEN 0 THEN {spots[0][1]} WHEN 1 THEN {spots[1][1]} "
-        f"ELSE {spots[2][1]} END) + (({k} * 69621) % {_JIT} - {_JIT // 2}) "
-        f"ELSE ({k} * {_A_LON}) % {_B_LON} - {_B_LON // 2} END AS INTEGER)"
+        f"ELSE {spots[2][1]} END) + ((({k} % {_JIT}) * 69621) % {_JIT} - {_JIT // 2}) "
+        f"ELSE ((({k} % {_B_LON}) * {_A_LON - _B_LON}) % {_B_LON} + {_B_LON})"
+        f" % {_B_LON} - {_B_LON // 2} END AS INTEGER)"
     )
     return lat, lon
 
