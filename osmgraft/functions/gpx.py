@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from osmgraft.functions.timestamps import ntz_epoch, ntz_from_epoch
 from osmgraft.functions.wkt import fmt_e7, parse_e7
 
 _ISO = "yyyy-MM-dd'T'HH:mm:ss'Z'"
@@ -28,7 +29,8 @@ def gpx_trkpt(lat7: Column, lon7: Column, epoch: Column) -> Column:
         F.lit('" lon="'),
         fmt_e7(lon7),
         F.lit('"><time>'),
-        F.from_unixtime(epoch.cast("long"), _ISO),
+        # naive render (from_unixtime formats through the session timezone)
+        F.date_format(ntz_from_epoch(epoch), _ISO),
         F.lit("</time></trkpt>"),
     )
 
@@ -58,7 +60,10 @@ def parse_gpx_trkpts(df: DataFrame, gpx_col: str) -> DataFrame:
         "*",
         parse_e7(F.col("_pt")["la"]).alias("lat7"),
         parse_e7(F.col("_pt")["lo"]).alias("lon7"),
-        F.unix_timestamp(F.to_timestamp(F.col("_pt")["tm"], _ISO))
+        # to_timestamp_ntz + naive arithmetic, NOT unix_timestamp(to_timestamp):
+        # the with-zone parse arm shifts by the session offset under a
+        # non-UTC session (r5 tz probe; functions/timestamps.ntz_epoch)
+        ntz_epoch(F.to_timestamp_ntz(F.col("_pt")["tm"], F.lit(_ISO)))
         .cast("long")
         .alias("epoch"),
     ).drop("_pt")

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from osmgraft.functions.timestamps import ntz_micros
+
 
 def asof_join(
     left: DataFrame,
@@ -116,7 +118,8 @@ def scd2_build(
     chg = prev.isNull() | ~F.col(state_col).eqNullSafe(prev)
     starts = events.withColumn("_chg", chg).where(F.col("_chg"))
     w2 = Window.partitionBy(*key_cols).orderBy(*order)
-    vf = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # naive micros, session-tz-free (r5 tz probe; timestamps.ntz_micros)
+    vf = ntz_micros(F.col(ts_col))
     return starts.select(
         *key_cols,
         F.col(state_col),

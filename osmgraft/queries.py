@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from osmgraft.functions import coords, tiles
+from osmgraft.functions.timestamps import ntz_from_epoch as _ntz_from_epoch
 from osmgraft.geom import sql_pip_predicate
 from osmgraft.operators.pip import pip_join
 from osmgraft.operators.util import ensure_min_parallelism
@@ -1497,12 +1498,12 @@ def ts_cross_format_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     event's ISO-string timestamp is compared against an epoch-number
     timestamp shifted by -1/0/+1 s — mixed formats, so the reference's
     to_epoch_number arm is the one exercised. Pure codegen expressions."""
-    from osmgraft.functions.timestamps import ts_compare, ts_equal
+    from osmgraft.functions.timestamps import ntz_epoch, ts_compare, ts_equal
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id",
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso"),
-        (F.unix_timestamp("ts") + F.col("event_id") % 3 - 1).alias("shifted"),
+        (ntz_epoch(F.col("ts")) + F.col("event_id") % 3 - 1).alias("shifted"),
     )
     return ev.select(
         "event_id",
@@ -3451,7 +3452,9 @@ def _customer_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("version"),
         (k % 7 == 0).alias("deleted"),
         F.col("c_nationkey").cast("int").alias("changeset_id"),
-        F.timestamp_seconds(F.lit(1_300_000_000) + k * 61).alias("timestamp"),
+        # NTZ construction — with-zone timestamp_seconds renders through the
+        # session timezone in the OPL writer (r5 tz probe)
+        _ntz_from_epoch(F.lit(1_300_000_000) + k * 61).alias("timestamp"),
         (k % 1000).cast("int").alias("uid"),
         F.col("c_name").alias("user"),
         F.create_map(F.lit("segment"), F.col("c_mktsegment")).alias("tags"),
@@ -8817,13 +8820,19 @@ def trend_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     the normal equations from the same daily rollup."""
     from osmgraft.operators.stats import groupwise_ols
 
+    from osmgraft.functions.timestamps import ntz_epoch
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     daily = (
         ev.select(
             "event_type",
-            (F.expr("unix_micros(cast(ts as timestamp)) div 86400000000") - 19700).alias(
-                "day_x"
-            ),
+            # naive day, session-tz-free (the former unix_micros(cast) form
+            # shifted under a non-UTC session — r5 tz probe); epochs are
+            # positive so floor-div == integer div, and epoch/86400 ≈ 2e4
+            # is far inside double exactness
+            (
+                F.floor(ntz_epoch(F.col("ts")) / 86400).cast("long") - 19700
+            ).alias("day_x"),
         )
         .groupBy("event_type", "day_x")
         .agg(F.count(F.lit(1)).alias("cnt"))

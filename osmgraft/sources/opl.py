@@ -143,7 +143,7 @@ def parse_node_opl(lines: DataFrame, line_col: str = "line") -> DataFrame:
         field("v").cast("int").alias("version"),
         (field("d") == "D").alias("deleted"),
         field("c").cast("int").alias("changeset_id"),
-        F.to_timestamp(field("t"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timestamp"),
+        F.to_timestamp_ntz(field("t"), F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")).alias("timestamp"),
         field("i").cast("int").alias("uid"),
         unescape(field("u")).alias("user"),
         tags_kv.alias("tags"),
@@ -259,7 +259,7 @@ def parse_obj_opl(lines: DataFrame, line_col: str = "line") -> DataFrame:
         field("v").cast("int").alias("version"),
         (field("d") == "D").alias("deleted"),
         field("c").cast("int").alias("changeset_id"),
-        F.to_timestamp(field("t"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timestamp"),
+        F.to_timestamp_ntz(field("t"), F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")).alias("timestamp"),
         field("i").cast("int").alias("uid"),
         unescape(field("u")).alias("user"),
         tags_kv.alias("tags"),

@@ -126,7 +126,7 @@ def parse_node_xml(lines: DataFrame, line_col: str = "line") -> DataFrame:
         attr("version").cast("int").alias("version"),
         F.when(attr("visible").isNotNull(), attr("visible") == "false").alias("deleted"),
         attr("changeset").cast("int").alias("changeset_id"),
-        F.to_timestamp(attr("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timestamp"),
+        F.to_timestamp_ntz(attr("timestamp"), F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")).alias("timestamp"),
         attr("uid").cast("int").alias("uid"),
         unescape(attr("user")).alias("user"),
         F.map_from_arrays(
@@ -285,7 +285,7 @@ def parse_obj_xml(lines: DataFrame, line_col: str = "line") -> DataFrame:
         attr("version").cast("int").alias("version"),
         F.when(attr("visible").isNotNull(), attr("visible") == "false").alias("deleted"),
         attr("changeset").cast("int").alias("changeset_id"),
-        F.to_timestamp(attr("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timestamp"),
+        F.to_timestamp_ntz(attr("timestamp"), F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")).alias("timestamp"),
         attr("uid").cast("int").alias("uid"),
         unescape(attr("user")).alias("user"),
         F.map_from_arrays(

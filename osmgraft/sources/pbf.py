@@ -559,7 +559,12 @@ def read_pbf(spark, path: str, object_filter=(True, True, True)):
         F.when(F.col("version") > 0, F.col("version")).alias("version"),
         "deleted",
         "changeset_id",
-        F.timestamp_seconds(F.col("ts")).alias("timestamp"),
+        # NTZ construction, not timestamp_seconds(): the with-zone value
+        # renders through the session timezone downstream (r5 tz probe
+        # flipped pbf_roundtrip_nodes under America/New_York)
+        F.expr(
+            "timestampadd(SECOND, ts, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias("timestamp"),
         "uid",
         "user",
         "tags",

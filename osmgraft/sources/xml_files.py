@@ -197,6 +197,8 @@ def _scan(spark, path: str, exts: tuple[str, ...], ops: bool):
     ddl = _OBJ_DDL + (", op string" if ops else "")
     from pyspark.sql import functions as F
 
+    from osmgraft.functions.timestamps import ntz_from_epoch
+
     raw = _paths_df(spark, path, exts).mapInArrow(kernel, schema=ddl)
     cols = [
         "obj_type",
@@ -204,7 +206,7 @@ def _scan(spark, path: str, exts: tuple[str, ...], ops: bool):
         "version",
         "deleted",
         "changeset_id",
-        F.timestamp_seconds(F.col("ts")).alias("timestamp"),
+        ntz_from_epoch(F.col("ts")).alias("timestamp"),
         "uid",
         "user",
         "tags",
@@ -299,6 +301,8 @@ def read_changesets(spark, path: str):
 
     from pyspark.sql import functions as F
 
+    from osmgraft.functions.timestamps import ntz_from_epoch
+
     raw = _paths_df(spark, path, (".osm", ".xml")).mapInArrow(
         kernel,
         schema=(
@@ -308,8 +312,8 @@ def read_changesets(spark, path: str):
     )
     return raw.select(
         "id",
-        F.timestamp_seconds(F.col("created")).alias("created"),
-        F.timestamp_seconds(F.col("closed")).alias("closed"),
+        ntz_from_epoch(F.col("created")).alias("created"),
+        ntz_from_epoch(F.col("closed")).alias("closed"),
         "open",
         "uid",
         "user",

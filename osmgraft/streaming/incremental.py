@@ -34,6 +34,7 @@ from pyspark.sql.types import (
 )
 
 from osmgraft.functions import tiles
+from osmgraft.functions.timestamps import ntz_micros
 
 EVENTS_SCHEMA = StructType(
     [
@@ -175,10 +176,11 @@ def sessionize_batch(
     e = events.select(
         "user_id",
         "event_id",
-        # fixture ts is TIMESTAMP_NTZ; the session timezone is pinned UTC
-        # (session.py) so the cast is wall-clock-exact and unix_micros
-        # equals DuckDB's epoch_us(ts) bit-for-bit
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        # naive micros, session-tz-FREE: the former unix_micros(cast) form
+        # assumed a UTC session (true for session.py, NOT for an arbitrary
+        # driver harness session — r5 tz probe flipped this gate under
+        # America/New_York); ntz_micros equals it bit-for-bit under UTC
+        ntz_micros(F.col("ts")).alias("us"),
     )
     prev = F.lag("us").over(w)
     flag = F.when(prev.isNull() | (F.col("us") - prev > gap_us), 1).otherwise(0)

@@ -29,6 +29,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from osmgraft.functions.timestamps import ntz_from_epoch
+
 from osmgraft.schema import ADMIN_BOUNDARY_SCHEMA, IMAGE_SCHEMA
 
 # --- 1. integer-arithmetic geo points (Spark + SQL twins) -------------------
@@ -640,7 +642,7 @@ def osm_objs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             (k % 9 + 1).cast("int").alias("version"),
             (k % 41 == 0).alias("deleted"),
             (k % 10000 + 1).cast("int").alias("changeset_id"),
-            F.timestamp_seconds(F.lit(NODE_TS_BASE) + (k * 37) % 100_000_000).alias(
+            ntz_from_epoch(F.lit(NODE_TS_BASE) + (k * 37) % 100_000_000).alias(
                 "timestamp"
             ),
             (k % 1000).cast("int").alias("uid"),
@@ -663,7 +665,7 @@ def osm_objs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("int").alias("version"),
         F.lit(False).alias("deleted"),
         (c % 1000 + 1).cast("int").alias("changeset_id"),
-        F.timestamp_seconds(F.lit(WAY_TS_BASE) + c).alias("timestamp"),
+        ntz_from_epoch(F.lit(WAY_TS_BASE) + c).alias("timestamp"),
         (c % 500).cast("int").alias("uid"),
         F.concat(F.lit("w-"), (c % 13).cast("string")).alias("user"),
         F.when(
@@ -706,7 +708,7 @@ def osm_objs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).cast("int").alias("version"),
             F.lit(False).alias("deleted"),
             (bb + 1).cast("int").alias("changeset_id"),
-            F.timestamp_seconds(F.lit(REL_TS_BASE) + bb).alias("timestamp"),
+            ntz_from_epoch(F.lit(REL_TS_BASE) + bb).alias("timestamp"),
             F.lit(7).cast("int").alias("uid"),
             F.lit("rel").alias("user"),
             F.create_map(F.lit("type"), F.lit("route")).alias("tags"),
